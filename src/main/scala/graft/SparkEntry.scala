@@ -1,13 +1,302 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Relational, Sessionize, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (plus the north-star
+  * LLM-data-pipeline extensions) gets a `queries` entry; each SQL-expressible
+  * one gets a DuckDB `oracleSql` twin with IDENTICAL column names and
+  * cross-engine-exact numerics (integer cents, int/int division, floor-based
+  * truncation — see operators/Relational.scala Scaladoc).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.weeklyFeatures(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // —— reference parity (SURVEY §2) ——
+    "q01_pruned_scan"     -> ((s, d) => Relational.prunedScan(s, d)),
+    "q02_grouped_agg"     -> ((s, d) => Relational.groupedAgg(s, d)),
+    "q03_topk"            -> ((s, d) => Relational.topK(s, d)),
+    "q04_join_broadcast"  -> ((s, d) => Relational.joinBroadcast(s, d)),
+    "q05_join_inner_agg"  -> ((s, d) => Relational.joinInnerAgg(s, d)),
+    "q06_join_semi"       -> ((s, d) => Relational.joinSemi(s, d)),
+    "q07_join_anti"       -> ((s, d) => Relational.joinAnti(s, d)),
+    "q08_dedup_keys"      -> ((s, d) => Relational.dedupKeys(s, d)),
+    "q09_distinct_rows"   -> ((s, d) => Relational.distinctRows(s, d)),
+    "q10_weekly_features" -> ((s, d) => Relational.weeklyFeatures(s, d)),
+    "q11_silver_like"     -> ((s, d) => Relational.silverLike(s, d)),
+    "q12_date_functions"  -> ((s, d) => Relational.dateFunctions(s, d)),
+    "q13_case_cast"       -> ((s, d) => Relational.caseCast(s, d)),
+    "q14_union_distinct"  -> ((s, d) => Relational.unionDistinct(s, d)),
+    "q15_quality_checks"  -> ((s, d) => Relational.qualityChecks(s, d)),
+    "q16_ungrouped_agg"   -> ((s, d) => Relational.ungroupedAgg(s, d)),
+    // —— LLM-data-pipeline extensions (north star) ——
+    "x01_dedup_exact"     -> ((s, d) => Dedup.exact(s, d)),
+    "x02_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccard(s, d, n = 5, threshold = 0.3)),
+    "x03_minhash_lsh"     -> ((s, d) => Dedup.minhashLsh(s, d, threshold = 0.3)),
+    "x04_simhash_pairs"   -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "x05_text_stats"      -> ((s, d) => TextAnalysis.stats(s, d)),
+    "x06_lang_id"         -> ((s, d) => TextAnalysis.languageId(s, d)),
+    "x07_token_counts"    -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "x08_fingerprints"    -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "x09_cosine_topk"     -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "x10_ann_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
+    "x11_sessionize"      -> ((s, d) => Sessionize.sessions(s, d)),
+    "x12_hourly_windows"  -> ((s, d) => Sessionize.hourlyWindows(s, d)),
+  )
+
+  /** DuckDB oracle SQL per query (same table names, same column names).
+    * x03/x04/x10 are omitted on purpose: their outputs depend on
+    * xxhash64-based signatures (LSH recall), not SQL-expressible — the
+    * driver records the weaker rows-only check for them. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pruned_scan" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS quantity,
+        |       CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05""".stripMargin,
+
+    "q02_grouped_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_topk" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS total_cents, o_orderpriority
+        |FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q04_join_broadcast" ->
+      """SELECT s_name, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin,
+
+    "q05_join_inner_agg" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_total_cents,
+        |  COUNT(DISTINCT c_custkey) AS n_customers
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment""".stripMargin,
+
+    "q06_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)""".stripMargin,
+
+    "q07_join_anti" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q08_dedup_keys" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS quantity
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+        |        row_number() OVER (PARTITION BY l_orderkey
+        |          ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey) AS rn
+        |      FROM lineitem) t WHERE rn = 1""".stripMargin,
+
+    "q09_distinct_rows" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem""".stripMargin,
+
+    "q10_weekly_features" ->
+      """WITH weekly AS (
+        |  SELECT l_suppkey, CAST(year(l_shipdate) AS INTEGER) AS year,
+        |         CAST(weekofyear(l_shipdate) AS INTEGER) AS week,
+        |         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS weekly_revenue_cents,
+        |         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS had_return,
+        |         CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS disc_cents,
+        |         COUNT(*) AS n_items
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |feat AS (
+        |  SELECT l_suppkey, year, week, weekly_revenue_cents, had_return, n_items,
+        |         disc_cents / n_items AS avg_discount_cents,
+        |         lag(weekly_revenue_cents, 1) OVER w AS prev_week_revenue,
+        |         lag(weekly_revenue_cents, 2) OVER w AS prev2_week_revenue,
+        |         CAST(SUM(weekly_revenue_cents) OVER wf AS BIGINT) / COUNT(*) OVER wf AS mean_last4_weeks
+        |  FROM weekly
+        |  WINDOW w  AS (PARTITION BY l_suppkey ORDER BY year, week),
+        |         wf AS (PARTITION BY l_suppkey ORDER BY year, week
+        |                ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+        |SELECT * FROM feat
+        |WHERE prev_week_revenue IS NOT NULL AND prev2_week_revenue IS NOT NULL
+        |  AND mean_last4_weeks IS NOT NULL""".stripMargin,
+
+    "q11_silver_like" ->
+      """WITH fact AS (
+        |  SELECT ship_date, l_suppkey, l_orderkey, quantity, price_cents FROM (
+        |    SELECT CAST(l_shipdate AS DATE) AS ship_date, l_suppkey, l_orderkey,
+        |           CAST(l_quantity AS BIGINT) AS quantity,
+        |           CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
+        |           row_number() OVER (PARTITION BY CAST(l_shipdate AS DATE), l_suppkey
+        |                              ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS rn
+        |    FROM lineitem) t WHERE rn = 1),
+        |urgent AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS ship_date,
+        |         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS is_urgent
+        |  FROM orders GROUP BY 1)
+        |SELECT f.ship_date, f.l_suppkey, f.l_orderkey, f.quantity, f.price_cents,
+        |       s.s_name, s.s_nationkey, COALESCE(u.is_urgent, 0) AS is_urgent,
+        |       CAST(year(f.ship_date) AS INTEGER) AS year,
+        |       CAST(month(f.ship_date) AS INTEGER) AS month
+        |FROM fact f
+        |LEFT JOIN supplier s ON f.l_suppkey = s.s_suppkey
+        |LEFT JOIN urgent u ON f.ship_date = u.ship_date
+        |WHERE s.s_name IS NOT NULL AND s.s_nationkey IS NOT NULL""".stripMargin,
+
+    "q12_date_functions" ->
+      """WITH dd AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT d, CAST(year(d) AS INTEGER) AS y, CAST(month(d) AS INTEGER) AS m,
+        |       CAST(day(d) AS INTEGER) AS dom, CAST(weekofyear(d) AS INTEGER) AS iso_week,
+        |       CAST(quarter(d) AS INTEGER) AS q, CAST(dayofyear(d) AS INTEGER) AS doy
+        |FROM dd""".stripMargin,
+
+    "q13_case_cast" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_final,
+        |  COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'UNSPECIFIED') AS priority,
+        |  CAST(trunc(o_totalprice) AS BIGINT) AS total_trunc,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS total_cents,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str
+        |FROM orders""".stripMargin,
+
+    "q14_union_distinct" ->
+      """SELECT l_orderkey AS okey FROM lineitem WHERE l_returnflag = 'R'
+        |UNION
+        |SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q15_quality_checks" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkeys,
+        |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_names,
+        |  MIN(CAST(round(o_totalprice*100) AS BIGINT)) AS min_total_cents,
+        |  COUNT(DISTINCT c_custkey) AS n_customers
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey""".stripMargin,
+
+    "q16_ungrouped_agg" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  MIN(CAST(l_quantity AS BIGINT)) AS min_qty,
+        |  MAX(CAST(l_quantity AS BIGINT)) AS max_qty,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+
+    "x01_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "x02_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CAST(len(shingles) AS INTEGER) AS n_sh, unnest(shingles) AS sh FROM (
+        |    SELECT doc_id,
+        |           list_distinct([array_to_string(words[i:i+4], ' ')
+        |                          for i in range(1, len(words) - 3)]) AS shingles
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1) t2),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+        |         COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, inter, inter / (n_a + n_b - inter) AS jaccard
+        |FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.3""".stripMargin,
+
+    "x05_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        |  length(replace(text, ' ', '')) / len(string_split(text, ' ')) AS mean_word_len,
+        |  len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the','a','an','of','to','in','and','is','for','on')))
+        |    / len(string_split(text, ' ')) AS stopword_ratio,
+        |  len(list_filter(string_split(text, ' '), w -> length(w) = 1))
+        |    / len(string_split(text, ' ')) AS short_word_ratio,
+        |  least(1.0, len(string_split(text, ' ')) / 100.0)
+        |    * (1.0 - len(list_filter(string_split(text, ' '), w -> length(w) = 1))
+        |              / len(string_split(text, ' '))) AS quality_score
+        |FROM documents""".stripMargin,
+
+    "x06_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      w -> w IN ('the','a','an','of','to','in','and','is','for','on'))) AS INTEGER) AS score_en,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      w -> w IN ('el','la','de','los','las','es','y','en','un','una'))) AS INTEGER) AS score_es,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      w -> w IN ('der','die','das','und','ist','ein','eine','zu','mit'))) AS INTEGER) AS score_de,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      w -> w IN ('le','la','les','des','et','est','un','une','dans'))) AS INTEGER) AS score_fr,
+        |    CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS INTEGER) AS score_zh
+        |  FROM documents)
+        |SELECT *, CASE
+        |  WHEN score_en >= greatest(score_es, score_de, score_fr, score_zh) THEN 'en'
+        |  WHEN score_es >= greatest(score_de, score_fr, score_zh) THEN 'es'
+        |  WHEN score_de >= greatest(score_fr, score_zh) THEN 'de'
+        |  WHEN score_fr >= score_zh THEN 'fr'
+        |  ELSE 'zh' END AS predicted_lang
+        |FROM s""".stripMargin,
+
+    "x07_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), ' +')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_ish_tokens
+        |FROM documents""".stripMargin,
+
+    "x08_fingerprints" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS content_fp,
+        |  list_aggregate(list_transform(string_split(text, ' '), w -> md5(w)), 'min') AS min_word_fp
+        |FROM documents""".stripMargin,
+
+    "x09_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm FROM e),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, n.vec_id,
+        |    floor(list_dot_product(q.qv, n.v)
+        |          / (q.qnrm * n.nrm) * 1000000) / 1000000 AS cos_sim
+        |  FROM n, q WHERE n.vec_id <> q.q_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+        |           FROM scored)
+        |SELECT q_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "x11_sessionize" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |         CAST(round(value*100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN ts_s - lag(ts_s, 1) OVER w > 1800 THEN 1
+        |                 WHEN lag(ts_s, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |       MIN(ts_s) AS session_start_s, MAX(ts_s) AS session_end_s,
+        |       CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents,
+        |       COUNT(DISTINCT event_type) AS n_event_types,
+        |       MAX(ts_s) - MIN(ts_s) AS duration_s
+        |FROM sess GROUP BY user_id, session_idx""".stripMargin,
+
+    "x12_hourly_windows" ->
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start_s,
+        |       event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+  )
 }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Large-scale training-data deduplication operators over the `documents`
+  * table (doc_id, text, lang, source, n_chars).
+  *
+  * Scale design: every variant is a pure dataflow — shingle/signature
+  * generation is a per-row projection (maps, no shuffle), candidate
+  * generation is a shuffle on the signature/band/bucket key, and
+  * verification joins only candidate pairs (never the n² cross product).
+  * That is the standard 100 TB-safe shape: cost ∝ data + candidate pairs.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of `text`, distinct, as an array column.
+    * Spark-side uses codegen'd higher-order functions (no UDF). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+          i => when(i + n <= size(words),
+            concat_ws(" ", slice(words, i + lit(1), lit(n)))).otherwise(lit(null))),
+        x => x.isNotNull))
+  }
+
+  /** Exact dedup: group documents by content hash, keep the lowest doc_id as
+    * the canonical representative (hash-groupBy; one shuffle on the digest). */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("dup_count"))
+
+  /** N-gram Jaccard near-dup pairs, exact: explode distinct 5-gram shingles,
+    * self-join on shingle (set-similarity join — only docs sharing ≥1
+    * shingle ever meet), count intersections, filter on true Jaccard.
+    *
+    * At 100 TB the refinement is prefix filtering / frequency capping on the
+    * shingle key; semantics here are the exact baseline the approximate
+    * variants (minhash/simhash) are graded against. */
+  def ngramJaccard(spark: SparkSession, dir: String, n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), wordShingles(col("text"), n).as("shingles"))
+      .withColumn("n_sh", size(col("shingles")))
+    val exploded = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val a = exploded.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("sh"))
+    val b = exploded.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
+  /** MinHash signature of a shingle array: k independent permutations
+    * approximated as `(a_i * h(shingle) + b_i) mod p`, minimum per row.
+    * Pure codegen'd expressions (xxhash64 + higher-order aggregate). */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val p = lit(1000000007L) // prime ~2^30: keeps a*h+b well inside Long (ANSI overflow checks)
+    val hashes = transform(shingles, s => pmod(xxhash64(s), p))
+    array((0 until k).map { i =>
+      val a = lit(2L * i + 1)
+      val b = lit(7919L * (i + 1))
+      array_min(transform(hashes, h => pmod(h * a + b, p)))
+    }: _*)
+  }
+
+  /** MinHash + LSH banding: k=32 signature, 8 bands × 4 rows; docs sharing
+    * any band bucket become candidates; candidates verified with exact
+    * Jaccard (so precision is exact; LSH only bounds recall).
+    * No oracle SQL — signature depends on xxhash64 (driver records the
+    * rows-only check). The per-band shuffle key is (band_idx, band_hash):
+    * uniformly distributed, skew-free at scale. */
+  def minhashLsh(spark: SparkSession, dir: String, n: Int = 5, k: Int = 32,
+                 bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), wordShingles(col("text"), n).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", minhashSignature(col("shingles"), k))
+    val banded = docs.select(
+      col("doc_id"), col("shingles"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("shingles"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash from word hashes: sum ±1 per bit position weighted by
+    * token occurrence, sign → bit. Computed with codegen'd higher-order
+    * functions over the token array — no UDF, no shuffle until the band join. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(split(text, " "), w => xxhash64(w))
+    (0 until 64).map { bit =>
+      val ones = size(filter(hashes, h => shiftright(h, bit).bitwiseAND(1) === 1))
+      val total = size(hashes)
+      // bit set iff more than half the token hashes have it set
+      when(ones * 2 > total, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: 4 × 16-bit bands (any-band-equal candidates →
+    * hamming-distance verify ≤ maxHamming). Same LSH shape as minhashLsh:
+    * shuffle on (band, 16-bit chunk), verify only candidates. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), simhash(col("text")).as("sh"))
+    val banded = docs.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"), shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.chunk"))
+    val a = banded.select(col("band"), col("chunk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("chunk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational parity operators — every query shape the reference executes
+  * (SURVEY.md §2), re-expressed on the driver testdata per the role mapping
+  * in FIXTURES.md §B (lineitem ↔ transactions fact, supplier ↔ stores dim,
+  * orders ↔ date-keyed enrichment).
+  *
+  * Determinism for the DuckDB oracle (SURVEY.md §7.4):
+  *  - money doubles → integer cents via `cents()` so sums are exact and
+  *    order-independent across engines;
+  *  - `dropDuplicates` (nondeterministic row pick, reference
+  *    silver_processing.py.py:16,24,35,44) → `row_number()` over an explicit
+  *    total order (`dedupFirst`);
+  *  - `first()` dim carry-through (gold_feature.py.py:18-21) → `min`/`max`;
+  *  - averages → explicit `sum/count` division (single IEEE op, identical in
+  *    Spark and DuckDB) instead of engine-internal avg accumulation.
+  *
+  * Scale notes (100 TB): every query here is a declarative single plan —
+  * filters/projections reach the parquet scan, aggregates run
+  * partial→final, small dims are broadcast, and the only shuffles are on
+  * the group/join keys themselves.
+  */
+object Relational {
+
+  /** Exact integer cents from a 2-decimal money double. Both engines compute
+    * the identical IEEE double `x*100` and round half-away-from-zero, so the
+    * result is bit-exact cross-engine and sum order no longer matters. */
+  def cents(c: Column): Column = round(c * lit(100)).cast("long")
+
+  /** Deterministic replacement for `dropDuplicates(keys)` — keeps the first
+    * row per key under an explicit total order (reference D1/D2,
+    * silver_processing.py.py:16). One shuffle on the partition keys. */
+  def dedupFirst(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** S1/P1/P5 — projection + filter, pushed down to the parquet scan
+    * (bronze_ingestion.py.py:14-21 scan shape; silver_processing.py.py:33
+    * predicate shape). `PushedFilters` must show both predicates. */
+  def prunedScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity").cast("long").as("quantity"),
+        cents(col("l_extendedprice")).as("price_cents"))
+
+  /** A1-A5 — grouped multi-aggregate (gold_feature.py.py:15-24 shape on the
+    * TPC-H fact): partial+final hash aggregate, one shuffle on the 2 keys. */
+  def groupedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("avg_qty", col("sum_qty") / col("n_rows"))
+
+  /** A6/A7 — ungrouped global aggregates (test_data_quality.py.py:76,89,92). */
+  def ungroupedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        min(col("l_quantity").cast("long")).as("min_qty"),
+        max(col("l_quantity").cast("long")).as("max_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** §2.7 extension — deterministic top-k: total order with a unique
+    * tie-break key. At scale this is a TakeOrderedAndProject (no full sort). */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"), col("o_orderpriority"))
+      .orderBy(col("total_cents").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** J1 — fact ⟕ small dim, explicitly broadcast (silver_processing.py.py:51):
+    * no shuffle of the fact side at any scale. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"), "left")
+      .groupBy(col("s_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice"))).as("revenue_cents"))
+
+  /** J-inner variant — orders ⨝ customer with a grouped rollup. At 100 TB
+    * both sides are large → shuffle hash join on the key; AQE handles skew. */
+  def joinInnerAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("sum_total_cents"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+
+  /** §2.7 extension — left-semi join (EXISTS). */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000.0)
+    Tables.customer(spark, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** §2.7 extension — left-anti join (NOT EXISTS). */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+
+  /** D1 — composite-key dedup, made deterministic (SURVEY §7.4 risk 3).
+    * The order key must be a TOTAL order: the synthetic lineitem has
+    * duplicate (orderkey, linenumber) pairs, so tie-break through the value
+    * columns (any residual ties are then bit-identical rows). */
+  def dedupKeys(spark: SparkSession, dir: String): DataFrame =
+    dedupFirst(Tables.lineitem(spark, dir),
+      keys = Seq("l_orderkey"),
+      order = Seq("l_linenumber", "l_quantity", "l_extendedprice", "l_partkey", "l_suppkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity").cast("long").as("quantity"))
+
+  /** D2 flavor — full-row distinct on a projection (set semantics, exactly
+    * deterministic without ordering). */
+  def distinctRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_shipdate").cast("date").as("ship_date"))
+      .distinct()
+
+  /** F1-F4 — the reference's date-function surface (to_date/year/month/
+    * weekofyear; silver_processing.py.py:17, gold_feature.py.py:13-14) plus
+    * quarter/dayofyear. One row per distinct order date. */
+  def dateFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderdate").cast("date").as("d")).distinct()
+      .select(col("d"),
+        year(col("d")).as("y"),
+        month(col("d")).as("m"),
+        dayofmonth(col("d")).as("dom"),
+        weekofyear(col("d")).as("iso_week"),
+        quarter(col("d")).as("q"),
+        dayofyear(col("d")).as("doy"))
+
+  /** P9/P10/P11 — when/otherwise, coalesce, casts (silver_processing.py.py:32,54,
+    * gold_feature.py.py:45-50). */
+  def caseCast(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", lit(1)).otherwise(lit(0)).as("is_final"),
+        coalesce(nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")), lit("UNSPECIFIED")).as("priority"),
+        col("o_totalprice").cast("long").as("total_trunc"),
+        cents(col("o_totalprice")).as("total_cents"),
+        col("o_orderdate").cast("date").cast("string").as("date_str"))
+
+  /** §2.7 extension — UNION + distinct of two branch projections. */
+  def unionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("okey"))
+    val b = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("okey"))
+    a.union(b).distinct()
+  }
+
+  /** Reference test-suite quality aggregates (test_data_quality.py.py:23-28,
+    * 74-94) as one query: null counts per column after a left join (where
+    * nulls can actually appear), value-range and conservation checks. */
+  def qualityChecks(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+    joined.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_orderkeys"),
+      sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("null_names"),
+      min(cents(col("o_totalprice"))).as("min_total_cents"),
+      countDistinct(col("c_custkey")).as("n_customers"))
+  }
+
+  /** The Silver pipeline composition (silver_processing.py.py:14-74)
+    * transplanted onto testdata: dedup fact → ⟕ dim → ⟕ date-keyed flag →
+    * coalesce rescue → derive year/month → drop any-null rows.
+    * Preserves the reference's semantic composition exactly (left joins +
+    * na.drop = inner-ish on dim availability, coalesce rescues the flag join
+    * — SURVEY §2.4 note). */
+  def silverLike(spark: SparkSession, dir: String): DataFrame = {
+    val fact = dedupFirst(
+      Tables.lineitem(spark, dir).withColumn("ship_date", col("l_shipdate").cast("date")),
+      keys = Seq("ship_date", "l_suppkey"),
+      order = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+      .select(col("ship_date"), col("l_suppkey"), col("l_orderkey"),
+        col("l_quantity").cast("long").as("quantity"), cents(col("l_extendedprice")).as("price_cents"))
+    val dim = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    // date-keyed enrichment (role of holidays/oil): urgency flag per order date
+    val urgent = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").cast("date").as("ship_date"))
+      .agg(max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("is_urgent"))
+    fact
+      .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"), "left")
+      .join(urgent, Seq("ship_date"), "left")
+      .withColumn("is_urgent", coalesce(col("is_urgent"), lit(0)))
+      .withColumn("year", year(col("ship_date")))
+      .withColumn("month", month(col("ship_date")))
+      .drop("s_suppkey")
+      .na.drop()
+  }
+
+  /** The flagship Gold weekly-features query (SURVEY §7.2): weekly grain agg
+    * (gold_feature.py.py:15-24) + lag(1)/lag(2) (:30-31) + trailing-4-week
+    * ROWS-frame mean (:35-38) + na.drop(subset) (:40). Pairs calendar `year`
+    * with ISO `weekofyear` exactly as the reference does (SURVEY §7.4 risk 4).
+    * GroupBy and window share the l_suppkey partitioning → Catalyst reuses
+    * the exchange (one shuffle total after the scan). */
+  def weeklyFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.lineitem(spark, dir)
+      .withColumn("year", year(col("l_shipdate")))
+      .withColumn("week", weekofyear(col("l_shipdate")))
+      .groupBy(col("l_suppkey"), col("year"), col("week"))
+      .agg(
+        sum(cents(col("l_extendedprice"))).as("weekly_revenue_cents"),
+        max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("had_return"),
+        sum(cents(col("l_discount"))).as("disc_cents"),
+        count(lit(1)).as("n_items"))
+      .withColumn("avg_discount_cents", col("disc_cents") / col("n_items"))
+      .drop("disc_cents")
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("year"), col("week"))
+    val frame = w.rowsBetween(-4, -1)
+    weekly
+      .withColumn("prev_week_revenue", lag(col("weekly_revenue_cents"), 1).over(w))
+      .withColumn("prev2_week_revenue", lag(col("weekly_revenue_cents"), 2).over(w))
+      .withColumn("mean_last4_weeks",
+        sum(col("weekly_revenue_cents")).over(frame) / count(lit(1)).over(frame))
+      .na.drop(Seq("prev_week_revenue", "prev2_week_revenue", "mean_last4_weeks"))
+  }
+}

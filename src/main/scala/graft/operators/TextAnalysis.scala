@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * quality scoring, language ID, token counting, fingerprinting.
+  *
+  * All per-row projections built from codegen'd built-ins (split/filter/
+  * transform/regexp) — embarrassingly parallel, no shuffle, so they scale
+  * linearly to 100 TB and stay inside WholeStageCodegen.
+  */
+object TextAnalysis {
+
+  private def words(text: Column): Column = split(text, " ")
+
+  private def countIn(text: Column, vocab: Seq[String]): Column =
+    size(filter(words(text), w => w.isin(vocab.map(lit): _*)))
+
+  val EnStopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "in", "and", "is", "for", "on")
+  val EsStopwords: Seq[String] = Seq("el", "la", "de", "los", "las", "es", "y", "en", "un", "una")
+  val DeStopwords: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit")
+  val FrStopwords: Seq[String] = Seq("le", "la", "les", "des", "et", "est", "un", "une", "dans")
+
+  /** Quality scoring: length / word-count / mean word length / stopword
+    * ratio / punctuation ratio, plus a composite score — the standard cheap
+    * pre-filters before expensive dedup or model scoring. All divisions are
+    * int/int → one IEEE op, exact cross-engine. */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(ws).as("n_words"),
+      (length(regexp_replace(col("text"), " ", "")) / size(ws)).as("mean_word_len"),
+      (countIn(col("text"), EnStopwords) / size(ws)).as("stopword_ratio"),
+      (size(filter(ws, w => length(w) === 1)) / size(ws)).as("short_word_ratio"))
+      // int/int divisions and products of exact doubles are bit-identical
+      // cross-engine (single IEEE ops) — no rounding needed for the oracle
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_words") / lit(100.0)) * (lit(1.0) - col("short_word_ratio")))
+  }
+
+  /** N-gram-heuristic language ID: stopword-hit scores per candidate
+    * language + a CJK-character ratio, argmax with a fixed precedence order
+    * (en > es > de > fr > zh) for determinism. */
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val sEn = countIn(t, EnStopwords)
+    val sEs = countIn(t, EsStopwords)
+    val sDe = countIn(t, DeStopwords)
+    val sFr = countIn(t, FrStopwords)
+    val sZh = size(regexp_extract_all(t, lit("[\\u4e00-\\u9fff]"), lit(0)))
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      sEn.as("score_en"), sEs.as("score_es"), sDe.as("score_de"),
+      sFr.as("score_fr"), sZh.as("score_zh"))
+      .withColumn("predicted_lang",
+        when(col("score_en") >= greatest(col("score_es"), col("score_de"), col("score_fr"), col("score_zh")), "en")
+          .when(col("score_es") >= greatest(col("score_de"), col("score_fr"), col("score_zh")), "es")
+          .when(col("score_de") >= greatest(col("score_fr"), col("score_zh")), "de")
+          .when(col("score_fr") >= col("score_zh"), "fr")
+          .otherwise("zh"))
+  }
+
+  /** Token counting, two tokenizers: plain whitespace and a BPE-ish regex
+    * (letter runs / digit runs / single non-space symbols) — the token
+    * budget estimator for an LLM data pipeline. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(split(trim(col("text")), " +")).as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"))
+
+  /** Document fingerprinting: md5 of the normalized text (exact-dup key) and
+    * the minimum word-hash (a 1-permutation minhash — cheap near-dup key). */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      md5(lower(trim(col("text")))).as("content_fp"),
+      array_min(transform(words(col("text")), w => md5(w))).as("min_word_fp"))
+}

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each query dumped by
+`graft.Verify` into OUTDIR, run its DuckDB oracle SQL (oracle_sql.json)
+against the raw testdata parquet and hash-compare both result sets with
+columns sorted by name and rows sorted by value. Dev tool only — the shipped
+library is pure Scala/Spark."""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(repr(r[i]) for i in order))
+    out.sort()
+    return out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            spark_cols = spark_rel.columns
+            spark_rows = spark_rel.fetchall()
+            duck_rel = con.sql(sql)
+            duck_cols = duck_rel.columns
+            duck_rows = duck_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_bad += 1
+            continue
+        if sorted(spark_cols) != sorted(duck_cols):
+            print(f"FAIL {name}: columns differ spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+            n_bad += 1
+            continue
+        a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
+        if a == b:
+            print(f"OK   {name}: {len(a)} rows")
+            n_ok += 1
+        else:
+            n_bad += 1
+            diff_a = [r for r in a if r not in set(b)][:3]
+            diff_b = [r for r in b if r not in set(a)][:3]
+            print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}")
+            print(f"     spark-only: {diff_a}")
+            print(f"     duck-only:  {diff_b}")
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
