@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** End-to-end medallion run — the executable twin of the reference's four
+  * notebooks (setup → bronze_ingestion → silver_processing → gold_feature).
+  *
+  * Usage: `runMain graft.pipeline.RunPipeline [csvDir]`
+  * With no args it synthesizes a small Favorita-shaped CSV fixture (with a
+  * corrupt row to exercise quarantine) into a temp dir, then:
+  * catalog DDL → CSV ingest (+quarantine, error log) → silver clean/join →
+  * gold weekly features → MLlib GBT forecast → analytics table, printing
+  * per-layer row counts.
+  */
+object RunPipeline {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val csvDir = args.headOption.getOrElse(writeFixture().toString)
+    Setup.createCatalog(spark)
+
+    // bronze_ingestion.py.py:95-139 — per-source ingest with declared schemas
+    val quarantineBase = Files.createTempDirectory("graft-quarantine").toString
+    val nTx = Bronze.loadToBronze(spark, s"$csvDir/transactions.csv", Schemas.transactions,
+      "transactions", partitionByDate = true, Some(s"$quarantineBase/transactions"))
+    val nStores = Bronze.loadToBronze(spark, s"$csvDir/stores.csv", Schemas.stores, "stores")
+    val nHol = Bronze.loadToBronze(spark, s"$csvDir/holidays_events.csv", Schemas.holidaysEvents,
+      "holidays_events", partitionByDate = true, Some(s"$quarantineBase/holidays"))
+    val nOil = Bronze.loadToBronze(spark, s"$csvDir/oil.csv", Schemas.oil,
+      "oil", partitionByDate = true, Some(s"$quarantineBase/oil"))
+    println(s"[bronze] transactions=$nTx stores=$nStores holidays=$nHol oil=$nOil")
+
+    val silver = Silver.salesCleaned(
+      spark.table("raw.transactions").drop("year", "month"),
+      spark.table("raw.stores"),
+      spark.table("raw.holidays_events").drop("year", "month"),
+      spark.table("raw.oil").drop("year", "month"))
+      // Silver expects bronze string dates (it re-parses); bronze already
+      // parsed them when partitioning — make both shapes work:
+      .cache()
+    silver.write.format("parquet").mode(SaveMode.Overwrite)
+      .partitionBy("year", "month").saveAsTable("processed.sales_cleaned")
+    println(s"[silver] sales_cleaned=${silver.count()}")
+
+    val features = Gold.weeklyFeatures(spark.table("processed.sales_cleaned"))
+    val predicted = Gold.forecast(features, maxIter = sys.env.getOrElse("SPARK_GRAFT_GBT_ITERS", "20").toInt)
+    predicted.write.format("parquet").mode(SaveMode.Overwrite)
+      .partitionBy("year").saveAsTable("analytics.sales_forecast_features")
+    val nGold = spark.table("analytics.sales_forecast_features").count()
+    println(s"[gold] sales_forecast_features=$nGold")
+    println(s"[errors] ${spark.table(Setup.ErrorTable).count()} rows in ${Setup.ErrorTable}")
+    spark.stop()
+  }
+
+  /** Favorita-shaped fixture: 6 stores × 20 weeks, one corrupt oil row. */
+  def writeFixture(): Path = {
+    val dir = Files.createTempDirectory("graft-csv")
+    val dates = (0 until 140).map(java.time.LocalDate.of(2017, 1, 2).plusDays(_))
+    val tx = new StringBuilder("date,store_nbr,transactions\n")
+    for (d <- dates; s <- 1 to 6) tx ++= s"$d,$s,${100 + s * 10 + d.getDayOfYear % 7}\n"
+    Files.writeString(dir.resolve("transactions.csv"), tx.toString)
+    val stores = new StringBuilder("store_nbr,city,state,type,cluster\n")
+    for (s <- 1 to 6) stores ++= s"$s,city$s,state$s,${('A' + s % 4).toChar},$s\n"
+    Files.writeString(dir.resolve("stores.csv"), stores.toString)
+    val hol = new StringBuilder("date,type,locale,locale_name,description,transferred\n")
+    for (d <- dates if d.getDayOfMonth == 1)
+      hol ++= s"$d,Holiday,National,Ecuador,FirstOfMonth,FALSE\n"
+    Files.writeString(dir.resolve("holidays_events.csv"), hol.toString)
+    val oil = new StringBuilder("date,dcoilwtico\n")
+    for (d <- dates) oil ++= s"$d,${50.0 + d.getDayOfYear % 10}\n"
+    oil ++= "2017-06-01,not_a_number\n" // exercises the quarantine path
+    Files.writeString(dir.resolve("oil.csv"), oil.toString)
+    dir
+  }
+}

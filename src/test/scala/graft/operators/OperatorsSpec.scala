@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("wordShingles produces n_words - n + 1 distinct shingles, empty below n words") {
+    val df = Seq("a b c d e f", "a b", "a b c d e a b c d e").toDF("text")
+      .select(Dedup.wordShingles($"text", 5).as("sh"))
+    val sizes = df.select(size($"sh")).as[Int].collect().toSeq
+    // 6 words → 2; 2 words → 0; 10 words w/ repeated half → 6 raw, 5 distinct
+    assert(sizes == Seq(2, 0, 5))
+  }
+
+  test("minhash signature is deterministic and equal for equal shingle sets") {
+    val df = Seq("x y z w v u t", "x y z w v u t").toDF("text")
+      .select(Dedup.minhashSignature(Dedup.wordShingles($"text", 3), 16).as("sig"))
+    val sigs = df.select($"sig").as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0).length == 16)
+  }
+
+  test("simhash: identical texts collide, disjoint-vocab texts differ") {
+    val df = Seq("spark sql query engine fast", "spark sql query engine fast",
+      "zebra yak walrus xerus vole").toDF("text")
+      .select(Dedup.simhash($"text").as("h"))
+    val hs = df.as[Long].collect()
+    assert(hs(0) == hs(1))
+    assert(hs(0) != hs(2))
+  }
+
+  test("dedupFirst keeps exactly the first row under the declared total order") {
+    val df = Seq((1, 2, "b"), (1, 1, "a"), (2, 5, "c")).toDF("k", "ord", "v")
+    val out = Relational.dedupFirst(df, Seq("k"), Seq("ord", "v")).orderBy($"k")
+      .as[(Int, Int, String)].collect().toSeq
+    assert(out == Seq((1, 1, "a"), (2, 5, "c")))
+  }
+
+  test("ngramJaccard only emits pairs meeting the threshold, with exact jaccard") {
+    val pairs = Dedup.ngramJaccard(spark, sf, n = 5, threshold = 0.3)
+    val bad = pairs.filter($"jaccard" < 0.3 || $"jaccard" > 1.0).count()
+    assert(bad == 0)
+  }
+
+  test("minhashLsh candidates are verified: every emitted pair meets true jaccard threshold") {
+    val pairs = Dedup.minhashLsh(spark, sf, threshold = 0.3)
+    assert(pairs.filter($"jaccard" < 0.3).count() == 0)
+    assert(pairs.count() > 0) // near-dups exist in the synthetic docs
+  }
+
+  test("LSH recall vs exact jaccard baseline is high on the synthetic near-dups") {
+    val exact = Dedup.ngramJaccard(spark, sf, n = 5, threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(spark, sf, threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // precision 1.0 by construction (exact verify)
+    if (exact.nonEmpty) {
+      val recall = lsh.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall $recall over ${exact.size} true pairs")
+    }
+  }
+
+  test("cosine topk: self-similarity excluded, k rows per query, sims within [-1,1]") {
+    val topk = Similarity.bruteForceTopK(spark, sf, nQueries = 5, k = 3)
+    assert(topk.filter($"vec_id" === $"q_id").count() == 0)
+    val counts = topk.groupBy($"q_id").count().select($"count").as[Long].collect()
+    assert(counts.forall(_ == 3))
+    assert(topk.filter($"cos_sim" < -1.0 || $"cos_sim" > 1.0).count() == 0)
+  }
+
+  test("LSH ANN returns a subset ranking consistent with brute force on shared candidates") {
+    val brute = Similarity.bruteForceTopK(spark, sf, nQueries = 5, k = 500)
+      .select($"q_id", $"vec_id", $"cos_sim").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Similarity.lshTopK(spark, sf, nQueries = 5, k = 3)
+      .select($"q_id", $"vec_id", $"cos_sim").as[(Long, Long, Double)].collect()
+    assert(lsh.forall { case (q, v, s) => brute.get((q, v)).forall(_ == s) })
+  }
+
+  test("sessionize: sessions partition the events; durations non-negative; gaps respected") {
+    val sessions = Sessionize.sessions(spark, sf)
+    val totalEvents = graft.Tables.events(spark, sf).count()
+    val sessionEvents = sessions.agg(sum($"n_events")).head().getLong(0)
+    assert(sessionEvents == totalEvents)
+    assert(sessions.filter($"duration_s" < 0).count() == 0)
+  }
+
+  test("text stats ratios are in [0,1] and counts positive") {
+    val stats = TextAnalysis.stats(spark, sf)
+    assert(stats.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() == 0)
+    assert(stats.filter($"n_words" <= 0).count() == 0)
+  }
+}

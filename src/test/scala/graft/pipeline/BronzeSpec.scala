@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class BronzeSpec extends SparkSpec {
+  import spark.implicits._
+
+  def writeCsv(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft-csv")
+    val f = dir.resolve(name)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("clean ingest: explicit schema, source_file metadata column, date partitioning") {
+    Setup.createCatalog(spark)
+    val csv = writeCsv("transactions.csv",
+      """date,store_nbr,transactions
+        |2017-01-02,1,100
+        |2017-01-03,2,200
+        |""".stripMargin)
+    val n = Bronze.loadToBronze(spark, csv, Schemas.transactions, "transactions_t1",
+      partitionByDate = true)
+    assert(n == 2)
+    val t = spark.table("raw.transactions_t1")
+    assert(t.columns.toSet == Set("date", "store_nbr", "transactions", "source_file", "year", "month"))
+    assert(t.filter($"source_file".contains("transactions.csv")).count() == 2)
+    assert(t.select($"year").distinct().as[Int].collect().toSeq == Seq(2017))
+  }
+
+  test("corrupt rows are quarantined, clean-row output unchanged") {
+    Setup.createCatalog(spark)
+    val csv = writeCsv("oil.csv",
+      """date,dcoilwtico
+        |2017-01-02,52.36
+        |2017-01-03,not_a_number
+        |2017-01-04,53.06
+        |""".stripMargin)
+    val qdir = Files.createTempDirectory("graft-quarantine").toString + "/oil"
+    val n = Bronze.loadToBronze(spark, csv, Schemas.oil, "oil_t1",
+      quarantinePath = Some(qdir))
+    assert(n == 2)
+    val quarantined = spark.read.parquet(qdir)
+    assert(quarantined.count() == 1)
+    assert(quarantined.columns.contains(Bronze.CorruptCol))
+  }
+
+  test("ingest failure appends to logs.etl_errors and rethrows") {
+    Setup.createCatalog(spark)
+    val before = spark.table(Setup.ErrorTable).count()
+    intercept[Throwable] {
+      Bronze.loadToBronze(spark, "/nonexistent/path/x.csv", Schemas.stores, "stores_fail")
+    }
+    val errors = spark.table(Setup.ErrorTable)
+    assert(errors.count() == before + 1)
+    val row = errors.orderBy($"error_time".desc).head()
+    assert(row.getAs[String]("stage") == "bronze:stores_fail")
+    assert(row.getAs[String]("source_file") == "/nonexistent/path/x.csv")
+    assert(row.getAs[java.sql.Timestamp]("error_time") != null)
+  }
+}
