@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Relational, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, JsonOps, Multimodal, Relational, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,6 +50,9 @@ object SparkEntry {
     "x10_ann_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "x11_sessionize"      -> ((s, d) => Sessionize.sessions(s, d)),
     "x12_hourly_windows"  -> ((s, d) => Sessionize.hourlyWindows(s, d)),
+    "x13_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "x14_json_extract"    -> ((s, d) => JsonOps.extractAndAggregate(s, d)),
+    "x15_multimodal"      -> ((s, d) => Multimodal.featuresByModality(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same table names, same column names).
@@ -298,5 +301,31 @@ object SparkEntry {
         |       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
         |       COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "x13_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS c
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, floor(c * 1000000) / 1000000 AS cos_sim
+        |FROM p WHERE c >= 0.4""".stripMargin,
+
+    "x14_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "x15_multimodal" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+        |  COUNT(*) AS n_assets,
+        |  CAST(SUM(octet_length(unhex(md5(text)))) AS BIGINT) AS total_bytes,
+        |  CAST(MIN(n_chars % 64 + 1) AS INTEGER) AS min_width,
+        |  CAST(MAX(n_chars % 48 + 1) AS INTEGER) AS max_height
+        |FROM documents GROUP BY 1""".stripMargin,
   )
 }

@@ -106,6 +106,24 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) vector pairs with
+    * cosine ≥ threshold. Exact O(n²) baseline — at 100 TB the same semantics
+    * run through `Similarity.lshTopK`-style hyperplane bucketing (candidates
+    * only); this operator is the correctness anchor the approximate path is
+    * judged against. Self-join is range-partitioned by vec_id; vector math
+    * is codegen'd higher-order functions (no UDF). */
+  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), Similarity.trunc6(col("cos_sim")).as("cos_sim"))
+  }
+
   /** 64-bit SimHash from word hashes: sum ±1 per bit position weighted by
     * token occurrence, sign → bit. Computed with codegen'd higher-order
     * functions over the token array — no UDF, no shuffle until the band join. */

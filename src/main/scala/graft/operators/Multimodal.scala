@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: opaque `binary` content + typed metadata,
+  * with decode / feature-extraction running as a partition-local batch
+  * operator (`mapPartitions` over a typed Dataset — the JVM analog of
+  * `mapInPandas`: iterator-in/iterator-out per partition, so a real decoder
+  * could batch into native calls without changing the dataflow shape).
+  *
+  * The actual image/audio decode is STUBBED (`FakeDecoder`) — no codec
+  * libraries ship in this environment — but everything Spark-side is real:
+  * the binary column, the metadata struct, the encoder schemas, the
+  * partition-batch iteration, and the downstream aggregation.
+  *
+  * Scale: decode is embarrassingly parallel per partition; at 100 TB the
+  * only knob is input split size (`spark.sql.files.maxPartitionBytes`) so
+  * each task's batch fits memory next to the decoder's buffers.
+  */
+object Multimodal {
+
+  /** One asset row: opaque bytes + declared metadata. */
+  case class Asset(asset_id: Long, modality: String, content: Array[Byte],
+                   declared_w: Int, declared_h: Int)
+
+  /** Decoded per-asset features (what a real image pipeline would emit). */
+  case class AssetFeatures(asset_id: Long, modality: String, n_bytes: Int,
+                           width: Int, height: Int, mean_intensity: Double)
+
+  /** Deterministic stand-in for an image/audio decoder: interprets the
+    * bytes as a tiny "pixel buffer". A real implementation would call the
+    * codec here — per-partition, over the same Iterator shape. */
+  object FakeDecoder {
+    def decode(a: Asset): AssetFeatures = {
+      val bytes = a.content
+      val mean =
+        if (bytes.isEmpty) 0.0
+        else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+      AssetFeatures(a.asset_id, a.modality, bytes.length, a.declared_w, a.declared_h, mean)
+    }
+  }
+
+  /** Derive a deterministic binary-asset table from `documents` (the
+    * testdata ships no binary column): content = md5 digest bytes of the
+    * text, metadata from n_chars. Binary column type + struct metadata are
+    * the real thing; only the bytes are synthetic. */
+  def assets(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("asset_id"),
+        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("modality"),
+        to_binary(md5(col("text")), lit("hex")).as("content"),
+        (col("n_chars") % 64 + 1).cast("int").as("declared_w"),
+        (col("n_chars") % 48 + 1).cast("int").as("declared_h"))
+      .as[Asset]
+  }
+
+  /** Partition-batch decode: Iterator[Asset] → Iterator[AssetFeatures]. */
+  def decodeFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(FakeDecoder.decode))
+  }
+
+  /** Full operator: decode then roll up per modality — the query-surface
+    * entry (schema: modality, n_assets, total_bytes, mean_of_means). */
+  def featuresByModality(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(assets(spark, dir)).toDF()
+      .groupBy(col("modality"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("width")).as("min_width"),
+        max(col("height")).as("max_height"))
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the `events` table — the streaming twins of
+  * `graft.operators.Sessionize` (SURVEY.md §2.9: extension-only; the
+  * reference is pure batch).
+  *
+  * The file source replays the events parquet as a stream; at 100 TB this
+  * is the same code against a Kafka/file-drop source. Watermarking bounds
+  * state; the windowed aggregate and the mapGroupsWithState sessionizer are
+  * the two canonical stateful shapes.
+  */
+object EventStream {
+
+  /** Streaming scan of the events parquet (schema from a batch peek —
+    * file streams require a declared schema). `ts` arrives as Long nanos
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`; normalize to a real
+    * timestamp column `ts_t` + epoch-seconds `ts_s`. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // file-stream sources need a directory/glob, not a bare file path
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parquet*")
+    val tsS = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _                                   => unix_timestamp(col("ts"))
+    }
+    raw.withColumn("ts_s", tsS)
+      .withColumn("ts_t", timestamp_seconds(col("ts_s")))
+  }
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark — the
+    * streaming equivalent of `Sessionize.hourlyWindows`. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_t", "2 hours")
+      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("event_type"), col("n_events"))
+
+  // —— stateful sessionization via mapGroupsWithState ——
+
+  case class Event(user_id: Long, ts_s: Long, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start_s: Long, n_events: Long, duration_s: Long)
+
+  /** Gap-based sessionizer with explicit `GroupState`: emits one row per
+    * (user, closed-or-current session batch). Processing-time timeout keeps
+    * state bounded; with Trigger.AvailableNow each user's full history in
+    * the batch is sessionized in event order. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts_s"), col("value")).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_s))
+          val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            if (st == null) st = SessionState(e.ts_s, e.ts_s, 1L)
+            else if (e.ts_s - st.last > gapSeconds) {
+              out += SessionOut(user, st.start, st.n, st.last - st.start)
+              st = SessionState(e.ts_s, e.ts_s, 1L)
+            } else st = SessionState(st.start, e.ts_s, st.n + 1)
+          }
+          if (st != null) {
+            out += SessionOut(user, st.start, st.n, st.last - st.start) // flush current
+            state.remove()
+          }
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.Sessionize
+
+/** Streaming results must agree with their batch twins on a replayed
+  * bounded source (Trigger.AvailableNow → memory sink). */
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  def runStream(df: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  test("streaming hourly windowed counts match the batch hourly aggregate") {
+    // complete-mode agg into memory: watermark append would hold the tail
+    val events = EventStream.readEvents(spark, sf)
+    val q = EventStream.hourlyCounts(events)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hourly")
+      .select($"window_start_s", $"event_type", $"n_events")
+      .as[(Long, String, Long)].collect().toSet
+    val batch = Sessionize.hourlyWindows(spark, sf)
+      .select($"window_start_s", $"event_type", $"n_events")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("flatMapGroupsWithState sessionization matches the batch window sessionizer") {
+    val sessions = runStream(
+      EventStream.sessionize(EventStream.readEvents(spark, sf)).toDF(), "sessions")
+    val streamedCount = sessions.count()
+    val batchCount = Sessionize.sessions(spark, sf).count()
+    assert(streamedCount == batchCount)
+    // per-user event totals conserved
+    val streamedEvents = sessions.agg(sum($"n_events")).head().getLong(0)
+    assert(streamedEvents == graft.Tables.events(spark, sf).count())
+  }
+}
