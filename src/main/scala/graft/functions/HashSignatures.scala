@@ -1,0 +1,294 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native codegen'd signature kernels for the LSH dedup operators.
+  *
+  * Both take an already-hashed `array<long>` (produced Spark-side with
+  * `transform(..., xxhash64)` so the string hashing itself stays a stock
+  * codegen'd expression) and do the per-element × per-bit/permutation work
+  * in ONE fused loop. The higher-order-function formulations cost a lambda
+  * dispatch per element per permutation (k=32 / 64 passes) and — worse —
+  * `CollapseProject` duplicates the input-hash computation into every
+  * permutation's expression tree. These kernels are the (b)-tier fix from
+  * SURVEY.md §7.3: custom Expression before custom physical operator.
+  */
+
+/** MinHash signature: for permutation j < k, min over elements of
+  * ((h mod P) * (2j+1) + 7919·(j+1)) mod P — identical numerics to the HOF
+  * twin `graft.operators.Dedup.minhashSignature`. */
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  private val P = 1000000007L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig expects array<long>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = ((a.getLong(i) % P) + P) % P
+      var j = 0
+      while (j < k) {
+        val v = (h * (2L * j + 1) + 7919L * (j + 1)) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val sig = ctx.freshName("sig"); val h = ctx.freshName("h"); val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = (($a.getLong($i) % ${P}L) + ${P}L) % ${P}L;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $v = ($h * (2L * $j + 1) + 7919L * ($j + 1)) % ${P}L;
+         |    if ($v < $sig[$j]) $sig[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash from element hashes: bit b of the result is set iff more
+  * than half the elements have bit b set — identical numerics to the HOF
+  * twin `graft.operators.Dedup.simhash` applied to the same hash array. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<long>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val cnt = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = a.getLong(i)
+      var b = 0
+      while (b < 64) { cnt(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (cnt(b) * 2 > n) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val cnt = ctx.freshName("cnt"); val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $cnt = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) $cnt[$b] += (int) (($h >>> $b) & 1L);
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) if ($cnt[$b] * 2 > $n) $out |= (1L << $b);
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct word-n-gram shingles of a text, each hashed to 64 bits — the
+  * fused form of `transform(wordShingles(text, n), xxhash64)`: split, window,
+  * hash and dedup in one pass per row, no intermediate string arrays.
+  * Hash = XXH64(UTF8 bytes, seed 42) — bit-identical to Spark's `xxhash64`
+  * over the same shingle strings, so results interoperate with the HOF path.
+  * Eval-based (CodegenFallback): the per-row work is a fused batch loop, so
+  * the single virtual call per row is noise. */
+case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"word_shingle_hashes expects string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.split(" ", -1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (i + n <= words.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString), 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct word-n-gram shingles as STRINGS — the fused form of the HOF
+  * chain `array_distinct(transform(sequence(...), slice+concat_ws))`, whose
+  * `array_distinct` costs O(shingles²) string comparisons per row. Hash-set
+  * dedup in one pass; output order = first occurrence (order-insensitive
+  * consumers only). Used by the exact n-gram Jaccard operator whose DuckDB
+  * oracle needs real shingle strings. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"word_shingles expects string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.split(" ", -1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (i + n <= words.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next()); k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Signed-random-hyperplane LSH signature: bit p of the result is set iff
+  * the dot product of the vector with hyperplane p (entries ±1, baked in at
+  * plan time) is ≥ 0. Fused single loop over planes×dims — replaces a
+  * planes×dims literal expression tree (512 nodes for 8×64) with one kernel.
+  * Same left-to-right accumulation as the HOF reduce, so buckets are
+  * identical. */
+case class HyperplaneSignature(child: Expression, signs: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hyperplane_sig expects array<double>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var sig = 0
+    var p = 0
+    while (p < signs.length) {
+      val row = signs(p)
+      val n = math.min(v.numElements(), row.length)
+      var proj = 0.0
+      var d = 0
+      while (d < n) { proj += v.getDouble(d) * row(d); d += 1 }
+      if (proj >= 0) sig |= (1 << p)
+      p += 1
+    }
+    java.lang.Integer.valueOf(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", signs, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val sig = ctx.freshName("sig"); val p = ctx.freshName("p"); val d = ctx.freshName("d")
+      val proj = ctx.freshName("proj"); val row = ctx.freshName("row"); val n = ctx.freshName("n")
+      s"""
+         |int $sig = 0;
+         |for (int $p = 0; $p < $signsRef.length; $p++) {
+         |  double[] $row = $signsRef[$p];
+         |  int $n = java.lang.Math.min($v.numElements(), $row.length);
+         |  double $proj = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) $proj += $v.getDouble($d) * $row[$d];
+         |  if ($proj >= 0) $sig |= (1 << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashSignatures {
+  /** `minhash_sig(hashes, k)` — hashes: array<long> (e.g. transform(x, xxhash64)). */
+  def minhash_sig(hashes: Column, k: Int): Column =
+    GraftColumnBridge.column(MinHashSignature(GraftColumnBridge.expression(hashes), k))
+
+  /** `simhash64(hashes)` — hashes: array<long>. */
+  def simhash64(hashes: Column): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(hashes)))
+
+  /** `word_shingle_hashes(text, n)` — distinct hashed word n-grams. */
+  def word_shingle_hashes(text: Column, n: Int): Column =
+    GraftColumnBridge.column(WordShingleHashes(GraftColumnBridge.expression(text), n))
+
+  /** `word_shingles(text, n)` — distinct word n-gram strings. */
+  def word_shingles(text: Column, n: Int): Column =
+    GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(text), n))
+
+  /** `hyperplane_sig(v, signs)` — LSH bucket id from ±1 hyperplanes. */
+  def hyperplane_sig(v: Column, signs: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(HyperplaneSignature(GraftColumnBridge.expression(v), signs))
+}

@@ -45,7 +45,8 @@ object Dedup {
     * variants (minhash/simhash) are graded against. */
   def ngramJaccard(spark: SparkSession, dir: String, n: Int = 5, threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), wordShingles(col("text"), n).as("shingles"))
+      .select(col("doc_id"),
+        graft.functions.HashSignatures.word_shingles(col("text"), n).as("shingles"))
       .withColumn("n_sh", size(col("shingles")))
     val exploded = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
     val a = exploded.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("sh"))
@@ -76,32 +77,45 @@ object Dedup {
     * any band bucket become candidates; candidates verified with exact
     * Jaccard (so precision is exact; LSH only bounds recall).
     * No oracle SQL — signature depends on xxhash64 (driver records the
-    * rows-only check). The per-band shuffle key is (band_idx, band_hash):
-    * uniformly distributed, skew-free at scale. */
+    * rows-only check).
+    *
+    * Scale shape: the signature is ONE fused codegen pass
+    * (`graft.functions.MinHashSignature` — the HOF formulation paid k
+    * lambda passes and CollapseProject duplicated the shingle hashing into
+    * all k trees); band join shuffles only (band, bucket, doc_id) — 24
+    * bytes/row, never the shingle arrays; candidate pairs dedup before the
+    * arrays are fetched back for exact verification. Band buckets are
+    * uniform hashes → skew-free shuffle keys at 100 TB. */
   def minhashLsh(spark: SparkSession, dir: String, n: Int = 5, k: Int = 32,
                  bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    import graft.functions.HashSignatures.{minhash_sig, word_shingle_hashes}
     val rowsPerBand = k / bands
+    // one fused pass: split → n-gram → xxhash64 → distinct (array<long>);
+    // all downstream set math runs on the 64-bit hashes, never the strings
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), wordShingles(col("text"), n).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minhashSignature(col("shingles"), k))
-    val banded = docs.select(
-      col("doc_id"), col("shingles"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("shingles"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
+      .select(col("doc_id"), word_shingle_hashes(col("text"), n).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val banded = docs
+      .select(col("doc_id"), minhash_sig(col("hs"), k).as("sig"))
+      .select(
+        col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val bandA = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val bandB = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val candidates = bandA.join(bandB, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    candidates
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+    val shA = docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val shB = docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    candidates.join(shA, Seq("doc_a")).join(shB, Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard",
-        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -113,13 +127,13 @@ object Dedup {
     * judged against. Self-join is range-partitioned by vec_id; vector math
     * is codegen'd higher-order functions (no UDF). */
   def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", Similarity.norm(col("v")))
-    val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cos_sim", cosine_sim(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), Similarity.trunc6(col("cos_sim")).as("cos_sim"))
   }
@@ -139,10 +153,14 @@ object Dedup {
 
   /** SimHash near-dup pairs: 4 × 16-bit bands (any-band-equal candidates →
     * hamming-distance verify ≤ maxHamming). Same LSH shape as minhashLsh:
-    * shuffle on (band, 16-bit chunk), verify only candidates. */
+    * shuffle on (band, 16-bit chunk), verify only candidates. Signature via
+    * the fused codegen kernel (`graft.functions.SimHash64` — one pass over
+    * the token hashes instead of 64 filter scans). */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+    import graft.functions.HashSignatures.simhash64
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash(col("text")).as("sh"))
+      .select(col("doc_id"),
+        simhash64(transform(split(col("text"), " "), w => xxhash64(w))).as("sh"))
     val banded = docs.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"), shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))

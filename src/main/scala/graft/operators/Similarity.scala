@@ -37,9 +37,13 @@ object Similarity {
   def trunc6(c: Column): Column = floor(c * lit(1000000.0)) / lit(1000000.0)
 
   /** Exact brute-force cosine top-k: the first `nQueries` vectors are the
-    * query set (broadcast), ranked per query on the 6-decimal-rounded cosine
-    * with vec_id tie-break (deterministic cross-engine). */
+    * query set (broadcast), ranked per query on the 6-decimal-truncated
+    * cosine with vec_id tie-break (deterministic cross-engine). Scoring uses
+    * the fused codegen kernel (`graft.functions.CosineSimilarity`) — one
+    * loop per pair, bit-identical to the HOF form (see
+    * CosineSimilaritySpec) but without a lambda call per element. */
   def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val queries = emb.filter(col("vec_id") < nQueries)
@@ -47,7 +51,7 @@ object Similarity {
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        trunc6(cosine(col("qv"), col("v"))).as("cos_sim"))
+        trunc6(cosine_sim(col("qv"), col("v"))).as("cos_sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -62,23 +66,23 @@ object Similarity {
               planes: Int = 8): DataFrame = {
     val dim = 64
     // hyperplane p, component d ∈ {-1, +1}: a driver-side deterministic hash
-    // baked into the plan as literals — reproducible, no RNG state
+    // baked into the plan — reproducible, no RNG state; evaluated by the
+    // fused HyperplaneSignature kernel (one loop instead of a
+    // planes×dims literal expression tree)
     def sign(p: Int, d: Int): Double =
       if ((scala.util.hashing.MurmurHash3.productHash((p, d)) & 1) == 1) 1.0 else -1.0
-    def planeSig(v: Column): Column =
-      (0 until planes).map { p =>
-        val proj = (0 until dim).map(d => element_at(v, d + 1) * lit(sign(p, d))).reduce(_ + _)
-        when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
-      }.reduce(_ + _)
+    val signs: Array[Array[Double]] =
+      Array.tabulate(planes, dim)((p, d) => sign(p, d))
 
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("sig", planeSig(col("v")))
+      .withColumn("sig", graft.functions.HashSignatures.hyperplane_sig(col("v"), signs))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig").as("qsig"))
     val scored = emb.join(broadcast(queries), col("sig") === col("qsig"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), trunc6(cosine(col("qv"), col("v"))).as("cos_sim"))
+      .select(col("q_id"), col("vec_id"),
+        trunc6(graft.functions.VectorFunctions.cosine_sim(col("qv"), col("v"))).as("cos_sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

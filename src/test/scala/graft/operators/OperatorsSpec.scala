@@ -25,6 +25,36 @@ class OperatorsSpec extends SparkSpec {
     assert(sigs(0).length == 16)
   }
 
+  test("native WordShingles/WordShingleHashes kernels equal the HOF formulation as sets") {
+    import graft.functions.HashSignatures.{word_shingle_hashes, word_shingles}
+    val docs = graft.Tables.documents(spark, sf)
+    val bad = docs.select(
+      array_sort(word_shingles($"text", 5)).as("native"),
+      array_sort(Dedup.wordShingles($"text", 5)).as("hof"),
+      array_sort(word_shingle_hashes($"text", 5)).as("nativeH"),
+      array_sort(transform(Dedup.wordShingles($"text", 5), s => xxhash64(s))).as("hofH"))
+      .filter(not($"native" === $"hof") || not($"nativeH" === $"hofH"))
+    assert(bad.count() == 0)
+  }
+
+  test("native MinHashSignature kernel is identical to the HOF formulation") {
+    import graft.functions.HashSignatures.minhash_sig
+    val docs = graft.Tables.documents(spark, sf).select($"doc_id", $"text")
+    val both = docs.select(
+      minhash_sig(transform(Dedup.wordShingles($"text", 5), s => xxhash64(s)), 32).as("native"),
+      Dedup.minhashSignature(Dedup.wordShingles($"text", 5), 32).as("hof"))
+    assert(both.filter(not($"native" === $"hof")).count() == 0)
+  }
+
+  test("native SimHash64 kernel is identical to the HOF formulation") {
+    import graft.functions.HashSignatures.simhash64
+    val docs = graft.Tables.documents(spark, sf)
+    val both = docs.select(
+      simhash64(transform(split($"text", " "), w => xxhash64(w))).as("native"),
+      Dedup.simhash($"text").as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() == 0)
+  }
+
   test("simhash: identical texts collide, disjoint-vocab texts differ") {
     val df = Seq("spark sql query engine fast", "spark sql query engine fast",
       "zebra yak walrus xerus vole").toDF("text")
