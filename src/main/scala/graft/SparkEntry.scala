@@ -53,6 +53,7 @@ object SparkEntry {
     "x13_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "x14_json_extract"    -> ((s, d) => JsonOps.extractAndAggregate(s, d)),
     "x15_multimodal"      -> ((s, d) => Multimodal.featuresByModality(s, d)),
+    "x16_winnowing_fp"    -> ((s, d) => TextAnalysis.winnowingFingerprints(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same table names, same column names).
@@ -327,5 +328,17 @@ object SparkEntry {
         |  CAST(MIN(n_chars % 64 + 1) AS INTEGER) AS min_width,
         |  CAST(MAX(n_chars % 48 + 1) AS INTEGER) AS max_height
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "x16_winnowing_fp" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         [md5(substr(text, i, 8)) for i in range(1, length(text) - 8 + 2)] AS grams
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |         list_distinct([list_aggregate(grams[j:j+3], 'min')
+        |                        for j in range(1, len(grams) - 4 + 2)]) AS fps
+        |  FROM g WHERE len(grams) >= 4)
+        |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
   )
 }

@@ -81,4 +81,25 @@ object TextAnalysis {
       col("doc_id"),
       md5(lower(trim(col("text")))).as("content_fp"),
       array_min(transform(words(col("text")), w => md5(w))).as("min_word_fp"))
+
+  /** Winnowing fingerprints (rolling-hash document fingerprinting, as in
+    * MOSS): hash every k-char gram, take the minimum hash of each sliding
+    * window of w grams, emit the distinct minima. Guarantees any shared
+    * substring ≥ w+k-1 chars yields a shared fingerprint. Per-row
+    * projection + explode — no shuffle until a downstream join on `fp`. */
+  def winnowingFingerprints(spark: SparkSession, dir: String,
+                            k: Int = 8, w: Int = 4): DataFrame = {
+    val t = col("text")
+    val nGrams = length(t) - k + 1
+    val emptyStrings = array().cast("array<string>")
+    val grams = when(nGrams >= 1,
+      transform(sequence(lit(0), nGrams - 1), i => md5(substr(t, i + lit(1), lit(k)))))
+      .otherwise(emptyStrings)
+    val fps = when(size(grams) >= w,
+      array_distinct(transform(sequence(lit(0), size(grams) - w),
+        j => array_min(slice(grams, j + lit(1), lit(w))))))
+      .otherwise(emptyStrings)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(fps).as("fp"))
+  }
 }

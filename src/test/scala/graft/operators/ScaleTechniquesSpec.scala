@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.SparkSpec
+
+/** The scale techniques the 100 TB posture relies on, proven in miniature:
+  * salted skew joins (identical results), bucketed co-located joins (no
+  * shuffle exchange in the plan), and SparkSessionExtensions function
+  * injection. */
+class ScaleTechniquesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted equi-join returns exactly the plain join's result") {
+    val fact = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, s"row$i"))
+      .toDF("k", "payload") // key 1 is hot
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k"), "inner")
+      .select($"k", $"payload", $"name").as[(Long, String, String)].collect().sorted.toSeq
+    val salted = SkewJoin.saltedEquiJoin(fact, dim, "k", salts = 8)
+      .select($"k", $"payload", $"name").as[(Long, String, String)].collect().sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    graft.pipeline.Setup.createCatalog(spark)
+    val left = (1 to 1000).map(i => (i.toLong, i * 2)).toDF("k", "v")
+    val right = (1 to 1000).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+    left.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("raw.bkt_left")
+    right.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("raw.bkt_right")
+    val joined = spark.table("raw.bkt_left").join(spark.table("raw.bkt_right"), Seq("k"))
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, s"expected bucketing to eliminate shuffles, got:\n${joined.queryExecution.executedPlan}")
+    assert(joined.count() == 1000)
+  }
+
+  test("GraftExtensions injects the native functions into a new session's SQL") {
+    val ext = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .create() // a sibling session on the same SparkContext, own extensions
+    try {
+      // (do NOT close it — SparkSession.stop would stop the shared context)
+      val r = ext.sql(
+        """SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c,
+          |       simhash64(array(7L, 7L, 7L)) AS s,
+          |       size(minhash_sig(array(1L, 2L), 4)) AS m,
+          |       size(word_shingles('a b c d e f', 5)) AS w
+          |""".stripMargin).collect().head
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-15)
+      assert(r.getLong(1) == 7L)
+      assert(r.getInt(2) == 4)
+      assert(r.getInt(3) == 2)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
