@@ -271,6 +271,77 @@ case class HyperplaneSignature(child: Expression, signs: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints (MOSS): md5-hex of every k-char gram, sliding
+  * window-of-w minimum (monotonic deque, O(len)), distinct minima.
+  *
+  * The HOF formulation (`transform(sequence, j => array_min(slice(grams)))`)
+  * re-evaluates the entire gram array inside every window lambda — O(len²)
+  * md5 calls per document, unusable beyond toy sizes. This kernel hashes
+  * each gram once. Semantics match the DuckDB oracle exactly: character
+  * substrings, UTF-8 md5 hex, binary-lexicographic minima. */
+case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"winnow_fp expects string, got $t")
+  }
+
+  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def md5Hex(s: String): String = {
+    val d = md.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(Character.forDigit((bytes(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(bytes(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val nGrams = text.length - k + 1
+    if (nGrams < w) return new GenericArrayData(Array.empty[AnyRef])
+    val grams = new Array[String](nGrams)
+    var i = 0
+    while (i < nGrams) { grams(i) = md5Hex(text.substring(i, i + k)); i += 1 }
+    // monotonic deque of indices: front = index of current window minimum;
+    // ties keep the EARLIEST index (strict < when evicting) so the selected
+    // minimum VALUE matches array_min/list_aggregate-min exactly
+    val deque = new java.util.ArrayDeque[Int]()
+    val seen = new java.util.LinkedHashSet[String]()
+    i = 0
+    while (i < nGrams) {
+      while (!deque.isEmpty && grams(deque.peekLast()).compareTo(grams(i)) > 0) deque.pollLast()
+      deque.addLast(i)
+      if (deque.peekFirst() <= i - w) deque.pollFirst()
+      if (i >= w - 1) seen.add(grams(deque.peekFirst()))
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      out(j) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next()); j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashSignatures {
   /** `minhash_sig(hashes, k)` — hashes: array<long> (e.g. transform(x, xxhash64)). */
   def minhash_sig(hashes: Column, k: Int): Column =
@@ -291,4 +362,8 @@ object HashSignatures {
   /** `hyperplane_sig(v, signs)` — LSH bucket id from ±1 hyperplanes. */
   def hyperplane_sig(v: Column, signs: Array[Array[Double]]): Column =
     GraftColumnBridge.column(HyperplaneSignature(GraftColumnBridge.expression(v), signs))
+
+  /** `winnow_fp(text, k, w)` — distinct winnowing fingerprints. */
+  def winnow_fp(text: Column, k: Int, w: Int): Column =
+    GraftColumnBridge.column(WinnowingFingerprints(GraftColumnBridge.expression(text), k, w))
 }

@@ -88,7 +88,15 @@ object TextAnalysis {
     * substring ≥ w+k-1 chars yields a shared fingerprint. Per-row
     * projection + explode — no shuffle until a downstream join on `fp`. */
   def winnowingFingerprints(spark: SparkSession, dir: String,
-                            k: Int = 8, w: Int = 4): DataFrame = {
+                            k: Int = 8, w: Int = 4): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.HashSignatures.winnow_fp(col("text"), k, w)).as("fp"))
+
+  /** The HOF formulation of winnowing — O(len²) because the gram array is
+    * re-evaluated inside every window lambda; kept ONLY as the reference
+    * twin for unit-testing the O(len) kernel on tiny inputs. */
+  private[graft] def winnowingFingerprintsHof(df: DataFrame, k: Int, w: Int): DataFrame = {
     val t = col("text")
     val nGrams = length(t) - k + 1
     val emptyStrings = array().cast("array<string>")
@@ -99,7 +107,6 @@ object TextAnalysis {
       array_distinct(transform(sequence(lit(0), size(grams) - w),
         j => array_min(slice(grams, j + lit(1), lit(w))))))
       .otherwise(emptyStrings)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(fps).as("fp"))
+    df.select(col("doc_id"), explode(fps).as("fp"))
   }
 }

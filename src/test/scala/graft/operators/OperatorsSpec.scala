@@ -120,6 +120,18 @@ class OperatorsSpec extends SparkSpec {
     assert(sessions.filter($"duration_s" < 0).count() == 0)
   }
 
+  test("winnowing kernel equals the HOF reference on small inputs") {
+    val docs = Seq((1L, "abcdefghijklmnop"), (2L, "short"), (3L, "aaaaaaaaaaaaaaaa"))
+      .toDF("doc_id", "text")
+    val kernel = docs.select($"doc_id",
+      explode(graft.functions.HashSignatures.winnow_fp($"text", 8, 4)).as("fp"))
+      .as[(Long, String)].collect().toSet
+    val hof = TextAnalysis.winnowingFingerprintsHof(docs, 8, 4)
+      .as[(Long, String)].collect().toSet
+    assert(kernel == hof)
+    assert(kernel.nonEmpty && !kernel.exists(_._1 == 2L)) // "short" has no 8-gram window
+  }
+
   test("text stats ratios are in [0,1] and counts positive") {
     val stats = TextAnalysis.stats(spark, sf)
     assert(stats.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() == 0)
