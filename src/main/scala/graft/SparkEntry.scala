@@ -54,6 +54,8 @@ object SparkEntry {
     "x14_json_extract"    -> ((s, d) => JsonOps.extractAndAggregate(s, d)),
     "x15_multimodal"      -> ((s, d) => Multimodal.featuresByModality(s, d)),
     "x16_winnowing_fp"    -> ((s, d) => TextAnalysis.winnowingFingerprints(s, d)),
+    "x17_dedup_clusters"  -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "x18_ann_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same table names, same column names).
@@ -340,5 +342,31 @@ object SparkEntry {
         |                        for j in range(1, len(grams) - 4 + 2)]) AS fps
         |  FROM g WHERE len(grams) >= 4)
         |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
+
+    // x18 omitted on purpose (KMeans cell assignment isn't SQL-expressible);
+    // x17's oracle recomputes the same near-dup graph and takes connected
+    // components via a recursive CTE.
+    "x17_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, CAST(len(shingles) AS INTEGER) AS n_sh, unnest(shingles) AS sh FROM (
+        |    SELECT doc_id,
+        |           list_distinct([array_to_string(words[i:i+4], ' ')
+        |                          for i in range(1, len(words) - 3)]) AS shingles
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1) t2),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+        |         COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |  HAVING COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.3),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs),
+        |reach(doc_id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id)
+        |SELECT doc_id, MIN(label) AS canonical_id FROM reach GROUP BY doc_id""".stripMargin,
   )
 }

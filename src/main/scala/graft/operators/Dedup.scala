@@ -138,6 +138,37 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), Similarity.trunc6(col("cos_sim")).as("cos_sim"))
   }
 
+  /** Near-duplicate cluster assignment: connected components over the
+    * exact-Jaccard near-dup graph, each doc labeled with the minimum doc_id
+    * reachable from it (the canonical representative an LLM dedup pipeline
+    * keeps). Min-label propagation: each iteration is one shuffle join +
+    * aggregate; rounds = graph diameter (near-dup components are tiny, so
+    * a handful). Deterministic — oracle is a recursive CTE in DuckDB. */
+  def nearDupClusters(spark: SparkSession, dir: String, n: Int = 5,
+                      threshold: Double = 0.3, maxIters: Int = 20): DataFrame = {
+    val pairs = ngramJaccard(spark, dir, n, threshold).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("label"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = labels.join(edges, labels("doc_id") === edges("src"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
+      val updated = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"),
+          col("label"))
+      changed = updated.filter(col("new_label") < col("label")).count()
+      labels = updated.select(col("doc_id"), col("new_label").as("label"))
+        .localCheckpoint() // truncate lineage across iterations
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** 64-bit SimHash from word hashes: sum ±1 per bit position weighted by
     * token occurrence, sign → bit. Computed with codegen'd higher-order
     * functions over the token array — no UDF, no shuffle until the band join. */

@@ -86,4 +86,52 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF (inverted-file) ANN: MLlib KMeans partitions the corpus into
+    * nCentroids cells; each query probes only its nProbe nearest cells and
+    * exact-ranks within them. The 100 TB shape: the corpus is shuffled once
+    * by cell id (a uniform small-int key), each query touches
+    * nProbe/nCentroids of the data. Cosine ranking reuses the fused native
+    * kernel. Probe selection for the (small, by definition) query set is
+    * driver-side against the model's local centroids — not a data collect. */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import graft.functions.VectorFunctions.cosine_sim
+
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val withVec = emb.withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nCentroids).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cluster").fit(withVec)
+    val assigned = model.transform(withVec).select(col("vec_id"), col("v"), col("cluster"))
+
+    val centers = model.clusterCenters.map(_.toArray)
+    val queryRows = emb.filter(col("vec_id") < nQueries).collect()
+    val probes = queryRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      centers.zipWithIndex
+        .map { case (c, i) =>
+          var d = 0.0; var j = 0
+          while (j < qv.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
+          (i, d)
+        }
+        .sortBy(_._2).take(nProbe)
+        .map { case (cluster, _) => (qid, cluster) }
+    }
+    val probeDf = spark.createDataFrame(probes.toSeq).toDF("q_id", "cluster")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .join(probeDf, Seq("q_id"))
+
+    val scored = assigned.join(broadcast(queries), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), trunc6(cosine_sim(col("qv"), col("v"))).as("cos_sim"))
+    // no pair dedup needed: a vector lives in exactly one cell and the
+    // (q_id, cluster) probe rows are distinct
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -120,6 +120,30 @@ class OperatorsSpec extends SparkSpec {
     assert(sessions.filter($"duration_s" < 0).count() == 0)
   }
 
+  test("near-dup clusters: edges share a canonical id, canonical <= member, singletons self-labeled") {
+    val clusters = Dedup.nearDupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val edges = Dedup.ngramJaccard(spark, sf, n = 5, threshold = 0.3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) => assert(clusters(a) == clusters(b), s"$a,$b") }
+    clusters.foreach { case (d, c) => assert(c <= d) }
+    val inEdges = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    clusters.filterNot { case (d, _) => inEdges(d) }
+      .foreach { case (d, c) => assert(c == d) }
+  }
+
+  test("IVF ANN ranking is consistent with brute force on its candidates, k rows per query") {
+    val ivf = Similarity.ivfTopK(spark, sf, nQueries = 5, k = 3)
+      .select($"q_id", $"vec_id", $"cos_sim").as[(Long, Long, Double)].collect()
+    val counts = ivf.groupBy(_._1).map(_._2.length)
+    assert(counts.forall(_ == 3))
+    val brute = Similarity.bruteForceTopK(spark, sf, nQueries = 5, k = 500)
+      .select($"q_id", $"vec_id", $"cos_sim").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(ivf.forall { case (q, v, s) => brute.get((q, v)).forall(_ == s) })
+  }
+
   test("winnowing kernel equals the HOF reference on small inputs") {
     val docs = Seq((1L, "abcdefghijklmnop"), (2L, "short"), (3L, "aaaaaaaaaaaaaaaa"))
       .toDF("doc_id", "text")
