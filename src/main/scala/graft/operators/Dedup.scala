@@ -147,11 +147,16 @@ object Dedup {
   def nearDupClusters(spark: SparkSession, dir: String, n: Int = 5,
                       threshold: Double = 0.3, maxIters: Int = 20): DataFrame = {
     val pairs = ngramJaccard(spark, dir, n, threshold).select(col("doc_a"), col("doc_b"))
+    // materialize the edge list ONCE — without this every propagation
+    // iteration would re-execute the whole Jaccard set-similarity join
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
-    var labels = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    // propagate only over docs that have an edge; singletons are trivially
+    // their own canonical and rejoin at the end (most docs, at any scale)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -166,7 +171,9 @@ object Dedup {
         .localCheckpoint() // truncate lineage across iterations
       iter += 1
     }
-    labels.select(col("doc_id"), col("label").as("canonical_id"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canonical_id"))
   }
 
   /** 64-bit SimHash from word hashes: sum ±1 per bit position weighted by

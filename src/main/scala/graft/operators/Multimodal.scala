@@ -65,6 +65,37 @@ object Multimodal {
     assets.mapPartitions(_.map(FakeDecoder.decode))
   }
 
+  /** "Resized" asset: deterministic byte-level downsample standing in for
+    * an image resize — keeps every stride-th byte, recomputes metadata. The
+    * dataflow (binary in → binary out, projection-shaped, no shuffle) is
+    * exactly what a real resize kernel plugs into. */
+  case class ResizedAsset(asset_id: Long, modality: String, content: Array[Byte],
+                          declared_w: Int, declared_h: Int)
+
+  def resize(assets: Dataset[Asset], stride: Int): Dataset[ResizedAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val ds = a.content.indices.collect { case i if i % stride == 0 => a.content(i) }.toArray
+      ResizedAsset(a.asset_id, a.modality,
+        ds, math.max(1, a.declared_w / stride), math.max(1, a.declared_h / stride))
+    })
+  }
+
+  /** Frame sampling for time-media (audio/video stand-in): split the byte
+    * stream into fixed-size frames and keep every rate-th frame, exploded
+    * one row per kept frame — the shape a video pipeline feeds to a
+    * per-frame feature extractor. */
+  case class Frame(asset_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  def sampleFrames(assets: Dataset[Asset], frameBytes: Int, rate: Int): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      a.content.grouped(frameBytes).zipWithIndex.collect {
+        case (bytes, idx) if idx % rate == 0 => Frame(a.asset_id, idx, bytes)
+      }
+    }
+  }
+
   /** Full operator: decode then roll up per modality — the query-surface
     * entry (schema: modality, n_assets, total_bytes, mean_of_means). */
   def featuresByModality(spark: SparkSession, dir: String): DataFrame =

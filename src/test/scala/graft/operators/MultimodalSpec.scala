@@ -29,6 +29,21 @@ class MultimodalSpec extends SparkSpec {
     assert(a.values.forall(v => v >= 0 && v <= 255))
   }
 
+  test("resize downsamples bytes and metadata deterministically") {
+    val resized = Multimodal.resize(Multimodal.assets(spark, sf), stride = 4)
+    val r = resized.head()
+    assert(r.content.length == 4) // 16 md5 bytes / stride 4
+    assert(resized.count() == graft.Tables.documents(spark, sf).count())
+  }
+
+  test("frame sampling keeps every rate-th fixed-size frame") {
+    val frames = Multimodal.sampleFrames(Multimodal.assets(spark, sf), frameBytes = 4, rate = 2)
+    // 16 bytes → 4 frames of 4 → keep idx 0 and 2 → 2 frames per asset
+    val perAsset = frames.groupByKey(_.asset_id).count().collect()
+    assert(perAsset.forall(_._2 == 2))
+    assert(frames.head().frame.length == 4)
+  }
+
   test("modality rollup covers every asset") {
     val roll = Multimodal.featuresByModality(spark, sf)
     val total = roll.agg(sum($"n_assets")).head().getLong(0)
