@@ -56,6 +56,7 @@ object SparkEntry {
     "x16_winnowing_fp"    -> ((s, d) => TextAnalysis.winnowingFingerprints(s, d)),
     "x17_dedup_clusters"  -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "x18_ann_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "x19_sliding_windows" -> ((s, d) => Sessionize.slidingWindows(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same table names, same column names).
@@ -368,5 +369,17 @@ object SparkEntry {
         |  UNION
         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id)
         |SELECT doc_id, MIN(label) AS canonical_id FROM reach GROUP BY doc_id""".stripMargin,
+
+    "x19_sliding_windows" ->
+      """WITH ev AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type,
+        |         CAST(round(value*100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |windowed AS (
+        |  SELECT ((ts_s // 900) * 900 - off.o) AS window_start_s, event_type, value_cents
+        |  FROM ev, (SELECT unnest([0, 900, 1800, 2700]) AS o) off)
+        |SELECT window_start_s, event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents
+        |FROM windowed GROUP BY 1, 2""".stripMargin,
   )
 }

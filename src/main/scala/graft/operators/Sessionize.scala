@@ -53,6 +53,21 @@ object Sessionize {
       .withColumn("duration_s", col("session_end_s") - col("session_start_s"))
   }
 
+  /** Sliding 1-hour/15-min windows — batch `window(ts, "1 hour", "15 min")`:
+    * every event lands in 4 overlapping windows; emits window starts as
+    * epoch seconds. The built-in generates the same (start, event) pairs as
+    * exploding the 4 slide offsets, which is what the DuckDB oracle does. */
+  def slidingWindows(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    raw
+      .withColumn("ts_t", timestamp_seconds(tsSeconds(raw)))
+      .groupBy(window(col("ts_t"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Relational.cents(col("value"))).as("sum_value_cents"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("event_type"), col("n_events"), col("sum_value_cents"))
+  }
+
   /** Tumbling 1-hour window aggregate — batch equivalent of
     * `groupBy(window($"ts", "1 hour"))`; emits the window start as epoch
     * seconds so the comparison is engine-neutral. */
