@@ -57,6 +57,7 @@ object SparkEntry {
     "x17_dedup_clusters"  -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "x18_ann_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "x19_sliding_windows" -> ((s, d) => Sessionize.slidingWindows(s, d)),
+    "x20_session_window"  -> ((s, d) => Sessionize.sessionWindows(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same table names, same column names).
@@ -381,5 +382,23 @@ object SparkEntry {
         |SELECT window_start_s, event_type, COUNT(*) AS n_events,
         |       CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents
         |FROM windowed GROUP BY 1, 2""".stripMargin,
+
+    "x20_session_window" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |         CAST(round(value*100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(ts_s, 1) OVER w IS NULL THEN 1
+        |                 WHEN ts_s - lag(ts_s, 1) OVER w >= 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts_s) AS session_start_s, COUNT(*) AS n_events,
+        |       CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents
+        |FROM sess GROUP BY user_id, session_idx""".stripMargin,
   )
 }

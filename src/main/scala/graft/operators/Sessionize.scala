@@ -53,6 +53,23 @@ object Sessionize {
       .withColumn("duration_s", col("session_end_s") - col("session_start_s"))
   }
 
+  /** Built-in `session_window` (30-min gap) — the declarative twin of
+    * `sessions`: Spark merges an event into the current session iff it
+    * arrives strictly before previous-ts + gap (so a gap of EXACTLY 1800 s
+    * starts a new session — one boundary stricter than `sessions`' `> gap`;
+    * the oracle replicates `>= 1800` accordingly). */
+  def sessionWindows(spark: SparkSession, dir: String, gap: String = "30 minutes"): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    raw
+      .withColumn("ts_t", timestamp_seconds(tsSeconds(raw)))
+      .groupBy(session_window(col("ts_t"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Relational.cents(col("value"))).as("sum_value_cents"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start_s"),
+        col("n_events"), col("sum_value_cents"))
+  }
+
   /** Sliding 1-hour/15-min windows — batch `window(ts, "1 hour", "15 min")`:
     * every event lands in 4 overlapping windows; emits window starts as
     * epoch seconds. The built-in generates the same (start, event) pairs as

@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Programmatic data-quality checks — the library surface for the
+  * reference's pytest assertions (notebooks/test_data_quality.py.py), so a
+  * pipeline can gate a write on the same invariants its tests assert.
+  *
+  * Each check compiles to ONE aggregate over the table (no per-check
+  * passes): at 100 TB a quality gate that scans once is the difference
+  * between "runs nightly" and "doubles the pipeline cost".
+  */
+object Quality {
+
+  case class CheckResult(check: String, passed: Boolean, observed: Long)
+
+  /** Run all checks in a single aggregate job. */
+  def check(df: DataFrame, requiredColumns: Seq[String] = Nil,
+            notNullColumns: Seq[String] = Nil,
+            nonNegativeColumns: Seq[String] = Nil): Seq[CheckResult] = {
+    val missingCols = requiredColumns.filterNot(df.columns.contains)
+    val structural =
+      Seq(CheckResult("required_columns_present", missingCols.isEmpty, missingCols.size.toLong))
+    val presentNotNull = notNullColumns.filter(df.columns.contains)
+    val presentNonNeg = nonNegativeColumns.filter(df.columns.contains)
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+        presentNotNull.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c")) ++
+        presentNonNeg.map(c => sum(when(col(c) < 0, 1L).otherwise(0L)).as(s"__neg_$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("__n")
+    structural ++
+      Seq(CheckResult("non_empty", n > 0, n)) ++
+      presentNotNull.map { c =>
+        val nulls = row.getAs[Long](s"__null_$c")
+        CheckResult(s"no_nulls:$c", nulls == 0, nulls)
+      } ++
+      presentNonNeg.map { c =>
+        val negs = row.getAs[Long](s"__neg_$c")
+        CheckResult(s"non_negative:$c", negs == 0, negs)
+      }
+  }
+
+  /** Cross-layer invariants (test_data_quality.py.py:81-94): row-count
+    * monotonicity and measure conservation. */
+  def crossLayer(bronze: DataFrame, silver: DataFrame, gold: DataFrame,
+                 bronzeMeasure: String, goldMeasure: String): Seq[CheckResult] = {
+    val bronzeAgg = bronze.agg(count(lit(1)).as("n"), sum(col(bronzeMeasure)).as("s")).head()
+    val goldAgg = gold.agg(count(lit(1)).as("n"), sum(col(goldMeasure)).as("s")).head()
+    val silverN = silver.count()
+    Seq(
+      CheckResult("gold_lt_silver", goldAgg.getAs[Long]("n") < silverN, goldAgg.getAs[Long]("n")),
+      CheckResult("silver_le_bronze", silverN <= bronzeAgg.getAs[Long]("n"), silverN),
+      CheckResult("conservation",
+        toD(goldAgg.get(1)) <= toD(bronzeAgg.get(1)), goldAgg.getAs[Long]("n")))
+  }
+
+  private def toD(v: Any): Double = v match {
+    case d: java.lang.Double => d
+    case l: java.lang.Long   => l.toDouble
+    case other               => other.toString.toDouble
+  }
+}

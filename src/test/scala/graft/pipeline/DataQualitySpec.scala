@@ -72,4 +72,18 @@ class DataQualitySpec extends SparkSpec {
     val bronzeSum = bronzeTransactions.agg(sum($"transactions")).head().getLong(0)
     assert(goldSum <= bronzeSum)
   }
+
+  test("Quality module runs the same invariants as one aggregate job") {
+    val results = Quality.check(silver,
+      requiredColumns = Schemas.silverColumns,
+      notNullColumns = Schemas.silverColumns,
+      nonNegativeColumns = Seq("transactions"))
+    assert(results.forall(_.passed), results.filterNot(_.passed).mkString(", "))
+    val cross = Quality.crossLayer(bronzeTransactions, silver, gold,
+      bronzeMeasure = "transactions", goldMeasure = "weekly_transactions")
+    assert(cross.forall(_.passed), cross.filterNot(_.passed).mkString(", "))
+    val broken = Quality.check(silver.withColumn("transactions", lit(null).cast("int")),
+      notNullColumns = Seq("transactions"))
+    assert(broken.exists(r => r.check == "no_nulls:transactions" && !r.passed))
+  }
 }
