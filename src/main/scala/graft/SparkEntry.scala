@@ -58,6 +58,8 @@ object SparkEntry {
     "x18_ann_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "x19_sliding_windows" -> ((s, d) => Sessionize.slidingWindows(s, d)),
     "x20_session_window"  -> ((s, d) => Sessionize.sessionWindows(s, d)),
+    "x21_vocabulary"      -> ((s, d) => TextAnalysis.vocabularyStats(s, d)),
+    "x22_tfidf_keywords"  -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same table names, same column names).
@@ -400,5 +402,23 @@ object SparkEntry {
         |SELECT user_id, MIN(ts_s) AS session_start_s, COUNT(*) AS n_events,
         |       CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents
         |FROM sess GROUP BY user_id, session_idx""".stripMargin,
+
+    "x21_vocabulary" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |SELECT word, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS doc_freq
+        |FROM w GROUP BY word ORDER BY term_freq DESC, word LIMIT 20""".stripMargin,
+
+    "x22_tfidf_keywords" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf, df.df, tf.tf * n.n_docs / df.df AS tf_idf
+        |  FROM tf JOIN df USING (word) CROSS JOIN n),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tf_idf DESC, word) AS rank
+        |           FROM scored)
+        |SELECT doc_id, word, tf, df, tf_idf, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -81,6 +82,38 @@ object TextAnalysis {
       col("doc_id"),
       md5(lower(trim(col("text")))).as("content_fp"),
       array_min(transform(words(col("text")), w => md5(w))).as("min_word_fp"))
+
+  /** Corpus vocabulary stats: the top-K words by total frequency with
+    * document-frequency — the vocabulary profile a tokenizer-training or
+    * data-mixing step starts from. Explode → two-level aggregate; the
+    * explode never shuffles (word counts combine map-side). */
+  def vocabularyStats(spark: SparkSession, dir: String, topK: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("term_freq"), countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("term_freq").desc, col("word"))
+      .limit(topK)
+
+  /** TF-IDF keyword extraction: top-3 terms per document by
+    * tf × (n_docs / df). Rational idf (no log) keeps every number an
+    * int/int division — bit-exact cross-engine (log's libm rounding is
+    * not). Shuffles: one on word (df), one back on doc_id (ranking). */
+  def tfidfKeywords(spark: SparkSession, dir: String, perDoc: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("word"))
+      .withColumn("tf_idf", col("tf") * lit(nDocs) / col("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf_idf").desc, col("word"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perDoc)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tf_idf"), col("rank"))
+  }
 
   /** Winnowing fingerprints (rolling-hash document fingerprinting, as in
     * MOSS): hash every k-char gram, take the minimum hash of each sliding
