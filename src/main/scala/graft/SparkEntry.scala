@@ -60,6 +60,7 @@ object SparkEntry {
     "x20_session_window"  -> ((s, d) => Sessionize.sessionWindows(s, d)),
     "x21_vocabulary"      -> ((s, d) => TextAnalysis.vocabularyStats(s, d)),
     "x22_tfidf_keywords"  -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
+    "x23_pii_scrub"       -> ((s, d) => TextAnalysis.piiScrub(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same table names, same column names).
@@ -420,5 +421,24 @@ object SparkEntry {
         |           FROM scored)
         |SELECT doc_id, word, tf, df, tf_idf, CAST(rank AS INTEGER) AS rank
         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "x23_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@example.com or +1-555-000-'
+        |              || doc_id || ' ref 1234567890123' AS planted
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, planted,
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(planted,
+        |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |             '\+?[0-9][0-9()\[\]. -]{7,}[0-9]', '<PHONE>', 'g'),
+        |           '[0-9]{9,}', '<NUM>', 'g') AS scrubbed
+        |  FROM p)
+        |SELECT doc_id, scrubbed,
+        |       CAST(length(planted) - length(scrubbed) AS INTEGER) AS chars_removed
+        |FROM s""".stripMargin,
   )
 }

@@ -115,6 +115,30 @@ object TextAnalysis {
       .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tf_idf"), col("rank"))
   }
 
+  /** PII scrubbing: redact email addresses, phone-like sequences and long
+    * digit runs — the compliance pass every training-data pipeline runs
+    * before tokenization. Pure regexp_replace chain (codegen'd, no
+    * shuffle); patterns stay in the Java∩RE2 regex subset so the DuckDB
+    * oracle behaves identically. The testdata has no PII, so the query
+    * plants deterministic synthetic PII per row and verifies the scrub. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val planted = concat(col("text"),
+      lit(" contact user"), id, lit("@example.com or +1-555-000-"),
+      id, lit(" ref 1234567890123"))
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(planted,
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\+?[0-9][0-9()\\[\\]. -]{7,}[0-9]", "<PHONE>"),
+        "[0-9]{9,}", "<NUM>")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      scrubbed.as("scrubbed"),
+      (length(planted) - length(scrubbed)).as("chars_removed"))
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting, as in
     * MOSS): hash every k-char gram, take the minimum hash of each sliding
     * window of w grams, emit the distinct minima. Guarantees any shared

@@ -42,6 +42,16 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("window_start_s"),
         col("event_type"), col("n_events"))
 
+  /** Sliding 1-hour/15-min windowed counts — streaming twin of
+    * `Sessionize.slidingWindows` (same `window()` codepath). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_t", "2 hours")
+      .groupBy(window(col("ts_t"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("event_type"), col("n_events"))
+
   // —— stateful sessionization via mapGroupsWithState ——
 
   case class Event(user_id: Long, ts_s: Long, value: Double)

@@ -37,6 +37,28 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(joined.count() == 1000)
   }
 
+  test("year/month filters prune partitions of a partitioned table at scan") {
+    graft.pipeline.Setup.createCatalog(spark)
+    val df = (1 to 1000).map { i =>
+      (java.sql.Date.valueOf(f"201${5 + i % 3}%d-0${1 + (i / 3) % 9}%d-15"), i)
+    }.toDF("date", "v")
+      .withColumn("year", org.apache.spark.sql.functions.year($"date"))
+      .withColumn("month", org.apache.spark.sql.functions.month($"date"))
+    df.write.mode("overwrite").partitionBy("year", "month").saveAsTable("raw.pruned_t")
+    val q = spark.table("raw.pruned_t").filter($"year" === 2016 && $"month" === 3)
+    def scanOf(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+    val all = scanOf(spark.table("raw.pruned_t")).selectedPartitions.partitionCount
+    assert(all > 1, s"fixture should have many partitions, got $all")
+    val scan = scanOf(q)
+    assert(scan.metadata("PartitionFilters").contains("year"), scan.metadata("PartitionFilters"))
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected == 1, s"expected 1 pruned partition of $all, got $selected")
+    assert(q.count() == df.filter($"year" === 2016 && $"month" === 3).count() && q.count() > 0)
+  }
+
   test("GraftExtensions injects the native functions into a new session's SQL") {
     val ext = SparkSession.builder().master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")

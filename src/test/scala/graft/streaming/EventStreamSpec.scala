@@ -36,6 +36,20 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming sliding windows match the batch sliding aggregate") {
+    val q = EventStream.slidingCounts(EventStream.readEvents(spark, sf))
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sliding")
+      .select($"window_start_s", $"event_type", $"n_events")
+      .as[(Long, String, Long)].collect().toSet
+    val batch = Sessionize.slidingWindows(spark, sf)
+      .select($"window_start_s", $"event_type", $"n_events")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch window sessionizer") {
     val sessions = runStream(
       EventStream.sessionize(EventStream.readEvents(spark, sf)).toDF(), "sessions")
