@@ -61,6 +61,9 @@ object SparkEntry {
     "x21_vocabulary"      -> ((s, d) => TextAnalysis.vocabularyStats(s, d)),
     "x22_tfidf_keywords"  -> ((s, d) => TextAnalysis.tfidfKeywords(s, d)),
     "x23_pii_scrub"       -> ((s, d) => TextAnalysis.piiScrub(s, d)),
+    "x24_asof_join"       -> ((s, d) => Relational.asofJoin(s, d)),
+    "x25_pivot"           -> ((s, d) => Relational.pivotCounts(s, d)),
+    "x26_rollup"          -> ((s, d) => Relational.rollupRevenue(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same table names, same column names).
@@ -440,5 +443,35 @@ object SparkEntry {
         |SELECT doc_id, scrubbed,
         |       CAST(length(planted) - length(scrubbed) AS INTEGER) AS chars_removed
         |FROM s""".stripMargin,
+
+    "x24_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |t AS (SELECT *, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase FROM ev),
+        |f AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN is_purchase = 1 THEN event_id END IGNORE NULLS) OVER w AS last_purchase_id,
+        |    last_value(CASE WHEN is_purchase = 1 THEN ts_s END IGNORE NULLS) OVER w AS last_purchase_ts
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, is_purchase DESC, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts_s, last_purchase_id, last_purchase_ts,
+        |       ts_s - last_purchase_ts AS attribution_lag_s
+        |FROM f WHERE event_type = 'click'""".stripMargin,
+
+    "x25_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "x26_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
   )
 }

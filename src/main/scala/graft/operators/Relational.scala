@@ -182,6 +182,55 @@ object Relational {
       countDistinct(col("c_custkey")).as("n_customers"))
   }
 
+  /** As-of join (event attribution): for each 'click' event, the most
+    * recent 'purchase' by the same user at or before it. Spark lacks a
+    * native as-of join — composed as the classic union-tag + last_value
+    * window fill (SURVEY §7.3 tier (a): compose built-ins before custom
+    * plans). One shuffle on user_id; at 100 TB this beats a range join
+    * because the window pass is a single sort within user partitions. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val tsS = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _                                   => unix_timestamp(col("ts"))
+    }
+    val base = ev.select(col("event_id"), col("user_id"), col("event_type"),
+      tsS.as("ts_s"), cents(col("value")).as("value_cents"))
+    val tagged = base.withColumn("is_purchase",
+      when(col("event_type") === "purchase", 1).otherwise(0))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("is_purchase").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // carry the latest purchase (id, ts) forward; purchases sort BEFORE
+    // same-timestamp clicks so an exactly-simultaneous purchase attributes
+    tagged
+      .withColumn("last_purchase_id",
+        last(when(col("is_purchase") === 1, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_purchase_ts",
+        last(when(col("is_purchase") === 1, col("ts_s")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_s"),
+        col("last_purchase_id"), col("last_purchase_ts"),
+        (col("ts_s") - col("last_purchase_ts")).as("attribution_lag_s"))
+  }
+
+  /** §2.7-adjacent extension — pivot: per-user event-type count matrix
+    * (explicit value list so the output schema is static — the only
+    * scale-safe pivot; dynamic pivots need a driver-side distinct). */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("click", "view", "purchase", "error", "signup"))
+
+  /** Extension — ROLLUP aggregate: revenue by (returnflag, linestatus)
+    * with subtotals and grand total (Catalyst Expand → one shuffle). */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(cents(col("l_extendedprice"))).as("revenue_cents"))
+
   /** The Silver pipeline composition (silver_processing.py.py:14-74)
     * transplanted onto testdata: dedup fact → ⟕ dim → ⟕ date-keyed flag →
     * coalesce rescue → derive year/month → drop any-null rows.
