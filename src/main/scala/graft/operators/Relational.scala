@@ -35,8 +35,27 @@ object Relational {
 
   /** Deterministic replacement for `dropDuplicates(keys)` — keeps the first
     * row per key under an explicit total order (reference D1/D2,
-    * silver_processing.py.py:16). One shuffle on the partition keys. */
+    * silver_processing.py.py:16).
+    *
+    * Implemented as `min_by(row-struct, order-struct)` — a hash aggregate
+    * with map-side partial combine, so at scale it shuffles one candidate
+    * row per (partition, key) instead of sorting every row in a window
+    * (the `row_number() == 1` formulation). The order struct is totalized
+    * by appending the remaining columns, so ties on the caller's order
+    * columns can only occur between identical rows. */
   def dedupFirst(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
+    val valueCols = df.columns.filterNot(keys.contains).toSeq
+    val ordCols = (order ++ valueCols.filterNot(order.contains)).distinct
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(valueCols.map(col): _*), struct(ordCols.map(col): _*)).as("__r"))
+      .select(keys.map(col) ++ valueCols.map(c => col(s"__r.`$c`").as(c)): _*)
+  }
+
+  /** Sort-window formulation of the same dedup — faster when groups are
+    * nearly unique (high key cardinality: the min_by struct churn exceeds
+    * the sort, and WindowGroupLimit pre-prunes before the shuffle). Same
+    * result set; pick per expected rows-per-key. */
+  def dedupFirstSort(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
@@ -238,7 +257,9 @@ object Relational {
     * na.drop = inner-ish on dim availability, coalesce rescues the flag join
     * — SURVEY §2.4 note). */
   def silverLike(spark: SparkSession, dir: String): DataFrame = {
-    val fact = dedupFirst(
+    // sort-window dedup: (date, supplier) keys are near-unique, the
+    // min_by-struct form churns allocations here (see dedupFirstSort doc)
+    val fact = dedupFirstSort(
       Tables.lineitem(spark, dir).withColumn("ship_date", col("l_shipdate").cast("date")),
       keys = Seq("ship_date", "l_suppkey"),
       order = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
