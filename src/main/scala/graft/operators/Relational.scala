@@ -288,9 +288,17 @@ object Relational {
     * GroupBy and window share the l_suppkey partitioning → Catalyst reuses
     * the exchange (one shuffle total after the scan). */
   def weeklyFeatures(spark: SparkSession, dir: String): DataFrame = {
+    // repartition by suppkey BEFORE the aggregate: HashPartitioning(suppkey)
+    // satisfies the agg's ClusteredDistribution(suppkey, year, week) AND the
+    // window's (suppkey), so ONE raw-row shuffle replaces both downstream
+    // exchanges. Partial aggregation would not reduce here anyway: the
+    // ~29k (suppkey, year, week) groups appear in every scan partition, so
+    // map-side partials emit ≈ partitions × groups rows — more than the
+    // input. (Reference shape: gold_feature.py.py:15-38.)
     val weekly = Tables.lineitem(spark, dir)
       .withColumn("year", year(col("l_shipdate")))
       .withColumn("week", weekofyear(col("l_shipdate")))
+      .repartition(col("l_suppkey"))
       .groupBy(col("l_suppkey"), col("year"), col("week"))
       .agg(
         sum(cents(col("l_extendedprice"))).as("weekly_revenue_cents"),

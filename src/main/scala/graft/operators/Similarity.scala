@@ -103,7 +103,9 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val withVec = emb.withColumn("fv", array_to_vector(col("v")))
-    val model = new KMeans().setK(nCentroids).setSeed(42)
+    // few iterations suffice: cells only need to be roughly balanced, and
+    // ranking within probed cells is exact regardless of centroid quality
+    val model = new KMeans().setK(nCentroids).setSeed(42).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cluster").fit(withVec)
     val assigned = model.transform(withVec).select(col("vec_id"), col("v"), col("cluster"))
 
