@@ -52,6 +52,25 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("window_start_s"),
         col("event_type"), col("n_events"))
 
+  /** Stateful streaming dedup: first-occurrence-wins on event_id with a
+    * watermark bound on the dedup state — the streaming twin of the batch
+    * exact-dedup operators. At scale, state holds only ids younger than
+    * the watermark. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_t", "2 hours")
+      .dropDuplicates("event_id")
+
+  /** Stream-static enrichment join: the streaming micro-batches broadcast-
+    * join the static dimension — no stream-side state at all (the standard
+    * shape for dimension lookup at 100 TB of stream). */
+  def enrichWithUsers(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(users),
+      events("user_id") === users("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name").as("user_name"), col("c_mktsegment").as("segment"))
+
   // —— stateful sessionization via mapGroupsWithState ——
 
   case class Event(user_id: Long, ts_s: Long, value: Double)

@@ -50,6 +50,26 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedup keeps one row per event_id") {
+    val deduped = runStream(
+      EventStream.dedupStream(EventStream.readEvents(spark, sf))
+        .select($"event_id"), "dedup")
+    val total = graft.Tables.events(spark, sf).count()
+    val distinct = graft.Tables.events(spark, sf).select($"event_id").distinct().count()
+    assert(deduped.count() == distinct && distinct <= total)
+  }
+
+  test("stream-static join enriches every event from the broadcast dim") {
+    val users = graft.Tables.customer(spark, sf)
+    val enriched = runStream(
+      EventStream.enrichWithUsers(EventStream.readEvents(spark, sf), users), "enriched")
+    val ev = graft.Tables.events(spark, sf)
+    val batch = ev.join(users, ev("user_id") === users("c_custkey"), "left")
+    assert(enriched.count() == batch.count())
+    assert(enriched.filter($"user_name".isNotNull).count() ==
+      batch.filter($"c_name".isNotNull).count())
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch window sessionizer") {
     val sessions = runStream(
       EventStream.sessionize(EventStream.readEvents(spark, sf)).toDF(), "sessions")
