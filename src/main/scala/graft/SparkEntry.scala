@@ -397,7 +397,7 @@ object SparkEntry {
         |  FROM events),
         |flagged AS (
         |  SELECT *, CASE WHEN lag(ts_s, 1) OVER w IS NULL THEN 1
-        |                 WHEN ts_s - lag(ts_s, 1) OVER w >= 1800 THEN 1 ELSE 0 END AS new_session
+        |                 WHEN ts_s - lag(ts_s, 1) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
         |sess AS (
         |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id

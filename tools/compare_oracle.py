@@ -47,13 +47,14 @@ def main(sf_dir, out_dir):
             continue
         a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
         if a == b:
-            print(f"OK   {name}: {len(a)} rows")
+            print(f"OK   {name}: {len(a)} rows", flush=True)
             n_ok += 1
         else:
             n_bad += 1
-            diff_a = [r for r in a if r not in set(b)][:3]
-            diff_b = [r for r in b if r not in set(a)][:3]
-            print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}")
+            set_a, set_b = set(a), set(b)
+            diff_a = [r for r in a if r not in set_b][:3]
+            diff_b = [r for r in b if r not in set_a][:3]
+            print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}", flush=True)
             print(f"     spark-only: {diff_a}")
             print(f"     duck-only:  {diff_b}")
     print(f"== {n_ok} ok, {n_bad} bad ==")
