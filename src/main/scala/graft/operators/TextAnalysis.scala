@@ -98,16 +98,20 @@ object TextAnalysis {
   /** TF-IDF keyword extraction: top-3 terms per document by
     * tf × (n_docs / df). Rational idf (no log) keeps every number an
     * int/int division — bit-exact cross-engine (log's libm rounding is
-    * not). Shuffles: one on word (df), one back on doc_id (ranking). */
+    * not). Shuffles: one on word (df), one back on doc_id (ranking).
+    * n_docs is folded into the dataflow as a broadcast 1-row ungrouped agg
+    * (a column-free count scan reads only parquet footers) instead of a
+    * separate eager `count()` action — one job, no extra data scan. */
   def tfidfKeywords(spark: SparkSession, dir: String, perDoc: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val nDocs = docs.count()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val tf = docs
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val scored = tf.join(df, Seq("word"))
-      .withColumn("tf_idf", col("tf") * lit(nDocs) / col("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tf_idf", col("tf") * col("n_docs") / col("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf_idf").desc, col("word"))
     scored.withColumn("rank", row_number().over(w))

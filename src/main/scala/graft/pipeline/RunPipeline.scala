@@ -29,16 +29,23 @@ object RunPipeline {
     val csvDir = args.headOption.getOrElse(writeFixture().toString)
     Setup.createCatalog(spark)
 
-    // bronze_ingestion.py.py:95-139 — per-source ingest with declared schemas
+    // bronze_ingestion.py.py:95-139 — all six per-source ingests with the
+    // reference's declared schemas and partitioning choices
     val quarantineBase = Files.createTempDirectory("graft-quarantine").toString
     val nTx = Bronze.loadToBronze(spark, s"$csvDir/transactions.csv", Schemas.transactions,
       "transactions", partitionByDate = true, Some(s"$quarantineBase/transactions"))
     val nStores = Bronze.loadToBronze(spark, s"$csvDir/stores.csv", Schemas.stores, "stores")
+    val nSub = Bronze.loadToBronze(spark, s"$csvDir/sample_submission.csv",
+      Schemas.sampleSubmission, "sample_submission",
+      quarantinePath = Some(s"$quarantineBase/sample_submission"))
     val nHol = Bronze.loadToBronze(spark, s"$csvDir/holidays_events.csv", Schemas.holidaysEvents,
       "holidays_events", partitionByDate = true, Some(s"$quarantineBase/holidays"))
     val nOil = Bronze.loadToBronze(spark, s"$csvDir/oil.csv", Schemas.oil,
       "oil", partitionByDate = true, Some(s"$quarantineBase/oil"))
-    println(s"[bronze] transactions=$nTx stores=$nStores holidays=$nHol oil=$nOil")
+    val nTest = Bronze.loadToBronze(spark, s"$csvDir/test.csv", Schemas.test,
+      "test", partitionByDate = true, Some(s"$quarantineBase/test"))
+    println(s"[bronze] transactions=$nTx stores=$nStores sample_submission=$nSub " +
+      s"holidays=$nHol oil=$nOil test=$nTest")
 
     val silver = Silver.salesCleaned(
       spark.table("raw.transactions").drop("year", "month"),
@@ -80,6 +87,13 @@ object RunPipeline {
     for (d <- dates) oil ++= s"$d,${50.0 + d.getDayOfYear % 10}\n"
     oil ++= "2017-06-01,not_a_number\n" // exercises the quarantine path
     Files.writeString(dir.resolve("oil.csv"), oil.toString)
+    val sub = new StringBuilder("id,sales\n")
+    for (i <- 0 until 50) sub ++= s"$i,0.0\n"
+    Files.writeString(dir.resolve("sample_submission.csv"), sub.toString)
+    val test = new StringBuilder("id,date,store_nbr,family,onpromotion\n")
+    for ((d, i) <- dates.take(10).zipWithIndex; s <- 1 to 6)
+      test ++= s"${i * 6 + s},$d,$s,GROCERY,${i % 2}\n"
+    Files.writeString(dir.resolve("test.csv"), test.toString)
     dir
   }
 }
