@@ -22,6 +22,11 @@ object RunPipeline {
       .appName("graft-pipeline")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
+      // fresh warehouse per run: the in-memory metastore forgets tables but
+      // their directories survive, and a re-run would hit
+      // LOCATION_ALREADY_EXISTS on the first saveAsTable
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

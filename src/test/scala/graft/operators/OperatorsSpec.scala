@@ -161,4 +161,36 @@ class OperatorsSpec extends SparkSpec {
     assert(stats.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() == 0)
     assert(stats.filter($"n_words" <= 0).count() == 0)
   }
+
+  test("md5Hash60 equals DuckDB's ('0x'||substr(md5(w),1,15))::BIGINT (cross-engine pin)") {
+    val v = Seq("hello").toDF("w").select(Dedup.md5Hash60($"w")).as[Long].head()
+    assert(v == 419982666956583591L) // value computed in DuckDB — pins both engines
+  }
+
+  test("bucketed embeddingNearDup: equi-join plan (no nested loop / cartesian), subset of exact") {
+    val bucketed = Dedup.embeddingNearDup(spark, sf)
+    val got = bucketed.as[(Long, Long, Double)].collect().toSet
+    val planStr = bucketed.queryExecution.executedPlan.toString // final AQE plan after collect
+    assert(!planStr.contains("BroadcastNestedLoopJoin") && !planStr.contains("CartesianProduct"),
+      s"bucketed near-dup must not fall back to an all-pairs join:\n$planStr")
+    val exact = Dedup.embeddingNearDupExact(spark, sf).as[(Long, Long, Double)].collect().toSet
+    assert(got.subsetOf(exact)) // precision 1.0: exact cosine verify on candidates
+  }
+
+  test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
+    // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
+    (1L to 30L).map(i => (i, s"alpha beta gamma delta epsilon u$i v$i w$i x$i z$i"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val uncapped = Dedup.ngramJaccard(spark, dir, n = 5, threshold = 0.01, maxShingleDf = 1000)
+    assert(uncapped.count() == 30L * 29 / 2) // the hot shingle joins every pair: O(df²)
+    val capped = Dedup.ngramJaccard(spark, dir, n = 5, threshold = 0.01, maxShingleDf = 10)
+    assert(capped.count() == 0) // hot shingle excluded; nothing else shared
+    // the default cap (100) is far above the real corpus' max df — results identical
+    val dflt = Dedup.ngramJaccard(spark, sf, n = 5, threshold = 0.3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val wide = Dedup.ngramJaccard(spark, sf, n = 5, threshold = 0.3, maxShingleDf = Int.MaxValue)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(dflt == wide)
+  }
 }

@@ -60,4 +60,20 @@ class BronzeSpec extends SparkSpec {
     assert(row.getAs[String]("source_file") == "/nonexistent/path/x.csv")
     assert(row.getAs[java.sql.Timestamp]("error_time") != null)
   }
+
+  test("all six reference sources ingest, incl. test.csv and sample_submission.csv") {
+    // bronze_ingestion.py.py:95-139 — the two sources beyond the four the
+    // silver/gold layers consume must still land in raw.* for replay parity
+    Setup.createCatalog(spark)
+    val fixture = RunPipeline.writeFixture().toString
+    val nSub = Bronze.loadToBronze(spark, s"$fixture/sample_submission.csv",
+      Schemas.sampleSubmission, "sample_submission")
+    val nTest = Bronze.loadToBronze(spark, s"$fixture/test.csv", Schemas.test,
+      "test", partitionByDate = true)
+    assert(nSub == 50 && spark.table("raw.sample_submission").count() == 50)
+    assert(nTest == 60 && spark.table("raw.test").count() == 60)
+    val t = spark.table("raw.test")
+    assert(Set("year", "month").subsetOf(t.columns.toSet)) // date-partitioned like the reference
+    assert(t.select($"family").distinct().as[String].collect().toSeq == Seq("GROCERY"))
+  }
 }
