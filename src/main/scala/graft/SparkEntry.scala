@@ -93,23 +93,59 @@ object SparkEntry {
        |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 8""".stripMargin
   }
 
+  /** x03's oracle replicates the MinHash+LSH algorithm end-to-end in
+    * DuckDB — possible because every stage is an engine-neutral primitive:
+    * md5-60 shingle hashes, the `(h%P)·(2j+1)+7919(j+1) mod P` permutation
+    * minima, md5-of-slice band buckets, and exact Jaccard over the hash
+    * sets. The 32 permutation expressions are generated, not hand-written.
+    * The banding's recall behavior is therefore itself oracle-checked: a
+    * pair both engines band apart is (correctly) absent from both. */
+  private def minhashOracleSql: String = {
+    val P = 1000000007L
+    val perms = (0 until 32).map(j =>
+      s"list_min(list_transform(hs, h -> ((h % $P) * ${2 * j + 1} + ${7919L * (j + 1)}) % $P))")
+      .mkString("[", ", ", "]")
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+       |  FROM (SELECT doc_id,
+       |          list_distinct([array_to_string(words[i:i+4], ' ')
+       |                         for i in range(1, len(words) - 3)]) AS shingles
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1) t2
+       |  WHERE len(shingles) > 0),
+       |sig AS (SELECT doc_id, hs, $perms AS sg FROM docs),
+       |banded AS (
+       |  SELECT doc_id, band,
+       |         md5(array_to_string(sg[band * 4 + 1 : band * 4 + 4], ',')) AS bucket
+       |  FROM sig, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT c.doc_a, c.doc_b, len(list_intersect(x.hs, y.hs)) AS inter,
+       |         len(x.hs) AS n_a, len(y.hs) AS n_b
+       |  FROM cand c JOIN docs x ON c.doc_a = x.doc_id JOIN docs y ON c.doc_b = y.doc_id)
+       |SELECT doc_a, doc_b, inter / (n_a + n_b - inter) AS jaccard
+       |FROM verified WHERE inter / (n_a + n_b - inter) >= 0.3""".stripMargin
+  }
+
   /** DuckDB oracle SQL per query (same table names, same column names).
     * Every query is oracle-checked. The approximate operators fall in two
     * oracle classes:
-    *  - ALGORITHM oracles (x04, x10, x13): the approximate semantics are
-    *    deterministic plan-time constants (md5-derived SimHash, ±1
-    *    hyperplane matrices), so the SQL replicates the algorithm itself —
-    *    signatures, banding/probing, verify — and checks it end-to-end,
-    *    independent of what corpus it runs on.
-    *  - EXACT oracles with measured full recall (x03, x18): the candidate
-    *    stage is sized so measured recall is 1.0 on the evaluation corpus
-    *    (see RecallProbe), so the approximate plan must reproduce the exact
-    *    SQL answer. NOTE this equality is corpus-dependent by construction:
-    *    x03's 8×4 banding would miss a pair at jaccard ≈ 0.3 with ~6%
-    *    probability if one existed near the threshold, and x18's recall
-    *    depends on the (deterministically pinned) KMeans cells — on a NEW
-    *    corpus these gates can fail without a correctness bug. The
-    *    evaluation corpora contain no such near-threshold pairs. */
+    *  - ALGORITHM oracles (x03, x04, x10, x13): the approximate semantics
+    *    are deterministic plan-time constants (md5-derived hashes and
+    *    minhash permutations, ±1 hyperplane matrices), so the SQL
+    *    replicates the algorithm itself — signatures, banding/probing,
+    *    verify — and checks it end-to-end, independent of what corpus it
+    *    runs on.
+    *  - EXACT oracle with measured full recall (x18): nProbe is sized so
+    *    measured recall is 1.0 on the evaluation corpus (see RecallProbe),
+    *    so the approximate plan must reproduce the exact SQL answer. NOTE
+    *    this equality is corpus-dependent by construction: recall depends
+    *    on the (deterministically pinned) KMeans cells — on a NEW corpus
+    *    the gate can fail without a correctness bug. The evaluation
+    *    corpora contain no near-boundary queries. */
   def oracleSql: Map[String, String] = Map(
     "x04_simhash_pairs" -> simhashOracleSql,
     "q01_pruned_scan" ->
@@ -265,20 +301,7 @@ object SparkEntry {
         |SELECT doc_a, doc_b, inter, inter / (n_a + n_b - inter) AS jaccard
         |FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.3""".stripMargin,
 
-    "x03_minhash_lsh" ->
-      """WITH sh AS (
-        |  SELECT doc_id, CAST(len(shingles) AS INTEGER) AS n_sh, unnest(shingles) AS sh FROM (
-        |    SELECT doc_id,
-        |           list_distinct([array_to_string(words[i:i+4], ' ')
-        |                          for i in range(1, len(words) - 3)]) AS shingles
-        |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1) t2),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
-        |         COUNT(*) AS inter
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT doc_a, doc_b, inter / (n_a + n_b - inter) AS jaccard
-        |FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.3""".stripMargin,
+    "x03_minhash_lsh" -> minhashOracleSql,
 
     // x10's oracle replicates the APPROXIMATE algorithm itself: the ±1
     // hyperplane matrix is a plan-time constant, so the same signatures,

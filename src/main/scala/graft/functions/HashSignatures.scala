@@ -124,14 +124,41 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Distinct word-n-gram shingles of a text, each hashed to 64 bits — the
-  * fused form of `transform(wordShingles(text, n), xxhash64)`: split, window,
+/** Shared engine-neutral md5-60 hashing: the first 15 hex chars of md5
+  * parsed as a long — equivalently the big-endian first 8 digest bytes
+  * unsigned-shifted right by 4. Identical to Spark's
+  * `conv(substr(md5(s),1,15),16,10)` and DuckDB's
+  * `('0x'||substr(md5(s),1,15))::BIGINT` (see `Dedup.md5Hash60`), which is
+  * what lets minhash/simhash pipelines built on it be oracle-replicated. */
+private[functions] object Md5Long {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def hash60(s: String): Long = {
+    val d = md.get()
+    d.reset()
+    val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val top =
+      ((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) | ((b(2) & 0xffL) << 40) |
+      ((b(3) & 0xffL) << 32) | ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+      ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
+    top >>> 4
+  }
+}
+
+/** Distinct word-n-gram shingles of a text, each hashed to a long — the
+  * fused form of `transform(wordShingles(text, n), <hash>)`: split, window,
   * hash and dedup in one pass per row, no intermediate string arrays.
-  * Hash = XXH64(UTF8 bytes, seed 42) — bit-identical to Spark's `xxhash64`
-  * over the same shingle strings, so results interoperate with the HOF path.
-  * Eval-based (CodegenFallback): the per-row work is a fused batch loop, so
-  * the single virtual call per row is noise. */
-case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression
+  * `useMd5 = false` → XXH64(UTF8 bytes, seed 42), bit-identical to Spark's
+  * `xxhash64` over the same shingle strings; `useMd5 = true` → the
+  * engine-neutral 60-bit md5 hash (`Md5Long.hash60`), bit-identical to the
+  * DuckDB hex-parse, which makes downstream minhash signatures
+  * oracle-replicable. Eval-based (CodegenFallback): the per-row work is a
+  * fused batch loop, so the single virtual call per row is noise. */
+case class WordShingleHashes(child: Expression, n: Int, useMd5: Boolean = false)
+    extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -155,14 +182,44 @@ case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression
         sb.append(words(i + j))
         j += 1
       }
-      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
-        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString), 42L))
+      val h =
+        if (useMd5) Md5Long.hash60(sb.toString)
+        else org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString), 42L)
+      seen.add(h)
       i += 1
     }
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-whitespace-token md5-60 hashes, duplicates KEPT (SimHash weights
+  * tokens by occurrence) — the fused form of
+  * `transform(split(text, " "), w => Dedup.md5Hash60(w))`, one pass, no
+  * intermediate string array / per-token expression dispatch. */
+case class TokenMd5Hashes(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"token_md5_hashes expects string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.split(" ", -1)
+    val out = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) { out(i) = Md5Long.hash60(words(i)); i += 1 }
     new GenericArrayData(out)
   }
 
@@ -351,9 +408,14 @@ object HashSignatures {
   def simhash64(hashes: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(hashes)))
 
-  /** `word_shingle_hashes(text, n)` — distinct hashed word n-grams. */
-  def word_shingle_hashes(text: Column, n: Int): Column =
-    GraftColumnBridge.column(WordShingleHashes(GraftColumnBridge.expression(text), n))
+  /** `word_shingle_hashes(text, n)` — distinct hashed word n-grams
+    * (xxhash64 by default; `useMd5` for the engine-neutral 60-bit hash). */
+  def word_shingle_hashes(text: Column, n: Int, useMd5: Boolean = false): Column =
+    GraftColumnBridge.column(WordShingleHashes(GraftColumnBridge.expression(text), n, useMd5))
+
+  /** `token_md5_hashes(text)` — md5-60 per whitespace token, duplicates kept. */
+  def token_md5_hashes(text: Column): Column =
+    GraftColumnBridge.column(TokenMd5Hashes(GraftColumnBridge.expression(text)))
 
   /** `word_shingles(text, n)` — distinct word n-gram strings. */
   def word_shingles(text: Column, n: Int): Column =

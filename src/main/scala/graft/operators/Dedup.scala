@@ -90,13 +90,17 @@ object Dedup {
     * any band bucket become candidates; candidates verified with exact
     * Jaccard (so precision is exact; LSH only bounds recall). Measured
     * recall is 1.0 on the evaluation corpus (identical pair set to the
-    * exact `ngramJaccard` at sf0.001/0.01/0.1), so the output is
-    * oracle-checked against the exact-Jaccard SQL.
+    * exact `ngramJaccard` at sf0.001/0.01/0.1), AND every stage is built
+    * from engine-neutral primitives — md5-60 shingle hashes
+    * (`md5Hash60`), the `(h%P)·a+b mod P` permutations, md5-of-slice band
+    * buckets — so the driver oracle replicates the WHOLE algorithm in
+    * DuckDB SQL (`SparkEntry.minhashOracleSql`), not just the exact
+    * baseline it happens to equal.
     *
     * Scale shape: the signature is ONE fused codegen pass
     * (`graft.functions.MinHashSignature` — the HOF formulation paid k
     * lambda passes and CollapseProject duplicated the shingle hashing into
-    * all k trees); band join shuffles only (band, bucket, doc_id) — 24
+    * all k trees); band join shuffles only (band, bucket, doc_id) — ~40
     * bytes/row, never the shingle arrays; candidate pairs dedup before the
     * arrays are fetched back for exact verification. Band buckets are
     * uniform hashes → skew-free shuffle keys at 100 TB. */
@@ -104,10 +108,10 @@ object Dedup {
                  bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     import graft.functions.HashSignatures.{minhash_sig, word_shingle_hashes}
     val rowsPerBand = k / bands
-    // one fused pass: split → n-gram → xxhash64 → distinct (array<long>);
-    // all downstream set math runs on the 64-bit hashes, never the strings
+    // one fused pass: split → n-gram → md5-60 → distinct (array<long>);
+    // all downstream set math runs on the long hashes, never the strings
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), word_shingle_hashes(col("text"), n).as("hs"))
+      .select(col("doc_id"), word_shingle_hashes(col("text"), n, useMd5 = true).as("hs"))
       .filter(size(col("hs")) > 0)
     val banded = docs
       .select(col("doc_id"), minhash_sig(col("hs"), k).as("sig"))
@@ -115,7 +119,8 @@ object Dedup {
         col("doc_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
-            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+            md5(array_join(transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+              h => h.cast("string")), ",")).as("bucket"))
         }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val bandA = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
@@ -264,10 +269,9 @@ object Dedup {
     * bits 0..59 can ever be set; the top nibble is constantly zero on both
     * sides. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
-    import graft.functions.HashSignatures.simhash64
+    import graft.functions.HashSignatures.{simhash64, token_md5_hashes}
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        simhash64(transform(split(col("text"), " "), w => md5Hash60(w))).as("sh"))
+      .select(col("doc_id"), simhash64(token_md5_hashes(col("text"))).as("sh"))
     val banded = docs.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"), shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))

@@ -143,17 +143,18 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val isQuery = col("vec_id") >= qLo && col("vec_id") < qHi
-    // KMeans init sampling depends on the input's partitioning; pin it by
-    // key (hash by vec_id + in-partition sort) so the fitted centroids —
-    // and therefore recall measured by RecallProbe — are identical
-    // regardless of the session's parallelism (local[4] vs local[32])
     val withVec = emb.withColumn("fv", array_to_vector(col("v")))
-      .repartition(8, col("vec_id"))
-      .sortWithinPartitions(col("vec_id"))
+    // KMeans init sampling depends on the input's partitioning; pin the FIT
+    // input by key (hash by vec_id + in-partition sort) so the fitted
+    // centroids — and therefore recall measured by RecallProbe — are
+    // identical regardless of the session's parallelism (local[4] vs
+    // local[32]). Only the fit pays the pinning shuffle; assignment (the
+    // corpus-sized path) stays on the scan's own partitioning.
+    val fitInput = withVec.repartition(8, col("vec_id")).sortWithinPartitions(col("vec_id"))
     // few iterations suffice: cells only need to be roughly balanced, and
     // ranking within probed cells is exact regardless of centroid quality
     val model = new KMeans().setK(nCentroids).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cluster").fit(withVec)
+      .setFeaturesCol("fv").setPredictionCol("cluster").fit(fitInput)
     val assigned = model.transform(withVec).select(col("vec_id"), col("v"), col("cluster"))
 
     // centroids are MODEL STATE (nCentroids × dim doubles on the driver,

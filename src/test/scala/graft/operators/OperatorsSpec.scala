@@ -167,6 +167,18 @@ class OperatorsSpec extends SparkSpec {
     assert(v == 419982666956583591L) // value computed in DuckDB — pins both engines
   }
 
+  test("md5 kernel variants equal the conv-based HOF formulation") {
+    import graft.functions.HashSignatures.{token_md5_hashes, word_shingle_hashes, word_shingles}
+    val docs = graft.Tables.documents(spark, sf)
+    val bad = docs.select(
+      array_sort(word_shingle_hashes($"text", 5, useMd5 = true)).as("nativeSh"),
+      array_sort(transform(word_shingles($"text", 5), s => Dedup.md5Hash60(s))).as("hofSh"),
+      token_md5_hashes($"text").as("nativeTok"),
+      transform(split($"text", " "), w => Dedup.md5Hash60(w)).as("hofTok"))
+      .filter(not($"nativeSh" === $"hofSh") || not($"nativeTok" === $"hofTok"))
+    assert(bad.count() == 0)
+  }
+
   test("bucketed embeddingNearDup: equi-join plan (no nested loop / cartesian), subset of exact") {
     val bucketed = Dedup.embeddingNearDup(spark, sf)
     val got = bucketed.as[(Long, Long, Double)].collect().toSet
