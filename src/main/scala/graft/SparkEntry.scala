@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, JsonOps, Multimodal, Relational, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, JsonOps, Multimodal, Relational, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -64,6 +64,9 @@ object SparkEntry {
     "x24_asof_join"       -> ((s, d) => Relational.asofJoin(s, d)),
     "x25_pivot"           -> ((s, d) => Relational.pivotCounts(s, d)),
     "x26_rollup"          -> ((s, d) => Relational.rollupRevenue(s, d)),
+    "x27_train_test_split" -> ((s, d) => Sampling.trainTestSplit(s, d)),
+    "x28_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    "x29_length_quantiles" -> ((s, d) => Sampling.lengthQuantiles(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -595,5 +598,32 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    // x27/x28 replicate the md5-hash-bucket assignment exactly (same
+    // engine-neutral hash as x03/x04) — deterministic splits/samples are a
+    // pure function of the row key in both engines.
+    "x27_train_test_split" ->
+      """SELECT doc_id, source, lang,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source, lang,
+        |        ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        |      FROM documents) t""".stripMargin,
+
+    "x28_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+        |      < (CASE WHEN lang = 'zh' THEN 10000 WHEN lang = 'en' THEN 5000 ELSE 2500 END)""".stripMargin,
+
+    "x29_length_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT source, n_chars, doc_id,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, MAX(n) AS n_docs,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 25 / 100) AS BIGINT) THEN n_chars END) AS q25_chars,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 50 / 100) AS BIGINT) THEN n_chars END) AS q50_chars,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 75 / 100) AS BIGINT) THEN n_chars END) AS q75_chars
+        |FROM ranked GROUP BY source""".stripMargin,
   )
 }

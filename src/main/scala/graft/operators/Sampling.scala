@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic sampling / splitting / distribution-stats operators — the
+  * dataset-assembly half of a training-data pipeline (train/eval splits,
+  * per-stratum mixing rates, corpus shape stats).
+  *
+  * All randomness is md5-hash-derived (`Dedup.md5Hash60` on a salted key),
+  * NOT `rand()`: assignments are a pure function of the row key, so they
+  * are reproducible run-to-run, stable under repartitioning/retries (a
+  * `rand()` sample changes under task re-execution — a silent eval-set leak
+  * at 100 TB), portable cross-engine (the DuckDB oracles replicate them
+  * exactly), and need no shuffle — every operator here is a per-row
+  * projection/filter until the final aggregate, so cost is one linear scan.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the salted md5 hash of a key —
+    * the primitive under splits and sampling. The salt isolates use-sites:
+    * a doc's split bucket and sample bucket are independent. */
+  def hashBucket(key: Column, salt: String, buckets: Int = 10000): Column =
+    pmod(Dedup.md5Hash60(concat(lit(salt + ":"), key.cast("string"))), lit(buckets.toLong))
+
+  /** Deterministic train/valid/test split: 80/10/10 by hash bucket of
+    * doc_id. The split is stable under any reordering, partitioning, or
+    * incremental re-run — the property that keeps eval sets leak-free. */
+  def trainTestSplit(spark: SparkSession, dir: String,
+                     trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val bucket = hashBucket(col("doc_id"), "split", 100)
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"), col("lang"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + validPct, "valid")
+        .otherwise("test").as("split"))
+  }
+
+  /** Stratified deterministic sampling: per-language keep-rates (the
+    * data-mixing knob of an LLM pipeline — up-sample rare strata, down-
+    * sample dominant ones), applied as hash-bucket thresholds so the chosen
+    * subset is a stable function of doc_id. Rates are in basis points of
+    * 10000 to stay in exact integer arithmetic. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       rates: Map[String, Int] = Map("en" -> 5000, "zh" -> 10000),
+                       defaultRate: Int = 2500): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col("lang") === k, lit(v)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .filter(hashBucket(col("doc_id"), "sample") < rate)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** Exact per-source length quantiles (q25/q50/q75 of n_chars) via
+    * order-statistic row-pick: rank rows per source on (n_chars, doc_id),
+    * select ranks ceil(q·n). Unlike interpolating `percentile`, a picked
+    * order statistic is an actual data value — integer, engine-exact — and
+    * the whole computation is one shuffle on source. */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val ranked = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+    def pick(q: Int): Column =
+      max(when(col("rn") === ceil(col("n") * q / 100).cast("long"), col("n_chars")))
+    ranked.groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        pick(25).as("q25_chars"), pick(50).as("q50_chars"), pick(75).as("q75_chars"))
+  }
+}

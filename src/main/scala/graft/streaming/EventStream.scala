@@ -52,6 +52,21 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("window_start_s"),
         col("event_type"), col("n_events"))
 
+  /** Gap-based session windows via the built-in `session_window` — the
+    * streaming twin of `Sessionize.sessionWindows` (x20), state bounded by
+    * the watermark: a session finalizes (and its state drops) once the
+    * watermark passes its close (last event + gap). Same 30-min gap and
+    * integer-cents sum as the batch operator. */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts_t", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts_t"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start_s"),
+        col("n_events"), col("sum_value_cents"))
+
   /** Stateful streaming dedup: first-occurrence-wins on event_id with a
     * watermark bound on the dedup state — the streaming twin of the batch
     * exact-dedup operators. At scale, state holds only ids younger than

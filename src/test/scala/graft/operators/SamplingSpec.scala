@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("trainTestSplit partitions the corpus deterministically, roughly 80/10/10") {
+    val split = Sampling.trainTestSplit(spark, sf)
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(split.count() == total) // every doc gets exactly one split
+    val byKind = split.groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(byKind.keySet == Set("train", "valid", "test"))
+    assert(byKind("train") > byKind("valid") && byKind("train") > byKind("test"))
+    // reproducible: a second evaluation assigns identically (hash, not rand)
+    val a = split.select($"doc_id", $"split").as[(Long, String)].collect().toSet
+    val b = Sampling.trainTestSplit(spark, sf)
+      .repartition(7) // stable under any partitioning
+      .select($"doc_id", $"split").as[(Long, String)].collect().toSet
+    assert(a == b)
+  }
+
+  test("stratifiedSample keeps all of zh, about half of en, and is a stable subset") {
+    val docs = graft.Tables.documents(spark, sf)
+    val sample = Sampling.stratifiedSample(spark, sf)
+    val zhAll = docs.filter($"lang" === "zh").count()
+    assert(sample.filter($"lang" === "zh").count() == zhAll) // rate 10000/10000
+    val enAll = docs.filter($"lang" === "en").count()
+    val enKept = sample.filter($"lang" === "en").count()
+    assert(enKept > 0 && enKept < enAll)
+    val again = Sampling.stratifiedSample(spark, sf).select($"doc_id").as[Long].collect().toSet
+    assert(sample.select($"doc_id").as[Long].collect().toSet == again)
+  }
+
+  test("lengthQuantiles picks ordered actual data values per source") {
+    val q = Sampling.lengthQuantiles(spark, sf)
+    val rows = q.as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val bySource = graft.Tables.documents(spark, sf)
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { case (src, n, q25, q50, q75) =>
+      assert(q25 <= q50 && q50 <= q75, src)
+      assert(n == bySource(src).size || n > 0)
+      // order statistics are actual values from the stratum, not interpolations
+      assert(bySource(src).contains(q25) && bySource(src).contains(q50) && bySource(src).contains(q75))
+    }
+  }
+}
