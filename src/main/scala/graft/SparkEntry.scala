@@ -67,6 +67,8 @@ object SparkEntry {
     "x27_train_test_split" -> ((s, d) => Sampling.trainTestSplit(s, d)),
     "x28_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "x29_length_quantiles" -> ((s, d) => Sampling.lengthQuantiles(s, d)),
+    "x30_repetition_ratio" -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
+    "x31_decontamination"  -> ((s, d) => Dedup.contaminationPairs(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -625,5 +627,27 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = CAST(ceil(n * 50 / 100) AS BIGINT) THEN n_chars END) AS q50_chars,
         |  MAX(CASE WHEN rn = CAST(ceil(n * 75 / 100) AS BIGINT) THEN n_chars END) AS q75_chars
         |FROM ranked GROUP BY source""".stripMargin,
+
+    "x30_repetition_ratio" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CAST(greatest(len(words) - 2, 0) AS INTEGER) AS total_ngrams,
+        |         CAST(len(list_distinct([array_to_string(words[i:i+2], ' ')
+        |                                 for i in range(1, len(words) - 1)])) AS INTEGER) AS distinct_ngrams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t)
+        |SELECT doc_id, total_ngrams, distinct_ngrams,
+        |       (total_ngrams - distinct_ngrams) / total_ngrams AS dup_ratio,
+        |       CAST((total_ngrams - distinct_ngrams) / total_ngrams >= 0.2 AS INTEGER) AS flagged
+        |FROM g WHERE total_ngrams > 0""".stripMargin,
+
+    "x31_decontamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(shingles) AS sh FROM (
+        |    SELECT doc_id, list_distinct([array_to_string(words[i:i+4], ' ')
+        |                                  for i in range(1, len(words) - 3)]) AS shingles
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1) t2)
+        |SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+        |FROM sh c JOIN sh b ON c.sh = b.sh AND b.doc_id < 20 AND c.doc_id >= 20
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
   )
 }

@@ -235,6 +235,29 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canonical_id"))
   }
 
+  /** Benchmark decontamination: corpus documents sharing ≥ `minShared`
+    * word n-grams with any benchmark/eval document (here: doc_id <
+    * `benchMaxId` stands in for the eval set) — the overlap check every
+    * LLM pipeline runs so training data can't leak its eval sets.
+    *
+    * Scale shape: the BENCHMARK side is broadcast (eval sets are small by
+    * definition), so the 100 TB corpus is never shuffled on the shingle
+    * key — it streams through a broadcast hash join and only the surviving
+    * (doc, bench) hits shuffle for the count. */
+  def contaminationPairs(spark: SparkSession, dir: String, n: Int = 5,
+                         benchMaxId: Long = 20, minShared: Int = 3): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.HashSignatures.word_shingles(col("text"), n)).as("sh"))
+    val bench = sh.filter(col("doc_id") < benchMaxId)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    sh.filter(col("doc_id") >= benchMaxId)
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** 64-bit SimHash from word hashes: sum ±1 per bit position weighted by
     * token occurrence, sign → bit. Computed with codegen'd higher-order
     * functions over the token array — no UDF, no shuffle until the band join. */

@@ -46,7 +46,13 @@ object Similarity {
 
   /** DuckDB SQL fragment computing the same hyperplane signature as
     * `HashSignatures.hyperplane_sig(v, hyperplaneSigns(planes))` for a
-    * DOUBLE[] column `v` — one CASE per plane over a literal ±1 vector. */
+    * DOUBLE[] column `v` — one CASE per plane over a literal ±1 vector.
+    *
+    * Cross-engine assumption: `list_dot_product` accumulates left-to-right
+    * like the kernel's loop. ±1 · x products are exact, but a different
+    * summation order could flip the sign of a near-zero projection and
+    * desync one bucket bit; measured identical on all eval corpora — if
+    * DuckDB ever changes accumulation, replace with an ordered CASE sum. */
   def hyperplaneSigSql(vCol: String, planes: Int = 8, dim: Int = 64): String = {
     val signs = hyperplaneSigns(planes, dim)
     (0 until planes).map { p =>

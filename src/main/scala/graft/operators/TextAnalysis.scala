@@ -143,6 +143,25 @@ object TextAnalysis {
       (length(planted) - length(scrubbed)).as("chars_removed"))
   }
 
+  /** Intra-document n-gram repetition ratio (the Gopher-style "repetition"
+    * quality filter): fraction of n-gram occurrences that are duplicates of
+    * an earlier n-gram in the same document. High ratios mark boilerplate /
+    * degenerate text an LLM pipeline drops before training. Per-row
+    * projection (the distinct count reuses the fused `word_shingles`
+    * kernel), no shuffle; `(total-distinct)/total` is one exact int/int
+    * IEEE division, so the oracle matches bit-for-bit. */
+  def repetitionStats(spark: SparkSession, dir: String, n: Int = 3,
+                      flagAt: Double = 0.2): DataFrame = {
+    val total = greatest(size(words(col("text"))) - (n - 1), lit(0))
+    val distinctN = size(graft.functions.HashSignatures.word_shingles(col("text"), n))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), total.as("total_ngrams"), distinctN.as("distinct_ngrams"))
+      .filter(col("total_ngrams") > 0)
+      .withColumn("dup_ratio",
+        (col("total_ngrams") - col("distinct_ngrams")) / col("total_ngrams"))
+      .withColumn("flagged", (col("dup_ratio") >= flagAt).cast("int"))
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting, as in
     * MOSS): hash every k-char gram, take the minimum hash of each sliding
     * window of w grams, emit the distinct minima. Guarantees any shared

@@ -189,6 +189,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got.subsetOf(exact)) // precision 1.0: exact cosine verify on candidates
   }
 
+  test("repetitionStats flags degenerate repeated text, passes unique text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    Seq((1L, "a b c a b c a b c a b c"), // 10 3-grams, 3 distinct → ratio 0.7
+        (2L, "q w e r t y u i o p"))     // all distinct → ratio 0.0
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.repetitionStats(spark, dir)
+      .orderBy($"doc_id").as[(Long, Int, Int, Double, Int)].collect()
+    assert(out(0) == ((1L, 10, 3, 0.7, 1)))
+    assert(out(1) == ((2L, 8, 8, 0.0, 0)))
+  }
+
+  test("contaminationPairs finds planted eval-set overlap, benchmark side broadcast") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    val evalDoc = "the quick brown fox jumps over the lazy dog today"
+    Seq((1L, evalDoc),                                  // benchmark (id < 20)
+        (30L, evalDoc + " and some extra words after"), // contaminated
+        (31L, "completely unrelated text with different words entirely here now"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val hits = Dedup.contaminationPairs(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hits.map(h => (h._1, h._2)) == Seq((30L, 1L)))
+    assert(hits.head._3 >= 3) // shares ≥3 5-grams with the benchmark doc
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
