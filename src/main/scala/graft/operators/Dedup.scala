@@ -200,11 +200,27 @@ object Dedup {
   /** Near-duplicate cluster assignment: connected components over the
     * exact-Jaccard near-dup graph, each doc labeled with the minimum doc_id
     * reachable from it (the canonical representative an LLM dedup pipeline
-    * keeps). Min-label propagation: each iteration is one shuffle join +
-    * aggregate; rounds = graph diameter (near-dup components are tiny, so
-    * a handful). Deterministic — oracle is a recursive CTE in DuckDB. */
+    * keeps). CC runs via alternating large-star/small-star contraction
+    * (`ConnectedComponents.components`) — O(log n) rounds on ANY component
+    * shape, vs the diameter-bounded min-label propagation kept below as
+    * the test twin. The near-dup join runs once (the CC operator
+    * checkpoints internally); singleton docs rejoin at the end as their
+    * own canonical. Deterministic — oracle is a recursive CTE in DuckDB. */
   def nearDupClusters(spark: SparkSession, dir: String, n: Int = 5,
-                      threshold: Double = 0.3, maxIters: Int = 20): DataFrame = {
+                      threshold: Double = 0.3): DataFrame = {
+    val pairs = ngramJaccard(spark, dir, n, threshold).select(col("doc_a"), col("doc_b"))
+    val labels = ConnectedComponents.components(pairs)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels.select(col("node").as("doc_id"), col("component")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("canonical_id"))
+  }
+
+  /** Min-label propagation CC — rounds = component diameter. Kept as the
+    * independent test twin the star-contraction variant is checked against
+    * (DedupSpec asserts identical labels); fine when components are tiny,
+    * a stall risk on chain-shaped components at scale. */
+  private[graft] def nearDupClustersPropagation(spark: SparkSession, dir: String, n: Int = 5,
+                                                threshold: Double = 0.3, maxIters: Int = 20): DataFrame = {
     val pairs = ngramJaccard(spark, dir, n, threshold).select(col("doc_a"), col("doc_b"))
     // materialize the edge list ONCE — without this every propagation
     // iteration would re-execute the whole Jaccard set-similarity join
