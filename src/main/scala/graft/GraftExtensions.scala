@@ -39,6 +39,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("word_shingle_hashes"),
       new ExpressionInfo(classOf[WordShingleHashes].getName, "word_shingle_hashes"),
-      (exprs: Seq[Expression]) => WordShingleHashes(exprs(0), intArg(exprs(1), "n"))))
+      (exprs: Seq[Expression]) => WordShingleHashes(exprs(0), intArg(exprs(1), "n"),
+        useMd5 = exprs.length > 2 && boolArg(exprs(2), "useMd5"))))
+    ext.injectFunction((
+      new FunctionIdentifier("token_md5_hashes"),
+      new ExpressionInfo(classOf[TokenMd5Hashes].getName, "token_md5_hashes"),
+      (exprs: Seq[Expression]) => TokenMd5Hashes(exprs(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fp"),
+      new ExpressionInfo(classOf[WinnowingFingerprints].getName, "winnow_fp"),
+      (exprs: Seq[Expression]) =>
+        WinnowingFingerprints(exprs(0), intArg(exprs(1), "k"), intArg(exprs(2), "w"))))
+  }
+
+  private def boolArg(e: Expression, name: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(s"$name must be a boolean literal, got $other")
   }
 }

@@ -158,7 +158,9 @@ object Similarity {
     // corpus-sized path) stays on the scan's own partitioning.
     val fitInput = withVec.repartition(8, col("vec_id")).sortWithinPartitions(col("vec_id"))
     // few iterations suffice: cells only need to be roughly balanced, and
-    // ranking within probed cells is exact regardless of centroid quality
+    // ranking within probed cells is exact regardless of centroid quality.
+    // k-means|| init is kept deliberately: random init was measured to
+    // degrade cells enough that sf0.001 needed nProbe=16/16 (no pruning)
     val model = new KMeans().setK(nCentroids).setSeed(42).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cluster").fit(fitInput)
     val assigned = model.transform(withVec).select(col("vec_id"), col("v"), col("cluster"))

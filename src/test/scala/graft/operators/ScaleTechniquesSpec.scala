@@ -71,12 +71,18 @@ class ScaleTechniquesSpec extends SparkSpec {
         """SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c,
           |       simhash64(array(7L, 7L, 7L)) AS s,
           |       size(minhash_sig(array(1L, 2L), 4)) AS m,
-          |       size(word_shingles('a b c d e f', 5)) AS w
+          |       size(word_shingles('a b c d e f', 5)) AS w,
+          |       element_at(token_md5_hashes('hello'), 1) AS t,
+          |       size(word_shingle_hashes('a b c d e f', 5, true)) AS wm,
+          |       size(winnow_fp('abcdefghijklmnop', 8, 4)) AS wf
           |""".stripMargin).collect().head
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-15)
       assert(r.getLong(1) == 7L)
       assert(r.getInt(2) == 4)
       assert(r.getInt(3) == 2)
+      assert(r.getLong(4) == 419982666956583591L) // md5-60 cross-engine pin
+      assert(r.getInt(5) == 2)
+      assert(r.getInt(6) > 0)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
