@@ -161,7 +161,7 @@ object Similarity {
     // ranking within probed cells is exact regardless of centroid quality.
     // k-means|| init is kept deliberately: random init was measured to
     // degrade cells enough that sf0.001 needed nProbe=16/16 (no pruning)
-    val model = new KMeans().setK(nCentroids).setSeed(42).setMaxIter(5)
+    val model = new KMeans().setK(nCentroids).setSeed(42).setMaxIter(3)
       .setFeaturesCol("fv").setPredictionCol("cluster").fit(fitInput)
     val assigned = model.transform(withVec).select(col("vec_id"), col("v"), col("cluster"))
 
