@@ -23,7 +23,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
-      catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}" }
+      catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse("").replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(300)
+        errors += s"$name: ${e.getClass.getSimpleName}: $msg"
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

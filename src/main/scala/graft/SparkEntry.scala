@@ -291,6 +291,9 @@ object SparkEntry {
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
+    // x02's oracle replicates the stop-shingle frequency cap (df ≤ 100) —
+    // the cap is part of the operator contract, so a corpus with hot
+    // shingles is checked as capped, not mis-graded against uncapped SQL.
     "x02_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, CAST(len(shingles) AS INTEGER) AS n_sh, unnest(shingles) AS sh FROM (
@@ -298,10 +301,13 @@ object SparkEntry {
         |           list_distinct([array_to_string(words[i:i+4], ' ')
         |                          for i in range(1, len(words) - 3)]) AS shingles
         |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1) t2),
+        |capped AS (
+        |  SELECT * FROM sh
+        |  WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > 100)),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
         |         COUNT(*) AS inter
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2, 3, 4)
         |SELECT doc_a, doc_b, inter, inter / (n_a + n_b - inter) AS jaccard
         |FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.3""".stripMargin,
@@ -488,10 +494,13 @@ object SparkEntry {
         |           list_distinct([array_to_string(words[i:i+4], ' ')
         |                          for i in range(1, len(words) - 3)]) AS shingles
         |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1) t2),
+        |capped AS (
+        |  SELECT * FROM sh
+        |  WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > 100)),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
         |         COUNT(*) AS inter
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2, 3, 4
         |  HAVING COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.3),
         |edges AS (

@@ -67,10 +67,17 @@ object ConnectedComponents {
         .localCheckpoint()
       val nextSig = edgeSignature(next)
       converged = nextSig == signature
+      releaseCheckpoint(edges) // `next` is materialized; drop the old blocks
       edges = next
       signature = nextSig
       round += 1
     }
+    // the star-forest extraction below is only valid at the fixed point —
+    // a silent exit here would hand one component several labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxRounds rounds " +
+          s"(${signature._1} edges remain); raise maxRounds")
     // at convergence the edge list is a star forest (child → component min);
     // centers appear only on the v side and label themselves
     val childLabels = edges.groupBy(col("u")).agg(min(col("v")).as("component"))
@@ -79,6 +86,17 @@ object ConnectedComponents {
       .withColumn("component", col("u"))
     childLabels.union(centers).toDF("node", "component")
   }
+
+  /** Drops a superseded localCheckpoint's persisted blocks. Each round
+    * rebinds `edges`; without this, up to maxRounds cached snapshots of the
+    * edge list would sit in executor storage until the context's GC-driven
+    * cleaner got to them. Safe because the caller only releases a
+    * checkpoint AFTER its successor is eagerly materialized. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => () // not a checkpoint-backed plan (e.g. first-round input)
+    }
 
   /** Order-insensitive fingerprint of the edge set — the convergence test.
     * (count, bit_xor of per-edge hashes): equal sets ⇒ equal signature; a

@@ -46,22 +46,29 @@ object Dedup {
     * similarity signal — and is excluded from candidate generation AND
     * intersection counts. Pairs that only share capped shingles are dropped
     * and Jaccard is computed over sub-cap shingles (a lower bound for pairs
-    * touching capped ones), so the skew cap is also a semantic choice, not
-    * just a performance one. The default (100) is far above the corpus'
-    * observed max df (4 at sf0.1), so results equal the uncapped exact
-    * Jaccard here; at 100 TB it bounds the hottest key's join blow-up. The
-    * df filter is a window count over the same hash partitioning the
-    * self-join needs — the exchange is computed once and reused. */
+    * touching capped ones). The cap is part of the operator's CONTRACT —
+    * the x02/x17 oracles replicate the same df filter in SQL — so a capped
+    * run is oracle-checked as capped, not as a lossy approximation of the
+    * uncapped answer. The default (100) is far above the eval corpus' max
+    * df (4 at sf0.1); at 100 TB it bounds the hottest key's join blow-up.
+    *
+    * Skew shape: the stop-list is found with a groupBy count (map-side
+    * partial agg shrinks a df=10⁹ shingle to one row per mapper — a window
+    * count would instead concentrate all its occurrences in one task) and
+    * removed with a broadcast anti-join (stop-shingles are few by
+    * definition), so the exploded side never shuffles for the cap. */
   def ngramJaccard(spark: SparkSession, dir: String, n: Int = 5, threshold: Double = 0.5,
                    maxShingleDf: Int = 100): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         graft.functions.HashSignatures.word_shingles(col("text"), n).as("shingles"))
       .withColumn("n_sh", size(col("shingles")))
-    val exploded = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
-      .withColumn("sh_df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("sh_df") <= maxShingleDf)
-      .drop("sh_df")
+    val raw = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val stopShingles = raw.groupBy(col("sh"))
+      .agg(count(lit(1)).as("sh_df"))
+      .filter(col("sh_df") > maxShingleDf)
+      .select(col("sh"))
+    val exploded = raw.join(broadcast(stopShingles), Seq("sh"), "left_anti")
     val a = exploded.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("sh"))
     val b = exploded.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("sh"))
     a.join(b, Seq("sh"))
@@ -171,10 +178,19 @@ object Dedup {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
       .withColumn("sig", graft.functions.HashSignatures.hyperplane_sig(col("v"), signs))
-    val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"),
+    // candidate generation rides only (id, signature) — the mask explosion
+    // multiplies rows by |masks|, so the 64-double vectors must NOT be on
+    // that side (same discipline as minhashLsh's band join); vectors join
+    // back by id for the exact verify of surviving candidates only
+    val slim = emb.select(col("vec_id"), col("sig"))
+    val a = slim.select(col("vec_id").as("vec_a"),
       explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("probe"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("sig"))
-    a.join(b, a("probe") === b("sig") && col("vec_a") < col("vec_b"))
+    val b = slim.select(col("vec_id").as("vec_b"), col("sig"))
+    val cand = a.join(b, a("probe") === b("sig") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+    val va = emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val vb = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
       .withColumn("cos_sim", cosine_sim(col("va"), col("vb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), Similarity.trunc6(col("cos_sim")).as("cos_sim"))

@@ -62,7 +62,7 @@ object EventStream {
       .withWatermark("ts_t", "2 hours")
       .groupBy(col("user_id"), session_window(col("ts_t"), gap))
       .agg(count(lit(1)).as("n_events"),
-        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+        sum(graft.operators.Relational.cents(col("value"))).as("sum_value_cents"))
       .select(col("user_id"),
         unix_timestamp(col("session_window.start")).as("session_start_s"),
         col("n_events"), col("sum_value_cents"))

@@ -40,14 +40,16 @@ class SamplingSpec extends SparkSpec {
     val q = Sampling.lengthQuantiles(spark, sf)
     val rows = q.as[(String, Long, Long, Long, Long)].collect()
     assert(rows.nonEmpty)
-    val bySource = graft.Tables.documents(spark, sf)
+    val docs = graft.Tables.documents(spark, sf)
       .select($"source", $"n_chars").as[(String, Long)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val valuesBySource = docs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rowsBySource = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     rows.foreach { case (src, n, q25, q50, q75) =>
       assert(q25 <= q50 && q50 <= q75, src)
-      assert(n == bySource(src).size || n > 0)
+      assert(n == rowsBySource(src), s"$src n_docs") // true per-stratum row count
       // order statistics are actual values from the stratum, not interpolations
-      assert(bySource(src).contains(q25) && bySource(src).contains(q50) && bySource(src).contains(q75))
+      assert(valuesBySource(src).contains(q25) && valuesBySource(src).contains(q50)
+        && valuesBySource(src).contains(q75))
     }
   }
 }

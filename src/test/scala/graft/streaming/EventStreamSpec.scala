@@ -73,18 +73,18 @@ class EventStreamSpec extends SparkSpec {
   test("streaming session_window matches batch sessions on watermark-closed sessions") {
     val streamed = runStream(
       EventStream.sessionWindowCounts(EventStream.readEvents(spark, sf)), "sesswin")
-      .select($"user_id", $"session_start_s", $"n_events")
-      .as[(Long, Long, Long)].collect().toSet
+      .select($"user_id", $"session_start_s", $"n_events", $"sum_value_cents")
+      .as[(Long, Long, Long, Long)].collect().toSet
     val batch = Sessionize.sessions(spark, sf) // x11 twin carries session_end_s
-    val batchAll = batch.select($"user_id", $"session_start_s", $"n_events")
-      .as[(Long, Long, Long)].collect().toSet
+    val batchAll = batch.select($"user_id", $"session_start_s", $"n_events", $"sum_value_cents")
+      .as[(Long, Long, Long, Long)].collect().toSet
     // append mode only emits sessions the final watermark (max ts - 2h) has
     // closed (last event + 30min gap strictly past it); later sessions stay
     // in state when the bounded replay ends
     val maxTs = batch.agg(max($"session_end_s")).head().getLong(0)
     val closed = batch.filter($"session_end_s" + 1800 < maxTs - 7200)
-      .select($"user_id", $"session_start_s", $"n_events")
-      .as[(Long, Long, Long)].collect().toSet
+      .select($"user_id", $"session_start_s", $"n_events", $"sum_value_cents")
+      .as[(Long, Long, Long, Long)].collect().toSet
     assert(streamed.subsetOf(batchAll)) // nothing invented
     assert(closed.subsetOf(streamed))   // everything closed is emitted
     assert(streamed.nonEmpty)
