@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, JsonOps, Multimodal, Relational, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, IntervalJoin, JsonOps, Multimodal, Relational, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -69,6 +69,7 @@ object SparkEntry {
     "x29_length_quantiles" -> ((s, d) => Sampling.lengthQuantiles(s, d)),
     "x30_repetition_ratio" -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
     "x31_decontamination"  -> ((s, d) => Dedup.contaminationPairs(s, d)),
+    "x32_interval_join"    -> ((s, d) => IntervalJoin.purchasesInClickSurges(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -658,5 +659,19 @@ object SparkEntry {
         |SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
         |FROM sh c JOIN sh b ON c.sh = b.sh AND b.doc_id < 20 AND c.doc_id >= 20
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+
+    "x32_interval_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |         CAST(round(value*100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |surges AS (
+        |  SELECT (ts_s // 3600) * 3600 AS start_s, COUNT(*) AS n_clicks
+        |  FROM ev WHERE event_type = 'click' GROUP BY 1 HAVING COUNT(*) >= 4),
+        |p AS (SELECT event_id, ts_s, value_cents FROM ev WHERE event_type = 'purchase')
+        |SELECT s.start_s, s.n_clicks, COUNT(*) AS n_purchases,
+        |       CAST(SUM(p.value_cents) AS BIGINT) AS purchase_cents
+        |FROM p JOIN surges s ON p.ts_s >= s.start_s AND p.ts_s < s.start_s + 3600
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -20,7 +20,7 @@ object Sessionize {
     * paths: TimestampType, or LongType nanos when the session sets
     * `spark.sql.legacy.parquet.nanosAsLong=true` (Spark 4 cannot read
     * parquet TIMESTAMP(NANOS) natively). Integer `div` keeps it exact. */
-  private def tsSeconds(df: DataFrame): org.apache.spark.sql.Column =
+  private[graft] def tsSeconds(df: DataFrame): org.apache.spark.sql.Column =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
       case _                                   => unix_timestamp(col("ts"))

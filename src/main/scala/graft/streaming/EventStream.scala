@@ -86,6 +86,30 @@ object EventStream {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("c_name").as("user_name"), col("c_mktsegment").as("segment"))
 
+  /** Stream-stream conversion attribution: purchases joined to the clicks
+    * they follow within `windowSeconds`, both sides watermarked so the join
+    * state is bounded — Spark buffers each side only until the other's
+    * watermark passes the join-window bound, the canonical watermarked
+    * stream-stream interval join. Inner join ⇒ rows emit as soon as they
+    * match (no watermark-close latency). */
+  def clickPurchaseAttribution(clicks: DataFrame, purchases: DataFrame,
+                               windowSeconds: Long = 3600): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_t").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts_t").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $windowSeconds seconds"))
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        unix_timestamp(col("click_ts")).as("click_ts_s"),
+        unix_timestamp(col("purchase_ts")).as("purchase_ts_s"))
+  }
+
   // —— stateful sessionization via mapGroupsWithState ——
 
   case class Event(user_id: Long, ts_s: Long, value: Double)

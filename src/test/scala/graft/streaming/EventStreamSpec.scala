@@ -90,6 +90,27 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream attribution join matches the batch interval join exactly") {
+    val streamed = runStream(
+      EventStream.clickPurchaseAttribution(
+        EventStream.readEvents(spark, sf), EventStream.readEvents(spark, sf)), "attrib")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val raw = graft.Tables.events(spark, sf)
+    val ev = raw.select($"event_id", $"user_id", $"event_type",
+      graft.operators.Sessionize.tsSeconds(raw).as("ts_s"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts_s".as("click_ts_s"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts_s".as("purchase_ts_s"))
+    val batch = clicks.join(purchases,
+      $"user_id" === $"p_user" && $"purchase_ts_s" >= $"click_ts_s" &&
+        $"purchase_ts_s" <= $"click_ts_s" + 3600)
+      .select($"click_id", $"user_id", $"purchase_id", $"click_ts_s", $"purchase_ts_s")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch) // inner stream-stream joins emit every match
+    assert(streamed.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch window sessionizer") {
     val sessions = runStream(
       EventStream.sessionize(EventStream.readEvents(spark, sf)).toDF(), "sessions")
