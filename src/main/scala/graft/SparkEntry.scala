@@ -70,6 +70,7 @@ object SparkEntry {
     "x30_repetition_ratio" -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
     "x31_decontamination"  -> ((s, d) => Dedup.contaminationPairs(s, d)),
     "x32_interval_join"    -> ((s, d) => IntervalJoin.purchasesInClickSurges(s, d)),
+    "x33_frame_sample"     -> ((s, d) => Multimodal.frameSampleStats(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -673,5 +674,17 @@ object SparkEntry {
         |       CAST(SUM(p.value_cents) AS BIGINT) AS purchase_cents
         |FROM p JOIN surges s ON p.ts_s >= s.start_s AND p.ts_s < s.start_s + 3600
         |GROUP BY 1, 2""".stripMargin,
+
+    // x33 recomputes the frame-sampling arithmetic (32-byte frames of the
+    // UTF-8 text, every 2nd kept, tail-frame byte accounting) in SQL.
+    "x33_frame_sample" ->
+      """WITH d AS (SELECT doc_id AS asset_id, octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT asset_id, n, CAST(ceil(n / 32.0) AS BIGINT) AS total_frames FROM d),
+        |k AS (SELECT * FROM (
+        |        SELECT asset_id, n, unnest(range(0, total_frames)) AS i FROM f) u
+        |      WHERE i % 2 = 0)
+        |SELECT asset_id, COUNT(*) AS n_frames,
+        |       CAST(SUM(LEAST(32, n - i * 32)) AS BIGINT) AS bytes_kept
+        |FROM k GROUP BY asset_id""".stripMargin,
   )
 }

@@ -96,6 +96,27 @@ object Multimodal {
     }
   }
 
+  /** Frame-sampling as a query-surface entry: treat each document's UTF-8
+    * bytes as a time-media stream (variable length, unlike the fixed md5
+    * stand-in), frame it at `frameBytes`, keep every `rate`-th frame, and
+    * account frames/bytes per asset — oracle-checks the sampling logic
+    * itself (frame boundaries, stride, tail-frame byte math). */
+  def frameSampleStats(spark: SparkSession, dir: String,
+                       frameBytes: Int = 32, rate: Int = 2): DataFrame = {
+    import spark.implicits._
+    val textAssets = Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("asset_id"),
+        lit("text-stream").as("modality"),
+        col("text").cast("binary").as("content"),
+        lit(0).as("declared_w"), lit(0).as("declared_h"))
+      .as[Asset]
+    sampleFrames(textAssets, frameBytes, rate).toDF()
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame"))).as("bytes_kept"))
+  }
+
   /** Full operator: decode then roll up per modality — the query-surface
     * entry (schema: modality, n_assets, total_bytes, mean_of_means). */
   def featuresByModality(spark: SparkSession, dir: String): DataFrame =
