@@ -71,6 +71,7 @@ object SparkEntry {
     "x31_decontamination"  -> ((s, d) => Dedup.contaminationPairs(s, d)),
     "x32_interval_join"    -> ((s, d) => IntervalJoin.purchasesInClickSurges(s, d)),
     "x33_frame_sample"     -> ((s, d) => Multimodal.frameSampleStats(s, d)),
+    "x34_distinct_sketch"  -> ((s, d) => TextAnalysis.distinctTokenSketch(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -686,5 +687,20 @@ object SparkEntry {
         |SELECT asset_id, COUNT(*) AS n_frames,
         |       CAST(SUM(LEAST(32, n - i * 32)) AS BIGINT) AS bytes_kept
         |FROM k GROUP BY asset_id""".stripMargin,
+
+    // x34's oracle replicates the KMV sketch: the k smallest distinct
+    // md5-60 token hashes per group, and the (k-1)·2^60/h_k estimate as
+    // one exact product + one division — the sketch ALGORITHM is checked,
+    // not just its row count.
+    "x34_distinct_sketch" ->
+      """WITH t AS (
+        |  SELECT DISTINCT source, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) u),
+        |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM t),
+        |kk AS (SELECT source, h FROM r WHERE rn <= 256)
+        |SELECT source, CAST(COUNT(*) AS INTEGER) AS n_kept, MAX(h) AS kth_hash,
+        |       CASE WHEN COUNT(*) = 256 THEN 255.0 * 1152921504606846976.0 / MAX(h)
+        |            ELSE CAST(COUNT(*) AS DOUBLE) END AS est_distinct
+        |FROM kk GROUP BY source""".stripMargin,
   )
 }

@@ -119,6 +119,21 @@ object TextAnalysis {
       .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tf_idf"), col("rank"))
   }
 
+  /** Per-source distinct-token cardinality via the KMV sketch
+    * (`graft.functions.KmvSketch`): bounded O(k) state per group,
+    * map-side-combinable, no shuffle of the distinct values — the scale
+    * replacement for `countDistinct` when the answer may be approximate.
+    * Deterministic end-to-end (md5-60 hashes + exact-IEEE estimate), so
+    * x34's oracle replicates the sketch in SQL. */
+  def distinctTokenSketch(spark: SparkSession, dir: String, k: Int = 256): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .select(col("source"), Dedup.md5Hash60(col("w")).as("h"))
+      .groupBy(col("source"))
+      .agg(graft.functions.KmvSketch.kmv_sketch(col("h"), k).as("sk"))
+      .select(col("source"), col("sk.n_kept").as("n_kept"),
+        col("sk.kth_hash").as("kth_hash"), col("sk.est_distinct").as("est_distinct"))
+
   /** PII scrubbing: redact email addresses, phone-like sequences and long
     * digit runs — the compliance pass every training-data pipeline runs
     * before tokenization. Pure regexp_replace chain (codegen'd, no

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.KmvSketch.kmv_sketch
+import graft.operators.Dedup
+
+class KmvSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("below k distinct inputs the sketch is exhaustive and exact") {
+    val df = Seq.tabulate(100)(i => s"tok${i % 40}").toDF("w") // 40 distinct
+      .select(Dedup.md5Hash60($"w").as("h"))
+    val r = df.agg(kmv_sketch($"h", 256).as("sk")).select($"sk.*").head()
+    assert(r.getInt(0) == 40)
+    assert(r.getDouble(2) == 40.0)
+  }
+
+  test("estimate is within 25% of the true cardinality at n >> k") {
+    val n = 20000
+    val df = (0 until n).map(i => s"token$i").toDF("w")
+      .select(Dedup.md5Hash60($"w").as("h"))
+    val est = df.agg(kmv_sketch($"h", 256).as("sk")).select($"sk.est_distinct")
+      .as[Double].head()
+    assert(math.abs(est - n) / n < 0.25, s"est=$est true=$n")
+  }
+
+  test("sketch is merge-invariant: identical result at any partitioning") {
+    val df = (0 until 5000).map(i => s"w${i % 3000}").toDF("w")
+      .select(Dedup.md5Hash60($"w").as("h"))
+    def run(parts: Int) =
+      df.repartition(parts).agg(kmv_sketch($"h", 128).as("sk"))
+        .select($"sk.n_kept", $"sk.kth_hash", $"sk.est_distinct")
+        .as[(Int, Long, Double)].head()
+    assert(run(1) == run(8)) // partial sketches merge losslessly
+  }
+
+  test("null hashes are ignored; empty input yields null sketch") {
+    val withNulls = Seq(Some("a"), None, Some("b"), None).toDF("w")
+      .select(when($"w".isNotNull, Dedup.md5Hash60($"w")).as("h"))
+    val r = withNulls.agg(kmv_sketch($"h", 16).as("sk")).select($"sk.n_kept").head()
+    assert(r.getInt(0) == 2)
+    val empty = Seq.empty[Long].toDF("h").agg(kmv_sketch($"h", 16).as("sk"))
+      .select($"sk").head()
+    assert(empty.isNullAt(0))
+  }
+}
