@@ -59,6 +59,26 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(q.count() == df.filter($"year" === 2016 && $"month" === 3).count() && q.count() > 0)
   }
 
+  test("kmv_sketch aggregates with a map-side partial phase (mergeable sketch, plan-proven)") {
+    import graft.functions.KmvSketch.kmv_sketch
+    val df = (0 until 1000).map(i => (i % 7, i.toLong)).toDF("g", "h")
+      .groupBy($"g").agg(kmv_sketch($"h", 16).as("sk"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // two ObjectHashAggregate phases around the exchange = partial sketches
+    // built per mapper and merged after the shuffle — the bounded-state
+    // shape that makes the sketch 100 TB-safe
+    assert(plan.contains("partial_kmvsketch") && plan.contains("kmvsketch"),
+      s"expected partial+final sketch aggregation:\n$plan")
+  }
+
+  test("contaminationPairs broadcasts the benchmark side (corpus never shuffles on shingles)") {
+    val q = Dedup.contaminationPairs(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$plan")
+  }
+
   test("GraftExtensions injects the native functions into a new session's SQL") {
     val ext = SparkSession.builder().master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
