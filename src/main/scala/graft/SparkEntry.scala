@@ -72,6 +72,7 @@ object SparkEntry {
     "x32_interval_join"    -> ((s, d) => IntervalJoin.purchasesInClickSurges(s, d)),
     "x33_frame_sample"     -> ((s, d) => Multimodal.frameSampleStats(s, d)),
     "x34_distinct_sketch"  -> ((s, d) => TextAnalysis.distinctTokenSketch(s, d)),
+    "x35_assembly_funnel"  -> ((s, d) => Sampling.assemblyFunnel(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -702,5 +703,30 @@ object SparkEntry {
         |       CASE WHEN COUNT(*) = 256 THEN 255.0 * 1152921504606846976.0 / MAX(h)
         |            ELSE CAST(COUNT(*) AS DOUBLE) END AS est_distinct
         |FROM kk GROUP BY source""".stripMargin,
+
+    // x35 replicates the whole assembly funnel: md5-canonical dedup,
+    // length + 3-gram repetition quality gate, md5-bucket split, per-split
+    // accounting — one SQL statement checking the composed pipeline.
+    "x35_assembly_funnel" ->
+      """WITH canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |d AS (SELECT doc.* FROM documents doc JOIN canon USING (doc_id)),
+        |g AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        |         CAST(greatest(len(string_split(text, ' ')) - 2, 0) AS INTEGER) AS tot,
+        |         CAST(len(list_distinct([array_to_string(words[i:i+2], ' ')
+        |                                 for i in range(1, len(words) - 1)])) AS INTEGER) AS dis
+        |  FROM (SELECT *, string_split(text, ' ') AS words FROM d) t),
+        |gated AS (
+        |  SELECT * FROM g
+        |  WHERE n_words >= 20 AND tot > 0 AND (tot - dis) / tot < 0.2),
+        |s AS (
+        |  SELECT *, ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        |  FROM gated)
+        |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(n_words) AS BIGINT) AS sum_words,
+        |       COUNT(DISTINCT source) AS n_sources
+        |FROM s GROUP BY 1""".stripMargin,
   )
 }

@@ -55,6 +55,40 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** End-to-end training-set assembly funnel — the composition a real LLM
+    * data pipeline runs, built entirely from this library's operators:
+    * exact dedup (md5 canonical, keep min doc_id) → quality gate (length
+    * floor + Gopher-style 3-gram repetition cap) → deterministic
+    * train/valid/test split → per-split corpus accounting. Every stage is
+    * deterministic, so the WHOLE funnel is oracle-checked (x35). Shuffles:
+    * one for the dedup group-by, one for the final split aggregate — the
+    * quality gate and split assignment are projection/filter stages in
+    * between, fused into the same scan pass. */
+  def assemblyFunnel(spark: SparkSession, dir: String, minWords: Int = 20,
+                     maxDupRatio: Double = 0.2): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val canonical = docs
+      .groupBy(md5(col("text")).as("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val words = split(col("text"), " ")
+    val total3 = greatest(size(words) - 2, lit(0))
+    val distinct3 = size(graft.functions.HashSignatures.word_shingles(col("text"), 3))
+    val gated = docs.join(canonical, Seq("doc_id"))
+      .withColumn("n_words", size(words))
+      .withColumn("total_3grams", total3)
+      .filter(col("n_words") >= minWords && col("total_3grams") > 0)
+      .withColumn("dup_ratio", (col("total_3grams") - distinct3) / col("total_3grams"))
+      .filter(col("dup_ratio") < maxDupRatio)
+    val bucket = hashBucket(col("doc_id"), "split", 100)
+    gated
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_words"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+
   /** Exact per-source length quantiles (q25/q50/q75 of n_chars) via
     * order-statistic row-pick: rank rows per source on (n_chars, doc_id),
     * select ranks ceil(q·n). Unlike interpolating `percentile`, a picked
