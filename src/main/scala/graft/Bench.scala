@@ -17,23 +17,31 @@ object Bench {
     // whole-stage-codegen compilation of the scan/agg pipeline
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .groupBy("l_returnflag").count().count()
-    // a failed query records its elapsed time AND lands in `errors` — it can
-    // never lower the reported total or masquerade as a speedup
+    // two timed runs per query, min reported ("runs":2 in the JSON): the
+    // shared host's CPU availability swings measured totals by ±20%
+    // run-to-run, and min-of-N is the standard way to measure the code
+    // rather than the neighbors. A failed query records its elapsed time
+    // AND lands in `errors` — it can never lower the reported total or
+    // masquerade as a speedup.
+    val runs = 2
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        val msg = Option(e.getMessage).getOrElse("").replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(300)
-        errors += s"$name: ${e.getClass.getSimpleName}: $msg"
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse("").replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(300)
+          errors += s"$name: ${e.getClass.getSimpleName}: $msg"
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
+    val errs = errors.distinct.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -23,4 +23,11 @@ class QueriesSmokeSpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+
+  test("every queries entry has an oracle (full-strength correctness gate)") {
+    // since round 3 there are no rows-only queries: a new operator must
+    // ship with its DuckDB oracle or this fails loudly
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"query without oracle: $missing")
+  }
 }
