@@ -73,6 +73,7 @@ object SparkEntry {
     "x33_frame_sample"     -> ((s, d) => Multimodal.frameSampleStats(s, d)),
     "x34_distinct_sketch"  -> ((s, d) => TextAnalysis.distinctTokenSketch(s, d)),
     "x35_assembly_funnel"  -> ((s, d) => Sampling.assemblyFunnel(s, d)),
+    "x36_sampled_quantiles" -> ((s, d) => Sampling.sampledQuantiles(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -728,5 +729,24 @@ object SparkEntry {
         |       CAST(SUM(n_words) AS BIGINT) AS sum_words,
         |       COUNT(DISTINCT source) AS n_sources
         |FROM s GROUP BY 1""".stripMargin,
+
+    // x36 replicates the bottom-k hash-priority sample: min payload per
+    // hash, k smallest hashes per group, quantile picks from the sorted
+    // sample — the sketch algorithm itself is the contract.
+    "x36_sampled_quantiles" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |         ('0x' || substr(md5('q:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |         n_chars AS v
+        |  FROM documents),
+        |m AS (SELECT lang, h, MIN(v) AS v FROM t GROUP BY lang, h),
+        |r AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM m),
+        |kk AS (SELECT lang, v FROM r WHERE rn <= 64),
+        |s AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS vr,
+        |             COUNT(*) OVER (PARTITION BY lang) AS n FROM kk)
+        |SELECT lang, CAST(MAX(n) AS INTEGER) AS n_sample,
+        |       MAX(CASE WHEN vr = CAST(ceil(n * 50 / 100.0) AS BIGINT) THEN v END) AS q50_sampled,
+        |       MAX(CASE WHEN vr = CAST(ceil(n * 90 / 100.0) AS BIGINT) THEN v END) AS q90_sampled
+        |FROM s GROUP BY lang""".stripMargin,
   )
 }

@@ -130,7 +130,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * `conv(substr(md5(s),1,15),16,10)` and DuckDB's
   * `('0x'||substr(md5(s),1,15))::BIGINT` (see `Dedup.md5Hash60`), which is
   * what lets minhash/simhash pipelines built on it be oracle-replicated. */
-private[functions] object Md5Long {
+private[graft] object Md5Long {
   private val md = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

@@ -311,6 +311,10 @@ object Dedup {
     * the value non-negative and inside a signed 64-bit long in both. */
   def md5Hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side Scala twin of [[md5Hash60]] (same bytes as the fused
+    * kernels) — for test references that need the hash outside a plan. */
+  private[graft] def md5Hash60Ref(s: String): Long = graft.functions.Md5Long.hash60(s)
+
   /** SimHash near-dup pairs: 4 × 16-bit bands (any-band-equal candidates →
     * hamming-distance verify ≤ maxHamming). Same LSH shape as minhashLsh:
     * shuffle on (band, 16-bit chunk), verify only candidates. Signature via

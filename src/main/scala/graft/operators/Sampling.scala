@@ -89,6 +89,27 @@ object Sampling {
         countDistinct(col("source")).as("n_sources"))
   }
 
+  /** Sample-based per-language quantile estimation via the bottom-k
+    * hash-priority sample (`functions.KmvValueSample`): each group keeps
+    * only the n_chars values of its k smallest-hashed docs (O(k) state,
+    * map-side mergeable, deterministic), and quantiles are picked from the
+    * sorted sample. The bounded-state twin of `lengthQuantiles` (x29),
+    * which must shuffle every row for exact order statistics — this is the
+    * shape quantile estimation takes at 100 TB, and because the sample is
+    * a pure function of md5-60 hashes, x36's oracle replicates it
+    * exactly. */
+  def sampledQuantiles(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import graft.functions.KmvValueSample.kmv_value_sample
+    val h = Dedup.md5Hash60(concat(lit("q:"), col("doc_id").cast("string")))
+    val agg = Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(kmv_value_sample(h, col("n_chars"), k).as("vals"))
+    def pick(q: Int): Column =
+      element_at(col("vals"), ceil(size(col("vals")) * q / 100).cast("int"))
+    agg.select(col("lang"), size(col("vals")).as("n_sample"),
+      pick(50).as("q50_sampled"), pick(90).as("q90_sampled"))
+  }
+
   /** Exact per-source length quantiles (q25/q50/q75 of n_chars) via
     * order-statistic row-pick: rank rows per source on (n_chars, doc_id),
     * select ranks ceil(q·n). Unlike interpolating `percentile`, a picked

@@ -36,6 +36,24 @@ class KmvSketchSpec extends SparkSpec {
     assert(run(1) == run(8)) // partial sketches merge losslessly
   }
 
+  test("value sample keeps payloads of the k min hashes, merge-invariant, min-per-hash on ties") {
+    import graft.functions.KmvValueSample.kmv_value_sample
+    val rows = (0 until 2000).map(i => (s"key${i % 500}", (i % 97).toLong)) // hash ties exist
+    val df = rows.toDF("kcol", "v")
+      .select(Dedup.md5Hash60($"kcol").as("h"), $"v")
+    def run(parts: Int): Seq[Long] =
+      df.repartition(parts).agg(kmv_value_sample($"h", $"v", 32).as("s"))
+        .select($"s").as[Seq[Long]].head()
+    val a = run(1)
+    assert(a == run(16)) // deterministic under any partitioning/merge order
+    assert(a.length == 32 && a == a.sorted)
+    // driver-side reference: min payload per hash, 32 smallest hashes
+    val ref = rows.groupBy(_._1).map { case (kc, vs) =>
+      (graft.operators.Dedup.md5Hash60Ref(kc), vs.map(_._2).min)
+    }.toSeq.sortBy(_._1).take(32).map(_._2).sorted
+    assert(a == ref)
+  }
+
   test("null hashes are ignored; empty input yields null sketch") {
     val withNulls = Seq(Some("a"), None, Some("b"), None).toDF("w")
       .select(when($"w".isNotNull, Dedup.md5Hash60($"w")).as("h"))
