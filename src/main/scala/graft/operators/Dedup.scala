@@ -96,13 +96,14 @@ object Dedup {
   /** MinHash + LSH banding: k=32 signature, 8 bands × 4 rows; docs sharing
     * any band bucket become candidates; candidates verified with exact
     * Jaccard (so precision is exact; LSH only bounds recall). Measured
-    * recall is 1.0 on the evaluation corpus (identical pair set to the
-    * exact `ngramJaccard` at sf0.001/0.01/0.1), AND every stage is built
-    * from engine-neutral primitives — md5-60 shingle hashes
-    * (`md5Hash60`), the `(h%P)·a+b mod P` permutations, md5-of-slice band
-    * buckets — so the driver oracle replicates the WHOLE algorithm in
-    * DuckDB SQL (`SparkEntry.minhashOracleSql`), not just the exact
-    * baseline it happens to equal.
+    * recall vs the exact `ngramJaccard` pair set (RecallProbe, RECALL.md):
+    * 1.0 at sf0.001/0.01, 255/256 at sf0.1 — and that is NOT a
+    * correctness exposure, because every stage is built from
+    * engine-neutral primitives — md5-60 shingle hashes (`md5Hash60`), the
+    * `(h%P)·a+b mod P` permutations, md5-of-slice band buckets — so the
+    * driver oracle replicates the WHOLE algorithm in DuckDB SQL
+    * (`SparkEntry.minhashOracleSql`): a pair the banding drops is
+    * (identically) absent from both engines.
     *
     * Scale shape: the signature is ONE fused codegen pass
     * (`graft.functions.MinHashSignature` — the HOF formulation paid k

@@ -111,6 +111,36 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("kmv sketch aggregates incrementally under streaming state, equal to batch") {
+    // the custom TypedImperativeAggregate must serialize/merge correctly
+    // through the streaming state store — complete-mode windowed sketch
+    // over the replay equals the same aggregation run as a batch
+    import graft.functions.KmvSketch.kmv_sketch
+    import graft.operators.Dedup
+    val userHash = Dedup.md5Hash60($"user_id".cast("string"))
+    val q = EventStream.readEvents(spark, sf)
+      .groupBy(window($"ts_t", "6 hours"))
+      .agg(kmv_sketch(userHash, 32).as("sk"))
+      .select(unix_timestamp($"window.start").as("w"),
+        $"sk.n_kept", $"sk.kth_hash", $"sk.est_distinct")
+      .writeStream.format("memory").queryName("sketchwin")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sketchwin")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val raw = graft.Tables.events(spark, sf)
+    val batch = raw
+      .withColumn("ts_t", timestamp_seconds(graft.operators.Sessionize.tsSeconds(raw)))
+      .groupBy(window($"ts_t", "6 hours"))
+      .agg(kmv_sketch(userHash, 32).as("sk"))
+      .select(unix_timestamp($"window.start").as("w"),
+        $"sk.n_kept", $"sk.kth_hash", $"sk.est_distinct")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch window sessionizer") {
     val sessions = runStream(
       EventStream.sessionize(EventStream.readEvents(spark, sf)).toDF(), "sessions")
