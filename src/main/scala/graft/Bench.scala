@@ -26,16 +26,21 @@ object Bench {
     val runs = 2
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val timed = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          val msg = Option(e.getMessage).getOrElse("").replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(300)
-          errors += s"$name: ${e.getClass.getSimpleName}: $msg"
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse("").replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(300)
+            errors += s"$name: ${e.getClass.getSimpleName}: $msg"
+            false
+          }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      // min over SUCCESSFUL runs only — a fast-failing run must not shave
+      // time off the total; if every run failed, charge all elapsed time
+      val succ = timed.collect { case (true, t) => t }
+      name -> (if (succ.nonEmpty) succ.min else timed.map(_._2).sum)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -26,18 +26,22 @@ object Sampling {
   def hashBucket(key: Column, salt: String, buckets: Int = 10000): Column =
     pmod(Dedup.md5Hash60(concat(lit(salt + ":"), key.cast("string"))), lit(buckets.toLong))
 
+  /** train/valid/test label from a [0, 100) hash bucket — shared by
+    * `trainTestSplit` (x27) and `assemblyFunnel` (x35) so the two can
+    * never diverge on the split rule. */
+  def splitLabel(bucket: Column, trainPct: Int = 80, validPct: Int = 10): Column =
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + validPct, "valid")
+      .otherwise("test")
+
   /** Deterministic train/valid/test split: 80/10/10 by hash bucket of
     * doc_id. The split is stable under any reordering, partitioning, or
     * incremental re-run — the property that keeps eval sets leak-free. */
   def trainTestSplit(spark: SparkSession, dir: String,
-                     trainPct: Int = 80, validPct: Int = 10): DataFrame = {
-    val bucket = hashBucket(col("doc_id"), "split", 100)
+                     trainPct: Int = 80, validPct: Int = 10): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"), col("source"), col("lang"),
-      when(bucket < trainPct, "train")
-        .when(bucket < trainPct + validPct, "valid")
-        .otherwise("test").as("split"))
-  }
+      splitLabel(hashBucket(col("doc_id"), "split", 100), trainPct, validPct).as("split"))
 
   /** Stratified deterministic sampling: per-language keep-rates (the
     * data-mixing knob of an LLM pipeline — up-sample rare strata, down-
@@ -70,19 +74,15 @@ object Sampling {
     val canonical = docs
       .groupBy(md5(col("text")).as("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val words = split(col("text"), " ")
-    val total3 = greatest(size(words) - 2, lit(0))
-    val distinct3 = size(graft.functions.HashSignatures.word_shingles(col("text"), 3))
+    val (total3, distinct3) = TextAnalysis.ngramCounts(3) // same gate as x30
     val gated = docs.join(canonical, Seq("doc_id"))
-      .withColumn("n_words", size(words))
+      .withColumn("n_words", size(split(col("text"), " ")))
       .withColumn("total_3grams", total3)
       .filter(col("n_words") >= minWords && col("total_3grams") > 0)
       .withColumn("dup_ratio", (col("total_3grams") - distinct3) / col("total_3grams"))
       .filter(col("dup_ratio") < maxDupRatio)
-    val bucket = hashBucket(col("doc_id"), "split", 100)
     gated
-      .withColumn("split",
-        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+      .withColumn("split", splitLabel(hashBucket(col("doc_id"), "split", 100))) // same rule as x27
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("sum_words"),

@@ -165,10 +165,16 @@ object TextAnalysis {
     * projection (the distinct count reuses the fused `word_shingles`
     * kernel), no shuffle; `(total-distinct)/total` is one exact int/int
     * IEEE division, so the oracle matches bit-for-bit. */
+  /** (total, distinct) n-gram occurrence counts of `text` — the shared
+    * arithmetic under the repetition ratio (x30) and the assembly funnel's
+    * quality gate (x35); one definition keeps their oracles in lockstep. */
+  private[operators] def ngramCounts(n: Int): (Column, Column) = (
+    greatest(size(words(col("text"))) - (n - 1), lit(0)),
+    size(graft.functions.HashSignatures.word_shingles(col("text"), n)))
+
   def repetitionStats(spark: SparkSession, dir: String, n: Int = 3,
                       flagAt: Double = 0.2): DataFrame = {
-    val total = greatest(size(words(col("text"))) - (n - 1), lit(0))
-    val distinctN = size(graft.functions.HashSignatures.word_shingles(col("text"), n))
+    val (total, distinctN) = ngramCounts(n)
     Tables.documents(spark, dir)
       .select(col("doc_id"), total.as("total_ngrams"), distinctN.as("distinct_ngrams"))
       .filter(col("total_ngrams") > 0)
