@@ -74,6 +74,7 @@ object SparkEntry {
     "x34_distinct_sketch"  -> ((s, d) => TextAnalysis.distinctTokenSketch(s, d)),
     "x35_assembly_funnel"  -> ((s, d) => Sampling.assemblyFunnel(s, d)),
     "x36_sampled_quantiles" -> ((s, d) => Sampling.sampledQuantiles(s, d)),
+    "x37_sequence_packing"  -> ((s, d) => Sampling.packSequences(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -748,5 +749,22 @@ object SparkEntry {
         |       MAX(CASE WHEN vr = CAST(ceil(n * 50 / 100.0) AS BIGINT) THEN v END) AS q50_sampled,
         |       MAX(CASE WHEN vr = CAST(ceil(n * 90 / 100.0) AS BIGINT) THEN v END) AS q90_sampled
         |FROM s GROUP BY lang""".stripMargin,
+
+    // x37: the oracle computes the same greedy packing with a direct
+    // global cumulative sum — equality with Spark's two-level distributed
+    // prefix sum is exactly what's being checked.
+    "x37_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM t)
+        |SELECT (tokens_before // 512) AS bin_id, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1""".stripMargin,
   )
 }

@@ -89,6 +89,39 @@ object Sampling {
         countDistinct(col("source")).as("n_sources"))
   }
 
+  /** Greedy sequential sequence packing: assign documents (in doc_id
+    * order) to fixed token-budget training bins — bin = how many full
+    * budgets precede the document's first token. The global running token
+    * count is computed with a SCALE-SAFE two-level prefix sum: per-bucket
+    * partial sums (one small aggregate), a prefix over the bucket totals
+    * (a window over n_docs/bucketSize rows — recurse the same trick if
+    * even that is large), and a partition-parallel local cumsum within
+    * each bucket offset by its bucket's prefix. The naive formulation — a
+    * global `sum over (ORDER BY doc_id)` window — funnels every row
+    * through ONE task; this shape keeps the row-level pass fully parallel
+    * and is proven equal to the naive window in the spec. */
+  def packSequences(spark: SparkSession, dir: String, budgetTokens: Long = 512,
+                    bucketSize: Long = 1000): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bkt", expr(s"doc_id div $bucketSize"))
+    val bucketPrefix = toks.groupBy(col("bkt"))
+      .agg(sum(col("n_tokens")).as("bkt_sum"))
+      .withColumn("bkt_offset",
+        coalesce(sum(col("bkt_sum")).over(
+          Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("bkt_offset"))
+    val local = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(bucketPrefix, Seq("bkt"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(local), lit(0L)) + col("bkt_offset"))
+      .withColumn("bin_id", expr(s"tokens_before div $budgetTokens"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
   /** Sample-based per-language quantile estimation via the bottom-k
     * hash-priority sample (`functions.KmvValueSample`): each group keeps
     * only the n_chars values of its k smallest-hashed docs (O(k) state,

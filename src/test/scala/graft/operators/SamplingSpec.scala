@@ -36,6 +36,29 @@ class SamplingSpec extends SparkSpec {
     assert(sample.select($"doc_id").as[Long].collect().toSet == again)
   }
 
+  test("two-level prefix-sum packing equals the naive global-window cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val packed = Sampling.packSequences(spark, sf, budgetTokens = 512, bucketSize = 7)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(packed.nonEmpty)
+    // naive single-partition reference (fine at test scale, the shape the
+    // bucketed prefix sum exists to avoid)
+    val naive = graft.Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum($"n_tokens").over(
+          Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin_id", org.apache.spark.sql.functions.expr("tokens_before div 512"))
+      .groupBy($"bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(packed == naive)
+    // bins are contiguous doc ranges and every doc is packed exactly once
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(packed.toSeq.map(_._2).sum == total)
+  }
+
   test("lengthQuantiles picks ordered actual data values per source") {
     val q = Sampling.lengthQuantiles(spark, sf)
     val rows = q.as[(String, Long, Long, Long, Long)].collect()
