@@ -75,6 +75,7 @@ object SparkEntry {
     "x35_assembly_funnel"  -> ((s, d) => Sampling.assemblyFunnel(s, d)),
     "x36_sampled_quantiles" -> ((s, d) => Sampling.sampledQuantiles(s, d)),
     "x37_sequence_packing"  -> ((s, d) => Sampling.packSequences(s, d)),
+    "x38_cluster_debiased"  -> ((s, d) => Sampling.clusterDebiasedSample(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -766,5 +767,45 @@ object SparkEntry {
         |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1""".stripMargin,
+
+    // x38 recomputes the near-dup clusters (same recursive CTE as x17),
+    // cluster sizes, and the deterministic 10000-div-size keep rule.
+    "x38_cluster_debiased" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, CAST(len(shingles) AS INTEGER) AS n_sh, unnest(shingles) AS sh FROM (
+        |    SELECT doc_id,
+        |           list_distinct([array_to_string(words[i:i+4], ' ')
+        |                          for i in range(1, len(words) - 3)]) AS shingles
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1) t2),
+        |capped AS (
+        |  SELECT * FROM sh
+        |  WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > 100)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+        |         COUNT(*) AS inter
+        |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |  HAVING COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.3),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs),
+        |reach(doc_id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id),
+        |clusters AS (SELECT doc_id, MIN(label) AS canonical_id FROM reach GROUP BY doc_id),
+        |sized AS (
+        |  SELECT c.doc_id, s.cluster_size FROM clusters c
+        |  JOIN (SELECT canonical_id, COUNT(*) AS cluster_size FROM clusters GROUP BY 1) s
+        |    ON c.canonical_id = s.canonical_id),
+        |flagged AS (
+        |  SELECT cluster_size,
+        |         CASE WHEN ('0x' || substr(md5('cds:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+        |                   < 10000 // cluster_size THEN 1 ELSE 0 END AS kept
+        |  FROM sized)
+        |SELECT cluster_size, COUNT(*) AS n_docs_total,
+        |       CAST(SUM(kept) AS BIGINT) AS n_docs_kept
+        |FROM flagged GROUP BY cluster_size""".stripMargin,
   )
 }

@@ -89,6 +89,25 @@ object Sampling {
         countDistinct(col("source")).as("n_sources"))
   }
 
+  /** Cluster-debiased sampling: sample each near-duplicate cluster (x17's
+    * connected components) at rate ∝ 1/cluster_size, so duplicated content
+    * contributes ~one expected document regardless of how many near-copies
+    * exist — the dedup-aware reweighting step between clustering and
+    * training-set assembly. Keep rule is the deterministic md5 bucket vs
+    * `10000 div cluster_size` basis points (integer division, engine-
+    * exact); singletons are kept with certainty. Output: per cluster_size,
+    * total vs kept doc counts. */
+  def clusterDebiasedSample(spark: SparkSession, dir: String, n: Int = 5,
+                            threshold: Double = 0.3): DataFrame = {
+    val clusters = Dedup.nearDupClusters(spark, dir, n, threshold)
+    val sizes = clusters.groupBy(col("canonical_id")).agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, Seq("canonical_id"))
+      .withColumn("kept",
+        (hashBucket(col("doc_id"), "cds") < expr("10000 div cluster_size")).cast("int"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_docs_total"), sum(col("kept")).as("n_docs_kept"))
+  }
+
   /** Greedy sequential sequence packing: assign documents (in doc_id
     * order) to fixed token-budget training bins — bin = how many full
     * budgets precede the document's first token. The global running token

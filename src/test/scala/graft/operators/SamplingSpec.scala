@@ -59,6 +59,20 @@ class SamplingSpec extends SparkSpec {
     assert(packed.toSeq.map(_._2).sum == total)
   }
 
+  test("cluster-debiased sampling keeps every singleton and downsamples dup clusters") {
+    val r = Sampling.clusterDebiasedSample(spark, sf)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // singletons have keep-rate 10000/10000 = certainty
+    val (tot1, kept1) = r(1L)
+    assert(kept1 == tot1 && tot1 > 0)
+    // multi-doc clusters are strictly downsampled in aggregate
+    val multi = r.filterNot(_._1 == 1L).values
+    if (multi.nonEmpty) {
+      val (tot, kept) = multi.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      assert(kept < tot)
+    }
+  }
+
   test("lengthQuantiles picks ordered actual data values per source") {
     val q = Sampling.lengthQuantiles(spark, sf)
     val rows = q.as[(String, Long, Long, Long, Long)].collect()
