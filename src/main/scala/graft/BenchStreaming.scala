@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming micro-benchmark: drives the Structured Streaming twins
+  * (`graft.streaming.EventStream`) over the events table with an
+  * AvailableNow trigger into a noop sink and reports rows/s per twin —
+  * the recorded perf number for the streaming surface, sibling to
+  * `graft.Bench`'s batch JSON line. Prints ONE JSON line:
+  * {"metric":"streaming_rows_per_sec","value":<fmgws rows/s>,...}. */
+object BenchStreaming {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "false") // AQE is batch-only; keep plans comparable
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.streaming.EventStream
+
+    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+
+    // each twin: one AvailableNow pass over the whole events table; rows/s
+    // = input rows / wall time of the complete run (start → termination),
+    // which charges source listing, state-store maintenance and commit
+    // overheads to the twin — the honest end-to-end number
+    def run(name: String, build: DataFrame => DataFrame): (String, Double) = {
+      val ckpt = Files.createTempDirectory(s"graft-sbench-$name").toString
+      val t0 = System.nanoTime()
+      val q = build(EventStream.readEvents(spark, sfDir))
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (nEvents / sec)
+    }
+
+    val users = spark.read.parquet(s"$sfDir/customer.parquet")
+    val results = Seq(
+      run("fmgws_sessionize", ev => EventStream.sessionize(ev).toDF()),
+      run("hourly_counts", EventStream.hourlyCounts),
+      run("sliding_counts", EventStream.slidingCounts),
+      run("session_window", ev => EventStream.sessionWindowCounts(ev)),
+      run("dedup_stream", EventStream.dedupStream),
+      run("stream_static_enrich", ev => EventStream.enrichWithUsers(ev, users)))
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
+    val headline = f"${results.head._2}%.1f"
+    println(s"""{"metric":"streaming_rows_per_sec","value":$headline,"unit":"rows/sec","rows":$nEvents,"queries":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -76,6 +76,8 @@ object SparkEntry {
     "x36_sampled_quantiles" -> ((s, d) => Sampling.sampledQuantiles(s, d)),
     "x37_sequence_packing"  -> ((s, d) => Sampling.packSequences(s, d)),
     "x38_cluster_debiased"  -> ((s, d) => Sampling.clusterDebiasedSample(s, d)),
+    "x39_paragraph_dedup"   -> ((s, d) => Dedup.paragraphDedup(s, d)),
+    "x40_quality_features"  -> ((s, d) => TextAnalysis.qualityFeatures(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -323,13 +325,15 @@ object SparkEntry {
 
     // x10's oracle replicates the APPROXIMATE algorithm itself: the ±1
     // hyperplane matrix is a plan-time constant, so the same signatures,
-    // Hamming-≤2 multi-probe, and exact re-rank are computed in SQL — the
-    // oracle validates the LSH semantics including their recall behavior.
+    // multi-probe (Hamming ≤ LshProbeRadius), and exact re-rank are
+    // computed in SQL — the oracle validates the LSH semantics including
+    // their recall behavior. Plane count and probe radius come from the
+    // SAME constants the Spark operator defaults to.
     "x10_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |s AS (SELECT vec_id, v,
          |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm,
-         |        ${operators.Similarity.hyperplaneSigSql("v")} AS sig
+         |        ${operators.Similarity.hyperplaneSigSql("v", operators.Similarity.LshPlanes)} AS sig
          |      FROM e),
          |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, sig AS qsig FROM s
          |      WHERE vec_id >= 10 AND vec_id < 20),
@@ -338,7 +342,8 @@ object SparkEntry {
          |    floor(list_dot_product(q.qv, s.v)
          |          / (q.qnrm * s.nrm) * 1000000) / 1000000 AS cos_sim
          |  FROM s, q
-         |  WHERE s.vec_id <> q.q_id AND bit_count(xor(s.sig, q.qsig)) <= 2),
+         |  WHERE s.vec_id <> q.q_id
+         |    AND bit_count(xor(s.sig, q.qsig)) <= ${operators.Similarity.LshProbeRadius}),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
          |           FROM scored)
          |SELECT q_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 5""".stripMargin,
@@ -449,18 +454,22 @@ object SparkEntry {
 
     // x13's oracle is an ALGORITHM oracle like x10's: the same ±1
     // hyperplane matrix is baked into SQL and the candidate rule
-    // (signature Hamming ≤ 4) is replicated with bit_count(xor(...)),
-    // so the oracle checks the bucketed semantics themselves.
+    // (signature Hamming ≤ NearDupMaxHamming) is replicated with
+    // bit_count(xor(...)), so the oracle checks the bucketed semantics
+    // themselves. Plane count and radius come from the SAME constants the
+    // Spark operator defaults to (`Dedup.NearDupPlanes` /
+    // `Dedup.NearDupMaxHamming`) — they can only move together.
     "x13_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
-         |        ${operators.Similarity.hyperplaneSigSql("v")} AS sig
+         |        ${operators.Similarity.hyperplaneSigSql("v", operators.Dedup.NearDupPlanes)} AS sig
          |      FROM e),
          |p AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS c
          |  FROM n a JOIN n b
-         |    ON a.vec_id < b.vec_id AND bit_count(xor(a.sig, b.sig)) <= 4)
+         |    ON a.vec_id < b.vec_id
+         |   AND bit_count(xor(a.sig, b.sig)) <= ${operators.Dedup.NearDupMaxHamming})
          |SELECT vec_a, vec_b, floor(c * 1000000) / 1000000 AS cos_sim
          |FROM p WHERE c >= 0.4""".stripMargin,
 
@@ -752,8 +761,11 @@ object SparkEntry {
         |FROM s GROUP BY lang""".stripMargin,
 
     // x37: the oracle computes the same greedy packing with a direct
-    // global cumulative sum — equality with Spark's two-level distributed
-    // prefix sum is exactly what's being checked.
+    // global cumulative sum — equality with Spark's multi-level distributed
+    // prefix sum is exactly what's being checked. `tokens_before` is a
+    // DuckDB window SUM over BIGINT, which yields HUGEINT-typed arithmetic
+    // — bin_id MUST be cast back to BIGINT or the driver's type-sensitive
+    // hash compare flags a mismatch against Spark's LongType.
     "x37_sequence_packing" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -763,7 +775,7 @@ object SparkEntry {
         |         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
         |  FROM t)
-        |SELECT (tokens_before // 512) AS bin_id, COUNT(*) AS n_docs,
+        |SELECT CAST(tokens_before // 512 AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
         |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1""".stripMargin,
@@ -807,5 +819,64 @@ object SparkEntry {
         |SELECT cluster_size, COUNT(*) AS n_docs_total,
         |       CAST(SUM(kept) AS BIGINT) AS n_docs_kept
         |FROM flagged GROUP BY cluster_size""".stripMargin,
+
+    // x39 replicates the whole paragraph-dedup pipeline: the md5-60
+    // content-defined boundary rule (≡ 0 mod 16 — same engine-neutral hash
+    // as x03/x04/x27), per-doc running boundary count, paragraph re-join,
+    // corpus-wide first-occurrence-by-(doc_id, par_id) dedup on the
+    // paragraph digest, and in-order re-assembly of the survivors.
+    "x39_paragraph_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, pos, w,
+        |         SUM(CASE WHEN ('0x' || substr(md5(w), 1, 15))::BIGINT % 16 = 0
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS par_id
+        |  FROM w),
+        |pars AS (
+        |  SELECT doc_id, par_id, array_to_string(list(w ORDER BY pos), ' ') AS par
+        |  FROM c GROUP BY doc_id, par_id),
+        |marked AS (
+        |  SELECT doc_id, par_id, par,
+        |         row_number() OVER (PARTITION BY md5(par) ORDER BY doc_id, par_id) AS rn
+        |  FROM pars),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_pars FROM pars GROUP BY doc_id),
+        |re AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |         array_to_string(list(par ORDER BY par_id), ' ') AS clean_text
+        |  FROM marked WHERE rn = 1 GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.n_pars AS INTEGER) AS n_pars,
+        |       CAST(COALESCE(re.n_kept, 0) AS INTEGER) AS n_kept,
+        |       COALESCE(re.clean_text, '') AS clean_text
+        |FROM tot t LEFT JOIN re USING (doc_id)""".stripMargin,
+
+    // x40: the quality-classifier FEATURE MATRIX (and its heuristic label)
+    // is fully deterministic — int/int divisions only — so the whole
+    // model-input assembly is oracle-checked; the LogisticRegression
+    // fit/score on top is float-iterative and test-gated instead
+    // (QualityClassifierSpec) — same split as x18's fit vs dataflow.
+    "x40_quality_features" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        |    length(replace(text, ' ', '')) / len(string_split(text, ' ')) AS mean_word_len,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','an','of','to','in','and','is','for','on')))
+        |      / len(string_split(text, ' ')) AS stopword_ratio,
+        |    len(list_filter(string_split(text, ' '), w -> length(w) = 1))
+        |      / len(string_split(text, ' ')) AS short_word_ratio,
+        |    CAST(greatest(len(string_split(text, ' ')) - 2, 0) AS INTEGER) AS tot,
+        |    CAST(len(list_distinct([array_to_string(words[i:i+2], ' ')
+        |                            for i in range(1, len(words) - 1)])) AS INTEGER) AS dis
+        |  FROM (SELECT *, string_split(text, ' ') AS words FROM documents) t)
+        |SELECT doc_id, n_words, mean_word_len, stopword_ratio, short_word_ratio,
+        |       CASE WHEN tot > 0 THEN (tot - dis) / tot ELSE 0.0 END AS dup_ratio,
+        |       CAST(least(1.0, n_words / 100.0) * (1.0 - short_word_ratio) >= 0.5
+        |            AS INTEGER) AS label
+        |FROM g""".stripMargin,
   )
 }

@@ -23,6 +23,25 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // x18's oracle is EXACT brute-force equality under measured recall 1.0
+    // — a corpus-dependent gate. Record the measured recall NEXT TO the
+    // dump so an x18 hash-mismatch is immediately classifiable from the
+    // verify artifacts alone: recall < 1 → recall loss on this corpus (the
+    // pruning legitimately dropped a true neighbor; gate artifact, not a
+    // bug), recall = 1 → the dataflow itself diverged (real bug).
+    try {
+      def keySet(df: org.apache.spark.sql.DataFrame) =
+        df.select("q_id", "vec_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val exact = keySet(operators.Similarity.bruteForceTopK(spark, sfDir, qLo = 20, qHi = 30))
+      val approx = keySet(operators.Similarity.ivfTopK(spark, sfDir))
+      val missing = (exact -- approx).size
+      val recall = if (exact.isEmpty) 1.0 else (exact.size - missing).toDouble / exact.size
+      Files.writeString(Paths.get(s"$outDir/x18_recall.json"),
+        s"""{"exact":${exact.size},"approx":${approx.size},"missing":$missing,"recall":$recall}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] x18 recall probe failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -66,7 +66,15 @@ object ConnectedComponents {
       val next = starRound(starRound(edges, large = true), large = false)
         .localCheckpoint()
       val nextSig = edgeSignature(next)
-      converged = nextSig == signature
+      // the per-round test stays the O(1)-state hash fingerprint; when it
+      // first reports a fixed point, CONFIRM with one exact set-equality
+      // check so a (count, xor-hash) collision between two different edge
+      // sets can never silently bypass the convergence guard. Both sides
+      // are distinct sets with equal counts (counts are part of the
+      // signature), so one-directional emptiness of the anti-join is full
+      // set equality. Runs once per call, not once per round.
+      converged = nextSig == signature &&
+        edges.join(next, Seq("u", "v"), "left_anti").isEmpty
       releaseCheckpoint(edges) // `next` is materialized; drop the old blocks
       edges = next
       signature = nextSig
@@ -98,12 +106,14 @@ object ConnectedComponents {
       case _ => () // not a checkpoint-backed plan (e.g. first-round input)
     }
 
-  /** Order-insensitive fingerprint of the edge set — the convergence test.
-    * (count, bit_xor of per-edge hashes): equal sets ⇒ equal signature; a
-    * false convergence would need two DIFFERENT consecutive edge sets with
-    * equal counts and colliding 64-bit hash-xors — not a realistic failure
-    * mode, and the maxRounds guard bounds the loop regardless. One tiny
-    * aggregate per round (the same count() any loop condition pays). */
+  /** Order-insensitive fingerprint of the edge set — the per-round
+    * convergence test. (count, bit_xor of per-edge hashes): equal sets ⇒
+    * equal signature. The converse can fail (two different sets with equal
+    * count and colliding xor), which is why `components` confirms the FIRST
+    * signature match with an exact anti-join before trusting it — the hash
+    * keeps the per-round cost at one tiny aggregate (the same count() any
+    * loop condition pays) while the one-shot exact check removes the
+    * collision exposure entirely. */
   private def edgeSignature(edges: DataFrame): (Long, Long) = {
     val r = edges.select(xxhash64(col("u"), col("v")).as("h"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x")).head()

@@ -17,6 +17,14 @@ import graft.Tables
   */
 object Dedup {
 
+  /** Hyperplane count / candidate Hamming radius for `embeddingNearDup`
+    * (x13). Shared constants: the DuckDB oracle in `SparkEntry` derives its
+    * `bit_count(xor(sig)) <= r` rule and signature width from THESE values,
+    * so changing a default here regenerates both sides together instead of
+    * silently desyncing query and oracle. */
+  val NearDupPlanes: Int = 8
+  val NearDupMaxHamming: Int = 4
+
   /** Word n-gram shingles of `text`, distinct, as an array column.
     * Spark-side uses codegen'd higher-order functions (no UDF). */
   def wordShingles(text: Column, n: Int): Column = {
@@ -171,7 +179,8 @@ object Dedup {
     * bucket count is the shuffle key space) and the mask fan-out stays a
     * plan-time constant. */
   def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.4,
-                       planes: Int = 8, maxHamming: Int = 4): DataFrame = {
+                       planes: Int = NearDupPlanes,
+                       maxHamming: Int = NearDupMaxHamming): DataFrame = {
     import graft.functions.VectorFunctions.cosine_sim
     val signs = Similarity.hyperplaneSigns(planes)
     val masks: Seq[Int] =
@@ -289,6 +298,72 @@ object Dedup {
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Paragraph-level exact dedup (x39) — the C4/RefinedWeb-style
+    * intra-corpus boilerplate killer: split every document into paragraphs,
+    * drop each paragraph that already occurred anywhere earlier in the
+    * corpus (first occurrence by (doc_id, par_id) wins), and re-assemble
+    * each document from its surviving paragraphs in order.
+    *
+    * Paragraph boundaries are CONTENT-DEFINED (CDC-style): a word whose
+    * engine-neutral `md5Hash60` is ≡ 0 (mod `boundaryMod`) starts a new
+    * paragraph, giving ~boundaryMod-word chunks whose boundaries move WITH
+    * the content — an insertion only re-cuts its own chunk, so near-dup
+    * documents still share identical paragraphs (a fixed positional split
+    * would misalign after the first edit; a real newline corpus would just
+    * use `split(text, '\n\n')` as the segmenter and keep every other stage
+    * unchanged). The synthetic corpus has no newlines, so the CDC cut is
+    * also what makes the operator testable here.
+    *
+    * Scale shape (three shuffles, all on uniform or bounded keys):
+    * word explode is a per-row flatMap; paragraph assembly shuffles on
+    * doc_id ONCE — the running boundary count and the (doc_id, par_id)
+    * grouping both run on that partitioning (`HashPartitioning(doc_id)`
+    * satisfies the grouping's clustered distribution, so Catalyst inserts
+    * no second exchange) and per-task state is bounded by document length,
+    * never corpus size; first-occurrence detection is a groupBy on the
+    * paragraph digest (map-side partial agg collapses a boilerplate
+    * paragraph's 10⁹ copies to one row per mapper — the same hot-key
+    * discipline as x02's stop-shingle cap; a row_number-over-digest window
+    * would instead sort ALL copies of the hottest boilerplate paragraph in
+    * one task, which is exactly the key distribution this operator exists
+    * to handle); the keep-check join back on digest matches exactly one
+    * `firsts` row per paragraph (no fan-out; AQE's skew-join split handles
+    * a mega-hot digest's own row count); re-assembly shuffles on doc_id,
+    * computing totals, kept counts AND the re-joined text in the SAME
+    * aggregate (`collect_list` skips the nulls the non-kept flag produces),
+    * so the paragraph subtree is instantiated exactly twice — once feeding
+    * the digest aggregate, once the keep-join — the minimum a skew-safe
+    * declarative formulation pays (collapsing to one would force an
+    * imperative corpus-sized materialization). */
+  def paragraphDedup(spark: SparkSession, dir: String, boundaryMod: Int = 16): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "w")
+    val runningBoundaries = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pars = words
+      .withColumn("bd",
+        when(pmod(md5Hash60(col("w")), lit(boundaryMod.toLong)) === 0, 1L).otherwise(0L))
+      .withColumn("par_id", sum(col("bd")).over(runningBoundaries))
+      .groupBy(col("doc_id"), col("par_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+        s => s.getField("w")), " ").as("par"))
+      .withColumn("fp", md5(col("par")))
+    val firsts = pars.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("par_id"))).as("first"))
+    pars.join(firsts, Seq("fp"))
+      .withColumn("is_first",
+        (col("doc_id") === col("first.doc_id") && col("par_id") === col("first.par_id"))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pars"), sum(col("is_first")).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("is_first") === 1L, struct(col("par_id"), col("par"))))),
+          s => s.getField("par")), " ").as("clean_text"))
+      .select(col("doc_id"), col("n_pars").cast("int").as("n_pars"),
+        col("n_kept").cast("int").as("n_kept"), col("clean_text"))
   }
 
   /** 64-bit SimHash from word hashes: sum ±1 per bit position weighted by

@@ -98,8 +98,18 @@ object Sampling {
     * exact); singletons are kept with certainty. Output: per cluster_size,
     * total vs kept doc counts. */
   def clusterDebiasedSample(spark: SparkSession, dir: String, n: Int = 5,
-                            threshold: Double = 0.3): DataFrame = {
-    val clusters = Dedup.nearDupClusters(spark, dir, n, threshold)
+                            threshold: Double = 0.3): DataFrame =
+    clusterDebiasedSample(Dedup.nearDupClusters(spark, dir, n, threshold))
+
+  /** Composable form of x38: debiased sampling over an ALREADY-COMPUTED
+    * cluster assignment (doc_id, canonical_id) — x17's output, or any other
+    * entity-resolution labeling. A real pipeline runs the (expensive)
+    * Jaccard join + connected components ONCE and feeds the cached result
+    * to both the cluster report and this sampler; the standalone overload
+    * above recomputes it only because the query contract is
+    * (spark, dir) ⇒ DataFrame. Proven equivalent to the standalone form in
+    * SamplingSpec. */
+  def clusterDebiasedSample(clusters: DataFrame): DataFrame = {
     val sizes = clusters.groupBy(col("canonical_id")).agg(count(lit(1)).as("cluster_size"))
     clusters.join(sizes, Seq("canonical_id"))
       .withColumn("kept",
@@ -108,28 +118,69 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs_total"), sum(col("kept")).as("n_docs_kept"))
   }
 
+  /** Exclusive prefix sum over (key, v) rows without EVER running a global
+    * single-task window over more than `maxWindowRows` rows: returns
+    * (key, offset) with offset = Σ v over all strictly-smaller keys.
+    *
+    * Structure: if the level fits in `maxWindowRows`, one ordered window
+    * finishes it. Otherwise keys are grouped into `fanout`-sized ranges
+    * (`key div fanout`), the range totals are prefix-summed by RECURSION on
+    * the same rule, and each row gets its range's offset plus a local
+    * cumsum — a window partitioned by range, so no task sees more than
+    * `fanout` rows. Every level shrinks the row count by `fanout`×, so
+    * depth is ⌈log_fanout(n)⌉ (3 levels for 10⁹ keys at fanout 1000) and
+    * the sizing decision at each level is one count() over an
+    * already-localCheckpoint'ed (materialized, tiny) aggregate — at 100 B
+    * docs / bucketSize 1000 the old single-level formulation would have
+    * funneled a 100 M-row bucket-prefix window through ONE task; this
+    * recursion caps every ordered window at max(maxWindowRows, fanout). */
+  private[graft] def exclusivePrefixSum(level: DataFrame, fanout: Long = 1000L,
+                                        maxWindowRows: Long = 1000000L): DataFrame = {
+    require(fanout > 1, s"fanout must shrink each level, got $fanout")
+    val snapped = level.toDF("key", "v").localCheckpoint()
+    if (snapped.count() <= maxWindowRows) {
+      snapped.withColumn("offset",
+        coalesce(sum(col("v")).over(
+          Window.orderBy(col("key")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("key"), col("offset"))
+    } else {
+      val bucketed = snapped.withColumn("b", expr(s"key div $fanout"))
+      val upper = exclusivePrefixSum(
+        bucketed.groupBy(col("b")).agg(sum(col("v")).as("v"))
+          .select(col("b").as("key"), col("v")),
+        fanout, maxWindowRows)
+      val localW = Window.partitionBy(col("b")).orderBy(col("key"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed
+        .join(upper.select(col("key").as("b"), col("offset").as("b_off")), Seq("b"))
+        .withColumn("offset", coalesce(sum(col("v")).over(localW), lit(0L)) + col("b_off"))
+        .select(col("key"), col("offset"))
+    }
+  }
+
   /** Greedy sequential sequence packing: assign documents (in doc_id
     * order) to fixed token-budget training bins — bin = how many full
     * budgets precede the document's first token. The global running token
-    * count is computed with a SCALE-SAFE two-level prefix sum: per-bucket
-    * partial sums (one small aggregate), a prefix over the bucket totals
-    * (a window over n_docs/bucketSize rows — recurse the same trick if
-    * even that is large), and a partition-parallel local cumsum within
-    * each bucket offset by its bucket's prefix. The naive formulation — a
-    * global `sum over (ORDER BY doc_id)` window — funnels every row
-    * through ONE task; this shape keeps the row-level pass fully parallel
-    * and is proven equal to the naive window in the spec. */
+    * count is computed with a SCALE-SAFE multi-level prefix sum: per-bucket
+    * partial sums (one small aggregate), an `exclusivePrefixSum` over the
+    * bucket totals (which RECURSES the same bucketing if even the bucket
+    * level exceeds `maxWindowRows` — no single-task window at any input
+    * size), and a partition-parallel local cumsum within each bucket offset
+    * by its bucket's prefix. The naive formulation — a global `sum over
+    * (ORDER BY doc_id)` window — funnels every row through ONE task; this
+    * shape keeps the row-level pass fully parallel and is proven equal to
+    * the naive window in the spec (including a forced-recursion case). */
   def packSequences(spark: SparkSession, dir: String, budgetTokens: Long = 512,
-                    bucketSize: Long = 1000): DataFrame = {
+                    bucketSize: Long = 1000,
+                    maxWindowRows: Long = 1000000L): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("bkt", expr(s"doc_id div $bucketSize"))
-    val bucketPrefix = toks.groupBy(col("bkt"))
-      .agg(sum(col("n_tokens")).as("bkt_sum"))
-      .withColumn("bkt_offset",
-        coalesce(sum(col("bkt_sum")).over(
-          Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bkt"), col("bkt_offset"))
+    val bucketPrefix = exclusivePrefixSum(
+      toks.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("v"))
+        .select(col("bkt").as("key"), col("v")),
+      bucketSize, maxWindowRows)
+      .select(col("key").as("bkt"), col("offset").as("bkt_offset"))
     val local = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     toks.join(bucketPrefix, Seq("bkt"))

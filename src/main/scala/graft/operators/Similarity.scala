@@ -22,6 +22,13 @@ import graft.Tables
   */
 object Similarity {
 
+  /** Hyperplane count / multi-probe Hamming radius for `lshTopK` (x10).
+    * Shared constants consumed by the DuckDB oracle in `SparkEntry` (same
+    * pattern as `Dedup.NearDupPlanes`): query and oracle can only move
+    * together. */
+  val LshPlanes: Int = 8
+  val LshProbeRadius: Int = 2
+
   /** embedding column upcast float→double (element-wise, codegen'd). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
@@ -46,18 +53,22 @@ object Similarity {
 
   /** DuckDB SQL fragment computing the same hyperplane signature as
     * `HashSignatures.hyperplane_sig(v, hyperplaneSigns(planes))` for a
-    * DOUBLE[] column `v` — one CASE per plane over a literal ±1 vector.
-    *
-    * Cross-engine assumption: `list_dot_product` accumulates left-to-right
-    * like the kernel's loop. ±1 · x products are exact, but a different
-    * summation order could flip the sign of a near-zero projection and
-    * desync one bucket bit; measured identical on all eval corpora — if
-    * DuckDB ever changes accumulation, replace with an ordered CASE sum. */
+    * DOUBLE[] column `v` — one CASE per plane over an explicitly ordered
+    * `0.0 + v[1] - v[2] …` chain. SQL's `+`/`-` are left-associative, so
+    * the summation order is pinned BY THE GRAMMAR to the kernel's
+    * left-to-right loop — no reliance on how `list_dot_product` happens to
+    * accumulate (a DuckDB version change there could flip the sign of a
+    * near-zero projection and silently desync one bucket bit). With ±1
+    * coefficients, `acc + 1.0·x ≡ acc + x` and `acc + (-1.0)·x ≡ acc - x`
+    * are IEEE-exact rewrites, so this chain is bit-identical to the
+    * kernel's fused multiply-accumulate. */
   def hyperplaneSigSql(vCol: String, planes: Int = 8, dim: Int = 64): String = {
     val signs = hyperplaneSigns(planes, dim)
     (0 until planes).map { p =>
-      val lits = signs(p).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-      s"(CASE WHEN list_dot_product($vCol, $lits) >= 0 THEN ${1 << p} ELSE 0 END)"
+      val ordered = (0 until dim)
+        .map(d => s"${if (signs(p)(d) > 0) "+" else "-"} $vCol[${d + 1}]")
+        .mkString("0.0 ", " ", "")
+      s"(CASE WHEN ($ordered) >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
   }
 
@@ -99,7 +110,8 @@ object Similarity {
     * the corpus is scanned once to signature, and each query touches
     * ~37/256 of it instead of all of it. */
   def lshTopK(spark: SparkSession, dir: String, qLo: Int = 10, qHi: Int = 20,
-              k: Int = 5, planes: Int = 8, probeRadius: Int = 2): DataFrame = {
+              k: Int = 5, planes: Int = LshPlanes,
+              probeRadius: Int = LshProbeRadius): DataFrame = {
     val signs = hyperplaneSigns(planes)
     // all XOR masks within Hamming `probeRadius` of 0 — plan-time constant
     val masks: Seq[Int] =
@@ -140,6 +152,19 @@ object Similarity {
     * clustered embedding corpora the same machinery runs at nProbe ≪
     * nCentroids — the oracle gate is checking the cell-assignment /
     * probe-selection / re-rank dataflow, not the pruning win. */
+  /** The fit-input pinning CONTRACT under `ivfTopK`'s determinism: KMeans
+    * init sampling depends on the input's partitioning, so the fit input is
+    * hashed to a FIXED partition count by vec_id and sorted within
+    * partitions — the fitted centroids (and therefore recall measured by
+    * RecallProbe, and x18's exact-oracle gate) are identical regardless of
+    * the session's parallelism (local[4] vs local[32]). Only the fit pays
+    * this shuffle; assignment (the corpus-sized path) stays on the scan's
+    * own partitioning. Kept as a named method so the spec can assert the
+    * partitioning+ordering (ScaleTechniquesSpec) — a refactor that silently
+    * drops the pin breaks the test, not just the recall gate. */
+  private[graft] def pinnedFitInput(df: DataFrame): DataFrame =
+    df.repartition(8, col("vec_id")).sortWithinPartitions(col("vec_id"))
+
   def ivfTopK(spark: SparkSession, dir: String, qLo: Int = 20, qHi: Int = 30,
               k: Int = 5, nCentroids: Int = 16, nProbe: Int = 14): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -150,13 +175,7 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val isQuery = col("vec_id") >= qLo && col("vec_id") < qHi
     val withVec = emb.withColumn("fv", array_to_vector(col("v")))
-    // KMeans init sampling depends on the input's partitioning; pin the FIT
-    // input by key (hash by vec_id + in-partition sort) so the fitted
-    // centroids — and therefore recall measured by RecallProbe — are
-    // identical regardless of the session's parallelism (local[4] vs
-    // local[32]). Only the fit pays the pinning shuffle; assignment (the
-    // corpus-sized path) stays on the scan's own partitioning.
-    val fitInput = withVec.repartition(8, col("vec_id")).sortWithinPartitions(col("vec_id"))
+    val fitInput = pinnedFitInput(withVec)
     // few iterations suffice: cells only need to be roughly balanced, and
     // ranking within probed cells is exact regardless of centroid quality.
     // k-means|| init is kept deliberately: random init was measured to

@@ -183,6 +183,61 @@ object TextAnalysis {
       .withColumn("flagged", (col("dup_ratio") >= flagAt).cast("int"))
   }
 
+  /** Quality-classifier feature assembly (x40): the per-document feature
+    * vector a model-based quality filter scores — length, word-shape and
+    * repetition signals (shared definitions with x05/x30 so the three can
+    * never drift) — plus the heuristic label the classifier is trained
+    * against (the x05 composite score thresholded at 0.5). Fully
+    * deterministic per-row projection: every division is int/int (one IEEE
+    * op), so the WHOLE feature matrix is oracle-checked cross-engine; the
+    * downstream model fit/score (`qualityClassifierScores`) is the only
+    * non-oracle-shaped stage, gated by its spec instead. */
+  def qualityFeatures(spark: SparkSession, dir: String, labelAt: Double = 0.5): DataFrame = {
+    val ws = words(col("text"))
+    val (total3, distinct3) = ngramCounts(3)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(ws).as("n_words"),
+      (length(regexp_replace(col("text"), " ", "")) / size(ws)).as("mean_word_len"),
+      (countIn(col("text"), EnStopwords) / size(ws)).as("stopword_ratio"),
+      (size(filter(ws, w => length(w) === 1)) / size(ws)).as("short_word_ratio"),
+      when(total3 > 0, (total3 - distinct3) / total3).otherwise(lit(0.0)).as("dup_ratio"))
+      .withColumn("label",
+        ((least(lit(1.0), col("n_words") / lit(100.0))
+          * (lit(1.0) - col("short_word_ratio"))) >= labelAt).cast("int"))
+  }
+
+  /** Model-scoring stage of the quality pipeline: LogisticRegression
+    * (MLlib) trained on `qualityFeatures`' heuristic labels, then applied
+    * to the whole corpus as one distributed `transform` — the pattern that
+    * replaces a driver-side sklearn loop at 100 TB. The fit aggregates
+    * gradients over a FIT INPUT PINNED by key (repartition + sort, same
+    * discipline as x18's KMeans) so coefficients don't drift with the
+    * session's CPU count; scoring itself is a per-row projection of the
+    * broadcast coefficient vector — no shuffle, no collect, linear scan.
+    * Model output is float-iterative (not oracle-shaped); its spec gates
+    * row coverage, determinism, and training-set agreement instead. */
+  def qualityClassifierScores(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    val featCols = Array("n_words", "mean_word_len", "stopword_ratio",
+      "short_word_ratio", "dup_ratio")
+    val assembled = new VectorAssembler()
+      .setInputCols(featCols).setOutputCol("features")
+      .transform(qualityFeatures(spark, dir))
+    val fitInput = assembled
+      .repartition(8, col("doc_id")).sortWithinPartitions(col("doc_id"))
+    val model = new LogisticRegression()
+      .setMaxIter(25).setRegParam(0.01).setStandardization(true)
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(fitInput.withColumn("label", col("label").cast("double")))
+    model.transform(assembled)
+      .select(col("doc_id"), col("label"),
+        col("prediction").cast("int").as("predicted"),
+        element_at(org.apache.spark.ml.functions.vector_to_array(col("probability")), 2)
+          .as("quality_prob"))
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting, as in
     * MOSS): hash every k-char gram, take the minimum hash of each sliding
     * window of w grams, emit the distinct minima. Guarantees any shared

@@ -213,6 +213,27 @@ class OperatorsSpec extends SparkSpec {
     assert(hits.head._3 >= 3) // shares ≥3 5-grams with the benchmark doc
   }
 
+  test("paragraphDedup: every doc covered, kills occur, untouched docs round-trip exactly") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val out = Dedup.paragraphDedup(spark, sf)
+      .as[(Long, Int, Int, String)].collect()
+    assert(out.length == docs.size) // one row per document, none dropped
+    out.foreach { case (id, nPars, nKept, _) =>
+      assert(nPars >= 1 && nKept >= 0 && nKept <= nPars, s"doc $id")
+    }
+    // the synthetic near-dups share CDC-cut paragraphs → real kills
+    assert(out.exists { case (_, nPars, nKept, _) => nKept < nPars })
+    // a doc that lost nothing re-assembles to its EXACT original text
+    // (paragraphs partition the word sequence; join(" ") inverts the cut)
+    val untouched = out.filter { case (_, nPars, nKept, _) => nKept == nPars }
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (id, _, _, clean) => assert(clean == docs(id), s"doc $id") }
+    // determinism: a second evaluation reproduces the identical result
+    val again = Dedup.paragraphDedup(spark, sf).as[(Long, Int, Int, String)].collect()
+    assert(out.toSet == again.toSet)
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString

@@ -59,6 +59,43 @@ class SamplingSpec extends SparkSpec {
     assert(packed.toSeq.map(_._2).sum == total)
   }
 
+  test("exclusivePrefixSum recursion (forced) equals the naive global-window prefix") {
+    import org.apache.spark.sql.expressions.Window
+    // 5000 keys, fanout 10, window cap 100 → levels of 5000 → 500 → 50 rows:
+    // two forced recursions before the base-case window is allowed to run
+    val rows = (0L until 5000L).map(k => (k * 3, k % 17 + 1)) // sparse keys, varied values
+    val level = rows.toDF("key", "v")
+    val got = Sampling.exclusivePrefixSum(level, fanout = 10, maxWindowRows = 100)
+      .as[(Long, Long)].collect().toMap
+    val naive = level.withColumn("offset",
+        coalesce(sum($"v").over(
+          Window.orderBy($"key").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"key", $"offset").as[(Long, Long)].collect().toMap
+    assert(got.size == 5000 && got == naive)
+  }
+
+  test("packSequences with a forced-recursion bucket level equals the default plan") {
+    // bucketSize 7 at sf0.001 yields ~72 buckets; maxWindowRows 10 forces the
+    // bucket-prefix level itself to recurse (72 → 11 → 2) — the 100 TB path
+    val recursed = Sampling.packSequences(spark, sf, budgetTokens = 512,
+        bucketSize = 7, maxWindowRows = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val flat = Sampling.packSequences(spark, sf, budgetTokens = 512, bucketSize = 7)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(recursed.nonEmpty && recursed == flat)
+  }
+
+  test("clusterDebiasedSample overload on precomputed clusters equals the standalone form") {
+    val clusters = Dedup.nearDupClusters(spark, sf).cache()
+    try {
+      val composed = Sampling.clusterDebiasedSample(clusters)
+        .as[(Long, Long, Long)].collect().toSet
+      val standalone = Sampling.clusterDebiasedSample(spark, sf)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(composed.nonEmpty && composed == standalone)
+    } finally clusters.unpersist()
+  }
+
   test("cluster-debiased sampling keeps every singleton and downsamples dup clusters") {
     val r = Sampling.clusterDebiasedSample(spark, sf)
       .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap

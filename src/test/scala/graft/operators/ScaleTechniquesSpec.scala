@@ -79,6 +79,25 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$plan")
   }
 
+  test("ivfTopK's KMeans fit input is pinned: fixed hash partition count + in-partition sort") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    // sparkPlan, not executedPlan: AQE wraps the un-executed plan in an
+    // AdaptiveSparkPlanExec that reports UnknownPartitioning until run
+    val plan = Similarity.pinnedFitInput(emb).queryExecution.sparkPlan
+    plan.outputPartitioning match {
+      case h: HashPartitioning =>
+        assert(h.numPartitions == 8, "fit-input partition count must be fixed, not CPU-derived")
+        assert(h.expressions.map(_.sql.toLowerCase).exists(_.contains("vec_id")))
+      case p => fail(s"fit input must be hash-partitioned by vec_id, got $p")
+    }
+    // in-partition sort by the key makes row ORDER deterministic too
+    assert(plan.outputOrdering.nonEmpty &&
+      plan.outputOrdering.head.child.sql.toLowerCase.contains("vec_id"))
+  }
+
   test("GraftExtensions injects the native functions into a new session's SQL") {
     val ext = SparkSession.builder().master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")

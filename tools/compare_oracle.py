@@ -57,6 +57,18 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}", flush=True)
             print(f"     spark-only: {diff_a}")
             print(f"     duck-only:  {diff_b}")
+            if name == "x18_ann_ivf":
+                # x18's oracle is exact brute force under measured recall
+                # 1.0; surface the recall Verify measured in-session so this
+                # failure is classifiable as recall-loss vs algorithm bug.
+                try:
+                    rec = json.load(open(f"{out_dir}/x18_recall.json"))
+                    kind = ("recall loss (corpus-dependent gate artifact)"
+                            if rec.get("recall", 1.0) < 1.0
+                            else "recall=1.0 → dataflow divergence (real bug)")
+                    print(f"     x18 measured recall: {rec} → {kind}")
+                except Exception:
+                    print("     x18_recall.json unavailable")
     print(f"== {n_ok} ok, {n_bad} bad ==")
     return 1 if n_bad else 0
 
