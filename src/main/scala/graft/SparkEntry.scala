@@ -78,6 +78,8 @@ object SparkEntry {
     "x38_cluster_debiased"  -> ((s, d) => Sampling.clusterDebiasedSample(s, d)),
     "x39_paragraph_dedup"   -> ((s, d) => Dedup.paragraphDedup(s, d)),
     "x40_quality_features"  -> ((s, d) => TextAnalysis.qualityFeatures(s, d)),
+    "x41_countmin_hitters"  -> ((s, d) => TextAnalysis.countMinHeavyHitters(s, d)),
+    "x42_rare_token_ratio"  -> ((s, d) => TextAnalysis.rareTokenStats(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -878,5 +880,45 @@ object SparkEntry {
         |       CAST(least(1.0, n_words / 100.0) * (1.0 - short_word_ratio) >= 0.5
         |            AS INTEGER) AS label
         |FROM g""".stripMargin,
+
+    // x41's oracle replicates the count-min sketch end-to-end: the salted
+    // md5-60 row hashes ('cm<r>:' prefixes), the depth×width counter
+    // cells, and the min-over-rows estimate — the sketch ALGORITHM is the
+    // contract, including its one-sided (over-)estimation error.
+    "x41_countmin_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |cells AS (
+        |  SELECT r, ('0x' || substr(md5('cm' || r || ':' || w), 1, 15))::BIGINT % 1024 AS b,
+        |         COUNT(*) AS cnt
+        |  FROM tok, (SELECT unnest([0, 1, 2, 3]) AS r) rr
+        |  GROUP BY 1, 2),
+        |top AS (SELECT w AS word, COUNT(*) AS true_count FROM tok
+        |        GROUP BY w ORDER BY true_count DESC, word LIMIT 20),
+        |probes AS (
+        |  SELECT word, true_count, r,
+        |         ('0x' || substr(md5('cm' || r || ':' || word), 1, 15))::BIGINT % 1024 AS b
+        |  FROM top, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
+        |SELECT p.word, p.true_count, MIN(c.cnt) AS est_count,
+        |       MIN(c.cnt) - p.true_count AS overcount
+        |FROM probes p JOIN cells c USING (r, b)
+        |GROUP BY p.word, p.true_count""".stripMargin,
+
+    // x42: corpus-wide term frequencies joined back per token; rarity is
+    // RELATIVE (tf·10 below the floor-mean frequency, integer comparison
+    // on both engines); SUMs are CAST to BIGINT (DuckDB SUM yields HUGEINT
+    // — the x37 lesson) and the ratio is one int/int IEEE division.
+    "x42_rare_token_ratio" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT w, COUNT(*) AS tf FROM tok GROUP BY w),
+        |s AS (SELECT CAST(SUM(tf) AS BIGINT) AS total_tf, COUNT(*) AS n_vocab FROM tf),
+        |j AS (SELECT t.doc_id, t.w,
+        |             CASE WHEN f.tf * 10 < s.total_tf // s.n_vocab THEN 1 ELSE 0 END AS r
+        |      FROM tok t JOIN tf f USING (w) CROSS JOIN s)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |       CAST(SUM(r) AS BIGINT) AS n_rare,
+        |       COUNT(DISTINCT w) AS n_distinct,
+        |       CAST(SUM(r) AS BIGINT) / COUNT(*) AS rare_ratio,
+        |       CAST(CAST(SUM(r) AS BIGINT) / COUNT(*) >= 0.5 AS INTEGER) AS flagged
+        |FROM j GROUP BY doc_id""".stripMargin,
   )
 }

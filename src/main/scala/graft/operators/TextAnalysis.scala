@@ -134,6 +134,80 @@ object TextAnalysis {
       .select(col("source"), col("sk.n_kept").as("n_kept"),
         col("sk.kth_hash").as("kth_hash"), col("sk.est_distinct").as("est_distinct"))
 
+  /** Count-min sketch heavy-hitter monitor (x41): estimate per-token
+    * frequencies from a fixed O(depth × width) counter table instead of a
+    * vocabulary-sized exact count — the bounded-state way to watch the
+    * heavy hitters of a 100 TB token stream (the exact x21 vocabulary
+    * aggregate shuffles one row per distinct token; this shuffles at most
+    * depth×width counter cells, a constant). Hash rows are the
+    * engine-neutral salted `md5Hash60` (same family as x03/x27), so the
+    * WHOLE sketch — bucketing, counter sums, min-over-rows estimate — is
+    * deterministic and replicated in the DuckDB oracle; the sketch's
+    * defining one-sided error (estimate ≥ true count) is visible in the
+    * output (`overcount` ≥ 0) and asserted in the spec.
+    *
+    * Scale shape: token explode is map-side only — the groupBy on
+    * (row, bucket) partial-aggregates every mapper's stream down to ≤
+    * depth×width cells before the (tiny, skew-free) shuffle; the counter
+    * table then BROADCASTS to estimate any query set in-plan. The exact
+    * top-K reference counts here come from x21's aggregate (this is the
+    * eval harness for the sketch); a production monitor would query the
+    * sketch alone. */
+  def countMinHeavyHitters(spark: SparkSession, dir: String, depth: Int = 4,
+                           width: Int = 1024, topK: Int = 20): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("w"))
+    def bucket(w: Column, r: Int): Column =
+      pmod(Dedup.md5Hash60(concat(lit(s"cm$r:"), w)), lit(width.toLong))
+    val counters = tokens
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), bucket(col("w"), r).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = vocabularyStats(spark, dir, topK)
+      .select(col("word"), col("term_freq").as("true_count"))
+    val probes = top.select(col("word"), col("true_count"),
+      explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), bucket(col("word"), r).as("b"))): _*)).as("rb"))
+      .select(col("word"), col("true_count"), col("rb.r").as("r"), col("rb.b").as("b"))
+    probes.join(broadcast(counters), Seq("r", "b"))
+      .groupBy(col("word"), col("true_count"))
+      .agg(min(col("cnt")).as("est_count"))
+      .withColumn("overcount", col("est_count") - col("true_count"))
+  }
+
+  /** Rare-token ratio filter (x42): fraction of a document's token
+    * occurrences whose CORPUS-WIDE term frequency is far below the mean —
+    * the standard gibberish/OCR-noise gate (rare-token-dominated documents
+    * are overwhelmingly mojibake, boilerplate IDs, or OCR failures). A
+    * token is rare iff `tf · relDenom < ⌊total_tokens / vocab_size⌋`
+    * (i.e. below 1/relDenom of the mean frequency): RELATIVE rarity is
+    * scale-invariant — an absolute cutoff that fires at sf0.01 is
+    * meaningless at 100 TB — and the all-integer comparison (floor
+    * division on both engines) keeps it oracle-exact. Corpus totals fold
+    * in as a broadcast 1-row aggregate (x22's n_docs pattern, no separate
+    * count() action). Two shuffles, both on uniform keys: term frequencies
+    * on token (map-side partial agg — the rare set is most of a real
+    * vocabulary, so it is NOT broadcastable and the join back runs as a
+    * plain shuffle join on the token key), then per-doc ratios on doc_id.
+    * The final ratio is one int/int IEEE division → exact cross-engine. */
+  def rareTokenStats(spark: SparkSession, dir: String, relDenom: Int = 10,
+                     flagAt: Double = 0.5): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val tf = tok.groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    val stats = tf.agg(sum(col("tf")).as("total_tf"), count(lit(1)).as("n_vocab"))
+    val isRare = (col("tf") * relDenom) < expr("total_tf div n_vocab")
+    tok.join(tf, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(isRare.cast("long")).as("n_rare"),
+        countDistinct(col("w")).as("n_distinct"))
+      .withColumn("rare_ratio", col("n_rare") / col("n_tokens"))
+      .withColumn("flagged", (col("rare_ratio") >= flagAt).cast("int"))
+  }
+
   /** PII scrubbing: redact email addresses, phone-like sequences and long
     * digit runs — the compliance pass every training-data pipeline runs
     * before tokenization. Pure regexp_replace chain (codegen'd, no

@@ -234,6 +234,37 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSet == again.toSet)
   }
 
+  test("count-min sketch never underestimates and is exact for most heavy hitters") {
+    val rows = TextAnalysis.countMinHeavyHitters(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (w, tru, est, over) =>
+      assert(est >= tru, s"count-min underestimated '$w'") // one-sided error
+      assert(over == est - tru)
+    }
+    // with width 1024 vs a small vocabulary, collisions are rare: the
+    // majority of heavy hitters estimate exactly
+    assert(rows.count { case (_, tru, est, _) => est == tru } > 10)
+    // and the estimates agree with the exact x21 vocabulary counts
+    val exact = TextAnalysis.vocabularyStats(spark, sf)
+      .select($"word", $"term_freq").as[(String, Long)].collect().toMap
+    rows.foreach { case (w, tru, _, _) => assert(exact(w) == tru) }
+  }
+
+  test("rare-token ratio covers every doc, ratios in [0,1], flag consistent") {
+    val rows = TextAnalysis.rareTokenStats(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Int)].collect()
+    assert(rows.length == graft.Tables.documents(spark, sf).count())
+    rows.foreach { case (id, nTok, nRare, nDist, ratio, flag) =>
+      assert(nRare <= nTok && nDist <= nTok, s"doc $id")
+      assert(ratio >= 0.0 && ratio <= 1.0, s"doc $id")
+      assert(flag == (if (ratio >= 0.5) 1 else 0), s"doc $id")
+    }
+    // the synthetic corpus draws from a small vocabulary, so hapax-like
+    // tokens exist but dominate few docs — both populations present
+    assert(rows.exists(_._3 > 0))
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
