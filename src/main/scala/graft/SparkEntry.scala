@@ -80,6 +80,7 @@ object SparkEntry {
     "x40_quality_features"  -> ((s, d) => TextAnalysis.qualityFeatures(s, d)),
     "x41_countmin_hitters"  -> ((s, d) => TextAnalysis.countMinHeavyHitters(s, d)),
     "x42_rare_token_ratio"  -> ((s, d) => TextAnalysis.rareTokenStats(s, d)),
+    "x43_bloom_decontam"    -> ((s, d) => Dedup.bloomDecontamination(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -920,5 +921,22 @@ object SparkEntry {
         |       CAST(SUM(r) AS BIGINT) / COUNT(*) AS rare_ratio,
         |       CAST(CAST(SUM(r) AS BIGINT) / COUNT(*) >= 0.5 AS INTEGER) AS flagged
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    // x43's oracle is x31's SQL verbatim: the Bloom prefilter is LOSSLESS
+    // end-to-end (membership has no false negatives; false positives die
+    // in the exact verify join), so the two operators' outputs are
+    // bit-identical by construction — the bloom changes the COST shape
+    // (per-row bit test instead of probing every shingle), not the answer.
+    // DedupSpec asserts the Spark-side equality and the prefilter's
+    // effectiveness directly.
+    "x43_bloom_decontam" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(shingles) AS sh FROM (
+        |    SELECT doc_id, list_distinct([array_to_string(words[i:i+4], ' ')
+        |                                  for i in range(1, len(words) - 3)]) AS shingles
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1) t2)
+        |SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+        |FROM sh c JOIN sh b ON c.sh = b.sh AND b.doc_id < 20 AND c.doc_id >= 20
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
   )
 }

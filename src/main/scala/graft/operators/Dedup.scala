@@ -366,6 +366,68 @@ object Dedup {
         col("n_kept").cast("int").as("n_kept"), col("clean_text"))
   }
 
+  /** Bloom-filter decontamination (x43): same contract as
+    * `contaminationPairs` (x31) — corpus documents sharing ≥ `minShared`
+    * n-gram shingles with any benchmark document — but the corpus side is
+    * prefiltered by a CONSTANT-SIZE Bloom filter of the benchmark shingle
+    * set before any join. The bloom is built distributed (bit positions
+    * from `numHashes` salted md5-60 hashes, words OR-combined in one tiny
+    * aggregate), then collected as MODEL STATE (m/8 bytes on the driver —
+    * the KMeans-centroid pattern, NOT a data collect) and baked into the
+    * plan as one array literal; membership is a per-row bit-test
+    * expression, so the 100 TB corpus never shuffles and never probes a
+    * hash table for the overwhelming majority of shingles that miss.
+    *
+    * Two-phase exactness: bloom hits (true matches + ~(kn/m)^k false
+    * positives) proceed to the SAME broadcast verify join as x31, which
+    * eliminates false positives — so the OUTPUT is bit-identical to x31
+    * (asserted in DedupSpec; the oracle is x31's SQL). The bloom's win
+    * over x31 at scale: the probe-side join volume drops from every
+    * corpus shingle to only near-hits, and when the benchmark set is too
+    * big to broadcast as ROWS it still fits as BITS (a 10⁸-shingle eval
+    * suite is ~3 GB of strings but 180 MB of bloom at 10 bits/key). */
+  def bloomDecontamination(spark: SparkSession, dir: String, n: Int = 5,
+                           benchMaxId: Long = 20, minShared: Int = 3,
+                           bloomBits: Int = 1 << 16, numHashes: Int = 3): DataFrame = {
+    require(Integer.bitCount(bloomBits) == 1, "bloomBits must be a power of two")
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.HashSignatures.word_shingles(col("text"), n)).as("sh"))
+    def bitPos(c: Column, k: Int): Column =
+      pmod(md5Hash60(concat(lit(s"bf$k:"), c)), lit(bloomBits.toLong))
+    val bench = sh.filter(col("doc_id") < benchMaxId)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    // distributed bloom build: explode each bench shingle into its k bit
+    // positions, partial-agg OR per 64-bit word — the shuffle carries at
+    // most bloomBits/64 rows no matter how large the benchmark set is
+    val words = bench.select(explode(array((0 until numHashes).map(k =>
+        bitPos(col("sh"), k)): _*)).as("pos"))
+      .groupBy(shiftright(col("pos"), 6).cast("int").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(pos & 63 AS INT)))").as("bits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bloom = Array.tabulate(bloomBits / 64)(i => words.getOrElse(i, 0L))
+    val bloomLit = typedLit(bloom.toSeq)
+    // the word lookup nests the array literal; the variable-amount bit
+    // shift goes through SQL (the Scala shiftright helper only accepts a
+    // constant shift), referencing named intermediate columns
+    val withBits = (0 until numHashes).foldLeft(sh.filter(col("doc_id") >= benchMaxId)) {
+      (df, k) =>
+        df.withColumn(s"_pos$k", bitPos(col("sh"), k))
+          .withColumn(s"_word$k",
+            element_at(bloomLit, shiftright(col(s"_pos$k"), 6).cast("int") + 1))
+    }
+    val mightMatch = (0 until numHashes)
+      .map(k => s"((shiftright(_word$k, CAST((_pos$k & 63) AS INT))) & 1L) = 1L")
+      .mkString(" AND ")
+    withBits
+      .filter(expr(mightMatch)) // constant-state per-row prefilter: no shuffle, no probe
+      .select(col("doc_id"), col("sh"))
+      .join(broadcast(bench), Seq("sh")) // exact verify kills bloom false positives
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** 64-bit SimHash from word hashes: sum ±1 per bit position weighted by
     * token occurrence, sign → bit. Computed with codegen'd higher-order
     * functions over the token array — no UDF, no shuffle until the band join. */

@@ -234,6 +234,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSet == again.toSet)
   }
 
+  test("bloom decontamination equals the broadcast-join x31 exactly; prefilter actually prunes") {
+    val viaBloom = Dedup.bloomDecontamination(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val viaJoin = Dedup.contaminationPairs(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaBloom == viaJoin && viaBloom.nonEmpty) // lossless end-to-end
+    // effectiveness: the bit test must pass few non-matching shingles. With
+    // m=65536 / k=3 vs ~1k benchmark shingles the FP rate is ~(kn/m)^3;
+    // measure it on the corpus side directly: survivors of the prefilter
+    // should be dominated by TRUE matches, not false positives.
+    val shingles = graft.Tables.documents(spark, sf)
+      .select($"doc_id", explode(graft.functions.HashSignatures.word_shingles($"text", 5)).as("sh"))
+    val benchSet = shingles.filter($"doc_id" < 20)
+      .select($"sh").as[String].collect().toSet
+    val corpus = shingles.filter($"doc_id" >= 20).select($"sh").as[String].collect()
+    val trueMatches = corpus.count(benchSet)
+    // upper-bound survivors via the exact join x43 performs internally is
+    // not observable; bound the FP budget instead: non-matching shingles
+    // times the analytic FP rate stays far below the true-match count
+    val fpBudget = (corpus.length - trueMatches) * math.pow(3.0 * benchSet.size / 65536.0, 3)
+    assert(fpBudget < trueMatches.toDouble.max(1.0),
+      s"bloom sizing too small: fpBudget=$fpBudget trueMatches=$trueMatches")
+  }
+
   test("count-min sketch never underestimates and is exact for most heavy hitters") {
     val rows = TextAnalysis.countMinHeavyHitters(spark, sf)
       .as[(String, Long, Long, Long)].collect()
