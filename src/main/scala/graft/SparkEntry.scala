@@ -81,6 +81,7 @@ object SparkEntry {
     "x41_countmin_hitters"  -> ((s, d) => TextAnalysis.countMinHeavyHitters(s, d)),
     "x42_rare_token_ratio"  -> ((s, d) => TextAnalysis.rareTokenStats(s, d)),
     "x43_bloom_decontam"    -> ((s, d) => Dedup.bloomDecontamination(s, d)),
+    "x44_incremental_dedup" -> ((s, d) => Dedup.incrementalParagraphDedup(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -938,5 +939,40 @@ object SparkEntry {
         |SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
         |FROM sh c JOIN sh b ON c.sh = b.sh AND b.doc_id < 20 AND c.doc_id >= 20
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+
+    // x44 replicates incremental paragraph dedup end-to-end: the same CDC
+    // cut as x39, the existing-corpus digest set (doc_id < 250), the
+    // within-batch first-occurrence rule, and the per-doc classification
+    // rollup. MIN(ROW(...)) mirrors Spark's min(struct(...)); SUMs CAST
+    // to BIGINT (DuckDB HUGEINT — the x37 lesson).
+    "x44_incremental_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, pos, w,
+        |         SUM(CASE WHEN ('0x' || substr(md5(w), 1, 15))::BIGINT % 16 = 0
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS par_id
+        |  FROM w),
+        |pars AS (
+        |  SELECT doc_id, par_id, md5(array_to_string(list(w ORDER BY pos), ' ')) AS fp
+        |  FROM c GROUP BY doc_id, par_id),
+        |ex AS (SELECT DISTINCT fp FROM pars WHERE doc_id < 250),
+        |np AS (SELECT * FROM pars WHERE doc_id >= 250),
+        |bf AS (SELECT fp, MIN(ROW(doc_id, par_id)) AS first FROM np GROUP BY fp),
+        |cls AS (
+        |  SELECT np.doc_id,
+        |    CASE WHEN ex.fp IS NOT NULL THEN 'dup_of_existing'
+        |         WHEN bf.first <> ROW(np.doc_id, np.par_id) THEN 'dup_in_batch'
+        |         ELSE 'kept' END AS status
+        |  FROM np LEFT JOIN ex ON np.fp = ex.fp JOIN bf ON np.fp = bf.fp)
+        |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_pars,
+        |       CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+        |       CAST(SUM(CASE WHEN status = 'dup_of_existing' THEN 1 ELSE 0 END) AS INTEGER) AS n_dup_existing,
+        |       CAST(SUM(CASE WHEN status = 'dup_in_batch' THEN 1 ELSE 0 END) AS INTEGER) AS n_dup_batch
+        |FROM cls GROUP BY doc_id""".stripMargin,
   )
 }

@@ -338,19 +338,7 @@ object Dedup {
     * declarative formulation pays (collapsing to one would force an
     * imperative corpus-sized materialization). */
   def paragraphDedup(spark: SparkSession, dir: String, boundaryMod: Int = 16): DataFrame = {
-    val words = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .toDF("doc_id", "pos", "w")
-    val runningBoundaries = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val pars = words
-      .withColumn("bd",
-        when(pmod(md5Hash60(col("w")), lit(boundaryMod.toLong)) === 0, 1L).otherwise(0L))
-      .withColumn("par_id", sum(col("bd")).over(runningBoundaries))
-      .groupBy(col("doc_id"), col("par_id"))
-      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
-        s => s.getField("w")), " ").as("par"))
-      .withColumn("fp", md5(col("par")))
+    val pars = cdcParagraphs(spark, dir, boundaryMod)
     val firsts = pars.groupBy(col("fp"))
       .agg(min(struct(col("doc_id"), col("par_id"))).as("first"))
     pars.join(firsts, Seq("fp"))
@@ -364,6 +352,70 @@ object Dedup {
           s => s.getField("par")), " ").as("clean_text"))
       .select(col("doc_id"), col("n_pars").cast("int").as("n_pars"),
         col("n_kept").cast("int").as("n_kept"), col("clean_text"))
+  }
+
+  /** CDC paragraph segmentation shared by x39/x44: one row per
+    * (doc_id, par_id) with the re-joined paragraph text and its md5
+    * digest. Boundary rule and dataflow documented at [[paragraphDedup]];
+    * one shuffle on doc_id (running boundary count + paragraph grouping
+    * share the partitioning). */
+  private[graft] def cdcParagraphs(spark: SparkSession, dir: String,
+                                   boundaryMod: Int): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "w")
+    val runningBoundaries = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    words
+      .withColumn("bd",
+        when(pmod(md5Hash60(col("w")), lit(boundaryMod.toLong)) === 0, 1L).otherwise(0L))
+      .withColumn("par_id", sum(col("bd")).over(runningBoundaries))
+      .groupBy(col("doc_id"), col("par_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+        s => s.getField("w")), " ").as("par"))
+      .withColumn("fp", md5(col("par")))
+  }
+
+  /** Incremental (snapshot) paragraph dedup (x44): clean a NEW shard
+    * against the paragraph-digest index of the EXISTING corpus — the daily
+    * ingestion shape of a C4-style pipeline, where yesterday's corpus is
+    * immutable and only today's crawl must be deduped both AGAINST it and
+    * WITHIN itself. Every new paragraph is classified kept /
+    * dup_of_existing / dup_in_batch (within-batch first occurrence by
+    * (doc_id, par_id) wins, same rule as x39), aggregated per document.
+    *
+    * Scale shape: the existing side reduces to a DISTINCT digest set
+    * (map-side partial agg; in production this index is precomputed once
+    * and reused across daily runs — here it derives from the same table
+    * for self-containment); both classification joins are on the uniform
+    * md5 digest key; final rollup shuffles on doc_id. With newMinId = 0
+    * the existing side is empty and per-doc kept counts equal x39's
+    * (asserted in the spec). */
+  def incrementalParagraphDedup(spark: SparkSession, dir: String,
+                                newMinId: Long = 250,
+                                boundaryMod: Int = 16): DataFrame = {
+    val pars = cdcParagraphs(spark, dir, boundaryMod)
+    val existing = pars.filter(col("doc_id") < newMinId)
+      .select(col("fp")).distinct().withColumn("in_existing", lit(1))
+    val fresh = pars.filter(col("doc_id") >= newMinId)
+    val batchFirsts = fresh.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("par_id"))).as("first"))
+    fresh.join(existing, Seq("fp"), "left")
+      .join(batchFirsts, Seq("fp"))
+      .withColumn("status",
+        when(col("in_existing") === 1, "dup_of_existing")
+          .when(col("doc_id") =!= col("first.doc_id")
+            || col("par_id") =!= col("first.par_id"), "dup_in_batch")
+          .otherwise("kept"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pars"),
+        sum((col("status") === "kept").cast("long")).as("n_kept"),
+        sum((col("status") === "dup_of_existing").cast("long")).as("n_dup_existing"),
+        sum((col("status") === "dup_in_batch").cast("long")).as("n_dup_batch"))
+      .select(col("doc_id"), col("n_pars").cast("int").as("n_pars"),
+        col("n_kept").cast("int").as("n_kept"),
+        col("n_dup_existing").cast("int").as("n_dup_existing"),
+        col("n_dup_batch").cast("int").as("n_dup_batch"))
   }
 
   /** Bloom-filter decontamination (x43): same contract as

@@ -258,6 +258,23 @@ class OperatorsSpec extends SparkSpec {
       s"bloom sizing too small: fpBudget=$fpBudget trueMatches=$trueMatches")
   }
 
+  test("incremental paragraph dedup: statuses partition, boundary=0 degenerates to x39") {
+    val rows = Dedup.incrementalParagraphDedup(spark, sf, newMinId = 50)
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nPars, k, de, db) =>
+      assert(id >= 50 && k + de + db == nPars, s"doc $id: statuses must partition")
+    }
+    // the synthetic near-dups straddle any boundary: both dup classes occur
+    assert(rows.exists(_._4 > 0), "no dup_of_existing found")
+    // with no existing corpus the per-doc kept counts equal x39's
+    val inc0 = Dedup.incrementalParagraphDedup(spark, sf, newMinId = 0)
+      .select($"doc_id", $"n_kept").as[(Long, Int)].collect().toMap
+    val x39 = Dedup.paragraphDedup(spark, sf)
+      .select($"doc_id", $"n_kept").as[(Long, Int)].collect().toMap
+    assert(inc0 == x39)
+  }
+
   test("count-min sketch never underestimates and is exact for most heavy hitters") {
     val rows = TextAnalysis.countMinHeavyHitters(spark, sf)
       .as[(String, Long, Long, Long)].collect()
