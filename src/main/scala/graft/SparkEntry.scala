@@ -82,6 +82,7 @@ object SparkEntry {
     "x42_rare_token_ratio"  -> ((s, d) => TextAnalysis.rareTokenStats(s, d)),
     "x43_bloom_decontam"    -> ((s, d) => Dedup.bloomDecontamination(s, d)),
     "x44_incremental_dedup" -> ((s, d) => Dedup.incrementalParagraphDedup(s, d)),
+    "x45_chunk_documents"   -> ((s, d) => TextAnalysis.chunkDocuments(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -974,5 +975,18 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN status = 'dup_of_existing' THEN 1 ELSE 0 END) AS INTEGER) AS n_dup_existing,
         |       CAST(SUM(CASE WHEN status = 'dup_in_batch' THEN 1 ELSE 0 END) AS INTEGER) AS n_dup_batch
         |FROM cls GROUP BY doc_id""".stripMargin,
+
+    // x45: same all-integer chunk-count arithmetic (floor div) and the
+    // same inclusive-clamped slice semantics on both engines.
+    "x45_chunk_documents" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws,
+        |        CAST((greatest(len(ws) - 64, 0) + 31) // 32 AS INTEGER) + 1 AS n_chunks
+        |      FROM d),
+        |ex AS (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS chunk_id FROM n)
+        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |       CAST(len(ws[chunk_id*32+1 : chunk_id*32+64]) AS INTEGER) AS n_tokens,
+        |       md5(array_to_string(ws[chunk_id*32+1 : chunk_id*32+64], ' ')) AS chunk_md5
+        |FROM ex""".stripMargin,
   )
 }

@@ -312,6 +312,32 @@ object TextAnalysis {
           .as("quality_prob"))
   }
 
+  /** Overlapping token-window chunking (x45): cut every document into
+    * `chunkTokens`-token windows advancing by `stride` tokens (stride <
+    * chunkTokens ⇒ consecutive chunks overlap — the standard context-window
+    * prep for RAG indexing and fixed-window pretraining). Chunk count is
+    * `ceil(max(n - chunkTokens, 0) / stride) + 1`, so every token is
+    * covered and the tail chunk may run short. Pure per-row flatMap
+    * (sequence + slice higher-order functions, codegen'd): NO shuffle at
+    * any size — the one data-pipeline stage that should never cost more
+    * than the scan itself. All-integer arithmetic → exact oracle. */
+  def chunkDocuments(spark: SparkSession, dir: String, chunkTokens: Int = 64,
+                     stride: Int = 32): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride, "need 0 < stride <= chunkTokens")
+    val ws = words(col("text"))
+    // floor division via `div` keeps the chunk count all-integer
+    val nChunks = expr(s"CAST((greatest(size(split(text, ' ')) - $chunkTokens, 0)" +
+      s" + ${stride - 1}) div $stride AS INT) + 1")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(ws, i * stride + 1, lit(chunkTokens)))))
+      .toDF("doc_id", "chunk_id", "chunk")
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting, as in
     * MOSS): hash every k-char gram, take the minimum hash of each sliding
     * window of w grams, emit the distinct minima. Guarantees any shared

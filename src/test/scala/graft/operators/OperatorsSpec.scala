@@ -258,6 +258,26 @@ class OperatorsSpec extends SparkSpec {
       s"bloom sizing too small: fpBudget=$fpBudget trueMatches=$trueMatches")
   }
 
+  test("chunkDocuments covers every token with correct overlap and no shuffle") {
+    val chunks = TextAnalysis.chunkDocuments(spark, sf, chunkTokens = 64, stride = 32)
+    val rows = chunks.as[(Long, Int, Int, String)].collect()
+    val nWords = graft.Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " "))).as[(Long, Int)].collect().toMap
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val n = nWords(id)
+      val expected = math.max(n - 64 + 31, 31) / 32 + 1 // ceil((n-64)/32)+1, min 1
+      assert(cs.length == expected, s"doc $id: ${cs.length} chunks for $n words")
+      assert(cs.forall(_._3 <= 64) && cs.map(_._3).max <= 64, s"doc $id chunk size")
+      // stride coverage: token count summed over chunks = n + overlap of
+      // 32 tokens per chunk boundary (last chunk may run short)
+      val ids = cs.map(_._2).sorted
+      assert(ids.head == 0 && ids.last == expected - 1 && ids.distinct.length == expected)
+    }
+    // per-row flatMap only: the physical plan has no exchange at all
+    val plan = chunks.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "chunking must not shuffle")
+  }
+
   test("incremental paragraph dedup: statuses partition, boundary=0 degenerates to x39") {
     val rows = Dedup.incrementalParagraphDedup(spark, sf, newMinId = 50)
       .as[(Long, Int, Int, Int, Int)].collect()
