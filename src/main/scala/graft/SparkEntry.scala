@@ -83,6 +83,7 @@ object SparkEntry {
     "x43_bloom_decontam"    -> ((s, d) => Dedup.bloomDecontamination(s, d)),
     "x44_incremental_dedup" -> ((s, d) => Dedup.incrementalParagraphDedup(s, d)),
     "x45_chunk_documents"   -> ((s, d) => TextAnalysis.chunkDocuments(s, d)),
+    "x46_source_cap"        -> ((s, d) => Sampling.sourceCapSample(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -988,5 +989,18 @@ object SparkEntry {
         |       CAST(len(ws[chunk_id*32+1 : chunk_id*32+64]) AS INTEGER) AS n_tokens,
         |       md5(array_to_string(ws[chunk_id*32+1 : chunk_id*32+64], ' ')) AS chunk_md5
         |FROM ex""".stripMargin,
+
+    // x46: the oracle is the WINDOW formulation (rank by salted md5-60
+    // hash within source, keep rank ≤ cap) — the sketch-threshold plan
+    // must select exactly the same rows, which is the whole point: same
+    // answer, corpus never shuffled. Algorithm oracle via the md5 hashes.
+    "x46_source_cap" ->
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang,
+        |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM (SELECT doc_id, source, lang,
+        |          ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |        FROM documents) t) r
+        |WHERE rn <= 20""".stripMargin,
   )
 }

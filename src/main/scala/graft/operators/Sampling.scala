@@ -192,6 +192,38 @@ object Sampling {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
+  /** Per-source document cap (x46): keep at most `cap` documents per
+    * source, chosen deterministically as the `cap` smallest salted md5-60
+    * hashes — the source-balancing step that stops a dominant crawl from
+    * swamping the training mix, with the same retry/rerun stability
+    * guarantees as every other sampler here (pure function of doc_id).
+    *
+    * The 100 TB shape is the interesting part: the naive formulation —
+    * `row_number() OVER (PARTITION BY source ORDER BY hash) <= cap` —
+    * shuffles and SORTS the whole corpus with the hottest source
+    * concentrated in one task. Instead, phase 1 computes each source's
+    * cap-th smallest hash with the mergeable O(cap) KMV sketch
+    * (`functions.KmvSketch` — map-side combine collapses a billion-doc
+    * source to one sketch per mapper), and phase 2 broadcasts the tiny
+    * per-source threshold table and keeps rows with hash ≤ threshold —
+    * the corpus itself is never shuffled or sorted (plan-asserted in
+    * SamplingSpec). Hashes are distinct per doc_id, so "≤ kth smallest"
+    * selects exactly the same rows as the window formulation (the DuckDB
+    * oracle IS that window formulation). Sources with fewer than `cap`
+    * docs are kept whole (`n_kept < cap`). */
+  def sourceCapSample(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    import graft.functions.KmvSketch.kmv_sketch
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        Dedup.md5Hash60(concat(lit("cap:"), col("doc_id").cast("string"))).as("h"))
+    val thresholds = docs.groupBy(col("source"))
+      .agg(kmv_sketch(col("h"), cap).as("sk"))
+      .select(col("source"), col("sk.n_kept").as("n_kept"), col("sk.kth_hash").as("kth"))
+    docs.join(broadcast(thresholds), Seq("source"))
+      .filter(col("n_kept") < cap || col("h") <= col("kth"))
+      .select(col("doc_id"), col("source"), col("lang"))
+  }
+
   /** Sample-based per-language quantile estimation via the bottom-k
     * hash-priority sample (`functions.KmvValueSample`): each group keeps
     * only the n_chars values of its k smallest-hashed docs (O(k) state,

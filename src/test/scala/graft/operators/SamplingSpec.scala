@@ -110,6 +110,32 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("sourceCapSample keeps min(cap, group size) docs per source without shuffling the corpus") {
+    val cap = 3
+    val kept = Sampling.sourceCapSample(spark, sf, cap)
+    val bySource = kept.groupBy($"source").count().as[(String, Long)].collect().toMap
+    val totals = graft.Tables.documents(spark, sf)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(bySource.keySet == totals.keySet) // no source dropped entirely
+    totals.foreach { case (src, n) =>
+      assert(bySource(src) == math.min(cap.toLong, n), s"source $src")
+    }
+    // equals the window formulation row-for-row (same md5 priority order)
+    import org.apache.spark.sql.expressions.Window
+    val h = Dedup.md5Hash60(concat(lit("cap:"), $"doc_id".cast("string")))
+    val ref = graft.Tables.documents(spark, sf)
+      .withColumn("rn", row_number().over(Window.partitionBy($"source").orderBy(h)))
+      .filter($"rn" <= cap).select($"doc_id").as[Long].collect().toSet
+    assert(kept.select($"doc_id").as[Long].collect().toSet == ref)
+    // scale shape: the only exchange feeds the tiny per-source sketch —
+    // the corpus side reaches the threshold join unshuffled and unsorted
+    // (executedPlan, not sparkPlan: exchanges are inserted by
+    // EnsureRequirements, which hasn't run on the latter)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), "thresholds must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "corpus must not shuffle for the join")
+  }
+
   test("lengthQuantiles picks ordered actual data values per source") {
     val q = Sampling.lengthQuantiles(spark, sf)
     val rows = q.as[(String, Long, Long, Long, Long)].collect()
