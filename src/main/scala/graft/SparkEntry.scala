@@ -84,6 +84,7 @@ object SparkEntry {
     "x44_incremental_dedup" -> ((s, d) => Dedup.incrementalParagraphDedup(s, d)),
     "x45_chunk_documents"   -> ((s, d) => TextAnalysis.chunkDocuments(s, d)),
     "x46_source_cap"        -> ((s, d) => Sampling.sourceCapSample(s, d)),
+    "x47_decontaminated"    -> ((s, d) => Dedup.decontaminate(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -1002,5 +1003,21 @@ object SparkEntry {
         |          ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
         |        FROM documents) t) r
         |WHERE rn <= 20""".stripMargin,
+
+    // x47: the cleaned corpus — non-benchmark docs minus x31/x43's hit
+    // set (the bloom prefilter is output-invisible, so plain SQL suffices).
+    "x47_decontaminated" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(shingles) AS sh FROM (
+        |    SELECT doc_id, list_distinct([array_to_string(words[i:i+4], ' ')
+        |                                  for i in range(1, len(words) - 3)]) AS shingles
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1) t2),
+        |hits AS (
+        |  SELECT c.doc_id
+        |  FROM sh c JOIN sh b ON c.sh = b.sh AND b.doc_id < 20 AND c.doc_id >= 20
+        |  GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 3)
+        |SELECT d.doc_id, d.source, d.lang, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id >= 20 AND d.doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
   )
 }

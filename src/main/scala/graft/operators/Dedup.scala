@@ -480,6 +480,24 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Decontaminated corpus (x47): the REMOVAL step that turns the
+    * contamination report (x31/x43 — which docs overlap the benchmark)
+    * into the cleaned training set a pipeline actually ships: every
+    * non-benchmark document with NO ≥`minShared`-shingle overlap against
+    * any benchmark doc. Detection runs through the bloom-prefiltered path
+    * (x43) and removal is one left-anti join on doc_id — the contaminated
+    * id set is a tiny fraction of the corpus by construction, so the
+    * anti-join broadcasts. */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 5,
+                    benchMaxId: Long = 20, minShared: Int = 3): DataFrame = {
+    val contaminated = bloomDecontamination(spark, dir, n, benchMaxId, minShared)
+      .select(col("doc_id")).distinct()
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") >= benchMaxId)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+  }
+
   /** 64-bit SimHash from word hashes: sum ±1 per bit position weighted by
     * token occurrence, sign → bit. Computed with codegen'd higher-order
     * functions over the token array — no UDF, no shuffle until the band join. */

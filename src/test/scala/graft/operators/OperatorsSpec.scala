@@ -234,6 +234,15 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSet == again.toSet)
   }
 
+  test("decontaminate removes exactly the contaminated ids from the non-bench corpus") {
+    val cleaned = Dedup.decontaminate(spark, sf).select($"doc_id").as[Long].collect().toSet
+    val hits = Dedup.contaminationPairs(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val corpus = graft.Tables.documents(spark, sf)
+      .filter($"doc_id" >= 20).select($"doc_id").as[Long].collect().toSet
+    assert(hits.nonEmpty && cleaned == corpus -- hits)
+  }
+
   test("bloom decontamination equals the broadcast-join x31 exactly; prefilter actually prunes") {
     val viaBloom = Dedup.bloomDecontamination(spark, sf)
       .as[(Long, Long, Long)].collect().toSet
