@@ -395,13 +395,17 @@ object Dedup {
                                 newMinId: Long = 250,
                                 boundaryMod: Int = 16): DataFrame = {
     val pars = cdcParagraphs(spark, dir, boundaryMod)
-    val existing = pars.filter(col("doc_id") < newMinId)
-      .select(col("fp")).distinct().withColumn("in_existing", lit(1))
-    val fresh = pars.filter(col("doc_id") >= newMinId)
-    val batchFirsts = fresh.groupBy(col("fp"))
-      .agg(min(struct(col("doc_id"), col("par_id"))).as("first"))
-    fresh.join(existing, Seq("fp"), "left")
-      .join(batchFirsts, Seq("fp"))
+    // ONE digest-index aggregate answers both classification questions —
+    // "seen in the existing corpus?" and "first occurrence in the batch?"
+    // — so the paragraph subtree is instantiated twice (index + probe),
+    // the same skew-safe minimum as x39, instead of three times with
+    // separate existing/batch aggregates
+    val fpIndex = pars.groupBy(col("fp")).agg(
+      max((col("doc_id") < newMinId).cast("int")).as("in_existing"),
+      min(when(col("doc_id") >= newMinId,
+        struct(col("doc_id"), col("par_id")))).as("first"))
+    pars.filter(col("doc_id") >= newMinId)
+      .join(fpIndex, Seq("fp"))
       .withColumn("status",
         when(col("in_existing") === 1, "dup_of_existing")
           .when(col("doc_id") =!= col("first.doc_id")
