@@ -74,6 +74,27 @@ class SamplingSpec extends SparkSpec {
     assert(got.size == 5000 && got == naive)
   }
 
+  test("property: exclusivePrefixSum ≡ driver-side scan on random sparse inputs") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      // random sparse keys (gaps exercise empty buckets at every level),
+      // random sizes around the recursion thresholds
+      val nRows = 200 + rng.nextInt(1800)
+      val rows = Seq.fill(nRows)((math.abs(rng.nextLong()) % 100000L, rng.nextInt(50).toLong))
+        .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sum) }.toSeq // unique keys
+      val fanout = 2 + rng.nextInt(9)
+      val maxRows = 10 + rng.nextInt(40)
+      val got = Sampling.exclusivePrefixSum(rows.toDF("key", "v"), fanout, maxRows)
+        .as[(Long, Long)].collect().toMap
+      val expected = rows.sortBy(_._1)
+        .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (k, v)) => (k, acc + v) }
+        .drop(1)
+        .map { case (k, cum) => k -> (cum - rows.find(_._1 == k).get._2) }.toMap
+      assert(got == expected, s"trial $trial fanout=$fanout maxRows=$maxRows n=${rows.size}")
+    }
+  }
+
   test("packSequences with a forced-recursion bucket level equals the default plan") {
     // bucketSize 7 at sf0.001 yields ~72 buckets; maxWindowRows 10 forces the
     // bucket-prefix level itself to recurse (72 → 11 → 2) — the 100 TB path
