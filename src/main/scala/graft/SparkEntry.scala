@@ -833,13 +833,13 @@ object SparkEntry {
     // corpus-wide first-occurrence-by-(doc_id, par_id) dedup on the
     // paragraph digest, and in-order re-assembly of the survivors.
     "x39_paragraph_dedup" ->
-      """WITH w AS (
+      s"""WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
         |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, pos, w,
-        |         SUM(CASE WHEN ('0x' || substr(md5(w), 1, 15))::BIGINT % 16 = 0
+        |         SUM(CASE WHEN ('0x' || substr(md5(w), 1, 15))::BIGINT % ${operators.Dedup.ParagraphBoundaryMod} = 0
         |                  THEN 1 ELSE 0 END)
         |           OVER (PARTITION BY doc_id ORDER BY pos
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS par_id
@@ -891,18 +891,18 @@ object SparkEntry {
     // cells, and the min-over-rows estimate — the sketch ALGORITHM is the
     // contract, including its one-sided (over-)estimation error.
     "x41_countmin_hitters" ->
-      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |cells AS (
-        |  SELECT r, ('0x' || substr(md5('cm' || r || ':' || w), 1, 15))::BIGINT % 1024 AS b,
+        |  SELECT r, ('0x' || substr(md5('cm' || r || ':' || w), 1, 15))::BIGINT % ${operators.TextAnalysis.CmWidth} AS b,
         |         COUNT(*) AS cnt
-        |  FROM tok, (SELECT unnest([0, 1, 2, 3]) AS r) rr
+        |  FROM tok, (SELECT unnest([${(0 until operators.TextAnalysis.CmDepth).mkString(", ")}]) AS r) rr
         |  GROUP BY 1, 2),
         |top AS (SELECT w AS word, COUNT(*) AS true_count FROM tok
         |        GROUP BY w ORDER BY true_count DESC, word LIMIT 20),
         |probes AS (
         |  SELECT word, true_count, r,
-        |         ('0x' || substr(md5('cm' || r || ':' || word), 1, 15))::BIGINT % 1024 AS b
-        |  FROM top, (SELECT unnest([0, 1, 2, 3]) AS r) rr)
+        |         ('0x' || substr(md5('cm' || r || ':' || word), 1, 15))::BIGINT % ${operators.TextAnalysis.CmWidth} AS b
+        |  FROM top, (SELECT unnest([${(0 until operators.TextAnalysis.CmDepth).mkString(", ")}]) AS r) rr)
         |SELECT p.word, p.true_count, MIN(c.cnt) AS est_count,
         |       MIN(c.cnt) - p.true_count AS overcount
         |FROM probes p JOIN cells c USING (r, b)
@@ -913,11 +913,11 @@ object SparkEntry {
     // on both engines); SUMs are CAST to BIGINT (DuckDB SUM yields HUGEINT
     // — the x37 lesson) and the ratio is one int/int IEEE division.
     "x42_rare_token_ratio" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tf AS (SELECT w, COUNT(*) AS tf FROM tok GROUP BY w),
         |s AS (SELECT CAST(SUM(tf) AS BIGINT) AS total_tf, COUNT(*) AS n_vocab FROM tf),
         |j AS (SELECT t.doc_id, t.w,
-        |             CASE WHEN f.tf * 10 < s.total_tf // s.n_vocab THEN 1 ELSE 0 END AS r
+        |             CASE WHEN f.tf * ${operators.TextAnalysis.RareRelDenom} < s.total_tf // s.n_vocab THEN 1 ELSE 0 END AS r
         |      FROM tok t JOIN tf f USING (w) CROSS JOIN s)
         |SELECT doc_id, COUNT(*) AS n_tokens,
         |       CAST(SUM(r) AS BIGINT) AS n_rare,
@@ -949,13 +949,13 @@ object SparkEntry {
     // rollup. MIN(ROW(...)) mirrors Spark's min(struct(...)); SUMs CAST
     // to BIGINT (DuckDB HUGEINT — the x37 lesson).
     "x44_incremental_dedup" ->
-      """WITH w AS (
+      s"""WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
         |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, pos, w,
-        |         SUM(CASE WHEN ('0x' || substr(md5(w), 1, 15))::BIGINT % 16 = 0
+        |         SUM(CASE WHEN ('0x' || substr(md5(w), 1, 15))::BIGINT % ${operators.Dedup.ParagraphBoundaryMod} = 0
         |                  THEN 1 ELSE 0 END)
         |           OVER (PARTITION BY doc_id ORDER BY pos
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS par_id
@@ -963,8 +963,8 @@ object SparkEntry {
         |pars AS (
         |  SELECT doc_id, par_id, md5(array_to_string(list(w ORDER BY pos), ' ')) AS fp
         |  FROM c GROUP BY doc_id, par_id),
-        |ex AS (SELECT DISTINCT fp FROM pars WHERE doc_id < 250),
-        |np AS (SELECT * FROM pars WHERE doc_id >= 250),
+        |ex AS (SELECT DISTINCT fp FROM pars WHERE doc_id < ${operators.Dedup.IncrementalNewMinId}),
+        |np AS (SELECT * FROM pars WHERE doc_id >= ${operators.Dedup.IncrementalNewMinId}),
         |bf AS (SELECT fp, MIN(ROW(doc_id, par_id)) AS first FROM np GROUP BY fp),
         |cls AS (
         |  SELECT np.doc_id,
@@ -980,29 +980,31 @@ object SparkEntry {
 
     // x45: same all-integer chunk-count arithmetic (floor div) and the
     // same inclusive-clamped slice semantics on both engines.
-    "x45_chunk_documents" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    "x45_chunk_documents" -> {
+      val (c, st) = (operators.TextAnalysis.ChunkTokens, operators.TextAnalysis.ChunkStride)
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |n AS (SELECT doc_id, ws,
-        |        CAST((greatest(len(ws) - 64, 0) + 31) // 32 AS INTEGER) + 1 AS n_chunks
+        |        CAST((greatest(len(ws) - $c, 0) + ${st - 1}) // $st AS INTEGER) + 1 AS n_chunks
         |      FROM d),
         |ex AS (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS chunk_id FROM n)
         |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
-        |       CAST(len(ws[chunk_id*32+1 : chunk_id*32+64]) AS INTEGER) AS n_tokens,
-        |       md5(array_to_string(ws[chunk_id*32+1 : chunk_id*32+64], ' ')) AS chunk_md5
-        |FROM ex""".stripMargin,
+        |       CAST(len(ws[chunk_id*$st+1 : chunk_id*$st+$c]) AS INTEGER) AS n_tokens,
+        |       md5(array_to_string(ws[chunk_id*$st+1 : chunk_id*$st+$c], ' ')) AS chunk_md5
+        |FROM ex""".stripMargin
+    },
 
     // x46: the oracle is the WINDOW formulation (rank by salted md5-60
     // hash within source, keep rank ≤ cap) — the sketch-threshold plan
     // must select exactly the same rows, which is the whole point: same
     // answer, corpus never shuffled. Algorithm oracle via the md5 hashes.
     "x46_source_cap" ->
-      """SELECT doc_id, source, lang FROM (
+      s"""SELECT doc_id, source, lang FROM (
         |  SELECT doc_id, source, lang,
         |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
         |  FROM (SELECT doc_id, source, lang,
         |          ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
         |        FROM documents) t) r
-        |WHERE rn <= 20""".stripMargin,
+        |WHERE rn <= ${operators.Sampling.DefaultSourceCap}""".stripMargin,
 
     // x47: the cleaned corpus — non-benchmark docs minus x31/x43's hit
     // set (the bloom prefilter is output-invisible, so plain SQL suffices).

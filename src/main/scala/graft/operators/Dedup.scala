@@ -25,6 +25,13 @@ object Dedup {
   val NearDupPlanes: Int = 8
   val NearDupMaxHamming: Int = 4
 
+  /** CDC paragraph-boundary modulus (x39/x44) and x44's default
+    * new-shard boundary — shared with the oracle SQL in `SparkEntry` so
+    * query and oracle can only move together (same pattern as
+    * NearDupPlanes, per round-3 advice). */
+  val ParagraphBoundaryMod: Int = 16
+  val IncrementalNewMinId: Long = 250
+
   /** Word n-gram shingles of `text`, distinct, as an array column.
     * Spark-side uses codegen'd higher-order functions (no UDF). */
   def wordShingles(text: Column, n: Int): Column = {
@@ -337,7 +344,8 @@ object Dedup {
     * the digest aggregate, once the keep-join — the minimum a skew-safe
     * declarative formulation pays (collapsing to one would force an
     * imperative corpus-sized materialization). */
-  def paragraphDedup(spark: SparkSession, dir: String, boundaryMod: Int = 16): DataFrame = {
+  def paragraphDedup(spark: SparkSession, dir: String,
+                     boundaryMod: Int = ParagraphBoundaryMod): DataFrame = {
     val pars = cdcParagraphs(spark, dir, boundaryMod)
     val firsts = pars.groupBy(col("fp"))
       .agg(min(struct(col("doc_id"), col("par_id"))).as("first"))
@@ -392,8 +400,8 @@ object Dedup {
     * the existing side is empty and per-doc kept counts equal x39's
     * (asserted in the spec). */
   def incrementalParagraphDedup(spark: SparkSession, dir: String,
-                                newMinId: Long = 250,
-                                boundaryMod: Int = 16): DataFrame = {
+                                newMinId: Long = IncrementalNewMinId,
+                                boundaryMod: Int = ParagraphBoundaryMod): DataFrame = {
     val pars = cdcParagraphs(spark, dir, boundaryMod)
     // ONE digest-index aggregate answers both classification questions —
     // "seen in the existing corpus?" and "first occurrence in the batch?"

@@ -20,6 +20,11 @@ import graft.Tables
   */
 object Sampling {
 
+  /** x46's default per-source cap — shared with the oracle SQL in
+    * `SparkEntry` (same query/oracle single-source pattern as
+    * `Dedup.NearDupPlanes`). */
+  val DefaultSourceCap: Int = 20
+
   /** Uniform bucket in [0, buckets) from the salted md5 hash of a key —
     * the primitive under splits and sampling. The salt isolates use-sites:
     * a doc's split bucket and sample bucket are independent. */
@@ -211,7 +216,8 @@ object Sampling {
     * selects exactly the same rows as the window formulation (the DuckDB
     * oracle IS that window formulation). Sources with fewer than `cap`
     * docs are kept whole (`n_kept < cap`). */
-  def sourceCapSample(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+  def sourceCapSample(spark: SparkSession, dir: String,
+                      cap: Int = DefaultSourceCap): DataFrame = {
     import graft.functions.KmvSketch.kmv_sketch
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"),

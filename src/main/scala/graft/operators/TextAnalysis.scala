@@ -15,6 +15,15 @@ import graft.Tables
   */
 object TextAnalysis {
 
+  /** Default knobs for x41/x42/x45, shared with the oracle SQL in
+    * `SparkEntry` so each oracle derives from the SAME values the Spark
+    * operators default to (query and oracle can only move together). */
+  val CmDepth: Int = 4
+  val CmWidth: Int = 1024
+  val RareRelDenom: Int = 10
+  val ChunkTokens: Int = 64
+  val ChunkStride: Int = 32
+
   private def words(text: Column): Column = split(text, " ")
 
   private def countIn(text: Column, vocab: Seq[String]): Column =
@@ -153,8 +162,8 @@ object TextAnalysis {
     * top-K reference counts here come from x21's aggregate (this is the
     * eval harness for the sketch); a production monitor would query the
     * sketch alone. */
-  def countMinHeavyHitters(spark: SparkSession, dir: String, depth: Int = 4,
-                           width: Int = 1024, topK: Int = 20): DataFrame = {
+  def countMinHeavyHitters(spark: SparkSession, dir: String, depth: Int = CmDepth,
+                           width: Int = CmWidth, topK: Int = 20): DataFrame = {
     val tokens = Tables.documents(spark, dir)
       .select(explode(words(col("text"))).as("w"))
     def bucket(w: Column, r: Int): Column =
@@ -191,7 +200,7 @@ object TextAnalysis {
     * vocabulary, so it is NOT broadcastable and the join back runs as a
     * plain shuffle join on the token key), then per-doc ratios on doc_id.
     * The final ratio is one int/int IEEE division → exact cross-engine. */
-  def rareTokenStats(spark: SparkSession, dir: String, relDenom: Int = 10,
+  def rareTokenStats(spark: SparkSession, dir: String, relDenom: Int = RareRelDenom,
                      flagAt: Double = 0.5): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
@@ -321,8 +330,8 @@ object TextAnalysis {
     * (sequence + slice higher-order functions, codegen'd): NO shuffle at
     * any size — the one data-pipeline stage that should never cost more
     * than the scan itself. All-integer arithmetic → exact oracle. */
-  def chunkDocuments(spark: SparkSession, dir: String, chunkTokens: Int = 64,
-                     stride: Int = 32): DataFrame = {
+  def chunkDocuments(spark: SparkSession, dir: String, chunkTokens: Int = ChunkTokens,
+                     stride: Int = ChunkStride): DataFrame = {
     require(stride > 0 && chunkTokens >= stride, "need 0 < stride <= chunkTokens")
     val ws = words(col("text"))
     // floor division via `div` keeps the chunk count all-integer
