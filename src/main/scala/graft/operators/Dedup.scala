@@ -345,8 +345,15 @@ object Dedup {
     * declarative formulation pays (collapsing to one would force an
     * imperative corpus-sized materialization). */
   def paragraphDedup(spark: SparkSession, dir: String,
-                     boundaryMod: Int = ParagraphBoundaryMod): DataFrame = {
-    val pars = cdcParagraphs(spark, dir, boundaryMod)
+                     boundaryMod: Int = ParagraphBoundaryMod): DataFrame =
+    paragraphDedup(Tables.documents(spark, dir), boundaryMod)
+
+  /** DataFrame-first form of x39 for composition into user pipelines:
+    * any frame with (doc_id: long, text: string) columns. The
+    * (spark, dir) form above exists for the query contract and
+    * delegates here. */
+  def paragraphDedup(docs: DataFrame, boundaryMod: Int): DataFrame = {
+    val pars = cdcParagraphs(docs, boundaryMod)
     val firsts = pars.groupBy(col("fp"))
       .agg(min(struct(col("doc_id"), col("par_id"))).as("first"))
     pars.join(firsts, Seq("fp"))
@@ -368,8 +375,11 @@ object Dedup {
     * one shuffle on doc_id (running boundary count + paragraph grouping
     * share the partitioning). */
   private[graft] def cdcParagraphs(spark: SparkSession, dir: String,
-                                   boundaryMod: Int): DataFrame = {
-    val words = Tables.documents(spark, dir)
+                                   boundaryMod: Int): DataFrame =
+    cdcParagraphs(Tables.documents(spark, dir), boundaryMod)
+
+  private[graft] def cdcParagraphs(docs: DataFrame, boundaryMod: Int): DataFrame = {
+    val words = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .toDF("doc_id", "pos", "w")
     val runningBoundaries = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -401,8 +411,16 @@ object Dedup {
     * (asserted in the spec). */
   def incrementalParagraphDedup(spark: SparkSession, dir: String,
                                 newMinId: Long = IncrementalNewMinId,
-                                boundaryMod: Int = ParagraphBoundaryMod): DataFrame = {
-    val pars = cdcParagraphs(spark, dir, boundaryMod)
+                                boundaryMod: Int = ParagraphBoundaryMod): DataFrame =
+    incrementalParagraphDedup(Tables.documents(spark, dir), newMinId, boundaryMod)
+
+  /** DataFrame-first form of x44: `docs` is the union of existing corpus
+    * and new shard, with the shard boundary at `newMinId` (a production
+    * caller instead passes yesterday's digest index — see Scaladoc
+    * above). */
+  def incrementalParagraphDedup(docs: DataFrame, newMinId: Long,
+                                boundaryMod: Int): DataFrame = {
+    val pars = cdcParagraphs(docs, boundaryMod)
     // ONE digest-index aggregate answers both classification questions —
     // "seen in the existing corpus?" and "first occurrence in the batch?"
     // — so the paragraph subtree is instantiated twice (index + probe),

@@ -234,6 +234,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSet == again.toSet)
   }
 
+  test("paragraphDedup DataFrame form: a planted shared paragraph is killed exactly once") {
+    // find a CDC boundary word driver-side (md5-60 ≡ 0 mod 16 — same rule
+    // as the operator), then plant an identical boundary-delimited span in
+    // two docs: content-defined cutting guarantees both emit the same
+    // paragraph regardless of where it sits in each doc
+    val boundary = (0 until 1000).map(i => s"w$i")
+      .find(w => Dedup.md5Hash60Ref(w) % 16 == 0).get
+    val plain = (0 until 1000).map(i => s"w$i")
+      .filter(w => Dedup.md5Hash60Ref(w) % 16 != 0)
+    val shared = s"$boundary ${plain(0)} ${plain(1)} ${plain(2)}"
+    val docs = Seq(
+      (1L, s"${plain(3)} ${plain(4)} $shared $boundary ${plain(5)}"),
+      (2L, s"${plain(6)} $shared $boundary ${plain(7)} ${plain(8)}"),
+      (3L, s"${plain(9)} ${plain(10)}")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, boundaryMod = 16)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    val Array(d1, d2, d3) = out
+    assert(d1._2 == d1._3, "doc 1 holds every first occurrence")
+    assert(d2._3 == d2._2 - 1, "doc 2 loses exactly the planted paragraph")
+    assert(!d2._4.split(" ").contains(plain(1)), "killed span absent from doc 2's clean text")
+    assert(d3._2 == d3._3 && d3._4 == s"${plain(9)} ${plain(10)}", "untouched doc round-trips")
+  }
+
   test("decontaminate removes exactly the contaminated ids from the non-bench corpus") {
     val cleaned = Dedup.decontaminate(spark, sf).select($"doc_id").as[Long].collect().toSet
     val hits = Dedup.contaminationPairs(spark, sf)
