@@ -33,16 +33,23 @@ object BenchStreaming {
     // which charges source listing, state-store maintenance and commit
     // overheads to the twin — the honest end-to-end number
     def run(name: String, build: DataFrame => DataFrame): (String, Double) = {
-      val ckpt = Files.createTempDirectory(s"graft-sbench-$name").toString
-      val t0 = System.nanoTime()
-      val q = build(EventStream.readEvents(spark, sfDir))
-        .writeStream.format("noop")
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (nEvents / sec)
+      val ckpt = Files.createTempDirectory(s"graft-sbench-$name")
+      try {
+        val t0 = System.nanoTime()
+        val q = build(EventStream.readEvents(spark, sfDir))
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        name -> (nEvents / sec)
+      } finally {
+        // checkpoint/state-store trees are per-run scratch — drop them so
+        // repeated bench runs don't accumulate in /tmp
+        import scala.jdk.CollectionConverters._
+        Files.walk(ckpt).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
     }
 
     val users = spark.read.parquet(s"$sfDir/customer.parquet")

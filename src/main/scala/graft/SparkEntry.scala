@@ -994,13 +994,15 @@ object SparkEntry {
     },
 
     // x46: the oracle is the WINDOW formulation (rank by salted md5-60
-    // hash within source, keep rank ≤ cap) — the sketch-threshold plan
-    // must select exactly the same rows, which is the whole point: same
-    // answer, corpus never shuffled. Algorithm oracle via the md5 hashes.
+    // hash within source, doc_id tie-break, keep rank ≤ cap) — the
+    // sketch-threshold plan must select exactly the same rows, which is the
+    // whole point: same answer, corpus never shuffled. The (h, doc_id) pair
+    // key makes the selection deterministic even under a 60-bit hash
+    // collision. Algorithm oracle via the md5 hashes.
     "x46_source_cap" ->
       s"""SELECT doc_id, source, lang FROM (
         |  SELECT doc_id, source, lang,
-        |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
         |  FROM (SELECT doc_id, source, lang,
         |          ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
         |        FROM documents) t) r

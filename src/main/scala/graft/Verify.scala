@@ -33,7 +33,8 @@ object Verify {
       def keySet(df: org.apache.spark.sql.DataFrame) =
         df.select("q_id", "vec_id", "rank").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-      val exact = keySet(operators.Similarity.bruteForceTopK(spark, sfDir, qLo = 20, qHi = 30))
+      val exact = keySet(operators.Similarity.bruteForceTopK(spark, sfDir,
+        qLo = operators.Similarity.IvfQLo, qHi = operators.Similarity.IvfQHi))
       val approx = keySet(operators.Similarity.ivfTopK(spark, sfDir))
       val missing = (exact -- approx).size
       val recall = if (exact.isEmpty) 1.0 else (exact.size - missing).toDouble / exact.size

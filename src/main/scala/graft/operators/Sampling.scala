@@ -212,21 +212,25 @@ object Sampling {
     * source to one sketch per mapper), and phase 2 broadcasts the tiny
     * per-source threshold table and keeps rows with hash ≤ threshold —
     * the corpus itself is never shuffled or sorted (plan-asserted in
-    * SamplingSpec). Hashes are distinct per doc_id, so "≤ kth smallest"
-    * selects exactly the same rows as the window formulation (the DuckDB
-    * oracle IS that window formulation). Sources with fewer than `cap`
-    * docs are kept whole (`n_kept < cap`). */
+    * SamplingSpec). The sketch keys on the PAIR (h, doc_id)
+    * (`functions.KmvPairSketch`), so even a 60-bit md5 collision between
+    * two docs of one source selects exactly the `cap` rows of the
+    * window-formulation oracle's ORDER BY h, doc_id — fully deterministic,
+    * not merely collision-improbable. Sources with fewer than `cap` docs
+    * are kept whole (`n_kept < cap`). */
   def sourceCapSample(spark: SparkSession, dir: String,
                       cap: Int = DefaultSourceCap): DataFrame = {
-    import graft.functions.KmvSketch.kmv_sketch
+    import graft.functions.KmvPairSketch.kmv_pair_sketch
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"),
         Dedup.md5Hash60(concat(lit("cap:"), col("doc_id").cast("string"))).as("h"))
     val thresholds = docs.groupBy(col("source"))
-      .agg(kmv_sketch(col("h"), cap).as("sk"))
-      .select(col("source"), col("sk.n_kept").as("n_kept"), col("sk.kth_hash").as("kth"))
+      .agg(kmv_pair_sketch(col("h"), col("doc_id"), cap).as("sk"))
+      .select(col("source"), col("sk.n_kept").as("n_kept"),
+        col("sk.kth_hash").as("kth"), col("sk.kth_tie").as("kth_tie"))
     docs.join(broadcast(thresholds), Seq("source"))
-      .filter(col("n_kept") < cap || col("h") <= col("kth"))
+      .filter(col("n_kept") < cap || col("h") < col("kth") ||
+        (col("h") === col("kth") && col("doc_id") <= col("kth_tie")))
       .select(col("doc_id"), col("source"), col("lang"))
   }
 

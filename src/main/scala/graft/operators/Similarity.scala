@@ -29,6 +29,13 @@ object Similarity {
   val LshPlanes: Int = 8
   val LshProbeRadius: Int = 2
 
+  /** Query-id range for `ivfTopK` (x18). Shared with the recall probe in
+    * `graft.Verify`, which compares `bruteForceTopK` over the SAME range —
+    * hoisted so the probe can't silently measure a different query set if
+    * the defaults move. */
+  val IvfQLo: Int = 20
+  val IvfQHi: Int = 30
+
   /** embedding column upcast float→double (element-wise, codegen'd). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
@@ -165,7 +172,7 @@ object Similarity {
   private[graft] def pinnedFitInput(df: DataFrame): DataFrame =
     df.repartition(8, col("vec_id")).sortWithinPartitions(col("vec_id"))
 
-  def ivfTopK(spark: SparkSession, dir: String, qLo: Int = 20, qHi: Int = 30,
+  def ivfTopK(spark: SparkSession, dir: String, qLo: Int = IvfQLo, qHi: Int = IvfQHi,
               k: Int = 5, nCentroids: Int = 16, nProbe: Int = 14): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector

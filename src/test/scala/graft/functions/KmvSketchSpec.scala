@@ -54,6 +54,26 @@ class KmvSketchSpec extends SparkSpec {
     assert(a == ref)
   }
 
+  test("pair sketch selects exactly the (h, tie) window order, hash collisions included") {
+    import graft.functions.KmvPairSketch.kmv_pair_sketch
+    // forced collisions: hash space of 5 values over 200 rows, unique tie ids
+    val rows = (0L until 200L).map(i => (i % 5, i))
+    val df = rows.toDF("h", "id")
+    def run(parts: Int) =
+      df.repartition(parts).agg(kmv_pair_sketch($"h", $"id", 7).as("sk"))
+        .select($"sk.n_kept", $"sk.kth_hash", $"sk.kth_tie")
+        .as[(Int, Long, Long)].head()
+    val (n, kth, ktie) = run(1)
+    assert(run(16) == ((n, kth, ktie))) // merge-invariant
+    val refKth = rows.sortBy(identity).apply(6) // 7th smallest (h, id) pair
+    assert(n == 7 && (kth, ktie) == refKth)
+    // the selection filter admits exactly k rows — the window-equivalence
+    // that motivates the pair key (a plain hash sketch would admit k+extra
+    // on collision)
+    val kept = rows.filter { case (h, id) => h < kth || (h == kth && id <= ktie) }
+    assert(kept.size == 7 && kept.toSet == rows.sortBy(identity).take(7).toSet)
+  }
+
   test("null hashes are ignored; empty input yields null sketch") {
     val withNulls = Seq(Some("a"), None, Some("b"), None).toDF("w")
       .select(when($"w".isNotNull, Dedup.md5Hash60($"w")).as("h"))

@@ -145,7 +145,7 @@ class SamplingSpec extends SparkSpec {
     import org.apache.spark.sql.expressions.Window
     val h = Dedup.md5Hash60(concat(lit("cap:"), $"doc_id".cast("string")))
     val ref = graft.Tables.documents(spark, sf)
-      .withColumn("rn", row_number().over(Window.partitionBy($"source").orderBy(h)))
+      .withColumn("rn", row_number().over(Window.partitionBy($"source").orderBy(h, $"doc_id")))
       .filter($"rn" <= cap).select($"doc_id").as[Long].collect().toSet
     assert(kept.select($"doc_id").as[Long].collect().toSet == ref)
     // scale shape: the only exchange feeds the tiny per-source sketch —
