@@ -85,6 +85,9 @@ object SparkEntry {
     "x45_chunk_documents"   -> ((s, d) => TextAnalysis.chunkDocuments(s, d)),
     "x46_source_cap"        -> ((s, d) => Sampling.sourceCapSample(s, d)),
     "x47_decontaminated"    -> ((s, d) => Dedup.decontaminate(s, d)),
+    "x48_mixture_sample"    -> ((s, d) => Sampling.mixtureSample(s, d)),
+    "x49_bigram_familiarity" -> ((s, d) => TextAnalysis.bigramFamiliarity(s, d)),
+    "x50_length_trim"       -> ((s, d) => Sampling.lengthTailTrim(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -1023,5 +1026,53 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, d.lang, d.n_chars
         |FROM documents d
         |WHERE d.doc_id >= 20 AND d.doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
+
+    // x48: algorithm oracle — the same √(n_min/n) acceptance thresholds
+    // from the same salted md5-60 hashes. All float ops are correctly
+    // rounded (divide, sqrt) or exact (×2⁶⁰ exponent shift, floor), so
+    // the thresholds — and the kept set — are bit-identical cross-engine.
+    "x48_mixture_sample" ->
+      s"""WITH counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |mn AS (SELECT min(n) AS n_min FROM counts),
+        |th AS (SELECT lang,
+        |         CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n) * ${operators.Sampling.HashSpace}) AS BIGINT) AS thresh
+        |       FROM counts, mn)
+        |SELECT d.doc_id, d.source, d.lang
+        |FROM documents d JOIN th USING (lang)
+        |WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT < thresh""".stripMargin,
+
+    // x49: corpus bigram frequencies joined back per doc; the score is a
+    // BIGINT sum + one double division (log-free on purpose — libm log is
+    // not correctly rounded, integer ratios are).
+    "x49_bigram_familiarity" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+        |       FROM tok, unnest(range(1, len(ws))) AS t(i)),
+        |freq AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cf FROM bg GROUP BY 1)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(f.cf) AS BIGINT) AS sum_cf,
+        |       CAST(CAST(sum(f.cf) AS BIGINT) AS DOUBLE) / CAST(count(*) AS BIGINT) AS familiarity
+        |FROM bg b JOIN freq f USING (bigram) GROUP BY 1""".stripMargin,
+
+    // x50: algorithm oracle — replicates the bottom-k hash sample
+    // (min-value-per-hash, x36's convention), the q10/q90 picks, and the
+    // fence filter. The corpus filter itself is exact integer compares.
+    "x50_length_trim" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, n_chars,
+        |         ('0x' || substr(md5('len:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |m AS (SELECT source, h, MIN(n_chars) AS v FROM t GROUP BY source, h),
+        |r AS (SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM m),
+        |kk AS (SELECT source, v FROM r WHERE rn <= ${operators.Sampling.TrimSampleK}),
+        |s AS (SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY v) AS vr,
+        |             COUNT(*) OVER (PARTITION BY source) AS n FROM kk),
+        |f AS (SELECT source,
+        |        MAX(CASE WHEN vr = CAST(ceil(n * ${operators.Sampling.TrimLoPct} / 100.0) AS BIGINT) THEN v END) AS lo,
+        |        MAX(CASE WHEN vr = CAST(ceil(n * ${operators.Sampling.TrimHiPct} / 100.0) AS BIGINT) THEN v END) AS hi
+        |      FROM s GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN f USING (source)
+        |WHERE d.n_chars >= f.lo AND d.n_chars <= f.hi""".stripMargin,
   )
 }

@@ -25,6 +25,18 @@ object Sampling {
     * `Dedup.NearDupPlanes`). */
   val DefaultSourceCap: Int = 20
 
+  /** md5-60 hash-space size (2⁶⁰) as a BIGINT, shared with x48's oracle.
+    * A power of two: multiplying a double rate by it only shifts the
+    * exponent, so `rate * HashSpace` is EXACT, and `floor` of it is the
+    * engine-neutral acceptance threshold. */
+  val HashSpace: Long = 1L << 60
+
+  /** x50's sampled-trim knobs — sample size and the kept percentile band,
+    * shared with the oracle SQL. */
+  val TrimSampleK: Int = 64
+  val TrimLoPct: Int = 10
+  val TrimHiPct: Int = 90
+
   /** Uniform bucket in [0, buckets) from the salted md5 hash of a key —
     * the primitive under splits and sampling. The salt isolates use-sites:
     * a doc's split bucket and sample bucket are independent. */
@@ -253,6 +265,66 @@ object Sampling {
       element_at(col("vals"), ceil(size(col("vals")) * q / 100).cast("int"))
     agg.select(col("lang"), size(col("vals")).as("n_sample"),
       pick(50).as("q50_sampled"), pick(90).as("q90_sampled"))
+  }
+
+  /** Temperature-flattened language mixture (x48): downsample each
+    * language stratum to rate √(n_min/n_lang) — the α=0.5 point of the
+    * nᵅ temperature-mixing family used to stop a dominant language (or
+    * source) from swamping a training mix, anchored so the smallest
+    * stratum is kept whole. Acceptance is the salted md5-60 hash against
+    * a per-stratum threshold: a pure function of doc_id (retry/rerun
+    * stable, no `rand()`), so the DuckDB oracle replicates the sampled
+    * set EXACTLY.
+    *
+    * Cross-engine float discipline: the rate is one exact division and
+    * one `sqrt` (correctly rounded per IEEE 754, unlike `pow` — the
+    * reason α is 0.5 and not a free knob in the oracle-checked surface);
+    * scaling by 2⁶⁰ shifts the exponent only, and `floor` is exact. The
+    * threshold is therefore bit-identical in both engines.
+    *
+    * 100 TB shape: stratum counts are a tiny partial-agg'd aggregate
+    * (one row per language), the min folds in as a broadcast 1-row agg
+    * (x22's pattern — no separate count() action), thresholds broadcast,
+    * and the corpus itself is filtered in place: zero corpus shuffles. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        Dedup.md5Hash60(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val nMin = counts.agg(min(col("n")).as("n_min"))
+    val thresholds = counts.crossJoin(broadcast(nMin))
+      .select(col("lang"),
+        floor(sqrt(col("n_min").cast("double") / col("n")) * lit(HashSpace))
+          .cast("long").as("thresh"))
+    docs.join(broadcast(thresholds), Seq("lang"))
+      .filter(col("h") < col("thresh"))
+      .select(col("doc_id"), col("source"), col("lang"))
+  }
+
+  /** Per-source length tail-trim (x50): drop documents outside the
+    * [q10, q90] n_chars band of their source, with the band estimated
+    * from the bounded-state bottom-k hash sample (`KmvValueSample`, same
+    * machinery as x36) — the robust outlier-trimming stage of a quality
+    * pipeline, in the shape it must take at 100 TB: per-source fences
+    * come from O(k) mergeable state (no exact order statistics, which
+    * would shuffle every row — x29's cost), the fence table broadcasts,
+    * and the corpus is filtered unshuffled. Deterministic end-to-end
+    * (md5-60 priorities), so the oracle replicates sample, fences, and
+    * filter exactly. */
+  def lengthTailTrim(spark: SparkSession, dir: String, k: Int = TrimSampleK): DataFrame = {
+    import graft.functions.KmvValueSample.kmv_value_sample
+    val h = Dedup.md5Hash60(concat(lit("len:"), col("doc_id").cast("string")))
+    val samples = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(kmv_value_sample(h, col("n_chars"), k).as("vals"))
+    def pick(q: Int): Column =
+      element_at(col("vals"), ceil(size(col("vals")) * q / 100).cast("int"))
+    val fences = samples.select(col("source"),
+      pick(TrimLoPct).as("lo"), pick(TrimHiPct).as("hi"))
+    Tables.documents(spark, dir)
+      .join(broadcast(fences), Seq("source"))
+      .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
   /** Exact per-source length quantiles (q25/q50/q75 of n_chars) via

@@ -128,6 +128,35 @@ object TextAnalysis {
       .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tf_idf"), col("rank"))
   }
 
+  /** Bigram familiarity scoring (x49): a log-free n-gram-LM quality
+    * signal — each document scores the mean corpus frequency of its word
+    * bigrams (how "seen-before" its phrasing is). Keeping the score a
+    * BIGINT sum over corpus counts plus ONE double division makes it
+    * bit-exact cross-engine, where a true log-perplexity would inherit
+    * libm rounding differences (the same discipline as tfidf's rational
+    * idf).
+    *
+    * Shuffles: one on bigram to build the frequency model (partial agg
+    * collapses hot bigrams map-side), one on bigram for the scoring join,
+    * one back on doc_id. The model table is bounded by vocab² — broadcast
+    * it when small; a hot-bigram-skewed sort-merge join is AQE skew-join
+    * territory, noted in SkewJoin. */
+  def bigramFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), explode(
+        when(size(col("ws")) < 2, array())
+          .otherwise(transform(sequence(lit(0), size(col("ws")) - 2),
+            i => concat_ws(" ", col("ws")(i), col("ws")(i + 1))))).as("bigram"))
+    val freq = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("cf"))
+    bigrams.join(freq, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cf")).as("sum_cf"))
+      .withColumn("familiarity", col("sum_cf").cast("double") / col("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_cf"), col("familiarity"))
+  }
+
   /** Per-source distinct-token cardinality via the KMV sketch
     * (`graft.functions.KmvSketch`): bounded O(k) state per group,
     * map-side-combinable, no shuffle of the distinct values — the scale

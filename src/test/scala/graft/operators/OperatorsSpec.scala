@@ -359,6 +359,26 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.exists(_._3 > 0))
   }
 
+  test("bigramFamiliarity scores every multi-word doc; shared phrasing scores higher than unique") {
+    val rows = TextAnalysis.bigramFamiliarity(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == graft.Tables.documents(spark, sf).count()) // corpus has no 1-word docs
+    rows.foreach { case (id, nBg, sumCf, fam) =>
+      assert(nBg > 0 && sumCf >= nBg, s"doc $id") // each bigram counts at least itself
+      assert(fam >= 1.0, s"doc $id")
+      assert(math.abs(fam - sumCf.toDouble / nBg) == 0.0, s"doc $id")
+    }
+    // a doc of corpus-unique bigrams must score exactly 1.0; synthetic
+    // check on a planted corpus: one doc repeats a phrase, one is unique
+    val dir = java.nio.file.Files.createTempDirectory("graft-bigram").toString
+    Seq((1L, "p q p q p q"), (2L, "aa bb cc dd")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = TextAnalysis.bigramFamiliarity(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(planted(2L) == 1.0)  // every bigram unique
+    assert(planted(1L) > 2.0)   // "p q" ×3 and "q p" ×2 reinforce each other
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString

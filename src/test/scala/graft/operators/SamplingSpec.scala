@@ -157,6 +157,51 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "corpus must not shuffle for the join")
   }
 
+  test("mixtureSample flattens language skew: min stratum whole, dominant stratum cut") {
+    val docs = graft.Tables.documents(spark, sf)
+    val before = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val after = Sampling.mixtureSample(spark, sf)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val minLang = before.minBy(t => (t._2, t._1))._1
+    assert(after(minLang) == before(minLang)) // √(n_min/n_min) = 1: kept whole
+    val maxLang = before.maxBy(t => (t._2, t._1))._1
+    assert(after(maxLang) < before(maxLang)) // dominant stratum downsampled
+    // expected kept count ≈ √(n_min·n): within 25% for every stratum
+    before.foreach { case (l, n) =>
+      val expected = math.sqrt(before(minLang).toDouble * n)
+      assert(math.abs(after(l) - expected) / expected < 0.25, s"$l kept=${after(l)} exp=$expected")
+    }
+    // acceptance is a pure function of doc_id: stable across partitioning
+    val a = Sampling.mixtureSample(spark, sf).select($"doc_id").as[Long].collect().toSet
+    val b = Sampling.mixtureSample(spark, sf).repartition(7).select($"doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // scale shape: thresholds broadcast; corpus never shuffles
+    val plan = Sampling.mixtureSample(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("lengthTailTrim keeps only docs inside per-source sampled [q10,q90], corpus unshuffled") {
+    val kept = Sampling.lengthTailTrim(spark, sf)
+    val total = graft.Tables.documents(spark, sf).count()
+    val n = kept.count()
+    assert(n > 0 && n < total, s"trim must fire: kept $n of $total")
+    // every kept doc is inside its source's fences; every dropped doc outside
+    val fences = kept.groupBy($"source")
+      .agg(min($"n_chars").as("lo"), max($"n_chars").as("hi"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val dropped = graft.Tables.documents(spark, sf)
+      .join(kept.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+    dropped.foreach { case (src, nc) =>
+      val (lo, hi) = fences(src)
+      assert(nc < lo || nc > hi, s"dropped doc inside kept range: $src $nc in [$lo,$hi]")
+    }
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("lengthQuantiles picks ordered actual data values per source") {
     val q = Sampling.lengthQuantiles(spark, sf)
     val rows = q.as[(String, Long, Long, Long, Long)].collect()
