@@ -88,6 +88,9 @@ object SparkEntry {
     "x48_mixture_sample"    -> ((s, d) => Sampling.mixtureSample(s, d)),
     "x49_bigram_familiarity" -> ((s, d) => TextAnalysis.bigramFamiliarity(s, d)),
     "x50_length_trim"       -> ((s, d) => Sampling.lengthTailTrim(s, d)),
+    "x51_inverted_index"    -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
+    "x52_label_centroids"   -> ((s, d) => Similarity.labelCentroids(s, d)),
+    "x53_source_overlap"    -> ((s, d) => Dedup.sourceOverlap(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -1074,5 +1077,53 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, d.n_chars
         |FROM documents d JOIN f USING (source)
         |WHERE d.n_chars >= f.lo AND d.n_chars <= f.hi""".stripMargin,
+
+    // x51: exact df/cf plus the bottom-k posting sample replicated with
+    // x36's min-per-hash convention; both engines emit the sample as a
+    // comma-joined numerically-sorted id string.
+    "x51_inverted_index" ->
+      s"""WITH tf AS (SELECT token, doc_id, count(*) AS tf
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+        |            GROUP BY 1, 2),
+        |ph AS (SELECT token, doc_id, tf,
+        |         ('0x' || substr(md5(token || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |       FROM tf),
+        |agg AS (SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        |        FROM ph GROUP BY 1),
+        |m AS (SELECT token, h, MIN(doc_id) AS doc_id FROM ph GROUP BY 1, 2),
+        |r AS (SELECT token, doc_id, row_number() OVER (PARTITION BY token ORDER BY h) AS rn FROM m),
+        |ps AS (SELECT token, array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= ${operators.TextAnalysis.PostingSampleK})), ',') AS postings_sample
+        |       FROM r GROUP BY 1)
+        |SELECT a.token, a.df, a.cf, ps.postings_sample FROM agg a JOIN ps USING (token)""".stripMargin,
+
+    // x52: quantize floats with exact/correctly-rounded ops only, sum as
+    // BIGINT (order-independent), one double division per dimension.
+    "x52_label_centroids" ->
+      s"""WITH q AS (SELECT label, i - 1 AS dim,
+        |             CAST(floor(CAST(embedding[i] AS DOUBLE) * ${operators.Similarity.CentroidQuantScale}) AS BIGINT) AS qv
+        |           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))
+        |SELECT label, CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(sum(qv) AS BIGINT) AS sum_q,
+        |       CAST(CAST(sum(qv) AS BIGINT) AS DOUBLE) / count(*) AS centroid_q
+        |FROM q GROUP BY 1, 2""".stripMargin,
+
+    // x53: algorithm oracle — per-source bottom-k shingle-hash sketches,
+    // union-top-k, and the Broder match count recomputed end-to-end.
+    "x53_source_overlap" ->
+      s"""WITH sh AS (SELECT source,
+        |         unnest(list_distinct([array_to_string(ws[i:i+${operators.Dedup.OverlapShingleN - 1}], ' ')
+        |                               for i in range(1, len(ws) - ${operators.Dedup.OverlapShingleN - 2})])) AS sh
+        |       FROM (SELECT source, string_split(text, ' ') AS ws FROM documents) t),
+        |hh AS (SELECT DISTINCT source, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh),
+        |rr AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hh),
+        |sk AS (SELECT source, list_sort(list(h) FILTER (WHERE rn <= ${operators.Dedup.OverlapSketchK})) AS sig
+        |       FROM rr GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        CAST(len(list_intersect(list_sort(list_distinct(a.sig || b.sig))[1:${operators.Dedup.OverlapSketchK}],
+        |                                list_intersect(a.sig, b.sig))) AS BIGINT) AS matches,
+        |        CAST(len(list_sort(list_distinct(a.sig || b.sig))[1:${operators.Dedup.OverlapSketchK}]) AS BIGINT) AS n_union_k
+        |      FROM sk a JOIN sk b ON a.source < b.source)
+        |SELECT src_a, src_b, matches, n_union_k,
+        |       CAST(matches AS DOUBLE) / n_union_k AS j_est FROM p""".stripMargin,
   )
 }

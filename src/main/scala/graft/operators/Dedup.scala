@@ -584,4 +584,48 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** x53's sketch size and shingle width, shared with the oracle SQL. */
+  val OverlapSketchK: Int = 128
+  val OverlapShingleN: Int = 4
+
+  /** Source-overlap matrix via KMV Jaccard (x53): for every source pair,
+    * estimate the Jaccard similarity of their distinct-shingle SETS from
+    * per-source bottom-k sketches — the corpus-diversity / provenance-
+    * overlap report that tells a data-mixing step which crawls duplicate
+    * each other, without ever joining corpus against corpus.
+    *
+    * Estimator (Broder): with X = the k smallest hashes of A ∪ B
+    * (computable from the two sketches alone), J ≈ |X ∩ sk(A) ∩ sk(B)| /
+    * |X| — |X| = min(k, |A ∪ B|), so when both sets are smaller than k
+    * the sketches are exhaustive and the estimate IS the exact Jaccard.
+    * Everything after the per-source sketch aggregate operates on an
+    * n_sources × k table — pairs are a broadcast cross of tiny sides
+    * (the x09/x18 accepted BNLJ pattern), and the array set-ops are
+    * codegen'd HOFs. At 100 TB only the one sketch aggregate sees the
+    * corpus (O(k) mergeable state per source, map-side combined; the
+    * kmv_value_sample hash-key dedup makes per-source DISTINCT shingles
+    * free). md5-60 hashes keep the whole estimate engine-neutral: the
+    * oracle replicates sketches, union-top-k, and the match count
+    * exactly — the right epistemics for an approximate statistic. */
+  def sourceOverlap(spark: SparkSession, dir: String,
+                    k: Int = OverlapSketchK): DataFrame = {
+    import graft.functions.KmvValueSample.kmv_value_sample
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.HashSignatures.word_shingles(col("text"), OverlapShingleN)).as("sh"))
+    val h = md5Hash60(col("sh"))
+    val sk = sh.groupBy(col("source")).agg(kmv_value_sample(h, h, k).as("sig"))
+    val pairs = sk.select(col("source").as("src_a"), col("sig").as("sig_a"))
+      .crossJoin(broadcast(sk.select(col("source").as("src_b"), col("sig").as("sig_b"))))
+      .filter(col("src_a") < col("src_b"))
+    val unionTopK = slice(array_sort(array_union(col("sig_a"), col("sig_b"))), 1, k)
+    pairs
+      .withColumn("union_k", unionTopK)
+      .withColumn("matches",
+        size(array_intersect(col("union_k"), array_intersect(col("sig_a"), col("sig_b")))).cast("long"))
+      .withColumn("n_union_k", size(col("union_k")).cast("long"))
+      .withColumn("j_est", col("matches") / col("n_union_k"))
+      .select(col("src_a"), col("src_b"), col("matches"), col("n_union_k"), col("j_est"))
+  }
 }

@@ -217,4 +217,35 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Quantization scale for `labelCentroids` (x52), shared with the
+    * oracle SQL: floor(x·10⁶) maps each float to an exact long. */
+  val CentroidQuantScale: Int = 1000000
+
+  /** Per-label embedding centroids (x52): the class-prototype /
+    * cluster-summary computation of an embedding pipeline, in long format
+    * (label, dim, n_vecs, sum_q, centroid_q).
+    *
+    * Vectors are QUANTIZED to longs first — cast-to-double (exact),
+    * one correctly-rounded multiply by 10⁶, floor (exact) — so the
+    * per-dimension sums are integer and ORDER-INDEPENDENT: a double
+    * vector sum depends on accumulation order (unverifiable and
+    * nondeterministic under retries at scale); the quantized sum is
+    * bit-exact in any engine, and the final centroid is one double
+    * division per dimension. Aggregation is `ArrayLongSum`: one
+    * dim-length array per group of O(k·mappers) state, map-side
+    * combining — the corpus is never exploded to (row × dim) and the
+    * one shuffle carries arrays, not elements. The tiny post-agg result
+    * (labels × dims) is what explodes. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ArrayLongSum.array_long_sum
+    val q = Tables.embeddings(spark, dir).select(col("label"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(CentroidQuantScale.toDouble)).cast("long")).as("qv"))
+    q.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), array_long_sum(col("qv")).as("sums"))
+      .select(col("label"), col("n_vecs"), posexplode(col("sums")).as(Seq("dim", "sum_q")))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("n_vecs"), col("sum_q"),
+        (col("sum_q").cast("double") / col("n_vecs")).as("centroid_q"))
+  }
 }

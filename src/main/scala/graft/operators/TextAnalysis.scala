@@ -24,6 +24,9 @@ object TextAnalysis {
   val ChunkTokens: Int = 64
   val ChunkStride: Int = 32
 
+  /** x51's posting-list sample size, shared with the oracle SQL. */
+  val PostingSampleK: Int = 8
+
   private def words(text: Column): Column = split(text, " ")
 
   private def countIn(text: Column, vocab: Seq[String]): Column =
@@ -155,6 +158,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("cf")).as("sum_cf"))
       .withColumn("familiarity", col("sum_cf").cast("double") / col("n_bigrams"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_cf"), col("familiarity"))
+  }
+
+  /** Inverted-index construction (x51): per token, document frequency,
+    * corpus frequency, and a bounded posting-list SAMPLE — the search /
+    * retrieval-debugging index a data pipeline builds over its corpus.
+    *
+    * The full posting list of a stop-word-grade token at 100 TB is
+    * billions of ids; `collect_list` of it is exactly the wide-payload-
+    * rides-a-shuffle failure mode. Instead the sample is the bottom-k
+    * hash-priority sketch (`KmvValueSample`, O(k) mergeable state):
+    * deterministic (salted md5-60 of (token, doc) — a pure function of
+    * the data), so the oracle replicates it row-for-row. df/cf stay
+    * exact; shuffles are one on (token, doc_id) for tf and one on token
+    * — both partial-agg'd map-side. */
+  def invertedIndex(spark: SparkSession, dir: String, k: Int = PostingSampleK): DataFrame = {
+    import graft.functions.KmvValueSample.kmv_value_sample
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val h = Dedup.md5Hash60(concat(col("token"), lit(":"), col("doc_id").cast("string")))
+    tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        kmv_value_sample(h, col("doc_id"), k).as("postings"))
+      .select(col("token"), col("df"), col("cf"),
+        concat_ws(",", transform(col("postings"), p => p.cast("string"))).as("postings_sample"))
   }
 
   /** Per-source distinct-token cardinality via the KMV sketch

@@ -379,6 +379,72 @@ class OperatorsSpec extends SparkSpec {
     assert(planted(1L) > 2.0)   // "p q" ×3 and "q p" ×2 reinforce each other
   }
 
+  test("invertedIndex: exact df/cf, posting sample bounded and drawn from the token's docs") {
+    val idx = TextAnalysis.invertedIndex(spark, sf)
+      .as[(String, Long, Long, String)].collect()
+    assert(idx.nonEmpty)
+    val byToken = graft.Tables.documents(spark, sf)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .as[(Long, String)].collect().groupBy(_._2)
+    idx.foreach { case (token, df, cf, sample) =>
+      val occ = byToken(token)
+      assert(df == occ.map(_._1).distinct.length, s"$token df")
+      assert(cf == occ.length, s"$token cf")
+      val ids = sample.split(",").map(_.toLong)
+      assert(ids.length == math.min(TextAnalysis.PostingSampleK, df), s"$token sample size")
+      assert(ids.sorted.sameElements(ids), s"$token sample sorted")
+      assert(ids.toSet.subsetOf(occ.map(_._1).toSet), s"$token sample membership")
+    }
+  }
+
+  test("labelCentroids: quantized sums match brute force; corpus aggregates arrays, not elements") {
+    val cent = Similarity.labelCentroids(spark, sf)
+    val rows = cent.as[(Int, Long, Long, Long, Double)].collect()
+    val dims = graft.Tables.embeddings(spark, sf)
+      .select(size($"embedding")).as[Int].head()
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select($"label").distinct().count()
+    assert(rows.length == labels * dims)
+    // brute-force reference via posexplode of the quantized vectors
+    val ref = graft.Tables.embeddings(spark, sf)
+      .select($"label", posexplode(transform($"embedding",
+        x => floor(x.cast("double") * Similarity.CentroidQuantScale).cast("long"))).as(Seq("dim", "qv")))
+      .groupBy($"label", $"dim").agg(sum($"qv").as("sum_q"))
+      .as[(Int, Int, Long)].collect().map(r => (r._1, r._2.toLong) -> r._3).toMap
+    rows.foreach { case (label, dim, nVecs, sumQ, cq) =>
+      assert(sumQ == ref((label, dim)), s"label $label dim $dim")
+      assert(cq == sumQ.toDouble / nVecs)
+    }
+    // scale shape: ONE aggregate over dim-length arrays with a map-side
+    // partial phase; the posexplode happens after the agg (tiny result)
+    val plan = cent.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_arraylongsum"), plan)
+    assert(plan.indexOf("Generate") < plan.indexOf("ObjectHashAggregate"),
+      "explode must sit above the aggregate in the plan (post-agg)")
+  }
+
+  test("sourceOverlap: identical sources estimate 1, disjoint estimate 0, estimates in [0,1]") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-overlap").toString
+    val text1 = (1 to 40).map(i => s"alpha$i").mkString(" ")  // >= k-ish shingles
+    val text2 = (1 to 40).map(i => s"beta$i").mkString(" ")
+    Seq((1L, "sA", text1), (2L, "sB", text1), (3L, "sC", text2))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Dedup.sourceOverlap(spark, dir)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._5).toMap
+    assert(r(("sA", "sB")) == 1.0) // identical shingle sets: sketch exhaustive → exact
+    assert(r(("sA", "sC")) == 0.0 && r(("sB", "sC")) == 0.0) // disjoint
+    // real corpus: all pairs present, estimates valid probabilities
+    val full = Dedup.sourceOverlap(spark, sf).as[(String, String, Long, Long, Double)].collect()
+    val nSrc = graft.Tables.documents(spark, sf).select($"source").distinct().count()
+    assert(full.length == nSrc * (nSrc - 1) / 2)
+    full.foreach { case (a, b, m, u, j) =>
+      assert(u > 0 && u <= Dedup.OverlapSketchK, s"$a-$b")
+      assert(j >= 0.0 && j <= 1.0 && j == m.toDouble / u, s"$a-$b")
+    }
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
