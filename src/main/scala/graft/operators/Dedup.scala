@@ -599,15 +599,18 @@ object Dedup {
     * (computable from the two sketches alone), J ≈ |X ∩ sk(A) ∩ sk(B)| /
     * |X| — |X| = min(k, |A ∪ B|), so when both sets are smaller than k
     * the sketches are exhaustive and the estimate IS the exact Jaccard.
-    * Everything after the per-source sketch aggregate operates on an
-    * n_sources × k table — pairs are a broadcast cross of tiny sides
-    * (the x09/x18 accepted BNLJ pattern), and the array set-ops are
-    * codegen'd HOFs. At 100 TB only the one sketch aggregate sees the
-    * corpus (O(k) mergeable state per source, map-side combined; the
-    * kmv_value_sample hash-key dedup makes per-source DISTINCT shingles
-    * free). md5-60 hashes keep the whole estimate engine-neutral: the
-    * oracle replicates sketches, union-top-k, and the match count
-    * exactly — the right epistemics for an approximate statistic. */
+    * At 100 TB only the one sketch aggregate sees the corpus (O(k)
+    * mergeable state per source, map-side combined; the kmv_value_sample
+    * hash-key dedup makes per-source DISTINCT shingles free). The fitted
+    * sketch table is MODEL STATE — n_sources × k longs, like fitted
+    * centroids or a bloom bit-array — and is collected once: a self-join
+    * on the live aggregate would instead instantiate the corpus-scan
+    * subtree once per side (alias-differentiated exchanges don't reuse).
+    * The pair stage is a broadcast cross of driver-local tiny tables
+    * (the x09/x18 accepted BNLJ pattern) over codegen'd array HOFs.
+    * md5-60 hashes keep the whole estimate engine-neutral: the oracle
+    * replicates sketches, union-top-k, and the match count exactly —
+    * the right epistemics for an approximate statistic. */
   def sourceOverlap(spark: SparkSession, dir: String,
                     k: Int = OverlapSketchK): DataFrame = {
     import graft.functions.KmvValueSample.kmv_value_sample
@@ -615,7 +618,10 @@ object Dedup {
       .select(col("source"),
         explode(graft.functions.HashSignatures.word_shingles(col("text"), OverlapShingleN)).as("sh"))
     val h = md5Hash60(col("sh"))
-    val sk = sh.groupBy(col("source")).agg(kmv_value_sample(h, h, k).as("sig"))
+    val fitted = sh.groupBy(col("source")).agg(kmv_value_sample(h, h, k).as("sig"))
+      .where(col("sig").isNotNull)
+      .collect().toSeq.map(r => (r.getString(0), r.getSeq[Long](1)))
+    val sk = spark.createDataFrame(fitted).toDF("source", "sig")
     val pairs = sk.select(col("source").as("src_a"), col("sig").as("sig_a"))
       .crossJoin(broadcast(sk.select(col("source").as("src_b"), col("sig").as("sig_b"))))
       .filter(col("src_a") < col("src_b"))

@@ -283,16 +283,21 @@ object Sampling {
     * threshold is therefore bit-identical in both engines.
     *
     * 100 TB shape: stratum counts are a tiny partial-agg'd aggregate
-    * (one row per language), the min folds in as a broadcast 1-row agg
-    * (x22's pattern — no separate count() action), thresholds broadcast,
-    * and the corpus itself is filtered in place: zero corpus shuffles. */
+    * (one row per language); n_min is a WINDOW min over that post-agg
+    * table — NOT a separate `counts.agg(min)` branch, which would carry
+    * its own copy of the corpus-scan subtree (Spark does not reuse
+    * exchanges whose column pruning differs, so the corpus `lang` column
+    * would be scanned twice). A global window is the hot-key anti-pattern
+    * on corpus-sized input but exactly right on a rows=n_languages
+    * aggregate. Thresholds broadcast; the corpus itself is filtered in
+    * place: zero corpus shuffles, one corpus scan. */
   def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"),
         Dedup.md5Hash60(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-    val nMin = counts.agg(min(col("n")).as("n_min"))
-    val thresholds = counts.crossJoin(broadcast(nMin))
+    val thresholds = counts
+      .withColumn("n_min", min(col("n")).over(Window.partitionBy()))
       .select(col("lang"),
         floor(sqrt(col("n_min").cast("double") / col("n")) * lit(HashSpace))
           .cast("long").as("thresh"))

@@ -139,11 +139,18 @@ object TextAnalysis {
     * libm rounding differences (the same discipline as tfidf's rational
     * idf).
     *
-    * Shuffles: one on bigram to build the frequency model (partial agg
-    * collapses hot bigrams map-side), one on bigram for the scoring join,
-    * one back on doc_id. The model table is bounded by vocab² — broadcast
-    * it when small; a hot-bigram-skewed sort-merge join is AQE skew-join
-    * territory, noted in SkewJoin. */
+    * Dataflow: the model side aggregates bigram counts straight off its
+    * scan (one exchange, hot bigrams collapse map-side — never a window
+    * over the bigram key); the scoring side collapses to per-(doc,
+    * bigram) tf first so the model join runs on the aggregated table,
+    * not raw occurrences, and the score folds up as the tf-weighted sum
+    * `Σ tf·cf / Σ tf`. The two sides each tokenize the corpus once —
+    * the same deliberate linear-cost tradeoff as x02's stop-list scan
+    * (Spark doesn't reuse alias-differentiated exchanges, and the
+    * alternatives are worse at scale: a window over the hot bigram key,
+    * or checkpointing a corpus-sized intermediate). The model table is
+    * bounded by vocab² — broadcast when small; a hot-bigram-skewed
+    * sort-merge join is AQE skew-join territory, noted in SkewJoin. */
   def bigramFamiliarity(spark: SparkSession, dir: String): DataFrame = {
     val ws = words(col("text"))
     val bigrams = Tables.documents(spark, dir)
@@ -152,10 +159,11 @@ object TextAnalysis {
         when(size(col("ws")) < 2, array())
           .otherwise(transform(sequence(lit(0), size(col("ws")) - 2),
             i => concat_ws(" ", col("ws")(i), col("ws")(i + 1))))).as("bigram"))
+    val tf = bigrams.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("tf"))
     val freq = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("cf"))
-    bigrams.join(freq, Seq("bigram"))
+    tf.join(freq, Seq("bigram"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("cf")).as("sum_cf"))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("tf") * col("cf")).as("sum_cf"))
       .withColumn("familiarity", col("sum_cf").cast("double") / col("n_bigrams"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_cf"), col("familiarity"))
   }
