@@ -91,6 +91,7 @@ object SparkEntry {
     "x51_inverted_index"    -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
     "x52_label_centroids"   -> ((s, d) => Similarity.labelCentroids(s, d)),
     "x53_source_overlap"    -> ((s, d) => Dedup.sourceOverlap(s, d)),
+    "x54_domain_score"      -> ((s, d) => TextAnalysis.domainScore(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -1125,5 +1126,19 @@ object SparkEntry {
         |      FROM sk a JOIN sk b ON a.source < b.source)
         |SELECT src_a, src_b, matches, n_union_k,
         |       CAST(matches AS DOUBLE) / n_union_k AS j_est FROM p""".stripMargin,
+
+    // x54: DSIR-style scoring against the benchmark-set bigram model;
+    // integer hit counts + one division (log-free, like x49).
+    "x54_domain_score" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+        |       FROM tok, unnest(range(1, len(ws))) AS t(i)),
+        |target AS (SELECT bigram, CAST(count(*) AS BIGINT) AS tcf FROM bg WHERE doc_id < 20 GROUP BY 1)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(count(t.bigram) AS BIGINT) AS n_hits,
+        |       CAST(COALESCE(CAST(sum(t.tcf) AS BIGINT), 0) AS BIGINT) AS sum_tcf,
+        |       CAST(CAST(count(t.bigram) AS BIGINT) AS DOUBLE) / CAST(count(*) AS BIGINT) AS hit_ratio
+        |FROM bg b LEFT JOIN target t USING (bigram)
+        |WHERE b.doc_id >= 20 GROUP BY 1""".stripMargin,
   )
 }

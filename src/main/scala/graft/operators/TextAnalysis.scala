@@ -151,14 +151,20 @@ object TextAnalysis {
     * or checkpointing a corpus-sized intermediate). The model table is
     * bounded by vocab² — broadcast when small; a hot-bigram-skewed
     * sort-merge join is AQE skew-join territory, noted in SkewJoin. */
-  def bigramFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, bigram) occurrence rows — shared by x49 and x54 so the two
+    * can never diverge on tokenization or bigram construction. */
+  private def explodedBigrams(spark: SparkSession, dir: String): DataFrame = {
     val ws = words(col("text"))
-    val bigrams = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), ws.as("ws"))
       .select(col("doc_id"), explode(
         when(size(col("ws")) < 2, array())
           .otherwise(transform(sequence(lit(0), size(col("ws")) - 2),
             i => concat_ws(" ", col("ws")(i), col("ws")(i + 1))))).as("bigram"))
+  }
+
+  def bigramFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = explodedBigrams(spark, dir)
     val tf = bigrams.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("tf"))
     val freq = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("cf"))
     tf.join(freq, Seq("bigram"))
@@ -191,6 +197,35 @@ object TextAnalysis {
         kmv_value_sample(h, col("doc_id"), k).as("postings"))
       .select(col("token"), col("df"), col("cf"),
         concat_ws(",", transform(col("postings"), p => p.cast("string"))).as("postings_sample"))
+  }
+
+  /** Domain-relevance scoring (x54), the selection signal of DSIR-style
+    * importance sampling: score every corpus document by how much its
+    * bigram distribution matches a small TARGET domain corpus (here the
+    * benchmark set, doc_id < targetMaxId — in production, a curated
+    * in-domain sample). Per doc: bigram hit-rate against the target model
+    * and the summed target counts of its bigrams — log-free (integer
+    * sums + one division) for cross-engine exactness, same discipline as
+    * x49.
+    *
+    * 100 TB shape: the target model is MODEL-STATE-sized by construction
+    * (a curated domain sample, not the corpus) and broadcasts; the
+    * target branch's `doc_id < N` filter pushes into the parquet scan so
+    * building the model never re-reads the corpus; the corpus side is
+    * one explode → broadcast-join → per-doc fold, no corpus shuffle
+    * except the final doc_id aggregate. */
+  def domainScore(spark: SparkSession, dir: String, targetMaxId: Long = 20): DataFrame = {
+    val bg = explodedBigrams(spark, dir)
+    val target = bg.filter(col("doc_id") < targetMaxId)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("tcf"))
+    bg.filter(col("doc_id") >= targetMaxId)
+      .join(broadcast(target), Seq("bigram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("tcf")).as("n_hits"),
+        coalesce(sum(col("tcf")), lit(0L)).as("sum_tcf"))
+      .withColumn("hit_ratio", col("n_hits").cast("double") / col("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_hits"), col("sum_tcf"), col("hit_ratio"))
   }
 
   /** Per-source distinct-token cardinality via the KMV sketch

@@ -445,6 +445,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("domainScore: in-domain text hits 1.0, out-of-domain 0.0, model side pruned+broadcast") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-domain").toString
+    Seq((1L, "spark shuffles data across the cluster"),
+        (25L, "spark shuffles data across the cluster"),  // verbatim in-domain
+        (26L, "unrelated words entirely outside target"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.domainScore(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(!r.contains(1L)) // target docs are not scored
+    assert(r(25L)._5 == 1.0 && r(25L)._4 > 0)
+    assert(r(26L)._5 == 0.0 && r(26L)._3 == 0 && r(26L)._4 == 0)
+    // real corpus: every non-target doc scored, ratios valid
+    val full = TextAnalysis.domainScore(spark, sf).as[(Long, Long, Long, Long, Double)].collect()
+    val expected = graft.Tables.documents(spark, sf).filter($"doc_id" >= 20).count()
+    assert(full.length == expected)
+    full.foreach { case (id, nBg, hits, tcf, ratio) =>
+      assert(hits <= nBg && ratio >= 0.0 && ratio <= 1.0, s"doc $id")
+      assert((hits == 0) == (tcf == 0), s"doc $id")
+    }
+    // scale shape: the model builds from a doc_id-pruned scan and broadcasts
+    val q = TextAnalysis.domainScore(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"))
+    assert(plan.contains("LessThan(doc_id,20)"), "target filter must push into the scan")
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
