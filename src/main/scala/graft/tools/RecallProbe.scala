@@ -32,7 +32,8 @@ object RecallProbe {
       df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
     // IVF ANN vs exact brute force on the same query slice
-    val exactIvf = topk(Similarity.bruteForceTopK(spark, sfDir, qLo = 20, qHi = 30))
+    val exactIvf = topk(Similarity.bruteForceTopK(spark, sfDir,
+      qLo = Similarity.IvfQLo, qHi = Similarity.IvfQHi))
     for (nProbe <- Seq(6, 8, 10, 12, 14, 16)) {
       val approx = topk(Similarity.ivfTopK(spark, sfDir, nProbe = nProbe))
       println(s"[recall] ivf nProbe=$nProbe exact=${exactIvf.size} approx=${approx.size} " +
@@ -64,6 +65,51 @@ object RecallProbe {
       println(s"[recall] embdup maxHamming=$ham exact=${exactEmb.size} approx=${approx.size} " +
         s"recall=${if (exactEmb.isEmpty) 1.0 else approx.size.toDouble / exactEmb.size} " +
         s"subset=${approx.subsetOf(exactEmb)}")
+    }
+
+    // x50 sampled-fence trim vs exact-quantile trim: how many docs the
+    // bounded-state fences classify differently from exact q10/q90 fences
+    {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables.documents(spark, sfDir)
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      val ranked = docs.withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      val exactKept = ranked
+        .withColumn("lo_r", ceil(col("n") * graft.operators.Sampling.TrimLoPct / 100))
+        .withColumn("hi_r", ceil(col("n") * graft.operators.Sampling.TrimHiPct / 100))
+        .filter(col("r") >= col("lo_r") && col("r") <= col("hi_r"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val sampled = graft.operators.Sampling.lengthTailTrim(spark, sfDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val total = docs.count()
+      val sym = (exactKept -- sampled).size + (sampled -- exactKept).size
+      println(s"[recall] lengthtrim total=$total exactKept=${exactKept.size} " +
+        s"sampledKept=${sampled.size} symDiff=$sym agreement=${1.0 - sym.toDouble / total}")
+    }
+
+    // x53 KMV Jaccard estimate vs true per-source-pair Jaccard
+    {
+      import org.apache.spark.sql.functions._
+      val sh = graft.Tables.documents(spark, sfDir)
+        .select(col("source"), explode(graft.functions.HashSignatures.word_shingles(
+          col("text"), Dedup.OverlapShingleN)).as("sh")).distinct()
+      val a = sh.select(col("source").as("src_a"), col("sh"))
+      val b = sh.select(col("source").as("src_b"), col("sh"))
+      val inter = a.join(b, Seq("sh")).filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("i"))
+      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val truth = inter.collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          r.getLong(2).toDouble / (sizes(r.getString(0)) + sizes(r.getString(1)) - r.getLong(2)))
+        .toMap.withDefaultValue(0.0)
+      val est = Dedup.sourceOverlap(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4))
+      val errs = est.map { case (k, j) => math.abs(j - truth(k)) }
+      println(f"[recall] sourceoverlap pairs=${est.length} " +
+        f"maxAbsErr=${errs.max}%.4f meanAbsErr=${errs.sum / errs.length}%.4f")
     }
 
     spark.stop()
