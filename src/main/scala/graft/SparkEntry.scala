@@ -92,6 +92,7 @@ object SparkEntry {
     "x52_label_centroids"   -> ((s, d) => Similarity.labelCentroids(s, d)),
     "x53_source_overlap"    -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "x54_domain_score"      -> ((s, d) => TextAnalysis.domainScore(s, d)),
+    "x55_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -1140,5 +1141,19 @@ object SparkEntry {
         |       CAST(CAST(count(t.bigram) AS BIGINT) AS DOUBLE) / CAST(count(*) AS BIGINT) AS hit_ratio
         |FROM bg b LEFT JOIN target t USING (bigram)
         |WHERE b.doc_id >= 20 GROUP BY 1""".stripMargin,
+
+    // x55: Gini–Simpson lexical diversity — integer sums, one int→double
+    // conversion, one division, one subtraction; all exact or correctly
+    // rounded, so the doubles are bit-identical cross-engine.
+    "x55_lexical_diversity" ->
+      """WITH tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+        |            GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       CAST(sum(tf * tf) AS BIGINT) AS sum_tf2,
+        |       1 - CAST(CAST(sum(tf * tf) AS BIGINT) AS DOUBLE) /
+        |           (CAST(sum(tf) AS BIGINT) * CAST(sum(tf) AS BIGINT)) AS simpson
+        |FROM tf GROUP BY 1""".stripMargin,
   )
 }

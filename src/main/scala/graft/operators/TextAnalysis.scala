@@ -228,6 +228,30 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("n_hits"), col("sum_tcf"), col("hit_ratio"))
   }
 
+  /** Lexical diversity (x55): per-document Gini–Simpson index
+    * `1 − Σtf²/n²` — the probability two random tokens differ — plus
+    * token/type counts. The log-free stand-in for entropy-based
+    * diversity/quality filters (Shannon entropy needs libm `log`, which
+    * is not correctly rounded and so not oracle-checkable; Gini–Simpson
+    * carries the same degenerate-text signal with integer sums, one
+    * correctly-rounded int→double conversion, one division and one
+    * subtraction — bit-exact cross-engine).
+    *
+    * Two-level aggregate, both partial-agg'd map-side: (doc, token) tf,
+    * then per-doc fold — one shuffle each, no hot keys (doc_id is
+    * near-unique). */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(col("tf") * col("tf")).as("sum_tf2"))
+      .withColumn("simpson",
+        lit(1.0) - col("sum_tf2").cast("double") / (col("n_tokens") * col("n_tokens")))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("sum_tf2"), col("simpson"))
+  }
+
   /** Per-source distinct-token cardinality via the KMV sketch
     * (`graft.functions.KmvSketch`): bounded O(k) state per group,
     * map-side-combinable, no shuffle of the distinct values — the scale

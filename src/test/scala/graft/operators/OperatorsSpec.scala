@@ -471,6 +471,24 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("LessThan(doc_id,20)"), "target filter must push into the scan")
   }
 
+  test("lexicalDiversity: simpson in [0,1), 0 for degenerate text, max for all-distinct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lexdiv").toString
+    Seq((1L, "x x x x x"), (2L, "a b c d e")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = TextAnalysis.lexicalDiversity(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(planted(1L)._5 == 0.0 && planted(1L)._3 == 1)     // one type repeated
+    assert(planted(2L)._5 == 0.8 && planted(2L)._3 == 5)     // 1 - 5/25: all distinct
+    val rows = TextAnalysis.lexicalDiversity(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == graft.Tables.documents(spark, sf).count())
+    rows.foreach { case (id, n, d, s2, simpson) =>
+      assert(d <= n && s2 >= n, s"doc $id")
+      assert(simpson >= 0.0 && simpson < 1.0, s"doc $id")
+      assert(simpson == 1.0 - s2.toDouble / (n * n), s"doc $id")
+    }
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
