@@ -227,6 +227,49 @@ case class TokenMd5Hashes(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** ALL word-n-gram occurrences as strings — duplicates KEPT, document
+  * order preserved (frequency-weighted consumers: the bigram LM model of
+  * x49/x54 counts occurrences, not types). Fused form of the HOF chain
+  * `explode(transform(sequence(0, size-n), i => concat_ws(...)))`: one
+  * split, one rolling StringBuilder window, no per-row sequence/lambda
+  * allocation. Same eval-based rationale as the sibling kernels. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(n > 0, "word_ngrams needs n > 0")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"word_ngrams expects string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.split(" ", -1)
+    val count = math.max(words.length - n + 1, 0)
+    val out = new Array[AnyRef](count)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct word-n-gram shingles as STRINGS — the fused form of the HOF
   * chain `array_distinct(transform(sequence(...), slice+concat_ws))`, whose
   * `array_distinct` costs O(shingles²) string comparisons per row. Hash-set
@@ -420,6 +463,10 @@ object HashSignatures {
   /** `word_shingles(text, n)` — distinct word n-gram strings. */
   def word_shingles(text: Column, n: Int): Column =
     GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(text), n))
+
+  /** `word_ngrams(text, n)` — ALL n-gram occurrences, duplicates kept. */
+  def word_ngrams(text: Column, n: Int): Column =
+    GraftColumnBridge.column(WordNgrams(GraftColumnBridge.expression(text), n))
 
   /** `hyperplane_sig(v, signs)` — LSH bucket id from ±1 hyperplanes. */
   def hyperplane_sig(v: Column, signs: Array[Array[Double]]): Column =

@@ -152,16 +152,13 @@ object TextAnalysis {
     * bounded by vocab² — broadcast when small; a hot-bigram-skewed
     * sort-merge join is AQE skew-join territory, noted in SkewJoin. */
   /** (doc_id, bigram) occurrence rows — shared by x49 and x54 so the two
-    * can never diverge on tokenization or bigram construction. */
-  private def explodedBigrams(spark: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
+    * can never diverge on tokenization or bigram construction. Uses the
+    * fused `word_ngrams` kernel (one pass; KernelPropertiesSpec proves it
+    * ≡ the sequence/transform/concat_ws HOF chain on random inputs). */
+  private def explodedBigrams(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), ws.as("ws"))
-      .select(col("doc_id"), explode(
-        when(size(col("ws")) < 2, array())
-          .otherwise(transform(sequence(lit(0), size(col("ws")) - 2),
-            i => concat_ws(" ", col("ws")(i), col("ws")(i + 1))))).as("bigram"))
-  }
+      .select(col("doc_id"),
+        explode(graft.functions.HashSignatures.word_ngrams(col("text"), 2)).as("bigram"))
 
   def bigramFamiliarity(spark: SparkSession, dir: String): DataFrame = {
     val bigrams = explodedBigrams(spark, dir)

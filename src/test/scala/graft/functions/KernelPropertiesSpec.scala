@@ -33,6 +33,18 @@ class KernelPropertiesSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("property: WordNgrams ≡ HOF occurrence chain on 200 random texts") {
+    val df = Seq.fill(200)(randText()).toDF("text")
+    val ws = split($"text", " ")
+    val hof = when(size(ws) < 2, array())
+      .otherwise(transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+    val bad = df.select(
+      HashSignatures.word_ngrams($"text", 2).as("a"), hof.as("b"))
+      .filter(not($"a" === $"b")).count()
+    assert(bad == 0) // duplicates and order must match exactly, not just sets
+  }
+
   test("property: SimHash64 and MinHashSignature ≡ HOF on 200 random texts") {
     // ≥2 words so the shingle set is non-empty: on an EMPTY hash array the
     // HOF yields array_min([]) = null per permutation while the kernel
