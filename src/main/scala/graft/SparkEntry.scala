@@ -93,6 +93,7 @@ object SparkEntry {
     "x53_source_overlap"    -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "x54_domain_score"      -> ((s, d) => TextAnalysis.domainScore(s, d)),
     "x55_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
+    "x56_score_deciles"     -> ((s, d) => TextAnalysis.scoreDeciles(s, d)),
   )
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
@@ -1155,5 +1156,33 @@ object SparkEntry {
         |       1 - CAST(CAST(sum(tf * tf) AS BIGINT) AS DOUBLE) /
         |           (CAST(sum(tf) AS BIGINT) * CAST(sum(tf) AS BIGINT)) AS simpson
         |FROM tf GROUP BY 1""".stripMargin,
+
+    // x56: algorithm oracle — the quantized x05 score, the bottom-k
+    // sample (min-per-hash convention), the nine decile-edge picks, and
+    // the edge-count assignment, replicated end-to-end.
+    "x56_score_deciles" -> {
+      val ds = 10 to 90 by 10
+      val edgePicks = ds.map(d =>
+        s"MAX(CASE WHEN vr = CAST(ceil(n * $d / 100.0) AS BIGINT) THEN v END) AS e$d").mkString(",\n        |         ")
+      val decileSum = ds.map(d => s"CASE WHEN b.score_q >= e$d THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH base AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(least(1.0, len(string_split(text, ' ')) / 100.0) *
+        |         (1 - CAST(len(list_filter(string_split(text, ' '), w -> len(w) = 1)) AS DOUBLE)
+        |              / len(string_split(text, ' '))) * ${operators.TextAnalysis.CalibQuantScale}) AS BIGINT) AS score_q,
+        |    ('0x' || substr(md5('cal:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |m AS (SELECT source, h, MIN(score_q) AS v FROM base GROUP BY 1, 2),
+        |r AS (SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM m),
+        |kk AS (SELECT source, v FROM r WHERE rn <= ${operators.TextAnalysis.CalibSampleK}),
+        |s AS (SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY v) AS vr,
+        |             COUNT(*) OVER (PARTITION BY source) AS n FROM kk),
+        |edges AS (SELECT source,
+        |         $edgePicks
+        |       FROM s GROUP BY source)
+        |SELECT b.doc_id, b.source, b.score_q,
+        |       CAST($decileSum AS INTEGER) AS decile
+        |FROM base b JOIN edges USING (source)""".stripMargin
+    },
   )
 }

@@ -27,6 +27,11 @@ object TextAnalysis {
   /** x51's posting-list sample size, shared with the oracle SQL. */
   val PostingSampleK: Int = 8
 
+  /** x56's per-source score-sample size and quantization scale, shared
+    * with the oracle SQL. */
+  val CalibSampleK: Int = 64
+  val CalibQuantScale: Int = 1000000
+
   private def words(text: Column): Column = split(text, " ")
 
   private def countIn(text: Column, vocab: Seq[String]): Column =
@@ -223,6 +228,46 @@ object TextAnalysis {
         coalesce(sum(col("tcf")), lit(0L)).as("sum_tcf"))
       .withColumn("hit_ratio", col("n_hits").cast("double") / col("n_bigrams"))
       .select(col("doc_id"), col("n_bigrams"), col("n_hits"), col("sum_tcf"), col("hit_ratio"))
+  }
+
+  /** x05's composite quality score as a standalone expression over raw
+    * text (identical arithmetic to `stats`' aliased-column formulation:
+    * both are int/int divisions + one product of exact doubles). Used by
+    * x56 so calibration can't diverge from the scored definition. */
+  private def qualityScoreExpr(text: Column): Column = {
+    val ws = words(text)
+    least(lit(1.0), size(ws) / lit(100.0)) *
+      (lit(1.0) - size(filter(ws, w => length(w) === 1)) / size(ws))
+  }
+
+  /** Per-source score calibration (x56): map each document's quality
+    * score to its SOURCE-RELATIVE decile, so a downstream "keep the top
+    * 30%" prune is comparable across sources with different score
+    * distributions (a global threshold would empty strict sources and
+    * keep junk from lenient ones — the standard calibration step before
+    * cross-source quality pruning).
+    *
+    * Decile edges per source come from the bounded bottom-k hash sample
+    * (x50's machinery): O(k) mergeable state, edge table broadcast,
+    * corpus assigned deciles in place — no corpus shuffle, and fully
+    * deterministic (scores quantized with exact/correctly-rounded ops,
+    * so the oracle replicates sample, edges, and assignment). */
+  def scoreDeciles(spark: SparkSession, dir: String, k: Int = CalibSampleK): DataFrame = {
+    import graft.functions.KmvValueSample.kmv_value_sample
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      floor(qualityScoreExpr(col("text")) * lit(CalibQuantScale.toDouble)).cast("long").as("score_q"),
+      Dedup.md5Hash60(concat(lit("cal:"), col("doc_id").cast("string"))).as("h"))
+    val samples = base.groupBy(col("source"))
+      .agg(kmv_value_sample(col("h"), col("score_q"), k).as("vals"))
+    def pick(q: Int): Column =
+      element_at(col("vals"), ceil(size(col("vals")) * q / 100).cast("int"))
+    val edges = samples.select(
+      col("source") +: (10 to 90 by 10).map(d => pick(d).as(s"e$d")): _*)
+    val decile = (10 to 90 by 10)
+      .map(d => when(col("score_q") >= col(s"e$d"), 1).otherwise(0))
+      .reduce(_ + _)
+    base.join(broadcast(edges), Seq("source"))
+      .select(col("doc_id"), col("source"), col("score_q"), decile.as("decile"))
   }
 
   /** Lexical diversity (x55): per-document Gini–Simpson index

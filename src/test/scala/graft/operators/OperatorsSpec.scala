@@ -489,6 +489,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("scoreDeciles: every doc bucketed 0-9, deciles monotone in score within source, no corpus shuffle") {
+    val r = TextAnalysis.scoreDeciles(spark, sf).as[(Long, String, Long, Int)].collect()
+    assert(r.length == graft.Tables.documents(spark, sf).count())
+    r.foreach { case (id, _, _, d) => assert(d >= 0 && d <= 9, s"doc $id") }
+    // within a source, a higher score can never land in a lower decile
+    r.groupBy(_._2).values.foreach { docs =>
+      docs.sortBy(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._4, s"${a._1} vs ${b._1}")
+        case _ =>
+      }
+    }
+    // calibration fires: multiple buckets occupied, roughly balanced overall
+    val byDecile = r.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(byDecile.size >= 8)
+    // scale shape: edge table broadcast, corpus side unshuffled
+    val plan = TextAnalysis.scoreDeciles(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
