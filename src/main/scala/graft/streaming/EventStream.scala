@@ -76,6 +76,23 @@ object EventStream {
       .withWatermark("ts_t", "2 hours")
       .dropDuplicates("event_id")
 
+  /** Deterministic stream sampling with batch-fitted thresholds — the
+    * "fit offline, filter online" production shape: per-stratum md5-60
+    * acceptance thresholds (e.g. from `Sampling.mixtureSample`'s
+    * √(n_min/n) rule, fitted on yesterday's batch) arrive as a tiny
+    * static table and broadcast-join the stream. The acceptance hash is
+    * a pure per-row function of the event key, so the operator is
+    * STATELESS (no watermark, no state store — a rate-limited stream at
+    * any volume), retry-stable, and batch≡stream by construction: the
+    * same thresholds over the same rows select the same sample in a
+    * batch job (proven in EventStreamSpec). */
+  def sampledStream(events: DataFrame, thresholds: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(thresholds), Seq("event_type"))
+      .filter(graft.operators.Dedup.md5Hash60(
+        concat(lit("ev:"), col("event_id").cast("string"))) < col("thresh"))
+      .select(col("event_id"), col("ts_t"), col("user_id"), col("event_type"))
+
   /** Stream-static enrichment join: the streaming micro-batches broadcast-
     * join the static dimension — no stream-side state at all (the standard
     * shape for dimension lookup at 100 TB of stream). */

@@ -59,6 +59,27 @@ class EventStreamSpec extends SparkSpec {
     assert(deduped.count() == distinct && distinct <= total)
   }
 
+  test("batch-fitted deterministic sampling: stream output equals the batch twin row-for-row") {
+    import org.apache.spark.sql.expressions.Window
+    val batchEv = graft.Tables.events(spark, sf)
+    // fit thresholds offline: x48's √(n_min/n) rule over event_type strata
+    val thresholds = batchEv.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .withColumn("n_min", min($"n").over(Window.partitionBy()))
+      .select($"event_type",
+        floor(sqrt($"n_min".cast("double") / $"n") * lit(graft.operators.Sampling.HashSpace))
+          .cast("long").as("thresh"))
+    val streamed = runStream(
+      EventStream.sampledStream(EventStream.readEvents(spark, sf), thresholds)
+        .select($"event_id"), "sampled")
+      .as[Long].collect().toSet
+    val h = graft.operators.Dedup.md5Hash60(concat(lit("ev:"), $"event_id".cast("string")))
+    val batchKept = batchEv.join(broadcast(thresholds), Seq("event_type"))
+      .filter(h < $"thresh").select($"event_id").as[Long].collect().toSet
+    val total = batchEv.count()
+    assert(streamed.nonEmpty && streamed.size < total) // the sampler actually fires
+    assert(streamed == batchKept) // stateless determinism: batch ≡ stream
+  }
+
   test("stream-static join enriches every event from the broadcast dim") {
     val users = graft.Tables.customer(spark, sf)
     val enriched = runStream(
