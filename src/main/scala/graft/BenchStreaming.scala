@@ -53,13 +53,25 @@ object BenchStreaming {
     }
 
     val users = spark.read.parquet(s"$sfDir/customer.parquet")
+    // batch-fitted thresholds for the stateless sampler twin (x48's rule)
+    val thresholds = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .withColumn("n_min", min(col("n")).over(Window.partitionBy()))
+        .select(col("event_type"),
+          floor(sqrt(col("n_min").cast("double") / col("n")) *
+            lit(graft.operators.Sampling.HashSpace)).cast("long").as("thresh"))
+    }
     val results = Seq(
       run("fmgws_sessionize", ev => EventStream.sessionize(ev).toDF()),
       run("hourly_counts", EventStream.hourlyCounts),
       run("sliding_counts", EventStream.slidingCounts),
       run("session_window", ev => EventStream.sessionWindowCounts(ev)),
       run("dedup_stream", EventStream.dedupStream),
-      run("stream_static_enrich", ev => EventStream.enrichWithUsers(ev, users)))
+      run("stream_static_enrich", ev => EventStream.enrichWithUsers(ev, users)),
+      run("sampled_stream", ev => EventStream.sampledStream(ev, thresholds)))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
     val headline = f"${results.head._2}%.1f"
