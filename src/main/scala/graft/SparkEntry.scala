@@ -94,7 +94,37 @@ object SparkEntry {
     "x54_domain_score"      -> ((s, d) => TextAnalysis.domainScore(s, d)),
     "x55_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
     "x56_score_deciles"     -> ((s, d) => TextAnalysis.scoreDeciles(s, d)),
+    "x57_neardedup_corpus"  -> ((s, d) => Dedup.nearDedupedCorpus(s, d)),
   )
+
+  /** x17's recursive-CTE cluster computation (shingle → capped
+    * set-similarity pairs → symmetric edges → transitive closure) —
+    * shared verbatim by x57's oracle so corpus-level dedup can't diverge
+    * from the cluster definition. */
+  private def clustersCteSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, CAST(len(shingles) AS INTEGER) AS n_sh, unnest(shingles) AS sh FROM (
+      |    SELECT doc_id,
+      |           list_distinct([array_to_string(words[i:i+4], ' ')
+      |                          for i in range(1, len(words) - 3)]) AS shingles
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1) t2),
+      |capped AS (
+      |  SELECT * FROM sh
+      |  WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > 100)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+      |         COUNT(*) AS inter
+      |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4
+      |  HAVING COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.3),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM pairs),
+      |reach(doc_id, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id)""".stripMargin
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
     * possible because the token hash is the engine-neutral
@@ -520,29 +550,7 @@ object SparkEntry {
     // x17's oracle recomputes the same near-dup graph and takes connected
     // components via a recursive CTE.
     "x17_dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, CAST(len(shingles) AS INTEGER) AS n_sh, unnest(shingles) AS sh FROM (
-        |    SELECT doc_id,
-        |           list_distinct([array_to_string(words[i:i+4], ' ')
-        |                          for i in range(1, len(words) - 3)]) AS shingles
-        |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1) t2),
-        |capped AS (
-        |  SELECT * FROM sh
-        |  WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > 100)),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
-        |         COUNT(*) AS inter
-        |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4
-        |  HAVING COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.3),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL
-        |  SELECT doc_b, doc_a FROM pairs),
-        |reach(doc_id, label) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id)
+      s"""$clustersCteSql
         |SELECT doc_id, MIN(label) AS canonical_id FROM reach GROUP BY doc_id""".stripMargin,
 
     "x19_sliding_windows" ->
@@ -1184,5 +1192,13 @@ object SparkEntry {
         |       CAST($decileSum AS INTEGER) AS decile
         |FROM base b JOIN edges USING (source)""".stripMargin
     },
+
+    // x57: x17's cluster CTE verbatim, then keep only each cluster's
+    // canonical (min doc_id) member — the deduplicated shipping corpus.
+    "x57_neardedup_corpus" ->
+      s"""$clustersCteSql,
+        |canon AS (SELECT doc_id, MIN(label) AS canonical_id FROM reach GROUP BY doc_id)
+        |SELECT d.doc_id, d.source, d.lang, d.n_chars
+        |FROM documents d JOIN canon c ON d.doc_id = c.doc_id AND c.doc_id = c.canonical_id""".stripMargin,
   )
 }

@@ -248,6 +248,24 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("canonical_id"))
   }
 
+  /** Near-dup-deduplicated corpus (x57): the shipping artifact a dedup
+    * pipeline actually produces — every document that is its own
+    * cluster's canonical representative (min doc_id; singletons are their
+    * own canonical), i.e. the corpus with one survivor per near-dup
+    * cluster. Composes x17's cluster labels with one semi-join on doc_id;
+    * the deterministic min-id canonical rule makes the kept set a pure
+    * function of the data (stable under reruns — the property a
+    * downstream training job needs from its input corpus). */
+  def nearDedupedCorpus(spark: SparkSession, dir: String, n: Int = 5,
+                        threshold: Double = 0.3): DataFrame = {
+    val canonical = nearDupClusters(spark, dir, n, threshold)
+      .filter(col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(canonical, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+  }
+
   /** Min-label propagation CC — rounds = component diameter. Kept as the
     * independent test twin the star-contraction variant is checked against
     * (DedupSpec asserts identical labels); fine when components are tiny,

@@ -509,6 +509,19 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("nearDedupedCorpus keeps exactly one canonical doc per cluster") {
+    val clusters = Dedup.nearDupClusters(spark, sf)
+      .as[(Long, Long)].collect()
+    val kept = Dedup.nearDedupedCorpus(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val canonicals = clusters.map(_._2).toSet
+    assert(kept == canonicals) // one survivor per cluster, and it's the canonical
+    assert(kept.size < clusters.length) // dedup fires (corpus has near-dup clusters)
+    clusters.filter(c => c._1 == c._2).foreach { case (id, _) =>
+      assert(kept.contains(id)) // every canonical (incl. singletons) survives
+    }
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
