@@ -257,8 +257,16 @@ object Dedup {
     * function of the data (stable under reruns — the property a
     * downstream training job needs from its input corpus). */
   def nearDedupedCorpus(spark: SparkSession, dir: String, n: Int = 5,
-                        threshold: Double = 0.3): DataFrame = {
-    val canonical = nearDupClusters(spark, dir, n, threshold)
+                        threshold: Double = 0.3): DataFrame =
+    nearDedupedCorpus(spark, dir, nearDupClusters(spark, dir, n, threshold))
+
+  /** Composable form of x57 (x38's pattern): selection over an
+    * ALREADY-COMPUTED cluster assignment, so a real pipeline runs the
+    * Jaccard join + connected components once and feeds the cached
+    * labels to the report (x17), the sampler (x38), and this corpus
+    * materialization. Proven ≡ the standalone form in OperatorsSpec. */
+  def nearDedupedCorpus(spark: SparkSession, dir: String, clusters: DataFrame): DataFrame = {
+    val canonical = clusters
       .filter(col("doc_id") === col("canonical_id"))
       .select(col("doc_id"))
     Tables.documents(spark, dir)

@@ -520,6 +520,13 @@ class OperatorsSpec extends SparkSpec {
     clusters.filter(c => c._1 == c._2).foreach { case (id, _) =>
       assert(kept.contains(id)) // every canonical (incl. singletons) survives
     }
+    // composable overload over precomputed (cached) labels ≡ standalone
+    val cached = Dedup.nearDupClusters(spark, sf).cache()
+    try {
+      val viaCached = Dedup.nearDedupedCorpus(spark, sf, cached)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(viaCached == kept)
+    } finally cached.unpersist()
   }
 
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
