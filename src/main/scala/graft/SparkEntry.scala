@@ -95,6 +95,7 @@ object SparkEntry {
     "x55_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
     "x56_score_deciles"     -> ((s, d) => TextAnalysis.scoreDeciles(s, d)),
     "x57_neardedup_corpus"  -> ((s, d) => Dedup.nearDedupedCorpus(s, d)),
+    "x58_split_leakage"     -> ((s, d) => Dedup.splitLeakage(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1200,5 +1201,32 @@ object SparkEntry {
         |canon AS (SELECT doc_id, MIN(label) AS canonical_id FROM reach GROUP BY doc_id)
         |SELECT d.doc_id, d.source, d.lang, d.n_chars
         |FROM documents d JOIN canon c ON d.doc_id = c.doc_id AND c.doc_id = c.canonical_id""".stripMargin,
+
+    // x58: x27's split rule + x02's capped shingle join, composed: eval
+    // docs sharing ≥3 shingles with any train doc. Algorithm oracle via
+    // the md5 split buckets.
+    "x58_split_leakage" ->
+      """WITH sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+4], ' ')
+        |                                       for i in range(1, len(ws) - 3)])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t),
+        |capped AS (SELECT * FROM sh0
+        |           WHERE sh NOT IN (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) > 100)),
+        |lab AS (SELECT doc_id,
+        |          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+        |        FROM (SELECT doc_id,
+        |                ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        |              FROM documents) t),
+        |pairs AS (
+        |  SELECT e.doc_id AS eval_doc, el.split, t2.doc_id AS train_doc,
+        |         CAST(count(*) AS BIGINT) AS shared
+        |  FROM capped e JOIN lab el USING (doc_id)
+        |  JOIN capped t2 ON e.sh = t2.sh
+        |  JOIN lab tl ON t2.doc_id = tl.doc_id AND tl.split = 'train'
+        |  WHERE el.split <> 'train'
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 3)
+        |SELECT eval_doc, split, CAST(count(*) AS BIGINT) AS n_train_partners,
+        |       CAST(max(shared) AS BIGINT) AS max_shared
+        |FROM pairs GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -274,6 +274,38 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
   }
 
+  /** Train/eval split-leakage audit (x58): after a deterministic split
+    * (x27's md5-bucket rule, recomputed inline — a pure function of
+    * doc_id, so no join against the split table), find eval/valid
+    * documents sharing ≥ minShared distinct n-gram shingles with ANY
+    * train document — near-dups straddling the split boundary leak eval
+    * signal into training, the check every pipeline should run after
+    * splitting. Same capped set-similarity join shape as x02 (stop-
+    * shingle df cap via partial-agg + broadcast anti-join, never a
+    * window; the two split-side branches each scan the corpus once —
+    * x02's documented linear-cost trade). Output: one row per leaked
+    * eval doc with its partner count and worst overlap. */
+  def splitLeakage(spark: SparkSession, dir: String, n: Int = 5,
+                   minShared: Int = 3, maxShingleDf: Int = 100): DataFrame = {
+    val split = Sampling.splitLabel(Sampling.hashBucket(col("doc_id"), "split", 100))
+    val raw = Tables.documents(spark, dir)
+      .select(col("doc_id"), split.as("split"),
+        explode(graft.functions.HashSignatures.word_shingles(col("text"), n)).as("sh"))
+    val stop = raw.groupBy(col("sh")).agg(count(lit(1)).as("sh_df"))
+      .filter(col("sh_df") > maxShingleDf).select(col("sh"))
+    val capped = raw.join(broadcast(stop), Seq("sh"), "left_anti")
+    val evalSide = capped.filter(col("split") =!= "train")
+      .select(col("doc_id").as("eval_doc"), col("split"), col("sh"))
+    val trainSide = capped.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("sh"))
+    evalSide.join(trainSide, Seq("sh"))
+      .groupBy(col("eval_doc"), col("split"), col("train_doc"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .groupBy(col("eval_doc"), col("split"))
+      .agg(count(lit(1)).as("n_train_partners"), max(col("shared")).as("max_shared"))
+  }
+
   /** Min-label propagation CC — rounds = component diameter. Kept as the
     * independent test twin the star-contraction variant is checked against
     * (DedupSpec asserts identical labels); fine when components are tiny,

@@ -529,6 +529,26 @@ class OperatorsSpec extends SparkSpec {
     } finally cached.unpersist()
   }
 
+  test("splitLeakage flags only non-train docs, thresholds respected, leakage present on corpus") {
+    val r = Dedup.splitLeakage(spark, sf).as[(Long, String, Long, Long)].collect()
+    assert(r.nonEmpty) // near-dup clusters straddle the hash split on this corpus
+    val splits = Sampling.trainTestSplit(spark, sf)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    r.foreach { case (id, split, partners, maxShared) =>
+      assert(split != "train" && splits(id) == split, s"doc $id")
+      assert(partners >= 1 && maxShared >= 3, s"doc $id")
+    }
+    // cross-check one flagged doc against a direct shingle-overlap count
+    val (evalDoc, _, _, maxShared) = r.maxBy(_._4)
+    val sh = graft.Tables.documents(spark, sf).select($"doc_id",
+      explode(graft.functions.HashSignatures.word_shingles($"text", 5)).as("sh"))
+    val evalSh = sh.filter($"doc_id" === evalDoc).select($"sh").as[String].collect().toSet
+    val best = sh.filter($"doc_id" =!= evalDoc)
+      .as[(Long, String)].collect().filter(t => splits(t._1) == "train")
+      .groupBy(_._1).map(_._2.count(t => evalSh.contains(t._2))).max
+    assert(best == maxShared, s"doc $evalDoc")
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
