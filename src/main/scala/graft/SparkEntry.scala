@@ -96,6 +96,7 @@ object SparkEntry {
     "x56_score_deciles"     -> ((s, d) => TextAnalysis.scoreDeciles(s, d)),
     "x57_neardedup_corpus"  -> ((s, d) => Dedup.nearDedupedCorpus(s, d)),
     "x58_split_leakage"     -> ((s, d) => Dedup.splitLeakage(s, d)),
+    "x59_bpe_pair_counts"   -> ((s, d) => TextAnalysis.bpePairCounts(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1228,5 +1229,17 @@ object SparkEntry {
         |SELECT eval_doc, split, CAST(count(*) AS BIGINT) AS n_train_partners,
         |       CAST(max(shared) AS BIGINT) AS max_shared
         |FROM pairs GROUP BY 1, 2""".stripMargin,
+
+    // x59: corpus-weighted adjacent char-pair counts over the word-freq
+    // aggregate — the first BPE merge's argmax input.
+    "x59_bpe_pair_counts" ->
+      """WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+        |            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |            GROUP BY 1),
+        |p AS (SELECT w, freq, unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair
+        |      FROM wf WHERE len(w) >= 2)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count,
+        |       CAST(count(DISTINCT w) AS BIGINT) AS n_words
+        |FROM p GROUP BY 1""".stripMargin,
   )
 }

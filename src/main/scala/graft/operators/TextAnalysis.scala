@@ -294,6 +294,29 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("sum_tf2"), col("simpson"))
   }
 
+  /** BPE merge-candidate pair counts (x59): the distributed kernel of
+    * byte-pair-encoding tokenizer training — corpus-weighted counts of
+    * adjacent character pairs, whose argmax is the first merge. (The
+    * merge LOOP itself is driver-side over the tiny vocabulary, like any
+    * fitted model; the corpus-scale step is exactly this count.)
+    *
+    * Scale shape is the whole point: the corpus collapses to the word-
+    * frequency aggregate FIRST (one shuffle, map-side combined — the
+    * same vocab-bounded table as x21), and pair extraction explodes the
+    * VOCABULARY, not the corpus: char-pair work is O(vocab × word_len)
+    * regardless of corpus size. */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame = {
+    val wordFreq = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    wordFreq.filter(length(col("w")) >= 2)
+      .select(col("w"), col("freq"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("pair_count"), countDistinct(col("w")).as("n_words"))
+  }
+
   /** Per-source distinct-token cardinality via the KMV sketch
     * (`graft.functions.KmvSketch`): bounded O(k) state per group,
     * map-side-combinable, no shuffle of the distinct values — the scale

@@ -549,6 +549,27 @@ class OperatorsSpec extends SparkSpec {
     assert(best == maxShared, s"doc $evalDoc")
   }
 
+  test("bpePairCounts: weighted pair counts match brute force; vocab side, not corpus, explodes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Seq((1L, "abab ab"), (2L, "abab cd x")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.bpePairCounts(spark, dir)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // "abab"×2 has pairs ab,ba,ab; "ab"×1 has ab; "cd"×1; "x" skipped
+    assert(r("ab") == ((5L, 2L))) // 2·2 + 1 occurrences across 2 distinct words
+    assert(r("ba") == ((2L, 1L)))
+    assert(r("cd") == ((1L, 1L)))
+    assert(!r.contains("x"))
+    // the real corpus: argmax is a plausible frequent English pair and the
+    // corpus-sized subtree is the word-count agg (explode sits above it)
+    val q = TextAnalysis.bpePairCounts(spark, sf)
+    val top = q.orderBy($"pair_count".desc, $"pair").as[(String, Long, Long)].head()
+    assert(top._2 > 0 && top._1.length == 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.indexOf("Generate") < plan.indexOf("FileScan"),
+      "pair explode must sit above the vocab aggregate, not on the scan")
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
