@@ -317,6 +317,75 @@ object TextAnalysis {
       .agg(sum(col("freq")).as("pair_count"), countDistinct(col("w")).as("n_words"))
   }
 
+  /** Deterministic BPE fit over a (word, freq) vocabulary: nMerges rounds
+    * of argmax adjacent-pair count (ties broken lexicographically so the
+    * fitted model is a pure function of the vocabulary). Driver-side over
+    * MODEL-STATE-sized input — the vocabulary aggregate, like a KMeans
+    * fit — while the corpus-scale steps (the word-freq aggregate feeding
+    * it, and the encode afterwards) stay distributed. Round 1's argmax is
+    * exactly x59's top row (asserted in OperatorsSpec). */
+  private[graft] def fitBpeMerges(vocab: Seq[(String, Long)], nMerges: Int): Seq[(String, String)] = {
+    def chars(w: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + n); i += n
+      }
+      b.result()
+    }
+    var words: Map[Vector[String], Long] =
+      vocab.groupBy(t => chars(t._1)).view.mapValues(_.map(_._2).sum).toMap
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (syms, freq) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + freq)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val (pair, _) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += pair
+        words = words.map { case (syms, freq) =>
+          val next = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == pair._1 && syms(j + 1) == pair._2) {
+              next += (pair._1 + pair._2); j += 2
+            } else { next += syms(j); j += 1 }
+          }
+          next.result() -> freq
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** BPE tokenizer end-to-end: fit merges on the corpus vocabulary
+    * (driver-side model state), then encode every document with the
+    * fused `BpeEncode` kernel — the fitted-tokenizer-applied-distributed
+    * shape of a real pipeline. Test-gated (model output, x40's pattern);
+    * x59 oracle-checks the corpus-scale counting the fit consumes. */
+  def bpeTokenize(spark: SparkSession, dir: String, nMerges: Int = 50): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    val merges = fitBpeMerges(vocab, nMerges)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      graft.functions.BpeEncode.bpe_encode(col("text"), merges).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")))
+  }
+
   /** Per-source distinct-token cardinality via the KMV sketch
     * (`graft.functions.KmvSketch`): bounded O(k) state per group,
     * map-side-combinable, no shuffle of the distinct values — the scale

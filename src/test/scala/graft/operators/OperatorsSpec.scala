@@ -570,6 +570,39 @@ class OperatorsSpec extends SparkSpec {
       "pair explode must sit above the vocab aggregate, not on the scan")
   }
 
+  test("BPE tokenizer: round-trip exact, first merge = x59 argmax, compression grows with merges") {
+    // round-trip: concatenated tokens reproduce the de-spaced text
+    val toks = TextAnalysis.bpeTokenize(spark, sf, nMerges = 40)
+    val joined = toks.select($"doc_id", concat_ws("", $"tokens").as("glued"))
+    val ref = graft.Tables.documents(spark, sf)
+      .select($"doc_id", regexp_replace($"text", " ", "").as("glued"))
+    assert(joined.except(ref).isEmpty && ref.except(joined).isEmpty)
+    // the fit's first merge is x59's (deterministically tie-broken) argmax
+    val vocab = graft.Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect().toSeq
+    val firstMerge = TextAnalysis.fitBpeMerges(vocab, 1).head
+    val top = TextAnalysis.bpePairCounts(spark, sf)
+      .orderBy($"pair_count".desc, $"pair").as[(String, Long, Long)].head()
+    assert(firstMerge._1 + firstMerge._2 == top._1)
+    // more merges never increase the token count; both compress vs chars
+    val n40 = toks.agg(sum($"n_tokens")).as[Long].head()
+    val n5 = TextAnalysis.bpeTokenize(spark, sf, nMerges = 5)
+      .agg(sum($"n_tokens")).as[Long].head()
+    val nChars = graft.Tables.documents(spark, sf)
+      .agg(sum(length(regexp_replace($"text", " ", "")))).as[Long].head()
+    assert(n40 <= n5 && n5 < nChars)
+    // greedy-rank encoding: a word equal to the first merge pair becomes ONE token
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpefit").toString
+    Seq((1L, "abc abc ax")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t = TextAnalysis.bpeTokenize(spark, dir, nMerges = 2)
+      .select($"tokens").as[Seq[String]].head()
+    // merges: (a,b) then (ab,c) — "abc" → one token, "ax" stays split
+    assert(t == Seq("abc", "abc", "a", "x"))
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
