@@ -97,6 +97,7 @@ object SparkEntry {
     "x57_neardedup_corpus"  -> ((s, d) => Dedup.nearDedupedCorpus(s, d)),
     "x58_split_leakage"     -> ((s, d) => Dedup.splitLeakage(s, d)),
     "x59_bpe_pair_counts"   -> ((s, d) => TextAnalysis.bpePairCounts(s, d)),
+    "x60_random_projection" -> ((s, d) => Similarity.randomProjection(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1229,6 +1230,24 @@ object SparkEntry {
         |SELECT eval_doc, split, CAST(count(*) AS BIGINT) AS n_train_partners,
         |       CAST(max(shared) AS BIGINT) AS max_shared
         |FROM pairs GROUP BY 1, 2""".stripMargin,
+
+    // x60: the same ±1 sign matrix and grammar-pinned left-to-right add
+    // chains as the Spark plan (hyperplaneSigSql's argument), so every
+    // projected double is bit-identical. The 1/√16 = 0.25 scale is exact.
+    "x60_random_projection" -> {
+      val signs = operators.Similarity.hyperplaneSigns(operators.Similarity.ProjDims, 64)
+      val scale = 1.0 / math.sqrt(operators.Similarity.ProjDims.toDouble)
+      val projections = (0 until operators.Similarity.ProjDims).map { j =>
+        val chain = (0 until 64)
+          .map(d => s"${if (signs(j)(d) > 0) "+" else "-"} v[${d + 1}]")
+          .mkString("0.0 ", " ", "")
+        s"($chain) * $scale AS p$j"
+      }.mkString(",\n        |       ")
+      s"""SELECT vec_id,
+        |       $projections
+        |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings) t""".stripMargin
+    },
 
     // x59: corpus-weighted adjacent char-pair counts over the word-freq
     // aggregate — the first BPE merge's argmax input.

@@ -222,6 +222,32 @@ object Similarity {
     * oracle SQL: floor(x·10⁶) maps each float to an exact long. */
   val CentroidQuantScale: Int = 1000000
 
+  /** x60's target dimensionality. 16 on purpose: the JL scale 1/√16 =
+    * 0.25 is a power of two, so the final scaling multiply is EXACT. */
+  val ProjDims: Int = 16
+
+  /** Johnson–Lindenstrauss random projection (x60): embed 64-dim vectors
+    * into `rDims` dimensions with the deterministic ±1 sign matrix
+    * (`hyperplaneSigns` — same reproducible constants as x10) scaled by
+    * 1/√rDims — the dimensionality-reduction stage that shrinks vectors
+    * 4× before ANN indexing / near-dup hashing at scale. Sparse ±1
+    * projections (Achlioptas) need no dense Gaussian matrix and keep
+    * every arithmetic step a left-to-right chain of IEEE adds — the same
+    * grammar-pinned ordering as `hyperplaneSigSql`, so the oracle
+    * replicates every output double bit-for-bit. Pure per-row
+    * projection: no shuffle, stays in WholeStageCodegen. */
+  def randomProjection(spark: SparkSession, dir: String, rDims: Int = ProjDims): DataFrame = {
+    val signs = hyperplaneSigns(rDims, 64)
+    val scale = 1.0 / math.sqrt(rDims.toDouble)
+    val v = asDouble(col("embedding"))
+    val cols = (0 until rDims).map { j =>
+      val chain = (0 until 64).foldLeft(lit(0.0): Column)((acc, d) =>
+        if (signs(j)(d) > 0) acc + v(d) else acc - v(d))
+      (chain * lit(scale)).as(s"p$j")
+    }
+    Tables.embeddings(spark, dir).select(col("vec_id") +: cols: _*)
+  }
+
   /** Per-label embedding centroids (x52): the class-prototype /
     * cluster-summary computation of an embedding pipeline, in long format
     * (label, dim, n_vecs, sum_q, centroid_q).

@@ -603,6 +603,34 @@ class OperatorsSpec extends SparkSpec {
     assert(t == Seq("abc", "abc", "a", "x"))
   }
 
+  test("randomProjection: exact vs driver reference, distances roughly preserved (JL)") {
+    val proj = Similarity.randomProjection(spark, sf).collect()
+      .map(r => r.getLong(0) -> (1 until 17).map(r.getDouble).toArray).toMap
+    val orig = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map(t => t._1 -> t._2.map(_.toDouble).toArray).toMap
+    // bit-exact against a driver-side left-to-right fold with the same signs
+    val signs = Similarity.hyperplaneSigns(Similarity.ProjDims, 64)
+    val scale = 1.0 / math.sqrt(Similarity.ProjDims.toDouble)
+    orig.take(20).foreach { case (id, v) =>
+      val ref = signs.map(row =>
+        v.indices.foldLeft(0.0)((acc, d) => if (row(d) > 0) acc + v(d) else acc - v(d)) * scale)
+      assert(java.util.Arrays.equals(ref, proj(id)), s"vec $id")
+    }
+    // JL property: projected pairwise distances correlate with originals
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map(t => (t._1 - t._2) * (t._1 - t._2)).sum
+    val ids = orig.keys.toSeq.sorted.take(30)
+    val pairs = for (i <- ids.indices; j <- 0 until i) yield (ids(i), ids(j))
+    val (xs, ys) = pairs.map { case (a, b) => (d2(orig(a), orig(b)), d2(proj(a), proj(b))) }.unzip
+    def corr(x: Seq[Double], y: Seq[Double]) = {
+      val (mx, my) = (x.sum / x.size, y.sum / y.size)
+      val cov = x.zip(y).map(t => (t._1 - mx) * (t._2 - my)).sum
+      cov / math.sqrt(x.map(v => (v - mx) * (v - mx)).sum * y.map(v => (v - my) * (v - my)).sum)
+    }
+    assert(corr(xs, ys) > 0.3, s"JL distance preservation too weak: ${corr(xs, ys)}")
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
