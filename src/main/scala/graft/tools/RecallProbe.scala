@@ -112,6 +112,28 @@ object RecallProbe {
         f"maxAbsErr=${errs.max}%.4f meanAbsErr=${errs.sum / errs.length}%.4f")
     }
 
+    // x60 JL projection: recall@5 of nearest neighbors (by squared
+    // euclidean) computed in the 16-dim projected space vs the 64-dim
+    // original — what the 4× shrink costs an ANN consumer
+    {
+      val orig = graft.Tables.embeddings(spark, sfDir)
+        .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val proj = Similarity.randomProjection(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> (1 until 17).map(r.getDouble).toArray).toMap
+      def top5(space: Map[Long, Array[Double]], q: Long): Set[Long] = {
+        val qv = space(q)
+        space.filter(_._1 != q).toSeq
+          .map { case (id, v) =>
+            id -> v.zip(qv).map(t => (t._1 - t._2) * (t._1 - t._2)).sum }
+          .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+      }
+      val queries = orig.keys.toSeq.sorted.take(50)
+      val hits = queries.map(q => (top5(orig, q) & top5(proj, q)).size).sum
+      println(f"[recall] jlprojection queries=${queries.size} k=5 " +
+        f"recall=${hits.toDouble / (queries.size * 5)}%.3f")
+    }
+
     spark.stop()
   }
 }
