@@ -98,6 +98,7 @@ object SparkEntry {
     "x58_split_leakage"     -> ((s, d) => Dedup.splitLeakage(s, d)),
     "x59_bpe_pair_counts"   -> ((s, d) => TextAnalysis.bpePairCounts(s, d)),
     "x60_random_projection" -> ((s, d) => Similarity.randomProjection(s, d)),
+    "x61_token_budget"      -> ((s, d) => Sampling.tokenBudget(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1248,6 +1249,19 @@ object SparkEntry {
         |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |      FROM embeddings) t""".stripMargin
     },
+
+    // x61: per-(source × split) doc/token/char totals under x27's split
+    // rule — the mixture-planning report.
+    "x61_token_budget" ->
+      """SELECT source,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM (SELECT *,
+        |        ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        |      FROM documents) t
+        |GROUP BY 1, 2""".stripMargin,
 
     // x59: corpus-weighted adjacent char-pair counts over the word-freq
     // aggregate — the first BPE merge's argmax input.

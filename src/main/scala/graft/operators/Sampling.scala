@@ -332,6 +332,22 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
+  /** Token-budget report (x61): docs / whitespace tokens / chars per
+    * (source × split) cell — the planning artifact a training run reads
+    * to size epochs and mixture weights after splitting. The split label
+    * is x27's pure hash function recomputed inline (no join), token
+    * counts are per-row projections, and the whole report is one
+    * partial-agg'd shuffle on a (sources × 3)-ary key. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        splitLabel(hashBucket(col("doc_id"), "split", 100)).as("split"),
+        size(split(col("text"), " ")).as("toks"), col("n_chars"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("ws_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+
   /** Exact per-source length quantiles (q25/q50/q75 of n_chars) via
     * order-statistic row-pick: rank rows per source on (n_chars, doc_id),
     * select ranks ceil(q·n). Unlike interpolating `percentile`, a picked

@@ -202,6 +202,22 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("tokenBudget cells partition the corpus and totals reconcile exactly") {
+    val cells = Sampling.tokenBudget(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+    val docs = graft.Tables.documents(spark, sf)
+    assert(cells.map(_._3).sum == docs.count())
+    assert(cells.map(_._5).sum ==
+      docs.agg(sum($"n_chars")).as[Long].head())
+    assert(cells.map(_._4).sum ==
+      docs.agg(sum(size(split($"text", " ")))).as[Long].head())
+    // cells agree with the split operator's own assignment
+    val bySplit = Sampling.trainTestSplit(spark, sf)
+      .groupBy($"source", $"split").count()
+      .as[(String, String, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    cells.foreach { case (src, sp, n, _, _) => assert(bySplit((src, sp)) == n) }
+  }
+
   test("lengthQuantiles picks ordered actual data values per source") {
     val q = Sampling.lengthQuantiles(spark, sf)
     val rows = q.as[(String, Long, Long, Long, Long)].collect()
