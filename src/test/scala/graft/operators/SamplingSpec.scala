@@ -218,6 +218,27 @@ class SamplingSpec extends SparkSpec {
     cells.foreach { case (src, sp, n, _, _) => assert(bySplit((src, sp)) == n) }
   }
 
+  test("sketch-based samplers are partition-invariant (deterministic under any parallelism)") {
+    // the 100 TB determinism claim: selection is a pure function of the
+    // data, so the kept set cannot depend on task layout / merge order
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select($"doc_id").as[Long].collect().toSet
+    val docs = graft.Tables.documents(spark, sf)
+    def shuffled(parts: Int) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-inv$parts").toString
+      docs.repartition(parts).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val (d3, d17) = (shuffled(3), shuffled(17))
+    assert(ids(Sampling.lengthTailTrim(spark, d3)) == ids(Sampling.lengthTailTrim(spark, d17)))
+    assert(ids(Sampling.sourceCapSample(spark, d3, 5)) == ids(Sampling.sourceCapSample(spark, d17, 5)))
+    val a = graft.operators.TextAnalysis.scoreDeciles(spark, d3)
+      .as[(Long, String, Long, Int)].collect().toSet
+    val b = graft.operators.TextAnalysis.scoreDeciles(spark, d17)
+      .as[(Long, String, Long, Int)].collect().toSet
+    assert(a == b)
+  }
+
   test("lengthQuantiles picks ordered actual data values per source") {
     val q = Sampling.lengthQuantiles(spark, sf)
     val rows = q.as[(String, Long, Long, Long, Long)].collect()
