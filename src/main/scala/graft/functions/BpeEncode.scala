@@ -33,6 +33,8 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 
   @transient private lazy val rank: Map[(String, String), Int] =
     merges.zipWithIndex.toMap
+  @transient private lazy val mergeArr: IndexedSeq[(String, String)] =
+    merges.toIndexedSeq // O(1) lookup in the encode loop even if merges is a List
 
   private def encodeWord(w: String, out: java.util.ArrayList[AnyRef]): Unit = {
     if (w.isEmpty) return
@@ -56,7 +58,7 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
       }
       if (best == Int.MaxValue) done = true
       else {
-        val (a, b) = merges(best)
+        val (a, b) = mergeArr(best)
         val next = new java.util.ArrayList[String](syms.size)
         var j = 0
         while (j < syms.size) {
