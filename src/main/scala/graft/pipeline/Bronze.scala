@@ -32,6 +32,24 @@ object Bronze {
       .csv(path)
       .withColumn("source_file", col("_metadata.file_path"))
 
+  /** Read one JSON-lines source with the declared schema — the same
+    * ingestion contract as `readCsv` for the other common raw-drop
+    * format: PERMISSIVE parsing, malformed lines captured whole in
+    * `_corrupt_record`, lineage via `_metadata.file_path`. Feeds the
+    * same `quarantine` splitter, so a pipeline can switch a source from
+    * CSV to JSONL without touching anything downstream. One Spark caveat
+    * shared with CSV: an action that prunes every data column off the
+    * raw scan while filtering on `_corrupt_record` (e.g. `.count()`
+    * straight after `quarantine`) hits QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    * — persist the cleaned rows first (as `loadToBronze` does) or keep
+    * a data column referenced. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(schema.add(StructField(CorruptCol, StringType)))
+      .json(path)
+      .withColumn("source_file", col("_metadata.file_path"))
+
   /** Split clean vs corrupt; write corrupt rows (with their source file) to
     * the quarantine path — replaces Databricks badRecordsPath without
     * changing the clean-row output (SURVEY.md §7.4 risk 5). */

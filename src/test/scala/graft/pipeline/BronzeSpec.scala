@@ -47,6 +47,37 @@ class BronzeSpec extends SparkSpec {
     assert(quarantined.columns.contains(Bronze.CorruptCol))
   }
 
+  test("JSONL source: same schema/quarantine/lineage contract as CSV") {
+    import org.apache.spark.sql.functions.col
+    val path = writeCsv("transactions.jsonl",
+      """{"date":"2017-01-02","store_nbr":1,"transactions":100}
+        |{"date":"2017-01-03","store_nbr":2,"transactions":200}
+        |{not valid json at all
+        |""".stripMargin)
+    val q = Files.createTempDirectory("graft-jsonl-quar").toString + "/bad"
+    val raw = Bronze.readJsonl(spark, path, Schemas.transactions)
+    // persist-then-count, the loadToBronze flow (counting the live scan with
+    // all data columns pruned trips QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val cleanPath = Files.createTempDirectory("graft-jsonl-clean").toString + "/clean"
+    Bronze.quarantine(raw, Some(q)).write.parquet(cleanPath)
+    val clean = spark.read.parquet(cleanPath)
+    assert(clean.count() == 2)
+    assert(clean.columns.toSet == Set("date", "store_nbr", "transactions", "source_file"))
+    assert(clean.filter($"source_file".contains("transactions.jsonl")).count() == 2)
+    val bad = spark.read.parquet(q)
+    assert(bad.count() == 1)
+    assert(bad.filter(col(Bronze.CorruptCol).contains("not valid json")).count() == 1)
+  }
+
+  test("ORC round-trips the documents table byte-for-byte (alternate columnar sink)") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.write.mode("overwrite").orc(s"$dir/documents.orc")
+    val back = spark.read.orc(s"$dir/documents.orc")
+    assert(back.schema == docs.schema)
+    assert(back.except(docs).isEmpty && docs.except(back).isEmpty)
+  }
+
   test("ingest failure appends to logs.etl_errors and rethrows") {
     Setup.createCatalog(spark)
     val before = spark.table(Setup.ErrorTable).count()
