@@ -46,9 +46,18 @@ object BenchStreaming {
         name -> (nEvents / sec)
       } finally {
         // checkpoint/state-store trees are per-run scratch — drop them so
-        // repeated bench runs don't accumulate in /tmp
-        import scala.jdk.CollectionConverters._
-        Files.walk(ckpt).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        // repeated bench runs don't accumulate in /tmp. Best-effort: a
+        // state-store maintenance thread can still be writing late files,
+        // and a lost race must not abort the remaining benchmarks.
+        try {
+          val walk = Files.walk(ckpt)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          } finally walk.close()
+        } catch {
+          case scala.util.control.NonFatal(_) => () // scratch dir; leave it
+        }
       }
     }
 

@@ -1206,15 +1206,21 @@ object SparkEntry {
         |FROM documents d JOIN canon c ON d.doc_id = c.doc_id AND c.doc_id = c.canonical_id""".stripMargin,
 
     // x58: x27's split rule + x02's capped shingle join, composed: eval
-    // docs sharing ≥3 shingles with any train doc. Algorithm oracle via
-    // the md5 split buckets.
-    "x58_split_leakage" ->
-      """WITH sh0 AS (
-        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+4], ' ')
-        |                                       for i in range(1, len(ws) - 3)])) AS sh
+    // docs sharing ≥ LeakMinShared shingles with any train doc. Algorithm
+    // oracle via the md5 split buckets; the n-gram width, df cap, and
+    // shared-count floor interpolate Dedup's Leak* constants (the
+    // NearDupPlanes move-together pattern) so query and oracle can't
+    // desync. DuckDB slices are 1-based inclusive: ws[i:i+(n-1)] is an
+    // n-gram, and i ranges over 1..len-(n-1) via range's exclusive bound.
+    "x58_split_leakage" -> {
+      val n = operators.Dedup.LeakShingleN
+      s"""WITH sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+${n - 1}], ' ')
+        |                                       for i in range(1, len(ws) - ${n - 2})])) AS sh
         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t),
         |capped AS (SELECT * FROM sh0
-        |           WHERE sh NOT IN (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) > 100)),
+        |           WHERE sh NOT IN (SELECT sh FROM sh0 GROUP BY sh
+        |                            HAVING COUNT(*) > ${operators.Dedup.LeakMaxShingleDf})),
         |lab AS (SELECT doc_id,
         |          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
         |        FROM (SELECT doc_id,
@@ -1227,10 +1233,11 @@ object SparkEntry {
         |  JOIN capped t2 ON e.sh = t2.sh
         |  JOIN lab tl ON t2.doc_id = tl.doc_id AND tl.split = 'train'
         |  WHERE el.split <> 'train'
-        |  GROUP BY 1, 2, 3 HAVING count(*) >= 3)
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= ${operators.Dedup.LeakMinShared})
         |SELECT eval_doc, split, CAST(count(*) AS BIGINT) AS n_train_partners,
         |       CAST(max(shared) AS BIGINT) AS max_shared
-        |FROM pairs GROUP BY 1, 2""".stripMargin,
+        |FROM pairs GROUP BY 1, 2""".stripMargin
+    },
 
     // x60: the same ±1 sign matrix and grammar-pinned left-to-right add
     // chains as the Spark plan (hyperplaneSigSql's argument), so every

@@ -25,7 +25,9 @@ import org.apache.spark.sql.types._
   * engine-exact where a double vector sum would be accumulation-order-
   * dependent and unverifiable. Rows must share one length; a mismatch
   * fails loudly rather than mis-aligning dimensions. Null rows are
-  * skipped; null elements are rejected (quantized vectors have none). */
+  * skipped; a null ELEMENT throws at update time (`ArrayData.toLongArray`
+  * would silently coerce it to 0 and corrupt the sum — callers quantize
+  * first, so a null element is always a caller bug). */
 case class ArrayLongSum(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
@@ -58,7 +60,17 @@ case class ArrayLongSum(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v == null) buf
-    else addInto(buf, v.asInstanceOf[ArrayData].toLongArray())
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        require(!arr.isNullAt(i),
+          s"array_long_sum: null element at index $i (toLongArray would coerce it to 0)")
+        i += 1
+      }
+      addInto(buf, arr.toLongArray())
+    }
   }
 
   override def merge(buf: Array[Long], other: Array[Long]): Array[Long] =

@@ -32,6 +32,15 @@ object Dedup {
   val ParagraphBoundaryMod: Int = 16
   val IncrementalNewMinId: Long = 250
 
+  /** x58 split-leakage knobs — shingle order, minimum shared shingles to
+    * count a leak, stop-shingle document-frequency cap. Shared with the
+    * x58 oracle SQL in `SparkEntry` (same move-together rule as
+    * NearDupPlanes): the SQL interpolates these, so editing a default
+    * regenerates both sides instead of silently desyncing them. */
+  val LeakShingleN: Int = 5
+  val LeakMinShared: Int = 3
+  val LeakMaxShingleDf: Int = 100
+
   /** Word n-gram shingles of `text`, distinct, as an array column.
     * Spark-side uses codegen'd higher-order functions (no UDF). */
   def wordShingles(text: Column, n: Int): Column = {
@@ -285,8 +294,9 @@ object Dedup {
     * window; the two split-side branches each scan the corpus once —
     * x02's documented linear-cost trade). Output: one row per leaked
     * eval doc with its partner count and worst overlap. */
-  def splitLeakage(spark: SparkSession, dir: String, n: Int = 5,
-                   minShared: Int = 3, maxShingleDf: Int = 100): DataFrame = {
+  def splitLeakage(spark: SparkSession, dir: String, n: Int = LeakShingleN,
+                   minShared: Int = LeakMinShared,
+                   maxShingleDf: Int = LeakMaxShingleDf): DataFrame = {
     val split = Sampling.splitLabel(Sampling.hashBucket(col("doc_id"), "split", 100))
     val raw = Tables.documents(spark, dir)
       .select(col("doc_id"), split.as("split"),

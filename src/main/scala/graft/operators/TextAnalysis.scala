@@ -32,6 +32,16 @@ object TextAnalysis {
   val CalibSampleK: Int = 64
   val CalibQuantScale: Int = 1000000
 
+  /** Default bounds on the BPE fit's driver-side vocabulary (standard
+    * BPE-fit practice: singleton words carry no pair signal worth a merge
+    * slot, and a fit only needs the frequent head of the vocabulary).
+    * These make `bpeTokenize`'s collect O(BpeVocabCap) regardless of
+    * corpus size — at 100 TB the raw distinct-word count is itself
+    * corpus-scale (typo/number/hash tokens), so an unbounded vocab
+    * collect would OOM the driver. */
+  val BpeMinFreq: Long = 2L
+  val BpeVocabCap: Int = 65536
+
   private def words(text: Column): Column = split(text, " ")
 
   private def countIn(text: Column, vocab: Seq[String]): Column =
@@ -369,17 +379,40 @@ object TextAnalysis {
     merges.result()
   }
 
-  /** BPE tokenizer end-to-end: fit merges on the corpus vocabulary
-    * (driver-side model state), then encode every document with the
-    * fused `BpeEncode` kernel — the fitted-tokenizer-applied-distributed
-    * shape of a real pipeline. Test-gated (model output, x40's pattern);
-    * x59 oracle-checks the corpus-scale counting the fit consumes. */
-  def bpeTokenize(spark: SparkSession, dir: String, nMerges: Int = 50): DataFrame = {
-    val vocab = Tables.documents(spark, dir)
+  /** Bounded vocabulary fetch backing the BPE fit: frequency floor, then
+    * distributed top-`vocabCap` by (freq desc, word asc — deterministic
+    * tie-break). The orderBy+limit plans as TakeOrderedAndProject: each
+    * partition keeps its own top-`vocabCap`, a single tiny exchange merges
+    * them, and the driver receives exactly ≤ `vocabCap` rows — bounded
+    * MODEL STATE (the KMeans-centroid pattern), never the raw distinct-word
+    * set. */
+  private[graft] def bpeFitVocabDf(spark: SparkSession, dir: String,
+                                   minFreq: Long, vocabCap: Int): DataFrame =
+    Tables.documents(spark, dir)
       .select(explode(words(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .orderBy(col("freq").desc, col("w"))
+      .limit(vocabCap)
+
+  private[graft] def bpeFitVocab(spark: SparkSession, dir: String,
+                                 minFreq: Long, vocabCap: Int): Seq[(String, Long)] =
+    bpeFitVocabDf(spark, dir, minFreq, vocabCap)
       .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
-    val merges = fitBpeMerges(vocab, nMerges)
+
+  /** BPE tokenizer end-to-end: fit merges on the corpus vocabulary
+    * (driver-side model state, BOUNDED: `minFreq` floor + top-`vocabCap`
+    * cap applied in-plan before the collect, so driver memory is
+    * O(vocabCap) at any corpus size), then encode every document with the
+    * fused `BpeEncode` kernel — the fitted-tokenizer-applied-distributed
+    * shape of a real pipeline. When the corpus vocabulary fits under the
+    * bounds (as in the test corpus) the fit is identical to an unbounded
+    * one (asserted in OperatorsSpec). Test-gated (model output, x40's
+    * pattern); x59 oracle-checks the corpus-scale counting the fit
+    * consumes. */
+  def bpeTokenize(spark: SparkSession, dir: String, nMerges: Int = 50,
+                  minFreq: Long = BpeMinFreq, vocabCap: Int = BpeVocabCap): DataFrame = {
+    val merges = fitBpeMerges(bpeFitVocab(spark, dir, minFreq, vocabCap), nMerges)
     Tables.documents(spark, dir).select(
       col("doc_id"),
       graft.functions.BpeEncode.bpe_encode(col("text"), merges).as("tokens"))

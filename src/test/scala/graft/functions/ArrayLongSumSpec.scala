@@ -41,4 +41,14 @@ class ArrayLongSumSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(ex).exists(_.contains("ragged")), ex.toString)
   }
+
+  test("null ELEMENTS fail loudly (toLongArray would silently coerce them to 0)") {
+    val df = Seq(Seq[java.lang.Long](1L, null, 3L)).toDF("arr")
+    val ex = intercept[Exception] {
+      df.agg(array_long_sum($"arr")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("null element")), ex.toString)
+  }
 }

@@ -603,6 +603,32 @@ class OperatorsSpec extends SparkSpec {
     assert(t == Seq("abc", "abc", "a", "x"))
   }
 
+  test("BPE fit vocab is bounded: top-k plan, cap enforced, defaults reproduce the unbounded fit") {
+    // the cap is enforced in-plan: asking for 5 collects exactly the 5 most
+    // frequent words (freq desc, word asc tie-break), not the full vocab
+    val top5 = TextAnalysis.bpeFitVocab(spark, sf, minFreq = 1L, vocabCap = 5)
+    val full = TextAnalysis.bpeFitVocab(spark, sf, minFreq = 1L, vocabCap = Int.MaxValue)
+    assert(top5.size == 5 && full.size > 5)
+    assert(top5 == full.sortBy(t => (-t._2, t._1)).take(5))
+    // the bounded fetch plans as a distributed top-k (per-partition limit +
+    // tiny merge), never a full-vocab sort-then-collect
+    val plan = TextAnalysis.bpeFitVocabDf(spark, sf, minFreq = 1L, vocabCap = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan, got:\n$plan")
+    // the frequency floor drops below-floor words and nothing else
+    val floor = TextAnalysis.bpeFitVocab(spark, sf, minFreq = 30L, vocabCap = Int.MaxValue)
+    assert(floor == full.filter(_._2 >= 30L).sortBy(t => (-t._2, t._1)))
+    // on a corpus whose vocab fits under the default bounds, the bounded
+    // fit is the unbounded fit: identical tokens for every document
+    assert(full.size < TextAnalysis.BpeVocabCap &&
+      full.forall(_._2 >= TextAnalysis.BpeMinFreq))
+    def tokens(minFreq: Long, cap: Int): Map[Long, Seq[String]] =
+      TextAnalysis.bpeTokenize(spark, sf, nMerges = 12, minFreq = minFreq, vocabCap = cap)
+        .select($"doc_id", $"tokens").as[(Long, Seq[String])].collect().toMap
+    assert(tokens(TextAnalysis.BpeMinFreq, TextAnalysis.BpeVocabCap) ==
+      tokens(1L, Int.MaxValue))
+  }
+
   test("randomProjection: exact vs driver reference, distances roughly preserved (JL)") {
     val proj = Similarity.randomProjection(spark, sf).collect()
       .map(r => r.getLong(0) -> (1 until 17).map(r.getDouble).toArray).toMap
