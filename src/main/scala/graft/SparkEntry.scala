@@ -99,6 +99,7 @@ object SparkEntry {
     "x59_bpe_pair_counts"   -> ((s, d) => TextAnalysis.bpePairCounts(s, d)),
     "x60_random_projection" -> ((s, d) => Similarity.randomProjection(s, d)),
     "x61_token_budget"      -> ((s, d) => Sampling.tokenBudget(s, d)),
+    "x62_substring_decontam" -> ((s, d) => Dedup.exactSubstringContamination(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1269,6 +1270,31 @@ object SparkEntry {
         |        ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
         |      FROM documents) t
         |GROUP BY 1, 2""".stripMargin,
+
+    // x62: char-level exact-substring decontamination — algorithm oracle
+    // replicating the per-position md5-60 gram hashing and the hash join
+    // (substr over unnest(range); range's upper bound is exclusive, so
+    // len-k+2 yields positions 1..len-k+1). Gram width and the benchmark
+    // boundary interpolate Dedup's Decontam* constants.
+    "x62_substring_decontam" -> {
+      val k = operators.Dedup.DecontamGramChars
+      val bmax = operators.Dedup.DecontamBenchMaxId
+      s"""WITH bench AS (
+        |  SELECT DISTINCT doc_id AS bench_id,
+        |         ('0x' || substr(md5(substr(text, i, $k)), 1, 15))::BIGINT AS gh
+        |  FROM documents, unnest(range(1, len(text) - ${k - 2})) AS t(i)
+        |  WHERE doc_id < $bmax AND len(text) >= $k),
+        |corp AS (
+        |  SELECT DISTINCT doc_id,
+        |         ('0x' || substr(md5(substr(text, i, $k)), 1, 15))::BIGINT AS gh
+        |  FROM documents, unnest(range(1, len(text) - ${k - 2})) AS t(i)
+        |  WHERE doc_id >= $bmax AND len(text) >= $k)
+        |SELECT c.doc_id,
+        |       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_partners,
+        |       CAST(count(DISTINCT c.gh) AS BIGINT) AS n_gram_hits
+        |FROM corp c JOIN bench b USING (gh)
+        |GROUP BY 1""".stripMargin
+    },
 
     // x59: corpus-weighted adjacent char-pair counts over the word-freq
     // aggregate — the first BPE merge's argmax input.

@@ -41,6 +41,15 @@ object Dedup {
   val LeakMinShared: Int = 3
   val LeakMaxShingleDf: Int = 100
 
+  /** x62 exact-substring decontamination knobs — char k-gram width and the
+    * benchmark-id boundary (same eval-set stand-in as x31/x43/x47).
+    * Shared with the x62 oracle SQL in `SparkEntry` (move-together rule).
+    * 24 chars ≈ 4–5 words of the synthetic vocabulary — wide enough that
+    * chance collisions vanish (sweep: 22 chars flags 8× more docs, all
+    * noise) while reformatted verbatim overlap still fires at every SF. */
+  val DecontamGramChars: Int = 24
+  val DecontamBenchMaxId: Long = 20
+
   /** Word n-gram shingles of `text`, distinct, as an array column.
     * Spark-side uses codegen'd higher-order functions (no UDF). */
   def wordShingles(text: Column, n: Int): Column = {
@@ -594,6 +603,57 @@ object Dedup {
       .filter(col("doc_id") >= benchMaxId)
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+  }
+
+  /** Per-row distinct char-k-gram hash array: every k-char substring of
+    * `text`, hashed with the engine-neutral [[md5Hash60]]. Pure codegen'd
+    * higher-order functions (sequence → transform → array_distinct) — the
+    * whole gram set is computed inside the row's projection, no shuffle,
+    * no UDF. Callers must pre-filter `length(text) >= k` (Spark's
+    * `sequence(1, n)` runs DESCENDING when n < 1 instead of returning
+    * empty). O(len·k) hashing per row; see `exactSubstringContamination`
+    * for why that beats a non-verifiable O(len) rolling hash here. */
+  private[graft] def charGramHashes(text: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), length(text) - lit(k - 1)),
+      i => md5Hash60(text.substr(i, lit(k)))))
+
+  /** Exact-substring benchmark decontamination (x62): corpus documents
+    * sharing ANY verbatim k-CHAR substring with a benchmark document —
+    * the character-level complement to x31/x43's word-shingle overlap.
+    * Word tokenization splits reformatted verbatim text (changed
+    * whitespace/punctuation) into different shingles; a char k-gram match
+    * is tokenization-independent, so this is the standard stronger second
+    * pass every eval-decontamination stage runs. Output: one row per
+    * contaminated corpus doc with its distinct benchmark-partner count
+    * and distinct matching-gram count.
+    *
+    * Scale shape (the x31 broadcast discipline, no corpus shuffle):
+    * the BENCHMARK side (small by definition) explodes its gram hashes
+    * and broadcasts; the corpus side computes its per-row gram array
+    * in-projection ([[charGramHashes]]), explodes map-side, and streams
+    * through the broadcast hash join — only the surviving (doc, bench)
+    * hits shuffle into the final count aggregate. Per-position md5 costs
+    * O(len·k) vs a Karp–Rabin rolling hash's O(len), but it is pure
+    * per-row CPU inside whole-stage codegen (no shuffle, no memory
+    * pressure — never the bottleneck of the stage) and md5-60 is
+    * engine-neutral, which makes the WHOLE operator an algorithm oracle
+    * in DuckDB (substr+md5 over unnest(range)); a 64-bit polynomial roll
+    * needs wrapping multiplication DuckDB's BIGINT refuses. */
+  def exactSubstringContamination(spark: SparkSession, dir: String,
+                                  k: Int = DecontamGramChars,
+                                  benchMaxId: Long = DecontamBenchMaxId): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.filter(length(col("text")) >= k)
+        .select(col("doc_id"), explode(charGramHashes(col("text"), k)).as("gh"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val bench = grams(docs.filter(col("doc_id") < benchMaxId))
+      .withColumnRenamed("doc_id", "bench_id")
+    grams(docs.filter(col("doc_id") >= benchMaxId))
+      .join(broadcast(bench), Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_id")).as("n_bench_partners"),
+        countDistinct(col("gh")).as("n_gram_hits"))
   }
 
   /** 64-bit SimHash from word hashes: sum ±1 per bit position weighted by

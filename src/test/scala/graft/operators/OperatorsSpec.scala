@@ -213,6 +213,44 @@ class OperatorsSpec extends SparkSpec {
     assert(hits.head._3 >= 3) // shares ≥3 5-grams with the benchmark doc
   }
 
+  test("exactSubstringContamination: planted verbatim span fires, driver brute-force parity") {
+    val k = Dedup.DecontamGramChars
+    // planted fixture: doc 30 embeds a 30-char verbatim span of the
+    // benchmark doc inside otherwise-unrelated text; doc 31 shares nothing
+    val dir = java.nio.file.Files.createTempDirectory("graft-subdecon").toString
+    val evalDoc = "the quick brown fox jumps over the lazy dog today"
+    val span = evalDoc.substring(4, 34) // "quick brown fox jumps over the"
+    // 'X' fences keep the verbatim overlap EXACTLY `span` (the benchmark
+    // doc has spaces at both span boundaries, which would otherwise extend
+    // the match by one gram on each side)
+    Seq((1L, evalDoc),
+        (30L, s"zz yyX${span}X tail words here"),
+        (31L, "completely unrelated text with different words entirely here now"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val hits = Dedup.exactSubstringContamination(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    // exactly the planted doc, one partner, span.length-k+1 shared grams
+    assert(hits == Seq((30L, 1L, (span.length - k + 1).toLong)))
+    // real corpus: exact parity with a driver-side brute force over raw
+    // gram STRINGS (also proves the md5-60 gram hashing is collision-free
+    // on this corpus — any collision would inflate a count)
+    val docs = graft.Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    def gramSet(t: String): Set[String] =
+      if (t.length < k) Set.empty
+      else (0 to t.length - k).map(i => t.substring(i, i + k)).toSet
+    val bench = docs.filter(_._1 < Dedup.DecontamBenchMaxId).map(d => d._1 -> gramSet(d._2))
+    val expect = docs.filter(_._1 >= Dedup.DecontamBenchMaxId).flatMap { case (id, t) =>
+      val g = gramSet(t)
+      val shared = bench.map { case (bid, bg) => bid -> bg.intersect(g) }.filter(_._2.nonEmpty)
+      if (shared.isEmpty) None
+      else Some(id -> ((shared.length.toLong, shared.flatMap(_._2).toSet.size.toLong)))
+    }.toMap
+    val got = Dedup.exactSubstringContamination(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.nonEmpty && got == expect)
+  }
+
   test("paragraphDedup: every doc covered, kills occur, untouched docs round-trip exactly") {
     val docs = graft.Tables.documents(spark, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect().toMap

@@ -79,6 +79,22 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$plan")
   }
 
+  test("exactSubstringContamination: benchmark grams broadcast, corpus grams never shuffle") {
+    val q = Dedup.exactSubstringContamination(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$plan")
+    // the only row shuffles are the post-join count aggregate over the
+    // surviving hits (the two-phase distinct-agg pair, both keyed by
+    // doc_id) — the corpus gram stream (scan → per-row gram array →
+    // explode) reaches the broadcast join without an exchange, so the
+    // gram key never partitions anything
+    val keys = "Exchange hashpartitioning\\((\\w+)#".r.findAllMatchIn(plan)
+      .map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(_ == "doc_id"),
+      s"every shuffle must be the post-join doc_id agg, got $keys:\n$plan")
+  }
+
   test("ivfTopK's KMeans fit input is pinned: fixed hash partition count + in-partition sort") {
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import org.apache.spark.sql.functions.col
