@@ -100,6 +100,7 @@ object SparkEntry {
     "x60_random_projection" -> ((s, d) => Similarity.randomProjection(s, d)),
     "x61_token_budget"      -> ((s, d) => Sampling.tokenBudget(s, d)),
     "x62_substring_decontam" -> ((s, d) => Dedup.exactSubstringContamination(s, d)),
+    "x63_bpe_token_budget"  -> ((s, d) => Sampling.bpeTokenBudget(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1294,6 +1295,57 @@ object SparkEntry {
         |       CAST(count(DISTINCT c.gh) AS BIGINT) AS n_gram_hits
         |FROM corp c JOIN bench b USING (gh)
         |GROUP BY 1""".stripMargin
+    },
+
+    // x63: x61's budget with BPE-accurate token counts — the oracle
+    // replicates BpeEncode's greedy loop as a recursive CTE over the
+    // (tiny) distinct-word set: each step finds the lowest-rank merge
+    // whose pair occurs adjacently, rewrites the symbol list (pinned
+    // merges have left ≠ right, so occurrences never overlap and the
+    // one-pass left-to-right merge is a simultaneous rewrite), and
+    // terminal states (no applicable merge) carry each word's token
+    // count back onto the per-occurrence join. Merge table interpolated
+    // from TextAnalysis.PinnedBpeMerges (LshPlanes pattern).
+    "x63_bpe_token_budget" -> {
+      val merges = operators.TextAnalysis.PinnedBpeMerges
+      val aLit = merges.map(m => s"'${m._1}'").mkString("[", ",", "]")
+      val bLit = merges.map(m => s"'${m._2}'").mkString("[", ",", "]")
+      val nm = merges.length
+      // lowest-rank applicable merge for a symbol list, NULL when none
+      val br = s"list_min([r for r in range(1, $nm+1) " +
+        s"if len([i for i in range(1, len(syms)) " +
+        s"if syms[i] = c.A[r] AND syms[i+1] = c.B[r]]) > 0])"
+      s"""WITH RECURSIVE
+        |consts AS (SELECT $aLit AS A, $bLit AS B),
+        |words AS (SELECT DISTINCT w
+        |          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |          WHERE len(w) > 0),
+        |enc AS (
+        |  SELECT w, [substr(w, i, 1) for i in range(1, len(w)+1)] AS syms FROM words
+        |  UNION ALL
+        |  SELECT w,
+        |    list_transform(
+        |      [i for i in range(1, len(syms)+1)
+        |         if NOT (i > 1 AND syms[i-1] = c.A[br] AND syms[i] = c.B[br])],
+        |      i -> CASE WHEN i < len(syms) AND syms[i] = c.A[br] AND syms[i+1] = c.B[br]
+        |                THEN syms[i] || syms[i+1] ELSE syms[i] END) AS syms
+        |  FROM (SELECT w, syms, $br AS br FROM enc, consts c) t, consts c
+        |  WHERE br IS NOT NULL),
+        |term AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_toks
+        |         FROM enc, consts c WHERE $br IS NULL),
+        |occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |doctoks AS (SELECT o.doc_id, sum(t.n_toks) AS toks
+        |            FROM occ o JOIN term t USING (w) GROUP BY 1),
+        |lab AS (SELECT doc_id, source, len(string_split(text, ' ')) AS ws,
+        |          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+        |        FROM (SELECT *,
+        |                ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        |              FROM documents) t)
+        |SELECT l.source, l.split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(d.toks) AS BIGINT) AS bpe_tokens,
+        |       CAST(sum(l.ws) AS BIGINT) AS ws_tokens
+        |FROM lab l JOIN doctoks d USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin
     },
 
     // x59: corpus-weighted adjacent char-pair counts over the word-freq

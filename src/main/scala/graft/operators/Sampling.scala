@@ -348,6 +348,30 @@ object Sampling {
         sum(col("toks")).as("ws_tokens"),
         sum(col("n_chars")).as("total_chars"))
 
+  /** BPE-token-accurate token budget (x63): x61's per-(source × split)
+    * mixture report, but with the token column counted by the fused
+    * `BpeEncode` kernel under the PINNED merge table
+    * (`TextAnalysis.PinnedBpeMerges`) instead of the whitespace proxy —
+    * budgets that feed a training-mixture planner must count the tokens
+    * the model will actually see. Both counts are reported so the
+    * ws→BPE correction factor is visible per cell.
+    *
+    * Scale shape: identical to x61 — the encode is pure per-row CPU
+    * inside the scan's projection (merge table rides the serialized
+    * expression, no lookup join), and the aggregate partial-combines
+    * map-side into ≤ sources × 3 rows. */
+  def bpeTokenBudget(spark: SparkSession, dir: String,
+                     merges: Seq[(String, String)] = TextAnalysis.PinnedBpeMerges): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        splitLabel(hashBucket(col("doc_id"), "split", 100)).as("split"),
+        size(graft.functions.BpeEncode.bpe_encode(col("text"), merges)).as("toks"),
+        size(split(col("text"), " ")).as("ws"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("bpe_tokens"),
+        sum(col("ws")).as("ws_tokens"))
+
   /** Exact per-source length quantiles (q25/q50/q75 of n_chars) via
     * order-statistic row-pick: rank rows per source on (n_chars, doc_id),
     * select ranks ceil(q·n). Unlike interpolating `percentile`, a picked

@@ -42,6 +42,22 @@ object TextAnalysis {
   val BpeMinFreq: Long = 2L
   val BpeVocabCap: Int = 65536
 
+  /** Pinned BPE merge table (x63): a fitted tokenizer FROZEN as a shared
+    * constant — the planning artifact a real pipeline ships (tokenizers
+    * are fit once, then pinned for every downstream budget/packing run;
+    * refitting per-query would change token counts under the planner).
+    * Interpolated into BOTH the Spark plan (`BpeEncode`'s baked-in
+    * ranking) and the x63 oracle SQL (the LshPlanes pattern), which
+    * replicates the greedy encode as a recursive CTE. Every merge here
+    * has left ≠ right, so occurrences of a pair can never overlap and
+    * "merge non-overlapping occurrences left-to-right" equals "merge all
+    * occurrences at once" — the property the oracle's set-based rewrite
+    * of the encode loop's inner pass relies on (asserted in spec). */
+  val PinnedBpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t", "m" -> "er",
+    "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar", "j" -> "o", "jo" -> "in",
+    "a" -> "s", "as" -> "h", "h" -> "ash", "r" -> "ow")
+
   private def words(text: Column): Column = split(text, " ")
 
   private def countIn(text: Column, vocab: Seq[String]): Column =

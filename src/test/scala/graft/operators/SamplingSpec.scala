@@ -218,6 +218,49 @@ class SamplingSpec extends SparkSpec {
     cells.foreach { case (src, sp, n, _, _) => assert(bySplit((src, sp)) == n) }
   }
 
+  test("bpeTokenBudget: pinned merges non-overlapping, counts bracket, driver encode parity") {
+    // the oracle's simultaneous-rewrite step is only equal to the kernel's
+    // left-to-right pass because no pinned merge can self-overlap
+    assert(TextAnalysis.PinnedBpeMerges.forall(m => m._1 != m._2))
+    val cells = Sampling.bpeTokenBudget(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+    val docs = graft.Tables.documents(spark, sf)
+    assert(cells.map(_._3).sum == docs.count())
+    // every word is ≥1 token and ≤ its chars: ws_tokens ≤ bpe_tokens < chars
+    val ws = cells.map(_._5).sum
+    val bpe = cells.map(_._4).sum
+    val chars = docs.agg(sum(length(regexp_replace($"text", " ", "")))).as[Long].head()
+    assert(ws <= bpe && bpe < chars, s"ws=$ws bpe=$bpe chars=$chars")
+    // exact parity with a driver-side greedy encode under the same table
+    val rank = TextAnalysis.PinnedBpeMerges.zipWithIndex.toMap
+    def encode(w: String): Int = {
+      var syms = w.map(_.toString).toVector
+      var done = syms.length <= 1
+      while (!done) {
+        val best = (0 until syms.length - 1)
+          .flatMap(i => rank.get((syms(i), syms(i + 1)))).minOption
+        best match {
+          case None => done = true
+          case Some(r) =>
+            val (a, b) = TextAnalysis.PinnedBpeMerges(r)
+            val next = Vector.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+                next += (a + b); j += 2
+              } else { next += syms(j); j += 1 }
+            }
+            syms = next.result()
+            done = syms.length <= 1
+        }
+      }
+      syms.length
+    }
+    val expect = docs.select($"text").as[String].collect()
+      .map(_.split(" ", -1).filter(_.nonEmpty).map(encode).sum.toLong).sum
+    assert(bpe == expect)
+  }
+
   test("sketch-based samplers are partition-invariant (deterministic under any parallelism)") {
     // the 100 TB determinism claim: selection is a pure function of the
     // data, so the kept set cannot depend on task layout / merge order
