@@ -40,6 +40,18 @@ object RecallProbe {
         s"match=${approx == exactIvf} missing=${(exactIvf -- approx).size}")
     }
 
+    // IVF-over-JL-projection (x60→x18 composition) vs the same exact twin:
+    // candidates found and pre-ranked in 16-dim projected space, survivors
+    // exact-reranked in 64-dim — the rerank should restore what projection
+    // loses, so the interesting numbers are (probe recall pre-rerank
+    // implied by missing, and whether rerank reaches match=true)
+    for (nProbe <- Seq(6, 8, 10, 12, 14, 16)) {
+      val approx = topk(Similarity.ivfProjectedTopK(spark, sfDir, nProbe = nProbe))
+      println(s"[recall] ivfproj nProbe=$nProbe rerank=${Similarity.IvfRerankFactor} " +
+        s"exact=${exactIvf.size} approx=${approx.size} " +
+        s"match=${approx == exactIvf} missing=${(exactIvf -- approx).size}")
+    }
+
     // hyperplane-LSH ANN vs exact brute force on the same query slice
     val exactLsh = topk(Similarity.bruteForceTopK(spark, sfDir, qLo = 10, qHi = 20))
     for (radius <- Seq(1, 2, 3)) {

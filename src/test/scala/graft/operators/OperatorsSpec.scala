@@ -667,6 +667,39 @@ class OperatorsSpec extends SparkSpec {
       tokens(1L, Int.MaxValue))
   }
 
+  test("ivfProjectedTopK: full survivor pool reproduces the exact twin; rerank scores exact") {
+    // dataflow correctness of the x60→x18 composition: with every cell
+    // probed and the survivor pool covering the whole corpus, the 64-dim
+    // rerank must reproduce bruteForceTopK exactly — any divergence would
+    // be a bug in projection/assignment/probe/rerank, not recall loss
+    // (rerankFactor 100 → pool 500 ≥ the 499 candidates; the measured
+    // honest ceiling on this near-isotropic corpus needs pool ≈ 404)
+    val full = Similarity.ivfProjectedTopK(spark, sf, nProbe = 16, rerankFactor = 100)
+      .select($"q_id", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val exact = Similarity.bruteForceTopK(spark, sf,
+        qLo = Similarity.IvfQLo, qHi = Similarity.IvfQHi)
+      .select($"q_id", $"vec_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(full == exact)
+    // at the shipped defaults the output is top-k of the SURVIVOR pool by
+    // exact 64-dim cosine: every returned score equals a driver-computed
+    // truncated cosine, and rows/ranks are well-formed per query
+    val got = Similarity.ivfProjectedTopK(spark, sf)
+      .as[(Long, Long, Double, Int)].collect()
+    val nq = Similarity.IvfQHi - Similarity.IvfQLo
+    assert(got.length == nq * 5 && got.groupBy(_._1).size == nq)
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val num = a.zip(b).map(t => t._1 * t._2).sum
+      num / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    got.foreach { case (q, v, sim, _) =>
+      val ref = math.floor(cos(vecs(q), vecs(v)) * 1e6) / 1e6
+      assert(math.abs(sim - ref) < 1e-9, s"($q,$v): $sim vs $ref")
+    }
+  }
+
   test("randomProjection: exact vs driver reference, distances roughly preserved (JL)") {
     val proj = Similarity.randomProjection(spark, sf).collect()
       .map(r => r.getLong(0) -> (1 until 17).map(r.getDouble).toArray).toMap
