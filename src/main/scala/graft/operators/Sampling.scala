@@ -187,9 +187,14 @@ object Sampling {
     * (ORDER BY doc_id)` window — funnels every row through ONE task; this
     * shape keeps the row-level pass fully parallel and is proven equal to
     * the naive window in the spec (including a forced-recursion case). */
-  def packSequences(spark: SparkSession, dir: String, budgetTokens: Long = 512,
-                    bucketSize: Long = 1000,
-                    maxWindowRows: Long = 1000000L): DataFrame = {
+  /** Doc-level bin assignment under x37's packing rule — the frame
+    * `packSequences` aggregates, exposed for the terminal write stage
+    * ([[writePackedShards]]). Narrow on purpose: only (doc_id, n_tokens,
+    * bin_id) ever ride the pack's shuffles; the payload joins in later. */
+  private[graft] def packedDocAssignments(spark: SparkSession, dir: String,
+                                          budgetTokens: Long = 512,
+                                          bucketSize: Long = 1000,
+                                          maxWindowRows: Long = 1000000L): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("bkt", expr(s"doc_id div $bucketSize"))
@@ -204,9 +209,62 @@ object Sampling {
       .withColumn("tokens_before",
         coalesce(sum(col("n_tokens")).over(local), lit(0L)) + col("bkt_offset"))
       .withColumn("bin_id", expr(s"tokens_before div $budgetTokens"))
+      .select(col("doc_id"), col("n_tokens"), col("bin_id"))
+  }
+
+  def packSequences(spark: SparkSession, dir: String, budgetTokens: Long = 512,
+                    bucketSize: Long = 1000,
+                    maxWindowRows: Long = 1000000L): DataFrame =
+    packedDocAssignments(spark, dir, budgetTokens, bucketSize, maxWindowRows)
       .groupBy(col("bin_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+
+  /** Packed-shard materialization — the terminal write stage of the
+    * assembly funnel: x37's bins become a deterministic partitioned
+    * parquet layout (`shard_id=.../part-*.parquet`, rows sorted by
+    * (bin_id, doc_id) within every file), the artifact a training job
+    * actually reads. shard → rows is a pure function of the corpus
+    * (bin_id from the pack, shard = bin div binsPerShard), so reruns and
+    * task retries produce the same layout.
+    *
+    * Scale shape — the payload crosses exactly TWO exchanges, both
+    * mandatory: (1) the doc_id equi-join that attaches text to the
+    * NARROW pack output (uniform key; the pack's own shuffles carry only
+    * (doc_id, n_tokens) — x02's two-linear-pass trade vs hauling text
+    * through the pack's bucket window), and (2) one
+    * `repartitionByRange(shard_id, bin_id, doc_id)` that clusters rows
+    * into shard order for the write. (2) is what makes `partitionBy` NOT
+    * fragment: bins are monotone in doc_id, so a range task covers a
+    * contiguous bin span and each shard directory receives at most two
+    * files (boundary tasks) instead of one file per (task × shard) — at
+    * 10⁵ tasks the difference between a readable dataset and a
+    * small-file explosion. Asserted in SamplingSpec: ≤ 2 files per shard
+    * dir, exactly one range exchange, and token conservation via
+    * `Quality.packedShards`. */
+  def writePackedShards(spark: SparkSession, dir: String, outPath: String,
+                        budgetTokens: Long = 512, binsPerShard: Long = 8,
+                        bucketSize: Long = 1000,
+                        maxWindowRows: Long = 1000000L): DataFrame = {
+    val packed = packedShardRows(spark, dir, budgetTokens, binsPerShard,
+      bucketSize, maxWindowRows)
+    packed.write.mode("overwrite").partitionBy("shard_id").parquet(outPath)
+    spark.read.parquet(outPath)
+  }
+
+  /** The frame `writePackedShards` materializes, exposed so the spec can
+    * assert the write-side PLAN (exchange census) as well as the files. */
+  private[graft] def packedShardRows(spark: SparkSession, dir: String,
+                                     budgetTokens: Long, binsPerShard: Long,
+                                     bucketSize: Long,
+                                     maxWindowRows: Long): DataFrame = {
+    val assign = packedDocAssignments(spark, dir, budgetTokens, bucketSize, maxWindowRows)
+      .withColumn("shard_id", expr(s"bin_id div $binsPerShard"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .join(assign, Seq("doc_id"))
+      .repartitionByRange(col("shard_id"), col("bin_id"), col("doc_id"))
+      .sortWithinPartitions(col("shard_id"), col("bin_id"), col("doc_id"))
   }
 
   /** Per-source document cap (x46): keep at most `cap` documents per

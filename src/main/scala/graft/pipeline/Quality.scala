@@ -56,6 +56,34 @@ object Quality {
         toD(goldAgg.get(1)) <= toD(bronzeAgg.get(1)), goldAgg.getAs[Long]("n")))
   }
 
+  /** Invariants across the packed-shard write (x37's terminal stage,
+    * `Sampling.writePackedShards`): nothing is lost or duplicated by the
+    * materialization. One aggregate per side: token conservation (written
+    * n_tokens sum == whitespace-token sum of the source corpus), row
+    * conservation, and shard/bin integrity (shard_id == bin_id div
+    * binsPerShard on every written row). */
+  def packedShards(written: DataFrame, sourceDocs: DataFrame,
+                   binsPerShard: Long): Seq[CheckResult] = {
+    val src = sourceDocs.agg(
+      count(lit(1)).as("n"),
+      sum(size(split(col("text"), " ")).cast("long")).as("toks")).head()
+    val out = written.agg(
+      count(lit(1)).as("n"),
+      sum(col("n_tokens")).as("toks"),
+      sum(when(col("shard_id").cast("long") =!= expr(s"bin_id div $binsPerShard"), 1L)
+        .otherwise(0L)).as("bad_shard"),
+      countDistinct(col("doc_id")).as("n_docs")).head()
+    Seq(
+      CheckResult("rows_conserved", out.getAs[Long]("n") == src.getAs[Long]("n"),
+        out.getAs[Long]("n")),
+      CheckResult("docs_unique", out.getAs[Long]("n_docs") == out.getAs[Long]("n"),
+        out.getAs[Long]("n_docs")),
+      CheckResult("tokens_conserved", out.getAs[Long]("toks") == src.getAs[Long]("toks"),
+        out.getAs[Long]("toks")),
+      CheckResult("shard_is_bin_div", out.getAs[Long]("bad_shard") == 0L,
+        out.getAs[Long]("bad_shard")))
+  }
+
   private def toD(v: Any): Double = v match {
     case d: java.lang.Double => d
     case l: java.lang.Long   => l.toDouble

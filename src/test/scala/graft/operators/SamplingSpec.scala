@@ -261,6 +261,50 @@ class SamplingSpec extends SparkSpec {
     assert(bpe == expect)
   }
 
+  test("writePackedShards: compact sorted shard layout, one range exchange, conservation") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/packed"
+    val written = Sampling.writePackedShards(spark, sf, out)
+    // plan census on the materialized frame: exactly ONE range exchange
+    // (the shard clustering) — the payload's only movement beyond the
+    // doc_id attach join
+    val plan = Sampling.packedShardRows(spark, sf, 512, 8, 1000, 1000000L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange rangepartitioning".r.findAllIn(plan).length == 1, plan)
+    // range clustering keeps shards contiguous: at most 2 files per shard
+    // directory (boundary tasks), never one per (task × shard)
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+    assert(shardDirs.length >= 2, s"expected several shards, got ${shardDirs.length}")
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length <= 2, s"${d.getName}: ${files.length} files — fragmented write")
+    }
+    // round-trip: written rows = documents ⋈ pack assignment, exactly
+    val docs = graft.Tables.documents(spark, sf)
+    val expect = docs.select($"doc_id", $"source")
+      .join(Sampling.packedDocAssignments(spark, sf), Seq("doc_id"))
+      .withColumn("shard_id", expr("bin_id div 8"))
+      .select($"doc_id", $"source", $"n_tokens", $"bin_id", $"shard_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val got = written
+      .select($"doc_id", $"source", $"n_tokens", $"bin_id", $"shard_id".cast("long"))
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    // every shard FILE is internally sorted by (bin_id, doc_id) — what
+    // sortWithinPartitions guarantees (cross-file read order is a scan
+    // scheduling detail, so assert per file)
+    shardDirs.foreach { d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val rows = spark.read.parquet(f.getPath)
+          .select($"bin_id", $"doc_id").as[(Long, Long)].collect()
+        assert(rows.sameElements(rows.sortBy(identity)), s"${f.getName} not sorted")
+      }
+    }
+    // the one-aggregate-per-side quality gate
+    val checks = graft.pipeline.Quality.packedShards(written, docs, binsPerShard = 8)
+    assert(checks.forall(_.passed), checks.filterNot(_.passed).mkString(", "))
+  }
+
   test("sketch-based samplers are partition-invariant (deterministic under any parallelism)") {
     // the 100 TB determinism claim: selection is a pure function of the
     // data, so the kept set cannot depend on task layout / merge order
