@@ -525,6 +525,64 @@ object Dedup {
         col("n_dup_batch").cast("int").as("n_dup_batch"))
   }
 
+  /** The x44 production contract made real: the paragraph-digest index
+    * as a PERSISTED parquet table, so day-2 ingest reads yesterday's
+    * index instead of rescanning the immutable corpus (the Scaladoc
+    * above promises exactly this; DedupSpec proves the day-2 plan scans
+    * only index + batch). The index is digests-only — one narrow column
+    * of md5 strings, ~1/1000th the corpus bytes at typical paragraph
+    * sizes — and is built with the same map-side-partial distinct as the
+    * in-line x44 index. */
+  def writeParagraphIndex(docs: DataFrame, indexPath: String,
+                          boundaryMod: Int = ParagraphBoundaryMod): Unit =
+    cdcParagraphs(docs, boundaryMod).select(col("fp")).distinct()
+      .write.mode("overwrite").parquet(indexPath)
+
+  /** Day-N index maintenance: append the batch's genuinely new digests
+    * (anti-join keeps the index duplicate-free, so repeated appends stay
+    * idempotent per batch). Append-only — the existing index files are
+    * immutable, the daily delta is a new file set. */
+  def appendToParagraphIndex(spark: SparkSession, newBatch: DataFrame,
+                             indexPath: String,
+                             boundaryMod: Int = ParagraphBoundaryMod): Unit =
+    cdcParagraphs(newBatch, boundaryMod).select(col("fp")).distinct()
+      .join(spark.read.parquet(indexPath), Seq("fp"), "left_anti")
+      .write.mode("append").parquet(indexPath)
+
+  /** Day-2+ ingest against the persisted index: classify every paragraph
+    * of the NEW batch kept / dup_of_existing / dup_in_batch — identical
+    * semantics and schema to `incrementalParagraphDedup` (spec-proven
+    * equal on a two-batch fixture) — without touching the existing
+    * corpus: "seen before?" is a LEFT join against the digest table,
+    * "first in batch?" is a batch-sized aggregate. Cost is O(batch) +
+    * O(index), the property that makes daily ingest constant-time as the
+    * corpus grows. Both joins key on the uniform md5 digest. */
+  def incrementalIngestWithIndex(spark: SparkSession, newBatch: DataFrame,
+                                 indexPath: String,
+                                 boundaryMod: Int = ParagraphBoundaryMod): DataFrame = {
+    val existing = spark.read.parquet(indexPath)
+      .select(col("fp"), lit(1).as("in_existing"))
+    val pars = cdcParagraphs(newBatch, boundaryMod)
+    val batchFirst = pars.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("par_id"))).as("first"))
+    pars.join(batchFirst, Seq("fp"))
+      .join(existing, Seq("fp"), "left")
+      .withColumn("status",
+        when(col("in_existing") === 1, "dup_of_existing")
+          .when(col("doc_id") =!= col("first.doc_id")
+            || col("par_id") =!= col("first.par_id"), "dup_in_batch")
+          .otherwise("kept"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pars"),
+        sum((col("status") === "kept").cast("long")).as("n_kept"),
+        sum((col("status") === "dup_of_existing").cast("long")).as("n_dup_existing"),
+        sum((col("status") === "dup_in_batch").cast("long")).as("n_dup_batch"))
+      .select(col("doc_id"), col("n_pars").cast("int").as("n_pars"),
+        col("n_kept").cast("int").as("n_kept"),
+        col("n_dup_existing").cast("int").as("n_dup_existing"),
+        col("n_dup_batch").cast("int").as("n_dup_batch"))
+  }
+
   /** Bloom-filter decontamination (x43): same contract as
     * `contaminationPairs` (x31) — corpus documents sharing ≥ `minShared`
     * n-gram shingles with any benchmark document — but the corpus side is

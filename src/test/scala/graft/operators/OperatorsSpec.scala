@@ -366,6 +366,40 @@ class OperatorsSpec extends SparkSpec {
     assert(inc0 == x39)
   }
 
+  test("persisted digest index: day-2 ingest matches in-line x44 and never rescans the corpus") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val docs = graft.Tables.documents(spark, sf)
+    val boundary = Dedup.IncrementalNewMinId
+    // day 1: persist the existing corpus and ITS digest index as separate
+    // parquet locations (the immutable snapshot + its precomputed index)
+    docs.filter($"doc_id" < boundary)
+      .write.parquet(s"$root/existing_docs.parquet")
+    Dedup.writeParagraphIndex(
+      spark.read.parquet(s"$root/existing_docs.parquet"), s"$root/fp_index.parquet")
+    // day 2: a fresh batch arriving as its own table
+    docs.filter($"doc_id" >= boundary).write.parquet(s"$root/batch_docs.parquet")
+    val batch = spark.read.parquet(s"$root/batch_docs.parquet")
+    val viaIndex = Dedup.incrementalIngestWithIndex(spark, batch, s"$root/fp_index.parquet")
+    // identical result to the in-line snapshot formulation over the union
+    val inline = Dedup.incrementalParagraphDedup(spark, sf, newMinId = boundary)
+      .as[(Long, Int, Int, Int, Int)].collect().toSet
+    assert(viaIndex.as[(Long, Int, Int, Int, Int)].collect().toSet == inline)
+    // THE scale property: the day-2 plan scans index + batch only — the
+    // existing corpus parquet appears nowhere in its file scans
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(!plan.contains("existing_docs"),
+      s"day-2 ingest must not rescan the corpus:\n$plan")
+    assert(plan.contains("fp_index") && plan.contains("batch_docs"), plan)
+    // day 3: appending the batch's new digests keeps the index exact —
+    // it now equals the digest set of the full union, with no duplicates
+    Dedup.appendToParagraphIndex(spark, batch, s"$root/fp_index.parquet")
+    val idx = spark.read.parquet(s"$root/fp_index.parquet")
+      .as[String].collect().toSeq
+    val expectIdx = Dedup.cdcParagraphs(docs, Dedup.ParagraphBoundaryMod)
+      .select($"fp").distinct().as[String].collect().toSeq
+    assert(idx.sorted == expectIdx.sorted && idx.distinct.length == idx.length)
+  }
+
   test("count-min sketch never underestimates and is exact for most heavy hitters") {
     val rows = TextAnalysis.countMinHeavyHitters(spark, sf)
       .as[(String, Long, Long, Long)].collect()
