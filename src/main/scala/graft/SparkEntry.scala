@@ -101,12 +101,31 @@ object SparkEntry {
     "x61_token_budget"      -> ((s, d) => Sampling.tokenBudget(s, d)),
     "x62_substring_decontam" -> ((s, d) => Dedup.exactSubstringContamination(s, d)),
     "x63_bpe_token_budget"  -> ((s, d) => Sampling.bpeTokenBudget(s, d)),
+    "x64_substring_decontaminated" -> ((s, d) => Dedup.substringDecontaminate(s, d)),
+    "x65_token_drift"       -> ((s, d) => TextAnalysis.tokenDrift(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
     * set-similarity pairs → symmetric edges → transitive closure) —
     * shared verbatim by x57's oracle so corpus-level dedup can't diverge
     * from the cluster definition. */
+  /** x62's benchmark/corpus char-gram CTEs, shared by x64's oracle (the
+    * clustersCteSql pattern: removal may not diverge from detection). */
+  private def substringContamCtes: String = {
+    val k = operators.Dedup.DecontamGramChars
+    val bmax = operators.Dedup.DecontamBenchMaxId
+    s"""WITH bench AS (
+      |  SELECT DISTINCT doc_id AS bench_id,
+      |         ('0x' || substr(md5(substr(text, i, $k)), 1, 15))::BIGINT AS gh
+      |  FROM documents, unnest(range(1, len(text) - ${k - 2})) AS t(i)
+      |  WHERE doc_id < $bmax AND len(text) >= $k),
+      |corp AS (
+      |  SELECT DISTINCT doc_id,
+      |         ('0x' || substr(md5(substr(text, i, $k)), 1, 15))::BIGINT AS gh
+      |  FROM documents, unnest(range(1, len(text) - ${k - 2})) AS t(i)
+      |  WHERE doc_id >= $bmax AND len(text) >= $k)""".stripMargin
+  }
+
   private def clustersCteSql: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, CAST(len(shingles) AS INTEGER) AS n_sh, unnest(shingles) AS sh FROM (
@@ -1277,25 +1296,44 @@ object SparkEntry {
     // (substr over unnest(range); range's upper bound is exclusive, so
     // len-k+2 yields positions 1..len-k+1). Gram width and the benchmark
     // boundary interpolate Dedup's Decontam* constants.
-    "x62_substring_decontam" -> {
-      val k = operators.Dedup.DecontamGramChars
-      val bmax = operators.Dedup.DecontamBenchMaxId
-      s"""WITH bench AS (
-        |  SELECT DISTINCT doc_id AS bench_id,
-        |         ('0x' || substr(md5(substr(text, i, $k)), 1, 15))::BIGINT AS gh
-        |  FROM documents, unnest(range(1, len(text) - ${k - 2})) AS t(i)
-        |  WHERE doc_id < $bmax AND len(text) >= $k),
-        |corp AS (
-        |  SELECT DISTINCT doc_id,
-        |         ('0x' || substr(md5(substr(text, i, $k)), 1, 15))::BIGINT AS gh
-        |  FROM documents, unnest(range(1, len(text) - ${k - 2})) AS t(i)
-        |  WHERE doc_id >= $bmax AND len(text) >= $k)
+    "x62_substring_decontam" ->
+      s"""$substringContamCtes
         |SELECT c.doc_id,
         |       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_partners,
         |       CAST(count(DISTINCT c.gh) AS BIGINT) AS n_gram_hits
         |FROM corp c JOIN bench b USING (gh)
-        |GROUP BY 1""".stripMargin
-    },
+        |GROUP BY 1""".stripMargin,
+
+    // x64: x47's removal twin for the char-level detector — x62's CTEs
+    // verbatim, then keep every non-benchmark doc with NO gram hit.
+    "x64_substring_decontaminated" ->
+      s"""$substringContamCtes,
+        |flagged AS (SELECT DISTINCT c.doc_id FROM corp c JOIN bench b USING (gh))
+        |SELECT d.doc_id, d.source, d.lang, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id >= ${operators.Dedup.DecontamBenchMaxId}
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
+
+    // x65: integer cross-multiplied token drift between the existing
+    // corpus and the new shard (x44's boundary) — rational-form rate
+    // difference, no floats, so values and the top-20 cut are exact in
+    // both engines (ties broken by word).
+    "x65_token_drift" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id >= ${operators.Dedup.IncrementalNewMinId} AS is_new,
+        |         unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT w,
+        |    CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS c_old,
+        |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
+        |               CAST(sum(c_new) AS BIGINT) AS n_new FROM cnt)
+        |SELECT w, c_old, c_new,
+        |       CAST(abs(c_old * n_new - c_new * n_old) AS BIGINT) AS drift
+        |FROM cnt, tot
+        |ORDER BY drift DESC, w LIMIT 20""".stripMargin,
 
     // x63: x61's budget with BPE-accurate token counts — the oracle
     // replicates BpeEncode's greedy loop as a recursive CTE over the

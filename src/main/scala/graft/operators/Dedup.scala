@@ -525,6 +525,25 @@ object Dedup {
         col("n_dup_batch").cast("int").as("n_dup_batch"))
   }
 
+  /** Char-level decontaminated corpus (x64): x47's removal step driven by
+    * the exact-substring detector instead of the word-shingle one — every
+    * non-benchmark document with NO verbatim `DecontamGramChars`-char
+    * overlap against any benchmark doc, i.e. the corpus a pipeline ships
+    * after the stronger second decontamination pass (x62 flags, this
+    * removes). Same scale shape as x47: the flagged-id set is a tiny
+    * fraction of the corpus by construction, so removal is one broadcast
+    * anti-join on doc_id and the corpus is never shuffled. */
+  def substringDecontaminate(spark: SparkSession, dir: String,
+                             k: Int = DecontamGramChars,
+                             benchMaxId: Long = DecontamBenchMaxId): DataFrame = {
+    val flagged = exactSubstringContamination(spark, dir, k, benchMaxId)
+      .select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") >= benchMaxId)
+      .join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+  }
+
   /** The x44 production contract made real: the paragraph-digest index
     * as a PERSISTED parquet table, so day-2 ingest reads yesterday's
     * index instead of rescanning the immutable corpus (the Scaladoc

@@ -126,6 +126,42 @@ object TextAnalysis {
       md5(lower(trim(col("text")))).as("content_fp"),
       array_min(transform(words(col("text")), w => md5(w))).as("min_word_fp"))
 
+  /** Token-frequency drift monitor (x65): the distribution-shift check a
+    * daily ingest runs before admitting a new batch — per token, compare
+    * its count in the existing corpus (doc_id < `newMinId`, x44's shard
+    * boundary) against the new batch, and rank by the INTEGER
+    * cross-multiplied score |c_old·N_new − c_new·N_old| (the numerator of
+    * the rate difference |c_old/N_old − c_new/N_new| scaled by
+    * N_old·N_new) — no division, no float, so ranking and values are
+    * engine-exact. Domain bound: c·N must fit a signed 64-bit long
+    * (c ≲ 10⁹ tokens of one word per 10⁹-token side); beyond that,
+    * quantize rates first — DuckDB would fail loud on the overflow where
+    * long arithmetic wraps, so the oracle also guards the bound.
+    *
+    * Scale shape: ONE corpus pass — the per-(token, side) counts
+    * partial-agg map-side before the only corpus-derived shuffle (vocab
+    * keyed); the global totals are a WINDOW over the post-agg vocab table
+    * (the x48 move — never an agg-of-own-agg, which would re-run the
+    * corpus subtree per side); top-k plans as TakeOrderedAndProject. */
+  def tokenDrift(spark: SparkSession, dir: String,
+                 newMinId: Long = Dedup.IncrementalNewMinId,
+                 topK: Int = 20): DataFrame = {
+    val cnt = Tables.documents(spark, dir)
+      .select((col("doc_id") >= newMinId).as("is_new"),
+        explode(words(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("c_old"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("c_new"))
+    val all = Window.partitionBy()
+    cnt
+      .withColumn("n_old", sum(col("c_old")).over(all))
+      .withColumn("n_new", sum(col("c_new")).over(all))
+      .select(col("w"), col("c_old"), col("c_new"),
+        abs(col("c_old") * col("n_new") - col("c_new") * col("n_old")).as("drift"))
+      .orderBy(col("drift").desc, col("w"))
+      .limit(topK)
+  }
+
   /** Corpus vocabulary stats: the top-K words by total frequency with
     * document-frequency — the vocabulary profile a tokenizer-training or
     * data-mixing step starts from. Explode → two-level aggregate; the

@@ -400,6 +400,47 @@ class OperatorsSpec extends SparkSpec {
     assert(idx.sorted == expectIdx.sorted && idx.distinct.length == idx.length)
   }
 
+  test("substringDecontaminate partitions the non-benchmark corpus with the x62 flags") {
+    val flagged = Dedup.exactSubstringContamination(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val clean = Dedup.substringDecontaminate(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val corpus = graft.Tables.documents(spark, sf)
+      .filter($"doc_id" >= Dedup.DecontamBenchMaxId)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(flagged.nonEmpty && (flagged & clean).isEmpty && (flagged | clean) == corpus)
+  }
+
+  test("tokenDrift: exact integer scores vs driver reference, single corpus pass + top-k plan") {
+    val q = TextAnalysis.tokenDrift(spark, sf)
+    val got = q.as[(String, Long, Long, Long)].collect()
+    assert(got.length == 20)
+    // driver reference: exact counts and cross-multiplied scores
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val counts = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    docs.foreach { case (id, t) =>
+      t.split(" ", -1).foreach { w =>
+        val (o, n) = counts.getOrElse(w, (0L, 0L))
+        if (id >= Dedup.IncrementalNewMinId) counts(w) = (o, n + 1)
+        else counts(w) = (o + 1, n)
+      }
+    }
+    val nOld = counts.values.map(_._1).sum
+    val nNew = counts.values.map(_._2).sum
+    val expect = counts.toSeq
+      .map { case (w, (o, n)) => (w, o, n, math.abs(o * nNew - n * nOld)) }
+      .sortBy(t => (-t._4, t._1)).take(20)
+    assert(got.toSeq == expect)
+    // plan: the corpus-derived shuffle is the vocab aggregate; the global
+    // totals are a window over the post-agg table (no second corpus
+    // subtree) and the cut is a distributed top-k
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert("FileScan parquet".r.findAllIn(plan).length <= 2, // initial+final AQE print
+      s"corpus must be scanned once:\n$plan")
+  }
+
   test("count-min sketch never underestimates and is exact for most heavy hitters") {
     val rows = TextAnalysis.countMinHeavyHitters(spark, sf)
       .as[(String, Long, Long, Long)].collect()
