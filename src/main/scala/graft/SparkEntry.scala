@@ -103,6 +103,8 @@ object SparkEntry {
     "x63_bpe_token_budget"  -> ((s, d) => Sampling.bpeTokenBudget(s, d)),
     "x64_substring_decontaminated" -> ((s, d) => Dedup.substringDecontaminate(s, d)),
     "x65_token_drift"       -> ((s, d) => TextAnalysis.tokenDrift(s, d)),
+    "x66_repetition_metrics" -> ((s, d) => TextAnalysis.repetitionMetrics(s, d)),
+    "x67_repetition_filter" -> ((s, d) => TextAnalysis.repetitionFilter(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -125,6 +127,23 @@ object SparkEntry {
       |  FROM documents, unnest(range(1, len(text) - ${k - 2})) AS t(i)
       |  WHERE doc_id >= $bmax AND len(text) >= $k)""".stripMargin
   }
+
+  /** x66's per-document repetition-metric CTE, shared by x67's oracle
+    * (filter may not diverge from the metrics). DuckDB slices are
+    * 1-based inclusive; the bigram list is deliberately NON-distinct so
+    * duplicate bigrams are countable. */
+  private def repetitionMetricsCteSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+      |    CAST(list_max([len([x for x in ws if x = w])
+      |                   for w in list_distinct(ws)]) AS BIGINT) AS max_tf,
+      |    CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n_2grams,
+      |    CAST(greatest(len(ws) - 1, 0)
+      |         - len(list_distinct([ws[i] || ' ' || ws[i+1]
+      |                              for i in range(1, len(ws))])) AS BIGINT) AS n_dup_2grams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t)""".stripMargin
 
   private def clustersCteSql: String =
     """WITH RECURSIVE sh AS (
@@ -1334,6 +1353,23 @@ object SparkEntry {
         |       CAST(abs(c_old * n_new - c_new * n_old) AS BIGINT) AS drift
         |FROM cnt, tot
         |ORDER BY drift DESC, w LIMIT 20""".stripMargin,
+
+    // x66: Gopher-style within-doc repetition signals, pure integers.
+    "x66_repetition_metrics" ->
+      s"""$repetitionMetricsCteSql
+        |SELECT doc_id, n_words, n_distinct, max_tf, n_2grams, n_dup_2grams FROM m""".stripMargin,
+
+    // x67: the filter over x66's CTE — integer cross-multiplied rules,
+    // thresholds interpolated from TextAnalysis.Rep* constants.
+    "x67_repetition_filter" ->
+      s"""$repetitionMetricsCteSql
+        |SELECT d.doc_id, d.source, d.lang, d.n_chars
+        |FROM documents d JOIN m USING (doc_id)
+        |WHERE (m.n_words - m.n_distinct) * 100 <=
+        |        m.n_words * ${operators.TextAnalysis.RepMaxDupWordPct}
+        |  AND m.max_tf * 100 <= m.n_words * ${operators.TextAnalysis.RepMaxTopWordPct}
+        |  AND m.n_dup_2grams * 100 <=
+        |        m.n_2grams * ${operators.TextAnalysis.RepMaxDup2gramPct}""".stripMargin,
 
     // x63: x61's budget with BPE-accurate token counts — the oracle
     // replicates BpeEncode's greedy loop as a recursive CTE over the

@@ -126,6 +126,65 @@ object TextAnalysis {
       md5(lower(trim(col("text")))).as("content_fp"),
       array_min(transform(words(col("text")), w => md5(w))).as("min_word_fp"))
 
+  /** Gopher/MassiveText-style repetition thresholds (x67), shared with
+    * the oracle SQL: a document is kept iff duplicate-word share ≤
+    * RepMaxDupWordPct %, top-word share ≤ RepMaxTopWordPct %, and
+    * duplicate-bigram share ≤ RepMaxDup2gramPct %. All three rules are
+    * evaluated as INTEGER cross-multiplications (dup·100 ≤ n·pct) — no
+    * division ever happens, so the keep set is engine-exact. Calibrated
+    * so the synthetic corpus splits ~56/44 at every SF (the operator
+    * demonstrably fires; real Gopher cuts sit in the same regime). */
+  val RepMaxDupWordPct: Int = 62
+  val RepMaxTopWordPct: Int = 14
+  val RepMaxDup2gramPct: Int = 8
+
+  /** Within-document repetition metrics (x66) — the Gopher repetition
+    * signals as pure integers: word count, distinct words, the most
+    * frequent word's count, bigram count and duplicate bigrams. Entirely
+    * per-row HOFs over the token array (array_distinct / filter /
+    * zip_with-of-shifted-slices), no UDF, no shuffle — the whole operator
+    * is one WholeStageCodegen projection, linear to 100 TB. max_tf is
+    * O(distinct × len) per row — bounded by document length squared, NOT
+    * corpus size, and cheaper in practice than a per-doc explode+groupBy
+    * which would shuffle every token. */
+  /** The five x66 metric expressions over a text Column — shared by the
+    * metric report and the filter so the rule can't diverge from the
+    * numbers it reads. */
+  private def repMetricCols(text: Column): Seq[(String, Column)] = {
+    val ws = words(text)
+    val bigrams = zip_with(
+      slice(ws, lit(1), size(ws) - 1),
+      slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    Seq(
+      "n_words" -> size(ws).cast("long"),
+      "n_distinct" -> size(array_distinct(ws)).cast("long"),
+      "max_tf" -> array_max(transform(array_distinct(ws),
+        w => size(filter(ws, x => x === w)))).cast("long"),
+      "n_2grams" -> size(bigrams).cast("long"),
+      "n_dup_2grams" -> (size(bigrams) - size(array_distinct(bigrams))).cast("long"))
+  }
+
+  def repetitionMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id") +: repMetricCols(col("text")).map { case (n, c) => c.as(n) }: _*)
+
+  /** Repetition quality filter (x67): the removal step over x66's
+    * metrics — keep documents passing all three integer threshold rules.
+    * The metric expressions evaluate INSIDE the scan's own projection
+    * (one pass, zero shuffle, pure codegen predicate) — no join back, no
+    * second instantiation of anything. */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val m = repMetricCols(col("text")).toMap
+    val keep =
+      (m("n_words") - m("n_distinct")) * 100 <= m("n_words") * RepMaxDupWordPct &&
+      m("max_tf") * 100 <= m("n_words") * RepMaxTopWordPct &&
+      m("n_dup_2grams") * 100 <= m("n_2grams") * RepMaxDup2gramPct
+    Tables.documents(spark, dir)
+      .filter(keep)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+  }
+
   /** Token-frequency drift monitor (x65): the distribution-shift check a
     * daily ingest runs before admitting a new batch — per token, compare
     * its count in the existing corpus (doc_id < `newMinId`, x44's shard

@@ -441,6 +441,38 @@ class OperatorsSpec extends SparkSpec {
       s"corpus must be scanned once:\n$plan")
   }
 
+  test("repetition metrics/filter: driver parity, filter fires both ways, zero shuffle") {
+    val got = TextAnalysis.repetitionMetrics(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expect = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1).toSeq
+      val bg = ws.zip(ws.drop(1)).map(p => p._1 + " " + p._2)
+      id -> ((ws.size.toLong, ws.distinct.size.toLong,
+        ws.groupBy(identity).values.map(_.size).max.toLong,
+        bg.size.toLong, (bg.size - bg.distinct.size).toLong))
+    }.toMap
+    assert(got == expect)
+    // the filter applies the shared rules to the same numbers
+    val kept = TextAnalysis.repetitionFilter(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val expectKept = expect.filter { case (_, (nw, nd, tf, n2, d2)) =>
+      (nw - nd) * 100 <= nw * TextAnalysis.RepMaxDupWordPct &&
+        tf * 100 <= nw * TextAnalysis.RepMaxTopWordPct &&
+        d2 * 100 <= n2 * TextAnalysis.RepMaxDup2gramPct
+    }.keySet
+    assert(kept == expectKept)
+    assert(kept.nonEmpty && kept.size < docs.length, "filter must fire both ways")
+    // both are single-scan per-row projections — no exchange anywhere
+    Seq(TextAnalysis.repetitionMetrics(spark, sf), TextAnalysis.repetitionFilter(spark, sf))
+      .foreach { q =>
+        val plan = q.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"repetition ops must not shuffle:\n$plan")
+      }
+  }
+
   test("count-min sketch never underestimates and is exact for most heavy hitters") {
     val rows = TextAnalysis.countMinHeavyHitters(spark, sf)
       .as[(String, Long, Long, Long)].collect()
