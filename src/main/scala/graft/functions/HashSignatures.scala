@@ -137,9 +137,17 @@ private[graft] object Md5Long {
   }
 
   def hash60(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    hash60(b, 0, b.length)
+  }
+
+  /** Same 60-bit digest over a byte slice — the window form the fused
+    * char-gram kernel uses (no per-gram String allocation). */
+  def hash60(bytes: Array[Byte], from: Int, until: Int): Long = {
     val d = md.get()
     d.reset()
-    val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.update(bytes, from, until - from)
+    val b = d.digest()
     val top =
       ((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) | ((b(2) & 0xffL) << 40) |
       ((b(3) & 0xffL) << 32) | ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
@@ -221,6 +229,67 @@ case class TokenMd5Hashes(child: Expression) extends UnaryExpression
     var i = 0
     while (i < words.length) { out(i) = Md5Long.hash60(words(i)); i += 1 }
     new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct char-k-gram md5-60 hashes of a text (x62/x64's gram set) —
+  * the fused form of
+  * `array_distinct(transform(sequence(1, len-k+1), i => md5-60(substr(text, i, k))))`.
+  * That HOF chain evaluates an interpreted lambda per POSITION (sequence
+  * array, conv/substring/md5 Column pipeline, hex-string round-trip per
+  * gram); this kernel is one pass over the row's UTF-8 bytes: walk the
+  * codepoint start offsets exactly as `UTF8String.substringSQL` counts
+  * characters (so multibyte text hashes identically — spec-gated against
+  * the HOF twin on a non-ASCII fixture), md5 each k-char byte window
+  * in-place via one thread-local digest, dedup with a hash set. Same
+  * md5-60 values bit-for-bit, so the DuckDB algorithm oracle is
+  * untouched. Eval-based (CodegenFallback) like the sibling kernels: the
+  * per-row work is a fused batch loop. */
+case class CharGramHashes(child: Expression, k: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k > 0, "char_gram_hashes needs k > 0")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"char_gram_hashes expects string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    // codepoint start offsets (UTF-8 lead bytes are != 10xxxxxx)
+    var nChars = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) nChars += 1
+      i += 1
+    }
+    if (nChars < k) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nChars + 1)
+    var c = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(nChars) = bytes.length
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[java.lang.Long](nChars - k + 1)
+    var p = 0
+    while (p <= nChars - k) {
+      val h = Md5Long.hash60(bytes, starts(p), starts(p + k))
+      if (seen.add(h)) out.add(h)
+      p += 1
+    }
+    val arr = new Array[Long](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new GenericArrayData(arr)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -459,6 +528,11 @@ object HashSignatures {
   /** `token_md5_hashes(text)` — md5-60 per whitespace token, duplicates kept. */
   def token_md5_hashes(text: Column): Column =
     GraftColumnBridge.column(TokenMd5Hashes(GraftColumnBridge.expression(text)))
+
+  /** `char_gram_hashes(text, k)` — distinct md5-60 hashes of all k-char
+    * substrings (the x62 gram set, fused). */
+  def char_gram_hashes(text: Column, k: Int): Column =
+    GraftColumnBridge.column(CharGramHashes(GraftColumnBridge.expression(text), k))
 
   /** `word_shingles(text, n)` — distinct word n-gram strings. */
   def word_shingles(text: Column, n: Int): Column =

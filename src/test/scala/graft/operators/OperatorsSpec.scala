@@ -400,6 +400,34 @@ class OperatorsSpec extends SparkSpec {
     assert(idx.sorted == expectIdx.sorted && idx.distinct.length == idx.length)
   }
 
+  test("CharGramHashes kernel == HOF twin, including multibyte boundaries and short rows") {
+    val k = Dedup.DecontamGramChars
+    // real corpus: identical gram sets per doc (same md5-60 values)
+    val docs = graft.Tables.documents(spark, sf).filter(length($"text") >= k)
+    def sets(c: org.apache.spark.sql.Column) =
+      docs.select($"doc_id", c.as("g")).as[(Long, Seq[Long])].collect()
+        .map(t => t._1 -> t._2.toSet).toMap
+    assert(sets(Dedup.charGramHashes($"text", k)) == sets(Dedup.charGramHashesHof($"text", k)))
+    // multibyte fixture: é/ö/四-byte emoji sit on char boundaries — kernel
+    // must count CHARACTERS as Spark's substr does, not bytes; plus a
+    // below-k row (kernel returns empty; HOF needs the length filter)
+    val fx = Seq((1L, "héllo wörld décontamination tests naïve façade — 😀 emoji padding here"),
+                 (2L, "ascii only plain text row long enough for some grams yes"),
+                 (3L, "short"))
+      .toDF("doc_id", "text")
+    val kfx = 10
+    val a = fx.filter(length($"text") >= kfx)
+      .select($"doc_id", Dedup.charGramHashes($"text", kfx).as("g"))
+      .as[(Long, Seq[Long])].collect().map(t => t._1 -> t._2).toMap
+    val b = fx.filter(length($"text") >= kfx)
+      .select($"doc_id", Dedup.charGramHashesHof($"text", kfx).as("g"))
+      .as[(Long, Seq[Long])].collect().map(t => t._1 -> t._2).toMap
+    assert(a == b && a.contains(1L)) // exact order too: both first-occurrence
+    val empty = Seq((3L, "short")).toDF("doc_id", "text")
+      .select(Dedup.charGramHashes($"text", kfx)).as[Seq[Long]].head()
+    assert(empty.isEmpty)
+  }
+
   test("substringDecontaminate partitions the non-benchmark corpus with the x62 flags") {
     val flagged = Dedup.exactSubstringContamination(spark, sf)
       .select($"doc_id").as[Long].collect().toSet
