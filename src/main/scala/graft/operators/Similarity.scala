@@ -327,26 +327,32 @@ object Similarity {
     * grammar-pinned ordering as `hyperplaneSigSql`, so the oracle
     * replicates every output double bit-for-bit. Pure per-row
     * projection: no shuffle, stays in WholeStageCodegen. */
+  /** The x60 projection's output columns, one per projected dimension —
+    * shared by the flat x60 query and the array packaging below so both
+    * produce identical doubles. */
+  private def jlChains(v: Column, rDims: Int): Seq[Column] = {
+    val signs = hyperplaneSigns(rDims, 64)
+    val scale = 1.0 / math.sqrt(rDims.toDouble)
+    (0 until rDims).map { j =>
+      val chain = (0 until 64).foldLeft(lit(0.0): Column)((acc, d) =>
+        if (signs(j)(d) > 0) acc + v(d) else acc - v(d))
+      chain * lit(scale)
+    }
+  }
+
   /** The x60 projection as an array Column — the form ANN consumers
     * compose with ([[ivfProjectedTopK]]): same deterministic ±1 sign
     * matrix, same grammar-pinned left-to-right add chains, packaged as
     * one `array<double>` of length `rDims`. */
-  private[graft] def jlProjection(v: Column, rDims: Int = ProjDims): Column = {
-    val signs = hyperplaneSigns(rDims, 64)
-    val scale = 1.0 / math.sqrt(rDims.toDouble)
-    array((0 until rDims).map { j =>
-      val chain = (0 until 64).foldLeft(lit(0.0): Column)((acc, d) =>
-        if (signs(j)(d) > 0) acc + v(d) else acc - v(d))
-      chain * lit(scale)
-    }: _*)
-  }
+  private[graft] def jlProjection(v: Column, rDims: Int = ProjDims): Column =
+    array(jlChains(v, rDims): _*)
 
   def randomProjection(spark: SparkSession, dir: String, rDims: Int = ProjDims): DataFrame = {
-    val pv = jlProjection(asDouble(col("embedding")), rDims)
-    // GetArrayItem over a CreateArray folds back to the bare chain
-    // expressions at optimization time — identical doubles to building
-    // the columns directly (the x60 oracle pins them bit-for-bit)
-    val cols = (0 until rDims).map(j => pv.getItem(j).as(s"p$j"))
+    // flat columns straight from the shared chains — NOT array+getItem:
+    // that form optimizes to the same plan, but the optimizer has to fold
+    // rDims² chains per run (measured ~2.6 s of pure planning at rDims=16)
+    val cols = jlChains(asDouble(col("embedding")), rDims)
+      .zipWithIndex.map { case (c, j) => c.as(s"p$j") }
     Tables.embeddings(spark, dir).select(col("vec_id") +: cols: _*)
   }
 
