@@ -292,6 +292,51 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
   }
 
+  /** Best-member cluster keep (x68): one survivor per near-dup cluster,
+    * chosen by QUALITY rather than x57's min-id rule — rank cluster
+    * members on (source priority if given, longest document, doc_id) and
+    * keep the first. This is the selection real curation pipelines run
+    * (keep the canonical/most-complete copy of a syndicated article, or
+    * the copy from the most trusted source), where min-id is only a
+    * determinism fallback. Output: the kept doc per cluster with its
+    * cluster id and member count.
+    *
+    * Scale shape: the per-cluster argmin is `min_by` over a lexicographic
+    * struct key — a partial-aggregable GROUP BY (map-side combine, no
+    * sort, no window over the corpus), so the one shuffle carries
+    * pre-combined (cluster → best-so-far) rows. Cluster keys are near-dup
+    * components (bounded size, ~uniform), not hot keys. */
+  def bestKeepCorpus(spark: SparkSession, dir: String, n: Int = 5,
+                     threshold: Double = 0.3,
+                     priority: Map[String, Int] = Map.empty): DataFrame =
+    bestKeepCorpus(spark, dir, nearDupClusters(spark, dir, n, threshold), priority)
+
+  /** Composable form of x68 (x57's pattern): best-member selection over
+    * an ALREADY-COMPUTED cluster assignment, so one CC run feeds
+    * x17/x38/x57 and this. `priority` maps source → rank (lower wins);
+    * unlisted sources rank below every listed one, and an empty map (the
+    * oracle-checked default) makes the rule pure longest-member. */
+  def bestKeepCorpus(spark: SparkSession, dir: String, clusters: DataFrame,
+                     priority: Map[String, Int]): DataFrame = {
+    val prio: Column =
+      if (priority.isEmpty) lit(0)
+      else priority.foldLeft(lit(priority.values.max + 1)) { case (acc, (src, p)) =>
+        when(col("source") === lit(src), lit(p)).otherwise(acc)
+      }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .join(clusters, Seq("doc_id"))
+      .groupBy(col("canonical_id").as("cluster_id"))
+      .agg(
+        min_by(
+          struct(col("doc_id"), col("source"), col("lang"), col("n_chars")),
+          struct(prio.as("p"), (-col("n_chars")).as("neg_chars"), col("doc_id"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("best.doc_id").as("doc_id"),
+        col("best.source").as("source"), col("best.lang").as("lang"),
+        col("best.n_chars").as("n_chars"), col("n_members"))
+  }
+
   /** Train/eval split-leakage audit (x58): after a deterministic split
     * (x27's md5-bucket rule, recomputed inline — a pure function of
     * doc_id, so no join against the split table), find eval/valid
