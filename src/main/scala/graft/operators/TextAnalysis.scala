@@ -138,15 +138,35 @@ object TextAnalysis {
   val RepMaxTopWordPct: Int = 14
   val RepMaxDup2gramPct: Int = 8
 
+  /** Max term frequency of a token array in O(L log L): `array_sort`
+    * groups equal tokens into contiguous runs, then ONE `aggregate` pass
+    * tracks (previous token, current run length, best run length) — the
+    * longest run IS the most frequent token's count. Replaces the
+    * distinct×filter formulation (for every distinct token, a full rescan
+    * of the array: O(distinct × L) per row — fine on short test docs, a
+    * straggler-task killer on a multi-MB web page where ~10⁵ words cost
+    * ~10¹⁰ comparisons in one row). NULL on an empty array, matching
+    * `array_max` over an empty transform; the null-safe `<=>` makes the
+    * first element start its run at 1 (prev is initially NULL). Proven ≡
+    * the quadratic HOF twin on random multibyte/edge inputs in
+    * KernelPropertiesSpec. */
+  private[graft] def maxTermFreq(ws: Column): Column =
+    aggregate(
+      array_sort(ws),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, w) => {
+        val run = when(acc("prev") <=> w, acc("run") + 1L).otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => when(acc("run") === 0L, lit(null).cast("long")).otherwise(acc("best")))
+
   /** Within-document repetition metrics (x66) — the Gopher repetition
     * signals as pure integers: word count, distinct words, the most
     * frequent word's count, bigram count and duplicate bigrams. Entirely
-    * per-row HOFs over the token array (array_distinct / filter /
-    * zip_with-of-shifted-slices), no UDF, no shuffle — the whole operator
-    * is one WholeStageCodegen projection, linear to 100 TB. max_tf is
-    * O(distinct × len) per row — bounded by document length squared, NOT
-    * corpus size, and cheaper in practice than a per-doc explode+groupBy
-    * which would shuffle every token. */
+    * per-row HOFs over the token array (array_distinct / sorted-run
+    * max-tf / zip_with-of-shifted-slices), no UDF, no shuffle — the whole
+    * operator is one WholeStageCodegen projection, O(L log L) per row and
+    * linear in corpus size to 100 TB. */
   /** The five x66 metric expressions over a text Column — shared by the
     * metric report and the filter so the rule can't diverge from the
     * numbers it reads. */
@@ -159,8 +179,7 @@ object TextAnalysis {
     Seq(
       "n_words" -> size(ws).cast("long"),
       "n_distinct" -> size(array_distinct(ws)).cast("long"),
-      "max_tf" -> array_max(transform(array_distinct(ws),
-        w => size(filter(ws, x => x === w)))).cast("long"),
+      "max_tf" -> maxTermFreq(ws),
       "n_2grams" -> size(bigrams).cast("long"),
       "n_dup_2grams" -> (size(bigrams) - size(array_distinct(bigrams))).cast("long"))
   }
@@ -197,11 +216,16 @@ object TextAnalysis {
     * quantize rates first — DuckDB would fail loud on the overflow where
     * long arithmetic wraps, so the oracle also guards the bound.
     *
-    * Scale shape: ONE corpus pass — the per-(token, side) counts
+    * Scale shape: ONE corpus scan — the per-(token, side) counts
     * partial-agg map-side before the only corpus-derived shuffle (vocab
-    * keyed); the global totals are a WINDOW over the post-agg vocab table
-    * (the x48 move — never an agg-of-own-agg, which would re-run the
-    * corpus subtree per side); top-k plans as TakeOrderedAndProject. */
+    * keyed); the global totals fold back in as a broadcast 1-row aggregate
+    * crossJoin (x42's pattern). The totals branch re-aggregates the SAME
+    * vocab exchange — Spark's exchange reuse makes the second pass read
+    * the shuffled vocab, not re-scan the corpus — and, unlike the previous
+    * `Window.partitionBy()` formulation, never funnels the vocab table
+    * (itself corpus-scale on web data: 10⁸–10⁹ distinct tokens) through a
+    * single unpartitioned-window task. Top-k plans as
+    * TakeOrderedAndProject. */
   def tokenDrift(spark: SparkSession, dir: String,
                  newMinId: Long = Dedup.IncrementalNewMinId,
                  topK: Int = 20): DataFrame = {
@@ -211,10 +235,8 @@ object TextAnalysis {
       .groupBy(col("w"))
       .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("c_old"),
         sum(when(col("is_new"), 1L).otherwise(0L)).as("c_new"))
-    val all = Window.partitionBy()
-    cnt
-      .withColumn("n_old", sum(col("c_old")).over(all))
-      .withColumn("n_new", sum(col("c_new")).over(all))
+    val totals = cnt.agg(sum(col("c_old")).as("n_old"), sum(col("c_new")).as("n_new"))
+    cnt.crossJoin(broadcast(totals))
       .select(col("w"), col("c_old"), col("c_new"),
         abs(col("c_old") * col("n_new") - col("c_new") * col("n_old")).as("drift"))
       .orderBy(col("drift").desc, col("w"))

@@ -76,6 +76,27 @@ class KernelPropertiesSpec extends SparkSpec {
     assert(r.isNaN)
   }
 
+  test("property: sorted-run maxTermFreq ≡ quadratic distinct×filter twin (multibyte/edge)") {
+    // multibyte tokens + the empty token ("" arises from consecutive
+    // spaces under split-on-space) exercise UTF-8 sort grouping and the
+    // null-safe run start
+    val mb = Array("a", "bb", "日本語", "héllo", "ß", "", "x1", "ZZ")
+    val texts = Seq.fill(300)(
+      Seq.fill(1 + rng.nextInt(40))(mb(rng.nextInt(mb.length))).mkString(" ")) ++
+      Seq("", " ", "  ", "solo", "日本語 日本語 日本語")
+    val df = texts.toDF("text")
+    val ws = split($"text", " ")
+    val quad = array_max(transform(array_distinct(ws),
+      w => size(filter(ws, x => x === w)))).cast("long")
+    val bad = df.select(TextAnalysis.maxTermFreq(ws).as("fast"), quad.as("slow"))
+      .filter(not($"fast" <=> $"slow")).count()
+    assert(bad == 0)
+    // empty array → NULL, matching array_max over an empty transform
+    val onEmpty = Seq(1).toDF("i")
+      .select(TextAnalysis.maxTermFreq(array().cast("array<string>"))).head()
+    assert(onEmpty.isNullAt(0))
+  }
+
   test("property: winnowing kernel ≡ HOF on 100 random ASCII strings") {
     val texts = Seq.fill(100) {
       (1 to (4 + rng.nextInt(40))).map(_ => ('a' + rng.nextInt(4)).toChar).mkString

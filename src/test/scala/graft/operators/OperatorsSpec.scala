@@ -461,12 +461,15 @@ class OperatorsSpec extends SparkSpec {
       .sortBy(t => (-t._4, t._1)).take(20)
     assert(got.toSeq == expect)
     // plan: the corpus-derived shuffle is the vocab aggregate; the global
-    // totals are a window over the post-agg table (no second corpus
-    // subtree) and the cut is a distributed top-k
+    // totals fold back as a broadcast 1-row agg (NO unpartitioned window —
+    // the vocab table is corpus-scale, a single-task WindowExec would be
+    // the 100 TB bottleneck) and the cut is a distributed top-k
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
-    assert("FileScan parquet".r.findAllIn(plan).length <= 2, // initial+final AQE print
-      s"corpus must be scanned once:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no corpus-derived frame may feed a WindowExec:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).length <= 2, // totals branch reuses the vocab exchange
+      s"corpus must be scanned at most twice (exchange reuse):\n$plan")
   }
 
   test("repetition metrics/filter: driver parity, filter fires both ways, zero shuffle") {
