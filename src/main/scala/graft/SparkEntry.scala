@@ -105,6 +105,9 @@ object SparkEntry {
     "x65_token_drift"       -> ((s, d) => TextAnalysis.tokenDrift(s, d)),
     "x66_repetition_metrics" -> ((s, d) => TextAnalysis.repetitionMetrics(s, d)),
     "x67_repetition_filter" -> ((s, d) => TextAnalysis.repetitionFilter(s, d)),
+    "x68_crossdoc_substrings" -> ((s, d) => Dedup.crossDocSubstringPairs(s, d)),
+    "x69_ship_corpus"       -> ((s, d) => Sampling.shipCorpus(s, d)),
+    "x70_best_keep"         -> ((s, d) => Dedup.bestKeepCorpus(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1416,10 +1419,97 @@ object SparkEntry {
         |                ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
         |              FROM documents) t)
         |SELECT l.source, l.split, CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(sum(d.toks) AS BIGINT) AS bpe_tokens,
+        |       CAST(sum(coalesce(d.toks, 0)) AS BIGINT) AS bpe_tokens,
         |       CAST(sum(l.ws) AS BIGINT) AS ws_tokens
-        |FROM lab l JOIN doctoks d USING (doc_id)
+        |FROM lab l LEFT JOIN doctoks d USING (doc_id)
         |GROUP BY 1, 2""".stripMargin
+    },
+
+    // x69: the unified ship-corpus assembly — the composed funnel's
+    // oracle reuses each stage's CTEs VERBATIM (clusters from x17/x57,
+    // char grams from x62/x64, repetition metrics from x66/x67; the
+    // word-shingle hits reuse the cluster CTE's `sh`, which is x47's
+    // shingle definition plus an n_sh column; bench boundary 20 and
+    // min-shared 3 are x43/x47's values), so the composition cannot
+    // diverge from the standalone stages it stacks.
+    "x69_ship_corpus" ->
+      s"""$clustersCteSql,
+        |canon AS (SELECT doc_id, MIN(label) AS canonical_id FROM reach GROUP BY doc_id),
+        |${substringContamCtes.stripPrefix("WITH ")},
+        |${repetitionMetricsCteSql.stripPrefix("WITH ")},
+        |whits AS (
+        |  SELECT c.doc_id
+        |  FROM sh c JOIN sh b ON c.sh = b.sh AND b.doc_id < 20 AND c.doc_id >= 20
+        |  GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 3),
+        |chits AS (SELECT DISTINCT c.doc_id FROM corp c JOIN bench b USING (gh)),
+        |surv AS (
+        |  SELECT d.doc_id, d.source, d.lang, d.n_chars, m.n_words AS ws_toks
+        |  FROM documents d JOIN m USING (doc_id) JOIN canon c ON d.doc_id = c.doc_id
+        |  WHERE d.doc_id >= ${operators.Dedup.DecontamBenchMaxId}
+        |    AND c.doc_id = c.canonical_id
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM whits)
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM chits)
+        |    AND (m.n_words - m.n_distinct) * 100 <=
+        |          m.n_words * ${operators.TextAnalysis.RepMaxDupWordPct}
+        |    AND m.max_tf * 100 <= m.n_words * ${operators.TextAnalysis.RepMaxTopWordPct}
+        |    AND m.n_dup_2grams * 100 <=
+        |          m.n_2grams * ${operators.TextAnalysis.RepMaxDup2gramPct}),
+        |capped_surv AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+        |    FROM (SELECT *,
+        |            ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |          FROM surv) t1) t2
+        |  WHERE rn <= ${operators.Sampling.DefaultSourceCap})
+        |SELECT source,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ws_toks) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM (SELECT *,
+        |        ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        |      FROM capped_surv) t
+        |GROUP BY 1, 2""".stripMargin,
+
+    // x70: best-member cluster keep — x17's cluster CTE, then one
+    // survivor per cluster by (longest document, lowest doc_id); the
+    // oracle ranks with a window (DuckDB-side only — the Spark plan is a
+    // partial-aggregable min_by, never a corpus window).
+    "x70_best_keep" ->
+      s"""$clustersCteSql,
+        |canon AS (SELECT doc_id, MIN(label) AS canonical_id FROM reach GROUP BY doc_id),
+        |m AS (
+        |  SELECT c.canonical_id AS cluster_id, d.doc_id, d.source, d.lang, d.n_chars,
+        |         row_number() OVER (PARTITION BY c.canonical_id
+        |                            ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY c.canonical_id) AS n_members
+        |  FROM documents d JOIN canon c ON d.doc_id = c.doc_id)
+        |SELECT cluster_id, doc_id, source, lang, n_chars,
+        |       CAST(n_members AS BIGINT) AS n_members
+        |FROM m WHERE rn = 1""".stripMargin,
+
+    // x68: cross-document exact-substring duplicate pairs — x62's gram
+    // hashing turned corpus-vs-corpus (doc_a < doc_b), with the hot-gram
+    // stop-list cap interpolated from Dedup.CrossDocMaxGramDf. Algorithm
+    // oracle: the same per-position md5-60 grams, df cap as NOT IN, then
+    // the bucket self-join.
+    "x68_crossdoc_substrings" -> {
+      val k = operators.Dedup.DecontamGramChars
+      s"""WITH grams AS (
+        |  SELECT DISTINCT doc_id,
+        |         ('0x' || substr(md5(substr(text, i, $k)), 1, 15))::BIGINT AS gh
+        |  FROM documents, unnest(range(1, len(text) - ${k - 2})) AS t(i)
+        |  WHERE len(text) >= $k),
+        |capped AS (
+        |  SELECT * FROM grams
+        |  WHERE gh NOT IN (SELECT gh FROM grams GROUP BY gh
+        |                   HAVING COUNT(*) > ${operators.Dedup.CrossDocMaxGramDf}))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared_grams
+        |FROM capped a JOIN capped b USING (gh)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= ${operators.Dedup.CrossDocMinShared}""".stripMargin
     },
 
     // x59: corpus-weighted adjacent char-pair counts over the word-freq

@@ -50,6 +50,16 @@ object Dedup {
   val DecontamGramChars: Int = 24
   val DecontamBenchMaxId: Long = 20
 
+  /** x68 cross-document exact-substring dedup knobs (same move-together
+    * rule — the oracle SQL interpolates them). `CrossDocMaxGramDf` is the
+    * hot-gram stop-list cap (x02's discipline): a gram shared by more
+    * than this many documents is boilerplate (headers, licenses,
+    * navigation chrome), carries no pair-specific signal, and — left in —
+    * would make the gram-bucket self-join quadratic in its df. The cap
+    * bounds every bucket's pair fan-out at C(cap, 2). */
+  val CrossDocMaxGramDf: Int = 20
+  val CrossDocMinShared: Int = 1
+
   /** Word n-gram shingles of `text`, distinct, as an array column.
     * Spark-side uses codegen'd higher-order functions (no UDF). */
   def wordShingles(text: Column, n: Int): Column = {
@@ -292,7 +302,7 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
   }
 
-  /** Best-member cluster keep (x68): one survivor per near-dup cluster,
+  /** Best-member cluster keep (x70): one survivor per near-dup cluster,
     * chosen by QUALITY rather than x57's min-id rule — rank cluster
     * members on (source priority if given, longest document, doc_id) and
     * keep the first. This is the selection real curation pipelines run
@@ -311,7 +321,7 @@ object Dedup {
                      priority: Map[String, Int] = Map.empty): DataFrame =
     bestKeepCorpus(spark, dir, nearDupClusters(spark, dir, n, threshold), priority)
 
-  /** Composable form of x68 (x57's pattern): best-member selection over
+  /** Composable form of x70 (x57's pattern): best-member selection over
     * an ALREADY-COMPUTED cluster assignment, so one CC run feeds
     * x17/x38/x57 and this. `priority` maps source → rank (lower wins);
     * unlisted sources rank below every listed one, and an empty map (the
@@ -605,13 +615,24 @@ object Dedup {
   /** Day-N index maintenance: append the batch's genuinely new digests
     * (anti-join keeps the index duplicate-free, so repeated appends stay
     * idempotent per batch). Append-only — the existing index files are
-    * immutable, the daily delta is a new file set. */
+    * immutable, the daily delta is a new file set. The delta is STAGED
+    * to a sibling directory before the append: a plan that reads
+    * `indexPath` while a write commits into the same path is legal for
+    * append today but fragile across committer/file-index changes, so
+    * the job that scans the index and the job that mutates it never
+    * overlap. The staging dir is removed afterwards (best-effort — a
+    * leftover is harmless and overwritten by the next run). */
   def appendToParagraphIndex(spark: SparkSession, newBatch: DataFrame,
                              indexPath: String,
-                             boundaryMod: Int = ParagraphBoundaryMod): Unit =
+                             boundaryMod: Int = ParagraphBoundaryMod): Unit = {
+    val staged = indexPath.stripSuffix("/") + "_delta_staging"
     cdcParagraphs(newBatch, boundaryMod).select(col("fp")).distinct()
       .join(spark.read.parquet(indexPath), Seq("fp"), "left_anti")
-      .write.mode("append").parquet(indexPath)
+      .write.mode("overwrite").parquet(staged)
+    spark.read.parquet(staged).write.mode("append").parquet(indexPath)
+    val p = new org.apache.hadoop.fs.Path(staged)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 
   /** Day-2+ ingest against the persisted index: classify every paragraph
     * of the NEW batch kept / dup_of_existing / dup_in_batch — identical
@@ -786,6 +807,53 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("bench_id")).as("n_bench_partners"),
         countDistinct(col("gh")).as("n_gram_hits"))
+  }
+
+  /** Cross-document exact-substring duplicate pairs (x68): every corpus
+    * doc pair (doc_a < doc_b) sharing at least `minShared` verbatim
+    * k-char substrings — the Lee-et-al-style corpus-vs-corpus complement
+    * to x62's corpus-vs-benchmark decontamination (see "Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2022, for
+    * why exact substring dup detection matters beyond doc-level near-dup:
+    * templated pages share long verbatim spans while differing enough
+    * that whole-doc MinHash misses them). Output: one row per duplicated
+    * pair with its distinct shared-gram count.
+    *
+    * Scale shape — bucket by gram hash, verify within bucket, NEVER
+    * all-pairs: each side computes its distinct per-row gram array
+    * in-projection (the fused [[charGramHashes]] kernel) and explodes;
+    * grams whose document frequency exceeds `maxGramDf` (boilerplate —
+    * carrying no pair-specific signal) are dropped via a partial-agg df
+    * count + broadcast anti-join (the stop-list is tiny: only grams
+    * repeated across >maxGramDf docs), which bounds every gram bucket's
+    * pair fan-out at C(maxGramDf, 2); the self-join then keys on the
+    * uniform md5-60 gram hash. Both join branches are the same capped
+    * subtree, so Spark's exchange reuse shuffles the gram table once.
+    * Same two-sided shape as x58's split-leakage audit — the one
+    * corpus-keyed shuffle is inherent to corpus-vs-corpus comparison. */
+  def crossDocSubstringPairs(spark: SparkSession, dir: String,
+                             k: Int = DecontamGramChars,
+                             maxGramDf: Int = CrossDocMaxGramDf,
+                             minShared: Int = CrossDocMinShared): DataFrame =
+    crossDocSubstringPairs(Tables.documents(spark, dir), k, maxGramDf, minShared)
+
+  /** DataFrame-first form of x68 (the composable-overload pattern): any
+    * (doc_id, text) frame — a day's crawl, a pre-filtered corpus — not
+    * just the catalog table. */
+  def crossDocSubstringPairs(docs: DataFrame, k: Int,
+                             maxGramDf: Int, minShared: Int): DataFrame = {
+    val grams = docs
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), explode(charGramHashes(col("text"), k)).as("gh"))
+    val stop = grams.groupBy(col("gh")).agg(count(lit(1)).as("gh_df"))
+      .filter(col("gh_df") > maxGramDf).select(col("gh"))
+    val capped = grams.join(broadcast(stop), Seq("gh"), "left_anti")
+    capped.select(col("doc_id").as("doc_a"), col("gh"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("gh")), Seq("gh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= minShared)
   }
 
   /** 64-bit SimHash from word hashes: sum ±1 per bit position weighted by

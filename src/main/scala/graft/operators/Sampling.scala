@@ -289,19 +289,30 @@ object Sampling {
     * not merely collision-improbable. Sources with fewer than `cap` docs
     * are kept whole (`n_kept < cap`). */
   def sourceCapSample(spark: SparkSession, dir: String,
-                      cap: Int = DefaultSourceCap): DataFrame = {
+                      cap: Int = DefaultSourceCap): DataFrame =
+    sourceCapSample(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("lang")),
+      cap)
+      .select(col("doc_id"), col("source"), col("lang"))
+
+  /** Composable form of x46 (x57's pattern): the per-source KMV cap over
+    * ANY frame with (doc_id, source) columns — the ship-corpus assembly
+    * (x69) caps the post-filter survivor set, not the raw table. All
+    * other columns pass through; the selected rows are the same pure
+    * function of (doc_id, source) regardless of what upstream produced
+    * them. */
+  def sourceCapSample(docs: DataFrame, cap: Int): DataFrame = {
     import graft.functions.KmvPairSketch.kmv_pair_sketch
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("lang"),
-        Dedup.md5Hash60(concat(lit("cap:"), col("doc_id").cast("string"))).as("h"))
-    val thresholds = docs.groupBy(col("source"))
+    val withH = docs.withColumn("h",
+      Dedup.md5Hash60(concat(lit("cap:"), col("doc_id").cast("string"))))
+    val thresholds = withH.groupBy(col("source"))
       .agg(kmv_pair_sketch(col("h"), col("doc_id"), cap).as("sk"))
       .select(col("source"), col("sk.n_kept").as("n_kept"),
         col("sk.kth_hash").as("kth"), col("sk.kth_tie").as("kth_tie"))
-    docs.join(broadcast(thresholds), Seq("source"))
+    withH.join(broadcast(thresholds), Seq("source"))
       .filter(col("n_kept") < cap || col("h") < col("kth") ||
         (col("h") === col("kth") && col("doc_id") <= col("kth_tie")))
-      .select(col("doc_id"), col("source"), col("lang"))
+      .drop("h", "n_kept", "kth", "kth_tie")
   }
 
   /** Sample-based per-language quantile estimation via the bottom-k
@@ -388,6 +399,50 @@ object Sampling {
       .join(broadcast(fences), Seq("source"))
       .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
       .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  /** Unified ship-corpus assembly (x69): the composition a production
+    * pipeline ACTUALLY ships, stacking the library's curation stages in
+    * their canonical order — near-dup dedup (x57's canonical-survivor
+    * rule) ∩ word-shingle decontamination (x47's bloom-prefiltered hit
+    * set) ∩ char-gram decontamination (x64's exact-substring hit set) ∩
+    * repetition filter (x67's Gopher rules) → per-source cap (x46's KMV
+    * threshold) → deterministic split (x27's hash rule) → per-(source ×
+    * split) accounting (x61's shape). Supersedes x35's three-stage
+    * funnel, which predates the round-5/6 filters.
+    *
+    * Built from the composable overloads so every expensive artifact is
+    * computed ONCE: one CC run feeds the dedup keep set, one bloom build
+    * feeds the word-level hit set, one gram join feeds the char-level hit
+    * set; the repetition rules are a per-row projection on the survivor
+    * scan (no join — `TextAnalysis.repetitionKeep`), the flagged-id
+    * anti-join broadcasts (tiny by construction), and the cap thresholds
+    * broadcast (one row per source). Every stage is a deterministic
+    * function of the data, so the WHOLE composition is oracle-checked
+    * end-to-end — the proof the stages stack without divergence. */
+  def shipCorpus(spark: SparkSession, dir: String,
+                 cap: Int = DefaultSourceCap): DataFrame = {
+    val clusters = Dedup.nearDupClusters(spark, dir)
+    val keepDedup = clusters
+      .filter(col("doc_id") === col("canonical_id")).select(col("doc_id"))
+    val wordFlagged = Dedup.bloomDecontamination(spark, dir)
+      .select(col("doc_id"))
+    val charFlagged = Dedup.exactSubstringContamination(spark, dir)
+      .select(col("doc_id"))
+    val flagged = wordFlagged.union(charFlagged).distinct()
+    val survivors = Tables.documents(spark, dir)
+      .filter(col("doc_id") >= Dedup.DecontamBenchMaxId)
+      .filter(TextAnalysis.repetitionKeep(col("text")))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).as("ws_toks"))
+      .join(keepDedup, Seq("doc_id"), "left_semi")
+      .join(broadcast(flagged), Seq("doc_id"), "left_anti")
+    sourceCapSample(survivors, cap)
+      .withColumn("split", splitLabel(hashBucket(col("doc_id"), "split", 100)))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_toks")).as("ws_tokens"),
+        sum(col("n_chars")).as("total_chars"))
   }
 
   /** Token-budget report (x61): docs / whitespace tokens / chars per

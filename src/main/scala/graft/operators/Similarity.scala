@@ -303,9 +303,14 @@ object Similarity {
   }
 
   /** `ivfProjectedTopK` defaults: probe count in projected space and the
-    * survivor multiple the 64-dim rerank re-scores. Chosen via
-    * `RecallProbe`'s nProbe sweep so the composition restores recall 1.0
-    * against `bruteForceTopK` on the evaluation corpus (see RECALL.md). */
+    * survivor multiple the 64-dim rerank re-scores. The probe count
+    * matches `ivfTopK`'s default so the two variants are directly
+    * comparable; it does NOT buy recall 1.0 here — RECALL.md measures
+    * 47–49/50 of the brute-force top-k missing at these defaults on the
+    * near-isotropic evaluation corpus, where 16-dim projected rankings
+    * barely correlate with 64-dim truth. Recall 1.0 holds only when the
+    * survivor pool covers the corpus (the spec-gated full-pool claim);
+    * the rerank scores themselves are exact either way. */
   val IvfProjNProbe: Int = 14
   val IvfRerankFactor: Int = 4
 

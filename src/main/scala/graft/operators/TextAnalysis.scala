@@ -193,16 +193,21 @@ object TextAnalysis {
     * The metric expressions evaluate INSIDE the scan's own projection
     * (one pass, zero shuffle, pure codegen predicate) — no join back, no
     * second instantiation of anything. */
-  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
-    val m = repMetricCols(col("text")).toMap
-    val keep =
-      (m("n_words") - m("n_distinct")) * 100 <= m("n_words") * RepMaxDupWordPct &&
-      m("max_tf") * 100 <= m("n_words") * RepMaxTopWordPct &&
-      m("n_dup_2grams") * 100 <= m("n_2grams") * RepMaxDup2gramPct
-    Tables.documents(spark, dir)
-      .filter(keep)
-      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+  /** The x67 keep predicate over a text column — shared by
+    * `repetitionFilter` and the ship-corpus assembly (x69) so a composed
+    * pipeline can't diverge from the standalone filter. Pure per-row
+    * codegen expression: composing it costs a projection, not a join. */
+  def repetitionKeep(text: Column): Column = {
+    val m = repMetricCols(text).toMap
+    (m("n_words") - m("n_distinct")) * 100 <= m("n_words") * RepMaxDupWordPct &&
+    m("max_tf") * 100 <= m("n_words") * RepMaxTopWordPct &&
+    m("n_dup_2grams") * 100 <= m("n_2grams") * RepMaxDup2gramPct
   }
+
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(repetitionKeep(col("text")))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
 
   /** Token-frequency drift monitor (x65): the distribution-shift check a
     * daily ingest runs before admitting a new batch — per token, compare

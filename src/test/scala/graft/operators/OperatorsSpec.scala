@@ -439,6 +439,100 @@ class OperatorsSpec extends SparkSpec {
     assert(flagged.nonEmpty && (flagged & clean).isEmpty && (flagged | clean) == corpus)
   }
 
+  test("bestKeepCorpus (x70): per-cluster best by (priority, longest, id), priority fold") {
+    val labels = Dedup.nearDupClusters(spark, sf).as[(Long, Long)].collect().toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+      .as[(Long, String, String, Long)].collect()
+    // driver reference: the lexicographic (priority, -n_chars, doc_id) argmin
+    def expect(prio: Map[String, Int]): Set[(Long, Long, String, String, Long, Long)] = {
+      val unlisted = if (prio.isEmpty) 0 else prio.values.max + 1
+      docs.groupBy(d => labels(d._1)).map { case (cid, ms) =>
+        val best = ms.minBy(d => (prio.getOrElse(d._2, unlisted), -d._4, d._1))
+        (cid, best._1, best._2, best._3, best._4, ms.length.toLong)
+      }.toSet
+    }
+    val gotDefault = Dedup.bestKeepCorpus(spark, sf)
+      .as[(Long, Long, String, String, Long, Long)].collect().toSet
+    assert(gotDefault == expect(Map.empty))
+    assert(gotDefault.exists(_._6 > 1), "multi-member clusters must exist")
+    // the longest-member rule must actually override min-id somewhere
+    val minIdPicks = docs.groupBy(d => labels(d._1)).map { case (cid, ms) =>
+      (cid, ms.map(_._1).min)
+    }.toSet
+    assert(gotDefault.map(t => (t._1, t._2)) != minIdPicks,
+      "x70 must differ from x57's min-id rule on this corpus")
+    // priority fold: find a source whose promotion changes at least one
+    // pick, then assert exact parity under that map
+    val prioSrc = docs.map(_._2).distinct.sorted
+      .find(s => expect(Map(s -> 0)) != expect(Map.empty))
+    assert(prioSrc.nonEmpty, "some source priority must change a pick")
+    val prio = Map(prioSrc.get -> 0)
+    val gotPrio = Dedup.bestKeepCorpus(
+      spark, sf, Dedup.nearDupClusters(spark, sf), prio)
+      .as[(Long, Long, String, String, Long, Long)].collect().toSet
+    assert(gotPrio == expect(prio) && gotPrio != gotDefault)
+  }
+
+  /** Driver reference for x68: grams via the declarative HOF twin of the
+    * gram kernel, df cap and pairwise counting brute-forced in Scala. */
+  private def crossDocPairsRef(docs: org.apache.spark.sql.DataFrame,
+                               maxGramDf: Int): Set[(Long, Long, Long)] = {
+    val k = Dedup.DecontamGramChars
+    val grams = docs
+      .filter(length($"text") >= k)
+      .select($"doc_id", Dedup.charGramHashesHof($"text", k).as("gs"))
+      .as[(Long, Seq[Long])].collect()
+    val byGram = grams.flatMap { case (id, gs) => gs.map(g => g -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byGram.values.filter(_.size <= maxGramDf).foreach { ids =>
+      for (i <- ids.indices; j <- i + 1 until ids.size)
+        pairCounts((ids(i), ids(j))) = pairCounts.getOrElse((ids(i), ids(j)), 0L) + 1
+    }
+    pairCounts.collect {
+      case ((a, b), c) if c >= Dedup.CrossDocMinShared => (a, b, c)
+    }.toSet
+  }
+
+  test("crossDocSubstringPairs: driver parity via the HOF twin, bucketed join plan") {
+    val expect = crossDocPairsRef(graft.Tables.documents(spark, sf),
+      Dedup.CrossDocMaxGramDf)
+    val q = Dedup.crossDocSubstringPairs(spark, sf)
+    val got = q.as[(Long, Long, Long)].collect().toSet
+    assert(got == expect && got.nonEmpty)
+    // plan: stop-list removal is a broadcast anti-join; no cartesian
+    // product anywhere (the self-join keys on the gram hash)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("Cartesian"), plan)
+  }
+
+  test("crossDocSubstringPairs: the hot-gram stop-list drops boilerplate-only pairs") {
+    // 25 docs all share one boilerplate span (df 25 > cap 20); docs 0 and
+    // 1 additionally share a unique span. Only the (0, 1) pair may
+    // survive, and its gram count must exclude every capped gram —
+    // checked against the same driver reference WITH the cap, and
+    // against a no-cap reference to prove the cap changed the answer.
+    val boiler = "THE SAME FOOTER EVERYWHERE REPEATED" // > 24 chars
+    val uniq = "a genuinely shared unique span"        // > 24 chars
+    val fx = (0L until 25L).map { i =>
+      val extra = if (i <= 1) s" $uniq" else ""
+      // per-doc prefix = a run of a letter unique to the doc, so every
+      // gram touching ANY prefix char (including the boiler boundary)
+      // is doc-unique
+      (i, s"${('a' + i.toInt).toChar.toString * 30} $boiler$extra")
+    }.toDF("doc_id", "text")
+    val got = Dedup.crossDocSubstringPairs(
+      fx, Dedup.DecontamGramChars, Dedup.CrossDocMaxGramDf, Dedup.CrossDocMinShared)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.map(t => (t._1, t._2)) == Set((0L, 1L)),
+      s"only the unique-span pair may survive the cap: $got")
+    assert(got == crossDocPairsRef(fx, Dedup.CrossDocMaxGramDf))
+    val uncapped = crossDocPairsRef(fx, Int.MaxValue)
+    assert(uncapped.size > got.size, "without the cap every boilerplate pair appears")
+  }
+
   test("tokenDrift: exact integer scores vs driver reference, single corpus pass + top-k plan") {
     val q = TextAnalysis.tokenDrift(spark, sf)
     val got = q.as[(String, Long, Long, Long)].collect()

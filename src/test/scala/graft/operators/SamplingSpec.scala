@@ -305,6 +305,47 @@ class SamplingSpec extends SparkSpec {
     assert(checks.forall(_.passed), checks.filterNot(_.passed).mkString(", "))
   }
 
+  test("shipCorpus (x69): composition ≡ intersection of the standalone stages + cap + split") {
+    // independent reference: run each standalone stage's KEEP set,
+    // intersect, re-apply the cap and split rules on the driver
+    val k57 = Dedup.nearDedupedCorpus(spark, sf).select($"doc_id").as[Long].collect().toSet
+    val k47 = Dedup.decontaminate(spark, sf).select($"doc_id").as[Long].collect().toSet
+    val k64 = Dedup.substringDecontaminate(spark, sf).select($"doc_id").as[Long].collect().toSet
+    val k67 = TextAnalysis.repetitionFilter(spark, sf).select($"doc_id").as[Long].collect().toSet
+    val surv = k57 & k47 & k64 & k67
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"n_chars", size(split($"text", " ")).as("toks"))
+      .as[(Long, String, Long, Int)].collect()
+    val capped = docs.filter(d => surv(d._1))
+      .groupBy(_._2).values.flatMap { ms =>
+        ms.sortBy(d => (Dedup.md5Hash60Ref(s"cap:${d._1}"), d._1))
+          .take(Sampling.DefaultSourceCap)
+      }
+    def splitOf(id: Long): String = {
+      val b = Dedup.md5Hash60Ref(s"split:$id") % 100
+      if (b < 80) "train" else if (b < 90) "valid" else "test"
+    }
+    val expect = capped.groupBy(d => (d._2, splitOf(d._1))).map { case ((src, sp), ms) =>
+      (src, sp, ms.size.toLong, ms.map(_._4.toLong).sum, ms.map(_._3).sum)
+    }.toSet
+    val q = Sampling.shipCorpus(spark, sf)
+    val got = q.as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got == expect && got.nonEmpty)
+    // every filter must actually remove something, or the composition
+    // proof is vacuous on this corpus
+    val nonBench = docs.map(_._1).filter(_ >= Dedup.DecontamBenchMaxId).toSet
+    Seq("x57" -> k57, "x47" -> k47, "x64" -> k64, "x67" -> k67).foreach { case (n, k) =>
+      assert((nonBench -- k).nonEmpty, s"$n removed nothing at this SF")
+    }
+    // plan: flagged-id removal broadcasts, nothing cartesian; the corpus
+    // subtrees are each instantiated a bounded number of times (CC runs
+    // once via its internal checkpoint, the bloom is driver-side model
+    // state — neither re-derives per stage)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).nonEmpty, plan)
+  }
+
   test("sketch-based samplers are partition-invariant (deterministic under any parallelism)") {
     // the 100 TB determinism claim: selection is a pure function of the
     // data, so the kept set cannot depend on task layout / merge order
