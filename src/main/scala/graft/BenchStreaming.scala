@@ -32,6 +32,21 @@ object BenchStreaming {
     // = input rows / wall time of the complete run (start → termination),
     // which charges source listing, state-store maintenance and commit
     // overheads to the twin — the honest end-to-end number
+    // scratch trees are per-run — drop them so repeated bench runs don't
+    // accumulate in /tmp. Best-effort: a state-store maintenance thread
+    // can still be writing late files, and a lost race must not abort
+    // the remaining benchmarks.
+    def deleteTree(root: java.nio.file.Path): Unit =
+      try {
+        val walk = Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        } finally walk.close()
+      } catch {
+        case scala.util.control.NonFatal(_) => () // scratch dir; leave it
+      }
+
     def run(name: String, build: DataFrame => DataFrame): (String, Double) = {
       val ckpt = Files.createTempDirectory(s"graft-sbench-$name")
       try {
@@ -44,21 +59,33 @@ object BenchStreaming {
         q.awaitTermination()
         val sec = (System.nanoTime() - t0) / 1e9
         name -> (nEvents / sec)
-      } finally {
-        // checkpoint/state-store trees are per-run scratch — drop them so
-        // repeated bench runs don't accumulate in /tmp. Best-effort: a
-        // state-store maintenance thread can still be writing late files,
-        // and a lost race must not abort the remaining benchmarks.
-        try {
-          val walk = Files.walk(ckpt)
-          try {
-            import scala.jdk.CollectionConverters._
-            walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-          } finally walk.close()
-        } catch {
-          case scala.util.control.NonFatal(_) => () // scratch dir; leave it
-        }
-      }
+      } finally deleteTree(ckpt)
+    }
+
+    // the x44 production-loop twin (graft.streaming.DocumentStream):
+    // day-2 documents classified against the persisted day-1 digest
+    // index and appended to it, one foreachBatch pass. Setup (index
+    // build, file drop) is outside the timer; rows/s is day-2 docs over
+    // the classify+append wall time.
+    def runIndexIngest(): (String, Double) = {
+      import org.apache.spark.sql.functions.{col, max}
+      val root = Files.createTempDirectory("graft-sbench-index-ingest")
+      try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        graft.operators.Dedup.writeParagraphIndex(
+          docs.filter(col("doc_id") < mid), s"$root/index")
+        val day2 = docs.filter(col("doc_id") >= mid)
+        day2.write.parquet(s"$root/drop")
+        val n = day2.count()
+        val t0 = System.nanoTime()
+        graft.streaming.DocumentStream.startIngest(
+          graft.streaming.DocumentStream.readDocuments(spark, s"$root/drop", docs.schema),
+          s"$root/index", s"$root/results", s"$root/ckpt")
+          .awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        "index_ingest" -> (n / sec)
+      } finally deleteTree(root)
     }
 
     val users = spark.read.parquet(s"$sfDir/customer.parquet")
@@ -80,7 +107,8 @@ object BenchStreaming {
       run("session_window", ev => EventStream.sessionWindowCounts(ev)),
       run("dedup_stream", EventStream.dedupStream),
       run("stream_static_enrich", ev => EventStream.enrichWithUsers(ev, users)),
-      run("sampled_stream", ev => EventStream.sampledStream(ev, thresholds)))
+      run("sampled_stream", ev => EventStream.sampledStream(ev, thresholds)),
+      runIndexIngest())
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
     val headline = f"${results.head._2}%.1f"

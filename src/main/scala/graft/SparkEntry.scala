@@ -108,6 +108,7 @@ object SparkEntry {
     "x68_crossdoc_substrings" -> ((s, d) => Dedup.crossDocSubstringPairs(s, d)),
     "x69_ship_corpus"       -> ((s, d) => Sampling.shipCorpus(s, d)),
     "x70_best_keep"         -> ((s, d) => Dedup.bestKeepCorpus(s, d)),
+    "x71_shard_read_audit"  -> ((s, d) => Sampling.shardReadAudit(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -147,6 +148,22 @@ object SparkEntry {
       |         - len(list_distinct([ws[i] || ' ' || ws[i+1]
       |                              for i in range(1, len(ws))])) AS BIGINT) AS n_dup_2grams
       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t)""".stripMargin
+
+  /** x37's greedy-pack bin table, shared verbatim with x71's oracle (the
+    * audit recomputes this table from the materialized shard files). */
+  private def packBinTableSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+      |  FROM t)
+      |SELECT CAST(tokens_before // 512 AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY 1""".stripMargin
 
   private def clustersCteSql: String =
     """WITH RECURSIVE sh AS (
@@ -837,19 +854,12 @@ object SparkEntry {
     // DuckDB window SUM over BIGINT, which yields HUGEINT-typed arithmetic
     // — bin_id MUST be cast back to BIGINT or the driver's type-sensitive
     // hash compare flags a mismatch against Spark's LongType.
-    "x37_sequence_packing" ->
-      """WITH t AS (
-        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, n_tokens,
-        |         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
-        |  FROM t)
-        |SELECT CAST(tokens_before // 512 AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
-        |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        |FROM c GROUP BY 1""".stripMargin,
+    "x37_sequence_packing" -> packBinTableSql,
+
+    // x71: the sharded-read audit's oracle IS x37's bin table — the
+    // Spark side must reproduce it from the materialized shard files,
+    // proving the partitioned write preserves the pack exactly.
+    "x71_shard_read_audit" -> packBinTableSql,
 
     // x38 recomputes the near-dup clusters (same recursive CTE as x17),
     // cluster sizes, and the deterministic 10000-div-size keep rule.

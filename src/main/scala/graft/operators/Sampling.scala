@@ -267,6 +267,27 @@ object Sampling {
       .sortWithinPartitions(col("shard_id"), col("bin_id"), col("doc_id"))
   }
 
+  /** Sharded-read training-order audit (x71): materialize x37's packed
+    * shard layout (`writePackedShards`) and recompute the bin table FROM
+    * THE FILES — proving the terminal artifact a training job reads
+    * carries exactly the pack's bin structure (doc membership, token
+    * totals, bin boundaries) through the partitioned write and back:
+    * the read-side twin of SamplingSpec's ≤2-files-per-shard write
+    * assertions. The oracle is x37's bin-table SQL verbatim, so
+    * layout → read → aggregate must equal the pack computed directly
+    * from the corpus. The layout lands in a dir-keyed scratch path,
+    * overwritten per run — the query output stays a pure function of
+    * the input tables. */
+  def shardReadAudit(spark: SparkSession, dir: String, budgetTokens: Long = 512,
+                     binsPerShard: Long = 8): DataFrame = {
+    val scratch = System.getProperty("java.io.tmpdir") +
+      "/graft-shard-audit-" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val files = writePackedShards(spark, dir, scratch, budgetTokens, binsPerShard)
+    files.groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
   /** Per-source document cap (x46): keep at most `cap` documents per
     * source, chosen deterministically as the `cap` smallest salted md5-60
     * hashes — the source-balancing step that stops a dominant crawl from

@@ -305,6 +305,39 @@ class SamplingSpec extends SparkSpec {
     assert(checks.forall(_.passed), checks.filterNot(_.passed).mkString(", "))
   }
 
+  test("shardReadAudit (x71): files-in-order reconstruct the pack; bin table ≡ x37") {
+    // the audit's bin table (recomputed from the materialized files)
+    // equals the pack computed directly from the corpus
+    val audit = Sampling.shardReadAudit(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val pack = Sampling.packSequences(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(audit == pack && audit.nonEmpty)
+    // read-side order: per shard dir, parquet files SORTED BY NAME hold
+    // non-overlapping ascending (bin_id, doc_id) ranges — concatenating
+    // files in name order replays the pack without any sort
+    val scratch = System.getProperty("java.io.tmpdir") +
+      "/graft-shard-audit-" + sf.replaceAll("[^A-Za-z0-9.]", "_")
+    val shardDirs = new java.io.File(scratch).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id=")).sortBy(_.getName)
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val ranges = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName).map { f =>
+          val rows = spark.read.parquet(f.getPath)
+            .select($"bin_id", $"doc_id").as[(Long, Long)].collect()
+          assert(rows.sameElements(rows.sortBy(identity)), s"${f.getName} unsorted")
+          (rows.head, rows.last)
+        }
+      ranges.sliding(2).foreach {
+        case Array((_, lastA), (firstB, _)) =>
+          assert(Ordering[(Long, Long)].lt(lastA, firstB),
+            s"${d.getName}: file ranges overlap — name order ≠ pack order")
+        case _ => ()
+      }
+    }
+  }
+
   test("shipCorpus (x69): composition ≡ intersection of the standalone stages + cap + split") {
     // independent reference: run each standalone stage's KEEP set,
     // intersect, re-apply the cap and split rules on the driver

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/** The persisted-index ingest driven by a file stream must classify
+  * exactly like the batch operator, and the classify-then-append loop
+  * must make each day's paragraphs "existing" for the next day. */
+class DocumentStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("streaming index ingest ≡ batch classification row-for-row; the loop feeds day 3") {
+    val root = Files.createTempDirectory("graft-docstream").toString
+    val indexPath = s"$root/index"
+    val dropDir = s"$root/drop"
+    val resultPath = s"$root/results"
+    val docs = graft.Tables.documents(spark, sf)
+    val day1 = docs.filter($"doc_id" < Dedup.IncrementalNewMinId)
+    val day2 = docs.filter($"doc_id" >= Dedup.IncrementalNewMinId)
+
+    // day-1 corpus → persisted digest index (the batch-side setup)
+    Dedup.writeParagraphIndex(day1, indexPath)
+
+    // batch reference FIRST (the stream's append mutates the index)
+    val batchRef = Dedup.incrementalIngestWithIndex(spark, day2, indexPath)
+      .as[(Long, Int, Int, Int, Int)].collect().toSet
+
+    // day 2 arrives as files in the drop dir; one AvailableNow pass
+    day2.write.parquet(dropDir)
+    val schema = docs.schema
+    DocumentStream.startIngest(
+      DocumentStream.readDocuments(spark, dropDir, schema),
+      indexPath, resultPath, s"$root/ckpt1")
+      .awaitTermination(120000)
+    val streamed = spark.read.parquet(resultPath)
+      .as[(Long, Int, Int, Int, Int)].collect().toSet
+    assert(streamed == batchRef && streamed.nonEmpty)
+    assert(streamed.exists(_._3 > 0), "some day-2 paragraphs must be kept")
+
+    // the loop property: day 3 replays day 2's text under new ids — the
+    // stream's index append means EVERY day-3 paragraph is now existing
+    val day3 = day2.withColumn("doc_id", $"doc_id" + 100000L)
+    day3.write.mode("append").parquet(dropDir)
+    DocumentStream.startIngest(
+      DocumentStream.readDocuments(spark, dropDir, schema),
+      indexPath, resultPath, s"$root/ckpt1") // same checkpoint: only NEW files process
+      .awaitTermination(120000)
+    val all = spark.read.parquet(resultPath)
+      .as[(Long, Int, Int, Int, Int)].collect().toSet
+    val day3Rows = all.filter(_._1 >= 100000L)
+    assert(day3Rows.nonEmpty, "the resumed stream must process only the new files")
+    assert(day3Rows.forall(r => r._3 == 0 && r._4 == r._2 && r._5 == 0),
+      s"every day-3 paragraph must classify dup_of_existing: $day3Rows")
+    // day-2 results are untouched by the second run (no re-processing)
+    assert(all.filter(_._1 < 100000L) == streamed)
+  }
+}
