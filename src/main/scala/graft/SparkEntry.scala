@@ -109,6 +109,7 @@ object SparkEntry {
     "x69_ship_corpus"       -> ((s, d) => Sampling.shipCorpus(s, d)),
     "x70_best_keep"         -> ((s, d) => Dedup.bestKeepCorpus(s, d)),
     "x71_shard_read_audit"  -> ((s, d) => Sampling.shardReadAudit(s, d)),
+    "x72_crossdoc_deduped"  -> ((s, d) => Dedup.crossDocSubstringDedup(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -148,6 +149,29 @@ object SparkEntry {
       |         - len(list_distinct([ws[i] || ' ' || ws[i+1]
       |                              for i in range(1, len(ws))])) AS BIGINT) AS n_dup_2grams
       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t)""".stripMargin
+
+  /** x68's gram/cap/pair CTE chain, shared by x72's oracle (removal may
+    * not diverge from detection — the substringContamCtes rule). Yields
+    * `xpairs(doc_a, doc_b, n_shared_grams)`; x68 applies the min-shared
+    * floor, x72 anti-joins the doc_b side. */
+  private def crossDocPairCtes: String = {
+    val k = operators.Dedup.DecontamGramChars
+    s"""xgrams AS (
+      |  SELECT DISTINCT doc_id,
+      |         ('0x' || substr(md5(substr(text, i, $k)), 1, 15))::BIGINT AS gh
+      |  FROM documents, unnest(range(1, len(text) - ${k - 2})) AS t(i)
+      |  WHERE len(text) >= $k),
+      |xcapped AS (
+      |  SELECT * FROM xgrams
+      |  WHERE gh NOT IN (SELECT gh FROM xgrams GROUP BY gh
+      |                   HAVING COUNT(*) > ${operators.Dedup.CrossDocMaxGramDf})),
+      |xpairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(count(*) AS BIGINT) AS n_shared_grams
+      |  FROM xcapped a JOIN xcapped b USING (gh)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+  }
 
   /** x37's greedy-pack bin table, shared verbatim with x71's oracle (the
     * audit recomputes this table from the materialized shard files). */
@@ -1503,24 +1527,19 @@ object SparkEntry {
     // stop-list cap interpolated from Dedup.CrossDocMaxGramDf. Algorithm
     // oracle: the same per-position md5-60 grams, df cap as NOT IN, then
     // the bucket self-join.
-    "x68_crossdoc_substrings" -> {
-      val k = operators.Dedup.DecontamGramChars
-      s"""WITH grams AS (
-        |  SELECT DISTINCT doc_id,
-        |         ('0x' || substr(md5(substr(text, i, $k)), 1, 15))::BIGINT AS gh
-        |  FROM documents, unnest(range(1, len(text) - ${k - 2})) AS t(i)
-        |  WHERE len(text) >= $k),
-        |capped AS (
-        |  SELECT * FROM grams
-        |  WHERE gh NOT IN (SELECT gh FROM grams GROUP BY gh
-        |                   HAVING COUNT(*) > ${operators.Dedup.CrossDocMaxGramDf}))
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       CAST(count(*) AS BIGINT) AS n_shared_grams
-        |FROM capped a JOIN capped b USING (gh)
-        |WHERE a.doc_id < b.doc_id
-        |GROUP BY 1, 2
-        |HAVING count(*) >= ${operators.Dedup.CrossDocMinShared}""".stripMargin
-    },
+    "x68_crossdoc_substrings" ->
+      s"""WITH $crossDocPairCtes
+        |SELECT doc_a, doc_b, n_shared_grams FROM xpairs
+        |WHERE n_shared_grams >= ${operators.Dedup.CrossDocMinShared}""".stripMargin,
+
+    // x72: x68's removal step — drop every doc with a lower-id substring
+    // partner; the pair CTEs are shared verbatim so removal can't
+    // diverge from detection.
+    "x72_crossdoc_deduped" ->
+      s"""WITH $crossDocPairCtes
+        |SELECT d.doc_id, d.source, d.lang, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_b FROM xpairs)""".stripMargin,
 
     // x59: corpus-weighted adjacent char-pair counts over the word-freq
     // aggregate — the first BPE merge's argmax input.

@@ -819,18 +819,23 @@ object Dedup {
     * that whole-doc MinHash misses them). Output: one row per duplicated
     * pair with its distinct shared-gram count.
     *
-    * Scale shape — bucket by gram hash, verify within bucket, NEVER
-    * all-pairs: each side computes its distinct per-row gram array
+    * Scale shape — bucket by gram hash, pair within bucket, NEVER
+    * all-pairs: the corpus computes its distinct per-row gram array
     * in-projection (the fused [[charGramHashes]] kernel) and explodes;
     * grams whose document frequency exceeds `maxGramDf` (boilerplate —
     * carrying no pair-specific signal) are dropped via a partial-agg df
     * count + broadcast anti-join (the stop-list is tiny: only grams
-    * repeated across >maxGramDf docs), which bounds every gram bucket's
-    * pair fan-out at C(maxGramDf, 2); the self-join then keys on the
-    * uniform md5-60 gram hash. Both join branches are the same capped
-    * subtree, so Spark's exchange reuse shuffles the gram table once.
-    * Same two-sided shape as x58's split-leakage audit — the one
-    * corpus-keyed shuffle is inherent to corpus-vs-corpus comparison. */
+    * repeated across >maxGramDf docs). The surviving grams then take ONE
+    * shuffle on the uniform md5-60 hash into per-gram doc-id buckets —
+    * `collect_set` is safe ONLY because the cap already bounds every
+    * bucket at `maxGramDf` ids (the order matters: df-filter first,
+    * collect second, or a hot gram would buffer its million doc ids
+    * before being dropped) — and ordered pairs explode in-bucket with
+    * fan-out ≤ C(maxGramDf, 2). This replaces the textbook gram
+    * self-join, which would shuffle the gram table twice more and build
+    * a join hash table per partition; the df-agg and bucket-agg branches
+    * share one exchange via reuse, so the corpus grams move exactly
+    * once. */
   def crossDocSubstringPairs(spark: SparkSession, dir: String,
                              k: Int = DecontamGramChars,
                              maxGramDf: Int = CrossDocMaxGramDf,
@@ -847,13 +852,40 @@ object Dedup {
       .select(col("doc_id"), explode(charGramHashes(col("text"), k)).as("gh"))
     val stop = grams.groupBy(col("gh")).agg(count(lit(1)).as("gh_df"))
       .filter(col("gh_df") > maxGramDf).select(col("gh"))
-    val capped = grams.join(broadcast(stop), Seq("gh"), "left_anti")
-    capped.select(col("doc_id").as("doc_a"), col("gh"))
-      .join(capped.select(col("doc_id").as("doc_b"), col("gh")), Seq("gh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    val buckets = grams.join(broadcast(stop), Seq("gh"), "left_anti")
+      .groupBy(col("gh"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids")) // ≤ maxGramDf ids, post-cap
+    val pairs = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
+    buckets.select(explode(pairs).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_grams"))
       .filter(col("n_shared_grams") >= minShared)
+  }
+
+  /** Cross-document exact-substring DEDUPLICATED corpus (x72): x68's
+    * removal step, first-occurrence-wins at doc granularity — drop every
+    * document that shares a (capped) verbatim k-char gram with ANY
+    * lower-id document, i.e. the doc_b side of the x68 pair report. A
+    * document survives iff it has no lower-id substring partner, so the
+    * kept set is a pure function of the data (rerun-stable), and the
+    * rule composes with x68 exactly (oracle reuses the pair CTEs).
+    *
+    * Unlike x47/x64 — where the flagged set is benchmark-contamination,
+    * tiny by construction, and the anti-join broadcasts — cross-corpus
+    * duplication is a large FRACTION of a web corpus (30–50% in
+    * published crawls), so the removal anti-join deliberately carries NO
+    * broadcast hint: on real data it must run as a shuffled anti-join on
+    * the uniform doc_id key. */
+  def crossDocSubstringDedup(spark: SparkSession, dir: String,
+                             k: Int = DecontamGramChars,
+                             maxGramDf: Int = CrossDocMaxGramDf): DataFrame = {
+    val flagged = crossDocSubstringPairs(spark, dir, k, maxGramDf, minShared = 1)
+      .select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(spark, dir)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
   }
 
   /** 64-bit SimHash from word hashes: sum ±1 per bit position weighted by

@@ -508,6 +508,20 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), plan)
   }
 
+  test("crossDocSubstringDedup (x72): keeps exactly the docs with no lower-id partner") {
+    val pairs = crossDocPairsRef(graft.Tables.documents(spark, sf),
+      Dedup.CrossDocMaxGramDf)
+    val flagged = pairs.map(_._2)
+    val all = graft.Tables.documents(spark, sf).select($"doc_id").as[Long].collect().toSet
+    val expect = all -- flagged
+    val got = Dedup.crossDocSubstringDedup(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == expect)
+    assert(flagged.nonEmpty && got.nonEmpty, "removal must fire both ways")
+    // first-occurrence-wins: the minimum id of every partner pair survives
+    pairs.foreach { case (a, _, _) => if (!flagged.contains(a)) assert(got.contains(a)) }
+  }
+
   test("crossDocSubstringPairs: the hot-gram stop-list drops boilerplate-only pairs") {
     // 25 docs all share one boilerplate span (df 25 > cap 20); docs 0 and
     // 1 additionally share a unique span. Only the (0, 1) pair may
