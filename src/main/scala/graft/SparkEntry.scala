@@ -110,6 +110,8 @@ object SparkEntry {
     "x70_best_keep"         -> ((s, d) => Dedup.bestKeepCorpus(s, d)),
     "x71_shard_read_audit"  -> ((s, d) => Sampling.shardReadAudit(s, d)),
     "x72_crossdoc_deduped"  -> ((s, d) => Dedup.crossDocSubstringDedup(s, d)),
+    "x74_epoch_shuffle"     -> ((s, d) => Sampling.epochShuffle(s, d)),
+    "x75_upsample_mixture"  -> ((s, d) => Sampling.upsampleMixture(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1540,6 +1542,47 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, d.lang, d.n_chars
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_b FROM xpairs)""".stripMargin,
+
+    // x74: deterministic epoch-seeded training order — salted md5-60
+    // permutation key, shard = high hash bits (exact power-of-two
+    // division), in-shard position by window. Epoch/shard knobs
+    // interpolated from Sampling.Shuffle* constants.
+    "x74_epoch_shuffle" -> {
+      val shardWidth = operators.Sampling.HashSpace / operators.Sampling.ShuffleShards
+      s"""WITH e AS (SELECT doc_id, epoch
+        |           FROM documents,
+        |                unnest(range(1, ${operators.Sampling.ShuffleEpochs} + 1)) AS t(epoch)),
+        |h AS (SELECT doc_id, epoch,
+        |        ('0x' || substr(md5('epoch:' || CAST(epoch AS VARCHAR) || ':'
+        |                             || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |      FROM e)
+        |SELECT CAST(epoch AS BIGINT) AS epoch,
+        |       h // ${shardWidth} AS shard,
+        |       CAST(row_number() OVER (PARTITION BY epoch, h // ${shardWidth}
+        |                               ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
+        |       doc_id, h
+        |FROM h""".stripMargin
+    },
+
+    // x75: fractional mixture upsampling — pinned micro-weights
+    // interpolated from Sampling.UpsampleWeightsMicro; integer copies via
+    // floor division, the fractional copy via the md5-60 mod-1e6 coin,
+    // copies materialized with unnest(range) (empty when n = 0).
+    "x75_upsample_mixture" -> {
+      val rows = operators.Sampling.UpsampleWeightsMicro
+        .map { case (s, w) => s"('$s', ${w})" }.mkString(", ")
+      s"""WITH w(source, w_micro) AS (VALUES $rows),
+        |d AS (SELECT doc_id, d.source,
+        |        coalesce(w.w_micro, ${operators.Sampling.UpsampleDefaultMicro}) AS wm,
+        |        ('0x' || substr(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |          % 1000000 AS hf
+        |      FROM documents d LEFT JOIN w USING (source)),
+        |c AS (SELECT doc_id, source,
+        |        wm // 1000000 + CASE WHEN hf < wm % 1000000 THEN 1 ELSE 0 END AS n
+        |      FROM d)
+        |SELECT doc_id, source, CAST(rep AS BIGINT) AS rep
+        |FROM c, unnest(range(1, n + 1)) AS t(rep)""".stripMargin
+    },
 
     // x59: corpus-weighted adjacent char-pair counts over the word-freq
     // aggregate — the first BPE merge's argmax input.

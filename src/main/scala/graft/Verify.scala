@@ -5,7 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [comma-separated query-name filter] — the driver
+    // passes two args (full run); the optional filter is a dev-loop
+    // convenience that restricts BOTH the dump and oracle_sql.json so
+    // tools/compare_oracle.py checks just the named queries.
+    val (sfDir, outDir) = (args(0), args(1))
+    val nameFilter: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    def selected(name: String): Boolean = nameFilter.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,11 +24,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      if (selected(name))
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
     }
     // x18's oracle is EXACT brute-force equality under measured recall 1.0
     // — a corpus-dependent gate. Record the measured recall NEXT TO the
@@ -29,7 +37,7 @@ object Verify {
     // verify artifacts alone: recall < 1 → recall loss on this corpus (the
     // pruning legitimately dropped a true neighbor; gate artifact, not a
     // bug), recall = 1 → the dataflow itself diverged (real bug).
-    try {
+    if (selected("x18_ann_ivf")) try {
       def keySet(df: org.apache.spark.sql.DataFrame) =
         df.select("q_id", "vec_id", "rank").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
@@ -56,6 +64,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

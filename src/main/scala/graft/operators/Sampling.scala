@@ -523,4 +523,94 @@ object Sampling {
       .agg(max(col("n")).as("n_docs"),
         pick(25).as("q25_chars"), pick(50).as("q50_chars"), pick(75).as("q75_chars"))
   }
+
+  /** x74 knobs: epochs in the training schedule and the shard fan-out of
+    * the materialized order. Shards MUST be a power of two dividing the
+    * md5-60 hash space so `h div (HashSpace/shards)` is exact high-bit
+    * extraction — shared with the oracle SQL. */
+  val ShuffleEpochs: Int = 3
+  val ShuffleShards: Int = 16
+
+  /** Deterministic epoch-seeded training-order shuffle (x74): the global
+    * permutation a training run reads the corpus in, re-drawn per epoch.
+    * Order key is the salted md5-60 of (epoch, doc_id) — a pure function
+    * of the data, so every re-run (and the oracle) reproduces the same
+    * permutation; `rand()` here would silently re-deal the curriculum on
+    * task retry. The total order is materialized the only way a global sort
+    * can be at 100 TB: shard = HIGH BITS of the hash (so shards ascend in
+    * key order — `shard asc, pos asc` IS the global hash order) and an
+    * in-shard position from a window partitioned BY (epoch, shard) —
+    * epochs × shards independent partitions, no single-task global
+    * row_number, no driver zipWithIndex. Readers consume (epoch, shard,
+    * pos) lexicographically — the same contract as x37's packed-shard
+    * layout. Per-epoch salts make the permutations independent; the
+    * epoch explode costs epochs× rows BEFORE any shuffle (map-side), and
+    * the one shuffle is the window's, keyed on (epoch, shard). */
+  def epochShuffle(spark: SparkSession, dir: String, epochs: Int = ShuffleEpochs,
+                   shards: Int = ShuffleShards): DataFrame = {
+    require(epochs >= 1 && shards >= 1 && (shards & (shards - 1)) == 0,
+      "need epochs >= 1 and shards a power of two")
+    val shardWidth = HashSpace / shards
+    val h = Dedup.md5Hash60(
+      concat(lit("epoch:"), col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string")))
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(sequence(lit(1), lit(epochs))).as("epoch"))
+      .withColumn("h", h)
+      .withColumn("shard", expr(s"h div ${shardWidth}L"))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    keyed
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("epoch").cast("long").as("epoch"), col("shard"),
+        col("pos"), col("doc_id"), col("h"))
+  }
+
+  /** x75's pinned mixture weights in micro-units (1e6 = keep exactly
+    * once): the data-mixing spec a training run ships — here frozen as a
+    * constant so the oracle interpolates the SAME table (the
+    * PinnedBpeMerges pattern). Sources not listed default to
+    * `UpsampleDefaultMicro`. Weights > 1e6 upsample (2_500_000 = every
+    * doc twice plus a 50% chance of a third copy); weights < 1e6
+    * downsample. */
+  val UpsampleWeightsMicro: Seq[(String, Long)] = Seq(
+    "src0" -> 2500000L, "src3" -> 1300000L, "src7" -> 3000000L,
+    "src12" -> 700000L, "src18" -> 250000L)
+  val UpsampleDefaultMicro: Long = 1000000L
+
+  /** Fractional source upsampling (x75): materialize the per-source
+    * mixture weights as deterministic document REPEATS — the standard way
+    * a pretraining mix realizes "see source A 2.5× per epoch" (integer
+    * part = unconditional copies; fractional part = one extra copy for a
+    * hash-selected `frac` share of the source's docs). The coin is
+    * `md5-60(doc_id) mod 1e6 < w mod 1e6` — exact integer arithmetic, a
+    * pure function of doc_id, so reruns repeat the same docs and the
+    * oracle replicates the realized multiset row-for-row (`rep` numbers
+    * the copies 1..n).
+    *
+    * 100 TB shape: the weight table is spec-sized and broadcasts; copies
+    * materialize as a per-row `explode(sequence)` in the scan projection
+    * — zero shuffles, output rows = Σ wᵢ·nᵢ by construction. Downstream
+    * consumers shuffle the repeats, not this operator. */
+  def upsampleMixture(spark: SparkSession, dir: String,
+                      weightsMicro: Seq[(String, Long)] = UpsampleWeightsMicro,
+                      defaultMicro: Long = UpsampleDefaultMicro): DataFrame = {
+    require(weightsMicro.forall(_._2 >= 0L) && defaultMicro >= 0L,
+      "weights must be non-negative")
+    val spark2 = spark; import spark2.implicits._
+    val weights = broadcast(weightsMicro.toDF("source", "w_micro"))
+    val hf = pmod(Dedup.md5Hash60(concat(lit("up:"), col("doc_id").cast("string"))),
+      lit(1000000L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(weights, Seq("source"), "left")
+      .withColumn("wm", coalesce(col("w_micro"), lit(defaultMicro)))
+      .withColumn("n_copies",
+        expr("wm div 1000000L") + when(hf < col("wm") % lit(1000000L), 1L).otherwise(0L))
+      .select(col("doc_id"), col("source"),
+        explode(when(col("n_copies") > 0,
+          sequence(lit(1L), col("n_copies")))
+          .otherwise(array().cast("array<long>"))).as("rep"))
+      .select(col("doc_id"), col("source"), col("rep"))
+  }
 }

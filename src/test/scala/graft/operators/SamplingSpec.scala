@@ -412,8 +412,69 @@ class SamplingSpec extends SparkSpec {
       assert(q25 <= q50 && q50 <= q75, src)
       assert(n == rowsBySource(src), s"$src n_docs") // true per-stratum row count
       // order statistics are actual values from the stratum, not interpolations
-      assert(valuesBySource(src).contains(q25) && valuesBySource(src).contains(q50)
-        && valuesBySource(src).contains(q75))
+      assert(valuesBySource(src).contains(q25) && valuesBySource(src).contains(q75)
+        && valuesBySource(src).contains(q50))
     }
+  }
+
+  test("epochShuffle (x74): per-epoch permutation, shard-local positions, global hash order") {
+    val n = graft.Tables.documents(spark, sf).count()
+    val out = Sampling.epochShuffle(spark, sf).cache()
+    try {
+      // every epoch is a full permutation of the corpus
+      val perEpoch = out.groupBy($"epoch").agg(
+        count(lit(1)).as("n"), countDistinct($"doc_id").as("nd"))
+        .as[(Long, Long, Long)].collect()
+      assert(perEpoch.length == Sampling.ShuffleEpochs)
+      perEpoch.foreach { case (_, rows, distinct) =>
+        assert(rows == n && distinct == n)
+      }
+      // epochs are DIFFERENT permutations (independent salts)
+      val ordered = out.orderBy($"epoch", $"shard", $"pos")
+        .select($"epoch", $"doc_id").as[(Long, Long)].collect()
+      val byEpoch = ordered.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      assert(byEpoch(1L) != byEpoch(2L) && byEpoch(2L) != byEpoch(3L))
+      // (shard asc, pos asc) IS ascending hash order: shard = high hash bits
+      val rows = out.filter($"epoch" === 1)
+        .orderBy($"shard", $"pos").select($"h").as[Long].collect()
+      assert(rows.toSeq == rows.sorted.toSeq)
+      // positions are dense 0..k-1 within each (epoch, shard)
+      val dense = out.groupBy($"epoch", $"shard")
+        .agg(min($"pos").as("lo"), max($"pos").as("hi"), count(lit(1)).as("k"))
+        .as[(Long, Long, Long, Long, Long)].collect()
+      dense.foreach { case (_, _, lo, hi, k) => assert(lo == 0L && hi == k - 1) }
+    } finally out.unpersist()
+  }
+
+  test("upsampleMixture (x75): realized copies match the pinned weights exactly") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val out = Sampling.upsampleMixture(spark, sf)
+      .select($"doc_id", $"source", $"rep").as[(Long, String, Long)].collect()
+    val weights = Sampling.UpsampleWeightsMicro.toMap
+    val copies = out.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    docs.foreach { case (id, src) =>
+      val w = weights.getOrElse(src, Sampling.UpsampleDefaultMicro)
+      val got = copies.getOrElse(id, 0L)
+      // every doc lands within [floor(w), floor(w)+1] copies of its weight
+      assert(got == w / 1000000 || got == w / 1000000 + 1, s"doc $id ($src)")
+      // rep numbers the copies 1..n with no gaps
+      val reps = out.filter(_._1 == id).map(_._3).sorted
+      assert(reps.sameElements(1L to got))
+    }
+    // the fractional coin realizes the weight in aggregate: per-source
+    // totals within a loose binomial band around n * w / 1e6
+    val bySource = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val outBySource = out.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    bySource.foreach { case (src, nDocs) =>
+      val w = weights.getOrElse(src, Sampling.UpsampleDefaultMicro)
+      val expected = nDocs * w / 1000000.0
+      val got = outBySource.getOrElse(src, 0L).toDouble
+      assert(math.abs(got - expected) <= math.max(3.0, nDocs * 0.5), s"$src got $got exp $expected")
+    }
+    // default-weight sources pass through exactly once
+    val defaultSrc = docs.filterNot(d => weights.contains(d._2))
+    assert(defaultSrc.nonEmpty)
+    defaultSrc.foreach { case (id, _) => assert(copies(id) == 1L) }
   }
 }
