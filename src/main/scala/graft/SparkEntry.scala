@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, IntervalJoin, JsonOps, Multimodal, Relational, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, IntervalJoin, JsonOps, Multimodal, Relational, Retrieval, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -110,6 +110,7 @@ object SparkEntry {
     "x70_best_keep"         -> ((s, d) => Dedup.bestKeepCorpus(s, d)),
     "x71_shard_read_audit"  -> ((s, d) => Sampling.shardReadAudit(s, d)),
     "x72_crossdoc_deduped"  -> ((s, d) => Dedup.crossDocSubstringDedup(s, d)),
+    "x73_bm25_topk"         -> ((s, d) => Retrieval.bm25TopK(s, d)),
     "x74_epoch_shuffle"     -> ((s, d) => Sampling.epochShuffle(s, d)),
     "x75_upsample_mixture"  -> ((s, d) => Sampling.upsampleMixture(s, d)),
   )
@@ -1542,6 +1543,38 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, d.lang, d.n_chars
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_b FROM xpairs)""".stripMargin,
+
+    // x73: BM25-family ranked retrieval — the log-free rational scoring
+    // replicated term-for-term (Retrieval.pointsSqlExpr's algebra with
+    // DuckDB's // integer division), pinned query set interpolated from
+    // Retrieval.Bm25Queries, top-k per query by (score desc, doc_id).
+    "x73_bm25_topk" -> {
+      val qrows = operators.Retrieval.Bm25Queries
+        .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }.mkString(", ")
+      s"""WITH q(query_id, term) AS (VALUES $qrows),
+        |tot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS w_total,
+        |               CAST(count(*) AS BIGINT) AS n_docs
+        |        FROM documents),
+        |tok AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t),
+        |tf AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok WHERE term IN (SELECT term FROM q)
+        |       GROUP BY 1, 2, 3),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_terms,
+        |         CAST(sum((${operators.Retrieval.Bm25Scale}::BIGINT * 22 * tf.tf * w_total
+        |                    * (2 * (n_docs - df.df) + 1))
+        |               // ((10 * tf.tf * w_total + 3 * w_total + 9 * tf.dl * n_docs)
+        |                    * (2 * df.df + 1))) AS BIGINT) AS score_pts
+        |       FROM tf JOIN df USING (term) JOIN q USING (term), tot
+        |       GROUP BY 1, 2)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, n_terms, score_pts
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY score_pts DESC, doc_id) AS BIGINT) AS rank
+        |      FROM sc) r
+        |WHERE rank <= ${operators.Retrieval.Bm25TopK}""".stripMargin
+    },
 
     // x74: deterministic epoch-seeded training order — salted md5-60
     // permutation key, shard = high hash bits (exact power-of-two

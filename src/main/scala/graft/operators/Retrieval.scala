@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Ranked retrieval over the `documents` table (x73) — the query-side
+  * consumer of x51's inverted-index statistics: score candidate documents
+  * for a set of keyword queries with a BM25-family weighting and return
+  * the top-k per query.
+  *
+  * Scoring is the LOG-FREE BM25 rational form, so every number is a ratio
+  * of BIGINTs and the whole score is ONE integer division — bit-exact
+  * cross-engine (the repo's tfidf/x49 discipline; a true `log` idf would
+  * inherit libm rounding differences, which are not IEEE-pinned):
+  *
+  *   tf_part = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))   k1=6/5, b=3/4
+  *           = 22·tf·W / (10·tf·W + 3·W + 9·dl·N)           avgdl = W/N
+  *   idf_r   = (N − df + ½) / (df + ½) = (2(N−df)+1) / (2df+1)
+  *   points  = (Scale · 22·tf·W · (2(N−df)+1))
+  *               div ((10·tf·W + 3·W + 9·dl·N) · (2df+1))
+  *
+  * `idf_r` is the BM25+ idf with the log dropped: per-term it is a
+  * monotone transform of the classical idf, and because rare terms get
+  * polynomially (not logarithmically) more weight, the ranking gives
+  * rare-term matches strictly more influence — a documented variant
+  * choice, not an approximation of the log form.
+  *
+  * 100 TB shape: the query set is spec-sized and broadcasts into the
+  * token explode, so only postings of QUERY terms ever shuffle (the
+  * corpus-wide vocabulary is never aggregated); `dl` rides the explode as
+  * a grouping column, so no join back to a doc-length table; df attaches
+  * to the tf rows with a window partitioned by term — NOT a separate
+  * aggregate branch, which would re-derive the whole postings subtree
+  * from a second corpus scan (Spark does not reuse unpersisted subplans).
+  * Corpus totals (W, N) are a broadcast 1-row aggregate (x42's pattern —
+  * one documented extra scan of the text column); and the per-query
+  * top-k is a rank window that Spark executes with WindowGroupLimit,
+  * pruning to k rows per query BEFORE the final shuffle. Known bound: the
+  * df window buffers one term's postings per task, so a stop-word query
+  * term is a skew key; production retrieval reads df from the
+  * materialized x51 index (where it is a stored column) and skips terms
+  * with df above a cap (x02's stop-shingle discipline) — not wired here
+  * so the oracle covers the full formula.
+  *
+  * Overflow bound (documented like x65's): |numerator| ≤
+  * Scale·22·tf·W·(2N+1) must stay under 2⁶³ — holds through sf0.1 by
+  * orders of magnitude (≈10¹⁷); at true corpus scale the dl/avgdl ratio
+  * would be quantized first (x52's trick) to keep W out of the product.
+  */
+object Retrieval {
+
+  /** Pinned keyword queries (x73) — the evaluation query set frozen as a
+    * constant and interpolated into BOTH the Spark plan and the DuckDB
+    * oracle (the PinnedBpeMerges pattern). */
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("query", "scan", "fast"),
+    2 -> Seq("join", "merge", "hash"),
+    3 -> Seq("window", "sort", "stream"),
+    4 -> Seq("spark", "table"),
+    5 -> Seq("key", "value", "column", "row"))
+
+  /** Results per query, and the fixed-point scale of the integer score
+    * (1 point = 10⁻⁵ of the rational BM25 score) — shared with the
+    * oracle SQL. */
+  val Bm25TopK: Int = 10
+  val Bm25Scale: Long = 100000L
+
+  /** Per-(term, doc) integer score expression — kept as ONE SQL string so
+    * the Scaladoc algebra, this expression, and the oracle SQL are
+    * visibly the same formula. Expects columns tf, dl, df, w_total,
+    * n_docs (all BIGINT). */
+  private[graft] def pointsSqlExpr: String =
+    s"CAST((${Bm25Scale}L * 22L * tf * w_total * (2L * (n_docs - df) + 1L)) div " +
+      "((10L * tf * w_total + 3L * w_total + 9L * dl * n_docs) * (2L * df + 1L)) AS BIGINT)"
+
+  def bm25TopK(spark: SparkSession, dir: String,
+               queries: Seq[(Int, Seq[String])] = Bm25Queries,
+               k: Int = Bm25TopK): DataFrame = {
+    require(queries.nonEmpty && k >= 1, "need at least one query and k >= 1")
+    val spark2 = spark; import spark2.implicits._
+    val qterms = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("query_id", "term")
+    val docs = Tables.documents(spark, dir)
+    // corpus totals as a broadcast 1-row aggregate (second text scan,
+    // partial-agg'd to one row — never a shuffle)
+    val totals = docs.agg(
+      sum(size(split(col("text"), " "))).as("w_total"),
+      count(lit(1)).as("n_docs"))
+    // postings of query terms only: broadcast-semi the explode, dl rides
+    // along as a grouping column (functionally dependent on doc_id)
+    val tf = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    // df per term as a window over the tf rows (one pass; a groupBy
+    // branch would recompute the postings subtree from a fresh scan)
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    val scored = withDf
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("points", expr(pointsSqlExpr))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("points")).as("score_pts"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_pts").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id").cast("long").as("query_id"), col("rank"),
+        col("doc_id"), col("n_terms"), col("score_pts"))
+  }
+}

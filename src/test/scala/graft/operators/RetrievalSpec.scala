@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  /** Driver-side BigInt replica of the scoring algebra in
+    * `Retrieval.pointsSqlExpr` — an independent third implementation
+    * (besides the Spark plan and the DuckDB oracle) so a shared algebra
+    * typo can't self-certify. */
+  private def expectedTopK(k: Int): Map[Long, Seq[(Long, Long, Long)]] = {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val wTotal = BigInt(toks.map(_._2.size).sum)
+    val nDocs = BigInt(docs.length)
+    val tf = toks.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, occ) => (w, id, BigInt(ws.size), BigInt(occ.size)) }
+    }
+    val dfByTerm = tf.groupBy(_._1).view.mapValues(g => BigInt(g.length)).toMap
+    Retrieval.Bm25Queries.map { case (qid, terms) =>
+      val perDoc = terms.flatMap { term =>
+        tf.filter(_._1 == term).map { case (_, id, dl, f) =>
+          val dfv = dfByTerm(term)
+          val num = BigInt(Retrieval.Bm25Scale) * 22 * f * wTotal * (2 * (nDocs - dfv) + 1)
+          val den = (10 * f * wTotal + 3 * wTotal + 9 * dl * nDocs) * (2 * dfv + 1)
+          id -> (num / den) // BigInt / truncates toward zero == div on positives
+        }
+      }.groupBy(_._1).view
+        .mapValues(vs => (vs.map(_._2).sum, BigInt(vs.size))).toSeq
+      val ranked = perDoc
+        .sortBy { case (id, (score, _)) => (-score, id) }
+        .take(k)
+        .map { case (id, (score, n)) => (id, n.toLong, score.toLong) }
+      qid.toLong -> ranked
+    }.toMap
+  }
+
+  test("bm25TopK (x73): exact match with an independent BigInt recompute") {
+    val k = Retrieval.Bm25TopK
+    val got = Retrieval.bm25TopK(spark, sf)
+      .select($"query_id", $"rank", $"doc_id", $"n_terms", $"score_pts")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(r => (r._3, r._4, r._5)).toSeq).toMap
+    val want = expectedTopK(k)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (qid, rows) =>
+      assert(rows == want(qid), s"query $qid")
+      assert(rows.size <= k)
+    }
+    // scores are positive and non-increasing down the ranking
+    got.values.foreach { rows =>
+      assert(rows.forall(_._3 > 0))
+      assert(rows.map(_._3).sliding(2).forall(p => p.size < 2 || p(0) >= p(1)))
+    }
+  }
+
+  test("pointsSqlExpr monotonicity: rarer terms and higher tf score strictly higher") {
+    // drive the actual scoring expression through Spark on synthetic
+    // (tf, dl, df) rows: the rational idf must rank a rare-term hit above
+    // a common-term hit at equal tf/dl, and more tf must never hurt
+    val rows = Seq(
+      // (case,        tf, dl,  df)
+      ("rare_hit",     1L, 50L, 2L),
+      ("common_hit",   1L, 50L, 400L),
+      ("tf1",          1L, 50L, 10L),
+      ("tf3",          3L, 50L, 10L),
+      ("short_doc",    1L, 10L, 10L),
+      ("long_doc",     1L, 500L, 10L))
+      .toDF("label", "tf", "dl", "df")
+      .withColumn("w_total", lit(25000L)).withColumn("n_docs", lit(500L))
+    val pts = rows.withColumn("points", expr(Retrieval.pointsSqlExpr))
+      .select($"label", $"points").as[(String, Long)].collect().toMap
+    assert(pts("rare_hit") > pts("common_hit"))
+    assert(pts("tf3") > pts("tf1"))
+    assert(pts("short_doc") > pts("long_doc")) // BM25 length normalization
+    assert(pts.values.forall(_ > 0))
+  }
+
+  test("bm25TopK plan: one postings scan, WindowGroupLimit top-k, broadcast-only joins") {
+    val q = Retrieval.bm25TopK(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // per-query top-k is pruned before the shuffle
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // exactly two parquet scans: postings (doc_id,text) + 1-row totals (text)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 2, s"expected 2 scans (postings + totals), got $scans\n$plan")
+    // the only nested-loop join is the broadcast 1-row totals cross
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnl <= 1, plan)
+    assert(!plan.contains("SortMergeJoin"), s"no corpus-sized join expected\n$plan")
+  }
+}
