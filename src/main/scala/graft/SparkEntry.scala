@@ -113,12 +113,48 @@ object SparkEntry {
     "x73_bm25_topk"         -> ((s, d) => Retrieval.bm25TopK(s, d)),
     "x74_epoch_shuffle"     -> ((s, d) => Sampling.epochShuffle(s, d)),
     "x75_upsample_mixture"  -> ((s, d) => Sampling.upsampleMixture(s, d)),
+    "x76_bpe_chunks"        -> ((s, d) => TextAnalysis.bpeChunkDocuments(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
     * set-similarity pairs → symmetric edges → transitive closure) —
     * shared verbatim by x57's oracle so corpus-level dedup can't diverge
     * from the cluster definition. */
+  /** The recursive-CTE replica of `BpeEncode`'s greedy loop over the
+    * distinct-word set, ending in `term(w, n_toks)` — shared by x63 and
+    * x76 so budget counting and chunking can't diverge on tokenization.
+    * Merge table interpolated from TextAnalysis.PinnedBpeMerges; every
+    * pinned merge has left ≠ right, so the set-based simultaneous rewrite
+    * equals the kernel's left-to-right pass (asserted in spec). */
+  private def bpeTermCteSql: String = {
+    val merges = operators.TextAnalysis.PinnedBpeMerges
+    val aLit = merges.map(m => s"'${m._1}'").mkString("[", ",", "]")
+    val bLit = merges.map(m => s"'${m._2}'").mkString("[", ",", "]")
+    val nm = merges.length
+    // lowest-rank applicable merge for a symbol list, NULL when none
+    val br = s"list_min([r for r in range(1, $nm+1) " +
+      s"if len([i for i in range(1, len(syms)) " +
+      s"if syms[i] = c.A[r] AND syms[i+1] = c.B[r]]) > 0])"
+    s"""WITH RECURSIVE
+      |consts AS (SELECT $aLit AS A, $bLit AS B),
+      |words AS (SELECT DISTINCT w
+      |          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |          WHERE len(w) > 0),
+      |enc AS (
+      |  SELECT w, [substr(w, i, 1) for i in range(1, len(w)+1)] AS syms FROM words
+      |  UNION ALL
+      |  SELECT w,
+      |    list_transform(
+      |      [i for i in range(1, len(syms)+1)
+      |         if NOT (i > 1 AND syms[i-1] = c.A[br] AND syms[i] = c.B[br])],
+      |      i -> CASE WHEN i < len(syms) AND syms[i] = c.A[br] AND syms[i+1] = c.B[br]
+      |                THEN syms[i] || syms[i+1] ELSE syms[i] END) AS syms
+      |  FROM (SELECT w, syms, $br AS br FROM enc, consts c) t, consts c
+      |  WHERE br IS NOT NULL),
+      |term AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_toks
+      |         FROM enc, consts c WHERE $br IS NULL)""".stripMargin
+  }
+
   /** x62's benchmark/corpus char-gram CTEs, shared by x64's oracle (the
     * clustersCteSql pattern: removal may not diverge from detection). */
   private def substringContamCtes: String = {
@@ -1420,33 +1456,8 @@ object SparkEntry {
     // terminal states (no applicable merge) carry each word's token
     // count back onto the per-occurrence join. Merge table interpolated
     // from TextAnalysis.PinnedBpeMerges (LshPlanes pattern).
-    "x63_bpe_token_budget" -> {
-      val merges = operators.TextAnalysis.PinnedBpeMerges
-      val aLit = merges.map(m => s"'${m._1}'").mkString("[", ",", "]")
-      val bLit = merges.map(m => s"'${m._2}'").mkString("[", ",", "]")
-      val nm = merges.length
-      // lowest-rank applicable merge for a symbol list, NULL when none
-      val br = s"list_min([r for r in range(1, $nm+1) " +
-        s"if len([i for i in range(1, len(syms)) " +
-        s"if syms[i] = c.A[r] AND syms[i+1] = c.B[r]]) > 0])"
-      s"""WITH RECURSIVE
-        |consts AS (SELECT $aLit AS A, $bLit AS B),
-        |words AS (SELECT DISTINCT w
-        |          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
-        |          WHERE len(w) > 0),
-        |enc AS (
-        |  SELECT w, [substr(w, i, 1) for i in range(1, len(w)+1)] AS syms FROM words
-        |  UNION ALL
-        |  SELECT w,
-        |    list_transform(
-        |      [i for i in range(1, len(syms)+1)
-        |         if NOT (i > 1 AND syms[i-1] = c.A[br] AND syms[i] = c.B[br])],
-        |      i -> CASE WHEN i < len(syms) AND syms[i] = c.A[br] AND syms[i+1] = c.B[br]
-        |                THEN syms[i] || syms[i+1] ELSE syms[i] END) AS syms
-        |  FROM (SELECT w, syms, $br AS br FROM enc, consts c) t, consts c
-        |  WHERE br IS NOT NULL),
-        |term AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_toks
-        |         FROM enc, consts c WHERE $br IS NULL),
+    "x63_bpe_token_budget" ->
+      s"""$bpeTermCteSql,
         |occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |doctoks AS (SELECT o.doc_id, sum(t.n_toks) AS toks
         |            FROM occ o JOIN term t USING (w) GROUP BY 1),
@@ -1459,8 +1470,28 @@ object SparkEntry {
         |       CAST(sum(coalesce(d.toks, 0)) AS BIGINT) AS bpe_tokens,
         |       CAST(sum(l.ws) AS BIGINT) AS ws_tokens
         |FROM lab l LEFT JOIN doctoks d USING (doc_id)
-        |GROUP BY 1, 2""".stripMargin
-    },
+        |GROUP BY 1, 2""".stripMargin,
+
+    // x76: token-budget chunking under the pinned tokenizer — per-word
+    // counts from the shared recursive BPE CTE (empty words count 0 via
+    // the LEFT JOIN), cumulative sum per doc, floor-division chunk ids.
+    "x76_bpe_chunks" ->
+      s"""$bpeTermCteSql,
+        |occ AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+        |             unnest(range(1, len(ws) + 1)) AS u(i)),
+        |wt AS (SELECT o.doc_id, o.pos, coalesce(t.n_toks, 0) AS n_toks
+        |       FROM occ o LEFT JOIN term t USING (w)),
+        |cum AS (SELECT doc_id, pos, n_toks,
+        |          sum(n_toks) OVER (PARTITION BY doc_id ORDER BY pos) AS cum_after
+        |        FROM wt)
+        |SELECT doc_id,
+        |       CAST((cum_after - n_toks) // ${operators.TextAnalysis.BpeChunkBudget} AS BIGINT) AS chunk_id,
+        |       CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(n_toks) AS BIGINT) AS chunk_tokens,
+        |       CAST(min(pos) AS BIGINT) AS first_word,
+        |       CAST(max(pos) AS BIGINT) AS last_word
+        |FROM cum GROUP BY 1, 2""".stripMargin,
 
     // x69: the unified ship-corpus assembly — the composed funnel's
     // oracle reuses each stage's CTEs VERBATIM (clusters from x17/x57,

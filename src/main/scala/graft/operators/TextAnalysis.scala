@@ -776,6 +776,59 @@ object TextAnalysis {
         md5(array_join(col("chunk"), " ")).as("chunk_md5"))
   }
 
+  /** x76's token budget per chunk, shared with the oracle SQL. */
+  val BpeChunkBudget: Long = 32L
+
+  /** Per-word BPE token counts, in word order — `bpe_encode` applied to
+    * each word via `transform` (the encode is word-local, so per-word ≡
+    * whole-text slicing; asserted in spec). Shared by the x76 kernel
+    * query and its window twin so the two can't diverge on tokenization. */
+  private def perWordTokenCounts(merges: Seq[(String, String)]): Column =
+    transform(words(col("text")),
+      w => size(graft.functions.BpeEncode.bpe_encode(w, merges)).cast("long"))
+
+  /** BPE-token-budget document chunking (x76): cut every document into
+    * chunks of ~`budget` TOKENIZER tokens at word boundaries — x45's
+    * context-window prep, but budgeted by the tokens the model actually
+    * sees (the pinned x63 tokenizer) instead of the whitespace proxy. A
+    * word belongs to the chunk its first token falls in, so chunks
+    * overflow by at most one word's tokens, and a single word longer than
+    * the budget owns its chunk (ids skip past its overflow — documented
+    * kernel semantics).
+    *
+    * 100 TB shape: per-word counts (`transform` + the fused `BpeEncode`)
+    * and chunk assignment (the linear `TokenChunkStats` kernel) both run
+    * inside the scan projection, and the chunk structs inline-explode —
+    * ZERO shuffles at any corpus size, unlike the window-twin formulation
+    * (one corpus shuffle on doc_id), which is kept only as the spec's
+    * equivalence reference. */
+  def bpeChunkDocuments(spark: SparkSession, dir: String,
+                        budget: Long = BpeChunkBudget,
+                        merges: Seq[(String, String)] = PinnedBpeMerges): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TokenChunkStats.token_chunk_stats(
+          perWordTokenCounts(merges), budget)).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.n_words"),
+        col("c.chunk_tokens"), col("c.first_word"), col("c.last_word"))
+
+  /** The window formulation of x76 — cumulative token sum per doc, floor
+    * division, groupBy — costing one corpus shuffle on doc_id. Reference
+    * twin for KernelPropertiesSpec only. */
+  private[graft] def bpeChunkDocumentsWindowTwin(spark: SparkSession, dir: String,
+                                                 budget: Long = BpeChunkBudget,
+                                                 merges: Seq[(String, String)] = PinnedBpeMerges): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(perWordTokenCounts(merges)).as(Seq("pos", "n_toks")))
+      .withColumn("cum_after", sum(col("n_toks")).over(w))
+      .withColumn("chunk_id", expr(s"CAST((cum_after - n_toks) div ${budget}L AS BIGINT)"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("chunk_tokens"),
+        min(col("pos")).cast("long").as("first_word"),
+        max(col("pos")).cast("long").as("last_word"))
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting, as in
     * MOSS): hash every k-char gram, take the minimum hash of each sliding
     * window of w grams, emit the distinct minima. Guarantees any shared

@@ -109,4 +109,56 @@ class KernelPropertiesSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(kernel == hof)
   }
+
+  test("property: TokenChunkStats ≡ driver-side cumsum chunking on random count arrays") {
+    // zero counts (empty words), counts far above the budget (chunk-id
+    // skips), and empty arrays all hit the kernel's flush edges
+    val budget = 7L
+    val arrays: Seq[Seq[Long]] = Seq.fill(300) {
+      Seq.fill(rng.nextInt(25))(rng.nextInt(20) match {
+        case n if n < 4 => 0L
+        case n if n < 18 => n.toLong
+        case _ => 50L // single word longer than the budget
+      })
+    } ++ Seq(Seq.empty[Long], Seq(0L, 0L, 0L), Seq(100L), Seq(7L, 7L, 7L))
+    def expected(c: Seq[Long]): Seq[(Long, Long, Long, Long, Long)] = {
+      val cumBefore = c.scanLeft(0L)(_ + _).dropRight(1)
+      c.indices.map(i => (cumBefore(i) / budget, i))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (cid, ws) =>
+          val idx = ws.map(_._2)
+          (cid, idx.size.toLong, idx.map(c).sum, idx.min.toLong, idx.max.toLong)
+        }
+    }
+    val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "counts")
+    val got = df.select($"id",
+      explode(TokenChunkStats.token_chunk_stats($"counts", budget)).as("c"))
+      .select($"id", $"c.chunk_id", $"c.n_words", $"c.chunk_tokens",
+        $"c.first_word", $"c.last_word")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._2, r._3, r._4, r._5, r._6)).toSeq)
+      .toMap
+    arrays.zipWithIndex.foreach { case (a, i) =>
+      assert(got.getOrElse(i.toLong, Seq.empty) == expected(a), s"array $i: $a")
+    }
+  }
+
+  test("x76 kernel query ≡ window-twin formulation on real docs; per-word encode ≡ whole-text") {
+    val sf = "/root/testdata/sf0.001"
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"chunk_id", $"n_words", $"chunk_tokens", $"first_word", $"last_word")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val kernel = key(TextAnalysis.bpeChunkDocuments(spark, sf))
+    val twin = key(TextAnalysis.bpeChunkDocumentsWindowTwin(spark, sf))
+    assert(kernel == twin)
+    assert(kernel.nonEmpty)
+    // chunk token totals conserve the x63 whole-text token count per doc
+    // (word boundaries are token boundaries: per-word encode ≡ whole-text)
+    val merges = TextAnalysis.PinnedBpeMerges
+    val whole = graft.Tables.documents(spark, sf)
+      .select($"doc_id", size(BpeEncode.bpe_encode($"text", merges)).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val byDoc = kernel.toSeq.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    byDoc.foreach { case (id, total) => assert(total == whole(id), s"doc $id") }
+  }
 }
