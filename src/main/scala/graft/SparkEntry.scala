@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, IntervalJoin, JsonOps, Multimodal, Relational, Retrieval, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, IntervalJoin, JsonOps, LinkAnalysis, Multimodal, Relational, Retrieval, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -114,6 +114,7 @@ object SparkEntry {
     "x74_epoch_shuffle"     -> ((s, d) => Sampling.epochShuffle(s, d)),
     "x75_upsample_mixture"  -> ((s, d) => Sampling.upsampleMixture(s, d)),
     "x76_bpe_chunks"        -> ((s, d) => TextAnalysis.bpeChunkDocuments(s, d)),
+    "x77_pagerank"          -> ((s, d) => LinkAnalysis.pageRank(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1646,6 +1647,32 @@ object SparkEntry {
         |      FROM d)
         |SELECT doc_id, source, CAST(rep AS BIGINT) AS rep
         |FROM c, unnest(range(1, n + 1)) AS t(rep)""".stripMargin
+    },
+
+    // x77: integer PageRank, iterations unrolled as chained CTEs (one per
+    // pinned iteration) with the SAME floor-division truncation as the
+    // Spark plan; damping/unit knobs interpolated from LinkAnalysis.Pr*.
+    "x77_pagerank" -> {
+      val unit = operators.LinkAnalysis.PrUnit
+      val damp = operators.LinkAnalysis.PrDampPct
+      val base = unit - unit * damp / 100
+      val iters = (1 to operators.LinkAnalysis.PrIters).map { i =>
+        val prev = if (i == 1) "r0" else s"it${i - 1}"
+        s"""it$i AS (SELECT e.dst AS node,
+           |  CAST($base + ($damp * sum(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+           |  FROM e JOIN deg d USING (src) JOIN $prev r ON r.node = e.src
+           |  GROUP BY 1)"""
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        |            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT src AS node, CAST($unit AS BIGINT) AS rank FROM deg),
+        |$iters
+        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+        |       CAST(node // 2 AS BIGINT) AS node_key, d.deg,
+        |       r.rank AS rank_pts
+        |FROM it${operators.LinkAnalysis.PrIters} r JOIN deg d ON d.src = r.node""".stripMargin
     },
 
     // x59: corpus-weighted adjacent char-pair counts over the word-freq

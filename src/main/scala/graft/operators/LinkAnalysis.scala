@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Link-analysis over an edge list (x77): fixed-iteration PageRank with
+  * ALL-INTEGER rank arithmetic, run on the bipartite customer–supplier
+  * graph induced by orders (an edge where a customer's order includes a
+  * supplier's line item) — the "who is central in the transaction graph"
+  * signal, in the shape web-graph link analysis takes over a crawl.
+  *
+  * Integer discipline: ranks live in micro-units (10⁶ = initial mass per
+  * node) and every step is BIGINT arithmetic — per-edge contribution is
+  * `rank div degree`, damping is `150000 + 85·Σ div 100` (d = 0.85). The
+  * floor divisions leak deterministic dust (Σ ranks shrinks slightly each
+  * iteration); the oracle replicates the SAME truncation, so results are
+  * bit-identical cross-engine — the property a float PageRank (whose sum
+  * order varies run-to-run) can never give the correctness gate.
+  *
+  * 100 TB shape: each iteration is one shuffle join of the (persisted)
+  * degree-annotated edge list against the current rank table on src plus
+  * one partial-agg'd shuffle on dst — the canonical distributed PageRank
+  * step, cost O(E) per iteration with no driver-side state. Edges+degrees
+  * persist across iterations (scan once); at deeper iteration counts the
+  * rank table would be `localCheckpoint`ed every few rounds to truncate
+  * lineage (the CC engine's discipline) — at the pinned 3 iterations the
+  * plan stays shallow. Isolated nodes (no orders) have no edges and are
+  * out of the walk by construction; every edge endpoint has degree ≥ 1
+  * and the graph is undirected, so there are no dangling-mass sinks.
+  *
+  * Node encoding: customers ↦ 2·custkey, suppliers ↦ 2·suppkey + 1 — the
+  * parity bit keeps the bipartite sides disjoint in ONE integer key
+  * (exact in both engines), decoded back to (node_type, node_key) on
+  * output.
+  */
+object LinkAnalysis {
+
+  /** Iteration count and damping in percent, shared with the oracle SQL.
+    * 3 iterations is the pinned query contract (unrolled in the oracle);
+    * the damping split 15/85 of the 10⁶ unit mass is exact in integers. */
+  val PrIters: Int = 3
+  val PrDampPct: Int = 85
+  val PrUnit: Long = 1000000L
+
+  /** Bipartite customer–supplier edges, UNDIRECTED (both directions
+    * materialized): distinct (custkey, suppkey) pairs that share an
+    * order line. One shuffle join orders⨝lineitem on orderkey + one
+    * distinct; forward/reverse rows can't collide (parity differs). */
+  def customerSupplierEdges(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** PageRank over precomputed undirected edges (composable overload —
+    * callers with an existing graph skip the TPC-H derivation). */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "need iters >= 1")
+    val withDeg = edges
+      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+      .persist() // reused every iteration: scan the graph once
+    var ranks = withDeg.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(PrUnit))
+    for (_ <- 1 to iters) {
+      ranks = withDeg
+        .join(ranks, withDeg("src") === ranks("node"))
+        .select(col("dst"), expr("rank div deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("dst").as("node"),
+          expr(s"CAST(${PrUnit - PrUnit * PrDampPct / 100}L + (${PrDampPct}L * s) div 100L AS BIGINT)")
+            .as("rank"))
+    }
+    val deg = withDeg.select(col("src").as("node"), col("deg")).distinct()
+    ranks.join(deg, Seq("node"))
+      .select(
+        when(col("node") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+        expr("node div 2").cast("long").as("node_key"),
+        col("deg"), col("rank").as("rank_pts"))
+  }
+
+  /** x77 entry: PageRank on the order-induced customer–supplier graph. */
+  def pageRank(spark: SparkSession, dir: String, iters: Int = PrIters): DataFrame =
+    pageRank(customerSupplierEdges(spark, dir), iters)
+}
