@@ -115,6 +115,7 @@ object SparkEntry {
     "x75_upsample_mixture"  -> ((s, d) => Sampling.upsampleMixture(s, d)),
     "x76_bpe_chunks"        -> ((s, d) => TextAnalysis.bpeChunkDocuments(s, d)),
     "x77_pagerank"          -> ((s, d) => LinkAnalysis.pageRank(s, d)),
+    "x78_semantic_deduped"  -> ((s, d) => Dedup.semanticDeduped(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -155,6 +156,21 @@ object SparkEntry {
       |term AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_toks
       |         FROM enc, consts c WHERE $br IS NULL)""".stripMargin
   }
+
+  /** x13's LSH-bucketed embedding-pair CTEs (hyperplane signatures +
+    * Hamming-radius candidates + exact cosine), shared by x78's removal
+    * oracle so dedup can't diverge from detection. */
+  private def embeddingPairCtes: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |        ${operators.Similarity.hyperplaneSigSql("v", operators.Dedup.NearDupPlanes)} AS sig
+       |      FROM e),
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS c
+       |  FROM n a JOIN n b
+       |    ON a.vec_id < b.vec_id
+       |   AND bit_count(xor(a.sig, b.sig)) <= ${operators.Dedup.NearDupMaxHamming})""".stripMargin
 
   /** x62's benchmark/corpus char-gram CTEs, shared by x64's oracle (the
     * clustersCteSql pattern: removal may not diverge from detection). */
@@ -634,18 +650,17 @@ object SparkEntry {
     // Spark operator defaults to (`Dedup.NearDupPlanes` /
     // `Dedup.NearDupMaxHamming`) — they can only move together.
     "x13_embedding_neardup" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
-         |        ${operators.Similarity.hyperplaneSigSql("v", operators.Dedup.NearDupPlanes)} AS sig
-         |      FROM e),
-         |p AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS c
-         |  FROM n a JOIN n b
-         |    ON a.vec_id < b.vec_id
-         |   AND bit_count(xor(a.sig, b.sig)) <= ${operators.Dedup.NearDupMaxHamming})
+      s"""$embeddingPairCtes
          |SELECT vec_a, vec_b, floor(c * 1000000) / 1000000 AS cos_sim
          |FROM p WHERE c >= 0.4""".stripMargin,
+
+    // x78: x13's removal step — drop every vector with a lower-id
+    // near-duplicate partner; the pair CTEs are shared verbatim (x72's
+    // pattern: removal may not diverge from detection).
+    "x78_semantic_deduped" ->
+      s"""$embeddingPairCtes
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT vec_b FROM p WHERE c >= 0.4)""".stripMargin,
 
     "x14_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,

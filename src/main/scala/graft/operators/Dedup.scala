@@ -241,6 +241,32 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), Similarity.trunc6(col("cos_sim")).as("cos_sim"))
   }
 
+  /** Semantic near-duplicate removal over embeddings (x78) — the
+    * SemDeDup-shaped terminal step over x13's pair detection: drop every
+    * vector that has a LOWER-id near-duplicate partner (first-occurrence
+    * wins, x72's convention — pairwise greedy, not the full CC canonical,
+    * which is x17's job). Detection and removal share one definition: the
+    * pairs are `embeddingNearDup`'s, and the oracle reuses x13's CTEs
+    * verbatim.
+    *
+    * 100 TB shape: flagged ids are one column off the bucketed pair join;
+    * the removal anti-join runs on vec_id with NO broadcast hint — on a
+    * real embedding corpus the near-dup side is corpus-scale (that is why
+    * one dedups), so it must be free to run as a shuffled anti-join (the
+    * x72 argument). */
+  def semanticDeduped(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                      planes: Int = NearDupPlanes,
+                      maxHamming: Int = NearDupMaxHamming): DataFrame =
+    semanticDeduped(Tables.embeddings(spark, dir),
+      embeddingNearDup(spark, dir, threshold, planes, maxHamming))
+
+  /** Composable overload: removal over precomputed near-dup pairs, so a
+    * pipeline that already ran x13 pays detection once. */
+  def semanticDeduped(embeddings: DataFrame, pairs: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"))
+      .join(pairs.select(col("vec_b").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+
   /** The all-pairs O(n²) exact twin of `embeddingNearDup` — the correctness
     * baseline `RecallProbe` measures bucketed recall against. Test-only
     * (like `TextAnalysis.winnowingFingerprintsHof`): the theta join

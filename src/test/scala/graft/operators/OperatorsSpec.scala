@@ -189,6 +189,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got.subsetOf(exact)) // precision 1.0: exact cosine verify on candidates
   }
 
+  test("semanticDeduped (x78): drops exactly the lower-id-partnered vectors; overload ≡ standalone") {
+    val all = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    val pairs = Dedup.embeddingNearDup(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val flagged = pairs.map(_._2).toSet // every vec with a lower-id partner
+    val kept = Dedup.semanticDeduped(spark, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == all -- flagged)
+    assert(flagged.forall(b => pairs.exists(p => p._2 == b && p._1 < b)))
+    // composable overload over precomputed pairs gives the same corpus
+    val viaOverload = Dedup.semanticDeduped(
+      graft.Tables.embeddings(spark, sf), Dedup.embeddingNearDup(spark, sf))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(viaOverload == kept)
+  }
+
   test("repetitionStats flags degenerate repeated text, passes unique text") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
     Seq((1L, "a b c a b c a b c a b c"), // 10 3-grams, 3 distinct → ratio 0.7
