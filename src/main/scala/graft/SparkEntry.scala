@@ -116,6 +116,7 @@ object SparkEntry {
     "x76_bpe_chunks"        -> ((s, d) => TextAnalysis.bpeChunkDocuments(s, d)),
     "x77_pagerank"          -> ((s, d) => LinkAnalysis.pageRank(s, d)),
     "x78_semantic_deduped"  -> ((s, d) => Dedup.semanticDeduped(s, d)),
+    "x79_hard_negatives"    -> ((s, d) => Similarity.hardNegativesTopK(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -213,10 +214,12 @@ object SparkEntry {
   private def crossDocPairCtes: String = {
     val k = operators.Dedup.DecontamGramChars
     s"""xgrams AS (
-      |  SELECT DISTINCT doc_id,
-      |         ('0x' || substr(md5(substr(text, i, $k)), 1, 15))::BIGINT AS gh
-      |  FROM documents, unnest(range(1, len(text) - ${k - 2})) AS t(i)
-      |  WHERE len(text) >= $k),
+      |  SELECT DISTINCT doc_id, gh
+      |  FROM (SELECT doc_id,
+      |          ('0x' || substr(md5(substr(text, i, $k)), 1, 15))::BIGINT AS gh
+      |        FROM documents, unnest(range(1, len(text) - ${k - 2})) AS t(i)
+      |        WHERE len(text) >= $k) g
+      |  WHERE gh % ${operators.Dedup.CrossDocAnchorMod} = 0),
       |xcapped AS (
       |  SELECT * FROM xgrams
       |  WHERE gh NOT IN (SELECT gh FROM xgrams GROUP BY gh
@@ -552,6 +555,24 @@ object SparkEntry {
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
         |           FROM scored)
         |SELECT q_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // x79: x09's exact brute-force ranking restricted to cross-label
+    // candidates — the hard-negative mining contract.
+    "x79_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm FROM e),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qnrm
+        |      FROM n WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, q.q_label, n.vec_id, n.label AS neg_label,
+        |    floor(list_dot_product(q.qv, n.v)
+        |          / (q.qnrm * n.nrm) * 1000000) / 1000000 AS cos_sim
+        |  FROM n, q WHERE n.label <> q.q_label),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+        |           FROM scored)
+        |SELECT q_id, q_label, vec_id, neg_label, cos_sim, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
 
     "x05_text_stats" ->
       """SELECT doc_id,

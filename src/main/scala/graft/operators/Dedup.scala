@@ -60,6 +60,25 @@ object Dedup {
   val CrossDocMaxGramDf: Int = 20
   val CrossDocMinShared: Int = 1
 
+  /** x68's content-defined anchor modulus: only grams whose md5-60 hash
+    * is ≡ 0 (mod this) enter the pairing pipeline — CDC-style anchor
+    * sampling (the same content-defined selection as x39/x44's paragraph
+    * boundaries, here at gram granularity). The anchor decision is a pure
+    * function of the gram's CONTENT, so two documents sharing a span
+    * agree on which of its grams are anchors — no cross-engine or
+    * cross-doc divergence, and the oracle replicates the rule verbatim.
+    * Effect: every shuffled stage (df count, bucket build, in-bucket
+    * pairing) carries 1/mod of the gram volume; detection contract
+    * becomes "pairs sharing ≥ minShared ANCHORED grams" — templated
+    * duplicates share runs of consecutive grams, so real dups keep
+    * ~1/mod of their shared-gram count, while a pair would need ≥
+    * mod·minShared-ish shared grams before anchoring to reliably fire
+    * (the resolution/cost knob every suffix-sampling dedup exposes; mod
+    * = 1 restores exhaustive pairing). x62's benchmark decontamination
+    * deliberately does NOT anchor — a decontam miss is an eval leak, so
+    * it stays exhaustive per position. */
+  val CrossDocAnchorMod: Long = 4L
+
   /** Word n-gram shingles of `text`, distinct, as an array column.
     * Spark-side uses codegen'd higher-order functions (no UDF). */
   def wordShingles(text: Column, n: Int): Column = {
@@ -845,10 +864,15 @@ object Dedup {
     * that whole-doc MinHash misses them). Output: one row per duplicated
     * pair with its distinct shared-gram count.
     *
-    * Scale shape — bucket by gram hash, pair within bucket, NEVER
-    * all-pairs: the corpus computes its distinct per-row gram array
-    * in-projection (the fused [[charGramHashes]] kernel) and explodes;
-    * grams whose document frequency exceeds `maxGramDf` (boilerplate —
+    * Scale shape — anchor-sample, bucket by gram hash, pair within
+    * bucket, NEVER all-pairs: the corpus computes its distinct per-row
+    * gram array in-projection (the fused [[charGramHashes]] kernel) and
+    * keeps only content-defined ANCHOR grams (`hash ≡ 0 mod
+    * CrossDocAnchorMod`) before the explode, so every downstream shuffle
+    * moves 1/mod of the gram volume — the standard sampling step of
+    * suffix/gram dedup at corpus scale, deterministic per content so the
+    * oracle replicates it; grams whose document frequency exceeds
+    * `maxGramDf` (boilerplate —
     * carrying no pair-specific signal) are dropped via a partial-agg df
     * count + broadcast anti-join (the stop-list is tiny: only grams
     * repeated across >maxGramDf docs). The surviving grams then take ONE
@@ -865,17 +889,22 @@ object Dedup {
   def crossDocSubstringPairs(spark: SparkSession, dir: String,
                              k: Int = DecontamGramChars,
                              maxGramDf: Int = CrossDocMaxGramDf,
-                             minShared: Int = CrossDocMinShared): DataFrame =
-    crossDocSubstringPairs(Tables.documents(spark, dir), k, maxGramDf, minShared)
+                             minShared: Int = CrossDocMinShared,
+                             anchorMod: Long = CrossDocAnchorMod): DataFrame =
+    crossDocSubstringPairs(Tables.documents(spark, dir), k, maxGramDf, minShared, anchorMod)
 
   /** DataFrame-first form of x68 (the composable-overload pattern): any
     * (doc_id, text) frame — a day's crawl, a pre-filtered corpus — not
     * just the catalog table. */
   def crossDocSubstringPairs(docs: DataFrame, k: Int,
-                             maxGramDf: Int, minShared: Int): DataFrame = {
+                             maxGramDf: Int, minShared: Int,
+                             anchorMod: Long): DataFrame = {
+    require(anchorMod >= 1L, "anchorMod must be >= 1 (1 = exhaustive)")
     val grams = docs
       .filter(length(col("text")) >= k)
-      .select(col("doc_id"), explode(charGramHashes(col("text"), k)).as("gh"))
+      .select(col("doc_id"),
+        explode(filter(charGramHashes(col("text"), k),
+          h => h % lit(anchorMod) === 0)).as("gh"))
     val stop = grams.groupBy(col("gh")).agg(count(lit(1)).as("gh_df"))
       .filter(col("gh_df") > maxGramDf).select(col("gh"))
     val buckets = grams.join(broadcast(stop), Seq("gh"), "left_anti")

@@ -500,6 +500,7 @@ class OperatorsSpec extends SparkSpec {
       .filter(length($"text") >= k)
       .select($"doc_id", Dedup.charGramHashesHof($"text", k).as("gs"))
       .as[(Long, Seq[Long])].collect()
+      .map { case (id, gs) => (id, gs.filter(_ % Dedup.CrossDocAnchorMod == 0)) }
     val byGram = grams.flatMap { case (id, gs) => gs.map(g => g -> id) }
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
     val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Long]
@@ -555,7 +556,8 @@ class OperatorsSpec extends SparkSpec {
       (i, s"${('a' + i.toInt).toChar.toString * 30} $boiler$extra")
     }.toDF("doc_id", "text")
     val got = Dedup.crossDocSubstringPairs(
-      fx, Dedup.DecontamGramChars, Dedup.CrossDocMaxGramDf, Dedup.CrossDocMinShared)
+      fx, Dedup.DecontamGramChars, Dedup.CrossDocMaxGramDf, Dedup.CrossDocMinShared,
+      Dedup.CrossDocAnchorMod)
       .as[(Long, Long, Long)].collect().toSet
     assert(got.map(t => (t._1, t._2)) == Set((0L, 1L)),
       s"only the unique-span pair may survive the cap: $got")
