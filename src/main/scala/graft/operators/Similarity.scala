@@ -100,6 +100,32 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining (x79): for each labeled query vector, the k
+    * MOST similar vectors with a DIFFERENT label — the contrastive-
+    * training data-prep step (the negatives that sit closest to the
+    * anchor are the ones a contrastive loss learns most from). Exact
+    * brute-force scoring like x09 — the label filter composes into the
+    * broadcast-join scan, so candidate pruning (label ≠) happens BEFORE
+    * the cosine is evaluated; at 100 TB the same label filter drops into
+    * the bucket-probe path (`lshTopK` / `ivfTopK` with a label predicate)
+    * — this query pins the exact baseline those compose against, the
+    * x09/x18 relationship. Per-query top-k prunes via WindowGroupLimit. */
+  def hardNegativesTopK(spark: SparkSession, dir: String, qLo: Int = 0, qHi: Int = 10,
+                        k: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val queries = emb.filter(col("vec_id") >= qLo && col("vec_id") < qHi)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("v").as("qv"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id"),
+        col("label").as("neg_label"),
+        trunc6(cosine_sim(col("qv"), col("v"))).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Signed-random-hyperplane multi-probe LSH ANN: deterministic
     * pseudo-random hyperplanes derived from MurmurHash3(plane, dim) —
     * reproducible without any RNG state. Each query probes every bucket

@@ -206,6 +206,33 @@ class OperatorsSpec extends SparkSpec {
     assert(viaOverload == kept)
   }
 
+  test("hardNegativesTopK (x79): never a same-label result, ranking ≡ label-filtered brute force") {
+    val got = Similarity.hardNegativesTopK(spark, sf)
+      .select($"q_id", $"q_label", $"vec_id", $"neg_label", $"rank")
+      .as[(Long, Int, Long, Int, Int)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, ql, _, nl, _) => assert(ql != nl) }
+    // per query: exactly the top-k of the exact ranking restricted to
+    // cross-label candidates (bruteForceTopK with the filter applied after
+    // scoring would differ — the negatives must come from the FULL corpus
+    // minus same-label, not from the unfiltered top-k)
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label", Similarity.asDouble($"embedding").as("v"))
+      .as[(Long, Int, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      math.floor(dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)) * 1e6) / 1e6
+    }
+    val queries = emb.filter(e => e._1 >= 0 && e._1 < 10)
+    queries.foreach { case (qid, qlab, qv) =>
+      val want = emb.filter(_._2 != qlab)
+        .map { case (id, _, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+      val mine = got.filter(_._1 == qid).sortBy(_._5).map(_._3).toSeq
+      assert(mine == want, s"query $qid")
+    }
+  }
+
   test("repetitionStats flags degenerate repeated text, passes unique text") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
     Seq((1L, "a b c a b c a b c a b c"), // 10 3-grams, 3 distinct → ratio 0.7
