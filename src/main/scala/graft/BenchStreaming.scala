@@ -88,6 +88,33 @@ object BenchStreaming {
       } finally deleteTree(root)
     }
 
+    // documents-side twins: a stateful running-budget aggregate (Complete,
+    // spec-sized state) and the stateless fused-kernel chunker (Append) —
+    // file streams need a DIRECTORY source, so the table file is exposed
+    // via a symlink in a scratch drop dir (no data copy)
+    def runDocs(name: String, build: DataFrame => DataFrame,
+                mode: String): (String, Double) = {
+      val docsBatch = spark.read.parquet(s"$sfDir/documents.parquet")
+      val nDocs = docsBatch.count()
+      val ckpt = Files.createTempDirectory(s"graft-sbench-$name")
+      val drop = Files.createTempDirectory(s"graft-sbench-$name-drop")
+      Files.createSymbolicLink(drop.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+      try {
+        val t0 = System.nanoTime()
+        val q = build(spark.readStream.schema(docsBatch.schema)
+            .parquet(drop.toString))
+          .writeStream.format("noop")
+          .outputMode(mode)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        name -> (nDocs / sec)
+      } finally { deleteTree(ckpt); deleteTree(drop) }
+    }
+
     val users = spark.read.parquet(s"$sfDir/customer.parquet")
     // batch-fitted thresholds for the stateless sampler twin (x48's rule)
     val thresholds = {
@@ -108,6 +135,10 @@ object BenchStreaming {
       run("dedup_stream", EventStream.dedupStream),
       run("stream_static_enrich", ev => EventStream.enrichWithUsers(ev, users)),
       run("sampled_stream", ev => EventStream.sampledStream(ev, thresholds)),
+      runDocs("token_budget_stream",
+        graft.streaming.DocumentStream.tokenBudgetStream, "complete"),
+      runDocs("bpe_chunk_stream",
+        graft.streaming.DocumentStream.bpeChunkStream, "append"),
       runIndexIngest())
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")

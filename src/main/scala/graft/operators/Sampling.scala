@@ -473,7 +473,13 @@ object Sampling {
     * counts are per-row projections, and the whole report is one
     * partial-agg'd shuffle on a (sources × 3)-ary key. */
   def tokenBudget(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    tokenBudget(Tables.documents(spark, dir))
+
+  /** DataFrame-first form of x61 — a pure transformation, so the SAME
+    * definition runs over a batch table or a streaming source (the
+    * `DocumentStream.tokenBudgetStream` twin). */
+  def tokenBudget(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"),
         splitLabel(hashBucket(col("doc_id"), "split", 100)).as("split"),
         size(split(col("text"), " ")).as("toks"), col("n_chars"))

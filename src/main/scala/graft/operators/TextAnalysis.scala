@@ -805,7 +805,14 @@ object TextAnalysis {
   def bpeChunkDocuments(spark: SparkSession, dir: String,
                         budget: Long = BpeChunkBudget,
                         merges: Seq[(String, String)] = PinnedBpeMerges): DataFrame =
-    Tables.documents(spark, dir)
+    bpeChunkDocuments(Tables.documents(spark, dir), budget, merges)
+
+  /** DataFrame-first form of x76 — a stateless per-row projection, so the
+    * SAME definition runs over a batch table or a streaming source (the
+    * `DocumentStream.bpeChunkStream` twin). */
+  def bpeChunkDocuments(docs: DataFrame, budget: Long,
+                        merges: Seq[(String, String)]): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(graft.functions.TokenChunkStats.token_chunk_stats(
           perWordTokenCounts(merges), budget)).as("c"))

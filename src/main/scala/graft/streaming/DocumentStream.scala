@@ -35,6 +35,29 @@ object DocumentStream {
     * run inside one `foreachBatch` invocation, so a batch is never half
     * applied across restarts (the results append and index append are
     * idempotent per batch via the anti-join). */
+  /** Streaming twin of x61's token-budget report: the running
+    * (source × split) docs/tokens/chars mixture totals as document
+    * batches land — the live budget dashboard a training-data pipeline
+    * watches during a crawl ingest. The operator IS the batch
+    * transformation (`Sampling.tokenBudget`'s DataFrame form applied to
+    * a streaming source): an unwatermarked streaming aggregate whose
+    * state is one row per (source × split) cell — spec-sized, the one
+    * kind of streaming state that never needs eviction. Emit with
+    * `outputMode(Complete)`; after an AvailableNow pass the sink holds
+    * exactly the batch report (spec-proven). */
+  def tokenBudgetStream(docs: DataFrame): DataFrame =
+    graft.operators.Sampling.tokenBudget(docs)
+
+  /** Streaming twin of x76's BPE-token-budget chunking: the fused
+    * `TokenChunkStats` kernel is a stateless per-row projection, so it
+    * runs unchanged over a file stream in Append mode — chunks flow out
+    * as documents flow in, zero state, zero shuffle (the streaming shape
+    * of the "never costs more than the scan" argument). */
+  def bpeChunkStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.bpeChunkDocuments(docs,
+      graft.operators.TextAnalysis.BpeChunkBudget,
+      graft.operators.TextAnalysis.PinnedBpeMerges)
+
   def startIngest(docs: DataFrame, indexPath: String, resultPath: String,
                   checkpointDir: String,
                   boundaryMod: Int = Dedup.ParagraphBoundaryMod): StreamingQuery =

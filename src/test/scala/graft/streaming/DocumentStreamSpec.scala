@@ -60,4 +60,46 @@ class DocumentStreamSpec extends SparkSpec {
     // day-2 results are untouched by the second run (no re-processing)
     assert(all.filter(_._1 < 100000L) == streamed)
   }
+
+  test("tokenBudgetStream (Complete) over micro-batched files ≡ batch x61 report") {
+    val root = Files.createTempDirectory("graft-tbstream").toString
+    val docs = graft.Tables.documents(spark, sf)
+    // two file drops so the aggregate crosses micro-batch boundaries
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$root/drop")
+    docs.filter($"doc_id" % 2 === 1).write.mode("append").parquet(s"$root/drop")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/drop")
+    val q = DocumentStream.tokenBudgetStream(stream)
+      .writeStream.format("memory").queryName("tb_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("tb_stream")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Sampling.tokenBudget(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("bpeChunkStream (Append, stateless) ≡ batch x76 chunks row-for-row") {
+    val root = Files.createTempDirectory("graft-chunkstream").toString
+    val docs = graft.Tables.documents(spark, sf)
+    docs.write.parquet(s"$root/drop")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/drop")
+    val q = DocumentStream.bpeChunkStream(stream)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("chunk_stream")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.TextAnalysis.bpeChunkDocuments(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
