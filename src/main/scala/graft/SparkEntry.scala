@@ -117,6 +117,7 @@ object SparkEntry {
     "x77_pagerank"          -> ((s, d) => LinkAnalysis.pageRank(s, d)),
     "x78_semantic_deduped"  -> ((s, d) => Dedup.semanticDeduped(s, d)),
     "x79_hard_negatives"    -> ((s, d) => Similarity.hardNegativesTopK(s, d)),
+    "x80_curriculum"        -> ((s, d) => Sampling.curriculumSchedule(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -156,6 +157,34 @@ object SparkEntry {
       |  WHERE br IS NOT NULL),
       |term AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_toks
       |         FROM enc, consts c WHERE $br IS NULL)""".stripMargin
+  }
+
+  /** x56's per-source score-calibration CTEs, ending in
+    * `dec(doc_id, source, score_q, decile)` — shared by x80's curriculum
+    * schedule so the ordering can't diverge from the calibration. */
+  private def scoreDecileCtes: String = {
+    val ds = 10 to 90 by 10
+    val edgePicks = ds.map(d =>
+      s"MAX(CASE WHEN vr = CAST(ceil(n * $d / 100.0) AS BIGINT) THEN v END) AS e$d").mkString(",\n      |         ")
+    val decileSum = ds.map(d => s"CASE WHEN b.score_q >= e$d THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH base AS (
+      |  SELECT doc_id, source,
+      |    CAST(floor(least(1.0, len(string_split(text, ' ')) / 100.0) *
+      |         (1 - CAST(len(list_filter(string_split(text, ' '), w -> len(w) = 1)) AS DOUBLE)
+      |              / len(string_split(text, ' '))) * ${operators.TextAnalysis.CalibQuantScale}) AS BIGINT) AS score_q,
+      |    ('0x' || substr(md5('cal:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |m AS (SELECT source, h, MIN(score_q) AS v FROM base GROUP BY 1, 2),
+      |r AS (SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM m),
+      |kk AS (SELECT source, v FROM r WHERE rn <= ${operators.TextAnalysis.CalibSampleK}),
+      |s AS (SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY v) AS vr,
+      |             COUNT(*) OVER (PARTITION BY source) AS n FROM kk),
+      |edges AS (SELECT source,
+      |         $edgePicks
+      |       FROM s GROUP BY source),
+      |dec AS (SELECT b.doc_id, b.source, b.score_q,
+      |          CAST($decileSum AS INTEGER) AS decile
+      |        FROM base b JOIN edges USING (source))""".stripMargin
   }
 
   /** x13's LSH-bucketed embedding-pair CTEs (hyperplane signatures +
@@ -1325,30 +1354,9 @@ object SparkEntry {
     // x56: algorithm oracle — the quantized x05 score, the bottom-k
     // sample (min-per-hash convention), the nine decile-edge picks, and
     // the edge-count assignment, replicated end-to-end.
-    "x56_score_deciles" -> {
-      val ds = 10 to 90 by 10
-      val edgePicks = ds.map(d =>
-        s"MAX(CASE WHEN vr = CAST(ceil(n * $d / 100.0) AS BIGINT) THEN v END) AS e$d").mkString(",\n        |         ")
-      val decileSum = ds.map(d => s"CASE WHEN b.score_q >= e$d THEN 1 ELSE 0 END").mkString(" + ")
-      s"""WITH base AS (
-        |  SELECT doc_id, source,
-        |    CAST(floor(least(1.0, len(string_split(text, ' ')) / 100.0) *
-        |         (1 - CAST(len(list_filter(string_split(text, ' '), w -> len(w) = 1)) AS DOUBLE)
-        |              / len(string_split(text, ' '))) * ${operators.TextAnalysis.CalibQuantScale}) AS BIGINT) AS score_q,
-        |    ('0x' || substr(md5('cal:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
-        |  FROM documents),
-        |m AS (SELECT source, h, MIN(score_q) AS v FROM base GROUP BY 1, 2),
-        |r AS (SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM m),
-        |kk AS (SELECT source, v FROM r WHERE rn <= ${operators.TextAnalysis.CalibSampleK}),
-        |s AS (SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY v) AS vr,
-        |             COUNT(*) OVER (PARTITION BY source) AS n FROM kk),
-        |edges AS (SELECT source,
-        |         $edgePicks
-        |       FROM s GROUP BY source)
-        |SELECT b.doc_id, b.source, b.score_q,
-        |       CAST($decileSum AS INTEGER) AS decile
-        |FROM base b JOIN edges USING (source)""".stripMargin
-    },
+    "x56_score_deciles" ->
+      s"""$scoreDecileCtes
+        |SELECT doc_id, source, score_q, decile FROM dec""".stripMargin,
 
     // x57: x17's cluster CTE verbatim, then keep only each cluster's
     // canonical (min doc_id) member — the deduplicated shipping corpus.
@@ -1642,6 +1650,23 @@ object SparkEntry {
         |                     ORDER BY score_pts DESC, doc_id) AS BIGINT) AS rank
         |      FROM sc) r
         |WHERE rank <= ${operators.Retrieval.Bm25TopK}""".stripMargin
+    },
+
+    // x80: the curriculum read order — x56's decile CTEs verbatim, then
+    // x74's sharded-order materialization with shard led by the decile
+    // band (9 − decile) so shard order IS curriculum order.
+    "x80_curriculum" -> {
+      val spd = operators.Sampling.CurriculumShardsPerDecile
+      val w = operators.Sampling.HashSpace / spd
+      s"""$scoreDecileCtes,
+        |k AS (SELECT doc_id, source, decile,
+        |        ('0x' || substr(md5('curr:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |      FROM dec)
+        |SELECT CAST((9 - decile) * $spd + h // $w AS BIGINT) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY (9 - decile) * $spd + h // $w
+        |                               ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
+        |       doc_id, source, decile, h
+        |FROM k""".stripMargin
     },
 
     // x74: deterministic epoch-seeded training order — salted md5-60

@@ -572,6 +572,42 @@ object Sampling {
         col("pos"), col("doc_id"), col("h"))
   }
 
+  /** x80's shard fan-out per decile band (power of two, same exactness
+    * argument as ShuffleShards) — shared with the oracle SQL. */
+  val CurriculumShardsPerDecile: Int = 16
+
+  /** Quality-curriculum schedule (x80): the materialized read order of
+    * curriculum training — highest source-relative quality deciles first,
+    * hash-shuffled WITHIN a decile band (so the curriculum orders bands,
+    * not individual documents — deterministic but not degenerate). The
+    * decile is x56's calibrated assignment (same definition, shared
+    * oracle CTEs — the schedule can't diverge from the calibration);
+    * the within-band key is a fresh salted md5-60.
+    *
+    * Materialization follows x74's contract: shard = (9 − decile) ·
+    * shardsPerDecile + the hash's high bits, so `shard asc, pos asc` IS
+    * the global curriculum order, positions come from a window over
+    * 10 × shardsPerDecile independent partitions, and no single-task
+    * global row_number exists at any corpus size. One corpus shuffle
+    * (the window's); the decile assignment itself broadcasts its edge
+    * table (x56's shape). */
+  def curriculumSchedule(spark: SparkSession, dir: String,
+                         shardsPerDecile: Int = CurriculumShardsPerDecile): DataFrame = {
+    require(shardsPerDecile >= 1 && (shardsPerDecile & (shardsPerDecile - 1)) == 0,
+      "shardsPerDecile must be a power of two")
+    val w = HashSpace / shardsPerDecile
+    val keyed = TextAnalysis.scoreDeciles(spark, dir)
+      .withColumn("h",
+        Dedup.md5Hash60(concat(lit("curr:"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        expr(s"CAST((9 - decile) * $shardsPerDecile + h div ${w}L AS BIGINT)"))
+    val win = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    keyed
+      .withColumn("pos", (row_number().over(win) - 1).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("source"),
+        col("decile"), col("h"))
+  }
+
   /** x75's pinned mixture weights in micro-units (1e6 = keep exactly
     * once): the data-mixing spec a training run ships — here frozen as a
     * constant so the oracle interpolates the SAME table (the

@@ -446,6 +446,32 @@ class SamplingSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("curriculumSchedule (x80): full permutation in decile-major order, x56's deciles") {
+    val out = Sampling.curriculumSchedule(spark, sf)
+      .select($"shard", $"pos", $"doc_id", $"decile", $"h")
+      .as[(Long, Long, Long, Int, Long)].collect()
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(out.length == n && out.map(_._3).distinct.length == n) // a permutation
+    // global (shard, pos) order reads deciles high -> low, hash-shuffled within
+    val ordered = out.sortBy(r => (r._1, r._2))
+    val deciles = ordered.map(_._4)
+    assert(deciles.head == deciles.max)
+    ordered.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._4 >= b._4, s"decile must not increase along the schedule: $a -> $b")
+        if (a._4 == b._4 && a._1 == b._1) assert(a._5 <= b._5, "within-shard hash order")
+      case _ =>
+    }
+    // deciles are exactly x56's assignment
+    val want = graft.operators.TextAnalysis.scoreDeciles(spark, sf)
+      .select($"doc_id", $"decile").as[(Long, Int)].collect().toMap
+    out.foreach { case (_, _, id, d, _) => assert(d == want(id)) }
+    // positions dense per shard
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(0L until rows.length))
+    }
+  }
+
   test("upsampleMixture (x75): realized copies match the pinned weights exactly") {
     val docs = graft.Tables.documents(spark, sf)
       .select($"doc_id", $"source").as[(Long, String)].collect()
