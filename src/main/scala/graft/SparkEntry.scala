@@ -118,6 +118,7 @@ object SparkEntry {
     "x78_semantic_deduped"  -> ((s, d) => Dedup.semanticDeduped(s, d)),
     "x79_hard_negatives"    -> ((s, d) => Similarity.hardNegativesTopK(s, d)),
     "x80_curriculum"        -> ((s, d) => Sampling.curriculumSchedule(s, d)),
+    "x81_shuffled_pack"     -> ((s, d) => Sampling.packShuffledSequences(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1667,6 +1668,26 @@ object SparkEntry {
         |                               ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
         |       doc_id, source, decile, h
         |FROM k""".stripMargin
+    },
+
+    // x81: x37's bin rule over x74's epoch-1 order — the oracle computes
+    // the global running token count with ONE window ordered by
+    // (shard, h, doc_id), which is exactly the (shard, pos) read order.
+    "x81_shuffled_pack" -> {
+      val shardWidth = operators.Sampling.HashSpace / operators.Sampling.ShuffleShards
+      s"""WITH e AS (SELECT doc_id,
+        |        ('0x' || substr(md5('epoch:1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |s AS (SELECT doc_id, h, n_tokens, h // ${shardWidth} AS shard FROM e),
+        |c AS (SELECT *,
+        |        COALESCE(SUM(n_tokens) OVER (ORDER BY shard, h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |      FROM s)
+        |SELECT CAST(tokens_before // 512 AS BIGINT) AS bin_id,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |       MIN(shard) AS first_shard, MAX(shard) AS last_shard
+        |FROM c GROUP BY 1""".stripMargin
     },
 
     // x74: deterministic epoch-seeded training order — salted md5-60

@@ -608,6 +608,41 @@ object Sampling {
         col("decile"), col("h"))
   }
 
+  /** Sequence packing in SHUFFLED order (x81): x37's token-budget bin
+    * assignment applied to the x74 epoch-1 read order instead of doc_id
+    * order — the pack a training run actually materializes, since packing
+    * BEFORE shuffling would destroy the shuffle (bins would stride the
+    * corpus in doc_id order). Composition shape: the schedule's shard IS
+    * the pack's bucket — in-shard positions give the local order, and
+    * the cross-shard token offsets come from the same scale-safe
+    * `exclusivePrefixSum` ladder as x37 (no single-task global window at
+    * any corpus size). Only (doc_id, shard, pos, n_tokens) ride the
+    * pack's shuffles; one doc_id join attaches token counts to the
+    * narrow schedule. */
+  def packShuffledSequences(spark: SparkSession, dir: String, budgetTokens: Long = 512,
+                            shards: Int = ShuffleShards,
+                            maxWindowRows: Long = 1000000L): DataFrame = {
+    val schedule = epochShuffle(spark, dir, epochs = 1, shards = shards)
+      .select(col("doc_id"), col("shard"), col("pos"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val s = schedule.join(toks, Seq("doc_id"))
+    val shardPrefix = exclusivePrefixSum(
+      s.groupBy(col("shard")).agg(sum(col("n_tokens")).as("v"))
+        .select(col("shard").as("key"), col("v")),
+      maxWindowRows = maxWindowRows)
+      .select(col("key").as("shard"), col("offset").as("shard_offset"))
+    val local = Window.partitionBy(col("shard")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    s.join(shardPrefix, Seq("shard"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(local), lit(0L)) + col("shard_offset"))
+      .withColumn("bin_id", expr(s"tokens_before div $budgetTokens"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        min(col("shard")).as("first_shard"), max(col("shard")).as("last_shard"))
+  }
+
   /** x75's pinned mixture weights in micro-units (1e6 = keep exactly
     * once): the data-mixing spec a training run ships — here frozen as a
     * constant so the oracle interpolates the SAME table (the

@@ -472,6 +472,29 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("packShuffledSequences (x81): ≡ driver replay of the epoch-1 order, tokens conserved") {
+    val sched = Sampling.epochShuffle(spark, sf, epochs = 1)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Long, Long)].collect()
+    val toks = graft.Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long")).as[(Long, Long)]
+      .collect().toMap
+    // driver replica: replay the (shard, pos) order with a running count
+    var before = 0L
+    val bins = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
+    sched.sortBy(r => (r._2, r._3)).foreach { case (id, shard, _) =>
+      val n = toks(id)
+      val bin = before / 512
+      val (c, s, lo, hi) = bins.getOrElse(bin, (0L, 0L, Long.MaxValue, Long.MinValue))
+      bins(bin) = (c + 1, s + n, math.min(lo, shard), math.max(hi, shard))
+      before += n
+    }
+    val got = Sampling.packShuffledSequences(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got == bins.toMap)
+    assert(got.values.map(_._2).sum == toks.values.sum) // every token packed once
+  }
+
   test("upsampleMixture (x75): realized copies match the pinned weights exactly") {
     val docs = graft.Tables.documents(spark, sf)
       .select($"doc_id", $"source").as[(Long, String)].collect()
