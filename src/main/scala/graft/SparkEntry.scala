@@ -119,6 +119,7 @@ object SparkEntry {
     "x79_hard_negatives"    -> ((s, d) => Similarity.hardNegativesTopK(s, d)),
     "x80_curriculum"        -> ((s, d) => Sampling.curriculumSchedule(s, d)),
     "x81_shuffled_pack"     -> ((s, d) => Sampling.packShuffledSequences(s, d)),
+    "x82_span_dedup"        -> ((s, d) => Dedup.spanDedupStats(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1755,6 +1756,39 @@ object SparkEntry {
         |       CAST(node // 2 AS BIGINT) AS node_key, d.deg,
         |       r.rank AS rank_pts
         |FROM it${operators.LinkAnalysis.PrIters} r JOIN deg d ON d.src = r.node""".stripMargin
+    },
+
+    // x82: span-level dedup — per-position anchored grams, min-owner per
+    // gram, gaps-and-islands interval merge; pure integer windows
+    // replicated verbatim (k and anchor mod interpolated from Dedup.*).
+    "x82_span_dedup" -> {
+      val k = operators.Dedup.DecontamGramChars
+      val mod = operators.Dedup.CrossDocAnchorMod
+      s"""WITH g AS (SELECT doc_id, len(text) AS doc_chars, i - 1 AS pos,
+        |        ('0x' || substr(md5(substr(text, i, $k)), 1, 15))::BIGINT AS gh
+        |      FROM documents, unnest(range(1, len(text) - ${k - 2})) AS t(i)
+        |      WHERE len(text) >= $k),
+        |a AS (SELECT * FROM g WHERE gh % $mod = 0),
+        |o AS (SELECT gh, MIN(doc_id) AS owner FROM a GROUP BY 1),
+        |d AS (SELECT a.doc_id, a.doc_chars, a.pos FROM a JOIN o USING (gh)
+        |      WHERE a.doc_id > o.owner),
+        |c AS (SELECT doc_id, doc_chars, pos,
+        |        MAX(pos + $k) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+        |      FROM d),
+        |f AS (SELECT doc_id, doc_chars, pos,
+        |        CASE WHEN run_end IS NULL OR pos >= run_end THEN 1 ELSE 0 END AS nw
+        |      FROM c),
+        |isl AS (SELECT doc_id, doc_chars, pos,
+        |          SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM f),
+        |sp AS (SELECT doc_id, ANY_VALUE(doc_chars) AS doc_chars, island,
+        |          MIN(pos) AS s, MAX(pos) + $k AS e
+        |       FROM isl GROUP BY doc_id, island)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |       CAST(SUM(e - s) AS BIGINT) AS chars_removed,
+        |       CAST(ANY_VALUE(doc_chars) - SUM(e - s) AS BIGINT) AS chars_kept
+        |FROM sp GROUP BY 1""".stripMargin
     },
 
     // x59: corpus-weighted adjacent char-pair counts over the word-freq

@@ -248,7 +248,8 @@ case class TokenMd5Hashes(child: Expression) extends UnaryExpression
   * md5-60 values bit-for-bit, so the DuckDB algorithm oracle is
   * untouched. Eval-based (CodegenFallback) like the sibling kernels: the
   * per-row work is a fused batch loop. */
-case class CharGramHashes(child: Expression, k: Int) extends UnaryExpression
+case class CharGramHashes(child: Expression, k: Int, dedup: Boolean = true)
+    extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   require(k > 0, "char_gram_hashes needs k > 0")
@@ -278,12 +279,15 @@ case class CharGramHashes(child: Expression, k: Int) extends UnaryExpression
       i += 1
     }
     starts(nChars) = bytes.length
-    val seen = new java.util.HashSet[java.lang.Long]()
+    // dedup=false keeps one hash PER POSITION in document order, so the
+    // array index of an element IS its gram's start offset (the span-level
+    // consumers' contract); dedup=true emits each distinct hash once
+    val seen = if (dedup) new java.util.HashSet[java.lang.Long]() else null
     val out = new java.util.ArrayList[java.lang.Long](nChars - k + 1)
     var p = 0
     while (p <= nChars - k) {
       val h = Md5Long.hash60(bytes, starts(p), starts(p + k))
-      if (seen.add(h)) out.add(h)
+      if (seen == null || seen.add(h)) out.add(h)
       p += 1
     }
     val arr = new Array[Long](out.size)
@@ -533,6 +537,13 @@ object HashSignatures {
     * substrings (the x62 gram set, fused). */
   def char_gram_hashes(text: Column, k: Int): Column =
     GraftColumnBridge.column(CharGramHashes(GraftColumnBridge.expression(text), k))
+
+  /** `char_gram_pos_hashes(text, k)` — one md5-60 hash PER gram start
+    * position, document order, duplicates kept (element index = char
+    * offset of the gram — the x82 span-removal contract). */
+  def char_gram_pos_hashes(text: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      CharGramHashes(GraftColumnBridge.expression(text), k, dedup = false))
 
   /** `word_shingles(text, n)` — distinct word n-gram strings. */
   def word_shingles(text: Column, n: Int): Column =

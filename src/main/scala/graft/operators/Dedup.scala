@@ -943,6 +943,57 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
   }
 
+  /** Span-level cross-document dedup report (x82): for every document,
+    * the merged character spans it would LOSE under first-occurrence-wins
+    * span removal — Lee et al.'s actual removal granularity (x72 drops
+    * whole documents; production exact-substring dedup cuts only the
+    * repeated spans and keeps the rest). A position is flagged when its
+    * anchored k-gram also occurs in a LOWER-id document (the gram's
+    * "owner"); flagged [pos, pos+k) intervals merge into spans with the
+    * classic gaps-and-islands window (running max of interval ends, new
+    * island on a gap, both pure integer ops — replicated verbatim in the
+    * oracle). Output: one row per affected doc with span count and
+    * removed/kept char totals.
+    *
+    * 100 TB shape: per-position hashes come from the fused kernel with
+    * the SAME content-defined anchor sampling as x68 (1/mod of positions
+    * enter the pipeline; anchors land every ~mod chars, and k ≫ mod, so
+    * consecutive anchored intervals overlap and merged islands still
+    * cover long shared spans end-to-end). Owner resolution is a
+    * partial-agg'd min per gram hash — NO pair explosion and therefore
+    * no df cap: a boilerplate gram shared by a million docs costs one
+    * aggregate row, and span removal is exactly how boilerplate SHOULD
+    * be handled (every doc loses it except the global first occurrence).
+    * Shuffles: gram-hash agg + join-back, then one doc-keyed window. */
+  def spanDedupStats(spark: SparkSession, dir: String,
+                     k: Int = DecontamGramChars,
+                     anchorMod: Long = CrossDocAnchorMod): DataFrame = {
+    import graft.functions.HashSignatures.char_gram_pos_hashes
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val anchored = docs.filter(length(col("text")) >= k)
+      .select(col("doc_id"), length(col("text")).cast("long").as("doc_chars"),
+        posexplode(char_gram_pos_hashes(col("text"), k)).as(Seq("pos", "gh")))
+      .filter(col("gh") % lit(anchorMod) === 0)
+    val owner = anchored.groupBy(col("gh")).agg(min(col("doc_id")).as("owner"))
+    val flagged = anchored.join(owner, Seq("gh"))
+      .filter(col("doc_id") > col("owner"))
+      .select(col("doc_id"), col("doc_chars"), col("pos").cast("long").as("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runEnd = max(col("pos") + k)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = flagged
+      .withColumn("nw", when(runEnd.isNull || col("pos") >= runEnd, 1L).otherwise(0L))
+      .withColumn("island", sum(col("nw")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(any_value(col("doc_chars")).as("doc_chars"),
+        min(col("pos")).as("s"), (max(col("pos")) + k).as("e"))
+    islands.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("chars_removed"),
+        (any_value(col("doc_chars")) - sum(col("e") - col("s"))).as("chars_kept"))
+  }
+
   /** 64-bit SimHash from word hashes: sum ±1 per bit position weighted by
     * token occurrence, sign → bit. Computed with codegen'd higher-order
     * functions over the token array — no UDF, no shuffle until the band join. */

@@ -110,6 +110,23 @@ class KernelPropertiesSpec extends SparkSpec {
     assert(kernel == hof)
   }
 
+  test("property: char_gram_pos_hashes ≡ per-position HOF (dups kept, index = offset)") {
+    val mb = Array('a', 'b', '日', 'ß', 'c')
+    val texts = Seq.fill(200)(
+      (1 to rng.nextInt(30)).map(_ => mb(rng.nextInt(mb.length))).mkString) ++
+      Seq("", "ab", "aaaaaaaaaa") // below-k, exactly-k edges, all-dup grams
+    val k = 3
+    val df = texts.toDF("text")
+    val hof = when(length($"text") >= k,
+      transform(sequence(lit(1), length($"text") - lit(k - 1)),
+        i => Dedup.md5Hash60($"text".substr(i, lit(k)))))
+      .otherwise(array().cast("array<long>"))
+    val bad = df.select(
+      HashSignatures.char_gram_pos_hashes($"text", k).as("kern"), hof.as("hof"))
+      .filter(not($"kern" === $"hof")).count()
+    assert(bad == 0)
+  }
+
   test("property: TokenChunkStats ≡ driver-side cumsum chunking on random count arrays") {
     // zero counts (empty words), counts far above the budget (chunk-id
     // skips), and empty arrays all hit the kernel's flush edges

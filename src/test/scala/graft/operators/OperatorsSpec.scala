@@ -593,6 +593,39 @@ class OperatorsSpec extends SparkSpec {
     assert(uncapped.size > got.size, "without the cap every boilerplate pair appears")
   }
 
+  test("spanDedupStats (x82): exact match with a driver-side islands replica; totals reconcile") {
+    val k = Dedup.DecontamGramChars
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // driver replica: per-position anchored hashes -> min owner -> islands
+    val posHashes = docs.map { case (id, t) =>
+      id -> (0 to t.length - k).map(i => Dedup.md5Hash60Ref(t.substring(i, i + k)))
+        .zipWithIndex.collect { case (h, p) if h % Dedup.CrossDocAnchorMod == 0 => (p, h) }
+    }.toMap
+    val owner = posHashes.toSeq.flatMap { case (id, ph) => ph.map { case (_, h) => (h, id) } }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = docs.flatMap { case (id, t) =>
+      val flagged = posHashes(id).collect { case (p, h) if owner(h) < id => p }.sorted
+      if (flagged.isEmpty) None
+      else {
+        var spans = List.empty[(Int, Int)]
+        flagged.foreach { p =>
+          spans match {
+            case (s, e) :: rest if p < e => spans = (s, math.max(e, p + k)) :: rest
+            case _ => spans = (p, p + k) :: spans
+          }
+        }
+        Some((id, spans.size.toLong, spans.map(s => s._2 - s._1).sum.toLong,
+          t.length.toLong - spans.map(s => s._2 - s._1).sum))
+      }
+    }.toSet
+    val got = Dedup.spanDedupStats(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // removal is partial: affected docs keep some chars (span-level, not doc-level)
+    assert(got.exists(_._4 > 0))
+  }
+
   test("tokenDrift: exact integer scores vs driver reference, single corpus pass + top-k plan") {
     val q = TextAnalysis.tokenDrift(spark, sf)
     val got = q.as[(String, Long, Long, Long)].collect()
