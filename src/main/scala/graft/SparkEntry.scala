@@ -120,6 +120,7 @@ object SparkEntry {
     "x80_curriculum"        -> ((s, d) => Sampling.curriculumSchedule(s, d)),
     "x81_shuffled_pack"     -> ((s, d) => Sampling.packShuffledSequences(s, d)),
     "x82_span_dedup"        -> ((s, d) => Dedup.spanDedupStats(s, d)),
+    "x83_data_card"         -> ((s, d) => Sampling.dataCard(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1690,6 +1691,31 @@ object SparkEntry {
         |       MIN(shard) AS first_shard, MAX(shard) AS last_shard
         |FROM c GROUP BY 1""".stripMargin
     },
+
+    // x83: per-(source × split) data card — totals, length envelope, and
+    // the bottom-k hash sample replicated with x51's min-per-hash
+    // convention (value-sorted, comma-joined).
+    "x83_data_card" ->
+      s"""WITH d AS (SELECT source,
+        |        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
+        |        doc_id, n_chars, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |        ('0x' || substr(md5('card:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |      FROM (SELECT *,
+        |              ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        |            FROM documents) t),
+        |m AS (SELECT source, split, h, MIN(doc_id) AS doc_id FROM d GROUP BY 1, 2, 3),
+        |r AS (SELECT source, split, doc_id,
+        |        row_number() OVER (PARTITION BY source, split ORDER BY h) AS rn FROM m),
+        |ps AS (SELECT source, split,
+        |         array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= ${operators.Sampling.CardSampleK})), ',') AS sample_ids
+        |       FROM r GROUP BY 1, 2),
+        |agg AS (SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |          CAST(sum(toks) AS BIGINT) AS ws_tokens,
+        |          MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |        FROM d GROUP BY 1, 2)
+        |SELECT agg.source, agg.split, agg.n_docs, agg.ws_tokens,
+        |       agg.min_chars, agg.max_chars, ps.sample_ids
+        |FROM agg JOIN ps USING (source, split)""".stripMargin,
 
     // x74: deterministic epoch-seeded training order — salted md5-60
     // permutation key, shard = high hash bits (exact power-of-two

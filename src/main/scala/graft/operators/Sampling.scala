@@ -643,6 +643,38 @@ object Sampling {
         min(col("shard")).as("first_shard"), max(col("shard")).as("last_shard"))
   }
 
+  /** x83's per-cell sample size, shared with the oracle SQL. */
+  val CardSampleK: Int = 8
+
+  /** Per-(source × split) data card (x83): the datasheet artifact a
+    * training-data release ships — for every mixture cell, document/token
+    * totals, the min/max length envelope, and a bounded inspection sample
+    * of doc ids (`CardSampleK` ids by salted-hash priority). The sample
+    * is the bottom-k hash sketch (`KmvValueSample`, O(k) mergeable state
+    * — x51's discipline): a `collect_list` sample would buffer a cell's
+    * whole membership through the aggregate at corpus scale, and a
+    * `rand()` sample would change per run. One partial-agg'd shuffle on
+    * the (sources × 3)-ary cell key; every output column is an integer
+    * or a deterministic id string, so the card is fully oracle-checked. */
+  def dataCard(spark: SparkSession, dir: String, k: Int = CardSampleK): DataFrame = {
+    import graft.functions.KmvValueSample.kmv_value_sample
+    val h = Dedup.md5Hash60(concat(lit("card:"), col("doc_id").cast("string")))
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        splitLabel(hashBucket(col("doc_id"), "split", 100)).as("split"),
+        col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("toks"), h.as("h"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("ws_tokens"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"),
+        kmv_value_sample(col("h"), col("doc_id"), k).as("sample"))
+      .select(col("source"), col("split"), col("n_docs"), col("ws_tokens"),
+        col("min_chars"), col("max_chars"),
+        concat_ws(",", transform(array_sort(col("sample")), p => p.cast("string")))
+          .as("sample_ids"))
+  }
+
   /** x75's pinned mixture weights in micro-units (1e6 = keep exactly
     * once): the data-mixing spec a training run ships — here frozen as a
     * constant so the oracle interpolates the SAME table (the

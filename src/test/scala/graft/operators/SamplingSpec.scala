@@ -495,6 +495,29 @@ class SamplingSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == toks.values.sum) // every token packed once
   }
 
+  test("dataCard (x83): cells reconcile with tokenBudget, samples are cell members, bounded") {
+    val card = Sampling.dataCard(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, String)].collect()
+    val budget = Sampling.tokenBudget(spark, sf)
+      .select($"source", $"split", $"n_docs", $"ws_tokens")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(card.nonEmpty && card.length == budget.size)
+    val membership = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source",
+        Sampling.splitLabel(Sampling.hashBucket($"doc_id", "split", 100)).as("split"))
+      .as[(Long, String, String)].collect()
+      .groupBy(r => (r._2, r._3)).view.mapValues(_.map(_._1).toSet).toMap
+    card.foreach { case (src, split, nDocs, toks, minC, maxC, sample) =>
+      assert((nDocs, toks) == budget((src, split))) // totals ≡ x61 cell-for-cell
+      assert(minC <= maxC)
+      val ids = sample.split(",").filter(_.nonEmpty).map(_.toLong)
+      assert(ids.length == math.min(Sampling.CardSampleK.toLong, nDocs))
+      assert(ids.sorted.sameElements(ids)) // value-sorted, deterministic
+      ids.foreach(id => assert(membership((src, split)).contains(id)))
+    }
+  }
+
   test("upsampleMixture (x75): realized copies match the pinned weights exactly") {
     val docs = graft.Tables.documents(spark, sf)
       .select($"doc_id", $"source").as[(Long, String)].collect()
