@@ -121,6 +121,7 @@ object SparkEntry {
     "x81_shuffled_pack"     -> ((s, d) => Sampling.packShuffledSequences(s, d)),
     "x82_span_dedup"        -> ((s, d) => Dedup.spanDedupStats(s, d)),
     "x83_data_card"         -> ((s, d) => Sampling.dataCard(s, d)),
+    "x84_length_batches"    -> ((s, d) => Sampling.lengthBatches(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1716,6 +1717,21 @@ object SparkEntry {
         |SELECT agg.source, agg.split, agg.n_docs, agg.ws_tokens,
         |       agg.min_chars, agg.max_chars, ps.sample_ids
         |FROM agg JOIN ps USING (source, split)""".stripMargin,
+
+    // x84: length-bucketed batching — bucket/batch knobs interpolated
+    // from Sampling.Batch*; padding waste is pure integer arithmetic.
+    "x84_length_batches" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |           FROM documents),
+        |b AS (SELECT doc_id, toks, toks // ${operators.Sampling.BatchBucketTokens} AS bucket FROM t),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY toks, doc_id) AS rn FROM b),
+        |g AS (SELECT bucket, CAST((rn - 1) // ${operators.Sampling.BatchSize} AS BIGINT) AS batch_id,
+        |        toks FROM r)
+        |SELECT bucket, batch_id, CAST(count(*) AS BIGINT) AS n_seqs,
+        |       MIN(toks) AS min_toks, MAX(toks) AS max_toks,
+        |       CAST(SUM(toks) AS BIGINT) AS sum_toks,
+        |       CAST(count(*) * MAX(toks) - SUM(toks) AS BIGINT) AS padding_waste
+        |FROM g GROUP BY 1, 2""".stripMargin,
 
     // x74: deterministic epoch-seeded training order — salted md5-60
     // permutation key, shard = high hash bits (exact power-of-two

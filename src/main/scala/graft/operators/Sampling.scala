@@ -675,6 +675,45 @@ object Sampling {
           .as("sample_ids"))
   }
 
+  /** x84 knobs: length-bucket width (tokens) and sequences per batch,
+    * shared with the oracle SQL. */
+  val BatchBucketTokens: Long = 16L
+  val BatchSize: Long = 8L
+
+  /** Length-bucketed micro-batch grouping (x84): assign documents to
+    * fixed-size training/inference batches so same-batch sequences have
+    * similar token counts — the standard padding-waste mitigation
+    * (batching by raw arrival order pads every short sequence up to the
+    * batch max; bucketing by length first collapses that waste). Docs
+    * land in `bucketTokens`-wide length buckets; WITHIN a bucket they
+    * order deterministically by (toks, doc_id) and chop into
+    * `batchSize`-sequence batches. Output: one row per batch with its
+    * size, token envelope, and `padding_waste` = batchSize·max − Σtoks —
+    * the tokens a dense rectangular batch tensor would waste (tail
+    * batches count only their actual rows).
+    *
+    * 100 TB shape: one corpus shuffle (the per-bucket window; buckets are
+    * numerous and balanced — skew bound is one LENGTH CLASS, not a hot
+    * key), then a partial-agg'd shuffle on (bucket, batch). Everything
+    * integer → fully oracle-checked. */
+  def lengthBatches(spark: SparkSession, dir: String,
+                    bucketTokens: Long = BatchBucketTokens,
+                    batchSize: Long = BatchSize): DataFrame = {
+    require(bucketTokens >= 1 && batchSize >= 1, "need positive bucket/batch sizes")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .withColumn("bucket", expr(s"toks div ${bucketTokens}L"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("toks"), col("doc_id"))
+    toks
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_id", expr(s"CAST((rn - 1) div ${batchSize}L AS BIGINT)"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_seqs"),
+        min(col("toks")).as("min_toks"), max(col("toks")).as("max_toks"),
+        sum(col("toks")).as("sum_toks"))
+      .withColumn("padding_waste", col("n_seqs") * col("max_toks") - col("sum_toks"))
+  }
+
   /** x75's pinned mixture weights in micro-units (1e6 = keep exactly
     * once): the data-mixing spec a training run ships — here frozen as a
     * constant so the oracle interpolates the SAME table (the

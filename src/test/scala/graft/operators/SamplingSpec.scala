@@ -518,6 +518,26 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("lengthBatches (x84): every doc batched once, waste bounded by bucket width, full batches") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long")).as[(Long, Long)].collect()
+    val out = Sampling.lengthBatches(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.map(_._3).sum == docs.length) // every doc in exactly one batch
+    out.foreach { case (bucket, _, nSeqs, minT, maxT, sumT, waste) =>
+      assert(nSeqs <= Sampling.BatchSize)
+      assert(minT >= bucket * Sampling.BatchBucketTokens
+        && maxT < (bucket + 1) * Sampling.BatchBucketTokens) // bucket envelope holds
+      assert(waste == nSeqs * maxT - sumT && waste >= 0)
+      // same-bucket members differ by < bucket width -> per-seq waste < width
+      assert(waste < nSeqs * Sampling.BatchBucketTokens)
+    }
+    // at most one partial batch per bucket (the tail)
+    out.groupBy(_._1).foreach { case (_, batches) =>
+      assert(batches.count(_._3 < Sampling.BatchSize) <= 1)
+    }
+  }
+
   test("upsampleMixture (x75): realized copies match the pinned weights exactly") {
     val docs = graft.Tables.documents(spark, sf)
       .select($"doc_id", $"source").as[(Long, String)].collect()
