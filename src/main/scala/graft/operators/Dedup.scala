@@ -964,7 +964,12 @@ object Dedup {
     * no df cap: a boilerplate gram shared by a million docs costs one
     * aggregate row, and span removal is exactly how boilerplate SHOULD
     * be handled (every doc loses it except the global first occurrence).
-    * Shuffles: gram-hash agg + join-back, then one doc-keyed window. */
+    * Shuffles: gram-hash agg + join-back, then one doc-keyed window.
+    * The owner branch deliberately re-derives the anchored-gram subtree
+    * (a second linear kernel pass — map-side, parallel, x42's documented
+    * trade) instead of attaching owners with a per-gram window: a
+    * boilerplate gram's window partition is corpus-sized, exactly the
+    * hot-key funnel this operator must survive. */
   def spanDedupStats(spark: SparkSession, dir: String,
                      k: Int = DecontamGramChars,
                      anchorMod: Long = CrossDocAnchorMod): DataFrame = {
