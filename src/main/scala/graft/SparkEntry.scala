@@ -122,6 +122,8 @@ object SparkEntry {
     "x82_span_dedup"        -> ((s, d) => Dedup.spanDedupStats(s, d)),
     "x83_data_card"         -> ((s, d) => Sampling.dataCard(s, d)),
     "x84_length_batches"    -> ((s, d) => Sampling.lengthBatches(s, d)),
+    "x85_event_transitions" -> ((s, d) => Sessionize.eventTransitions(s, d)),
+    "x86_funnel"            -> ((s, d) => Sessionize.funnel(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1717,6 +1719,44 @@ object SparkEntry {
         |SELECT agg.source, agg.split, agg.n_docs, agg.ws_tokens,
         |       agg.min_chars, agg.max_chars, ps.sample_ids
         |FROM agg JOIN ps USING (source, split)""".stripMargin,
+
+    // x85: per-user chronological lag with the (ts_s, event_id) total
+    // order key — x11's ordering convention.
+    "x85_event_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type,
+        |       CAST(count(*) AS BIGINT) AS n_transitions,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // x86: strict-order conversion funnel over per-user first-touch
+    // times; stages interpolated from Sessionize.FunnelStages.
+    "x86_funnel" -> {
+      val stages = operators.Sessionize.FunnelStages
+      val mins = stages.map(st =>
+        s"MIN(CASE WHEN event_type = '$st' THEN ts_s END) AS t_$st").mkString(",\n        |         ")
+      val sums = stages.indices.map { k =>
+        val present = stages.take(k + 1).map(st => s"t_$st IS NOT NULL").mkString(" AND ")
+        val ordered = (1 to k).map(i => s"t_${stages(i - 1)} < t_${stages(i)}")
+        val cond = (Seq(present) ++ ordered).mkString(" AND ")
+        s"CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n_$k"
+      }.mkString(",\n        |        ")
+      val rows = stages.indices.map(i =>
+        s"SELECT CAST(${i + 1} AS BIGINT) AS stage, '${stages(i)}' AS event_type, n_$i AS n_users, n_total FROM c").mkString("\n        |UNION ALL ")
+      s"""WITH ev AS (SELECT user_id, event_type,
+        |              CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |pu AS (SELECT user_id,
+        |         $mins
+        |       FROM ev GROUP BY 1),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |        $sums
+        |      FROM pu)
+        |$rows""".stripMargin
+    },
 
     // x84: length-bucketed batching — bucket/batch knobs interpolated
     // from Sampling.Batch*; padding waste is pure integer arithmetic.

@@ -99,4 +99,68 @@ object Sessionize {
         sum(Relational.cents(col("value"))).as("sum_value_cents"),
         countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Event-type transition matrix (x85): per-user chronological `lag` →
+    * (prev, next) pair counts with distinct-user support — the Markov
+    * transition table behavioral analytics and next-event models start
+    * from. Order key is (epoch second, event_id): event_id breaks
+    * second-level ties with a TOTAL key, so the sequence — and therefore
+    * every transition — is identical cross-engine (the repo's row-pick
+    * determinism rule).
+    *
+    * One shuffle on user_id for the lag window (per-user partitions —
+    * parallel; skew bound is the single busiest user, the standard
+    * mitigation being session-scoped windows, x11's machinery), then a
+    * partial-agg'd shuffle on the ≤ |types|² transition key. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    raw
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        tsSeconds(raw).as("ts_s"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** x86's ordered funnel stages, shared with the oracle SQL. */
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Conversion funnel (x86): how many users reach each stage IN ORDER —
+    * a user converts to stage k+1 only with an event of that type
+    * STRICTLY AFTER their first stage-k event (first-touch attribution
+    * semantics; simultaneous-second events don't convert, which the
+    * integer ts_s makes well-defined). One conditional aggregate per
+    * user (min event time per stage — a single user-keyed partial-agg'd
+    * shuffle), then one tiny ungrouped count; stages unpivot from a
+    * 1-row aggregate, so the funnel costs one corpus pass at any scale. */
+  def funnel(spark: SparkSession, dir: String,
+             stages: Seq[String] = FunnelStages): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val raw = Tables.events(spark, dir)
+    val stageMins = stages.map(st =>
+      min(when(col("event_type") === st, col("ts_s"))).as(s"t_$st"))
+    val perUser = raw
+      .select(col("user_id"), col("event_type"), tsSeconds(raw).as("ts_s"))
+      .groupBy(col("user_id"))
+      .agg(stageMins.head, stageMins.tail: _*)
+    // reached(k): t_0 < t_1 < ... < t_k, all present
+    val reached = stages.indices.map { k =>
+      stages.take(k + 1).map(st => col(s"t_$st").isNotNull).reduce(_ && _) &&
+        (1 to k).map(i => col(s"t_${stages(i - 1)}") < col(s"t_${stages(i)}"))
+          .foldLeft(lit(true))(_ && _)
+    }
+    val counts = perUser.agg(
+      count(lit(1)).as("n_total"),
+      reached.zipWithIndex.map { case (c, i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"n_$i")
+      }: _*)
+    counts.select(explode(array(stages.indices.map(i =>
+      struct(lit(i + 1).cast("long").as("stage"), lit(stages(i)).as("event_type"),
+        col(s"n_$i").as("n_users"),
+        col("n_total"))): _*)).as("s"))
+      .select(col("s.stage"), col("s.event_type"), col("s.n_users"), col("s.n_total"))
+  }
 }

@@ -120,6 +120,40 @@ class OperatorsSpec extends SparkSpec {
     assert(sessions.filter($"duration_s" < 0).count() == 0)
   }
 
+  test("eventTransitions (x85): exact match with a driver replay; counts reconcile") {
+    val ev = graft.Tables.events(spark, sf)
+    val rows = ev.select($"user_id", $"event_id", $"event_type",
+      Sessionize.tsSeconds(ev).as("ts_s"))
+      .as[(Long, Long, String, Long)].collect()
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      es.sortBy(e => (e._4, e._2)).map(_._3).sliding(2).collect {
+        case Array(a, b) => ((a, b), uid)
+      }
+    }.groupBy(_._1).map { case (k, v) =>
+      k -> ((v.size.toLong, v.map(_._2).distinct.size.toLong))
+    }
+    val got = Sessionize.eventTransitions(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got == want && got.nonEmpty)
+    // every user contributes exactly (n_events - 1) transitions
+    val nUsers = rows.map(_._1).distinct.length
+    assert(got.values.map(_._1).sum == rows.length - nUsers)
+  }
+
+  test("funnel (x86): stage counts non-increasing, strict ordering enforced") {
+    val out = Sessionize.funnel(spark, sf)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Sessionize.FunnelStages)
+    assert(out.map(_._3).sliding(2).forall(p => p.size < 2 || p(0) >= p(1)))
+    // stage 1 = users with at least one 'view'
+    val viewers = graft.Tables.events(spark, sf)
+      .filter($"event_type" === Sessionize.FunnelStages.head)
+      .select($"user_id").distinct().count()
+    assert(out.head._3 == viewers)
+    assert(out.forall(r => r._4 == out.head._4 && r._3 <= r._4)) // shared denominator
+  }
+
   test("near-dup clusters: edges share a canonical id, canonical <= member, singletons self-labeled") {
     val clusters = Dedup.nearDupClusters(spark, sf)
       .as[(Long, Long)].collect().toMap
