@@ -124,6 +124,7 @@ object SparkEntry {
     "x84_length_batches"    -> ((s, d) => Sampling.lengthBatches(s, d)),
     "x85_event_transitions" -> ((s, d) => Sessionize.eventTransitions(s, d)),
     "x86_funnel"            -> ((s, d) => Sessionize.funnel(s, d)),
+    "x87_error_spikes"      -> ((s, d) => Sessionize.errorSpikes(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1757,6 +1758,26 @@ object SparkEntry {
         |      FROM pu)
         |$rows""".stripMargin
     },
+
+    // x87: hourly error-spike monitor — integer cross-multiplied trailing
+    // comparison; factor/window interpolated from Sessionize.Spike*.
+    "x87_error_spikes" ->
+      s"""WITH h AS (
+        |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_start_s,
+        |         CAST(count(*) AS BIGINT) AS n_errors
+        |  FROM events WHERE event_type = 'error' GROUP BY 1),
+        |t AS (SELECT *,
+        |        CAST(count(n_errors) OVER w AS BIGINT) AS trailing_hours,
+        |        CAST(COALESCE(sum(n_errors) OVER w, 0) AS BIGINT) AS trailing_errors
+        |      FROM h
+        |      WINDOW w AS (ORDER BY hour_start_s
+        |        ROWS BETWEEN ${operators.Sessionize.SpikeTrailingHours} PRECEDING AND 1 PRECEDING))
+        |SELECT hour_start_s, n_errors, trailing_hours, trailing_errors,
+        |       CAST(CASE WHEN trailing_hours > 0
+        |                  AND n_errors * trailing_hours >
+        |                      ${operators.Sessionize.SpikeFactor} * trailing_errors
+        |             THEN 1 ELSE 0 END AS INTEGER) AS spike
+        |FROM t""".stripMargin,
 
     // x84: length-bucketed batching — bucket/batch knobs interpolated
     // from Sampling.Batch*; padding waste is pure integer arithmetic.

@@ -125,6 +125,44 @@ object Sessionize {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** x87 knobs: spike factor and trailing window (hours), shared with
+    * the oracle SQL. */
+  val SpikeFactor: Int = 2
+  val SpikeTrailingHours: Int = 24
+
+  /** Hourly error-spike monitor (x87): flag hours whose error count
+    * exceeds `factor ×` the trailing-`window` hourly mean — the pipeline
+    * health check a production ETL runs over its own event/error stream
+    * (the reference's error-logging intent, turned into a monitor). The
+    * comparison is cross-multiplied (`n·trailing_hours > factor·
+    * trailing_sum`) so it is pure integer arithmetic — no mean, no float.
+    *
+    * The trailing window is UNPARTITIONED by construction — but it runs
+    * over the post-aggregate HOURLY table (rows = distinct hours, a
+    * time-bounded handful at any corpus size: the x48 tiny-table case,
+    * not a corpus-sized window). The corpus-sized work is the hourly
+    * aggregate, which partial-combines map-side on the hour key. */
+  def errorSpikes(spark: SparkSession, dir: String,
+                  factor: Int = SpikeFactor,
+                  trailingHours: Int = SpikeTrailingHours): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    val hourly = raw
+      .select(col("event_type"), tsSeconds(raw).as("ts_s"))
+      .filter(col("event_type") === "error")
+      .groupBy((expr("ts_s div 3600") * 3600).as("hour_start_s"))
+      .agg(count(lit(1)).as("n_errors"))
+    val w = Window.orderBy(col("hour_start_s")).rowsBetween(-trailingHours, -1)
+    hourly
+      .withColumn("trailing_hours", count(col("n_errors")).over(w))
+      .withColumn("trailing_errors", coalesce(sum(col("n_errors")).over(w), lit(0L)))
+      .withColumn("spike",
+        (col("trailing_hours") > 0 &&
+          col("n_errors") * col("trailing_hours") >
+            lit(factor.toLong) * col("trailing_errors")).cast("int"))
+      .select(col("hour_start_s"), col("n_errors"), col("trailing_hours"),
+        col("trailing_errors"), col("spike"))
+  }
+
   /** x86's ordered funnel stages, shared with the oracle SQL. */
   val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
 

@@ -154,6 +154,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(r => r._4 == out.head._4 && r._3 <= r._4)) // shared denominator
   }
 
+  test("errorSpikes (x87): trailing windows reconcile; spike rule is the cross-multiplied mean") {
+    val out = Sessionize.errorSpikes(spark, sf)
+      .orderBy($"hour_start_s")
+      .as[(Long, Long, Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    assert(out.head._3 == 0L && out.head._5 == 0) // first hour has no history, never a spike
+    // driver replay of the trailing window
+    out.zipWithIndex.foreach { case ((_, n, th, te, spike), i) =>
+      val lo = math.max(0, i - Sessionize.SpikeTrailingHours)
+      val window = out.slice(lo, i)
+      assert(th == window.length.toLong && te == window.map(_._2).sum)
+      val want = if (th > 0 && n * th > Sessionize.SpikeFactor * te) 1 else 0
+      assert(spike == want)
+    }
+    // total errors conserved across hourly rows
+    val totalErrors = graft.Tables.events(spark, sf)
+      .filter($"event_type" === "error").count()
+    assert(out.map(_._2).sum == totalErrors)
+  }
+
   test("near-dup clusters: edges share a canonical id, canonical <= member, singletons self-labeled") {
     val clusters = Dedup.nearDupClusters(spark, sf)
       .as[(Long, Long)].collect().toMap
