@@ -125,6 +125,7 @@ object SparkEntry {
     "x85_event_transitions" -> ((s, d) => Sessionize.eventTransitions(s, d)),
     "x86_funnel"            -> ((s, d) => Sessionize.funnel(s, d)),
     "x87_error_spikes"      -> ((s, d) => Sessionize.errorSpikes(s, d)),
+    "x88_retention"         -> ((s, d) => Sessionize.retentionCohorts(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1758,6 +1759,17 @@ object SparkEntry {
         |      FROM pu)
         |$rows""".stripMargin
     },
+
+    // x88: weekly retention triangle — integer epoch-week indices.
+    "x88_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |              CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+        |            FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY 1)
+        |SELECT c.cohort_week, wk.week - c.cohort_week AS week_offset,
+        |       CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_users
+        |FROM wk JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     // x87: hourly error-spike monitor — integer cross-multiplied trailing
     // comparison; factor/window interpolated from Sessionize.Spike*.

@@ -125,6 +125,31 @@ object Sessionize {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Weekly retention cohorts (x88): users grouped by their FIRST-event
+    * week (the cohort), counted again in every later week they were
+    * active — the (cohort_week, week_offset) retention triangle product
+    * analytics reads. Weeks are integer epoch-week indices
+    * (`ts_s div 604800` — engine-neutral, no calendar parsing), offsets
+    * integer differences; counts are distinct users, so the whole
+    * triangle is exact cross-engine.
+    *
+    * Shape: one user-keyed aggregate for cohort assignment (min week),
+    * one distinct (user, week) projection, a user-keyed equi-join to
+    * attach cohorts (both sides pre-shuffled on user_id — co-located),
+    * then a partial-agg'd count on the small (cohort, offset) key. No
+    * window, no skew key hotter than the busiest user. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    val weekly = raw
+      .select(col("user_id"), tsSeconds(raw).as("ts_s"))
+      .select(col("user_id"), expr("ts_s div 604800").as("week"))
+      .distinct()
+    val cohorts = weekly.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    weekly.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** x87 knobs: spike factor and trailing window (hours), shared with
     * the oracle SQL. */
   val SpikeFactor: Int = 2

@@ -174,6 +174,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_._2).sum == totalErrors)
   }
 
+  test("retentionCohorts (x88): exact driver replica; offset-0 row equals cohort size") {
+    val ev = graft.Tables.events(spark, sf)
+    val rows = ev.select($"user_id", Sessionize.tsSeconds(ev).as("ts_s"))
+      .as[(Long, Long)].collect()
+    val weekly = rows.map { case (u, t) => (u, t / 604800) }.distinct
+    val cohort = weekly.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = weekly.groupBy { case (u, w) => (cohort(u), w - cohort(u)) }
+      .view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    val got = Sessionize.retentionCohorts(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == want && got.nonEmpty)
+    // every cohort's offset-0 row counts the whole cohort
+    cohort.values.toSeq.distinct.foreach { cw =>
+      assert(got((cw, 0L)) == cohort.count(_._2 == cw).toLong)
+    }
+  }
+
   test("near-dup clusters: edges share a canonical id, canonical <= member, singletons self-labeled") {
     val clusters = Dedup.nearDupClusters(spark, sf)
       .as[(Long, Long)].collect().toMap
