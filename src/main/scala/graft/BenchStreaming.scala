@@ -135,6 +135,7 @@ object BenchStreaming {
       run("dedup_stream", EventStream.dedupStream),
       run("stream_static_enrich", ev => EventStream.enrichWithUsers(ev, users)),
       run("sampled_stream", ev => EventStream.sampledStream(ev, thresholds)),
+      run("transitions_stream", ev => EventStream.transitions(ev).toDF()),
       runDocs("token_budget_stream",
         graft.streaming.DocumentStream.tokenBudgetStream, "complete"),
       runDocs("bpe_chunk_stream",

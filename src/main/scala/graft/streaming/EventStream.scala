@@ -127,6 +127,44 @@ object EventStream {
         unix_timestamp(col("purchase_ts")).as("purchase_ts_s"))
   }
 
+  // —— stateful transition extraction via flatMapGroupsWithState ——
+
+  case class TEvent(user_id: Long, event_id: Long, ts_s: Long, event_type: String)
+  case class TransState(ts_s: Long, event_id: Long, event_type: String)
+  case class TransOut(user_id: Long, prev_type: String, next_type: String)
+
+  /** Streaming twin of x85's transition extraction: per-user `GroupState`
+    * carries the LAST event (ts, id, type) across micro-batches, so the
+    * boundary transition between batch N's tail and batch N+1's head is
+    * emitted exactly once — the property a stateless per-batch lag would
+    * miss. Each micro-batch's rows sort by the (ts_s, event_id) total key
+    * before pairing (x85's ordering convention); like every
+    * last-value-state stream, cross-batch correctness assumes per-user
+    * in-order arrival across micro-batches (event logs replayed in time
+    * order — the spec's drop files split by time), the standard contract
+    * for this state shape. Downstream aggregation to the transition
+    * matrix happens on the emitted pairs. */
+  def transitions(events: DataFrame): Dataset[TransOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"), col("ts_s"), col("event_type"))
+      .as[TEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[TEvent], state: GroupState[TransState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_s, e.event_id))
+          val out = scala.collection.mutable.ListBuffer.empty[TransOut]
+          var prev = state.getOption.orNull
+          for (e <- sorted) {
+            if (prev != null) out += TransOut(user, prev.event_type, e.event_type)
+            prev = TransState(e.ts_s, e.event_id, e.event_type)
+          }
+          if (prev != null) state.update(prev)
+          out.iterator
+      }
+  }
+
   // —— stateful sessionization via mapGroupsWithState ——
 
   case class Event(user_id: Long, ts_s: Long, value: Double)

@@ -162,6 +162,37 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stateful streaming transitions ≡ batch x85 across a micro-batch boundary") {
+    val root = java.nio.file.Files.createTempDirectory("graft-transtream").toString
+    val raw = graft.Tables.events(spark, sf)
+    val ev = raw.select($"event_id", $"user_id", $"event_type",
+      Sessionize.tsSeconds(raw).as("ts_s"))
+    // two drops split BY TIME so per-user arrival stays in order across
+    // micro-batches (the state contract); median second as the boundary
+    val cut = ev.stat.approxQuantile("ts_s", Array(0.5), 0.0).head.toLong
+    ev.filter($"ts_s" <= cut).write.parquet(s"$root/drop")
+    ev.filter($"ts_s" > cut).write.mode("append").parquet(s"$root/drop")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/drop")
+    val q = EventStream.transitions(stream).toDF()
+      .writeStream.format("memory").queryName("trans_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("trans_stream")
+      .groupBy($"prev_type", $"next_type")
+      .agg(count(lit(1)).as("n_transitions"), countDistinct($"user_id").as("n_users"))
+      .as[(String, String, Long, Long)].collect().toSet
+    val batch = Sessionize.eventTransitions(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // the boundary actually split users across micro-batches (state was exercised)
+    val usersBothSides = ev.filter($"ts_s" <= cut).select($"user_id").distinct()
+      .intersect(ev.filter($"ts_s" > cut).select($"user_id").distinct()).count()
+    assert(usersBothSides > 0, "fixture must force cross-batch state handoff")
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch window sessionizer") {
     val sessions = runStream(
       EventStream.sessionize(EventStream.readEvents(spark, sf)).toDF(), "sessions")
