@@ -126,6 +126,7 @@ object SparkEntry {
     "x86_funnel"            -> ((s, d) => Sessionize.funnel(s, d)),
     "x87_error_spikes"      -> ((s, d) => Sessionize.errorSpikes(s, d)),
     "x88_retention"         -> ((s, d) => Sessionize.retentionCohorts(s, d)),
+    "x89_quality_scores"    -> ((s, d) => TextAnalysis.qualityScorePinned(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -166,6 +167,28 @@ object SparkEntry {
       |term AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_toks
       |         FROM enc, consts c WHERE $br IS NULL)""".stripMargin
   }
+
+  /** x40's feature CTEs, ending in `feat(doc_id, n_words, mean_word_len,
+    * stopword_ratio, short_word_ratio, dup_ratio)` — shared by x89's
+    * pinned-weight scorer so scoring can't diverge from the features. */
+  private def qualityFeatureCtes: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+      |    length(replace(text, ' ', '')) / len(string_split(text, ' ')) AS mean_word_len,
+      |    len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the','a','an','of','to','in','and','is','for','on')))
+      |      / len(string_split(text, ' ')) AS stopword_ratio,
+      |    len(list_filter(string_split(text, ' '), w -> length(w) = 1))
+      |      / len(string_split(text, ' ')) AS short_word_ratio,
+      |    CAST(greatest(len(string_split(text, ' ')) - 2, 0) AS INTEGER) AS tot,
+      |    CAST(len(list_distinct([array_to_string(words[i:i+2], ' ')
+      |                            for i in range(1, len(words) - 1)])) AS INTEGER) AS dis
+      |  FROM (SELECT *, string_split(text, ' ') AS words FROM documents) t),
+      |feat AS (
+      |  SELECT doc_id, n_words, mean_word_len, stopword_ratio, short_word_ratio,
+      |         CASE WHEN tot > 0 THEN (tot - dis) / tot ELSE 0.0 END AS dup_ratio
+      |  FROM g)""".stripMargin
 
   /** x56's per-source score-calibration CTEs, ending in
     * `dec(doc_id, source, score_q, decile)` — shared by x80's curriculum
@@ -1078,24 +1101,34 @@ object SparkEntry {
     // fit/score on top is float-iterative and test-gated instead
     // (QualityClassifierSpec) — same split as x18's fit vs dataflow.
     "x40_quality_features" ->
-      """WITH g AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
-        |    length(replace(text, ' ', '')) / len(string_split(text, ' ')) AS mean_word_len,
-        |    len(list_filter(string_split(text, ' '),
-        |        w -> w IN ('the','a','an','of','to','in','and','is','for','on')))
-        |      / len(string_split(text, ' ')) AS stopword_ratio,
-        |    len(list_filter(string_split(text, ' '), w -> length(w) = 1))
-        |      / len(string_split(text, ' ')) AS short_word_ratio,
-        |    CAST(greatest(len(string_split(text, ' ')) - 2, 0) AS INTEGER) AS tot,
-        |    CAST(len(list_distinct([array_to_string(words[i:i+2], ' ')
-        |                            for i in range(1, len(words) - 1)])) AS INTEGER) AS dis
-        |  FROM (SELECT *, string_split(text, ' ') AS words FROM documents) t)
+      s"""$qualityFeatureCtes
         |SELECT doc_id, n_words, mean_word_len, stopword_ratio, short_word_ratio,
-        |       CASE WHEN tot > 0 THEN (tot - dis) / tot ELSE 0.0 END AS dup_ratio,
+        |       dup_ratio,
         |       CAST(least(1.0, n_words / 100.0) * (1.0 - short_word_ratio) >= 0.5
         |            AS INTEGER) AS label
-        |FROM g""".stripMargin,
+        |FROM feat""".stripMargin,
+
+    // x89: the pinned-weight linear scorer over x40's features — ratios
+    // quantized with floor(x·1e6) (exact both engines), then an integer
+    // dot product with the frozen weights; threshold interpolated from
+    // TextAnalysis.Qw*/QualityKeepThresholdMicro.
+    "x89_quality_scores" -> {
+      import operators.TextAnalysis._
+      s"""$qualityFeatureCtes
+        |SELECT doc_id,
+        |       CAST($QwWords * n_words
+        |            + $QwMeanLen * CAST(floor(mean_word_len * 1000000) AS BIGINT)
+        |            + ($QwStop) * CAST(floor(stopword_ratio * 1000000) AS BIGINT)
+        |            + ($QwShort) * CAST(floor(short_word_ratio * 1000000) AS BIGINT)
+        |            + ($QwDup) * CAST(floor(dup_ratio * 1000000) AS BIGINT) AS BIGINT) AS score_micro,
+        |       CAST(($QwWords * n_words
+        |            + $QwMeanLen * CAST(floor(mean_word_len * 1000000) AS BIGINT)
+        |            + ($QwStop) * CAST(floor(stopword_ratio * 1000000) AS BIGINT)
+        |            + ($QwShort) * CAST(floor(short_word_ratio * 1000000) AS BIGINT)
+        |            + ($QwDup) * CAST(floor(dup_ratio * 1000000) AS BIGINT))
+        |            >= $QualityKeepThresholdMicro AS INTEGER) AS keep
+        |FROM feat""".stripMargin
+    },
 
     // x41's oracle replicates the count-min sketch end-to-end: the salted
     // md5-60 row hashes ('cm<r>:' prefixes), the depth×width counter

@@ -719,6 +719,40 @@ object TextAnalysis {
           * (lit(1.0) - col("short_word_ratio"))) >= labelAt).cast("int"))
   }
 
+  /** x89's pinned scorer weights (micro-points per unit) and keep
+    * threshold — a fitted linear quality model FROZEN as constants, the
+    * form a fastText-style quality classifier actually ships in (fit
+    * once offline, pin, apply to every crawl). Shared with the oracle
+    * SQL (the PinnedBpeMerges pattern). Weights act on the quantized
+    * (×1e6, floored) x40 ratios; the word-count term is per word. */
+  val QwWords: Long = 5000L
+  val QwMeanLen: Long = 1L
+  val QwStop: Long = 3L
+  val QwShort: Long = -4L
+  val QwDup: Long = -2L
+  val QualityKeepThresholdMicro: Long = 4500000L
+
+  /** Pinned-weight quality scoring (x89): the APPLY stage of a quality
+    * classifier as an oracle-checked query — x40's features quantized
+    * with `floor(ratio · 1e6)` (a composition of exact IEEE ops, the
+    * trunc6 argument) then an integer dot product with the frozen
+    * weights and a threshold keep flag. Complements
+    * `qualityClassifierScores` (the MLlib FIT path, spec-gated): a
+    * production pipeline fits rarely and applies constantly, and the
+    * apply path is pure per-row projection — no shuffle, no model state
+    * beyond the plan-time constants, bit-exact cross-engine. */
+  def qualityScorePinned(spark: SparkSession, dir: String): DataFrame = {
+    def q(c: Column): Column = floor(c * lit(1000000.0)).cast("long")
+    val score = lit(QwWords) * col("n_words").cast("long") +
+      lit(QwMeanLen) * q(col("mean_word_len")) +
+      lit(QwStop) * q(col("stopword_ratio")) +
+      lit(QwShort) * q(col("short_word_ratio")) +
+      lit(QwDup) * q(col("dup_ratio"))
+    qualityFeatures(spark, dir)
+      .select(col("doc_id"), score.as("score_micro"))
+      .withColumn("keep", (col("score_micro") >= QualityKeepThresholdMicro).cast("int"))
+  }
+
   /** Model-scoring stage of the quality pipeline: LogisticRegression
     * (MLlib) trained on `qualityFeatures`' heuristic labels, then applied
     * to the whole corpus as one distributed `transform` — the pattern that

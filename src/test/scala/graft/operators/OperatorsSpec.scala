@@ -174,6 +174,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_._2).sum == totalErrors)
   }
 
+  test("qualityScorePinned (x89): exact integer dot of the quantized x40 features") {
+    val feats = TextAnalysis.qualityFeatures(spark, sf)
+      .select($"doc_id", $"n_words", $"mean_word_len", $"stopword_ratio",
+        $"short_word_ratio", $"dup_ratio")
+      .as[(Long, Int, Double, Double, Double, Double)].collect()
+    def q(x: Double): Long = math.floor(x * 1000000.0).toLong
+    val want = feats.map { case (id, nw, ml, st, sh, du) =>
+      id -> (TextAnalysis.QwWords * nw + TextAnalysis.QwMeanLen * q(ml) +
+        TextAnalysis.QwStop * q(st) + TextAnalysis.QwShort * q(sh) +
+        TextAnalysis.QwDup * q(du))
+    }.toMap
+    val got = TextAnalysis.qualityScorePinned(spark, sf)
+      .as[(Long, Long, Int)].collect()
+    assert(got.length == feats.length)
+    got.foreach { case (id, score, keep) =>
+      assert(score == want(id), s"doc $id")
+      assert(keep == (if (score >= TextAnalysis.QualityKeepThresholdMicro) 1 else 0))
+    }
+    // the pinned threshold separates the corpus (both classes present)
+    assert(got.exists(_._3 == 1) && got.exists(_._3 == 0))
+  }
+
   test("retentionCohorts (x88): exact driver replica; offset-0 row equals cohort size") {
     val ev = graft.Tables.events(spark, sf)
     val rows = ev.select($"user_id", Sessionize.tsSeconds(ev).as("ts_s"))
