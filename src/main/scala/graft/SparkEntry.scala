@@ -127,6 +127,8 @@ object SparkEntry {
     "x87_error_spikes"      -> ((s, d) => Sessionize.errorSpikes(s, d)),
     "x88_retention"         -> ((s, d) => Sessionize.retentionCohorts(s, d)),
     "x89_quality_scores"    -> ((s, d) => TextAnalysis.qualityScorePinned(s, d)),
+    "x90_dedup_rates"       -> ((s, d) => Dedup.dedupRates(s, d)),
+    "x91_user_growth"       -> ((s, d) => Sessionize.userGrowth(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1792,6 +1794,33 @@ object SparkEntry {
         |      FROM pu)
         |$rows""".stripMargin
     },
+
+    // x90: per-source dedup rates — x17's cluster CTEs verbatim, counts
+    // of canonical vs dropped members per source.
+    "x90_dedup_rates" ->
+      s"""$clustersCteSql,
+        |canon AS (SELECT doc_id, MIN(label) AS canonical_id FROM reach GROUP BY doc_id)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN c.doc_id = c.canonical_id THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+        |       CAST(sum(CASE WHEN c.doc_id = c.canonical_id THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        |FROM documents d JOIN canon c USING (doc_id)
+        |GROUP BY 1""".stripMargin,
+
+    // x91: weekly growth curve — integer epoch weeks; the cumulative sum
+    // runs over the tiny weekly aggregate.
+    "x91_user_growth" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |              CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+        |            FROM events),
+        |act AS (SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |        FROM wk GROUP BY 1),
+        |fw AS (SELECT MIN(week) AS week FROM wk GROUP BY user_id),
+        |nw AS (SELECT week, CAST(count(*) AS BIGINT) AS n_new FROM fw GROUP BY 1)
+        |SELECT act.week, act.n_active,
+        |       CAST(COALESCE(nw.n_new, 0) AS BIGINT) AS n_new,
+        |       CAST(SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY act.week
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM act LEFT JOIN nw USING (week)""".stripMargin,
 
     // x88: weekly retention triangle — integer epoch-week indices.
     "x88_retention" ->

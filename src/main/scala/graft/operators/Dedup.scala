@@ -943,6 +943,25 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
   }
 
+  /** Per-source dedup-rate report (x90): for every source, how many
+    * documents the near-dup clustering keeps (cluster canonicals) vs
+    * drops — the per-source duplication scorecard a crawl pipeline
+    * publishes with each release (duplication rate is a strong
+    * source-quality signal: mirror-heavy sources dedup away). One
+    * corpus-keyed equi-join of the (doc_id, canonical_id) cluster table
+    * against the doc→source projection, then a partial-agg'd shuffle on
+    * the small source key; all counts integer, and the oracle reuses
+    * x17's cluster CTEs verbatim (the rates cannot diverge from the
+    * clustering). */
+  def dedupRates(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(nearDupClusters(spark, dir), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
+          .as("n_canonical"))
+      .withColumn("n_dropped", col("n_docs") - col("n_canonical"))
+
   /** Span-level cross-document dedup report (x82): for every document,
     * the merged character spans it would LOSE under first-occurrence-wins
     * span removal — Lee et al.'s actual removal granularity (x72 drops

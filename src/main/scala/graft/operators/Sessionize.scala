@@ -150,6 +150,31 @@ object Sessionize {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Weekly user-growth curve (x91): per epoch-week, distinct active
+    * users, first-time users, and the cumulative user count — the
+    * DAU/WAU-style growth report, all integer. The cumulative sum is an
+    * unpartitioned window BY CONSTRUCTION over the post-aggregate weekly
+    * table (rows = distinct weeks, time-bounded at any event volume —
+    * the x48 tiny-table case); the corpus-sized work is the distinct
+    * (user, week) projection and two user/week-keyed aggregates, all
+    * partial-combined. */
+  def userGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    val weekly = raw
+      .select(col("user_id"), tsSeconds(raw).as("ts_s"))
+      .select(col("user_id"), expr("ts_s div 604800").as("week"))
+      .distinct()
+    val active = weekly.groupBy(col("week")).agg(countDistinct(col("user_id")).as("n_active"))
+    val firstWeeks = weekly.groupBy(col("user_id")).agg(min(col("week")).as("week"))
+      .groupBy(col("week")).agg(count(lit(1)).as("n_new"))
+    active.join(firstWeeks, Seq("week"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_users",
+        sum(col("n_new")).over(Window.orderBy(col("week"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("week"), col("n_active"), col("n_new"), col("cum_users"))
+  }
+
   /** x87 knobs: spike factor and trailing window (hours), shared with
     * the oracle SQL. */
   val SpikeFactor: Int = 2

@@ -196,6 +196,38 @@ class OperatorsSpec extends SparkSpec {
     assert(got.exists(_._3 == 1) && got.exists(_._3 == 0))
   }
 
+  test("dedupRates (x90): reconciles with the cluster table and the kept corpus") {
+    val clusters = Dedup.nearDupClusters(spark, sf).as[(Long, Long)].collect()
+    val sources = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val rates = Dedup.dedupRates(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    val wantDocs = sources.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wantCanon = clusters.filter(c => c._1 == c._2)
+      .groupBy(c => sources(c._1)).view.mapValues(_.length.toLong).toMap
+    rates.foreach { case (src, nDocs, nCanon, nDropped) =>
+      assert(nDocs == wantDocs(src) && nCanon == wantCanon.getOrElse(src, 0L))
+      assert(nDropped == nDocs - nCanon && nDropped >= 0)
+    }
+    // totals reconcile with the deduplicated shipping corpus (x57)
+    assert(rates.map(_._3).sum == Dedup.nearDedupedCorpus(spark, sf).count())
+  }
+
+  test("userGrowth (x91): actives bound news, cumulative hits the distinct-user total") {
+    val out = Sessionize.userGrowth(spark, sf)
+      .orderBy($"week").as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, active, nNew, _) => assert(nNew <= active) }
+    assert(out.head._2 == out.head._3) // week 1: every active user is new
+    assert(out.map(_._3).sum == out.last._4) // news telescope into the cumulative
+    val totalUsers = graft.Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    assert(out.last._4 == totalUsers)
+    // cumulative is the running sum of news
+    var run = 0L
+    out.foreach { case (_, _, nNew, cum) => run += nNew; assert(cum == run) }
+  }
+
   test("retentionCohorts (x88): exact driver replica; offset-0 row equals cohort size") {
     val ev = graft.Tables.events(spark, sf)
     val rows = ev.select($"user_id", Sessionize.tsSeconds(ev).as("ts_s"))
