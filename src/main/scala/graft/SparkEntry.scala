@@ -129,6 +129,8 @@ object SparkEntry {
     "x89_quality_scores"    -> ((s, d) => TextAnalysis.qualityScorePinned(s, d)),
     "x90_dedup_rates"       -> ((s, d) => Dedup.dedupRates(s, d)),
     "x91_user_growth"       -> ((s, d) => Sessionize.userGrowth(s, d)),
+    "x92_mirror_pairs"      -> ((s, d) => Dedup.sourceMirrorPairs(s, d)),
+    "x93_embedding_audit"   -> ((s, d) => Similarity.embeddingAudit(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1805,6 +1807,32 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN c.doc_id = c.canonical_id THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
         |FROM documents d JOIN canon c USING (doc_id)
         |GROUP BY 1""".stripMargin,
+
+    // x92: cross-source mirror pairs — x17's cluster CTEs verbatim, then
+    // distinct (cluster, source) memberships self-joined on cluster id.
+    "x92_mirror_pairs" ->
+      s"""$clustersCteSql,
+        |canon AS (SELECT doc_id, MIN(label) AS canonical_id FROM reach GROUP BY doc_id),
+        |m AS (SELECT DISTINCT c.canonical_id, d.source
+        |      FROM canon c JOIN documents d USING (doc_id))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       CAST(count(DISTINCT a.canonical_id) AS BIGINT) AS n_shared_clusters
+        |FROM m a JOIN m b ON a.canonical_id = b.canonical_id AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+
+    // x93: per-label embedding audit — norms quantized with floor(·1e6)
+    // over the same left-to-right sum-of-squares fold (x09's argument).
+    "x93_embedding_audit" ->
+      """WITH e AS (
+        |  SELECT label, CAST(len(embedding) AS INTEGER) AS n_dims,
+        |         CAST(floor(sqrt(list_aggregate(list_transform(
+        |             CAST(embedding AS DOUBLE[]), x -> x*x), 'sum')) * 1000000) AS BIGINT) AS norm_q
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(count(DISTINCT n_dims) AS BIGINT) AS n_distinct_dims,
+        |       CAST(sum(CASE WHEN norm_q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        |       MIN(norm_q) AS min_norm_q, MAX(norm_q) AS max_norm_q
+        |FROM e GROUP BY 1""".stripMargin,
 
     // x91: weekly growth curve — integer epoch weeks; the cumulative sum
     // runs over the tiny weekly aggregate.

@@ -962,6 +962,29 @@ object Dedup {
           .as("n_canonical"))
       .withColumn("n_dropped", col("n_docs") - col("n_canonical"))
 
+  /** Cross-source mirror detection (x92): source pairs that share
+    * near-dup clusters, with the shared-cluster count — the signal that
+    * two "sources" are actually mirrors/syndicators of each other (a
+    * crawl curation step drops or merges heavy mirror pairs before
+    * mixture weighting). From the cluster table: distinct
+    * (cluster, source) memberships self-join on the cluster id with
+    * source_a < source_b — a cluster-keyed equi-join whose per-cluster
+    * fan-out is bounded by C(|sources in cluster|, 2) ≤ C(n_sources, 2),
+    * never all-pairs over docs; then a partial-agg'd count on the tiny
+    * source-pair key. Oracle reuses x17's cluster CTEs verbatim. */
+  def sourceMirrorPairs(spark: SparkSession, dir: String): DataFrame = {
+    val memberships = nearDupClusters(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("canonical_id"), col("source"))
+      .distinct()
+    memberships.as("a")
+      .join(memberships.as("b"),
+        col("a.canonical_id") === col("b.canonical_id")
+          && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(countDistinct(col("a.canonical_id")).as("n_shared_clusters"))
+  }
+
   /** Span-level cross-document dedup report (x82): for every document,
     * the merged character spans it would LOSE under first-occurrence-wins
     * span removal — Lee et al.'s actual removal granularity (x72 drops

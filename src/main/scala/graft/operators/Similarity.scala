@@ -100,6 +100,27 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Embedding-table audit (x93): per label, the vector-quality gate a
+    * pipeline runs before indexing/training on an embedding corpus —
+    * row/dimension consistency, zero-norm (undefined-cosine) counts, and
+    * the norm envelope. Norms are quantized with `floor(norm·1e6)`
+    * (sqrt is correctly rounded per IEEE and the left-to-right
+    * sum-of-squares fold is replicated by the oracle's list_aggregate —
+    * the x09 argument), so every output column is integer-exact. Pure
+    * per-row projection + one partial-agg'd shuffle on the tiny label
+    * key. */
+  def embeddingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val nrm = norm(asDouble(col("embedding")))
+    val q = floor(nrm * lit(1000000.0)).cast("long")
+    Tables.embeddings(spark, dir)
+      .select(col("label"), size(col("embedding")).as("n_dims"), q.as("norm_q"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("n_dims")).as("n_distinct_dims"),
+        sum(when(col("norm_q") === 0L, 1L).otherwise(0L)).as("n_zero_norm"),
+        min(col("norm_q")).as("min_norm_q"), max(col("norm_q")).as("max_norm_q"))
+  }
+
   /** Hard-negative mining (x79): for each labeled query vector, the k
     * MOST similar vectors with a DIFFERENT label — the contrastive-
     * training data-prep step (the negatives that sit closest to the

@@ -196,6 +196,35 @@ class OperatorsSpec extends SparkSpec {
     assert(got.exists(_._3 == 1) && got.exists(_._3 == 0))
   }
 
+  test("sourceMirrorPairs (x92): exact driver replica from the cluster memberships") {
+    val clusters = Dedup.nearDupClusters(spark, sf).as[(Long, Long)].collect()
+    val sources = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val byCluster = clusters.groupBy(_._2).view
+      .mapValues(_.map(m => sources(m._1)).toSet).toMap
+    val want = byCluster.toSeq.flatMap { case (cid, srcs) =>
+      srcs.toSeq.sorted.combinations(2).map { case Seq(a, b) => ((a, b), cid) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val got = Dedup.sourceMirrorPairs(spark, sf)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == want && got.nonEmpty)
+    got.keys.foreach { case (a, b) => assert(a < b) } // canonical pair order
+  }
+
+  test("embeddingAudit (x93): consistent dims, no zero norms, envelope brackets every vector") {
+    val audit = Similarity.embeddingAudit(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    assert(audit.nonEmpty)
+    val total = graft.Tables.embeddings(spark, sf).count()
+    assert(audit.map(_._2).sum == total)
+    audit.foreach { case (_, _, nDims, nZero, minQ, maxQ) =>
+      assert(nDims == 1L) // homogeneous dimensionality per label
+      assert(nZero == 0L) // synthetic corpus has no zero vectors
+      assert(minQ > 0L && minQ <= maxQ)
+    }
+  }
+
   test("dedupRates (x90): reconciles with the cluster table and the kept corpus") {
     val clusters = Dedup.nearDupClusters(spark, sf).as[(Long, Long)].collect()
     val sources = graft.Tables.documents(spark, sf)
