@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, IntervalJoin, JsonOps, LinkAnalysis, Multimodal, Relational, Retrieval, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{ClusterStage, Dedup, IntervalJoin, JsonOps, LinkAnalysis, Multimodal, Relational, Retrieval, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -54,7 +54,7 @@ object SparkEntry {
     "x14_json_extract"    -> ((s, d) => JsonOps.extractAndAggregate(s, d)),
     "x15_multimodal"      -> ((s, d) => Multimodal.featuresByModality(s, d)),
     "x16_winnowing_fp"    -> ((s, d) => TextAnalysis.winnowingFingerprints(s, d)),
-    "x17_dedup_clusters"  -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "x17_dedup_clusters"  -> ((s, d) => ClusterStage.clusters(s, d)),
     "x18_ann_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "x19_sliding_windows" -> ((s, d) => Sessionize.slidingWindows(s, d)),
     "x20_session_window"  -> ((s, d) => Sessionize.sessionWindows(s, d)),

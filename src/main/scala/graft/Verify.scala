@@ -12,6 +12,13 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val nameFilter: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // Fail fast on a filter typo: a name matching no query would otherwise
+    // dump nothing and read as "0 ok, 0 bad" — a silent pass in the dev loop.
+    nameFilter.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s) in filter: ${unknown.mkString(", ")}")
+    }
     def selected(name: String): Boolean = nameFilter.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -120,8 +120,16 @@ object Dedup {
     * removed with a broadcast anti-join (stop-shingles are few by
     * definition), so the exploded side never shuffles for the cap. */
   def ngramJaccard(spark: SparkSession, dir: String, n: Int = 5, threshold: Double = 0.5,
-                   maxShingleDf: Int = 100): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+                   maxShingleDf: Int = 100): DataFrame =
+    ngramJaccard(Tables.documents(spark, dir), n, threshold, maxShingleDf)
+
+  /** Composable form of the Jaccard pair join over any (doc_id, text)
+    * frame — the building block `ClusterStage.writeClusterTable` uses to
+    * cluster an arbitrary corpus snapshot, not just a `Tables.documents`
+    * load. Same plan and contract as the (spark, dir) overload. */
+  def ngramJaccard(docsIn: DataFrame, n: Int, threshold: Double,
+                   maxShingleDf: Int): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"),
         graft.functions.HashSignatures.word_shingles(col("text"), n).as("shingles"))
       .withColumn("n_sh", size(col("shingles")))
@@ -313,10 +321,16 @@ object Dedup {
     * checkpoints internally); singleton docs rejoin at the end as their
     * own canonical. Deterministic — oracle is a recursive CTE in DuckDB. */
   def nearDupClusters(spark: SparkSession, dir: String, n: Int = 5,
-                      threshold: Double = 0.3): DataFrame = {
-    val pairs = ngramJaccard(spark, dir, n, threshold).select(col("doc_a"), col("doc_b"))
+                      threshold: Double = 0.3): DataFrame =
+    nearDupClusters(Tables.documents(spark, dir), n, threshold)
+
+  /** Composable form of x17 over any (doc_id, text) frame — what
+    * `ClusterStage.writeClusterTable` persists. Same plan as the
+    * (spark, dir) overload (which delegates here). */
+  def nearDupClusters(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val pairs = ngramJaccard(docs, n, threshold, 100).select(col("doc_a"), col("doc_b"))
     val labels = ConnectedComponents.components(pairs)
-    Tables.documents(spark, dir).select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(labels.select(col("node").as("doc_id"), col("component")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("canonical_id"))
   }
@@ -331,7 +345,7 @@ object Dedup {
     * downstream training job needs from its input corpus). */
   def nearDedupedCorpus(spark: SparkSession, dir: String, n: Int = 5,
                         threshold: Double = 0.3): DataFrame =
-    nearDedupedCorpus(spark, dir, nearDupClusters(spark, dir, n, threshold))
+    nearDedupedCorpus(spark, dir, ClusterStage.clusters(spark, dir, n, threshold))
 
   /** Composable form of x57 (x38's pattern): selection over an
     * ALREADY-COMPUTED cluster assignment, so a real pipeline runs the
@@ -364,7 +378,7 @@ object Dedup {
   def bestKeepCorpus(spark: SparkSession, dir: String, n: Int = 5,
                      threshold: Double = 0.3,
                      priority: Map[String, Int] = Map.empty): DataFrame =
-    bestKeepCorpus(spark, dir, nearDupClusters(spark, dir, n, threshold), priority)
+    bestKeepCorpus(spark, dir, ClusterStage.clusters(spark, dir, n, threshold), priority)
 
   /** Composable form of x70 (x57's pattern): best-member selection over
     * an ALREADY-COMPUTED cluster assignment, so one CC run feeds
@@ -952,10 +966,11 @@ object Dedup {
     * against the doc→source projection, then a partial-agg'd shuffle on
     * the small source key; all counts integer, and the oracle reuses
     * x17's cluster CTEs verbatim (the rates cannot diverge from the
-    * clustering). */
+    * clustering). Reads the staged cluster artifact (`ClusterStage`), so
+    * the scorecard never re-runs clustering. */
   def dedupRates(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-      .join(nearDupClusters(spark, dir), Seq("doc_id"))
+      .join(ClusterStage.clusters(spark, dir), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
@@ -971,9 +986,12 @@ object Dedup {
     * source_a < source_b — a cluster-keyed equi-join whose per-cluster
     * fan-out is bounded by C(|sources in cluster|, 2) ≤ C(n_sources, 2),
     * never all-pairs over docs; then a partial-agg'd count on the tiny
-    * source-pair key. Oracle reuses x17's cluster CTEs verbatim. */
+    * source-pair key. Oracle reuses x17's cluster CTEs verbatim. Reads
+    * the staged cluster artifact (`ClusterStage`) — the parquet read is
+    * what makes the self-join cheap (two scans of a two-column table,
+    * zero CC re-runs). */
   def sourceMirrorPairs(spark: SparkSession, dir: String): DataFrame = {
-    val memberships = nearDupClusters(spark, dir)
+    val memberships = ClusterStage.clusters(spark, dir)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("canonical_id"), col("source"))
       .distinct()

@@ -116,7 +116,7 @@ object Sampling {
     * total vs kept doc counts. */
   def clusterDebiasedSample(spark: SparkSession, dir: String, n: Int = 5,
                             threshold: Double = 0.3): DataFrame =
-    clusterDebiasedSample(Dedup.nearDupClusters(spark, dir, n, threshold))
+    clusterDebiasedSample(ClusterStage.clusters(spark, dir, n, threshold))
 
   /** Composable form of x38: debiased sampling over an ALREADY-COMPUTED
     * cluster assignment (doc_id, canonical_id) — x17's output, or any other
@@ -433,7 +433,9 @@ object Sampling {
     * funnel, which predates the round-5/6 filters.
     *
     * Built from the composable overloads so every expensive artifact is
-    * computed ONCE: one CC run feeds the dedup keep set, one bloom build
+    * computed ONCE: the dedup keep set reads the STAGED cluster artifact
+    * (`ClusterStage.clusters` — zero CC re-runs after the first stage in
+    * a session), one bloom build
     * feeds the word-level hit set, one gram join feeds the char-level hit
     * set; the repetition rules are a per-row projection on the survivor
     * scan (no join — `TextAnalysis.repetitionKeep`), the flagged-id
@@ -443,7 +445,7 @@ object Sampling {
     * end-to-end — the proof the stages stack without divergence. */
   def shipCorpus(spark: SparkSession, dir: String,
                  cap: Int = DefaultSourceCap): DataFrame = {
-    val clusters = Dedup.nearDupClusters(spark, dir)
+    val clusters = ClusterStage.clusters(spark, dir)
     val keepDedup = clusters
       .filter(col("doc_id") === col("canonical_id")).select(col("doc_id"))
     val wordFlagged = Dedup.bloomDecontamination(spark, dir)

@@ -196,6 +196,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got.exists(_._3 == 1) && got.exists(_._3 == 0))
   }
 
+  test("ClusterStage: staged cluster table ≡ recomputed labeling; staged read is a pure scan") {
+    val recomputed = Dedup.nearDupClusters(spark, sf).as[(Long, Long)].collect().toSet
+    val stagedDf = ClusterStage.clusters(spark, sf)
+    assert(stagedDf.as[(Long, Long)].collect().toSet == recomputed && recomputed.nonEmpty)
+    // the staged read must be a parquet scan of the artifact, not a CC re-derivation
+    val plan = stagedDf.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"staged read re-derives clustering:\n$plan")
+    // explicit write/read API round-trips on an arbitrary docs frame
+    val tmp = java.nio.file.Files.createTempDirectory("cluster_table_")
+      .resolve("t").toString
+    ClusterStage.writeClusterTable(graft.Tables.documents(spark, sf), tmp)
+    assert(ClusterStage.readClusterTable(spark, tmp)
+      .as[(Long, Long)].collect().toSet == recomputed)
+  }
+
   test("sourceMirrorPairs (x92): exact driver replica from the cluster memberships") {
     val clusters = Dedup.nearDupClusters(spark, sf).as[(Long, Long)].collect()
     val sources = graft.Tables.documents(spark, sf)
