@@ -31,24 +31,32 @@ import graft.Tables
   * 100 TB shape: the query set is spec-sized and broadcasts into the
   * token explode, so only postings of QUERY terms ever shuffle (the
   * corpus-wide vocabulary is never aggregated); `dl` rides the explode as
-  * a grouping column, so no join back to a doc-length table; df attaches
-  * to the tf rows with a window partitioned by term — NOT a separate
-  * aggregate branch, which would re-derive the whole postings subtree
-  * from a second corpus scan (Spark does not reuse unpersisted subplans).
-  * Corpus totals (W, N) are a broadcast 1-row aggregate (x42's pattern —
-  * one documented extra scan of the text column); and the per-query
-  * top-k is a rank window that Spark executes with WindowGroupLimit,
-  * pruning to k rows per query BEFORE the final shuffle. Known bound: the
-  * df window buffers one term's postings per task, so a stop-word query
-  * term is a skew key; production retrieval reads df from the
-  * materialized x51 index (where it is a stored column) and skips terms
-  * with df above a cap (x02's stop-shingle discipline) — not wired here
-  * so the oracle covers the full formula.
+  * a grouping column, so no join back to a doc-length table; the postings
+  * frame is materialized ONCE (`localCheckpoint`, the CC engine's
+  * discipline) and df is a partial-aggregable groupBy over it — map-side
+  * combine shrinks even a stop-word term's corpus-sized postings to one
+  * row per mapper, and the resulting df table (≤ one row per query term)
+  * broadcasts back onto the postings. No per-term window anywhere, so a
+  * caller passing "the" costs O(postings) distributed work, never a
+  * single-task corpus-sized window partition (the round-7 skew bound,
+  * now closed); the checkpoint is what keeps the df branch from
+  * re-deriving the postings subtree with a second corpus scan (Spark
+  * does not reuse unpersisted subplans). Corpus totals (W, N) are a
+  * broadcast 1-row aggregate (x42's pattern — one documented extra scan
+  * of the text column); and the per-query top-k is a rank window that
+  * Spark executes with WindowGroupLimit, pruning to k rows per query
+  * BEFORE the final shuffle.
   *
   * Overflow bound (documented like x65's): |numerator| ≤
   * Scale·22·tf·W·(2N+1) must stay under 2⁶³ — holds through sf0.1 by
   * orders of magnitude (≈10¹⁷); at true corpus scale the dl/avgdl ratio
   * would be quantized first (x52's trick) to keep W out of the product.
+  * The bound is now ENFORCED, not just documented: a guard branch inside
+  * the points expression (double-precision product test with a 2⁶²·1.8
+  * ceiling, so the test itself cannot wrap) raises a descriptive error
+  * instead of letting non-ANSI Long arithmetic wrap silently — the
+  * asymmetric-corruption mode (Spark wraps, DuckDB raises) a silent
+  * overflow would open.
   */
 object Retrieval {
 
@@ -97,14 +105,26 @@ object Retrieval {
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-    // df per term as a window over the tf rows (one pass; a groupBy
-    // branch would recompute the postings subtree from a fresh scan)
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("term"))))
-    val scored = withDf
+      .localCheckpoint() // materialize postings once: feeds df AND scoring
+    // df per term as a partial-agg'd groupBy over the checkpointed
+    // postings (≤ one output row per query term — broadcast back). A
+    // window partitioned by term would instead buffer one term's whole
+    // postings list in one task: a skew key the moment a query contains
+    // a stop word.
+    val dfByTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // guard the documented numerator bound in double precision (cannot
+    // wrap) instead of letting non-ANSI Long arithmetic wrap silently
+    val guard = col("tf").cast("double") * col("w_total").cast("double") *
+      (lit(2.0) * col("n_docs").cast("double") + lit(1.0)) *
+      lit(22.0 * Bm25Scale) > lit(Long.MaxValue.toDouble * 0.9)
+    val scored = tf
+      .join(broadcast(dfByTerm), Seq("term"))
       .join(broadcast(qterms), Seq("term"))
       .crossJoin(broadcast(totals))
-      .withColumn("points", expr(pointsSqlExpr))
+      .withColumn("points",
+        when(guard, raise_error(lit("BM25 points numerator would exceed Long: " +
+          "Scale*22*tf*W*(2N+1) over bound; quantize dl/avgdl (Scaladoc)")))
+          .otherwise(expr(pointsSqlExpr)))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("points")).as("score_pts"))
     val w = Window.partitionBy(col("query_id"))

@@ -83,17 +83,30 @@ class RetrievalSpec extends SparkSpec {
     assert(pts.values.forall(_ > 0))
   }
 
-  test("bm25TopK plan: one postings scan, WindowGroupLimit top-k, broadcast-only joins") {
+  test("bm25TopK plan: checkpointed postings, no per-term window, WindowGroupLimit top-k") {
     val q = Retrieval.bm25TopK(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
     // per-query top-k is pruned before the shuffle
     assert(plan.contains("WindowGroupLimit"), plan)
-    // exactly two parquet scans: postings (doc_id,text) + 1-row totals (text)
+    // postings are localCheckpointed (computed once, feeding df AND the
+    // scoring probe side), so the only parquet scan left is the 1-row totals
     val scans = "Scan parquet".r.findAllIn(plan).size
-    assert(scans == 2, s"expected 2 scans (postings + totals), got $scans\n$plan")
+    assert(scans == 1, s"expected 1 scan (totals; postings checkpointed), got $scans\n$plan")
     // the only nested-loop join is the broadcast 1-row totals cross
     val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
     assert(bnl <= 1, plan)
     assert(!plan.contains("SortMergeJoin"), s"no corpus-sized join expected\n$plan")
+    // the round-7 skew bound is closed: every window partitions on
+    // query_id only — never on term (a stop-word query term would make a
+    // per-term window a corpus-sized single-task partition)
+    val windows = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the per-query rank window")
+    windows.foreach { w =>
+      val refs = w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
+      assert(refs.nonEmpty && refs.forall(_ == "query_id"),
+        s"window partitioned by $refs\n$plan")
+    }
   }
 }
