@@ -888,8 +888,12 @@ object Dedup {
     * oracle replicates it; grams whose document frequency exceeds
     * `maxGramDf` (boilerplate —
     * carrying no pair-specific signal) are dropped via a partial-agg df
-    * count + broadcast anti-join (the stop-list is tiny: only grams
-    * repeated across >maxGramDf docs). The surviving grams then take ONE
+    * count + anti-join with NO broadcast hint: on a real crawl the
+    * >maxGramDf gram set GROWS with the corpus (license headers,
+    * navigation chrome — the same reasoning x72 uses for its removal
+    * join and x82 for owner-min aggregation), so the planner must stay
+    * free to shuffle it; AQE still broadcasts whenever the measured
+    * stop-list is genuinely small. The surviving grams then take ONE
     * shuffle on the uniform md5-60 hash into per-gram doc-id buckets —
     * `collect_set` is safe ONLY because the cap already bounds every
     * bucket at `maxGramDf` ids (the order matters: df-filter first,
@@ -921,7 +925,9 @@ object Dedup {
           h => h % lit(anchorMod) === 0)).as("gh"))
     val stop = grams.groupBy(col("gh")).agg(count(lit(1)).as("gh_df"))
       .filter(col("gh_df") > maxGramDf).select(col("gh"))
-    val buckets = grams.join(broadcast(stop), Seq("gh"), "left_anti")
+    // no broadcast hint: the stop-list is corpus-growing on real crawls
+    // (boilerplate), so let AQE pick broadcast vs shuffle from its size
+    val buckets = grams.join(stop, Seq("gh"), "left_anti")
       .groupBy(col("gh"))
       .agg(array_sort(collect_set(col("doc_id"))).as("ids")) // ≤ maxGramDf ids, post-cap
     val pairs = flatten(transform(col("ids"), (a, i) =>

@@ -716,10 +716,12 @@ class OperatorsSpec extends SparkSpec {
     val q = Dedup.crossDocSubstringPairs(spark, sf)
     val got = q.as[(Long, Long, Long)].collect().toSet
     assert(got == expect && got.nonEmpty)
-    // plan: stop-list removal is a broadcast anti-join; no cartesian
-    // product anywhere (the self-join keys on the gram hash)
+    // plan: stop-list removal is an UNHINTED anti-join (the >df gram set
+    // is corpus-growing on real crawls — AQE chooses broadcast vs shuffle
+    // from the measured size); no cartesian product anywhere (the
+    // self-join keys on the gram hash)
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(plan.contains("LeftAnti"), plan)
     assert(!plan.contains("Cartesian"), plan)
   }
 
