@@ -66,4 +66,39 @@ class GoldSpec extends SparkSpec {
     assert(predicted.columns.contains("predicted_transactions"))
     assert(predicted.filter($"predicted_transactions".isNull).count() == 0)
   }
+
+  test("forecast fitness: finite RMSE on an sf0.01-derived feature table, beats the mean predictor") {
+    // The reference trains LightGBM with metric=rmse
+    // (notebooks/gold_feature.py.py:59-63); measure the MLlib GBT
+    // replacement's fitness the same way, not just its execution. The
+    // sales frame derives from the sf0.01 orders table (real data volume,
+    // deterministic): store = o_custkey mod 20, daily transactions = order
+    // count per (store, date); holiday/oil are deterministic functions of
+    // the date so the features exist without the Favorita CSVs.
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    val sales = orders
+      .groupBy((col("o_custkey") % 20).cast("int").as("store_nbr"),
+        col("o_orderdate").as("date"))
+      .agg(count(lit(1)).cast("int").as("transactions"))
+      .withColumn("is_holiday", dayofweek($"date") === 1)
+      .withColumn("dcoilwtico", lit(40.0) + dayofmonth($"date").cast("double") / 2)
+      .withColumn("city", lit("Quito")).withColumn("state", lit("Pichincha"))
+      .withColumn("type", lit("D")).withColumn("cluster", lit(13))
+      .withColumn("year", year($"date")).withColumn("month", month($"date"))
+    val feats = Gold.weeklyFeatures(sales)
+    val n = feats.count()
+    assert(n > 1000, s"expected a real-sized feature table, got $n rows")
+    val predicted = Gold.forecast(feats, maxIter = 20)
+    val rmse = new org.apache.spark.ml.evaluation.RegressionEvaluator()
+      .setLabelCol("weekly_transactions")
+      .setPredictionCol("predicted_transactions")
+      .setMetricName("rmse")
+      .evaluate(predicted)
+    // trivial-baseline RMSE = population stddev of the label: the model
+    // must beat always-predicting-the-mean, or the replacement is unfit
+    val sd = feats.agg(stddev_pop($"weekly_transactions")).as[Double].head()
+    info(f"GBT in-sample RMSE = $rmse%.4f over $n rows (label stddev $sd%.4f)")
+    assert(!rmse.isNaN && !rmse.isInfinite && rmse >= 0)
+    assert(rmse < sd, s"RMSE $rmse does not beat the mean predictor ($sd)")
+  }
 }
