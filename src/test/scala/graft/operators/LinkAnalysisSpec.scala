@@ -75,10 +75,38 @@ class LinkAnalysisSpec extends SparkSpec {
     }
   }
 
-  test("pageRank plan: graph persisted across iterations, hash joins only") {
+  test("pageRank plan: returns a materialized O(nodes) table, graph cache released") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val q = LinkAnalysis.pageRank(spark, sf)
+    // output is materialized inside the call (so withDeg could unpersist):
+    // the returned plan is a checkpointed-RDD scan, not a live join tree
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("InMemoryTableScan"), "edges+degrees should persist across iterations")
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Join"), s"expected pre-materialized output\n$plan")
+    // the persisted degree-annotated edge list is released (ADVICE r7):
+    // the graph persists at MEMORY_AND_DISK_SER, localCheckpoint blocks
+    // at deserialized MEMORY_AND_DISK (reclaimed by ContextCleaner on
+    // GC) — so a surviving SER-level RDD is exactly a leaked graph
+    val leaked = (spark.sparkContext.getPersistentRDDs.keySet -- before)
+      .map(spark.sparkContext.getPersistentRDDs(_))
+      .filter(_.getStorageLevel == org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    assert(leaked.isEmpty, s"graph persist leaked: $leaked")
+  }
+
+  test("pageRank at 10 iterations: checkpointed rounds stay replica-exact, bounded plan") {
+    // deep-iteration hygiene (round-7 advice): lineage truncates every
+    // PrCheckpointEvery rounds, and the truncation must not change a bit
+    val fwd = (1L to 4L).map(c => (c * 2, 3L)) ++ Seq((2L, 5L), (4L, 5L), (6L, 7L))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    assert(10 > LinkAnalysis.PrCheckpointEvery, "test must cross a checkpoint round")
+    val out = LinkAnalysis.pageRank(edges, iters = 10)
+      .select($"node_type", $"node_key", $"rank_pts")
+      .as[(String, Long, Long)].collect()
+    val want = replica(fwd ++ fwd.map(_.swap), 10)
+    assert(out.nonEmpty)
+    out.foreach { case (tpe, key, rank) =>
+      val node = if (tpe == "customer") key * 2 else key * 2 + 1
+      assert(rank == want(node), s"$tpe $key at 10 iters")
+    }
   }
 }
