@@ -1862,18 +1862,23 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
 
     // x87: hourly error-spike monitor — integer cross-multiplied trailing
-    // comparison; factor/window interpolated from Sessionize.Spike*.
+    // comparison over a RANGE (clock-hour) frame, denominator = elapsed
+    // hours capped at the window; factor/window from Sessionize.Spike*.
     "x87_error_spikes" ->
       s"""WITH h AS (
         |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_start_s,
         |         CAST(count(*) AS BIGINT) AS n_errors
         |  FROM events WHERE event_type = 'error' GROUP BY 1),
         |t AS (SELECT *,
-        |        CAST(count(n_errors) OVER w AS BIGINT) AS trailing_hours,
+        |        CAST(least(${operators.Sessionize.SpikeTrailingHours},
+        |          (hour_start_s - min(hour_start_s) OVER (ORDER BY hour_start_s
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // 3600)
+        |          AS BIGINT) AS trailing_hours,
         |        CAST(COALESCE(sum(n_errors) OVER w, 0) AS BIGINT) AS trailing_errors
         |      FROM h
         |      WINDOW w AS (ORDER BY hour_start_s
-        |        ROWS BETWEEN ${operators.Sessionize.SpikeTrailingHours} PRECEDING AND 1 PRECEDING))
+        |        RANGE BETWEEN ${operators.Sessionize.SpikeTrailingHours * 3600} PRECEDING
+        |          AND 3600 PRECEDING))
         |SELECT hour_start_s, n_errors, trailing_hours, trailing_errors,
         |       CAST(CASE WHEN trailing_hours > 0
         |                  AND n_errors * trailing_hours >

@@ -187,10 +187,17 @@ object Sessionize {
     * comparison is cross-multiplied (`n·trailing_hours > factor·
     * trailing_sum`) so it is pure integer arithmetic — no mean, no float.
     *
-    * The trailing window is UNPARTITIONED by construction — but it runs
-    * over the post-aggregate HOURLY table (rows = distinct hours, a
-    * time-bounded handful at any corpus size: the x48 tiny-table case,
-    * not a corpus-sized window). The corpus-sized work is the hourly
+    * The trailing window is a RANGE frame over the hour value
+    * (`[now − window·3600 s, now − 3600 s]`), so the baseline really is
+    * the last `window` CLOCK hours: hours with zero errors dilute the
+    * mean (they contribute 0 to the sum while the denominator stays the
+    * elapsed-hour count, capped at `window` and clipped at the start of
+    * the series) — a ROWS frame would instead skip quiet hours and reach
+    * back to arbitrarily old errors after a gap (the round-7 advice).
+    * The window is UNPARTITIONED by construction — but it runs over the
+    * post-aggregate HOURLY table (rows = distinct hours, a time-bounded
+    * handful at any corpus size: the x48 tiny-table case, not a
+    * corpus-sized window). The corpus-sized work is the hourly
     * aggregate, which partial-combines map-side on the hour key. */
   def errorSpikes(spark: SparkSession, dir: String,
                   factor: Int = SpikeFactor,
@@ -201,9 +208,15 @@ object Sessionize {
       .filter(col("event_type") === "error")
       .groupBy((expr("ts_s div 3600") * 3600).as("hour_start_s"))
       .agg(count(lit(1)).as("n_errors"))
-    val w = Window.orderBy(col("hour_start_s")).rowsBetween(-trailingHours, -1)
+    val w = Window.orderBy(col("hour_start_s"))
+      .rangeBetween(-trailingHours.toLong * 3600, -3600)
+    val runningMin = Window.orderBy(col("hour_start_s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
     hourly
-      .withColumn("trailing_hours", count(col("n_errors")).over(w))
+      .withColumn("first_hour", min(col("hour_start_s")).over(runningMin))
+      .withColumn("trailing_hours",
+        least(lit(trailingHours.toLong),
+          expr("(hour_start_s - first_hour) div 3600")))
       .withColumn("trailing_errors", coalesce(sum(col("n_errors")).over(w), lit(0L)))
       .withColumn("spike",
         (col("trailing_hours") > 0 &&

@@ -154,17 +154,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(r => r._4 == out.head._4 && r._3 <= r._4)) // shared denominator
   }
 
-  test("errorSpikes (x87): trailing windows reconcile; spike rule is the cross-multiplied mean") {
+  test("errorSpikes (x87): trailing CLOCK-hour windows reconcile; spike rule is the cross-multiplied mean") {
     val out = Sessionize.errorSpikes(spark, sf)
       .orderBy($"hour_start_s")
       .as[(Long, Long, Long, Long, Int)].collect()
     assert(out.nonEmpty)
     assert(out.head._3 == 0L && out.head._5 == 0) // first hour has no history, never a spike
-    // driver replay of the trailing window
-    out.zipWithIndex.foreach { case ((_, n, th, te, spike), i) =>
-      val lo = math.max(0, i - Sessionize.SpikeTrailingHours)
-      val window = out.slice(lo, i)
-      assert(th == window.length.toLong && te == window.map(_._2).sum)
+    // driver replay: the baseline spans the last 24 clock hours (zero-error
+    // hours dilute the mean), not the last 24 observed error-hours
+    val first = out.head._1
+    out.foreach { case (h, n, th, te, spike) =>
+      val wantTh = math.min(Sessionize.SpikeTrailingHours.toLong, (h - first) / 3600)
+      val wantTe = out
+        .filter(r => r._1 >= h - Sessionize.SpikeTrailingHours * 3600L && r._1 <= h - 3600L)
+        .map(_._2).sum
+      assert(th == wantTh && te == wantTe, s"hour $h")
       val want = if (th > 0 && n * th > Sessionize.SpikeFactor * te) 1 else 0
       assert(spike == want)
     }
