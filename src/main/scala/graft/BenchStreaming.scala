@@ -136,8 +136,14 @@ object BenchStreaming {
       run("stream_static_enrich", ev => EventStream.enrichWithUsers(ev, users)),
       run("sampled_stream", ev => EventStream.sampledStream(ev, thresholds)),
       run("transitions_stream", ev => EventStream.transitions(ev).toDF()),
+      // Update mode, chosen by measurement (r7 advice): Complete 3700 vs
+      // Update 3785 rows/s at sf0.1 — within host noise, so the mode is
+      // NOT the bottleneck (per-row tokenization + state-store machinery
+      // is). Update is still the right continuous-run choice: it emits
+      // only changed cells per trigger, where Complete rewrites the whole
+      // result table — a cost that grows with result cardinality.
       runDocs("token_budget_stream",
-        graft.streaming.DocumentStream.tokenBudgetStream, "complete"),
+        graft.streaming.DocumentStream.tokenBudgetStream, "update"),
       runDocs("bpe_chunk_stream",
         graft.streaming.DocumentStream.bpeChunkStream, "append"),
       runIndexIngest())
