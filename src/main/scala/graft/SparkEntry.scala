@@ -131,6 +131,7 @@ object SparkEntry {
     "x91_user_growth"       -> ((s, d) => Sessionize.userGrowth(s, d)),
     "x92_mirror_pairs"      -> ((s, d) => Dedup.sourceMirrorPairs(s, d)),
     "x93_embedding_audit"   -> ((s, d) => Similarity.embeddingAudit(s, d)),
+    "x94_bigram_fluency"    -> ((s, d) => TextAnalysis.bigramFluency(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1298,6 +1299,29 @@ object SparkEntry {
         |       CAST(sum(f.cf) AS BIGINT) AS sum_cf,
         |       CAST(CAST(sum(f.cf) AS BIGINT) AS DOUBLE) / CAST(count(*) AS BIGINT) AS familiarity
         |FROM bg b JOIN freq f USING (bigram) GROUP BY 1""".stripMargin,
+
+    // x94: conditional-bigram fluency — x49's CTE conventions (same
+    // tokenization and bigram join rule), then integer-exact conditional
+    // points (Scale·c2) // c1 with c1 rolled up FROM the model; docs
+    // under two tokens get (0,0) via the left join (x63's rule). Scale
+    // interpolated from TextAnalysis.FluencyScale.
+    "x94_bigram_fluency" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+        |       FROM tok, unnest(range(1, len(ws))) AS t(i)),
+        |model AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+        |firsts AS (SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1
+        |           FROM model GROUP BY 1),
+        |scored AS (SELECT b.doc_id,
+        |             (${operators.TextAnalysis.FluencyScale} * m.c2) // f.c1 AS q
+        |           FROM bg b JOIN model m USING (bigram)
+        |           JOIN firsts f ON string_split(b.bigram, ' ')[1] = f.w1),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |               CAST(sum(q) AS BIGINT) AS sq
+        |        FROM scored GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(COALESCE(a.sq // a.n_bigrams, 0) AS BIGINT) AS fluency_ppm
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // x50: algorithm oracle — replicates the bottom-k hash sample
     // (min-value-per-hash, x36's convention), the q10/q90 picks, and the

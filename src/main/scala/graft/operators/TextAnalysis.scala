@@ -324,6 +324,54 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("sum_cf"), col("familiarity"))
   }
 
+  /** Fixed-point scale for x94's conditional-probability points
+    * (1 point = 10⁻⁶), shared with the oracle SQL. */
+  val FluencyScale: Long = 1000000L
+
+  /** Bigram-fluency scoring (x94): per document, the mean conditional
+    * bigram probability `p(w2|w1) = c(w1 w2) / c(w1 ·)` under the
+    * corpus's own bigram model, in fixed-point ppm — the CCNet-style
+    * LM-quality filter signal, with the corpus itself as the language
+    * model. This is the CONDITIONAL complement of x49's familiarity
+    * (which scores raw bigram frequency): here a frequent first word
+    * followed by an unusual second word scores LOW even though both
+    * words are individually common — the "fluent continuation" signal a
+    * perplexity filter actually measures. Gibberish and boilerplate-free
+    * spam rank at the bottom; formulaic text ranks at the top.
+    *
+    * Integer discipline: per-occurrence points `q = (Scale·c2) div c1`
+    * and the doc score `(Σq) div n_bigrams` are pure BIGINT ops — and
+    * because `c2 ≤ c1` by construction, `q ≤ Scale`, so the arithmetic
+    * CANNOT overflow at any corpus size (no guard needed — contrast
+    * x73's documented numerator bound). Docs with fewer than two tokens
+    * get (0, 0) via the left join (x63's empty-doc rule).
+    *
+    * Scale shape: the occurrence frame derives twice (model build +
+    * probe side) — x49's documented tokenize-twice tradeoff (Spark does
+    * not reuse alias-differentiated exchanges; the alternatives are a
+    * window over the hot bigram key or checkpointing a corpus-sized
+    * intermediate, both worse). The model table is vocab²-bounded, its
+    * first-word rollup is derived FROM the model (no third scan), and
+    * every join is an equi-join on the bigram/word key — hot-bigram skew
+    * is AQE skew-join territory, same note as x49. */
+  def bigramFluency(spark: SparkSession, dir: String): DataFrame = {
+    val occ = explodedBigrams(spark, dir)
+    val model = occ.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .withColumn("w1", split(col("bigram"), " ", 2)(0))
+    val firsts = model.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val scored = occ
+      .join(model.join(firsts, Seq("w1"))
+        .select(col("bigram"), col("c2"), col("c1")), Seq("bigram"))
+      .select(col("doc_id"), expr(s"(${FluencyScale}L * c2) div c1").as("q"))
+    val agg = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("sq div n_bigrams"), lit(0L)).as("fluency_ppm"))
+  }
+
   /** Inverted-index construction (x51): per token, document frequency,
     * corpus frequency, and a bounded posting-list SAMPLE — the search /
     * retrieval-debugging index a data pipeline builds over its corpus.

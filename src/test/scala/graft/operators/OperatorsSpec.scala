@@ -918,6 +918,40 @@ class OperatorsSpec extends SparkSpec {
     assert(planted(1L) > 2.0)   // "p q" ×3 and "q p" ×2 reinforce each other
   }
 
+  test("bigramFluency (x94): exact driver replica; fluent repetition outranks unique gibberish") {
+    // driver-side BigInt replica of the conditional-points algebra
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val occ = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1); ws.indices.dropRight(1).map(i => (id, ws(i), s"${ws(i)} ${ws(i + 1)}"))
+    }
+    val c2 = occ.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val c1 = occ.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val want = docs.map { case (id, _) =>
+      val qs = occ.filter(_._1 == id)
+        .map { case (_, w1, bg) => TextAnalysis.FluencyScale * c2(bg) / c1(w1) }
+      id -> (qs.length.toLong, if (qs.isEmpty) 0L else qs.sum / qs.length)
+    }.toMap
+    val got = TextAnalysis.bigramFluency(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == docs.length)
+    got.foreach { case (id, nBg, ppm) =>
+      assert((nBg, ppm) == want(id), s"doc $id")
+      assert(ppm >= 0L && ppm <= TextAnalysis.FluencyScale) // q <= Scale since c2 <= c1
+    }
+    // planted corpus: repeated fluent phrasing vs one-off continuations,
+    // plus a 1-word doc exercising the (0,0) left-join rule
+    val dir = java.nio.file.Files.createTempDirectory("graft-fluency").toString
+    Seq((1L, "p q p q p q"), (2L, "p a p b p c"), (3L, "solo")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = TextAnalysis.bigramFluency(spark, dir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(planted(3L) == (0L, 0L))
+    // doc 1: "p q" always follows p (3 of 8 p-starts -> 375000 each for p q;
+    // q->p is deterministic); doc 2's p-continuations are 1-of-8 each
+    assert(planted(1L)._2 > planted(2L)._2, s"fluent $planted")
+  }
+
   test("invertedIndex: exact df/cf, posting sample bounded and drawn from the token's docs") {
     val idx = TextAnalysis.invertedIndex(spark, sf)
       .as[(String, Long, Long, String)].collect()
