@@ -132,6 +132,7 @@ object SparkEntry {
     "x92_mirror_pairs"      -> ((s, d) => Dedup.sourceMirrorPairs(s, d)),
     "x93_embedding_audit"   -> ((s, d) => Similarity.embeddingAudit(s, d)),
     "x94_bigram_fluency"    -> ((s, d) => TextAnalysis.bigramFluency(s, d)),
+    "x95_dsir_importance"   -> ((s, d) => Sampling.dsirImportance(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1322,6 +1323,34 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
         |       CAST(COALESCE(a.sq // a.n_bigrams, 0) AS BIGINT) AS fluency_ppm
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // x95: DSIR-style importance weights — hashed-unigram buckets via the
+    // md5-60 'dsir:' salt (hashBucket's convention), ONE conditional-sum
+    // pass for both sides' counts, add-1-smoothed integer ratio points.
+    // Knobs interpolated from Sampling.Dsir*.
+    "x95_dsir_importance" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |bk AS (SELECT doc_id,
+        |         ('0x' || substr(md5('dsir:' || token), 1, 15))::BIGINT
+        |           % ${operators.Sampling.DsirBuckets} AS b
+        |       FROM tok),
+        |counts AS (SELECT b,
+        |    CAST(sum(CASE WHEN doc_id < ${operators.Sampling.DsirTargetMaxId} THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+        |    CAST(sum(CASE WHEN doc_id >= ${operators.Sampling.DsirTargetMaxId} THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM bk GROUP BY 1),
+        |scored AS (SELECT x.doc_id,
+        |             (${operators.Sampling.DsirScale} * (c.t_b + 1)) // (c.c_b + 1) AS q
+        |           FROM bk x JOIN counts c USING (b)
+        |           WHERE x.doc_id >= ${operators.Sampling.DsirTargetMaxId}),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |               CAST(sum(q) AS BIGINT) AS importance_pts
+        |        FROM scored GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(a.n_toks, 0) AS BIGINT) AS n_toks,
+        |       CAST(COALESCE(a.importance_pts, 0) AS BIGINT) AS importance_pts,
+        |       CAST(COALESCE(a.importance_pts // a.n_toks, 0) AS BIGINT) AS imp_per_tok
+        |FROM (SELECT doc_id FROM documents
+        |      WHERE doc_id >= ${operators.Sampling.DsirTargetMaxId}) d
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // x50: algorithm oracle — replicates the bottom-k hash sample
     // (min-value-per-hash, x36's convention), the q10/q90 picks, and the

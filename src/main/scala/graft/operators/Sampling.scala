@@ -763,4 +763,65 @@ object Sampling {
           .otherwise(array().cast("array<long>"))).as("rep"))
       .select(col("doc_id"), col("source"), col("rep"))
   }
+
+  /** x95 knobs — hashed-feature bucket count, pinned target-sample
+    * boundary (the same convention as x31's benchMaxId: docs below it
+    * are the curated domain sample), fixed-point scale. Shared with the
+    * oracle SQL so the two sides can only move together. */
+  val DsirBuckets: Int = 1024
+  val DsirTargetMaxId: Long = 20L
+  val DsirScale: Long = 1000000L
+
+  /** Domain-targeted importance weights (x95), DSIR-style (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every candidate document by how target-like its
+    * hashed-unigram distribution is — per token, the add-1-smoothed
+    * count ratio between the TARGET sample (docs below `targetMaxId`)
+    * and the rest of the corpus, summed per document. The published
+    * method sums log-ratios; this is the repo's standard LOG-FREE
+    * variant (x73's BM25-idf move): per-token points
+    * `q = (Scale·(t_b+1)) div (c_b+1)` are a monotone transform of the
+    * per-bucket ratio, so target-aligned tokens get polynomially (not
+    * logarithmically) more weight — a documented variant choice. Output
+    * per candidate doc: token count, summed points, and the
+    * length-normalized per-token points (the actual resampling key).
+    *
+    * Integer bound (x65's documented pattern): q ≤ Scale·(T+1) where T
+    * is the TARGET sample's token count — model-state-sized by design
+    * (a curated domain sample, not the corpus) — so the per-doc sum
+    * wraps only past n_toks·(T+1) > 2⁶³/Scale ≈ 9.2·10¹², i.e. a
+    * 9M-token document against a 1M-token target: outside any real
+    * document, and the target size is the operator's own knob.
+    *
+    * 100 TB shape: ONE aggregation pass computes both sides' bucket
+    * counts (conditional sums on the is-target flag — no second corpus
+    * scan for the model); the model table is ≤ `buckets` rows and
+    * BROADCASTS into the probe scan, so the corpus-sized probe never
+    * shuffles for the model join; the only corpus shuffle is the final
+    * partial-agg'd groupBy on doc_id. Hash-bucket features are the
+    * point of DSIR: driver/model state is O(buckets), independent of
+    * vocabulary. */
+  def dsirImportance(spark: SparkSession, dir: String,
+                     targetMaxId: Long = DsirTargetMaxId,
+                     buckets: Int = DsirBuckets): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), hashBucket(col("token"), "dsir", buckets).as("b"))
+    val counts = toks.groupBy(col("b")).agg(
+      sum(when(col("doc_id") < targetMaxId, 1L).otherwise(0L)).as("t_b"),
+      sum(when(col("doc_id") >= targetMaxId, 1L).otherwise(0L)).as("c_b"))
+    val scored = toks.filter(col("doc_id") >= targetMaxId)
+      .join(broadcast(counts), Seq("b"))
+      .select(col("doc_id"),
+        expr(s"(${DsirScale}L * (t_b + 1L)) div (c_b + 1L)").as("q"))
+    val agg = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("q")).as("importance_pts"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") >= targetMaxId).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("importance_pts"), lit(0L)).as("importance_pts"),
+        coalesce(expr("importance_pts div n_toks"), lit(0L)).as("imp_per_tok"))
+  }
 }

@@ -569,4 +569,41 @@ class SamplingSpec extends SparkSpec {
     assert(defaultSrc.nonEmpty)
     defaultSrc.foreach { case (id, _) => assert(copies(id) == 1L) }
   }
+
+  test("dsirImportance (x95): exact driver replica; target-like docs outscore off-domain") {
+    // driver-side replica of the hashed-bucket ratio algebra
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val bk = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).map(w =>
+        (id, Math.floorMod(Dedup.md5Hash60Ref(s"dsir:$w"), Sampling.DsirBuckets.toLong)))
+    }
+    val tB = bk.filter(_._1 < Sampling.DsirTargetMaxId)
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cB = bk.filter(_._1 >= Sampling.DsirTargetMaxId)
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val want = docs.filter(_._1 >= Sampling.DsirTargetMaxId).map { case (id, _) =>
+      val qs = bk.filter(_._1 == id).map { case (_, b) =>
+        Sampling.DsirScale * (tB.getOrElse(b, 0L) + 1) / (cB.getOrElse(b, 0L) + 1)
+      }
+      id -> (qs.length.toLong, qs.sum, if (qs.isEmpty) 0L else qs.sum / qs.length)
+    }.toMap
+    val got = Sampling.dsirImportance(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (id, n, pts, perTok) =>
+      assert((n, pts, perTok) == want(id), s"doc $id")
+    }
+    // planted corpus: target speaks 'aa bb', one candidate mirrors it,
+    // one is disjoint — the mirror must carry a strictly higher per-token
+    // weight (the resampling key orders by domain affinity)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    Seq((1L, "aa bb aa bb"), (2L, "aa bb aa"),
+      (30L, "aa bb aa bb"), (31L, "zz yy xx ww")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Sampling.dsirImportance(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(planted.keySet == Set(30L, 31L))
+    assert(planted(30L) > planted(31L), s"target affinity must rank: $planted")
+  }
 }
