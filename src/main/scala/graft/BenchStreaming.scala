@@ -88,6 +88,29 @@ object BenchStreaming {
       } finally deleteTree(root)
     }
 
+    // x96's streaming twin: day-2 docs classified against the persisted
+    // band index (near-dup at ingest), then appended to it
+    def runBandIngest(): (String, Double) = {
+      import org.apache.spark.sql.functions.{col, max}
+      val root = Files.createTempDirectory("graft-sbench-band-ingest")
+      try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        graft.operators.Dedup.writeBandIndex(
+          docs.filter(col("doc_id") < mid), s"$root/index")
+        val day2 = docs.filter(col("doc_id") >= mid)
+        day2.write.parquet(s"$root/drop")
+        val n = day2.count()
+        val t0 = System.nanoTime()
+        graft.streaming.DocumentStream.startBandIngest(
+          graft.streaming.DocumentStream.readDocuments(spark, s"$root/drop", docs.schema),
+          s"$root/index", s"$root/results", s"$root/ckpt")
+          .awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        "band_ingest" -> (n / sec)
+      } finally deleteTree(root)
+    }
+
     // documents-side twins: a stateful running-budget aggregate (Complete,
     // spec-sized state) and the stateless fused-kernel chunker (Append) —
     // file streams need a DIRECTORY source, so the table file is exposed
@@ -146,7 +169,8 @@ object BenchStreaming {
         graft.streaming.DocumentStream.tokenBudgetStream, "update"),
       runDocs("bpe_chunk_stream",
         graft.streaming.DocumentStream.bpeChunkStream, "append"),
-      runIndexIngest())
+      runIndexIngest(),
+      runBandIngest())
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
     val headline = f"${results.head._2}%.1f"

@@ -133,6 +133,7 @@ object SparkEntry {
     "x93_embedding_audit"   -> ((s, d) => Similarity.embeddingAudit(s, d)),
     "x94_bigram_fluency"    -> ((s, d) => TextAnalysis.bigramFluency(s, d)),
     "x95_dsir_importance"   -> ((s, d) => Sampling.dsirImportance(s, d)),
+    "x96_band_ingest"       -> ((s, d) => Dedup.incrementalBandIngest(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -373,7 +374,11 @@ object SparkEntry {
     * sets. The 32 permutation expressions are generated, not hand-written.
     * The banding's recall behavior is therefore itself oracle-checked: a
     * pair both engines band apart is (correctly) absent from both. */
-  private def minhashOracleSql: String = {
+  /** Shared docs→signature→band CTE prefix (the algorithm half of x03's
+    * oracle), reused verbatim by x96's incremental-ingest oracle so the
+    * banding rule cannot diverge between the pair join and the ingest
+    * classification — the SQL twin of `Dedup.bandFrames`. */
+  private def minhashCtePrefix: String = {
     val P = 1000000007L
     val perms = (0 until 32).map(j =>
       s"list_min(list_transform(hs, h -> ((h % $P) * ${2 * j + 1} + ${7919L * (j + 1)}) % $P))")
@@ -390,7 +395,11 @@ object SparkEntry {
        |banded AS (
        |  SELECT doc_id, band,
        |         md5(array_to_string(sg[band * 4 + 1 : band * 4 + 4], ',')) AS bucket
-       |  FROM sig, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band) b),
+       |  FROM sig, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band) b)""".stripMargin
+  }
+
+  private def minhashOracleSql: String =
+    s"""$minhashCtePrefix,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
@@ -401,6 +410,48 @@ object SparkEntry {
        |  FROM cand c JOIN docs x ON c.doc_a = x.doc_id JOIN docs y ON c.doc_b = y.doc_id)
        |SELECT doc_a, doc_b, inter / (n_a + n_b - inter) AS jaccard
        |FROM verified WHERE inter / (n_a + n_b - inter) >= 0.3""".stripMargin
+
+  /** x96's oracle: the same banding CTEs, split at the new-batch
+    * boundary, with x03's verify rule applied existing-vs-batch and
+    * within-batch (first-occurrence-wins), then the x44 status
+    * precedence. Knobs interpolated from Dedup.BandIngest*. */
+  private def bandIngestOracleSql: String = {
+    val lo = operators.Dedup.BandIngestNewMinId
+    val th = operators.Dedup.BandIngestThreshold
+    s"""$minhashCtePrefix,
+       |exb AS (SELECT * FROM banded WHERE doc_id < $lo),
+       |bb AS (SELECT * FROM banded WHERE doc_id >= $lo),
+       |cand_ex AS (SELECT DISTINCT b.doc_id, e.doc_id AS partner
+       |            FROM bb b JOIN exb e ON b.band = e.band AND b.bucket = e.bucket),
+       |ver_ex AS (SELECT c.doc_id, c.partner
+       |           FROM cand_ex c JOIN docs x ON c.doc_id = x.doc_id
+       |                          JOIN docs y ON c.partner = y.doc_id
+       |           WHERE len(list_intersect(x.hs, y.hs))
+       |                 / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) >= $th),
+       |ex_agg AS (SELECT doc_id, min(partner) AS rep_ex, count(*) AS n_ex
+       |           FROM ver_ex GROUP BY 1),
+       |cand_in AS (SELECT DISTINCT a.doc_id, b2.doc_id AS partner
+       |            FROM bb a JOIN bb b2 ON a.band = b2.band AND a.bucket = b2.bucket
+       |                                AND b2.doc_id < a.doc_id),
+       |ver_in AS (SELECT c.doc_id, c.partner
+       |           FROM cand_in c JOIN docs x ON c.doc_id = x.doc_id
+       |                          JOIN docs y ON c.partner = y.doc_id
+       |           WHERE len(list_intersect(x.hs, y.hs))
+       |                 / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) >= $th),
+       |in_agg AS (SELECT doc_id, min(partner) AS rep_in, count(*) AS n_in
+       |           FROM ver_in GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CASE WHEN e.n_ex IS NOT NULL THEN 'dup_of_existing'
+       |            WHEN i.n_in IS NOT NULL THEN 'dup_in_batch'
+       |            ELSE 'kept' END AS status,
+       |       CAST(CASE WHEN e.n_ex IS NOT NULL THEN e.rep_ex
+       |                 WHEN i.n_in IS NOT NULL THEN i.rep_in
+       |                 ELSE d.doc_id END AS BIGINT) AS rep_id,
+       |       CAST(COALESCE(e.n_ex, 0) AS BIGINT) AS n_existing_partners,
+       |       CAST(COALESCE(i.n_in, 0) AS BIGINT) AS n_batch_partners
+       |FROM (SELECT doc_id FROM documents WHERE doc_id >= $lo) d
+       |LEFT JOIN ex_agg e USING (doc_id)
+       |LEFT JOIN in_agg i USING (doc_id)""".stripMargin
   }
 
   /** DuckDB oracle SQL per query (same table names, same column names).
@@ -581,6 +632,7 @@ object SparkEntry {
         |FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.3""".stripMargin,
 
     "x03_minhash_lsh" -> minhashOracleSql,
+    "x96_band_ingest" -> bandIngestOracleSql,
 
     // x10's oracle replicates the APPROXIMATE algorithm itself: the ±1
     // hyperplane matrix is a plan-time constant, so the same signatures,

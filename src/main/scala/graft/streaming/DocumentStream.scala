@@ -58,6 +58,30 @@ object DocumentStream {
       graft.operators.TextAnalysis.BpeChunkBudget,
       graft.operators.TextAnalysis.PinnedBpeMerges)
 
+  /** Streaming near-dup ingest against the persisted BAND index (x96's
+    * streaming twin, `startIngest`'s shape at document granularity):
+    * each micro-batch classifies against the index-as-of-now
+    * (dup_of_existing / dup_in_batch / kept), appends the classification
+    * to `resultPath`, then appends its own signatures+bands to the index
+    * — so every batch's documents are "existing" for the next batch. The
+    * foreachBatch body is exactly the batch operator
+    * (`Dedup.ingestWithBandIndex` + `appendToBandIndex`), so batch ≡
+    * stream is by construction and spec-proven across a forced
+    * micro-batch boundary. */
+  def startBandIngest(docs: DataFrame, indexPath: String, resultPath: String,
+                      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        Dedup.ingestWithBandIndex(spark, batch, indexPath)
+          .write.mode("append").parquet(resultPath)
+        Dedup.appendToBandIndex(spark, batch, indexPath)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def startIngest(docs: DataFrame, indexPath: String, resultPath: String,
                   checkpointDir: String,
                   boundaryMod: Int = Dedup.ParagraphBoundaryMod): StreamingQuery =

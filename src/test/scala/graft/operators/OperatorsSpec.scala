@@ -618,6 +618,46 @@ class OperatorsSpec extends SparkSpec {
     assert(idx.sorted == expectIdx.sorted && idx.distinct.length == idx.length)
   }
 
+  test("band index (x96): persisted-index ingest ≡ in-flight split, no corpus rescan, day-3 append exact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bandingest").toString
+    val docs = graft.Tables.documents(spark, sf)
+    val boundary = Dedup.BandIngestNewMinId
+    // day 1: the immutable corpus snapshot + ITS persisted band index
+    docs.filter($"doc_id" < boundary).write.parquet(s"$root/existing_docs.parquet")
+    Dedup.writeBandIndex(
+      spark.read.parquet(s"$root/existing_docs.parquet"), s"$root/band_index")
+    // day 2: a fresh batch classified against the index alone
+    docs.filter($"doc_id" >= boundary).write.parquet(s"$root/batch_docs.parquet")
+    val batch = spark.read.parquet(s"$root/batch_docs.parquet")
+    val viaIndex = Dedup.ingestWithBandIndex(spark, batch, s"$root/band_index")
+    val inline = Dedup.incrementalBandIngest(spark, sf)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(viaIndex.as[(Long, String, Long, Long, Long)].collect().toSet == inline)
+    assert(inline.nonEmpty && inline.exists(_._2 != "kept"),
+      "fixture must exercise at least one duplicate classification")
+    // every status obeys the first-occurrence-wins contract
+    inline.foreach { case (id, status, rep, nEx, nIn) =>
+      status match {
+        case "dup_of_existing" => assert(rep < boundary && nEx > 0, s"doc $id")
+        case "dup_in_batch"    => assert(rep >= boundary && rep < id && nIn > 0 && nEx == 0, s"doc $id")
+        case "kept"            => assert(rep == id && nEx == 0 && nIn == 0, s"doc $id")
+      }
+    }
+    // THE scale property: day-2 classification scans index + batch only
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(!plan.contains("existing_docs"),
+      s"day-2 ingest must not rescan the corpus:\n$plan")
+    assert(plan.contains("band_index") && plan.contains("batch_docs"), plan)
+    // day 3: appending the batch makes the index ≡ a fresh full build
+    Dedup.appendToBandIndex(spark, batch, s"$root/band_index")
+    Dedup.writeBandIndex(docs, s"$root/band_index_full")
+    def table(p: String) = spark.read.parquet(p)
+    assert(table(s"$root/band_index/bands").as[(Long, Int, String)].collect().toSet ==
+      table(s"$root/band_index_full/bands").as[(Long, Int, String)].collect().toSet)
+    assert(table(s"$root/band_index/sigs").select($"doc_id").as[Long].collect().toSet ==
+      table(s"$root/band_index_full/sigs").select($"doc_id").as[Long].collect().toSet)
+  }
+
   test("CharGramHashes kernel == HOF twin, including multibyte boundaries and short rows") {
     val k = Dedup.DecontamGramChars
     // real corpus: identical gram sets per doc (same md5-60 values)

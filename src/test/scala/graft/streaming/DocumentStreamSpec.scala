@@ -61,6 +61,48 @@ class DocumentStreamSpec extends SparkSpec {
     assert(all.filter(_._1 < 100000L) == streamed)
   }
 
+  test("streaming band ingest ≡ batch x96 classification; the index append feeds the next batch") {
+    val root = Files.createTempDirectory("graft-bandstream").toString
+    val indexPath = s"$root/band_index"
+    val dropDir = s"$root/drop"
+    val resultPath = s"$root/results"
+    val docs = graft.Tables.documents(spark, sf)
+    val day1 = docs.filter($"doc_id" < Dedup.BandIngestNewMinId)
+    val day2 = docs.filter($"doc_id" >= Dedup.BandIngestNewMinId)
+
+    Dedup.writeBandIndex(day1, indexPath)
+    // batch reference FIRST (the stream's append mutates the index)
+    val batchRef = Dedup.ingestWithBandIndex(spark, day2, indexPath)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+
+    day2.write.parquet(dropDir)
+    val schema = docs.schema
+    DocumentStream.startBandIngest(
+      DocumentStream.readDocuments(spark, dropDir, schema),
+      indexPath, resultPath, s"$root/ckpt1")
+      .awaitTermination(120000)
+    val streamed = spark.read.parquet(resultPath)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(streamed == batchRef && streamed.nonEmpty)
+    assert(streamed.exists(_._2 != "kept"), "fixture must classify some duplicates")
+
+    // day 3 replays day-2 text under new ids: after the stream's index
+    // append, every multi-shingle day-3 doc must be dup_of_existing
+    val day3 = day2.withColumn("doc_id", $"doc_id" + 100000L)
+    day3.write.mode("append").parquet(dropDir)
+    DocumentStream.startBandIngest(
+      DocumentStream.readDocuments(spark, dropDir, schema),
+      indexPath, resultPath, s"$root/ckpt1") // same checkpoint: only NEW files
+      .awaitTermination(120000)
+    val all = spark.read.parquet(resultPath)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val day3Rows = all.filter(_._1 >= 100000L)
+    assert(day3Rows.nonEmpty, "the resumed stream must process only the new files")
+    assert(day3Rows.forall(r => r._2 == "dup_of_existing" && r._3 < 100000L),
+      s"every day-3 doc must match its day-2 original: ${day3Rows.filter(_._2 != "dup_of_existing")}")
+    assert(all.filter(_._1 < 100000L) == streamed)
+  }
+
   test("tokenBudgetStream (Complete) over micro-batched files ≡ batch x61 report") {
     val root = Files.createTempDirectory("graft-tbstream").toString
     val docs = graft.Tables.documents(spark, sf)
