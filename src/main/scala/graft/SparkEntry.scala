@@ -134,6 +134,7 @@ object SparkEntry {
     "x94_bigram_fluency"    -> ((s, d) => TextAnalysis.bigramFluency(s, d)),
     "x95_dsir_importance"   -> ((s, d) => Sampling.dsirImportance(s, d)),
     "x96_band_ingest"       -> ((s, d) => Dedup.incrementalBandIngest(s, d)),
+    "x97_quality_cap"       -> ((s, d) => Sampling.qualityCapSample(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1186,6 +1187,29 @@ object SparkEntry {
         |            + ($QwDup) * CAST(floor(dup_ratio * 1000000) AS BIGINT))
         |            >= $QualityKeepThresholdMicro AS INTEGER) AS keep
         |FROM feat""".stripMargin
+    },
+
+    // x97: quality-ranked per-source cap — x89's scoring SELECT verbatim
+    // (shared feature CTEs), then a per-source rank with the doc_id
+    // tiebreak; cap interpolated from Sampling.QualityCapPerSource.
+    "x97_quality_cap" -> {
+      import operators.TextAnalysis._
+      s"""$qualityFeatureCtes,
+        |scored AS (
+        |  SELECT doc_id,
+        |       CAST($QwWords * n_words
+        |            + $QwMeanLen * CAST(floor(mean_word_len * 1000000) AS BIGINT)
+        |            + ($QwStop) * CAST(floor(stopword_ratio * 1000000) AS BIGINT)
+        |            + ($QwShort) * CAST(floor(short_word_ratio * 1000000) AS BIGINT)
+        |            + ($QwDup) * CAST(floor(dup_ratio * 1000000) AS BIGINT) AS BIGINT) AS score_micro
+        |  FROM feat),
+        |ranked AS (
+        |  SELECT d.doc_id, d.source, s.score_micro,
+        |         row_number() OVER (PARTITION BY d.source
+        |           ORDER BY s.score_micro DESC, d.doc_id) AS rank
+        |  FROM documents d JOIN scored s USING (doc_id))
+        |SELECT doc_id, source, score_micro, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= ${operators.Sampling.QualityCapPerSource}""".stripMargin
     },
 
     // x41's oracle replicates the count-min sketch end-to-end: the salted

@@ -764,6 +764,37 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("rep"))
   }
 
+  /** x97 knob — per-source keep budget for the quality-ranked cap. */
+  val QualityCapPerSource: Int = 15
+
+  /** Quality-ranked per-source cap (x97): keep the `cap` BEST documents
+    * of each source by the pinned quality score (x89's frozen linear
+    * scorer — shared code, so ranking can never diverge from scoring),
+    * ties broken by doc_id. This is the CURATION variant of x46's
+    * hash-cap (which keeps a uniform sample): when a source exceeds its
+    * budget, a real pipeline keeps its best documents, not a random
+    * subset.
+    *
+    * Scale shape: the per-source rank is a row_number window that Spark
+    * executes with WindowGroupLimit (x73's top-k pattern, plan-asserted
+    * in SamplingSpec) — every task prunes to `cap` rows per source
+    * map-side BEFORE the shuffle, so the final per-source partition
+    * holds ≤ cap·n_input_partitions pre-pruned rows, never a
+    * corpus-sized source. The score join is doc_id-keyed (uniform). */
+  def qualityCapSample(spark: SparkSession, dir: String,
+                       cap: Int = QualityCapPerSource): DataFrame = {
+    require(cap >= 1, "need cap >= 1")
+    val scored = TextAnalysis.qualityScorePinned(spark, dir)
+      .select(col("doc_id"), col("score_micro"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= cap)
+      .select(col("doc_id"), col("source"), col("score_micro"), col("rank"))
+  }
+
   /** x95 knobs — hashed-feature bucket count, pinned target-sample
     * boundary (the same convention as x31's benchMaxId: docs below it
     * are the curated domain sample), fixed-point scale. Shared with the

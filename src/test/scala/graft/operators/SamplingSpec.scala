@@ -570,6 +570,28 @@ class SamplingSpec extends SparkSpec {
     defaultSrc.foreach { case (id, _) => assert(copies(id) == 1L) }
   }
 
+  test("qualityCapSample (x97): exact driver replica of the ranked cap; WindowGroupLimit plan") {
+    val scores = TextAnalysis.qualityScorePinned(spark, sf)
+      .select($"doc_id", $"score_micro").as[(Long, Long)].collect().toMap
+    val srcs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val want = srcs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.map(d => (d._1, scores(d._1)))
+        .sortBy { case (id, sc) => (-sc, id) }
+        .take(Sampling.QualityCapPerSource)
+        .zipWithIndex
+        .map { case ((id, sc), i) => (id, src, sc, i + 1L) }
+    }.toSet
+    val q = Sampling.qualityCapSample(spark, sf)
+    val got = q.as[(Long, String, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // the cap binds on this corpus (some source exceeds the budget)
+    assert(got.size < srcs.length, "fixture must drop something")
+    // x73's top-k pattern: the rank window must prune map-side
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit\n$plan")
+  }
+
   test("dsirImportance (x95): exact driver replica; target-like docs outscore off-domain") {
     // driver-side replica of the hashed-bucket ratio algebra
     val docs = graft.Tables.documents(spark, sf)
