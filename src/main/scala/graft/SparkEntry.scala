@@ -135,6 +135,7 @@ object SparkEntry {
     "x95_dsir_importance"   -> ((s, d) => Sampling.dsirImportance(s, d)),
     "x96_band_ingest"       -> ((s, d) => Dedup.incrementalBandIngest(s, d)),
     "x97_quality_cap"       -> ((s, d) => Sampling.qualityCapSample(s, d)),
+    "x98_cluster_ingest"    -> ((s, d) => Dedup.incrementalClusterIngest(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -316,13 +317,18 @@ object SparkEntry {
       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM c GROUP BY 1""".stripMargin
 
-  private def clustersCteSql: String =
-    """WITH RECURSIVE sh AS (
+  private def clustersCteSql: String = clustersCteSql("TRUE")
+
+  /** x17's cluster CTEs restricted to `docPred` (default unrestricted) —
+    * the restricted form is x98's "clusters of the existing snapshot". */
+  private def clustersCteSql(docPred: String): String =
+    s"""WITH RECURSIVE sh AS (
       |  SELECT doc_id, CAST(len(shingles) AS INTEGER) AS n_sh, unnest(shingles) AS sh FROM (
       |    SELECT doc_id,
       |           list_distinct([array_to_string(words[i:i+4], ' ')
       |                          for i in range(1, len(words) - 3)]) AS shingles
-      |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1) t2),
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |          WHERE $docPred) t1) t2),
       |capped AS (
       |  SELECT * FROM sh
       |  WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > 100)),
@@ -337,9 +343,66 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT doc_b, doc_a FROM pairs),
       |reach(doc_id, label) AS (
-      |  SELECT doc_id, doc_id FROM documents
+      |  SELECT doc_id, doc_id FROM documents WHERE $docPred
       |  UNION
       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id)""".stripMargin
+
+  /** x98's oracle: the existing snapshot's x17 cluster CTEs (restricted
+    * to doc_id < boundary), x03's banding CTEs over the whole corpus for
+    * the verified links, then a recursive min-label closure over the
+    * BATCH graph only (batch↔batch links + batch→canonical anchors) —
+    * the SQL twin of `Dedup.incrementalClusters`. Knobs from
+    * Dedup.BandIngest*. */
+  private def clusterIngestOracleSql: String = {
+    val lo = operators.Dedup.BandIngestNewMinId
+    val th = operators.Dedup.BandIngestThreshold
+    val jac = "len(list_intersect(x.hs, y.hs)) / " +
+      "(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))"
+    s"""${clustersCteSql(s"doc_id < $lo")},
+       |exclusters AS (SELECT doc_id, MIN(label) AS canonical_id FROM reach GROUP BY doc_id),
+       |${minhashCtePrefix.stripPrefix("WITH ")},
+       |vlinkex AS (
+       |  SELECT DISTINCT c.doc_id, c.partner FROM (
+       |    SELECT DISTINCT b.doc_id, e.doc_id AS partner
+       |    FROM banded b JOIN banded e
+       |      ON b.band = e.band AND b.bucket = e.bucket
+       |      AND b.doc_id >= $lo AND e.doc_id < $lo) c
+       |  JOIN docs x ON c.doc_id = x.doc_id JOIN docs y ON c.partner = y.doc_id
+       |  WHERE $jac >= $th),
+       |canonlink AS (
+       |  SELECT DISTINCT v.doc_id, c.canonical_id AS node
+       |  FROM vlinkex v JOIN exclusters c ON v.partner = c.doc_id),
+       |vlinkin AS (
+       |  SELECT DISTINCT c.doc_id, c.partner FROM (
+       |    SELECT DISTINCT a.doc_id, b2.doc_id AS partner
+       |    FROM banded a JOIN banded b2
+       |      ON a.band = b2.band AND a.bucket = b2.bucket
+       |      AND a.doc_id >= $lo AND b2.doc_id >= $lo AND b2.doc_id < a.doc_id) c
+       |  JOIN docs x ON c.doc_id = x.doc_id JOIN docs y ON c.partner = y.doc_id
+       |  WHERE $jac >= $th),
+       |edges2 AS (
+       |  SELECT doc_id AS src, partner AS dst FROM vlinkin
+       |  UNION ALL SELECT partner, doc_id FROM vlinkin
+       |  UNION ALL SELECT doc_id, node FROM canonlink
+       |  UNION ALL SELECT node, doc_id FROM canonlink),
+       |reach2(node, label) AS (
+       |  SELECT node, node AS label FROM (
+       |    SELECT doc_id AS node FROM documents WHERE doc_id >= $lo
+       |    UNION SELECT DISTINCT canonical_id FROM exclusters) b
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach2 r JOIN edges2 e ON e.src = r.node),
+       |labels2 AS (SELECT node AS doc_id, MIN(label) AS component
+       |            FROM reach2 WHERE node >= $lo GROUP BY 1),
+       |linked AS (SELECT DISTINCT src AS doc_id FROM edges2 WHERE src >= $lo)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(l.component, d.doc_id) AS BIGINT) AS canonical_id,
+       |       CASE WHEN COALESCE(l.component, d.doc_id) < $lo THEN 'joins_existing'
+       |            WHEN k.doc_id IS NOT NULL THEN 'new_cluster'
+       |            ELSE 'singleton' END AS status
+       |FROM (SELECT doc_id FROM documents WHERE doc_id >= $lo) d
+       |LEFT JOIN labels2 l USING (doc_id)
+       |LEFT JOIN linked k USING (doc_id)""".stripMargin
+  }
 
   /** x04's oracle replicates the ENTIRE SimHash pipeline in DuckDB SQL —
     * possible because the token hash is the engine-neutral
@@ -634,6 +697,7 @@ object SparkEntry {
 
     "x03_minhash_lsh" -> minhashOracleSql,
     "x96_band_ingest" -> bandIngestOracleSql,
+    "x98_cluster_ingest" -> clusterIngestOracleSql,
 
     // x10's oracle replicates the APPROXIMATE algorithm itself: the ±1
     // hyperplane matrix is a plan-time constant, so the same signatures,

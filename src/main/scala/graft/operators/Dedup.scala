@@ -374,6 +374,99 @@ object Dedup {
     }
   }
 
+  /** Incremental cluster maintenance (x98): assign cluster labels to a
+    * NEW batch of documents given the snapshot's staged cluster table
+    * (`ClusterStage`) and band index (x96) — the day-2 path for the
+    * cluster artifact, completing the staged trilogy's maintenance story
+    * (paragraph index / band index / now cluster labels). Each batch doc
+    * gets:
+    *   - `joins_existing` + the EXISTING canonical when its connected
+    *     component (over verified near-dup links) reaches any indexed
+    *     cluster — links to existing docs are resolved to their
+    *     canonical via the cluster table, so the label space stays
+    *     consistent with x17;
+    *   - `new_cluster` + the min batch doc_id of its component when it
+    *     links only within the batch;
+    *   - `singleton` + itself when it links to nothing.
+    *
+    * Connectivity is computed ONLY over the batch graph (batch↔batch
+    * links plus batch→canonical anchor edges) with the same large/small-
+    * star CC engine as x17 — O(batch edges), never a re-clustering of
+    * the corpus. Links use the band index's similarity (band candidates
+    * + exact hashed-shingle Jaccard ≥ threshold, x96's rule); the
+    * snapshot labels themselves carry x17's exact-shingle rule — the
+    * documented split between how a SNAPSHOT is clustered (full
+    * re-cluster, periodic) and how a DAY'S batch is attached
+    * (index-driven, incremental). Existing labels are APPEND-ONLY: a new
+    * doc that bridges two existing clusters takes the smaller canonical
+    * and the bridge collapses at the next periodic full re-cluster —
+    * the standard production compromise, stated rather than hidden.
+    *
+    * The standalone query splits the corpus at `newMinId` (x44's
+    * convention) and builds the snapshot artifacts in-flight so the
+    * oracle covers the full algorithm; `ingestClustersWithIndex` is the
+    * persisted-artifact twin (spec-proven identical), whose plan reads
+    * ONLY the two index tables + the cluster table + the batch. Caller
+    * contract for the generic path: batch doc_ids are strictly GREATER
+    * than every snapshot id (monotonic ingest ids, x44's convention) —
+    * that is what makes the component-minimum rule resolve to an
+    * existing canonical whenever one is reachable. */
+  def incrementalClusterIngest(spark: SparkSession, dir: String,
+                               newMinId: Long = BandIngestNewMinId,
+                               n: Int = 5, k: Int = 32, bands: Int = 8,
+                               threshold: Double = BandIngestThreshold): DataFrame = {
+    val all = Tables.documents(spark, dir)
+    val existing = all.filter(col("doc_id") < newMinId)
+    val batch = all.filter(col("doc_id") >= newMinId)
+    val (exSigs, exBands) = bandFrames(existing, n, k, bands)
+    val (bSigs, bBands) = bandFrames(batch, n, k, bands)
+    incrementalClusters(batch, bSigs, bBands, exSigs, exBands,
+      nearDupClusters(existing, 5, 0.3), threshold)
+  }
+
+  /** Persisted-artifact form of x98: the existing side is the band index
+    * (x96) and the staged cluster table (`ClusterStage`) — no corpus
+    * text is read for the snapshot. */
+  def ingestClustersWithIndex(spark: SparkSession, newBatch: DataFrame,
+                              bandIndexPath: String, clusterTablePath: String,
+                              n: Int = 5, k: Int = 32, bands: Int = 8,
+                              threshold: Double = BandIngestThreshold): DataFrame = {
+    val (bSigs, bBands) = bandFrames(newBatch, n, k, bands)
+    incrementalClusters(newBatch, bSigs, bBands,
+      spark.read.parquet(s"$bandIndexPath/sigs"),
+      spark.read.parquet(s"$bandIndexPath/bands"),
+      ClusterStage.readClusterTable(spark, clusterTablePath), threshold)
+  }
+
+  private def incrementalClusters(batchIds: DataFrame,
+                                  bSigs: DataFrame, bBands: DataFrame,
+                                  exSigs: DataFrame, exBands: DataFrame,
+                                  exClusters: DataFrame,
+                                  threshold: Double): DataFrame = {
+    // batch→existing links, resolved to the existing CANONICAL node
+    val canonLink = verifiedPartners(bBands, bSigs, exBands, exSigs, threshold, lit(true))
+      .join(exClusters.withColumnRenamed("doc_id", "partner"), Seq("partner"))
+      .select(col("doc_id"), col("canonical_id").as("node"))
+      .distinct()
+    // batch↔batch links (one direction; the CC engine symmetrizes)
+    val linkIn = verifiedPartners(bBands, bSigs, bBands, bSigs, threshold,
+      col("partner") < col("doc_id"))
+    val edges = linkIn.select(col("partner").as("doc_a"), col("doc_id").as("doc_b"))
+      .union(canonLink.select(col("node").as("doc_a"), col("doc_id").as("doc_b")))
+    val labels = ConnectedComponents.components(edges)
+      .select(col("node").as("doc_id"), col("component"))
+    val exCanon = exClusters.select(col("canonical_id")).distinct()
+      .withColumn("is_existing", lit(1))
+    batchIds.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("canonical_id", coalesce(col("component"), col("doc_id")))
+      .join(exCanon, Seq("canonical_id"), "left")
+      .select(col("doc_id"), col("canonical_id"),
+        when(col("is_existing").isNotNull, "joins_existing")
+          .when(col("component").isNotNull, "new_cluster")
+          .otherwise("singleton").as("status"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate pairs
     * are those whose 8-plane hyperplane signatures (`HashSignatures
     * .hyperplane_sig`, same deterministic ±1 matrix as `Similarity.lshTopK`)

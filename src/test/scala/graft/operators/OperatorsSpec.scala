@@ -658,6 +658,46 @@ class OperatorsSpec extends SparkSpec {
       table(s"$root/band_index_full/sigs").select($"doc_id").as[Long].collect().toSet)
   }
 
+  test("cluster ingest (x98): persisted artifacts ≡ in-flight; labels consistent with the snapshot") {
+    val root = java.nio.file.Files.createTempDirectory("graft-clusteringest").toString
+    val docs = graft.Tables.documents(spark, sf)
+    val boundary = Dedup.BandIngestNewMinId
+    val existing = docs.filter($"doc_id" < boundary)
+    // day 1: snapshot + BOTH staged artifacts (band index, cluster table)
+    existing.write.parquet(s"$root/existing_docs.parquet")
+    val snap = spark.read.parquet(s"$root/existing_docs.parquet")
+    Dedup.writeBandIndex(snap, s"$root/band_index")
+    ClusterStage.writeClusterTable(snap, s"$root/clusters")
+    // day 2: classify the batch against the artifacts alone
+    docs.filter($"doc_id" >= boundary).write.parquet(s"$root/batch_docs.parquet")
+    val batch = spark.read.parquet(s"$root/batch_docs.parquet")
+    val viaIndex = Dedup.ingestClustersWithIndex(
+      spark, batch, s"$root/band_index", s"$root/clusters")
+    val inline = Dedup.incrementalClusterIngest(spark, sf)
+      .as[(Long, Long, String)].collect().toSet
+    assert(viaIndex.as[(Long, Long, String)].collect().toSet == inline)
+    assert(Set("joins_existing", "singleton").subsetOf(inline.map(_._3)),
+      s"fixture must exercise joins and singletons: ${inline.map(_._3)}")
+    // label-space invariants per status
+    val exCanon = Dedup.nearDupClusters(spark.read.parquet(s"$root/existing_docs.parquet"), 5, 0.3)
+      .select($"canonical_id").distinct().as[Long].collect().toSet
+    inline.foreach { case (id, canon, status) =>
+      status match {
+        case "joins_existing" => assert(canon < boundary && exCanon.contains(canon), s"doc $id")
+        case "new_cluster"    => assert(canon >= boundary && canon <= id, s"doc $id")
+        case "singleton"      => assert(canon == id, s"doc $id")
+      }
+    }
+    // the day-2 plan reads artifacts + batch only — never the corpus
+    // text (the band-index scans live inside the CC engine's
+    // localCheckpointed subtree, so the FINAL plan shows the cluster
+    // table, the batch, and the checkpointed labels)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(!plan.contains("existing_docs"),
+      s"day-2 cluster ingest must not rescan the corpus:\n$plan")
+    assert(plan.contains("clusters") && plan.contains("batch_docs"), plan)
+  }
+
   test("CharGramHashes kernel == HOF twin, including multibyte boundaries and short rows") {
     val k = Dedup.DecontamGramChars
     // real corpus: identical gram sets per doc (same md5-60 values)
