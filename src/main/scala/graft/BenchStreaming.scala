@@ -111,6 +111,30 @@ object BenchStreaming {
       } finally deleteTree(root)
     }
 
+    // x98's streaming twin: continuous clustering — label vs the staged
+    // artifacts, then append labels + bands so the next batch sees them
+    def runClusterIngest(): (String, Double) = {
+      import org.apache.spark.sql.functions.{col, max}
+      val root = Files.createTempDirectory("graft-sbench-cluster-ingest")
+      try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        val day1 = docs.filter(col("doc_id") < mid)
+        graft.operators.Dedup.writeBandIndex(day1, s"$root/index")
+        graft.operators.ClusterStage.writeClusterTable(day1, s"$root/clusters")
+        val day2 = docs.filter(col("doc_id") >= mid)
+        day2.write.parquet(s"$root/drop")
+        val n = day2.count()
+        val t0 = System.nanoTime()
+        graft.streaming.DocumentStream.startClusterIngest(
+          graft.streaming.DocumentStream.readDocuments(spark, s"$root/drop", docs.schema),
+          s"$root/index", s"$root/clusters", s"$root/results", s"$root/ckpt")
+          .awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        "cluster_ingest" -> (n / sec)
+      } finally deleteTree(root)
+    }
+
     // documents-side twins: a stateful running-budget aggregate (Complete,
     // spec-sized state) and the stateless fused-kernel chunker (Append) —
     // file streams need a DIRECTORY source, so the table file is exposed
@@ -170,7 +194,8 @@ object BenchStreaming {
       runDocs("bpe_chunk_stream",
         graft.streaming.DocumentStream.bpeChunkStream, "append"),
       runIndexIngest(),
-      runBandIngest())
+      runBandIngest(),
+      runClusterIngest())
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
     val headline = f"${results.head._2}%.1f"

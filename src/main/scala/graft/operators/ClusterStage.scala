@@ -77,6 +77,24 @@ object ClusterStage {
     readClusterTable(spark, path)
   }
 
+  /** Append a batch's labels (doc_id, canonical_id — x98
+    * `incrementalClusterIngest` output, or any labeling in the table's
+    * schema) to a persisted cluster table. Staged to a sibling dir first
+    * (the paragraph-index discipline) so table readers and the append
+    * never overlap; append-only — snapshot labels are immutable, the
+    * batch's labels are a new file set. With `Dedup.appendToBandIndex`
+    * this closes the incremental-clustering loop: batch N's new-cluster
+    * reps become existing canonicals for batch N+1. */
+  def appendToClusterTable(spark: SparkSession, labels: DataFrame,
+                           path: String): Unit = {
+    val staged = path.stripSuffix("/") + "_delta_staging"
+    labels.select(col("doc_id"), col("canonical_id"))
+      .write.mode("overwrite").parquet(staged)
+    spark.read.parquet(staged).write.mode("append").parquet(path)
+    val p = new org.apache.hadoop.fs.Path(staged)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   /** Drop every memoized staging path (the artifacts stay on disk; the
     * next `clusters` call recomputes). For tests that mutate a corpus dir
     * in place — production writes a new snapshot path instead. */

@@ -82,6 +82,34 @@ object DocumentStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming incremental CLUSTERING (x98's twin): each micro-batch
+    * labels its documents against the cluster-table-and-band-index as of
+    * now (joins_existing / new_cluster / singleton), appends the labels
+    * to the results AND to the cluster table, then appends its bands to
+    * the index — so batch N's new-cluster reps are existing canonicals
+    * for batch N+1. The foreachBatch body is exactly the batch operators
+    * (`Dedup.ingestClustersWithIndex` + `ClusterStage
+    * .appendToClusterTable` + `Dedup.appendToBandIndex`), so batch ≡
+    * stream by construction; the continuous-clustering handoff is
+    * spec-proven at a forced micro-batch boundary. */
+  def startClusterIngest(docs: DataFrame, bandIndexPath: String,
+                         clusterTablePath: String, resultPath: String,
+                         checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val labels = Dedup.ingestClustersWithIndex(
+          spark, batch, bandIndexPath, clusterTablePath)
+          .localCheckpoint() // one computation feeds results AND the table
+        labels.write.mode("append").parquet(resultPath)
+        graft.operators.ClusterStage.appendToClusterTable(spark, labels, clusterTablePath)
+        Dedup.appendToBandIndex(spark, batch, bandIndexPath)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def startIngest(docs: DataFrame, indexPath: String, resultPath: String,
                   checkpointDir: String,
                   boundaryMod: Int = Dedup.ParagraphBoundaryMod): StreamingQuery =

@@ -103,6 +103,59 @@ class DocumentStreamSpec extends SparkSpec {
     assert(all.filter(_._1 < 100000L) == streamed)
   }
 
+  test("streaming cluster ingest ≡ batch x98; new clusters become existing for the next batch") {
+    val root = Files.createTempDirectory("graft-clusterstream").toString
+    val bandPath = s"$root/band_index"
+    val clustersPath = s"$root/clusters"
+    val dropDir = s"$root/drop"
+    val resultPath = s"$root/results"
+    val docs = graft.Tables.documents(spark, sf)
+    val day1 = docs.filter($"doc_id" < Dedup.BandIngestNewMinId)
+    val day2 = docs.filter($"doc_id" >= Dedup.BandIngestNewMinId)
+
+    graft.operators.Dedup.writeBandIndex(day1, bandPath)
+    graft.operators.ClusterStage.writeClusterTable(day1, clustersPath)
+    // batch reference FIRST (the stream's appends mutate both artifacts)
+    val batchRef = Dedup.ingestClustersWithIndex(spark, day2, bandPath, clustersPath)
+      .as[(Long, Long, String)].collect().toSet
+
+    day2.write.parquet(dropDir)
+    val schema = docs.schema
+    DocumentStream.startClusterIngest(
+      DocumentStream.readDocuments(spark, dropDir, schema),
+      bandPath, clustersPath, resultPath, s"$root/ckpt1")
+      .awaitTermination(120000)
+    val streamed = spark.read.parquet(resultPath)
+      .as[(Long, Long, String)].collect().toSet
+    assert(streamed == batchRef && streamed.nonEmpty)
+    // the cluster table now holds day-1 AND day-2 labels, duplicate-free
+    val table = spark.read.parquet(clustersPath)
+      .as[(Long, Long)].collect()
+    assert(table.map(_._1).distinct.length == table.length)
+    assert(table.length == day1.count() + day2.count())
+
+    // day 3 replays day-2 text under new ids: every labeled day-2 doc's
+    // replay must now JOIN AN EXISTING cluster — including clusters that
+    // were new_cluster or singleton yesterday (the continuous handoff)
+    val day3 = day2.withColumn("doc_id", $"doc_id" + 100000L)
+    day3.write.mode("append").parquet(dropDir)
+    DocumentStream.startClusterIngest(
+      DocumentStream.readDocuments(spark, dropDir, schema),
+      bandPath, clustersPath, resultPath, s"$root/ckpt1") // same ckpt: only NEW files
+      .awaitTermination(120000)
+    val all = spark.read.parquet(resultPath)
+      .as[(Long, Long, String)].collect().toSet
+    val day3Rows = all.filter(_._1 >= 100000L)
+    assert(day3Rows.nonEmpty)
+    // day-2 docs whose text bands at all (have >= 1 shingle) are indexed
+    // now; their replicas must resolve to an existing canonical <= day-2 ids
+    day3Rows.foreach { case (id, canon, status) =>
+      assert(status == "joins_existing" && canon < 100000L,
+        s"replayed doc $id must join yesterday's cluster, got ($canon, $status)")
+    }
+    assert(all.filter(_._1 < 100000L) == streamed)
+  }
+
   test("tokenBudgetStream (Complete) over micro-batched files ≡ batch x61 report") {
     val root = Files.createTempDirectory("graft-tbstream").toString
     val docs = graft.Tables.documents(spark, sf)
