@@ -136,6 +136,7 @@ object SparkEntry {
     "x96_band_ingest"       -> ((s, d) => Dedup.incrementalBandIngest(s, d)),
     "x97_quality_cap"       -> ((s, d) => Sampling.qualityCapSample(s, d)),
     "x98_cluster_ingest"    -> ((s, d) => Dedup.incrementalClusterIngest(s, d)),
+    "x99_hits"              -> ((s, d) => LinkAnalysis.hits(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -698,6 +699,27 @@ object SparkEntry {
     "x03_minhash_lsh" -> minhashOracleSql,
     "x96_band_ingest" -> bandIngestOracleSql,
     "x98_cluster_ingest" -> clusterIngestOracleSql,
+
+    // x99: HITS unrolled to HitsIters=2 full rounds. Each normalization
+    // replicates the operator's overflow-free integer scale
+    // `score // greatest(1, max // Unit)` — same truncation, bit-exact.
+    "x99_hits" -> {
+      val u = operators.LinkAnalysis.HitsUnit
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS hub, l_suppkey AS auth
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |h0 AS (SELECT DISTINCT hub, CAST($u AS BIGINT) AS h FROM e),
+        |a1r AS (SELECT auth, CAST(sum(h) AS BIGINT) AS a FROM e JOIN h0 USING (hub) GROUP BY 1),
+        |a1 AS (SELECT auth, a // greatest(1, (SELECT max(a) FROM a1r) // $u) AS a FROM a1r),
+        |h1r AS (SELECT hub, CAST(sum(a) AS BIGINT) AS h FROM e JOIN a1 USING (auth) GROUP BY 1),
+        |h1 AS (SELECT hub, h // greatest(1, (SELECT max(h) FROM h1r) // $u) AS h FROM h1r),
+        |a2r AS (SELECT auth, CAST(sum(h) AS BIGINT) AS a FROM e JOIN h1 USING (hub) GROUP BY 1),
+        |a2 AS (SELECT auth, a // greatest(1, (SELECT max(a) FROM a2r) // $u) AS a FROM a2r),
+        |h2r AS (SELECT hub, CAST(sum(a) AS BIGINT) AS h FROM e JOIN a2 USING (auth) GROUP BY 1),
+        |h2 AS (SELECT hub, h // greatest(1, (SELECT max(h) FROM h2r) // $u) AS h FROM h2r)
+        |SELECT 'customer' AS node_type, CAST(hub AS BIGINT) AS node_key, h AS pts FROM h2
+        |UNION ALL
+        |SELECT 'supplier' AS node_type, CAST(auth AS BIGINT) AS node_key, a AS pts FROM a2""".stripMargin
+    },
 
     // x10's oracle replicates the APPROXIMATE algorithm itself: the ±1
     // hyperplane matrix is a plan-time constant, so the same signatures,

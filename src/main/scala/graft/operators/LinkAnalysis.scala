@@ -110,4 +110,79 @@ object LinkAnalysis {
   /** x77 entry: PageRank on the order-induced customer–supplier graph. */
   def pageRank(spark: SparkSession, dir: String, iters: Int = PrIters): DataFrame =
     pageRank(customerSupplierEdges(spark, dir), iters)
+
+  /** x99 knobs: iteration count (unrolled in the oracle) and the
+    * fixed-point unit both scores are renormalized to each round. */
+  val HitsIters: Int = 2
+  val HitsUnit: Long = 1000000L
+
+  /** DIRECTED bipartite customer→supplier edges (x99's graph): hubs are
+    * customers, authorities are suppliers — one distinct (cust, supp)
+    * pair per order line shared. Same derivation as
+    * [[customerSupplierEdges]] minus the reverse closure (HITS is
+    * direction-aware where PageRank's walk here is undirected). */
+  def customerSupplierDirected(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("hub"), col("l_suppkey").as("auth"))
+      .distinct()
+
+  /** HITS hubs-and-authorities (x99, Kleinberg 1999) over the directed
+    * customer→supplier purchase graph — the "which buyers survey the
+    * market, which suppliers does the market endorse" twin of x77's
+    * centrality walk. [[HitsIters]] full update rounds: auth(s) = Σ
+    * hub(c) over in-edges, hub(c) = Σ auth(s) over out-edges, each side
+    * renormalized after its update.
+    *
+    * Integer discipline: scores are BIGINT throughout. The classical
+    * L2/max normalization divides by a norm — irrational in general, so
+    * unusable for a bit-exact oracle. Instead each update divides by the
+    * INTEGER scale `greatest(1, max_score div Unit)`, which caps scores
+    * near [[HitsUnit]] without ever forming an overflow-prone
+    * `score · Unit` product: post-normalization scores are < 2·Unit
+    * whenever max ≥ Unit (div flooring), so the next summation wraps
+    * only past ~4.6·10¹² in-degree on one node — no real graph. The
+    * floor division leaks deterministic dust exactly as x77's damping
+    * step does; the oracle replicates the same truncation, so results
+    * are bit-identical cross-engine.
+    *
+    * 100 TB shape: each half-round is one shuffle join of the edge list
+    * against the O(nodes) score table plus one partial-agg'd groupBy —
+    * O(E) per round, the same cost class as an x77 iteration. The
+    * normalizing max is a 1-row scalar agg crossJoined back (broadcast
+    * by size — x65's global-totals pattern), never a window. The edge
+    * list is persisted across the 2·[[HitsIters]] joins and released in
+    * try/finally (x77's cache hygiene); score tables are O(nodes). */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "need iters >= 1")
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      def renorm(scores: DataFrame, c: String): DataFrame = {
+        val mx = scores.agg(max(col(c)).as("mx"))
+        scores.crossJoin(mx)
+          .select(scores.col(scores.columns.head),
+            expr(s"$c div greatest(1L, mx div ${HitsUnit}L)").as(c))
+      }
+      var hubs = e.select(col("hub")).distinct().withColumn("h", lit(HitsUnit))
+      var auths: DataFrame = null
+      for (_ <- 1 to iters) {
+        auths = renorm(
+          e.join(hubs, Seq("hub")).groupBy(col("auth")).agg(sum(col("h")).as("a")),
+          "a")
+        hubs = renorm(
+          e.join(auths, Seq("auth")).groupBy(col("hub")).agg(sum(col("a")).as("h")),
+          "h")
+      }
+      hubs.select(lit("customer").as("node_type"), col("hub").cast("long").as("node_key"),
+          col("h").cast("long").as("pts"))
+        .union(auths.select(lit("supplier").as("node_type"),
+          col("auth").cast("long").as("node_key"), col("a").cast("long").as("pts")))
+        .localCheckpoint() // materialize so the edge cache can be released
+    } finally e.unpersist()
+  }
+
+  /** x99 entry: HITS on the order-induced customer→supplier graph. */
+  def hits(spark: SparkSession, dir: String, iters: Int = HitsIters): DataFrame =
+    hits(customerSupplierDirected(spark, dir), iters)
 }

@@ -93,6 +93,71 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(leaked.isEmpty, s"graph persist leaked: $leaked")
   }
 
+  /** Driver-side Long replica of the integer HITS rounds — independent
+    * third implementation (besides Spark plan and DuckDB oracle). */
+  private def hitsReplica(edges: Seq[(Long, Long)], iters: Int)
+      : (Map[Long, Long], Map[Long, Long]) = {
+    val u = LinkAnalysis.HitsUnit
+    def renorm(m: Map[Long, Long]): Map[Long, Long] = {
+      val scale = math.max(1L, m.values.max / u)
+      m.view.mapValues(_ / scale).toMap
+    }
+    var hubs = edges.map(_._1).distinct.map(_ -> u).toMap
+    var auths = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      auths = renorm(edges.groupBy(_._2).view.mapValues(_.map(e => hubs(e._1)).sum).toMap)
+      hubs = renorm(edges.groupBy(_._1).view.mapValues(_.map(e => auths(e._2)).sum).toMap)
+    }
+    (hubs, auths)
+  }
+
+  test("hits (x99): exact match with a driver-side integer replica on real data") {
+    val edges = LinkAnalysis.customerSupplierDirected(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val (wantH, wantA) = hitsReplica(edges, LinkAnalysis.HitsIters)
+    val got = LinkAnalysis.hits(spark, sf)
+      .select($"node_type", $"node_key", $"pts")
+      .as[(String, Long, Long)].collect()
+    assert(got.length == wantH.size + wantA.size)
+    got.foreach {
+      case ("customer", key, pts) => assert(pts == wantH(key), s"hub $key")
+      case ("supplier", key, pts) => assert(pts == wantA(key), s"auth $key")
+      case other                  => fail(s"unexpected row $other")
+    }
+    // renormalization keeps every score in the documented band (< 2·Unit)
+    assert(got.forall(_._3 < 2 * LinkAnalysis.HitsUnit))
+    assert(got.exists(_._3 > 0))
+  }
+
+  test("hits on a hand graph: the consensus supplier is the top authority") {
+    // customers 1..3 all buy from supplier 10; customer 1 also buys from 11
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L)).toDF("hub", "auth")
+    val out = LinkAnalysis.hits(edges, iters = 2)
+      .select($"node_type", $"node_key", $"pts")
+      .as[(String, Long, Long)].collect()
+    val auths = out.filter(_._1 == "supplier").map(r => r._2 -> r._3).toMap
+    val hubs = out.filter(_._1 == "customer").map(r => r._2 -> r._3).toMap
+    assert(auths(10L) > auths(11L), "market-consensus supplier must outrank")
+    // the broadest buyer (touches the consensus AND the niche supplier)
+    // outscores single-link peers
+    assert(hubs(1L) > hubs(2L) && hubs(2L) == hubs(3L))
+    // replica-checked exact values
+    val (wantH, wantA) = hitsReplica(Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L)), 2)
+    assert(auths == wantA && hubs == wantH)
+  }
+
+  test("hits plan: materialized O(nodes) output, edge cache released") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val q = LinkAnalysis.hits(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Join"), s"expected pre-materialized output\n$plan")
+    val leaked = (spark.sparkContext.getPersistentRDDs.keySet -- before)
+      .map(spark.sparkContext.getPersistentRDDs(_))
+      .filter(_.getStorageLevel == org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    assert(leaked.isEmpty, s"edge persist leaked: $leaked")
+  }
+
   test("pageRank at 10 iterations: checkpointed rounds stay replica-exact, bounded plan") {
     // deep-iteration hygiene (round-7 advice): lineage truncates every
     // PrCheckpointEvery rounds, and the truncation must not change a bit
