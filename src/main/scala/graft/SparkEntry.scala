@@ -137,6 +137,7 @@ object SparkEntry {
     "x97_quality_cap"       -> ((s, d) => Sampling.qualityCapSample(s, d)),
     "x98_cluster_ingest"    -> ((s, d) => Dedup.incrementalClusterIngest(s, d)),
     "x99_hits"              -> ((s, d) => LinkAnalysis.hits(s, d)),
+    "x100_dsir_resample"    -> ((s, d) => Sampling.dsirResample(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -462,6 +463,34 @@ object SparkEntry {
        |         md5(array_to_string(sg[band * 4 + 1 : band * 4 + 4], ',')) AS bucket
        |  FROM sig, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band) b)""".stripMargin
   }
+
+  /** x95's weight pipeline as a CTE block (no WITH keyword), ending in
+    * `w(doc_id, n_toks, importance_pts, imp_per_tok)` — shared by the
+    * x95 and x100 oracles so the resample always applies the exact
+    * weight definition it was scored with. */
+  private def dsirWeightsCtes: String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |bk AS (SELECT doc_id,
+      |         ('0x' || substr(md5('dsir:' || token), 1, 15))::BIGINT
+      |           % ${operators.Sampling.DsirBuckets} AS b
+      |       FROM tok),
+      |counts AS (SELECT b,
+      |    CAST(sum(CASE WHEN doc_id < ${operators.Sampling.DsirTargetMaxId} THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+      |    CAST(sum(CASE WHEN doc_id >= ${operators.Sampling.DsirTargetMaxId} THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      |  FROM bk GROUP BY 1),
+      |scored AS (SELECT x.doc_id,
+      |             (${operators.Sampling.DsirScale} * (c.t_b + 1)) // (c.c_b + 1) AS q
+      |           FROM bk x JOIN counts c USING (b)
+      |           WHERE x.doc_id >= ${operators.Sampling.DsirTargetMaxId}),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+      |               CAST(sum(q) AS BIGINT) AS importance_pts
+      |        FROM scored GROUP BY 1),
+      |w AS (SELECT d.doc_id, CAST(COALESCE(a.n_toks, 0) AS BIGINT) AS n_toks,
+      |       CAST(COALESCE(a.importance_pts, 0) AS BIGINT) AS importance_pts,
+      |       CAST(COALESCE(a.importance_pts // a.n_toks, 0) AS BIGINT) AS imp_per_tok
+      |      FROM (SELECT doc_id FROM documents
+      |            WHERE doc_id >= ${operators.Sampling.DsirTargetMaxId}) d
+      |      LEFT JOIN agg a USING (doc_id))""".stripMargin
 
   private def minhashOracleSql: String =
     s"""$minhashCtePrefix,
@@ -1489,30 +1518,21 @@ object SparkEntry {
     // x95: DSIR-style importance weights — hashed-unigram buckets via the
     // md5-60 'dsir:' salt (hashBucket's convention), ONE conditional-sum
     // pass for both sides' counts, add-1-smoothed integer ratio points.
-    // Knobs interpolated from Sampling.Dsir*.
+    // Knobs interpolated from Sampling.Dsir*. CTE block shared with
+    // x100's resample so the weight definition can't drift.
     "x95_dsir_importance" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |bk AS (SELECT doc_id,
-        |         ('0x' || substr(md5('dsir:' || token), 1, 15))::BIGINT
-        |           % ${operators.Sampling.DsirBuckets} AS b
-        |       FROM tok),
-        |counts AS (SELECT b,
-        |    CAST(sum(CASE WHEN doc_id < ${operators.Sampling.DsirTargetMaxId} THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
-        |    CAST(sum(CASE WHEN doc_id >= ${operators.Sampling.DsirTargetMaxId} THEN 1 ELSE 0 END) AS BIGINT) AS c_b
-        |  FROM bk GROUP BY 1),
-        |scored AS (SELECT x.doc_id,
-        |             (${operators.Sampling.DsirScale} * (c.t_b + 1)) // (c.c_b + 1) AS q
-        |           FROM bk x JOIN counts c USING (b)
-        |           WHERE x.doc_id >= ${operators.Sampling.DsirTargetMaxId}),
-        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-        |               CAST(sum(q) AS BIGINT) AS importance_pts
-        |        FROM scored GROUP BY 1)
-        |SELECT d.doc_id, CAST(COALESCE(a.n_toks, 0) AS BIGINT) AS n_toks,
-        |       CAST(COALESCE(a.importance_pts, 0) AS BIGINT) AS importance_pts,
-        |       CAST(COALESCE(a.importance_pts // a.n_toks, 0) AS BIGINT) AS imp_per_tok
-        |FROM (SELECT doc_id FROM documents
-        |      WHERE doc_id >= ${operators.Sampling.DsirTargetMaxId}) d
-        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+      s"""WITH $dsirWeightsCtes
+        |SELECT doc_id, n_toks, importance_pts, imp_per_tok FROM w""".stripMargin,
+
+    // x100: the resample APPLY over x95's weights — deterministic md5-60
+    // coin vs floor(HashSpace * imp / max_imp), both engines computing
+    // the threshold with the identical two IEEE double ops.
+    "x100_dsir_resample" ->
+      s"""WITH $dsirWeightsCtes,
+        |mx AS (SELECT max(imp_per_tok) AS max_imp FROM w)
+        |SELECT doc_id, n_toks, imp_per_tok FROM w, mx
+        |WHERE ('0x' || substr(md5('dsirs:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      < CAST(floor(CAST(${operators.Sampling.HashSpace} AS DOUBLE) * imp_per_tok / max_imp) AS BIGINT)""".stripMargin,
 
     // x50: algorithm oracle — replicates the bottom-k hash sample
     // (min-value-per-hash, x36's convention), the q10/q90 picks, and the

@@ -855,4 +855,34 @@ object Sampling {
         coalesce(col("importance_pts"), lit(0L)).as("importance_pts"),
         coalesce(expr("importance_pts div n_toks"), lit(0L)).as("imp_per_tok"))
   }
+
+  /** DSIR importance RESAMPLING (x100) — the apply stage x95's weights
+    * exist for: draw a target-like subcorpus by accepting each candidate
+    * with probability proportional to its importance weight. Acceptance
+    * is the repo's deterministic coin (salted md5-60 vs a threshold, the
+    * x48 convention): keep doc iff
+    * `h < floor(HashSpace · imp_per_tok / max_imp)` — the max-weight doc
+    * is kept almost surely, a zero-weight doc never. The threshold is
+    * two IEEE double ops (`(HashSpace·imp) / max`, both sides mirror the
+    * same association); HashSpace = 2⁶⁰ is an exact double and the
+    * quotient is ≤ 2⁶⁰, so the floor/cast never overflows a Long.
+    *
+    * 100 TB shape: `max_imp` is a 1-row scalar agg crossJoined back
+    * (broadcast by size — x65's global-totals pattern); acceptance is
+    * then a pure per-row projection over the weights table, no further
+    * shuffle, no driver state. Composable overload takes a precomputed
+    * weights frame so a pipeline scores once (x95) and resamples many
+    * times under different salts. */
+  def dsirResample(weights: DataFrame, salt: String = "dsirs"): DataFrame = {
+    val mx = weights.agg(max(col("imp_per_tok")).as("max_imp"))
+    weights.crossJoin(mx)
+      .filter(Dedup.md5Hash60(concat(lit(salt + ":"), col("doc_id").cast("string"))) <
+        floor(lit(HashSpace).cast("double") * col("imp_per_tok") / col("max_imp"))
+          .cast("long"))
+      .select(col("doc_id"), col("n_toks"), col("imp_per_tok"))
+  }
+
+  /** x100 entry: weight with x95's scorer, then resample. */
+  def dsirResample(spark: SparkSession, dir: String): DataFrame =
+    dsirResample(dsirImportance(spark, dir))
 }

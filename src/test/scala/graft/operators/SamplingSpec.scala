@@ -628,4 +628,31 @@ class SamplingSpec extends SparkSpec {
     assert(planted.keySet == Set(30L, 31L))
     assert(planted(30L) > planted(31L), s"target affinity must rank: $planted")
   }
+
+  test("dsirResample (x100): exact driver replica of the weighted coin; plan is one shuffle") {
+    val weights = Sampling.dsirImportance(spark, sf)
+    val w = weights.as[(Long, Long, Long, Long)].collect()
+    val maxImp = w.map(_._4).max
+    val want = w.filter { case (id, _, _, imp) =>
+      Math.floorMod(Dedup.md5Hash60Ref(s"dsirs:$id"), Sampling.HashSpace) <
+        math.floor(Sampling.HashSpace.toDouble * imp / maxImp).toLong
+    }.map(r => r._1 -> (r._2, r._4)).toMap
+    val got = Sampling.dsirResample(weights).as[(Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (id, n, imp) => assert((n, imp) == want(id), s"doc $id") }
+    // proportional acceptance: the kept set is a strict, non-trivial
+    // subset and the max-weight doc is always in it (threshold = 2^60)
+    assert(got.length < w.length)
+    val maxDoc = w.filter(_._4 == maxImp).map(_._1).min
+    assert(got.exists(_._1 == maxDoc), "max-weight doc must be kept a.s.")
+    // kept docs are weight-biased: mean kept weight > mean dropped weight
+    val kept = got.map(_._3)
+    val dropped = w.filter(r => !want.contains(r._1)).map(_._4)
+    assert(dropped.isEmpty || kept.sum.toDouble / kept.length >
+      dropped.sum.toDouble / dropped.length)
+    // plan: the max_imp side is a broadcast 1-row cross (x65's pattern),
+    // acceptance adds NO shuffle beyond the weights aggregation itself
+    val plan = Sampling.dsirResample(weights).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
 }
