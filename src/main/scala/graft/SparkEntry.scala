@@ -138,6 +138,7 @@ object SparkEntry {
     "x98_cluster_ingest"    -> ((s, d) => Dedup.incrementalClusterIngest(s, d)),
     "x99_hits"              -> ((s, d) => LinkAnalysis.hits(s, d)),
     "x100_dsir_resample"    -> ((s, d) => Sampling.dsirResample(s, d)),
+    "x101_ewma_popularity"  -> ((s, d) => Sessionize.ewmaPopularity(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2120,6 +2121,28 @@ object SparkEntry {
         |                      ${operators.Sessionize.SpikeFactor} * trailing_errors
         |             THEN 1 ELSE 0 END AS INTEGER) AS spike
         |FROM t""".stripMargin,
+
+    // x101: exponentially-weighted hourly popularity — power-of-two lag
+    // weights over the trailing EwmaHours clock hours, replicated with
+    // the same BIGINT shifts; quiet hours contribute 0 via the inner
+    // lag join on clock-hour arithmetic.
+    "x101_ewma_popularity" -> {
+      val w = operators.Sessionize.EwmaHours
+      s"""WITH h AS (
+        |  SELECT event_type,
+        |         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_start_s,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, hour_start_s, k
+        |      FROM h, unnest(range(0, $w)) AS t(k)),
+        |j AS (SELECT a.event_type, a.hour_start_s, a.k, h2.n
+        |      FROM a JOIN h h2 ON h2.event_type = a.event_type
+        |       AND h2.hour_start_s = a.hour_start_s - a.k * 3600)
+        |SELECT event_type, hour_start_s,
+        |       CAST(sum(CASE WHEN k = 0 THEN n END) AS BIGINT) AS n_events,
+        |       CAST(sum(n * (CAST(1 AS BIGINT) << (${w - 1} - k))) AS BIGINT) AS ewma_pts
+        |FROM j GROUP BY 1, 2""".stripMargin
+    },
 
     // x84: length-bucketed batching — bucket/batch knobs interpolated
     // from Sampling.Batch*; padding waste is pure integer arithmetic.

@@ -226,6 +226,52 @@ object Sessionize {
         col("trailing_errors"), col("spike"))
   }
 
+  /** x101's trailing window length in clock hours; lag k carries weight
+    * 2^(EwmaHours−1−k), so the freshest hour dominates and weights halve
+    * per hour — a true half-life decay in exact powers of two. Bounded
+    * at 62 so the weight itself always fits a Long. */
+  val EwmaHours: Int = 8
+
+  /** Exponentially-weighted hourly popularity (x101): per event type,
+    * the decayed activity signal a ranking/trending surface reads —
+    * `ewma_pts(h) = Σ_{k<W} n(h−k·3600) · 2^(W−1−k)` over the trailing
+    * [[EwmaHours]] CLOCK hours. All-BIGINT: power-of-two weights make
+    * the decay exact (no float accumulation), and quiet hours inside the
+    * window contribute exactly 0 — the lag join anchors on clock-hour
+    * arithmetic, not row offsets, so a gap dilutes the signal instead of
+    * reaching back to stale activity (x87's RANGE-frame discipline, in
+    * join form because per-lag weights aren't expressible as one frame).
+    *
+    * Integer bound: ewma_pts ≤ 2^W · max hourly count — wraps only past
+    * ~2^55 events in one hour at the pinned W=8; no real stream.
+    *
+    * 100 TB shape: the corpus-sized work is ONE partial-agg'd hourly
+    * groupBy; everything after runs on the post-agg hourly table (rows =
+    * event types × distinct hours, time-bounded at any corpus size — the
+    * x48 tiny-table case). The lag fan-out is a constant ×W explode on
+    * that tiny table followed by an equi-join on (type, hour) — no
+    * window, no skew key, partial-agg'd final rollup. */
+  def ewmaPopularity(spark: SparkSession, dir: String,
+                     windowHours: Int = EwmaHours): DataFrame = {
+    require(windowHours >= 1 && windowHours <= 62, "need 1 <= windowHours <= 62")
+    val raw = Tables.events(spark, dir)
+    val hourly = raw
+      .select(col("event_type"), tsSeconds(raw).as("ts_s"))
+      .groupBy(col("event_type"), (expr("ts_s div 3600") * 3600).as("hour_start_s"))
+      .agg(count(lit(1)).as("n"))
+    val anchors = hourly.select(col("event_type"), col("hour_start_s"))
+      .withColumn("k", explode(array((0 until windowHours).map(i => lit(i)): _*)))
+      .withColumn("lag_hour_s", col("hour_start_s") - col("k") * 3600L)
+    anchors
+      .join(hourly.select(col("event_type"), col("hour_start_s").as("lag_hour_s"),
+        col("n").as("lag_n")), Seq("event_type", "lag_hour_s"))
+      .groupBy(col("event_type"), col("hour_start_s"))
+      .agg(
+        sum(when(col("k") === 0, col("lag_n"))).as("n_events"),
+        sum(expr(s"lag_n * shiftleft(CAST(1 AS BIGINT), ${windowHours - 1} - k)"))
+          .as("ewma_pts"))
+  }
+
   /** x86's ordered funnel stages, shared with the oracle SQL. */
   val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
 

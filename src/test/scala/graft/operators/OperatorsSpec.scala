@@ -178,6 +178,46 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_._2).sum == totalErrors)
   }
 
+  test("ewmaPopularity (x101): driver replay of the power-of-two clock-hour decay") {
+    val raw = graft.Tables.events(spark, sf)
+    val hourly = raw
+      .select($"event_type", Sessionize.tsSeconds(raw).as("ts_s"))
+      .as[(String, Long)].collect()
+      .groupBy { case (t, s) => (t, s / 3600 * 3600) }
+      .view.mapValues(_.length.toLong).toMap
+    val wWin = Sessionize.EwmaHours
+    val got = Sessionize.ewmaPopularity(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length == hourly.size && got.nonEmpty)
+    got.foreach { case (tpe, h, n, pts) =>
+      assert(n == hourly((tpe, h)), s"$tpe $h")
+      val want = (0 until wWin).map { k =>
+        hourly.getOrElse((tpe, h - k * 3600L), 0L) << (wWin - 1 - k)
+      }.sum
+      assert(pts == want, s"$tpe $h ewma")
+    }
+    // decay sanity: an anchor's pts are at least its own hour's weighted
+    // count and below the all-hours-at-max bound
+    got.foreach { case (_, _, n, pts) =>
+      assert(pts >= (n << (wWin - 1)))
+    }
+    // a gap dilutes: hand stream with a burst, silence, then one event
+    val dir = java.nio.file.Files.createTempDirectory("graft-ewma").toString
+    val h0 = 3600L * 1000000
+    Seq.tabulate(8)(i => (i.toLong, new java.sql.Timestamp(h0 * 1000), 1L, "view", 0.0, "{}")) ++
+      Seq((8L, new java.sql.Timestamp((h0 + 5 * 3600) * 1000), 1L, "view", 0.0, "{}")) match {
+      case rows => rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    val planted = Sessionize.ewmaPopularity(spark, dir)
+      .as[(String, Long, Long, Long)].collect().map(r => r._2 -> r._4).toMap
+    // burst hour: 8 events at weight 2^7; 5 quiet hours later: 1 event at
+    // 2^7 plus the decayed burst at 2^2 — the silence must have decayed
+    // the burst below one fresh event's weight
+    assert(planted(h0) == 8L << 7)
+    assert(planted(h0 + 5 * 3600) == (1L << 7) + (8L << 2))
+  }
+
   test("qualityScorePinned (x89): exact integer dot of the quantized x40 features") {
     val feats = TextAnalysis.qualityFeatures(spark, sf)
       .select($"doc_id", $"n_words", $"mean_word_len", $"stopword_ratio",
