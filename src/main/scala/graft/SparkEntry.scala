@@ -139,6 +139,7 @@ object SparkEntry {
     "x99_hits"              -> ((s, d) => LinkAnalysis.hits(s, d)),
     "x100_dsir_resample"    -> ((s, d) => Sampling.dsirResample(s, d)),
     "x101_ewma_popularity"  -> ((s, d) => Sessionize.ewmaPopularity(s, d)),
+    "x102_robust_spikes"    -> ((s, d) => Sessionize.robustSpikes(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2143,6 +2144,25 @@ object SparkEntry {
         |       CAST(sum(n * (CAST(1 AS BIGINT) << (${w - 1} - k))) AS BIGINT) AS ewma_pts
         |FROM j GROUP BY 1, 2""".stripMargin
     },
+
+    // x102: median/MAD robust outlier hours — scaled-integer algebra
+    // (med2 = a+b of the middle pair, mad4 = 4*MAD) so the interpolated
+    // medians are exact in both engines; flag cross-multiplied.
+    "x102_robust_spikes" ->
+      s"""WITH h AS (
+        |  SELECT event_type,
+        |         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_start_s,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(2 * median(n) AS BIGINT) AS med2 FROM h GROUP BY 1),
+        |d AS (SELECT h.event_type, h.hour_start_s, h.n, m.med2,
+        |             abs(2 * h.n - m.med2) AS dev2
+        |      FROM h JOIN m USING (event_type)),
+        |mm AS (SELECT event_type, CAST(2 * median(dev2) AS BIGINT) AS mad4 FROM d GROUP BY 1)
+        |SELECT d.event_type, d.hour_start_s, d.n AS n_events, d.med2, mm.mad4,
+        |       CAST(CASE WHEN 2 * d.dev2 > ${operators.Sessionize.RobustZ} * mm.mad4
+        |             THEN 1 ELSE 0 END AS INTEGER) AS robust_spike
+        |FROM d JOIN mm USING (event_type)""".stripMargin,
 
     // x84: length-bucketed batching — bucket/batch knobs interpolated
     // from Sampling.Batch*; padding waste is pure integer arithmetic.

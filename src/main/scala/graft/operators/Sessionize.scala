@@ -272,6 +272,50 @@ object Sessionize {
           .as("ewma_pts"))
   }
 
+  /** x102's MAD multiplier: flag hours beyond RobustZ median absolute
+    * deviations from the per-type median — the classic robust-z rule. */
+  val RobustZ: Int = 3
+
+  /** Robust per-type anomaly hours (x102): median/MAD outlier detection
+    * over each event type's hourly count distribution — x87's trailing-
+    * mean monitor is level-sensitive (a step change re-baselines it);
+    * the median/MAD rule is the distribution-robust complement a
+    * monitoring stack runs alongside it.
+    *
+    * Exactness: medians of integers land on halves, MADs of halves land
+    * on quarters — so the algebra runs in SCALED integer units that are
+    * exact in both engines: `med2 = 2·median(n)` (= a+b of the middle
+    * pair, an exact double→long), `dev2 = |2n − med2|`,
+    * `mad4 = 2·median(dev2)` (= 4·MAD), and the flag cross-multiplies
+    * `2·dev2 > RobustZ · mad4` (both sides = 4× the real quantities).
+    * No epsilon, no float comparison; a constant series (mad4 = 0) flags
+    * any deviating hour — the documented MAD degenerate case.
+    *
+    * 100 TB shape: the corpus-sized work is ONE partial-agg'd hourly
+    * groupBy. The two median passes buffer per-type HOURLY counts — the
+    * post-agg time-bounded table (x48's tiny-table case), grouped by
+    * event_type so even that sort is per-type, never global. Medians
+    * join back per type: a broadcast-sized dim at any corpus size. */
+  def robustSpikes(spark: SparkSession, dir: String,
+                   z: Int = RobustZ): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    val hourly = raw
+      .select(col("event_type"), tsSeconds(raw).as("ts_s"))
+      .groupBy(col("event_type"), (expr("ts_s div 3600") * 3600).as("hour_start_s"))
+      .agg(count(lit(1)).as("n"))
+    val med = hourly.groupBy(col("event_type"))
+      .agg(expr("CAST(2.0D * percentile(n, 0.5D) AS BIGINT)").as("med2"))
+    val dev = hourly.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev2", abs(lit(2L) * col("n") - col("med2")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("CAST(2.0D * percentile(dev2, 0.5D) AS BIGINT)").as("mad4"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("hour_start_s"), col("n").as("n_events"),
+        col("med2"), col("mad4"),
+        (lit(2L) * col("dev2") > lit(z.toLong) * col("mad4")).cast("int")
+          .as("robust_spike"))
+  }
+
   /** x86's ordered funnel stages, shared with the oracle SQL. */
   val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
 

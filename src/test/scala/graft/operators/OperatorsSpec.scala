@@ -218,6 +218,47 @@ class OperatorsSpec extends SparkSpec {
     assert(planted(h0 + 5 * 3600) == (1L << 7) + (8L << 2))
   }
 
+  test("robustSpikes (x102): driver replay of the scaled-integer median/MAD rule") {
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) 2 * s(s.length / 2)
+      else s(s.length / 2 - 1) + s(s.length / 2)
+    }
+    val raw = graft.Tables.events(spark, sf)
+    val hourly = raw
+      .select($"event_type", Sessionize.tsSeconds(raw).as("ts_s"))
+      .as[(String, Long)].collect()
+      .groupBy { case (t, s) => (t, s / 3600 * 3600) }
+      .view.mapValues(_.length.toLong).toMap
+    val byType = hourly.groupBy(_._1._1)
+    val got = Sessionize.robustSpikes(spark, sf)
+      .as[(String, Long, Long, Long, Long, Int)].collect()
+    assert(got.length == hourly.size && got.nonEmpty)
+    got.foreach { case (tpe, h, n, m2, m4, spike) =>
+      val ns = byType(tpe).values.toSeq
+      val wantMed2 = med2(ns)
+      val dev2s = ns.map(x => math.abs(2 * x - wantMed2))
+      val wantMad4 = med2(dev2s)
+      assert(n == hourly((tpe, h)) && m2 == wantMed2 && m4 == wantMad4, s"$tpe $h")
+      assert(spike == (if (2 * math.abs(2 * n - wantMed2) > Sessionize.RobustZ * wantMad4) 1 else 0))
+    }
+    // planted step-change: a level shift does NOT flag (median follows the
+    // majority level), a genuine burst does — the robustness x87 lacks
+    val dir = java.nio.file.Files.createTempDirectory("graft-mad").toString
+    val h0 = 3600L * 2000000
+    val steady = (0 until 11).flatMap(i =>
+      Seq.fill(10)((i.toLong, new java.sql.Timestamp((h0 + i * 3600) * 1000), 1L, "view", 0.0, "{}")))
+    val burst = Seq.fill(200)((99L, new java.sql.Timestamp((h0 + 11 * 3600) * 1000), 1L, "view", 0.0, "{}"))
+    (steady ++ burst).zipWithIndex
+      .map { case ((_, ts, u, t, v, p), i) => (i.toLong, ts, u, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val planted = Sessionize.robustSpikes(spark, dir)
+      .as[(String, Long, Long, Long, Long, Int)].collect()
+    val flagged = planted.filter(_._6 == 1).map(_._2)
+    assert(flagged.toSeq == Seq(h0 + 11 * 3600), s"only the burst hour: ${flagged.toSeq}")
+  }
+
   test("qualityScorePinned (x89): exact integer dot of the quantized x40 features") {
     val feats = TextAnalysis.qualityFeatures(spark, sf)
       .select($"doc_id", $"n_words", $"mean_word_len", $"stopword_ratio",
