@@ -140,6 +140,7 @@ object SparkEntry {
     "x100_dsir_resample"    -> ((s, d) => Sampling.dsirResample(s, d)),
     "x101_ewma_popularity"  -> ((s, d) => Sessionize.ewmaPopularity(s, d)),
     "x102_robust_spikes"    -> ((s, d) => Sessionize.robustSpikes(s, d)),
+    "x103_pmi_bigrams"      -> ((s, d) => TextAnalysis.pmiBigrams(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2144,6 +2145,26 @@ object SparkEntry {
         |       CAST(sum(n * (CAST(1 AS BIGINT) << (${w - 1} - k))) AS BIGINT) AS ewma_pts
         |FROM j GROUP BY 1, 2""".stripMargin
     },
+
+    // x103: PMI-ranked collocations — x49's tokenize/bigram CTE
+    // conventions, log-free fixed-point ratio, deterministic
+    // (pmi desc, w1, w2) top-k. Knobs interpolated from TextAnalysis.
+    "x103_pmi_bigrams" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |uni AS (SELECT u.w, CAST(count(*) AS BIGINT) AS c
+        |        FROM tok, unnest(ws) AS u(w) GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
+        |bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+        |       FROM tok, unnest(range(1, len(ws))) AS t(i)
+        |       GROUP BY 1, 2
+        |       HAVING count(*) >= ${operators.TextAnalysis.PmiMinCount})
+        |SELECT b.w1, b.w2, b.c_xy, u1.c AS c_1, u2.c AS c_2,
+        |       (${operators.TextAnalysis.PmiScale} * b.c_xy * n.n_tokens) // (u1.c * u2.c)
+        |         AS pmi_millis
+        |FROM bg b JOIN uni u1 ON b.w1 = u1.w
+        |          JOIN uni u2 ON b.w2 = u2.w, n
+        |ORDER BY pmi_millis DESC, b.w1, b.w2
+        |LIMIT ${operators.TextAnalysis.PmiTopK}""".stripMargin,
 
     // x102: median/MAD robust outlier hours — scaled-integer algebra
     // (med2 = a+b of the middle pair, mad4 = 4*MAD) so the interpolated

@@ -372,6 +372,68 @@ object TextAnalysis {
         coalesce(expr("sq div n_bigrams"), lit(0L)).as("fluency_ppm"))
   }
 
+  /** x103 knobs: fixed-point scale (1 point = 10⁻³), minimum bigram
+    * count (PMI of rare pairs is noise — the standard cutoff), and the
+    * ranked output size. Shared with the oracle SQL. */
+  val PmiScale: Long = 1000L
+  val PmiMinCount: Long = 5L
+  val PmiTopK: Int = 100
+
+  /** PMI-ranked collocations (x103): the corpus's top word pairs by
+    * pointwise mutual information — the phrase-mining signal (Mikolov
+    * et al.'s word2vec phrases, NPMI collocation extraction) a pipeline
+    * uses to decide which token pairs to fuse before training. Ranks by
+    * the LOG-FREE monotone transform (x95's discipline):
+    * `pmi_millis = (Scale · c_xy · N) div (c_1 · c_2)` where N is the
+    * corpus token count — the exp of true PMI in fixed-point, same
+    * order, bit-exact cross-engine.
+    *
+    * Integer bound, ENFORCED not just documented (x73's guard rule):
+    * numerator `Scale·c_xy·N` and denominator `c_1·c_2` are checked in
+    * double precision and raise instead of letting non-ANSI Longs wrap
+    * silently — the numerator clears 2⁶³ only past c_xy·N ≈ 9.2·10¹⁵
+    * (e.g. a 10⁹-count bigram in a 10⁷-token corpus is fine; web scale
+    * needs the quantized-ratio form: divide both counts by a common
+    * 2^s before the product, which cancels in the ratio).
+    *
+    * 100 TB shape: bigram and unigram counts are partial-agg'd corpus
+    * shuffles (the same frames x49/x94 build); the c_xy ≥ [[PmiMinCount]]
+    * filter prunes the bigram side BEFORE any join, N is a 1-row
+    * broadcast cross (x42's totals pattern), and the final top-k is
+    * `orderBy.limit` — TakeOrdered's per-partition k + driver merge of
+    * 32·k rows, never a global sort or single-task window. The unigram
+    * joins are equi-joins on the word key; a stop-word-grade hot key is
+    * AQE skew-join territory (x49's note). */
+  def pmiBigrams(spark: SparkSession, dir: String,
+                 minCount: Long = PmiMinCount, k: Int = PmiTopK): DataFrame = {
+    require(minCount >= 1 && k >= 1, "need minCount >= 1 and k >= 1")
+    val uni = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).as("n_tokens"))
+    val bg = explodedBigrams(spark, dir)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+      .select(split(col("bigram"), " ", 2)(0).as("w1"),
+        split(col("bigram"), " ", 2)(1).as("w2"), col("c_xy"))
+    val guard =
+      (lit(PmiScale.toDouble) * col("c_xy").cast("double") * col("n_tokens").cast("double") >
+        lit(Long.MaxValue.toDouble * 0.9)) ||
+      (col("c_1").cast("double") * col("c_2").cast("double") >
+        lit(Long.MaxValue.toDouble * 0.9))
+    bg.join(uni.select(col("w").as("w1"), col("c").as("c_1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_millis",
+        when(guard, raise_error(lit("PMI product would exceed Long: " +
+          "Scale*c_xy*N or c_1*c_2 over bound; quantize counts (Scaladoc)")))
+          .otherwise(expr(s"(${PmiScale}L * c_xy * n_tokens) div (c_1 * c_2)")))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_1"), col("c_2"),
+        col("pmi_millis"))
+      .orderBy(col("pmi_millis").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Inverted-index construction (x51): per token, document frequency,
     * corpus frequency, and a bounded posting-list SAMPLE — the search /
     * retrieval-debugging index a data pipeline builds over its corpus.

@@ -1113,6 +1113,42 @@ class OperatorsSpec extends SparkSpec {
     assert(planted(1L)._2 > planted(2L)._2, s"fluent $planted")
   }
 
+  test("pmiBigrams (x103): exact driver replica; collocations outrank chance pairs") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"text").as[String].collect()
+    val tokens = docs.flatMap(_.split(" ", -1))
+    val uni = tokens.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = tokens.length.toLong
+    val bg = docs.flatMap { t =>
+      val ws = t.split(" ", -1); ws.indices.dropRight(1).map(i => (ws(i), ws(i + 1)))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = bg.filter(_._2 >= TextAnalysis.PmiMinCount).map { case ((w1, w2), cxy) =>
+      (w1, w2) -> (cxy, uni(w1), uni(w2),
+        TextAnalysis.PmiScale * cxy * n / (uni(w1) * uni(w2)))
+    }
+    val wantTop = want.toSeq
+      .sortBy { case ((w1, w2), (_, _, _, pmi)) => (-pmi, w1, w2) }
+      .take(TextAnalysis.PmiTopK)
+    val got = TextAnalysis.pmiBigrams(spark, sf)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(got.length == wantTop.length && got.nonEmpty)
+    // orderBy.limit returns the top-k SET; compare as sets on the full row
+    val gotSet = got.map(r => ((r._1, r._2), (r._3, r._4, r._5, r._6))).toSet
+    assert(gotSet == wantTop.toSet)
+    // planted corpus: an always-together pair must outrank a chance
+    // co-occurrence of two independently frequent words
+    val dir = java.nio.file.Files.createTempDirectory("graft-pmi").toString
+    // aa/bb always adjacent; cc/dd adjacent 5x but mostly apart
+    val glued = Seq.fill(6)("aa bb").mkString(" ")
+    val chance = Seq.fill(5)("cc dd cc zz dd zz").mkString(" ")
+    Seq((1L, glued), (2L, chance)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = TextAnalysis.pmiBigrams(spark, dir, minCount = 5, k = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._6).toMap
+    assert(planted(("aa", "bb")) > planted(("cc", "dd")), s"collocation must outrank: $planted")
+  }
+
   test("invertedIndex: exact df/cf, posting sample bounded and drawn from the token's docs") {
     val idx = TextAnalysis.invertedIndex(spark, sf)
       .as[(String, Long, Long, String)].collect()
