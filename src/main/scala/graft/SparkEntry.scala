@@ -141,6 +141,7 @@ object SparkEntry {
     "x101_ewma_popularity"  -> ((s, d) => Sessionize.ewmaPopularity(s, d)),
     "x102_robust_spikes"    -> ((s, d) => Sessionize.robustSpikes(s, d)),
     "x103_pmi_bigrams"      -> ((s, d) => TextAnalysis.pmiBigrams(s, d)),
+    "x104_preference_pairs" -> ((s, d) => Sampling.preferencePairs(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1328,6 +1329,39 @@ object SparkEntry {
         |  FROM documents d JOIN scored s USING (doc_id))
         |SELECT doc_id, source, score_micro, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= ${operators.Sampling.QualityCapPerSource}""".stripMargin
+    },
+
+    // x104: preference pairs — x89's scoring CTE verbatim, then the
+    // struct-extrema argmax/argmin replicated as (score DESC, doc_id
+    // DESC) / (score ASC, doc_id ASC) row_number picks per cell.
+    "x104_preference_pairs" -> {
+      import operators.TextAnalysis._
+      s"""$qualityFeatureCtes,
+        |scored AS (
+        |  SELECT doc_id,
+        |       CAST($QwWords * n_words
+        |            + $QwMeanLen * CAST(floor(mean_word_len * 1000000) AS BIGINT)
+        |            + ($QwStop) * CAST(floor(stopword_ratio * 1000000) AS BIGINT)
+        |            + ($QwShort) * CAST(floor(short_word_ratio * 1000000) AS BIGINT)
+        |            + ($QwDup) * CAST(floor(dup_ratio * 1000000) AS BIGINT) AS BIGINT) AS score_micro
+        |  FROM feat),
+        |j AS (SELECT d.doc_id, d.source,
+        |             d.n_chars // ${operators.Sampling.PrefBucketChars} AS bucket,
+        |             s.score_micro
+        |      FROM documents d JOIN scored s USING (doc_id)),
+        |r AS (SELECT *,
+        |       row_number() OVER (PARTITION BY source, bucket
+        |         ORDER BY score_micro DESC, doc_id DESC) AS rb,
+        |       row_number() OVER (PARTITION BY source, bucket
+        |         ORDER BY score_micro ASC, doc_id ASC) AS rw,
+        |       count(*) OVER (PARTITION BY source, bucket) AS nc
+        |      FROM j)
+        |SELECT source, bucket, CAST(nc AS BIGINT) AS n_candidates,
+        |       max(CASE WHEN rb = 1 THEN doc_id END) AS chosen_id,
+        |       max(CASE WHEN rw = 1 THEN doc_id END) AS rejected_id,
+        |       CAST(max(CASE WHEN rb = 1 THEN score_micro END)
+        |          - max(CASE WHEN rw = 1 THEN score_micro END) AS BIGINT) AS margin_micro
+        |FROM r WHERE nc >= 2 GROUP BY 1, 2, 3""".stripMargin
     },
 
     // x41's oracle replicates the count-min sketch end-to-end: the salted

@@ -795,6 +795,48 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("score_micro"), col("rank"))
   }
 
+  /** x104's length-bucket width in characters: pairs are mined within
+    * (source, n_chars div width) cells so chosen/rejected are
+    * comparable in provenance and length — the confound controls a
+    * preference-pair miner needs. Shared with the oracle SQL. */
+  val PrefBucketChars: Long = 2000L
+
+  /** Preference-pair mining (x104): per (source, length-bucket) cell,
+    * pair the highest- and lowest-quality document under x89's pinned
+    * scorer — the DPO/RLHF-style (chosen, rejected) construction over
+    * raw corpus text, with source and length held fixed so the pair
+    * differs by QUALITY rather than by provenance or verbosity. Both
+    * picks are argmax/argmin via lexicographic struct extrema
+    * `max(struct(score_micro, doc_id))` — deterministic under score
+    * ties (doc_id breaks them) and PARTIAL-AGGREGABLE, so the mine is
+    * one map-side-combined groupBy with no window at all (contrast
+    * x97's ranked cap, which needs row numbers by contract). Cells with
+    * one candidate emit nothing (no self-pairs); `margin_micro` is the
+    * exact integer score gap a trainer can threshold on.
+    *
+    * 100 TB shape: scoring is x89's pure per-row projection; the only
+    * shuffle is the (source, bucket)-keyed groupBy, partial-agg'd to
+    * TWO struct extrema + a count per cell regardless of cell size — a
+    * billion-doc cell still reduces map-side. Output is O(cells). */
+  def preferencePairs(spark: SparkSession, dir: String,
+                      bucketChars: Long = PrefBucketChars): DataFrame = {
+    require(bucketChars >= 1, "need bucketChars >= 1")
+    val scored = TextAnalysis.qualityScorePinned(spark, dir)
+      .select(col("doc_id"), col("score_micro"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("bucket", expr(s"n_chars div ${bucketChars}L"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        max(struct(col("score_micro"), col("doc_id"))).as("best"),
+        min(struct(col("score_micro"), col("doc_id"))).as("worst"))
+      .filter(col("n_candidates") >= 2)
+      .select(col("source"), col("bucket"), col("n_candidates"),
+        col("best.doc_id").as("chosen_id"), col("worst.doc_id").as("rejected_id"),
+        (col("best.score_micro") - col("worst.score_micro")).as("margin_micro"))
+  }
+
   /** x95 knobs — hashed-feature bucket count, pinned target-sample
     * boundary (the same convention as x31's benchMaxId: docs below it
     * are the curated domain sample), fixed-point scale. Shared with the

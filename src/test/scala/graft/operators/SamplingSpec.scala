@@ -655,4 +655,31 @@ class SamplingSpec extends SparkSpec {
     val plan = Sampling.dsirResample(weights).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
+
+  test("preferencePairs (x104): driver replay of the struct-extrema mine; windowless plan") {
+    val scores = TextAnalysis.qualityScorePinned(spark, sf)
+      .select($"doc_id", $"score_micro").as[(Long, Long)].collect().toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"n_chars").as[(Long, String, Long)].collect()
+    val want = docs
+      .map { case (id, src, nc) => (src, nc / Sampling.PrefBucketChars, id, scores(id)) }
+      .groupBy(t => (t._1, t._2))
+      .filter(_._2.length >= 2)
+      .map { case ((src, b), cell) =>
+        val best = cell.maxBy(t => (t._4, t._3))
+        val worst = cell.minBy(t => (t._4, t._3))
+        (src, b) -> (cell.length.toLong, best._3, worst._3, best._4 - worst._4)
+      }
+    val q = Sampling.preferencePairs(spark, sf)
+    val got = q.as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (src, b, n, chosen, rejected, margin) =>
+      assert((n, chosen, rejected, margin) == want((src, b)), s"cell $src/$b")
+      assert(chosen != rejected && margin >= 0)
+    }
+    // the mine must stay a partial-agg'd groupBy: no window exec, and the
+    // aggregate carries the struct extrema (argmax without rank)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("Window"), plan.take(800))
+  }
 }
