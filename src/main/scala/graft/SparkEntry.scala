@@ -142,6 +142,7 @@ object SparkEntry {
     "x102_robust_spikes"    -> ((s, d) => Sessionize.robustSpikes(s, d)),
     "x103_pmi_bigrams"      -> ((s, d) => TextAnalysis.pmiBigrams(s, d)),
     "x104_preference_pairs" -> ((s, d) => Sampling.preferencePairs(s, d)),
+    "x105_vocab_audit"      -> ((s, d) => TextAnalysis.sourceVocabAudit(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2199,6 +2200,21 @@ object SparkEntry {
         |          JOIN uni u2 ON b.w2 = u2.w, n
         |ORDER BY pmi_millis DESC, b.w1, b.w2
         |LIMIT ${operators.TextAnalysis.PmiTopK}""".stripMargin,
+
+    // x105: per-source vocabulary audit — tokens/types/hapax counts with
+    // the single-IEEE-division ratio discipline.
+    "x105_vocab_audit" ->
+      """WITH c AS (SELECT source, u.token, CAST(count(*) AS BIGINT) AS c
+        |           FROM (SELECT source, string_split(text, ' ') AS ws FROM documents),
+        |                unnest(ws) AS u(token)
+        |           GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |       CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS ttr,
+        |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(count(*) AS BIGINT) AS hapax_ratio
+        |FROM c GROUP BY 1""".stripMargin,
 
     // x102: median/MAD robust outlier hours — scaled-integer algebra
     // (med2 = a+b of the middle pair, mad4 = 4*MAD) so the interpolated

@@ -434,6 +434,34 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-source vocabulary audit (x105): token count, type count
+    * (distinct tokens), hapax count (tokens seen exactly once), and the
+    * type-token / hapax ratios — the corpus-health panel that catches a
+    * degenerate source before training (template spam collapses TTR;
+    * OCR noise and bot gibberish inflate the hapax share). Ratios are
+    * single int/int IEEE divisions (the repo's float discipline), so
+    * the whole panel is oracle-exact. TTR is length-biased by nature
+    * (larger samples → lower TTR) — the panel reports per-source raw
+    * counts so a consumer can window-normalize; the ratio column is the
+    * within-corpus comparator, not a cross-corpus constant.
+    *
+    * 100 TB shape: one corpus token explode into a (source, token)
+    * partial-agg'd groupBy (hot tokens combine map-side), then a
+    * source-keyed rollup of O(vocab) rows. Output is O(sources). */
+  def sourceVocabAudit(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(words(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types") / col("n_tokens")).as("ttr"),
+        (col("n_hapax") / col("n_types")).as("hapax_ratio"))
+  }
+
   /** Inverted-index construction (x51): per token, document frequency,
     * corpus frequency, and a bounded posting-list SAMPLE — the search /
     * retrieval-debugging index a data pipeline builds over its corpus.

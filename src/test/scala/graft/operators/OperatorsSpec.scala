@@ -1149,6 +1149,37 @@ class OperatorsSpec extends SparkSpec {
     assert(planted(("aa", "bb")) > planted(("cc", "dd")), s"collocation must outrank: $planted")
   }
 
+  test("sourceVocabAudit (x105): exact driver replica; template spam collapses TTR") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+    val want = docs.groupBy(_._1).map { case (src, rows) =>
+      val toks = rows.flatMap(_._2.split(" ", -1))
+      val byTok = toks.groupBy(identity).view.mapValues(_.length).toMap
+      src -> (toks.length.toLong, byTok.size.toLong,
+        byTok.count(_._2 == 1).toLong)
+    }
+    val got = TextAnalysis.sourceVocabAudit(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (src, nTok, nTyp, nHap, ttr, hr) =>
+      val (wTok, wTyp, wHap) = want(src)
+      assert((nTok, nTyp, nHap) == (wTok, wTyp, wHap), s"source $src")
+      assert(ttr == nTyp.toDouble / nTok && hr == nHap.toDouble / nTyp)
+    }
+    // planted: a looped template vs fresh prose of the same length —
+    // the template's TTR must collapse and its hapax share vanish
+    val dir = java.nio.file.Files.createTempDirectory("graft-vocab").toString
+    Seq((1L, ("buy now click here " * 25).trim, "en", "spam", 0L),
+      (2L, (1 to 100).map(i => s"w$i").mkString(" "), "en", "prose", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = TextAnalysis.sourceVocabAudit(spark, dir)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(planted("spam")._5 < 0.1 && planted("prose")._5 == 1.0)
+    assert(planted("spam")._4 == 0L && planted("prose")._6 == 1.0)
+  }
+
   test("invertedIndex: exact df/cf, posting sample bounded and drawn from the token's docs") {
     val idx = TextAnalysis.invertedIndex(spark, sf)
       .as[(String, Long, Long, String)].collect()
