@@ -143,6 +143,7 @@ object SparkEntry {
     "x103_pmi_bigrams"      -> ((s, d) => TextAnalysis.pmiBigrams(s, d)),
     "x104_preference_pairs" -> ((s, d) => Sampling.preferencePairs(s, d)),
     "x105_vocab_audit"      -> ((s, d) => TextAnalysis.sourceVocabAudit(s, d)),
+    "x106_interarrival"     -> ((s, d) => Sessionize.interArrivalStats(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2215,6 +2216,28 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |         / CAST(count(*) AS BIGINT) AS hapax_ratio
         |FROM c GROUP BY 1""".stripMargin,
+
+    // x106: per-user inter-arrival moments — exact rational variance
+    // (var_num/var_den), one IEEE mean division, CV>1 cross-multiplied.
+    "x106_interarrival" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT)
+        |           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+        |             (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+        |           AS gap_s
+        |  FROM events),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |             CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+        |             CAST(sum(gap_s * gap_s) AS BIGINT) AS sum_gap_sq
+        |      FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps, sum_gap_s, sum_gap_sq,
+        |       CAST(n_gaps * sum_gap_sq - sum_gap_s * sum_gap_s AS BIGINT) AS var_num,
+        |       CAST(n_gaps * n_gaps AS BIGINT) AS var_den,
+        |       CAST(sum_gap_s AS DOUBLE) / n_gaps AS mean_gap_s,
+        |       CAST(CASE WHEN n_gaps * sum_gap_sq > 2 * sum_gap_s * sum_gap_s
+        |             THEN 1 ELSE 0 END AS INTEGER) AS bursty
+        |FROM m""".stripMargin,
 
     // x102: median/MAD robust outlier hours — scaled-integer algebra
     // (med2 = a+b of the middle pair, mad4 = 4*MAD) so the interpolated

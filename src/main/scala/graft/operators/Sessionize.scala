@@ -316,6 +316,58 @@ object Sessionize {
           .as("robust_spike"))
   }
 
+  /** Per-user inter-arrival burstiness (x106): the temporal-regularity
+    * panel behind bot detection and engagement modeling — per user, the
+    * gap-series moments and a CV>1 burstiness flag. Gaps come from
+    * `lag(ts_s)` ordered by (ts_s, event_id) within the user (ties give
+    * zero gaps, so the gap MULTISET is a pure function of the sorted
+    * timestamp list — deterministic in both engines).
+    *
+    * Integer discipline: population variance is kept as the exact
+    * rational `var_num / var_den = (n·Σx² − (Σx)²) / n²` — two BIGINT
+    * columns, no float accumulation; `mean_gap_s` is the one int/int
+    * IEEE division. The burstiness flag cross-multiplies CV > 1 ⇔
+    * `n·Σx² > 2·(Σx)²` — pure integers. The moment products are
+    * guarded in double precision (x73's rule): n·Σx² clears 2⁶³ only
+    * for ~10⁶ year-scale gaps under one user — a bot the pipeline
+    * should have capped upstream; the guard raises instead of wrapping.
+    *
+    * 100 TB shape: the lag window partitions BY USER — each partition
+    * is one user's event count (the x11 sessionize bound, not corpus-
+    * sized); the rollup is a partial-agg'd user-keyed groupBy. A
+    * pathological single-user firehose is the same skew class as x11
+    * and carries the same mitigation (AQE skew handling / upstream
+    * per-user caps). Output is O(users). */
+  def interArrivalStats(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    val gaps = raw
+      .select(col("user_id"), col("event_id"), tsSeconds(raw).as("ts_s"))
+      .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(w))
+      .filter(col("gap_s").isNotNull)
+    val guard =
+      (col("n_gaps").cast("double") * col("sum_gap_sq").cast("double") >
+        lit(Long.MaxValue.toDouble * 0.9)) ||
+      (col("sum_gap_s").cast("double") * col("sum_gap_s").cast("double") >
+        lit(Long.MaxValue.toDouble * 0.45))
+    gaps.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sum_gap_s"),
+        sum(col("gap_s") * col("gap_s")).as("sum_gap_sq"))
+      .withColumn("checked",
+        when(guard, raise_error(lit("inter-arrival moments would exceed Long: " +
+          "n*sum_sq or sum^2 over bound; cap per-user events upstream (Scaladoc)")))
+          .otherwise(lit(true)))
+      .select(col("user_id"), col("n_gaps"), col("sum_gap_s"), col("sum_gap_sq"),
+        (col("n_gaps") * col("sum_gap_sq") - col("sum_gap_s") * col("sum_gap_s"))
+          .as("var_num"),
+        (col("n_gaps") * col("n_gaps")).as("var_den"),
+        (col("sum_gap_s") / col("n_gaps")).as("mean_gap_s"),
+        (col("n_gaps") * col("sum_gap_sq") >
+          lit(2L) * col("sum_gap_s") * col("sum_gap_s")).cast("int").as("bursty"))
+  }
+
   /** x86's ordered funnel stages, shared with the oracle SQL. */
   val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
 

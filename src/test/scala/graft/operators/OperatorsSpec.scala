@@ -259,6 +259,43 @@ class OperatorsSpec extends SparkSpec {
     assert(flagged.toSeq == Seq(h0 + 11 * 3600), s"only the burst hour: ${flagged.toSeq}")
   }
 
+  test("interArrivalStats (x106): exact rational variance; metronome vs burst flag") {
+    val raw = graft.Tables.events(spark, sf)
+    val byUser = raw.select($"user_id", Sessionize.tsSeconds(raw).as("ts_s"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val want = byUser.collect { case (u, evs) if evs.length >= 2 =>
+      val ts = evs.map(_._2).sorted
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+      val n = gaps.length.toLong
+      val s = gaps.sum
+      val sq = gaps.map(g => g * g).sum
+      u -> (n, s, sq, n * sq - s * s, n * n, s.toDouble / n,
+        if (n * sq > 2 * s * s) 1 else 0)
+    }
+    val got = Sessionize.interArrivalStats(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Double, Int)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (u, n, s, sq, vn, vd, mean, b) =>
+      assert((n, s, sq, vn, vd, mean, b) == want(u), s"user $u")
+      assert(vn >= 0L) // population variance numerator is non-negative
+    }
+    // planted: a metronome user (constant gap, CV=0) vs a bursty user
+    // (burst of near-zero gaps + one long silence, CV>1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gaps").toString
+    val t0 = 1700000000L
+    val metro = (0 until 10).map(i => (i.toLong, t0 + i * 600L, 1L))
+    val bursty = (0 until 9).map(i => (100L + i, t0 + i, 2L)) :+ (109L, t0 + 100000L, 2L)
+    (metro ++ bursty)
+      .map { case (id, ts, u) => (id, new java.sql.Timestamp(ts * 1000), u, "view", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val planted = Sessionize.interArrivalStats(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(planted(1L)._5 == 0L && planted(1L)._8 == 0) // zero variance, not bursty
+    assert(planted(2L)._8 == 1, s"burst+silence must flag: ${planted(2L)}")
+  }
+
   test("qualityScorePinned (x89): exact integer dot of the quantized x40 features") {
     val feats = TextAnalysis.qualityFeatures(spark, sf)
       .select($"doc_id", $"n_words", $"mean_word_len", $"stopword_ratio",
