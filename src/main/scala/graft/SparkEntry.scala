@@ -144,6 +144,8 @@ object SparkEntry {
     "x104_preference_pairs" -> ((s, d) => Sampling.preferencePairs(s, d)),
     "x105_vocab_audit"      -> ((s, d) => TextAnalysis.sourceVocabAudit(s, d)),
     "x106_interarrival"     -> ((s, d) => Sessionize.interArrivalStats(s, d)),
+    "x107_vocab_coverage"   -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
+    "x108_degree_hist"      -> ((s, d) => LinkAnalysis.degreeHistogram(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2216,6 +2218,33 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |         / CAST(count(*) AS BIGINT) AS hapax_ratio
         |FROM c GROUP BY 1""".stripMargin,
+
+    // x108: degree histogram of the undirected purchase graph — the
+    // same edge derivation as x77, parity decode on the node key.
+    "x108_degree_hist" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1)
+        |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+        |       deg, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM d GROUP BY 1, 2""".stripMargin,
+
+    // x107: vocabulary-coverage audit — deterministic top-K vocab
+    // (c DESC, token), per-source OOV in exact ppm fixed-point.
+    "x107_vocab_coverage" ->
+      s"""WITH t AS (SELECT source, u.token
+        |           FROM (SELECT source, string_split(text, ' ') AS ws FROM documents),
+        |                unnest(ws) AS u(token)),
+        |v AS (SELECT token FROM (SELECT token, count(*) AS c FROM t GROUP BY 1)
+        |      ORDER BY c DESC, token LIMIT ${operators.TextAnalysis.VocabCoverageK}),
+        |j AS (SELECT t.source, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM t LEFT JOIN v ON t.token = v.token)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(oov) AS BIGINT) AS n_oov,
+        |       (1000000 * CAST(sum(oov) AS BIGINT)) // CAST(count(*) AS BIGINT) AS oov_ppm,
+        |       CAST(count(*) - sum(oov) AS DOUBLE) / CAST(count(*) AS BIGINT) AS coverage
+        |FROM j GROUP BY 1""".stripMargin,
 
     // x106: per-user inter-arrival moments — exact rational variance
     // (var_num/var_den), one IEEE mean division, CV>1 cross-multiplied.

@@ -185,4 +185,21 @@ object LinkAnalysis {
   /** x99 entry: HITS on the order-induced customer→supplier graph. */
   def hits(spark: SparkSession, dir: String, iters: Int = HitsIters): DataFrame =
     hits(customerSupplierDirected(spark, dir), iters)
+
+  /** Degree-distribution histogram (x108): nodes per (side, degree) of
+    * the undirected purchase graph — the power-law / skew audit a graph
+    * pipeline runs BEFORE x77/x99 to size their hot keys (a degree-10⁷
+    * node in this histogram is tomorrow's skew incident in the rank
+    * join). Two partial-agg'd shuffles, both on keys that only shrink:
+    * per-node degree (O(E) → O(V)), then per-(side, degree) counts
+    * (O(V) → O(distinct degrees)). No window, no collect. */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .groupBy(when(col("src") % 2 === 0, "customer").otherwise("supplier")
+        .as("node_type"), col("deg"))
+      .agg(count(lit(1)).as("n_nodes"))
+
+  /** x108 entry: degree histogram of the order-induced purchase graph. */
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame =
+    degreeHistogram(customerSupplierEdges(spark, dir))
 }

@@ -462,6 +462,46 @@ object TextAnalysis {
         (col("n_hapax") / col("n_types")).as("hapax_ratio"))
   }
 
+  /** x107's vocabulary size: the top-K corpus tokens by frequency form
+    * the pinned vocabulary whose coverage is audited. */
+  val VocabCoverageK: Int = 1000
+
+  /** Vocabulary-coverage audit (x107): freeze the top-[[VocabCoverageK]]
+    * corpus tokens as the vocabulary (frequency-truncated, the way a
+    * word-level tokenizer or fastText cutoff is chosen), then measure
+    * per source what fraction of its token stream falls OUTSIDE it —
+    * the OOV-rate panel that decides whether a vocab size survives a
+    * new source mix. Ties at the frequency boundary break on the token
+    * string, so the vocabulary is a deterministic SET in both engines.
+    * `oov_ppm` is exact integer fixed-point ((10⁶·n_oov) div n_tokens —
+    * n_oov ≤ n_tokens keeps it overflow-free below 2⁶³/10⁶ ≈ 9.2·10¹²
+    * tokens PER SOURCE, the x65 bound class); `coverage` is the one
+    * int/int IEEE division.
+    *
+    * 100 TB shape: the vocab is `orderBy.limit` over the token-count
+    * aggregate (TakeOrdered — per-partition k + driver merge, no global
+    * sort) and is O(K) — it BROADCASTS into the per-source probe, so
+    * the corpus-sized stream joins with no shuffle beyond its own
+    * partial-agg'd rollups. */
+  def vocabCoverage(spark: SparkSession, dir: String,
+                    k: Int = VocabCoverageK): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(words(col("text"))).as("token"))
+    val vocab = counts.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(k)
+      .select(col("token"), lit(1).as("in_vocab"))
+    counts
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        expr("(1000000L * n_oov) div n_tokens").as("oov_ppm"),
+        ((col("n_tokens") - col("n_oov")) / col("n_tokens")).as("coverage"))
+  }
+
   /** Inverted-index construction (x51): per token, document frequency,
     * corpus frequency, and a bounded posting-list SAMPLE — the search /
     * retrieval-debugging index a data pipeline builds over its corpus.

@@ -158,6 +158,23 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(leaked.isEmpty, s"edge persist leaked: $leaked")
   }
 
+  test("degreeHistogram (x108): node mass conserved, histogram matches per-node degrees") {
+    val edges = LinkAnalysis.customerSupplierEdges(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val degByNode = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val want = degByNode.toSeq
+      .map { case (n, d) => (if (n % 2 == 0) "customer" else "supplier", d) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = LinkAnalysis.degreeHistogram(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (tpe, deg, n) => assert(n == want((tpe, deg)), s"$tpe deg=$deg") }
+    // every non-isolated node lands in exactly one histogram cell
+    assert(got.map(_._3).sum == degByNode.size.toLong)
+    // edge mass: sum(deg * n_nodes) equals the directed edge count
+    assert(got.map(r => r._2 * r._3).sum == edges.size.toLong)
+  }
+
   test("pageRank at 10 iterations: checkpointed rounds stay replica-exact, bounded plan") {
     // deep-iteration hygiene (round-7 advice): lineage truncates every
     // PrCheckpointEvery rounds, and the truncation must not change a bit

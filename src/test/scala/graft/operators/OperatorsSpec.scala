@@ -1217,6 +1217,40 @@ class OperatorsSpec extends SparkSpec {
     assert(planted("spam")._4 == 0L && planted("prose")._6 == 1.0)
   }
 
+  test("vocabCoverage (x107): exact driver replica; vocab is broadcast into the probe") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+    val all = docs.flatMap { case (s, t) => t.split(" ", -1).map(s -> _) }
+    val vocab = all.map(_._2).groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (tok, c) => (-c, tok) }
+      .take(TextAnalysis.VocabCoverageK).map(_._1).toSet
+    val want = all.groupBy(_._1).map { case (src, toks) =>
+      val n = toks.length.toLong
+      val oov = toks.count(t => !vocab.contains(t._2)).toLong
+      src -> (n, oov, 1000000L * oov / n)
+    }
+    val q = TextAnalysis.vocabCoverage(spark, sf)
+    val got = q.as[(String, Long, Long, Long, Double)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (src, n, oov, ppm, cov) =>
+      assert((n, oov, ppm) == want(src), s"source $src")
+      assert(cov == (n - oov).toDouble / n)
+    }
+    // corpus-aware sanity: OOV exists iff the corpus vocabulary
+    // overflows K (at sf0.001 it does not — everything is in-vocab)
+    val nTypes = all.map(_._2).distinct.length
+    if (nTypes > TextAnalysis.VocabCoverageK) assert(got.exists(_._3 > 0L))
+    else assert(got.forall(r => r._3 == 0L && r._5 == 1.0))
+    // small-k probe on the same corpus: shrinking the vocab must
+    // strictly create OOV mass
+    val tiny = TextAnalysis.vocabCoverage(spark, sf, k = 5)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(tiny.exists(_._3 > 0L) && tiny.forall(_._5 < 1.0))
+    // the O(K) vocab side must broadcast into the corpus probe
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("invertedIndex: exact df/cf, posting sample bounded and drawn from the token's docs") {
     val idx = TextAnalysis.invertedIndex(spark, sf)
       .as[(String, Long, Long, String)].collect()
