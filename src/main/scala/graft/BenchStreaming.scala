@@ -183,6 +183,7 @@ object BenchStreaming {
       run("stream_static_enrich", ev => EventStream.enrichWithUsers(ev, users)),
       run("sampled_stream", ev => EventStream.sampledStream(ev, thresholds)),
       run("transitions_stream", ev => EventStream.transitions(ev).toDF()),
+      run("ewma_stream", ev => EventStream.ewmaPopularity(ev).toDF()),
       // Update mode, chosen by measurement (r7 advice): Complete 3700 vs
       // Update 3785 rows/s at sf0.1 — within host noise, so the mode is
       // NOT the bottleneck (per-row tokenization + state-store machinery

@@ -165,6 +165,57 @@ object EventStream {
       }
   }
 
+  // —— stateful EWMA popularity via flatMapGroupsWithState ——
+
+  case class EwmaState(counts: Map[Long, Long])
+  case class EwmaOut(event_type: String, hour_start_s: Long, n_events: Long, ewma_pts: Long)
+
+  /** Streaming twin of x101's exponentially-weighted hourly popularity:
+    * per event type, `GroupState` carries the trailing [[graft.operators
+    * .Sessionize.EwmaHours]] hourly counts (O(W) state per key — bounded
+    * regardless of stream length), and each micro-batch re-emits the
+    * hours it touched with their current count and decayed points. Counts
+    * and points are MONOTONE per (type, hour) across emissions, so the
+    * last emission per key is the stream's answer and equals the batch
+    * operator exactly (spec-proven across a forced micro-batch boundary).
+    * Same in-order-arrival contract as [[transitions]]: per-type event
+    * time must not regress across micro-batches (time-ordered drops /
+    * log replay), which is what lets the state trim hours older than the
+    * newest window — an out-of-order hour older than the trim horizon
+    * would re-enter with a fresh count. */
+  def ewmaPopularity(events: DataFrame,
+                     windowHours: Int = graft.operators.Sessionize.EwmaHours)
+      : Dataset[EwmaOut] = {
+    require(windowHours >= 1 && windowHours <= 62, "need 1 <= windowHours <= 62")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type"), col("ts_s")).as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Long)], state: GroupState[EwmaState]) =>
+          val batchCounts = rows.foldLeft(Map.empty[Long, Long]) { case (m, (_, ts)) =>
+            val h = ts / 3600 * 3600
+            m.updated(h, m.getOrElse(h, 0L) + 1L)
+          }
+          if (batchCounts.isEmpty) Iterator.empty
+          else {
+            val prev = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
+            val merged = batchCounts.foldLeft(prev) { case (m, (h, n)) =>
+              m.updated(h, m.getOrElse(h, 0L) + n)
+            }
+            val maxH = merged.keys.max
+            state.update(EwmaState(
+              merged.filter { case (h, _) => h >= maxH - (windowHours - 1) * 3600L }))
+            batchCounts.keys.toSeq.sorted.iterator.map { h =>
+              val pts = (0 until windowHours).map(k =>
+                merged.getOrElse(h - k * 3600L, 0L) << (windowHours - 1 - k)).sum
+              EwmaOut(tpe, h, merged(h), pts)
+            }
+          }
+      }
+  }
+
   // —— stateful sessionization via mapGroupsWithState ——
 
   case class Event(user_id: Long, ts_s: Long, value: Double)

@@ -193,6 +193,62 @@ class EventStreamSpec extends SparkSpec {
     assert(usersBothSides > 0, "fixture must force cross-batch state handoff")
   }
 
+  test("stateful streaming EWMA ≡ batch x101 across a micro-batch boundary") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ewmastream").toString
+    val raw = graft.Tables.events(spark, sf)
+    val ev = raw.select($"event_type", Sessionize.tsSeconds(raw).as("ts_s"))
+    // time-split drops: per-type arrival stays in order across batches
+    val cut = ev.stat.approxQuantile("ts_s", Array(0.5), 0.0).head.toLong
+    ev.filter($"ts_s" <= cut).write.parquet(s"$root/drop")
+    ev.filter($"ts_s" > cut).write.mode("append").parquet(s"$root/drop")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/drop")
+    val q = EventStream.ewmaPopularity(stream).toDF()
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // counts and points are monotone per key, so max = last emission
+    val streamed = spark.table("ewma_stream")
+      .groupBy($"event_type", $"hour_start_s")
+      .agg(max($"n_events").as("n_events"), max($"ewma_pts").as("ewma_pts"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val batch = Sessionize.ewmaPopularity(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // planted cross-batch hour update (sf0.001 hours are too sparse to
+    // span the median cut): one hour split across two drops must be
+    // re-emitted with the cumulative count, and a later hour must see
+    // the full decayed mass of the earlier one
+    val root2 = java.nio.file.Files.createTempDirectory("graft-ewmastream2").toString
+    val h0 = 3600L * 4000000
+    Seq.tabulate(3)(i => ("view", h0 + i)).toDF("event_type", "ts_s")
+      .coalesce(1).write.parquet(s"$root2/drop")
+    (Seq.tabulate(2)(i => ("view", h0 + 60 + i)) :+ ("view", h0 + 3600L))
+      .toDF("event_type", "ts_s")
+      .coalesce(1).write.mode("append").parquet(s"$root2/drop")
+    val stream2 = spark.readStream
+      .schema(spark.read.parquet(s"$root2/drop").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root2/drop")
+    val q2 = EventStream.ewmaPopularity(stream2).toDF()
+      .writeStream.format("memory").queryName("ewma_stream2")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root2/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val rows2 = spark.table("ewma_stream2")
+      .as[(String, Long, Long, Long)].collect()
+    val wWin = Sessionize.EwmaHours
+    // hour h0 emitted twice: 3 events, then cumulative 5
+    val h0Emissions = rows2.filter(_._2 == h0).map(_._3).sorted
+    assert(h0Emissions.toSeq == Seq(3L, 5L), s"cross-batch update: ${h0Emissions.toSeq}")
+    // the next hour's EWMA carries its own event at full weight plus the
+    // FULL cross-batch h0 mass decayed one step
+    val next = rows2.filter(_._2 == h0 + 3600L)
+    assert(next.map(_._4).toSeq == Seq((1L << (wWin - 1)) + (5L << (wWin - 2))))
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch window sessionizer") {
     val sessions = runStream(
       EventStream.sessionize(EventStream.readEvents(spark, sf)).toDF(), "sessions")
