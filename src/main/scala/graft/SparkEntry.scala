@@ -146,6 +146,7 @@ object SparkEntry {
     "x106_interarrival"     -> ((s, d) => Sessionize.interArrivalStats(s, d)),
     "x107_vocab_coverage"   -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "x108_degree_hist"      -> ((s, d) => LinkAnalysis.degreeHistogram(s, d)),
+    "x109_code_switch"      -> ((s, d) => TextAnalysis.codeSwitch(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2229,6 +2230,46 @@ object SparkEntry {
         |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
         |       deg, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM d GROUP BY 1, 2""".stripMargin,
+
+    // x109: code-switch detection — x06's chunk-level scorer (same
+    // stopword lists, same precedence CASE), majority via the ordered
+    // row_number twin of the struct extrema, one IEEE agreement division.
+    "x109_code_switch" -> {
+      val cw = operators.TextAnalysis.CodeSwitchChunkWords
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ch AS (SELECT doc_id,
+        |         array_to_string(ws[(i * $cw + 1):(i * $cw + $cw)], ' ') AS chunk
+        |       FROM tok, unnest(range(0, (len(ws) + ${cw - 1}) // $cw)) AS t(i)),
+        |s AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(chunk,' '),
+        |      w -> w IN ('the','a','an','of','to','in','and','is','for','on'))) AS INTEGER) AS s_en,
+        |    CAST(len(list_filter(string_split(chunk,' '),
+        |      w -> w IN ('el','la','de','los','las','es','y','en','un','una'))) AS INTEGER) AS s_es,
+        |    CAST(len(list_filter(string_split(chunk,' '),
+        |      w -> w IN ('der','die','das','und','ist','ein','eine','zu','mit'))) AS INTEGER) AS s_de,
+        |    CAST(len(list_filter(string_split(chunk,' '),
+        |      w -> w IN ('le','la','les','des','et','est','un','une','dans'))) AS INTEGER) AS s_fr,
+        |    CAST(len(regexp_extract_all(chunk, '[\\x{4e00}-\\x{9fff}]')) AS INTEGER) AS s_zh
+        |  FROM ch),
+        |lang AS (SELECT doc_id, CASE
+        |    WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+        |    WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+        |    WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
+        |    WHEN s_fr >= s_zh THEN 'fr'
+        |    ELSE 'zh' END AS chunk_lang
+        |  FROM s),
+        |pl AS (SELECT doc_id, chunk_lang, CAST(count(*) AS BIGINT) AS n
+        |       FROM lang GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |       row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, chunk_lang DESC) AS rk,
+        |       CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_chunks,
+        |       CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_langs
+        |      FROM pl)
+        |SELECT doc_id, n_chunks, n_langs, chunk_lang AS majority_lang,
+        |       CAST(n AS DOUBLE) / n_chunks AS agreement,
+        |       CAST(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END AS INTEGER) AS code_switched
+        |FROM r WHERE rk = 1""".stripMargin
+    },
 
     // x107: vocabulary-coverage audit — deterministic top-K vocab
     // (c DESC, token), per-source OOV in exact ppm fixed-point.

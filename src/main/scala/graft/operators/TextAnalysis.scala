@@ -109,6 +109,63 @@ object TextAnalysis {
           .otherwise("zh"))
   }
 
+  /** x109's chunk width in words: language ID runs per chunk, so the
+    * unit of detection is a ~sentence-scale window. */
+  val CodeSwitchChunkWords: Int = 20
+
+  /** Code-switch detection (x109): run x06's stopword-profile language
+    * ID per [[CodeSwitchChunkWords]]-word chunk instead of per document,
+    * then audit each document's chunk-language agreement — the
+    * mixed-language detector (embedded boilerplate, concatenated crawl
+    * fragments, genuine code-switching) that a per-document argmax
+    * hides, since a 90% English page with a German footer still argmaxes
+    * to English. Majority language is the lexicographically-LAST tied
+    * argmax via `max(struct(n, lang))` (deterministic, partial-
+    * aggregable — x104's extrema pattern); `agreement` is the one
+    * int/int IEEE division; `code_switched` flags >1 distinct chunk
+    * language. Chunk scoring reuses x06's exact scorer and precedence
+    * order, so a 1-chunk document reproduces x06's prediction verbatim.
+    *
+    * 100 TB shape: chunking is a per-row flatMap (sequence + slice,
+    * x45's kernel — no shuffle); scoring is a per-chunk projection; the
+    * rollups are two partial-agg'd groupBys ((doc, lang) then doc). No
+    * windows, no driver state; output is O(docs). */
+  def codeSwitch(spark: SparkSession, dir: String,
+                 chunkWords: Int = CodeSwitchChunkWords): DataFrame = {
+    require(chunkWords >= 1, "need chunkWords >= 1")
+    val ws = words(col("text"))
+    val nChunks = expr(
+      s"CAST((size(split(text, ' ')) + ${chunkWords - 1}) div $chunkWords AS INT)")
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(ws, i * chunkWords + 1, lit(chunkWords)), " "))))
+      .toDF("doc_id", "chunk_id", "chunk")
+    val t = col("chunk")
+    def cIn(vocab: Seq[String]): Column =
+      size(filter(split(t, " "), w => w.isin(vocab.map(lit): _*)))
+    val scored = chunks.select(col("doc_id"),
+      cIn(EnStopwords).as("s_en"), cIn(EsStopwords).as("s_es"),
+      cIn(DeStopwords).as("s_de"), cIn(FrStopwords).as("s_fr"),
+      size(regexp_extract_all(t, lit("[\\u4e00-\\u9fff]"), lit(0))).as("s_zh"))
+      .withColumn("chunk_lang",
+        when(col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr"), col("s_zh")), "en")
+          .when(col("s_es") >= greatest(col("s_de"), col("s_fr"), col("s_zh")), "es")
+          .when(col("s_de") >= greatest(col("s_fr"), col("s_zh")), "de")
+          .when(col("s_fr") >= col("s_zh"), "fr")
+          .otherwise("zh"))
+    scored.groupBy(col("doc_id"), col("chunk_lang")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_chunks"),
+        count(lit(1)).as("n_langs"),
+        max(struct(col("n"), col("chunk_lang"))).as("m"))
+      .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+        col("m.chunk_lang").as("majority_lang"),
+        (col("m.n") / col("n_chunks")).as("agreement"),
+        (col("n_langs") > 1).cast("int").as("code_switched"))
+  }
+
   /** Token counting, two tokenizers: plain whitespace and a BPE-ish regex
     * (letter runs / digit runs / single non-space symbols) — the token
     * budget estimator for an LLM data pipeline. */

@@ -1251,6 +1251,43 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("codeSwitch (x109): chunk totals reconcile; planted bilingual doc flags, pure doc does not") {
+    val got = TextAnalysis.codeSwitch(spark, sf)
+      .as[(Long, Long, Long, String, Double, Int)].collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(got.length == nDocs)
+    got.foreach { case (id, nCh, nL, _, agree, flag) =>
+      // chunk count = ceil(words / chunkWords), languages partition chunks
+      assert(nCh >= 1 && nL >= 1 && nL <= nCh, s"doc $id")
+      assert(agree > 0.0 && agree <= 1.0)
+      assert(flag == (if (nL > 1) 1 else 0))
+      if (nL == 1) assert(agree == 1.0)
+    }
+    // a 1-chunk doc reproduces x06's per-doc prediction verbatim
+    val short = graft.Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).as("nw")).as[(Long, Int)]
+      .collect().filter(_._2 <= TextAnalysis.CodeSwitchChunkWords).map(_._1).toSet
+    if (short.nonEmpty) {
+      val x06 = TextAnalysis.languageId(spark, sf)
+        .select($"doc_id", $"predicted_lang").as[(Long, String)].collect().toMap
+      got.filter(r => short.contains(r._1)).foreach { r =>
+        assert(r._4 == x06(r._1), s"doc ${r._1}: 1-chunk majority must equal x06")
+      }
+    }
+    // planted: English body + German tail in chunk-width blocks flags;
+    // a pure-English doc of the same length does not
+    val dir = java.nio.file.Files.createTempDirectory("graft-cs").toString
+    val en = Seq.fill(20)("the cat is on the mat and the dog is here for now so").mkString(" ")
+    val de = Seq.fill(5)("der hund ist ein tier und die katze ist ein tier zu").mkString(" ")
+    Seq((1L, s"$en $de"), (2L, s"$en $en")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = TextAnalysis.codeSwitch(spark, dir)
+      .as[(Long, Long, Long, String, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(planted(1L)._6 == 1 && planted(1L)._4 == "en" && planted(1L)._3 >= 2)
+    assert(planted(2L)._6 == 0 && planted(2L)._4 == "en" && planted(2L)._5 == 1.0)
+  }
+
   test("invertedIndex: exact df/cf, posting sample bounded and drawn from the token's docs") {
     val idx = TextAnalysis.invertedIndex(spark, sf)
       .as[(String, Long, Long, String)].collect()
