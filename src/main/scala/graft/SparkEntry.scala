@@ -147,6 +147,7 @@ object SparkEntry {
     "x107_vocab_coverage"   -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "x108_degree_hist"      -> ((s, d) => LinkAnalysis.degreeHistogram(s, d)),
     "x109_code_switch"      -> ((s, d) => TextAnalysis.codeSwitch(s, d)),
+    "x110_market_hhi"       -> ((s, d) => Relational.marketHhi(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2230,6 +2231,29 @@ object SparkEntry {
         |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
         |       deg, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM d GROUP BY 1, 2""".stripMargin,
+
+    // x110: quantized-integer HHI per region — same rescale-then-square
+    // arithmetic, ppm fixed-point, round() cents convention.
+    "x110_market_hhi" -> {
+      val q = 1L << operators.Relational.HhiQuantBits
+      s"""WITH bs AS (
+        |  SELECT r.r_name, l.l_suppkey,
+        |         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS v_cents
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT r_name, CAST(sum(v_cents) AS BIGINT) AS v_total_cents,
+        |             greatest(1, CAST(sum(v_cents) AS BIGINT) // $q) AS scale
+        |      FROM bs GROUP BY 1),
+        |qv AS (SELECT bs.r_name, t.v_total_cents, bs.v_cents // t.scale AS q
+        |       FROM bs JOIN t USING (r_name))
+        |SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers, v_total_cents,
+        |       (1000000 * CAST(sum(q * q) AS BIGINT)) // (CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT)) AS hhi_ppm,
+        |       (1000000 * CAST(max(q) AS BIGINT)) // CAST(sum(q) AS BIGINT) AS top_share_ppm
+        |FROM qv GROUP BY 1, 3""".stripMargin
+    },
 
     // x109: code-switch detection — x06's chunk-level scorer (same
     // stopword lists, same precedence CASE), majority via the ordered

@@ -250,6 +250,62 @@ object Relational {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"), sum(cents(col("l_extendedprice"))).as("revenue_cents"))
 
+  /** x110's quantization width: per-region supplier revenues rescale to
+    * ~2²⁰ units before squaring, so the HHI numerator stays far inside
+    * a Long at ANY corpus scale. Shared with the oracle SQL. */
+  val HhiQuantBits: Int = 20
+
+  /** Market-concentration audit (x110): per region, the Herfindahl–
+    * Hirschman index over supplier revenue shares plus the top-supplier
+    * share — the "is this market one vendor in a trench coat" panel, in
+    * ppm fixed-point. This is the QUANTIZED integer form the x73/x103
+    * Scaladocs point to instead of a double ratio or a guarded raw
+    * product: revenues rescale by `scale = max(1, V div 2^20)` so each
+    * quantized share q_i ≤ ~2²⁰ REGARDLESS of total revenue — the
+    * numerator `10⁶·Σq_i²` is bounded by `10⁶·S·max_q` with
+    * `S = Σq_i ≤ 2²⁰ + n`, i.e. it wraps only past ~4·10⁶ suppliers in
+    * ONE region whose combined revenue still quantizes to scale 1 (a
+    * billion-vendor flea market; raise [[HhiQuantBits]]'s complement —
+    * lower it — if that's your market). The rescale floor-loses at most
+    * `scale` cents per supplier (deterministic, replicated by the
+    * oracle bit-for-bit); hhi_ppm and top_share_ppm divide by the
+    * quantized total so the panel is self-consistent.
+    *
+    * 100 TB shape: the fact scan joins broadcast dims (supplier →
+    * nation → region), partial-aggs on (region, suppkey) — one corpus
+    * shuffle — then rolls up per region twice over the O(suppliers)
+    * frame; the per-region totals join back broadcast (O(regions)
+    * rows). No windows, no driver state. */
+  def marketHhi(spark: SparkSession, dir: String): DataFrame = {
+    val bySupp = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), cents(col("l_extendedprice")).as("v"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("l_suppkey"))
+      .agg(sum(col("v")).as("v_cents"))
+    val totals = bySupp.groupBy(col("r_name"))
+      .agg(sum(col("v_cents")).as("v_total_cents"))
+      .withColumn("scale",
+        greatest(lit(1L), expr(s"v_total_cents div ${1L << HhiQuantBits}L")))
+    bySupp.join(broadcast(totals), Seq("r_name"))
+      .select(col("r_name"), col("v_total_cents"),
+        expr("v_cents div scale").as("q"))
+      .groupBy(col("r_name"), col("v_total_cents"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("q")).as("s_q"), sum(col("q") * col("q")).as("s_q2"),
+        max(col("q")).as("max_q"))
+      .select(col("r_name"), col("n_suppliers"), col("v_total_cents"),
+        expr("(1000000L * s_q2) div (s_q * s_q)").as("hhi_ppm"),
+        expr("(1000000L * max_q) div s_q").as("top_share_ppm"))
+  }
+
   /** The Silver pipeline composition (silver_processing.py.py:14-74)
     * transplanted onto testdata: dedup fact → ⟕ dim → ⟕ date-keyed flag →
     * coalesce rescue → derive year/month → drop any-null rows.

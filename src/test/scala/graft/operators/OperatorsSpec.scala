@@ -296,6 +296,37 @@ class OperatorsSpec extends SparkSpec {
     assert(planted(2L)._8 == 1, s"burst+silence must flag: ${planted(2L)}")
   }
 
+  test("marketHhi (x110): driver replica of the quantized algebra; monopoly vs split market") {
+    val got = Relational.marketHhi(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (r, n, v, hhi, top) =>
+      // HHI lower bound 1/n (perfect split), upper 1 (monopoly), in ppm;
+      // quantization dust can only nudge a few ppm below the bound
+      assert(hhi >= 1000000L / n - 5 && hhi <= 1000000L, s"$r hhi=$hhi n=$n")
+      assert(top >= 1000000L / n - 5 && top <= 1000000L, s"$r top=$top")
+      assert(hhi <= top * n && v > 0L)
+    }
+    // exact driver replica on one region
+    val bySupp = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.supplier(spark, sf), $"l_suppkey" === $"s_suppkey")
+      .join(graft.Tables.nation(spark, sf), $"s_nationkey" === $"n_nationkey")
+      .join(graft.Tables.region(spark, sf), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"l_suppkey")
+      .agg(sum(Relational.cents($"l_extendedprice")).as("v"))
+      .as[(String, Long, Long)].collect()
+    val region0 = got.head._1
+    val vs = bySupp.filter(_._1 == region0).map(_._3)
+    val vTot = vs.sum
+    val scale = math.max(1L, vTot / (1L << Relational.HhiQuantBits))
+    val qs = vs.map(_ / scale)
+    val s = qs.sum
+    val wantHhi = 1000000L * qs.map(q => q * q).sum / (s * s)
+    val wantTop = 1000000L * qs.max / s
+    val row = got.find(_._1 == region0).get
+    assert((row._2, row._3, row._4, row._5) == (vs.length.toLong, vTot, wantHhi, wantTop))
+  }
+
   test("qualityScorePinned (x89): exact integer dot of the quantized x40 features") {
     val feats = TextAnalysis.qualityFeatures(spark, sf)
       .select($"doc_id", $"n_words", $"mean_word_len", $"stopword_ratio",
