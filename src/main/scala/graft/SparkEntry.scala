@@ -148,6 +148,7 @@ object SparkEntry {
     "x108_degree_hist"      -> ((s, d) => LinkAnalysis.degreeHistogram(s, d)),
     "x109_code_switch"      -> ((s, d) => TextAnalysis.codeSwitch(s, d)),
     "x110_market_hhi"       -> ((s, d) => Relational.marketHhi(s, d)),
+    "x111_assoc_rules"      -> ((s, d) => Sessionize.associationRules(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2231,6 +2232,38 @@ object SparkEntry {
         |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
         |       deg, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM d GROUP BY 1, 2""".stripMargin,
+
+    // x111: session-basket association rules — x11's session CTEs
+    // verbatim, pair self-join on the basket key, ppm/millis fixed-point.
+    "x111_assoc_rules" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN ts_s - lag(ts_s, 1) OVER w > 1800 THEN 1
+        |                 WHEN lag(ts_s, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM flagged),
+        |it AS (SELECT DISTINCT user_id, session_idx, event_type FROM sess),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n
+        |       FROM (SELECT DISTINCT user_id, session_idx FROM it)),
+        |ic AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM it GROUP BY 1),
+        |pc AS (SELECT a.event_type AS ante, b.event_type AS cons,
+        |              CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM it a JOIN it b ON a.user_id = b.user_id
+        |        AND a.session_idx = b.session_idx AND a.event_type < b.event_type
+        |       GROUP BY 1, 2)
+        |SELECT ante, cons, ia.c AS n_a, ib.c AS n_b, n_ab,
+        |       (1000000 * n_ab) // ns.n AS support_ppm,
+        |       (1000000 * n_ab) // ia.c AS conf_ab_ppm,
+        |       (1000000 * n_ab) // ib.c AS conf_ba_ppm,
+        |       (1000 * n_ab * ns.n) // (ia.c * ib.c) AS lift_millis
+        |FROM pc JOIN ic ia ON pc.ante = ia.event_type
+        |        JOIN ic ib ON pc.cons = ib.event_type, ns""".stripMargin,
 
     // x110: quantized-integer HHI per region — same rescale-then-square
     // arithmetic, ppm fixed-point, round() cents convention.

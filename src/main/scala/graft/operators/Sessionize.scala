@@ -29,7 +29,11 @@ object Sessionize {
   /** Gap-based sessionization (30-min inactivity): classic lag + cumulative
     * boundary-sum, one shuffle on user_id reused by both window passes and
     * the final aggregate (same partitioning key → single exchange). */
-  def sessions(spark: SparkSession, dir: String, gapSeconds: Long = 1800): DataFrame = {
+  /** The session-index derivation under x11 (lag + cumulative boundary
+    * sum over the per-user window) — shared with x111's basket mining so
+    * the two can never disagree on what a session is. */
+  private[graft] def sessionizedEvents(spark: SparkSession, dir: String,
+                                       gapSeconds: Long): DataFrame = {
     val raw = Tables.events(spark, dir)
     val ev = raw
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -43,6 +47,10 @@ object Sessionize {
           .otherwise(0))
       .withColumn("session_idx",
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  def sessions(spark: SparkSession, dir: String, gapSeconds: Long = 1800): DataFrame = {
+    sessionizedEvents(spark, dir, gapSeconds)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -366,6 +374,57 @@ object Sessionize {
         (col("sum_gap_s") / col("n_gaps")).as("mean_gap_s"),
         (col("n_gaps") * col("sum_gap_sq") >
           lit(2L) * col("sum_gap_s") * col("sum_gap_s")).cast("int").as("bursty"))
+  }
+
+  /** Session-basket association rules (x111): support / confidence /
+    * lift over event-type pairs co-occurring in one session — classic
+    * market-basket mining with x11's sessions as baskets (the
+    * [[sessionizedEvents]] derivation is SHARED, so rule mining can
+    * never disagree with x11 about what a session is). Fixed-point
+    * integers throughout: support and the two directional confidences
+    * in ppm, lift in millis via the log-free ratio
+    * `(10³·n_ab·N) div (n_a·n_b)` — both products guarded in double
+    * (x103's rule; numerator wraps past n_ab·N ≈ 9.2·10¹⁵).
+    *
+    * 100 TB shape: the basket frame is session-distinct items — the
+    * pair self-join keys on (user, session), so fan-out per session is
+    * ≤ |event types|² (a plan-time constant, NOT corpus-sized); item
+    * counts are O(|types|) and broadcast back; the session total is a
+    * 1-row broadcast cross. The only corpus-scale stages are x11's
+    * per-user session window and the partial-agg'd distinct/counts. */
+  def associationRules(spark: SparkSession, dir: String,
+                       gapSeconds: Long = 1800): DataFrame = {
+    val items = sessionizedEvents(spark, dir, gapSeconds)
+      .select(col("user_id"), col("session_idx"), col("event_type"))
+      .distinct()
+    val nSessions = items.select(col("user_id"), col("session_idx")).distinct()
+      .agg(count(lit(1)).as("n"))
+    val itemCounts = items.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_idx") === col("b.session_idx") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ante"), col("b.event_type").as("cons"))
+      .agg(count(lit(1)).as("n_ab"))
+    val guard =
+      (lit(1000.0) * col("n_ab").cast("double") * col("n").cast("double") >
+        lit(Long.MaxValue.toDouble * 0.9)) ||
+      (col("n_a").cast("double") * col("n_b").cast("double") >
+        lit(Long.MaxValue.toDouble * 0.9))
+    pairs
+      .join(broadcast(itemCounts.select(col("event_type").as("ante"), col("c").as("n_a"))),
+        Seq("ante"))
+      .join(broadcast(itemCounts.select(col("event_type").as("cons"), col("c").as("n_b"))),
+        Seq("cons"))
+      .crossJoin(broadcast(nSessions))
+      .select(col("ante"), col("cons"), col("n_a"), col("n_b"), col("n_ab"),
+        expr("(1000000L * n_ab) div n").as("support_ppm"),
+        expr("(1000000L * n_ab) div n_a").as("conf_ab_ppm"),
+        expr("(1000000L * n_ab) div n_b").as("conf_ba_ppm"),
+        when(guard, raise_error(lit("lift product would exceed Long: " +
+          "n_ab*N or n_a*n_b over bound; quantize counts (Scaladoc)")))
+          .otherwise(expr("(1000L * n_ab * n) div (n_a * n_b)")).as("lift_millis"))
   }
 
   /** x86's ordered funnel stages, shared with the oracle SQL. */

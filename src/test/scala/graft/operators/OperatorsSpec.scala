@@ -218,6 +218,33 @@ class OperatorsSpec extends SparkSpec {
     assert(planted(h0 + 5 * 3600) == (1L << 7) + (8L << 2))
   }
 
+  test("associationRules (x111): driver replay over x11's own baskets") {
+    val baskets = Sessionize.sessions(spark, sf)
+      .select($"user_id", $"session_idx").as[(Long, Long)].collect()
+    val items = Sessionize.sessionizedEvents(spark, sf, 1800)
+      .select($"user_id", $"session_idx", $"event_type")
+      .distinct().as[(Long, Long, String)].collect()
+    val n = baskets.length.toLong
+    assert(items.map(r => (r._1, r._2)).distinct.length.toLong == n) // same baskets as x11
+    val byBasket = items.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).toSet)
+    val ic = items.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val pairCounts = byBasket.values.toSeq
+      .flatMap(ts => ts.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Sessionize.associationRules(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == pairCounts.size && got.nonEmpty)
+    got.foreach { case (a, b, na, nb, nab, sup, cab, cba, lift) =>
+      assert(a < b && nab == pairCounts((a, b)), s"$a->$b")
+      assert(na == ic(a) && nb == ic(b))
+      assert(sup == 1000000L * nab / n)
+      assert(cab == 1000000L * nab / na && cba == 1000000L * nab / nb)
+      assert(lift == 1000L * nab * n / (na * nb))
+      // co-occurrence can never exceed either side's basket count
+      assert(nab <= na && nab <= nb)
+    }
+  }
+
   test("robustSpikes (x102): driver replay of the scaled-integer median/MAD rule") {
     def med2(xs: Seq[Long]): Long = {
       val s = xs.sorted
