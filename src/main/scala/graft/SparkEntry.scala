@@ -149,6 +149,7 @@ object SparkEntry {
     "x109_code_switch"      -> ((s, d) => TextAnalysis.codeSwitch(s, d)),
     "x110_market_hhi"       -> ((s, d) => Relational.marketHhi(s, d)),
     "x111_assoc_rules"      -> ((s, d) => Sessionize.associationRules(s, d)),
+    "x112_last_touch"       -> ((s, d) => Sessionize.lastTouchAttribution(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2232,6 +2233,33 @@ object SparkEntry {
         |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
         |       deg, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM d GROUP BY 1, 2""".stripMargin,
+
+    // x112: last-touch attribution — equi-join on user with the time
+    // residual, winner via the ordered row_number twin of the struct
+    // extremum, unattributed purchases kept through the left join.
+    "x112_last_touch" ->
+      s"""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |         CAST(round(value * 100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts_s AS click_ts_s
+        |      FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts_s AS purchase_ts_s, value_cents
+        |      FROM ev WHERE event_type = 'purchase'),
+        |pairs AS (SELECT p.purchase_id, c.click_id, c.click_ts_s
+        |          FROM p JOIN c ON p.user_id = c.user_id
+        |           AND c.click_ts_s <= p.purchase_ts_s
+        |           AND c.click_ts_s > p.purchase_ts_s - ${operators.Sessionize.AttributionWindowS}),
+        |best AS (SELECT purchase_id, click_id, click_ts_s FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY purchase_id
+        |             ORDER BY click_ts_s DESC, click_id DESC) AS rk FROM pairs)
+        |         WHERE rk = 1)
+        |SELECT p.purchase_id, p.user_id, p.purchase_ts_s, p.value_cents,
+        |       b.click_id, b.click_ts_s,
+        |       p.purchase_ts_s - b.click_ts_s AS lag_s,
+        |       CAST(CASE WHEN b.click_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS attributed
+        |FROM p LEFT JOIN best b USING (purchase_id)""".stripMargin,
 
     // x111: session-basket association rules — x11's session CTEs
     // verbatim, pair self-join on the basket key, ppm/millis fixed-point.

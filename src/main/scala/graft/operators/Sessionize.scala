@@ -427,6 +427,52 @@ object Sessionize {
           .otherwise(expr("(1000L * n_ab * n) div (n_a * n_b)")).as("lift_millis"))
   }
 
+  /** x112's attribution lookback window in seconds. */
+  val AttributionWindowS: Long = 3600L
+
+  /** Last-touch attribution (x112): for every purchase, the most recent
+    * click by the same user within the trailing [[AttributionWindowS]]
+    * window — the batch complement of the streaming interval join
+    * (`EventStream.clickPurchaseAttribution` emits ALL pairs; marketing
+    * attribution wants exactly one winner). Unattributed purchases stay
+    * in the result with null click columns — attribution COVERAGE is
+    * half of what the panel is for. The winner is the lexicographic
+    * struct extremum `max(struct(click_ts, click_id))` — deterministic
+    * under same-second clicks and partial-aggregable (x104's argmax
+    * pattern: no window over the pair stream).
+    *
+    * 100 TB shape: the candidate join is a plain equi-join on user_id
+    * with the time predicate as residual — per-user volumes are the
+    * join's fan-out bound (x11's bound class; a firehose user is AQE
+    * skew territory). One partial-agg'd groupBy picks winners; the
+    * coverage left-join is purchase-keyed. No windows, no driver
+    * state. */
+  def lastTouchAttribution(spark: SparkSession, dir: String,
+                           windowSeconds: Long = AttributionWindowS): DataFrame = {
+    require(windowSeconds >= 1, "need windowSeconds >= 1")
+    val raw = Tables.events(spark, dir)
+    val ev = raw.select(col("event_id"), col("user_id"), col("event_type"),
+      tsSeconds(raw).as("ts_s"), Relational.cents(col("value")).as("value_cents"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_s").as("click_ts_s"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_s").as("purchase_ts_s"), col("value_cents"))
+    val winners = purchases.join(clicks, Seq("user_id"))
+      .filter(col("click_ts_s") <= col("purchase_ts_s") &&
+        col("click_ts_s") > col("purchase_ts_s") - windowSeconds)
+      .groupBy(col("purchase_id"))
+      .agg(max(struct(col("click_ts_s"), col("click_id"))).as("w"))
+      .select(col("purchase_id"), col("w.click_id").as("click_id"),
+        col("w.click_ts_s").as("click_ts_s"))
+    purchases.join(winners, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts_s"),
+        col("value_cents"), col("click_id"), col("click_ts_s"),
+        (col("purchase_ts_s") - col("click_ts_s")).as("lag_s"),
+        col("click_id").isNotNull.cast("int").as("attributed"))
+  }
+
   /** x86's ordered funnel stages, shared with the oracle SQL. */
   val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
 

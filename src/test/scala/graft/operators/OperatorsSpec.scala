@@ -218,6 +218,36 @@ class OperatorsSpec extends SparkSpec {
     assert(planted(h0 + 5 * 3600) == (1L << 7) + (8L << 2))
   }
 
+  test("lastTouchAttribution (x112): driver replay; most-recent click wins, coverage kept") {
+    val raw = graft.Tables.events(spark, sf)
+    val ev = raw.select($"event_id", $"user_id", $"event_type",
+      Sessionize.tsSeconds(raw).as("ts_s")).as[(Long, Long, String, Long)].collect()
+    val clicksByUser = ev.filter(_._3 == "click").groupBy(_._2)
+    val purchases = ev.filter(_._3 == "purchase")
+    val want = purchases.map { case (pid, u, _, pts) =>
+      val cands = clicksByUser.getOrElse(u, Array.empty)
+        .filter(c => c._4 <= pts && c._4 > pts - Sessionize.AttributionWindowS)
+      pid -> (if (cands.isEmpty) None
+              else Some(cands.maxBy(c => (c._4, c._1))).map(c => (c._1, c._4, pts - c._4)))
+    }.toMap
+    val got = Sessionize.lastTouchAttribution(spark, sf)
+      .select($"purchase_id", $"click_id", $"click_ts_s", $"lag_s", $"attributed")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)].collect()
+    assert(got.length == purchases.length && got.nonEmpty)
+    got.foreach { case (pid, cid, cts, lag, attr) =>
+      want(pid) match {
+        case Some((wCid, wCts, wLag)) =>
+          assert((cid, cts, lag, attr) == (Some(wCid), Some(wCts), Some(wLag), 1), s"p $pid")
+        case None =>
+          assert(cid.isEmpty && attr == 0, s"p $pid must stay unattributed")
+      }
+    }
+    // both coverage classes must exist on real data
+    assert(got.exists(_._5 == 1) && got.exists(_._5 == 0))
+    // lag is always within the window and non-negative
+    assert(got.flatMap(_._4).forall(l => l >= 0 && l < Sessionize.AttributionWindowS))
+  }
+
   test("associationRules (x111): driver replay over x11's own baskets") {
     val baskets = Sessionize.sessions(spark, sf)
       .select($"user_id", $"session_idx").as[(Long, Long)].collect()
