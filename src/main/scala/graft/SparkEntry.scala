@@ -150,6 +150,7 @@ object SparkEntry {
     "x110_market_hhi"       -> ((s, d) => Relational.marketHhi(s, d)),
     "x111_assoc_rules"      -> ((s, d) => Sessionize.associationRules(s, d)),
     "x112_last_touch"       -> ((s, d) => Sessionize.lastTouchAttribution(s, d)),
+    "x113_fertility"        -> ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2233,6 +2234,25 @@ object SparkEntry {
         |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
         |       deg, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM d GROUP BY 1, 2""".stripMargin,
+
+    // x113: tokenizer fertility per (source, lang) — x63's BPE term CTE
+    // chain (the pinned-merge recursive rewrite), word stream joined to
+    // per-word token counts, exact ppm + one IEEE division.
+    "x113_fertility" ->
+      s"""$bpeTermCteSql,
+        |occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |doctoks AS (SELECT o.doc_id, CAST(sum(t.n_toks) AS BIGINT) AS toks
+        |            FROM occ o JOIN term t USING (w) GROUP BY 1),
+        |per AS (SELECT d.source, d.lang,
+        |               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nw,
+        |               coalesce(t.toks, 0) AS nt
+        |        FROM documents d LEFT JOIN doctoks t USING (doc_id))
+        |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(nw) AS BIGINT) AS n_words,
+        |       CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
+        |       (1000000 * CAST(sum(nt) AS BIGINT)) // CAST(sum(nw) AS BIGINT) AS fertility_ppm,
+        |       CAST(sum(nt) AS DOUBLE) / CAST(sum(nw) AS BIGINT) AS fertility
+        |FROM per GROUP BY 1, 2""".stripMargin,
 
     // x112: last-touch attribution — equi-join on user with the time
     // residual, winner via the ordered row_number twin of the struct

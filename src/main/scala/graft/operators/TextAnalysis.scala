@@ -1056,6 +1056,35 @@ object TextAnalysis {
     transform(words(col("text")),
       w => size(graft.functions.BpeEncode.bpe_encode(w, merges)).cast("long"))
 
+  /** Tokenizer-fertility audit (x113): BPE tokens per whitespace word,
+    * per (source, lang) cell, under the pinned x63 tokenizer — the
+    * panel a pretraining team reads before committing a tokenizer to a
+    * source mix (high fertility on one language means that language
+    * pays more compute per word and fits less text per context window).
+    * `fertility_ppm` is exact integer fixed-point
+    * `(10⁶·n_bpe_tokens) div n_words` (safe below ~9.2·10¹² tokens per
+    * cell, the x65 bound class); `fertility` is the one int/int IEEE
+    * division.
+    *
+    * 100 TB shape: per-word token counts run inside the scan projection
+    * (the fused `BpeEncode` kernel via `perWordTokenCounts` — zero
+    * shuffle, x76's path); the only shuffle is the partial-agg'd
+    * (source, lang) rollup. Output is O(cells). */
+  def tokenizerFertility(spark: SparkSession, dir: String,
+                         merges: Seq[(String, String)] = PinnedBpeMerges): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(words(col("text"))).cast("long").as("nw"),
+        aggregate(perWordTokenCounts(merges), lit(0L), _ + _).as("nt"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("nt")).as("n_bpe_tokens"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"),
+        expr("(1000000L * n_bpe_tokens) div n_words").as("fertility_ppm"),
+        (col("n_bpe_tokens") / col("n_words")).as("fertility"))
+
   /** BPE-token-budget document chunking (x76): cut every document into
     * chunks of ~`budget` TOKENIZER tokens at word boundaries — x45's
     * context-window prep, but budgeted by the tokens the model actually

@@ -218,6 +218,29 @@ class OperatorsSpec extends SparkSpec {
     assert(planted(h0 + 5 * 3600) == (1L << 7) + (8L << 2))
   }
 
+  test("tokenizerFertility (x113): reconciles with the BPE kernel; fertility >= 1") {
+    val perDoc = graft.Tables.documents(spark, sf)
+      .select($"source", $"lang",
+        size(split($"text", " ")).cast("long").as("nw"),
+        size(graft.functions.BpeEncode.bpe_encode($"text", TextAnalysis.PinnedBpeMerges))
+          .cast("long").as("nt"))
+      .as[(String, String, Long, Long)].collect()
+    val want = perDoc.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+      k -> (rs.length.toLong, rs.map(_._3).sum, rs.map(_._4).sum)
+    }
+    val got = TextAnalysis.tokenizerFertility(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Double)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (src, lang, nd, nw, nt, ppm, f) =>
+      // per-word encode == whole-text encode (word-local kernel), so the
+      // cell sums must reconcile with the document-level encoding
+      assert((nd, nw, nt) == want((src, lang)), s"$src/$lang")
+      assert(ppm == 1000000L * nt / nw && f == nt.toDouble / nw)
+      // a BPE tokenizer can only split words, never merge across spaces
+      assert(nt >= nw, s"$src/$lang fertility below 1")
+    }
+  }
+
   test("lastTouchAttribution (x112): driver replay; most-recent click wins, coverage kept") {
     val raw = graft.Tables.events(spark, sf)
     val ev = raw.select($"event_id", $"user_id", $"event_type",
