@@ -151,6 +151,7 @@ object SparkEntry {
     "x111_assoc_rules"      -> ((s, d) => Sessionize.associationRules(s, d)),
     "x112_last_touch"       -> ((s, d) => Sessionize.lastTouchAttribution(s, d)),
     "x113_fertility"        -> ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
+    "x114_copy_directions"  -> ((s, d) => Dedup.copyDirections(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2234,6 +2235,39 @@ object SparkEntry {
         |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
         |       deg, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM d GROUP BY 1, 2""".stripMargin,
+
+    // x114: directional paragraph copy-flow — x39's CDC-paragraph CTEs
+    // verbatim, origin = ordered row_number pick (the struct-minimum
+    // twin), self-edges kept.
+    "x114_copy_directions" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, pos, w,
+        |         SUM(CASE WHEN ('0x' || substr(md5(w), 1, 15))::BIGINT % ${operators.Dedup.ParagraphBoundaryMod} = 0
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS par_id
+        |  FROM w),
+        |pars AS (
+        |  SELECT doc_id, par_id, md5(array_to_string(list(w ORDER BY pos), ' ')) AS fp
+        |  FROM c GROUP BY doc_id, par_id),
+        |o AS (SELECT fp, doc_id AS origin_id, par_id AS origin_par
+        |      FROM (SELECT *, row_number() OVER (PARTITION BY fp
+        |              ORDER BY doc_id ASC, par_id ASC) AS rk,
+        |              count(*) OVER (PARTITION BY fp) AS dc
+        |            FROM pars)
+        |      WHERE rk = 1 AND dc >= 2)
+        |SELECT so.source AS origin_source, sc.source AS copier_source,
+        |       CAST(count(*) AS BIGINT) AS n_copies,
+        |       CAST(count(DISTINCT p.fp) AS BIGINT) AS n_contents
+        |FROM pars p JOIN o USING (fp)
+        |JOIN documents sc ON p.doc_id = sc.doc_id
+        |JOIN documents so ON o.origin_id = so.doc_id
+        |WHERE NOT (p.doc_id = o.origin_id AND p.par_id = o.origin_par)
+        |GROUP BY 1, 2""".stripMargin,
 
     // x113: tokenizer fertility per (source, lang) — x63's BPE term CTE
     // chain (the pinned-merge recursive rewrite), word stream joined to

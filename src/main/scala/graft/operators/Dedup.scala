@@ -98,6 +98,48 @@ object Dedup {
       .groupBy(md5(col("text")).as("content_md5"))
       .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("dup_count"))
 
+  /** Directional copy-flow between sources (x114): for every duplicated
+    * PARAGRAPH (x39's CDC unit and digest — the corpus's whole-document
+    * md5 groups are all singletons, but paragraphs genuinely recur),
+    * the FIRST occurrence (min (doc_id, par_id) — ingest order as the
+    * publication proxy, x39's first-wins rule) is the origin; every
+    * later occurrence yields one (origin_source → copier_source) edge.
+    * The directional complement of x92's undirected mirror pairs:
+    * "who copies whom", turning dedup stats into a syndication /
+    * scraper map. Self-edges (copier = origin source, including the
+    * same document repeating its own paragraph) stay in the result —
+    * internal boilerplate is a real signal.
+    *
+    * 100 TB shape: x39's paragraph derivation (one doc_id shuffle),
+    * then one partial-agg'd groupBy on the digest picks each group's
+    * origin via the lexicographic struct MINIMUM (x104's extrema
+    * pattern — a row_number over the digest would sort the hottest
+    * boilerplate paragraph's copies in one task, x39's documented
+    * anti-pattern); occurrences re-join the ≥2-count origin table on
+    * the digest, source labels attach via two doc-keyed equi-joins,
+    * and the edge rollup is O(source²) — partial-agg'd throughout. */
+  def copyDirections(spark: SparkSession, dir: String,
+                     boundaryMod: Int = ParagraphBoundaryMod): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val pars = cdcParagraphs(spark, dir, boundaryMod)
+      .select(col("fp"), col("doc_id"), col("par_id"))
+    val origins = pars.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("par_id"))).as("o"),
+        count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") >= 2)
+      .select(col("fp"), col("o.doc_id").as("origin_id"),
+        col("o.par_id").as("origin_par"))
+    pars.join(origins, Seq("fp"))
+      .filter(!(col("doc_id") === col("origin_id") &&
+        col("par_id") === col("origin_par")))
+      .join(src, Seq("doc_id"))
+      .join(src.select(col("doc_id").as("origin_id"),
+        col("source").as("origin_source")), Seq("origin_id"))
+      .groupBy(col("origin_source"), col("source").as("copier_source"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("fp")).as("n_contents"))
+  }
+
   /** N-gram Jaccard near-dup pairs, exact: explode distinct 5-gram shingles,
     * self-join on shingle (set-similarity join — only docs sharing ≥1
     * shingle ever meet), count intersections, filter on true Jaccard.

@@ -698,6 +698,29 @@ class OperatorsSpec extends SparkSpec {
     assert(got.nonEmpty && got == expect)
   }
 
+  test("copyDirections (x114): edge mass reconciles with x39's duplicated paragraphs") {
+    val pars = Dedup.cdcParagraphs(spark, sf, Dedup.ParagraphBoundaryMod)
+      .select($"fp", $"doc_id", $"par_id").as[(String, Long, Long)].collect()
+    val srcOf = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val groups = pars.groupBy(_._1).filter(_._2.length >= 2)
+    val wantEdges = groups.toSeq.flatMap { case (fp, occ) =>
+      val origin = occ.minBy(o => (o._2, o._3))
+      occ.filter(o => (o._2, o._3) != (origin._2, origin._3))
+        .map(o => ((srcOf(origin._2), srcOf(o._2)), fp))
+    }
+    val want = wantEdges.groupBy(_._1).view
+      .mapValues(es => (es.length.toLong, es.map(_._2).distinct.length.toLong)).toMap
+    val got = Dedup.copyDirections(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (o, c, n, nc) =>
+      assert((n, nc) == want((o, c)), s"$o -> $c")
+    }
+    // edge mass: total copies = total non-origin occurrences of dup groups
+    assert(got.map(_._3).sum == groups.values.map(_.length - 1).sum.toLong)
+  }
+
   test("paragraphDedup: every doc covered, kills occur, untouched docs round-trip exactly") {
     val docs = graft.Tables.documents(spark, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect().toMap
