@@ -152,6 +152,7 @@ object SparkEntry {
     "x112_last_touch"       -> ((s, d) => Sessionize.lastTouchAttribution(s, d)),
     "x113_fertility"        -> ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
     "x114_copy_directions"  -> ((s, d) => Dedup.copyDirections(s, d)),
+    "x115_weighted_sample"  -> ((s, d) => Sampling.weightedSample(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2235,6 +2236,30 @@ object SparkEntry {
         |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
         |       deg, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM d GROUP BY 1, 2""".stripMargin,
+
+    // x115: weighted sample without replacement — x89's scoring CTE,
+    // integer A-ES priority h // max(1, score), bottom-k per source.
+    "x115_weighted_sample" -> {
+      import operators.TextAnalysis._
+      s"""$qualityFeatureCtes,
+        |scored AS (
+        |  SELECT doc_id,
+        |       CAST($QwWords * n_words
+        |            + $QwMeanLen * CAST(floor(mean_word_len * 1000000) AS BIGINT)
+        |            + ($QwStop) * CAST(floor(stopword_ratio * 1000000) AS BIGINT)
+        |            + ($QwShort) * CAST(floor(short_word_ratio * 1000000) AS BIGINT)
+        |            + ($QwDup) * CAST(floor(dup_ratio * 1000000) AS BIGINT) AS BIGINT) AS score_micro
+        |  FROM feat),
+        |pr AS (SELECT d.doc_id, d.source,
+        |              greatest(1, s.score_micro) AS weight,
+        |              ('0x' || substr(md5('ws:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |                // greatest(1, s.score_micro) AS priority
+        |       FROM documents d JOIN scored s USING (doc_id)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY priority, doc_id) AS rank FROM pr)
+        |SELECT doc_id, source, weight, priority, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= ${operators.Sampling.WeightedSampleK}""".stripMargin
+    },
 
     // x114: directional paragraph copy-flow — x39's CDC-paragraph CTEs
     // verbatim, origin = ordered row_number pick (the struct-minimum

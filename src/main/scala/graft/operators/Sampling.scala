@@ -837,6 +837,46 @@ object Sampling {
         (col("best.score_micro") - col("worst.score_micro")).as("margin_micro"))
   }
 
+  /** x115's per-source sample size. */
+  val WeightedSampleK: Int = 10
+
+  /** Weighted sampling WITHOUT replacement (x115): draw
+    * [[WeightedSampleK]] documents per source with inclusion biased by
+    * x89's pinned quality weight — the fixed-SIZE companion to x100's
+    * Bernoulli resample (a mixture builder wants exact shard sizes; a
+    * filter wants a rate). This is the integer A-ES/priority-sampling
+    * variant (Efraimidis–Spirakis with the exp/log race replaced by the
+    * repo's hash discipline): priority = `h div w` where h is the
+    * salted md5-60 coin and w = max(1, score_micro) — doubling a
+    * weight halves a doc's expected priority, so the bottom-k
+    * priorities per source are a deterministic weight-biased sample;
+    * the log-free variant choice is documented (x95's move: polynomial
+    * rather than exponential weight sensitivity).
+    *
+    * 100 TB shape: scoring and priorities are per-row projections; the
+    * bottom-k per source is a rank window that Spark executes as
+    * WindowGroupLimit (x97's pattern): each map task keeps only k rows
+    * per source before the shuffle, so the exchange carries
+    * O(tasks·k·sources), never the corpus. */
+  def weightedSample(spark: SparkSession, dir: String,
+                     k: Int = WeightedSampleK): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val scored = TextAnalysis.qualityScorePinned(spark, dir)
+      .select(col("doc_id"), col("score_micro"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority"), col("doc_id"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("weight", greatest(lit(1L), col("score_micro")))
+      .withColumn("h", Dedup.md5Hash60(concat(lit("ws:"), col("doc_id").cast("string"))))
+      .withColumn("priority", expr("h div weight"))
+      .drop("h")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("source"), col("weight"),
+        col("priority"), col("rank"))
+  }
+
   /** x95 knobs — hashed-feature bucket count, pinned target-sample
     * boundary (the same convention as x31's benchMaxId: docs below it
     * are the curated domain sample), fixed-point scale. Shared with the

@@ -656,6 +656,35 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("weightedSample (x115): exact driver replica; weights bias inclusion; WindowGroupLimit plan") {
+    val scores = TextAnalysis.qualityScorePinned(spark, sf)
+      .select($"doc_id", $"score_micro").as[(Long, Long)].collect().toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val want = docs.map { case (id, src) =>
+      val w = math.max(1L, scores(id))
+      val pri = Math.floorMod(Dedup.md5Hash60Ref(s"ws:$id"), Sampling.HashSpace) / w
+      (src, id, w, pri)
+    }.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._4, r._2)).take(Sampling.WeightedSampleK).zipWithIndex
+        .map { case ((src, id, w, pri), i) => id -> ((src, w, pri, i + 1L)) }
+    }.toMap
+    val q = Sampling.weightedSample(spark, sf)
+    val got = q.as[(Long, String, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (id, src, w, pri, rank) =>
+      assert((src, w, pri, rank) == want(id), s"doc $id")
+    }
+    // weight bias: the sampled docs' mean weight exceeds the corpus mean
+    // (priority = h div w makes heavy docs win the race)
+    val sampledMean = got.map(_._3).sum.toDouble / got.length
+    val corpusMean = docs.map(d => math.max(1L, scores(d._1))).sum.toDouble / docs.length
+    assert(sampledMean > corpusMean, s"$sampledMean vs $corpusMean")
+    // the rank window must execute as a group-limit, not a full sort
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
   test("preferencePairs (x104): driver replay of the struct-extrema mine; windowless plan") {
     val scores = TextAnalysis.qualityScorePinned(spark, sf)
       .select($"doc_id", $"score_micro").as[(Long, Long)].collect().toMap
