@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{ClusterStage, Dedup, IntervalJoin, JsonOps, LinkAnalysis, Multimodal, Relational, Retrieval, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{ClusterStage, Dedup, Forecast, IntervalJoin, JsonOps, LinkAnalysis, Multimodal, Relational, Retrieval, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -153,6 +153,10 @@ object SparkEntry {
     "x113_fertility"        -> ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
     "x114_copy_directions"  -> ((s, d) => Dedup.copyDirections(s, d)),
     "x115_weighted_sample"  -> ((s, d) => Sampling.weightedSample(s, d)),
+    "x116_triangles"        -> ((s, d) => LinkAnalysis.triangles(s, d)),
+    "x117_seasonal_wape"    -> ((s, d) => Forecast.seasonalBacktest(s, d)),
+    "x118_dow_profile"      -> ((s, d) => Forecast.dowProfile(s, d)),
+    "x119_discount_slope"   -> ((s, d) => Forecast.discountSlope(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2236,6 +2240,80 @@ object SparkEntry {
         |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
         |       deg, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM d GROUP BY 1, 2""".stripMargin,
+
+    // x119: per-brand OLS slope of quantity on discount — raw exact
+    // rationals (num, den), nothing divided (signed div is the
+    // floor/truncate cross-engine trap). DuckDB sums go through HUGEINT;
+    // the final CAST matches Spark's Long at gate scales.
+    "x119_discount_slope" ->
+      """WITH l AS (SELECT l_partkey, CAST(round(l_discount * 100) AS BIGINT) AS x,
+        |                  CAST(round(l_quantity * 100) AS BIGINT) AS y
+        |           FROM lineitem)
+        |SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+        |       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den
+        |FROM l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1""".stripMargin,
+
+    // x118: day-of-week revenue profile — arithmetic weekday
+    // ((epoch_day + 4) % 7, 0 = Monday), peak via the ordered
+    // row_number twin of the struct extremum (ties → larger dow).
+    "x118_dow_profile" ->
+      """WITH byd AS (
+        |  SELECT p.p_brand,
+        |         (CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400 + 4) % 7 AS dow,
+        |         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |pb AS (SELECT p_brand, CAST(sum(rev_cents) AS BIGINT) AS total_cents
+        |       FROM byd GROUP BY 1),
+        |pk AS (SELECT p_brand, dow AS peak_dow FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY p_brand
+        |           ORDER BY rev_cents DESC, dow DESC) AS rk FROM byd)
+        |       WHERE rk = 1)
+        |SELECT b.p_brand, b.dow, b.rev_cents,
+        |       (1000000 * b.rev_cents) // t.total_cents AS share_ppm,
+        |       CAST(CASE WHEN b.dow = k.peak_dow THEN 1 ELSE 0 END AS INTEGER) AS is_peak
+        |FROM byd b JOIN pb t USING (p_brand) JOIN pk k USING (p_brand)""".stripMargin,
+
+    // x117: seasonal-naive backtest — observed-sales daily series,
+    // lag-7 equi-join (missing week = 0 forecast), evaluation starts at
+    // global min day + 7, WAPE in ppm, signed error left undivided.
+    "x117_seasonal_wape" ->
+      s"""WITH daily AS (
+        |  SELECT p.p_brand, CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400 AS day,
+        |         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |m AS (SELECT min(day) AS min_day FROM daily),
+        |j AS (SELECT d.p_brand, d.day, d.rev_cents,
+        |             coalesce(f.rev_cents, 0) AS fc_cents
+        |      FROM daily d LEFT JOIN daily f
+        |        ON d.p_brand = f.p_brand AND f.day = d.day - ${operators.Forecast.SeasonalLagDays})
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(rev_cents) AS BIGINT) AS actual_cents,
+        |       CAST(sum(rev_cents - fc_cents) AS BIGINT) AS err_cents,
+        |       CAST(sum(abs(rev_cents - fc_cents)) AS BIGINT) AS abs_err_cents,
+        |       (1000000 * CAST(sum(abs(rev_cents - fc_cents)) AS BIGINT))
+        |         // CAST(sum(rev_cents) AS BIGINT) AS wape_ppm
+        |FROM j, m WHERE day >= min_day + ${operators.Forecast.SeasonalLagDays}
+        |GROUP BY 1""".stripMargin,
+
+    // x116: per-node triangle counts on the frequent-co-purchase part
+    // graph. The oracle enumerates each triangle once via the canonical
+    // a<b<c edge form — equal to the engine's degree-ordered orientation
+    // because both schemes list every distinct triangle exactly once.
+    "x116_triangles" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT x.p AS a, y.p AS b FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY 1, 2 HAVING count(*) >= ${operators.LinkAnalysis.TriMinSupport}),
+        |t AS (SELECT e1.a AS ca, e1.b AS cb, e2.b AS cc
+        |      FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |corners AS (SELECT unnest([ca, cb, cc]) AS node FROM t)
+        |SELECT p.p_partkey, p.p_brand, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM corners c JOIN part p ON c.node = p.p_partkey
+        |GROUP BY 1, 2""".stripMargin,
 
     // x115: weighted sample without replacement — x89's scoring CTE,
     // integer A-ES priority h // max(1, score), bottom-k per source.

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Forecast-evaluation analytics over the sales fact table — the layer
+  * the reference pipeline feeds (its Gold output trains a sales
+  * forecaster; these operators are the backtest/seasonality/elasticity
+  * reports that sit NEXT to such a model in a production forecasting
+  * ETL). All-integer arithmetic throughout: revenues in cents, ratios
+  * in ppm fixed-point, signed quantities left undivided so no
+  * floor-vs-truncate division ambiguity can split the engines.
+  */
+object Forecast {
+
+  /** x117's seasonal lag in days (weekly seasonality) — shared with the
+    * oracle SQL. */
+  val SeasonalLagDays: Int = 7
+
+  /** Seasonal-naive backtest (x117): score the forecast "this day's
+    * revenue = the same weekday's revenue one week ago" per brand — the
+    * baseline every grocery demand model must beat, and the standard
+    * sanity row in a forecast-accuracy dashboard.
+    *
+    * Semantics: the daily series is OBSERVED-sales days (a (brand, day)
+    * with no lineitem contributes no evaluation row); the lag-7 lookup
+    * is an equi-join on (brand, day−7) with a missing week treated as a
+    * 0-forecast (`coalesce`). Evaluation starts at `global_min_day + 7`
+    * so no brand is scored on days where the lag could not exist. WAPE
+    * is reported in ppm (`10⁶·Σ|err| div Σactual` — denominators are
+    * positive by construction since only observed-sales days enter);
+    * the signed total error stays an undivided cents column (negative
+    * values + `div` floor/truncate mismatch is the known cross-engine
+    * trap).
+    *
+    * 100 TB shape: one fact-scan partial-agg'd groupBy on
+    * (brand, day) — the only corpus-sized shuffle — then a self
+    * equi-join of the O(brands·days) daily frame on (brand, day−7) and
+    * a final partial-agg'd rollup to O(brands). The global min day is a
+    * 1-row scalar agg crossJoined back (broadcast by size — x65's
+    * global-totals pattern), never a window. The part join ships brand
+    * onto the fact rows before aggregation; AQE broadcasts it at small
+    * SF and it stays a plain dim equi-join at any scale. The daily
+    * frame is `localCheckpoint`ed (O(brands·days) rows) because THREE
+    * consumers read it — the actuals side, the lag-7 side, and the min
+    * scalar — and each would otherwise re-run the corpus scan. */
+  def seasonalBacktest(spark: SparkSession, dir: String,
+                       lagDays: Int = SeasonalLagDays): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val daily0 = li
+      .select(col("l_partkey"),
+        expr("unix_timestamp(l_shipdate) div 86400").as("day"),
+        Relational.cents(col("l_extendedprice")).as("v"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("day"))
+      .agg(sum(col("v")).as("rev_cents"))
+    val daily = daily0.localCheckpoint()
+    val minDay = daily.agg(min(col("day")).as("min_day"))
+    daily
+      .join(daily.select(col("p_brand"),
+          (col("day") + lagDays).as("day"), col("rev_cents").as("fc_cents")),
+        Seq("p_brand", "day"), "left")
+      .crossJoin(minDay)
+      .filter(col("day") >= col("min_day") + lagDays)
+      .withColumn("fc_cents", coalesce(col("fc_cents"), lit(0L)))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("rev_cents")).as("actual_cents"),
+        sum(col("rev_cents") - col("fc_cents")).as("err_cents"),
+        sum(abs(col("rev_cents") - col("fc_cents"))).as("abs_err_cents"))
+      .withColumn("wape_ppm", expr("(1000000L * abs_err_cents) div actual_cents"))
+  }
+
+  /** Day-of-week revenue profile (x118): per brand, each weekday's share
+    * of revenue in ppm and the peak weekday — the weekly-seasonality
+    * fingerprint x117's naive forecast exploits, and the report a
+    * category manager reads to schedule promotions.
+    *
+    * The weekday is computed arithmetically (`(epoch_day + 4) % 7`,
+    * 0 = Monday) so both engines derive it from the same integer — no
+    * locale-dependent date function in the compare path. The peak pick
+    * is the partial-aggregable struct extremum (x104's windowless
+    * argmax): max over (rev, dow) lexicographic pairs, ties broken
+    * toward the LARGER weekday, replicated in the oracle as the ordered
+    * row_number twin.
+    *
+    * 100 TB shape: one fact-scan partial-agg'd groupBy onto the
+    * O(brands·7) frame — `localCheckpoint`ed, since both the rollup and
+    * the final join read it and would otherwise re-run the corpus
+    * scan; everything after (brand totals, peak extremum, share
+    * division) lives on that tiny frame and joins back broadcast by
+    * size. No window over corpus-derived rows, no collect. */
+  def dowProfile(spark: SparkSession, dir: String): DataFrame = {
+    val byDow = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr("(unix_timestamp(l_shipdate) div 86400 + 4) % 7").as("dow"),
+        Relational.cents(col("l_extendedprice")).as("v"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("dow"))
+      .agg(sum(col("v")).as("rev_cents"))
+      .localCheckpoint()
+    val perBrand = byDow.groupBy(col("p_brand"))
+      .agg(sum(col("rev_cents")).as("total_cents"),
+        max(struct(col("rev_cents"), col("dow"))).as("peak"))
+      .select(col("p_brand"), col("total_cents"), col("peak.dow").as("peak_dow"))
+    byDow.join(perBrand, Seq("p_brand"))
+      .select(col("p_brand"), col("dow"), col("rev_cents"),
+        expr("(1000000L * rev_cents) div total_cents").as("share_ppm"),
+        (col("dow") === col("peak_dow")).cast("int").as("is_peak"))
+  }
+
+  /** Discount–demand slope (x119): per brand, the exact-rational OLS
+    * slope of quantity on discount — "does marking this brand down
+    * actually move volume", the price-elasticity screen a forecaster
+    * feeds on.
+    *
+    * x = discount in whole percent (0–10 in this data), y = quantity in
+    * centi-units; the slope numerator `n·Σxy − Σx·Σy` and denominator
+    * `n·Σx² − (Σx)²` are published as RAW BIGINTs (slope = num/den when
+    * den > 0; den = 0 means the brand saw a single discount level).
+    * Nothing is divided: the numerator is legitimately negative for
+    * elastic brands and signed integer division is the floor/truncate
+    * cross-engine trap. Overflow bound (honest): with x ≤ 100 and
+    * y ≤ 10⁴ centi-units, `n·Σxy ≤ 10⁶·n²` wraps past ~3·10⁶ ROWS PER
+    * BRAND × … — concretely n ≤ 3·10⁶ per brand keeps every product
+    * under 2⁶³; past that, rescale the sums first (x110's quantized
+    *-share trick) — the guard is structural, documented here rather
+    * than silently wrapped.
+    *
+    * 100 TB shape: one fact-scan partial-agg'd groupBy per brand (the
+    * five sums all combine map-side); the dim join ships brand onto
+    * fact rows as in x117. Output is O(brands). */
+  def discountSlope(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        round(col("l_discount") * 100).cast("long").as("x"),
+        round(col("l_quantity") * 100).cast("long").as("y"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("p_brand"), col("n_rows"),
+        (col("n_rows") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_rows") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+}

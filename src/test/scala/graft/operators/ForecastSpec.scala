@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ForecastSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  /** Collected (brand, epoch_day, price_cents) fact rows — the shared
+    * driver-side input for the three replicas. */
+  private lazy val facts: Seq[(String, Long, Long)] = {
+    val brandByPart = graft.Tables.part(spark, sf)
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    graft.Tables.lineitem(spark, sf)
+      .select($"l_partkey",
+        org.apache.spark.sql.functions.unix_timestamp($"l_shipdate"),
+        $"l_extendedprice")
+      .as[(Long, Long, Double)].collect().toSeq
+      .map { case (pk, ts, price) =>
+        (brandByPart(pk), ts / 86400, math.round(price * 100)) }
+  }
+
+  test("seasonalBacktest (x117): exact match with a driver-side replica") {
+    val daily = facts.groupBy(f => (f._1, f._2)).view.mapValues(_.map(_._3).sum).toMap
+    val minDay = daily.keys.map(_._2).min
+    val lag = Forecast.SeasonalLagDays
+    val want = daily.toSeq
+      .collect { case ((b, d), v) if d >= minDay + lag =>
+        (b, v, v - daily.getOrElse((b, d - lag), 0L)) }
+      .groupBy(_._1).view.mapValues { rs =>
+        val actual = rs.map(_._2).sum
+        val abs = rs.map(r => math.abs(r._3)).sum
+        (rs.size.toLong, actual, rs.map(_._3).sum, abs, 1000000L * abs / actual)
+      }.toMap
+    val got = Forecast.seasonalBacktest(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (b, n, actual, err, abs, wape) =>
+      assert((n, actual, err, abs, wape) == want(b), s"brand $b")
+    }
+    // a 0-forecast day (first evaluated week) makes |err| = actual there,
+    // so WAPE is positive unless the series is perfectly weekly-periodic
+    assert(got.exists(_._6 > 0L))
+  }
+
+  test("dowProfile (x118): shares, peak pick, and replica-exact cells") {
+    val byDow = facts.groupBy(f => (f._1, (f._2 + 4) % 7)).view.mapValues(_.map(_._3).sum).toMap
+    val totals = byDow.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val peaks = byDow.groupBy(_._1._1).view.mapValues(
+      _.map { case ((_, dow), v) => (v, dow) }.max._2).toMap
+    val got = Forecast.dowProfile(spark, sf)
+      .as[(String, Long, Long, Long, Int)].collect()
+    assert(got.length == byDow.size && got.nonEmpty)
+    got.foreach { case (b, dow, rev, share, isPeak) =>
+      assert(rev == byDow((b, dow)), s"$b dow=$dow rev")
+      assert(share == 1000000L * rev / totals(b), s"$b dow=$dow share")
+      assert(isPeak == (if (peaks(b) == dow) 1 else 0), s"$b dow=$dow peak")
+    }
+    // exactly one peak per brand; floor-divided shares sum to ≤ 1e6
+    val byBrand = got.groupBy(_._1)
+    byBrand.values.foreach { rs =>
+      assert(rs.count(_._5 == 1) == 1)
+      val s = rs.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - rs.length)
+    }
+  }
+
+  test("discountSlope (x119): exact rational sums, den = 0 iff one discount level") {
+    val xy = {
+      val brandByPart = graft.Tables.part(spark, sf)
+        .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+      graft.Tables.lineitem(spark, sf)
+        .select($"l_partkey", $"l_discount", $"l_quantity")
+        .as[(Long, Double, Double)].collect().toSeq
+        .map { case (pk, d, q) =>
+          (brandByPart(pk), math.round(d * 100), math.round(q * 100)) }
+    }
+    val want = xy.groupBy(_._1).view.mapValues { rs =>
+      val n = rs.size.toLong
+      val sx = rs.map(_._2).sum; val sy = rs.map(_._3).sum
+      val sxy = rs.map(r => r._2 * r._3).sum; val sxx = rs.map(r => r._2 * r._2).sum
+      (n, n * sxy - sx * sy, n * sxx - sx * sx)
+    }.toMap
+    val got = Forecast.discountSlope(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (b, n, num, den) =>
+      assert((n, num, den) == want(b), s"brand $b")
+      assert(den >= 0L, "den is n·Var(x) ≥ 0")
+      val levels = xy.filter(_._1 == b).map(_._2).distinct.size
+      assert((den == 0L) == (levels == 1), s"brand $b den/levels")
+    }
+  }
+}

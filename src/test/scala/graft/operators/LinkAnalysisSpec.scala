@@ -175,6 +175,39 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(got.map(r => r._2 * r._3).sum == edges.size.toLong)
   }
 
+  /** Driver-side replica of per-node triangle counts: canonical a<b<c
+    * enumeration over an undirected edge set — independent of the
+    * engine's degree-ordered orientation. */
+  private def triReplica(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- es; c <- es.collect { case (`b`, x) => x }
+         if es.contains((a, c))) {
+      counts(a) += 1; counts(b) += 1; counts(c) += 1
+    }
+    counts.toMap
+  }
+
+  test("triangles (x116) on a hand graph: shared-edge triangles counted per corner") {
+    // two triangles sharing edge (2,3), plus a triangle-free edge (5,6)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (5L, 6L))
+      .toDF("a", "b")
+    val got = LinkAnalysis.triangles(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangles (x116): degree-ordered orientation matches the canonical replica on real data") {
+    val edges = LinkAnalysis.copurchaseEdges(spark, sf, minSupport = 1)
+    val collected = edges.as[(Long, Long)].collect().toSeq
+    val want = triReplica(collected)
+    val got = LinkAnalysis.triangles(edges).as[(Long, Long)].collect().toMap
+    assert(got == want, s"sizes got=${got.size} want=${want.size}")
+    assert(got.nonEmpty, "sf0.001 support-1 graph should contain triangles")
+    // corner mass: total corners = 3 × triangle count
+    assert(got.values.sum % 3 == 0)
+  }
+
   test("pageRank at 10 iterations: checkpointed rounds stay replica-exact, bounded plan") {
     // deep-iteration hygiene (round-7 advice): lineage truncates every
     // PrCheckpointEvery rounds, and the truncation must not change a bit
