@@ -157,6 +157,8 @@ object SparkEntry {
     "x117_seasonal_wape"    -> ((s, d) => Forecast.seasonalBacktest(s, d)),
     "x118_dow_profile"      -> ((s, d) => Forecast.dowProfile(s, d)),
     "x119_discount_slope"   -> ((s, d) => Forecast.discountSlope(s, d)),
+    "x120_rfm_segments"     -> ((s, d) => Relational.rfmSegments(s, d)),
+    "x121_session_paths"    -> ((s, d) => Sessionize.sessionPaths(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2240,6 +2242,59 @@ object SparkEntry {
         |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
         |       deg, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM d GROUP BY 1, 2""".stripMargin,
+
+    // x121: session entry-path census — x11's session CTEs verbatim
+    // (the x111 convention), positional pivot of the first PathLen
+    // event types, concat_ws skipping NULLs identically in both engines.
+    "x121_session_paths" ->
+      s"""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN ts_s - lag(ts_s, 1) OVER w > 1800 THEN 1
+        |                 WHEN lag(ts_s, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM flagged),
+        |rk AS (SELECT user_id, session_idx, event_type,
+        |              row_number() OVER (PARTITION BY user_id, session_idx
+        |                ORDER BY ts_s, event_id) AS rk
+        |       FROM sess),
+        |p AS (SELECT user_id, session_idx,
+        |             max(CASE WHEN rk = 1 THEN event_type END) AS e1,
+        |             max(CASE WHEN rk = 2 THEN event_type END) AS e2,
+        |             max(CASE WHEN rk = 3 THEN event_type END) AS e3
+        |      FROM rk WHERE rk <= ${operators.Sessionize.PathLen} GROUP BY 1, 2)
+        |SELECT concat_ws('>', e1, e2, e3) AS path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY 1""".stripMargin,
+
+    // x120: RFM quartile segmentation — strict-rank quartiles via
+    // rank()−1 (ties share a score), the ordered-window twin of the
+    // engine's exclusivePrefixSum ranks.
+    "x120_rfm_segments" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |         max(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS last_day,
+        |         CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT max(last_day) AS max_day, CAST(count(*) AS BIGINT) AS n FROM base),
+        |m AS (SELECT b.o_custkey, g.max_day - b.last_day AS recency_days,
+        |             b.n_orders, b.monetary_cents, g.n
+        |      FROM base b, g),
+        |r AS (SELECT *, rank() OVER (ORDER BY recency_days) - 1 AS rr,
+        |               rank() OVER (ORDER BY n_orders) - 1 AS fr,
+        |               rank() OVER (ORDER BY monetary_cents) - 1 AS mr
+        |      FROM m)
+        |SELECT o_custkey AS c_custkey, recency_days, n_orders, monetary_cents,
+        |       (4 * rr) // n + 1 AS r_score, (4 * fr) // n + 1 AS f_score,
+        |       (4 * mr) // n + 1 AS m_score,
+        |       ((4 * rr) // n + 1) * 100 + ((4 * fr) // n + 1) * 10
+        |         + (4 * mr) // n + 1 AS rfm_code
+        |FROM r""".stripMargin,
 
     // x119: per-brand OLS slope of quantity on discount — raw exact
     // rationals (num, den), nothing divided (signed div is the

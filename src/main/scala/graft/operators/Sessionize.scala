@@ -183,6 +183,41 @@ object Sessionize {
       .select(col("week"), col("n_active"), col("n_new"), col("cum_users"))
   }
 
+  /** x121's path prefix length — the first [[PathLen]] event types of a
+    * session form its path key. Shared with the oracle SQL. */
+  val PathLen: Int = 3
+
+  /** Session entry-path census (x121): per distinct first-[[PathLen]]
+    * event-type path (e.g. `signup>view>click`), how many sessions open
+    * that way — the "how do journeys start" report behind funnel design,
+    * over x11's EXACT session definition ([[sessionizedEvents]], shared
+    * so the two can never disagree on what a session is).
+    *
+    * 100 TB shape: the per-user window is x11's single user-keyed
+    * shuffle (the row_number pass reuses the same partitioning, so no
+    * extra exchange); the `rk ≤ PathLen` filter then cuts every session
+    * to ≤ PathLen rows BEFORE the positional pivot, which is a
+    * partial-aggregable groupBy — no collect_list of whole sessions.
+    * The final path groupBy lands on a BOUNDED domain (≤ (|event
+    * types| + 1)^PathLen distinct paths — the x48 tiny-table case), so
+    * the output frame is small at any corpus size. Hot-user skew is
+    * x11's documented posture: a user's timeline must colocate to
+    * sessionize at all. */
+  def sessionPaths(spark: SparkSession, dir: String,
+                   gapSeconds: Long = 1800): DataFrame = {
+    val se = sessionizedEvents(spark, dir, gapSeconds)
+    val w = Window.partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val pivots = (1 to PathLen).map(i =>
+      max(when(col("rk") === i, col("event_type"))).as(s"e$i"))
+    se.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= PathLen)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(pivots.head, pivots.tail: _*)
+      .groupBy(concat_ws(">", (1 to PathLen).map(i => col(s"e$i")): _*).as("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
   /** x87 knobs: spike factor and trailing window (hours), shared with
     * the oracle SQL. */
   val SpikeFactor: Int = 2

@@ -1733,6 +1733,65 @@ class OperatorsSpec extends SparkSpec {
     assert(corr(xs, ys) > 0.3, s"JL distance preservation too weak: ${corr(xs, ys)}")
   }
 
+  test("rfmSegments (x120): exact strict-rank quartiles match a driver-side replica") {
+    val orders = graft.Tables.orders(spark, sf)
+      .select($"o_custkey", unix_timestamp($"o_orderdate"), $"o_totalprice")
+      .as[(Long, Long, Double)].collect().toSeq
+    val base = orders.groupBy(_._1).view.mapValues { rs =>
+      (rs.map(_._2 / 86400).max, rs.size.toLong, rs.map(r => math.round(r._3 * 100)).sum)
+    }.toMap
+    val maxDay = base.values.map(_._1).max
+    val n = base.size.toLong
+    def strictRank(vs: Seq[Long]): Map[Long, Long] = {
+      val sorted = vs.sorted
+      vs.distinct.map(v => v -> sorted.count(_ < v).toLong).toMap
+    }
+    val rRank = strictRank(base.values.map(maxDay - _._1).toSeq)
+    val fRank = strictRank(base.values.map(_._2).toSeq)
+    val mRank = strictRank(base.values.map(_._3).toSeq)
+    val got = Relational.rfmSegments(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == base.size && got.nonEmpty)
+    got.foreach { case (ck, rec, nf, mon, rs, fs, ms, code) =>
+      val (ld, wantF, wantM) = base(ck)
+      assert(rec == maxDay - ld && nf == wantF && mon == wantM, s"cust $ck metrics")
+      assert(rs == 4 * rRank(rec) / n + 1, s"cust $ck r_score")
+      assert(fs == 4 * fRank(nf) / n + 1, s"cust $ck f_score")
+      assert(ms == 4 * mRank(mon) / n + 1, s"cust $ck m_score")
+      assert(code == rs * 100 + fs * 10 + ms)
+      assert(rs >= 1 && rs <= 4 && fs >= 1 && fs <= 4 && ms >= 1 && ms <= 4)
+    }
+    // every quartile label is inhabited on the monetary axis (near-unique
+    // values → balanced quarters)
+    assert(got.map(_._7).distinct.sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("sessionPaths (x121): path census matches a driver-side sessionizer, bounded domain") {
+    val raw = graft.Tables.events(spark, sf)
+    val ev = raw.select($"user_id", $"event_id", $"event_type",
+        Sessionize.tsSeconds(raw).as("ts_s"))
+      .as[(Long, Long, String, Long)].collect().toSeq
+    val want = ev.groupBy(_._1).values.flatMap { es =>
+      val ordered = es.sortBy(e => (e._4, e._2))
+      // split on >30-min gaps, then take each session's first 3 types
+      val sessions = ordered.foldLeft(List.empty[List[(Long, Long, String, Long)]]) {
+        case (acc, e) => acc match {
+          case h :: t if e._4 - h.head._4 <= 1800 => (e :: h) :: t
+          case _                                  => List(e) :: acc
+        }
+      }
+      sessions.map(_.reverse.take(Sessionize.PathLen).map(_._3).mkString(">"))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Sessionize.sessionPaths(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+    // bounded output domain: five event types → at most (5+1)^3 paths
+    assert(got.size <= 216 && got.nonEmpty)
+    // session mass conserved: path counts sum to the session count
+    val nSessions = Sessionize.sessions(spark, sf).count()
+    assert(got.values.sum == nSessions)
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
