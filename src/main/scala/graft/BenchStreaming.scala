@@ -184,6 +184,11 @@ object BenchStreaming {
       run("sampled_stream", ev => EventStream.sampledStream(ev, thresholds)),
       run("transitions_stream", ev => EventStream.transitions(ev).toDF()),
       run("ewma_stream", ev => EventStream.ewmaPopularity(ev).toDF()),
+      run("last_touch_stream", { ev =>
+        import org.apache.spark.sql.functions.{col, round}
+        EventStream.lastTouch(ev.withColumn("value_cents",
+          round(col("value") * 100).cast("long"))).toDF()
+      }),
       // Update mode, chosen by measurement (r7 advice): Complete 3700 vs
       // Update 3785 rows/s at sf0.1 — within host noise, so the mode is
       // NOT the bottleneck (per-row tokenization + state-store machinery

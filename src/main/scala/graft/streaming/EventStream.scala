@@ -216,6 +216,73 @@ object EventStream {
       }
   }
 
+  // —— stateful last-touch attribution via flatMapGroupsWithState ——
+
+  case class AEvent(user_id: Long, event_id: Long, ts_s: Long,
+                    event_type: String, value_cents: Long)
+  case class ClickState(ts_s: Long, click_id: Long)
+  case class AttribOut(purchase_id: Long, user_id: Long, purchase_ts_s: Long,
+                       value_cents: Long, click_id: Option[Long],
+                       click_ts_s: Option[Long], lag_s: Option[Long], attributed: Int)
+
+  /** Streaming twin of x112's last-touch attribution: per user,
+    * `GroupState` carries ONLY the latest click (ts, id) — O(1) state per
+    * user, vs the stream-stream join's buffer of every click inside the
+    * watermark bound — and each purchase emits exactly its winner row
+    * (or an unattributed row), never the full candidate set.
+    *
+    * Exactness discipline: the batch winner is `ORDER BY click_ts DESC,
+    * click_id DESC` over clicks in `(p_ts − window, p_ts]`, so a click
+    * SIMULTANEOUS with the purchase qualifies regardless of event-id
+    * order. The loop therefore merges each micro-batch's clicks by a
+    * pointer on `click_ts ≤ purchase_ts` (not by global (ts, id)
+    * interleave), updating the running (ts, id)-max before scoring the
+    * purchase — bit-identical to the batch query across any micro-batch
+    * split (spec-proven at a forced boundary). The state maximum only
+    * grows, so attribution is insensitive to WHERE the batch boundary
+    * falls; like every last-value-state stream it assumes per-user
+    * in-order arrival ACROSS batches (time-split drops / log replay —
+    * [[transitions]]' contract). */
+  def lastTouch(events: DataFrame,
+                windowSeconds: Long = graft.operators.Sessionize.AttributionWindowS)
+      : Dataset[AttribOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"), col("ts_s"),
+        col("event_type"), col("value_cents")).as[AEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ClickState, AttribOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[AEvent], state: GroupState[ClickState]) =>
+          val rs = rows.toSeq
+          val clicks = rs.filter(_.event_type == "click")
+            .map(e => (e.ts_s, e.event_id)).sorted
+          val purchases = rs.filter(_.event_type == "purchase")
+            .sortBy(e => (e.ts_s, e.event_id))
+          val ord = Ordering[(Long, Long)]
+          var best = state.getOption.map(s => (s.ts_s, s.click_id)).orNull
+          var i = 0
+          val out = purchases.map { p =>
+            while (i < clicks.length && clicks(i)._1 <= p.ts_s) {
+              if (best == null || ord.compare(clicks(i), best) > 0) best = clicks(i)
+              i += 1
+            }
+            if (best != null && best._1 > p.ts_s - windowSeconds)
+              AttribOut(p.event_id, user, p.ts_s, p.value_cents,
+                Some(best._2), Some(best._1), Some(p.ts_s - best._1), 1)
+            else AttribOut(p.event_id, user, p.ts_s, p.value_cents,
+              None, None, None, 0)
+          }
+          // drain trailing clicks (later than every purchase in the batch)
+          while (i < clicks.length) {
+            if (best == null || ord.compare(clicks(i), best) > 0) best = clicks(i)
+            i += 1
+          }
+          if (best != null) state.update(ClickState(best._1, best._2))
+          out.iterator
+      }
+  }
+
   // —— stateful sessionization via mapGroupsWithState ——
 
   case class Event(user_id: Long, ts_s: Long, value: Double)

@@ -193,6 +193,68 @@ class EventStreamSpec extends SparkSpec {
     assert(usersBothSides > 0, "fixture must force cross-batch state handoff")
   }
 
+  test("stateful streaming lastTouch ≡ batch x112 across a micro-batch boundary") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ltstream").toString
+    val raw = graft.Tables.events(spark, sf)
+    val ev = raw.select($"event_id", $"user_id", $"event_type",
+      Sessionize.tsSeconds(raw).as("ts_s"),
+      round($"value" * 100).cast("long").as("value_cents"))
+    // time-split drops: per-user arrival stays in order across batches
+    val cut = ev.stat.approxQuantile("ts_s", Array(0.5), 0.0).head.toLong
+    ev.filter($"ts_s" <= cut).write.parquet(s"$root/drop")
+    ev.filter($"ts_s" > cut).write.mode("append").parquet(s"$root/drop")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/drop")
+    val q = EventStream.lastTouch(stream).toDF()
+      .writeStream.format("memory").queryName("lt_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("lt_stream")
+      .select($"purchase_id", $"user_id", $"purchase_ts_s", $"value_cents",
+        $"click_id", $"click_ts_s", $"lag_s", $"attributed")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().toSet
+    val batch = Sessionize.lastTouchAttribution(spark, sf)
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.exists(_._8 == 1) && streamed.exists(_._8 == 0),
+      "fixture must exercise both attributed and unattributed purchases")
+    val usersBothSides = ev.filter($"ts_s" <= cut).select($"user_id").distinct()
+      .intersect(ev.filter($"ts_s" > cut).select($"user_id").distinct()).count()
+    assert(usersBothSides > 0, "fixture must force cross-batch state handoff")
+
+    // planted simultaneity + staleness: a click SIMULTANEOUS with the
+    // purchase but with a larger event_id must win (the batch tie-break),
+    // even arriving in the same micro-batch after the purchase; a
+    // purchase beyond the window stays unattributed
+    val root2 = java.nio.file.Files.createTempDirectory("graft-ltstream2").toString
+    Seq((1L, 1L, "click", 100L, 0L))
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value_cents")
+      .coalesce(1).write.parquet(s"$root2/drop")
+    Seq((2L, 1L, "purchase", 200L, 500L), (3L, 1L, "click", 200L, 0L),
+        (4L, 1L, "purchase", 5000L, 700L))
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value_cents")
+      .coalesce(1).write.mode("append").parquet(s"$root2/drop")
+    val stream2 = spark.readStream
+      .schema(spark.read.parquet(s"$root2/drop").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root2/drop")
+    val q2 = EventStream.lastTouch(stream2).toDF()
+      .writeStream.format("memory").queryName("lt_stream2")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root2/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val got2 = spark.table("lt_stream2")
+      .select($"purchase_id", $"click_id", $"attributed")
+      .as[(Long, Option[Long], Int)].collect()
+      .map { case (k, v, a) => k -> (v, a) }.toMap
+    assert(got2(2L) == (Some(3L), 1), "same-ts later-id click must win")
+    assert(got2(4L) == (None, 0), "stale click beyond the window must not attribute")
+  }
+
   test("stateful streaming EWMA ≡ batch x101 across a micro-batch boundary") {
     val root = java.nio.file.Files.createTempDirectory("graft-ewmastream").toString
     val raw = graft.Tables.events(spark, sf)
