@@ -159,6 +159,10 @@ object SparkEntry {
     "x119_discount_slope"   -> ((s, d) => Forecast.discountSlope(s, d)),
     "x120_rfm_segments"     -> ((s, d) => Relational.rfmSegments(s, d)),
     "x121_session_paths"    -> ((s, d) => Sessionize.sessionPaths(s, d)),
+    "x122_kcore"            -> ((s, d) => LinkAnalysis.kcore(s, d)),
+    "x123_ab_conversion"    -> ((s, d) => Sessionize.abConversion(s, d)),
+    "x124_gap_fill"         -> ((s, d) => Forecast.gapFill(s, d)),
+    "x125_novelty_curve"    -> ((s, d) => Dedup.noveltyCurve(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2242,6 +2246,90 @@ object SparkEntry {
         |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
         |       deg, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM d GROUP BY 1, 2""".stripMargin,
+
+    // x125: ingest-batch n-gram novelty curve — x02's shingle CTE shape,
+    // md5-60 fingerprints, doc_id-range batches off the 1-row max.
+    "x125_novelty_curve" ->
+      s"""WITH mxv AS (SELECT max(doc_id) AS mx FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+4], ' ')
+        |                 for i in range(1, len(words) - 3)])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1),
+        |bf AS (SELECT DISTINCT (sh.doc_id * ${operators.Dedup.NoveltyBatches}) // (mx + 1) AS batch,
+        |              ('0x' || substr(md5(sh.sh), 1, 15))::BIGINT AS fp
+        |       FROM sh, mxv),
+        |fst AS (SELECT fp, min(batch) AS first_batch FROM bf GROUP BY 1)
+        |SELECT batch, CAST(count(*) AS BIGINT) AS n_fps,
+        |       CAST(sum(CASE WHEN first_batch = batch THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |       (1000000 * CAST(sum(CASE WHEN first_batch = batch THEN 1 ELSE 0 END) AS BIGINT))
+        |         // CAST(count(*) AS BIGINT) AS novelty_ppm
+        |FROM bf JOIN fst USING (fp)
+        |GROUP BY 1""".stripMargin,
+
+    // x124: densify + forward-fill the daily brand revenue — x117's
+    // daily CTE verbatim, dense grid off the 1-row bounds, IGNORE NULLS
+    // last_value ≡ Spark's last(ignoreNulls) over the same frame.
+    "x124_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT p.p_brand, CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400 AS day,
+        |         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+        |grid AS (SELECT p_brand, unnest(range(mn, mx + 1)) AS day
+        |         FROM (SELECT DISTINCT p_brand FROM daily), b),
+        |j AS (SELECT g.p_brand, g.day, d.rev_cents
+        |      FROM grid g LEFT JOIN daily d USING (p_brand, day))
+        |SELECT p_brand, day, rev_cents,
+        |       CAST(CASE WHEN rev_cents IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_filled,
+        |       CAST(coalesce(last_value(rev_cents IGNORE NULLS) OVER (
+        |         PARTITION BY p_brand ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS filled_cents
+        |FROM j""".stripMargin,
+
+    // x123: A/B conversion readout — x27's md5 coin as the arm split,
+    // ppm floor-divisions, lift as a subtraction (never signed div).
+    "x123_ab_conversion" ->
+      s"""WITH u AS (
+        |  SELECT user_id,
+        |         ('0x' || substr(md5('${operators.Sessionize.AbSalt}:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+        |         sum(CASE WHEN event_type = 'purchase'
+        |                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS rev
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |             CAST(sum(converted) AS BIGINT) AS n_converted,
+        |             CAST(sum(rev) AS BIGINT) AS revenue_cents
+        |      FROM u GROUP BY 1),
+        |c AS (SELECT (1000000 * n_converted) // n_users AS ctl_ppm FROM a WHERE arm = 0)
+        |SELECT arm, n_users, n_converted,
+        |       (1000000 * n_converted) // n_users AS conv_ppm,
+        |       revenue_cents,
+        |       (1000 * revenue_cents) // n_users AS arpu_millicents,
+        |       (1000000 * n_converted) // n_users - ctl_ppm AS lift_ppm
+        |FROM a, c""".stripMargin,
+
+    // x122: 3-round 2-core peel of the frequent-co-purchase graph —
+    // x116's edge CTE, rounds unrolled (the pinned-iteration convention),
+    // materialized CTEs + semi joins so DuckDB evaluates each level once.
+    "x122_kcore" -> {
+      import operators.LinkAnalysis.{KCoreK, KCoreRounds, TriMinSupport}
+      val levels = (1 to KCoreRounds).map { i =>
+        s"""k$i AS MATERIALIZED (SELECT n FROM (SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) t
+          |  GROUP BY 1 HAVING count(*) >= $KCoreK),
+          |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+          |  SEMI JOIN k$i ka ON e${i - 1}.a = ka.n
+          |  SEMI JOIN k$i kb ON e${i - 1}.b = kb.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+        |$levels
+        |SELECT p.p_partkey, p.p_brand, CAST(count(*) AS BIGINT) AS residual_deg
+        |FROM (SELECT a AS n FROM e$KCoreRounds UNION ALL SELECT b FROM e$KCoreRounds) t
+        |JOIN part p ON t.n = p.p_partkey
+        |GROUP BY 1, 2""".stripMargin
+    },
 
     // x121: session entry-path census — x11's session CTEs verbatim
     // (the x111 convention), positional pivot of the first PathLen

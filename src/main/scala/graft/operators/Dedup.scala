@@ -1463,4 +1463,44 @@ object Dedup {
       .withColumn("j_est", col("matches") / col("n_union_k"))
       .select(col("src_a"), col("src_b"), col("matches"), col("n_union_k"), col("j_est"))
   }
+
+  /** x125 knobs: ingest-batch count (doc_id range deciles) and the
+    * shingle width, shared with the oracle SQL. */
+  val NoveltyBatches: Int = 10
+  val NoveltyShingleN: Int = 5
+
+  /** Ingest-batch n-gram novelty curve (x125): split the corpus into
+    * [[NoveltyBatches]] doc_id-range batches (the deterministic stand-in
+    * for crawl snapshots) and report, per batch, how many of its
+    * distinct 5-gram fingerprints were never seen in ANY earlier batch —
+    * the diminishing-returns curve that tells a crawl operator when new
+    * data stops adding new content (and the batch-level view of x44's
+    * incremental-dedup question).
+    *
+    * 100 TB shape: the corpus-sized work is one explode of the shingle
+    * stream into a (batch, fp) `distinct` — a partial-agg'd shuffle on
+    * the pair key, `localCheckpoint`ed because both the first-batch
+    * aggregate and the count join read it. After dedup each fp carries
+    * ≤ [[NoveltyBatches]] rows TOTAL, so the fp-keyed first-seen
+    * aggregate and the join back are skew-bounded BY CONSTRUCTION (a
+    * stop-shingle that appears everywhere still contributes at most
+    * one row per batch — compare x02's df-cap, which has to prune).
+    * Output is O(batches) rows. */
+  def noveltyCurve(spark: SparkSession, dir: String,
+                   nBatches: Int = NoveltyBatches): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val bf = docs.crossJoin(mx)
+      .select(expr(s"(doc_id * $nBatches) div (mx + 1)").as("batch"),
+        explode(wordShingles(col("text"), NoveltyShingleN)).as("sh"))
+      .select(col("batch"), md5Hash60(col("sh")).as("fp"))
+      .distinct()
+      .localCheckpoint()
+    val first = bf.groupBy(col("fp")).agg(min(col("batch")).as("first_batch"))
+    bf.join(first, Seq("fp"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_fps"),
+        sum((col("first_batch") === col("batch")).cast("long")).as("n_new"))
+      .withColumn("novelty_ppm", expr("(1000000L * n_new) div n_fps"))
+  }
 }

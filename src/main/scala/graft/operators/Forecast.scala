@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -46,10 +47,11 @@ object Forecast {
     * frame is `localCheckpoint`ed (O(brands·days) rows) because THREE
     * consumers read it — the actuals side, the lag-7 side, and the min
     * scalar — and each would otherwise re-run the corpus scan. */
-  def seasonalBacktest(spark: SparkSession, dir: String,
-                       lagDays: Int = SeasonalLagDays): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val daily0 = li
+  /** The per-(brand, epoch-day) revenue series — the ONE corpus-sized
+    * scan+shuffle shared by x117's backtest and x124's gap-fill, so the
+    * two can never disagree on what a day's revenue is. */
+  private[graft] def dailyRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
       .select(col("l_partkey"),
         expr("unix_timestamp(l_shipdate) div 86400").as("day"),
         Relational.cents(col("l_extendedprice")).as("v"))
@@ -57,7 +59,10 @@ object Forecast {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("day"))
       .agg(sum(col("v")).as("rev_cents"))
-    val daily = daily0.localCheckpoint()
+
+  def seasonalBacktest(spark: SparkSession, dir: String,
+                       lagDays: Int = SeasonalLagDays): DataFrame = {
+    val daily = dailyRevenue(spark, dir).localCheckpoint()
     val minDay = daily.agg(min(col("day")).as("min_day"))
     daily
       .join(daily.select(col("p_brand"),
@@ -111,6 +116,38 @@ object Forecast {
       .select(col("p_brand"), col("dow"), col("rev_cents"),
         expr("(1000000L * rev_cents) div total_cents").as("share_ppm"),
         (col("dow") === col("peak_dow")).cast("int").as("is_peak"))
+  }
+
+  /** Densify + forward-fill (x124): the gap-filling pass every forecast
+    * pipeline runs before training — expand each brand's observed-sales
+    * series to the FULL corpus day range, flag the missing days, and
+    * carry the last observed revenue forward (`0` before a brand's
+    * first sale). This is the complement of x117's observed-days
+    * semantics: x117 scores only days that sold; this produces the
+    * dense per-day matrix a model trains on.
+    *
+    * 100 TB shape: the corpus-sized work is [[dailyRevenue]]'s one
+    * scan+shuffle (shared with x117, `localCheckpoint`ed here because
+    * the grid brands, the day bounds, and the join all read it). The
+    * dense grid is brands × days — generated by exploding a
+    * `sequence(min_day, max_day)` against the O(brands) distinct list,
+    * never by scanning the corpus. The forward-fill window partitions
+    * by brand over that grid: each partition is one brand's TIME-
+    * bounded day range (the calendar, not the corpus, sets its size —
+    * the x48 tiny-table argument per partition). */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenue(spark, dir).localCheckpoint()
+    val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val grid = daily.select(col("p_brand")).distinct()
+      .crossJoin(bounds)
+      .select(col("p_brand"), explode(sequence(col("mn"), col("mx"))).as("day"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("p_brand", "day"), "left")
+      .select(col("p_brand"), col("day"), col("rev_cents"),
+        col("rev_cents").isNull.cast("int").as("is_filled"),
+        coalesce(last(col("rev_cents"), ignoreNulls = true).over(w), lit(0L))
+          .as("filled_cents"))
   }
 
   /** Discount–demand slope (x119): per brand, the exact-rational OLS

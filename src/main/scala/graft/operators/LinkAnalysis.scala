@@ -297,4 +297,53 @@ object LinkAnalysis {
       .join(Tables.part(spark, dir)
         .select(col("p_partkey"), col("p_brand")), col("node") === col("p_partkey"))
       .select(col("p_partkey"), col("p_brand"), col("n_triangles"))
+
+  /** x122 knobs: the core threshold and the pinned peel-round count
+    * (unrolled in the oracle — the x77/x99 pinned-iteration convention). */
+  val KCoreK: Int = 2
+  val KCoreRounds: Int = 3
+
+  /** Bounded-round k-core peel (x122): repeatedly drop nodes of degree
+    * < k (and their edges) for [[KCoreRounds]] rounds over the frequent-
+    * co-purchase graph — the density filter that isolates the stable
+    * "bought-together" backbone from chains and pendants before any
+    * community/triangle analysis. After R rounds the survivor set is an
+    * UPPER BOUND on the true k-core (monotonically shrinking toward it);
+    * the round count is pinned so the oracle can unroll it exactly — a
+    * production run iterates the same loop to fixpoint (the CC engine's
+    * convergence discipline), and the spec proves sf0.001 reaches the
+    * fixpoint within the pinned rounds.
+    *
+    * 100 TB shape: each round is one partial-agg'd degree groupBy
+    * (O(E) → O(V)) plus two semi-join filters of the edge list against
+    * the O(V) survivor set — no window, no collect, no driver state
+    * beyond the loop counter. The edge list is `localCheckpoint`ed
+    * every round: the degree count and BOTH join sides reread it, and
+    * the next round rereads the result — unchecked, R rounds would
+    * re-derive the co-purchase join ~3^R times (the x99 recompute
+    * trap). Edges only ever shrink, so round cost is non-increasing. */
+  def kcore(edges: DataFrame, k: Int = KCoreK,
+            rounds: Int = KCoreRounds): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    var e = edges.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("n"))
+      e = e.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+    }
+    e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("residual_deg"))
+  }
+
+  /** x122 entry: the 3-round 2-core of the frequent-co-purchase part
+    * graph, decorated with the part's brand. */
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    kcore(copurchaseEdges(spark, dir))
+      .join(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand")), col("n") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("residual_deg"))
 }

@@ -218,6 +218,48 @@ object Sessionize {
       .agg(count(lit(1)).as("n_sessions"))
   }
 
+  /** x123's arm-assignment salt (deterministic hash split, shared with
+    * the oracle SQL): arm = md5-60(salt:user) mod 2, 0 = control. */
+  val AbSalt: String = "ab"
+
+  /** A/B experiment readout (x123): users hash-split into two arms
+    * (x27's deterministic md5 coin — assignment is a pure function of
+    * user_id, reproducible in any engine), conversion = "has ≥1
+    * purchase", plus revenue — the experimentation panel every event
+    * pipeline grows. Rates are ppm floor-divisions of nonnegative
+    * integers; the treatment lift is a SUBTRACTION of two such rates
+    * (signed division never happens — the floor/truncate cross-engine
+    * trap again).
+    *
+    * 100 TB shape: one partial-agg'd groupBy per user (conversion flag
+    * + revenue combine map-side), one groupBy onto the 2-row arm frame,
+    * and the control row crossJoins back broadcast (x65's 1-row
+    * pattern). The arm frame is `localCheckpoint`ed — both the control
+    * extract and the final projection read it. */
+  def abConversion(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    val u = raw
+      .select(col("user_id"), col("event_type"),
+        Relational.cents(col("value")).as("v"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"),
+        sum(when(col("event_type") === "purchase", col("v")).otherwise(lit(0L))).as("rev"))
+      .withColumn("arm", Sampling.hashBucket(col("user_id"), AbSalt, 2))
+    val a = u.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).cast("long").as("n_converted"),
+        sum(col("rev")).as("revenue_cents"))
+      .localCheckpoint()
+    val ctl = a.filter(col("arm") === 0)
+      .select(expr("(1000000L * n_converted) div n_users").as("ctl_ppm"))
+    a.crossJoin(ctl)
+      .select(col("arm"), col("n_users"), col("n_converted"),
+        expr("(1000000L * n_converted) div n_users").as("conv_ppm"),
+        col("revenue_cents"),
+        expr("(1000L * revenue_cents) div n_users").as("arpu_millicents"),
+        (expr("(1000000L * n_converted) div n_users") - col("ctl_ppm")).as("lift_ppm"))
+  }
+
   /** x87 knobs: spike factor and trailing window (hours), shared with
     * the oracle SQL. */
   val SpikeFactor: Int = 2

@@ -66,6 +66,28 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("gapFill (x124): dense grid, fill flags, and carried values match a replica") {
+    val daily = facts.groupBy(f => (f._1, f._2)).view.mapValues(_.map(_._3).sum).toMap
+    val (mn, mx) = (daily.keys.map(_._2).min, daily.keys.map(_._2).max)
+    val brands = daily.keys.map(_._1).toSet
+    val got = Forecast.gapFill(spark, sf)
+      .as[(String, Long, Option[Long], Int, Long)].collect()
+    assert(got.length == brands.size * (mx - mn + 1).toInt)
+    val byBrand = got.groupBy(_._1)
+    byBrand.foreach { case (b, rows) =>
+      var carried = 0L
+      rows.sortBy(_._2).foreach { case (_, day, rev, isFilled, filled) =>
+        val want = daily.get((b, day))
+        assert(rev == want, s"$b day=$day observed")
+        assert(isFilled == (if (want.isEmpty) 1 else 0), s"$b day=$day flag")
+        want.foreach(carried = _)
+        assert(filled == carried, s"$b day=$day carry")
+      }
+    }
+    // the fixture really has gaps (otherwise forward-fill is untested)
+    assert(got.exists(_._4 == 1))
+  }
+
   test("discountSlope (x119): exact rational sums, den = 0 iff one discount level") {
     val xy = {
       val brandByPart = graft.Tables.part(spark, sf)

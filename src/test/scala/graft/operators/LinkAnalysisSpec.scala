@@ -208,6 +208,28 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(got.values.sum % 3 == 0)
   }
 
+  test("kcore (x122) on a hand graph: pendants peel, the triangle survives with exact degrees") {
+    // triangle {1,2,3} + chain 3-4-5 + pendant 6 off the triangle
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L))
+      .toDF("a", "b")
+    val got = LinkAnalysis.kcore(edges, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // round 1 drops 5 and 6; round 2 drops 4; the 2-core is the triangle
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kcore (x122): pinned rounds reach the fixpoint on real data") {
+    val edges = LinkAnalysis.copurchaseEdges(spark, sf, minSupport = 1)
+    val pinned = LinkAnalysis.kcore(edges, LinkAnalysis.KCoreK, LinkAnalysis.KCoreRounds)
+      .as[(Long, Long)].collect().toMap
+    val deeper = LinkAnalysis.kcore(edges, LinkAnalysis.KCoreK, LinkAnalysis.KCoreRounds + 3)
+      .as[(Long, Long)].collect().toMap
+    assert(pinned == deeper, "pinned round count must already be the fixpoint here")
+    assert(pinned.nonEmpty)
+    // every survivor keeps degree ≥ k at the fixpoint
+    assert(pinned.values.forall(_ >= LinkAnalysis.KCoreK))
+  }
+
   test("pageRank at 10 iterations: checkpointed rounds stay replica-exact, bounded plan") {
     // deep-iteration hygiene (round-7 advice): lineage truncates every
     // PrCheckpointEvery rounds, and the truncation must not change a bit

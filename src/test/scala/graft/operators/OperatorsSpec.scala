@@ -1792,6 +1792,62 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.sum == nSessions)
   }
 
+  test("abConversion (x123): arm split, rates, and lift match a driver-side replica") {
+    val raw = graft.Tables.events(spark, sf)
+    val ev = raw.select($"user_id", $"event_type", round($"value" * 100).cast("long"))
+      .as[(Long, String, Long)].collect().toSeq
+    val perUser = ev.groupBy(_._1).view.mapValues { es =>
+      (es.exists(_._2 == "purchase"),
+        es.filter(_._2 == "purchase").map(_._3).sum)
+    }.toMap
+    val byArm = perUser.groupBy { case (u, _) => Dedup.md5Hash60Ref(s"ab:$u") % 2 }
+      .view.mapValues { us =>
+        (us.size.toLong, us.values.count(_._1).toLong, us.values.map(_._2).sum)
+      }.toMap
+    val ctlPpm = 1000000L * byArm(0L)._2 / byArm(0L)._1
+    val got = Sessionize.abConversion(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 2)
+    got.foreach { case (arm, n, conv, ppm, rev, arpu, lift) =>
+      val (wantN, wantC, wantR) = byArm(arm)
+      assert((n, conv, rev) == ((wantN, wantC, wantR)), s"arm $arm counts")
+      assert(ppm == 1000000L * wantC / wantN && arpu == 1000L * wantR / wantN, s"arm $arm rates")
+      assert(lift == ppm - ctlPpm, s"arm $arm lift")
+    }
+    assert(got.find(_._1 == 0L).get._7 == 0L, "control lift is zero by construction")
+  }
+
+  test("noveltyCurve (x125): first batch is all-new, curve matches brute force") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val mx = docs.map(_._1).max
+    val nb = Dedup.NoveltyBatches
+    val bf = docs.flatMap { case (id, text) =>
+      val words = text.split(" ", -1)
+      val shingles =
+        if (words.length < Dedup.NoveltyShingleN) Seq.empty
+        else words.sliding(Dedup.NoveltyShingleN).map(_.mkString(" ")).toSeq.distinct
+      shingles.map(sh => (id * nb / (mx + 1), Dedup.md5Hash60Ref(sh)))
+    }.distinct
+    val first = bf.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val want = bf.groupBy(_._1).view.mapValues { fps =>
+      val nNew = fps.count { case (b, fp) => first(fp) == b }.toLong
+      (fps.size.toLong, nNew, 1000000L * nNew / fps.size)
+    }.toMap
+    val got = Dedup.noveltyCurve(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (b, nFps, nNew, ppm) =>
+      assert((nFps, nNew, ppm) == want(b), s"batch $b")
+    }
+    // batch 0 is all-new by definition; every ppm is a valid proportion,
+    // and repetition across batches shows up somewhere (non-trivial curve)
+    val m = got.map(r => r._1 -> r._4).toMap
+    assert(m(0L) == 1000000L)
+    assert(m.values.forall(p => p >= 0L && p <= 1000000L))
+    assert(m.filter(_._1 > 0L).values.exists(_ < 1000000L))
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
