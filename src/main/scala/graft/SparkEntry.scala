@@ -163,6 +163,9 @@ object SparkEntry {
     "x123_ab_conversion"    -> ((s, d) => Sessionize.abConversion(s, d)),
     "x124_gap_fill"         -> ((s, d) => Forecast.gapFill(s, d)),
     "x125_novelty_curve"    -> ((s, d) => Dedup.noveltyCurve(s, d)),
+    "x126_cube_revenue"     -> ((s, d) => Relational.cubeRevenue(s, d)),
+    "x127_unpivot"          -> ((s, d) => Relational.unpivotMeasures(s, d)),
+    "x128_fuzzy_names"      -> ((s, d) => Dedup.fuzzyNamePairs(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2246,6 +2249,44 @@ object SparkEntry {
         |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
         |       deg, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM d GROUP BY 1, 2""".stripMargin,
+
+    // x128: blocked fuzzy-name pairs — the oracle states the SEMANTIC
+    // contract (all same-brand pairs within the distance bound); the
+    // engine's length-expansion equi-join provably yields the same set
+    // (lev <= d forces |len diff| <= d, and each pair meets exactly once).
+    "x128_fuzzy_names" ->
+      s"""SELECT a.p_brand, a.p_partkey AS key_a, a.p_name AS name_a,
+        |       b.p_partkey AS key_b, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= ${operators.Dedup.FuzzyMaxDistance}""".stripMargin,
+
+    // x127: UNPIVOT/melt of the per-flag measure table — UNION ALL is
+    // the engine-neutral statement of stack()'s semantics.
+    "x127_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS extended_cents,
+        |         CAST(sum(CAST(round(l_tax * 100) AS BIGINT)) AS BIGINT) AS tax_cents,
+        |         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS discount_cents,
+        |         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS quantity_centi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'extended_cents' AS measure, extended_cents AS value FROM w
+        |UNION ALL SELECT l_returnflag, 'tax_cents', tax_cents FROM w
+        |UNION ALL SELECT l_returnflag, 'discount_cents', discount_cents FROM w
+        |UNION ALL SELECT l_returnflag, 'quantity_centi', quantity_centi FROM w""".stripMargin,
+
+    // x126: CUBE over (flag, ship year) — NULL subtotal markers are the
+    // shared SQL convention; one expand+shuffle in Spark, GROUP BY CUBE
+    // in DuckDB.
+    "x126_cube_revenue" ->
+      """SELECT l_returnflag, CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS quantity_centi
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, ship_year)""".stripMargin,
 
     // x125: ingest-batch n-gram novelty curve — x02's shingle CTE shape,
     // md5-60 fingerprints, doc_id-range batches off the 1-row max.

@@ -1464,6 +1464,46 @@ object Dedup {
       .select(col("src_a"), col("src_b"), col("matches"), col("n_union_k"), col("j_est"))
   }
 
+  /** x128's edit-distance bound, shared with the oracle SQL. */
+  val FuzzyMaxDistance: Int = 2
+
+  /** Blocked fuzzy-name matching (x128): part pairs in the same brand
+    * whose names are within levenshtein [[FuzzyMaxDistance]] — the
+    * classic entity-resolution candidate join (catalog dedup: "blue
+    * bolt" vs "blue bolts"), with the TWO standard scale levers both in
+    * the plan:
+    *
+    *  1. BLOCKING: candidates must share the (brand, name-length) key.
+    *  2. LENGTH EXPANSION: `lev(a,b) ≤ d` implies `|len(a) − len(b)| ≤
+    *     d`, so the left side emits one row per length in `len ± d` and
+    *     the join is a pure EQUI-join on (brand, length) — a (2d+1)×
+    *     row expansion buys blocks keyed by brand AND length instead of
+    *     brand alone (a hot brand no longer forms one quadratic block),
+    *     and each qualifying pair meets exactly ONCE (the probe length
+    *     equals len(b), which is unique), so no distinct pass.
+    *
+    * The quadratic work that remains is per (brand, length) block —
+    * production ER adds more blocking keys (first token, phonetic code)
+    * the same way; the expansion technique composes. `levenshtein` is
+    * codegen'd in Spark and semantically identical in DuckDB. */
+  def fuzzyNamePairs(spark: SparkSession, dir: String,
+                     maxDistance: Int = FuzzyMaxDistance): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_name"),
+        length(col("p_name")).as("len"))
+    val probe = p.select(col("p_partkey").as("key_a"), col("p_brand"),
+        col("p_name").as("name_a"),
+        explode(sequence(col("len") - maxDistance, col("len") + maxDistance))
+          .as("len"))
+    probe.join(p.select(col("p_partkey").as("key_b"), col("p_brand"),
+        col("p_name").as("name_b"), col("len")), Seq("p_brand", "len"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("distance", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("distance") <= maxDistance)
+      .select(col("p_brand"), col("key_a"), col("name_a"),
+        col("key_b"), col("name_b"), col("distance").cast("int"))
+  }
+
   /** x125 knobs: ingest-batch count (doc_id range deciles) and the
     * shingle width, shared with the oracle SQL. */
   val NoveltyBatches: Int = 10

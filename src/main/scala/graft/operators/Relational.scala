@@ -306,6 +306,51 @@ object Relational {
         expr("(1000000L * max_q) div s_q").as("top_share_ppm"))
   }
 
+  /** CUBE revenue panel (x126): all four grouping combinations of
+    * (return flag, ship year) in one pass — the full-lattice twin of
+    * x26's ROLLUP (which only walks the prefix chain). Spark plans a
+    * cube as ONE expand + partial-agg'd shuffle, not four scans; the
+    * NULL subtotal markers are the standard SQL convention and compare
+    * byte-identically against DuckDB's `GROUP BY CUBE`. Grouping-set
+    * cardinality is the product of the per-axis cardinalities (≤ 4·
+    * |flags|·|years| rows) — tiny at any corpus size. */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(year(l_shipdate) AS INTEGER)").as("ship_year"),
+        cents(col("l_extendedprice")).as("v"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("q"))
+      .cube(col("l_returnflag"), col("ship_year"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("revenue_cents"),
+        sum(col("q")).as("quantity_centi"))
+
+  /** UNPIVOT / melt (x127): the wide per-returnflag measure table turned
+    * into long (flag, measure, value) form — the reshape every metrics
+    * warehouse does before generic charting/alerting, and the inverse of
+    * x25's pivot. `stack` is a generator expression (one pass, no
+    * shuffle beyond the feeding aggregate); measure names are pinned
+    * literals so the long table's key domain is closed. All four
+    * measures are integer (cents / centi-units) so the single `value`
+    * column needs no float union. */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        cents(col("l_extendedprice")).as("extended_cents"),
+        cents(col("l_tax")).as("tax_cents"),
+        cents(col("l_discount")).as("discount_cents"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("quantity_centi"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("extended_cents")).as("extended_cents"),
+        sum(col("tax_cents")).as("tax_cents"),
+        sum(col("discount_cents")).as("discount_cents"),
+        sum(col("quantity_centi")).as("quantity_centi"))
+      .selectExpr("l_returnflag",
+        """stack(4,
+          |  'extended_cents', extended_cents,
+          |  'tax_cents', tax_cents,
+          |  'discount_cents', discount_cents,
+          |  'quantity_centi', quantity_centi) AS (measure, value)""".stripMargin)
+
   /** RFM customer segmentation (x120): per customer with ≥1 order,
     * recency (days since last order, relative to the corpus max day),
     * frequency (order count), monetary (lifetime cents), each scored

@@ -1848,6 +1848,72 @@ class OperatorsSpec extends SparkSpec {
     assert(m.filter(_._1 > 0L).values.exists(_ < 1000000L))
   }
 
+  test("cubeRevenue (x126): all four grouping sets match a driver-side replica") {
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select($"l_returnflag", year($"l_shipdate"), round($"l_extendedprice" * 100).cast("long"),
+        round($"l_quantity" * 100).cast("long"))
+      .as[(String, Int, Long, Long)].collect().toSeq
+    def agg(key: ((String, Int)) => (Option[String], Option[Int]))
+        : Map[(Option[String], Option[Int]), (Long, Long, Long)] =
+      rows.groupBy(r => key((r._1, r._2))).view.mapValues { rs =>
+        (rs.size.toLong, rs.map(_._3).sum, rs.map(_._4).sum)
+      }.toMap
+    val want =
+      agg { case (f, y) => (Some(f), Some(y)) } ++
+      agg { case (f, _) => (Some(f), None) } ++
+      agg { case (_, y) => (None, Some(y)) } ++
+      agg { case _ => (None, None) }
+    val got = Relational.cubeRevenue(spark, sf)
+      .as[(Option[String], Option[Int], Long, Long, Long)].collect()
+    assert(got.length == want.size)
+    got.foreach { case (f, y, n, rev, q) =>
+      assert((n, rev, q) == want((f, y)), s"cell ($f, $y)")
+    }
+  }
+
+  test("unpivotMeasures (x127): long form carries exactly the wide sums") {
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select($"l_returnflag", round($"l_extendedprice" * 100).cast("long"),
+        round($"l_tax" * 100).cast("long"), round($"l_discount" * 100).cast("long"),
+        round($"l_quantity" * 100).cast("long"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val want = rows.groupBy(_._1).flatMap { case (f, rs) =>
+      Seq((f, "extended_cents", rs.map(_._2).sum), (f, "tax_cents", rs.map(_._3).sum),
+        (f, "discount_cents", rs.map(_._4).sum), (f, "quantity_centi", rs.map(_._5).sum))
+    }.toSet
+    val got = Relational.unpivotMeasures(spark, sf)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == want)
+    // exactly one row per (flag, measure): the melt is loss-free
+    assert(got.size == rows.map(_._1).distinct.size * 4)
+  }
+
+  test("fuzzyNamePairs (x128): length-expansion equi-join equals the brute-force contract") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val parts = graft.Tables.part(spark, sf)
+      .select($"p_partkey", $"p_brand", $"p_name")
+      .as[(Long, String, String)].collect().toSeq
+    val want = (for {
+      a <- parts; b <- parts
+      if a._2 == b._2 && a._1 < b._1
+      d = lev(a._3, b._3) if d <= Dedup.FuzzyMaxDistance
+    } yield (a._2, a._1, a._3, b._1, b._3, d)).toSet
+    val got = Dedup.fuzzyNamePairs(spark, sf)
+      .as[(String, Long, String, Long, String, Int)].collect()
+    assert(got.toSet == want && want.nonEmpty)
+    // the expansion meets each pair exactly once — no dedup pass needed
+    assert(got.length == got.toSet.size)
+    // the fixture exercises a nonzero length difference (the expansion's point)
+    assert(want.exists { case (_, _, na, _, nb, _) => na.length != nb.length })
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
