@@ -166,6 +166,9 @@ object SparkEntry {
     "x126_cube_revenue"     -> ((s, d) => Relational.cubeRevenue(s, d)),
     "x127_unpivot"          -> ((s, d) => Relational.unpivotMeasures(s, d)),
     "x128_fuzzy_names"      -> ((s, d) => Dedup.fuzzyNamePairs(s, d)),
+    "x129_quality_drift"    -> ((s, d) => TextAnalysis.qualityDrift(s, d)),
+    "x130_lsh_precision"    -> ((s, d) => Dedup.lshPrecision(s, d)),
+    "x131_lead_times"       -> ((s, d) => Relational.leadTimes(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2249,6 +2252,73 @@ object SparkEntry {
         |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
         |       deg, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM d GROUP BY 1, 2""".stripMargin,
+
+    // x131: lead-time SLA panel — bounded-domain exact quantiles
+    // (x29's discipline): cumulative pick over the (priority, lag)
+    // count table, never a corpus sort.
+    "x131_lead_times" ->
+      """WITH lags AS (
+        |  SELECT o.o_orderpriority,
+        |         CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400
+        |           - CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400 AS lag_days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |c AS (SELECT o_orderpriority, lag_days, CAST(count(*) AS BIGINT) AS c
+        |      FROM lags GROUP BY 1, 2),
+        |t AS (SELECT o_orderpriority, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |cum AS (SELECT c.o_orderpriority, c.lag_days, c.c, t.n,
+        |               sum(c.c) OVER (PARTITION BY c.o_orderpriority ORDER BY c.lag_days
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM c JOIN t USING (o_orderpriority))
+        |SELECT o_orderpriority, max(n) AS n_lines,
+        |       min(lag_days) AS min_days,
+        |       min(CASE WHEN cum * 2 >= n THEN lag_days END) AS median_days,
+        |       min(CASE WHEN cum * 10 >= n * 9 THEN lag_days END) AS p90_days,
+        |       max(lag_days) AS max_days
+        |FROM cum GROUP BY 1""".stripMargin,
+
+    // x130: per-band LSH precision audit — x03's CTE prefix verbatim,
+    // per-band distinct pairs, the same float Jaccard compare.
+    "x130_lsh_precision" ->
+      s"""$minhashCtePrefix,
+        |cand AS (SELECT DISTINCT a.band, a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM banded a JOIN banded b
+        |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |v AS (SELECT c.band, len(list_intersect(x.hs, y.hs)) AS inter,
+        |             len(x.hs) AS n_a, len(y.hs) AS n_b
+        |      FROM cand c JOIN docs x ON c.doc_a = x.doc_id
+        |                  JOIN docs y ON c.doc_b = y.doc_id)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_candidates,
+        |       CAST(sum(CASE WHEN inter / (n_a + n_b - inter)
+        |                          >= ${operators.Dedup.LshPrecisionThreshold}
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+        |       (1000000 * CAST(sum(CASE WHEN inter / (n_a + n_b - inter)
+        |                          >= ${operators.Dedup.LshPrecisionThreshold}
+        |                     THEN 1 ELSE 0 END) AS BIGINT))
+        |         // CAST(count(*) AS BIGINT) AS precision_ppm
+        |FROM v GROUP BY 1""".stripMargin,
+
+    // x129: per-source quality drift — x89's scored CTE + x125's batch
+    // rule + x119's raw rational slope, composed verbatim.
+    "x129_quality_drift" -> {
+      import operators.TextAnalysis._
+      s"""$qualityFeatureCtes,
+        |scored AS (
+        |  SELECT doc_id,
+        |       CAST($QwWords * n_words
+        |            + $QwMeanLen * CAST(floor(mean_word_len * 1000000) AS BIGINT)
+        |            + ($QwStop) * CAST(floor(stopword_ratio * 1000000) AS BIGINT)
+        |            + ($QwShort) * CAST(floor(short_word_ratio * 1000000) AS BIGINT)
+        |            + ($QwDup) * CAST(floor(dup_ratio * 1000000) AS BIGINT) AS BIGINT) AS score_micro
+        |  FROM feat),
+        |mxv AS (SELECT max(doc_id) AS mx FROM documents),
+        |pts AS (SELECT d.source, (d.doc_id * ${operators.Dedup.NoveltyBatches}) // (mx + 1) AS x,
+        |               s.score_micro AS y
+        |        FROM documents d JOIN scored s USING (doc_id), mxv)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+        |       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den
+        |FROM pts GROUP BY 1""".stripMargin
+    },
 
     // x128: blocked fuzzy-name pairs — the oracle states the SEMANTIC
     // contract (all same-brand pairs within the distance bound); the

@@ -1464,6 +1464,47 @@ object Dedup {
       .select(col("src_a"), col("src_b"), col("matches"), col("n_union_k"), col("j_est"))
   }
 
+  /** x130's verify threshold (x03's near-dup rule), shared with the
+    * oracle SQL. */
+  val LshPrecisionThreshold: Double = 0.3
+
+  /** LSH band-precision audit (x130): per band, how many candidate
+    * pairs the band surfaces and how many survive the exact-Jaccard
+    * verify — the measured cost/quality panel for x03's index (the
+    * precision-side sibling of x18's RECALL.md discipline: don't trust
+    * an approximate index, measure it). A band whose precision collapses
+    * is wasting its verify budget and wants more rows per band; uniform
+    * precision across bands confirms the permutation family is healthy.
+    *
+    * 100 TB shape: x03's exact machinery ([[bandFrames]] — fused
+    * shingle/signature kernels, band-bucket self-join) with the pair
+    * dedup keyed PER BAND (a pair surfacing in 3 bands counts in all
+    * 3 — that is the audited quantity: verify work per band), then the
+    * shingle-set join and ONE partial-agg'd groupBy onto O(bands) rows.
+    * Costs ≤ bands× x03's verify stage by construction; the same
+    * stop-shingle cap bounds the hot buckets upstream. */
+  def lshPrecision(spark: SparkSession, dir: String, n: Int = 5, k: Int = 32,
+                   bands: Int = 8,
+                   threshold: Double = LshPrecisionThreshold): DataFrame = {
+    val (docs, banded) = bandFrames(Tables.documents(spark, dir), n, k, bands)
+    val bandA = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val bandB = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val cand = bandA.join(bandB, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("band"), col("doc_a"), col("doc_b"))
+      .dropDuplicates("band", "doc_a", "doc_b")
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("ok",
+        (col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter"))
+          >= threshold).cast("long"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_candidates"), sum(col("ok")).as("n_verified"))
+      .withColumn("precision_ppm", expr("(1000000L * n_verified) div n_candidates"))
+  }
+
   /** x128's edit-distance bound, shared with the oracle SQL. */
   val FuzzyMaxDistance: Int = 2
 

@@ -351,6 +351,46 @@ object Relational {
           |  'discount_cents', discount_cents,
           |  'quantity_centi', quantity_centi) AS (measure, value)""".stripMargin)
 
+  /** Fulfillment lead-time SLA panel (x131): per order priority, the
+    * EXACT min / median / p90 / max of ship-lag days (line ship date −
+    * order date) — the service-level report an operations dashboard
+    * leads with, done with exact quantiles at any scale.
+    *
+    * Exactness at scale: ship lag lives on a BOUNDED integer domain
+    * (days between order and ship — the calendar bounds it, not the
+    * corpus), so the (priority, lag) count table is tiny and the
+    * quantile is an exact cumulative pick over it: `median = min lag
+    * with 2·cum ≥ n`, `p90 = min lag with 10·cum ≥ 9·n` (the x29
+    * bounded-domain discipline — no sort of corpus rows, no approx
+    * sketch). The cumulative window partitions by priority over that
+    * tiny frame (the x48 case); the corpus-sized work is one fact scan
+    * partial-agg'd onto it. The frame is `localCheckpoint`ed — the
+    * per-priority totals and the final pick both read it. */
+  def leadTimes(spark: SparkSession, dir: String): DataFrame = {
+    val byLag = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), expr("unix_timestamp(l_shipdate) div 86400").as("ship_day"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr("unix_timestamp(o_orderdate) div 86400").as("order_day")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), (col("ship_day") - col("order_day")).as("lag_days"))
+      .groupBy(col("o_orderpriority"), col("lag_days"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("lag_days"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byLag
+      .join(byLag.groupBy(col("o_orderpriority")).agg(sum(col("c")).as("n")),
+        Seq("o_orderpriority"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).as("n_lines"),
+        min(col("lag_days")).as("min_days"),
+        min(when(col("cum") * 2 >= col("n"), col("lag_days"))).as("median_days"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("lag_days"))).as("p90_days"),
+        max(col("lag_days")).as("max_days"))
+  }
+
   /** RFM customer segmentation (x120): per customer with ≥1 order,
     * recency (days since last order, relative to the corpus max day),
     * frequency (order count), monetary (lifetime cents), each scored

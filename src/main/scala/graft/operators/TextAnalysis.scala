@@ -1161,4 +1161,44 @@ object TextAnalysis {
       .otherwise(emptyStrings)
     df.select(col("doc_id"), explode(fps).as("fp"))
   }
+
+  /** Quality-drift monitor (x129): per source, the exact-rational OLS
+    * slope of x89's pinned quality score over x125's doc_id-range
+    * ingest batches — "is this crawl source getting worse", the alarm a
+    * corpus operator wants BEFORE a bad batch trains. Composes three
+    * pinned definitions verbatim (x89 scoring, x125 batching, x119's
+    * raw num/den rational form) so drift can never disagree with the
+    * scores or batches it monitors.
+    *
+    * The regression runs over PER-DOCUMENT points (x = batch, y =
+    * score_micro): `n·Σxy − Σx·Σy` and `n·Σx² − (Σx)²` are pure
+    * products and sums — legitimately negative for degrading sources,
+    * and NEVER divided (the signed floor/truncate trap). Overflow bound
+    * (honest): |y| ≲ 10⁷ micro-points and x ≤ 9, so `n·Σxy ≲ 10⁸·n²`
+    * wraps past ~10⁵ docs per source at worst-case scores — far above
+    * the gate scales; for web-scale sources rescale y first (x110's
+    * quantized-share trick, e.g. score deciles) — the same structural
+    * note as x119.
+    *
+    * 100 TB shape: one scored-docs scan (x89's no-shuffle projection)
+    * joined to the O(docs) source/batch keys, then ONE partial-agg'd
+    * groupBy per source — the five sums all combine map-side. The 1-row
+    * max-doc-id scalar crossJoins back broadcast. Output is O(sources). */
+  def qualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    qualityScorePinned(spark, dir)
+      .join(docs, Seq("doc_id"))
+      .crossJoin(mx)
+      .select(col("source"),
+        expr(s"(doc_id * ${Dedup.NoveltyBatches}) div (mx + 1)").as("x"),
+        col("score_micro").as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n_docs"),
+        (col("n_docs") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_docs") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+  }
 }

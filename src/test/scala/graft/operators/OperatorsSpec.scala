@@ -1914,6 +1914,81 @@ class OperatorsSpec extends SparkSpec {
     assert(want.exists { case (_, _, na, _, nb, _) => na.length != nb.length })
   }
 
+  test("qualityDrift (x129): rational slope over per-doc (batch, score) points is exact") {
+    val scores = TextAnalysis.qualityScorePinned(spark, sf)
+      .select($"doc_id", $"score_micro").as[(Long, Long)].collect().toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toSeq
+    val mx = docs.map(_._1).max
+    val pts = docs.map { case (id, src) =>
+      (src, id * Dedup.NoveltyBatches / (mx + 1), scores(id)) }
+    val want = pts.groupBy(_._1).view.mapValues { rs =>
+      val n = rs.size.toLong
+      val sx = rs.map(_._2).sum; val sy = rs.map(_._3).sum
+      val sxy = rs.map(r => r._2 * r._3).sum; val sxx = rs.map(r => r._2 * r._2).sum
+      (n, n * sxy - sx * sy, n * sxx - sx * sx)
+    }.toMap
+    val got = TextAnalysis.qualityDrift(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (s, n, num, den) =>
+      assert((n, num, den) == want(s), s"source $s")
+      assert(den >= 0L)
+    }
+  }
+
+  test("lshPrecision (x130): per-band counts match a driver-side replay of the banding") {
+    val (docsF, bandedF) = Dedup.bandFrames(graft.Tables.documents(spark, sf), 5, 32, 8)
+    val hs = docsF.select($"doc_id", $"hs").as[(Long, Seq[Long])].collect()
+      .map { case (id, s) => id -> s.toSet }.toMap
+    val banded = bandedF.select($"band", $"bucket", $"doc_id")
+      .as[(Int, String, Long)].collect().toSeq
+    val want = banded.groupBy(_._1).view.mapValues { rows =>
+      val pairs = rows.groupBy(_._2).values.flatMap { bucket =>
+        val ids = bucket.map(_._3).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+      }.toSet
+      val verified = pairs.count { case (a, b) =>
+        val (sa, sb) = (hs(a), hs(b))
+        val inter = (sa & sb).size
+        inter.toDouble / (sa.size + sb.size - inter) >= Dedup.LshPrecisionThreshold
+      }.toLong
+      (pairs.size.toLong, verified, 1000000L * verified / pairs.size)
+    }.toMap
+    val got = Dedup.lshPrecision(spark, sf)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (b, nc, nv, ppm) =>
+      assert((nc, nv, ppm) == want(b), s"band $b")
+    }
+  }
+
+  test("leadTimes (x131): exact bounded-domain quantiles match a driver-side sort") {
+    val orderMeta = graft.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_orderpriority", unix_timestamp($"o_orderdate"))
+      .as[(Long, String, Long)].collect()
+      .map { case (k, p, d) => k -> (p, d / 86400) }.toMap
+    val lags = graft.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", unix_timestamp($"l_shipdate"))
+      .as[(Long, Long)].collect().toSeq
+      .map { case (ok, sd) =>
+        val (p, od) = orderMeta(ok); (p, sd / 86400 - od) }
+    val want = lags.groupBy(_._1).view.mapValues { rs =>
+      val v = rs.map(_._2).sorted
+      val n = v.length
+      def pick(mult: Long, num: Long): Long = v(((num * n + mult - 1) / mult - 1).toInt)
+      // min lag with 2·cum >= n is the ceil(n/2)-th value; p90 the ceil(9n/10)-th
+      (n.toLong, v.head, pick(2, 1), pick(10, 9), v.last)
+    }.toMap
+    val got = Relational.leadTimes(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (p, n, mn, med, p90, mxv) =>
+      assert((n, mn, med, p90, mxv) == want(p), s"priority $p")
+      assert(mn <= med && med <= p90 && p90 <= mxv)
+    }
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
