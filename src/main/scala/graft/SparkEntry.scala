@@ -169,6 +169,8 @@ object SparkEntry {
     "x129_quality_drift"    -> ((s, d) => TextAnalysis.qualityDrift(s, d)),
     "x130_lsh_precision"    -> ((s, d) => Dedup.lshPrecision(s, d)),
     "x131_lead_times"       -> ((s, d) => Relational.leadTimes(s, d)),
+    "x132_loyalty_tiers"    -> ((s, d) => Relational.loyaltyTransitions(s, d)),
+    "x133_sketch_audit"     -> ((s, d) => TextAnalysis.sketchAccuracy(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2252,6 +2254,51 @@ object SparkEntry {
         |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
         |       deg, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM d GROUP BY 1, 2""".stripMargin,
+
+    // x133: KMV accuracy audit — x34's sketch CTE verbatim joined to
+    // the exact distinct count; signed error is a subtraction, the ppm
+    // floors a composition of exact IEEE ops on replicated inputs.
+    "x133_sketch_audit" ->
+      """WITH t AS (
+        |  SELECT DISTINCT source, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) u),
+        |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM t),
+        |kk AS (SELECT source, h FROM r WHERE rn <= 256),
+        |sk AS (SELECT source, CAST(COUNT(*) AS INTEGER) AS n_kept, MAX(h) AS kth_hash,
+        |              CASE WHEN COUNT(*) = 256 THEN 255.0 * 1152921504606846976.0 / MAX(h)
+        |                   ELSE CAST(COUNT(*) AS DOUBLE) END AS est_distinct
+        |       FROM kk GROUP BY source),
+        |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct FROM t GROUP BY 1)
+        |SELECT source, exact_distinct, n_kept, est_distinct,
+        |       est_distinct - exact_distinct AS err_est,
+        |       CAST(floor(abs(est_distinct - exact_distinct) * 1000000.0
+        |         / exact_distinct) AS BIGINT) AS abs_err_ppm
+        |FROM sk JOIN ex USING (source)""".stripMargin,
+
+    // x132: loyalty-tier transition matrix — point-in-time tier via
+    // row_number over (day, orderkey), thresholds shared constants.
+    "x132_loyalty_tiers" -> {
+      import operators.Relational.{TierGoldAt, TierSilverAt}
+      s"""WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
+        |  FROM orders),
+        |rk AS (SELECT o_custkey,
+        |              row_number() OVER (PARTITION BY o_custkey
+        |                ORDER BY day, o_orderkey) AS rn
+        |       FROM o),
+        |tr AS (SELECT o_custkey,
+        |              CASE WHEN rn - 1 < $TierSilverAt THEN 'bronze'
+        |                   WHEN rn - 1 < $TierGoldAt THEN 'silver'
+        |                   ELSE 'gold' END AS from_tier,
+        |              CASE WHEN rn < $TierSilverAt THEN 'bronze'
+        |                   WHEN rn < $TierGoldAt THEN 'silver'
+        |                   ELSE 'gold' END AS to_tier
+        |       FROM rk)
+        |SELECT from_tier, to_tier, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |FROM tr GROUP BY 1, 2""".stripMargin
+    },
 
     // x131: lead-time SLA panel — bounded-domain exact quantiles
     // (x29's discipline): cumulative pick over the (priority, lag)

@@ -391,6 +391,42 @@ object Relational {
         max(col("lag_days")).as("max_days"))
   }
 
+  /** x132's tier thresholds (orders BEFORE the current one), shared
+    * with the oracle SQL: < [[TierSilverAt]] bronze, < [[TierGoldAt]]
+    * silver, else gold. */
+  val TierSilverAt: Int = 3
+  val TierGoldAt: Int = 10
+
+  /** Loyalty-tier transition matrix (x132): each order is scored with
+    * the customer's tier BEFORE it (cumulative prior order count — the
+    * point-in-time attribute an SCD-style dimension would store) and
+    * the tier AFTER it; the (from, to) census is the promotion-flow
+    * report a retention team reads. Order history is totally ordered by
+    * (order day, order key), so the point-in-time rank is deterministic
+    * under same-day orders.
+    *
+    * 100 TB shape: one row_number window partitioned by customer — a
+    * customer's order history is the partition, bounded by purchase
+    * behavior, not corpus size (x11's user-timeline posture: the
+    * history must colocate to be ranked at all). Everything after is a
+    * partial-agg'd groupBy onto the ≤ 9-cell matrix. */
+  def loyaltyTransitions(spark: SparkSession, dir: String): DataFrame = {
+    def tier(nPrior: Column): Column =
+      when(nPrior < TierSilverAt, "bronze")
+        .when(nPrior < TierGoldAt, "silver").otherwise("gold")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("o_custkey"), tier(col("rn") - 1).as("from_tier"),
+        tier(col("rn")).as("to_tier"))
+      .groupBy(col("from_tier"), col("to_tier"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+  }
+
   /** RFM customer segmentation (x120): per customer with ≥1 order,
     * recency (days since last order, relative to the corpus max day),
     * frequency (order count), monetary (lifetime cents), each scored

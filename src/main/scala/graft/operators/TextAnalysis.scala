@@ -1162,6 +1162,36 @@ object TextAnalysis {
     df.select(col("doc_id"), explode(fps).as("fp"))
   }
 
+  /** KMV sketch accuracy audit (x133): per source, x34's bounded-state
+    * distinct estimate side-by-side with the EXACT distinct count and
+    * the measured error — the honest-measurement harness for the
+    * sketch (x130's precision-audit discipline applied to cardinality
+    * estimation: don't trust an estimator, measure it where exact truth
+    * is still affordable). The exact arm is the expensive path (one
+    * shuffle of distinct (source, hash) pairs) — a production monitor
+    * runs it on a sampled slice or a small SF, which is precisely what
+    * this query demonstrates at gate scale.
+    *
+    * Error columns: `err_est` is the raw signed difference (estimate −
+    * exact, a subtraction — never a signed division) in the sketch's
+    * own double precision; `abs_err_ppm` floors `10⁶·|err|/exact` — a
+    * composition of exact IEEE ops on oracle-replicated inputs (the
+    * trunc6/x89 argument), so it compares bit-identically. */
+  def sketchAccuracy(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val exact = Tables.documents(spark, dir)
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .select(col("source"), Dedup.md5Hash60(col("w")).as("h"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("h")).as("exact_distinct"))
+    distinctTokenSketch(spark, dir, k)
+      .join(exact, Seq("source"))
+      .select(col("source"), col("exact_distinct"), col("n_kept"),
+        col("est_distinct"),
+        (col("est_distinct") - col("exact_distinct")).as("err_est"),
+        floor(abs(col("est_distinct") - col("exact_distinct")) * lit(1000000.0)
+          / col("exact_distinct")).cast("long").as("abs_err_ppm"))
+  }
+
   /** Quality-drift monitor (x129): per source, the exact-rational OLS
     * slope of x89's pinned quality score over x125's doc_id-range
     * ingest batches — "is this crawl source getting worse", the alarm a

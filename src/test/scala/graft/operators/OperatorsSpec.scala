@@ -1989,6 +1989,48 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("loyaltyTransitions (x132): point-in-time tiers match a driver-side replay") {
+    val orders = graft.Tables.orders(spark, sf)
+      .select($"o_custkey", $"o_orderkey", unix_timestamp($"o_orderdate"))
+      .as[(Long, Long, Long)].collect().toSeq
+    def tier(n: Long): String =
+      if (n < Relational.TierSilverAt) "bronze"
+      else if (n < Relational.TierGoldAt) "silver" else "gold"
+    val trans = orders.groupBy(_._1).toSeq.flatMap { case (ck, os) =>
+      os.sortBy(o => (o._3 / 86400, o._2)).zipWithIndex.map { case (_, i) =>
+        (ck, tier(i.toLong), tier(i.toLong + 1)) }
+    }
+    val want = trans.groupBy(t => (t._2, t._3)).view.mapValues { ts =>
+      (ts.size.toLong, ts.map(_._1).distinct.size.toLong) }.toMap
+    val got = Relational.loyaltyTransitions(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (f, t, n, nc) => assert((n, nc) == want((f, t)), s"$f->$t") }
+    // tiers only move up or stay: no demotion cell exists
+    val order = Map("bronze" -> 0, "silver" -> 1, "gold" -> 2)
+    assert(got.forall { case (f, t, _, _) => order(t) >= order(f) })
+    // order mass conserved
+    assert(got.map(_._3).sum == orders.size.toLong)
+  }
+
+  test("sketchAccuracy (x133): exact arm is truly exact, error columns are consistent") {
+    val exact = graft.Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect().toSeq
+      .groupBy(_._1).view.mapValues(
+        _.flatMap(_._2.split(" ", -1)).map(Dedup.md5Hash60Ref).distinct.size.toLong).toMap
+    val got = TextAnalysis.sketchAccuracy(spark, sf)
+      .as[(String, Long, Int, Double, Double, Long)].collect()
+    assert(got.length == exact.size && got.nonEmpty)
+    got.foreach { case (s, ex, nKept, est, err, ppm) =>
+      assert(ex == exact(s), s"source $s exact")
+      assert(err == est - ex, s"source $s signed error")
+      assert(ppm == math.floor(math.abs(est - ex) * 1000000.0 / ex).toLong, s"source $s ppm")
+      assert(nKept <= 256)
+      // a saturated sketch estimates, an unsaturated one IS the count
+      if (nKept < 256) assert(est == ex.toDouble && ppm == 0L, s"source $s unsaturated")
+    }
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
