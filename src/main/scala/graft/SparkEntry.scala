@@ -171,6 +171,10 @@ object SparkEntry {
     "x131_lead_times"       -> ((s, d) => Relational.leadTimes(s, d)),
     "x132_loyalty_tiers"    -> ((s, d) => Relational.loyaltyTransitions(s, d)),
     "x133_sketch_audit"     -> ((s, d) => TextAnalysis.sketchAccuracy(s, d)),
+    "x134_pareto_parts"     -> ((s, d) => Relational.paretoParts(s, d)),
+    "x135_mean_shift"       -> ((s, d) => Forecast.meanShiftSplit(s, d)),
+    "x136_purchase_streaks" -> ((s, d) => Relational.purchaseStreaks(s, d)),
+    "x137_rrf_consensus"    -> ((s, d) => TextAnalysis.rrfConsensus(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2274,6 +2278,105 @@ object SparkEntry {
         |       CAST(floor(abs(est_distinct - exact_distinct) * 1000000.0
         |         / exact_distinct) AS BIGINT) AS abs_err_ppm
         |FROM sk JOIN ex USING (source)""".stripMargin,
+
+    // x134: bounded-domain skyline — per-size min price, the suffix-min
+    // staircase over the tiny size frame, inner join back (≡ semi: one
+    // frontier row per (size, price)).
+    "x134_pareto_parts" ->
+      """WITH parts AS (
+        |  SELECT p_partkey, p_name, p_size,
+        |         CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
+        |  FROM part),
+        |bysize AS (SELECT p_size AS f_size, MIN(price_cents) AS min_price_cents
+        |           FROM parts GROUP BY 1),
+        |fr AS (SELECT f_size, min_price_cents,
+        |              MIN(min_price_cents) OVER (ORDER BY f_size DESC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_larger
+        |       FROM bysize)
+        |SELECT p.p_partkey, p.p_name, p.p_size, p.price_cents
+        |FROM parts p
+        |JOIN (SELECT f_size, min_price_cents FROM fr
+        |      WHERE best_larger IS NULL OR best_larger > min_price_cents) f
+        |  ON p.p_size = f.f_size AND p.price_cents = f.min_price_cents""".stripMargin,
+
+    // x135: mean-shift split — prefix sums over the daily frame, totals
+    // CTE crossed in, cross-multiplied integer score, single-IEEE
+    // divisions for means and the ranking score, earliest-day tiebreak.
+    "x135_mean_shift" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+        |               CAST(SUM(rev) AS BIGINT) AS rev_total FROM daily),
+        |cum AS (SELECT day,
+        |               CAST(SUM(n) OVER w AS BIGINT) AS n_before,
+        |               CAST(SUM(rev) OVER w AS BIGINT) AS rev_before_cents
+        |        FROM daily
+        |        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |sc AS (SELECT day, n_before, rev_before_cents,
+        |              n_total - n_before AS n_after,
+        |              rev_total - rev_before_cents AS rev_after_cents
+        |       FROM cum, tot),
+        |s2 AS (SELECT *,
+        |              abs(rev_before_cents * n_after - rev_after_cents * n_before) AS score_num,
+        |              CAST(abs(rev_before_cents * n_after - rev_after_cents * n_before) AS DOUBLE)
+        |                / CAST(n_before * n_after AS DOUBLE) AS shift_dbl
+        |       FROM sc WHERE n_after > 0)
+        |SELECT day AS split_day, n_before, n_after, rev_before_cents, rev_after_cents,
+        |       CAST(rev_before_cents AS DOUBLE) / CAST(n_before AS DOUBLE) AS mean_before_dbl,
+        |       CAST(rev_after_cents AS DOUBLE) / CAST(n_after AS DOUBLE) AS mean_after_dbl,
+        |       shift_dbl
+        |FROM s2 ORDER BY shift_dbl DESC, day LIMIT 1""".stripMargin,
+
+    // x136: gaps-and-islands — island id = month_index − row_number per
+    // customer, longest run per customer, segment census.
+    "x136_purchase_streaks" ->
+      """WITH mo AS (SELECT DISTINCT o_custkey,
+        |                   year(o_orderdate)*12 + month(o_orderdate) - 1 AS m
+        |            FROM orders),
+        |rk AS (SELECT o_custkey, m,
+        |              row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS rn
+        |       FROM mo),
+        |st AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS streak
+        |       FROM rk GROUP BY o_custkey, m - rn),
+        |lg AS (SELECT o_custkey, CAST(MAX(streak) AS BIGINT) AS longest_streak
+        |       FROM st GROUP BY 1)
+        |SELECT c_mktsegment, longest_streak, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM lg JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // x137: integer-quantized RRF — x89's scoring CTE verbatim for the
+    // quality arm, x55's distinct-token count for the richness arm,
+    // top-100 each (rank before LIMIT keeps ranks 1..100), full outer
+    // fusion with 1000000 // (60 + rank) micro-unit credits.
+    "x137_rrf_consensus" -> {
+      import operators.TextAnalysis._
+      s"""$qualityFeatureCtes,
+        |scored AS (
+        |  SELECT doc_id,
+        |       CAST($QwWords * n_words
+        |            + $QwMeanLen * CAST(floor(mean_word_len * 1000000) AS BIGINT)
+        |            + ($QwStop) * CAST(floor(stopword_ratio * 1000000) AS BIGINT)
+        |            + ($QwShort) * CAST(floor(short_word_ratio * 1000000) AS BIGINT)
+        |            + ($QwDup) * CAST(floor(dup_ratio * 1000000) AS BIGINT) AS BIGINT) AS score_micro
+        |  FROM feat),
+        |q AS (SELECT doc_id,
+        |             CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS r_quality
+        |      FROM scored ORDER BY score_micro DESC, doc_id LIMIT 100),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+        |       GROUP BY 1, 2),
+        |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct FROM tf GROUP BY 1),
+        |r AS (SELECT doc_id,
+        |             CAST(row_number() OVER (ORDER BY n_distinct DESC, doc_id) AS BIGINT) AS r_richness
+        |      FROM nd ORDER BY n_distinct DESC, doc_id LIMIT 100)
+        |SELECT COALESCE(q.doc_id, r.doc_id) AS doc_id, r_quality, r_richness,
+        |       CAST(COALESCE(1000000 // (60 + r_quality), 0)
+        |          + COALESCE(1000000 // (60 + r_richness), 0) AS BIGINT) AS rrf_micro
+        |FROM q FULL JOIN r ON q.doc_id = r.doc_id""".stripMargin
+    },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

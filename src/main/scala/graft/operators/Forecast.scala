@@ -185,4 +185,62 @@ object Forecast {
       .select(col("p_brand"), col("n_rows"),
         (col("n_rows") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
         (col("n_rows") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+
+  /** Mean-shift change-point (x135): the split day of the daily order-
+    * revenue series that maximizes |mean(before) − mean(after)| — the
+    * first step of binary-segmentation change-point detection, the "did
+    * the level shift, and when" question a revenue monitor answers
+    * before any forecast is trusted.
+    *
+    * Exactness: candidate splits are scored by the cross-multiplied
+    * integer |Σ_b·n_a − Σ_a·n_b| (no division), and the division only
+    * happens ONCE per row for ranking/display — a single IEEE op on
+    * exactly-replicated longs, identical in both engines (the repo's
+    * avg discipline). Tie on the score breaks to the earliest day. The
+    * integer score fits a Long while total_revenue_cents × n_days
+    * < 2⁶³ (≈ $4×10¹¹ over a 2400-day calendar); past that, quantize
+    * revenue to whole dollars before scoring — the bound is revenue ×
+    * CALENDAR days, not row count, so it grows only with the business,
+    * not the corpus.
+    *
+    * 100 TB shape: the corpus-sized work is ONE partial-agg'd
+    * groupBy(day) onto the calendar-bounded daily frame
+    * (`localCheckpoint`ed — the prefix window and the totals scalar
+    * both read it); the prefix sums are a window over that tiny frame
+    * (the x48 case), totals come back as a 1-row broadcast crossJoin
+    * (x65's global-totals pattern), and the argmax is a TakeOrdered
+    * top-1, never a driver collect of the series. */
+  def meanShiftSplit(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+        Relational.cents(col("o_totalprice")).as("v"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("rev"))
+      .localCheckpoint()
+    val totals = daily.agg(sum(col("n")).as("n_total"),
+      sum(col("rev")).as("rev_total"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("n_before", sum(col("n")).over(wCum))
+      .withColumn("rev_before_cents", sum(col("rev")).over(wCum))
+      .crossJoin(totals)
+      .withColumn("n_after", col("n_total") - col("n_before"))
+      .withColumn("rev_after_cents", col("rev_total") - col("rev_before_cents"))
+      .filter(col("n_after") > 0)
+      .withColumn("score_num", abs(col("rev_before_cents") * col("n_after") -
+        col("rev_after_cents") * col("n_before")))
+      .withColumn("shift_dbl", col("score_num").cast("double") /
+        (col("n_before") * col("n_after")).cast("double"))
+      .orderBy(col("shift_dbl").desc, col("day"))
+      .limit(1)
+      .select(col("day").as("split_day"),
+        col("n_before"), col("n_after"),
+        col("rev_before_cents"), col("rev_after_cents"),
+        (col("rev_before_cents").cast("double") / col("n_before").cast("double"))
+          .as("mean_before_dbl"),
+        (col("rev_after_cents").cast("double") / col("n_after").cast("double"))
+          .as("mean_after_dbl"),
+        col("shift_dbl"))
+  }
 }

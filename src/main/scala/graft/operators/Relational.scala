@@ -391,6 +391,79 @@ object Relational {
         max(col("lag_days")).as("max_days"))
   }
 
+  /** Pareto frontier of the part catalog (x134): the parts no other part
+    * dominates on (price, size) — cheaper-or-equal AND bigger-or-equal
+    * with at least one strict. The skyline query a sourcing team runs
+    * ("which parts are efficient buys"), and the operator class (skyline)
+    * classic engines ship natively.
+    *
+    * 100 TB shape — the bounded-domain skyline: `p_size` lives on a
+    * catalog-bounded integer domain (~50 values), so the corpus-sized
+    * work is ONE partial-agg'd `groupBy(p_size).min(price)`; the
+    * staircase test (is some strictly-larger size as cheap or cheaper?)
+    * is a suffix-min window over that ≤|sizes|-row frame (the x48 tiny-
+    * table case), and frontier membership joins back to the catalog as
+    * a broadcast-by-size semi-filter on (size, price). No corpus sort,
+    * no all-pairs dominance join (the naive skyline is O(n²)).
+    *
+    * A part is on the frontier iff its price equals its size's min AND
+    * every strictly larger size's min price is strictly above it
+    * (equal price at larger size dominates — size is strict). Equal
+    * (size, price) duplicates don't dominate each other, so all of
+    * them survive. */
+  def paretoParts(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        cents(col("p_retailprice")).as("price_cents"))
+    val bySize = parts.groupBy(col("p_size").as("f_size"))
+      .agg(min(col("price_cents")).as("min_price_cents"))
+    val wDesc = Window.orderBy(col("f_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = bySize
+      .withColumn("best_larger", min(col("min_price_cents")).over(wDesc))
+      .filter(col("best_larger").isNull ||
+        col("best_larger") > col("min_price_cents"))
+    parts.join(broadcast(frontier),
+      col("p_size") === col("f_size") &&
+        col("price_cents") === col("min_price_cents"),
+      "left_semi")
+  }
+
+  /** Consecutive-month purchase streaks (x136): per market segment, the
+    * census of customers by their LONGEST run of consecutive calendar
+    * months with ≥1 order — the engagement-depth panel a retention team
+    * reads next to x88's cohort retention, and the classic
+    * gaps-and-islands shape (island id = month_index − row_number).
+    *
+    * 100 TB shape: the corpus collapses to distinct (customer, month)
+    * FIRST (one partial-agg'd shuffle; months are calendar-bounded, so
+    * this frame is O(customers × months)). Every window after that
+    * partitions by customer — a customer's month list is the partition,
+    * bounded by the calendar, never corpus-sized (x11's user-timeline
+    * posture). The segment dim arrives by plain equi-join on the
+    * already-aggregated one-row-per-customer frame (broadcast at small
+    * SF by AQE; stays a keyed shuffle join at any scale), and the final
+    * census is a partial-agg'd groupBy onto O(segments × months) cells. */
+  def purchaseStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val months = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"))
+      .distinct()
+    val wCust = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+    val longest = months
+      .withColumn("island", col("m") - row_number().over(wCust))
+      .groupBy(col("o_custkey"), col("island"))
+      .agg(count(lit(1)).as("streak"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("streak")).as("longest_streak"))
+    longest
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("longest_streak"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   /** x132's tier thresholds (orders BEFORE the current one), shared
     * with the oracle SQL: < [[TierSilverAt]] bronze, < [[TierGoldAt]]
     * silver, else gold. */

@@ -1192,6 +1192,45 @@ object TextAnalysis {
           / col("exact_distinct")).cast("long").as("abs_err_ppm"))
   }
 
+  /** Reciprocal-rank-fusion consensus curation (x137): fuse the top-k
+    * documents by x89's pinned quality score with the top-k by
+    * vocabulary richness (distinct-token count, x55's integer column)
+    * into one consensus list — the standard RRF recipe for merging
+    * heterogeneous rankings without score calibration, here applied to
+    * corpus curation ("which docs do BOTH quality lenses like").
+    *
+    * Integer-quantized RRF: each list contributes
+    * `1000000 div (60 + rank)` micro-units (the classic 1/(60+r)
+    * scaled to fixed point and floored — `div` on positive ints is
+    * floor in both engines), absent docs contribute 0. No floats
+    * anywhere, so the fused score compares bit-identically.
+    *
+    * 100 TB shape: each arm is a corpus partial-agg (x89's per-row
+    * projection / x55's per-doc distinct count) followed by a
+    * TakeOrdered top-k — never a global rank window over the corpus.
+    * The rank assignment windows run over the two already-reduced
+    * k-row frames (`localCheckpoint`ed; the x48 tiny-table case), and
+    * the fusion is a full-outer join of two k-row sides (broadcast by
+    * size). Output ≤ 2k rows. */
+  def rrfConsensus(spark: SparkSession, dir: String,
+                   k: Int = 100, kRrf: Int = 60): DataFrame = {
+    def topRanked(scored: DataFrame, score: String, rank: String): DataFrame = {
+      val top = scored.orderBy(col(score).desc, col("doc_id")).limit(k)
+        .localCheckpoint()
+      val w = Window.orderBy(col(score).desc, col("doc_id"))
+      top.withColumn(rank, row_number().over(w).cast("long"))
+        .select(col("doc_id"), col(rank))
+    }
+    val qRank = topRanked(qualityScorePinned(spark, dir)
+      .select(col("doc_id"), col("score_micro")), "score_micro", "r_quality")
+    val rRank = topRanked(lexicalDiversity(spark, dir)
+      .select(col("doc_id"), col("n_distinct")), "n_distinct", "r_richness")
+    qRank.join(rRank, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000L div ($kRrf + r_quality)"), lit(0L)) +
+          coalesce(expr(s"1000000L div ($kRrf + r_richness)"), lit(0L)))
+  }
+
   /** Quality-drift monitor (x129): per source, the exact-rational OLS
     * slope of x89's pinned quality score over x125's doc_id-range
     * ingest batches — "is this crawl source getting worse", the alarm a

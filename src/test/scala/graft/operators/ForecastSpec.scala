@@ -114,4 +114,38 @@ class ForecastSpec extends SparkSpec {
       assert((den == 0L) == (levels == 1), s"brand $b den/levels")
     }
   }
+
+  test("meanShiftSplit (x135): argmax split matches the exhaustive driver scan") {
+    val daily = graft.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.unix_timestamp($"o_orderdate"),
+        $"o_totalprice")
+      .as[(Long, Double)].collect().toSeq
+      .map { case (ts, p) => (ts / 86400, math.round(p * 100)) }
+      .groupBy(_._1).view
+      .mapValues(vs => (vs.size.toLong, vs.map(_._2).sum)).toSeq
+      .sortBy(_._1)
+    val nT = daily.map(_._2._1).sum
+    val sT = daily.map(_._2._2).sum
+    var cn = 0L; var cs = 0L
+    val splits = daily.flatMap { case (d, (n, s)) =>
+      cn += n; cs += s
+      val na = nT - cn; val sa = sT - cs
+      if (na > 0)
+        Some((d, cn, na, cs, sa,
+          math.abs(cs * na - sa * cn).toDouble / (cn * na).toDouble))
+      else None
+    }
+    val best = splits.maxBy(t => (t._6, -t._1))
+    val got = Forecast.meanShiftSplit(spark, sf)
+      .select($"split_day", $"n_before", $"n_after",
+        $"rev_before_cents", $"rev_after_cents", $"shift_dbl")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    assert(got.head == ((best._1, best._2, best._3, best._4, best._5, best._6)))
+    // the reported means reconstruct from the integer columns exactly
+    val m = Forecast.meanShiftSplit(spark, sf)
+      .select($"mean_before_dbl", $"mean_after_dbl").as[(Double, Double)].head()
+    assert(m._1 == best._4.toDouble / best._2.toDouble)
+    assert(m._2 == best._5.toDouble / best._3.toDouble)
+  }
 }

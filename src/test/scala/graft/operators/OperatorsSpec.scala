@@ -2031,6 +2031,74 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("paretoParts (x134): frontier equals the brute-force dominance scan") {
+    val parts = graft.Tables.part(spark, sf)
+      .select($"p_partkey", $"p_size", $"p_retailprice")
+      .as[(Long, Int, Double)].collect()
+      .map { case (k, s, p) => (k, s, math.round(p * 100)) }
+    val want = parts.filter { case (k, s, p) =>
+      !parts.exists { case (k2, s2, p2) =>
+        k2 != k && p2 <= p && s2 >= s && (p2 < p || s2 > s) }
+    }.map(_._1).toSet
+    val got = Relational.paretoParts(spark, sf)
+      .select($"p_partkey", $"p_size", $"price_cents")
+      .as[(Long, Int, Long)].collect()
+    assert(got.map(_._1).toSet == want && got.nonEmpty)
+    // rows carry the catalog's own size/price
+    val cat = parts.map(t => t._1 -> (t._2, t._3)).toMap
+    got.foreach { case (k, s, p) => assert(cat(k) == ((s, p))) }
+  }
+
+  test("purchaseStreaks (x136): longest-run census matches a driver replay") {
+    val months = graft.Tables.orders(spark, sf)
+      .select($"o_custkey", year($"o_orderdate") * 12 + month($"o_orderdate") - 1)
+      .as[(Long, Int)].collect().distinct
+    val longest = months.groupBy(_._1).view.mapValues { ms =>
+      val sorted = ms.map(_._2).sorted.toList
+      var best = 1; var cur = 1
+      sorted.sliding(2).foreach {
+        case a :: b :: Nil =>
+          if (b == a + 1) { cur += 1; best = math.max(best, cur) } else cur = 1
+        case _ => ()
+      }
+      best.toLong
+    }.toMap
+    val seg = graft.Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_mktsegment").as[(Long, String)].collect().toMap
+    val want = longest.toSeq.groupBy { case (ck, l) => (seg(ck), l) }
+      .view.mapValues(_.size.toLong).toMap
+    val got = Relational.purchaseStreaks(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (s, l, n) => assert(n == want((s, l)), s"$s len $l") }
+    // every customer with ≥1 order lands in exactly one census cell
+    assert(got.map(_._3).sum == longest.size.toLong)
+  }
+
+  test("rrfConsensus (x137): fusion of independently-computed top-100 lists") {
+    def rankTop(scored: Seq[(Long, Long)]): Map[Long, Long] =
+      scored.sortBy { case (id, sc) => (-sc, id) }.take(100)
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val qRank = rankTop(TextAnalysis.qualityScorePinned(spark, sf)
+      .select($"doc_id", $"score_micro").as[(Long, Long)].collect().toSeq)
+    val rRank = rankTop(graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .map { case (id, t) => (id, t.split(" ", -1).distinct.length.toLong) })
+    def credit(r: Option[Long]): Long = r.map(r => 1000000L / (60L + r)).getOrElse(0L)
+    val want = (qRank.keySet ++ rRank.keySet).map(id =>
+      id -> (qRank.get(id), rRank.get(id),
+        credit(qRank.get(id)) + credit(rRank.get(id)))).toMap
+    val got = TextAnalysis.rrfConsensus(spark, sf).collect()
+    assert(got.length == want.size && got.length > 100)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (wq, wr, wScore) = want(id)
+      assert(Option(r.getAs[java.lang.Long]("r_quality")).map(_.toLong) == wq, s"doc $id quality rank")
+      assert(Option(r.getAs[java.lang.Long]("r_richness")).map(_.toLong) == wr, s"doc $id richness rank")
+      assert(r.getAs[Long]("rrf_micro") == wScore, s"doc $id rrf")
+    }
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
