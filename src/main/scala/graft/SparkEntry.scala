@@ -175,6 +175,10 @@ object SparkEntry {
     "x135_mean_shift"       -> ((s, d) => Forecast.meanShiftSplit(s, d)),
     "x136_purchase_streaks" -> ((s, d) => Relational.purchaseStreaks(s, d)),
     "x137_rrf_consensus"    -> ((s, d) => TextAnalysis.rrfConsensus(s, d)),
+    "x138_tier_intervals"   -> ((s, d) => Relational.tierIntervals(s, d)),
+    "x139_integrity_audit"  -> ((s, d) => Relational.integrityAudit(s, d)),
+    "x140_profile_orders"   -> ((s, d) => Relational.profileOrders(s, d)),
+    "x141_brand_top_parts"  -> ((s, d) => Relational.brandTopParts(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2377,6 +2381,87 @@ object SparkEntry {
         |          + COALESCE(1000000 // (60 + r_richness), 0) AS BIGINT) AS rrf_micro
         |FROM q FULL JOIN r ON q.doc_id = r.doc_id""".stripMargin
     },
+
+    // x138: SCD2 episode build — x132's rank CTE, tier-change filter
+    // (rn=1 opens the bronze episode), lead() closes each interval.
+    "x138_tier_intervals" -> {
+      import operators.Relational.{TierGoldAt, TierSilverAt}
+      def t(e: String) =
+        s"CASE WHEN $e < $TierSilverAt THEN 'bronze' WHEN $e < $TierGoldAt THEN 'silver' ELSE 'gold' END"
+      s"""WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
+        |  FROM orders),
+        |rk AS (SELECT o_custkey, day,
+        |              row_number() OVER (PARTITION BY o_custkey
+        |                ORDER BY day, o_orderkey) AS rn
+        |       FROM o),
+        |ep AS (SELECT o_custkey, rn, day AS valid_from_day,
+        |              ${t("rn")} AS tier
+        |       FROM rk
+        |       WHERE rn = 1 OR ${t("rn")} <> ${t("(rn - 1)")})
+        |SELECT o_custkey, tier, valid_from_day,
+        |       lead(valid_from_day) OVER (PARTITION BY o_custkey ORDER BY rn) AS valid_to_day
+        |FROM ep""".stripMargin
+    },
+
+    // x139: referential-integrity panel — NOT EXISTS per relationship
+    // (null keys count as orphans, matching the anti-join).
+    "x139_integrity_audit" -> {
+      def rel(name: String, child: String, key: String,
+              parent: String, pkey: String) =
+        s"""SELECT '$name' AS relationship,
+          |       CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_child_rows,
+          |       CAST((SELECT count(*) FROM $child c WHERE NOT EXISTS
+          |             (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key)) AS BIGINT) AS n_orphan_rows""".stripMargin
+      Seq(
+        rel("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        rel("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        rel("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        rel("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        rel("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        rel("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      ).mkString("\nUNION ALL\n")
+    },
+
+    // x140: column profile — one aggregate CTE, panel rows via UNION ALL
+    // (DuckDB's stack()); categorical min/max stays NULL by design.
+    "x140_profile_orders" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey,
+        |                  CAST(round(o_totalprice*100) AS BIGINT) AS total_cents,
+        |                  CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS order_day,
+        |                  o_orderstatus, o_orderpriority
+        |           FROM orders),
+        |a AS (SELECT
+        |  CAST(count(o_orderkey) AS BIGINT) AS nn1, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+        |  MIN(o_orderkey) AS mn1, MAX(o_orderkey) AS mx1,
+        |  CAST(count(o_custkey) AS BIGINT) AS nn2, CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd2,
+        |  MIN(o_custkey) AS mn2, MAX(o_custkey) AS mx2,
+        |  CAST(count(total_cents) AS BIGINT) AS nn3, CAST(count(DISTINCT total_cents) AS BIGINT) AS nd3,
+        |  MIN(total_cents) AS mn3, MAX(total_cents) AS mx3,
+        |  CAST(count(order_day) AS BIGINT) AS nn4, CAST(count(DISTINCT order_day) AS BIGINT) AS nd4,
+        |  MIN(order_day) AS mn4, MAX(order_day) AS mx4,
+        |  CAST(count(o_orderstatus) AS BIGINT) AS nn5, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd5,
+        |  CAST(count(o_orderpriority) AS BIGINT) AS nn6, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd6
+        |  FROM t)
+        |SELECT 'o_orderkey' AS column_name, nn1 AS n_nonnull, nd1 AS n_distinct, mn1 AS min_v, mx1 AS max_v FROM a
+        |UNION ALL SELECT 'o_custkey', nn2, nd2, mn2, mx2 FROM a
+        |UNION ALL SELECT 'o_totalprice_cents', nn3, nd3, mn3, mx3 FROM a
+        |UNION ALL SELECT 'o_orderdate_day', nn4, nd4, mn4, mx4 FROM a
+        |UNION ALL SELECT 'o_orderstatus', nn5, nd5, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM a
+        |UNION ALL SELECT 'o_orderpriority', nn6, nd6, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM a""".stripMargin,
+
+    // x141: rank() WITH ties — every part tying a top-3 line-item count
+    // reports; no tiebreak column, the output is deterministic as a set.
+    "x141_brand_top_parts" ->
+      """WITH pp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lineitems
+        |            FROM lineitem GROUP BY 1),
+        |j AS (SELECT p_brand, p_partkey, n_lineitems
+        |      FROM pp JOIN part ON l_partkey = p_partkey),
+        |r AS (SELECT *, CAST(rank() OVER (PARTITION BY p_brand
+        |                     ORDER BY n_lineitems DESC) AS BIGINT) AS rnk
+        |      FROM j)
+        |SELECT p_brand, p_partkey, n_lineitems, rnk FROM r WHERE rnk <= 3""".stripMargin,
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

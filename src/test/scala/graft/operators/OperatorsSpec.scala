@@ -2099,6 +2099,90 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("tierIntervals (x138): episodes partition each customer's timeline and agree with x132") {
+    val orders = graft.Tables.orders(spark, sf)
+      .select($"o_custkey", $"o_orderkey", unix_timestamp($"o_orderdate"))
+      .as[(Long, Long, Long)].collect().toSeq
+    def tier(n: Long): String =
+      if (n < Relational.TierSilverAt) "bronze"
+      else if (n < Relational.TierGoldAt) "silver" else "gold"
+    val want = orders.groupBy(_._1).toSeq.flatMap { case (ck, os) =>
+      val days = os.map(o => (o._3 / 86400, o._2)).sorted.map(_._1)
+      val eps = days.zipWithIndex.collect {
+        case (d, i) if i == 0 || tier(i + 1L) != tier(i.toLong) => (tier(i + 1L), d)
+      }
+      eps.zipWithIndex.map { case ((t, from), i) =>
+        (ck, t, from, eps.lift(i + 1).map(_._2)) }
+    }.toSet
+    val got = Relational.tierIntervals(spark, sf)
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // exactly one open interval (null valid_to) per customer
+    val open = got.toSeq.filter(_._4.isEmpty).groupBy(_._1).view.mapValues(_.size)
+    assert(open.values.forall(_ == 1) && open.size == orders.map(_._1).distinct.size)
+  }
+
+  test("integrityAudit (x139): orphan counts match driver-side set differences") {
+    def keys(df: org.apache.spark.sql.DataFrame, c: String): Seq[Long] =
+      df.select(col(c)).as[Long].collect().toSeq
+    val li = graft.Tables.lineitem(spark, sf)
+    val cases = Seq(
+      ("lineitem->orders", keys(li, "l_orderkey"), keys(graft.Tables.orders(spark, sf), "o_orderkey")),
+      ("lineitem->part", keys(li, "l_partkey"), keys(graft.Tables.part(spark, sf), "p_partkey")),
+      ("lineitem->supplier", keys(li, "l_suppkey"), keys(graft.Tables.supplier(spark, sf), "s_suppkey")),
+      ("orders->customer", keys(graft.Tables.orders(spark, sf), "o_custkey"),
+        keys(graft.Tables.customer(spark, sf), "c_custkey")),
+      ("customer->nation", keys(graft.Tables.customer(spark, sf), "c_nationkey"),
+        keys(graft.Tables.nation(spark, sf), "n_nationkey")),
+      ("supplier->nation", keys(graft.Tables.supplier(spark, sf), "s_nationkey"),
+        keys(graft.Tables.nation(spark, sf), "n_nationkey")))
+    val want = cases.map { case (name, child, parent) =>
+      name -> (child.size.toLong, child.count(k => !parent.toSet.contains(k)).toLong) }.toMap
+    val got = Relational.integrityAudit(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(got.length == 6)
+    got.foreach { case (name, n, orph) => assert((n, orph) == want(name), name) }
+  }
+
+  test("profileOrders (x140): per-column stats match a driver replay") {
+    val rows = graft.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        unix_timestamp($"o_orderdate"), $"o_orderstatus", $"o_orderpriority")
+      .as[(Long, Long, Double, Long, String, String)].collect().toSeq
+    def num(vs: Seq[Long]) =
+      (vs.size.toLong, vs.distinct.size.toLong, Some(vs.min), Some(vs.max))
+    val want = Map[String, (Long, Long, Option[Long], Option[Long])](
+      "o_orderkey" -> num(rows.map(_._1)),
+      "o_custkey" -> num(rows.map(_._2)),
+      "o_totalprice_cents" -> num(rows.map(r => math.round(r._3 * 100))),
+      "o_orderdate_day" -> num(rows.map(_._4 / 86400)),
+      "o_orderstatus" -> ((rows.size.toLong, rows.map(_._5).distinct.size.toLong, None, None)),
+      "o_orderpriority" -> ((rows.size.toLong, rows.map(_._6).distinct.size.toLong, None, None)))
+    val got = Relational.profileOrders(spark, sf)
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect()
+    assert(got.length == 6)
+    got.foreach { case (c, nn, nd, mn, mx) => assert((nn, nd, mn, mx) == want(c), c) }
+  }
+
+  test("brandTopParts (x141): rank-with-ties matches a driver replay and keeps every tied part") {
+    val counts = graft.Tables.lineitem(spark, sf)
+      .select($"l_partkey").as[Long].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val brand = graft.Tables.part(spark, sf)
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val want = counts.toSeq.map { case (pk, n) => (brand(pk), pk, n) }
+      .groupBy(_._1).toSeq.flatMap { case (b, ps) =>
+        val byCount = ps.map(_._3).sortBy(-_)
+        ps.map { case (_, pk, n) =>
+          (b, pk, n, byCount.count(_ > n).toLong + 1L) }.filter(_._4 <= 3)
+      }.toSet
+    val got = Relational.brandTopParts(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // ties are real on an integer key: some brand reports more than 3 parts
+    assert(got.toSeq.groupBy(_._1).values.exists(_.size > 3))
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
