@@ -183,6 +183,7 @@ object BenchStreaming {
       run("stream_static_enrich", ev => EventStream.enrichWithUsers(ev, users)),
       run("sampled_stream", ev => EventStream.sampledStream(ev, thresholds)),
       run("transitions_stream", ev => EventStream.transitions(ev).toDF()),
+      run("tier_promotions_stream", ev => EventStream.tierPromotions(ev).toDF()),
       run("ewma_stream", ev => EventStream.ewmaPopularity(ev).toDF()),
       run("last_touch_stream", { ev =>
         import org.apache.spark.sql.functions.{col, round}

@@ -318,4 +318,48 @@ object EventStream {
           out.iterator
       }
   }
+
+  // —— stateful tier-promotion alerts via flatMapGroupsWithState ——
+
+  case class PEvent(user_id: Long, event_id: Long, ts_s: Long)
+  case class TierState(n: Long)
+  case class PromoOut(user_id: Long, tier: String, at_ts_s: Long, n_events: Long)
+
+  /** Streaming twin of x132/x138's loyalty-tier logic: per-user
+    * `GroupState` carries the lifetime purchase count across
+    * micro-batches, and a promotion row fires the moment the count
+    * crosses a threshold — the thresholds are
+    * [[graft.operators.Relational.TierSilverAt]] /
+    * [[graft.operators.Relational.TierGoldAt]], SHARED with the batch
+    * operator so stream and warehouse can never disagree on what
+    * "silver" means. This is the real-time half of the SCD2 dimension:
+    * x138 rebuilds the interval table in batch; this emits the
+    * interval-opening events with no rebuild.
+    *
+    * State is one Long per user (count), the minimal promotion state;
+    * each micro-batch's rows sort by the (ts_s, event_id) total key
+    * and cross-batch correctness assumes per-user in-order arrival
+    * (the same contract as every last-value-state twin here). */
+  def tierPromotions(events: DataFrame): Dataset[PromoOut] = {
+    import graft.operators.Relational.{TierGoldAt, TierSilverAt}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_s")).as[PEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TierState, PromoOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[PEvent], state: GroupState[TierState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_s, e.event_id))
+          val out = scala.collection.mutable.ListBuffer.empty[PromoOut]
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          for (e <- sorted) {
+            n += 1
+            if (n == TierSilverAt) out += PromoOut(user, "silver", e.ts_s, n)
+            else if (n == TierGoldAt) out += PromoOut(user, "gold", e.ts_s, n)
+          }
+          state.update(TierState(n))
+          out.iterator
+      }
+  }
 }

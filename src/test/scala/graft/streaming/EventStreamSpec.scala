@@ -321,4 +321,41 @@ class EventStreamSpec extends SparkSpec {
     val streamedEvents = sessions.agg(sum($"n_events")).head().getLong(0)
     assert(streamedEvents == graft.Tables.events(spark, sf).count())
   }
+
+  test("stateful streaming tierPromotions ≡ a driver replay across a micro-batch boundary") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tierstream").toString
+    val raw = graft.Tables.events(spark, sf)
+    val ev = raw.select($"event_id", $"user_id", $"event_type",
+      Sessionize.tsSeconds(raw).as("ts_s"))
+    val cut = ev.stat.approxQuantile("ts_s", Array(0.5), 0.0).head.toLong
+    ev.filter($"ts_s" <= cut).write.parquet(s"$root/drop")
+    ev.filter($"ts_s" > cut).write.mode("append").parquet(s"$root/drop")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/drop")
+    val q = EventStream.tierPromotions(stream).toDF()
+      .writeStream.format("memory").queryName("tier_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("tier_stream")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // driver replay over the full (unsplit) purchase log
+    import graft.operators.Relational.{TierGoldAt, TierSilverAt}
+    val want = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts_s").as[(Long, Long, Long)]
+      .collect().toSeq.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+        es.sortBy(e => (e._3, e._2)).zipWithIndex.collect {
+          case ((_, _, ts), i) if i + 1 == TierSilverAt => (u, "silver", ts, (i + 1).toLong)
+          case ((_, _, ts), i) if i + 1 == TierGoldAt   => (u, "gold", ts, (i + 1).toLong)
+        }
+      }.toSet
+    assert(streamed == want && streamed.nonEmpty)
+    // a user whose promotion lands in drop 2 with prior purchases in drop 1
+    // proves the count survived the boundary
+    val purch = ev.filter($"event_type" === "purchase")
+    val crossUsers = purch.filter($"ts_s" <= cut).select($"user_id").distinct()
+      .intersect(purch.filter($"ts_s" > cut).select($"user_id").distinct()).count()
+    assert(crossUsers > 0, "fixture must force cross-batch state handoff")
+  }
 }
