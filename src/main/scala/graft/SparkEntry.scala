@@ -179,6 +179,9 @@ object SparkEntry {
     "x139_integrity_audit"  -> ((s, d) => Relational.integrityAudit(s, d)),
     "x140_profile_orders"   -> ((s, d) => Relational.profileOrders(s, d)),
     "x141_brand_top_parts"  -> ((s, d) => Relational.brandTopParts(s, d)),
+    "x142_value_histogram"  -> ((s, d) => Relational.orderValueHistogram(s, d)),
+    "x143_reconcile_orders" -> ((s, d) => Relational.reconcileOrders(s, d)),
+    "x144_cdc_merge"        -> ((s, d) => Relational.cdcMergeDocs(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2462,6 +2465,53 @@ object SparkEntry {
         |                     ORDER BY n_lineitems DESC) AS BIGINT) AS rnk
         |      FROM j)
         |SELECT p_brand, p_partkey, n_lineitems, rnk FROM r WHERE rnk <= 3""".stripMargin,
+
+    // x142: log2 histogram — bucket = bit-length via length(bin(v)),
+    // integer-exact in both engines; edges reconstructed by shifts.
+    "x142_value_histogram" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS v
+        |           FROM orders
+        |           WHERE CAST(round(o_totalprice*100) AS BIGINT) > 0)
+        |SELECT CAST(length(bin(v)) AS BIGINT) AS bucket,
+        |       (1::BIGINT << (CAST(length(bin(v)) AS BIGINT) - 1)) AS lo_cents,
+        |       (1::BIGINT << CAST(length(bin(v)) AS BIGINT)) - 1 AS hi_cents,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(v) AS BIGINT) AS sum_cents
+        |FROM v GROUP BY 1, 2, 3""".stripMargin,
+
+    // x143: header-vs-lines reconciliation — line totals aggregated per
+    // order first, left join, integer-cents drift panel per status.
+    "x143_reconcile_orders" ->
+      """WITH lt AS (SELECT l_orderkey,
+        |                   CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS line_cents
+        |            FROM lineitem GROUP BY 1)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CASE WHEN COALESCE(line_cents, 0) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_lines,
+        |       CAST(SUM(CASE WHEN CAST(round(o_totalprice*100) AS BIGINT) = COALESCE(line_cents, 0)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |       CAST(SUM(abs(CAST(round(o_totalprice*100) AS BIGINT) - COALESCE(line_cents, 0))) AS BIGINT) AS abs_drift_cents
+        |FROM orders LEFT JOIN lt ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // x144: MERGE-apply — the pinned CDC batch (mod-7 updates, mod-13
+    // negated-key inserts), EXISTS/NOT EXISTS replicating the
+    // semi/anti match phases.
+    "x144_cdc_merge" ->
+      """WITH snap AS (SELECT doc_id, lang, source, n_chars FROM documents),
+        |upd AS (SELECT doc_id, lang, 'cdc_update' AS source,
+        |               CAST(length(text) AS BIGINT) AS n_chars
+        |        FROM documents WHERE doc_id % 7 = 0),
+        |ins AS (SELECT -doc_id AS doc_id, lang, 'cdc_insert' AS source, n_chars
+        |        FROM documents WHERE doc_id % 13 = 0 AND doc_id <> 0),
+        |cdc AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT s.doc_id, s.lang, s.source, s.n_chars, 'kept' AS change_type
+        |FROM snap s WHERE NOT EXISTS (SELECT 1 FROM cdc c WHERE c.doc_id = s.doc_id)
+        |UNION ALL
+        |SELECT c.doc_id, c.lang, c.source, c.n_chars, 'updated' AS change_type
+        |FROM cdc c WHERE EXISTS (SELECT 1 FROM snap s WHERE s.doc_id = c.doc_id)
+        |UNION ALL
+        |SELECT c.doc_id, c.lang, c.source, c.n_chars, 'inserted' AS change_type
+        |FROM cdc c WHERE NOT EXISTS (SELECT 1 FROM snap s WHERE s.doc_id = c.doc_id)""".stripMargin,
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

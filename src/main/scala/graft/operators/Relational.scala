@@ -658,6 +658,103 @@ object Relational {
       .select(col("p_brand"), col("p_partkey"), col("n_lineitems"), col("rnk"))
   }
 
+  /** Log₂-bucketed order-value histogram (x142): orders counted and
+    * summed into power-of-two value buckets — the long-tail spend
+    * distribution at a glance, with the bucket edges integer-exact in
+    * both engines (bucket = bit-length of the cent amount, computed as
+    * `length(bin(v))`, never a float log). The bucket domain is ~45
+    * cells for any revenue a Long can hold, so the histogram is
+    * bounded no matter the corpus.
+    *
+    * 100 TB shape: one scan, one partial-agg'd groupBy onto ≤45 cells.
+    * Bucket edges reconstruct as `1 << (bucket-1)` / `(1 << bucket)-1`
+    * — emitted so the report is self-describing. */
+  def orderValueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(cents(col("o_totalprice")).as("v"))
+      .filter(col("v") > 0)
+      .withColumn("bucket", length(bin(col("v"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("v")).as("sum_cents"))
+      .withColumn("lo_cents", expr("shiftleft(1L, cast(bucket - 1 as int))"))
+      .withColumn("hi_cents", expr("shiftleft(1L, cast(bucket as int)) - 1"))
+      .select(col("bucket"), col("lo_cents"), col("hi_cents"),
+        col("n_orders"), col("sum_cents"))
+
+  /** Header-vs-lines reconciliation audit (x143): per order status, how
+    * many order headers exist, how many have line items at all, how
+    * many headers exactly equal their line-total, and the total
+    * absolute drift in cents — the ledger-reconciliation report every
+    * finance close runs against an ETL'd star schema. (On this
+    * synthetic data header and line totals are independently generated,
+    * so the drift is large — the AUDIT is the operator; the number is
+    * the data's.) Headers with no lines reconcile against 0 and count
+    * their full total as drift, the audit-correct reading.
+    *
+    * 100 TB shape: lines partial-agg to one row per order FIRST (the
+    * only corpus-sized shuffle, on the join key itself), the header
+    * join is keyed on the same key (no re-shuffle of the agg side),
+    * and the panel is a partial-agg'd rollup onto O(statuses) cells.
+    * All arithmetic in integer cents. */
+  def reconcileOrders(spark: SparkSession, dir: String): DataFrame = {
+    val lineTotals = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("v"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("v")).as("line_cents"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("header_cents"))
+      .join(lineTotals, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("line_cents", coalesce(col("line_cents"), lit(0L)))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("line_cents") =!= 0L).cast("long")).as("n_with_lines"),
+        sum((col("header_cents") === col("line_cents")).cast("long")).as("n_exact"),
+        sum(abs(col("header_cents") - col("line_cents"))).as("abs_drift_cents"))
+  }
+
+  /** Generic MERGE-apply (the batch half of a CDC upsert): rows of
+    * `cdc` whose key exists in `snapshot` replace the matching row
+    * (`updated`), keys absent from the snapshot insert (`inserted`),
+    * untouched snapshot rows carry through (`kept`). Pure keyed
+    * semi/anti joins — the MERGE INTO a lakehouse engine runs, with
+    * the match phase expressed as Spark's own join forms so it scales
+    * as a join, not a row-at-a-time upsert loop. */
+  def mergeApply(snapshot: DataFrame, cdc: DataFrame, key: String): DataFrame = {
+    val kept = snapshot.join(cdc.select(col(key)), Seq(key), "left_anti")
+      .withColumn("change_type", lit("kept"))
+    val updated = cdc.join(snapshot.select(col(key)), Seq(key), "left_semi")
+      .withColumn("change_type", lit("updated"))
+    val inserted = cdc.join(snapshot.select(col(key)), Seq(key), "left_anti")
+      .withColumn("change_type", lit("inserted"))
+    kept.unionAll(updated).unionAll(inserted)
+  }
+
+  /** CDC merge over the documents snapshot (x144): applies a pinned,
+    * deterministic CDC batch — every doc_id ≡ 0 (mod 7) arrives as an
+    * update with its char count re-measured, and every doc_id ≡ 0
+    * (mod 13) arrives again as a NEW document under the negated key
+    * (a collision-free synthetic insert id) — then reports the merged
+    * table with per-row change_type. The query form of what
+    * `pipeline/Maintenance.upsert` does to managed tables, made
+    * oracle-checkable.
+    *
+    * 100 TB shape: [[mergeApply]]'s three keyed joins; the CDC side is
+    * derived from the same scan by per-row projection (no extra
+    * shuffle beyond the joins' own key exchanges). */
+  def cdcMergeDocs(spark: SparkSession, dir: String): DataFrame = {
+    val snapshot = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val docs = Tables.documents(spark, dir)
+    val updates = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("lang"),
+        lit("cdc_update").as("source"), length(col("text")).cast("long").as("n_chars"))
+    val inserts = docs.filter(col("doc_id") % 13 === 0 && col("doc_id") =!= 0)
+      .select((-col("doc_id")).as("doc_id"), col("lang"),
+        lit("cdc_insert").as("source"), col("n_chars"))
+    mergeApply(snapshot, updates.unionAll(inserts), "doc_id")
+  }
+
   /** RFM customer segmentation (x120): per customer with ≥1 order,
     * recency (days since last order, relative to the corpus max day),
     * frequency (order count), monetary (lifetime cents), each scored

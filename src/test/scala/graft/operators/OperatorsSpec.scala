@@ -2183,6 +2183,67 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq.groupBy(_._1).values.exists(_.size > 3))
   }
 
+  test("orderValueHistogram (x142): buckets are exact bit-lengths and edges bracket every member") {
+    val vs = graft.Tables.orders(spark, sf)
+      .select($"o_totalprice").as[Double].collect().toSeq
+      .map(p => math.round(p * 100)).filter(_ > 0)
+    val want = vs.groupBy(v => 64 - java.lang.Long.numberOfLeadingZeros(v))
+      .map { case (b, xs) => b.toLong -> (xs.size.toLong, xs.sum) }
+    val got = Relational.orderValueHistogram(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (b, lo, hi, n, s) =>
+      assert((n, s) == want(b), s"bucket $b")
+      assert(lo == (1L << (b - 1)) && hi == (1L << b) - 1)
+    }
+    // histogram partitions the order mass
+    assert(got.map(_._4).sum == vs.size.toLong && got.map(_._5).sum == vs.sum)
+  }
+
+  test("reconcileOrders (x143): drift panel matches a driver-side ledger replay") {
+    val lines = graft.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_extendedprice").as[(Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(r => math.round(r._2 * 100)).sum).toMap
+    val orders = graft.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .as[(Long, String, Double)].collect().toSeq
+    val want = orders.groupBy(_._2).view.mapValues { os =>
+      val rows = os.map { case (k, _, p) =>
+        (math.round(p * 100), lines.getOrElse(k, 0L)) }
+      (rows.size.toLong,
+        rows.count(_._2 != 0L).toLong,
+        rows.count(r => r._1 == r._2).toLong,
+        rows.map(r => math.abs(r._1 - r._2)).sum)
+    }.toMap
+    val got = Relational.reconcileOrders(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (st, n, nw, ne, d) => assert((n, nw, ne, d) == want(st), st) }
+  }
+
+  test("cdcMergeDocs (x144): merge output is keyed-disjoint and applies every CDC row exactly once") {
+    val snap = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .as[(Long, String, String, Long)].collect().toSeq
+    val text = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val upd = snap.filter(_._1 % 7 == 0)
+      .map { case (id, l, _, _) => (id, l, "cdc_update", text(id).length.toLong) }
+    val ins = snap.filter(r => r._1 % 13 == 0 && r._1 != 0)
+      .map { case (id, l, _, n) => (-id, l, "cdc_insert", n) }
+    val updIds = upd.map(_._1).toSet
+    val want = (snap.filterNot(r => updIds.contains(r._1))
+        .map(r => (r._1, r._2, r._3, r._4, "kept")) ++
+      upd.map(r => (r._1, r._2, r._3, r._4, "updated")) ++
+      ins.map(r => (r._1, r._2, r._3, r._4, "inserted"))).toSet
+    val got = Relational.cdcMergeDocs(spark, sf)
+      .as[(Long, String, String, Long, String)].collect()
+    assert(got.toSet == want && got.nonEmpty)
+    // MERGE invariant: one row per key, all three change types present
+    assert(got.map(_._1).distinct.length == got.length)
+    assert(got.map(_._5).distinct.toSet == Set("kept", "updated", "inserted"))
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
