@@ -182,6 +182,9 @@ object SparkEntry {
     "x142_value_histogram"  -> ((s, d) => Relational.orderValueHistogram(s, d)),
     "x143_reconcile_orders" -> ((s, d) => Relational.reconcileOrders(s, d)),
     "x144_cdc_merge"        -> ((s, d) => Relational.cdcMergeDocs(s, d)),
+    "x145_cohort_ltv"       -> ((s, d) => Relational.cohortLtv(s, d)),
+    "x146_containment"      -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "x147_active_users"     -> ((s, d) => Sessionize.activeUsers(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2512,6 +2515,58 @@ object SparkEntry {
         |UNION ALL
         |SELECT c.doc_id, c.lang, c.source, c.n_chars, 'inserted' AS change_type
         |FROM cdc c WHERE NOT EXISTS (SELECT 1 FROM snap s WHERE s.doc_id = c.doc_id)""".stripMargin,
+
+    // x145: cohort LTV triangle — first-order month per customer, keyed
+    // join back, cumulative over the tiny (cohort, age) frame.
+    "x145_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |                  year(o_orderdate)*12 + month(o_orderdate) - 1 AS m,
+        |                  CAST(round(o_totalprice*100) AS BIGINT) AS v
+        |           FROM orders),
+        |f AS (SELECT o_custkey, MIN(m) AS cohort_m FROM o GROUP BY 1),
+        |c AS (SELECT cohort_m, m - cohort_m AS age_months,
+        |             CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+        |             CAST(SUM(v) AS BIGINT) AS revenue_cents
+        |      FROM o JOIN f USING (o_custkey) GROUP BY 1, 2)
+        |SELECT cohort_m, age_months, n_customers, revenue_cents,
+        |       CAST(SUM(revenue_cents) OVER (PARTITION BY cohort_m ORDER BY age_months
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_revenue_cents
+        |FROM c""".stripMargin,
+
+    // x146: containment pairs — x02's shingle/cap/pair CTEs verbatim,
+    // integer cross-multiplied keep filter, single-IEEE display ratios.
+    "x146_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CAST(len(shingles) AS INTEGER) AS n_sh, unnest(shingles) AS sh FROM (
+        |    SELECT doc_id,
+        |           list_distinct([array_to_string(words[i:i+4], ' ')
+        |                          for i in range(1, len(words) - 3)]) AS shingles
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1) t2),
+        |capped AS (
+        |  SELECT * FROM sh
+        |  WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > 100)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+        |         COUNT(*) AS inter
+        |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, n_a, n_b, inter,
+        |       CAST(inter AS DOUBLE) / n_a AS containment_a,
+        |       CAST(inter AS DOUBLE) / n_b AS containment_b
+        |FROM pairs WHERE inter * 5 >= n_a * 4 OR inter * 5 >= n_b * 4""".stripMargin,
+
+    // x147: rolling active users — each (user, week) replicated to its
+    // ≤4 trailing-window targets, deduped, counted; ppm stickiness.
+    "x147_active_users" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |                   (CAST(floor(epoch(ts)) AS BIGINT) // 604800) AS week
+        |            FROM events),
+        |wau AS (SELECT week, CAST(count(*) AS BIGINT) AS wau FROM uw GROUP BY 1),
+        |tw AS (SELECT DISTINCT user_id, week + d AS week
+        |       FROM uw, (SELECT unnest([0, 1, 2, 3]) AS d) ds),
+        |mau AS (SELECT week, CAST(count(*) AS BIGINT) AS mau4 FROM tw GROUP BY 1)
+        |SELECT week, wau, mau4, (1000000 * wau) // mau4 AS stickiness_ppm
+        |FROM wau JOIN mau USING (week)""".stripMargin,
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

@@ -192,6 +192,48 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }
 
+  /** Asymmetric containment pairs (x146): x02's candidate machinery,
+    * but scored by CONTAINMENT — `inter/|A|` (how much of doc A lives
+    * inside doc B) — instead of symmetric Jaccard. A 100-word quote
+    * embedded in a 10 000-word page has Jaccard ≈ 0.01 (invisible to
+    * x02) and containment ≈ 1.0; this is the detector for
+    * subset-copies, the commonest real-world plagiarism/boilerplate
+    * shape. The keep filter is pure integer cross-multiplication
+    * (`den·inter ≥ num·n` — no float in the decision path); the two
+    * containment columns are single-IEEE display divisions.
+    *
+    * 100 TB shape: identical to x02 — shingle-bucketed equi-join with
+    * the stop-shingle df cap bounding the hot keys; the only change is
+    * the scoring projection on the already-aggregated pair frame. */
+  def containmentPairs(spark: SparkSession, dir: String, n: Int = 5,
+                       num: Int = 4, den: Int = 5,
+                       maxShingleDf: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.HashSignatures.word_shingles(col("text"), n).as("shingles"))
+      .withColumn("n_sh", size(col("shingles")))
+    val raw = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val stopShingles = raw.groupBy(col("sh"))
+      .agg(count(lit(1)).as("sh_df"))
+      .filter(col("sh_df") > maxShingleDf)
+      .select(col("sh"))
+    // no broadcast hint on the stop list: the >df shingle set is
+    // corpus-growing on a real crawl (the x68/x72 lesson) — AQE still
+    // broadcasts it when it is genuinely small
+    val exploded = raw.join(stopShingles, Seq("sh"), "left_anti")
+    val a = exploded.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("sh"))
+    val b = exploded.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * den >= col("n_a") * num ||
+        col("inter") * den >= col("n_b") * num)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("inter"),
+        (col("inter").cast("double") / col("n_a")).as("containment_a"),
+        (col("inter").cast("double") / col("n_b")).as("containment_b"))
+  }
+
   /** MinHash signature of a shingle array: k independent permutations
     * approximated as `(a_i * h(shingle) + b_i) mod p`, minimum per row.
     * Pure codegen'd expressions (xxhash64 + higher-order aggregate). */

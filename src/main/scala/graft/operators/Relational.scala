@@ -755,6 +755,35 @@ object Relational {
     mergeApply(snapshot, updates.unionAll(inserts), "doc_id")
   }
 
+  /** Cohort LTV triangle (x145): customers grouped by first-order month
+    * (the cohort), revenue accumulated by months-since-first-order (the
+    * age) — the lifetime-value accumulation matrix every growth team
+    * reads, with a running cumulative per cohort so LTV-at-age-k is a
+    * row lookup.
+    *
+    * 100 TB shape: the fact collapses to (customer, month, cents)
+    * per-row projections; the cohort month is a partial-agg'd
+    * groupBy(customer) min, joined back ON THE SAME KEY (no second
+    * corpus shuffle shape — the join key is the aggregation key); the
+    * triangle is a partial-agg'd groupBy onto O(months²/2) cells and
+    * the cumulative window runs over that tiny frame (the x48 case,
+    * partitioned by cohort). */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m"),
+        cents(col("o_totalprice")).as("v"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort_m"))
+    val tri = o.join(first, Seq("o_custkey"))
+      .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("age_months"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        sum(col("v")).as("revenue_cents"))
+    val w = Window.partitionBy(col("cohort_m")).orderBy(col("age_months"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tri.withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(w))
+  }
+
   /** RFM customer segmentation (x120): per customer with ≥1 order,
     * recency (days since last order, relative to the corpus max day),
     * frequency (order count), monetary (lifetime cents), each scored

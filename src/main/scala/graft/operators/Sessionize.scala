@@ -588,4 +588,39 @@ object Sessionize {
         col("n_total"))): _*)).as("s"))
       .select(col("s.stage"), col("s.event_type"), col("s.n_users"), col("s.n_total"))
   }
+
+  /** Rolling active-user panel (x147): per active week, the weekly
+    * active users (WAU), the trailing-4-week active users (MAU4), and
+    * the WAU/MAU4 stickiness ratio in ppm — the engagement dashboard's
+    * headline row, with both distinct counts EXACT. Weeks with no
+    * events report no row (observed-week semantics, x87's documented
+    * convention).
+    *
+    * Exact rolling distincts without a rolling window: each (user,
+    * week) activity row is replicated to the ≤4 future weeks whose
+    * trailing window it falls in (`explode(sequence(week, week+3))`),
+    * then deduped and counted per target week — a partial-agg'd
+    * groupBy, never a distinct-inside-window (which Spark cannot
+    * partial-agg and classic engines approximate with HLL). The 4×
+    * replication is the exact price of the 4-week window and scales
+    * linearly; the stickiness division is integer ppm (`div` on
+    * nonnegatives).
+    *
+    * 100 TB shape: one corpus scan collapses to distinct (user, week)
+    * (partial-combined); everything after lives on that reduced frame;
+    * the final join is keyed on week (tiny both sides after agg). */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    val uw = raw.select(col("user_id"), tsSeconds(raw).as("ts_s"))
+      .select(col("user_id"), expr("ts_s div 604800").as("week"))
+      .distinct()
+    val wau = uw.groupBy(col("week")).agg(count(lit(1)).as("wau"))
+    val mau = uw
+      .select(col("user_id"), explode(expr("sequence(week, week + 3)")).as("week"))
+      .distinct()
+      .groupBy(col("week")).agg(count(lit(1)).as("mau4"))
+    wau.join(mau, Seq("week"))
+      .withColumn("stickiness_ppm", expr("(1000000L * wau) div mau4"))
+      .select(col("week"), col("wau"), col("mau4"), col("stickiness_ppm"))
+  }
 }

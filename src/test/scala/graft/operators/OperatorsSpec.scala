@@ -2244,6 +2244,81 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_._5).distinct.toSet == Set("kept", "updated", "inserted"))
   }
 
+  test("cohortLtv (x145): triangle matches a driver replay and cumulates correctly") {
+    val orders = graft.Tables.orders(spark, sf)
+      .select($"o_custkey", year($"o_orderdate") * 12 + month($"o_orderdate") - 1,
+        $"o_totalprice")
+      .as[(Long, Int, Double)].collect().toSeq
+      .map { case (ck, m, p) => (ck, m.toLong, math.round(p * 100)) }
+    val cohort = orders.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cells = orders.groupBy(o => (cohort(o._1), o._2 - cohort(o._1)))
+      .map { case ((c, a), os) =>
+        (c, a) -> (os.map(_._1).distinct.size.toLong, os.map(_._3).sum) }
+    val got = Relational.cohortLtv(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == cells.size && got.nonEmpty)
+    got.foreach { case (c, a, n, rev, _) => assert((n, rev) == cells((c, a)), s"cell $c/$a") }
+    // cumulative column is the prefix sum of the revenue column per cohort
+    got.groupBy(_._1).foreach { case (c, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val prefix = sorted.map(_._4).scanLeft(0L)(_ + _).tail
+      assert(sorted.map(_._5).toSeq == prefix.toSeq, s"cohort $c cum")
+    }
+  }
+
+  test("containmentPairs (x146): finds subset-copies that symmetric Jaccard misses") {
+    // doc B embeds all of doc A's shingles inside a much larger text:
+    // containment(A) = 1.0 while Jaccard is far below x02's threshold
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    val quote = (1 to 30).map(i => s"q$i").mkString(" ")
+    val page = quote + " " + (1 to 400).map(i => s"p$i").mkString(" ")
+    val others = (1 to 5).map(i => (100L + i, (1 to 50).map(j => s"o${i}_$j").mkString(" ")))
+    val docs = (Seq((1L, quote), (2L, page)) ++ others).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.containmentPairs(spark, dir)
+      .as[(Long, Long, Int, Int, Long, Double, Double)].collect()
+    assert(got.length == 1)
+    val (a, b, nA, _, inter, cA, cB) = got.head
+    assert((a, b) == ((1L, 2L)))
+    assert(inter == nA && cA == 1.0 && cB < 0.1, "full containment of the quote")
+    // and the corpus run agrees with a brute-force driver replay
+    def shingles(t: String): Set[String] =
+      t.split(" ", -1).sliding(5).map(_.mkString(" ")).toSet
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .map { case (id, t) => (id, shingles(t)) }
+    val df = corpus.flatMap(_._2.toSeq).groupBy(identity).view.mapValues(_.size)
+    val capped = corpus.map { case (id, sh) => (id, sh.filter(df(_) <= 100)) }
+    val want = (for {
+      (ia, sa) <- capped; (ib, sb) <- capped if ia < ib
+      inter = (sa intersect sb).size
+      if inter > 0 && (inter * 5 >= sa.size * 4 || inter * 5 >= sb.size * 4)
+    } yield (ia, ib, sa.size, sb.size, inter.toLong)).toSet
+    val gotCorpus = Dedup.containmentPairs(spark, "/root/testdata/sf0.001")
+      .select($"doc_a", $"doc_b", $"n_a", $"n_b", $"inter")
+      .as[(Long, Long, Int, Int, Long)].collect().toSet
+    assert(gotCorpus == want)
+  }
+
+  test("activeUsers (x147): WAU/MAU4 panel matches an exhaustive driver replay") {
+    val raw = graft.Tables.events(spark, sf)
+    val uw = raw.select($"user_id", Sessionize.tsSeconds(raw).as("ts_s"))
+      .select($"user_id", expr("ts_s div 604800")).as[(Long, Long)]
+      .collect().toSeq.distinct
+    val weeks = uw.map(_._2).distinct
+    val want = weeks.map { w =>
+      val wau = uw.count(_._2 == w).toLong
+      val mau = uw.filter(p => p._2 >= w - 3 && p._2 <= w).map(_._1).distinct.size.toLong
+      w -> (wau, mau, 1000000L * wau / mau)
+    }.toMap
+    val got = Sessionize.activeUsers(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (w, wau, mau, s) => assert((wau, mau, s) == want(w), s"week $w") }
+    // MAU4 is always ≥ WAU and stickiness ≤ 1e6
+    assert(got.forall { case (_, wau, mau, s) => mau >= wau && s <= 1000000L })
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString
