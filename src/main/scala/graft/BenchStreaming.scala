@@ -47,12 +47,14 @@ object BenchStreaming {
         case scala.util.control.NonFatal(_) => () // scratch dir; leave it
       }
 
-    def run(name: String, build: DataFrame => DataFrame): (String, Double) = {
+    def run(name: String, build: DataFrame => DataFrame,
+            mode: String = "append"): (String, Double) = {
       val ckpt = Files.createTempDirectory(s"graft-sbench-$name")
       try {
         val t0 = System.nanoTime()
         val q = build(EventStream.readEvents(spark, sfDir))
           .writeStream.format("noop")
+          .outputMode(mode)
           .option("checkpointLocation", ckpt.toString)
           .trigger(Trigger.AvailableNow())
           .start()
@@ -184,6 +186,7 @@ object BenchStreaming {
       run("sampled_stream", ev => EventStream.sampledStream(ev, thresholds)),
       run("transitions_stream", ev => EventStream.transitions(ev).toDF()),
       run("tier_promotions_stream", ev => EventStream.tierPromotions(ev).toDF()),
+      run("wau_stream", EventStream.weeklyActiveUsers, "complete"),
       run("ewma_stream", ev => EventStream.ewmaPopularity(ev).toDF()),
       run("last_touch_stream", { ev =>
         import org.apache.spark.sql.functions.{col, round}

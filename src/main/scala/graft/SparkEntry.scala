@@ -185,6 +185,8 @@ object SparkEntry {
     "x145_cohort_ltv"       -> ((s, d) => Relational.cohortLtv(s, d)),
     "x146_containment"      -> ((s, d) => Dedup.containmentPairs(s, d)),
     "x147_active_users"     -> ((s, d) => Sessionize.activeUsers(s, d)),
+    "x148_benford_audit"    -> ((s, d) => Relational.benfordAudit(s, d)),
+    "x149_key_skew"         -> ((s, d) => Relational.keySkewAudit(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2567,6 +2569,42 @@ object SparkEntry {
         |mau AS (SELECT week, CAST(count(*) AS BIGINT) AS mau4 FROM tw GROUP BY 1)
         |SELECT week, wau, mau4, (1000000 * wau) // mau4 AS stickiness_ppm
         |FROM wau JOIN mau USING (week)""".stripMargin,
+
+    // x148: Benford audit — first digit of the cents string, 9-cell
+    // window total, pinned expected-ppm VALUES table.
+    "x148_benford_audit" -> {
+      val values = operators.Relational.BenfordPpm.zipWithIndex
+        .map { case (ppm, i) => s"(${i + 1}, $ppm)" }.mkString(", ")
+      s"""WITH v AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS v FROM orders
+        |           WHERE CAST(round(o_totalprice*100) AS BIGINT) > 0),
+        |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |             CAST(count(*) AS BIGINT) AS n_orders
+        |      FROM v GROUP BY 1),
+        |t AS (SELECT *, CAST(SUM(n_orders) OVER () AS BIGINT) AS n_total FROM d)
+        |SELECT digit, n_orders, (1000000 * n_orders) // n_total AS observed_ppm,
+        |       CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+        |       (1000000 * n_orders) // n_total - CAST(b.benford_ppm AS BIGINT) AS deviation_ppm
+        |FROM t JOIN (VALUES $values) AS b(digit, benford_ppm) USING (digit)""".stripMargin
+    },
+
+    // x149: key-skew panel — per column: key counts, 1-row stats, top-5
+    // with rank, floor-div ratios; three panels unioned.
+    "x149_key_skew" -> {
+      def panel(c: String) =
+        s"""SELECT '$c' AS key_col, rnk, key, n_rows, n_keys, n_total,
+          |       n_total // n_keys AS avg_per_key,
+          |       (1000000 * n_rows) // (n_total // n_keys) AS hot_x_avg_ppm
+          |FROM (SELECT key, n_rows,
+          |             row_number() OVER (ORDER BY n_rows DESC, key) AS rnk
+          |      FROM (SELECT $c AS key, CAST(count(*) AS BIGINT) AS n_rows
+          |            FROM lineitem GROUP BY 1) c0
+          |      ORDER BY n_rows DESC, key LIMIT 5) t,
+          |     (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total,
+          |             CAST(COUNT(*) AS BIGINT) AS n_keys
+          |      FROM (SELECT $c AS key, count(*) AS n_rows
+          |            FROM lineitem GROUP BY 1) s0) s""".stripMargin
+      Seq("l_orderkey", "l_partkey", "l_suppkey").map(panel).mkString("\nUNION ALL\n")
+    },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

@@ -784,6 +784,79 @@ object Relational {
     tri.withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(w))
   }
 
+  /** Benford expected first-digit shares in ppm — round(10⁶·log₁₀(1+1/d))
+    * for d = 1..9, pinned as integers so both engines compare the same
+    * constants (shared with the x148 oracle SQL). */
+  val BenfordPpm: Seq[Long] =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** Benford first-digit audit (x148): the observed first-digit
+    * distribution of order totals vs Benford's law — the classic
+    * fabricated-numbers screen an audit runs over any money column.
+    * Observed shares in integer ppm (floor-div on nonnegatives);
+    * expected shares are the pinned [[BenfordPpm]] constants; the
+    * signed deviation stays an undivided subtraction of two ppm
+    * integers.
+    *
+    * 100 TB shape: one scan partial-agg'd onto 9 digit cells; the
+    * grand total is a window over that 9-row frame (the x48 tiny-table
+    * case), not a second scan. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val digits = Tables.orders(spark, dir)
+      .select(cents(col("o_totalprice")).as("v"))
+      .filter(col("v") > 0)
+      .withColumn("digit", substring(col("v").cast("string"), 1, 1).cast("long"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_orders"))
+    val benford = BenfordPpm.zipWithIndex
+      .map { case (ppm, i) => (i + 1L, ppm) }
+      .toDF("digit", "benford_ppm")
+    digits
+      .withColumn("n_total", sum(col("n_orders")).over(Window.partitionBy()))
+      .withColumn("observed_ppm", expr("(1000000L * n_orders) div n_total"))
+      .join(broadcast(benford), Seq("digit"))
+      .select(col("digit"), col("n_orders"), col("observed_ppm"),
+        col("benford_ppm"),
+        (col("observed_ppm") - col("benford_ppm")).as("deviation_ppm"))
+  }
+
+  /** Join-key skew diagnostics (x149): for each fact-table join key
+    * column, the top-5 hottest keys with their row counts and the
+    * hot-key-over-average ratio in ppm — the panel that decides
+    * whether a join needs salting or AQE skew handling BEFORE the job
+    * runs (the operational companion to `SkewJoin`). `avg_per_key`
+    * floors `n_total div n_keys`; `hot_x_avg_ppm` floors
+    * `10⁶·n_hot div avg` — both nonnegative floor-divs. `10⁶·n_hot`
+    * fits a Long up to ~9·10¹² rows on one key; beyond that the ratio
+    * saturates the report long after the answer ("salt it") is
+    * obvious.
+    *
+    * 100 TB shape, per column: one partial-agg'd groupBy(key) (the
+    * same shuffle the audited join itself would do), a 1-row stats
+    * aggregate, a TakeOrdered top-5, and a rank window over the 5-row
+    * frame; the stats row crossJoins the 5-row side (broadcast-tiny,
+    * the x65 pattern). Three columns → three such plans, unioned. */
+  def keySkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    def panel(key: String): DataFrame = {
+      val counts = Tables.lineitem(spark, dir)
+        .groupBy(col(key).as("key")).agg(count(lit(1)).as("n_rows"))
+      val stats = counts.agg(sum(col("n_rows")).as("n_total"),
+        count(lit(1)).as("n_keys"))
+      val top = counts.orderBy(col("n_rows").desc, col("key")).limit(5)
+        .localCheckpoint()
+      top
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("n_rows").desc, col("key"))).cast("long"))
+        .crossJoin(stats)
+        .withColumn("avg_per_key", expr("n_total div n_keys"))
+        .select(lit(key).as("key_col"), col("rnk"), col("key"),
+          col("n_rows"), col("n_keys"), col("n_total"), col("avg_per_key"),
+          expr("(1000000L * n_rows) div avg_per_key").as("hot_x_avg_ppm"))
+    }
+    panel("l_orderkey").unionAll(panel("l_partkey")).unionAll(panel("l_suppkey"))
+  }
+
   /** RFM customer segmentation (x120): per customer with ≥1 order,
     * recency (days since last order, relative to the corpus max day),
     * frequency (order count), monetary (lifetime cents), each scored

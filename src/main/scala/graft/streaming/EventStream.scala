@@ -76,6 +76,21 @@ object EventStream {
       .withWatermark("ts_t", "2 hours")
       .dropDuplicates("event_id")
 
+  /** Streaming twin of x147's WAU arm: watermarked stateful
+    * `dropDuplicates(user, week)` (state = one row per active
+    * (user, week), expirable once the watermark passes the week — the
+    * exact-distinct stream shape that replaces an HLL when exactness
+    * is the contract), then a per-week count. Complete/update-mode
+    * aggregate downstream of the dedup; batch ≡ stream proven in the
+    * spec (same distinct (user, week) set either way). */
+  def weeklyActiveUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_t", "2 hours")
+      .select(col("user_id"), expr("ts_s div 604800").as("week"), col("ts_t"))
+      .dropDuplicates("user_id", "week")
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("wau"))
+
   /** Deterministic stream sampling with batch-fitted thresholds — the
     * "fit offline, filter online" production shape: per-stratum md5-60
     * acceptance thresholds (e.g. from `Sampling.mixtureSample`'s

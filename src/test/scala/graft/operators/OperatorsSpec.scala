@@ -2319,6 +2319,47 @@ class OperatorsSpec extends SparkSpec {
     assert(got.forall { case (_, wau, mau, s) => mau >= wau && s <= 1000000L })
   }
 
+  test("benfordAudit (x148): digit census matches a driver replay; constants sum to ~1e6") {
+    val vs = graft.Tables.orders(spark, sf)
+      .select($"o_totalprice").as[Double].collect().toSeq
+      .map(p => math.round(p * 100)).filter(_ > 0)
+    val want = vs.groupBy(_.toString.head.asDigit.toLong)
+      .view.mapValues(_.size.toLong).toMap
+    val total = vs.size.toLong
+    val got = Relational.benfordAudit(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (d, n, obs, ben, dev) =>
+      assert(n == want(d), s"digit $d")
+      assert(obs == 1000000L * n / total && dev == obs - ben)
+      assert(ben == Relational.BenfordPpm(d.toInt - 1))
+    }
+    // the pinned expectation is a distribution (rounding loses <10 ppm)
+    assert(math.abs(Relational.BenfordPpm.sum - 1000000L) < 10)
+  }
+
+  test("keySkewAudit (x149): hot keys and ratios match a driver replay on all three columns") {
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+      .as[(Long, Long, Long)].collect().toSeq
+    val got = Relational.keySkewAudit(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    for ((colName, get) <- Seq[(String, ((Long, Long, Long)) => Long)](
+        ("l_orderkey", _._1), ("l_partkey", _._2), ("l_suppkey", _._3))) {
+      val counts = rows.map(get).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val top = counts.toSeq.sortBy { case (k, n) => (-n, k) }.take(5)
+      val nTotal = rows.size.toLong; val nKeys = counts.size.toLong
+      val avg = nTotal / nKeys
+      val panel = got.filter(_._1 == colName).sortBy(_._2)
+      assert(panel.length == 5, colName)
+      panel.zip(top).foreach { case ((_, rnk, k, n, nk, nt, a, ppm), (wk, wn)) =>
+        assert((k, n) == ((wk, wn)), s"$colName rank $rnk")
+        assert((nk, nt, a) == ((nKeys, nTotal, avg)))
+        assert(ppm == 1000000L * n / avg)
+      }
+    }
+  }
+
   test("ngramJaccard stop-shingle cap bounds the hot key; default cap is inactive on the corpus") {
     // 30 docs sharing exactly one hot 5-gram, otherwise disjoint vocabulary
     val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle").toString

@@ -13,9 +13,10 @@ class EventStreamSpec extends SparkSpec {
 
   val sf = "/root/testdata/sf0.001"
 
-  def runStream(df: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
+  def runStream(df: org.apache.spark.sql.DataFrame, name: String,
+                mode: String = "append"): org.apache.spark.sql.DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
     spark.table(name)
   }
@@ -320,6 +321,16 @@ class EventStreamSpec extends SparkSpec {
     // per-user event totals conserved
     val streamedEvents = sessions.agg(sum($"n_events")).head().getLong(0)
     assert(streamedEvents == graft.Tables.events(spark, sf).count())
+  }
+
+  test("streaming weeklyActiveUsers ≡ batch x147 WAU (exact stateful distinct)") {
+    val wau = runStream(
+      EventStream.weeklyActiveUsers(EventStream.readEvents(spark, sf)), "wau_stream",
+      mode = "complete")
+    val streamed = wau.as[(Long, Long)].collect().toMap
+    val batch = Sessionize.activeUsers(spark, sf)
+      .select($"week", $"wau").as[(Long, Long)].collect().toMap
+    assert(streamed == batch && streamed.nonEmpty)
   }
 
   test("stateful streaming tierPromotions ≡ a driver replay across a micro-batch boundary") {
