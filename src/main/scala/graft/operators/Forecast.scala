@@ -243,4 +243,103 @@ object Forecast {
           .as("mean_after_dbl"),
         col("shift_dbl"))
   }
+
+  /** Life-table bucket width in days (weekly buckets) — shared with the
+    * oracle SQL. */
+  val LifeTableBucketDays: Int = 7
+
+  /** Repeat-purchase life table (x150): the Kaplan–Meier input table for
+    * "how long until a customer orders again". Every (customer, order
+    * date) is a subject; the subject's duration is the gap to that
+    * customer's NEXT distinct order date (an observed event) or to the
+    * corpus's last order date (right-censored — the customer simply
+    * hasn't reordered yet). Durations bucket into [[LifeTableBucketDays]]
+    * buckets; the output row per bucket t carries `n_risk` (subjects
+    * still unresolved entering t), `n_events`, `n_censored` — exactly
+    * the (nᵢ, dᵢ, cᵢ) triple the KM product estimator Π(1 − dᵢ/nᵢ)
+    * consumes. The product itself is left to the consumer: it is a
+    * product of rationals and publishing the exact integer life table is
+    * the cross-engine-stable contract (the x119 raw-rational discipline).
+    *
+    * Only observed buckets get rows; `n_risk` is still exact because the
+    * risk set only changes at observed buckets (reverse-cumulative sum
+    * of events + censors).
+    *
+    * 100 TB shape: the lead() window partitions by customer (bounded by
+    * a customer's order count — no corpus-sized partition); the life
+    * table itself is a post-agg table of O(max_gap / 7) rows, the
+    * documented tiny-table case for its unpartitioned reverse-cumsum
+    * window. One shuffle for the per-customer window, one for the
+    * bucket groupBy. */
+  def lifeTable(spark: SparkSession, dir: String): DataFrame = {
+    val cd = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c"), to_date(col("o_orderdate")).as("d"))
+      .distinct()
+    val mx = cd.agg(max(col("d")).as("maxd"))
+    val w = Window.partitionBy(col("c")).orderBy(col("d"))
+    val subjects = cd
+      .withColumn("nd", lead(col("d"), 1).over(w))
+      .crossJoin(broadcast(mx))
+      .select(
+        expr(s"CAST(datediff(coalesce(nd, maxd), d) AS BIGINT) " +
+          s"div $LifeTableBucketDays").as("t_week"),
+        col("nd").isNotNull.cast("long").as("ev"))
+    val agg = subjects.groupBy(col("t_week"))
+      .agg(sum(col("ev")).as("n_events"),
+        sum(lit(1L) - col("ev")).as("n_censored"))
+    val wRisk = Window.orderBy(col("t_week"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    agg.select(col("t_week"),
+      sum(col("n_events") + col("n_censored")).over(wRisk).as("n_risk"),
+      col("n_events"), col("n_censored"))
+  }
+
+  /** The pinned column pairs x152 publishes raw correlation moments for:
+    * (label, x expression, y expression) over the lineitem fact scan.
+    * Units are chosen so every moment sum fits a signed 64-bit long at
+    * gate scales (see [[corrMoments]] Scaladoc). */
+  private val CorrPairs: Seq[(String, String, String)] = Seq(
+    ("qty_discount",   "CAST(round(l_quantity) AS BIGINT)",
+                       "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("qty_price",      "CAST(round(l_quantity) AS BIGINT)",
+                       "CAST(round(l_extendedprice) AS BIGINT)"),
+    ("discount_price", "CAST(round(l_discount * 100) AS BIGINT)",
+                       "CAST(round(l_extendedprice) AS BIGINT)"),
+    ("discount_tax",   "CAST(round(l_discount * 100) AS BIGINT)",
+                       "CAST(round(l_tax * 100) AS BIGINT)"))
+
+  /** Correlation-moment audit (x152): for each pinned measure pair the
+    * EXACT raw moments (n, Σx, Σy, Σxy, Σx², Σy²) — everything Pearson's
+    * r needs, published undivided so the gate compares integers, not
+    * IEEE round-off. r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² −
+    * (Σy)²)) is one consumer-side division; a monitoring layer typically
+    * also wants the raw moments to MERGE windows (moments are additive,
+    * r is not), which is why the moment table — not r — is the operator
+    * contract (same reasoning as x119's raw-rational slope).
+    *
+    * Units: quantity in whole units (≤ 10²), discount/tax in whole
+    * percent (≤ 10²), extendedprice in whole dollars (≤ 10⁵). Worst
+    * moment Σ(price²) ≤ 10¹⁰·n stays under 2⁶³ to n ≈ 9·10⁸ rows;
+    * beyond that promote the sums to DECIMAL(38,0) (Spark) / HUGEINT
+    * (DuckDB) — documented bound, not a silent wrap (the x119
+    * discipline).
+    *
+    * 100 TB shape: the pair fan-out is a 4-way per-row explode (no
+    * shuffle), then ONE partial-agg'd groupBy on 4 keys — map-side
+    * combine collapses everything before the exchange; output is
+    * O(pairs). */
+  def corrMoments(spark: SparkSession, dir: String): DataFrame = {
+    val pairStructs = CorrPairs.map { case (name, x, y) =>
+      struct(lit(name).as("pair"), expr(x).as("x"), expr(y).as("y"))
+    }
+    Tables.lineitem(spark, dir)
+      .select(explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.pair").as("pair"), col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_xx"),
+        sum(col("y") * col("y")).as("sum_yy"))
+  }
 }

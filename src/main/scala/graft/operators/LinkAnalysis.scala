@@ -346,4 +346,53 @@ object LinkAnalysis {
       .join(Tables.part(spark, dir)
         .select(col("p_partkey"), col("p_brand")), col("n") === col("p_partkey"))
       .select(col("p_partkey"), col("p_brand"), col("residual_deg"))
+
+  /** x151 knobs: the pinned BFS source brand and hop cap (unrolled in
+    * the oracle — the x77/x99/x122 pinned-iteration convention). */
+  val BfsSourceBrand: String = "Brand#11"
+  val BfsMaxHops: Int = 3
+
+  /** Multi-source BFS hop distance (x151): the exact shortest hop count
+    * from ANY part of [[BfsSourceBrand]] to every part reachable within
+    * [[BfsMaxHops]] hops of the frequent-co-purchase graph — "how far is
+    * each product from this brand's basket neighborhood", the frontier
+    * expansion under every graph-proximity feature (label spreading,
+    * seed-set expansion, blast-radius analysis).
+    *
+    * Level-synchronous frontier BFS: visited starts as the source set at
+    * distance 0; each round joins the CURRENT FRONTIER (not the visited
+    * set) against the symmetric edge list, anti-joins out already-
+    * visited nodes, and tags survivors with the round number. Every
+    * node is therefore labeled with its MINIMUM hop distance, each edge
+    * is traversed at most twice overall, and round cost is O(frontier ×
+    * avg-degree) — the textbook distributed BFS shape.
+    *
+    * 100 TB shape: no windows, no driver state beyond the loop counter;
+    * `visited` and `frontier` are `localCheckpoint`ed every round (the
+    * CC engine's discipline — unchecked, round r would re-derive the
+    * co-purchase join O(r) times, the x99 recompute trap). The per-round
+    * anti-join keys on the O(V) visited set. Sources that never co-sell
+    * (isolated in the graph) still report distance 0 — the source set
+    * is the brand definition, not graph membership. */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    val e = copurchaseEdges(spark, dir)
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val sources = part.filter(col("p_brand") === BfsSourceBrand)
+      .select(col("p_partkey").as("node"), lit(0L).as("dist"))
+    var visited = sources.localCheckpoint()
+    var frontier = visited.select(col("node"))
+    for (i <- 1 to BfsMaxHops) {
+      val next = frontier.join(sym, frontier("node") === sym("a"))
+        .select(col("b").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(i.toLong).as("dist"))
+        .localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next.select(col("node"))
+    }
+    visited.join(part, col("node") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("dist"))
+  }
 }
