@@ -187,6 +187,13 @@ object SparkEntry {
     "x147_active_users"     -> ((s, d) => Sessionize.activeUsers(s, d)),
     "x148_benford_audit"    -> ((s, d) => Relational.benfordAudit(s, d)),
     "x149_key_skew"         -> ((s, d) => Relational.keySkewAudit(s, d)),
+    "x150_life_table"       -> ((s, d) => Forecast.lifeTable(s, d)),
+    "x151_bfs_hops"         -> ((s, d) => LinkAnalysis.bfsHops(s, d)),
+    "x152_corr_moments"     -> ((s, d) => Forecast.corrMoments(s, d)),
+    "x153_assoc_rules"      -> ((s, d) => LinkAnalysis.assocRules(s, d)),
+    "x154_reorder_rate"     -> ((s, d) => Relational.reorderRate(s, d)),
+    "x155_spend_deciles"    -> ((s, d) => Relational.spendDeciles(s, d)),
+    "x156_spend_gini"       -> ((s, d) => Relational.spendGini(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2605,6 +2612,147 @@ object SparkEntry {
           |            FROM lineitem GROUP BY 1) s0) s""".stripMargin
       Seq("l_orderkey", "l_partkey", "l_suppkey").map(panel).mkString("\nUNION ALL\n")
     },
+
+    // x150: repeat-purchase life table — per-customer lead() gap to the
+    // next distinct order date (censored at corpus max), 7-day buckets,
+    // reverse-cumulative risk set. Integer weeks + counts only.
+    "x150_life_table" -> {
+      import operators.Forecast.LifeTableBucketDays
+      s"""WITH cd AS (SELECT DISTINCT o_custkey AS c, CAST(o_orderdate AS DATE) AS d
+        |            FROM orders),
+        |mx AS (SELECT max(d) AS maxd FROM cd),
+        |s AS (SELECT c, d, lead(d, 1) OVER (PARTITION BY c ORDER BY d) AS nd FROM cd),
+        |subj AS (SELECT CAST(datediff('day', d, coalesce(nd, (SELECT maxd FROM mx)))
+        |                  AS BIGINT) // $LifeTableBucketDays AS t_week,
+        |                CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |         FROM s),
+        |agg AS (SELECT t_week, CAST(sum(ev) AS BIGINT) AS n_events,
+        |               CAST(sum(1 - ev) AS BIGINT) AS n_censored
+        |        FROM subj GROUP BY 1)
+        |SELECT t_week,
+        |       CAST(SUM(n_events + n_censored) OVER (ORDER BY t_week
+        |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk,
+        |       n_events, n_censored
+        |FROM agg""".stripMargin
+    },
+
+    // x151: multi-source BFS hop distance — x116's edge CTE, symmetric
+    // edges, BfsMaxHops frontier rounds unrolled (the pinned-iteration
+    // convention), per-round anti-join against the visited set.
+    "x151_bfs_hops" -> {
+      import operators.LinkAnalysis.{BfsMaxHops, BfsSourceBrand, TriMinSupport}
+      val levels = (1 to BfsMaxHops).map { i =>
+        s"""f$i AS MATERIALIZED (SELECT n.node, CAST($i AS BIGINT) AS dist
+          |  FROM (SELECT DISTINCT s.b AS node
+          |        FROM f${i - 1} f JOIN sym s ON f.node = s.a) n
+          |  ANTI JOIN v${i - 1} v ON n.node = v.node),
+          |v$i AS MATERIALIZED (SELECT node, dist FROM v${i - 1}
+          |  UNION ALL SELECT node, dist FROM f$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+        |sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |v0 AS MATERIALIZED (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM part WHERE p_brand = '$BfsSourceBrand'),
+        |f0 AS MATERIALIZED (SELECT node FROM v0),
+        |$levels
+        |SELECT p.p_partkey, p.p_brand, v.dist
+        |FROM v$BfsMaxHops v JOIN part p ON v.node = p.p_partkey""".stripMargin
+    },
+
+    // x152: correlation-moment audit — exact raw moments per pinned
+    // pair; sums promoted to DECIMAL(38,0) on BOTH engines (DuckDB's
+    // HUGEINT sum cast down) so the contract is wrap-free at any scale.
+    "x152_corr_moments" -> {
+      val arms = operators.Forecast.CorrPairs.map { case (name, x, y) =>
+        s"SELECT '$name' AS pair, $x AS x, $y AS y FROM lineitem"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH p AS ($arms)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(x) AS DECIMAL(38,0)) AS sum_x,
+        |       CAST(sum(y) AS DECIMAL(38,0)) AS sum_y,
+        |       CAST(sum(x * y) AS DECIMAL(38,0)) AS sum_xy,
+        |       CAST(sum(x * x) AS DECIMAL(38,0)) AS sum_xx,
+        |       CAST(sum(y * y) AS DECIMAL(38,0)) AS sum_yy
+        |FROM p GROUP BY 1""".stripMargin
+    },
+
+    // x153: market-basket association rules — x116's distinct (o,p)
+    // CTE, min-support prune, both confidences in ppm, lift as the raw
+    // DECIMAL(38,0) rational (x119 discipline).
+    "x153_assoc_rules" -> {
+      import operators.LinkAnalysis.AssocMinSupport
+      s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |tot AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+        |pc AS MATERIALIZED (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM op GROUP BY 1),
+        |pr AS (SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |       GROUP BY 1, 2 HAVING count(*) >= $AssocMinSupport)
+        |SELECT pr.a, pr.b, pr.n_ab, pa.n_p AS n_a, pb.n_p AS n_b, t.n_orders,
+        |       (1000000 * pr.n_ab) // pa.n_p AS conf_a_b_ppm,
+        |       (1000000 * pr.n_ab) // pb.n_p AS conf_b_a_ppm,
+        |       CAST(CAST(pr.n_ab AS HUGEINT) * t.n_orders AS DECIMAL(38,0)) AS lift_num,
+        |       CAST(CAST(pa.n_p AS HUGEINT) * pb.n_p AS DECIMAL(38,0)) AS lift_den
+        |FROM pr JOIN pc pa ON pr.a = pa.p JOIN pc pb ON pr.b = pb.p, tot t""".stripMargin
+    },
+
+    // x154: per-part reorder rate — distinct (part, customer, order)
+    // purchase events, repeat = ≥2 distinct orders, exact ppm.
+    "x154_reorder_rate" ->
+      """WITH lo AS (SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c,
+        |                   o.o_orderkey AS ok
+        |            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |pc AS (SELECT p, c, CAST(count(*) AS BIGINT) AS n_ord FROM lo GROUP BY 1, 2)
+        |SELECT p AS p_partkey, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(CASE WHEN n_ord >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+        |       CAST(sum(n_ord) AS BIGINT) AS n_orders,
+        |       (1000000 * CAST(sum(CASE WHEN n_ord >= 2 THEN 1 ELSE 0 END) AS BIGINT))
+        |         // CAST(count(*) AS BIGINT) AS reorder_ppm
+        |FROM pc GROUP BY 1""".stripMargin,
+
+    // x155: spend Lorenz deciles — x120's strict-rank decile rule
+    // (rank()−1 ≡ the engine's exclusivePrefixSum offset), ppm shares
+    // over a HUGEINT/DECIMAL numerator (wrap-free).
+    "x155_spend_deciles" ->
+      """WITH base AS (SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+        |       FROM orders GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_cust,
+        |             CAST(sum(spend_cents) AS BIGINT) AS total_cents FROM base),
+        |r AS (SELECT spend_cents, rank() OVER (ORDER BY spend_cents) - 1 AS o FROM base),
+        |d AS (SELECT (10 * o) // (SELECT n_cust FROM g) + 1 AS decile, spend_cents FROM r),
+        |a AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |             CAST(sum(spend_cents) AS BIGINT) AS decile_cents
+        |      FROM d GROUP BY 1),
+        |c AS (SELECT *, CAST(SUM(decile_cents) OVER (ORDER BY decile
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |      FROM a)
+        |SELECT decile, n_customers, decile_cents, cum_cents,
+        |       CAST((1000000 * CAST(decile_cents AS HUGEINT))
+        |         // (SELECT total_cents FROM g) AS BIGINT) AS share_ppm,
+        |       CAST((1000000 * CAST(cum_cents AS HUGEINT))
+        |         // (SELECT total_cents FROM g) AS BIGINT) AS cum_share_ppm
+        |FROM c""".stripMargin,
+
+    // x156: spend Gini — tie-exact rank identity over the (value →
+    // count) aggregate, raw DECIMAL(38,0) rational, HUGEINT interior.
+    "x156_spend_gini" ->
+      """WITH base AS (SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |       FROM orders GROUP BY 1),
+        |g AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1),
+        |r AS (SELECT v, cnt, CAST(coalesce(SUM(cnt) OVER (ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+        |      FROM g),
+        |a AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_customers,
+        |             sum(CAST(v AS HUGEINT) * cnt) AS total,
+        |             sum(CAST(v AS HUGEINT) * cnt * (2 * o + cnt + 1)) AS two_r
+        |      FROM r)
+        |SELECT n_customers, CAST(total AS DECIMAL(38,0)) AS total_cents,
+        |       CAST(two_r - (n_customers + 1) * total AS DECIMAL(38,0)) AS gini_num,
+        |       CAST(n_customers * total AS DECIMAL(38,0)) AS gini_den
+        |FROM a""".stripMargin,
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

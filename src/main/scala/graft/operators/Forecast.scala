@@ -296,9 +296,10 @@ object Forecast {
 
   /** The pinned column pairs x152 publishes raw correlation moments for:
     * (label, x expression, y expression) over the lineitem fact scan.
-    * Units are chosen so every moment sum fits a signed 64-bit long at
-    * gate scales (see [[corrMoments]] Scaladoc). */
-  private val CorrPairs: Seq[(String, String, String)] = Seq(
+    * The expressions are valid in BOTH Spark SQL and DuckDB — the oracle
+    * interpolates them verbatim. Per-row terms fit a long; the SUMS are
+    * promoted to DECIMAL(38,0) (see [[corrMoments]] Scaladoc). */
+  val CorrPairs: Seq[(String, String, String)] = Seq(
     ("qty_discount",   "CAST(round(l_quantity) AS BIGINT)",
                        "CAST(round(l_discount * 100) AS BIGINT)"),
     ("qty_price",      "CAST(round(l_quantity) AS BIGINT)",
@@ -318,11 +319,13 @@ object Forecast {
     * contract (same reasoning as x119's raw-rational slope).
     *
     * Units: quantity in whole units (≤ 10²), discount/tax in whole
-    * percent (≤ 10²), extendedprice in whole dollars (≤ 10⁵). Worst
-    * moment Σ(price²) ≤ 10¹⁰·n stays under 2⁶³ to n ≈ 9·10⁸ rows;
-    * beyond that promote the sums to DECIMAL(38,0) (Spark) / HUGEINT
-    * (DuckDB) — documented bound, not a silent wrap (the x119
-    * discipline).
+    * percent (≤ 10²), extendedprice in whole dollars (≤ 10⁵). Each
+    * per-row term fits a long (worst product ≤ 10¹⁰), but Σ(price²) ≤
+    * 10¹⁰·n would wrap signed 64-bit past n ≈ 9·10⁸ rows — under the
+    * 100 TB target (~6·10¹¹ lineitems) — so every moment SUM runs over
+    * DECIMAL(38,0) (headroom to n ≈ 10²⁸; Spark decimal agg, HUGEINT→
+    * DECIMAL cast in the oracle). No bound to enforce: the promotion
+    * is unconditional, not documented-and-hoped (round-8 advice).
     *
     * 100 TB shape: the pair fan-out is a 4-way per-row explode (no
     * shuffle), then ONE partial-agg'd groupBy on 4 keys — map-side
@@ -337,9 +340,10 @@ object Forecast {
       .select(col("p.pair").as("pair"), col("p.x").as("x"), col("p.y").as("y"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
-        sum(col("x") * col("y")).as("sum_xy"),
-        sum(col("x") * col("x")).as("sum_xx"),
-        sum(col("y") * col("y")).as("sum_yy"))
+        sum(col("x").cast("decimal(38,0)")).as("sum_x"),
+        sum(col("y").cast("decimal(38,0)")).as("sum_y"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sum_xy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sum_xx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("sum_yy"))
   }
 }

@@ -395,4 +395,54 @@ object LinkAnalysis {
     visited.join(part, col("node") === col("p_partkey"))
       .select(col("p_partkey"), col("p_brand"), col("dist"))
   }
+
+  /** x153 knob: minimum distinct-order co-occurrence for a rule row —
+    * the classic min-support prune, and the scale lever that keeps the
+    * rule table O(frequent pairs) instead of O(all pairs). */
+  val AssocMinSupport: Int = TriMinSupport
+
+  /** Market-basket association rules (x153): for every part pair that
+    * co-occurs in ≥ [[AssocMinSupport]] distinct orders, the full
+    * support/confidence/lift panel — `n_ab`, per-part order counts,
+    * both direction confidences in exact ppm, and lift as the RAW
+    * rational `n_ab·N / (n_a·n_b)` published undivided (lift_num,
+    * lift_den as DECIMAL(38,0) — x119's discipline: moments divide at
+    * the consumer, never in the engine, so the gate compares integers).
+    *
+    * 100 TB shape: one distinct (order, part) pass feeds all three
+    * aggregates (localCheckpoint'ed — 4 consumers would re-derive the
+    * fact scan otherwise). The pair self-join is keyed on the order —
+    * per-order fan-out is basket-size², bounded by the basket, never
+    * the corpus (x116's reasoning) — and the support filter prunes
+    * before the per-part joins, which shuffle on part keys (part dims
+    * at 100 TB are NOT broadcastable; only the 1-row total crosses
+    * broadcast, x65's pattern). Confidence numerators 10⁶·n_ab fit a
+    * long to n_ab ≈ 9·10¹² orders; the lift rational is decimal. */
+  def assocRules(spark: SparkSession, dir: String,
+                 minSupport: Int = AssocMinSupport): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().localCheckpoint()
+    val tot = op.select(col("o")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val pc = op.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+      .localCheckpoint()
+    val pairs = op.as("x").join(op.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(pc.select(col("p").as("a"), col("n_p").as("n_a")), Seq("a"))
+      .join(pc.select(col("p").as("b"), col("n_p").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_orders"),
+        expr("(1000000L * n_ab) div n_a").as("conf_a_b_ppm"),
+        expr("(1000000L * n_ab) div n_b").as("conf_b_a_ppm"),
+        (col("n_ab").cast("decimal(38,0)") * col("n_orders"))
+          .cast("decimal(38,0)").as("lift_num"),
+        (col("n_a").cast("decimal(38,0)") * col("n_b"))
+          .cast("decimal(38,0)").as("lift_den"))
+  }
 }

@@ -916,6 +916,120 @@ object Relational {
       (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm_code"))
   }
 
+  /** Per-part repeat-purchase rate (x154): for every part, how many
+    * distinct customers bought it, how many bought it in ≥2 DISTINCT
+    * orders, total distinct (customer, order) purchase events, and the
+    * reorder probability in exact ppm — the Instacart-style "reorder
+    * rate", the per-item stickiness feature under every replenishment
+    * forecast (the reference's grocery theme).
+    *
+    * 100 TB shape: lineitem⋈orders shuffles on the order key (both
+    * sides corpus-sized — a broadcast is impossible and none is
+    * hinted), then ONE distinct on (part, customer, order) and two
+    * partial-agg'd groupBys that only ever shrink. No windows, no
+    * driver state; 10⁶·n_repeat fits a long to 9·10¹² customers. */
+  def reorderRate(spark: SparkSession, dir: String): DataFrame = {
+    val lo = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("p"), col("o_custkey").as("c"),
+        col("l_orderkey").as("ok"))
+      .distinct()
+    lo.groupBy(col("p"), col("c")).agg(count(lit(1)).as("n_ord"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_ord") >= 2, 1L).otherwise(0L)).as("n_repeat"),
+        sum(col("n_ord")).as("n_orders"))
+      .select(col("p").as("p_partkey"), col("n_customers"), col("n_repeat"),
+        col("n_orders"),
+        expr("(1000000L * n_repeat) div n_customers").as("reorder_ppm"))
+  }
+
+  /** Customer-spend Lorenz deciles (x155): lifetime spend per customer,
+    * cut into exact global deciles (`(10·r) div n + 1` on the strict
+    * rank r — x120's tie-sharing rule), with per-decile customer count,
+    * spend, cumulative spend, and exact-ppm shares — the Lorenz curve
+    * behind every "top decile drives X% of revenue" readout.
+    *
+    * 100 TB shape: ranks come from the (value → count) aggregate
+    * through [[Sampling.exclusivePrefixSum]] (x120's scale-safe exact
+    * quantile machinery — never a corpus-wide ordered window); the only
+    * ordered window left runs over the 10-row decile table. Share
+    * numerators 10⁶·cents overflow a long past ~9·10¹² dollars of
+    * corpus revenue, inside the 100 TB envelope — so the ppm division
+    * is an integer `div` over a DECIMAL(38,0) numerator (wrap-free,
+    * x152's discipline). */
+  def spendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("spend_cents"))
+      .localCheckpoint()
+    val g = base.agg(count(lit(1)).as("n_cust"),
+      sum(col("spend_cents")).as("total_cents"))
+    val ranks = Sampling.exclusivePrefixSum(
+        base.groupBy(col("spend_cents")).agg(count(lit(1)).as("c"))
+          .select(col("spend_cents"), col("c")))
+      .select(col("key").as("spend_cents"), col("offset"))
+    val dec = base.join(ranks, Seq("spend_cents"))
+      .crossJoin(broadcast(g))
+      .withColumn("decile", expr("(10 * offset) div n_cust + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend_cents")).as("decile_cents"),
+        max(col("total_cents")).as("total_cents"))
+    // ≤10-row table: the unpartitioned cumulative window is the
+    // documented tiny-table case
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec
+      .withColumn("cum_cents", sum(col("decile_cents")).over(w))
+      .select(col("decile"), col("n_customers"), col("decile_cents"),
+        col("cum_cents"),
+        expr("(1000000 * CAST(decile_cents AS DECIMAL(38,0))) div total_cents")
+          .as("share_ppm"),
+        expr("(1000000 * CAST(cum_cents AS DECIMAL(38,0))) div total_cents")
+          .as("cum_share_ppm"))
+  }
+
+  /** Customer-spend Gini concentration (x156): the exact Gini
+    * coefficient of lifetime customer spend, published as the RAW
+    * rational (gini_num, gini_den) with gini = num/den left to the
+    * consumer (x119's discipline — rationals merge and compare exactly;
+    * IEEE division doesn't). Uses the tie-exact rank identity
+    * 2·Σᵢ rᵢxᵢ = Σ_groups v·cnt·(2·o + cnt + 1) over the (value →
+    * count) aggregate — within a tied group the consecutive ranks sum
+    * to cnt·o + cnt(cnt+1)/2 regardless of ordering, so no per-row
+    * rank, no ordering ambiguity, and the whole statistic reduces over
+    * the DISTINCT-VALUE table. gini_num = 2R − (n+1)·S ≥ 0,
+    * gini_den = n·S, for ascending ranks r ∈ 1..n and spend total S.
+    *
+    * 100 TB shape: offsets via [[Sampling.exclusivePrefixSum]] (no
+    * corpus window), one final 1-row reduce. Every product runs in
+    * DECIMAL(38,0): v·cnt·(2o+cnt+1) reaches ~10²⁹ at corpus scale and
+    * total cents alone can pass 2⁶³ — wrap-free by construction. */
+  def spendGini(spark: SparkSession, dir: String): DataFrame = {
+    val grouped = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val ranks = Sampling.exclusivePrefixSum(grouped.select(col("v"), col("cnt")))
+      .select(col("key").as("v"), col("offset"))
+    val a = grouped.join(ranks, Seq("v"))
+      .agg(sum(col("cnt")).as("n_customers"),
+        sum(col("v").cast("decimal(38,0)") * col("cnt"))
+          .as("total_cents"),
+        sum(col("v").cast("decimal(38,0)") * col("cnt")
+          * (col("offset") * 2 + col("cnt") + 1)).as("two_r"))
+    a.select(col("n_customers"),
+      col("total_cents").cast("decimal(38,0)").as("total_cents"),
+      (col("two_r") - (col("n_customers") + 1).cast("decimal(38,0)")
+        * col("total_cents")).cast("decimal(38,0)").as("gini_num"),
+      (col("n_customers").cast("decimal(38,0)") * col("total_cents"))
+        .cast("decimal(38,0)").as("gini_den"))
+  }
+
   /** The Silver pipeline composition (silver_processing.py.py:14-74)
     * transplanted onto testdata: dedup fact → ⟕ dim → ⟕ date-keyed flag →
     * coalesce rescue → derive year/month → drop any-null rows.

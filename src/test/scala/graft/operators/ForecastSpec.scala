@@ -148,4 +148,74 @@ class ForecastSpec extends SparkSpec {
     assert(m._1 == best._4.toDouble / best._2.toDouble)
     assert(m._2 == best._5.toDouble / best._3.toDouble)
   }
+
+  test("lifeTable (x150): KM input table matches an exhaustive driver replay") {
+    val cd = graft.Tables.orders(spark, sf)
+      .select($"o_custkey",
+        org.apache.spark.sql.functions.to_date($"o_orderdate"))
+      .as[(Long, java.sql.Date)].collect().toSeq
+      .map { case (c, d) => (c, d.toLocalDate.toEpochDay) }.distinct
+    val maxd = cd.map(_._2).max
+    val subjects = cd.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val ds = rows.map(_._2).sorted
+      ds.zipAll(ds.drop(1).map(Option(_)), 0L, None).map { case (d, nd) =>
+        ((nd.getOrElse(maxd) - d) / Forecast.LifeTableBucketDays, nd.isDefined)
+      }
+    }
+    val byBucket = subjects.groupBy(_._1).view.mapValues { ss =>
+      (ss.count(_._2).toLong, ss.count(!_._2).toLong)
+    }.toMap
+    val got = Forecast.lifeTable(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == byBucket.size && got.nonEmpty)
+    got.foreach { case (t, risk, ev, cen) =>
+      assert((ev, cen) == byBucket(t), s"bucket $t events/censored")
+      // risk set entering t = every subject whose duration lands at or past t
+      assert(risk == subjects.count(_._1 >= t).toLong, s"bucket $t risk")
+    }
+    // both outcomes occur: repeat orders (events) and last orders (censored)
+    assert(got.map(_._3).sum > 0 && got.map(_._4).sum > 0)
+    // every customer's final order is censored: censor mass = customer count
+    assert(got.map(_._4).sum == cd.map(_._1).distinct.size.toLong)
+  }
+
+  test("corrMoments (x152): exact BigInt replica; sums are wrap-free DECIMAL(38,0)") {
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select($"l_quantity", $"l_discount", $"l_extendedprice", $"l_tax")
+      .as[(Double, Double, Double, Double)].collect().toSeq
+      .map { case (q, d, p, t) =>
+        (math.round(q), math.round(d * 100), math.round(p), math.round(t * 100)) }
+    val want = Map(
+      "qty_discount"   -> rows.map(r => (r._1, r._2)),
+      "qty_price"      -> rows.map(r => (r._1, r._3)),
+      "discount_price" -> rows.map(r => (r._2, r._3)),
+      "discount_tax"   -> rows.map(r => (r._2, r._4))
+    ).view.mapValues { xs =>
+      (BigInt(xs.size), xs.map(p => BigInt(p._1)).sum, xs.map(p => BigInt(p._2)).sum,
+        xs.map(p => BigInt(p._1) * p._2).sum, xs.map(p => BigInt(p._1) * p._1).sum,
+        xs.map(p => BigInt(p._2) * p._2).sum)
+    }.toMap
+    val df = Forecast.corrMoments(spark, sf)
+    // the moment sums are decimal(38,0) — the unconditional 100 TB promotion
+    Seq("sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy").foreach { c =>
+      assert(df.schema(c).dataType ==
+        org.apache.spark.sql.types.DecimalType(38, 0), c)
+    }
+    val got = df.select($"pair", $"n_rows", $"sum_x".cast("string"),
+        $"sum_y".cast("string"), $"sum_xy".cast("string"),
+        $"sum_xx".cast("string"), $"sum_yy".cast("string"))
+      .as[(String, Long, String, String, String, String, String)].collect()
+    assert(got.length == want.size)
+    got.foreach { case (pair, n, sx, sy, sxy, sxx, syy) =>
+      assert((BigInt(n), BigInt(sx), BigInt(sy), BigInt(sxy), BigInt(sxx),
+        BigInt(syy)) == want(pair), s"pair $pair")
+    }
+    // moments reconstruct a sane Pearson r² ∈ [0, 1] for every pair
+    got.foreach { case (pair, _, _, _, _, _, _) => assert(want.contains(pair)) }
+    want.foreach { case (pair, (n, sx, sy, sxy, sxx, syy)) =>
+      val num = (n * sxy - sx * sy).pow(2)
+      val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+      assert(den > 0 && num <= den, s"pair $pair r² bound")
+    }
+  }
 }

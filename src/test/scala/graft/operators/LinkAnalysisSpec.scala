@@ -246,4 +246,67 @@ class LinkAnalysisSpec extends SparkSpec {
       assert(rank == want(node), s"$tpe $key at 10 iters")
     }
   }
+
+  test("bfsHops (x151): hop labels match a driver-side BFS on real data") {
+    val edges = LinkAnalysis.copurchaseEdges(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brandByPart = graft.Tables.part(spark, sf)
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toSeq
+    val sources = brandByPart
+      .filter(_._2 == LinkAnalysis.BfsSourceBrand).map(_._1).toSet
+    assert(sources.nonEmpty, "pinned source brand must exist at sf0.001")
+    var dist = sources.map(_ -> 0L).toMap
+    var frontier = sources
+    for (i <- 1 to LinkAnalysis.BfsMaxHops) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty[Long]))
+        .diff(dist.keySet)
+      dist ++= next.map(_ -> i.toLong)
+      frontier = next
+    }
+    val got = LinkAnalysis.bfsHops(spark, sf).as[(Long, String, Long)].collect()
+    assert(got.length == dist.size && got.nonEmpty)
+    val bmap = brandByPart.toMap
+    got.foreach { case (p, b, d) =>
+      assert(d == dist(p), s"part $p dist")
+      assert(b == bmap(p), s"part $p brand")
+    }
+    // the frontier actually expands: some node sits beyond hop 0, and
+    // distances are minimal (no node at hop i lacks a hop-(i-1) neighbor)
+    assert(got.exists(_._3 > 0))
+    got.filter(_._3 > 0).foreach { case (p, _, d) =>
+      assert(adj(p).exists(n => dist.getOrElse(n, Long.MaxValue) == d - 1),
+        s"part $p minimality")
+    }
+  }
+
+  test("assocRules (x153): support/confidence/lift match an exhaustive driver replay") {
+    val op = graft.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect().toSeq.distinct
+    val byOrder = op.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nOrders = byOrder.size.toLong
+    val partCount = op.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val pairCounts = byOrder.values.toSeq.flatMap { ps =>
+      val s = ps.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.size) yield (s(i), s(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= LinkAnalysis.AssocMinSupport)
+    val got = LinkAnalysis.assocRules(spark, sf)
+      .select($"a", $"b", $"n_ab", $"n_a", $"n_b", $"n_orders",
+        $"conf_a_b_ppm", $"conf_b_a_ppm",
+        $"lift_num".cast("string"), $"lift_den".cast("string"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, String, String)]
+      .collect()
+    assert(got.length == pairCounts.size && got.nonEmpty)
+    got.foreach { case (a, b, nab, na, nb, n, cab, cba, ln, ld) =>
+      assert(nab == pairCounts((a, b)), s"($a,$b) support")
+      assert(na == partCount(a) && nb == partCount(b), s"($a,$b) part counts")
+      assert(n == nOrders)
+      assert(cab == 1000000L * nab / na && cba == 1000000L * nab / nb)
+      assert(BigInt(ln) == BigInt(nab) * n && BigInt(ld) == BigInt(na) * nb)
+    }
+    // a frequent pair beats independence somewhere: lift > 1 exists
+    assert(got.exists(r => BigInt(r._9) > BigInt(r._10)))
+  }
 }

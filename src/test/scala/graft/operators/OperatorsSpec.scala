@@ -2376,4 +2376,73 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(dflt == wide)
   }
+
+  test("reorderRate (x154): per-part repeat census matches an exhaustive driver replay") {
+    val cust = graft.Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+      .as[(Long, Long)].collect().toMap
+    val lo = graft.Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey")
+      .as[(Long, Long)].collect().toSeq
+      .flatMap { case (ok, p) => cust.get(ok).map(c => (p, c, ok)) }.distinct
+    val want = lo.groupBy(_._1).view.mapValues { rows =>
+      val perCust = rows.groupBy(_._2).view.mapValues(_.map(_._3).distinct.size.toLong)
+      val nCust = perCust.size.toLong
+      val nRepeat = perCust.count(_._2 >= 2).toLong
+      (nCust, nRepeat, perCust.values.sum, 1000000L * nRepeat / nCust)
+    }.toMap
+    val got = Relational.reorderRate(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (p, nc, nr, no, ppm) =>
+      assert((nc, nr, no, ppm) == want(p), s"part $p")
+    }
+    // repeat purchases exist in the corpus, but not universally
+    assert(got.exists(_._3 > 0) && got.exists(r => r._3 < r._2))
+  }
+
+  test("spendDeciles (x155): Lorenz deciles match an exhaustive driver replay") {
+    val spend = graft.Tables.orders(spark, sf).select($"o_custkey", $"o_totalprice")
+      .as[(Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(p => math.round(p._2 * 100)).sum)
+      .toSeq.map(_._2)
+    val n = spend.size.toLong
+    val total = spend.sum
+    val want = spend.map(v => (v, spend.count(_ < v).toLong))
+      .groupBy { case (_, o) => 10 * o / n + 1 }
+      .view.mapValues(rs => (rs.size.toLong, rs.map(_._1).sum)).toMap
+    val got = Relational.spendDeciles(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == want.keys.toSeq.sorted && got.nonEmpty)
+    var cum = 0L
+    got.foreach { case (d, ncust, cents, cumc, share, cumshare) =>
+      val (wn, wc) = want(d); cum += wc
+      assert((ncust, cents) == ((wn, wc)), s"decile $d")
+      assert(cumc == cum, s"decile $d cum")
+      assert(share == (BigInt(1000000) * wc / total).toLong, s"decile $d share")
+      assert(cumshare == (BigInt(1000000) * cum / total).toLong, s"decile $d cumshare")
+    }
+    // partition: every customer lands in exactly one decile; Lorenz closes
+    assert(got.map(_._2).sum == n && got.last._4 == total)
+    // concentration: the top decile out-spends the bottom one
+    assert(got.last._3 > got.head._3)
+  }
+
+  test("spendGini (x156): raw rational matches a per-row-rank BigInt replica") {
+    val spend = graft.Tables.orders(spark, sf).select($"o_custkey", $"o_totalprice")
+      .as[(Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(p => math.round(p._2 * 100)).sum)
+      .toSeq.map(_._2)
+    val n = spend.size
+    // independent formulation: explicit ascending per-row ranks 1..n
+    val r = spend.sorted.zipWithIndex.map { case (v, i) => BigInt(v) * (i + 1) }.sum
+    val s = spend.map(BigInt(_)).sum
+    val (num, den) = (2 * r - (n + 1) * s, BigInt(n) * s)
+    val got = Relational.spendGini(spark, sf)
+      .select($"n_customers", $"total_cents".cast("string"),
+        $"gini_num".cast("string"), $"gini_den".cast("string"))
+      .as[(Long, String, String, String)].head()
+    assert(got._1 == n.toLong && BigInt(got._2) == s)
+    assert(BigInt(got._3) == num && BigInt(got._4) == den)
+    // Gini of a non-degenerate positive distribution: 0 < num/den < 1
+    assert(num > 0 && num < den)
+  }
 }
