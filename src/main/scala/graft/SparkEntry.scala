@@ -194,6 +194,9 @@ object SparkEntry {
     "x154_reorder_rate"     -> ((s, d) => Relational.reorderRate(s, d)),
     "x155_spend_deciles"    -> ((s, d) => Relational.spendDeciles(s, d)),
     "x156_spend_gini"       -> ((s, d) => Relational.spendGini(s, d)),
+    "x157_apportionment"    -> ((s, d) => Sampling.budgetApportionment(s, d)),
+    "x158_rendezvous"       -> ((s, d) => Sampling.rendezvousReshard(s, d)),
+    "x159_length_drift_ks"  -> ((s, d) => TextAnalysis.lengthDriftKs(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2753,6 +2756,76 @@ object SparkEntry {
         |       CAST(two_r - (n_customers + 1) * total AS DECIMAL(38,0)) AS gini_num,
         |       CAST(n_customers * total AS DECIMAL(38,0)) AS gini_den
         |FROM a""".stripMargin,
+
+    // x157: largest-remainder budget apportionment — x07's whitespace
+    // token rule, HUGEINT quota products, remainder-rank bonus seats.
+    "x157_apportionment" -> {
+      import operators.Sampling.ApportionBudget
+      s"""WITH s AS (SELECT source,
+        |         CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS n_tokens
+        |       FROM documents GROUP BY 1),
+        |g AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total FROM s),
+        |q AS (SELECT source, n_tokens,
+        |             CAST((CAST(n_tokens AS HUGEINT) * $ApportionBudget) // n_total AS BIGINT) AS base_alloc,
+        |             CAST((CAST(n_tokens AS HUGEINT) * $ApportionBudget) % n_total AS BIGINT) AS remainder
+        |      FROM s, g),
+        |l AS (SELECT $ApportionBudget - CAST(sum(base_alloc) AS BIGINT) AS leftover FROM q),
+        |b AS (SELECT *, CASE WHEN row_number() OVER (ORDER BY remainder DESC, source)
+        |                       <= (SELECT leftover FROM l) THEN 1 ELSE 0 END AS bonus
+        |      FROM q)
+        |SELECT source, n_tokens, base_alloc, remainder,
+        |       CAST(bonus AS BIGINT) AS bonus,
+        |       base_alloc + bonus AS alloc_tokens
+        |FROM b""".stripMargin
+    },
+
+    // x158: rendezvous-hash resharding audit — md5-60 highest-random-
+    // weight argmax under K and K+1 shards, per-shard movement ppm.
+    "x158_rendezvous" -> {
+      import operators.Sampling.RendezvousShards
+      val k = RendezvousShards
+      s"""WITH sh AS (SELECT unnest(range(0, ${k + 1})) AS s),
+        |a AS (SELECT d.doc_id, CAST(sh.s AS BIGINT) AS s,
+        |             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#' ||
+        |               CAST(sh.s AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |      FROM documents d, sh),
+        |old AS (SELECT doc_id, s AS shard FROM (
+        |  SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS r
+        |  FROM a WHERE s < $k) t WHERE r = 1),
+        |nw AS (SELECT doc_id, s AS shard_new FROM (
+        |  SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS r
+        |  FROM a) t WHERE r = 1)
+        |SELECT o.shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN o.shard <> n.shard_new THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+        |       (1000000 * CAST(sum(CASE WHEN o.shard <> n.shard_new THEN 1 ELSE 0 END) AS BIGINT))
+        |         // CAST(count(*) AS BIGINT) AS moved_ppm
+        |FROM old o JOIN nw n USING (doc_id) GROUP BY 1""".stripMargin
+    },
+
+    // x159: exact two-sample KS over per-source length distributions —
+    // merged value grid per pair, HUGEINT CDF cross-products, raw
+    // rational supremum with smallest-length argmax.
+    "x159_length_drift_ks" ->
+      """WITH c AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |       FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b
+        |      FROM t a JOIN t b ON a.source < b.source),
+        |m AS (SELECT p.src_a, p.src_b, p.n_a, p.n_b, c.v,
+        |             CAST(sum(CASE WHEN c.source = p.src_a THEN c.c ELSE 0 END) AS BIGINT) AS da,
+        |             CAST(sum(CASE WHEN c.source = p.src_b THEN c.c ELSE 0 END) AS BIGINT) AS db
+        |      FROM p JOIN c ON c.source IN (p.src_a, p.src_b)
+        |      GROUP BY 1, 2, 3, 4, 5),
+        |g AS (SELECT *, abs(CAST(SUM(da) OVER w AS HUGEINT) * n_b
+        |               - CAST(SUM(db) OVER w AS HUGEINT) * n_a) AS gap
+        |      FROM m WINDOW w AS (PARTITION BY src_a, src_b ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+        |        ORDER BY gap DESC, v) AS r FROM g)
+        |SELECT src_a, src_b, n_a, n_b, v AS ks_at_length,
+        |       CAST(gap AS DECIMAL(38,0)) AS ks_num,
+        |       CAST(CAST(n_a AS HUGEINT) * n_b AS DECIMAL(38,0)) AS ks_den
+        |FROM r WHERE r = 1""".stripMargin,
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

@@ -1581,8 +1581,14 @@ object Dedup {
     probe.join(p.select(col("p_partkey").as("key_b"), col("p_brand"),
         col("p_name").as("name_b"), col("len")), Seq("p_brand", "len"))
       .filter(col("key_a") < col("key_b"))
-      .withColumn("distance", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("distance") <= maxDistance)
+      // 3-arg levenshtein = banded O(len·d) DP that bails to -1 past the
+      // threshold — the block interiors are quadratic in pair count, so
+      // the per-pair constant is the hot cost (exact distance is still
+      // exact for every SURVIVING pair; -1 rows are the ones the 2-arg
+      // form would have computed fully just to discard)
+      .withColumn("distance",
+        levenshtein(col("name_a"), col("name_b"), maxDistance))
+      .filter(col("distance") >= 0 && col("distance") <= maxDistance)
       .select(col("p_brand"), col("key_a"), col("name_a"),
         col("key_b"), col("name_b"), col("distance").cast("int"))
   }

@@ -401,9 +401,10 @@ object LinkAnalysis {
     * rule table O(frequent pairs) instead of O(all pairs). */
   val AssocMinSupport: Int = TriMinSupport
 
-  /** Market-basket association rules (x153): for every part pair that
-    * co-occurs in ≥ [[AssocMinSupport]] distinct orders, the full
-    * support/confidence/lift panel — `n_ab`, per-part order counts,
+  /** Market-basket association rules over the PART domain (x153): for
+    * every part pair that co-occurs in ≥ [[AssocMinSupport]] distinct
+    * orders, the full support/confidence/lift panel — `n_ab`, per-part
+    * order counts,
     * both direction confidences in exact ppm, and lift as the RAW
     * rational `n_ab·N / (n_a·n_b)` published undivided (lift_num,
     * lift_den as DECIMAL(38,0) — x119's discipline: moments divide at
@@ -417,7 +418,14 @@ object LinkAnalysis {
     * before the per-part joins, which shuffle on part keys (part dims
     * at 100 TB are NOT broadcastable; only the 1-row total crosses
     * broadcast, x65's pattern). Confidence numerators 10⁶·n_ab fit a
-    * long to n_ab ≈ 9·10¹² orders; the lift rational is decimal. */
+    * long to n_ab ≈ 9·10¹² orders; the lift rational is decimal.
+    *
+    * Contrast x111 (`Sessionize.associationRules`): same statistic,
+    * OPPOSITE regime. x111's items are event TYPES — a plan-time
+    * constant domain, so its counts broadcast and its lift can afford
+    * a guarded fixed-point division. Here the item domain is the part
+    * catalog (corpus-sized): counts shuffle, support must prune, and
+    * lift ships as an undivided rational. */
   def assocRules(spark: SparkSession, dir: String,
                  minSupport: Int = AssocMinSupport): DataFrame = {
     val op = Tables.lineitem(spark, dir)

@@ -967,4 +967,91 @@ object Sampling {
   /** x100 entry: weight with x95's scorer, then resample. */
   def dsirResample(spark: SparkSession, dir: String): DataFrame =
     dsirResample(dsirImportance(spark, dir))
+
+  /** x157's global token budget, shared with the oracle SQL. */
+  val ApportionBudget: Long = 1000000L
+
+  /** Largest-remainder token-budget apportionment (x157): split a fixed
+    * global token budget across sources EXACTLY proportionally to their
+    * corpus token mass, using Hamilton's method — every source gets
+    * `floor(budget·n_s/N)` tokens, and the `budget − Σ floor` leftover
+    * goes one token each to the largest remainders (ties broken by
+    * source name). Unlike a per-source ratio rounded independently
+    * (which misses or exceeds the budget by up to |sources|), the
+    * allocations here sum to the budget EXACTLY — the contract a
+    * training-mixture planner actually needs before x46/x48 sampling
+    * rates are derived from the quotas.
+    *
+    * 100 TB shape: the corpus-scale work is x07's whitespace token
+    * count, one partial-agg'd groupBy onto O(sources) rows; everything
+    * after runs on the tiny per-source table (its unpartitioned
+    * remainder-rank window is the documented tiny-table case).
+    * `budget·n_s` reaches ~10¹⁹ inside the 100 TB envelope, so the
+    * quota products run in DECIMAL(38,0) (x152's unconditional
+    * promotion); base allocations and remainders fit longs by
+    * construction (base ≤ budget, remainder < N). */
+  def budgetApportionment(spark: SparkSession, dir: String,
+                          budget: Long = ApportionBudget): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(trim(col("text")), " +")).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("n_tokens"))
+      .localCheckpoint()
+    val tot = perSource.agg(sum(col("n_tokens")).as("n_total"))
+    val based = perSource.crossJoin(broadcast(tot))
+      .withColumn("quota_num", col("n_tokens").cast("decimal(38,0)") * budget)
+      .withColumn("base_alloc", expr("quota_num div n_total"))
+      .withColumn("remainder",
+        (col("quota_num") - col("base_alloc").cast("decimal(38,0)")
+          * col("n_total")).cast("long"))
+      .localCheckpoint()
+    val left = based.agg((lit(budget) - sum(col("base_alloc"))).as("leftover"))
+    val w = Window.orderBy(col("remainder").desc, col("source"))
+    based.crossJoin(broadcast(left))
+      .withColumn("bonus",
+        (row_number().over(w) <= col("leftover")).cast("long"))
+      .select(col("source"), col("n_tokens"), col("base_alloc"),
+        col("remainder"), col("bonus"),
+        (col("base_alloc") + col("bonus")).as("alloc_tokens"))
+  }
+
+  /** x158's shard count before the reshard, shared with the oracle. */
+  val RendezvousShards: Int = 16
+
+  /** Rendezvous-hash resharding audit (x158): assign every document to
+    * a shard by highest-random-weight hashing — shard = argmax over s of
+    * md5(doc_id#s) — under K and K+1 shards, and report per old shard
+    * how many documents MOVE when the new shard joins. Rendezvous
+    * hashing's defining property is minimal disruption: a document
+    * moves iff the NEW shard wins its argmax, so each old shard should
+    * lose ~1/(K+1) of its docs (ppm column), versus ~K/(K+1) for a
+    * naive `hash mod K` reshard. This is the audit a 1000-executor
+    * ingest runs before resizing its shard map.
+    *
+    * 100 TB shape: the K+1-way per-row explode is a plan-time-constant
+    * fan-out (no shuffle); BOTH argmaxes (old and new shard sets) fold
+    * in ONE partial-agg'd groupBy over doc_id — max(struct(h, s)) with
+    * the old-set argmax under a `when(s < K)` guard, so map-side
+    * combine collapses the K+1 rows before any exchange and the pass
+    * is single-shuffle. Output is O(K) rows. The hash is the
+    * engine-neutral md5-60 (the repo's determinism discipline — a
+    * rand() assignment would re-shard under task retry). */
+  def rendezvousReshard(spark: SparkSession, dir: String,
+                        k: Int = RendezvousShards): DataFrame = {
+    require(k >= 1, "need at least one shard")
+    val shards = (0 to k).map(s => lit(s.toLong))
+    val assign = Tables.documents(spark, dir).select(col("doc_id"))
+      .select(col("doc_id"), explode(array(shards: _*)).as("s"))
+      .withColumn("h", Dedup.md5Hash60(
+        concat(col("doc_id").cast("string"), lit("#"), col("s").cast("string"))))
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("s") < k, struct(col("h"), col("s")))).as("old"),
+        max(struct(col("h"), col("s"))).as("nw"))
+    assign
+      .select(col("old.s").as("shard"), (col("old.s") =!= col("nw.s"))
+        .cast("long").as("moved"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("moved")).as("n_moved"))
+      .withColumn("moved_ppm", expr("(1000000L * n_moved) div n_docs"))
+  }
 }

@@ -1270,4 +1270,61 @@ object TextAnalysis {
         (col("n_docs") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
         (col("n_docs") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
   }
+
+  /** Kolmogorov–Smirnov length-drift matrix (x159): for every source
+    * pair, the EXACT two-sample KS statistic over the document-length
+    * (n_chars) distributions — max over the merged value grid of
+    * |CDF_a − CDF_b| — published as the raw rational `ks_num =
+    * max|c_a·n_b − c_b·n_a|`, `ks_den = n_a·n_b` (x119's discipline:
+    * the supremum of an integer-valued difference divides at the
+    * consumer) plus the smallest length achieving the supremum. This is
+    * the distribution-level drift test (x129 tracks a per-source trend;
+    * x65 a share drift): "did src7's crawl change shape vs src3" with a
+    * statistic a monitoring layer can threshold (KS > c·√((n_a+n_b)/
+    * (n_a·n_b)) rejects at the c-level).
+    *
+    * 100 TB shape: the corpus-sized stage is ONE partial-agg'd groupBy
+    * onto (source, length) — O(S·distinct lengths) rows, the
+    * bounded-domain discipline of x29/x131 (lengths are capped by the
+    * ingest contract, so the count table is aggregate-sized, never
+    * corpus-sized). The pair grid is S²/2 × merged-value-grid rows with
+    * every window PARTITIONED per pair and bounded by the value domain;
+    * drift monitoring across S sources is inherently pairwise — for
+    * catalog-scale S, block pairs upstream (same-language, same-format)
+    * exactly like x128 blocks names. CDF cross-products c·n run in
+    * DECIMAL(38,0) (counts ≥ 2⁶³/n past ~10⁹ docs/source squared —
+    * x152's unconditional promotion). */
+  def lengthDriftKs(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val pairs = totals.as("a").join(totals.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+    val onA = pairs.join(counts.withColumnRenamed("source", "src_a"), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("v"),
+        col("c").as("da"), lit(0L).as("db"))
+    val onB = pairs.join(counts.withColumnRenamed("source", "src_b"), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("v"),
+        lit(0L).as("da"), col("c").as("db"))
+    val grid = onA.unionByName(onB)
+      .groupBy(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("v"))
+      .agg(sum(col("da")).as("da"), sum(col("db")).as("db"))
+    val cum = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapped = grid.withColumn("gap",
+      abs(sum(col("da")).over(cum).cast("decimal(38,0)") * col("n_b")
+        - sum(col("db")).over(cum).cast("decimal(38,0)") * col("n_a")))
+    val top = Window.partitionBy(col("src_a"), col("src_b"))
+      .orderBy(col("gap").desc, col("v"))
+    gapped.withColumn("r", row_number().over(top)).filter(col("r") === 1)
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("v").as("ks_at_length"),
+        col("gap").cast("decimal(38,0)").as("ks_num"),
+        (col("n_a").cast("decimal(38,0)") * col("n_b"))
+          .cast("decimal(38,0)").as("ks_den"))
+  }
 }

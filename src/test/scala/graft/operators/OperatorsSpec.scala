@@ -2445,4 +2445,36 @@ class OperatorsSpec extends SparkSpec {
     // Gini of a non-degenerate positive distribution: 0 < num/den < 1
     assert(num > 0 && num < den)
   }
+
+  test("lengthDriftKs (x159): exact KS rational matches an exhaustive driver replay") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"source", $"n_chars").as[(String, Long)].collect().toSeq
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val want = (for {
+      i <- srcs.indices; j <- i + 1 until srcs.size
+      a = srcs(i); b = srcs(j)
+      va = bySrc(a); vb = bySrc(b)
+      na = va.size.toLong; nb = vb.size.toLong
+      grid = (va ++ vb).distinct.sorted
+      best = grid.map { v =>
+        val ca = va.count(_ <= v).toLong; val cb = vb.count(_ <= v).toLong
+        (v, (BigInt(ca) * nb - BigInt(cb) * na).abs)
+      }.maxBy { case (v, gap) => (gap, -v) }
+    } yield (a, b) -> (na, nb, best._1, best._2, BigInt(na) * nb)).toMap
+    val got = TextAnalysis.lengthDriftKs(spark, sf)
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"ks_at_length",
+        $"ks_num".cast("string"), $"ks_den".cast("string"))
+      .as[(String, String, Long, Long, Long, String, String)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (a, b, na, nb, v, num, den) =>
+      val (wna, wnb, wv, wnum, wden) = want((a, b))
+      assert((na, nb, v) == ((wna, wnb, wv)), s"pair $a/$b")
+      assert(BigInt(num) == wnum && BigInt(den) == wden, s"pair $a/$b rational")
+      // KS statistic is a probability-difference: 0 ≤ num ≤ den
+      assert(BigInt(num) >= 0 && BigInt(num) <= BigInt(den))
+    }
+    // drift exists somewhere: at least one pair has a nonzero supremum
+    assert(got.exists(r => BigInt(r._6) > 0))
+  }
 }

@@ -711,4 +711,58 @@ class SamplingSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("WindowExec") && !plan.contains("Window"), plan.take(800))
   }
+
+  test("budgetApportionment (x157): Hamilton allocation matches a BigInt replay; sums exactly") {
+    val perSource = graft.Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect().toSeq
+      .groupBy(_._1).view
+      .mapValues(_.map(d => d._2.trim.split(" +").length.toLong).sum).toMap
+    val n = perSource.values.sum
+    val b = Sampling.ApportionBudget
+    val quotas = perSource.map { case (s, t) =>
+      val qn = BigInt(t) * b
+      (s, t, (qn / n).toLong, (qn % n).toLong)
+    }.toSeq
+    val leftover = b - quotas.map(_._3).sum
+    val bonusSet = quotas.sortBy { case (s, _, _, r) => (-r, s) }
+      .take(leftover.toInt).map(_._1).toSet
+    val got = Sampling.budgetApportionment(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == perSource.size && got.nonEmpty)
+    got.foreach { case (s, t, base, rem, bonus, alloc) =>
+      val (_, wt, wb, wr) = quotas.find(_._1 == s).get
+      assert((t, base, rem) == ((wt, wb, wr)), s"source $s")
+      assert(bonus == (if (bonusSet(s)) 1L else 0L), s"source $s bonus")
+      assert(alloc == base + bonus)
+    }
+    // the defining property: allocations sum to the budget EXACTLY
+    assert(got.map(_._6).sum == b)
+    assert(leftover >= 0 && leftover < perSource.size)
+  }
+
+  test("rendezvousReshard (x158): argmax assignment matches a driver replay; movement is minimal") {
+    val k = Sampling.RendezvousShards
+    val ids = graft.Tables.documents(spark, sf).select($"doc_id")
+      .as[Long].collect().toSeq
+    def arg(id: Long, nShards: Int): Long =
+      (0 until nShards).map(s => (Dedup.md5Hash60Ref(s"$id#$s"), s.toLong)).max._2
+    val want = ids.map(id => (arg(id, k), arg(id, k + 1)))
+      .groupBy(_._1).view.mapValues { as =>
+        val moved = as.count { case (o, n) => o != n }.toLong
+        (as.size.toLong, moved)
+      }.toMap
+    val got = Sampling.rendezvousReshard(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (s, nd, nm, ppm) =>
+      assert((nd, nm) == want(s), s"shard $s")
+      assert(ppm == 1000000L * nm / nd)
+    }
+    // rendezvous property: every move lands ON the new shard k, and the
+    // total moved mass is far below a mod-K reshard (~K/(K+1) of docs)
+    val movedTotal = got.map(_._3).sum
+    assert(movedTotal < ids.size / 2, s"moved $movedTotal of ${ids.size}")
+    val newWins = ids.count(id => arg(id, k + 1) == k.toLong).toLong
+    assert(movedTotal == newWins)
+  }
 }
