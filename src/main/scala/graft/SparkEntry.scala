@@ -197,6 +197,8 @@ object SparkEntry {
     "x157_apportionment"    -> ((s, d) => Sampling.budgetApportionment(s, d)),
     "x158_rendezvous"       -> ((s, d) => Sampling.rendezvousReshard(s, d)),
     "x159_length_drift_ks"  -> ((s, d) => TextAnalysis.lengthDriftKs(s, d)),
+    "x160_contingency"      -> ((s, d) => TextAnalysis.langSourceContingency(s, d)),
+    "x161_rank_test"        -> ((s, d) => TextAnalysis.qualityRankTest(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2826,6 +2828,58 @@ object SparkEntry {
         |       CAST(gap AS DECIMAL(38,0)) AS ks_num,
         |       CAST(CAST(n_a AS HUGEINT) * n_b AS DECIMAL(38,0)) AS ks_den
         |FROM r WHERE r = 1""".stripMargin,
+
+    // x160: lang×source contingency deviations — full marginal-cross
+    // grid (zero cells included), raw HUGEINT/DECIMAL independence
+    // deviation rational.
+    "x160_contingency" ->
+      """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_ij
+        |       FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, CAST(sum(n_ij) AS BIGINT) AS r_i FROM cells GROUP BY 1),
+        |c AS (SELECT lang, CAST(sum(n_ij) AS BIGINT) AS c_j FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_ij) AS BIGINT) AS n_total FROM cells),
+        |g AS (SELECT r.source, c.lang, r.r_i, c.c_j FROM r, c)
+        |SELECT g.source, g.lang, CAST(coalesce(cells.n_ij, 0) AS BIGINT) AS n_ij,
+        |       g.r_i, g.c_j, t.n_total,
+        |       CAST(CAST(coalesce(cells.n_ij, 0) AS HUGEINT) * t.n_total
+        |         - CAST(g.r_i AS HUGEINT) * g.c_j AS DECIMAL(38,0)) AS dev_num,
+        |       CAST(CAST(t.n_total AS HUGEINT) * t.n_total AS DECIMAL(38,0)) AS dev_den
+        |FROM g LEFT JOIN cells ON g.source = cells.source AND g.lang = cells.lang, t""".stripMargin,
+
+    // x161: Mann–Whitney over x89 scores — x89's scoring CTE verbatim,
+    // midrank doubling identity on the merged per-pair value grid,
+    // HUGEINT interior, Σ(d³−d) tie term.
+    "x161_rank_test" -> {
+      import operators.TextAnalysis._
+      s"""$qualityFeatureCtes,
+        |scored AS (
+        |  SELECT doc_id,
+        |       CAST($QwWords * n_words
+        |            + $QwMeanLen * CAST(floor(mean_word_len * 1000000) AS BIGINT)
+        |            + ($QwStop) * CAST(floor(stopword_ratio * 1000000) AS BIGINT)
+        |            + ($QwShort) * CAST(floor(short_word_ratio * 1000000) AS BIGINT)
+        |            + ($QwDup) * CAST(floor(dup_ratio * 1000000) AS BIGINT) AS BIGINT) AS score_micro
+        |  FROM feat),
+        |cnt AS (SELECT d.source, s.score_micro AS v, CAST(count(*) AS BIGINT) AS c
+        |        FROM documents d JOIN scored s USING (doc_id) GROUP BY 1, 2),
+        |tt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b
+        |      FROM tt a JOIN tt b ON a.source < b.source),
+        |m AS (SELECT p.src_a, p.src_b, p.n_a, p.n_b, cnt.v,
+        |             CAST(sum(CASE WHEN cnt.source = p.src_a THEN cnt.c ELSE 0 END) AS BIGINT) AS da,
+        |             CAST(sum(CASE WHEN cnt.source = p.src_b THEN cnt.c ELSE 0 END) AS BIGINT) AS db
+        |      FROM p JOIN cnt ON cnt.source IN (p.src_a, p.src_b)
+        |      GROUP BY 1, 2, 3, 4, 5),
+        |w AS (SELECT *, da + db AS d,
+        |             CAST(coalesce(SUM(da + db) OVER (PARTITION BY src_a, src_b
+        |               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+        |      FROM m)
+        |SELECT src_a, src_b, n_a, n_b,
+        |       CAST(sum(CAST(da AS HUGEINT) * (2 * o + d + 1))
+        |         - CAST(n_a AS HUGEINT) * (n_a + 1) AS DECIMAL(38,0)) AS u2_a,
+        |       CAST(sum(CAST(d AS HUGEINT) * d * d - d) AS DECIMAL(38,0)) AS tie_cubes
+        |FROM w GROUP BY 1, 2, 3, 4""".stripMargin
+    },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

@@ -1294,11 +1294,14 @@ object TextAnalysis {
     * exactly like x128 blocks names. CDF cross-products c·n run in
     * DECIMAL(38,0) (counts ≥ 2⁶³/n past ~10⁹ docs/source squared —
     * x152's unconditional promotion). */
-  def lengthDriftKs(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.documents(spark, dir)
-      .groupBy(col("source"), col("n_chars").as("v"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+  /** The shared source-pair merged-value grid under x159/x161: from
+    * per-(source, v) counts, every source pair `src_a < src_b` with the
+    * union of their observed values and both per-value counts (0 where
+    * one side never saw the value). Every rank/CDF statistic over a
+    * pair of empirical distributions starts here; the pair build is the
+    * S-row inequality self-join (tiny — per-source aggregate sized). */
+  private def sourcePairGrid(counts0: DataFrame): DataFrame = {
+    val counts = counts0.localCheckpoint()
     val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val pairs = totals.as("a").join(totals.as("b"),
         col("a.source") < col("b.source"))
@@ -1310,9 +1313,16 @@ object TextAnalysis {
     val onB = pairs.join(counts.withColumnRenamed("source", "src_b"), Seq("src_b"))
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("v"),
         lit(0L).as("da"), col("c").as("db"))
-    val grid = onA.unionByName(onB)
+    onA.unionByName(onB)
       .groupBy(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("v"))
       .agg(sum(col("da")).as("da"), sum(col("db")).as("db"))
+  }
+
+  def lengthDriftKs(spark: SparkSession, dir: String): DataFrame = {
+    val grid = sourcePairGrid(
+      Tables.documents(spark, dir)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c")))
     val cum = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gapped = grid.withColumn("gap",
@@ -1326,5 +1336,83 @@ object TextAnalysis {
         col("gap").cast("decimal(38,0)").as("ks_num"),
         (col("n_a").cast("decimal(38,0)") * col("n_b"))
           .cast("decimal(38,0)").as("ks_den"))
+  }
+
+  /** Lang × source contingency deviations (x160): the full S×L grid —
+    * observed count, row/column marginals, corpus total, and the exact
+    * signed deviation from independence as the raw rational
+    * `dev_num = n_ij·N − r_i·c_j`, `dev_den = N²` (so `P_obs − P_exp =
+    * num/den` exactly) — the input table to every χ² independence
+    * audit ("is language mix independent of source"), published as
+    * integers so thresholds and χ² folds happen at the consumer
+    * (x119's discipline). Unobserved (source, lang) cells appear with
+    * n_ij = 0 — their deviation `−r_i·c_j` is exactly what χ² must
+    * charge — built by crossing the two marginal aggregates, never by
+    * scanning the corpus for absences.
+    *
+    * 100 TB shape: ONE partial-agg'd groupBy onto O(S·L) cells; the
+    * marginals and the full grid are aggregate-sized; the 1-row total
+    * crossJoins back broadcast. Products in DECIMAL(38,0) (r·c passes
+    * 2⁶³ when both marginals pass ~3·10⁹ — x152's promotion). */
+  def langSourceContingency(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_ij"))
+      .localCheckpoint()
+    val rows = cells.groupBy(col("source")).agg(sum(col("n_ij")).as("r_i"))
+    val cols = cells.groupBy(col("lang")).agg(sum(col("n_ij")).as("c_j"))
+    val tot = cells.agg(sum(col("n_ij")).as("n_total"))
+    rows.crossJoin(broadcast(cols))
+      .join(cells, Seq("source", "lang"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"),
+        coalesce(col("n_ij"), lit(0L)).as("n_ij"),
+        col("r_i"), col("c_j"), col("n_total"),
+        (coalesce(col("n_ij"), lit(0L)).cast("decimal(38,0)") * col("n_total")
+          - col("r_i").cast("decimal(38,0)") * col("c_j"))
+          .cast("decimal(38,0)").as("dev_num"),
+        (col("n_total").cast("decimal(38,0)") * col("n_total"))
+          .cast("decimal(38,0)").as("dev_den"))
+  }
+
+  /** Exact Mann–Whitney rank test between source pairs (x161): for
+    * every source pair, the tie-exact doubled Wilcoxon statistic
+    * `u2_a = 2·R_a − n_a(n_a+1)` over x89's pinned quality scores,
+    * where R_a is src_a's MIDRANK sum in the combined sample — plus
+    * the tie term `Σ(d³−d)` the variance's tie correction needs. The
+    * rank-based "is src_a's quality stochastically higher" test: KS
+    * (x159) detects any shape change; this detects a LOCATION shift
+    * with distribution-free calibration (consumer: U = u2/2, z-score
+    * from n_a, n_b, tie_cubes — all divisions downstream).
+    *
+    * Integers only via the doubling trick: a value shared by d rows
+    * with o rows strictly below has midrank `o + (d+1)/2`, so 2R_a
+    * folds as `Σ c_a·(2o + d + 1)` over the merged grid — the same
+    * tie-group identity as x156's Gini, on the combined distribution.
+    *
+    * 100 TB shape: [[sourcePairGrid]] (bounded-domain counts, per-pair
+    * partitioned windows); products in DECIMAL(38,0) (2R_a reaches
+    * n² ≈ 10²⁶). */
+  def qualityRankTest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val grid = sourcePairGrid(
+      qualityScorePinned(spark, dir)
+        .join(docs, Seq("doc_id"))
+        .groupBy(col("source"), col("score_micro").as("v"))
+        .agg(count(lit(1)).as("c")))
+    val cum = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("d", col("da") + col("db"))
+      .withColumn("o", coalesce(sum(col("da") + col("db")).over(cum), lit(0L)))
+      .groupBy(col("src_a"), col("src_b"), col("n_a"), col("n_b"))
+      .agg(
+        sum(col("da").cast("decimal(38,0)")
+          * (col("o") * 2 + col("d") + 1)).as("r2a"),
+        sum((col("d").cast("decimal(38,0)") * col("d") * col("d")
+          - col("d")).cast("decimal(38,0)")).as("tie_cubes"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        (col("r2a") - col("n_a").cast("decimal(38,0)") * (col("n_a") + 1))
+          .cast("decimal(38,0)").as("u2_a"),
+        col("tie_cubes").cast("decimal(38,0)").as("tie_cubes"))
   }
 }

@@ -355,6 +355,47 @@ object EventStream {
     * each micro-batch's rows sort by the (ts_s, event_id) total key
     * and cross-batch correctness assumes per-user in-order arrival
     * (the same contract as every last-value-state twin here). */
+  case class ROEvent(user_id: Long, k: Long, event_id: Long, ts_s: Long)
+  case class ReorderState(n: Long)
+  case class ReorderOut(user_id: Long, k: Long, at_ts_s: Long, n_purchases: Long)
+
+  /** Streaming twin of x154's reorder semantics on the event stream:
+    * per (user, item-k) `GroupState` carries the lifetime purchase
+    * count, and a row fires the moment a user purchases the same item
+    * a SECOND-or-later time — the real-time "replenishment signal"
+    * whose batch census is x154's per-part reorder rate (there keyed on
+    * the order-fact part; here on the stream's `props.$k` item, the
+    * same JSON path as x14). Emits every reorder (n ≥ 2) with the
+    * running count, so the warehouse can fold the stream into exactly
+    * x154's `n_repeat` (distinct keys seen with n ≥ 2).
+    *
+    * State is one Long per (user, item) — the minimal reorder state;
+    * the composite group key keeps state O(1) per key instead of a
+    * per-user item map (a hot user's basket history never concentrates
+    * in one state row). Same in-order contract as the other
+    * last-value-state twins. */
+  def reorders(events: DataFrame): Dataset[ReorderOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("event_id"), col("ts_s")).as[ROEvent]
+      .groupByKey(e => (e.user_id, e.k))
+      .flatMapGroupsWithState[ReorderState, ReorderOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), rows: Iterator[ROEvent], state: GroupState[ReorderState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_s, e.event_id))
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          val out = sorted.flatMap { e =>
+            n += 1
+            if (n >= 2) Some(ReorderOut(key._1, key._2, e.ts_s, n)) else None
+          }
+          state.update(ReorderState(n))
+          out.iterator
+      }
+  }
+
   def tierPromotions(events: DataFrame): Dataset[PromoOut] = {
     import graft.operators.Relational.{TierGoldAt, TierSilverAt}
     val spark = events.sparkSession

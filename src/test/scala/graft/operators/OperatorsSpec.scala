@@ -2477,4 +2477,64 @@ class OperatorsSpec extends SparkSpec {
     // drift exists somewhere: at least one pair has a nonzero supremum
     assert(got.exists(r => BigInt(r._6) > 0))
   }
+
+  test("langSourceContingency (x160): full grid with zero cells; deviations sum to zero") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"source", $"lang").as[(String, String)].collect().toSeq
+    val cells = docs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rI = docs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cJ = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = docs.size.toLong
+    val got = TextAnalysis.langSourceContingency(spark, sf)
+      .select($"source", $"lang", $"n_ij", $"r_i", $"c_j", $"n_total",
+        $"dev_num".cast("string"), $"dev_den".cast("string"))
+      .as[(String, String, Long, Long, Long, Long, String, String)].collect()
+    // FULL grid: every (source, lang) marginal cross, zero cells included
+    assert(got.length == rI.size * cJ.size)
+    assert(got.exists(_._3 == 0L), "synthetic corpus should have empty cells")
+    got.foreach { case (s, l, nij, ri, cj, nt, num, den) =>
+      assert(nij == cells.getOrElse((s, l), 0L), s"cell $s/$l")
+      assert(ri == rI(s) && cj == cJ(l) && nt == n)
+      assert(BigInt(num) == BigInt(nij) * n - BigInt(ri) * cj, s"cell $s/$l dev")
+      assert(BigInt(den) == BigInt(n) * n)
+    }
+    // deviations from independence cancel exactly over the full grid
+    assert(got.map(r => BigInt(r._7)).sum == 0)
+  }
+
+  test("qualityRankTest (x161): doubled-U and tie term match a per-row midrank replica") {
+    val scores = TextAnalysis.qualityScorePinned(spark, sf)
+      .select($"doc_id", $"score_micro").as[(Long, Long)].collect().toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toSeq
+      .map { case (id, src) => (src, scores(id)) }
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val want = (for {
+      i <- srcs.indices; j <- i + 1 until srcs.size
+      a = srcs(i); b = srcs(j)
+      va = bySrc(a); vb = bySrc(b)
+      all = (va ++ vb).sorted
+    } yield {
+      // per-row midranks ×2: 2·midrank(v) = (#strictly-below)·2 + d + 1
+      val below = all.groupBy(identity).view
+        .mapValues(g => (all.count(_ < g.head).toLong, g.size.toLong)).toMap
+      val r2a = va.map { v => val (o, d) = below(v); BigInt(2 * o + d + 1) }.sum
+      val tie = below.values.map { case (_, d) => BigInt(d) * d * d - d }.sum
+      (a, b) -> (va.size.toLong, vb.size.toLong,
+        r2a - BigInt(va.size) * (va.size + 1), tie)
+    }).toMap
+    val got = TextAnalysis.qualityRankTest(spark, sf)
+      .select($"src_a", $"src_b", $"n_a", $"n_b",
+        $"u2_a".cast("string"), $"tie_cubes".cast("string"))
+      .as[(String, String, Long, Long, String, String)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (a, b, na, nb, u2, tc) =>
+      val (wna, wnb, wu2, wtc) = want((a, b))
+      assert((na, nb) == ((wna, wnb)), s"pair $a/$b sizes")
+      assert(BigInt(u2) == wu2 && BigInt(tc) == wtc, s"pair $a/$b stats")
+      // 2U ranges over [0, 2·n_a·n_b] exactly
+      assert(BigInt(u2) >= 0 && BigInt(u2) <= 2 * BigInt(na) * nb)
+    }
+  }
 }

@@ -369,4 +369,46 @@ class EventStreamSpec extends SparkSpec {
       .intersect(purch.filter($"ts_s" > cut).select($"user_id").distinct()).count()
     assert(crossUsers > 0, "fixture must force cross-batch state handoff")
   }
+
+  test("stateful streaming reorders ≡ a driver replay across a micro-batch boundary") {
+    val root = java.nio.file.Files.createTempDirectory("graft-reorderstream").toString
+    val raw = graft.Tables.events(spark, sf)
+    val ev = raw.select($"event_id", $"user_id", $"event_type", $"props",
+      Sessionize.tsSeconds(raw).as("ts_s"))
+    val cut = ev.stat.approxQuantile("ts_s", Array(0.5), 0.0).head.toLong
+    ev.filter($"ts_s" <= cut).write.parquet(s"$root/drop")
+    ev.filter($"ts_s" > cut).write.mode("append").parquet(s"$root/drop")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/drop")
+    val q = EventStream.reorders(stream).toDF()
+      .writeStream.format("memory").queryName("reorder_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("reorder_stream")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // driver replay over the full (unsplit) purchase log: every (user, k)
+    // purchase occurrence past the first is a reorder row
+    val want = ev.filter($"event_type" === "purchase")
+      .select($"user_id", get_json_object($"props", "$.k").cast("long"),
+        $"event_id", $"ts_s").as[(Long, Long, Long, Long)]
+      .collect().toSeq.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((u, k), es) =>
+        es.sortBy(e => (e._4, e._3)).zipWithIndex.collect {
+          case ((_, _, _, ts), i) if i + 1 >= 2 => (u, k, ts, (i + 1).toLong)
+        }
+      }.toSet
+    assert(streamed == want && streamed.nonEmpty)
+    // the stream's reorder keys fold to exactly the batch census shape:
+    // distinct (user, k) with a reorder == keys whose replayed count ≥ 2
+    val streamedKeys = streamed.map(r => (r._1, r._2))
+    val wantKeys = want.map(r => (r._1, r._2))
+    assert(streamedKeys == wantKeys)
+    // cross-batch handoff: some (user, k) purchases in both drops
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", get_json_object($"props", "$.k").cast("long").as("k"), $"ts_s")
+    val crossKeys = purch.filter($"ts_s" <= cut).select($"user_id", $"k").distinct()
+      .intersect(purch.filter($"ts_s" > cut).select($"user_id", $"k").distinct()).count()
+    assert(crossKeys > 0, "fixture must force cross-batch state handoff")
+  }
 }
