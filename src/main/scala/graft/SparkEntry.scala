@@ -199,6 +199,8 @@ object SparkEntry {
     "x159_length_drift_ks"  -> ((s, d) => TextAnalysis.lengthDriftKs(s, d)),
     "x160_contingency"      -> ((s, d) => TextAnalysis.langSourceContingency(s, d)),
     "x161_rank_test"        -> ((s, d) => TextAnalysis.qualityRankTest(s, d)),
+    "x162_acf_panel"        -> ((s, d) => Forecast.acfMoments(s, d)),
+    "x163_tf_cosine"        -> ((s, d) => Dedup.tfCosinePairs(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2879,6 +2881,57 @@ object SparkEntry {
         |         - CAST(n_a AS HUGEINT) * (n_a + 1) AS DECIMAL(38,0)) AS u2_a,
         |       CAST(sum(CAST(d AS HUGEINT) * d * d - d) AS DECIMAL(38,0)) AS tie_cubes
         |FROM w GROUP BY 1, 2, 3, 4""".stripMargin
+    },
+
+    // x162: per-brand ACF moment panel — x117's daily CTE verbatim,
+    // lag pairs via self-equi-join, HUGEINT/DECIMAL moment sums.
+    "x162_acf_panel" -> {
+      val lags = operators.Forecast.AcfLags.mkString(", ")
+      s"""WITH daily AS (
+        |  SELECT p.p_brand, CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400 AS day,
+        |         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT x.p_brand, lg.lag, x.rev_cents AS x, y.rev_cents AS y
+        |  FROM daily x
+        |  CROSS JOIN (SELECT CAST(unnest([$lags]) AS BIGINT) AS lag) lg
+        |  JOIN daily y ON y.p_brand = x.p_brand AND y.day = x.day - lg.lag)
+        |SELECT p_brand, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS sum_x,
+        |       CAST(sum(CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS sum_y,
+        |       CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sum_xy,
+        |       CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sum_xx,
+        |       CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS sum_yy
+        |FROM pr GROUP BY 1, 2""".stripMargin
+    },
+
+    // x163: exact TF all-pairs cosine — x02's 5-gram CTE WITHOUT the
+    // list_distinct (multiplicity counts), x02's stop-term cap,
+    // integer cross-multiplied keep decision, one 3-IEEE-op cosine.
+    "x163_tf_cosine" -> {
+      import operators.Dedup.{TfCosMaxTermDf, TfCosShingleN, TfCosThresholdDen, TfCosThresholdNum}
+      val (n2, d2) = (TfCosThresholdNum.toLong * TfCosThresholdNum,
+        TfCosThresholdDen.toLong * TfCosThresholdDen)
+      val (hi, lo) = (TfCosShingleN - 1, TfCosShingleN - 2)
+      s"""WITH t AS (SELECT doc_id, unnest([array_to_string(words[i:i+$hi], ' ')
+        |             for i in range(1, len(words) - $lo)]) AS w
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1),
+        |tfc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm2 FROM tfc GROUP BY 1),
+        |stop AS (SELECT w FROM (SELECT w, count(*) AS df FROM tfc GROUP BY 1) s
+        |         WHERE df > $TfCosMaxTermDf),
+        |idx AS (SELECT doc_id, w, tf, norm2
+        |        FROM tfc ANTI JOIN stop USING (w) JOIN norms USING (doc_id)),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |             a.norm2 AS norm2_a, b.norm2 AS norm2_b,
+        |             CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |      FROM idx a JOIN idx b ON a.w = b.w AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, dot, norm2_a, norm2_b,
+        |       CAST(dot AS DOUBLE) / sqrt(CAST(norm2_a AS DOUBLE) * norm2_b) AS cos_dbl
+        |FROM p
+        |WHERE CAST($d2 AS HUGEINT) * dot * dot >= CAST($n2 AS HUGEINT) * norm2_a * norm2_b""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

@@ -1593,6 +1593,85 @@ object Dedup {
         col("key_b"), col("name_b"), col("distance").cast("int"))
   }
 
+  /** x163 knobs: the term width (word 5-grams WITH multiplicity — the
+    * weighted twin of x02's distinct shingles), the cosine
+    * keep-threshold as the exact rational tNum/tDen (pairs keep iff
+    * cos ≥ tNum/tDen, decided by integer cross-multiplication — no
+    * float in the decision path), and the stop-term df cap (x02's
+    * discipline). Shared with the oracle SQL. */
+  val TfCosShingleN: Int = 5
+  val TfCosThresholdNum: Int = 1
+  val TfCosThresholdDen: Int = 2
+  val TfCosMaxTermDf: Int = 100
+
+  /** Exact TF all-pairs cosine similarity (x163): document pairs whose
+    * 5-gram term-FREQUENCY vectors have cosine ≥ [[TfCosThresholdNum]]/
+    * [[TfCosThresholdDen]] — the WEIGHTED sibling of x02's set-Jaccard
+    * (a doc that repeats a template 50× looks near-identical to one
+    * repeating it 5× under Jaccard; TF cosine separates them — the
+    * repetition-aware near-dup signal), and the exact baseline the
+    * DIMSUM-style sampled all-pairs algorithms approximate. Emits the
+    * raw integer evidence (dot, both squared norms) plus one 3-IEEE-op
+    * `cos_dbl` (mul, sqrt, div — each correctly rounded, so
+    * cross-engine identical).
+    *
+    * The keep decision is PURE INTEGER: `tDen²·dot² ≥ tNum²·n2a·n2b`
+    * (squares compare safely since dot ≥ 0), evaluated in
+    * DECIMAL(38,0) — dot reaches n2 ≈ tf²·terms ≈ 10¹⁴ per doc, so
+    * dot² passes 2⁶³ well inside the envelope. Norms are computed over
+    * ALL terms (the true cosine denominator); the stop-term cap only
+    * prunes which terms can PAIR documents (x02's rule: a term in more
+    * than [[TfCosMaxTermDf]] docs is boilerplate whose bucket join
+    * would be quadratic in its df) — so reported cosines are exact,
+    * while recall is bounded by the cap exactly as x02 documents.
+    *
+    * 100 TB shape: one tf aggregate (partial-combined), norms as a
+    * second keyed aggregate joined back on doc_id, the pair join
+    * keyed per TERM with fan-out ≤ C(cap, 2) per term, then ONE
+    * partial-agg'd pair groupBy. No windows, no driver state. */
+  def tfCosinePairs(spark: SparkSession, dir: String,
+                    n: Int = TfCosShingleN,
+                    tNum: Int = TfCosThresholdNum,
+                    tDen: Int = TfCosThresholdDen,
+                    maxTermDf: Int = TfCosMaxTermDf): DataFrame = {
+    require(tNum >= 0 && tDen > 0, "threshold must be a nonneg rational")
+    val words = split(col("text"), " ")
+    // wordShingles minus the distinct: every 5-gram OCCURRENCE counts
+    val grams = filter(
+      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => when(i + n <= size(words),
+          concat_ws(" ", slice(words, i + lit(1), lit(n)))).otherwise(lit(null))),
+      x => x.isNotNull)
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(grams).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val norms = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("norm2"))
+    val stopTerms = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxTermDf).select(col("w"))
+    val idx = tf.join(broadcast(stopTerms), Seq("w"), "left_anti")
+      .join(norms, Seq("doc_id"))
+    val a = idx.select(col("doc_id").as("doc_a"), col("w"),
+      col("tf").as("tf_a"), col("norm2").as("norm2_a"))
+    val b = idx.select(col("doc_id").as("doc_b"), col("w"),
+      col("tf").as("tf_b"), col("norm2").as("norm2_b"))
+    a.join(b, Seq("w"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("norm2_a"), col("norm2_b"))
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+      .filter(
+        lit(tDen.toLong * tDen).cast("decimal(38,0)")
+          * col("dot") * col("dot")
+          >= lit(tNum.toLong * tNum).cast("decimal(38,0)")
+            * col("norm2_a") * col("norm2_b"))
+      .select(col("doc_a"), col("doc_b"), col("dot"),
+        col("norm2_a"), col("norm2_b"),
+        (col("dot").cast("double")
+          / sqrt(col("norm2_a").cast("double") * col("norm2_b")))
+          .as("cos_dbl"))
+  }
+
   /** x125 knobs: ingest-batch count (doc_id range deciles) and the
     * shingle width, shared with the oracle SQL. */
   val NoveltyBatches: Int = 10

@@ -331,6 +331,51 @@ object Forecast {
     * shuffle), then ONE partial-agg'd groupBy on 4 keys — map-side
     * combine collapses everything before the exchange; output is
     * O(pairs). */
+  /** x162's pinned autocorrelation lags (days): adjacent-day memory and
+    * the weekly cycle — shared with the oracle SQL. */
+  val AcfLags: Seq[Int] = Seq(1, 7)
+
+  /** Per-brand autocorrelation moment panel (x162): for each brand and
+    * each lag in [[AcfLags]], the EXACT raw moments (n, Σx, Σy, Σxy,
+    * Σx², Σy²) of the pairs (rev(d), rev(d−lag)) over the brand's daily
+    * revenue series — everything the sample autocorrelation r_k needs,
+    * published undivided so the gate compares integers (x152's moment
+    * contract on x117's series). An r₇ ≫ r₁ readout is the integer
+    * evidence for the weekly cycle x117's seasonal-naive lag assumes;
+    * moments are additive, so a monitoring layer merges windows before
+    * the one consumer-side division. Pairs are observed-only (both
+    * days present — the standard sample ACF; x124's gap-fill is the
+    * zero-filled alternative upstream if a dense series is wanted).
+    *
+    * 100 TB shape: one daily-revenue aggregate (localCheckpoint'ed —
+    * |lags|+1 consumers), then per lag a SELF-EQUI-JOIN on (brand,
+    * day+lag) — aggregate-sized, never corpus-sized — and ONE
+    * partial-agg'd groupBy; sums in DECIMAL(38,0) (Σx² reaches
+    * ~10²⁸·days at corpus revenue scale). */
+  def acfMoments(spark: SparkSession, dir: String,
+                 lags: Seq[Int] = AcfLags): DataFrame = {
+    require(lags.nonEmpty, "need at least one lag")
+    val daily = dailyRevenue(spark, dir).localCheckpoint()
+    val pairs = lags.map { l =>
+      daily.join(
+          daily.select(col("p_brand"), (col("day") + l).as("day"),
+            col("rev_cents").as("y")),
+          Seq("p_brand", "day"))
+        .select(col("p_brand"), lit(l.toLong).as("lag"),
+          col("rev_cents").as("x"), col("y"))
+    }.reduce(_ unionByName _)
+    pairs.groupBy(col("p_brand"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x").cast("decimal(38,0)")).as("sum_x"),
+        sum(col("y").cast("decimal(38,0)")).as("sum_y"),
+        sum((col("x").cast("decimal(38,0)") * col("y"))
+          .cast("decimal(38,0)")).as("sum_xy"),
+        sum((col("x").cast("decimal(38,0)") * col("x"))
+          .cast("decimal(38,0)")).as("sum_xx"),
+        sum((col("y").cast("decimal(38,0)") * col("y"))
+          .cast("decimal(38,0)")).as("sum_yy"))
+  }
+
   def corrMoments(spark: SparkSession, dir: String): DataFrame = {
     val pairStructs = CorrPairs.map { case (name, x, y) =>
       struct(lit(name).as("pair"), expr(x).as("x"), expr(y).as("y"))

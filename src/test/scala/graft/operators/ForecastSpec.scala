@@ -149,6 +149,34 @@ class ForecastSpec extends SparkSpec {
     assert(m._2 == best._5.toDouble / best._3.toDouble)
   }
 
+  test("acfMoments (x162): lag-pair raw moments match an exhaustive driver replay") {
+    val daily = facts.groupBy(f => (f._1, f._2)).view.mapValues(_.map(_._3).sum).toMap
+    val want = (for {
+      lag <- Forecast.AcfLags
+      ((b, d), x) <- daily.toSeq
+      y <- daily.get((b, d - lag))
+    } yield (b, lag.toLong, x, y))
+      .groupBy(t => (t._1, t._2)).view.mapValues { rs =>
+        (BigInt(rs.size),
+          rs.map(r => BigInt(r._3)).sum, rs.map(r => BigInt(r._4)).sum,
+          rs.map(r => BigInt(r._3) * r._4).sum,
+          rs.map(r => BigInt(r._3) * r._3).sum,
+          rs.map(r => BigInt(r._4) * r._4).sum)
+      }.toMap
+    val got = Forecast.acfMoments(spark, sf)
+      .select($"p_brand", $"lag", $"n_pairs", $"sum_x".cast("string"),
+        $"sum_y".cast("string"), $"sum_xy".cast("string"),
+        $"sum_xx".cast("string"), $"sum_yy".cast("string"))
+      .as[(String, Long, Long, String, String, String, String, String)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (b, l, n, sx, sy, sxy, sxx, syy) =>
+      assert((BigInt(n), BigInt(sx), BigInt(sy), BigInt(sxy), BigInt(sxx),
+        BigInt(syy)) == want((b, l)), s"brand $b lag $l")
+    }
+    // both pinned lags present for every brand that has enough history
+    assert(Forecast.AcfLags.forall(l => got.exists(_._2 == l.toLong)))
+  }
+
   test("lifeTable (x150): KM input table matches an exhaustive driver replay") {
     val cd = graft.Tables.orders(spark, sf)
       .select($"o_custkey",

@@ -2478,6 +2478,41 @@ class OperatorsSpec extends SparkSpec {
     assert(got.exists(r => BigInt(r._6) > 0))
   }
 
+  test("tfCosinePairs (x163): dot/norms match a multiset replica; threshold is exact") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val n = Dedup.TfCosShingleN
+    val tf = docs.map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val grams = (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" "))
+      id -> grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size).toMap
+    val kept = tf.view.mapValues(_.filter(kv => df(kv._1) <= Dedup.TfCosMaxTermDf)).toMap
+    val norm2 = tf.view.mapValues(_.values.map(t => t * t).sum).toMap
+    val ids = docs.map(_._1).sorted
+    val want = (for {
+      i <- ids.indices; j <- i + 1 until ids.size
+      a = ids(i); b = ids(j)
+      dot = kept(a).keySet.intersect(kept(b).keySet).toSeq
+        .map(w => kept(a)(w) * kept(b)(w)).sum
+      if dot > 0 &&
+        BigInt(Dedup.TfCosThresholdDen) * Dedup.TfCosThresholdDen * dot * dot >=
+        BigInt(Dedup.TfCosThresholdNum) * Dedup.TfCosThresholdNum * norm2(a) * norm2(b)
+    } yield (a, b) -> (dot, norm2(a), norm2(b))).toMap
+    val got = Dedup.tfCosinePairs(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (a, b, dot, n2a, n2b, cos) =>
+      assert((dot, n2a, n2b) == want((a, b)), s"pair $a/$b")
+      assert(cos == dot.toDouble / math.sqrt(n2a.toDouble * n2b.toDouble))
+      assert(cos >= 0.5 - 1e-12 && cos <= 1.0 + 1e-12)
+    }
+    // the weighting matters: some kept pair is NOT symmetric-identical
+    // (dot differs from either norm, i.e. a genuine near- not exact-dup)
+    assert(got.exists(r => r._3 != r._4 || r._3 != r._5))
+  }
+
   test("langSourceContingency (x160): full grid with zero cells; deviations sum to zero") {
     val docs = graft.Tables.documents(spark, sf)
       .select($"source", $"lang").as[(String, String)].collect().toSeq
