@@ -1650,7 +1650,10 @@ object Dedup {
       .agg(sum(col("tf") * col("tf")).as("norm2"))
     val stopTerms = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxTermDf).select(col("w"))
-    val idx = tf.join(broadcast(stopTerms), Seq("w"), "left_anti")
+    // no broadcast hint on the stop side: boilerplate high-df grams GROW
+    // with a web-scale corpus (the x68/x72 lesson) — AQE still broadcasts
+    // when the set is genuinely small
+    val idx = tf.join(stopTerms, Seq("w"), "left_anti")
       .join(norms, Seq("doc_id"))
     val a = idx.select(col("doc_id").as("doc_a"), col("w"),
       col("tf").as("tf_a"), col("norm2").as("norm2_a"))
