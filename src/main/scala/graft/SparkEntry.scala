@@ -201,6 +201,7 @@ object SparkEntry {
     "x161_rank_test"        -> ((s, d) => TextAnalysis.qualityRankTest(s, d)),
     "x162_acf_panel"        -> ((s, d) => Forecast.acfMoments(s, d)),
     "x163_tf_cosine"        -> ((s, d) => Dedup.tfCosinePairs(s, d)),
+    "x164_label_prop"       -> ((s, d) => LinkAnalysis.labelPropagation(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2932,6 +2933,34 @@ object SparkEntry {
         |       CAST(dot AS DOUBLE) / sqrt(CAST(norm2_a AS DOUBLE) * norm2_b) AS cos_dbl
         |FROM p
         |WHERE CAST($d2 AS HUGEINT) * dot * dot >= CAST($n2 AS HUGEINT) * norm2_a * norm2_b""".stripMargin
+    },
+
+    // x164: synchronous label propagation — x116's edge CTE, rounds
+    // unrolled, majority label with the (cnt DESC, label ASC) total
+    // tie-break as a row_number pick.
+    "x164_label_prop" -> {
+      import operators.LinkAnalysis.{LpaRounds, TriMinSupport}
+      val rounds = (1 to LpaRounds).map { r =>
+        s"""l$r AS MATERIALIZED (
+          |  SELECT a AS node, label FROM (
+          |    SELECT a, label, row_number() OVER (PARTITION BY a
+          |             ORDER BY cnt DESC, label ASC) AS rk
+          |    FROM (SELECT s.a, l.label, CAST(count(*) AS BIGINT) AS cnt
+          |          FROM sym s JOIN l${r - 1} l ON s.b = l.node
+          |          GROUP BY 1, 2) c) t
+          |  WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+        |sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM sym),
+        |$rounds,
+        |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+        |          FROM l$LpaRounds GROUP BY 1)
+        |SELECT p.p_partkey, p.p_brand, l.label AS community, s.community_size
+        |FROM l$LpaRounds l JOIN sizes s USING (label)
+        |JOIN part p ON l.node = p.p_partkey""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

@@ -396,6 +396,57 @@ object LinkAnalysis {
       .select(col("p_partkey"), col("p_brand"), col("dist"))
   }
 
+  /** x164 knob: pinned synchronous label-propagation rounds (unrolled
+    * in the oracle — the x77/x99/x122/x151 pinned-iteration
+    * convention). */
+  val LpaRounds: Int = 2
+
+  /** Synchronous label propagation communities (x164): every part
+    * starts as its own label; each round, every node adopts the most
+    * frequent label among its neighbors (ties → smallest label — a
+    * TOTAL, engine-neutral rule, unlike the random tie-breaks of
+    * classic LPA that make it irreproducible), for [[LpaRounds]]
+    * synchronous rounds over the frequent-co-purchase graph. Output is
+    * each part's community label plus the community size — the
+    * category-discovery / "products that sell together" view that
+    * complements x17's connected components (CC merges through ANY
+    * path; LPA communities need local label majority, so bridges don't
+    * glue categories).
+    *
+    * 100 TB shape: per round, one join of the symmetric edge list to
+    * the O(V) label table (shuffle on node key), one (node, label)
+    * partial-agg'd count, and one per-node argmax via max(struct(cnt,
+    * −label)) — an aggregate, NOT a row_number window, so no per-node
+    * ordered buffering; both frames `localCheckpoint`ed per round (the
+    * CC engine's discipline — unchecked, round r re-derives the
+    * co-purchase join O(r) times, the x99 recompute trap). Rounds are
+    * a plan-time constant; each round is O(E) shuffled rows. */
+  def labelPropagation(spark: SparkSession, dir: String,
+                       rounds: Int = LpaRounds): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val part = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    val e = copurchaseEdges(spark, dir)
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val nodes = sym.select(col("a").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("node").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("a"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("a").as("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("label"))
+      .join(part, col("node") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("label").as("community"),
+        col("community_size"))
+  }
+
   /** x153 knob: minimum distinct-order co-occurrence for a rule row —
     * the classic min-support prune, and the scale lever that keeps the
     * rule table O(frequent pairs) instead of O(all pairs). */

@@ -309,4 +309,28 @@ class LinkAnalysisSpec extends SparkSpec {
     // a frequent pair beats independence somewhere: lift > 1 exists
     assert(got.exists(r => BigInt(r._9) > BigInt(r._10)))
   }
+
+  test("labelPropagation (x164): synchronous rounds match a driver replica; total tie-break") {
+    val edges = LinkAnalysis.copurchaseEdges(spark, sf).as[(Long, Long)].collect().toSeq
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to LinkAnalysis.LpaRounds) {
+      labels = adj.map { case (n, nbrs) =>
+        val counts = nbrs.map(labels).groupBy(identity).view.mapValues(_.size).toMap
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val sizes = labels.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = LinkAnalysis.labelPropagation(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.length == labels.size && got.nonEmpty)
+    got.foreach { case (p, _, community, size) =>
+      assert(community == labels(p), s"part $p label")
+      assert(size == sizes(labels(p)), s"part $p size")
+    }
+    // communities actually formed: fewer labels than nodes, and some
+    // community holds more than one member
+    assert(sizes.size < labels.size && sizes.values.max > 1L)
+  }
 }
