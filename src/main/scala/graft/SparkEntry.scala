@@ -202,6 +202,8 @@ object SparkEntry {
     "x162_acf_panel"        -> ((s, d) => Forecast.acfMoments(s, d)),
     "x163_tf_cosine"        -> ((s, d) => Dedup.tfCosinePairs(s, d)),
     "x164_label_prop"       -> ((s, d) => LinkAnalysis.labelPropagation(s, d)),
+    "x165_conversion_lag"   -> ((s, d) => Sessionize.conversionLatency(s, d)),
+    "x166_markov_eval"      -> ((s, d) => Sessionize.markovEval(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -2962,6 +2964,46 @@ object SparkEntry {
         |FROM l$LpaRounds l JOIN sizes s USING (label)
         |JOIN part p ON l.node = p.p_partkey""".stripMargin
     },
+
+    // x165: signup→first-purchase latency table — conditional-min first
+    // purchase at-or-after first signup, −1 censored row, ppm shares.
+    "x165_conversion_lag" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |s0 AS (SELECT user_id, min(ts_s) AS t0 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT user_id, ts_s FROM ev WHERE event_type = 'purchase'),
+        |f AS (SELECT s0.user_id, s0.t0,
+        |             min(CASE WHEN p.ts_s >= s0.t0 THEN p.ts_s END) AS tp
+        |      FROM s0 LEFT JOIN p ON s0.user_id = p.user_id
+        |      GROUP BY 1, 2),
+        |b AS (SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400
+        |                  ELSE -1 END AS latency_days FROM f),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_signups FROM s0)
+        |SELECT latency_days, CAST(count(*) AS BIGINT) AS n_users, t.n_signups,
+        |       (1000000 * CAST(count(*) AS BIGINT)) // t.n_signups AS share_ppm
+        |FROM b, t GROUP BY 1, 3""".stripMargin,
+
+    // x166: next-event Markov eval — x85's transition CTE verbatim,
+    // argmax as a (n DESC, type DESC) row_number pick, hit ppm.
+    "x166_markov_eval" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_type
+        |  FROM events),
+        |t AS (SELECT prev_type, event_type AS next_type,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |pr AS (SELECT prev_type, next_type AS predicted_next FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY prev_type
+        |           ORDER BY n DESC, next_type DESC) AS rk FROM t) x WHERE rk = 1)
+        |SELECT t.prev_type, pr.predicted_next,
+        |       CAST(sum(t.n) AS BIGINT) AS n_total,
+        |       CAST(sum(CASE WHEN t.next_type = pr.predicted_next THEN t.n ELSE 0 END) AS BIGINT) AS n_hits,
+        |       (1000000 * CAST(sum(CASE WHEN t.next_type = pr.predicted_next THEN t.n ELSE 0 END) AS BIGINT))
+        |         // CAST(sum(t.n) AS BIGINT) AS hit_ppm
+        |FROM t JOIN pr USING (prev_type) GROUP BY 1, 2""".stripMargin,
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

@@ -623,4 +623,66 @@ object Sessionize {
       .withColumn("stickiness_ppm", expr("(1000000L * wau) div mau4"))
       .select(col("week"), col("wau"), col("mau4"), col("stickiness_ppm"))
   }
+
+  /** Signup→first-purchase conversion-latency table (x165): per user
+    * with ≥1 signup, the whole-day latency from FIRST signup to the
+    * first purchase AT-OR-AFTER it, bucketed by day — plus the
+    * never-converted mass as the pinned `latency_days = −1` row
+    * (right-censored, x150's life-table discipline: the censored mass
+    * IS the funnel's complement, never silently dropped — a purchase
+    * that predates the signup does not convert the user but must not
+    * erase them either). Output is O(latency-day buckets) rows with
+    * exact ppm shares of the signup population.
+    *
+    * 100 TB shape: two filtered per-user aggregates (partial-combined),
+    * one left join keyed on user (both sides user-sized), the
+    * conditional-min fold, ONE bucket groupBy; the 1-row signup total
+    * crossJoins back broadcast (x65's pattern). No windows. */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    val ev = raw.select(col("user_id"), col("event_type"),
+      tsSeconds(raw).as("ts_s"))
+    val s0 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("t0"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_s"))
+    val firstP = s0.join(p, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("t0"))
+      .agg(min(when(col("ts_s") >= col("t0"), col("ts_s"))).as("tp"))
+    val tot = s0.agg(count(lit(1)).as("n_signups"))
+    firstP
+      .select(when(col("tp").isNotNull, expr("(tp - t0) div 86400"))
+        .otherwise(lit(-1L)).as("latency_days"))
+      .groupBy(col("latency_days")).agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(1000000L * n_users) div n_signups"))
+  }
+
+  /** Next-event Markov prediction eval (x166): from x85's transition
+    * counts (the [[eventTransitions]] derivation is SHARED so the
+    * model and its eval can never disagree), the argmax next-event
+    * prediction per antecedent type and its observed hit rate in exact
+    * ppm — "how predictable is the clickstream", the evaluation row a
+    * next-action model is graded against before anything fancier is
+    * trained. Tie-break on the argmax is (count, type) struct-max —
+    * total and engine-neutral (larger count, then lexicographically
+    * larger type).
+    *
+    * 100 TB shape: everything downstream of x85's per-user lag runs on
+    * the O(|types|²) transition aggregate — argmax by max(struct), one
+    * equi-join, one partial-agg'd fold. Output is O(|types|). */
+  def markovEval(spark: SparkSession, dir: String): DataFrame = {
+    val t = eventTransitions(spark, dir)
+      .select(col("prev_type"), col("next_type"), col("n_transitions"))
+      .localCheckpoint()
+    val pred = t.groupBy(col("prev_type"))
+      .agg(max(struct(col("n_transitions"), col("next_type"))).as("m"))
+      .select(col("prev_type"), col("m.next_type").as("predicted_next"))
+    t.join(pred, Seq("prev_type"))
+      .groupBy(col("prev_type"), col("predicted_next"))
+      .agg(sum(col("n_transitions")).as("n_total"),
+        sum(when(col("next_type") === col("predicted_next"),
+          col("n_transitions")).otherwise(0L)).as("n_hits"))
+      .withColumn("hit_ppm", expr("(1000000L * n_hits) div n_total"))
+  }
 }

@@ -2478,6 +2478,73 @@ class OperatorsSpec extends SparkSpec {
     assert(got.exists(r => BigInt(r._6) > 0))
   }
 
+  test("conversionLatency (x165): buckets and censored mass match a driver replay") {
+    val raw = graft.Tables.events(spark, sf)
+    val ev = raw.select($"user_id", $"event_type", Sessionize.tsSeconds(raw).as("ts_s"))
+      .as[(Long, String, Long)].collect().toSeq
+    val t0 = ev.filter(_._2 == "signup").groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val purch = ev.filter(_._2 == "purchase").groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    val lat = t0.toSeq.map { case (u, t) =>
+      purch.getOrElse(u, Seq.empty).filter(_ >= t).sorted.headOption
+        .map(tp => (tp - t) / 86400).getOrElse(-1L)
+    }
+    val want = lat.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Sessionize.conversionLatency(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (d, n, tot, ppm) =>
+      assert(n == want(d), s"bucket $d")
+      assert(tot == t0.size.toLong && ppm == 1000000L * n / tot)
+    }
+    // the buckets partition the signup population exactly
+    assert(got.map(_._2).sum == t0.size.toLong)
+    // censored paths on a constructed corpus: user 2 never purchases,
+    // user 3 purchased only BEFORE signing up — both must land in the
+    // -1 row, not vanish (the left-join-then-filter trap)
+    val dir = java.nio.file.Files.createTempDirectory("graft-convlag").toString
+    val day = 86400L
+    Seq(
+      (1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0L)), 1L, "signup", 0.0, "{}"),
+      (2L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(3 * day)), 1L, "purchase", 1.0, "{}"),
+      (3L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0L)), 2L, "signup", 0.0, "{}"),
+      (4L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0L)), 3L, "purchase", 1.0, "{}"),
+      (5L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(day)), 3L, "signup", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val tiny = Sessionize.conversionLatency(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (d, n, t, p) => d -> ((n, t, p)) }.toMap
+    assert(tiny == Map(
+      3L -> ((1L, 3L, 333333L)),   // user 1 converts on day 3
+      -1L -> ((2L, 3L, 666666L)))) // users 2 and 3 censored
+  }
+
+  test("markovEval (x166): argmax prediction and hit rate match a driver replay") {
+    val raw = graft.Tables.events(spark, sf)
+    val ev = raw.select($"user_id", $"event_id", $"event_type",
+        Sessionize.tsSeconds(raw).as("ts_s"))
+      .as[(Long, Long, String, Long)].collect().toSeq
+    val trans = ev.groupBy(_._1).values.toSeq.flatMap { es =>
+      val s = es.sortBy(e => (e._4, e._2)).map(_._3)
+      s.zip(s.drop(1))
+    }
+    val counts = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = counts.keys.map(_._1).toSeq.distinct.map { prev =>
+      val nexts = counts.collect { case ((p, nx), n) if p == prev => (nx, n) }.toSeq
+      val predicted = nexts.maxBy { case (nx, n) => (n, nx) }._1
+      val total = nexts.map(_._2).sum
+      val hits = nexts.collectFirst { case (nx, n) if nx == predicted => n }.get
+      prev -> (predicted, total, hits, 1000000L * hits / total)
+    }.toMap
+    val got = Sessionize.markovEval(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (prev, pn, tot, hits, ppm) =>
+      assert((pn, tot, hits, ppm) == want(prev), s"prev $prev")
+      assert(hits <= tot && ppm <= 1000000L)
+    }
+  }
+
   test("tfCosinePairs (x163): dot/norms match a multiset replica; threshold is exact") {
     val docs = graft.Tables.documents(spark, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
