@@ -204,6 +204,8 @@ object SparkEntry {
     "x164_label_prop"       -> ((s, d) => LinkAnalysis.labelPropagation(s, d)),
     "x165_conversion_lag"   -> ((s, d) => Sessionize.conversionLatency(s, d)),
     "x166_markov_eval"      -> ((s, d) => Sessionize.markovEval(s, d)),
+    "x167_zipf_audit"       -> ((s, d) => TextAnalysis.zipfAudit(s, d)),
+    "x168_heaps_curve"      -> ((s, d) => TextAnalysis.heapsCurve(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -3004,6 +3006,40 @@ object SparkEntry {
         |       (1000000 * CAST(sum(CASE WHEN t.next_type = pr.predicted_next THEN t.n ELSE 0 END) AS BIGINT))
         |         // CAST(sum(t.n) AS BIGINT) AS hit_ppm
         |FROM t JOIN pr USING (prev_type) GROUP BY 1, 2""".stripMargin,
+
+    // x167: Zipf rank-frequency audit — frequency levels, strict-rank
+    // spans via the DESC cumulative window, bit-length log2 buckets.
+    "x167_zipf_audit" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |fr AS (SELECT token, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1),
+        |lv AS (SELECT f, CAST(count(*) AS BIGINT) AS n_types FROM fr GROUP BY 1),
+        |r AS (SELECT f, n_types,
+        |             CAST(coalesce(SUM(n_types) OVER (ORDER BY f DESC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+        |      FROM lv)
+        |SELECT f, n_types, o + 1 AS rank_lo, o + n_types AS rank_hi,
+        |       CAST(length(bin(f)) AS BIGINT) AS log2_f,
+        |       CAST(length(bin(o + 1)) AS BIGINT) AS log2_rank
+        |FROM r""".stripMargin,
+
+    // x168: Heaps vocabulary-growth curve — x125's batch rule, unigram
+    // first-seen min-fold, cumulative pair over O(batches) rows.
+    "x168_heaps_curve" -> {
+      import operators.Dedup.NoveltyBatches
+      s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |bt AS (SELECT (d.doc_id * $NoveltyBatches) // (mx.mx + 1) AS batch,
+        |              unnest(string_split(d.text, ' ')) AS token
+        |       FROM documents d, mx),
+        |pb AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_tokens FROM bt GROUP BY 1),
+        |fs AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_new_types FROM (
+        |         SELECT token, min(batch) AS batch FROM bt GROUP BY 1) t GROUP BY 1)
+        |SELECT pb.batch, pb.n_tokens,
+        |       CAST(coalesce(fs.n_new_types, 0) AS BIGINT) AS n_new_types,
+        |       CAST(SUM(pb.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+        |       CAST(SUM(coalesce(fs.n_new_types, 0)) OVER w AS BIGINT) AS cum_types
+        |FROM pb LEFT JOIN fs USING (batch)
+        |WINDOW w AS (ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+    },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

@@ -1338,6 +1338,74 @@ object TextAnalysis {
           .cast("decimal(38,0)").as("ks_den"))
   }
 
+  /** Zipf rank-frequency audit (x167): the corpus vocabulary folded to
+    * FREQUENCY LEVELS — for each distinct token frequency f: how many
+    * types sit at f, the exact strict-rank span [rank_lo, rank_hi]
+    * those types occupy (ties share, x120's convention), and the
+    * engine-neutral log₂ bucket of both axes via the bit-length trick
+    * (`length(bin(x))` — x142's discipline; float log2 rounds
+    * differently near powers of two). The log-log pairs are the Zipf
+    * fit input ("is this corpus natural-language-shaped or template
+    * spam"); levels, not per-token rows, because the level table is
+    * the smallest exact sufficient statistic for any rank-frequency
+    * fit.
+    *
+    * 100 TB shape: one token explode into a partial-agg'd (token, f)
+    * groupBy, folded again to O(distinct frequencies) rows — tiny by
+    * Zipf itself (≈ √tokens levels) — then ranks from
+    * [[Sampling.exclusivePrefixSum]] over the NEGATED frequency (rank
+    * 1 = most frequent; never a corpus-wide ordered window). */
+  def zipfAudit(spark: SparkSession, dir: String): DataFrame = {
+    val levels = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("n_types"))
+      .localCheckpoint()
+    val ranks = Sampling.exclusivePrefixSum(
+        levels.select((-col("f")).as("key"), col("n_types").as("v")))
+      .select((-col("key")).as("f"), col("offset"))
+    levels.join(ranks, Seq("f"))
+      .select(col("f"), col("n_types"),
+        (col("offset") + 1).as("rank_lo"),
+        (col("offset") + col("n_types")).as("rank_hi"),
+        length(bin(col("f"))).cast("long").as("log2_f"),
+        length(bin(col("offset") + 1)).cast("long").as("log2_rank"))
+  }
+
+  /** Heaps-law vocabulary growth curve (x168): per ingest batch (x125's
+    * doc_id-range batches — the crawl-snapshot stand-in), the token
+    * volume, the NEW types first seen in that batch, and the cumulative
+    * (tokens, types) pair — the empirical Heaps curve V(n) ≈ K·n^β
+    * whose flattening tells a crawl operator when new data stops
+    * growing the vocabulary (the unigram complement of x125's 5-gram
+    * novelty: x125 asks "is the CONTENT new", this asks "is the
+    * LANGUAGE new").
+    *
+    * 100 TB shape: one (batch, token) explode, `localCheckpoint`ed for
+    * its two consumers (per-batch volume; per-token min-batch first-seen
+    * — both partial-agg'd, the min-fold exactly x125's first-seen
+    * shape); the cumulative window runs over O(batches) rows (the
+    * documented tiny-table case). */
+  def heapsCurve(spark: SparkSession, dir: String,
+                 nBatches: Int = Dedup.NoveltyBatches): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val bt = docs.crossJoin(broadcast(mx))
+      .select(expr(s"(doc_id * $nBatches) div (mx + 1)").as("batch"),
+        explode(words(col("text"))).as("token"))
+      .localCheckpoint()
+    val perBatch = bt.groupBy(col("batch")).agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = bt.groupBy(col("token")).agg(min(col("batch")).as("batch"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("n_new_types"))
+    val w = Window.orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBatch.join(firstSeen, Seq("batch"), "left")
+      .select(col("batch"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("n_new_types")).over(w))
+  }
+
   /** Lang × source contingency deviations (x160): the full S×L grid —
     * observed count, row/column marginals, corpus total, and the exact
     * signed deviation from independence as the raw rational

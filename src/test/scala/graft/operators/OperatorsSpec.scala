@@ -2478,6 +2478,58 @@ class OperatorsSpec extends SparkSpec {
     assert(got.exists(r => BigInt(r._6) > 0))
   }
 
+  test("zipfAudit (x167): level table, rank spans, and log2 buckets match a driver replay") {
+    val tokens = graft.Tables.documents(spark, sf)
+      .select($"text").as[String].collect().toSeq.flatMap(_.split(" ", -1))
+    val freq = tokens.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val levels = freq.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = levels.map { case (f, nt) =>
+      val o = levels.collect { case (f2, n2) if f2 > f => n2 }.sum
+      f -> (nt, o + 1, o + nt,
+        java.lang.Long.toBinaryString(f).length.toLong,
+        java.lang.Long.toBinaryString(o + 1).length.toLong)
+    }
+    val got = TextAnalysis.zipfAudit(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (f, nt, lo, hi, l2f, l2r) =>
+      assert((nt, lo, hi, l2f, l2r) == want(f), s"level f=$f")
+    }
+    // rank spans tile 1..vocab exactly (no gaps, no overlaps)
+    val spans = got.map(r => (r._3, r._4)).sortBy(_._1).toSeq
+    assert(spans.head._1 == 1L && spans.last._2 == freq.size.toLong)
+    spans.zip(spans.drop(1)).foreach { case ((_, hi), (lo2, _)) =>
+      assert(lo2 == hi + 1)
+    }
+  }
+
+  test("heapsCurve (x168): growth curve matches a driver replay; cumulative closure") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val mx = docs.map(_._1).max
+    val nb = Dedup.NoveltyBatches
+    val bt = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).map(t => (id * nb / (mx + 1), t))
+    }
+    val perBatch = bt.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val firstSeen = bt.groupBy(_._2).view.mapValues(_.map(_._1).min).toSeq
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = TextAnalysis.heapsCurve(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == perBatch.size && got.nonEmpty)
+    var (ct, cy) = (0L, 0L)
+    got.foreach { case (b, nt, nn, cumT, cumY) =>
+      assert(nt == perBatch(b), s"batch $b tokens")
+      assert(nn == firstSeen.getOrElse(b, 0L), s"batch $b new types")
+      ct += nt; cy += nn
+      assert(cumT == ct && cumY == cy, s"batch $b cumulative")
+    }
+    // the curve closes on the corpus totals: all tokens, whole vocabulary
+    assert(ct == bt.size.toLong && cy == bt.map(_._2).distinct.size.toLong)
+    // Heaps shape: vocabulary grows monotonically but slower than tokens
+    assert(got.last._5 <= got.last._4)
+  }
+
   test("conversionLatency (x165): buckets and censored mass match a driver replay") {
     val raw = graft.Tables.events(spark, sf)
     val ev = raw.select($"user_id", $"event_type", Sessionize.tsSeconds(raw).as("ts_s"))
