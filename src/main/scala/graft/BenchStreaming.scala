@@ -187,6 +187,7 @@ object BenchStreaming {
       run("transitions_stream", ev => EventStream.transitions(ev).toDF()),
       run("tier_promotions_stream", ev => EventStream.tierPromotions(ev).toDF()),
       run("reorders_stream", ev => EventStream.reorders(ev).toDF()),
+      run("conversions_stream", ev => EventStream.conversions(ev).toDF()),
       run("wau_stream", EventStream.weeklyActiveUsers, "complete"),
       run("ewma_stream", ev => EventStream.ewmaPopularity(ev).toDF()),
       run("last_touch_stream", { ev =>

@@ -355,6 +355,50 @@ object EventStream {
     * each micro-batch's rows sort by the (ts_s, event_id) total key
     * and cross-batch correctness assumes per-user in-order arrival
     * (the same contract as every last-value-state twin here). */
+  case class CEvent(user_id: Long, event_type: String, event_id: Long, ts_s: Long)
+  case class ConvState(t0: Long, converted: Boolean)
+  case class ConvOut(user_id: Long, t0_s: Long, tp_s: Long, latency_days: Long)
+
+  /** Streaming twin of x165's conversion semantics: per-user
+    * `GroupState` carries the FIRST signup timestamp and a converted
+    * flag; the moment a purchase lands at-or-after that signup, ONE
+    * conversion row fires with the exact whole-day latency (x165's
+    * bucket key). Purchases before any signup — or before the signup
+    * in event-time — never convert (the batch operator's
+    * conditional-min rule), and later purchases are absorbed by the
+    * flag, so the stream emits exactly the CONVERTED population; the
+    * batch x165 table is this stream bucketed by `latency_days` plus
+    * the censored complement (signups with no row yet).
+    *
+    * State is (one Long, one Boolean) per user — minimal funnel state;
+    * same per-user in-order contract as the other stateful twins. */
+  def conversions(events: DataFrame): Dataset[ConvOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts_s"))
+      .as[CEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ConvState, ConvOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[CEvent], state: GroupState[ConvState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_s, e.event_id))
+          var st = state.getOption.getOrElse(ConvState(-1L, converted = false))
+          val out = scala.collection.mutable.ListBuffer.empty[ConvOut]
+          for (e <- sorted) {
+            if (e.event_type == "signup" && st.t0 < 0)
+              st = st.copy(t0 = e.ts_s)
+            else if (e.event_type == "purchase" && st.t0 >= 0 &&
+                !st.converted && e.ts_s >= st.t0) {
+              out += ConvOut(user, st.t0, e.ts_s, (e.ts_s - st.t0) / 86400)
+              st = st.copy(converted = true)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class ROEvent(user_id: Long, k: Long, event_id: Long, ts_s: Long)
   case class ReorderState(n: Long)
   case class ReorderOut(user_id: Long, k: Long, at_ts_s: Long, n_purchases: Long)

@@ -411,4 +411,45 @@ class EventStreamSpec extends SparkSpec {
       .intersect(purch.filter($"ts_s" > cut).select($"user_id", $"k").distinct()).count()
     assert(crossKeys > 0, "fixture must force cross-batch state handoff")
   }
+
+  test("stateful streaming conversions ≡ batch x165's converted rows across a batch boundary") {
+    val root = java.nio.file.Files.createTempDirectory("graft-convstream").toString
+    val raw = graft.Tables.events(spark, sf)
+    val ev = raw.select($"event_id", $"user_id", $"event_type",
+      Sessionize.tsSeconds(raw).as("ts_s"))
+    val cut = ev.stat.approxQuantile("ts_s", Array(0.5), 0.0).head.toLong
+    ev.filter($"ts_s" <= cut).write.parquet(s"$root/drop")
+    ev.filter($"ts_s" > cut).write.mode("append").parquet(s"$root/drop")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/drop")
+    val q = EventStream.conversions(stream).toDF()
+      .writeStream.format("memory").queryName("conv_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("conv_stream")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // driver replay: first signup, first purchase at-or-after it
+    val rows = ev.select($"user_id", $"event_type", $"ts_s")
+      .as[(Long, String, Long)].collect().toSeq
+    val t0 = rows.filter(_._2 == "signup").groupBy(_._1).view.mapValues(_.map(_._3).min)
+    val want = t0.toSeq.flatMap { case (u, t) =>
+      rows.filter(r => r._1 == u && r._2 == "purchase" && r._3 >= t)
+        .map(_._3).sorted.headOption
+        .map(tp => (u, t, tp, (tp - t) / 86400))
+    }.toSet
+    assert(streamed == want && streamed.nonEmpty)
+    // exactly one conversion per converted user
+    assert(streamed.toSeq.map(_._1).distinct.size == streamed.size)
+    // the batch x165 table is this stream bucketed + the censored mass
+    val batch = Sessionize.conversionLatency(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val streamBuckets = streamed.toSeq.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    batch.filter(_._1 >= 0).foreach { case (d, n, _, _) =>
+      assert(streamBuckets.getOrElse(d, 0L) == n, s"bucket $d")
+    }
+    assert(batch.collectFirst { case r if r._1 == -1L => r._2 }.getOrElse(0L)
+      == t0.size.toLong - streamed.size)
+  }
 }
