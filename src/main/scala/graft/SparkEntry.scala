@@ -206,6 +206,8 @@ object SparkEntry {
     "x166_markov_eval"      -> ((s, d) => Sessionize.markovEval(s, d)),
     "x167_zipf_audit"       -> ((s, d) => TextAnalysis.zipfAudit(s, d)),
     "x168_heaps_curve"      -> ((s, d) => TextAnalysis.heapsCurve(s, d)),
+    "x169_region_revenue"   -> ((s, d) => Relational.regionSegmentRevenue(s, d)),
+    "x170_price_realization" -> ((s, d) => Relational.priceRealization(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -3040,6 +3042,34 @@ object SparkEntry {
         |FROM pb LEFT JOIN fs USING (batch)
         |WINDOW w AS (ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
     },
+
+    // x169: regional segment revenue — the six-table TPC-H-Q5-shaped
+    // star join, discounted cents with the shared two-multiply round.
+    "x169_region_revenue" ->
+      """SELECT r.r_name, c.c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // x170: price realization per part type — integer cents/units, the
+    // non-negative ppm quotient (gap is a consumer-side subtraction).
+    "x170_price_realization" ->
+      """WITH j AS (SELECT p.p_type, CAST(round(l.l_quantity) AS BIGINT) AS qty,
+        |                  CAST(round(l.l_extendedprice * 100) AS BIGINT) AS realized,
+        |                  CAST(round(p.p_retailprice * 100) AS BIGINT) AS retail_unit
+        |           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        |SELECT p_type, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(qty) AS BIGINT) AS units,
+        |       CAST(sum(realized) AS BIGINT) AS realized_cents,
+        |       CAST(sum(qty * retail_unit) AS BIGINT) AS retail_cents,
+        |       CAST((1000000 * CAST(sum(realized) AS HUGEINT))
+        |         // sum(qty * retail_unit) AS BIGINT) AS realization_ppm
+        |FROM j GROUP BY 1""".stripMargin,
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

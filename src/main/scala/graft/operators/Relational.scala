@@ -916,6 +916,72 @@ object Relational {
       (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm_code"))
   }
 
+  /** Regional segment revenue (x169): discounted revenue in exact cents
+    * by sales region × customer market segment — the TPC-H-Q5-shaped
+    * SIX-TABLE star join (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈
+    * nation ⋈ region), the deepest join chain in the surface and the
+    * plan shape a warehouse optimizer is actually judged on. Revenue
+    * cents = round(price·(1−discount)·100): two IEEE multiplies then
+    * one round, the same op order in both engines, so the integer is
+    * cross-engine exact (the single-expression float discipline).
+    *
+    * 100 TB shape: the three fact-sized joins (customer⋈orders on
+    * custkey, ⋈lineitem on orderkey, ⋈supplier on suppkey) each
+    * shuffle on their own key — none is broadcastable and none is
+    * hinted; nation and region are true dimension tables and broadcast
+    * explicitly. Aggregation is partial→final onto O(regions ×
+    * segments) cells, so the only corpus-sized traffic is the join
+    * keys themselves. Supplier nation (not customer nation) defines
+    * the region — "revenue by supply region", the inventory-planning
+    * cut. */
+  def regionSegmentRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val nr = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name"))
+    Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long").as("rev_cents")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_cents")).as("rev_cents"))
+  }
+
+  /** Price-realization panel (x170): per part type, how the realized
+    * unit economics compare to list price — line count, units moved,
+    * realized revenue cents vs the retail value of those units
+    * (Σ qty·retail_cents), and the realization RATIO in exact ppm
+    * (> 10⁶ = selling above list; the gap is a consumer-side
+    * subtraction — a signed division would hit the floor-vs-truncate
+    * cross-engine trap x119 documents, so the published quotient keeps
+    * a non-negative numerator). The classic merchandising "discount
+    * depth" readout, exercising the otherwise-unused
+    * p_type/p_retailprice columns with pure integer arithmetic.
+    *
+    * 100 TB shape: ONE fact⋈part join on the part key (both sides
+    * shuffle; part is not broadcastable at catalog scale), partial-agg
+    * onto O(types) cells. The ppm numerator runs in DECIMAL(38,0)
+    * (10⁶·corpus-revenue-cents passes 2⁶³ — x155's promotion). */
+  def priceRealization(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), round(col("l_quantity")).cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("realized"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"),
+          cents(col("p_retailprice")).as("retail_unit")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("units"),
+        sum(col("realized")).as("realized_cents"),
+        sum(col("qty") * col("retail_unit")).as("retail_cents"))
+      .withColumn("realization_ppm",
+        expr("(1000000 * CAST(realized_cents AS DECIMAL(38,0))) div retail_cents"))
+  }
+
   /** Per-part repeat-purchase rate (x154): for every part, how many
     * distinct customers bought it, how many bought it in ≥2 DISTINCT
     * orders, total distinct (customer, order) purchase events, and the

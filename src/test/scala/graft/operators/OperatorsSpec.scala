@@ -2478,6 +2478,67 @@ class OperatorsSpec extends SparkSpec {
     assert(got.exists(r => BigInt(r._6) > 0))
   }
 
+  test("regionSegmentRevenue (x169): six-table star join matches a driver replay; broadcast dims") {
+    val cust = graft.Tables.customer(spark, sf).select($"c_custkey", $"c_mktsegment")
+      .as[(Long, String)].collect().toMap
+    val ordCust = graft.Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+      .as[(Long, Long)].collect().toMap
+    val suppNation = graft.Tables.supplier(spark, sf).select($"s_suppkey", $"s_nationkey")
+      .as[(Long, Long)].collect().toMap
+    val nationRegion = graft.Tables.nation(spark, sf).select($"n_nationkey", $"n_regionkey")
+      .as[(Long, Long)].collect().toMap
+    val regionName = graft.Tables.region(spark, sf).select($"r_regionkey", $"r_name")
+      .as[(Long, String)].collect().toMap
+    val want = graft.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+      .map { case (ok, sk, p, d) =>
+        ((regionName(nationRegion(suppNation(sk))), cust(ordCust(ok))),
+          math.round(p * (1 - d) * 100))
+      }
+      .groupBy(_._1).view.mapValues(vs => (vs.size.toLong, vs.map(_._2).sum)).toMap
+    val q = Relational.regionSegmentRevenue(spark, sf)
+    val got = q.as[(String, String, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (r, seg, n, cents) =>
+      assert((n, cents) == want((r, seg)), s"cell $r/$seg")
+    }
+    // nation/region ride a broadcast join; the fact joins must not
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
+  test("priceRealization (x170): integer panel matches a driver replay; ratio exact") {
+    val parts = graft.Tables.part(spark, sf)
+      .select($"p_partkey", $"p_type", $"p_retailprice")
+      .as[(Long, String, Double)].collect()
+      .map { case (k, t, rp) => k -> (t, math.round(rp * 100)) }.toMap
+    val want = graft.Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .as[(Long, Double, Double)].collect().toSeq
+      .map { case (pk, q, p) =>
+        val (tpe, ru) = parts(pk)
+        (tpe, math.round(q), math.round(p * 100), ru)
+      }
+      .groupBy(_._1).view.mapValues { rs =>
+        val units = rs.map(_._2).sum
+        val realized = rs.map(_._3).sum
+        val retail = rs.map(r => r._2 * r._4).sum
+        (rs.size.toLong, units, realized, retail,
+          (BigInt(1000000) * realized / retail).toLong)
+      }.toMap
+    val got = Relational.priceRealization(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (t, n, u, rl, rt, ppm) =>
+      assert((n, u, rl, rt, ppm) == want(t), s"type $t")
+    }
+    // structural invariants: positive denominators, positive quotients
+    // (the synthetic corpus prices independently of retail, so the
+    // DIRECTION of the ratio is the data's, not the operator's)
+    assert(got.forall(r => r._5 > 0L && r._6 > 0L))
+  }
+
   test("zipfAudit (x167): level table, rank spans, and log2 buckets match a driver replay") {
     val tokens = graft.Tables.documents(spark, sf)
       .select($"text").as[String].collect().toSeq.flatMap(_.split(" ", -1))
