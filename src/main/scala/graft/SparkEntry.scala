@@ -2684,11 +2684,11 @@ object SparkEntry {
       }.mkString("\nUNION ALL\n")
       s"""WITH p AS ($arms)
         |SELECT pair, CAST(count(*) AS BIGINT) AS n_rows,
-        |       CAST(sum(x) AS DECIMAL(38,0)) AS sum_x,
-        |       CAST(sum(y) AS DECIMAL(38,0)) AS sum_y,
-        |       CAST(sum(x * y) AS DECIMAL(38,0)) AS sum_xy,
-        |       CAST(sum(x * x) AS DECIMAL(38,0)) AS sum_xx,
-        |       CAST(sum(y * y) AS DECIMAL(38,0)) AS sum_yy
+        |       CAST(CAST(sum(x) AS DECIMAL(38,0)) AS VARCHAR) AS sum_x,
+        |       CAST(CAST(sum(y) AS DECIMAL(38,0)) AS VARCHAR) AS sum_y,
+        |       CAST(CAST(sum(x * y) AS DECIMAL(38,0)) AS VARCHAR) AS sum_xy,
+        |       CAST(CAST(sum(x * x) AS DECIMAL(38,0)) AS VARCHAR) AS sum_xx,
+        |       CAST(CAST(sum(y * y) AS DECIMAL(38,0)) AS VARCHAR) AS sum_yy
         |FROM p GROUP BY 1""".stripMargin
     },
 
@@ -2706,8 +2706,8 @@ object SparkEntry {
         |SELECT pr.a, pr.b, pr.n_ab, pa.n_p AS n_a, pb.n_p AS n_b, t.n_orders,
         |       (1000000 * pr.n_ab) // pa.n_p AS conf_a_b_ppm,
         |       (1000000 * pr.n_ab) // pb.n_p AS conf_b_a_ppm,
-        |       CAST(CAST(pr.n_ab AS HUGEINT) * t.n_orders AS DECIMAL(38,0)) AS lift_num,
-        |       CAST(CAST(pa.n_p AS HUGEINT) * pb.n_p AS DECIMAL(38,0)) AS lift_den
+        |       CAST(CAST(CAST(pr.n_ab AS HUGEINT) * t.n_orders AS DECIMAL(38,0)) AS VARCHAR) AS lift_num,
+        |       CAST(CAST(CAST(pa.n_p AS HUGEINT) * pb.n_p AS DECIMAL(38,0)) AS VARCHAR) AS lift_den
         |FROM pr JOIN pc pa ON pr.a = pa.p JOIN pc pb ON pr.b = pb.p, tot t""".stripMargin
     },
 
@@ -2763,9 +2763,9 @@ object SparkEntry {
         |             sum(CAST(v AS HUGEINT) * cnt) AS total,
         |             sum(CAST(v AS HUGEINT) * cnt * (2 * o + cnt + 1)) AS two_r
         |      FROM r)
-        |SELECT n_customers, CAST(total AS DECIMAL(38,0)) AS total_cents,
-        |       CAST(two_r - (n_customers + 1) * total AS DECIMAL(38,0)) AS gini_num,
-        |       CAST(n_customers * total AS DECIMAL(38,0)) AS gini_den
+        |SELECT n_customers, CAST(CAST(total AS DECIMAL(38,0)) AS VARCHAR) AS total_cents,
+        |       CAST(CAST(two_r - (n_customers + 1) * total AS DECIMAL(38,0)) AS VARCHAR) AS gini_num,
+        |       CAST(CAST(n_customers * total AS DECIMAL(38,0)) AS VARCHAR) AS gini_den
         |FROM a""".stripMargin,
 
     // x157: largest-remainder budget apportionment — x07's whitespace
@@ -2834,8 +2834,8 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b
         |        ORDER BY gap DESC, v) AS r FROM g)
         |SELECT src_a, src_b, n_a, n_b, v AS ks_at_length,
-        |       CAST(gap AS DECIMAL(38,0)) AS ks_num,
-        |       CAST(CAST(n_a AS HUGEINT) * n_b AS DECIMAL(38,0)) AS ks_den
+        |       CAST(CAST(gap AS DECIMAL(38,0)) AS VARCHAR) AS ks_num,
+        |       CAST(CAST(CAST(n_a AS HUGEINT) * n_b AS DECIMAL(38,0)) AS VARCHAR) AS ks_den
         |FROM r WHERE r = 1""".stripMargin,
 
     // x160: lang×source contingency deviations — full marginal-cross
@@ -2850,9 +2850,9 @@ object SparkEntry {
         |g AS (SELECT r.source, c.lang, r.r_i, c.c_j FROM r, c)
         |SELECT g.source, g.lang, CAST(coalesce(cells.n_ij, 0) AS BIGINT) AS n_ij,
         |       g.r_i, g.c_j, t.n_total,
-        |       CAST(CAST(coalesce(cells.n_ij, 0) AS HUGEINT) * t.n_total
-        |         - CAST(g.r_i AS HUGEINT) * g.c_j AS DECIMAL(38,0)) AS dev_num,
-        |       CAST(CAST(t.n_total AS HUGEINT) * t.n_total AS DECIMAL(38,0)) AS dev_den
+        |       CAST(CAST(CAST(coalesce(cells.n_ij, 0) AS HUGEINT) * t.n_total
+        |         - CAST(g.r_i AS HUGEINT) * g.c_j AS DECIMAL(38,0)) AS VARCHAR) AS dev_num,
+        |       CAST(CAST(CAST(t.n_total AS HUGEINT) * t.n_total AS DECIMAL(38,0)) AS VARCHAR) AS dev_den
         |FROM g LEFT JOIN cells ON g.source = cells.source AND g.lang = cells.lang, t""".stripMargin,
 
     // x161: Mann–Whitney over x89 scores — x89's scoring CTE verbatim,
@@ -2884,9 +2884,9 @@ object SparkEntry {
         |               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
         |      FROM m)
         |SELECT src_a, src_b, n_a, n_b,
-        |       CAST(sum(CAST(da AS HUGEINT) * (2 * o + d + 1))
-        |         - CAST(n_a AS HUGEINT) * (n_a + 1) AS DECIMAL(38,0)) AS u2_a,
-        |       CAST(sum(CAST(d AS HUGEINT) * d * d - d) AS DECIMAL(38,0)) AS tie_cubes
+        |       CAST(CAST(sum(CAST(da AS HUGEINT) * (2 * o + d + 1))
+        |         - CAST(n_a AS HUGEINT) * (n_a + 1) AS DECIMAL(38,0)) AS VARCHAR) AS u2_a,
+        |       CAST(CAST(sum(CAST(d AS HUGEINT) * d * d - d) AS DECIMAL(38,0)) AS VARCHAR) AS tie_cubes
         |FROM w GROUP BY 1, 2, 3, 4""".stripMargin
     },
 
@@ -2905,11 +2905,11 @@ object SparkEntry {
         |  CROSS JOIN (SELECT CAST(unnest([$lags]) AS BIGINT) AS lag) lg
         |  JOIN daily y ON y.p_brand = x.p_brand AND y.day = x.day - lg.lag)
         |SELECT p_brand, lag, CAST(count(*) AS BIGINT) AS n_pairs,
-        |       CAST(sum(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS sum_x,
-        |       CAST(sum(CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS sum_y,
-        |       CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sum_xy,
-        |       CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sum_xx,
-        |       CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS sum_yy
+        |       CAST(CAST(sum(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR) AS sum_x,
+        |       CAST(CAST(sum(CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR) AS sum_y,
+        |       CAST(CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS VARCHAR) AS sum_xy,
+        |       CAST(CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS VARCHAR) AS sum_xx,
+        |       CAST(CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS VARCHAR) AS sum_yy
         |FROM pr GROUP BY 1, 2""".stripMargin
     },
 

@@ -326,6 +326,11 @@ object Forecast {
     * DECIMAL(38,0) (headroom to n ≈ 10²⁸; Spark decimal agg, HUGEINT→
     * DECIMAL cast in the oracle). No bound to enforce: the promotion
     * is unconditional, not documented-and-hoped (round-8 advice).
+    * PUBLISHED as the decimal's digit STRING (lossless at any
+    * magnitude): decimal is the internal wrap-free carrier, but
+    * decimal RENDERING differs across engines/hashers — the digit
+    * string does not, so the gate hashes a representation-stable
+    * column (round-9 fix; every published-rational query does this).
     *
     * 100 TB shape: the pair fan-out is a 4-way per-row explode (no
     * shuffle), then ONE partial-agg'd groupBy on 4 keys — map-side
@@ -366,14 +371,14 @@ object Forecast {
     }.reduce(_ unionByName _)
     pairs.groupBy(col("p_brand"), col("lag"))
       .agg(count(lit(1)).as("n_pairs"),
-        sum(col("x").cast("decimal(38,0)")).as("sum_x"),
-        sum(col("y").cast("decimal(38,0)")).as("sum_y"),
+        sum(col("x").cast("decimal(38,0)")).cast("string").as("sum_x"),
+        sum(col("y").cast("decimal(38,0)")).cast("string").as("sum_y"),
         sum((col("x").cast("decimal(38,0)") * col("y"))
-          .cast("decimal(38,0)")).as("sum_xy"),
+          .cast("decimal(38,0)")).cast("string").as("sum_xy"),
         sum((col("x").cast("decimal(38,0)") * col("x"))
-          .cast("decimal(38,0)")).as("sum_xx"),
+          .cast("decimal(38,0)")).cast("string").as("sum_xx"),
         sum((col("y").cast("decimal(38,0)") * col("y"))
-          .cast("decimal(38,0)")).as("sum_yy"))
+          .cast("decimal(38,0)")).cast("string").as("sum_yy"))
   }
 
   def corrMoments(spark: SparkSession, dir: String): DataFrame = {
@@ -385,10 +390,10 @@ object Forecast {
       .select(col("p.pair").as("pair"), col("p.x").as("x"), col("p.y").as("y"))
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("x").cast("decimal(38,0)")).as("sum_x"),
-        sum(col("y").cast("decimal(38,0)")).as("sum_y"),
-        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sum_xy"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sum_xx"),
-        sum((col("y") * col("y")).cast("decimal(38,0)")).as("sum_yy"))
+        sum(col("x").cast("decimal(38,0)")).cast("string").as("sum_x"),
+        sum(col("y").cast("decimal(38,0)")).cast("string").as("sum_y"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).cast("string").as("sum_xy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).cast("string").as("sum_xx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).cast("string").as("sum_yy"))
   }
 }

@@ -500,8 +500,8 @@ object LinkAnalysis {
         expr("(1000000L * n_ab) div n_a").as("conf_a_b_ppm"),
         expr("(1000000L * n_ab) div n_b").as("conf_b_a_ppm"),
         (col("n_ab").cast("decimal(38,0)") * col("n_orders"))
-          .cast("decimal(38,0)").as("lift_num"),
+          .cast("decimal(38,0)").cast("string").as("lift_num"),
         (col("n_a").cast("decimal(38,0)") * col("n_b"))
-          .cast("decimal(38,0)").as("lift_den"))
+          .cast("decimal(38,0)").cast("string").as("lift_den"))
   }
 }

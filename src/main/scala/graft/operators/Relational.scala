@@ -1089,11 +1089,11 @@ object Relational {
         sum(col("v").cast("decimal(38,0)") * col("cnt")
           * (col("offset") * 2 + col("cnt") + 1)).as("two_r"))
     a.select(col("n_customers"),
-      col("total_cents").cast("decimal(38,0)").as("total_cents"),
+      col("total_cents").cast("decimal(38,0)").cast("string").as("total_cents"),
       (col("two_r") - (col("n_customers") + 1).cast("decimal(38,0)")
-        * col("total_cents")).cast("decimal(38,0)").as("gini_num"),
+        * col("total_cents")).cast("decimal(38,0)").cast("string").as("gini_num"),
       (col("n_customers").cast("decimal(38,0)") * col("total_cents"))
-        .cast("decimal(38,0)").as("gini_den"))
+        .cast("decimal(38,0)").cast("string").as("gini_den"))
   }
 
   /** The Silver pipeline composition (silver_processing.py.py:14-74)

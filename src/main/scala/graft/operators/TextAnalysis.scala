@@ -1333,9 +1333,9 @@ object TextAnalysis {
     gapped.withColumn("r", row_number().over(top)).filter(col("r") === 1)
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         col("v").as("ks_at_length"),
-        col("gap").cast("decimal(38,0)").as("ks_num"),
+        col("gap").cast("decimal(38,0)").cast("string").as("ks_num"),
         (col("n_a").cast("decimal(38,0)") * col("n_b"))
-          .cast("decimal(38,0)").as("ks_den"))
+          .cast("decimal(38,0)").cast("string").as("ks_den"))
   }
 
   /** Zipf rank-frequency audit (x167): the corpus vocabulary folded to
@@ -1437,9 +1437,9 @@ object TextAnalysis {
         col("r_i"), col("c_j"), col("n_total"),
         (coalesce(col("n_ij"), lit(0L)).cast("decimal(38,0)") * col("n_total")
           - col("r_i").cast("decimal(38,0)") * col("c_j"))
-          .cast("decimal(38,0)").as("dev_num"),
+          .cast("decimal(38,0)").cast("string").as("dev_num"),
         (col("n_total").cast("decimal(38,0)") * col("n_total"))
-          .cast("decimal(38,0)").as("dev_den"))
+          .cast("decimal(38,0)").cast("string").as("dev_den"))
   }
 
   /** Exact Mann–Whitney rank test between source pairs (x161): for
@@ -1480,7 +1480,7 @@ object TextAnalysis {
           - col("d")).cast("decimal(38,0)")).as("tie_cubes"))
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         (col("r2a") - col("n_a").cast("decimal(38,0)") * (col("n_a") + 1))
-          .cast("decimal(38,0)").as("u2_a"),
-        col("tie_cubes").cast("decimal(38,0)").as("tie_cubes"))
+          .cast("decimal(38,0)").cast("string").as("u2_a"),
+        col("tie_cubes").cast("decimal(38,0)").cast("string").as("tie_cubes"))
   }
 }

@@ -224,10 +224,12 @@ class ForecastSpec extends SparkSpec {
         xs.map(p => BigInt(p._2) * p._2).sum)
     }.toMap
     val df = Forecast.corrMoments(spark, sf)
-    // the moment sums are decimal(38,0) — the unconditional 100 TB promotion
+    // the moment sums aggregate in decimal(38,0) (the unconditional 100 TB
+    // promotion) but PUBLISH as the digit string — decimal rendering is
+    // engine-dependent, the digit string is not (round-9 gate fix)
     Seq("sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy").foreach { c =>
       assert(df.schema(c).dataType ==
-        org.apache.spark.sql.types.DecimalType(38, 0), c)
+        org.apache.spark.sql.types.StringType, c)
     }
     val got = df.select($"pair", $"n_rows", $"sum_x".cast("string"),
         $"sum_y".cast("string"), $"sum_xy".cast("string"),

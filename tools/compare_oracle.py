@@ -4,6 +4,7 @@
 against the raw testdata parquet and hash-compare both result sets with
 columns sorted by name and rows sorted by value. Dev tool only — the shipped
 library is pure Scala/Spark."""
+import decimal
 import json
 import sys
 
@@ -13,11 +14,24 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def canon_value(v):
+    # Decimal repr is representation-sensitive (exponent form vs plain,
+    # Decimal('1E+2') vs Decimal('100')) and diverged between the Spark
+    # and DuckDB sides of the round-9 gate while values were identical.
+    # Canonicalize to the digit string: exact for scale-0, plain
+    # (non-exponent) fixed-point otherwise.
+    if isinstance(v, decimal.Decimal):
+        if v == v.to_integral_value():
+            return str(int(v))
+        return format(v.normalize(), "f")
+    return repr(v)
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        out.append(tuple(repr(r[i]) for i in order))
+        out.append(tuple(canon_value(r[i]) for i in order))
     out.sort()
     return out
 
