@@ -52,14 +52,13 @@ object LinkAnalysis {
 
   /** Bipartite customer–supplier edges, UNDIRECTED (both directions
     * materialized): distinct (custkey, suppkey) pairs that share an
-    * order line. One shuffle join orders⨝lineitem on orderkey + one
-    * distinct; forward/reverse rows can't collide (parity differs). */
+    * order line, read from the STAGED graph ([[GraphStage]] — the
+    * orders⨝lineitem join + distinct runs once per corpus snapshot;
+    * this is two projections and a union over the persisted pair
+    * table). Forward/reverse rows can't collide (parity differs). */
   def customerSupplierEdges(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    val e0 = GraphStage.custSuppPairs(spark, dir)
+      .select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"))
     e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
   }
 
@@ -76,10 +75,18 @@ object LinkAnalysis {
     * accumulate cached graph blocks for the JVM lifetime. The
     * materialized output is O(nodes) rows — the same state class the CC
     * engine checkpoints — never O(edges). */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int): DataFrame =
+    pageRank(edges,
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg")), iters)
+
+  /** PageRank with a precomputed (node, deg) degree table (the staged-
+    * graph read path — [[GraphStage.custSuppDegrees]] substitutes the
+    * O(E) degree fold; the table MUST be the out-degree of `edges`). */
+  def pageRank(edges: DataFrame, degrees: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "need iters >= 1")
     val withDeg = edges
-      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+      .join(degrees.select(col("node").as("src"), col("deg")), Seq("src"))
       // reused every iteration: scan the graph once; serialized storage
       // halves the footprint of a structure that is only rescanned
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
@@ -107,9 +114,11 @@ object LinkAnalysis {
     } finally withDeg.unpersist()
   }
 
-  /** x77 entry: PageRank on the order-induced customer–supplier graph. */
+  /** x77 entry: PageRank on the order-induced customer–supplier graph
+    * (staged edges + staged degree table — [[GraphStage]]). */
   def pageRank(spark: SparkSession, dir: String, iters: Int = PrIters): DataFrame =
-    pageRank(customerSupplierEdges(spark, dir), iters)
+    pageRank(customerSupplierEdges(spark, dir),
+      GraphStage.custSuppDegrees(spark, dir), iters)
 
   /** x99 knobs: iteration count (unrolled in the oracle) and the
     * fixed-point unit both scores are renormalized to each round. */
@@ -118,15 +127,13 @@ object LinkAnalysis {
 
   /** DIRECTED bipartite customer→supplier edges (x99's graph): hubs are
     * customers, authorities are suppliers — one distinct (cust, supp)
-    * pair per order line shared. Same derivation as
-    * [[customerSupplierEdges]] minus the reverse closure (HITS is
-    * direction-aware where PageRank's walk here is undirected). */
+    * pair per order line shared; the STAGED pair table rename-projected
+    * ([[GraphStage]] — [[customerSupplierEdges]] minus the reverse
+    * closure: HITS is direction-aware where PageRank's walk here is
+    * undirected). */
   def customerSupplierDirected(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("hub"), col("l_suppkey").as("auth"))
-      .distinct()
+    GraphStage.custSuppPairs(spark, dir)
+      .select(col("cust").as("hub"), col("supp").as("auth"))
 
   /** HITS hubs-and-authorities (x99, Kleinberg 1999) over the directed
     * customer→supplier purchase graph — the "which buyers survey the
@@ -206,9 +213,14 @@ object LinkAnalysis {
         .as("node_type"), col("deg"))
       .agg(count(lit(1)).as("n_nodes"))
 
-  /** x108 entry: degree histogram of the order-induced purchase graph. */
+  /** x108 entry: degree histogram of the order-induced purchase graph —
+    * folds the STAGED O(V) degree table ([[GraphStage]]), so the query
+    * is one tiny groupBy; no edge scan at all. */
   def degreeHistogram(spark: SparkSession, dir: String): DataFrame =
-    degreeHistogram(customerSupplierEdges(spark, dir))
+    GraphStage.custSuppDegrees(spark, dir)
+      .groupBy(when(col("node") % 2 === 0, "customer").otherwise("supplier")
+        .as("node_type"), col("deg"))
+      .agg(count(lit(1)).as("n_nodes"))
 
   /** x116 knobs: minimum co-purchase support for an edge to enter the
     * triangle graph, and the degree-key base (node keys must be <
@@ -227,16 +239,24 @@ object LinkAnalysis {
     * O(basket²) PER ORDER — bounded by basket size (≤ ~100 lines in
     * any real order system), never by corpus size. */
   def copurchaseEdges(spark: SparkSession, dir: String,
-                      minSupport: Int = TriMinSupport): DataFrame = {
-    val op = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    op.as("x").join(op.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= minSupport)
-      .select(col("a"), col("b"))
-  }
+                      minSupport: Int = TriMinSupport): DataFrame =
+    if (minSupport >= TriMinSupport)
+      // the staged pair-support table covers any support ≥ the staged
+      // base: filter + project the persisted artifact ([[GraphStage]])
+      GraphStage.copurchasePairs(spark, dir)
+        .filter(col("support") >= minSupport)
+        .select(col("a"), col("b"))
+    else {
+      // below the staged base the pruned artifact is lossy — recompute
+      val op = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      op.as("x").join(op.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSupport)
+        .select(col("a"), col("b"))
+    }
 
   /** Per-node triangle counts (x116) over an undirected edge list given
     * as canonical `a < b` rows — "how embedded is each product in
@@ -461,11 +481,13 @@ object LinkAnalysis {
     * lift_den as DECIMAL(38,0) — x119's discipline: moments divide at
     * the consumer, never in the engine, so the gate compares integers).
     *
-    * 100 TB shape: one distinct (order, part) pass feeds all three
-    * aggregates (localCheckpoint'ed — 4 consumers would re-derive the
-    * fact scan otherwise). The pair self-join is keyed on the order —
-    * per-order fan-out is basket-size², bounded by the basket, never
-    * the corpus (x116's reasoning) — and the support filter prunes
+    * 100 TB shape: every input is a STAGED artifact ([[GraphStage]] —
+    * the pair-support table, per-part order counts, and the 1-row order
+    * total all derive from ONE (order, part)-distinct materialization
+    * per corpus snapshot, written once and read by every graph query).
+    * The staged pair join is keyed on the order — per-order fan-out is
+    * basket-size², bounded by the basket, never the corpus (x116's
+    * reasoning) — and the support filter prunes
     * before the per-part joins, which shuffle on part keys (part dims
     * at 100 TB are NOT broadcastable; only the 1-row total crosses
     * broadcast, x65's pattern). Confidence numerators 10⁶·n_ab fit a
@@ -479,18 +501,17 @@ object LinkAnalysis {
     * lift ships as an undivided rational. */
   def assocRules(spark: SparkSession, dir: String,
                  minSupport: Int = AssocMinSupport): DataFrame = {
-    val op = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct().localCheckpoint()
-    val tot = op.select(col("o")).distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val pc = op.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
-      .localCheckpoint()
-    val pairs = op.as("x").join(op.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minSupport)
+    require(minSupport >= TriMinSupport,
+      s"staged pair-support table is pruned at $TriMinSupport; " +
+        "stage a lower base for smaller supports")
+    // every input is a staged artifact ([[GraphStage]]): the pair join,
+    // the per-part counts, and the order total all come from ONE
+    // (order, part)-distinct materialization per corpus snapshot
+    val tot = GraphStage.orderTotal(spark, dir)
+    val pc = GraphStage.partOrderCounts(spark, dir)
+    val pairs = GraphStage.copurchasePairs(spark, dir)
+      .filter(col("support") >= minSupport)
+      .select(col("a"), col("b"), col("support").as("n_ab"))
     pairs
       .join(pc.select(col("p").as("a"), col("n_p").as("n_a")), Seq("a"))
       .join(pc.select(col("p").as("b"), col("n_p").as("n_b")), Seq("b"))
