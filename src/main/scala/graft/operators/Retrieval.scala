@@ -91,20 +91,17 @@ object Retrieval {
     val spark2 = spark; import spark2.implicits._
     val qterms = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
       .toDF("query_id", "term")
-    val docs = Tables.documents(spark, dir)
-    // corpus totals as a broadcast 1-row aggregate (second text scan,
-    // partial-agg'd to one row — never a shuffle)
-    val totals = docs.agg(
-      sum(size(split(col("text"), " "))).as("w_total"),
+    // every corpus-derived input reads the STAGE ([[TermStage]]): doc
+    // lengths and totals from the O(docs) length table, postings from
+    // the doc-term aggregate filtered to query terms — no text re-scan
+    val doclen = TermStage.docLengths(spark, dir)
+    val totals = doclen.agg(
+      sum(col("n_tokens")).as("w_total"),
       count(lit(1)).as("n_docs"))
-    // postings of query terms only: broadcast-semi the explode, dl rides
-    // along as a grouping column (functionally dependent on doc_id)
-    val tf = docs
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
-        explode(split(col("text"), " ")).as("term"))
+    val tf = TermStage.docTermFreq(spark, dir)
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .join(doclen.select(col("doc_id"), col("n_tokens").as("dl")), Seq("doc_id"))
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
       .localCheckpoint() // materialize postings once: feeds df AND scoring
     // df per term as a partial-agg'd groupBy over the checkpointed
     // postings (≤ one output row per query term — broadcast back). A

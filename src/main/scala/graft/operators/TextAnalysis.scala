@@ -291,12 +291,14 @@ object TextAnalysis {
   def tokenDrift(spark: SparkSession, dir: String,
                  newMinId: Long = Dedup.IncrementalNewMinId,
                  topK: Int = 20): DataFrame = {
-    val cnt = Tables.documents(spark, dir)
-      .select((col("doc_id") >= newMinId).as("is_new"),
-        explode(words(col("text"))).as("w"))
+    // tf-weighted fold of the STAGED doc-term table ([[TermStage]]) —
+    // occurrence counts split by the old/new doc_id boundary
+    val cnt = TermStage.docTermFreq(spark, dir)
+      .select((col("doc_id") >= newMinId).as("is_new"), col("term").as("w"),
+        col("tf"))
       .groupBy(col("w"))
-      .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("c_old"),
-        sum(when(col("is_new"), 1L).otherwise(0L)).as("c_new"))
+      .agg(sum(when(col("is_new"), 0L).otherwise(col("tf"))).as("c_old"),
+        sum(when(col("is_new"), col("tf")).otherwise(0L)).as("c_new"))
     val totals = cnt.agg(sum(col("c_old")).as("n_old"), sum(col("c_new")).as("n_new"))
     cnt.crossJoin(broadcast(totals))
       .select(col("w"), col("c_old"), col("c_new"),
@@ -307,13 +309,13 @@ object TextAnalysis {
 
   /** Corpus vocabulary stats: the top-K words by total frequency with
     * document-frequency — the vocabulary profile a tokenizer-training or
-    * data-mixing step starts from. Explode → two-level aggregate; the
-    * explode never shuffles (word counts combine map-side). */
+    * data-mixing step starts from. Reads the STAGED term-stats rollup
+    * ([[TermStage]] — the corpus explode ran once per snapshot); the
+    * query is TakeOrdered over the O(vocab) table. */
   def vocabularyStats(spark: SparkSession, dir: String, topK: Int = 20): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(words(col("text"))).as("word"))
-      .groupBy(col("word"))
-      .agg(count(lit(1)).as("term_freq"), countDistinct(col("doc_id")).as("doc_freq"))
+    TermStage.termStats(spark, dir)
+      .select(col("term").as("word"), col("tf").as("term_freq"),
+        col("df").as("doc_freq"))
       .orderBy(col("term_freq").desc, col("word"))
       .limit(topK)
 
@@ -327,10 +329,11 @@ object TextAnalysis {
   def tfidfKeywords(spark: SparkSession, dir: String, perDoc: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val tf = docs
-      .select(col("doc_id"), explode(words(col("text"))).as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // both tf and df read the STAGED term tables ([[TermStage]])
+    val tf = TermStage.docTermFreq(spark, dir)
+      .select(col("doc_id"), col("term").as("word"), col("tf"))
+    val df = TermStage.termStats(spark, dir)
+      .select(col("term").as("word"), col("df"))
     val scored = tf.join(df, Seq("word"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tf_idf", col("tf") * col("n_docs") / col("df"))
@@ -464,9 +467,9 @@ object TextAnalysis {
   def pmiBigrams(spark: SparkSession, dir: String,
                  minCount: Long = PmiMinCount, k: Int = PmiTopK): DataFrame = {
     require(minCount >= 1 && k >= 1, "need minCount >= 1 and k >= 1")
-    val uni = Tables.documents(spark, dir)
-      .select(explode(words(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // unigram counts from the STAGED term-stats rollup ([[TermStage]])
+    val uni = TermStage.termStats(spark, dir)
+      .select(col("term").as("w"), col("tf").as("c"))
     val totals = uni.agg(sum(col("c")).as("n_tokens"))
     val bg = explodedBigrams(spark, dir)
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
@@ -506,9 +509,13 @@ object TextAnalysis {
     * partial-agg'd groupBy (hot tokens combine map-side), then a
     * source-keyed rollup of O(vocab) rows. Output is O(sources). */
   def sourceVocabAudit(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.documents(spark, dir)
-      .select(col("source"), explode(words(col("text"))).as("token"))
-      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    // STAGED doc-term table joined to the narrow (doc_id, source)
+    // projection ([[TermStage]]) — the join shuffles the aggregated TF
+    // table, not the exploded corpus token stream
+    val counts = TermStage.docTermFreq(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"), col("term").as("token")).agg(sum(col("tf")).as("c"))
     counts.groupBy(col("source"))
       .agg(
         sum(col("c")).as("n_tokens"),
@@ -543,17 +550,22 @@ object TextAnalysis {
   def vocabCoverage(spark: SparkSession, dir: String,
                     k: Int = VocabCoverageK): DataFrame = {
     require(k >= 1, "need k >= 1")
-    val counts = Tables.documents(spark, dir)
-      .select(col("source"), explode(words(col("text"))).as("token"))
-    val vocab = counts.groupBy(col("token")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("token")).limit(k)
-      .select(col("token"), lit(1).as("in_vocab"))
+    // both sides read the STAGE ([[TermStage]]): the vocab is TakeOrdered
+    // over the O(vocab) rollup; the per-source stream is the doc-term
+    // table tf-weighted (occurrence counts preserved exactly)
+    val counts = TermStage.docTermFreq(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("source"), col("term").as("token"), col("tf"))
+    val vocab = TermStage.termStats(spark, dir)
+      .orderBy(col("tf").desc, col("term")).limit(k)
+      .select(col("term").as("token"), lit(1).as("in_vocab"))
     counts
       .join(broadcast(vocab), Seq("token"), "left")
       .groupBy(col("source"))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        sum(col("tf")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L)).as("n_oov"))
       .select(col("source"), col("n_tokens"), col("n_oov"),
         expr("(1000000L * n_oov) div n_tokens").as("oov_ppm"),
         ((col("n_tokens") - col("n_oov")) / col("n_tokens")).as("coverage"))
@@ -573,9 +585,9 @@ object TextAnalysis {
     * — both partial-agg'd map-side. */
   def invertedIndex(spark: SparkSession, dir: String, k: Int = PostingSampleK): DataFrame = {
     import graft.functions.KmvValueSample.kmv_value_sample
-    val tf = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(words(col("text"))).as("token"))
-      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    // postings read the STAGED doc-term table ([[TermStage]])
+    val tf = TermStage.docTermFreq(spark, dir)
+      .select(col("term").as("token"), col("doc_id"), col("tf"))
     val h = Dedup.md5Hash60(concat(col("token"), lit(":"), col("doc_id").cast("string")))
     tf.groupBy(col("token"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
@@ -666,9 +678,8 @@ object TextAnalysis {
     * then per-doc fold — one shuffle each, no hot keys (doc_id is
     * near-unique). */
   def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(words(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // per-doc fold of the STAGED doc-term table ([[TermStage]])
+    val tf = TermStage.docTermFreq(spark, dir)
     tf.groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_distinct"),
         sum(col("tf") * col("tf")).as("sum_tf2"))
@@ -689,9 +700,9 @@ object TextAnalysis {
     * VOCABULARY, not the corpus: char-pair work is O(vocab × word_len)
     * regardless of corpus size. */
   def bpePairCounts(spark: SparkSession, dir: String): DataFrame = {
-    val wordFreq = Tables.documents(spark, dir)
-      .select(explode(words(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // the word-frequency vocabulary is the STAGED rollup ([[TermStage]])
+    val wordFreq = TermStage.termStats(spark, dir)
+      .select(col("term").as("w"), col("tf").as("freq"))
     wordFreq.filter(length(col("w")) >= 2)
       .select(col("w"), col("freq"),
         explode(transform(sequence(lit(1), length(col("w")) - 1),
@@ -761,9 +772,8 @@ object TextAnalysis {
     * set. */
   private[graft] def bpeFitVocabDf(spark: SparkSession, dir: String,
                                    minFreq: Long, vocabCap: Int): DataFrame =
-    Tables.documents(spark, dir)
-      .select(explode(words(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    TermStage.termStats(spark, dir)
+      .select(col("term").as("w"), col("tf").as("freq"))
       .filter(col("freq") >= minFreq)
       .orderBy(col("freq").desc, col("w"))
       .limit(vocabCap)
@@ -828,15 +838,16 @@ object TextAnalysis {
     * sketch alone. */
   def countMinHeavyHitters(spark: SparkSession, dir: String, depth: Int = CmDepth,
                            width: Int = CmWidth, topK: Int = 20): DataFrame = {
-    val tokens = Tables.documents(spark, dir)
-      .select(explode(words(col("text"))).as("w"))
     def bucket(w: Column, r: Int): Column =
       pmod(Dedup.md5Hash60(concat(lit(s"cm$r:"), w)), lit(width.toLong))
-    val counters = tokens
-      .select(explode(array((0 until depth).map(r =>
-        struct(lit(r).as("r"), bucket(col("w"), r).as("b"))): _*)).as("rb"))
+    // counters fold the STAGED O(vocab) term-stats rollup tf-weighted
+    // ([[TermStage]]) — identical cells to hashing the raw token stream,
+    // at O(vocab × depth) work instead of O(corpus tokens × depth)
+    val counters = TermStage.termStats(spark, dir)
+      .select(col("tf"), explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), bucket(col("term"), r).as("b"))): _*)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("tf")).as("cnt"))
     val top = vocabularyStats(spark, dir, topK)
       .select(col("word"), col("term_freq").as("true_count"))
     val probes = top.select(col("word"), col("true_count"),
@@ -866,17 +877,22 @@ object TextAnalysis {
     * The final ratio is one int/int IEEE division → exact cross-engine. */
   def rareTokenStats(spark: SparkSession, dir: String, relDenom: Int = RareRelDenom,
                      flagAt: Double = 0.5): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
-    val tf = tok.groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    // both sides read the STAGE ([[TermStage]]): per-doc terms carry
+    // their tf (occurrence weight), corpus frequencies come from the
+    // O(vocab) rollup — the doc-side join shuffles the aggregated
+    // doc-term table, never the exploded occurrence stream
+    val tok = TermStage.docTermFreq(spark, dir)
+      .select(col("doc_id"), col("term").as("w"), col("tf").as("doc_tf"))
+    val tf = TermStage.termStats(spark, dir)
+      .select(col("term").as("w"), col("tf"))
     val stats = tf.agg(sum(col("tf")).as("total_tf"), count(lit(1)).as("n_vocab"))
     val isRare = (col("tf") * relDenom) < expr("total_tf div n_vocab")
     tok.join(tf, Seq("w"))
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(isRare.cast("long")).as("n_rare"),
-        countDistinct(col("w")).as("n_distinct"))
+      .agg(sum(col("doc_tf")).as("n_tokens"),
+        sum(when(isRare, col("doc_tf")).otherwise(0L)).as("n_rare"),
+        count(lit(1)).as("n_distinct"))
       .withColumn("rare_ratio", col("n_rare") / col("n_tokens"))
       .withColumn("flagged", (col("rare_ratio") >= flagAt).cast("int"))
   }
@@ -1356,9 +1372,9 @@ object TextAnalysis {
     * [[Sampling.exclusivePrefixSum]] over the NEGATED frequency (rank
     * 1 = most frequent; never a corpus-wide ordered window). */
   def zipfAudit(spark: SparkSession, dir: String): DataFrame = {
-    val levels = Tables.documents(spark, dir)
-      .select(explode(words(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("f"))
+    // frequency levels fold the STAGED O(vocab) rollup ([[TermStage]])
+    val levels = TermStage.termStats(spark, dir)
+      .select(col("tf").as("f"))
       .groupBy(col("f")).agg(count(lit(1)).as("n_types"))
       .localCheckpoint()
     val ranks = Sampling.exclusivePrefixSum(
@@ -1388,13 +1404,15 @@ object TextAnalysis {
     * documented tiny-table case). */
   def heapsCurve(spark: SparkSession, dir: String,
                  nBatches: Int = Dedup.NoveltyBatches): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val mx = docs.agg(max(col("doc_id")).as("mx"))
-    val bt = docs.crossJoin(broadcast(mx))
+    // batches assigned over the STAGED doc-term table ([[TermStage]]),
+    // tf-weighted — token volume and first-seen types are exactly the
+    // exploded-stream answers at doc-term-aggregate cost
+    val mx = Tables.documents(spark, dir).agg(max(col("doc_id")).as("mx"))
+    val bt = TermStage.docTermFreq(spark, dir).crossJoin(broadcast(mx))
       .select(expr(s"(doc_id * $nBatches) div (mx + 1)").as("batch"),
-        explode(words(col("text"))).as("token"))
+        col("term").as("token"), col("tf"))
       .localCheckpoint()
-    val perBatch = bt.groupBy(col("batch")).agg(count(lit(1)).as("n_tokens"))
+    val perBatch = bt.groupBy(col("batch")).agg(sum(col("tf")).as("n_tokens"))
     val firstSeen = bt.groupBy(col("token")).agg(min(col("batch")).as("batch"))
       .groupBy(col("batch")).agg(count(lit(1)).as("n_new_types"))
     val w = Window.orderBy(col("batch"))
