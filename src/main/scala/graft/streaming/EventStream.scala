@@ -371,7 +371,15 @@ object EventStream {
     * the censored complement (signups with no row yet).
     *
     * State is (one Long, one Boolean) per user — minimal funnel state;
-    * same per-user in-order contract as the other stateful twins. */
+    * same per-user in-order contract as the other stateful twins.
+    *
+    * Timestamp ties: the batch rule qualifies a purchase at `ts >= t0`
+    * — ts comparison only — so within a micro-batch signups must fold
+    * BEFORE purchases at the same `ts_s` (sort key (ts_s, type
+    * priority, event_id), signup first). Sorting by (ts_s, event_id)
+    * alone would let a same-second purchase with a smaller event_id
+    * slip past the signup unconverted and a LATER purchase convert
+    * instead, diverging from x165's conditional-min latency. */
   def conversions(events: DataFrame): Dataset[ConvOut] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -382,7 +390,8 @@ object EventStream {
       .flatMapGroupsWithState[ConvState, ConvOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[CEvent], state: GroupState[ConvState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts_s, e.event_id))
+          val sorted = rows.toSeq.sortBy(e =>
+            (e.ts_s, if (e.event_type == "signup") 0 else 1, e.event_id))
           var st = state.getOption.getOrElse(ConvState(-1L, converted = false))
           val out = scala.collection.mutable.ListBuffer.empty[ConvOut]
           for (e <- sorted) {

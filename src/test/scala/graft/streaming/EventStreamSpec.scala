@@ -452,4 +452,28 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.collectFirst { case r if r._1 == -1L => r._2 }.getOrElse(0L)
       == t0.size.toLong - streamed.size)
   }
+
+  test("conversions: same-second purchase/signup tie folds signup-first (batch x165 parity)") {
+    // user 1: a purchase in the SAME second as the signup but with a
+    // SMALLER event_id, then a later purchase. The batch rule (ts-only
+    // comparison) converts at latency 0; a (ts_s, event_id) sort would
+    // skip the tied purchase and report the later one instead.
+    val root = java.nio.file.Files.createTempDirectory("graft-convtie").toString
+    val t0 = 1700000000L
+    val rows = Seq(
+      (1L, 1L, "purchase", t0),            // tied purchase, smaller id
+      (2L, 1L, "signup", t0),              // signup, same second
+      (3L, 1L, "purchase", t0 + 2 * 86400) // decoy later purchase
+    ).toDF("event_id", "user_id", "event_type", "ts_s")
+    rows.write.parquet(s"$root/drop") // one file → one micro-batch: the tie is intra-batch
+    val stream = spark.readStream.schema(rows.schema).parquet(s"$root/drop")
+    val q = EventStream.conversions(stream).toDF()
+      .writeStream.format("memory").queryName("conv_tie")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("conv_tie").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, t0, t0, 0L)))
+  }
 }
