@@ -137,6 +137,26 @@ object BenchStreaming {
       } finally deleteTree(root)
     }
 
+    // TermStage's streaming twin: per-batch doc-term/term-stats/doc-length
+    // appends (mergeable partials — no read of the existing tables)
+    def runTermIngest(): (String, Double) = {
+      import org.apache.spark.sql.functions.col
+      val root = Files.createTempDirectory("graft-sbench-term-ingest")
+      try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        docs.write.parquet(s"$root/drop")
+        val n = docs.count()
+        val t0 = System.nanoTime()
+        graft.streaming.DocumentStream.startTermIngest(
+          graft.streaming.DocumentStream.readDocuments(spark, s"$root/drop", docs.schema),
+          s"$root/stage", s"$root/ckpt")
+          .awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        "term_ingest" -> (n / sec)
+      } finally deleteTree(root)
+    }
+
     // documents-side twins: a stateful running-budget aggregate (Complete,
     // spec-sized state) and the stateless fused-kernel chunker (Append) —
     // file streams need a DIRECTORY source, so the table file is exposed
@@ -207,7 +227,8 @@ object BenchStreaming {
         graft.streaming.DocumentStream.bpeChunkStream, "append"),
       runIndexIngest(),
       runBandIngest(),
-      runClusterIngest())
+      runClusterIngest(),
+      runTermIngest())
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
     val headline = f"${results.head._2}%.1f"

@@ -208,6 +208,10 @@ object SparkEntry {
     "x168_heaps_curve"      -> ((s, d) => TextAnalysis.heapsCurve(s, d)),
     "x169_region_revenue"   -> ((s, d) => Relational.regionSegmentRevenue(s, d)),
     "x170_price_realization" -> ((s, d) => Relational.priceRealization(s, d)),
+    "x171_common_neighbors" -> ((s, d) => LinkAnalysis.commonNeighbors(s, d)),
+    "x172_clustering_coeff" -> ((s, d) => LinkAnalysis.clusteringCoefficients(s, d)),
+    "x173_assortativity"    -> ((s, d) => LinkAnalysis.degreeAssortativity(s, d)),
+    "x174_term_affinity"    -> ((s, d) => TextAnalysis.sourceTermAffinity(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -3070,6 +3074,98 @@ object SparkEntry {
         |       CAST((1000000 * CAST(sum(realized) AS HUGEINT))
         |         // sum(qty * retail_unit) AS BIGINT) AS realization_ppm
         |FROM j GROUP BY 1""".stripMargin,
+
+    // x171: common-neighbor link prediction — x116's support-pruned
+    // edge CTE, wedge self-join on the shared center, anti-join out
+    // existing edges, endpoint degrees decoded from the symmetric fold.
+    "x171_common_neighbors" -> {
+      import operators.LinkAnalysis.{CnMinCount, TriMinSupport}
+      s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+        |sym AS MATERIALIZED (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),
+        |cn AS (SELECT w1.n AS u, w2.n AS v, CAST(count(*) AS BIGINT) AS n_common
+        |       FROM sym w1 JOIN sym w2 ON w1.w = w2.w AND w1.n < w2.n
+        |       GROUP BY 1, 2 HAVING count(*) >= $CnMinCount),
+        |ne AS (SELECT cn.* FROM cn LEFT JOIN e ON cn.u = e.a AND cn.v = e.b
+        |       WHERE e.a IS NULL),
+        |deg AS (SELECT w AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1)
+        |SELECT ne.u, ne.v, ne.n_common, du.deg AS deg_u, dv.deg AS deg_v
+        |FROM ne JOIN deg du ON ne.u = du.node JOIN deg dv ON ne.v = dv.node""".stripMargin
+    },
+
+    // x172: exact clustering coefficient — x116's triangle CTE plus the
+    // symmetric degree fold; raw rational (2·tri, deg·(deg−1)) with the
+    // one-IEEE-op double; degree-1 nodes excluded (0/0).
+    "x172_clustering_coeff" -> {
+      import operators.LinkAnalysis.TriMinSupport
+      s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+        |t AS (SELECT e1.a AS ca, e1.b AS cb, e2.b AS cc
+        |      FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |corners AS (SELECT unnest([ca, cb, cc]) AS node FROM t),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM corners GROUP BY 1),
+        |sym AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1)
+        |SELECT p.p_partkey, p.p_brand, d.deg,
+        |       CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |       CAST(2 * coalesce(tc.n_triangles, 0) AS BIGINT) AS cc_num,
+        |       d.deg * (d.deg - 1) AS cc_den,
+        |       CAST(2 * coalesce(tc.n_triangles, 0) AS DOUBLE)
+        |         / (d.deg * (d.deg - 1)) AS clustering
+        |FROM deg d LEFT JOIN tc USING (node) JOIN part p ON d.node = p.p_partkey
+        |WHERE d.deg >= 2""".stripMargin
+    },
+
+    // x173: degree-assortativity raw moments over distinct purchase
+    // pairs — x152's moment contract on the customer–supplier graph;
+    // sums HUGEINT→DECIMAL→VARCHAR (the r10 representation rule).
+    "x173_assortativity" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |dc AS (SELECT cust, CAST(count(*) AS BIGINT) AS x FROM e0 GROUP BY 1),
+        |ds AS (SELECT supp, CAST(count(*) AS BIGINT) AS y FROM e0 GROUP BY 1),
+        |p AS (SELECT dc.x, ds.y FROM e0 JOIN dc USING (cust) JOIN ds USING (supp))
+        |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |       CAST(CAST(sum(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR) AS sum_x,
+        |       CAST(CAST(sum(CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR) AS sum_y,
+        |       CAST(CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS VARCHAR) AS sum_xy,
+        |       CAST(CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS VARCHAR) AS sum_xx,
+        |       CAST(CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS VARCHAR) AS sum_yy
+        |FROM p""".stripMargin,
+
+    // x174: source-characteristic terms — per-source/corpus token
+    // counts, exact lift rational as VARCHAR digits plus the
+    // one-IEEE-op ranking double, top-K per source.
+    "x174_term_affinity" -> {
+      import operators.TextAnalysis.{AffinityMinTf, AffinityTopK}
+      s"""WITH st AS MATERIALIZED (
+        |  SELECT source, u.token AS term, CAST(count(*) AS BIGINT) AS tf_s
+        |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents),
+        |       unnest(ws) AS u(token)
+        |  GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(tf_s) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |ct AS (SELECT term, CAST(sum(tf_s) AS BIGINT) AS tf_c FROM st GROUP BY 1),
+        |nt AS (SELECT CAST(sum(tf_c) AS BIGINT) AS n_total FROM ct),
+        |cand AS (
+        |  SELECT st.source, st.term, st.tf_s, ct.tf_c, ns.n_s, nt.n_total,
+        |         CAST(CAST(st.tf_s AS HUGEINT) * nt.n_total AS DECIMAL(38,0)) AS numd,
+        |         CAST(CAST(ct.tf_c AS HUGEINT) * ns.n_s AS DECIMAL(38,0)) AS dend
+        |  FROM st JOIN ct USING (term) JOIN ns USING (source), nt
+        |  WHERE st.tf_s >= $AffinityMinTf),
+        |r AS (SELECT *, CAST(numd AS DOUBLE) / CAST(dend AS DOUBLE) AS affinity,
+        |             CAST(row_number() OVER (PARTITION BY source
+        |               ORDER BY CAST(numd AS DOUBLE) / CAST(dend AS DOUBLE) DESC, term)
+        |               AS BIGINT) AS rank
+        |      FROM cand)
+        |SELECT source, rank, term, tf_s, tf_c, n_s, n_total,
+        |       CAST(numd AS VARCHAR) AS aff_num, CAST(dend AS VARCHAR) AS aff_den,
+        |       affinity
+        |FROM r WHERE rank <= $AffinityTopK""".stripMargin
+    },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

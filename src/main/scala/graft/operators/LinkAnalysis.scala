@@ -525,4 +525,118 @@ object LinkAnalysis {
         (col("n_a").cast("decimal(38,0)") * col("n_b"))
           .cast("decimal(38,0)").cast("string").as("lift_den"))
   }
+
+  /** x171 knob: minimum common-neighbor count for a candidate pair —
+    * the link-prediction support prune, shared with the oracle SQL. 1 =
+    * the full wedge-connected candidate list (the support-pruned graph
+    * is sparse enough that higher floors empty it at test scales; at
+    * production density this is the first lever to raise). */
+  val CnMinCount: Int = 1
+
+  /** Common-neighbor link prediction (x171): for every NON-edge part
+    * pair of the frequent-co-purchase graph with at least
+    * [[CnMinCount]] shared neighbors, the exact common-neighbor count
+    * plus both endpoint degrees — the classic "products that SHOULD
+    * sell together but don't yet" candidate list (common-neighbors is
+    * the canonical link-prediction baseline; deg_u/deg_v let a
+    * consumer derive Jaccard/cosine/preferential variants without
+    * re-scanning the graph).
+    *
+    * 100 TB shape: every input is the STAGED graph ([[GraphStage]]).
+    * The wedge self-join keys on the shared center node, so a node of
+    * degree d anchors O(d²) wedge pairs — bounded by the SUPPORT-PRUNED
+    * graph's degrees (the same support threshold that makes x116's
+    * wedge work safe is the scale lever here; raising it shrinks
+    * degrees quadratically). Counts partial-agg before the min-common
+    * prune; the anti-join removes existing edges on the canonical
+    * (u < v) pair key. No window, no collect. */
+  def commonNeighbors(spark: SparkSession, dir: String,
+                      minCommon: Int = CnMinCount): DataFrame = {
+    val e = GraphStage.copurchasePairs(spark, dir).select(col("a"), col("b"))
+      .localCheckpoint() // three consumers: both symmetric halves + anti-join
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("w"), col("b").as("n"))
+    val cn = sym.as("w1").join(sym.as("w2"),
+        col("w1.w") === col("w2.w") && col("w1.n") < col("w2.n"))
+      .groupBy(col("w1.n").as("u"), col("w2.n").as("v"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    val deg = GraphStage.copurchaseDegrees(spark, dir)
+    cn.join(e.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"),
+        "left_anti")
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .select(col("u"), col("v"), col("n_common"), col("deg_u"), col("deg_v"))
+  }
+
+  /** Exact per-node clustering coefficient (x172): for every node of
+    * the frequent-co-purchase graph with degree ≥ 2, the triangle
+    * count, degree, and the coefficient as BOTH the raw rational
+    * (cc_num = 2·tri, cc_den = deg·(deg−1) — x119's discipline) and
+    * the one-IEEE-op double — "how clique-like is each product's
+    * bought-together neighborhood", the local-density complement of
+    * x116's raw triangle census. Degree-1 nodes are excluded (the
+    * coefficient is undefined — 0/0).
+    *
+    * Bounds: cc_den = deg·(deg−1) wraps past deg ≈ 3·10⁹ — far above
+    * any support-pruned co-purchase degree (the threshold bounds
+    * degrees; x116's TriDegKeyBase arithmetic already enforces
+    * deg < 9·10⁹ upstream), so BIGINT publication is safe here where
+    * the corpus-sized moment sums of x152/x162 were not.
+    *
+    * 100 TB shape: [[triangles]] over the STAGED edges (degree-ordered
+    * orientation — hub-safe wedges), degrees from the STAGED table,
+    * one broadcast-ready join to the part dim for the brand decode. */
+  def clusteringCoefficients(spark: SparkSession, dir: String): DataFrame = {
+    val tri = triangles(GraphStage.copurchasePairs(spark, dir)
+      .select(col("a"), col("b")))
+    val deg = GraphStage.copurchaseDegrees(spark, dir)
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("node") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("deg"), col("n_triangles"),
+        (col("n_triangles") * 2).as("cc_num"),
+        (col("deg") * (col("deg") - 1)).as("cc_den"),
+        ((col("n_triangles") * 2).cast("double")
+          / (col("deg") * (col("deg") - 1))).as("clustering"))
+  }
+
+  /** Degree-assortativity raw moments (x173): over every distinct
+    * (customer, supplier) purchase pair, the EXACT moments
+    * (n, Σx, Σy, Σxy, Σx², Σy²) of x = the customer's degree and
+    * y = the supplier's degree — everything the degree-correlation
+    * (assortativity) coefficient needs, published undivided as digit
+    * strings (x152's moment contract on the purchase graph: r > 0
+    * means broad-basket customers concentrate on broad-market
+    * suppliers). Moments are additive, so windows merge at the
+    * consumer; the one Pearson division happens there.
+    *
+    * 100 TB shape: the STAGED pair table joins the STAGED O(V) degree
+    * table twice (shuffle on node keys), then ONE partial-agg'd 1-row
+    * reduce; sums in DECIMAL(38,0) (Σx² reaches deg²·E — past 2⁶³ on
+    * real graphs), published as strings (the r10 representation
+    * discipline). */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val deg = GraphStage.custSuppDegrees(spark, dir)
+    // parity split BEFORE the div-2 decode: a customer key and a
+    // supplier key may collide numerically; the encoded node's low bit
+    // is the side tag
+    GraphStage.custSuppPairs(spark, dir)
+      .join(deg.filter(col("node") % 2 === 0)
+        .select(expr("node div 2").as("cust"), col("deg").as("x")), Seq("cust"))
+      .join(deg.filter(col("node") % 2 === 1)
+        .select(expr("node div 2").as("supp"), col("deg").as("y")), Seq("supp"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("x").cast("decimal(38,0)")).cast("string").as("sum_x"),
+        sum(col("y").cast("decimal(38,0)")).cast("string").as("sum_y"),
+        sum((col("x").cast("decimal(38,0)") * col("y"))
+          .cast("decimal(38,0)")).cast("string").as("sum_xy"),
+        sum((col("x").cast("decimal(38,0)") * col("x"))
+          .cast("decimal(38,0)")).cast("string").as("sum_xx"),
+        sum((col("y").cast("decimal(38,0)") * col("y"))
+          .cast("decimal(38,0)")).cast("string").as("sum_yy"))
+  }
 }

@@ -1501,4 +1501,61 @@ object TextAnalysis {
           .cast("decimal(38,0)").cast("string").as("u2_a"),
         col("tie_cubes").cast("decimal(38,0)").cast("string").as("tie_cubes"))
   }
+
+  /** x174 knobs: the per-source tf floor (hapax/noise prune) and the
+    * per-source panel size, shared with the oracle SQL. */
+  val AffinityMinTf: Long = 5L
+  val AffinityTopK: Int = 10
+
+  /** Source-characteristic terms (x174): per source, the
+    * [[AffinityTopK]] terms most over-represented relative to the
+    * corpus, ranked by the exact lift rational `(tf_s·N) / (tf_c·N_s)`
+    * — "what vocabulary makes this source itself", the per-source
+    * TF-IDF analogue a mixture designer reads before reweighting
+    * sources. The rational is published undivided as digit strings
+    * (x119/x153's discipline, r10 representation rule) PLUS the
+    * one-IEEE-op double used for ranking — both engines convert the
+    * same two exact integers and divide once, so the order (tie-broken
+    * on the term string) is total and engine-identical. Terms below
+    * [[AffinityMinTf]] per-source occurrences are pruned (a hapax in a
+    * small source otherwise tops every list).
+    *
+    * 100 TB shape: per-source term counts are the STAGED doc-term
+    * table joined to the narrow (doc_id, source) projection
+    * ([[TermStage]] — x105's shape); corpus counts and the 1-row total
+    * come from the staged rollup; the per-source window runs over the
+    * tf-floored candidate set (O(vocab) per source, partitioned —
+    * never corpus-sized). */
+  def sourceTermAffinity(spark: SparkSession, dir: String,
+                         minTf: Long = AffinityMinTf,
+                         topK: Int = AffinityTopK): DataFrame = {
+    require(minTf >= 1 && topK >= 1, "need minTf >= 1 and topK >= 1")
+    val st = TermStage.docTermFreq(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"), col("term")).agg(sum(col("tf")).as("tf_s"))
+      .localCheckpoint() // two consumers: the n_s rollup + the candidates
+    val ns = st.groupBy(col("source")).agg(sum(col("tf_s")).as("n_s"))
+    val ct = TermStage.termStats(spark, dir)
+      .select(col("term"), col("tf").as("tf_c"))
+    val nt = ct.agg(sum(col("tf_c")).as("n_total"))
+    val cand = st.filter(col("tf_s") >= minTf)
+      .join(ct, Seq("term"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(nt))
+      .withColumn("aff_num",
+        (col("tf_s").cast("decimal(38,0)") * col("n_total")).cast("decimal(38,0)"))
+      .withColumn("aff_den",
+        (col("tf_c").cast("decimal(38,0)") * col("n_s")).cast("decimal(38,0)"))
+      .withColumn("affinity",
+        col("aff_num").cast("double") / col("aff_den").cast("double"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("affinity").desc, col("term"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("rank"), col("term"), col("tf_s"),
+        col("tf_c"), col("n_s"), col("n_total"),
+        col("aff_num").cast("string").as("aff_num"),
+        col("aff_den").cast("string").as("aff_den"), col("affinity"))
+  }
 }

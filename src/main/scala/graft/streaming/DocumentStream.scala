@@ -124,4 +124,24 @@ object DocumentStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming term-table ingest ([[graft.operators.TermStage]]'s
+    * streaming twin, the fourth incremental-artifact ingester): each
+    * micro-batch appends its (doc_id, term, tf) rows, its term-stats
+    * PARTIALS, and its doc lengths to the persisted stage — the
+    * mergeable-partials design means the append is exact with NO read
+    * of the existing tables (contrast the band/cluster ingesters,
+    * which must classify against the index-as-of-now). Stream-built ≡
+    * one-shot is spec-proven across a forced micro-batch boundary. */
+  def startTermIngest(docs: DataFrame, stageRoot: String,
+                      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TermStage.appendToTermTables(
+          batch.sparkSession, batch, stageRoot)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -333,4 +333,66 @@ class LinkAnalysisSpec extends SparkSpec {
     // community holds more than one member
     assert(sizes.size < labels.size && sizes.values.max > 1L)
   }
+
+  test("commonNeighbors (x171): candidate pairs match an exhaustive driver replay") {
+    val edges = LinkAnalysis.copurchaseEdges(spark, sf).as[(Long, Long)].collect().toSeq
+    val edgeSet = edges.toSet
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val want = (for {
+      (w, ns) <- adj.toSeq; u <- ns; v <- ns
+      if u < v && !edgeSet.contains((u, v))
+    } yield (u, v)).groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= LinkAnalysis.CnMinCount).toMap
+    val got = LinkAnalysis.commonNeighbors(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (u, v, cn, du, dv) =>
+      assert(cn == want((u, v)), s"pair ($u,$v) count")
+      assert(du == deg(u) && dv == deg(v), s"pair ($u,$v) degrees")
+      assert(!edgeSet.contains((u, v)), s"pair ($u,$v) must be a non-edge")
+    }
+  }
+
+  test("clusteringCoefficients (x172): rational and double match a driver replay; cc in [0,1]") {
+    val edges = LinkAnalysis.copurchaseEdges(spark, sf).as[(Long, Long)].collect().toSeq
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val tri = adj.map { case (n, ns) =>
+      n -> ns.toSeq.combinations(2).count { case Seq(x, y) =>
+        adj(x).contains(y)
+      }.toLong
+    }
+    val got = LinkAnalysis.clusteringCoefficients(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long, Double)].collect()
+    assert(got.length == adj.count(_._2.size >= 2) && got.nonEmpty)
+    got.foreach { case (p, _, deg, nt, num, den, cc) =>
+      assert(deg == adj(p).size.toLong, s"part $p degree")
+      assert(nt == tri(p), s"part $p triangles")
+      assert(num == 2 * nt && den == deg * (deg - 1), s"part $p rational")
+      assert(cc == num.toDouble / den.toDouble && cc >= 0.0 && cc <= 1.0)
+    }
+    // triangles exist somewhere: some node has cc > 0
+    assert(got.exists(_._7 > 0.0))
+  }
+
+  test("degreeAssortativity (x173): moments match a BigInt replay over distinct pairs") {
+    val pairs = graft.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey")
+      .join(graft.Tables.lineitem(spark, sf).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey", $"l_suppkey").distinct()
+      .as[(Long, Long)].collect().toSeq
+    val dc = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ds = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val xy = pairs.map { case (c, s) => (BigInt(dc(c)), BigInt(ds(s))) }
+    val got = LinkAnalysis.degreeAssortativity(spark, sf)
+      .as[(Long, String, String, String, String, String)].head()
+    assert(got._1 == pairs.size.toLong)
+    assert(BigInt(got._2) == xy.map(_._1).sum && BigInt(got._3) == xy.map(_._2).sum)
+    assert(BigInt(got._4) == xy.map(p => p._1 * p._2).sum)
+    assert(BigInt(got._5) == xy.map(p => p._1 * p._1).sum)
+    assert(BigInt(got._6) == xy.map(p => p._2 * p._2).sum)
+  }
 }

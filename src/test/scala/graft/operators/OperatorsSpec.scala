@@ -2752,4 +2752,40 @@ class OperatorsSpec extends SparkSpec {
       assert(BigInt(u2) >= 0 && BigInt(u2) <= 2 * BigInt(na) * nb)
     }
   }
+
+  test("sourceTermAffinity (x174): top-K lift panel matches an exhaustive driver replay") {
+    // split(-1) keeps trailing empties — the engine's whitespace rule
+    val toks = graft.Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect().toSeq
+      .flatMap { case (s, t) => t.split(" ", -1).map(s -> _) }
+    val st = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ns = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ct = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nTotal = toks.size.toLong
+    val want = st.toSeq.collect {
+      case ((src, term), tfS) if tfS >= TextAnalysis.AffinityMinTf =>
+        val num = BigInt(tfS) * nTotal
+        val den = BigInt(ct(term)) * ns(src)
+        (src, term, tfS, num, den, num.toDouble / den.toDouble)
+    }.groupBy(_._1).view.mapValues { rows =>
+      rows.sortBy(r => (-r._6, r._2)).take(TextAnalysis.AffinityTopK)
+        .zipWithIndex.map { case (r, i) => (i + 1L, r._2, r._3, r._4, r._5, r._6) }
+    }.toMap
+    val got = TextAnalysis.sourceTermAffinity(spark, sf)
+      .select($"source", $"rank", $"term", $"tf_s", $"tf_c", $"n_s",
+        $"n_total", $"aff_num", $"aff_den", $"affinity")
+      .as[(String, Long, String, Long, Long, Long, Long, String, String, Double)]
+      .collect()
+    assert(got.length == want.values.map(_.size).sum && got.nonEmpty)
+    got.foreach { case (src, rank, term, tfS, tfC, nS, nT, num, den, aff) =>
+      val (wr, wt, wtf, wnum, wden, waff) = want(src)(rank.toInt - 1)
+      assert((wr, wt, wtf) == ((rank, term, tfS)), s"$src rank $rank")
+      assert(tfC == ct(term) && nS == ns(src) && nT == nTotal)
+      assert(BigInt(num) == wnum && BigInt(den) == wden, s"$src/$term rational")
+      assert(aff == waff, s"$src/$term affinity")
+      // over-representation panel: every kept term beats corpus share
+      // only when lift > 1; the TOP entry always does on this corpus
+      if (rank == 1L) assert(aff > 1.0, s"$src top affinity")
+    }
+  }
 }

@@ -197,4 +197,33 @@ class DocumentStreamSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("streaming term ingest across micro-batches ≡ one-shot TermStage tables") {
+    val root = Files.createTempDirectory("graft-termstream").toString
+    val docs = graft.Tables.documents(spark, sf).select($"doc_id", $"text")
+    // two files → two micro-batches: the append path must merge exactly
+    val cut = Dedup.IncrementalNewMinId
+    docs.filter($"doc_id" < cut).write.parquet(s"$root/drop")
+    docs.filter($"doc_id" >= cut).write.mode("append").parquet(s"$root/drop")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/drop")
+    DocumentStream.startTermIngest(stream, s"$root/stage", s"$root/ckpt")
+      .awaitTermination(120000)
+    // one-shot reference
+    graft.operators.TermStage.writeTermTables(docs, s"$root/oneshot")
+    def dtf(p: String) = spark.read.parquet(p)
+      .as[(Long, String, Long)].collect()
+      .map { case (d, t, f) => (d, t) -> f }.toMap
+    assert(dtf(s"$root/stage/doc_tf") == dtf(s"$root/oneshot/doc_tf"))
+    // term_stats merges through the reader fold (mergeable partials)
+    def ts(p: String) = spark.read.parquet(p)
+      .groupBy($"term").agg(sum($"tf").as("tf"), sum($"df").as("df"))
+      .as[(String, Long, Long)].collect()
+      .map { case (t, f, d) => t -> (f, d) }.toMap
+    assert(ts(s"$root/stage/term_stats") == ts(s"$root/oneshot/term_stats"))
+    def dl(p: String) = spark.read.parquet(p)
+      .as[(Long, Long)].collect().toMap
+    assert(dl(s"$root/stage/doc_lengths") == dl(s"$root/oneshot/doc_lengths"))
+    assert(dtf(s"$root/stage/doc_tf").nonEmpty)
+  }
 }
