@@ -212,6 +212,11 @@ object SparkEntry {
     "x172_clustering_coeff" -> ((s, d) => LinkAnalysis.clusteringCoefficients(s, d)),
     "x173_assortativity"    -> ((s, d) => LinkAnalysis.degreeAssortativity(s, d)),
     "x174_term_affinity"    -> ((s, d) => TextAnalysis.sourceTermAffinity(s, d)),
+    "x175_quantized_recall" -> ((s, d) => Similarity.quantizedRecall(s, d)),
+    "x176_kendall_tau"      -> ((s, d) => Forecast.kendallTau(s, d)),
+    "x177_link_scores"      -> ((s, d) => LinkAnalysis.linkScores(s, d)),
+    "x178_mutual_knn"       -> ((s, d) => Similarity.mutualTopK(s, d)),
+    "x179_simhash_precision" -> ((s, d) => Dedup.simhashPrecision(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -486,7 +491,10 @@ object SparkEntry {
     * per-token hashing, the per-bit majority vote over bits 0..59, 4×16-bit
     * banding, and the Hamming ≤ 8 verify are recomputed end-to-end. The
     * 60 SUM / 60 CASE columns are generated here rather than hand-written. */
-  private def simhashOracleSql: String = {
+  /** The signature+banding CTE prefix of the SimHash oracles — shared by
+    * x04's pair join and x179's per-band precision audit so the banding
+    * rule cannot diverge between them (the minhashCtePrefix pattern). */
+  private def simhashCtePrefix: String = {
     val counts = (0 until 60).map(b => s"SUM((h >> $b) & 1) AS c$b").mkString(", ")
     val bits = (0 until 60)
       .map(b => s"(CASE WHEN c$b * 2 > n THEN 1::BIGINT ELSE 0::BIGINT END << $b)")
@@ -498,14 +506,17 @@ object SparkEntry {
        |sig AS (SELECT doc_id, $bits AS sh FROM agg),
        |banded AS (
        |  SELECT doc_id, sh, band, (sh >> (band * 16)) & 65535 AS chunk
-       |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b)""".stripMargin
+  }
+
+  private def simhashOracleSql: String =
+    s"""$simhashCtePrefix,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
        |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 8""".stripMargin
-  }
 
   /** x03's oracle replicates the MinHash+LSH algorithm end-to-end in
     * DuckDB — possible because every stage is an engine-neutral primitive:
@@ -3165,6 +3176,137 @@ object SparkEntry {
         |       CAST(numd AS VARCHAR) AS aff_num, CAST(dend AS VARCHAR) AS aff_den,
         |       affinity
         |FROM r WHERE rank <= $AffinityTopK""".stripMargin
+    },
+
+    // x175: int8 quantization recall audit — per-vector max-|x| scale,
+    // round-half-up via floor(+0.5) (exact IEEE composition), both
+    // rankings trunc6'd with vec_id tie-break (the x09 contract),
+    // top-5 overlap + quantized-rank displacement per query.
+    "x175_quantized_recall" -> {
+      import operators.Similarity.QuantLevels
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale FROM e),
+        |qv AS (SELECT vec_id, v,
+        |         list_transform(v, x -> floor(x / scale * $QuantLevels.0 + 0.5)) AS q FROM sc),
+        |n AS (SELECT vec_id, v, q,
+        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm,
+        |        sqrt(list_aggregate(list_transform(q, x -> x*x), 'sum')) AS qnrm FROM qv),
+        |qs AS (SELECT vec_id AS q_id, v AS vq, q AS qq, nrm AS nrmq, qnrm AS qnrmq
+        |       FROM n WHERE vec_id >= 0 AND vec_id < 10),
+        |scored AS (
+        |  SELECT qs.q_id, n.vec_id,
+        |    floor(list_dot_product(qs.vq, n.v) / (qs.nrmq * n.nrm) * 1000000) / 1000000 AS ce,
+        |    floor(list_dot_product(qs.qq, n.q) / (qs.qnrmq * n.qnrm) * 1000000) / 1000000 AS cq
+        |  FROM n, qs WHERE n.vec_id <> qs.q_id),
+        |ranked AS (SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY ce DESC, vec_id) AS re,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cq DESC, vec_id) AS rq
+        |  FROM scored)
+        |SELECT q_id, CAST(5 AS INTEGER) AS k,
+        |  CAST(sum(CASE WHEN re <= 5 AND rq <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN re <= 5 AND rq <= 5 THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS recall,
+        |  CAST(sum(CASE WHEN re <= 5 THEN rq ELSE 0 END) AS BIGINT) AS quant_rank_sum
+        |FROM ranked GROUP BY q_id""".stripMargin
+    },
+
+    // x176: Kendall rank concordance — weekly region revenue panel,
+    // later-minus-earlier sign comparisons over week pairs, exact
+    // integer concordance/tie counts + one-division tau-a.
+    "x176_kendall_tau" ->
+      """WITH wk AS (
+        |  SELECT r.r_name AS region,
+        |         (CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400) // 7 AS wk,
+        |         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |       JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |       JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |panel AS MATERIALIZED (
+        |  SELECT a.region AS r1, b.region AS r2, a.wk, a.cents AS x, b.cents AS y
+        |  FROM wk a JOIN wk b ON a.wk = b.wk AND a.region < b.region),
+        |nw AS (SELECT r1, r2, CAST(count(*) AS BIGINT) AS n_weeks FROM panel GROUP BY 1, 2),
+        |pr AS (SELECT p.r1, p.r2,
+        |         CASE WHEN q.x > p.x THEN 1 WHEN q.x < p.x THEN -1 ELSE 0 END AS sx,
+        |         CASE WHEN q.y > p.y THEN 1 WHEN q.y < p.y THEN -1 ELSE 0 END AS sy
+        |       FROM panel p JOIN panel q
+        |         ON p.r1 = q.r1 AND p.r2 = q.r2 AND p.wk < q.wk),
+        |ag AS (SELECT r1, r2, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+        |         CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+        |         CAST(sum(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tie_x,
+        |         CAST(sum(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tie_y,
+        |         CAST(sum(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tie_both
+        |       FROM pr GROUP BY 1, 2)
+        |SELECT ag.r1, ag.r2, nw.n_weeks, ag.n_pairs, ag.n_conc, ag.n_disc,
+        |       ag.n_tie_x, ag.n_tie_y, ag.n_tie_both,
+        |       ag.n_conc - ag.n_disc AS tau_num,
+        |       CAST(ag.n_conc - ag.n_disc AS DOUBLE) / ag.n_pairs AS tau_a
+        |FROM ag JOIN nw USING (r1, r2)""".stripMargin,
+
+    // x177: link-prediction scores — x171's wedge CTE with the center's
+    // degree shipped onto the wedge rows; Jaccard rational + integerized
+    // resource-allocation sum (RaScale div deg_w, exact both engines).
+    "x177_link_scores" -> {
+      import operators.LinkAnalysis.{CnMinCount, RaScale, TriMinSupport}
+      s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (SELECT x.p AS a, y.p AS b FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+        |sym AS MATERIALIZED (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT w AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+        |symd AS (SELECT sym.w, sym.n, deg.deg AS deg_w
+        |         FROM sym JOIN deg ON sym.w = deg.node),
+        |cn AS (SELECT w1.n AS u, w2.n AS v, CAST(count(*) AS BIGINT) AS n_common,
+        |              CAST(sum($RaScale // w1.deg_w) AS BIGINT) AS ra_e12
+        |       FROM symd w1 JOIN sym w2 ON w1.w = w2.w AND w1.n < w2.n
+        |       GROUP BY 1, 2 HAVING count(*) >= $CnMinCount),
+        |ne AS (SELECT cn.* FROM cn LEFT JOIN e ON cn.u = e.a AND cn.v = e.b
+        |       WHERE e.a IS NULL)
+        |SELECT ne.u, ne.v, ne.n_common, du.deg AS deg_u, dv.deg AS deg_v,
+        |       du.deg + dv.deg - ne.n_common AS jac_den,
+        |       CAST(ne.n_common AS DOUBLE) / (du.deg + dv.deg - ne.n_common) AS jaccard,
+        |       ne.ra_e12
+        |FROM ne JOIN deg du ON ne.u = du.node JOIN deg dv ON ne.v = dv.node""".stripMargin
+    },
+
+    // x178: reciprocal nearest neighbors — x09's exact scoring contract
+    // over all ordered pairs, rank ≤ k both directions, u < v.
+    "x178_mutual_knn" -> {
+      import operators.Similarity.MutualK
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm FROM e),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id,
+        |    floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+        |  FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY q_id
+        |           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored),
+        |topk AS (SELECT * FROM ranked WHERE rank <= $MutualK)
+        |SELECT f.q_id AS u, f.vec_id AS v, f.rank AS rank_uv, r.rank AS rank_vu,
+        |       f.cos_sim
+        |FROM topk f JOIN topk r ON f.q_id = r.vec_id AND f.vec_id = r.q_id
+        |WHERE f.q_id < f.vec_id""".stripMargin
+    },
+
+    // x179: per-band SimHash banding precision — x04's signature+banding
+    // CTEs verbatim, band-keyed candidates, Hamming verify tally.
+    "x179_simhash_precision" -> {
+      import operators.Dedup.SimhashMaxHamming
+      s"""$simhashCtePrefix,
+        |cand AS (
+        |  SELECT a.band, a.sh AS sh_a, b.sh AS sh_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT band, n_candidates, n_verified,
+        |       (1000000 * n_verified) // n_candidates AS precision_ppm
+        |FROM (SELECT band, CAST(count(*) AS BIGINT) AS n_candidates,
+        |             CAST(sum(CASE WHEN bit_count(xor(sh_a, sh_b)) <= $SimhashMaxHamming
+        |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+        |      FROM cand GROUP BY band) t""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

@@ -1436,15 +1436,22 @@ object Dedup {
     * oracle (`SparkEntry.simhashOracleSql`) recomputes it end-to-end. Only
     * bits 0..59 can ever be set; the top nibble is constantly zero on both
     * sides. */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+  /** The per-band SimHash collision frame shared by x04's pair join and
+    * x179's precision audit: (doc_id, sh, band, chunk) with one 16-bit
+    * chunk per (doc, band). */
+  private def simhashBanded(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.HashSignatures.{simhash64, token_md5_hashes}
-    val docs = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), simhash64(token_md5_hashes(col("text"))).as("sh"))
-    val banded = docs.select(col("doc_id"), col("sh"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"), shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))
-      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"), shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))
+        }: _*)).as("bb"))
       .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.chunk"))
+  }
+
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+    val banded = simhashBanded(spark, dir)
     val a = banded.select(col("band"), col("chunk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("chunk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band", "chunk"))
@@ -1454,6 +1461,40 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** x179's Hamming verify bound — x04's default, hoisted so the audit
+    * and the pair join share it with the oracle. */
+  val SimhashMaxHamming: Int = 8
+
+  /** SimHash banding precision audit (x179): per 16-bit band, how many
+    * of its collision candidates survive the Hamming ≤
+    * [[SimhashMaxHamming]] verify — the x130 discipline (measured
+    * candidate quality as a first-class artifact) applied to the OTHER
+    * LSH family: x130 audits MinHash-Jaccard banding, this audits
+    * SimHash banding. A band whose precision collapses is wasting its
+    * verify budget (too few bits for the corpus); the ppm column is the
+    * knob-tuning signal for band width vs verify cost at 100 TB, where
+    * the verify join is the dominant post-banding expense.
+    *
+    * Candidates are keyed PER BAND (a pair colliding in 2 bands is
+    * audited in both — the quantity is verify work per band; x130's
+    * convention). Per (doc, band) there is exactly one chunk, so the
+    * band join emits each (band, pair) at most once — no dedup needed.
+    * One corpus scan for signatures, the banded self-join (the x04
+    * shuffle), one partial-agg'd groupBy onto O(bands) rows. */
+  def simhashPrecision(spark: SparkSession, dir: String,
+                       maxHamming: Int = SimhashMaxHamming): DataFrame = {
+    val banded = simhashBanded(spark, dir)
+    val a = banded.select(col("band"), col("chunk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("chunk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("ok",
+        (bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming).cast("long"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_candidates"), sum(col("ok")).as("n_verified"))
+      .withColumn("precision_ppm", expr("(1000000L * n_verified) div n_candidates"))
   }
 
   /** x53's sketch size and shingle width, shared with the oracle SQL. */

@@ -396,4 +396,73 @@ object Forecast {
         sum((col("x") * col("x")).cast("decimal(38,0)")).cast("string").as("sum_xx"),
         sum((col("y") * col("y")).cast("decimal(38,0)")).cast("string").as("sum_yy"))
   }
+
+  /** Kendall rank concordance between regional demand series (x176):
+    * for every region pair, do the two weekly order-revenue series move
+    * together? Pearson (x152) is moment-based and outlier-sensitive;
+    * Kendall's tau is the rank-based complement — it counts, over every
+    * pair of weeks, whether the two regions' revenues moved in the SAME
+    * direction (concordant) or opposite (discordant). Published as the
+    * EXACT integer counts (concordant / discordant / the three tie
+    * classes — everything tau-b needs) plus tau-a as the one-division
+    * double; the sign comparisons are integer (cents), so no float
+    * enters the decision path.
+    *
+    * Direction convention: deltas are later-week minus earlier-week
+    * (`p.wk < q.wk`, sign of `q − p`) — mirrored verbatim in the
+    * oracle.
+    *
+    * 100 TB shape: the only corpus-sized work is the one fact-scan
+    * partial-agg'd groupBy onto the O(regions·weeks) panel (dim joins
+    * broadcast by size). The O(weeks²) concordance join is over the
+    * CALENDAR panel — its size is set by time span and region count,
+    * not corpus rows, so it is constant in corpus scale (the x118
+    * tiny-frame argument); both panel consumers read a
+    * `localCheckpoint`. */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("unix_timestamp(o_orderdate) div 86400 div 7").as("wk"),
+        Relational.cents(col("o_totalprice")).as("v"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir).select(col("n_nationkey"), col("n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir).select(col("r_regionkey"), col("r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("wk"))
+      .agg(sum(col("v")).as("cents"))
+      .localCheckpoint()
+    val panel = weekly.as("a")
+      .join(weekly.as("b"),
+        col("a.wk") === col("b.wk") && col("a.region") < col("b.region"))
+      .select(col("a.region").as("r1"), col("b.region").as("r2"),
+        col("a.wk").as("wk"), col("a.cents").as("x"), col("b.cents").as("y"))
+      .localCheckpoint()
+    val nWeeks = panel.groupBy(col("r1"), col("r2"))
+      .agg(count(lit(1)).as("n_weeks"))
+    val signs = panel.as("p")
+      .join(panel.as("q"),
+        col("p.r1") === col("q.r1") && col("p.r2") === col("q.r2") &&
+          col("p.wk") < col("q.wk"))
+      .select(col("p.r1").as("r1"), col("p.r2").as("r2"),
+        when(col("q.x") > col("p.x"), 1).when(col("q.x") < col("p.x"), -1)
+          .otherwise(0).as("sx"),
+        when(col("q.y") > col("p.y"), 1).when(col("q.y") < col("p.y"), -1)
+          .otherwise(0).as("sy"))
+    signs.groupBy(col("r1"), col("r2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sx") * col("sy") === 1, 1L).otherwise(0L)).as("n_conc"),
+        sum(when(col("sx") * col("sy") === -1, 1L).otherwise(0L)).as("n_disc"),
+        sum(when(col("sx") === 0 && col("sy") =!= 0, 1L).otherwise(0L)).as("n_tie_x"),
+        sum(when(col("sy") === 0 && col("sx") =!= 0, 1L).otherwise(0L)).as("n_tie_y"),
+        sum(when(col("sx") === 0 && col("sy") === 0, 1L).otherwise(0L)).as("n_tie_both"))
+      .join(nWeeks, Seq("r1", "r2"))
+      .select(col("r1"), col("r2"), col("n_weeks"), col("n_pairs"),
+        col("n_conc"), col("n_disc"), col("n_tie_x"), col("n_tie_y"),
+        col("n_tie_both"),
+        (col("n_conc") - col("n_disc")).as("tau_num"),
+        ((col("n_conc") - col("n_disc")).cast("double") / col("n_pairs"))
+          .as("tau_a"))
+  }
 }

@@ -569,6 +569,57 @@ object LinkAnalysis {
       .select(col("u"), col("v"), col("n_common"), col("deg_u"), col("deg_v"))
   }
 
+  /** Scale for [[linkScores]]' integer resource-allocation index: each
+    * shared neighbor w contributes `10¹² div deg_w` — an exact integer
+    * both engines floor-divide identically, summing to a BIGINT-safe
+    * total (≤ 10¹²·deg ≪ 2⁶³ at any support-pruned degree). Shared
+    * with the DuckDB oracle. */
+  val RaScale: Long = 1000000000000L
+
+  /** Link-prediction score panel (x177): for every candidate non-edge
+    * with ≥ [[CnMinCount]] common neighbors (x171's wedge CTE), the
+    * three classic scores — common-neighbor count, neighborhood Jaccard
+    * as the exact rational (`n_common / (deg_u + deg_v − n_common)`,
+    * one-division double alongside), and the resource-allocation index
+    * (Σ_w 1/deg_w over shared neighbors) integerized as
+    * `Σ_w (RaScale div deg_w)` so the sum is order-independent exact
+    * in both engines (the x115 integer-weights discipline; RA weights
+    * low-degree shared neighbors highest and is the strongest of the
+    * degree-only predictors on co-purchase graphs).
+    *
+    * 100 TB shape: identical to x171 — STAGED edges and degrees (one
+    * graph build per snapshot), the wedge self-join keyed on the shared
+    * center (fan-out bounded by the support-pruned center degree), a
+    * partial-agg'd groupBy on the candidate pair, and broadcast-sized
+    * degree decodes. The center's degree ships WITH the wedge rows
+    * (one pre-join onto the symmetric half), so the RA sum folds in
+    * the same aggregate as the count — no second wedge pass. */
+  def linkScores(spark: SparkSession, dir: String,
+                 minCommon: Int = CnMinCount): DataFrame = {
+    val e = GraphStage.copurchasePairs(spark, dir).select(col("a"), col("b"))
+      .localCheckpoint() // three consumers: both symmetric halves + anti-join
+    val deg = GraphStage.copurchaseDegrees(spark, dir)
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("w"), col("b").as("n"))
+    val symD = sym.join(
+      deg.select(col("node").as("w"), col("deg").as("deg_w")), Seq("w"))
+    val cn = symD.as("w1").join(sym.as("w2"),
+        col("w1.w") === col("w2.w") && col("w1.n") < col("w2.n"))
+      .groupBy(col("w1.n").as("u"), col("w2.n").as("v"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr(s"${RaScale}L div deg_w")).as("ra_e12"))
+      .filter(col("n_common") >= minCommon)
+    cn.join(e.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"),
+        "left_anti")
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .select(col("u"), col("v"), col("n_common"), col("deg_u"), col("deg_v"),
+        (col("deg_u") + col("deg_v") - col("n_common")).as("jac_den"),
+        (col("n_common").cast("double")
+          / (col("deg_u") + col("deg_v") - col("n_common"))).as("jaccard"),
+        col("ra_e12"))
+  }
+
   /** Exact per-node clustering coefficient (x172): for every node of
     * the frequent-co-purchase graph with degree ≥ 2, the triangle
     * count, degree, and the coefficient as BOTH the raw rational

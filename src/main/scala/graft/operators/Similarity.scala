@@ -434,4 +434,110 @@ object Similarity {
       .select(col("label"), col("dim").cast("long").as("dim"), col("n_vecs"), col("sum_q"),
         (col("sum_q").cast("double") / col("n_vecs")).as("centroid_q"))
   }
+
+  /** k for [[mutualTopK]] (x178) — shared with the DuckDB oracle. */
+  val MutualK: Int = 3
+
+  /** Reciprocal-nearest-neighbor pairs (x178): (u, v) such that v is in
+    * u's exact top-k AND u is in v's — the high-precision near-dup /
+    * entity-match candidate rule (a one-directional top-k hit can be an
+    * artifact of a dense hub; a RECIPROCAL hit means both sides agree
+    * they are each other's closest mass — the standard mutual-kNN
+    * filter in image dedup and re-ranking). Scoring is x09's exact
+    * contract (trunc6 cosine, ties to smaller vec_id) over EVERY
+    * ordered pair, so this is the exact baseline any ANN backend must
+    * reproduce: swap the scored frame for x10's LSH or x18's IVF probe
+    * output and the mutual filter composes unchanged — that
+    * substitution is the 100 TB path (the x09↔x18 relationship), with
+    * the broadcast side here playing the role of the in-RAM index an
+    * ANN server holds by design.
+    *
+    * Plan shape: one corpus scan crossed against the broadcast vector
+    * table, per-vector top-k via WindowGroupLimit (rank ≤ k prunes
+    * map-side), then the tiny O(N·k) ranked frame self-joins on the
+    * reversed pair — both consumers read a localCheckpoint, and the
+    * reciprocal join keys on (q, v) directly. */
+  def mutualTopK(spark: SparkSession, dir: String, k: Int = MutualK): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val side = emb.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = emb.crossJoin(broadcast(side))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        trunc6(cosine_sim(col("qv"), col("v"))).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    val ranked = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .localCheckpoint() // both sides of the reciprocal join read it
+    ranked.as("f").join(ranked.as("r"),
+        col("f.q_id") === col("r.vec_id") && col("f.vec_id") === col("r.q_id") &&
+          col("f.q_id") < col("f.vec_id"))
+      .select(col("f.q_id").as("u"), col("f.vec_id").as("v"),
+        col("f.rank").as("rank_uv"), col("r.rank").as("rank_vu"),
+        col("f.cos_sim").as("cos_sim"))
+  }
+
+  /** Quantization levels for [[quantizedRecall]] (x175): symmetric int8 —
+    * each vector is scaled by its own max-|x| so the largest component
+    * maps to ±127. Shared with the DuckDB oracle (the LshPlanes
+    * contract). */
+  val QuantLevels: Int = 127
+
+  /** int8 scalar-quantization recall audit (x175): how much ANN ranking
+    * fidelity survives 4× vector compression. Each embedding is
+    * quantized per-vector (`round-half-up(x / max|x| · 127)` — the
+    * floor(+0.5) form, a composition of exact IEEE ops identical in
+    * both engines), queries are ranked by BOTH the exact float cosine
+    * (x09's contract: trunc6, ties to smaller vec_id) and the quantized
+    * cosine over the integer vectors, and the audit publishes, per
+    * query, the top-k overlap (`n_hits`, recall) plus the quantized
+    * ranks of the exact top-k (`quant_rank_sum` — k·(k+1)/2 = 15 means
+    * perfect order preservation; larger means displacement). This is
+    * the measured-fidelity artifact (the x130/RECALL.md discipline) for
+    * the memory-compression path: at 100 TB an int8 index is what
+    * actually fits in RAM, and this query is the gate that says the
+    * compressed ranking still agrees with float.
+    *
+    * Exactness: quantized components are integers ≤ 127, so Σq², q·q
+    * dot products (≤ 64·127² ≪ 2⁵³) are order-independent exact doubles;
+    * the quantized cosine is then the same 3-IEEE-op expression in both
+    * engines, trunc6'd like the float side. One broadcast of the
+    * O(queries) side against the corpus scan, two same-key window
+    * passes on the scored frame — the x09 plan shape with a second
+    * sort. */
+  def quantizedRecall(spark: SparkSession, dir: String, qLo: Int = 0, qHi: Int = 10,
+                      k: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val levels = lit(QuantLevels.toDouble)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+      .withColumn("q",
+        transform(col("v"),
+          x => floor(x / col("scale") * levels + lit(0.5)).cast("double")))
+      .drop("scale")
+    val queries = emb.filter(col("vec_id") >= qLo && col("vec_id") < qHi)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("q").as("qq"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        trunc6(cosine_sim(col("qv"), col("v"))).as("cos_exact"),
+        trunc6(cosine_sim(col("qq"), col("q"))).as("cos_quant"))
+    val we = Window.partitionBy(col("q_id")).orderBy(col("cos_exact").desc, col("vec_id"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("cos_quant").desc, col("vec_id"))
+    scored
+      .withColumn("rank_exact", row_number().over(we))
+      .withColumn("rank_quant", row_number().over(wq))
+      .groupBy(col("q_id"))
+      .agg(
+        sum(when(col("rank_exact") <= k && col("rank_quant") <= k, 1L).otherwise(0L))
+          .as("n_hits"),
+        sum(when(col("rank_exact") <= k, col("rank_quant")).otherwise(0L))
+          .as("quant_rank_sum"))
+      .select(col("q_id"), lit(k).as("k"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(k.toDouble)).as("recall"),
+        col("quant_rank_sum"))
+  }
 }

@@ -248,4 +248,51 @@ class ForecastSpec extends SparkSpec {
       assert(den > 0 && num <= den, s"pair $pair r² bound")
     }
   }
+
+  test("kendallTau (x176): concordance counts match an exhaustive driver replay") {
+    import org.apache.spark.sql.functions.unix_timestamp
+    val nationRegion = graft.Tables.nation(spark, sf)
+      .select($"n_nationkey", $"n_regionkey").as[(Long, Long)].collect().toMap
+    val regionName = graft.Tables.region(spark, sf)
+      .select($"r_regionkey", $"r_name").as[(Long, String)].collect().toMap
+    val custRegion = graft.Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_nationkey").as[(Long, Long)].collect().toMap
+      .view.mapValues(nk => regionName(nationRegion(nk))).toMap
+    val weekly = graft.Tables.orders(spark, sf)
+      .select($"o_custkey", unix_timestamp($"o_orderdate"), $"o_totalprice")
+      .as[(Long, Long, Double)].collect().toSeq
+      .map { case (ck, ts, tp) =>
+        ((custRegion(ck), ts / 86400 / 7), math.round(tp * 100)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val regions = weekly.keys.map(_._1).toSeq.distinct.sorted
+    val got = Forecast.kendallTau(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => ((r._1, r._2), r)).toMap
+    val pairsSeen = for {
+      r1 <- regions; r2 <- regions if r1 < r2
+      w1 = weekly.collect { case ((r, w), c) if r == r1 => (w, c) }.toMap
+      w2 = weekly.collect { case ((r, w), c) if r == r2 => (w, c) }.toMap
+      shared = (w1.keySet & w2.keySet).toSeq.sorted
+      if shared.nonEmpty
+    } yield {
+      val pairs = shared.combinations(2).toSeq
+      val signs = pairs.map { case Seq(wa, wb) =>
+        (math.signum(w1(wb) - w1(wa)), math.signum(w2(wb) - w2(wa))) }
+      val conc = signs.count { case (a, b) => a * b == 1 }
+      val disc = signs.count { case (a, b) => a * b == -1 }
+      val tieX = signs.count { case (a, b) => a == 0 && b != 0 }
+      val tieY = signs.count { case (a, b) => b == 0 && a != 0 }
+      val tieB = signs.count { case (a, b) => a == 0 && b == 0 }
+      val g = got((r1, r2))
+      assert(g._3 == shared.size.toLong && g._4 == pairs.size.toLong,
+        s"($r1,$r2) sizes")
+      assert((g._5, g._6, g._7, g._8, g._9) ==
+        ((conc.toLong, disc.toLong, tieX.toLong, tieY.toLong, tieB.toLong)),
+        s"($r1,$r2) counts")
+      assert(g._10 == (conc - disc).toLong &&
+        g._11 == (conc - disc).toDouble / pairs.size, s"($r1,$r2) tau")
+      (r1, r2)
+    }
+    assert(got.keySet == pairsSeen.toSet && got.nonEmpty)
+  }
 }

@@ -377,6 +377,33 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(got.exists(_._7 > 0.0))
   }
 
+  test("linkScores (x177): Jaccard rational and RA sum match an exhaustive driver replay") {
+    val edges = LinkAnalysis.copurchaseEdges(spark, sf).as[(Long, Long)].collect().toSeq
+    val edgeSet = edges.toSet
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val cand = (for {
+      (w, ns) <- adj.toSeq; u <- ns; v <- ns
+      if u < v && !edgeSet.contains((u, v))
+    } yield ((u, v), w)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .filter(_._2.size >= LinkAnalysis.CnMinCount)
+    val got = LinkAnalysis.linkScores(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Double, Long)].collect()
+    assert(got.length == cand.size && got.nonEmpty)
+    got.foreach { case (u, v, cn, du, dv, jden, jac, ra) =>
+      val centers = cand((u, v))
+      assert(cn == centers.size.toLong, s"pair ($u,$v) count")
+      assert(du == deg(u) && dv == deg(v), s"pair ($u,$v) degrees")
+      assert(jden == du + dv - cn, s"pair ($u,$v) jac_den")
+      assert(jac == cn.toDouble / jden.toDouble, s"pair ($u,$v) jaccard")
+      assert(ra == centers.map(w => LinkAnalysis.RaScale / deg(w)).sum,
+        s"pair ($u,$v) resource allocation")
+    }
+    // the ranking actually discriminates: scores are not all identical
+    assert(got.map(_._8).distinct.length > 1 || got.length == 1)
+  }
+
   test("degreeAssortativity (x173): moments match a BigInt replay over distinct pairs") {
     val pairs = graft.Tables.orders(spark, sf)
       .select($"o_orderkey", $"o_custkey")

@@ -103,6 +103,106 @@ class OperatorsSpec extends SparkSpec {
     assert(topk.filter($"cos_sim" < -1.0 || $"cos_sim" > 1.0).count() == 0)
   }
 
+  test("quantizedRecall (x175): overlap and displacement match a driver int8 replay") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.sortBy(_._1)
+    def quant(v: Array[Double]): Array[Double] = {
+      val scale = v.foldLeft(0.0)((acc, x) => math.max(acc, math.abs(x)))
+      v.map(x => math.floor(x / scale * 127.0 + 0.5))
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val qvecs = vecs.map { case (id, v) => id -> quant(v) }
+    val k = 5
+    val want = vecs.filter(_._1 < 10).map { case (qid, qv) =>
+      val qq = qvecs.find(_._1 == qid).get._2
+      def ranks(score: Long => Double): Map[Long, Int] =
+        vecs.map(_._1).filter(_ != qid)
+          .sortBy(id => (-score(id), id)).zipWithIndex
+          .map { case (id, i) => id -> (i + 1) }.toMap
+      val vById = vecs.toMap; val qById = qvecs.toMap
+      val re = ranks(id => cos(qv, vById(id)))
+      val rq = ranks(id => cos(qq, qById(id)))
+      val exactTop = re.filter(_._2 <= k).keySet
+      val hits = exactTop.count(rq(_) <= k).toLong
+      (qid, (hits, exactTop.toSeq.map(rq(_).toLong).sum))
+    }.toMap
+    val got = Similarity.quantizedRecall(spark, sf)
+      .as[(Long, Int, Long, Double, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (qid, kk, hits, recall, drank) =>
+      assert(kk == k && (hits, drank) == want(qid), s"query $qid")
+      assert(recall == hits.toDouble / k, s"query $qid recall")
+    }
+    // quantization is useful on this corpus: mean recall well above chance
+    val meanRecall = got.map(_._4).sum / got.length
+    assert(meanRecall >= 0.6, s"mean recall $meanRecall")
+  }
+
+  test("mutualTopK (x178): reciprocal pairs match a driver replay; subset of one-way topk") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }
+    val byId = vecs.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val k = Similarity.MutualK
+    val topk = vecs.map { case (q, qv) =>
+      q -> vecs.map(_._1).filter(_ != q)
+        .sortBy(id => (-cos(qv, byId(id)), id)).take(k).zipWithIndex
+        .map { case (id, i) => id -> (i + 1) }.toMap
+    }.toMap
+    val want = (for {
+      (u, nsU) <- topk.toSeq; (v, rUv) <- nsU
+      if u < v && topk(v).contains(u)
+    } yield (u, v) -> ((rUv.toLong, topk(v)(u).toLong))).toMap
+    val got = Similarity.mutualTopK(spark, sf)
+      .as[(Long, Long, Int, Int, Double)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (u, v, ruv, rvu, c) =>
+      assert((ruv.toLong, rvu.toLong) == want((u, v)), s"pair ($u,$v) ranks")
+      assert(c == cos(byId(u), byId(v)), s"pair ($u,$v) cos")
+    }
+    // reciprocity is a strict filter: fewer mutual pairs than one-way edges
+    assert(want.size < topk.size * k)
+  }
+
+  test("simhashPrecision (x179): per-band tallies match a driver replay of the banding") {
+    import graft.functions.HashSignatures.{simhash64, token_md5_hashes}
+    val sigs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", simhash64(token_md5_hashes($"text")).as("sh"))
+      .as[(Long, Long)].collect()
+    val perBand = (0 until 4).map { b =>
+      val byChunk = sigs.groupBy { case (_, sh) => (sh >> (b * 16)) & 0xFFFFL }
+      val cands = byChunk.values.filter(_.length > 1)
+        .flatMap(_.sortBy(_._1).combinations(2)).toSeq
+      val ver = cands.count { case Array((_, s1), (_, s2)) =>
+        java.lang.Long.bitCount(s1 ^ s2) <= Dedup.SimhashMaxHamming }
+      b -> ((cands.size.toLong, ver.toLong))
+    }.toMap.filter(_._2._1 > 0)
+    val got = Dedup.simhashPrecision(spark, sf)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == perBand.keySet && got.nonEmpty)
+    got.foreach { case (b, nc, nv, ppm) =>
+      assert((nc, nv) == perBand(b), s"band $b tallies")
+      assert(ppm == 1000000L * nv / nc, s"band $b ppm")
+    }
+    // the union of verified per-band pairs is exactly x04's pair set
+    val x04 = Dedup.simhashPairs(spark, sf).as[(Long, Long, Int)].collect()
+    assert(x04.forall(_._3 <= Dedup.SimhashMaxHamming))
+  }
+
   test("LSH ANN returns a subset ranking consistent with brute force on shared candidates") {
     val brute = Similarity.bruteForceTopK(spark, sf, qLo = 0, qHi = 5, k = 500)
       .select($"q_id", $"vec_id", $"cos_sim").as[(Long, Long, Double)].collect()
