@@ -217,6 +217,8 @@ object SparkEntry {
     "x177_link_scores"      -> ((s, d) => LinkAnalysis.linkScores(s, d)),
     "x178_mutual_knn"       -> ((s, d) => Similarity.mutualTopK(s, d)),
     "x179_simhash_precision" -> ((s, d) => Dedup.simhashPrecision(s, d)),
+    "x180_weighted_pagerank" -> ((s, d) => LinkAnalysis.weightedPageRank(s, d)),
+    "x181_er_clusters"      -> ((s, d) => Dedup.erClusters(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -3307,6 +3309,58 @@ object SparkEntry {
         |             CAST(sum(CASE WHEN bit_count(xor(sh_a, sh_b)) <= $SimhashMaxHamming
         |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
         |      FROM cand GROUP BY band) t""".stripMargin
+    },
+
+    // x180: weighted PageRank — x77's unrolled integer iterations with
+    // support-proportional splits on the support-pruned co-purchase
+    // graph (x171's edge CTE with the count kept).
+    "x180_weighted_pagerank" -> {
+      import operators.LinkAnalysis.{PrDampPct, PrIters, PrUnit, TriMinSupport}
+      val base = PrUnit - PrUnit * PrDampPct / 100
+      val iters = (1 to PrIters).map { i =>
+        val prev = if (i == 1) "r0" else s"it${i - 1}"
+        s"""it$i AS (SELECT e.dst AS node,
+           |  CAST($base + ($PrDampPct * sum((r.rank * e.w) // wd.wout)) // 100 AS BIGINT) AS rank
+           |  FROM e JOIN wd USING (src) JOIN $prev r ON r.node = e.src
+           |  GROUP BY 1)"""
+      }.mkString(",\n")
+      s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS w
+        |      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |      GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+        |e AS (SELECT a AS src, b AS dst, w FROM e0 UNION ALL SELECT b, a, w FROM e0),
+        |wd AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+        |r0 AS (SELECT src AS node, CAST($PrUnit AS BIGINT) AS rank FROM wd),
+        |$iters
+        |SELECT p.p_partkey, p.p_brand, wd.wout AS w_out, r.rank AS rank_pts
+        |FROM it$PrIters r JOIN wd ON wd.src = r.node
+        |JOIN part p ON r.node = p.p_partkey""".stripMargin
+    },
+
+    // x181: ER clusters — x128's fuzzy pairs closed transitively via a
+    // recursive min-label CTE (the x17 closure pattern), singletons
+    // restored by the part-table seed.
+    "x181_er_clusters" -> {
+      import operators.Dedup.FuzzyMaxDistance
+      s"""WITH RECURSIVE pairs AS (
+        |  SELECT a.p_partkey AS ka, b.p_partkey AS kb
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDistance),
+        |edges AS (SELECT ka AS src, kb AS dst FROM pairs
+        |          UNION ALL SELECT kb, ka FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT p_partkey, p_partkey FROM part
+        |  UNION
+        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+        |canon AS (SELECT node AS p_partkey, MIN(label) AS canonical_key
+        |          FROM reach GROUP BY 1),
+        |sz AS (SELECT canonical_key, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM canon GROUP BY 1)
+        |SELECT c.p_partkey, c.canonical_key, s.cluster_size,
+        |       CAST(CASE WHEN c.p_partkey = c.canonical_key THEN 1 ELSE 0 END
+        |            AS INTEGER) AS is_canonical
+        |FROM canon c JOIN sz s USING (canonical_key)""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

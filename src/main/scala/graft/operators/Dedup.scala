@@ -1634,6 +1634,40 @@ object Dedup {
         col("key_b"), col("name_b"), col("distance").cast("int"))
   }
 
+  /** Entity-resolution clusters (x181): the transitive closure of
+    * x128's fuzzy-name match — "blue bolt" ~ "blue bolts" ~ "blue bolt."
+    * must land in ONE catalog entity even though the ends differ by more
+    * than the pair threshold, so ER always finishes with a connected-
+    * components pass over the match edges (the x17 relationship:
+    * pairs → clusters). Every part gets a row: canonical_key = the
+    * cluster's minimum part key (singletons map to themselves),
+    * cluster_size, and the is_canonical survivor flag — the
+    * dedup'd-catalog mapping table a MERGE step applies.
+    *
+    * 100 TB shape: the edge list (brand-blocked, threshold-pruned) is
+    * tiny relative to the catalog, so [[ConnectedComponents.components]]
+    * runs on edges only (alternating-star rounds, checkpointed);
+    * singletons never enter the iteration — they are restored by one
+    * left join at the end. The size rollup and survivor flag live on
+    * the O(parts) mapping frame. */
+  def erClusters(spark: SparkSession, dir: String,
+                 maxDistance: Int = FuzzyMaxDistance): DataFrame = {
+    val pairs = fuzzyNamePairs(spark, dir, maxDistance)
+      .select(col("key_a").as("u"), col("key_b").as("v"))
+    val comp = ConnectedComponents.components(pairs)
+    val canon = Tables.part(spark, dir).select(col("p_partkey"))
+      .join(comp.select(col("node").as("p_partkey"),
+        col("component").as("canonical_key")), Seq("p_partkey"), "left")
+      .select(col("p_partkey"),
+        coalesce(col("canonical_key"), col("p_partkey")).as("canonical_key"))
+      .localCheckpoint() // two consumers: the size rollup + the final join
+    val sizes = canon.groupBy(col("canonical_key"))
+      .agg(count(lit(1)).as("cluster_size"))
+    canon.join(sizes, Seq("canonical_key"))
+      .select(col("p_partkey"), col("canonical_key"), col("cluster_size"),
+        (col("p_partkey") === col("canonical_key")).cast("int").as("is_canonical"))
+  }
+
   /** x163 knobs: the term width (word 5-grams WITH multiplicity — the
     * weighted twin of x02's distinct shingles), the cosine
     * keep-threshold as the exact rational tNum/tDen (pairs keep iff

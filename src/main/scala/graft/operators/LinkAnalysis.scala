@@ -120,6 +120,59 @@ object LinkAnalysis {
     pageRank(customerSupplierEdges(spark, dir),
       GraphStage.custSuppDegrees(spark, dir), iters)
 
+  /** Weighted PageRank on the co-purchase graph (x180): x77's integer
+    * random-walk contract with edge weights — each round a node splits
+    * its rank across neighbors PROPORTIONALLY TO CO-PURCHASE SUPPORT
+    * (`contrib = (rank · w) div W_src`, W_src = the node's total
+    * incident support) instead of uniformly. On a product graph this is
+    * the "importance flows along strong bought-together ties" ranking —
+    * the walk a basket recommender actually simulates — and it answers
+    * a different question than degree or unweighted rank: a part with
+    * few but heavily-repeated pairings outranks a promiscuous
+    * low-support hub. Same pinned [[PrIters]]/[[PrDampPct]]/[[PrUnit]]
+    * integer contract as x77 (floor-div per edge, damped re-injection),
+    * unrolled identically in the oracle.
+    *
+    * Bounds: rank ≤ PrUnit (10⁶) scale, support ≤ distinct orders, so
+    * `rank · w` stays ≪ 2⁶³ at any corpus where support fits a BIGINT
+    * share of orders (documented, not assumed: W_src ≥ w keeps each
+    * contribution ≤ rank).
+    *
+    * 100 TB shape: STAGED pair-support table ([[GraphStage]] — built
+    * once per snapshot), symmetrized with its weight-out fold persisted
+    * across the pinned rounds (x77's MEMORY_AND_DISK_SER discipline),
+    * per-round one O(E) shuffle onto the node key, final broadcast-
+    * sized part-dim decode. */
+  def weightedPageRank(spark: SparkSession, dir: String,
+                       iters: Int = PrIters): DataFrame = {
+    val pairs = GraphStage.copurchasePairs(spark, dir)
+    val e = pairs.select(col("a").as("src"), col("b").as("dst"), col("support").as("w"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst"), col("support").as("w")))
+    val wout = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val withW = e.join(wout, Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      var ranks = wout.select(col("src").as("node")).withColumn("rank", lit(PrUnit))
+      for (i <- 1 to iters) {
+        ranks = withW
+          .join(ranks, withW("src") === ranks("node"))
+          .select(col("dst"), expr("(rank * w) div wout").as("contrib"))
+          .groupBy(col("dst"))
+          .agg(sum(col("contrib")).as("s"))
+          .select(col("dst").as("node"),
+            expr(s"CAST(${PrUnit - PrUnit * PrDampPct / 100}L + (${PrDampPct}L * s) div 100L AS BIGINT)")
+              .as("rank"))
+        if (i % PrCheckpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
+      }
+      ranks.join(wout.select(col("src").as("node"), col("wout")), Seq("node"))
+        .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+          col("node") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_brand"), col("wout").as("w_out"),
+          col("rank").as("rank_pts"))
+        .localCheckpoint() // materialize so the graph cache can be released
+    } finally withW.unpersist()
+  }
+
   /** x99 knobs: iteration count (unrolled in the oracle) and the
     * fixed-point unit both scores are renormalized to each round. */
   val HitsIters: Int = 2

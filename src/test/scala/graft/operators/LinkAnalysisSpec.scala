@@ -377,6 +377,47 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(got.exists(_._7 > 0.0))
   }
 
+  test("weightedPageRank (x180): exact match with a driver-side integer replica") {
+    val op = graft.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().toSeq
+    val pairW = op.groupBy(_._1).values.flatMap { rows =>
+      rows.map(_._2).distinct.sorted.combinations(2).map { case Seq(a, b) => (a, b) }
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= LinkAnalysis.TriMinSupport).toSeq
+    val sym = pairW.flatMap { case ((a, b), w) => Seq((a, b, w), (b, a, w)) }
+    val wout = sym.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var ranks = wout.keys.map(_ -> LinkAnalysis.PrUnit).toMap
+    val base = LinkAnalysis.PrUnit -
+      LinkAnalysis.PrUnit * LinkAnalysis.PrDampPct / 100
+    for (_ <- 1 to LinkAnalysis.PrIters) {
+      val sums = sym.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, w) => ranks(s) * w / wout(s) }.sum).toMap
+      ranks = sums.map { case (n, s) =>
+        n -> (base + LinkAnalysis.PrDampPct * s / 100)
+      }
+    }
+    val got = LinkAnalysis.weightedPageRank(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.length == ranks.size && got.nonEmpty)
+    got.foreach { case (p, _, w, r) =>
+      assert(w == wout(p), s"part $p w_out")
+      assert(r == ranks(p), s"part $p rank")
+    }
+    // weighting matters on this graph: some node's weighted rank differs
+    // from what the UNWEIGHTED recurrence would give it
+    var uranks = wout.keys.map(_ -> LinkAnalysis.PrUnit).toMap
+    val udeg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    for (_ <- 1 to LinkAnalysis.PrIters) {
+      val sums = sym.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, _) => uranks(s) / udeg(s) }.sum).toMap
+      uranks = sums.map { case (n, s) =>
+        n -> (base + LinkAnalysis.PrDampPct * s / 100)
+      }
+    }
+    assert(ranks.exists { case (n, r) => uranks(n) != r })
+  }
+
   test("linkScores (x177): Jaccard rational and RA sum match an exhaustive driver replay") {
     val edges = LinkAnalysis.copurchaseEdges(spark, sf).as[(Long, Long)].collect().toSeq
     val edgeSet = edges.toSet

