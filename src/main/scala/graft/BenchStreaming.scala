@@ -225,6 +225,9 @@ object BenchStreaming {
         graft.streaming.DocumentStream.tokenBudgetStream, "update"),
       runDocs("bpe_chunk_stream",
         graft.streaming.DocumentStream.bpeChunkStream, "append"),
+      // bounded O(depth×width) cell state — the sketch's memory story
+      runDocs("countmin_stream",
+        graft.streaming.DocumentStream.countMinStream, "update"),
       runIndexIngest(),
       runBandIngest(),
       runClusterIngest(),

@@ -836,10 +836,30 @@ object TextAnalysis {
     * top-K reference counts here come from x21's aggregate (this is the
     * eval harness for the sketch); a production monitor would query the
     * sketch alone. */
+  /** The count-min (row, bucket) cell of token `w` for hash row `r` —
+    * salted engine-neutral md5-60, shared by x41's counter fold, the
+    * probe side, and the streaming twin. */
+  private[graft] def cmBucket(w: Column, r: Int, width: Int): Column =
+    pmod(Dedup.md5Hash60(concat(lit(s"cm$r:"), w)), lit(width.toLong))
+
+  /** The count-min counter cells of a documents frame computed from the
+    * RAW token stream — the streaming-compatible form (explode + one
+    * partial-agg'd groupBy onto ≤ depth×width cells; as a streaming
+    * aggregate its state is exactly those cells — bounded regardless of
+    * stream length, the defining property of a sketch). Batch x41 folds
+    * the same cells from the staged O(vocab) rollup instead; the spec
+    * proves the two constructions identical. */
+  def countMinCells(docs: DataFrame, depth: Int = CmDepth,
+                    width: Int = CmWidth): DataFrame =
+    docs.select(explode(words(col("text"))).as("w"))
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cmBucket(col("w"), r, width).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+
   def countMinHeavyHitters(spark: SparkSession, dir: String, depth: Int = CmDepth,
                            width: Int = CmWidth, topK: Int = 20): DataFrame = {
-    def bucket(w: Column, r: Int): Column =
-      pmod(Dedup.md5Hash60(concat(lit(s"cm$r:"), w)), lit(width.toLong))
+    def bucket(w: Column, r: Int): Column = cmBucket(w, r, width)
     // counters fold the STAGED O(vocab) term-stats rollup tf-weighted
     // ([[TermStage]]) — identical cells to hashing the raw token stream,
     // at O(vocab × depth) work instead of O(corpus tokens × depth)

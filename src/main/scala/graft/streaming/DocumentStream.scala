@@ -58,6 +58,20 @@ object DocumentStream {
       graft.operators.TextAnalysis.BpeChunkBudget,
       graft.operators.TextAnalysis.PinnedBpeMerges)
 
+  /** Streaming count-min sketch (x41's twin): the counter cells as a
+    * live streaming aggregate over the raw token stream — tokens
+    * explode into their depth (row, bucket) cells, the unwatermarked
+    * groupBy keeps ONE row per cell, so total state is ≤ depth×width
+    * counters no matter how much stream has flowed (the sketch's
+    * bounded-memory property IS the streaming-state story; contrast
+    * the exact vocabulary aggregate, whose state grows with distinct
+    * tokens). Update mode emits only touched cells per trigger; after
+    * an AvailableNow pass the cells equal the batch construction
+    * (spec-proven, including against the TermStage-folded x41
+    * counters). */
+  def countMinStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.countMinCells(docs)
+
   /** Streaming near-dup ingest against the persisted BAND index (x96's
     * streaming twin, `startIngest`'s shape at document granularity):
     * each micro-batch classifies against the index-as-of-now

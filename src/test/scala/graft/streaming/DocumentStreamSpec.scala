@@ -178,6 +178,43 @@ class DocumentStreamSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("countMinStream (Update) over micro-batched files ≡ batch cells ≡ x41's staged fold") {
+    val root = Files.createTempDirectory("graft-cmstream").toString
+    val docs = graft.Tables.documents(spark, sf)
+    // two file drops so cell counts must merge across micro-batches
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$root/drop")
+    docs.filter($"doc_id" % 2 === 1).write.mode("append").parquet(s"$root/drop")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/drop")
+    val q = DocumentStream.countMinStream(stream)
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("cm_stream")
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = graft.operators.TextAnalysis.countMinCells(docs)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // and both equal the tf-weighted fold of the staged term rollup —
+    // the construction x41's counter table actually uses
+    import org.apache.spark.sql.functions._
+    val staged = graft.operators.TermStage.termStats(spark, sf)
+      .select(col("tf"), explode(array((0 until graft.operators.TextAnalysis.CmDepth).map(r =>
+        struct(lit(r).as("r"),
+          graft.operators.TextAnalysis.cmBucket(col("term"), r,
+            graft.operators.TextAnalysis.CmWidth).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(sum(col("tf")).as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == staged)
+    // the state-bound story: cells never exceed depth × width
+    assert(streamed.size <= graft.operators.TextAnalysis.CmDepth *
+      graft.operators.TextAnalysis.CmWidth)
+  }
+
   test("bpeChunkStream (Append, stateless) ≡ batch x76 chunks row-for-row") {
     val root = Files.createTempDirectory("graft-chunkstream").toString
     val docs = graft.Tables.documents(spark, sf)
