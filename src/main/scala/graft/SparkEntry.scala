@@ -219,6 +219,7 @@ object SparkEntry {
     "x179_simhash_precision" -> ((s, d) => Dedup.simhashPrecision(s, d)),
     "x180_weighted_pagerank" -> ((s, d) => LinkAnalysis.weightedPageRank(s, d)),
     "x181_er_clusters"      -> ((s, d) => Dedup.erClusters(s, d)),
+    "x182_chunk_dedup"      -> ((s, d) => Multimodal.chunkDedupStats(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -3361,6 +3362,35 @@ object SparkEntry {
         |       CAST(CASE WHEN c.p_partkey = c.canonical_key THEN 1 ELSE 0 END
         |            AS INTEGER) AS is_canonical
         |FROM canon c JOIN sz s USING (canonical_key)""".stripMargin
+    },
+
+    // x182: fixed-size chunk-store dedup — 32-byte offset chunks of the
+    // UTF-8 byte stream, ownership = min asset id per content (x39's
+    // first-occurrence rule), per-asset storage ledger. DuckDB cannot
+    // slice BLOBs, so the oracle slices the VARCHAR — byte-identical
+    // here because the corpus is pure ASCII (octet_length = length on
+    // every row at every SF, verified), making char offsets ≡ byte
+    // offsets and string equality ≡ byte equality.
+    "x182_chunk_dedup" -> {
+      import operators.Multimodal.ChunkBytes
+      s"""WITH d AS (SELECT doc_id AS asset_id, text AS b,
+        |              octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT asset_id,
+        |        substring(b, CAST(i * $ChunkBytes + 1 AS INTEGER), $ChunkBytes) AS frame,
+        |        LEAST($ChunkBytes, n - i * $ChunkBytes) AS len
+        |      FROM (SELECT asset_id, b, n,
+        |              unnest(range(0, CAST(ceil(n / $ChunkBytes.0) AS BIGINT))) AS i
+        |            FROM d) u),
+        |pa AS (SELECT asset_id, frame, CAST(max(len) AS INTEGER) AS len,
+        |              CAST(count(*) AS BIGINT) AS n_copies
+        |       FROM f GROUP BY 1, 2),
+        |ow AS (SELECT frame, MIN(asset_id) AS owner FROM pa GROUP BY 1)
+        |SELECT pa.asset_id, CAST(sum(n_copies) AS BIGINT) AS n_chunks,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       CAST(sum(CASE WHEN pa.asset_id = ow.owner THEN 1 ELSE 0 END) AS BIGINT) AS n_owned,
+        |       CAST(sum(CASE WHEN pa.asset_id = ow.owner THEN len ELSE 0 END) AS BIGINT) AS new_bytes,
+        |       CAST(sum(n_copies * len) AS BIGINT) AS raw_bytes
+        |FROM pa JOIN ow USING (frame) GROUP BY 1""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

@@ -127,4 +127,53 @@ object Multimodal {
         sum(col("n_bytes")).as("total_bytes"),
         min(col("width")).as("min_width"),
         max(col("height")).as("max_height"))
+
+  /** x182's chunk size, shared with the oracle SQL. */
+  val ChunkBytes: Int = 32
+
+  /** Fixed-size-chunk store dedup (x182): slice every asset's byte
+    * stream into [[ChunkBytes]] chunks and account, per asset, what a
+    * content-addressed blob store would actually persist — the
+    * FIXED-SIZE-CHUNKING complement of the content-defined paragraph
+    * dedup (x39/x44: boundaries from content; here: boundaries from
+    * offset — the standard media/object-store model, where frames not
+    * prose are the unit). A chunk's content is stored ONCE globally;
+    * ownership is first-occurrence-wins by asset id (x39's rule), so
+    * per asset the report reads: chunks sliced, distinct contents,
+    * contents this asset is the first to store, and the raw vs net-new
+    * byte ledger a capacity planner bills.
+    *
+    * The chunking itself runs through the typed multimodal plumbing
+    * ([[sampleFrames]] at rate 1 — per-partition iterators, the decoder
+    * dataflow). Exactness: chunk equality is raw byte equality in both
+    * engines (Spark groups on the binary column directly; at 100 TB
+    * you'd key the shuffle on a 16-byte digest instead — same result,
+    * smaller key, the md5Hash60 trick — documented, not needed for
+    * correctness). Two partial-agg'd shuffles: (asset, content) then
+    * content for the global owner; the explode is map-side only. */
+  def chunkDedupStats(spark: SparkSession, dir: String,
+                      frameBytes: Int = ChunkBytes): DataFrame = {
+    import spark.implicits._
+    val textAssets = Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("asset_id"),
+        lit("text-stream").as("modality"),
+        col("text").cast("binary").as("content"),
+        lit(0).as("declared_w"), lit(0).as("declared_h"))
+      .as[Asset]
+    val perAsset = sampleFrames(textAssets, frameBytes, rate = 1).toDF()
+      .select(col("asset_id"), col("frame"), length(col("frame")).as("len"))
+      .groupBy(col("asset_id"), col("frame"))
+      .agg(max(col("len")).as("len"), count(lit(1)).as("n_copies"))
+    val owners = perAsset.groupBy(col("frame"))
+      .agg(min(col("asset_id")).as("owner"))
+    perAsset.join(owners, Seq("frame"))
+      .groupBy(col("asset_id"))
+      .agg(sum(col("n_copies")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("asset_id") === col("owner"), 1L).otherwise(0L)).as("n_owned"),
+        sum(when(col("asset_id") === col("owner"), col("len")).otherwise(0L))
+          .as("new_bytes"),
+        sum(col("n_copies") * col("len")).as("raw_bytes"))
+  }
 }

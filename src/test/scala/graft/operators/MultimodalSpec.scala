@@ -50,4 +50,32 @@ class MultimodalSpec extends SparkSpec {
     assert(total == graft.Tables.documents(spark, sf).count())
     assert(roll.select($"modality").as[String].collect().toSet == Set("image", "audio"))
   }
+
+  test("chunkDedupStats (x182): storage ledger matches a driver chunk-store replay") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val chunksByAsset = docs.map { case (id, text) =>
+      id -> text.getBytes("UTF-8").grouped(Multimodal.ChunkBytes)
+        .map(_.toSeq).toSeq
+    }.filter(_._2.nonEmpty).toMap
+    val owner = scala.collection.mutable.Map.empty[Seq[Byte], Long]
+    chunksByAsset.toSeq.sortBy(_._1).foreach { case (id, cs) =>
+      cs.foreach(c => if (!owner.contains(c)) owner(c) = id)
+    }
+    val got = Multimodal.chunkDedupStats(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == chunksByAsset.size && got.nonEmpty)
+    got.foreach { case (id, nChunks, nDistinct, nOwned, newBytes, rawBytes) =>
+      val cs = chunksByAsset(id)
+      val distinct = cs.distinct
+      val ownedSet = distinct.filter(owner(_) == id)
+      assert(nChunks == cs.size.toLong, s"asset $id chunks")
+      assert(nDistinct == distinct.size.toLong, s"asset $id distinct")
+      assert(nOwned == ownedSet.size.toLong, s"asset $id owned")
+      assert(newBytes == ownedSet.map(_.size.toLong).sum, s"asset $id new bytes")
+      assert(rawBytes == cs.map(_.size.toLong).sum, s"asset $id raw bytes")
+    }
+    // dedup actually happened somewhere: some asset stores less than raw
+    assert(got.exists(r => r._5 < r._6))
+  }
 }
