@@ -220,6 +220,9 @@ object SparkEntry {
     "x180_weighted_pagerank" -> ((s, d) => LinkAnalysis.weightedPageRank(s, d)),
     "x181_er_clusters"      -> ((s, d) => Dedup.erClusters(s, d)),
     "x182_chunk_dedup"      -> ((s, d) => Multimodal.chunkDedupStats(s, d)),
+    "x183_sorted_neighborhood" -> ((s, d) => Dedup.sortedNeighborhoodPairs(s, d)),
+    "x184_blocking_audit"   -> ((s, d) => Dedup.blockingAudit(s, d)),
+    "x185_waterfill_mixture" -> ((s, d) => Sampling.waterfillMixture(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -3391,6 +3394,94 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN pa.asset_id = ow.owner THEN len ELSE 0 END) AS BIGINT) AS new_bytes,
         |       CAST(sum(n_copies * len) AS BIGINT) AS raw_bytes
         |FROM pa JOIN ow USING (frame) GROUP BY 1""".stripMargin
+    },
+
+    // x183: sorted-neighborhood blocking — global (name, key) sort
+    // ranks, each record vs its `SnWindow` successors, banded
+    // levenshtein verify; same_brand = 0 rows are the cross-block
+    // matches x128's brand blocking cannot see.
+    "x183_sorted_neighborhood" -> {
+      import operators.Dedup.{FuzzyMaxDistance, SnWindow}
+      s"""WITH p AS (
+        |  SELECT p_partkey, p_brand, p_name,
+        |         CAST(row_number() OVER (ORDER BY p_name, p_partkey) AS BIGINT) AS rank
+        |  FROM part)
+        |SELECT a.p_partkey AS key_a, a.p_name AS name_a,
+        |       b.p_partkey AS key_b, b.p_name AS name_b,
+        |       b.rank - a.rank AS rank_gap,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance,
+        |       CAST(CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS INTEGER) AS same_brand
+        |FROM p a JOIN p b ON b.rank > a.rank AND b.rank <= a.rank + $SnWindow
+        |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDistance""".stripMargin
+    },
+
+    // x184: blocking-strategy audit — x128's brand pairs and x183's
+    // sorted-neighborhood pairs full-outer joined on the canonical
+    // unordered key, folded to the 3-row provenance panel.
+    "x184_blocking_audit" -> {
+      import operators.Dedup.{FuzzyMaxDistance, SnWindow}
+      s"""WITH p AS (
+        |  SELECT p_partkey, p_brand, p_name,
+        |         CAST(row_number() OVER (ORDER BY p_name, p_partkey) AS BIGINT) AS rank
+        |  FROM part),
+        |bp AS (SELECT a.p_partkey AS u, b.p_partkey AS v,
+        |         CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance,
+        |         1 AS by_brand
+        |       FROM part a JOIN part b
+        |         ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |       WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDistance),
+        |sp AS (SELECT LEAST(a.p_partkey, b.p_partkey) AS u,
+        |         GREATEST(a.p_partkey, b.p_partkey) AS v,
+        |         CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS sn_distance,
+        |         CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS same_brand,
+        |         1 AS by_sn
+        |       FROM p a JOIN p b ON b.rank > a.rank AND b.rank <= a.rank + $SnWindow
+        |       WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDistance),
+        |j AS (SELECT COALESCE(bp.by_brand, 0) AS by_brand,
+        |             COALESCE(sp.by_sn, 0) AS by_sn,
+        |             COALESCE(bp.distance, sp.sn_distance) AS d,
+        |             COALESCE(sp.same_brand, 1) AS sb
+        |      FROM bp FULL OUTER JOIN sp ON bp.u = sp.u AND bp.v = sp.v)
+        |SELECT CAST(by_brand AS INTEGER) AS by_brand, CAST(by_sn AS INTEGER) AS by_sn,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dist0,
+        |       CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dist1,
+        |       CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dist2plus,
+        |       CAST(sum(CASE WHEN sb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_brand
+        |FROM j GROUP BY 1, 2""".stripMargin
+    },
+
+    // x185: water-filling mixture — max-min fair token allocation across
+    // sources; the capped test is a prefix along ascending supply
+    // (proven in the Scaladoc), so the closed form is exact integers.
+    "x185_waterfill_mixture" -> {
+      import operators.Sampling.WaterfillPct
+      s"""WITH s AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS supply
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(supply) AS BIGINT) AS total,
+        |             CAST(count(*) AS BIGINT) AS n_sources FROM s),
+        |o AS (SELECT s.*, CAST(row_number() OVER (ORDER BY supply, source) AS BIGINT) AS rk,
+        |        CAST(sum(supply) OVER (ORDER BY supply, source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM s),
+        |b AS (SELECT o.*, t.n_sources, ($WaterfillPct * t.total) // 100 AS budget FROM o, t),
+        |f AS (SELECT b.*, CASE WHEN supply * (n_sources - rk + 1)
+        |                         <= budget - (cum - supply)
+        |                       THEN 1 ELSE 0 END AS capped FROM b),
+        |cs AS (SELECT CAST(COALESCE(sum(capped), 0) AS BIGINT) AS n_capped,
+        |              CAST(COALESCE(sum(CASE WHEN capped = 1 THEN supply END), 0) AS BIGINT) AS capped_cum
+        |       FROM f),
+        |g AS (SELECT f.*, cs.n_capped, budget - cs.capped_cum AS r,
+        |             n_sources - cs.n_capped AS m
+        |      FROM f, cs),
+        |a AS (SELECT source, supply, rk, CAST(capped AS INTEGER) AS capped, budget,
+        |        CASE WHEN capped = 1 THEN supply
+        |             ELSE (r // m) + (CASE WHEN rk - n_capped <= (r % m)
+        |                              THEN 1 ELSE 0 END) END AS alloc
+        |      FROM g)
+        |SELECT source, supply, rk, capped, alloc,
+        |       (1000000 * alloc) // budget AS share_ppm
+        |FROM a""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

@@ -1650,6 +1650,106 @@ object Dedup {
     * singletons never enter the iteration — they are restored by one
     * left join at the end. The size rollup and survivor flag live on
     * the O(parts) mapping frame. */
+  /** x183's neighborhood width, shared with the oracle SQL. */
+  val SnWindow: Int = 5
+
+  /** Sorted-neighborhood ER blocking (x183): the OTHER classic blocking
+    * strategy next to x128's attribute blocking — sort the catalog by
+    * name, compare each record only to its `window` successors in sort
+    * order, verify survivors with the banded levenshtein. Attribute
+    * blocking can never match across blocks (a mistyped brand hides the
+    * pair forever); sorted-neighborhood trades that for ordering
+    * locality, which is why production ER runs both and unions the
+    * candidates. `same_brand` is published per pair: 0-rows are exactly
+    * the matches x128 is structurally blind to.
+    *
+    * Exact global sort ranks WITHOUT a corpus-wide window (the x120
+    * discipline): records bucket by a numeric 4-char name prefix —
+    * monotone w.r.t. the (name, key) sort order, so bucket-local
+    * `row_number` windows plus [[Sampling.exclusivePrefixSum]] offsets
+    * over the bucket totals compose to the exact global rank; no task
+    * ever sorts more than one prefix-bucket. At 100 TB this is range
+    * partitioning by sort key — THE scalable ER trick — with the
+    * neighbor join an equi-join on rank (explode of `window` probe
+    * ranks per record, fan-out = window). */
+  def sortedNeighborhoodPairs(spark: SparkSession, dir: String,
+                              window: Int = SnWindow,
+                              maxDistance: Int = FuzzyMaxDistance): DataFrame = {
+    val pfx = (1 to 4).map(i =>
+      ascii(substring(col("p_name"), i, 1)).cast("long") *
+        lit(1L << (8 * (4 - i)))).reduce(_ + _)
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_name"), pfx.as("pfx"))
+    val offs = Sampling.exclusivePrefixSum(
+        p.groupBy(col("pfx")).agg(count(lit(1)).as("c"))
+          .select(col("pfx").as("key"), col("c").as("v")))
+      .select(col("key").as("pfx"), col("offset"))
+    val localW = Window.partitionBy(col("pfx"))
+      .orderBy(col("p_name"), col("p_partkey"))
+    val ranked = p.join(offs, Seq("pfx"))
+      .withColumn("rank", col("offset") + row_number().over(localW))
+      .select(col("p_partkey"), col("p_brand"), col("p_name"), col("rank"))
+      .localCheckpoint() // probe and build sides of the neighbor join
+    val probe = ranked.select(col("p_partkey").as("key_a"),
+        col("p_brand").as("brand_a"), col("p_name").as("name_a"),
+        col("rank").as("rank_a"),
+        explode(sequence(col("rank") + 1, col("rank") + window)).as("rank"))
+    probe.join(ranked, Seq("rank"))
+      .withColumn("distance",
+        levenshtein(col("name_a"), col("p_name"), maxDistance))
+      .filter(col("distance") >= 0 && col("distance") <= maxDistance)
+      .select(col("key_a"), col("name_a"),
+        col("p_partkey").as("key_b"), col("p_name").as("name_b"),
+        (col("rank") - col("rank_a")).as("rank_gap"),
+        col("distance").cast("int").as("distance"),
+        (col("brand_a") === col("p_brand")).cast("int").as("same_brand"))
+  }
+
+  /** Blocking-strategy audit (x184): run BOTH candidate generators —
+    * x128's brand blocking and x183's sorted neighborhood — over the
+    * same verify rule and tabulate, per provenance class (found by
+    * both / brand only / sorted-neighborhood only), the pair count,
+    * the distance histogram, and how many are cross-brand (reachable
+    * ONLY by ordering locality). This is the measured-coverage
+    * artifact for ER blocking (the x130/x179 discipline applied to
+    * candidate generation): production ER unions blockings precisely
+    * because each one's misses are invisible from inside it, and this
+    * panel is the number that justifies paying for the second pass.
+    *
+    * 100 TB shape: both generators keep their own documented scale
+    * levers (brand equi-join; rank equi-join over range-partitioned
+    * sort order); the audit joins the two O(pairs) candidate sets
+    * full-outer on the canonical pair key and folds to a 3-row
+    * panel. */
+  def blockingAudit(spark: SparkSession, dir: String,
+                    window: Int = SnWindow,
+                    maxDistance: Int = FuzzyMaxDistance): DataFrame = {
+    val brand = fuzzyNamePairs(spark, dir, maxDistance)
+      .select(least(col("key_a"), col("key_b")).as("u"),
+        greatest(col("key_a"), col("key_b")).as("v"),
+        col("distance"), lit(1).as("by_brand"))
+    // ranks are unique, the probe always pairs lower → higher rank, and
+    // x128's length expansion matches each pair on exactly one len row —
+    // so both sides are already distinct on the unordered key
+    val sn = sortedNeighborhoodPairs(spark, dir, window, maxDistance)
+      .select(least(col("key_a"), col("key_b")).as("u"),
+        greatest(col("key_a"), col("key_b")).as("v"),
+        col("distance").as("sn_distance"), col("same_brand"),
+        lit(1).as("by_sn"))
+    brand.join(sn, Seq("u", "v"), "full_outer")
+      .select(
+        coalesce(col("by_brand"), lit(0)).as("by_brand"),
+        coalesce(col("by_sn"), lit(0)).as("by_sn"),
+        coalesce(col("distance"), col("sn_distance")).as("d"),
+        coalesce(col("same_brand"), lit(1)).as("sb"))
+      .groupBy(col("by_brand"), col("by_sn"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("d") === 0, 1L).otherwise(0L)).as("n_dist0"),
+        sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_dist1"),
+        sum(when(col("d") >= 2, 1L).otherwise(0L)).as("n_dist2plus"),
+        sum(when(col("sb") === 0, 1L).otherwise(0L)).as("n_cross_brand"))
+  }
+
   def erClusters(spark: SparkSession, dir: String,
                  maxDistance: Int = FuzzyMaxDistance): DataFrame = {
     val pairs = fuzzyNamePairs(spark, dir, maxDistance)

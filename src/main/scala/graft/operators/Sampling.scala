@@ -1054,4 +1054,63 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("moved")).as("n_moved"))
       .withColumn("moved_ppm", expr("(1000000L * n_moved) div n_docs"))
   }
+
+  /** x185's budget as a percentage of total corpus tokens — shared with
+    * the oracle SQL. 60% forces the allocator to actually ration. */
+  val WaterfillPct: Int = 60
+
+  /** Water-filling mixture allocator (x185): given a token budget
+    * ([[WaterfillPct]]% of the corpus), allocate it across sources by
+    * the max-min fair rule — every source gets the common level L
+    * except sources whose whole supply fits under it, which are taken
+    * in full ("capped"). This is the allocation a training-mix builder
+    * actually computes when one source dwarfs the rest: cap nothing and
+    * the big crawl eats the budget; hard-equal-split and small sources
+    * can't fill their share. Integer-exact: sources sorted ascending by
+    * (supply, source); rank-k is capped iff
+    * `s_k·(n−k+1) ≤ budget − cum_{k−1}` — that test is non-increasing
+    * along the ascending order ((m−1)·(s_k−s_{k+1}) ≤ 0 per step), so
+    * capped sources form a PREFIX and the closed form is exact: the
+    * uncapped sources split the remainder as `base = R div m` plus one
+    * extra token to the first `R mod m` of them in rank order
+    * (base+1 ≤ their supply, since uncapped means s > R/m).
+    *
+    * 100 TB shape: the ONLY corpus-sized work is the one-scan per-source
+    * token aggregate; everything after — ranks, cumulative supplies,
+    * the capped test, the allocation — lives on the O(sources) frame
+    * (the documented tiny-table window case). */
+  def waterfillMixture(spark: SparkSession, dir: String,
+                       pct: Int = WaterfillPct): DataFrame = {
+    val supply = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("supply"))
+      .localCheckpoint() // tiny; read by the totals agg and the rank pass
+    val tot = supply.agg(sum(col("supply")).as("total"),
+      count(lit(1)).as("n_sources"))
+    val w = Window.orderBy(col("supply"), col("source"))
+    val ranked = supply
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("supply")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"($pct * total) div 100"))
+      .withColumn("capped",
+        (col("supply") * (col("n_sources") - col("rk") + 1) <=
+          col("budget") - (col("cum") - col("supply"))).cast("int"))
+      .localCheckpoint() // read by the capped rollup and the final select
+    val capStats = ranked.agg(
+      sum(col("capped").cast("long")).as("n_capped"),
+      coalesce(sum(when(col("capped") === 1, col("supply"))), lit(0L))
+        .as("capped_cum"))
+    ranked.crossJoin(broadcast(capStats))
+      .withColumn("r", col("budget") - col("capped_cum"))
+      .withColumn("m", col("n_sources") - col("n_capped"))
+      .withColumn("alloc",
+        when(col("capped") === 1, col("supply"))
+          .otherwise(expr("r div m") +
+            when(col("rk") - col("n_capped") <= expr("r % m"), 1L).otherwise(0L)))
+      .select(col("source"), col("supply"), col("rk"),
+        col("capped"), col("alloc"),
+        expr("(1000000L * alloc) div budget").as("share_ppm"))
+  }
 }

@@ -2017,6 +2017,99 @@ class OperatorsSpec extends SparkSpec {
     assert(sizes.values.exists(_ > 2) || edges.isEmpty || sizes.values.max == 2)
   }
 
+  test("sortedNeighborhoodPairs (x183): ranks, window pairs and distances match a driver replay") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val parts = graft.Tables.part(spark, sf)
+      .select($"p_partkey", $"p_brand", $"p_name")
+      .as[(Long, String, String)].collect()
+      .sortBy(p => (p._3, p._1))
+    val want = (for {
+      i <- parts.indices
+      j <- (i + 1) to math.min(i + Dedup.SnWindow, parts.length - 1)
+      d = lev(parts(i)._3, parts(j)._3)
+      if d <= Dedup.FuzzyMaxDistance
+    } yield (parts(i)._1, parts(j)._1) ->
+      ((j - i).toLong, d, if (parts(i)._2 == parts(j)._2) 1 else 0)).toMap
+    val got = Dedup.sortedNeighborhoodPairs(spark, sf)
+      .select($"key_a", $"key_b", $"rank_gap", $"distance", $"same_brand")
+      .as[(Long, Long, Long, Int, Int)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (a, b, gap, d, sb) =>
+      assert((gap, d, sb) == want((a, b)), s"pair ($a,$b)")
+    }
+  }
+
+  test("blockingAudit (x184): provenance panel reconciles with the two generators") {
+    val brand = Dedup.fuzzyNamePairs(spark, sf)
+      .select($"key_a", $"key_b", $"distance")
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, d) => (math.min(a, b), math.max(a, b)) -> d }.toMap
+    val sn = Dedup.sortedNeighborhoodPairs(spark, sf)
+      .select($"key_a", $"key_b", $"distance", $"same_brand")
+      .as[(Long, Long, Int, Int)].collect()
+      .map { case (a, b, d, sb) => (math.min(a, b), math.max(a, b)) -> ((d, sb)) }.toMap
+    val keys = brand.keySet ++ sn.keySet
+    val want = keys.groupBy(k => (if (brand.contains(k)) 1 else 0,
+        if (sn.contains(k)) 1 else 0))
+      .map { case (cls, ks) =>
+        val ds = ks.toSeq.map(k => brand.getOrElse(k, sn(k)._1))
+        val sbs = ks.toSeq.map(k => sn.get(k).map(_._2).getOrElse(1))
+        cls -> ((ks.size.toLong, ds.count(_ == 0).toLong, ds.count(_ == 1).toLong,
+          ds.count(_ >= 2).toLong, sbs.count(_ == 0).toLong))
+      }
+    val got = Dedup.blockingAudit(spark, sf)
+      .as[(Int, Int, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got == want && got.nonEmpty)
+    // sorted-neighborhood finds pairs brand blocking cannot (or the data
+    // has no cross-brand near-names — then every sn pair is same-brand)
+    assert(!got.contains((0, 0)))
+  }
+
+  test("waterfillMixture (x185): allocation matches a driver water-fill; budget exactly spent") {
+    val supply = graft.Tables.documents(spark, sf)
+      .select($"source", size(split($"text", " ")).cast("long"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = supply.values.sum
+    val budget = Sampling.WaterfillPct * total / 100
+    val asc = supply.toSeq.sortBy(p => (p._2, p._1))
+    val n = asc.size.toLong
+    // greedy prefix of capped sources
+    var rem = budget
+    var capped = Vector.empty[String]
+    var i = 0
+    while (i < asc.size && asc(i)._2 * (n - i) <= rem) {
+      rem -= asc(i)._2; capped :+= asc(i)._1; i += 1
+    }
+    val m = n - i
+    val (base, extra) = if (m > 0) (rem / m, rem % m) else (0L, 0L)
+    val wantAlloc = asc.zipWithIndex.map { case ((src, s), idx) =>
+      src -> (if (idx < i) s
+              else base + (if (idx - i + 1 <= extra) 1L else 0L))
+    }.toMap
+    val got = Sampling.waterfillMixture(spark, sf)
+      .as[(String, Long, Long, Int, Long, Long)].collect()
+    assert(got.length == supply.size && got.nonEmpty)
+    got.foreach { case (src, s, rk, c, alloc, ppm) =>
+      assert(s == supply(src) && alloc == wantAlloc(src), s"source $src")
+      assert(c == (if (capped.contains(src)) 1 else 0), s"source $src capped flag")
+      assert(rk == asc.indexWhere(_._1 == src) + 1, s"source $src rank")
+      assert(alloc <= s && ppm == 1000000L * alloc / budget, s"source $src bounds")
+    }
+    // the budget is spent exactly, and at least one source was rationed
+    assert(got.map(_._5).sum == budget)
+    assert(got.exists(_._4 == 0))
+  }
+
   test("fuzzyNamePairs (x128): length-expansion equi-join equals the brute-force contract") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
