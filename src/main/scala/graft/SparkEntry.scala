@@ -223,6 +223,7 @@ object SparkEntry {
     "x183_sorted_neighborhood" -> ((s, d) => Dedup.sortedNeighborhoodPairs(s, d)),
     "x184_blocking_audit"   -> ((s, d) => Dedup.blockingAudit(s, d)),
     "x185_waterfill_mixture" -> ((s, d) => Sampling.waterfillMixture(s, d)),
+    "x186_dow_anomalies"    -> ((s, d) => Forecast.dowAnomalies(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -3483,6 +3484,29 @@ object SparkEntry {
         |       (1000000 * alloc) // budget AS share_ppm
         |FROM a""".stripMargin
     },
+
+    // x186: seasonality-adjusted daily anomalies — x102's scaled-integer
+    // median/MAD algebra per (brand, weekday) cell of the daily revenue
+    // series; weekday via the x118 arithmetic.
+    "x186_dow_anomalies" ->
+      s"""WITH daily AS (
+        |  SELECT p.p_brand,
+        |         CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400 AS day,
+        |         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |dd AS (SELECT *, (day + 4) % 7 AS dow FROM daily),
+        |m AS (SELECT p_brand, dow, CAST(2 * median(rev_cents) AS BIGINT) AS med2
+        |      FROM dd GROUP BY 1, 2),
+        |d AS (SELECT dd.p_brand, dd.day, dd.dow, dd.rev_cents, m.med2,
+        |             abs(2 * dd.rev_cents - m.med2) AS dev2
+        |      FROM dd JOIN m USING (p_brand, dow)),
+        |mm AS (SELECT p_brand, dow, CAST(2 * median(dev2) AS BIGINT) AS mad4
+        |       FROM d GROUP BY 1, 2)
+        |SELECT d.p_brand, d.day, d.dow, d.rev_cents, d.med2, mm.mad4,
+        |       CAST(CASE WHEN 2 * d.dev2 > ${operators.Sessionize.RobustZ} * mm.mad4
+        |             THEN 1 ELSE 0 END AS INTEGER) AS seasonal_spike
+        |FROM d JOIN mm USING (p_brand, dow)""".stripMargin,
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

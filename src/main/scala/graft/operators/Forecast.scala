@@ -397,6 +397,40 @@ object Forecast {
         sum((col("y") * col("y")).cast("decimal(38,0)")).cast("string").as("sum_yy"))
   }
 
+  /** Seasonality-adjusted daily revenue anomalies (x186): x102's exact
+    * integer median/MAD rule applied WITHIN each (brand, weekday) cell
+    * of the daily revenue series — the anomaly screen a forecaster runs
+    * instead of a raw robust-z: Saturday is always 2× Tuesday, so an
+    * unadjusted median flags every weekend; conditioning the median on
+    * the weekday removes the weekly seasonality x118 measures and
+    * leaves only genuinely aberrant days (promo spikes, outages, data
+    * errors — exactly the rows to exclude before training x117's
+    * baseline). Same scaled-integer algebra as x102 (med2/dev2/mad4,
+    * cross-multiplied flag — no float compare), same weekday
+    * arithmetic as x118 (`(epoch_day + 4) % 7`, no locale function).
+    *
+    * 100 TB shape: the corpus-sized work is [[dailyRevenue]]'s one
+    * scan+shuffle; the two median passes run per (brand, weekday) over
+    * O(weeks)-row groups (the x48 time-bounded-table case), and both
+    * median frames join back broadcast-sized. */
+  def dowAnomalies(spark: SparkSession, dir: String,
+                   z: Int = Sessionize.RobustZ): DataFrame = {
+    val daily = dailyRevenue(spark, dir)
+      .withColumn("dow", expr("(day + 4) % 7"))
+      .localCheckpoint() // read by both median passes and the final join
+    val med = daily.groupBy(col("p_brand"), col("dow"))
+      .agg(expr("CAST(2.0D * percentile(rev_cents, 0.5D) AS BIGINT)").as("med2"))
+    val dev = daily.join(broadcast(med), Seq("p_brand", "dow"))
+      .withColumn("dev2", abs(lit(2L) * col("rev_cents") - col("med2")))
+    val mad = dev.groupBy(col("p_brand"), col("dow"))
+      .agg(expr("CAST(2.0D * percentile(dev2, 0.5D) AS BIGINT)").as("mad4"))
+    dev.join(broadcast(mad), Seq("p_brand", "dow"))
+      .select(col("p_brand"), col("day"), col("dow"), col("rev_cents"),
+        col("med2"), col("mad4"),
+        (lit(2L) * col("dev2") > lit(z.toLong) * col("mad4")).cast("int")
+          .as("seasonal_spike"))
+  }
+
   /** Kendall rank concordance between regional demand series (x176):
     * for every region pair, do the two weekly order-revenue series move
     * together? Pearson (x152) is moment-based and outlier-sensitive;

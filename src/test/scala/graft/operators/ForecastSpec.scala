@@ -249,6 +249,36 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("dowAnomalies (x186): scaled-integer median/MAD per (brand, dow) matches a replay") {
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) 2 * s(s.size / 2)
+      else s(s.size / 2 - 1) + s(s.size / 2)
+    }
+    val daily = facts.groupBy(f => (f._1, f._2)).view
+      .mapValues(_.map(_._3).sum).toMap // (brand, day) -> cents
+    val byCell = daily.toSeq.groupBy { case ((b, d), _) => (b, (d + 4) % 7) }
+    val want = byCell.flatMap { case ((b, dow), rows) =>
+      val m2 = med2(rows.map(_._2))
+      val devs = rows.map { case ((_, d), c) => (d, c, math.abs(2 * c - m2)) }
+      val m4 = med2(devs.map(_._3))
+      devs.map { case (d, c, dev2) =>
+        (b, d) -> ((dow, c, m2, m4, if (2 * dev2 > 3 * m4) 1 else 0))
+      }
+    }
+    val got = Forecast.dowAnomalies(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Int)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (b, d, dow, c, m2, m4, flag) =>
+      assert((dow, c, m2, m4, flag) == want((b, d)), s"($b, $d)")
+    }
+    // seasonality conditioning is active: at least one cell's med2 differs
+    // from the brand's overall doubled median
+    val overall = daily.toSeq.groupBy(_._1._1).view
+      .mapValues(rows => med2(rows.map(_._2))).toMap
+    assert(byCell.exists { case ((b, _), rows) => med2(rows.map(_._2)) != overall(b) })
+  }
+
   test("kendallTau (x176): concordance counts match an exhaustive driver replay") {
     import org.apache.spark.sql.functions.unix_timestamp
     val nationRegion = graft.Tables.nation(spark, sf)
