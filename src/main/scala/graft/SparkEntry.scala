@@ -224,6 +224,7 @@ object SparkEntry {
     "x184_blocking_audit"   -> ((s, d) => Dedup.blockingAudit(s, d)),
     "x185_waterfill_mixture" -> ((s, d) => Sampling.waterfillMixture(s, d)),
     "x186_dow_anomalies"    -> ((s, d) => Forecast.dowAnomalies(s, d)),
+    "x187_quant_error"      -> ((s, d) => Similarity.quantizationError(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -3507,6 +3508,26 @@ object SparkEntry {
         |       CAST(CASE WHEN 2 * d.dev2 > ${operators.Sessionize.RobustZ} * mm.mad4
         |             THEN 1 ELSE 0 END AS INTEGER) AS seasonal_spike
         |FROM d JOIN mm USING (p_brand, dow)""".stripMargin,
+
+    // x187: int8 reconstruction distortion — x175's quantizer, error
+    // folded per vector in exact micro-units (floor ·10⁶ of a
+    // deterministic left-to-right IEEE sum), per-label rollup.
+    "x187_quant_error" -> {
+      import operators.Similarity.QuantLevels
+      s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT label, v,
+        |        list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale FROM e),
+        |p AS (SELECT label,
+        |        CAST(floor(list_aggregate(list_transform(v,
+        |          x -> abs(x - floor(x / scale * $QuantLevels.0 + 0.5)
+        |                       * (scale / $QuantLevels.0))), 'sum') * 1000000)
+        |          AS BIGINT) AS err_micro
+        |      FROM s)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(sum(err_micro) AS BIGINT) AS sum_err_micro,
+        |       MAX(err_micro) AS max_err_micro
+        |FROM p GROUP BY label""".stripMargin
+    },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

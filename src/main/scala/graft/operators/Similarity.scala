@@ -438,6 +438,37 @@ object Similarity {
   /** k for [[mutualTopK]] (x178) — shared with the DuckDB oracle. */
   val MutualK: Int = 3
 
+  /** Quantization reconstruction-error audit (x187): the DISTORTION half
+    * of the int8 story — x175 measures whether the quantized RANKING
+    * still agrees with float; this measures how far the quantized
+    * VECTORS sit from the originals, per label (the per-collection
+    * distortion budget an embedding-store owner tracks before flipping
+    * a collection to int8). Per vector: reconstruct `q · (scale/127)`,
+    * sum |x − x̂| left-to-right, truncate to integer micro-units
+    * (floor ·10⁶ — exact IEEE composition); per label publish the
+    * vector count, the summed micro-error (exact BIGINT fold of exact
+    * integers), and the worst single vector. One scan, one tiny-key
+    * partial-agg'd shuffle, everything element-wise codegen'd HOFs. */
+  def quantizationError(spark: SparkSession, dir: String): DataFrame = {
+    val levels = lit(QuantLevels.toDouble)
+    val perVec = Tables.embeddings(spark, dir)
+      .select(col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+      .withColumn("step", col("scale") / levels)
+      .withColumn("err",
+        aggregate(
+          transform(col("v"), x =>
+            abs(x - floor(x / col("scale") * levels + lit(0.5)) * col("step"))),
+          lit(0.0), (acc, e) => acc + e))
+      .select(col("label"),
+        floor(col("err") * lit(1000000.0)).cast("long").as("err_micro"))
+    perVec.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("err_micro")).as("sum_err_micro"),
+        max(col("err_micro")).as("max_err_micro"))
+  }
+
   /** Reciprocal-nearest-neighbor pairs (x178): (u, v) such that v is in
     * u's exact top-k AND u is in v's — the high-precision near-dup /
     * entity-match candidate rule (a one-directional top-k hit can be an

@@ -145,6 +145,30 @@ class OperatorsSpec extends SparkSpec {
     assert(meanRecall >= 0.6, s"mean recall $meanRecall")
   }
 
+  test("quantizationError (x187): per-label micro-error ledger matches a driver replay") {
+    val rows = graft.Tables.embeddings(spark, sf)
+      .select($"label", $"embedding").as[(Int, Array[Float])].collect()
+    val want = rows.map { case (label, vf) =>
+      val v = vf.map(_.toDouble)
+      val scale = v.foldLeft(0.0)((a, x) => math.max(a, math.abs(x)))
+      val step = scale / 127.0
+      var err = 0.0
+      v.foreach(x => err += math.abs(x - math.floor(x / scale * 127.0 + 0.5) * step))
+      (label, math.floor(err * 1e6).toLong)
+    }.groupBy(_._1).view.mapValues { es =>
+      (es.size.toLong, es.map(_._2).sum, es.map(_._2).max)
+    }.toMap
+    val got = Similarity.quantizationError(spark, sf)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (label, n, sumE, maxE) =>
+      assert((n, sumE, maxE) == want(label), s"label $label")
+    }
+    // quantization distorts but is bounded: every vector's error is
+    // positive yet far below the raw norm scale
+    assert(got.forall(r => r._3 > 0))
+  }
+
   test("mutualTopK (x178): reciprocal pairs match a driver replay; subset of one-way topk") {
     val vecs = graft.Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
