@@ -225,6 +225,9 @@ object SparkEntry {
     "x185_waterfill_mixture" -> ((s, d) => Sampling.waterfillMixture(s, d)),
     "x186_dow_anomalies"    -> ((s, d) => Forecast.dowAnomalies(s, d)),
     "x187_quant_error"      -> ((s, d) => Similarity.quantizationError(s, d)),
+    "x188_decay_attribution" -> ((s, d) => Sessionize.decayAttribution(s, d)),
+    "x189_loo_encoding"     -> ((s, d) => Relational.looTargetEncoding(s, d)),
+    "x190_grouped_folds"    -> ((s, d) => Sampling.groupedFolds(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -3527,6 +3530,62 @@ object SparkEntry {
         |       CAST(sum(err_micro) AS BIGINT) AS sum_err_micro,
         |       MAX(err_micro) AS max_err_micro
         |FROM p GROUP BY label""".stripMargin
+    },
+
+    // x188: position-decay multi-touch attribution — K lag columns per
+    // user, halving integer weights, tallied per touched type.
+    "x188_decay_attribution" -> {
+      import operators.Sessionize.DecayK
+      val lags = (1 to DecayK).map(j =>
+        s"lag(event_type, $j) OVER w AS t$j").mkString(", ")
+      val arms = (1 to DecayK).map(j =>
+        s"SELECT $j AS pos, t$j AS touched, ${1L << (DecayK - j)} AS wt FROM p WHERE t$j IS NOT NULL")
+        .mkString("\n|      UNION ALL ")
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |l AS (SELECT event_type, $lags
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |p AS (SELECT * FROM l WHERE event_type = 'purchase'),
+        |t AS ($arms)
+        |SELECT touched AS event_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(sum(wt) AS BIGINT) AS credit_pts,
+        |       CAST(sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_nearest
+        |FROM t GROUP BY 1""".stripMargin
+    },
+
+    // x189: leave-one-out target encoding — the (brand, qty) aggregate
+    // carries the whole encoding; raw rational + one-division double,
+    // single-row categories flagged (den = 0).
+    "x189_loo_encoding" ->
+      """WITH r AS (
+        |  SELECT p.p_brand, CAST(round(l.l_quantity * 100) AS BIGINT) AS qty_centi,
+        |         CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |b AS (SELECT p_brand, CAST(sum(qty_centi * n_rows) AS BIGINT) AS brand_sum,
+        |             CAST(sum(n_rows) AS BIGINT) AS brand_cnt
+        |      FROM r GROUP BY 1)
+        |SELECT r.p_brand, r.qty_centi, r.n_rows,
+        |       b.brand_sum - r.qty_centi AS loo_num,
+        |       b.brand_cnt - 1 AS loo_den,
+        |       CASE WHEN b.brand_cnt > 1
+        |            THEN CAST(b.brand_sum - r.qty_centi AS DOUBLE) / (b.brand_cnt - 1)
+        |            END AS loo_mean,
+        |       CAST(CASE WHEN b.brand_cnt = 1 THEN 1 ELSE 0 END AS INTEGER) AS no_peers
+        |FROM r JOIN b USING (p_brand)""".stripMargin,
+
+    // x190: grouped k-fold — fold = salted md5 bucket of the USER mod K
+    // (rows of one user can never straddle folds), per-cell balance.
+    "x190_grouped_folds" -> {
+      import operators.Sampling.FoldK
+      s"""SELECT (('0x' || substr(md5('fold:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |         % 10000) % $FoldK AS fold,
+        |       event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

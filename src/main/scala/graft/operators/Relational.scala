@@ -1162,4 +1162,41 @@ object Relational {
         sum(col("weekly_revenue_cents")).over(frame) / count(lit(1)).over(frame))
       .na.drop(Seq("prev_week_revenue", "prev2_week_revenue", "mean_last4_weeks"))
   }
+
+  /** Leave-one-out target encoding (x189): the feature-engineering pass
+    * that replaces a categorical (brand) with the mean of the target
+    * (quantity) over OTHER rows of the same category — self-exclusion
+    * is what keeps the encoding leakage-free for training. Key insight
+    * for exactness AND scale: the LOO value depends on a row only
+    * through its (category, target) pair, so the encoding table is the
+    * (brand, qty) AGGREGATE — `loo_num = brand_sum − qty`,
+    * `loo_den = brand_count − 1` — published as the raw rational plus
+    * the one-IEEE-division double (x119's discipline). Categories with
+    * a single row have no peers (den = 0): published with a NULL
+    * encoding and flagged, the standard fallback-to-prior case.
+    *
+    * 100 TB shape: one fact-scan partial-agg'd groupBy onto the
+    * (brand × distinct-target) frame, a broadcast-sized brand rollup
+    * joined back, zero row-level recomputation — the encoding JOINS
+    * onto training rows by (brand, qty) at feature time. */
+  def looTargetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), cents(col("l_quantity")).as("qty_centi"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("qty_centi"))
+      .agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint() // read by the brand rollup and the final join
+    val brand = rows.groupBy(col("p_brand"))
+      .agg(sum(col("qty_centi") * col("n_rows")).as("brand_sum"),
+        sum(col("n_rows")).as("brand_cnt"))
+    rows.join(broadcast(brand), Seq("p_brand"))
+      .select(col("p_brand"), col("qty_centi"), col("n_rows"),
+        (col("brand_sum") - col("qty_centi")).as("loo_num"),
+        (col("brand_cnt") - 1).as("loo_den"),
+        when(col("brand_cnt") > 1,
+          (col("brand_sum") - col("qty_centi")).cast("double")
+            / (col("brand_cnt") - 1)).as("loo_mean"),
+        (col("brand_cnt") === 1).cast("int").as("no_peers"))
+  }
 }

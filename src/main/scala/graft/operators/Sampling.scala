@@ -1055,6 +1055,38 @@ object Sampling {
       .withColumn("moved_ppm", expr("(1000000L * n_moved) div n_docs"))
   }
 
+  /** x190's fold count, shared with the oracle SQL. */
+  val FoldK: Int = 5
+
+  /** Grouped k-fold assignment (x190): cross-validation folds for event
+    * data where the GROUP (user), not the row, is the unit of
+    * assignment — rows of one user must never straddle folds, or the
+    * validation fold leaks the training users' behavior (the canonical
+    * CV mistake on behavioral data; x27's doc split has no such
+    * grouping constraint). The fold is the salted md5 bucket of the
+    * user id mod [[FoldK]] — deterministic, data-independent,
+    * join-free (recomputed inline on every row, the x27 pattern) — and
+    * leakage-freedom is structural: the fold is a pure function of the
+    * user id. Published per (fold, event_type): row count, distinct
+    * users, value total — the balance sheet that tells you whether the
+    * grouped folds are usable (imbalance here means heavy users, not a
+    * broken split).
+    *
+    * 100 TB shape: one scan, fold computed per-row with no join, one
+    * partial-agg'd groupBy on the (K × types) key; the distinct-user
+    * count shuffles (fold, type, user) once — keyed wide, skew-free. */
+  def groupedFolds(spark: SparkSession, dir: String,
+                   k: Int = FoldK): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(col("event_type"),
+        pmod(hashBucket(col("user_id"), "fold"), lit(k.toLong)).as("fold"),
+        col("user_id"), Relational.cents(col("value")).as("value_cents"))
+      .groupBy(col("fold"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value_cents")).as("value_cents"))
+  }
+
   /** x185's budget as a percentage of total corpus tokens — shared with
     * the oracle SQL. 60% forces the allocator to actually ration. */
   val WaterfillPct: Int = 60

@@ -550,6 +550,43 @@ object Sessionize {
         col("click_id").isNotNull.cast("int").as("attributed"))
   }
 
+  /** x188's look-back depth — weights halve per step back, so the
+    * nearest touch earns 2^(K−1) points. Shared with the oracle SQL. */
+  val DecayK: Int = 4
+
+  /** Position-decay multi-touch attribution (x188): x112 gives the
+    * whole conversion to the last click; this splits credit across the
+    * [[DecayK]] events PRECEDING each purchase in the user's stream
+    * with exponentially halving integer weights (nearest = 2^{K−1}
+    * points … K-th = 1 point) — the standard position-decay model, in
+    * exact points so both engines tally identically. Per touched event
+    * type: how often it appeared in a pre-purchase window, its summed
+    * credit, and how often it was the nearest touch.
+    *
+    * 100 TB shape: K lag columns over the per-user window (x11's
+    * bounded-partition argument), the purchase filter, a K-way
+    * projection explode (map-side), and ONE partial-agg'd groupBy on
+    * the tiny event-type key. */
+  def decayAttribution(spark: SparkSession, dir: String,
+                       k: Int = DecayK): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    val lagged = raw
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsSeconds(raw).as("ts_s"))
+      .select(col("event_type") +: (1 to k).map(j =>
+        lag(col("event_type"), j).over(w).as(s"t$j")): _*)
+    lagged.filter(col("event_type") === "purchase")
+      .select(explode(array((1 to k).map(j =>
+        struct(lit(j).as("pos"), col(s"t$j").as("touched"),
+          lit(1L << (k - j)).as("wt"))): _*)).as("p"))
+      .filter(col("p.touched").isNotNull)
+      .groupBy(col("p.touched").as("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("p.wt")).as("credit_pts"),
+        sum(when(col("p.pos") === 1, 1L).otherwise(0L)).as("n_nearest"))
+  }
+
   /** x86's ordered funnel stages, shared with the oracle SQL. */
   val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
 

@@ -145,6 +145,79 @@ class OperatorsSpec extends SparkSpec {
     assert(meanRecall >= 0.6, s"mean recall $meanRecall")
   }
 
+  test("decayAttribution (x188): halving credits match an exhaustive driver replay") {
+    val ev = graft.Tables.events(spark, sf)
+    val rows = ev.select($"user_id", $"event_id", $"event_type",
+        Sessionize.tsSeconds(ev).as("ts_s"))
+      .as[(Long, Long, String, Long)].collect()
+    val k = Sessionize.DecayK
+    val want = rows.groupBy(_._1).values.flatMap { es =>
+      val ordered = es.sortBy(e => (e._4, e._2)).map(_._3)
+      ordered.zipWithIndex.filter(_._1 == "purchase").flatMap { case (_, i) =>
+        (1 to k).flatMap { j =>
+          if (i - j >= 0) Some((j, ordered(i - j))) else None
+        }
+      }
+    }.toSeq.groupBy(_._2).view.mapValues { ts =>
+      (ts.size.toLong, ts.map { case (pos, _) => 1L << (k - pos) }.sum,
+        ts.count(_._1 == 1).toLong)
+    }.toMap
+    val got = Sessionize.decayAttribution(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (t, n, credit, nearest) =>
+      assert((n, credit, nearest) == want(t), s"type $t")
+    }
+  }
+
+  test("looTargetEncoding (x189): rationals match a replay; self-exclusion is real") {
+    val brandByPart = graft.Tables.part(spark, sf)
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_quantity").as[(Long, Double)].collect()
+      .map { case (pk, q) => (brandByPart(pk), math.round(q * 100)) }
+    val byBrand = rows.groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._2).sum, rs.size.toLong)).toMap
+    val want = rows.distinct.map { case (b, q) =>
+      val (s, c) = byBrand(b)
+      (b, q) -> ((s - q, c - 1))
+    }.toMap
+    val got = Relational.looTargetEncoding(spark, sf)
+      .select($"p_brand", $"qty_centi", $"loo_num", $"loo_den", $"loo_mean", $"no_peers")
+      .as[(String, Long, Long, Long, Option[Double], Int)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (b, q, num, den, mean, noPeers) =>
+      assert((num, den) == want((b, q)), s"($b, $q) rational")
+      if (den > 0) assert(mean.contains(num.toDouble / den) && noPeers == 0)
+      else assert(mean.isEmpty && noPeers == 1)
+    }
+    // self-exclusion shifts the encoding: two different targets in the same
+    // brand get different LOO means
+    val inBrand = got.groupBy(_._1).values
+    assert(inBrand.exists(g => g.flatMap(_._5).distinct.size > 1))
+  }
+
+  test("groupedFolds (x190): user-pure folds; balance sheet matches a driver replay") {
+    val ev = graft.Tables.events(spark, sf)
+    val rows = ev.select($"user_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect()
+    def fold(uid: Long): Long =
+      (Dedup.md5Hash60Ref("fold:" + uid) % 10000) % Sampling.FoldK
+    val want = rows.groupBy(r => (fold(r._1), r._2)).view.mapValues { rs =>
+      (rs.size.toLong, rs.map(_._1).distinct.size.toLong,
+        rs.map(r => math.round(r._3 * 100)).sum)
+    }.toMap
+    val got = Sampling.groupedFolds(spark, sf)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (f, t, n, u, v) =>
+      assert((n, u, v) == want((f, t)), s"cell ($f, $t)")
+    }
+    // grouping is structural: every user's rows land in exactly one fold
+    assert(rows.map(_._1).distinct.forall(uid => fold(uid) < Sampling.FoldK))
+    assert(got.map(_._3).sum == rows.length.toLong)
+  }
+
   test("quantizationError (x187): per-label micro-error ledger matches a driver replay") {
     val rows = graft.Tables.embeddings(spark, sf)
       .select($"label", $"embedding").as[(Int, Array[Float])].collect()
