@@ -1610,7 +1610,15 @@ object Dedup {
     * production ER adds more blocking keys (first token, phonetic code)
     * the same way; the expansion technique composes. `levenshtein` is
     * codegen'd in Spark and semantically identical in DuckDB. */
+  /** x128 entry: the STAGED brand-blocked candidate table ([[ErStage]]
+    * — generated once per catalog snapshot, read by x128/x181/x184). */
   def fuzzyNamePairs(spark: SparkSession, dir: String,
+                     maxDistance: Int = FuzzyMaxDistance): DataFrame =
+    ErStage.brandPairs(spark, dir, maxDistance)
+
+  /** The compute path behind the stage (staged ≡ recomputed is
+    * spec-asserted in ErStageSpec). */
+  private[graft] def computeFuzzyNamePairs(spark: SparkSession, dir: String,
                      maxDistance: Int = FuzzyMaxDistance): DataFrame = {
     val p = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_brand"), col("p_name"),
@@ -1672,7 +1680,16 @@ object Dedup {
     * partitioning by sort key — THE scalable ER trick — with the
     * neighbor join an equi-join on rank (explode of `window` probe
     * ranks per record, fan-out = window). */
+  /** x183 entry: the STAGED sorted-neighborhood candidate table
+    * ([[ErStage]]). */
   def sortedNeighborhoodPairs(spark: SparkSession, dir: String,
+                              window: Int = SnWindow,
+                              maxDistance: Int = FuzzyMaxDistance): DataFrame =
+    ErStage.snPairs(spark, dir, window, maxDistance)
+
+  /** The compute path behind the stage (staged ≡ recomputed is
+    * spec-asserted in ErStageSpec). */
+  private[graft] def computeSortedNeighborhoodPairs(spark: SparkSession, dir: String,
                               window: Int = SnWindow,
                               maxDistance: Int = FuzzyMaxDistance): DataFrame = {
     val pfx = (1 to 4).map(i =>
@@ -1752,20 +1769,31 @@ object Dedup {
 
   def erClusters(spark: SparkSession, dir: String,
                  maxDistance: Int = FuzzyMaxDistance): DataFrame = {
-    val pairs = fuzzyNamePairs(spark, dir, maxDistance)
-      .select(col("key_a").as("u"), col("key_b").as("v"))
-    val comp = ConnectedComponents.components(pairs)
-    val canon = Tables.part(spark, dir).select(col("p_partkey"))
-      .join(comp.select(col("node").as("p_partkey"),
-        col("component").as("canonical_key")), Seq("p_partkey"), "left")
-      .select(col("p_partkey"),
-        coalesce(col("canonical_key"), col("p_partkey")).as("canonical_key"))
+    // the STAGED canonical mapping (ErStage — closure run once per
+    // catalog snapshot, the ClusterStage contract); only the O(parts)
+    // size rollup and survivor flag run per query
+    val canon = ErStage.erCanon(spark, dir, maxDistance)
       .localCheckpoint() // two consumers: the size rollup + the final join
     val sizes = canon.groupBy(col("canonical_key"))
       .agg(count(lit(1)).as("cluster_size"))
     canon.join(sizes, Seq("canonical_key"))
       .select(col("p_partkey"), col("canonical_key"), col("cluster_size"),
         (col("p_partkey") === col("canonical_key")).cast("int").as("is_canonical"))
+  }
+
+  /** The compute path behind [[ErStage.erCanon]]: transitive closure of
+    * the staged brand pairs, singletons restored from the part table.
+    * (p_partkey, canonical_key). */
+  private[graft] def computeErCanon(spark: SparkSession, dir: String,
+                 maxDistance: Int = FuzzyMaxDistance): DataFrame = {
+    val pairs = fuzzyNamePairs(spark, dir, maxDistance)
+      .select(col("key_a").as("u"), col("key_b").as("v"))
+    val comp = ConnectedComponents.components(pairs)
+    Tables.part(spark, dir).select(col("p_partkey"))
+      .join(comp.select(col("node").as("p_partkey"),
+        col("component").as("canonical_key")), Seq("p_partkey"), "left")
+      .select(col("p_partkey"),
+        coalesce(col("canonical_key"), col("p_partkey")).as("canonical_key"))
   }
 
   /** x163 knobs: the term width (word 5-grams WITH multiplicity — the
