@@ -228,6 +228,10 @@ object SparkEntry {
     "x188_decay_attribution" -> ((s, d) => Sessionize.decayAttribution(s, d)),
     "x189_loo_encoding"     -> ((s, d) => Relational.looTargetEncoding(s, d)),
     "x190_grouped_folds"    -> ((s, d) => Sampling.groupedFolds(s, d)),
+    "x191_knn_homophily"    -> ((s, d) => Similarity.knnHomophily(s, d)),
+    "x192_knn_hubness"      -> ((s, d) => Similarity.knnHubness(s, d)),
+    "x193_hll_audit"        -> ((s, d) => Relational.hllDistinctAudit(s, d)),
+    "x194_boilerplate"      -> ((s, d) => TextAnalysis.boilerplateGrams(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -3586,6 +3590,136 @@ object SparkEntry {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2""".stripMargin
+    },
+
+    // x191: kNN label homophily — x178's exact ranked CTE at the staged
+    // depth, labels joined onto both endpoints, per-label ppm ratio.
+    "x191_knn_homophily" -> {
+      import operators.KnnStage.StageK
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm FROM e),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label, c.vec_id, c.label,
+        |    floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+        |  FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, q_label, vec_id, label,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY cos_sim DESC, vec_id) AS rank
+        |  FROM scored),
+        |topk AS (SELECT * FROM ranked WHERE rank <= $StageK)
+        |SELECT q_label, n_vecs, n_slots, n_same,
+        |       (1000000 * n_same) // n_slots AS homophily_ppm
+        |FROM (SELECT q_label, CAST(count(DISTINCT q_id) AS BIGINT) AS n_vecs,
+        |             CAST(count(*) AS BIGINT) AS n_slots,
+        |             CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+        |      FROM topk GROUP BY 1) t""".stripMargin
+    },
+
+    // x192: kNN hubness — in-degree histogram of the exact kNN graph,
+    // zero-in-degree band recovered from the vector universe.
+    "x192_knn_hubness" -> {
+      import operators.KnnStage.StageK
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm FROM e),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id,
+        |    floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+        |  FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY cos_sim DESC, vec_id) AS rank
+        |  FROM scored),
+        |indeg AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS in_deg
+        |          FROM ranked WHERE rank <= $StageK GROUP BY 1),
+        |allv AS (SELECT e.vec_id, coalesce(i.in_deg, 0) AS in_deg
+        |         FROM e LEFT JOIN indeg i USING (vec_id))
+        |SELECT in_deg, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+        |FROM allv GROUP BY 1""".stripMargin
+    },
+
+    // x193: HLL distinct-buyers audit — md5-60 item hash, trailing-zero
+    // register ranks, INTEGER harmonic sum Σ2^(58−reg), raw-estimator
+    // division as the one shared IEEE expression.
+    "x193_hll_audit" -> {
+      import operators.Relational.{HllBuckets, HllShiftCap}
+      s"""WITH buyers AS (
+        |  SELECT DISTINCT c.c_nationkey AS nk, o.o_custkey AS ck
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |hashed AS (
+        |  SELECT nk,
+        |    ('0x' || substr(md5('hll:' || CAST(ck AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM buyers),
+        |ranks AS (
+        |  SELECT nk, (h % $HllBuckets) AS bucket,
+        |    CASE WHEN (h // $HllBuckets) = 0 THEN 57
+        |         ELSE bit_count(((h // $HllBuckets) & -(h // $HllBuckets)) - 1) + 1
+        |    END AS rnk
+        |  FROM hashed),
+        |regs AS (SELECT nk, bucket, CAST(max(rnk) AS BIGINT) AS register
+        |         FROM ranks GROUP BY 1, 2),
+        |universe AS (SELECT n.n_nationkey, b.bucket FROM nation n
+        |             CROSS JOIN (SELECT unnest(range($HllBuckets)) AS bucket) b),
+        |full_regs AS (
+        |  SELECT u.n_nationkey, coalesce(r.register, 0) AS register
+        |  FROM universe u LEFT JOIN regs r
+        |    ON u.n_nationkey = r.nk AND u.bucket = r.bucket),
+        |harm AS (
+        |  SELECT n_nationkey,
+        |         CAST(sum(CAST(1 AS BIGINT)
+        |           << CAST($HllShiftCap - least(register, $HllShiftCap) AS INTEGER)) AS BIGINT)
+        |           AS harmonic_scaled,
+        |         CAST(max(register) AS BIGINT) AS max_register
+        |  FROM full_regs GROUP BY 1),
+        |exact AS (SELECT nk AS n_nationkey, CAST(count(*) AS BIGINT) AS n_exact
+        |          FROM buyers GROUP BY 1),
+        |est AS (
+        |  SELECT h.n_nationkey, e.n_exact, h.max_register, h.harmonic_scaled,
+        |         CAST(floor((172.288 * 288230376151711744.0)
+        |           / CAST(h.harmonic_scaled AS DOUBLE)) AS BIGINT) AS est_hll
+        |  FROM harm h JOIN exact e USING (n_nationkey))
+        |SELECT n_nationkey, n_exact, max_register, harmonic_scaled, est_hll,
+        |       (1000000 * abs(est_hll - n_exact)) // n_exact AS err_ppm
+        |FROM est""".stripMargin
+    },
+
+    // x194: within-source boilerplate grams — word 5-grams with
+    // same-source df ≥ 2, per-doc occurrence coverage, per-source rollup.
+    "x194_boilerplate" -> {
+      import operators.TextAnalysis.{BoilerDfAt, BoilerFlagPpm, BoilerN}
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |idx AS (SELECT doc_id, source, ws, unnest(range(1, len(ws) - ${BoilerN - 2})) AS i
+        |        FROM w WHERE len(ws) >= $BoilerN),
+        |occ AS (
+        |  SELECT source, array_to_string(ws[i:i+${BoilerN - 1}], ' ') AS gram, doc_id,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM idx GROUP BY 1, 2, 3),
+        |gram_df AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS df
+        |            FROM occ GROUP BY 1, 2),
+        |per_doc AS (
+        |  SELECT o.source, o.doc_id,
+        |         CAST(sum(o.cnt) AS BIGINT) AS n_grams,
+        |         CAST(sum(CASE WHEN d.df >= $BoilerDfAt THEN o.cnt ELSE 0 END) AS BIGINT)
+        |           AS n_boiler
+        |  FROM occ o JOIN gram_df d ON o.source = d.source AND o.gram = d.gram
+        |  GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT source, doc_id, n_grams, n_boiler,
+        |         (1000000 * n_boiler) // n_grams AS doc_ppm
+        |  FROM per_doc)
+        |SELECT source, n_docs, total_grams, boiler_grams, n_flagged,
+        |       (1000000 * boiler_grams) // total_grams AS boiler_ppm
+        |FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n_grams) AS BIGINT) AS total_grams,
+        |             CAST(sum(n_boiler) AS BIGINT) AS boiler_grams,
+        |             CAST(sum(CASE WHEN doc_ppm >= $BoilerFlagPpm THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS n_flagged
+        |      FROM flagged GROUP BY 1) t""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

@@ -1199,4 +1199,78 @@ object Relational {
             / (col("brand_cnt") - 1)).as("loo_mean"),
         (col("brand_cnt") === 1).cast("int").as("no_peers"))
   }
+
+  /** HyperLogLog register count (m = 2^4 buckets) for [[hllDistinctAudit]]
+    * (x193) — shared with the DuckDB oracle. */
+  val HllBuckets: Int = 16
+
+  /** Power-of-two scale for the integer harmonic sum: `Σ 2^(58−reg)` fits
+    * BIGINT exactly (≤ 16·2^58 = 2^62) while keeping every term exact. */
+  val HllShiftCap: Int = 58
+
+  /** HyperLogLog distinct-buyers sketch audit (x193): per nation, the
+    * 16-register HLL of distinct ordering customers NEXT TO the exact
+    * count — the sketch-fidelity artifact (x133's KMV discipline
+    * applied to the other classic cardinality sketch). Every number is
+    * integer-exact or a single shared IEEE expression:
+    *
+    *  - the item hash is the engine-neutral md5-60; bucket = h mod 16,
+    *    register rank = trailing-zero count of the remaining 56 bits
+    *    + 1 (`bit_count((rest & -rest) - 1) + 1` — identical bit tricks
+    *    in both engines), empty buckets register 0 via the nation×16
+    *    bucket universe;
+    *  - the harmonic sum is kept INTEGER: `Σ 2^(58−reg)` is an exact
+    *    BIGINT (each term a shifted 1, bounded 2^62), so register
+    *    aggregation is order-independent;
+    *  - the raw HLL estimate `α₁₆·m²/Σ2^(−reg)` is then ONE double
+    *    division of two deterministically-cast operands (long→double
+    *    is correctly rounded in both engines), floored to units — no
+    *    order-dependent float accumulation anywhere. The small-range
+    *    bias of the RAW estimator is part of the published contract
+    *    (err_ppm says how far off it is — that honesty is the point of
+    *    the audit); production consumers apply the standard corrections
+    *    downstream.
+    *
+    * 100 TB shape: registers are a partial-agg'd max per (nation,
+    * bucket) — 16 rows per group key, mergeable across any partitioning
+    * (the same property the streaming twin exploits); the corpus is
+    * scanned once, and the exact side is the one countDistinct this
+    * audit exists to eventually replace. */
+  def hllDistinctAudit(spark: SparkSession, dir: String): DataFrame = {
+    val m = HllBuckets
+    val buyers = Tables.orders(spark, dir).select(col("o_custkey"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nk"), col("o_custkey").as("ck"))
+      .distinct()
+    val hashed = buyers
+      .withColumn("h", Dedup.md5Hash60(concat(lit("hll:"), col("ck").cast("string"))))
+      .withColumn("bucket", pmod(col("h"), lit(m.toLong)))
+      .withColumn("rest", expr(s"h div $m"))
+      .withColumn("rnk", when(col("rest") === 0L, lit(57L))
+        .otherwise(expr("bit_count((rest & -rest) - 1) + 1").cast("long")))
+    val regs = hashed.groupBy(col("nk"), col("bucket"))
+      .agg(max(col("rnk")).as("register"))
+    val universe = Tables.nation(spark, dir).select(col("n_nationkey"))
+      .crossJoin(spark.range(m.toLong).select(col("id").as("bucket")))
+    val harm = universe
+      .join(broadcast(regs), universe("n_nationkey") === regs("nk") &&
+        universe("bucket") === regs("bucket"), "left")
+      .withColumn("register", coalesce(col("register"), lit(0L)))
+      .groupBy(col("n_nationkey"))
+      .agg(sum(expr(s"shiftleft(1L, cast($HllShiftCap - least(register, ${HllShiftCap}L) as int))"))
+        .as("harmonic_scaled"),
+        max(col("register")).as("max_register"))
+    val exact = buyers.groupBy(col("nk")).agg(count(lit(1)).as("n_exact"))
+    // α₁₆·m²·2^58 as the product of two exact-parse literals (one IEEE
+    // multiply, identical in both engines); 2^58 = 288230376151711744.
+    val alphaScaled = expr("172.288d * 288230376151711744.0d")
+    harm.join(broadcast(exact), harm("n_nationkey") === exact("nk"))
+      .withColumn("est_hll",
+        floor(alphaScaled / col("harmonic_scaled").cast("double")).cast("long"))
+      .select(col("n_nationkey"), col("n_exact"), col("max_register"),
+        col("harmonic_scaled"), col("est_hll"),
+        expr("(1000000L * abs(est_hll - n_exact)) div n_exact").as("err_ppm"))
+  }
 }

@@ -483,24 +483,15 @@ object Similarity {
     * the broadcast side here playing the role of the in-RAM index an
     * ANN server holds by design.
     *
-    * Plan shape: one corpus scan crossed against the broadcast vector
-    * table, per-vector top-k via WindowGroupLimit (rank ≤ k prunes
-    * map-side), then the tiny O(N·k) ranked frame self-joins on the
-    * reversed pair — both consumers read a localCheckpoint, and the
-    * reciprocal join keys on (q, v) directly. */
+    * Plan shape: reads the STAGED exact neighbor table ([[KnnStage]] —
+    * the O(N²) scoring paid once per snapshot; a rank ≤ k filter of the
+    * staged top-StageK is identical to a direct top-k computation by
+    * the shared ranking contract), then the tiny O(N·k) ranked frame
+    * self-joins on the reversed pair, keyed on (q, v) directly. */
   def mutualTopK(spark: SparkSession, dir: String, k: Int = MutualK): DataFrame = {
-    import graft.functions.VectorFunctions.cosine_sim
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val side = emb.select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val scored = emb.crossJoin(broadcast(side))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        trunc6(cosine_sim(col("qv"), col("v"))).as("cos_sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    val ranked = scored.withColumn("rank", row_number().over(w))
+    val ranked = KnnStage
+      .ranked(spark, dir, math.max(k, KnnStage.StageK))
       .filter(col("rank") <= k)
-      .localCheckpoint() // both sides of the reciprocal join read it
     ranked.as("f").join(ranked.as("r"),
         col("f.q_id") === col("r.vec_id") && col("f.vec_id") === col("r.q_id") &&
           col("f.q_id") < col("f.vec_id"))
@@ -570,5 +561,79 @@ object Similarity {
       .select(col("q_id"), lit(k).as("k"), col("n_hits"),
         (col("n_hits").cast("double") / lit(k.toDouble)).as("recall"),
         col("quant_rank_sum"))
+  }
+
+  /** The exact all-pairs ranked top-k — [[KnnStage]]'s compute path.
+    * x09's scoring contract (trunc6 cosine, ties to smaller vec_id)
+    * over EVERY ordered pair: one corpus scan crossed against the
+    * broadcast vector table, per-vector top-k via WindowGroupLimit
+    * (rank ≤ k prunes map-side). This is the O(N²) step the stage pays
+    * once per snapshot; at 100 TB an ANN index build replaces it (the
+    * x09↔x18 relationship) and exports the same (q_id, vec_id,
+    * cos_sim, rank) table. */
+  private[graft] def computeRankedTopK(spark: SparkSession, dir: String,
+                                       k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val side = emb.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = emb.crossJoin(broadcast(side))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        trunc6(cosine_sim(col("qv"), col("v"))).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** kNN label homophily (x191): per label, how often a vector's exact
+    * top-k neighbors share its label — the standard intrinsic audit of
+    * an embedding space before using it for classification-by-
+    * retrieval or semantic dedup (homophily ≈ 1/n_labels means the
+    * space carries no label signal; the per-label breakdown exposes
+    * which collections are well-separated). Reads the STAGED neighbor
+    * table ([[KnnStage]]); the only other input is the O(N) label
+    * table, broadcast onto both endpoints. n_slots = n_vecs·k exactly
+    * (every vector has k neighbors when N > k); homophily is published
+    * as an integer ppm ratio (the engine-wide exact-ratio rule). */
+  def knnHomophily(spark: SparkSession, dir: String,
+                   k: Int = KnnStage.StageK): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("label"))
+    val r = KnnStage.ranked(spark, dir, math.max(k, KnnStage.StageK))
+      .filter(col("rank") <= k)
+    r.join(broadcast(labels).as("ql"), col("q_id") === col("ql.id"))
+      .withColumnRenamed("label", "q_label").drop("id")
+      .join(broadcast(labels).as("nl"), col("vec_id") === col("nl.id"))
+      .groupBy(col("q_label"))
+      .agg(countDistinct(col("q_id")).as("n_vecs"),
+        count(lit(1)).as("n_slots"),
+        sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_same"))
+      .withColumn("homophily_ppm",
+        expr("(1000000L * n_same) div n_slots"))
+  }
+
+  /** kNN hubness audit (x192): the in-degree histogram of the exact
+    * kNN graph — how many vectors appear in d other vectors' top-k
+    * lists, for each d. Hubness (a few vectors with huge in-degree,
+    * many with zero) is the classic high-dimensional ANN pathology: a
+    * hub poisons retrieval quality and dedup precision, and the
+    * histogram's skew is the number an embedding-store owner tracks
+    * across model versions. Reads the STAGED table; the in-degree agg
+    * is one partial-agg'd shuffle on vec_id, the zero-in-degree band
+    * recovered by a broadcast left anti-style join from the vector
+    * universe. */
+  def knnHubness(spark: SparkSession, dir: String,
+                 k: Int = KnnStage.StageK): DataFrame = {
+    val indeg = KnnStage.ranked(spark, dir, math.max(k, KnnStage.StageK))
+      .filter(col("rank") <= k)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("in_deg"))
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(indeg, Seq("vec_id"), "left")
+      .withColumn("in_deg", coalesce(col("in_deg"), lit(0L)))
+      .groupBy(col("in_deg"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_vec_id"),
+        max(col("vec_id")).as("max_vec_id"))
   }
 }

@@ -1578,4 +1578,57 @@ object TextAnalysis {
         col("aff_num").cast("string").as("aff_num"),
         col("aff_den").cast("string").as("aff_den"), col("affinity"))
   }
+
+  /** Boilerplate gram length / document-frequency threshold / per-doc
+    * flag ratio for [[boilerplateGrams]] (x194) — shared with the
+    * DuckDB oracle. */
+  val BoilerN: Int = 5
+  val BoilerDfAt: Int = 2
+  val BoilerFlagPpm: Long = 200000L
+
+  /** Within-source boilerplate-gram audit (x194): the C4-style
+    * boilerplate detector — a word 5-gram appearing in ≥ `dfAt`
+    * DISTINCT documents of the SAME source is template text (nav
+    * chrome, legal footers, mirror headers), and each document's
+    * boilerplate fraction is the share of its gram occurrences that
+    * are template grams. Deliberately WITHIN-source df (the per-domain
+    * semantics of production boilerplate removal) — the cross-corpus
+    * twin of this signal is x68's substring dedup, and the within-DOC
+    * twin is x30/x51's repetition ratio; the three are disjoint axes.
+    * Documents shorter than the gram (n_grams = 0) carry no evidence
+    * and are excluded by contract.
+    *
+    * 100 TB shape: one corpus scan explodes grams; every shuffle is
+    * keyed on (source, gram) and partial-agg'd — df is an aggregate of
+    * the per-doc aggregate (never a distinct over raw occurrences),
+    * the df table joins back on the same key it was built on, and the
+    * final rollups are per-doc then per-source. Gram fan-out is
+    * O(words); at the full corpus the (source, gram) key space is what
+    * a domain-sharded pipeline partitions by anyway. */
+  def boilerplateGrams(spark: SparkSession, dir: String, n: Int = BoilerN,
+                       dfAt: Int = BoilerDfAt): DataFrame = {
+    val occ = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), col("source"),
+        explode(expr(s"transform(sequence(1, size(ws) - ${n - 1}), " +
+          s"i -> array_join(slice(ws, i, $n), ' '))")).as("gram"))
+      .groupBy(col("source"), col("gram"), col("doc_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val gramDf = occ.groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("df"))
+    val perDoc = occ.join(gramDf, Seq("source", "gram"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(when(col("df") >= dfAt, col("cnt")).otherwise(0L)).as("n_boiler"))
+      .withColumn("doc_ppm", expr("(1000000L * n_boiler) div n_grams"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("total_grams"),
+        sum(col("n_boiler")).as("boiler_grams"),
+        sum(when(col("doc_ppm") >= BoilerFlagPpm, 1L).otherwise(0L))
+          .as("n_flagged"))
+      .withColumn("boiler_ppm",
+        expr("(1000000L * boiler_grams) div total_grams"))
+  }
 }

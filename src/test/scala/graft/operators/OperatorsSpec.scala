@@ -3107,4 +3107,60 @@ class OperatorsSpec extends SparkSpec {
       if (rank == 1L) assert(aff > 1.0, s"$src top affinity")
     }
   }
+
+  test("hllDistinctAudit (x193): registers and estimate match a driver replay") {
+    val nationByCust = graft.Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_nationkey").as[(Long, Long)].collect().toMap
+    val buyers = graft.Tables.orders(spark, sf)
+      .select($"o_custkey").as[Long].collect().toSet
+      .groupBy(nationByCust)
+    val m = Relational.HllBuckets
+    val want = buyers.map { case (nk, cks) =>
+      val regs = Array.fill(m)(0L)
+      cks.foreach { ck =>
+        val h = Dedup.md5Hash60Ref(s"hll:$ck")
+        val (bucket, rest) = ((h % m).toInt, h / m)
+        val rnk = if (rest == 0L) 57L
+                  else java.lang.Long.numberOfTrailingZeros(rest) + 1L
+        regs(bucket) = math.max(regs(bucket), rnk)
+      }
+      val harmonic = regs.map(r => 1L << (58 - math.min(r, 58L)).toInt).sum
+      val est = math.floor(172.288 * 288230376151711744.0 / harmonic.toDouble).toLong
+      nk -> (cks.size.toLong, regs.max, harmonic, est,
+        1000000L * math.abs(est - cks.size) / cks.size)
+    }
+    val got = Relational.hllDistinctAudit(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (nk, n, maxReg, harm, est, ppm) =>
+      assert((n, maxReg, harm, est, ppm) == want(nk), s"nation $nk")
+    }
+  }
+
+  test("boilerplateGrams (x194): within-source df and coverage match a replay") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+    val n = TextAnalysis.BoilerN
+    val grams = docs.flatMap { case (id, src, text) =>
+      val ws = text.split(" ", -1)
+      ws.sliding(n).filter(_.length == n).map(g => (src, g.mkString(" "), id))
+    }
+    val df = grams.distinct.groupBy(t => (t._1, t._2)).view.mapValues(_.size).toMap
+    val perDoc = grams.groupBy(t => (t._1, t._3)).view.mapValues { gs =>
+      val total = gs.length.toLong
+      val boiler = gs.count(g => df((g._1, g._2)) >= TextAnalysis.BoilerDfAt).toLong
+      (total, boiler, 1000000L * boiler / total)
+    }.toMap
+    val want = perDoc.groupBy(_._1._1).view.mapValues { ds =>
+      (ds.size.toLong, ds.values.map(_._1).sum, ds.values.map(_._2).sum,
+        ds.values.count(_._3 >= TextAnalysis.BoilerFlagPpm).toLong)
+    }.toMap
+    val got = TextAnalysis.boilerplateGrams(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (src, nd, tot, boil, flagged, ppm) =>
+      assert((nd, tot, boil, flagged) == want(src), s"source $src")
+      assert(ppm == 1000000L * boil / tot, s"source $src ppm")
+    }
+  }
 }
