@@ -232,6 +232,10 @@ object SparkEntry {
     "x192_knn_hubness"      -> ((s, d) => Similarity.knnHubness(s, d)),
     "x193_hll_audit"        -> ((s, d) => Relational.hllDistinctAudit(s, d)),
     "x194_boilerplate"      -> ((s, d) => TextAnalysis.boilerplateGrams(s, d)),
+    "x195_theil_sen"        -> ((s, d) => Forecast.theilSenSlopes(s, d)),
+    "x196_bootstrap_ci"     -> ((s, d) => Forecast.bootstrapCi(s, d)),
+    "x197_winsor_spend"     -> ((s, d) => Relational.winsorizedSpend(s, d)),
+    "x198_knn_truss"        -> ((s, d) => LinkAnalysis.knnTruss(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -3720,6 +3724,152 @@ object SparkEntry {
         |             CAST(sum(CASE WHEN doc_ppm >= $BoilerFlagPpm THEN 1 ELSE 0 END) AS BIGINT)
         |               AS n_flagged
         |      FROM flagged GROUP BY 1) t""".stripMargin
+    },
+
+    // x195: Theil–Sen monthly-revenue slope — rational pairwise slopes,
+    // cross-multiplied multiset rank, lower-median pick with (num, den)
+    // tiebreak; no float ordering anywhere.
+    "x195_theil_sen" ->
+      """WITH monthly AS (
+        |  SELECT c.c_nationkey AS nk, year(o.o_orderdate) AS yr,
+        |         month(o.o_orderdate) AS mo,
+        |         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2, 3),
+        |pairs AS (
+        |  SELECT a.nk, a.yr, b.rev - a.rev AS num, b.mo - a.mo AS den
+        |  FROM monthly a JOIN monthly b
+        |    ON a.nk = b.nk AND a.yr = b.yr AND a.mo < b.mo),
+        |vals AS (SELECT nk, yr, num, den, CAST(count(*) AS BIGINT) AS n_inst
+        |         FROM pairs GROUP BY 1, 2, 3, 4),
+        |ranked AS (
+        |  SELECT x.nk, x.yr, x.num, x.den,
+        |         CAST(sum(CASE WHEN y.num * x.den <= x.num * y.den
+        |                       THEN y.n_inst ELSE 0 END) AS BIGINT) AS cnt_le,
+        |         CAST(sum(y.n_inst) AS BIGINT) AS n_slopes
+        |  FROM vals x JOIN vals y ON x.nk = y.nk AND x.yr = y.yr
+        |  GROUP BY 1, 2, 3, 4),
+        |med AS (
+        |  SELECT nk, yr, num, den, n_slopes,
+        |         row_number() OVER (PARTITION BY nk, yr
+        |           ORDER BY cnt_le, num, den) AS rn
+        |  FROM ranked WHERE cnt_le >= (n_slopes + 1) // 2),
+        |months AS (SELECT nk, yr, CAST(count(*) AS BIGINT) AS n_months
+        |           FROM monthly GROUP BY 1, 2)
+        |SELECT m.nk AS n_nationkey, m.yr, mo.n_months, m.n_slopes,
+        |       m.num AS med_num, m.den AS med_den,
+        |       CAST(m.num AS DOUBLE) / CAST(m.den AS DOUBLE) AS slope
+        |FROM med m JOIN months mo ON m.nk = mo.nk AND m.yr = mo.yr
+        |WHERE m.rn = 1""".stripMargin,
+
+    // x196: percentile bootstrap — md5-60 deterministic resampling of
+    // the daily-revenue series, pinned order-statistic CI bracket.
+    "x196_bootstrap_ci" -> {
+      import operators.Forecast.{BootHiRank, BootLoRank, BootReps}
+      s"""WITH daily AS (
+        |  SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1 AS idx,
+        |               rev FROM daily),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |               CAST(sum(rev) AS BIGINT) AS observed_cents FROM idx),
+        |draws AS (
+        |  SELECT r.r, unnest(range(c.n_days)) AS s, c.n_days
+        |  FROM (SELECT unnest(range($BootReps)) AS r) r CROSS JOIN cnt c),
+        |picks AS (
+        |  SELECT r, ('0x' || substr(md5('boot:' || CAST(r AS VARCHAR) || ':'
+        |           || CAST(s AS VARCHAR)), 1, 15))::BIGINT % n_days AS pick
+        |  FROM draws),
+        |rep AS (SELECT p.r, CAST(sum(i.rev) AS BIGINT) AS rep_total
+        |        FROM picks p JOIN idx i ON p.pick = i.idx GROUP BY 1),
+        |ranked AS (SELECT rep_total,
+        |                  row_number() OVER (ORDER BY rep_total, r) AS rk
+        |           FROM rep)
+        |SELECT c.n_days, c.observed_cents, t.n_reps, t.sum_rep_cents,
+        |       t.boot_lo_cents, t.boot_hi_cents
+        |FROM (SELECT CAST(count(*) AS BIGINT) AS n_reps,
+        |             CAST(sum(rep_total) AS BIGINT) AS sum_rep_cents,
+        |             min(CASE WHEN rk = $BootLoRank THEN rep_total END) AS boot_lo_cents,
+        |             min(CASE WHEN rk = $BootHiRank THEN rep_total END) AS boot_hi_cents
+        |      FROM ranked) t CROSS JOIN cnt c""".stripMargin
+    },
+
+    // x197: winsorized/trimmed segment spend — rank-pick percentiles
+    // (ceil(p·n/100) over the (spend, custkey) total order), integer
+    // clamp and rollup.
+    "x197_winsor_spend" -> {
+      import operators.Relational.{WinsorHiPct, WinsorLoPct}
+      s"""WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend
+        |  FROM orders GROUP BY 1),
+        |seg AS (SELECT s.o_custkey, s.spend, c.c_mktsegment
+        |        FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+        |ranked AS (
+        |  SELECT c_mktsegment, o_custkey, spend,
+        |         CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY spend, o_custkey) AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+        |  FROM seg),
+        |rk AS (SELECT *, (n * $WinsorLoPct + 99) // 100 AS lo_rank,
+        |              (n * $WinsorHiPct + 99) // 100 AS hi_rank FROM ranked),
+        |bounds AS (
+        |  SELECT c_mktsegment AS bseg,
+        |         min(CASE WHEN rn = lo_rank THEN spend END) AS p5_cents,
+        |         min(CASE WHEN rn = hi_rank THEN spend END) AS p95_cents
+        |  FROM rk WHERE rn = lo_rank OR rn = hi_rank GROUP BY 1)
+        |SELECT r.c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        |       min(b.p5_cents) AS p5_cents, min(b.p95_cents) AS p95_cents,
+        |       CAST(sum(r.spend) AS BIGINT) AS raw_sum_cents,
+        |       CAST(sum(greatest(least(r.spend, b.p95_cents), b.p5_cents)) AS BIGINT)
+        |         AS winsor_sum_cents,
+        |       CAST(sum(CASE WHEN r.rn >= r.lo_rank AND r.rn <= r.hi_rank
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS trim_n,
+        |       CAST(sum(CASE WHEN r.rn >= r.lo_rank AND r.rn <= r.hi_rank
+        |                     THEN r.spend ELSE 0 END) AS BIGINT) AS trim_sum_cents
+        |FROM rk r JOIN bounds b ON r.c_mktsegment = b.bseg
+        |GROUP BY 1""".stripMargin
+    },
+
+    // x198: 3-truss of the mutual-kNN graph — x178's exact ranked CTE at
+    // the staged depth, reciprocal edges, pinned peel rounds unrolled.
+    "x198_knn_truss" -> {
+      import operators.KnnStage.StageK
+      import operators.LinkAnalysis.{KnnTrussK, KnnTrussRounds}
+      val minSup = KnnTrussK - 2
+      val rounds = (1 to KnnTrussRounds).map { i =>
+        val prev = s"r${i - 1}"
+        s"""sym$i AS (SELECT a, b FROM $prev UNION ALL SELECT b, a FROM $prev),
+           |s$i AS (SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS support
+           |        FROM $prev e JOIN sym$i n1 ON e.a = n1.a
+           |        JOIN sym$i n2 ON e.b = n2.a AND n1.b = n2.b
+           |        GROUP BY 1, 2),
+           |r$i AS (SELECT a, b FROM s$i WHERE support >= $minSup)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm FROM e),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id,
+        |    floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+        |  FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY cos_sim DESC, vec_id) AS rank
+        |  FROM scored),
+        |topk AS (SELECT q_id, vec_id FROM ranked WHERE rank <= $StageK),
+        |r0 AS (SELECT f.q_id AS a, f.vec_id AS b
+        |       FROM topk f JOIN topk r
+        |         ON f.q_id = r.vec_id AND f.vec_id = r.q_id
+        |       WHERE f.q_id < f.vec_id),
+        |$rounds
+        |SELECT s.a, s.b, s.support, ea.label AS label_a, eb.label AS label_b
+        |FROM s$KnnTrussRounds s
+        |JOIN embeddings ea ON s.a = ea.vec_id
+        |JOIN embeddings eb ON s.b = eb.vec_id
+        |WHERE s.support >= $minSup""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

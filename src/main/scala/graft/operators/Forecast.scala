@@ -499,4 +499,118 @@ object Forecast {
         ((col("n_conc") - col("n_disc")).cast("double") / col("n_pairs"))
           .as("tau_a"))
   }
+
+  /** Theil–Sen slope of monthly revenue per (nation, year) (x195): the
+    * robust trend estimator — the EXACT median of all pairwise slopes
+    * (revᵢ−revⱼ)/(moᵢ−moⱼ), immune to the outlier months that wreck
+    * OLS (x119's complement: same trend question, breakdown point 29%
+    * instead of 0). Everything stays RATIONAL: slopes are (num, den)
+    * integer pairs, compared by cross-multiplication (den > 0 always),
+    * and the published median is the LOWER-median slope instance —
+    * rank t = (n+1) div 2 under the multiset order, ties broken to the
+    * smallest (num, den) representation — plus its one-IEEE-division
+    * double. No float ordering anywhere, so the pick is cross-engine
+    * deterministic even when distinct rationals collide in double.
+    *
+    * 100 TB shape: the corpus collapses to the O(nations × months)
+    * monthly aggregate FIRST (one partial-agg'd shuffle); the pair and
+    * rank joins run on value-level slope multisets keyed by
+    * (nation, year) — ≤ C(12,2) = 66 instances per group, O(groups ×
+    * 66²) total work, independent of fact-table size. */
+  def theilSenSlopes(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nk"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        Relational.cents(col("o_totalprice")).as("cents"))
+      .groupBy(col("nk"), col("yr"), col("mo"))
+      .agg(sum(col("cents")).as("rev"))
+      .localCheckpoint() // both sides of the pair join + the month count
+    val pairs = monthly.as("a").join(monthly.as("b"),
+        col("a.nk") === col("b.nk") && col("a.yr") === col("b.yr") &&
+          col("a.mo") < col("b.mo"))
+      .select(col("a.nk").as("nk"), col("a.yr").as("yr"),
+        (col("b.rev") - col("a.rev")).as("num"),
+        (col("b.mo") - col("a.mo")).as("den"))
+    val vals = pairs.groupBy(col("nk"), col("yr"), col("num"), col("den"))
+      .agg(count(lit(1)).as("n_inst"))
+      .localCheckpoint() // both sides of the rank join
+    val ranked = vals.as("x").join(vals.as("y"),
+        col("x.nk") === col("y.nk") && col("x.yr") === col("y.yr"))
+      .groupBy(col("x.nk").as("nk"), col("x.yr").as("yr"),
+        col("x.num").as("num"), col("x.den").as("den"))
+      .agg(sum(when(col("y.num") * col("x.den") <= col("x.num") * col("y.den"),
+          col("y.n_inst")).otherwise(0L)).as("cnt_le"),
+        sum(col("y.n_inst")).as("n_slopes"))
+    val months = monthly.groupBy(col("nk").as("m_nk"), col("yr").as("m_yr"))
+      .agg(count(lit(1)).as("n_months"))
+    val w = Window.partitionBy(col("nk"), col("yr"))
+      .orderBy(col("cnt_le"), col("num"), col("den"))
+    ranked.filter(col("cnt_le") >= expr("(n_slopes + 1) div 2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(months),
+        col("nk") === col("m_nk") && col("yr") === col("m_yr"))
+      .select(col("nk").as("n_nationkey"), col("yr"), col("n_months"),
+        col("n_slopes"), col("num").as("med_num"), col("den").as("med_den"),
+        (col("num").cast("double") / col("den").cast("double")).as("slope"))
+  }
+
+  /** Bootstrap replicate count / CI order-statistic ranks for
+    * [[bootstrapCi]] (x196) — shared with the DuckDB oracle.
+    * Lo/hi are the ceil(0.025·B) and ceil(0.975·B)+1 order statistics
+    * of B = 200 replicate totals (the percentile-bootstrap bracket). */
+  val BootReps: Int = 200
+  val BootLoRank: Int = 5
+  val BootHiRank: Int = 196
+
+  /** Percentile-bootstrap CI for total daily revenue (x196): resample
+    * the daily-revenue series WITH replacement B times, deterministically
+    * — draw s of replicate r picks day index md5₆₀("boot:r:s") mod n,
+    * the engine-neutral acceptance-hash discipline of x27/x100, so both
+    * engines materialize the IDENTICAL resamples and the CI is exact
+    * integer cents (no RNG state, no float percentile interpolation:
+    * the bracket is two pinned order statistics of the B replicate
+    * totals). This is the uncertainty quantification every A/B readout
+    * and forecast backtest (x117/x123) should ship with.
+    *
+    * 100 TB shape: the corpus collapses to the O(days) daily aggregate
+    * first; the resample fan-out is B × n_days rows (bounded by the
+    * calendar, not the corpus), the picked-day join broadcasts the
+    * O(days) series, and the replicate rollup is one partial-agg'd
+    * shuffle on B keys. The 1-row day-count cross is the documented
+    * scalar-broadcast pattern (x100/x117 class). */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+        Relational.cents(col("o_totalprice")).as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("rev"))
+      .withColumn("idx",
+        row_number().over(Window.orderBy(col("day"))).cast("long") - 1)
+      .localCheckpoint() // O(days); read by the scalar agg + the pick join
+    val nRow = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("rev")).as("observed_cents"))
+    val reps = spark.range(BootReps.toLong).select(col("id").as("r"))
+      .crossJoin(broadcast(nRow))
+      .select(col("r"), col("n_days"),
+        explode(expr("sequence(0L, n_days - 1)")).as("s"))
+      .withColumn("pick",
+        pmod(Dedup.md5Hash60(concat(lit("boot:"), col("r").cast("string"),
+          lit(":"), col("s").cast("string"))), col("n_days")))
+      .join(broadcast(daily.select(col("idx"), col("rev"))),
+        col("pick") === col("idx"))
+      .groupBy(col("r")).agg(sum(col("rev")).as("rep_total"))
+    val wb = Window.orderBy(col("rep_total"), col("r"))
+    reps.withColumn("rk", row_number().over(wb))
+      .agg(count(lit(1)).as("n_reps"),
+        sum(col("rep_total")).as("sum_rep_cents"),
+        min(when(col("rk") === BootLoRank, col("rep_total"))).as("boot_lo_cents"),
+        min(when(col("rk") === BootHiRank, col("rep_total"))).as("boot_hi_cents"))
+      .crossJoin(broadcast(nRow))
+      .select(col("n_days"), col("observed_cents"), col("n_reps"),
+        col("sum_rep_cents"), col("boot_lo_cents"), col("boot_hi_cents"))
+  }
 }

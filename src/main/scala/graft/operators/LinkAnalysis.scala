@@ -743,4 +743,55 @@ object LinkAnalysis {
         sum((col("y").cast("decimal(38,0)") * col("y"))
           .cast("decimal(38,0)")).cast("string").as("sum_yy"))
   }
+
+  /** x198 knobs: truss order (k = 3 ⇒ every surviving edge sits in ≥ 1
+    * triangle of survivors) and the pinned peel-round count (unrolled
+    * in the oracle — the x77/x99/x122 pinned-iteration convention). */
+  val KnnTrussK: Int = 3
+  val KnnTrussRounds: Int = 3
+
+  /** k-truss peel of the mutual-kNN graph (x198): iteratively remove
+    * every reciprocal-neighbor edge (x178's graph at the staged depth)
+    * that closes NO triangle among survivors — the truss is the
+    * community-grade core of a kNN graph: a mutual edge alone can be
+    * an isolated pair, but an edge inside a surviving triangle is
+    * corroborated by a THIRD vector agreeing both endpoints share a
+    * neighborhood. The surviving components are the high-confidence
+    * semantic clusters a SemDeDup-style pipeline (x78) keeps one
+    * representative of; endpoint labels are published so cluster
+    * purity is visible in the output.
+    *
+    * After R pinned rounds the edge set is an upper bound on the true
+    * 3-truss, monotonically shrinking toward it (the x122 bound
+    * argument; the spec proves sf0.001 reaches the fixpoint within
+    * the pinned rounds). 100 TB shape: edges come from the STAGED
+    * exact-kNN table (degree ≤ StageK, so the graph is O(N·k) and
+    * every wedge join is bounded by k per node); each round is two
+    * keyed equi-joins plus one partial-agg'd support groupBy,
+    * `localCheckpoint`ed so round r never re-derives round r−1 (the
+    * x99 recompute trap). */
+  def knnTruss(spark: SparkSession, dir: String): DataFrame = {
+    var e = Similarity.mutualTopK(spark, dir, KnnStage.StageK)
+      .select(col("u").as("a"), col("v").as("b")).localCheckpoint()
+    var lastSup: DataFrame = null
+    for (_ <- 1 to KnnTrussRounds) {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val n1 = sym.select(col("a").as("ea"), col("b").as("w1"))
+      val n2 = sym.select(col("a").as("eb"), col("b").as("w2"))
+      val sup = e.join(n1, col("a") === col("ea"))
+        .join(n2, col("b") === col("eb") && col("w1") === col("w2"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      lastSup = sup.filter(col("support") >= KnnTrussK - 2).localCheckpoint()
+      e = lastSup.select(col("a"), col("b"))
+    }
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    lastSup
+      .join(broadcast(labels.select(col("vec_id").as("ia"),
+        col("label").as("label_a"))), col("a") === col("ia"))
+      .join(broadcast(labels.select(col("vec_id").as("ib"),
+        col("label").as("label_b"))), col("b") === col("ib"))
+      .select(col("a"), col("b"), col("support"),
+        col("label_a"), col("label_b"))
+  }
 }

@@ -1273,4 +1273,59 @@ object Relational {
         col("harmonic_scaled"), col("est_hll"),
         expr("(1000000L * abs(est_hll - n_exact)) div n_exact").as("err_ppm"))
   }
+
+  /** Winsor percentile bounds (x197), in whole percents — shared with
+    * the DuckDB oracle. Rank = ceil(pct·n/100) over the (spend,
+    * custkey) total order. */
+  val WinsorLoPct: Int = 5
+  val WinsorHiPct: Int = 95
+
+  /** Winsorized & trimmed customer-spend means per market segment
+    * (x197): the outlier-robust spend summary — clamp each customer's
+    * lifetime spend to the segment's [p5, p95] rank values
+    * (winsorize) and separately drop the tails (trim), publishing
+    * both sums next to the raw one. All integer cents; the percentile
+    * is a RANK pick (value at row_number ceil(p·n/100) under the
+    * total (spend, custkey) order — x141's rank discipline), never a
+    * float interpolation, so both engines pick the identical cent.
+    *
+    * 100 TB shape: the corpus collapses to the per-customer aggregate
+    * first (one partial-agg'd shuffle on custkey); the rank window
+    * partitions by the 5-value segment key over per-customer rows —
+    * at extreme scale that per-segment sort is the one heavy step,
+    * and the documented substitution is a two-pass bounded-domain
+    * histogram quantile (the x29/x131 discipline) feeding the same
+    * clamp; the clamp + rollup stages are unchanged either way. */
+  def winsorizedSpend(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("c"))
+      .groupBy(col("o_custkey")).agg(sum(col("c")).as("spend"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("spend"), col("o_custkey"))
+    val ranked = spend
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))))
+      .withColumn("lo_rank", expr(s"(n * $WinsorLoPct + 99) div 100"))
+      .withColumn("hi_rank", expr(s"(n * $WinsorHiPct + 99) div 100"))
+    val bounds = ranked
+      .filter(col("rn") === col("lo_rank") || col("rn") === col("hi_rank"))
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(min(when(col("rn") === col("lo_rank"), col("spend"))).as("p5_cents"),
+        min(when(col("rn") === col("hi_rank"), col("spend"))).as("p95_cents"))
+    ranked.join(broadcast(bounds), col("c_mktsegment") === col("seg"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("p5_cents")).as("p5_cents"),
+        min(col("p95_cents")).as("p95_cents"),
+        sum(col("spend")).as("raw_sum_cents"),
+        sum(greatest(least(col("spend"), col("p95_cents")), col("p5_cents")))
+          .as("winsor_sum_cents"),
+        sum(when(col("rn") >= col("lo_rank") && col("rn") <= col("hi_rank"), 1L)
+          .otherwise(0L)).as("trim_n"),
+        sum(when(col("rn") >= col("lo_rank") && col("rn") <= col("hi_rank"),
+          col("spend")).otherwise(0L)).as("trim_sum_cents"))
+  }
 }

@@ -463,4 +463,31 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(BigInt(got._5) == xy.map(p => p._1 * p._1).sum)
     assert(BigInt(got._6) == xy.map(p => p._2 * p._2).sum)
   }
+
+  test("knnTruss (x198): peel matches a driver replay and reaches its fixpoint") {
+    val mutual = Similarity.mutualTopK(spark, sf, KnnStage.StageK)
+      .select($"u", $"v").as[(Long, Long)].collect().toSet
+    def peel(edges: Set[(Long, Long)]): (Set[(Long, Long)], Map[(Long, Long), Long]) = {
+      val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val sup = edges.map(e => e -> (adj(e._1) & adj(e._2)).size.toLong).toMap
+      (sup.filter(_._2 >= LinkAnalysis.KnnTrussK - 2).keySet, sup)
+    }
+    var e = mutual
+    var lastSup = Map.empty[(Long, Long), Long]
+    for (_ <- 1 to LinkAnalysis.KnnTrussRounds) {
+      val (kept, sup) = peel(e)
+      lastSup = sup.filter { case (ed, s) => kept(ed) }; e = kept
+    }
+    // fixpoint: one more round changes nothing at this SF
+    assert(peel(e)._1 == e)
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val got = LinkAnalysis.knnTruss(spark, sf)
+      .as[(Long, Long, Long, Int, Int)].collect()
+    assert(got.length == e.size && got.nonEmpty)
+    got.foreach { case (a, b, s, la, lb) =>
+      assert(lastSup((a, b)) == s && labels(a) == la && labels(b) == lb, s"edge ($a,$b)")
+    }
+  }
 }

@@ -3163,4 +3163,85 @@ class OperatorsSpec extends SparkSpec {
       assert(ppm == 1000000L * boil / tot, s"source $src ppm")
     }
   }
+
+  test("theilSenSlopes (x195): lower-median rational slope matches an exact replay") {
+    val nationByCust = graft.Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_nationkey").as[(Long, Long)].collect().toMap
+    val monthly = graft.Tables.orders(spark, sf)
+      .select($"o_custkey", year($"o_orderdate").cast("long"),
+        month($"o_orderdate").cast("long"),
+        Relational.cents($"o_totalprice"))
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(r => (nationByCust(r._1), r._2, r._3))
+      .view.mapValues(_.map(_._4).sum).toSeq
+      .groupBy(t => (t._1._1, t._1._2))
+    val want = monthly.collect { case ((nk, yr), ms) if ms.size >= 2 =>
+      val byMo = ms.map { case ((_, _, mo), rev) => (mo, rev) }.sortBy(_._1)
+      val slopes = for {
+        i <- byMo.indices; j <- (i + 1) until byMo.size
+      } yield (byMo(j)._2 - byMo(i)._2, byMo(j)._1 - byMo(i)._1)
+      val nS = slopes.size.toLong
+      val t = (nS + 1) / 2
+      // rank by cross-multiplied multiset count, tiebreak (num, den)
+      val cand = slopes.map { case (num, den) =>
+        val cntLe = slopes.count { case (n2, d2) => n2 * den <= num * d2 }.toLong
+        (cntLe, num, den)
+      }.filter(_._1 >= t).min
+      (nk, yr) -> (byMo.size.toLong, nS, cand._2, cand._3)
+    }.toMap
+    val got = Forecast.theilSenSlopes(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (nk, yr, nm, ns, num, den, slope) =>
+      assert((nm, ns, num, den) == want((nk, yr)), s"group ($nk,$yr)")
+      assert(slope == num.toDouble / den.toDouble)
+    }
+  }
+
+  test("bootstrapCi (x196): deterministic resamples and CI bracket match a replay") {
+    val daily = graft.Tables.orders(spark, sf)
+      .select(expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+        Relational.cents($"o_totalprice").as("c"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val revByIdx = daily.map(_._2).toArray
+    val n = revByIdx.length.toLong
+    val totals = (0L until Forecast.BootReps).map { r =>
+      val t = (0L until n).map { s =>
+        revByIdx(((Dedup.md5Hash60Ref(s"boot:$r:$s") % n + n) % n).toInt)
+      }.sum
+      (t, r)
+    }.sorted
+    val Seq((lo, _), (hi, _)) =
+      Seq(totals(Forecast.BootLoRank - 1), totals(Forecast.BootHiRank - 1))
+    val Array((nd, obs, nr, sumRep, gotLo, gotHi)) = Forecast.bootstrapCi(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(nd == n && obs == revByIdx.sum && nr == Forecast.BootReps)
+    assert(sumRep == totals.map(_._1).sum && gotLo == lo && gotHi == hi)
+    assert(gotLo <= gotHi)
+  }
+
+  test("winsorizedSpend (x197): rank-pick percentiles and clamped sums match a replay") {
+    val segByCust = graft.Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_mktsegment").as[(Long, String)].collect().toMap
+    val spend = graft.Tables.orders(spark, sf)
+      .select($"o_custkey", Relational.cents($"o_totalprice").as("c"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val want = spend.groupBy(t => segByCust(t._1)).view.mapValues { cs =>
+      val sorted = cs.sortBy(t => (t._2, t._1)).map(_._2)
+      val nn = sorted.length.toLong
+      val (loR, hiR) = ((nn * 5 + 99) / 100, (nn * 95 + 99) / 100)
+      val (p5, p95) = (sorted(loR.toInt - 1), sorted(hiR.toInt - 1))
+      val trimmed = sorted.slice(loR.toInt - 1, hiR.toInt)
+      (nn, p5, p95, sorted.sum, sorted.map(v => math.max(p5, math.min(v, p95))).sum,
+        trimmed.length.toLong, trimmed.sum)
+    }.toMap
+    val got = Relational.winsorizedSpend(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (seg, nn, p5, p95, raw, win, tn, ts) =>
+      assert((nn, p5, p95, raw, win, tn, ts) == want(seg), s"segment $seg")
+    }
+  }
 }
