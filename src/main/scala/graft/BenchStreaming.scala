@@ -209,6 +209,8 @@ object BenchStreaming {
       run("reorders_stream", ev => EventStream.reorders(ev).toDF()),
       run("conversions_stream", ev => EventStream.conversions(ev).toDF()),
       run("wau_stream", EventStream.weeklyActiveUsers, "complete"),
+      // bounded O(event_types × 16) register state — the mergeable sketch
+      run("hll_stream", EventStream.hllRegisters, "update"),
       run("ewma_stream", ev => EventStream.ewmaPopularity(ev).toDF()),
       run("last_touch_stream", { ev =>
         import org.apache.spark.sql.functions.{col, round}

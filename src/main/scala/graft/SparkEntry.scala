@@ -236,6 +236,8 @@ object SparkEntry {
     "x196_bootstrap_ci"     -> ((s, d) => Forecast.bootstrapCi(s, d)),
     "x197_winsor_spend"     -> ((s, d) => Relational.winsorizedSpend(s, d)),
     "x198_knn_truss"        -> ((s, d) => LinkAnalysis.knnTruss(s, d)),
+    "x199_event_hll"        -> ((s, d) => Sessionize.eventHllAudit(s, d)),
+    "x200_good_turing"      -> ((s, d) => TextAnalysis.goodTuringGrams(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -3870,6 +3872,74 @@ object SparkEntry {
         |JOIN embeddings ea ON s.a = ea.vec_id
         |JOIN embeddings eb ON s.b = eb.vec_id
         |WHERE s.support >= $minSup""".stripMargin
+    },
+
+    // x199: per-event-type HLL distinct users — x193's register/
+    // harmonic/estimate CTEs on the event stream's natural key.
+    "x199_event_hll" -> {
+      import operators.Relational.{HllBuckets, HllShiftCap}
+      s"""WITH pairs AS (SELECT DISTINCT event_type, user_id AS item FROM events),
+        |hashed AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5('hll:' || CAST(item AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM pairs),
+        |ranks AS (
+        |  SELECT event_type, (h % $HllBuckets) AS bucket,
+        |    CASE WHEN (h // $HllBuckets) = 0 THEN 57
+        |         ELSE bit_count(((h // $HllBuckets) & -(h // $HllBuckets)) - 1) + 1
+        |    END AS rnk
+        |  FROM hashed),
+        |regs AS (SELECT event_type, bucket, CAST(max(rnk) AS BIGINT) AS register
+        |         FROM ranks GROUP BY 1, 2),
+        |universe AS (SELECT t.event_type, b.bucket
+        |             FROM (SELECT DISTINCT event_type FROM pairs) t
+        |             CROSS JOIN (SELECT unnest(range($HllBuckets)) AS bucket) b),
+        |full_regs AS (
+        |  SELECT u.event_type, coalesce(r.register, 0) AS register
+        |  FROM universe u LEFT JOIN regs r
+        |    ON u.event_type = r.event_type AND u.bucket = r.bucket),
+        |harm AS (
+        |  SELECT event_type,
+        |         CAST(sum(CAST(1 AS BIGINT)
+        |           << CAST($HllShiftCap - least(register, $HllShiftCap) AS INTEGER)) AS BIGINT)
+        |           AS harmonic_scaled,
+        |         CAST(max(register) AS BIGINT) AS max_register
+        |  FROM full_regs GROUP BY 1),
+        |exact AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+        |          FROM pairs GROUP BY 1),
+        |est AS (
+        |  SELECT h.event_type, e.n_exact, h.max_register, h.harmonic_scaled,
+        |         CAST(floor((172.288 * 288230376151711744.0)
+        |           / CAST(h.harmonic_scaled AS DOUBLE)) AS BIGINT) AS est_hll
+        |  FROM harm h JOIN exact e USING (event_type))
+        |SELECT event_type, n_exact, max_register, harmonic_scaled, est_hll,
+        |       (1000000 * abs(est_hll - n_exact)) // n_exact AS err_ppm
+        |FROM est""".stripMargin
+    },
+
+    // x200: Good–Turing 5-gram spectrum — N_r rollup, (r+1)·N_{r+1}/N_r
+    // rationals, 1-row totals cross.
+    "x200_good_turing" -> {
+      import operators.TextAnalysis.{GtMaxR, GtN}
+      s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT ws, unnest(range(1, len(ws) - ${GtN - 2})) AS i
+        |        FROM w WHERE len(ws) >= $GtN),
+        |g AS (SELECT array_to_string(ws[i:i+${GtN - 1}], ' ') AS gram FROM idx),
+        |tf AS (SELECT gram, CAST(count(*) AS BIGINT) AS r FROM g GROUP BY 1),
+        |spec AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS total_grams,
+        |               CAST(sum(n_r) AS BIGINT) AS distinct_grams FROM spec),
+        |rr AS (SELECT unnest(range(1, ${GtMaxR + 1})) AS r)
+        |SELECT rr.r, coalesce(s.n_r, 0) AS n_r, coalesce(s1.n_r, 0) AS n_r1,
+        |       (rr.r + 1) * coalesce(s1.n_r, 0) AS gt_num,
+        |       coalesce(s.n_r, 0) AS gt_den,
+        |       CASE WHEN coalesce(s.n_r, 0) > 0
+        |            THEN CAST((rr.r + 1) * coalesce(s1.n_r, 0) AS DOUBLE)
+        |                 / coalesce(s.n_r, 0) END AS gt_smoothed_r,
+        |       t.total_grams, t.distinct_grams
+        |FROM rr LEFT JOIN spec s ON rr.r = s.r
+        |LEFT JOIN spec s1 ON s1.r = rr.r + 1
+        |CROSS JOIN tot t""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

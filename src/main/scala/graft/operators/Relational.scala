@@ -1236,42 +1236,53 @@ object Relational {
     * (the same property the streaming twin exploits); the corpus is
     * scanned once, and the exact side is the one countDistinct this
     * audit exists to eventually replace. */
+  /** Append the HLL (bucket, rank) columns for an item column — the
+    * md5-60 trailing-zero register rank shared by x193, x199, and the
+    * streaming register twin. */
+  private[graft] def withHllRank(df: DataFrame, item: Column): DataFrame =
+    df.withColumn("h", Dedup.md5Hash60(concat(lit("hll:"), item.cast("string"))))
+      .withColumn("bucket", pmod(col("h"), lit(HllBuckets.toLong)))
+      .withColumn("rest", expr(s"h div $HllBuckets"))
+      .withColumn("rnk", when(col("rest") === 0L, lit(57L))
+        .otherwise(expr("bit_count((rest & -rest) - 1) + 1").cast("long")))
+
+  /** The generic HLL-vs-exact audit over a DISTINCT (key, item) frame
+    * (item column named `item`): registers → integer harmonic sum →
+    * raw estimate → err_ppm, one row per key. See [[hllDistinctAudit]]
+    * for the exactness argument. */
+  private[graft] def hllAuditByKey(pairs: DataFrame, key: String): DataFrame = {
+    val spark = pairs.sparkSession
+    val regs = withHllRank(pairs, col("item"))
+      .groupBy(col(key), col("bucket")).agg(max(col("rnk")).as("register"))
+    val universe = pairs.select(col(key)).distinct()
+      .crossJoin(spark.range(HllBuckets.toLong).select(col("id").as("bucket")))
+    val harm = universe
+      .join(broadcast(regs), Seq(key, "bucket"), "left")
+      .withColumn("register", coalesce(col("register"), lit(0L)))
+      .groupBy(col(key))
+      .agg(sum(expr(s"shiftleft(1L, cast($HllShiftCap - least(register, ${HllShiftCap}L) as int))"))
+        .as("harmonic_scaled"),
+        max(col("register")).as("max_register"))
+    val exact = pairs.groupBy(col(key)).agg(count(lit(1)).as("n_exact"))
+    // α₁₆·m²·2^58 as the product of two exact-parse literals (one IEEE
+    // multiply, identical in both engines); 2^58 = 288230376151711744.
+    val alphaScaled = expr("172.288d * 288230376151711744.0d")
+    harm.join(broadcast(exact), Seq(key))
+      .withColumn("est_hll",
+        floor(alphaScaled / col("harmonic_scaled").cast("double")).cast("long"))
+      .select(col(key), col("n_exact"), col("max_register"),
+        col("harmonic_scaled"), col("est_hll"),
+        expr("(1000000L * abs(est_hll - n_exact)) div n_exact").as("err_ppm"))
+  }
+
   def hllDistinctAudit(spark: SparkSession, dir: String): DataFrame = {
-    val m = HllBuckets
     val buyers = Tables.orders(spark, dir).select(col("o_custkey"))
       .join(Tables.customer(spark, dir)
         .select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
-      .select(col("c_nationkey").as("nk"), col("o_custkey").as("ck"))
+      .select(col("c_nationkey").as("n_nationkey"), col("o_custkey").as("item"))
       .distinct()
-    val hashed = buyers
-      .withColumn("h", Dedup.md5Hash60(concat(lit("hll:"), col("ck").cast("string"))))
-      .withColumn("bucket", pmod(col("h"), lit(m.toLong)))
-      .withColumn("rest", expr(s"h div $m"))
-      .withColumn("rnk", when(col("rest") === 0L, lit(57L))
-        .otherwise(expr("bit_count((rest & -rest) - 1) + 1").cast("long")))
-    val regs = hashed.groupBy(col("nk"), col("bucket"))
-      .agg(max(col("rnk")).as("register"))
-    val universe = Tables.nation(spark, dir).select(col("n_nationkey"))
-      .crossJoin(spark.range(m.toLong).select(col("id").as("bucket")))
-    val harm = universe
-      .join(broadcast(regs), universe("n_nationkey") === regs("nk") &&
-        universe("bucket") === regs("bucket"), "left")
-      .withColumn("register", coalesce(col("register"), lit(0L)))
-      .groupBy(col("n_nationkey"))
-      .agg(sum(expr(s"shiftleft(1L, cast($HllShiftCap - least(register, ${HllShiftCap}L) as int))"))
-        .as("harmonic_scaled"),
-        max(col("register")).as("max_register"))
-    val exact = buyers.groupBy(col("nk")).agg(count(lit(1)).as("n_exact"))
-    // α₁₆·m²·2^58 as the product of two exact-parse literals (one IEEE
-    // multiply, identical in both engines); 2^58 = 288230376151711744.
-    val alphaScaled = expr("172.288d * 288230376151711744.0d")
-    harm.join(broadcast(exact), harm("n_nationkey") === exact("nk"))
-      .withColumn("est_hll",
-        floor(alphaScaled / col("harmonic_scaled").cast("double")).cast("long"))
-      .select(col("n_nationkey"), col("n_exact"), col("max_register"),
-        col("harmonic_scaled"), col("est_hll"),
-        expr("(1000000L * abs(est_hll - n_exact)) div n_exact").as("err_ppm"))
+    hllAuditByKey(buyers, "n_nationkey")
   }
 
   /** Winsor percentile bounds (x197), in whole percents — shared with

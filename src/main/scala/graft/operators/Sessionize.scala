@@ -722,4 +722,19 @@ object Sessionize {
           col("n_transitions")).otherwise(0L)).as("n_hits"))
       .withColumn("hit_ppm", expr("(1000000L * n_hits) div n_total"))
   }
+
+  /** Per-event-type HLL distinct-users audit (x199): x193's sketch
+    * audit on the EVENT stream's natural key — the cardinality a
+    * product-metrics pipeline sketches continuously ("unique users per
+    * event type"), published next to the exact count. Shares the
+    * register/harmonic/estimate machinery with x193
+    * ([[Relational.hllAuditByKey]]); the per-(type, bucket) max-rank
+    * register table is exactly the state its streaming twin
+    * (`EventStream.hllRegisters`) maintains incrementally — mergeable
+    * max, so batch ≡ stream by construction (spec-proven). */
+  def eventHllAudit(spark: SparkSession, dir: String): DataFrame =
+    Relational.hllAuditByKey(
+      Tables.events(spark, dir)
+        .select(col("event_type"), col("user_id").as("item")).distinct(),
+      "event_type")
 }

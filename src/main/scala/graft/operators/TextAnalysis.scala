@@ -1605,14 +1605,19 @@ object TextAnalysis {
     * final rollups are per-doc then per-source. Gram fan-out is
     * O(words); at the full corpus the (source, gram) key space is what
     * a domain-sharded pipeline partitions by anyway. */
+  /** All word n-grams of the `ws` array column as strings — shared by
+    * the boilerplate (x194) and Good–Turing (x200) passes. */
+  private def wordGramList(n: Int): Column =
+    expr(s"transform(sequence(1, size(ws) - ${n - 1}), " +
+      s"i -> array_join(slice(ws, i, $n), ' '))")
+
   def boilerplateGrams(spark: SparkSession, dir: String, n: Int = BoilerN,
                        dfAt: Int = BoilerDfAt): DataFrame = {
     val occ = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), col("source"),
-        explode(expr(s"transform(sequence(1, size(ws) - ${n - 1}), " +
-          s"i -> array_join(slice(ws, i, $n), ' '))")).as("gram"))
+        explode(wordGramList(n)).as("gram"))
       .groupBy(col("source"), col("gram"), col("doc_id"))
       .agg(count(lit(1)).as("cnt"))
     val gramDf = occ.groupBy(col("source"), col("gram"))
@@ -1630,5 +1635,50 @@ object TextAnalysis {
           .as("n_flagged"))
       .withColumn("boiler_ppm",
         expr("(1000000L * boiler_grams) div total_grams"))
+  }
+
+  /** Good–Turing gram length / published spectrum depth for
+    * [[goodTuringGrams]] (x200) — shared with the DuckDB oracle. */
+  val GtN: Int = 5
+  val GtMaxR: Int = 5
+
+  /** Good–Turing frequency spectrum over word 5-grams (x200): N_r (how
+    * many distinct grams occur exactly r times) for r = 1..5, with the
+    * GT-adjusted count r* = (r+1)·N_{r+1}/N_r published as the raw
+    * rational plus its one-IEEE-division double — the novel-ngram-mass
+    * estimate (P₀ = N₁/total) that tells an LM-data pipeline how much
+    * unseen text its corpus still implies, and the smoothing table
+    * every count-based LM/quality model starts from. 5-grams, not
+    * unigrams: the corpus vocabulary is closed (31 words) so only the
+    * gram space has the long rare tail Good–Turing models.
+    *
+    * 100 TB shape: one corpus scan explodes grams into a partial-agg'd
+    * (gram → r) groupBy, then the spectrum is an O(distinct r) rollup
+    * — the published frame is 5 rows joined against two broadcast
+    * copies of the tiny spectrum plus the 1-row totals (documented
+    * scalar cross). */
+  def goodTuringGrams(spark: SparkSession, dir: String, n: Int = GtN): DataFrame = {
+    val spec = Tables.documents(spark, dir)
+      .select(words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(explode(wordGramList(n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("r"))
+      .groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      .localCheckpoint() // three readers: both spectrum joins + totals
+    val totals = spec.agg(sum(col("r") * col("n_r")).as("total_grams"),
+      sum(col("n_r")).as("distinct_grams"))
+    spark.range(1L, GtMaxR + 1L).select(col("id").as("r"))
+      .join(broadcast(spec), Seq("r"), "left")
+      .withColumn("n_r", coalesce(col("n_r"), lit(0L)))
+      .join(broadcast(spec.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))),
+        Seq("r"), "left")
+      .withColumn("n_r1", coalesce(col("n_r1"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .select(col("r"), col("n_r"), col("n_r1"),
+        ((col("r") + 1) * col("n_r1")).as("gt_num"), col("n_r").as("gt_den"),
+        when(col("n_r") > 0,
+          ((col("r") + 1) * col("n_r1")).cast("double") / col("n_r"))
+          .as("gt_smoothed_r"),
+        col("total_grams"), col("distinct_grams"))
   }
 }

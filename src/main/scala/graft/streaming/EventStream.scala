@@ -32,6 +32,24 @@ object EventStream {
       .withColumn("ts_t", timestamp_seconds(col("ts_s")))
   }
 
+  /** Streaming twin of x199's HLL register table: per-(event_type,
+    * bucket) max register rank over the user-id hash — the canonical
+    * MERGEABLE-SKETCH stream. State is the register table itself
+    * (event_types × 16 cells, O(1) per key regardless of stream
+    * volume), `max` is the fold, and because max is commutative/
+    * idempotent the streamed registers equal the batch registers over
+    * any replay or retry — batch ≡ stream by construction, spec-
+    * proven. Downstream, x199's harmonic/estimate tail reads this
+    * table unchanged; at 100 TB this is the shape a continuous
+    * distinct-users dashboard actually runs (sketch in the stream,
+    * estimate at query time). */
+  def hllRegisters(events: DataFrame): DataFrame =
+    graft.operators.Relational
+      .withHllRank(events.select(col("event_type"), col("user_id")),
+        col("user_id"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rnk")).as("register"))
+
   /** Tumbling 1-hour windowed counts with a 2-hour watermark — the
     * streaming equivalent of `Sessionize.hourlyWindows`. */
   def hourlyCounts(events: DataFrame): DataFrame =

@@ -3244,4 +3244,54 @@ class OperatorsSpec extends SparkSpec {
       assert((nn, p5, p95, raw, win, tn, ts) == want(seg), s"segment $seg")
     }
   }
+
+  test("eventHllAudit (x199): registers and estimate match a driver replay") {
+    val pairs = graft.Tables.events(spark, sf)
+      .select($"event_type", $"user_id").as[(String, Long)].collect().toSet
+    val m = Relational.HllBuckets
+    val want = pairs.groupBy(_._1).map { case (et, ps) =>
+      val users = ps.map(_._2)
+      val regs = Array.fill(m)(0L)
+      users.foreach { u =>
+        val h = Dedup.md5Hash60Ref(s"hll:$u")
+        val (bucket, rest) = ((h % m).toInt, h / m)
+        val rnk = if (rest == 0L) 57L
+                  else java.lang.Long.numberOfTrailingZeros(rest) + 1L
+        regs(bucket) = math.max(regs(bucket), rnk)
+      }
+      val harmonic = regs.map(r => 1L << (58 - math.min(r, 58L)).toInt).sum
+      val est = math.floor(172.288 * 288230376151711744.0 / harmonic.toDouble).toLong
+      et -> (users.size.toLong, regs.max, harmonic, est,
+        1000000L * math.abs(est - users.size) / users.size)
+    }
+    val got = Sessionize.eventHllAudit(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (et, n, maxReg, harm, est, ppm) =>
+      assert((n, maxReg, harm, est, ppm) == want(et), s"type $et")
+    }
+  }
+
+  test("goodTuringGrams (x200): 5-gram spectrum and GT rationals match a replay") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"text").as[String].collect()
+    val n = TextAnalysis.GtN
+    val freq = docs.flatMap { t =>
+      val ws = t.split(" ", -1)
+      ws.sliding(n).filter(_.length == n).map(_.mkString(" "))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val spec = freq.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (totalGrams, distinctGrams) = (freq.values.sum, freq.size.toLong)
+    val got = TextAnalysis.goodTuringGrams(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Option[Double], Long, Long)].collect()
+    assert(got.length == TextAnalysis.GtMaxR)
+    got.foreach { case (r, nr, nr1, num, den, sm, tot, dst) =>
+      assert(nr == spec.getOrElse(r, 0L) && nr1 == spec.getOrElse(r + 1, 0L), s"r=$r")
+      assert(num == (r + 1) * nr1 && den == nr, s"r=$r rational")
+      assert(sm == (if (nr > 0) Some(num.toDouble / nr) else None), s"r=$r smoothed")
+      assert(tot == totalGrams && dst == distinctGrams)
+    }
+    // the corpus has a genuine rare tail: N_1 > 0 (the GT use case)
+    assert(got.head._2 > 0)
+  }
 }

@@ -333,6 +333,22 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming hllRegisters ≡ batch x199 registers (mergeable max sketch)") {
+    val streamed = runStream(
+      EventStream.hllRegisters(EventStream.readEvents(spark, sf)), "hll_stream",
+      mode = "complete")
+      .as[(String, Long, Long)].collect()
+      .map { case (t, b, r) => (t, b) -> r }.toMap
+    val raw = graft.Tables.events(spark, sf)
+    val batch = graft.operators.Relational
+      .withHllRank(raw.select($"event_type", $"user_id"), $"user_id")
+      .groupBy($"event_type", $"bucket")
+      .agg(org.apache.spark.sql.functions.max($"rnk").as("register"))
+      .as[(String, Long, Long)].collect()
+      .map { case (t, b, r) => (t, b) -> r }.toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stateful streaming tierPromotions ≡ a driver replay across a micro-batch boundary") {
     val root = java.nio.file.Files.createTempDirectory("graft-tierstream").toString
     val raw = graft.Tables.events(spark, sf)
