@@ -238,6 +238,8 @@ object SparkEntry {
     "x198_knn_truss"        -> ((s, d) => LinkAnalysis.knnTruss(s, d)),
     "x199_event_hll"        -> ((s, d) => Sessionize.eventHllAudit(s, d)),
     "x200_good_turing"      -> ((s, d) => TextAnalysis.goodTuringGrams(s, d)),
+    "x201_prefix_jaccard"   -> ((s, d) => Dedup.prefixJaccardPairs(s, d)),
+    "x202_lsh_recall_curve" -> ((s, d) => Similarity.lshRecallCurve(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -3940,6 +3942,93 @@ object SparkEntry {
         |FROM rr LEFT JOIN spec s ON rr.r = s.r
         |LEFT JOIN spec s1 ON s1.r = rr.r + 1
         |CROSS JOIN tot t""".stripMargin
+    },
+
+    // x201: exact prefix-filtered Jaccard join — global-rarity shingle
+    // order, prefix-token candidates, length filter, exact verification;
+    // every comparison an integer cross-multiplied ppm.
+    "x201_prefix_jaccard" -> {
+      import operators.Dedup.{PjN, PjTauPpm}
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - ${PjN - 2})) AS i
+        |        FROM w WHERE len(ws) >= $PjN),
+        |toks AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+${PjN - 1}], ' ') AS tok
+        |         FROM idx),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY 1),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM toks GROUP BY 1),
+        |ord AS (SELECT t.doc_id, t.tok, s.sz,
+        |               CAST(row_number() OVER (PARTITION BY t.doc_id
+        |                 ORDER BY d.df, t.tok) AS BIGINT) AS rk
+        |        FROM toks t JOIN df d ON t.tok = d.tok
+        |        JOIN sz s ON t.doc_id = s.doc_id),
+        |pref AS (SELECT * FROM ord
+        |         WHERE rk <= sz - (($PjTauPpm * sz) + 999999) // 1000000 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+        |                a.sz AS sa, b.sz AS sb
+        |         FROM pref a JOIN pref b
+        |           ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |candf AS (SELECT * FROM cand
+        |          WHERE 1000000 * least(sa, sb) >= $PjTauPpm * greatest(sa, sb)),
+        |inter AS (SELECT c.da, c.db, c.sa, c.sb,
+        |                 CAST(count(*) AS BIGINT) AS inter_size
+        |          FROM candf c JOIN toks x ON x.doc_id = c.da
+        |          JOIN toks y ON y.doc_id = c.db AND x.tok = y.tok
+        |          GROUP BY 1, 2, 3, 4)
+        |SELECT da AS doc_a, db AS doc_b, inter_size,
+        |       sa + sb - inter_size AS union_size,
+        |       (1000000 * inter_size) // (sa + sb - inter_size) AS jac_ppm
+        |FROM inter
+        |WHERE 1000000 * inter_size >= $PjTauPpm * (sa + sb - inter_size)""".stripMargin
+    },
+
+    // x202: LSH recall-vs-radius curve — x10's signature CTE over ALL
+    // queries, Hamming-distance fan-out to nested radii, exact top-k
+    // baseline, per-radius recall/candidate rollup.
+    "x202_lsh_recall_curve" -> {
+      import operators.Similarity.{LshCurveK, LshPlanes, LshProbeRadius}
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm,
+        |        ${operators.Similarity.hyperplaneSigSql("v", LshPlanes)} AS sig
+        |      FROM e),
+        |exact_scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id,
+        |    floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+        |  FROM s q JOIN s c ON q.vec_id <> c.vec_id),
+        |exact_topk AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rank
+        |    FROM exact_scored) t WHERE rank <= $LshCurveK),
+        |cand AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id,
+        |    floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim,
+        |    bit_count(xor(c.sig, q.sig)) AS d
+        |  FROM s q JOIN s c ON q.vec_id <> c.vec_id
+        |    AND bit_count(xor(c.sig, q.sig)) <= $LshProbeRadius),
+        |fan AS (SELECT q_id, vec_id, cos_sim,
+        |               unnest(range(d, ${LshProbeRadius + 1})) AS radius
+        |        FROM cand),
+        |ranked AS (SELECT q_id, vec_id, radius,
+        |                  row_number() OVER (PARTITION BY q_id, radius
+        |                    ORDER BY cos_sim DESC, vec_id) AS rk
+        |           FROM fan),
+        |hits AS (SELECT t.radius, CAST(count(*) AS BIGINT) AS n_hits
+        |         FROM ranked t JOIN exact_topk x
+        |           ON t.q_id = x.q_id AND t.vec_id = x.vec_id
+        |         WHERE t.rk <= $LshCurveK GROUP BY 1),
+        |cands AS (SELECT radius, CAST(count(*) AS BIGINT) AS n_candidates
+        |          FROM fan GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM e),
+        |rr AS (SELECT unnest(range(0, ${LshProbeRadius + 1})) AS radius)
+        |SELECT rr.radius, t.n_queries,
+        |       coalesce(c.n_candidates, 0) AS n_candidates,
+        |       coalesce(h.n_hits, 0) AS n_hits,
+        |       (1000000 * coalesce(h.n_hits, 0)) // ($LshCurveK * t.n_queries)
+        |         AS recall_ppm,
+        |       coalesce(c.n_candidates, 0) // t.n_queries AS avg_candidates
+        |FROM rr LEFT JOIN cands c ON rr.radius = c.radius
+        |LEFT JOIN hits h ON rr.radius = h.radius CROSS JOIN tot t""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

@@ -1917,4 +1917,58 @@ object Dedup {
         sum((col("first_batch") === col("batch")).cast("long")).as("n_new"))
       .withColumn("novelty_ppm", expr("(1000000L * n_new) div n_fps"))
   }
+
+  /** x201 knobs: shingle length and the Jaccard threshold (ppm) —
+    * shared with the DuckDB oracle. */
+  val PjN: Int = 5
+  val PjTauPpm: Long = 500000L
+
+  /** EXACT set-similarity join via prefix filtering (x201): every doc
+    * pair with shingle-set Jaccard ≥ τ, with NO false negatives — the
+    * database-style alternative to the LSH family (x02 caps df for
+    * recall, x03 bands minhashes probabilistically; this one is exact
+    * with pruning). The prefix principle: order each doc's shingles by
+    * GLOBAL RARITY (df asc, shingle asc); if |a∩b|/|a∪b| ≥ τ, the two
+    * sets must share at least one of each other's first
+    * |s| − ⌈τ·|s|⌉ + 1 rarest shingles — so candidates are generated
+    * by an equi-join on PREFIX shingles only, plus the length filter
+    * τ·max(|a|,|b|) ≤ min(|a|,|b|), then candidates are verified by
+    * the exact intersection count. All-integer: the prefix bound and
+    * both filters are cross-multiplied ppm comparisons.
+    *
+    * 100 TB shape: the candidate join keys on the shingle, and prefix
+    * shingles are by construction the RAREST ones — the high-df keys
+    * that make a naive token join quadratic are exactly the ones the
+    * prefix excludes (measured here: ~12.5 M doc pairs → 256
+    * candidates at sf0.1). Everything else is keyed joins and
+    * partial-agg'd groupBys on (doc, shingle). */
+  def prefixJaccardPairs(spark: SparkSession, dir: String, n: Int = PjN,
+                         tauPpm: Long = PjTauPpm): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wordShingles(col("text"), n)).as("tok"))
+      .localCheckpoint() // four readers: df, sizes, ord, both inter sides
+    val dfTok = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sz = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val ord = toks.join(dfTok, Seq("tok")).join(sz, Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+    val pref = ord.filter(col("rk") <=
+      col("sz") - expr(s"(($tauPpm * sz) + 999999) div 1000000") + 1)
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sz").as("sa"), col("b.sz").as("sb")).distinct()
+      .filter(lit(1000000L) * least(col("sa"), col("sb")) >=
+        lit(tauPpm) * greatest(col("sa"), col("sb")))
+    val inter = toks.select(col("doc_id").as("da"), col("tok"))
+      .join(broadcast(cand), Seq("da"))
+      .join(toks.select(col("doc_id").as("db"), col("tok")), Seq("db", "tok"))
+      .groupBy(col("da"), col("db"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter_size"))
+    inter.withColumn("union_size", col("sa") + col("sb") - col("inter_size"))
+      .filter(lit(1000000L) * col("inter_size") >= lit(tauPpm) * col("union_size"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("inter_size"), col("union_size"),
+        expr("(1000000L * inter_size) div union_size").as("jac_ppm"))
+  }
 }

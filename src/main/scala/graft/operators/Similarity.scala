@@ -585,6 +585,72 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** k for [[lshRecallCurve]] (x202) — shared with the DuckDB oracle. */
+  val LshCurveK: Int = 5
+
+  /** LSH recall-vs-probe-radius curve (x202): for EVERY vector as a
+    * query, the top-k recall of hyperplane LSH at each Hamming probe
+    * radius 0..[[LshProbeRadius]] against the exact top-k — the
+    * knob-tuning artifact behind x10's fixed-radius configuration (the
+    * x130/RECALL.md measured-fidelity discipline, extended from a
+    * point to the CURVE: radius buys recall at candidate-count cost,
+    * and this table is what that tradeoff decision reads). Radius
+    * nesting is exploited: each candidate carries its signature
+    * Hamming distance d and fans out only to radii ≥ d
+    * (`sequence(d, R)`), so the three per-radius rankings share ONE
+    * scored frame. The exact side reads the STAGED neighbor table
+    * ([[KnnStage]]), so the expensive baseline is already paid.
+    *
+    * 100 TB shape: one corpus scan to signature, the probe join keys
+    * on the bucket signature (each query touches its Hamming ball,
+    * ~37/256 of the corpus at radius 2), rankings partition by
+    * (query, radius), rollups are per-radius partial aggs; the 1-row
+    * vector count is the documented scalar cross. */
+  def lshRecallCurve(spark: SparkSession, dir: String, k: Int = LshCurveK,
+                     planes: Int = LshPlanes,
+                     maxRadius: Int = LshProbeRadius): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val signs = hyperplaneSigns(planes)
+    val masks: Seq[Int] =
+      (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= maxRadius)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("sig", graft.functions.HashSignatures.hyperplane_sig(col("v"), signs))
+    val queries = emb
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig").as("qsig"))
+      .withColumn("probe_sig",
+        explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)))
+    val cand = emb.join(broadcast(queries), col("sig") === col("probe_sig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        trunc6(cosine_sim(col("qv"), col("v"))).as("cos_sim"),
+        expr("bit_count(sig ^ qsig)").as("d"))
+      .withColumn("radius", explode(expr(s"sequence(d, $maxRadius)")))
+      .withColumn("radius", col("radius").cast("long"))
+      .localCheckpoint() // read by the candidate rollup and the rank path
+    val ranked = cand.withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"), col("radius"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+    val exact = KnnStage.ranked(spark, dir, math.max(k, KnnStage.StageK))
+      .filter(col("rank") <= k).select(col("q_id"), col("vec_id"))
+    val hits = ranked.join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("radius")).agg(count(lit(1)).as("n_hits"))
+    val cands = cand.groupBy(col("radius"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val tot = emb.agg(count(lit(1)).as("n_queries"))
+    spark.range(0L, maxRadius + 1L).select(col("id").as("radius"))
+      .join(broadcast(cands), Seq("radius"), "left")
+      .join(broadcast(hits), Seq("radius"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("radius"), col("n_queries"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_ppm",
+        expr(s"(1000000L * n_hits) div (${k}L * n_queries)"))
+      .withColumn("avg_candidates", expr("n_candidates div n_queries"))
+  }
+
   /** kNN label homophily (x191): per label, how often a vector's exact
     * top-k neighbors share its label — the standard intrinsic audit of
     * an embedding space before using it for classification-by-

@@ -3294,4 +3294,83 @@ class OperatorsSpec extends SparkSpec {
     // the corpus has a genuine rare tail: N_1 > 0 (the GT use case)
     assert(got.head._2 > 0)
   }
+
+  test("prefixJaccardPairs (x201): equals the BRUTE-FORCE all-pairs Jaccard join") {
+    val n = Dedup.PjN
+    val tau = Dedup.PjTauPpm
+    val sets = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.split(" ", -1).sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).sortBy(_._1)
+    // exhaustive ground truth: every pair, no pruning
+    val want = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (da, a) = sets(i); (db, b) = sets(j)
+      inter = (a & b).size.toLong
+      union = a.size + b.size - inter
+      if 1000000L * inter >= tau * union
+    } yield (da, db) -> (inter, union, 1000000L * inter / union)).toMap
+    val got = Dedup.prefixJaccardPairs(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (da, db, i, u, ppm) =>
+      assert(want((da, db)) == ((i, u, ppm)), s"pair ($da,$db)")
+    }
+  }
+
+  test("lshRecallCurve (x202): per-radius recall matches an exhaustive driver replay") {
+    val k = Similarity.LshCurveK
+    val maxR = Similarity.LshProbeRadius
+    val signs = Similarity.hyperplaneSigns(Similarity.LshPlanes)
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", Similarity.asDouble($"embedding"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    def sig(v: Seq[Double]): Int =
+      signs.zipWithIndex.foldLeft(0) { case (acc, (p, i)) =>
+        var proj = 0.0
+        var d = 0
+        while (d < v.length) { proj += v(d) * p(d); d += 1 }
+        if (proj >= 0) acc | (1 << i) else acc
+      }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val sigs = vecs.map { case (id, v) => id -> sig(v) }.toMap
+    val exactTopk = vecs.map { case (q, qv) =>
+      q -> vecs.filter(_._1 != q)
+        .map { case (c, cv) => (c, cos(qv, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.take(k).map(_._1).toSet
+    }.toMap
+    val wantRows = (0 to maxR).map { r =>
+      var cands = 0L; var hits = 0L
+      vecs.foreach { case (q, qv) =>
+        val cs = vecs.filter { case (c, _) =>
+          c != q && Integer.bitCount(sigs(c) ^ sigs(q)) <= r
+        }
+        cands += cs.length
+        val top = cs.map { case (c, cv) => (c, cos(qv, cv)) }
+          .sortBy { case (c, s) => (-s, c) }.take(k).map(_._1)
+        hits += top.count(exactTopk(q))
+      }
+      r.toLong -> (cands, hits)
+    }.toMap
+    val nq = vecs.length.toLong
+    val got = Similarity.lshRecallCurve(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == maxR + 1)
+    got.foreach { case (r, n, nc, nh, rec, avg) =>
+      val (wc, wh) = wantRows(r)
+      assert(n == nq && nc == wc && nh == wh, s"radius $r")
+      assert(rec == 1000000L * wh / (k * nq) && avg == wc / nq, s"radius $r ratios")
+    }
+    // the curve is a curve: recall strictly improves with radius here
+    assert(got.sortBy(_._1).map(_._4).sliding(2).forall(p => p(0) < p(1)))
+  }
 }
