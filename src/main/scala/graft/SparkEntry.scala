@@ -240,6 +240,8 @@ object SparkEntry {
     "x200_good_turing"      -> ((s, d) => TextAnalysis.goodTuringGrams(s, d)),
     "x201_prefix_jaccard"   -> ((s, d) => Dedup.prefixJaccardPairs(s, d)),
     "x202_lsh_recall_curve" -> ((s, d) => Similarity.lshRecallCurve(s, d)),
+    "x203_knn_ingest"       -> ((s, d) => Similarity.knnIngest(s, d)),
+    "x204_conformal"        -> ((s, d) => Forecast.conformalIntervals(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4029,6 +4031,62 @@ object SparkEntry {
         |       coalesce(c.n_candidates, 0) // t.n_queries AS avg_candidates
         |FROM rr LEFT JOIN cands c ON rr.radius = c.radius
         |LEFT JOIN hits h ON rr.radius = h.radius CROSS JOIN tot t""".stripMargin
+    },
+
+    // x203: incremental kNN ingest — the oracle is the FROM-SCRATCH full
+    // ranking (x178's CTE at the staged depth): the day-1/day-2 split is
+    // a Spark-side plan property, the merged result must be identical.
+    "x203_knn_ingest" -> {
+      import operators.KnnStage.StageK
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm FROM e),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id,
+        |    floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+        |  FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY q_id
+        |           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= $StageK""".stripMargin
+    },
+
+    // x204: conformal forecast intervals — x117's residual construction
+    // verbatim, rank-picked ⌈(n+1)·α⌉ quantile, realized coverage.
+    "x204_conformal" -> {
+      import operators.Forecast.{ConformalPct, SeasonalLagDays}
+      s"""WITH daily AS (
+        |  SELECT p.p_brand, CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400 AS day,
+        |         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |m AS (SELECT min(day) AS min_day FROM daily),
+        |resid AS (
+        |  SELECT d.p_brand, d.day,
+        |         abs(d.rev_cents - coalesce(f.rev_cents, 0)) AS err
+        |  FROM daily d LEFT JOIN daily f
+        |    ON d.p_brand = f.p_brand AND f.day = d.day - $SeasonalLagDays
+        |  CROSS JOIN m WHERE d.day >= m.min_day + $SeasonalLagDays),
+        |ranked AS (
+        |  SELECT p_brand, err,
+        |         CAST(row_number() OVER (PARTITION BY p_brand
+        |           ORDER BY err, day) AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY p_brand) AS BIGINT) AS n
+        |  FROM resid),
+        |rk AS (SELECT *, least(($ConformalPct * (n + 1) + 99) // 100, n) AS q_rank
+        |       FROM ranked),
+        |bounds AS (SELECT p_brand AS qb, err AS q_abs_err_cents
+        |           FROM rk WHERE rn = q_rank)
+        |SELECT p_brand, n_days, q_abs_err_cents, n_within,
+        |       (1000000 * n_within) // n_days AS coverage_ppm
+        |FROM (SELECT r.p_brand, CAST(count(*) AS BIGINT) AS n_days,
+        |             min(b.q_abs_err_cents) AS q_abs_err_cents,
+        |             CAST(sum(CASE WHEN r.err <= b.q_abs_err_cents
+        |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+        |      FROM rk r JOIN bounds b ON r.p_brand = b.qb
+        |      GROUP BY 1) t""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

@@ -500,6 +500,55 @@ object Forecast {
           .as("tau_a"))
   }
 
+  /** Conformal coverage level (percent) for [[conformalIntervals]]
+    * (x204) — shared with the DuckDB oracle. */
+  val ConformalPct: Int = 90
+
+  /** Conformal prediction intervals for the seasonal-naive forecast
+    * (x204): per brand, the rank-picked 90% quantile of |actual −
+    * lag-7 forecast| over the backtest days — the DISTRIBUTION-FREE
+    * interval radius a forecaster ships next to every point forecast
+    * (split-conformal: at level α the q = ⌈(n+1)·α⌉-th smallest
+    * residual guarantees ≥ α coverage with no model assumption), plus
+    * the realized coverage as the self-check. Shares x117's exact
+    * forecast construction ([[dailyRevenue]] + lag-7 join + coalesce-0)
+    * so interval and WAPE can never disagree on a residual; the
+    * quantile is a RANK pick (x197's discipline), never interpolated.
+    *
+    * 100 TB shape: identical to x117 up to the per-(brand, day)
+    * residual frame; then one per-brand rank window over O(days) rows
+    * per partition and a broadcast bounds join back — the corpus is
+    * touched once. */
+  def conformalIntervals(spark: SparkSession, dir: String,
+                         lagDays: Int = SeasonalLagDays,
+                         pct: Int = ConformalPct): DataFrame = {
+    val daily = dailyRevenue(spark, dir).localCheckpoint()
+    val minDay = daily.agg(min(col("day")).as("min_day"))
+    val resid = daily
+      .join(daily.select(col("p_brand"),
+          (col("day") + lagDays).as("day"), col("rev_cents").as("fc_cents")),
+        Seq("p_brand", "day"), "left")
+      .crossJoin(broadcast(minDay))
+      .filter(col("day") >= col("min_day") + lagDays)
+      .withColumn("err",
+        abs(col("rev_cents") - coalesce(col("fc_cents"), lit(0L))))
+    val ranked = resid
+      .withColumn("rn", row_number().over(Window.partitionBy(col("p_brand"))
+        .orderBy(col("err"), col("day"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("p_brand"))))
+      .withColumn("q_rank",
+        least(expr(s"($pct * (n + 1) + 99) div 100"), col("n")))
+    val bounds = ranked.filter(col("rn") === col("q_rank"))
+      .select(col("p_brand").as("qb"), col("err").as("q_abs_err_cents"))
+    ranked.join(broadcast(bounds), col("p_brand") === col("qb"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_days"),
+        min(col("q_abs_err_cents")).as("q_abs_err_cents"),
+        sum(when(col("err") <= col("q_abs_err_cents"), 1L).otherwise(0L))
+          .as("n_within"))
+      .withColumn("coverage_ppm", expr("(1000000L * n_within) div n_days"))
+  }
+
   /** Theil–Sen slope of monthly revenue per (nation, year) (x195): the
     * robust trend estimator — the EXACT median of all pairwise slopes
     * (revᵢ−revⱼ)/(moᵢ−moⱼ), immune to the outlier months that wreck

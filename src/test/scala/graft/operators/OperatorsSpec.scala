@@ -3373,4 +3373,55 @@ class OperatorsSpec extends SparkSpec {
     // the curve is a curve: recall strictly improves with radius here
     assert(got.sortBy(_._1).map(_._4).sliding(2).forall(p => p(0) < p(1)))
   }
+
+  test("knnIngest (x203): incremental merge equals the from-scratch full ranking") {
+    val full = Similarity.computeRankedTopK(spark, sf, KnnStage.StageK)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val merged = Similarity.knnIngest(spark, sf)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(merged == full && merged.nonEmpty)
+    // the merge did real work: some day-1 list changed when day-2 landed
+    val newIds = merged.map(_._1)
+      .filter(_ % Similarity.KnnIngestMod == Similarity.KnnIngestMod - 1)
+    assert(newIds.nonEmpty, "day-2 batch nonempty")
+    val oldListsTouched = merged.exists { case (q, v, _, _) =>
+      q % Similarity.KnnIngestMod != Similarity.KnnIngestMod - 1 &&
+        v % Similarity.KnnIngestMod == Similarity.KnnIngestMod - 1
+    }
+    assert(oldListsTouched, "a new vector entered an existing top-k list")
+  }
+
+  test("conformalIntervals (x204): rank-picked quantile and coverage match a replay") {
+    val brandByPart = graft.Tables.part(spark, sf)
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val daily = graft.Tables.lineitem(spark, sf)
+      .select($"l_partkey", expr("unix_timestamp(l_shipdate) div 86400"),
+        Relational.cents($"l_extendedprice"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(r => (brandByPart(r._1), r._2))
+      .view.mapValues(_.map(_._3).sum).toMap
+    val minDay = daily.keys.map(_._2).min
+    val pct = Forecast.ConformalPct
+    val want = daily.keys.groupBy(_._1).map { case (brand, ks) =>
+      val errs = ks.toSeq.filter(_._2 >= minDay + Forecast.SeasonalLagDays)
+        .map { case (b, d) =>
+          (d, math.abs(daily((b, d)) -
+            daily.getOrElse((b, d - Forecast.SeasonalLagDays), 0L)))
+        }
+      val sorted = errs.sortBy { case (d, e) => (e, d) }.map(_._2)
+      val n = sorted.length.toLong
+      val qRank = math.min((pct * (n + 1) + 99) / 100, n)
+      val q = sorted(qRank.toInt - 1)
+      val within = sorted.count(_ <= q).toLong
+      brand -> (n, q, within, 1000000L * within / n)
+    }
+    val got = Forecast.conformalIntervals(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (b, n, q, w, cov) =>
+      assert((n, q, w, cov) == want(b), s"brand $b")
+      // the conformal guarantee itself: coverage ≥ the target level
+      assert(cov >= pct * 10000L, s"brand $b coverage")
+    }
+  }
 }
