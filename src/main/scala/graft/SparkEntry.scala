@@ -242,6 +242,7 @@ object SparkEntry {
     "x202_lsh_recall_curve" -> ((s, d) => Similarity.lshRecallCurve(s, d)),
     "x203_knn_ingest"       -> ((s, d) => Similarity.knnIngest(s, d)),
     "x204_conformal"        -> ((s, d) => Forecast.conformalIntervals(s, d)),
+    "x205_byte_simhash"     -> ((s, d) => Multimodal.byteSimhashPairs(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4087,6 +4088,32 @@ object SparkEntry {
         |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_within
         |      FROM rk r JOIN bounds b ON r.p_brand = b.qb
         |      GROUP BY 1) t""".stripMargin
+    },
+
+    // x205: byte-stream perceptual-hash near-dup — chunk-hash SimHash
+    // (x04's bit-vote CTE over fixed-size byte chunks), 4×16 banding,
+    // Hamming verify. Text bytes are ASCII so substr == byte slicing.
+    "x205_byte_simhash" -> {
+      import operators.Multimodal.{ChunkBytes, PhashMaxHamming}
+      val counts = (0 until 60).map(b => s"SUM((h >> $b) & 1) AS c$b").mkString(", ")
+      val bits = (0 until 60)
+        .map(b => s"(CASE WHEN c$b * 2 > n THEN 1::BIGINT ELSE 0::BIGINT END << $b)")
+        .mkString(" + ")
+      s"""WITH a AS (SELECT doc_id AS asset_id, text FROM documents),
+        |ch AS (SELECT asset_id,
+        |         ('0x' || substr(md5(substr(text, 1 + $ChunkBytes * i, $ChunkBytes)), 1, 15))::BIGINT AS h
+        |       FROM a, unnest(range(0, (length(text) + ${ChunkBytes - 1}) // $ChunkBytes)) t(i)),
+        |agg AS (SELECT asset_id, COUNT(*) AS n, $counts FROM ch GROUP BY asset_id),
+        |sig AS (SELECT asset_id, $bits AS sh FROM agg),
+        |banded AS (SELECT asset_id, sh, band, (sh >> (band * 16)) & 65535 AS chunk
+        |           FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+        |cand AS (SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+        |                a.sh AS sh_a, b.sh AS sh_b
+        |         FROM banded a JOIN banded b
+        |           ON a.band = b.band AND a.chunk = b.chunk
+        |          AND a.asset_id < b.asset_id)
+        |SELECT asset_a, asset_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $PhashMaxHamming""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

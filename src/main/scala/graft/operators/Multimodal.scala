@@ -151,16 +151,24 @@ object Multimodal {
     * smaller key, the md5Hash60 trick — documented, not needed for
     * correctness). Two partial-agg'd shuffles: (asset, content) then
     * content for the global owner; the explode is map-side only. */
-  def chunkDedupStats(spark: SparkSession, dir: String,
-                      frameBytes: Int = ChunkBytes): DataFrame = {
+  /** The byte-stream asset table x182/x205 operate on: document text as
+    * an opaque binary payload (the only reproducible byte source in the
+    * testdata; a real corpus supplies images/audio here and NOTHING
+    * downstream changes — both operators touch only `content` bytes). */
+  private def textStreamAssets(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
-    val textAssets = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(
         col("doc_id").as("asset_id"),
         lit("text-stream").as("modality"),
         col("text").cast("binary").as("content"),
         lit(0).as("declared_w"), lit(0).as("declared_h"))
       .as[Asset]
+  }
+
+  def chunkDedupStats(spark: SparkSession, dir: String,
+                      frameBytes: Int = ChunkBytes): DataFrame = {
+    val textAssets = textStreamAssets(spark, dir)
     val perAsset = sampleFrames(textAssets, frameBytes, rate = 1).toDF()
       .select(col("asset_id"), col("frame"), length(col("frame")).as("len"))
       .groupBy(col("asset_id"), col("frame"))
@@ -175,5 +183,54 @@ object Multimodal {
         sum(when(col("asset_id") === col("owner"), col("len")).otherwise(0L))
           .as("new_bytes"),
         sum(col("n_copies") * col("len")).as("raw_bytes"))
+  }
+
+  /** x205's Hamming verify bound — x04's convention, shared with the
+    * oracle SQL. */
+  val PhashMaxHamming: Int = 8
+
+  /** Perceptual-hash-style near-dup over the OPAQUE BYTE STREAM (x205):
+    * a 64-bit SimHash of each asset's fixed-size content chunks
+    * (md5-60 per [[ChunkBytes]]-byte chunk → per-bit majority vote),
+    * banded 4×16 bits, band-collision candidates, Hamming-verified
+    * pairs — the media-fingerprint dedup shape (pHash + Hamming index)
+    * with the DCT feature stubbed by the chunk hash, exactly like
+    * [[FakeDecoder]] stubs the codec: every Spark-side stage (binary
+    * column slicing, signature kernel, banded join, verify) is the real
+    * thing and modality-agnostic. The text twin of this signature is
+    * x04 (word-level SimHash); this one never looks at the CONTENT
+    * semantics, only bytes — the operator a blob store runs when it
+    * cannot parse what it stores.
+    *
+    * 100 TB shape: the signature is a PER-ROW projection (chunk array →
+    * codegen'd SimHash64 kernel, zero shuffle, no explode); the only
+    * shuffle is the band-keyed candidate join (fan-out bounded per
+    * 16-bit bucket) and verification is an integer XOR popcount. */
+  def byteSimhashPairs(spark: SparkSession, dir: String,
+                       frameBytes: Int = ChunkBytes,
+                       maxHamming: Int = PhashMaxHamming): DataFrame = {
+    val chunkHashes = expr(
+      s"""transform(sequence(0, cast((length(content) + ${frameBytes - 1})
+         | div $frameBytes as int) - 1),
+         | i -> cast(conv(substring(md5(substring(content,
+         |   1 + i * $frameBytes, $frameBytes)), 1, 15), 16, 10) as bigint))"""
+        .stripMargin.replaceAll("\n", ""))
+    val sigs = textStreamAssets(spark, dir).toDF()
+      .select(col("asset_id"),
+        graft.functions.HashSignatures.simhash64(chunkHashes).as("sh"))
+    val banded = sigs.select(col("asset_id"), col("sh"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("chunk", expr("(sh >> (band * 16)) & 65535"))
+    val a = banded.select(col("band"), col("chunk"),
+      col("asset_id").as("asset_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("chunk"),
+      col("asset_id").as("asset_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("asset_a") < col("asset_b"))
+      .select(col("asset_a"), col("asset_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("asset_a", "asset_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("asset_a"), col("asset_b"), col("hamming"))
   }
 }

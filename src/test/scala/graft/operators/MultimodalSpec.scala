@@ -78,4 +78,32 @@ class MultimodalSpec extends SparkSpec {
     // dedup actually happened somewhere: some asset stores less than raw
     assert(got.exists(r => r._5 < r._6))
   }
+
+  test("byteSimhashPairs (x205): signature, banding and verify match a driver replay") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val cb = Multimodal.ChunkBytes
+    def sig(text: String): Long = {
+      val hs = text.getBytes("UTF-8").grouped(cb)
+        .map(c => Dedup.md5Hash60Ref(new String(c, "UTF-8"))).toSeq
+      val cnt = Array.fill(64)(0)
+      hs.foreach { h =>
+        (0 until 64).foreach(b => if (((h >>> b) & 1L) == 1L) cnt(b) += 1)
+      }
+      (0 until 64).foldLeft(0L)((acc, b) =>
+        if (cnt(b) * 2 > hs.size) acc | (1L << b) else acc)
+    }
+    val sigs = docs.map { case (id, t) => id -> sig(t) }.toMap
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b
+      if (0 until 4).exists(band => ((sa >> (band * 16)) & 65535L) == ((sb >> (band * 16)) & 65535L))
+      h = java.lang.Long.bitCount(sa ^ sb)
+      if h <= Multimodal.PhashMaxHamming
+    } yield (a, b) -> h).toMap
+    val got = Multimodal.byteSimhashPairs(spark, sf)
+      .as[(Long, Long, Int)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (a, b, h) => assert(want((a, b)) == h, s"pair ($a,$b)") }
+  }
 }
