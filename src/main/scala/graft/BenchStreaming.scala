@@ -203,6 +203,9 @@ object BenchStreaming {
       run("session_window", ev => EventStream.sessionWindowCounts(ev)),
       run("dedup_stream", EventStream.dedupStream),
       run("stream_static_enrich", ev => EventStream.enrichWithUsers(ev, users)),
+      // watermarked stream-stream interval self-join (bounded buffer state)
+      run("click_purchase_stream",
+        ev => EventStream.clickPurchaseAttribution(ev, ev)),
       run("sampled_stream", ev => EventStream.sampledStream(ev, thresholds)),
       run("transitions_stream", ev => EventStream.transitions(ev).toDF()),
       run("tier_promotions_stream", ev => EventStream.tierPromotions(ev).toDF()),

@@ -243,6 +243,7 @@ object SparkEntry {
     "x203_knn_ingest"       -> ((s, d) => Similarity.knnIngest(s, d)),
     "x204_conformal"        -> ((s, d) => Forecast.conformalIntervals(s, d)),
     "x205_byte_simhash"     -> ((s, d) => Multimodal.byteSimhashPairs(s, d)),
+    "x206_ivm_revenue"      -> ((s, d) => Relational.ivmNationRevenue(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4115,6 +4116,15 @@ object SparkEntry {
         |SELECT asset_a, asset_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $PhashMaxHamming""".stripMargin
     },
+
+    // x206: incremental view maintenance — the oracle is the FULL
+    // recompute; the base/delta split is a Spark-side plan property and
+    // the maintained aggregate must be identical.
+    "x206_ivm_revenue" ->
+      """SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

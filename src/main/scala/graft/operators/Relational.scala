@@ -1285,6 +1285,47 @@ object Relational {
     hllAuditByKey(buyers, "n_nationkey")
   }
 
+  /** x206's incremental-view cut date (epoch day of 2001-01-01) —
+    * orders before it are the "materialized base", the rest the delta
+    * batch. Shared with the DuckDB oracle. */
+  val IvmCutDay: Long = 11323L
+
+  /** Incremental view maintenance of the nation-revenue aggregate
+    * (x206): the warehouse technique behind every materialized
+    * dashboard — maintain `Σ revenue, n_orders per nation` by folding
+    * ONLY the delta batch into yesterday's materialized aggregate (sum
+    * and count are self-mergeable, the same property the streaming
+    * twins and TermStage partials exploit), never rescanning the base.
+    * The published frame is the maintained view; the oracle is the
+    * FULL recompute over all orders — maintained ≡ rebuilt is
+    * gate-checked, x203's discipline at the aggregate level (x144
+    * covers row-level CDC; this covers the aggregate artifact).
+    *
+    * 100 TB shape: the base aggregate is O(nations) (in production a
+    * persisted table; here derived once from the pre-cut partition —
+    * date predicate pushed to the scan), the delta scan touches only
+    * post-cut files under date partitioning, and the merge is a
+    * partial-agg'd union of two O(nations) frames. */
+  def ivmNationRevenue(spark: SparkSession, dir: String,
+                       cutDay: Long = IvmCutDay): DataFrame = {
+    val keyed = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+        cents(col("o_totalprice")).as("c"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    def agg(df: DataFrame): DataFrame = df.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("rev_cents"))
+    val base = agg(keyed.filter(col("day") < cutDay))
+    val delta = agg(keyed.filter(col("day") >= cutDay))
+    base.select(col("c_nationkey"), col("n_orders"), col("rev_cents"))
+      .union(delta.select(col("c_nationkey"), col("n_orders"), col("rev_cents")))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("rev_cents")).as("rev_cents"))
+  }
+
   /** Winsor percentile bounds (x197), in whole percents — shared with
     * the DuckDB oracle. Rank = ceil(pct·n/100) over the (spend,
     * custkey) total order. */

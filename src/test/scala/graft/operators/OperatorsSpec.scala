@@ -3391,6 +3391,23 @@ class OperatorsSpec extends SparkSpec {
     assert(oldListsTouched, "a new vector entered an existing top-k list")
   }
 
+  test("ivmNationRevenue (x206): maintained view equals the full recompute; delta is real") {
+    val full = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n"), sum(Relational.cents($"o_totalprice")).as("r"))
+      .as[(Long, Long, Long)].collect().toSet
+    val got = Relational.ivmNationRevenue(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == full && got.nonEmpty)
+    // the split is non-degenerate: both base and delta carry orders
+    val days = graft.Tables.orders(spark, sf)
+      .select(expr("unix_timestamp(o_orderdate) div 86400")).as[Long].collect()
+    assert(days.exists(_ < Relational.IvmCutDay) &&
+      days.exists(_ >= Relational.IvmCutDay))
+  }
+
   test("conformalIntervals (x204): rank-picked quantile and coverage match a replay") {
     val brandByPart = graft.Tables.part(spark, sf)
       .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
