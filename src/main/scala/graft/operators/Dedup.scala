@@ -1944,9 +1944,10 @@ object Dedup {
     * partial-agg'd groupBys on (doc, shingle). */
   def prefixJaccardPairs(spark: SparkSession, dir: String, n: Int = PjN,
                          tauPpm: Long = PjTauPpm): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(wordShingles(col("text"), n)).as("tok"))
-      .localCheckpoint() // four readers: df, sizes, ord, both inter sides
+    // the distinct (doc, gram) sets are the STAGED gram table's rows
+    // ([[GramStage]]) — four readers, each a cheap scan of the artifact
+    val toks = GramStage.gramOcc(spark, dir, n)
+      .select(col("doc_id"), col("gram").as("tok"))
     val dfTok = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val sz = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val ord = toks.join(dfTok, Seq("tok")).join(sz, Seq("doc_id"))

@@ -1613,13 +1613,10 @@ object TextAnalysis {
 
   def boilerplateGrams(spark: SparkSession, dir: String, n: Int = BoilerN,
                        dfAt: Int = BoilerDfAt): DataFrame = {
-    val occ = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= n)
-      .select(col("doc_id"), col("source"),
-        explode(wordGramList(n)).as("gram"))
-      .groupBy(col("source"), col("gram"), col("doc_id"))
-      .agg(count(lit(1)).as("cnt"))
+    // reads the STAGED gram table ([[GramStage]]) — the corpus explode
+    // is paid once per snapshot and shared with x200/x201
+    val occ = GramStage.gramOcc(spark, dir, n)
+      .select(col("source"), col("gram"), col("doc_id"), col("cnt"))
     val gramDf = occ.groupBy(col("source"), col("gram"))
       .agg(count(lit(1)).as("df"))
     val perDoc = occ.join(gramDf, Seq("source", "gram"))
@@ -1658,11 +1655,10 @@ object TextAnalysis {
     * copies of the tiny spectrum plus the 1-row totals (documented
     * scalar cross). */
   def goodTuringGrams(spark: SparkSession, dir: String, n: Int = GtN): DataFrame = {
-    val spec = Tables.documents(spark, dir)
-      .select(words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= n)
-      .select(explode(wordGramList(n)).as("gram"))
-      .groupBy(col("gram")).agg(count(lit(1)).as("r"))
+    // corpus gram frequency folded from the STAGED per-doc counts
+    // ([[GramStage]]) — an O(distinct grams) rollup, no corpus explode
+    val spec = GramStage.gramOcc(spark, dir, n)
+      .groupBy(col("gram")).agg(sum(col("cnt")).as("r"))
       .groupBy(col("r")).agg(count(lit(1)).as("n_r"))
       .localCheckpoint() // three readers: both spectrum joins + totals
     val totals = spec.agg(sum(col("r") * col("n_r")).as("total_grams"),
