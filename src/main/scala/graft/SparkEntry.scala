@@ -244,6 +244,7 @@ object SparkEntry {
     "x204_conformal"        -> ((s, d) => Forecast.conformalIntervals(s, d)),
     "x205_byte_simhash"     -> ((s, d) => Multimodal.byteSimhashPairs(s, d)),
     "x206_ivm_revenue"      -> ((s, d) => Relational.ivmNationRevenue(s, d)),
+    "x207_power_iteration"  -> ((s, d) => Similarity.powerIteration(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4125,6 +4126,38 @@ object SparkEntry {
         |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1""".stripMargin,
+
+    // x207: integer-exact power iteration — x175's quantization, pinned
+    // unrolled rounds, BIGINT dot/accumulate, sign-split positive-only
+    // floor division for the rescale.
+    "x207_power_iteration" -> {
+      import operators.Similarity.{PiIters, PiScale, QuantLevels}
+      val rounds = (1 to PiIters).map { i =>
+        val prev = s"v${i - 1}"
+        s"""dot$i AS (SELECT qd.vec_id, CAST(sum(qd.qv * $prev.v) AS BIGINT) AS dot
+           |          FROM qd JOIN $prev USING (d) GROUP BY 1),
+           |raw$i AS (SELECT qd.d, CAST(sum(qd.qv * dot$i.dot) AS BIGINT) AS raw
+           |          FROM qd JOIN dot$i USING (vec_id) GROUP BY 1),
+           |m$i AS (SELECT max(abs(raw)) AS m FROM raw$i),
+           |v$i AS (SELECT d,
+           |          CASE WHEN raw >= 0 THEN (raw * $PiScale) // m
+           |               ELSE -(((-raw) * $PiScale) // m) END AS v
+           |        FROM raw$i, m$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale FROM e),
+        |qv AS (SELECT vec_id,
+        |         list_transform(v, x -> CAST(floor(x / scale * $QuantLevels.0 + 0.5) AS BIGINT)) AS q
+        |       FROM sc),
+        |qd AS (SELECT vec_id, dd.d, q[dd.d + 1] AS qv
+        |       FROM qv, (SELECT unnest(range(64)) AS d) dd),
+        |v0 AS (SELECT unnest(range(64)) AS d,
+        |              CASE WHEN unnest(range(64)) = 0 THEN $PiScale ELSE 0 END AS v),
+        |$rounds
+        |SELECT CAST(d AS INTEGER) AS dim, CAST(v AS BIGINT) AS v_scaled
+        |FROM v$PiIters""".stripMargin
+    },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

@@ -715,6 +715,65 @@ object Similarity {
     mergeRanked(day1, oldEmb, newEmb, k)
   }
 
+  /** x207 knobs: the iteration-vector scale (2^11 — sized so every
+    * intermediate product fits BIGINT exactly: |raw| ≤ N·127·64·127·2048
+    * ≈ 2^42 at gate scale, raw·scale ≤ 2^53) and the pinned iteration
+    * count (unrolled in the oracle — the x77/x180 convention). */
+  val PiScale: Long = 2048L
+  val PiIters: Int = 4
+
+  /** Integer-exact distributed power iteration (x207): the top
+    * (right-)singular direction of the int8-quantized embedding matrix
+    * — the dominant direction an embedding-debiasing/whitening audit
+    * removes first, computed as pinned-round power iteration
+    * `v ← rescale(Qᵀ(Q v))` in EXACT integer arithmetic. Every step is
+    * order-independent: the embeddings are quantized per-vector to
+    * ints ≤ 127 (x175's rule), v lives on a 2^11 integer grid, dots
+    * and the per-dimension accumulations are BIGINT sums of bounded
+    * products, and the rescale divides |raw|·2^11 by max|raw| with an
+    * explicit sign split (positive-only `div`, both engines floor
+    * identically — the negative-div trap from x117's doc). The 2^11
+    * grid costs ~0.05% direction precision per round and buys full
+    * cross-engine determinism — the x175 tradeoff applied to the
+    * ITERATION state instead of the data.
+    *
+    * 100 TB shape: each round is one broadcast of the 64-row v onto
+    * the corpus scan (per-row dot), one partial-agg'd groupBy on
+    * vec_id, one on the 64-dim key; the per-round state is
+    * localCheckpointed (x99's recompute trap). At 10⁹ rows the BIGINT
+    * bound needs the per-dimension sum promoted to DECIMAL internally
+    * (the x152 discipline) or a pre-scaled dot — documented, not
+    * needed at gate scale. The 1-row max is the documented scalar
+    * cross. */
+  def powerIteration(spark: SparkSession, dir: String, iters: Int = PiIters,
+                     scale: Long = PiScale): DataFrame = {
+    val levels = lit(QuantLevels.toDouble)
+    val qd = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("sc",
+        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+      .withColumn("q",
+        transform(col("v"), x => floor(x / col("sc") * levels + lit(0.5)).cast("long")))
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qv")))
+      .localCheckpoint() // read twice per iteration, every iteration
+    var v: DataFrame = spark.range(64L)
+      .select(col("id").cast("int").as("d"),
+        when(col("id") === 0L, lit(scale)).otherwise(lit(0L)).as("v"))
+    for (_ <- 1 to iters) {
+      val dot = qd.join(broadcast(v), Seq("d"))
+        .groupBy(col("vec_id")).agg(sum(col("qv") * col("v")).as("dot"))
+      val raw = qd.join(dot, Seq("vec_id"))
+        .groupBy(col("d")).agg(sum(col("qv") * col("dot")).as("raw"))
+      val m = raw.agg(max(abs(col("raw"))).as("m"))
+      v = raw.crossJoin(broadcast(m))
+        .select(col("d"),
+          when(col("raw") >= 0, expr(s"(raw * $scale) div m"))
+            .otherwise(-expr(s"((-raw) * $scale) div m")).as("v"))
+        .localCheckpoint()
+    }
+    v.select(col("d").as("dim"), col("v").as("v_scaled"))
+  }
+
   /** kNN label homophily (x191): per label, how often a vector's exact
     * top-k neighbors share its label — the standard intrinsic audit of
     * an embedding space before using it for classification-by-

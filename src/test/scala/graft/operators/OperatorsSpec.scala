@@ -3408,6 +3408,30 @@ class OperatorsSpec extends SparkSpec {
       days.exists(_ >= Relational.IvmCutDay))
   }
 
+  test("powerIteration (x207): integer rounds match an exact driver replay") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", Similarity.asDouble($"embedding"))
+      .as[(Long, Seq[Double])].collect()
+    val q = vecs.map { case (_, v) =>
+      val sc = v.map(math.abs).max
+      v.map(x => math.floor(x / sc * Similarity.QuantLevels + 0.5).toLong).toArray
+    }
+    val scale = Similarity.PiScale
+    var v = Array.tabulate(64)(d => if (d == 0) scale else 0L)
+    for (_ <- 1 to Similarity.PiIters) {
+      val dots = q.map(row => (row, v).zipped.map(_ * _).sum)
+      val raw = Array.tabulate(64)(d => q.indices.map(i => q(i)(d) * dots(i)).sum)
+      val m = raw.map(math.abs).max
+      v = raw.map(r =>
+        if (r >= 0) r * scale / m else -((-r) * scale / m))
+    }
+    val got = Similarity.powerIteration(spark, sf)
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(got.toSeq == v.toSeq)
+    // the iteration moved: the result is not the start vector
+    assert(got.count(_ != 0L) > 1)
+  }
+
   test("conformalIntervals (x204): rank-picked quantile and coverage match a replay") {
     val brandByPart = graft.Tables.part(spark, sf)
       .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
