@@ -245,6 +245,9 @@ object SparkEntry {
     "x205_byte_simhash"     -> ((s, d) => Multimodal.byteSimhashPairs(s, d)),
     "x206_ivm_revenue"      -> ((s, d) => Relational.ivmNationRevenue(s, d)),
     "x207_power_iteration"  -> ((s, d) => Similarity.powerIteration(s, d)),
+    "x208_range_bounds"     -> ((s, d) => Relational.rangeBoundaries(s, d)),
+    "x209_zorder_tiles"     -> ((s, d) => Relational.zorderTiles(s, d)),
+    "x210_grouping_sets"    -> ((s, d) => Relational.groupingSetsPanel(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4158,6 +4161,64 @@ object SparkEntry {
         |SELECT CAST(d AS INTEGER) AS dim, CAST(v AS BIGINT) AS v_scaled
         |FROM v$PiIters""".stripMargin
     },
+
+    // x208: equi-depth range boundaries — per-key histogram, running
+    // sum over DISTINCT keys, smallest key reaching ⌈i·n/B⌉.
+    "x208_range_bounds" -> {
+      import operators.Relational.RangeBuckets
+      s"""WITH hist AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows
+        |              FROM orders GROUP BY 1),
+        |cum AS (SELECT o_custkey,
+        |               CAST(sum(n_rows) OVER (ORDER BY o_custkey
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |        FROM hist),
+        |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM hist),
+        |targets AS (SELECT r.i AS bucket_idx,
+        |                   (r.i * t.n_total + ${RangeBuckets - 1}) // $RangeBuckets AS target
+        |            FROM (SELECT unnest(range(1, $RangeBuckets)) AS i) r CROSS JOIN tot t),
+        |bounds AS (
+        |  SELECT g.bucket_idx, g.target, min(c.o_custkey) AS boundary_key
+        |  FROM targets g JOIN cum c ON c.cum >= g.target
+        |  GROUP BY 1, 2)
+        |SELECT b.bucket_idx, b.target, b.boundary_key, c.cum AS cum_rows
+        |FROM bounds b JOIN cum c ON b.boundary_key = c.o_custkey""".stripMargin
+    },
+
+    // x209: Z-order tile audit — equi-width buckets on (custkey, day),
+    // closed-form Morton interleave, per-tile envelopes.
+    "x209_zorder_tiles" -> {
+      import operators.Relational.ZorderBits
+      val m = 1 << ZorderBits
+      val interleave = (0 until ZorderBits).map(b =>
+        s"(((bx >> $b) & 1) << ${2 * b + 1}) + (((by >> $b) & 1) << ${2 * b})")
+        .mkString(" + ")
+      s"""WITH rows_ AS (
+        |  SELECT o_custkey AS k,
+        |         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
+        |  FROM orders),
+        |bounds AS (SELECT min(k) AS min_k, max(k) AS max_k,
+        |                  min(day) AS min_d, max(day) AS max_d FROM rows_),
+        |tiled AS (
+        |  SELECT k, day,
+        |         ((k - min_k) * $m) // (max_k - min_k + 1) AS bx,
+        |         ((day - min_d) * $m) // (max_d - min_d + 1) AS by
+        |  FROM rows_ CROSS JOIN bounds)
+        |SELECT ($interleave) AS tile, CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(k) AS min_key, max(k) AS max_key,
+        |       min(day) AS min_day, max(day) AS max_day
+        |FROM tiled GROUP BY 1""".stripMargin
+    },
+
+    // x210: explicit GROUPING SETS panel with grouping_id — the CUBE/
+    // ROLLUP primitive, level list chosen not implied.
+    "x210_grouping_sets" ->
+      """SELECT c.c_nationkey, year(o.o_orderdate) AS yr,
+        |       CAST(GROUPING(c.c_nationkey, year(o.o_orderdate)) AS BIGINT) AS gid,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY GROUPING SETS ((c.c_nationkey, year(o.o_orderdate)),
+        |                        (c.c_nationkey), (year(o.o_orderdate)), ())""".stripMargin,
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

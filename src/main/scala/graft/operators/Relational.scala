@@ -1326,6 +1326,109 @@ object Relational {
         sum(col("rev_cents")).as("rev_cents"))
   }
 
+  /** x208's bucket count — shared with the DuckDB oracle. */
+  val RangeBuckets: Int = 16
+
+  /** Equi-depth range-partition boundaries (x208): the B−1 customer-key
+    * split points that would balance the orders fact across B range
+    * partitions — what `RangePartitioner` / a table-layout planner
+    * samples for, computed EXACTLY: boundary i is the smallest key
+    * whose cumulative row count reaches ⌈i·n/B⌉ (rank-pick discipline,
+    * x197/x131). Published with the achieved cumulative count so the
+    * planner can see the discreteness error (a hot key can overshoot
+    * its target — that overshoot IS the skew the boundary table
+    * exists to expose).
+    *
+    * 100 TB shape: the corpus collapses to the per-key histogram first
+    * (one partial-agg'd shuffle on the key); the running sum and the
+    * rank pick run over DISTINCT keys — the O(keys) frame a planner
+    * holds anyway, never a corpus-row sort. The single-partition window
+    * over that histogram is the documented bounded-domain pattern. */
+  def rangeBoundaries(spark: SparkSession, dir: String,
+                      buckets: Int = RangeBuckets): DataFrame = {
+    val hist = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_rows"))
+    val cum = hist
+      .withColumn("cum", sum(col("n_rows")).over(
+        Window.orderBy(col("o_custkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(hist.agg(sum(col("n_rows")).as("n_total"))))
+      .localCheckpoint() // joined against every boundary target
+    val targets = spark.range(1L, buckets.toLong)
+      .select(col("id").as("bucket_idx"))
+      .crossJoin(broadcast(cum.select(col("n_total")).limit(1)))
+      .withColumn("target", expr(s"(bucket_idx * n_total + ${buckets - 1}) div $buckets"))
+    targets.join(cum, col("cum") >= col("target"))
+      .groupBy(col("bucket_idx"), col("target"))
+      .agg(min(col("o_custkey")).as("boundary_key"))
+      .join(cum.select(col("o_custkey").as("boundary_key"), col("cum").as("cum_rows")),
+        Seq("boundary_key"))
+      .select(col("bucket_idx"), col("target"), col("boundary_key"), col("cum_rows"))
+  }
+
+  /** x209's per-dimension bucket bits (4 ⇒ 16×16 = 256 tiles) — shared
+    * with the DuckDB oracle. */
+  val ZorderBits: Int = 4
+
+  /** Z-order (Morton) tile audit (x209): bucket the orders fact on the
+    * two query dimensions a lakehouse would cluster by — customer key
+    * and order day — into 2^bits equi-WIDTH buckets each, interleave
+    * the bucket bits into the Morton tile id, and publish per-tile row
+    * counts with the key/day envelopes. This is the layout-planning
+    * artifact behind OPTIMIZE ZORDER (`pipeline.Maintenance`'s analog):
+    * a tile's row count vs the uniform ideal is exactly the data-skipping
+    * quality a Z-ordered rewrite would achieve on range predicates over
+    * either dimension. All-integer: bucket = ((v − min)·2^bits) div
+    * (max − min + 1), the interleave is a closed-form shift/mask sum —
+    * identical expressions in both engines.
+    *
+    * 100 TB shape: one corpus scan projects the tile id (per-row integer
+    * ops, min/max fold in as a broadcast 1-row aggregate — the
+    * documented scalar cross), then one partial-agg'd groupBy on the
+    * 256-value tile key. */
+  def zorderTiles(spark: SparkSession, dir: String,
+                  bits: Int = ZorderBits): DataFrame = {
+    val rows = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("k"),
+        expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+    val bounds = rows.agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+      min(col("day")).as("min_d"), max(col("day")).as("max_d"))
+    val m = 1 << bits
+    val interleave = (0 until bits).map(b =>
+      s"(((bx >> $b) & 1) << ${2 * b + 1}) + (((by >> $b) & 1) << ${2 * b})")
+      .mkString(" + ")
+    rows.crossJoin(broadcast(bounds))
+      .withColumn("bx", expr(s"((k - min_k) * $m) div (max_k - min_k + 1)"))
+      .withColumn("by", expr(s"((day - min_d) * $m) div (max_d - min_d + 1)"))
+      .withColumn("tile", expr(interleave))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+  }
+
+  /** Explicit GROUPING SETS panel (x210): revenue at the four
+    * aggregation levels a dashboard actually serves — (nation, year),
+    * (nation), (year), grand total — in ONE pass with `grouping_id`
+    * disambiguating the levels (the CUBE x126 / ROLLUP x65 sibling,
+    * but with the level list chosen, not implied: GROUPING SETS is the
+    * primitive the other two desugar to). One corpus scan, one
+    * partial-agg'd shuffle; at 100 TB this replaces four separate
+    * aggregation jobs with one. */
+  def groupingSetsPanel(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), year(col("o_orderdate")).cast("long").as("yr"),
+        cents(col("o_totalprice")).as("c"))
+      .groupingSets(
+        Seq(Seq(col("c_nationkey"), col("yr")), Seq(col("c_nationkey")),
+          Seq(col("yr")), Seq()),
+        col("c_nationkey"), col("yr"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        sum(col("c")).as("rev_cents"))
+
   /** Winsor percentile bounds (x197), in whole percents — shared with
     * the DuckDB oracle. Rank = ceil(pct·n/100) over the (spend,
     * custkey) total order. */

@@ -3432,6 +3432,72 @@ class OperatorsSpec extends SparkSpec {
     assert(got.count(_ != 0L) > 1)
   }
 
+  test("rangeBoundaries (x208): equi-depth split points match an exact replay") {
+    val keys = graft.Tables.orders(spark, sf)
+      .select($"o_custkey").as[Long].collect().sorted
+    val n = keys.length.toLong
+    val b = Relational.RangeBuckets
+    val hist = keys.groupBy(identity).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+    val cum = hist.scanLeft((0L, 0L)) { case ((_, c), (k, m)) => (k, c + m) }.drop(1)
+    val want = (1 until b).map { i =>
+      val target = (i * n + b - 1) / b
+      val (bk, cr) = cum.find(_._2 >= target).get
+      i.toLong -> (target, bk, cr)
+    }.toMap
+    val got = Relational.rangeBoundaries(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == b - 1)
+    got.foreach { case (i, t, bk, cr) => assert(want(i) == ((t, bk, cr)), s"bucket $i") }
+    // boundaries are nondecreasing and depths roughly balance
+    val bs = got.sortBy(_._1).map(_._3)
+    assert(bs.zip(bs.tail).forall(p => p._1 <= p._2))
+  }
+
+  test("zorderTiles (x209): Morton tiling matches a replay; tiles partition the fact") {
+    val rows = graft.Tables.orders(spark, sf)
+      .select($"o_custkey", expr("unix_timestamp(o_orderdate) div 86400"))
+      .as[(Long, Long)].collect()
+    val m = 1 << Relational.ZorderBits
+    val (minK, maxK) = (rows.map(_._1).min, rows.map(_._1).max)
+    val (minD, maxD) = (rows.map(_._2).min, rows.map(_._2).max)
+    def morton(bx: Long, by: Long): Long =
+      (0 until Relational.ZorderBits).map(b =>
+        (((bx >> b) & 1) << (2 * b + 1)) + (((by >> b) & 1) << (2 * b))).sum
+    val tiles = rows.map { case (k, d) =>
+      (morton((k - minK) * m / (maxK - minK + 1),
+        (d - minD) * m / (maxD - minD + 1)), k, d)
+    }
+    val want = tiles.groupBy(_._1).view.mapValues { ts =>
+      (ts.length.toLong, ts.map(_._2).min, ts.map(_._2).max,
+        ts.map(_._3).min, ts.map(_._3).max)
+    }.toMap
+    val got = Relational.zorderTiles(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.map(_._2).sum == rows.length.toLong)
+    got.foreach { case (t, n, mk, xk, md, xd) =>
+      assert(want(t) == ((n, mk, xk, md, xd)), s"tile $t")
+    }
+  }
+
+  test("groupingSetsPanel (x210): every level reconciles to the grand total") {
+    val got = Relational.groupingSetsPanel(spark, sf)
+      .as[(Option[Long], Option[Long], Long, Long, Long)].collect()
+    val gids = got.map(_._3).toSet
+    assert(gids == Set(0L, 1L, 2L, 3L))
+    def level(g: Long) = got.filter(_._3 == g)
+    val total = level(3L)
+    assert(total.length == 1 && total.head._1.isEmpty && total.head._2.isEmpty)
+    // each level's orders and revenue sum to the grand total
+    Seq(0L, 1L, 2L).foreach { g =>
+      assert(level(g).map(_._4).sum == total.head._4, s"gid $g orders")
+      assert(level(g).map(_._5).sum == total.head._5, s"gid $g revenue")
+    }
+    // level key nullability matches the grouping id bits
+    assert(level(0L).forall(r => r._1.nonEmpty && r._2.nonEmpty))
+    assert(level(1L).forall(r => r._1.nonEmpty && r._2.isEmpty))
+    assert(level(2L).forall(r => r._1.isEmpty && r._2.nonEmpty))
+  }
+
   test("conformalIntervals (x204): rank-picked quantile and coverage match a replay") {
     val brandByPart = graft.Tables.part(spark, sf)
       .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
