@@ -248,6 +248,8 @@ object SparkEntry {
     "x208_range_bounds"     -> ((s, d) => Relational.rangeBoundaries(s, d)),
     "x209_zorder_tiles"     -> ((s, d) => Relational.zorderTiles(s, d)),
     "x210_grouping_sets"    -> ((s, d) => Relational.groupingSetsPanel(s, d)),
+    "x211_lateness_hist"    -> ((s, d) => Sessionize.latenessHistogram(s, d)),
+    "x212_watermark_drops"  -> ((s, d) => Sessionize.watermarkDrops(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4219,6 +4221,48 @@ object SparkEntry {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY GROUPING SETS ((c.c_nationkey, year(o.o_orderdate)),
         |                        (c.c_nationkey), (year(o.o_orderdate)), ())""".stripMargin,
+
+    // x211: out-of-orderness histogram under the md5 collector-arrival
+    // model — global running-max lateness (the oracle's single window ≡
+    // the engine's sharded two-phase prefix max), ⌊log2⌋ via bin().
+    "x211_lateness_hist" ->
+      """WITH e AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |                  ('0x' || substr(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS arr
+        |           FROM events),
+        |l AS (SELECT max(ts_s) OVER (ORDER BY arr, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ts_s
+        |               AS lateness_s
+        |      FROM e)
+        |SELECT CASE WHEN lateness_s = 0 THEN -1
+        |            ELSE CAST(length(bin(lateness_s)) - 1 AS BIGINT) END AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(max(lateness_s) AS BIGINT) AS max_lateness_s
+        |FROM l GROUP BY 1""".stripMargin,
+
+    // x212: exact watermark drop panel — shared arrival-lateness model,
+    // tiny watermark cross, exact per-delay counts.
+    "x212_watermark_drops" -> {
+      import operators.Sessionize.LatenessWatermarks
+      val wmList = LatenessWatermarks.mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |                  ('0x' || substr(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS arr
+        |           FROM events),
+        |l AS (SELECT max(ts_s) OVER (ORDER BY arr, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ts_s
+        |               AS lateness_s
+        |      FROM e),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM l),
+        |wm AS (SELECT CAST(unnest($wmList) AS BIGINT) AS watermark_s)
+        |SELECT w.watermark_s,
+        |       CAST(sum(CASE WHEN l.lateness_s > w.watermark_s THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dropped,
+        |       t.n_total,
+        |       (1000000 * CAST(sum(CASE WHEN l.lateness_s > w.watermark_s
+        |                                THEN 1 ELSE 0 END) AS BIGINT)) // t.n_total
+        |         AS drop_ppm
+        |FROM l CROSS JOIN wm w CROSS JOIN tot t
+        |GROUP BY 1, 3""".stripMargin
+    },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

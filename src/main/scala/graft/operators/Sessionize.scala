@@ -737,4 +737,87 @@ object Sessionize {
       Tables.events(spark, dir)
         .select(col("event_type"), col("user_id").as("item")).distinct(),
       "event_type")
+
+  /** x212's candidate watermark delays (seconds: 1 h, 6 h, 1 d, 7 d)
+    * — shared with the DuckDB oracle. */
+  val LatenessWatermarks: Seq[Long] = Seq(3600L, 21600L, 86400L, 604800L)
+
+  /** x211/x212's shard-bit split of the 60-bit arrival key: the top 4
+    * bits shard the sequence into 16 ORDERED segments for the
+    * distributed prefix-max. */
+  val LatenessShardShift: Int = 56
+
+  /** The per-event arrival lateness under a MODELED hash-sharded
+    * collector: the raw log is perfectly time-ordered (verified — every
+    * per-user and global lateness is 0), so the audit replays it
+    * through the standard non-FIFO arrival model — arrival position =
+    * md5₆₀("arr:" ‖ event_id), the deterministic stand-in for a
+    * multi-shard collector interleaving — and measures how far each
+    * event's timestamp sits behind the max event time already arrived.
+    * That is exactly the quantity Spark's watermark (global max event
+    * time − delay) is sized against.
+    *
+    * The global running max is computed DISTRIBUTED, not by a global
+    * sort: the arrival key's top 4 bits split the sequence into 16
+    * ordered shards; within-shard running max is a shard-partitioned
+    * window, and the cross-shard carry is an exclusive prefix-max over
+    * the 16-row shard-maxima table (the [[Sampling.exclusivePrefixSum]]
+    * two-phase shape with max as the monoid) broadcast back. Exact
+    * global prefix max, no single-partition window over the corpus. */
+  private def arrivalLateness(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    val keyed = raw
+      .select(col("event_id"), tsSeconds(raw).as("ts_s"))
+      .withColumn("arr", Dedup.md5Hash60(
+        concat(lit("arr:"), col("event_id").cast("string"))))
+      .withColumn("shard", expr(s"arr div ${1L << LatenessShardShift}"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = keyed.withColumn("run_max", max(col("ts_s")).over(w))
+      .localCheckpoint() // read by the shard rollup and the final join
+    val shardMax = local.groupBy(col("shard")).agg(max(col("ts_s")).as("m"))
+    val prevW = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = shardMax.withColumn("prev_max", max(col("m")).over(prevW))
+      .select(col("shard"), col("prev_max"))
+    local.join(broadcast(carry), Seq("shard"))
+      .withColumn("lateness_s",
+        greatest(col("run_max"), coalesce(col("prev_max"), col("run_max")))
+          - col("ts_s"))
+  }
+
+  /** Out-of-orderness histogram (x211): the log2 lateness spectrum of
+    * the event stream (bucket −1 = in order) — the empirical input to
+    * every `withWatermark` choice in the streaming twins. The bucket
+    * edge is integer-exact: bucket b holds lateness in [2^b, 2^(b+1)),
+    * computed by bit length (63 − leading zeros), no float log. */
+  def latenessHistogram(spark: SparkSession, dir: String): DataFrame =
+    arrivalLateness(spark, dir)
+      .withColumn("bucket",
+        when(col("lateness_s") === 0L, lit(-1L))
+          // ⌊log2⌋ as bit length − 1: bin() strips leading zeros in
+          // both engines — no float log anywhere
+          .otherwise(expr("cast(length(bin(lateness_s)) - 1 as long)")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"), max(col("lateness_s")).as("max_lateness_s"))
+
+  /** Exact watermark drop panel (x212): for each candidate watermark
+    * delay, the EXACT number of events whose arrival lateness exceeds
+    * it — what `withWatermark(d)` would have discarded on this stream —
+    * plus the drop fraction. The corpus-side work is the shared
+    * per-user lateness window; the watermark fan-out is a broadcast
+    * 4-row cross, partial-agg'd on the watermark key. */
+  def watermarkDrops(spark: SparkSession, dir: String): DataFrame = {
+    val late = arrivalLateness(spark, dir).localCheckpoint()
+    val totals = late.agg(count(lit(1)).as("n_total"))
+    val spark2 = late.sparkSession
+    import spark2.implicits._
+    val wm = LatenessWatermarks.toDF("watermark_s")
+    late.crossJoin(broadcast(wm))
+      .groupBy(col("watermark_s"))
+      .agg(sum(when(col("lateness_s") > col("watermark_s"), 1L).otherwise(0L))
+        .as("n_dropped"))
+      .crossJoin(broadcast(totals))
+      .withColumn("drop_ppm", expr("(1000000L * n_dropped) div n_total"))
+  }
 }

@@ -3498,6 +3498,36 @@ class OperatorsSpec extends SparkSpec {
     assert(level(2L).forall(r => r._1.isEmpty && r._2.nonEmpty))
   }
 
+  test("lateness audit (x211/x212): sharded prefix-max equals a global-order replay") {
+    val raw = graft.Tables.events(spark, sf)
+    val rows = raw.select($"event_id", Sessionize.tsSeconds(raw).as("ts_s"))
+      .as[(Long, Long)].collect()
+      .map { case (id, ts) => (Dedup.md5Hash60Ref(s"arr:$id"), id, ts) }
+      .sortBy(t => (t._1, t._2))
+    var runMax = Long.MinValue
+    val lateness = rows.map { case (_, _, ts) =>
+      runMax = math.max(runMax, ts); runMax - ts
+    }
+    val wantHist = lateness.groupBy(l =>
+      if (l == 0L) -1L else 63L - java.lang.Long.numberOfLeadingZeros(l))
+      .view.mapValues(ls => (ls.length.toLong, ls.max)).toMap
+    val gotHist = Sessionize.latenessHistogram(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(gotHist.length == wantHist.size && gotHist.nonEmpty)
+    gotHist.foreach { case (b, n, m) => assert(wantHist(b) == ((n, m)), s"bucket $b") }
+    val gotDrops = Sessionize.watermarkDrops(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(gotDrops.length == Sessionize.LatenessWatermarks.size)
+    gotDrops.foreach { case (wm, nd, nt, ppm) =>
+      val want = lateness.count(_ > wm).toLong
+      assert(nd == want && nt == lateness.length.toLong, s"watermark $wm")
+      assert(ppm == 1000000L * want / nt)
+    }
+    // drops are monotone in the watermark (the sizing curve is a curve)
+    val sorted = gotDrops.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall(p => p._1 >= p._2))
+  }
+
   test("conformalIntervals (x204): rank-picked quantile and coverage match a replay") {
     val brandByPart = graft.Tables.part(spark, sf)
       .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
