@@ -139,6 +139,27 @@ object BenchStreaming {
 
     // TermStage's streaming twin: per-batch doc-term/term-stats/doc-length
     // appends (mergeable partials — no read of the existing tables)
+    def runKnnIngest(): (String, Double) = {
+      import org.apache.spark.sql.functions.col
+      val root = Files.createTempDirectory("graft-sbench-knn-ingest")
+      try {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        // two arrival files → two incremental merges (the ingest shape)
+        emb.filter(col("vec_id") % 2 === 0).write.parquet(s"$root/drop")
+        emb.filter(col("vec_id") % 2 === 1).write.mode("append")
+          .parquet(s"$root/drop")
+        val n = emb.count()
+        val t0 = System.nanoTime()
+        graft.streaming.VectorStream.startKnnIngest(
+          spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$root/drop"),
+          s"$root/stage", s"$root/ckpt")
+          .awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        "knn_ingest" -> (n / sec)
+      } finally deleteTree(root)
+    }
+
     def runTermIngest(): (String, Double) = {
       import org.apache.spark.sql.functions.col
       val root = Files.createTempDirectory("graft-sbench-term-ingest")
@@ -236,7 +257,8 @@ object BenchStreaming {
       runIndexIngest(),
       runBandIngest(),
       runClusterIngest(),
-      runTermIngest())
+      runTermIngest(),
+      runKnnIngest())
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
     val headline = f"${results.head._2}%.1f"

@@ -572,10 +572,14 @@ object Similarity {
     * x09↔x18 relationship) and exports the same (q_id, vec_id,
     * cos_sim, rank) table. */
   private[graft] def computeRankedTopK(spark: SparkSession, dir: String,
-                                       k: Int): DataFrame = {
+                                       k: Int): DataFrame =
+    computeRankedTopK(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")), k)
+
+  /** Frame-based overload — the unit the streaming kNN ingester
+    * bootstraps from (`streaming.VectorStream`). Input: (vec_id, v). */
+  private[graft] def computeRankedTopK(emb: DataFrame, k: Int): DataFrame = {
     import graft.functions.VectorFunctions.cosine_sim
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val side = emb.select(col("vec_id").as("q_id"), col("v").as("qv"))
     val scored = emb.crossJoin(broadcast(side))
       .filter(col("vec_id") =!= col("q_id"))
