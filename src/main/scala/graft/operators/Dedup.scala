@@ -1904,10 +1904,13 @@ object Dedup {
                    nBatches: Int = NoveltyBatches): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val mx = docs.agg(max(col("doc_id")).as("mx"))
-    val bf = docs.crossJoin(mx)
+    // the (doc, gram) pairs come from the STAGED gram table
+    // ([[GramStage]] — NoveltyShingleN is the engine-wide 5); only the
+    // batch tag and the fp hash are computed here
+    val bf = GramStage.gramOcc(spark, dir, NoveltyShingleN)
+      .crossJoin(broadcast(mx))
       .select(expr(s"(doc_id * $nBatches) div (mx + 1)").as("batch"),
-        explode(wordShingles(col("text"), NoveltyShingleN)).as("sh"))
-      .select(col("batch"), md5Hash60(col("sh")).as("fp"))
+        md5Hash60(col("gram")).as("fp"))
       .distinct()
       .localCheckpoint()
     val first = bf.groupBy(col("fp")).agg(min(col("batch")).as("first_batch"))
