@@ -250,6 +250,7 @@ object SparkEntry {
     "x210_grouping_sets"    -> ((s, d) => Relational.groupingSetsPanel(s, d)),
     "x211_lateness_hist"    -> ((s, d) => Sessionize.latenessHistogram(s, d)),
     "x212_watermark_drops"  -> ((s, d) => Sessionize.watermarkDrops(s, d)),
+    "x213_dedup_sweep"      -> ((s, d) => Multimodal.dedupSweep(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4262,6 +4263,46 @@ object SparkEntry {
         |         AS drop_ppm
         |FROM l CROSS JOIN wm w CROSS JOIN tot t
         |GROUP BY 1, 3""".stripMargin
+    },
+
+    // x213: dedup-aggressiveness sweep — x205's banded candidate CTEs,
+    // 4-row threshold fan-out, first-occurrence-wins removal ledger.
+    "x213_dedup_sweep" -> {
+      import operators.Multimodal.{ChunkBytes, PhashMaxHamming, SweepThresholds}
+      val counts = (0 until 60).map(b => s"SUM((h >> $b) & 1) AS c$b").mkString(", ")
+      val bits = (0 until 60)
+        .map(b => s"(CASE WHEN c$b * 2 > n THEN 1::BIGINT ELSE 0::BIGINT END << $b)")
+        .mkString(" + ")
+      val thList = SweepThresholds.mkString("[", ", ", "]")
+      s"""WITH a AS (SELECT doc_id AS asset_id, text, n_chars FROM documents),
+        |ch AS (SELECT asset_id,
+        |         ('0x' || substr(md5(substr(text, 1 + $ChunkBytes * i, $ChunkBytes)), 1, 15))::BIGINT AS h
+        |       FROM a, unnest(range(0, (length(text) + ${ChunkBytes - 1}) // $ChunkBytes)) t(i)),
+        |agg AS (SELECT asset_id, COUNT(*) AS n, $counts FROM ch GROUP BY asset_id),
+        |sig AS (SELECT asset_id, $bits AS sh FROM agg),
+        |banded AS (SELECT asset_id, sh, band, (sh >> (band * 16)) & 65535 AS chunk
+        |           FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+        |cand AS (SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+        |                bit_count(xor(a.sh, b.sh)) AS hamming
+        |         FROM banded a JOIN banded b
+        |           ON a.band = b.band AND a.chunk = b.chunk
+        |          AND a.asset_id < b.asset_id),
+        |pairs AS (SELECT * FROM cand WHERE hamming <= $PhashMaxHamming),
+        |th AS (SELECT CAST(unnest($thList) AS BIGINT) AS threshold),
+        |fan AS (SELECT t.threshold, p.asset_a, p.asset_b
+        |        FROM pairs p JOIN th t ON p.hamming <= t.threshold),
+        |np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM fan GROUP BY 1),
+        |rem AS (SELECT f.threshold, CAST(count(*) AS BIGINT) AS n_removable,
+        |               CAST(sum(d.n_chars) AS BIGINT) AS bytes_reclaimed
+        |        FROM (SELECT DISTINCT threshold, asset_b FROM fan) f
+        |        JOIN a d ON f.asset_b = d.asset_id
+        |        GROUP BY 1)
+        |SELECT t.threshold, coalesce(np.n_pairs, 0) AS n_pairs,
+        |       coalesce(rem.n_removable, 0) AS n_removable,
+        |       coalesce(rem.bytes_reclaimed, 0) AS bytes_reclaimed
+        |FROM th t LEFT JOIN np ON t.threshold = np.threshold
+        |LEFT JOIN rem ON t.threshold = rem.threshold""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

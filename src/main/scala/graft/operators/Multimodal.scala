@@ -233,4 +233,47 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("asset_a"), col("asset_b"), col("hamming"))
   }
+
+  /** x213's candidate Hamming thresholds — shared with the DuckDB
+    * oracle. The sweep tops out at [[PhashMaxHamming]] (the banding's
+    * verify bound: beyond it candidates aren't generated). */
+  val SweepThresholds: Seq[Long] = Seq(0L, 2L, 4L, 8L)
+
+  /** Dedup-aggressiveness sweep (x213): for each candidate Hamming
+    * threshold, what the byte-level near-dup dedup (x205's pipeline)
+    * would actually delete — pair count, removable assets (an asset is
+    * removable if it is the LARGER id of any surviving pair —
+    * first-occurrence-wins, x39's rule), and the bytes reclaimed. The
+    * thresholds-vs-savings curve is the knob-tuning artifact a storage
+    * owner reads before turning the dedup on (x202's radius-sweep
+    * discipline applied to the dedup decision); thresholds with no
+    * pairs still publish a zero row (the curve has no holes).
+    *
+    * 100 TB shape: the expensive part is x205's banded candidate set
+    * (tiny by construction); the sweep is a broadcast 4-row threshold
+    * cross over that candidate frame, and the byte ledger joins the
+    * O(removable) id set against the asset metadata. */
+  def dedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val pairs = byteSimhashPairs(spark, dir).localCheckpoint()
+    val th = SweepThresholds.toDF("threshold")
+    val fan = pairs.crossJoin(broadcast(th))
+      .filter(col("hamming") <= col("threshold"))
+      .localCheckpoint() // read by the pair rollup and the removable set
+    val nPairs = fan.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val removable = fan.select(col("threshold"), col("asset_b")).distinct()
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars")), col("asset_b") === col("doc_id"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_removable"),
+        sum(col("n_chars")).as("bytes_reclaimed"))
+    th.join(broadcast(nPairs), Seq("threshold"), "left")
+      .join(broadcast(removable), Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_removable"), lit(0L)).as("n_removable"),
+        coalesce(col("bytes_reclaimed"), lit(0L)).as("bytes_reclaimed"))
+  }
 }

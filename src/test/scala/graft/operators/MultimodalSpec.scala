@@ -106,4 +106,23 @@ class MultimodalSpec extends SparkSpec {
     assert(got.length == want.size && got.nonEmpty)
     got.foreach { case (a, b, h) => assert(want((a, b)) == h, s"pair ($a,$b)") }
   }
+
+  test("dedupSweep (x213): per-threshold ledger matches a replay; curve is monotone") {
+    val pairs = Multimodal.byteSimhashPairs(spark, sf)
+      .as[(Long, Long, Int)].collect()
+    val chars = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    val got = Multimodal.dedupSweep(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Multimodal.SweepThresholds)
+    got.foreach { case (t, np, nr, bytes) =>
+      val kept = pairs.filter(_._3 <= t)
+      val removable = kept.map(_._2).distinct
+      assert(np == kept.length.toLong, s"t=$t pairs")
+      assert(nr == removable.length.toLong, s"t=$t removable")
+      assert(bytes == removable.map(chars).sum, s"t=$t bytes")
+    }
+    val ns = got.map(_._2)
+    assert(ns.zip(ns.tail).forall(p => p._1 <= p._2) && ns.last > 0)
+  }
 }
