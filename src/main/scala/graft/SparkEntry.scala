@@ -251,6 +251,7 @@ object SparkEntry {
     "x211_lateness_hist"    -> ((s, d) => Sessionize.latenessHistogram(s, d)),
     "x212_watermark_drops"  -> ((s, d) => Sessionize.watermarkDrops(s, d)),
     "x213_dedup_sweep"      -> ((s, d) => Multimodal.dedupSweep(s, d)),
+    "x214_reach_panel"      -> ((s, d) => LinkAnalysis.reachabilityPanel(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4303,6 +4304,34 @@ object SparkEntry {
         |       coalesce(rem.bytes_reclaimed, 0) AS bytes_reclaimed
         |FROM th t LEFT JOIN np ON t.threshold = np.threshold
         |LEFT JOIN rem ON t.threshold = rem.threshold""".stripMargin
+    },
+
+    // x214: multi-source reachability — x180's edge CTE, deterministic
+    // top-4 hub pick, x151's level-synchronous rounds keyed (src, node).
+    "x214_reach_panel" -> {
+      import operators.LinkAnalysis.{BfsMaxHops, ReachSources, TriMinSupport}
+      val rounds = (1 to BfsMaxHops).map { i =>
+        val (pv, pf) = (s"v${i - 1}", s"f${i - 1}")
+        s"""n$i AS (SELECT DISTINCT f.src, s.b AS node
+           |        FROM $pf f JOIN sym s ON f.node = s.a),
+           |f$i AS (SELECT n.src, n.node FROM n$i n
+           |        WHERE NOT EXISTS (SELECT 1 FROM $pv v
+           |                          WHERE v.src = n.src AND v.node = n.node)),
+           |v$i AS (SELECT src, node, dist FROM $pv
+           |        UNION ALL SELECT src, node, CAST($i AS BIGINT) FROM f$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT x.p AS a, y.p AS b FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING count(*) >= $TriMinSupport),
+        |sym AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+        |srcs AS (SELECT a AS src FROM deg ORDER BY deg DESC, a LIMIT $ReachSources),
+        |v0 AS (SELECT src, src AS node, CAST(0 AS BIGINT) AS dist FROM srcs),
+        |f0 AS (SELECT src, node FROM v0),
+        |$rounds
+        |SELECT src, dist, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM v$BfsMaxHops GROUP BY 1, 2""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

@@ -744,6 +744,51 @@ object LinkAnalysis {
           .cast("decimal(38,0)")).cast("string").as("sum_yy"))
   }
 
+  /** x214 knobs: hub-source count and the hop cap (x151's), unrolled
+    * in the oracle. */
+  val ReachSources: Int = 4
+
+  /** Multi-source reachability panel (x214): BFS simultaneously from
+    * the [[ReachSources]] highest-degree parts of the frequent-co-
+    * purchase graph ("the hub products"), publishing per (source, hop)
+    * how many parts are first reached at that hop — the blast-radius /
+    * effective-diameter panel behind seed-set expansion sizing, and
+    * the multi-source generalization of x151 (same level-synchronous
+    * frontier machinery, sources chosen by degree instead of brand,
+    * state keyed (src, node) so the sources share every edge scan).
+    *
+    * 100 TB shape: per round ONE join of the (src, frontier) set
+    * against the symmetric edge list (each edge touched ≤ 2·sources
+    * times total), anti-join on the O(sources·V) visited set,
+    * localCheckpoint per round (the x99 recompute trap); the source
+    * pick is a deterministic top-4 of the O(V) degree table. */
+  def reachabilityPanel(spark: SparkSession, dir: String,
+                        nSources: Int = ReachSources,
+                        maxHops: Int = BfsMaxHops): DataFrame = {
+    val e = copurchaseEdges(spark, dir)
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val sources = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("a")).limit(nSources)
+      .select(col("a").as("src"))
+    var visited = sources
+      .select(col("src"), col("src").as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = visited.select(col("src"), col("node"))
+    for (i <- 1 to maxHops) {
+      val next = frontier.join(sym, frontier("node") === sym("a"))
+        .select(col("src"), col("b").as("node")).distinct()
+        .join(visited.select(col("src"), col("node")),
+          Seq("src", "node"), "left_anti")
+        .withColumn("dist", lit(i.toLong))
+        .localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next.select(col("src"), col("node"))
+    }
+    visited.groupBy(col("src"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** x198 knobs: truss order (k = 3 ⇒ every surviving edge sits in ≥ 1
     * triangle of survivors) and the pinned peel-round count (unrolled
     * in the oracle — the x77/x99/x122 pinned-iteration convention). */

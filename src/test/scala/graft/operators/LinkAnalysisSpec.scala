@@ -464,6 +464,32 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(BigInt(got._6) == xy.map(p => p._2 * p._2).sum)
   }
 
+  test("reachabilityPanel (x214): per-source hop counts match a driver BFS replay") {
+    val edges = LinkAnalysis.copurchaseEdges(spark, sf)
+      .as[(Long, Long)].collect()
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val sources = deg.toSeq.sortBy { case (n, d) => (-d, n) }
+      .take(LinkAnalysis.ReachSources).map(_._1)
+    val want = sources.flatMap { s =>
+      var visited = Map(s -> 0L)
+      var frontier = Set(s)
+      for (i <- 1 to LinkAnalysis.BfsMaxHops) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- visited.keySet
+        visited ++= next.map(_ -> i.toLong)
+        frontier = next
+      }
+      visited.groupBy(_._2).map { case (d, m) => (s, d) -> m.size.toLong }
+    }.toMap
+    val got = LinkAnalysis.reachabilityPanel(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (s, d, n) => assert(want((s, d)) == n, s"src $s dist $d") }
+    // sources really are the hubs: hop-1 reach equals their degree
+    got.filter(_._2 == 1L).foreach { case (s, _, n) => assert(n == deg(s)) }
+  }
+
   test("knnTruss (x198): peel matches a driver replay and reaches its fixpoint") {
     val mutual = Similarity.mutualTopK(spark, sf, KnnStage.StageK)
       .select($"u", $"v").as[(Long, Long)].collect().toSet
