@@ -252,6 +252,8 @@ object SparkEntry {
     "x212_watermark_drops"  -> ((s, d) => Sessionize.watermarkDrops(s, d)),
     "x213_dedup_sweep"      -> ((s, d) => Multimodal.dedupSweep(s, d)),
     "x214_reach_panel"      -> ((s, d) => LinkAnalysis.reachabilityPanel(s, d)),
+    "x215_forecast_duel"    -> ((s, d) => Forecast.forecastDuel(s, d)),
+    "x216_corpus_alignment" -> ((s, d) => Relational.corpusAlignment(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4333,6 +4335,56 @@ object SparkEntry {
         |SELECT src, dist, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM v$BfsMaxHops GROUP BY 1, 2""".stripMargin
     },
+
+    // x215: forecast model duel — x117's residual construction for both
+    // lags, exact paired win/loss/tie counts (the sign-test inputs).
+    "x215_forecast_duel" -> {
+      import operators.Forecast.{DuelChallengerLag, SeasonalLagDays}
+      s"""WITH daily AS (
+        |  SELECT p.p_brand, CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400 AS day,
+        |         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |m AS (SELECT min(day) AS min_day FROM daily),
+        |j AS (SELECT d.p_brand, d.day,
+        |             abs(d.rev_cents - coalesce(f7.rev_cents, 0)) AS e_champ,
+        |             abs(d.rev_cents - coalesce(f1.rev_cents, 0)) AS e_chall
+        |      FROM daily d
+        |      LEFT JOIN daily f7 ON d.p_brand = f7.p_brand
+        |        AND f7.day = d.day - $SeasonalLagDays
+        |      LEFT JOIN daily f1 ON d.p_brand = f1.p_brand
+        |        AND f1.day = d.day - $DuelChallengerLag
+        |      CROSS JOIN m WHERE d.day >= m.min_day + $SeasonalLagDays)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(e_champ) AS BIGINT) AS champ_abs_err_cents,
+        |       CAST(sum(e_chall) AS BIGINT) AS chall_abs_err_cents,
+        |       CAST(sum(CASE WHEN e_champ < e_chall THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_champ_wins,
+        |       CAST(sum(CASE WHEN e_chall < e_champ THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_chall_wins,
+        |       CAST(sum(CASE WHEN e_champ = e_chall THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_ties
+        |FROM j GROUP BY 1""".stripMargin
+    },
+
+    // x216: cross-table corpus alignment — full outer id join, one-row
+    // referential panel across the document/vector boundary.
+    "x216_corpus_alignment" ->
+      """WITH d AS (SELECT DISTINCT doc_id FROM documents),
+        |v AS (SELECT DISTINCT vec_id FROM embeddings),
+        |j AS (SELECT d.doc_id, v.vec_id
+        |      FROM d FULL OUTER JOIN v ON d.doc_id = v.vec_id)
+        |SELECT CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs,
+        |       CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |       CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_docs_unembedded,
+        |       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_vecs_orphaned,
+        |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+        |FROM j""".stripMargin,
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

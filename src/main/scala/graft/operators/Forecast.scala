@@ -549,6 +549,49 @@ object Forecast {
       .withColumn("coverage_ppm", expr("(1000000L * n_within) div n_days"))
   }
 
+  /** Lag for x215's challenger model (previous calendar day). */
+  val DuelChallengerLag: Int = 1
+
+  /** Forecast model duel (x215): the champion/challenger readout —
+    * per brand, the seasonal-naive (lag-7, x117's champion) against
+    * the persistence forecast (lag-1) on the SAME days with the SAME
+    * residual construction, publishing total absolute error for both
+    * plus the exact per-day win/loss/tie counts (the paired SIGN TEST
+    * inputs — the distribution-free model comparison every forecast
+    * review starts with; its binomial p-value is a lookup on these
+    * counts). Evaluation days are x117's (day ≥ min+7) so the panel
+    * and the WAPE row can never disagree on the eval window; a
+    * missing lag day is a 0-forecast on BOTH sides (the shared
+    * coalesce rule).
+    *
+    * 100 TB shape: x117's — one corpus-sized (brand, day) partial agg,
+    * two self equi-joins of the O(brands·days) frame, one rollup. */
+  def forecastDuel(spark: SparkSession, dir: String,
+                   champLag: Int = SeasonalLagDays,
+                   challLag: Int = DuelChallengerLag): DataFrame = {
+    val daily = dailyRevenue(spark, dir).localCheckpoint()
+    val minDay = daily.agg(min(col("day")).as("min_day"))
+    def lagged(lag: Int, as: String) = daily.select(col("p_brand"),
+      (col("day") + lag).as("day"), col("rev_cents").as(as))
+    daily
+      .join(lagged(champLag, "fc_champ"), Seq("p_brand", "day"), "left")
+      .join(lagged(challLag, "fc_chall"), Seq("p_brand", "day"), "left")
+      .crossJoin(broadcast(minDay))
+      .filter(col("day") >= col("min_day") + champLag)
+      .withColumn("e_champ", abs(col("rev_cents") - coalesce(col("fc_champ"), lit(0L))))
+      .withColumn("e_chall", abs(col("rev_cents") - coalesce(col("fc_chall"), lit(0L))))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("e_champ")).as("champ_abs_err_cents"),
+        sum(col("e_chall")).as("chall_abs_err_cents"),
+        sum(when(col("e_champ") < col("e_chall"), 1L).otherwise(0L))
+          .as("n_champ_wins"),
+        sum(when(col("e_chall") < col("e_champ"), 1L).otherwise(0L))
+          .as("n_chall_wins"),
+        sum(when(col("e_champ") === col("e_chall"), 1L).otherwise(0L))
+          .as("n_ties"))
+  }
+
   /** Theil–Sen slope of monthly revenue per (nation, year) (x195): the
     * robust trend estimator — the EXACT median of all pairwise slopes
     * (revᵢ−revⱼ)/(moᵢ−moⱼ), immune to the outlier months that wreck

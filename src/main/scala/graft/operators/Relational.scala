@@ -1429,6 +1429,32 @@ object Relational {
       .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
         sum(col("c")).as("rev_cents"))
 
+  /** Cross-table corpus alignment audit (x216): do the documents and
+    * embeddings tables describe the SAME corpus? The referential gate a
+    * multimodal/RAG pipeline runs before training on paired text +
+    * vectors (x139's FK-integrity discipline applied across the
+    * document/vector boundary): id-universe sizes, the matched count,
+    * orphans on each side, and the id envelopes per side so a drifting
+    * ingest (one table ahead of the other) is visible at a glance. One
+    * full outer join on the id — the only shuffle, keyed — rolled up to
+    * a single row. */
+  def corpusAlignment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id")).distinct()
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id")).distinct()
+    docs.join(vecs, col("doc_id") === col("vec_id"), "full_outer")
+      .agg(
+        sum(when(col("doc_id").isNotNull, 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("vec_id").isNotNull, 1L).otherwise(0L)).as("n_vecs"),
+        sum(when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("vec_id").isNull, 1L).otherwise(0L)).as("n_docs_unembedded"),
+        sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("n_vecs_orphaned"),
+        min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"),
+        min(col("vec_id")).as("min_vec_id"), max(col("vec_id")).as("max_vec_id"))
+  }
+
   /** Winsor percentile bounds (x197), in whole percents — shared with
     * the DuckDB oracle. Rank = ceil(pct·n/100) over the (spend,
     * custkey) total order. */

@@ -249,6 +249,36 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("forecastDuel (x215): paired win/loss/tie counts match a driver replay") {
+    val brandByPart = graft.Tables.part(spark, sf)
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val daily = graft.Tables.lineitem(spark, sf)
+      .select($"l_partkey", expr("unix_timestamp(l_shipdate) div 86400"),
+        Relational.cents($"l_extendedprice"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(r => (brandByPart(r._1), r._2))
+      .view.mapValues(_.map(_._3).sum).toMap
+    val minDay = daily.keys.map(_._2).min
+    val want = daily.keys.toSeq.filter(_._2 >= minDay + Forecast.SeasonalLagDays)
+      .map { case (b, d) =>
+        val rev = daily((b, d))
+        val e7 = math.abs(rev - daily.getOrElse((b, d - Forecast.SeasonalLagDays), 0L))
+        val e1 = math.abs(rev - daily.getOrElse((b, d - Forecast.DuelChallengerLag), 0L))
+        (b, e7, e1)
+      }.groupBy(_._1).view.mapValues { es =>
+        (es.size.toLong, es.map(_._2).sum, es.map(_._3).sum,
+          es.count(e => e._2 < e._3).toLong, es.count(e => e._3 < e._2).toLong,
+          es.count(e => e._2 == e._3).toLong)
+      }.toMap
+    val got = Forecast.forecastDuel(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (b, n, s7, s1, w7, w1, t) =>
+      assert(want(b) == ((n, s7, s1, w7, w1, t)), s"brand $b")
+      assert(w7 + w1 + t == n, s"brand $b partition")
+    }
+  }
+
   test("dowAnomalies (x186): scaled-integer median/MAD per (brand, dow) matches a replay") {
     def med2(xs: Seq[Long]): Long = {
       val s = xs.sorted

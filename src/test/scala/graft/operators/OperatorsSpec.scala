@@ -3528,6 +3528,19 @@ class OperatorsSpec extends SparkSpec {
     assert(sorted.zip(sorted.tail).forall(p => p._1 >= p._2))
   }
 
+  test("corpusAlignment (x216): referential panel matches the raw id universes") {
+    val docs = graft.Tables.documents(spark, sf).select($"doc_id")
+      .as[Long].collect().toSet
+    val vecs = graft.Tables.embeddings(spark, sf).select($"vec_id")
+      .as[Long].collect().toSet
+    val Array((nd, nv, nm, du, vo, mnd, mxd, mnv, mxv)) =
+      Relational.corpusAlignment(spark, sf)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(nd == docs.size && nv == vecs.size && nm == (docs & vecs).size)
+    assert(du == (docs -- vecs).size && vo == (vecs -- docs).size)
+    assert(mnd == docs.min && mxd == docs.max && mnv == vecs.min && mxv == vecs.max)
+  }
+
   test("conformalIntervals (x204): rank-picked quantile and coverage match a replay") {
     val brandByPart = graft.Tables.part(spark, sf)
       .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
