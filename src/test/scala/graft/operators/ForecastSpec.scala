@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.expr
+
 import graft.SparkSpec
 
 class ForecastSpec extends SparkSpec {
