@@ -254,6 +254,7 @@ object SparkEntry {
     "x214_reach_panel"      -> ((s, d) => LinkAnalysis.reachabilityPanel(s, d)),
     "x215_forecast_duel"    -> ((s, d) => Forecast.forecastDuel(s, d)),
     "x216_corpus_alignment" -> ((s, d) => Relational.corpusAlignment(s, d)),
+    "x217_label_terms"      -> ((s, d) => TextAnalysis.labelTermLift(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4385,6 +4386,29 @@ object SparkEntry {
         |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
         |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
         |FROM j""".stripMargin,
+
+    // x217: label-conditioned term lift — presence counts over the
+    // aligned doc/vector ids, integer ppm lift, per-label top-k.
+    "x217_label_terms" -> {
+      import operators.TextAnalysis.{LabelTermMinDocs, LabelTermTopK}
+      s"""WITH lab AS (SELECT vec_id AS doc_id, label FROM embeddings),
+        |tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents),
+        |o AS (SELECT l.label, t.term, CAST(count(*) AS BIGINT) AS o
+        |      FROM tok t JOIN lab l ON t.doc_id = l.doc_id GROUP BY 1, 2),
+        |cs AS (SELECT term, CAST(sum(o) AS BIGINT) AS df FROM o GROUP BY 1),
+        |rs AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM lab GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM lab),
+        |sc AS (SELECT o.label, o.term, o.o, cs.df, rs.n_label, n.n_docs,
+        |              (1000000 * o.o * n.n_docs) // (rs.n_label * cs.df) AS lift_ppm
+        |       FROM o JOIN cs USING (term) JOIN rs USING (label) CROSS JOIN n
+        |       WHERE o.o >= $LabelTermMinDocs),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY label
+        |                 ORDER BY lift_ppm DESC, term) AS BIGINT) AS rank
+        |       FROM sc)
+        |SELECT label, rank, term, o, df, n_label, n_docs, lift_ppm
+        |FROM rk WHERE rank <= $LabelTermTopK""".stripMargin
+    },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

@@ -1634,6 +1634,51 @@ object TextAnalysis {
         expr("(1000000L * boiler_grams) div total_grams"))
   }
 
+  /** x217 knobs: per-label list depth and the minimum supporting doc
+    * count — shared with the DuckDB oracle. */
+  val LabelTermTopK: Int = 5
+  val LabelTermMinDocs: Long = 5L
+
+  /** Label-conditioned term lift (x217): for each embedding-cluster
+    * label, the terms most over-represented in that label's documents —
+    * supervised feature selection across the text/vector boundary (the
+    * doc↔vector id alignment x216 audits is what makes the join
+    * legal). Lift = P(term|label)/P(term) as the exact integer ppm
+    * rational O·N / (rowSum·colSum) over document-presence counts (the
+    * χ²-table moments of x160, ranked instead of tested); ties break
+    * on the term. Per-label top-k with a minimum-support floor.
+    *
+    * 100 TB shape: presence rows come from the STAGED doc-term table
+    * ([[TermStage]]); the label join keys on doc_id; the (label, term)
+    * aggregate is one partial-agg'd shuffle and every marginal is a
+    * rollup of it (never a second corpus scan); the rank window
+    * partitions by the label key over O(vocab) rows. */
+  def labelTermLift(spark: SparkSession, dir: String,
+                    topK: Int = LabelTermTopK,
+                    minDocs: Long = LabelTermMinDocs): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("label"))
+    val o = TermStage.docTermFreq(spark, dir).select(col("doc_id"), col("term"))
+      .join(labels, Seq("doc_id"))
+      .groupBy(col("label"), col("term")).agg(count(lit(1)).as("o"))
+      .localCheckpoint() // read by the score and the per-term marginal
+    val colSum = o.groupBy(col("term")).agg(sum(col("o")).as("df"))
+    val rowSum = labels.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val n = labels.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("lift_ppm").desc, col("term"))
+    o.join(broadcast(colSum), Seq("term"))
+      .join(broadcast(rowSum), Seq("label"))
+      .crossJoin(broadcast(n))
+      .filter(col("o") >= minDocs)
+      .withColumn("lift_ppm",
+        expr("(1000000L * o * n_docs) div (n_label * df)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("label"), col("rank"), col("term"), col("o"), col("df"),
+        col("n_label"), col("n_docs"), col("lift_ppm"))
+  }
+
   /** Good–Turing gram length / published spectrum depth for
     * [[goodTuringGrams]] (x200) — shared with the DuckDB oracle. */
   val GtN: Int = 5

@@ -3541,6 +3541,37 @@ class OperatorsSpec extends SparkSpec {
     assert(mnd == docs.min && mxd == docs.max && mnv == vecs.min && mxv == vecs.max)
   }
 
+  test("labelTermLift (x217): presence counts, marginals and ranks match a replay") {
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val pres = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .flatMap { case (id, t) => t.split(" ", -1).distinct.map(w => (id, w)) }
+    val o = pres.groupBy { case (id, w) => (labels(id), w) }
+      .view.mapValues(_.size.toLong).toMap
+    val cs = o.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val rs = labels.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nDocs = labels.size.toLong
+    val want = o.toSeq.collect {
+      case ((lab, term), c) if c >= TextAnalysis.LabelTermMinDocs =>
+        (lab, term, c, cs(term), rs(lab),
+          1000000L * c * nDocs / (rs(lab) * cs(term)))
+    }.groupBy(_._1).view.mapValues { rows =>
+      rows.sortBy { case (_, t, _, _, _, lift) => (-lift, t) }
+        .take(TextAnalysis.LabelTermTopK).zipWithIndex
+        .map { case ((_, t, c, df, nl, lift), i) =>
+          (i + 1L, t) -> (c, df, nl, lift)
+        }.toMap
+    }.toMap
+    val got = TextAnalysis.labelTermLift(spark, sf)
+      .as[(Int, Long, String, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.values.map(_.size).sum && got.nonEmpty)
+    got.foreach { case (lab, rk, term, c, df, nl, nd, lift) =>
+      assert(nd == nDocs)
+      assert(want(lab)((rk, term)) == ((c, df, nl, lift)), s"label $lab rank $rk")
+    }
+  }
+
   test("conformalIntervals (x204): rank-picked quantile and coverage match a replay") {
     val brandByPart = graft.Tables.part(spark, sf)
       .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
