@@ -255,6 +255,7 @@ object SparkEntry {
     "x215_forecast_duel"    -> ((s, d) => Forecast.forecastDuel(s, d)),
     "x216_corpus_alignment" -> ((s, d) => Relational.corpusAlignment(s, d)),
     "x217_label_terms"      -> ((s, d) => TextAnalysis.labelTermLift(s, d)),
+    "x218_ring_churn"       -> ((s, d) => Sampling.ringChurn(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4408,6 +4409,39 @@ object SparkEntry {
         |       FROM sc)
         |SELECT label, rank, term, o, df, n_label, n_docs, lift_ppm
         |FROM rk WHERE rank <= $LabelTermTopK""".stripMargin
+    },
+
+    // x218: consistent-hash ring churn — the 576-vnode ring as a
+    // generated VALUES list (plan-time constants), clockwise-successor
+    // argmin with lexicographic (dist, node) tie-break, old/new rings
+    // resolved in one grouped pass each.
+    "x218_ring_churn" -> {
+      import operators.Sampling.{RingNodes, RingVnodes}
+      val ring = operators.Sampling.ringPositions(RingNodes + 1, RingVnodes)
+      val values = ring.map { case (n, p) => s"($n, $p)" }.mkString(", ")
+      val mod = 1L << 60
+      s"""WITH ring(node, pos) AS (VALUES $values),
+        |k AS (SELECT doc_id,
+        |        ('0x' || substr(md5('key:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |      FROM documents),
+        |d AS (SELECT k.doc_id, r.node,
+        |             (((r.pos - k.h) % $mod) + $mod) % $mod AS dist
+        |      FROM k CROSS JOIN ring r),
+        |a AS (SELECT doc_id,
+        |             min(CASE WHEN node < $RingNodes THEN dist END) AS od,
+        |             min(dist) AS nd
+        |      FROM d GROUP BY 1),
+        |sel AS (SELECT a.doc_id,
+        |               min(CASE WHEN dd.node < $RingNodes AND dd.dist = a.od
+        |                        THEN dd.node END) AS old_node,
+        |               min(CASE WHEN dd.dist = a.nd THEN dd.node END) AS new_node
+        |        FROM a JOIN d dd USING (doc_id) GROUP BY 1)
+        |SELECT old_node AS node, CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(sum(CASE WHEN old_node <> new_node THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_moved,
+        |       (1000000 * CAST(sum(CASE WHEN old_node <> new_node THEN 1 ELSE 0 END) AS BIGINT))
+        |         // CAST(count(*) AS BIGINT) AS moved_ppm
+        |FROM sel GROUP BY 1""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

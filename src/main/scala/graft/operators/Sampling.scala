@@ -1055,6 +1055,57 @@ object Sampling {
       .withColumn("moved_ppm", expr("(1000000L * n_moved) div n_docs"))
   }
 
+  /** x218 knobs: ring nodes before the scale-up, virtual nodes per
+    * physical node. Shared with the DuckDB oracle. */
+  val RingNodes: Int = 8
+  val RingVnodes: Int = 64
+
+  /** The vnode ring as PLAN-TIME constants: position = md5₆₀ of
+    * "ring:node:v" — computable identically in Scala (for the Spark
+    * literal array) and in the generated oracle VALUES list (the
+    * hyperplaneSigns discipline: constants, not state). */
+  private[graft] def ringPositions(nodes: Int, vnodes: Int): Seq[(Long, Long)] =
+    for (n <- 0L until nodes.toLong; v <- 0L until vnodes.toLong)
+      yield (n, graft.functions.Md5Long.hash60(s"ring:$n:$v"))
+
+  /** Consistent-hash ring churn audit (x218): assign every document to
+    * the vnode ring (clockwise successor = the vnode minimizing
+    * (pos − h) mod 2⁶⁰) under N and N+1 physical nodes, and report per
+    * old node how many keys MOVE when the new node joins — the OTHER
+    * classic minimal-disruption placement next to x158's rendezvous
+    * hashing (same audit, different algorithm: the ring bounds churn
+    * by the new node's vnode arc coverage ≈ 1/(N+1), and vnode count
+    * is the balance knob this panel exposes). The ring is plan-time
+    * constant, so BOTH assignments fold in x158's one-shuffle shape:
+    * explode the per-key distances over the 576 vnode literals,
+    * argmin via `min(struct(dist, node, pos))` with the old ring under
+    * a guard — map-side combine collapses the fan-out before the one
+    * exchange on doc_id. */
+  def ringChurn(spark: SparkSession, dir: String, nodes: Int = RingNodes,
+                vnodes: Int = RingVnodes): DataFrame = {
+    val ring = ringPositions(nodes + 1, vnodes)
+    val entries = ring.map { case (n, p) =>
+      struct(lit(n).as("node"), lit(p).as("pos"))
+    }
+    val mod = 1L << 60
+    val assign = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("h", Dedup.md5Hash60(
+        concat(lit("key:"), col("doc_id").cast("string"))))
+      .select(col("doc_id"), col("h"), explode(array(entries: _*)).as("e"))
+      .withColumn("dist", pmod(col("e.pos") - col("h"), lit(mod)))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(when(col("e.node") < nodes,
+          struct(col("dist"), col("e.node").as("node")))).as("old"),
+        min(struct(col("dist"), col("e.node").as("node"))).as("nw"))
+    assign
+      .select(col("old.node").as("node"),
+        (col("old.node") =!= col("nw.node")).cast("long").as("moved"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("moved")).as("n_moved"))
+      .withColumn("moved_ppm", expr("(1000000L * n_moved) div n_keys"))
+  }
+
   /** x190's fold count, shared with the oracle SQL. */
   val FoldK: Int = 5
 

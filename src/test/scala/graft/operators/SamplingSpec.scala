@@ -765,4 +765,32 @@ class SamplingSpec extends SparkSpec {
     val newWins = ids.count(id => arg(id, k + 1) == k.toLong).toLong
     assert(movedTotal == newWins)
   }
+
+  test("ringChurn (x218): successor assignment and churn match a driver ring replay") {
+    val ring = Sampling.ringPositions(Sampling.RingNodes + 1, Sampling.RingVnodes)
+    val mod = 1L << 60
+    def assignIn(h: Long, entries: Seq[(Long, Long)]): Long =
+      entries.map { case (n, p) => (((p - h) % mod + mod) % mod, n) }.min._2
+    val oldRing = ring.filter(_._1 < Sampling.RingNodes)
+    val docs = graft.Tables.documents(spark, sf).select($"doc_id")
+      .as[Long].collect()
+    val want = docs.map { id =>
+      val h = Dedup.md5Hash60Ref(s"key:$id")
+      (assignIn(h, oldRing), assignIn(h, ring))
+    }.groupBy(_._1).view.mapValues { as =>
+      (as.length.toLong, as.count(p => p._1 != p._2).toLong)
+    }.toMap
+    val got = Sampling.ringChurn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (n, nk, nm, ppm) =>
+      assert(want(n) == ((nk, nm)), s"node $n")
+      assert(ppm == 1000000L * nm / nk)
+    }
+    // minimal disruption: overall churn stays near 1/(N+1), far from a
+    // mod-N reshard's ~N/(N+1)
+    val total = got.map(_._2).sum.toDouble
+    val moved = got.map(_._3).sum.toDouble
+    assert(moved / total < 0.3, s"churn ${moved / total}")
+  }
 }
