@@ -256,6 +256,7 @@ object SparkEntry {
     "x216_corpus_alignment" -> ((s, d) => Relational.corpusAlignment(s, d)),
     "x217_label_terms"      -> ((s, d) => TextAnalysis.labelTermLift(s, d)),
     "x218_ring_churn"       -> ((s, d) => Sampling.ringChurn(s, d)),
+    "x219_dupe_quality"     -> ((s, d) => TextAnalysis.dupeQuality(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4442,6 +4443,40 @@ object SparkEntry {
         |       (1000000 * CAST(sum(CASE WHEN old_node <> new_node THEN 1 ELSE 0 END) AS BIGINT))
         |         // CAST(count(*) AS BIGINT) AS moved_ppm
         |FROM sel GROUP BY 1""".stripMargin
+    },
+
+    // x219: duplication–quality interaction — x17's cluster CTEs plus
+    // x89's score expression, composed verbatim; size-band rollup with
+    // the one-IEEE-division mean.
+    "x219_dupe_quality" -> {
+      import operators.TextAnalysis._
+      s"""$clustersCteSql,
+        |${qualityFeatureCtes.stripPrefix("WITH ")},
+        |lbl AS (SELECT doc_id, min(label) AS canonical_id FROM reach GROUP BY doc_id),
+        |sizes AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS sz
+        |          FROM lbl GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id,
+        |       CAST($QwWords * n_words
+        |            + $QwMeanLen * CAST(floor(mean_word_len * 1000000) AS BIGINT)
+        |            + ($QwStop) * CAST(floor(stopword_ratio * 1000000) AS BIGINT)
+        |            + ($QwShort) * CAST(floor(short_word_ratio * 1000000) AS BIGINT)
+        |            + ($QwDup) * CAST(floor(dup_ratio * 1000000) AS BIGINT) AS BIGINT)
+        |         AS score_micro
+        |  FROM feat),
+        |joined AS (
+        |  SELECT CASE WHEN s.sz = 1 THEN '1' WHEN s.sz = 2 THEN '2'
+        |              WHEN s.sz <= 4 THEN '3-4' ELSE '5+' END AS size_band,
+        |         l.canonical_id, q.score_micro
+        |  FROM lbl l JOIN sizes s USING (canonical_id)
+        |  JOIN scored q USING (doc_id))
+        |SELECT size_band, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT canonical_id) AS BIGINT) AS n_clusters,
+        |       CAST(sum(score_micro) AS BIGINT) AS sum_score_micro,
+        |       min(score_micro) AS min_score_micro,
+        |       max(score_micro) AS max_score_micro,
+        |       CAST(sum(score_micro) AS DOUBLE) / count(*) AS mean_score
+        |FROM joined GROUP BY 1""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

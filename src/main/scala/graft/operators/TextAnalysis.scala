@@ -1679,6 +1679,35 @@ object TextAnalysis {
         col("n_label"), col("n_docs"), col("lift_ppm"))
   }
 
+  /** Duplication–quality interaction (x219): per near-dup-cluster size
+    * band, the quality-score profile of member documents — the
+    * curation question behind "dedup first or filter first" (if
+    * heavily-duplicated docs score systematically lower, dedup order
+    * changes what survives the quality gate). Pure COMPOSITION of two
+    * staged/shared artifacts: cluster labels from [[ClusterStage]]
+    * (x17's snapshot table) and x89's pinned integer score — so the
+    * interaction panel can never disagree with either source query.
+    * Mean is the one-IEEE-division double (sums can be negative, so no
+    * integer div — the x117 negative-div trap). */
+  def dupeQuality(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = ClusterStage.clusters(spark, dir)
+    val sizes = clusters.groupBy(col("canonical_id")).agg(count(lit(1)).as("sz"))
+    clusters.join(sizes, Seq("canonical_id"))
+      .join(qualityScorePinned(spark, dir)
+        .select(col("doc_id"), col("score_micro")), Seq("doc_id"))
+      .withColumn("size_band",
+        when(col("sz") === 1, "1").when(col("sz") === 2, "2")
+          .when(col("sz") <= 4, "3-4").otherwise("5+"))
+      .groupBy(col("size_band"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical_id")).as("n_clusters"),
+        sum(col("score_micro")).as("sum_score_micro"),
+        min(col("score_micro")).as("min_score_micro"),
+        max(col("score_micro")).as("max_score_micro"))
+      .withColumn("mean_score",
+        col("sum_score_micro").cast("double") / col("n_docs"))
+  }
+
   /** Good–Turing gram length / published spectrum depth for
     * [[goodTuringGrams]] (x200) — shared with the DuckDB oracle. */
   val GtN: Int = 5

@@ -3572,6 +3572,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("dupeQuality (x219): band rollup reconciles with its two source artifacts") {
+    val clusters = ClusterStage.clusters(spark, sf)
+      .as[(Long, Long)].collect()
+    val sizes = clusters.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val scores = TextAnalysis.qualityScorePinned(spark, sf)
+      .select($"doc_id", $"score_micro").as[(Long, Long)].collect().toMap
+    def band(sz: Long): String =
+      if (sz == 1) "1" else if (sz == 2) "2" else if (sz <= 4) "3-4" else "5+"
+    val want = clusters.groupBy { case (_, c) => band(sizes(c)) }
+      .view.mapValues { ms =>
+        val ss = ms.map { case (d, _) => scores(d) }
+        (ms.size.toLong, ms.map(_._2).distinct.size.toLong,
+          ss.sum, ss.min, ss.max)
+      }.toMap
+    val got = TextAnalysis.dupeQuality(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (b, n, nc, s, mn, mx, mean) =>
+      assert(want(b) == ((n, nc, s, mn, mx)), s"band $b")
+      assert(mean == s.toDouble / n, s"band $b mean")
+    }
+    assert(got.map(_._2).sum == clusters.length.toLong)
+  }
+
   test("conformalIntervals (x204): rank-picked quantile and coverage match a replay") {
     val brandByPart = graft.Tables.part(spark, sf)
       .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
