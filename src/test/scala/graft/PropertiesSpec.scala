@@ -82,4 +82,60 @@ class PropertiesSpec extends SparkSpec {
       got == want
     }, n = 25)
   }
+
+  test("prefix-filter guarantee (x201): prefix-token candidates lose NO pair with Jaccard ≥ τ") {
+    // arbitrary small universes; τ = 1/2 as in the operator
+    val setGen = Gen.nonEmptyListOf(Gen.chooseNum(0, 30)).map(_.toSet)
+    val gen = Gen.listOfN(8, setGen)
+    check(Prop.forAll(gen) { sets =>
+      val dfOf = sets.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      def prefix(s: Set[Int]): Set[Int] = {
+        val sorted = s.toSeq.sortBy(t => (dfOf(t), t))
+        val pLen = s.size - ((500000L * s.size + 999999) / 1000000).toInt + 1
+        sorted.take(pLen).toSet
+      }
+      (for { i <- sets.indices; j <- (i + 1) until sets.size } yield (i, j))
+        .forall { case (i, j) =>
+          val (a, b) = (sets(i), sets(j))
+          val inter = (a & b).size.toLong
+          val union = a.size + b.size - inter
+          val qualifies = 1000000L * inter >= 500000L * union
+          // every qualifying pair MUST share a prefix token (no false negatives)
+          !qualifies || (prefix(a) & prefix(b)).nonEmpty
+        }
+    }, n = 300)
+  }
+
+  test("ring successor (x218): assignment is the clockwise successor; churn only to the new node") {
+    val gen = for {
+      h <- Gen.chooseNum(0L, (1L << 60) - 1)
+      ring <- Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 7L), Gen.chooseNum(0L, (1L << 60) - 1)))
+      extra <- Gen.nonEmptyListOf(Gen.chooseNum(0L, (1L << 60) - 1))
+    } yield (h, ring.distinct, extra.distinct)
+    val mod = 1L << 60
+    def assign(h: Long, entries: Seq[(Long, Long)]): Long =
+      entries.map { case (n, p) => (((p - h) % mod + mod) % mod, n) }.min._2
+    check(Prop.forAll(gen) { case (h, ring, extra) =>
+      val grown = ring ++ extra.map(p => (8L, p))
+      val (before, after) = (assign(h, ring), assign(h, grown))
+      // minimal disruption: an assignment either stays or moves to the NEW node
+      after == before || after == 8L
+    })
+  }
+
+  test("HLL registers (x193/x199): max-merge makes any partition of the stream agree") {
+    val itemGen = Gen.listOf(Gen.chooseNum(0L, 500L))
+    val gen = Gen.zip(itemGen, itemGen)
+    def regs(items: Seq[Long]): Map[Long, Long] =
+      items.map { i =>
+        val h = operators.Dedup.md5Hash60Ref(s"hll:$i")
+        val (b, rest) = (h % 16, h / 16)
+        b -> (if (rest == 0L) 57L else java.lang.Long.numberOfTrailingZeros(rest) + 1L)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    check(Prop.forAll(gen) { case (xs, ys) =>
+      val merged = (regs(xs).toSeq ++ regs(ys).toSeq)
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      merged == regs(xs ++ ys)
+    })
+  }
 }
