@@ -257,6 +257,7 @@ object SparkEntry {
     "x217_label_terms"      -> ((s, d) => TextAnalysis.labelTermLift(s, d)),
     "x218_ring_churn"       -> ((s, d) => Sampling.ringChurn(s, d)),
     "x219_dupe_quality"     -> ((s, d) => TextAnalysis.dupeQuality(s, d)),
+    "x220_table_checksums"  -> ((s, d) => Relational.tableChecksums(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4477,6 +4478,39 @@ object SparkEntry {
         |       max(score_micro) AS max_score_micro,
         |       CAST(sum(score_micro) AS DOUBLE) / count(*) AS mean_score
         |FROM joined GROUP BY 1""".stripMargin
+    },
+
+    // x220: table checksum manifest — the canonical row strings and the
+    // modular md5-60 sum, generated per table from one shared builder.
+    "x220_table_checksums" -> {
+      import operators.Relational.ChecksumMod
+      def cents(c: String) = s"CAST(CAST(round($c * 100) AS BIGINT) AS VARCHAR)"
+      def day(c: String) =
+        s"CAST((CAST(floor(epoch($c)) AS BIGINT) // 86400) AS VARCHAR)"
+      def block(table: String, canonical: String): String =
+        s"""SELECT '$table' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum((('0x' || substr(md5(concat_ws('|', $canonical)), 1, 15))::BIGINT)
+           |                % $ChecksumMod) AS BIGINT) AS checksum
+           |FROM $table""".stripMargin
+      Seq(
+        block("region", "CAST(r_regionkey AS VARCHAR), r_name"),
+        block("nation",
+          "CAST(n_nationkey AS VARCHAR), n_name, CAST(n_regionkey AS VARCHAR)"),
+        block("supplier",
+          s"CAST(s_suppkey AS VARCHAR), s_name, CAST(s_nationkey AS VARCHAR), ${cents("s_acctbal")}"),
+        block("part",
+          s"CAST(p_partkey AS VARCHAR), p_name, p_brand, p_type, CAST(p_size AS VARCHAR), ${cents("p_retailprice")}"),
+        block("customer",
+          s"CAST(c_custkey AS VARCHAR), c_name, CAST(c_nationkey AS VARCHAR), ${cents("c_acctbal")}, c_mktsegment"),
+        block("orders",
+          s"CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus, ${cents("o_totalprice")}, ${day("o_orderdate")}, o_orderpriority"),
+        block("lineitem",
+          s"CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), ${cents("l_quantity")}, ${cents("l_extendedprice")}, ${cents("l_discount")}, ${cents("l_tax")}, l_returnflag, l_linestatus, ${day("l_shipdate")}"),
+        block("documents",
+          "CAST(doc_id AS VARCHAR), text, lang, source, CAST(n_chars AS VARCHAR)"),
+        block("events",
+          s"CAST(event_id AS VARCHAR), CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR), CAST(user_id AS VARCHAR), event_type, ${cents("value")}, props")
+      ).mkString("", "\nUNION ALL\n", "")
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

@@ -1455,6 +1455,63 @@ object Relational {
         min(col("vec_id")).as("min_vec_id"), max(col("vec_id")).as("max_vec_id"))
   }
 
+  /** x220's checksum modulus (a prime below 2³⁰ so Σ over any corpus
+    * stays far from BIGINT range) — shared with the DuckDB oracle. */
+  val ChecksumMod: Long = 1000000007L
+
+  private def checksumRow(df: DataFrame, table: String,
+                          canonical: Column): DataFrame =
+    df.select(Dedup.md5Hash60(canonical).as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(pmod(col("h"), lit(ChecksumMod))).as("checksum"))
+      .select(lit(table).as("table_name"), col("n_rows"), col("checksum"))
+
+  /** Cross-engine table checksum manifest (x220): per table, the row
+    * count plus an ORDER-INDEPENDENT content checksum — Σ over rows of
+    * (md5₆₀(canonical row string) mod p) — the migration-validation
+    * tool this whole library is the argument for: a user switching
+    * engines checksums every table on both sides and compares nine
+    * numbers instead of nine table dumps. The canonical string is the
+    * engine-neutral repr discipline applied to every column class at
+    * once (ints as digits, money as cents, timestamps as epoch
+    * days/seconds, strings raw, '|'-joined), and the modular sum makes
+    * the fold commutative — any partitioning, any engine, same
+    * checksum (the HLL-register property, x193's class).
+    *
+    * 100 TB shape: one scan per table, a per-row hash, one
+    * partial-agg'd global sum each — embarrassingly parallel; the
+    * manifest is 9 rows. */
+  def tableChecksums(spark: SparkSession, dir: String): DataFrame = {
+    def cents(c: String) = s"cast(cast(round($c * 100) as bigint) as string)"
+    def day(c: String) = s"cast(unix_timestamp($c) div 86400 as string)"
+    def e(s: String): Column = expr(s"concat_ws('|', $s)")
+    val ev = Tables.events(spark, dir)
+    val rows = Seq(
+      checksumRow(Tables.region(spark, dir), "region",
+        e("cast(r_regionkey as string), r_name")),
+      checksumRow(Tables.nation(spark, dir), "nation",
+        e("cast(n_nationkey as string), n_name, cast(n_regionkey as string)")),
+      checksumRow(Tables.supplier(spark, dir), "supplier",
+        e(s"cast(s_suppkey as string), s_name, cast(s_nationkey as string), ${cents("s_acctbal")}")),
+      checksumRow(Tables.part(spark, dir), "part",
+        e(s"cast(p_partkey as string), p_name, p_brand, p_type, cast(p_size as string), ${cents("p_retailprice")}")),
+      checksumRow(Tables.customer(spark, dir), "customer",
+        e(s"cast(c_custkey as string), c_name, cast(c_nationkey as string), ${cents("c_acctbal")}, c_mktsegment")),
+      checksumRow(Tables.orders(spark, dir), "orders",
+        e(s"cast(o_orderkey as string), cast(o_custkey as string), o_orderstatus, ${cents("o_totalprice")}, ${day("o_orderdate")}, o_orderpriority")),
+      checksumRow(Tables.lineitem(spark, dir), "lineitem",
+        e(s"cast(l_orderkey as string), cast(l_partkey as string), cast(l_suppkey as string), cast(l_linenumber as string), ${cents("l_quantity")}, ${cents("l_extendedprice")}, ${cents("l_discount")}, ${cents("l_tax")}, l_returnflag, l_linestatus, ${day("l_shipdate")}")),
+      checksumRow(Tables.documents(spark, dir), "documents",
+        e("cast(doc_id as string), text, lang, source, cast(n_chars as string)")),
+      checksumRow(ev, "events",
+        concat_ws("|", col("event_id").cast("string"),
+          Sessionize.tsSeconds(ev).cast("string"),
+          col("user_id").cast("string"), col("event_type"),
+          expr("cast(cast(round(value * 100) as bigint) as string)"),
+          col("props"))))
+    rows.reduce(_ union _)
+  }
+
   /** Winsor percentile bounds (x197), in whole percents — shared with
     * the DuckDB oracle. Rank = ceil(pct·n/100) over the (spend,
     * custkey) total order. */

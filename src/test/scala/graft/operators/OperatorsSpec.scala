@@ -3596,6 +3596,27 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_._2).sum == clusters.length.toLong)
   }
 
+  test("tableChecksums (x220): order-independence and sensitivity of the manifest") {
+    val got = Relational.tableChecksums(spark, sf)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == 9)
+    // row counts reconcile with the raw tables
+    assert(got("orders")._1 == graft.Tables.orders(spark, sf).count())
+    assert(got("lineitem")._1 == graft.Tables.lineitem(spark, sf).count())
+    // order independence: a reversed-order replay folds to the same checksum
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .as[(Long, String, String, String, Long)].collect()
+    def h(r: (Long, String, String, String, Long)): Long =
+      Dedup.md5Hash60Ref(s"${r._1}|${r._2}|${r._3}|${r._4}|${r._5}") %
+        Relational.ChecksumMod
+    assert(docs.map(h).sum == got("documents")._2)
+    assert(docs.reverse.map(h).sum == got("documents")._2)
+    // sensitivity: flipping one character changes the fold
+    val tweaked = docs.updated(0, docs(0).copy(_2 = docs(0)._2 + "!"))
+    assert(tweaked.map(h).sum != got("documents")._2)
+  }
+
   test("conformalIntervals (x204): rank-picked quantile and coverage match a replay") {
     val brandByPart = graft.Tables.part(spark, sf)
       .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
