@@ -4153,7 +4153,8 @@ object SparkEntry {
            |          FROM qd JOIN dot$i USING (vec_id) GROUP BY 1),
            |m$i AS (SELECT max(abs(raw)) AS m FROM raw$i),
            |v$i AS (SELECT d,
-           |          CASE WHEN raw >= 0 THEN (raw * $PiScale) // m
+           |          CASE WHEN m = 0 THEN 0
+           |               WHEN raw >= 0 THEN (raw * $PiScale) // m
            |               ELSE -(((-raw) * $PiScale) // m) END AS v
            |        FROM raw$i, m$i)""".stripMargin
       }.mkString(",\n")
@@ -4161,7 +4162,8 @@ object SparkEntry {
         |sc AS (SELECT vec_id, v,
         |         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale FROM e),
         |qv AS (SELECT vec_id,
-        |         list_transform(v, x -> CAST(floor(x / scale * $QuantLevels.0 + 0.5) AS BIGINT)) AS q
+        |         list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |           ELSE CAST(floor(x / scale * $QuantLevels.0 + 0.5) AS BIGINT) END) AS q
         |       FROM sc),
         |qd AS (SELECT vec_id, dd.d, q[dd.d + 1] AS qv
         |       FROM qv, (SELECT unnest(range(64)) AS d) dd),
@@ -4482,34 +4484,39 @@ object SparkEntry {
 
     // x220: table checksum manifest — the canonical row strings and the
     // modular md5-60 sum, generated per table from one shared builder.
+    // Each field is length-prefixed (`len:value`, NULL → `N`) before the
+    // '|' join — Relational.canonField's shape — so a value containing
+    // '|' can't shift field boundaries and NULL ≠ empty string.
     "x220_table_checksums" -> {
       import operators.Relational.ChecksumMod
       def cents(c: String) = s"CAST(CAST(round($c * 100) AS BIGINT) AS VARCHAR)"
       def day(c: String) =
         s"CAST((CAST(floor(epoch($c)) AS BIGINT) // 86400) AS VARCHAR)"
-      def block(table: String, canonical: String): String =
+      def canon(f: String): String =
+        s"CASE WHEN ($f) IS NULL THEN 'N' ELSE CAST(length($f) AS VARCHAR) || ':' || ($f) END"
+      def block(table: String, fields: String*): String =
         s"""SELECT '$table' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
-           |       CAST(sum((('0x' || substr(md5(concat_ws('|', $canonical)), 1, 15))::BIGINT)
+           |       CAST(sum((('0x' || substr(md5(concat_ws('|', ${fields.map(canon).mkString(", ")})), 1, 15))::BIGINT)
            |                % $ChecksumMod) AS BIGINT) AS checksum
            |FROM $table""".stripMargin
       Seq(
-        block("region", "CAST(r_regionkey AS VARCHAR), r_name"),
+        block("region", "CAST(r_regionkey AS VARCHAR)", "r_name"),
         block("nation",
-          "CAST(n_nationkey AS VARCHAR), n_name, CAST(n_regionkey AS VARCHAR)"),
+          "CAST(n_nationkey AS VARCHAR)", "n_name", "CAST(n_regionkey AS VARCHAR)"),
         block("supplier",
-          s"CAST(s_suppkey AS VARCHAR), s_name, CAST(s_nationkey AS VARCHAR), ${cents("s_acctbal")}"),
+          "CAST(s_suppkey AS VARCHAR)", "s_name", "CAST(s_nationkey AS VARCHAR)", cents("s_acctbal")),
         block("part",
-          s"CAST(p_partkey AS VARCHAR), p_name, p_brand, p_type, CAST(p_size AS VARCHAR), ${cents("p_retailprice")}"),
+          "CAST(p_partkey AS VARCHAR)", "p_name", "p_brand", "p_type", "CAST(p_size AS VARCHAR)", cents("p_retailprice")),
         block("customer",
-          s"CAST(c_custkey AS VARCHAR), c_name, CAST(c_nationkey AS VARCHAR), ${cents("c_acctbal")}, c_mktsegment"),
+          "CAST(c_custkey AS VARCHAR)", "c_name", "CAST(c_nationkey AS VARCHAR)", cents("c_acctbal"), "c_mktsegment"),
         block("orders",
-          s"CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus, ${cents("o_totalprice")}, ${day("o_orderdate")}, o_orderpriority"),
+          "CAST(o_orderkey AS VARCHAR)", "CAST(o_custkey AS VARCHAR)", "o_orderstatus", cents("o_totalprice"), day("o_orderdate"), "o_orderpriority"),
         block("lineitem",
-          s"CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), ${cents("l_quantity")}, ${cents("l_extendedprice")}, ${cents("l_discount")}, ${cents("l_tax")}, l_returnflag, l_linestatus, ${day("l_shipdate")}"),
+          "CAST(l_orderkey AS VARCHAR)", "CAST(l_partkey AS VARCHAR)", "CAST(l_suppkey AS VARCHAR)", "CAST(l_linenumber AS VARCHAR)", cents("l_quantity"), cents("l_extendedprice"), cents("l_discount"), cents("l_tax"), "l_returnflag", "l_linestatus", day("l_shipdate")),
         block("documents",
-          "CAST(doc_id AS VARCHAR), text, lang, source, CAST(n_chars AS VARCHAR)"),
+          "CAST(doc_id AS VARCHAR)", "text", "lang", "source", "CAST(n_chars AS VARCHAR)"),
         block("events",
-          s"CAST(event_id AS VARCHAR), CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR), CAST(user_id AS VARCHAR), event_type, ${cents("value")}, props")
+          "CAST(event_id AS VARCHAR)", "CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR)", "CAST(user_id AS VARCHAR)", "event_type", cents("value"), "props")
       ).mkString("", "\nUNION ALL\n", "")
     },
 

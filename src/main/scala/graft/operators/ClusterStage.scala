@@ -69,7 +69,7 @@ object ClusterStage {
     val path = synchronized {
       stagedPaths.getOrElseUpdate((dir, n, threshold), {
         val p = stageRoot.resolve(
-          s"clusters_${Integer.toHexString((dir, n, threshold).hashCode)}").toString
+          s"clusters_${StagePaths.component(dir, n, threshold)}").toString
         writeClusterTable(Tables.documents(spark, dir), p, n, threshold)
         p
       })

@@ -41,7 +41,7 @@ object ErStage {
                         maxDistance: Int): String = synchronized {
     stagedBrand.getOrElseUpdate((dir, maxDistance), {
       val root = stageRoot.resolve(
-        s"brand_${Integer.toHexString((dir, maxDistance).hashCode)}").toString
+        s"brand_${StagePaths.component(dir, maxDistance)}").toString
       Dedup.computeFuzzyNamePairs(spark, dir, maxDistance)
         .write.mode("overwrite").parquet(root)
       root
@@ -52,7 +52,7 @@ object ErStage {
                      maxDistance: Int): String = synchronized {
     stagedSn.getOrElseUpdate((dir, window, maxDistance), {
       val root = stageRoot.resolve(
-        s"sn_${Integer.toHexString((dir, window, maxDistance).hashCode)}").toString
+        s"sn_${StagePaths.component(dir, window, maxDistance)}").toString
       Dedup.computeSortedNeighborhoodPairs(spark, dir, window, maxDistance)
         .write.mode("overwrite").parquet(root)
       root
@@ -92,7 +92,7 @@ object ErStage {
                         maxDistance: Int): String = synchronized {
     stagedCanon.getOrElseUpdate((dir, maxDistance), {
       val root = stageRoot.resolve(
-        s"canon_${Integer.toHexString((dir, maxDistance).hashCode)}").toString
+        s"canon_${StagePaths.component(dir, maxDistance)}").toString
       Dedup.computeErCanon(spark, dir, maxDistance)
         .write.mode("overwrite").parquet(root)
       root

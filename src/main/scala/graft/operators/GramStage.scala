@@ -53,7 +53,7 @@ object GramStage {
     synchronized {
       staged.getOrElseUpdate((dir, n), {
         val root = stageRoot.resolve(
-          s"grams_${Integer.toHexString((dir, n).hashCode)}").toString
+          s"grams_${StagePaths.component(dir, n)}").toString
         computeGramOcc(spark, dir, n).write.mode("overwrite").parquet(root)
         root
       })

@@ -110,7 +110,7 @@ object GraphStage {
     synchronized {
       stagedCustSupp.getOrElseUpdate(dir, {
         val root = stageRoot.resolve(
-          s"custsupp_${Integer.toHexString(dir.hashCode)}").toString
+          s"custsupp_${StagePaths.component(dir)}").toString
         writeCustSuppGraph(Tables.orders(spark, dir),
           Tables.lineitem(spark, dir), root)
         root
@@ -121,7 +121,7 @@ object GraphStage {
                              minSupport: Int): String = synchronized {
     stagedCopurchase.getOrElseUpdate((dir, minSupport), {
       val root = stageRoot.resolve(
-        s"copurchase_${Integer.toHexString((dir, minSupport).hashCode)}").toString
+        s"copurchase_${StagePaths.component(dir, minSupport)}").toString
       writeCopurchaseGraph(Tables.lineitem(spark, dir), root, minSupport)
       root
     })

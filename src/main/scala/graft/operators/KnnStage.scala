@@ -47,7 +47,7 @@ object KnnStage {
     synchronized {
       staged.getOrElseUpdate((dir, k), {
         val r = stageRoot.resolve(
-          s"knn_${Integer.toHexString((dir, k).hashCode)}").toString
+          s"knn_${StagePaths.component(dir, k)}").toString
         Similarity.computeRankedTopK(spark, dir, k)
           .write.mode("overwrite").parquet(r)
         r

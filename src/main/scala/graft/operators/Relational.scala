@@ -1341,17 +1341,28 @@ object Relational {
     *
     * 100 TB shape: the corpus collapses to the per-key histogram first
     * (one partial-agg'd shuffle on the key); the running sum and the
-    * rank pick run over DISTINCT keys — the O(keys) frame a planner
-    * holds anyway, never a corpus-row sort. The single-partition window
-    * over that histogram is the documented bounded-domain pattern. */
+    * rank pick run over DISTINCT keys. Unlike the genuinely bounded
+    * frames elsewhere in this file, the key domain here is CUSTOMER
+    * keys — it grows with the data — so the cumulative count rides
+    * [[Sampling.exclusivePrefixSum]]: per-range local windows plus a
+    * recursive prefix over range totals, never a single task holding
+    * all O(keys) rows (3 levels suffice for 10⁹ keys at fanout 1000).
+    * `fanout`/`maxWindowRows` are exposed so the spec can force the
+    * recursive path and prove it equal to the one-level plan. */
   def rangeBoundaries(spark: SparkSession, dir: String,
-                      buckets: Int = RangeBuckets): DataFrame = {
+                      buckets: Int = RangeBuckets,
+                      fanout: Long = 1000L,
+                      maxWindowRows: Long = 1000000L): DataFrame = {
     val hist = Tables.orders(spark, dir)
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint() // consumed by the prefix sum AND the total
+    val offsets = Sampling.exclusivePrefixSum(
+      hist.select(col("o_custkey"), col("n_rows")), fanout, maxWindowRows)
     val cum = hist
-      .withColumn("cum", sum(col("n_rows")).over(
-        Window.orderBy(col("o_custkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(offsets.select(col("key").as("o_custkey"), col("offset")),
+        Seq("o_custkey"))
+      .withColumn("cum", col("offset") + col("n_rows"))
+      .drop("offset", "n_rows")
       .crossJoin(broadcast(hist.agg(sum(col("n_rows")).as("n_total"))))
       .localCheckpoint() // joined against every boundary target
     val targets = spark.range(1L, buckets.toLong)
@@ -1474,9 +1485,13 @@ object Relational {
     * numbers instead of nine table dumps. The canonical string is the
     * engine-neutral repr discipline applied to every column class at
     * once (ints as digits, money as cents, timestamps as epoch
-    * days/seconds, strings raw, '|'-joined), and the modular sum makes
-    * the fold commutative — any partitioning, any engine, same
-    * checksum (the HLL-register property, x193's class).
+    * days/seconds), each field LENGTH-PREFIXED (`len:value`, NULL →
+    * bare `N`) before the '|' join — a value containing the join
+    * character cannot shift field boundaries (the parse is
+    * length-driven) and NULL is distinct from the empty string (`0:`),
+    * so distinct rows cannot collapse to one canonical string. The
+    * modular sum makes the fold commutative — any partitioning, any
+    * engine, same checksum (the HLL-register property, x193's class).
     *
     * 100 TB shape: one scan per table, a per-row hash, one
     * partial-agg'd global sum each — embarrassingly parallel; the
@@ -1484,33 +1499,45 @@ object Relational {
   def tableChecksums(spark: SparkSession, dir: String): DataFrame = {
     def cents(c: String) = s"cast(cast(round($c * 100) as bigint) as string)"
     def day(c: String) = s"cast(unix_timestamp($c) div 86400 as string)"
-    def e(s: String): Column = expr(s"concat_ws('|', $s)")
+    def e(fields: String*): Column =
+      expr(s"concat_ws('|', ${fields.map(canonField).mkString(", ")})")
     val ev = Tables.events(spark, dir)
     val rows = Seq(
       checksumRow(Tables.region(spark, dir), "region",
-        e("cast(r_regionkey as string), r_name")),
+        e("cast(r_regionkey as string)", "r_name")),
       checksumRow(Tables.nation(spark, dir), "nation",
-        e("cast(n_nationkey as string), n_name, cast(n_regionkey as string)")),
+        e("cast(n_nationkey as string)", "n_name", "cast(n_regionkey as string)")),
       checksumRow(Tables.supplier(spark, dir), "supplier",
-        e(s"cast(s_suppkey as string), s_name, cast(s_nationkey as string), ${cents("s_acctbal")}")),
+        e("cast(s_suppkey as string)", "s_name", "cast(s_nationkey as string)", cents("s_acctbal"))),
       checksumRow(Tables.part(spark, dir), "part",
-        e(s"cast(p_partkey as string), p_name, p_brand, p_type, cast(p_size as string), ${cents("p_retailprice")}")),
+        e("cast(p_partkey as string)", "p_name", "p_brand", "p_type", "cast(p_size as string)", cents("p_retailprice"))),
       checksumRow(Tables.customer(spark, dir), "customer",
-        e(s"cast(c_custkey as string), c_name, cast(c_nationkey as string), ${cents("c_acctbal")}, c_mktsegment")),
+        e("cast(c_custkey as string)", "c_name", "cast(c_nationkey as string)", cents("c_acctbal"), "c_mktsegment")),
       checksumRow(Tables.orders(spark, dir), "orders",
-        e(s"cast(o_orderkey as string), cast(o_custkey as string), o_orderstatus, ${cents("o_totalprice")}, ${day("o_orderdate")}, o_orderpriority")),
+        e("cast(o_orderkey as string)", "cast(o_custkey as string)", "o_orderstatus", cents("o_totalprice"), day("o_orderdate"), "o_orderpriority")),
       checksumRow(Tables.lineitem(spark, dir), "lineitem",
-        e(s"cast(l_orderkey as string), cast(l_partkey as string), cast(l_suppkey as string), cast(l_linenumber as string), ${cents("l_quantity")}, ${cents("l_extendedprice")}, ${cents("l_discount")}, ${cents("l_tax")}, l_returnflag, l_linestatus, ${day("l_shipdate")}")),
+        e("cast(l_orderkey as string)", "cast(l_partkey as string)", "cast(l_suppkey as string)", "cast(l_linenumber as string)", cents("l_quantity"), cents("l_extendedprice"), cents("l_discount"), cents("l_tax"), "l_returnflag", "l_linestatus", day("l_shipdate"))),
       checksumRow(Tables.documents(spark, dir), "documents",
-        e("cast(doc_id as string), text, lang, source, cast(n_chars as string)")),
+        e("cast(doc_id as string)", "text", "lang", "source", "cast(n_chars as string)")),
       checksumRow(ev, "events",
-        concat_ws("|", col("event_id").cast("string"),
+        concat_ws("|", Seq(col("event_id").cast("string"),
           Sessionize.tsSeconds(ev).cast("string"),
           col("user_id").cast("string"), col("event_type"),
           expr("cast(cast(round(value * 100) as bigint) as string)"),
-          col("props"))))
+          col("props")).map(canonCol): _*)))
     rows.reduce(_ union _)
   }
+
+  /** x220's length-prefixed canonical field (`len:value`, NULL → `N`) as
+    * a SQL snippet — shared shape with the DuckDB oracle so a field
+    * containing the join character can't shift boundaries and NULL ≠
+    * empty string. */
+  private def canonField(f: String): String =
+    s"CASE WHEN ($f) IS NULL THEN 'N' ELSE concat(cast(length($f) as string), ':', $f) END"
+
+  /** [[canonField]] for Column-API call sites. */
+  private def canonCol(c: Column): Column =
+    when(c.isNull, lit("N")).otherwise(concat(length(c).cast("string"), lit(":"), c))
 
   /** Winsor percentile bounds (x197), in whole percents — shared with
     * the DuckDB oracle. Rank = ceil(pct·n/100) over the (spend,

@@ -756,8 +756,13 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("sc",
         aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+      // sc=0 (all-zero embedding) would give NaN components, which the two
+      // engines disagree on (Spark casts NaN→0, DuckDB floor(NaN) errors) —
+      // degrade identically to the all-zero quantized vector instead
       .withColumn("q",
-        transform(col("v"), x => floor(x / col("sc") * levels + lit(0.5)).cast("long")))
+        transform(col("v"), x =>
+          when(col("sc") === lit(0.0), lit(0L))
+            .otherwise(floor(x / col("sc") * levels + lit(0.5)).cast("long"))))
       .select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qv")))
       .localCheckpoint() // read twice per iteration, every iteration
     var v: DataFrame = spark.range(64L)
@@ -769,9 +774,12 @@ object Similarity {
       val raw = qd.join(dot, Seq("vec_id"))
         .groupBy(col("d")).agg(sum(col("qv") * col("dot")).as("raw"))
       val m = raw.agg(max(abs(col("raw"))).as("m"))
+      // m=0 means Qv collapsed to the zero vector (degenerate corpus):
+      // hold v at zero rather than divide by zero — same CASE in the oracle
       v = raw.crossJoin(broadcast(m))
         .select(col("d"),
-          when(col("raw") >= 0, expr(s"(raw * $scale) div m"))
+          when(col("m") === 0L, lit(0L))
+            .when(col("raw") >= 0, expr(s"(raw * $scale) div m"))
             .otherwise(-expr(s"((-raw) * $scale) div m")).as("v"))
         .localCheckpoint()
     }

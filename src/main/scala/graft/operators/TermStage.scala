@@ -100,7 +100,7 @@ object TermStage {
     synchronized {
       staged.getOrElseUpdate(dir, {
         val root = stageRoot.resolve(
-          s"terms_${Integer.toHexString(dir.hashCode)}").toString
+          s"terms_${StagePaths.component(dir)}").toString
         writeTermTables(Tables.documents(spark, dir), root)
         root
       })

@@ -3453,6 +3453,33 @@ class OperatorsSpec extends SparkSpec {
     assert(bs.zip(bs.tail).forall(p => p._1 <= p._2))
   }
 
+  test("rangeBoundaries (x208) rides the scale-safe prefix: forced recursion ≡ default, " +
+    "cumulative windows are range-partitioned") {
+    // the key domain is CUSTOMER keys (data-proportional), so the running
+    // sum must never funnel through one task: with maxWindowRows below the
+    // distinct-key count the prefix recurses (the 100 TB path) and the
+    // boundary table must be identical to the one-level plan's
+    val default_ = Relational.rangeBoundaries(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val forced = Relational.rangeBoundaries(spark, sf, fanout = 10, maxWindowRows = 50)
+    assert(forced.as[(Long, Long, Long, Long)].collect().toSet == default_)
+    // plan of the cumulative stage itself (rangeBoundaries checkpoints it,
+    // so assert on the same prefix call over the real histogram): the
+    // per-key window is partitioned by the key range — three bracket
+    // groups, `Window [exprs], [partSpec], [orderSpec]` — never a global
+    // order over the data-proportional key domain; the only unpartitioned
+    // window is the recursion's base case over ≤ maxWindowRows range totals
+    val hist = graft.Tables.orders(spark, sf)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_rows"))
+    val offsets = graft.operators.Sampling.exclusivePrefixSum(
+      hist.select($"o_custkey", $"n_rows"), fanout = 10, maxWindowRows = 50)
+    val plan = offsets.queryExecution.executedPlan.toString
+    val windows = "Window \\[.*".r.findAllIn(plan).toList
+    assert(windows.nonEmpty, plan)
+    assert(windows.exists(w => w.split("\\], \\[").length >= 3),
+      s"expected a range-partitioned cumulative window in:\n$plan")
+  }
+
   test("zorderTiles (x209): Morton tiling matches a replay; tiles partition the fact") {
     val rows = graft.Tables.orders(spark, sf)
       .select($"o_custkey", expr("unix_timestamp(o_orderdate) div 86400"))
@@ -3604,17 +3631,40 @@ class OperatorsSpec extends SparkSpec {
     assert(got("orders")._1 == graft.Tables.orders(spark, sf).count())
     assert(got("lineitem")._1 == graft.Tables.lineitem(spark, sf).count())
     // order independence: a reversed-order replay folds to the same checksum
+    // (replay uses the length-prefixed canonical form: `len:value` per
+    // field, '|'-joined — NULL would render as bare `N`)
     val docs = graft.Tables.documents(spark, sf)
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
       .as[(Long, String, String, String, Long)].collect()
+    def canon(fields: String*): String =
+      fields.map(f => if (f == null) "N" else s"${f.length}:$f").mkString("|")
     def h(r: (Long, String, String, String, Long)): Long =
-      Dedup.md5Hash60Ref(s"${r._1}|${r._2}|${r._3}|${r._4}|${r._5}") %
-        Relational.ChecksumMod
+      Dedup.md5Hash60Ref(canon(
+        r._1.toString, r._2, r._3, r._4, r._5.toString)) % Relational.ChecksumMod
     assert(docs.map(h).sum == got("documents")._2)
     assert(docs.reverse.map(h).sum == got("documents")._2)
     // sensitivity: flipping one character changes the fold
     val tweaked = docs.updated(0, docs(0).copy(_2 = docs(0)._2 + "!"))
     assert(tweaked.map(h).sum != got("documents")._2)
+    // canonical-string injectivity: the delimiter cannot shift field
+    // boundaries and NULL is distinct from the empty string — the naive
+    // '|' join collapses all of these pairs
+    assert(canon("a|b", "c") != canon("a", "b|c"))
+    assert(canon("", "x") != canon(null, "x"))
+    assert(canon("a", null) != canon("a", ""))
+    // the Spark-side expression agrees with the replay's canonical form
+    // on hostile values (delimiter inside a field, NULL, empty)
+    val hostile = Seq(("a|b", "c"), ("a", "b|c"), ("", "x"), (null, "x"))
+      .toDF("f1", "f2")
+    val sparkCanon = hostile.select(expr(
+      "concat_ws('|', " +
+        "CASE WHEN (f1) IS NULL THEN 'N' ELSE concat(cast(length(f1) as string), ':', f1) END, " +
+        "CASE WHEN (f2) IS NULL THEN 'N' ELSE concat(cast(length(f2) as string), ':', f2) END)"))
+      .as[String].collect().toSet
+    assert(sparkCanon ==
+      Seq(("a|b", "c"), ("a", "b|c"), ("", "x"), (null, "x"))
+        .map(p => canon(p._1, p._2)).toSet)
+    assert(sparkCanon.size == 4)
   }
 
   test("conformalIntervals (x204): rank-picked quantile and coverage match a replay") {
