@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -19,13 +19,26 @@ import graft.operators.{KnnStage, Similarity}
   * vector store actually ingests; the spec proves the stream-built
   * table ≡ the from-scratch full ranking across a forced micro-batch
   * boundary (the ingest-twin contract of the band/term/cluster
-  * ingesters).
+  * ingesters) AND under an at-least-once batch replay.
   *
-  * Artifact layout under `stageRoot`: `vecs/` (append-only vector log,
-  * the corpus-so-far) and `ranked/` (the current neighbor table,
-  * REWRITTEN per batch — lists mutate; the new table is materialized
-  * via localCheckpoint BEFORE the overwrite so the read never races
-  * its own replacement).
+  * Exactly-once-effective under foreachBatch's at-least-once replay:
+  * `foreachBatch` may re-deliver a batch after a crash, so every write
+  * is VERSIONED per batchId and the merge reads only PRE-batch state —
+  * a replayed batch either short-circuits (its marker exists: the
+  * batch fully applied) or recomputes from the same immutable inputs
+  * and overwrites its own per-batch dirs. Layout under `stageRoot`:
+  *
+  *  - `vecs/b<id>/`    — this batch's vectors (overwrite on replay;
+  *                       the corpus-so-far is the union of b<id'> with
+  *                       id' ≤ the published marker)
+  *  - `ranked/r<id>/`  — the neighbor table AFTER batch <id>, computed
+  *                       from `ranked/r<prev>` + pre-batch vec logs
+  *                       (never from its own output — no double-count)
+  *  - `_applied/b<id>` — the publish marker, created LAST; its absence
+  *                       means the batch never fully applied and a
+  *                       replay redoes it from the pre-state. Versions
+  *                       older than the previous one are GC'd after
+  *                       publish, so storage stays O(2 versions).
   */
 object VectorStream {
 
@@ -33,34 +46,76 @@ object VectorStream {
                   schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
 
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest fully-applied (published) batch id, -1 when none. Empty
+    * batches never publish — they change no state, so skipping their
+    * replay is free. */
+  private def lastApplied(fs: FileSystem, stageRoot: String): Long = {
+    val dir = new Path(s"$stageRoot/_applied")
+    if (!fs.exists(dir)) -1L
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("b") => n.drop(1).toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** The published corpus-so-far: vec logs of every applied batch. */
+  private[streaming] def vecs(spark: SparkSession, stageRoot: String): DataFrame = {
+    val fs = fsOf(spark, stageRoot)
+    val upTo = lastApplied(fs, stageRoot)
+    val parts = fs.listStatus(new Path(s"$stageRoot/vecs"))
+      .map(_.getPath).filter(p => p.getName.startsWith("b") &&
+        p.getName.drop(1).toLong <= upTo)
+    spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+  }
+
+  /** The published ranked neighbor table (the marker-named version). */
+  def ranked(spark: SparkSession, stageRoot: String): DataFrame = {
+    val fs = fsOf(spark, stageRoot)
+    spark.read.parquet(s"$stageRoot/ranked/r${lastApplied(fs, stageRoot)}")
+  }
+
+  /** Fold one (possibly replayed) batch into the staged artifact —
+    * idempotent: a second delivery of the same batchId is a no-op once
+    * the marker exists, and a re-run after a mid-batch crash recomputes
+    * from the unchanged pre-state. Exposed for the replay spec. */
+  private[streaming] def applyBatch(batch: DataFrame, stageRoot: String,
+                                    k: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = fsOf(spark, stageRoot)
+    val prev = lastApplied(fs, stageRoot)
+    if (batchId <= prev) return // replay of a fully-applied batch
+    val newEmb = batch
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    if (newEmb.count() == 0) return
+    // per-batch dirs: replays overwrite their own attempt, never the
+    // pre-state the merge reads
+    newEmb.write.mode("overwrite").parquet(s"$stageRoot/vecs/b$batchId")
+    val merged =
+      if (prev < 0) Similarity.computeRankedTopK(newEmb, k)
+      else Similarity.mergeRanked(
+        spark.read.parquet(s"$stageRoot/ranked/r$prev"),
+        vecs(spark, stageRoot), newEmb, k)
+    merged.localCheckpoint()
+      .write.mode("overwrite").parquet(s"$stageRoot/ranked/r$batchId")
+    // publish: marker creation is the commit point
+    fs.mkdirs(new Path(s"$stageRoot/_applied"))
+    fs.create(new Path(s"$stageRoot/_applied/b$batchId"), true).close()
+    // GC ranked versions older than the one a replay could still need
+    fs.listStatus(new Path(s"$stageRoot/ranked")).map(_.getPath)
+      .filter(p => p.getName.startsWith("r") &&
+        p.getName.drop(1).toLong < prev)
+      .foreach(p => fs.delete(p, true))
+  }
+
   def startKnnIngest(vectors: DataFrame, stageRoot: String,
                      checkpointDir: String,
                      k: Int = KnnStage.StageK): StreamingQuery =
     vectors.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val newEmb = batch
-          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-          .localCheckpoint()
-        if (newEmb.count() > 0) {
-          val vecsPath = s"$stageRoot/vecs"
-          val rankedPath = s"$stageRoot/ranked"
-          val fs = new Path(stageRoot)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val merged =
-            if (!fs.exists(new Path(rankedPath))) {
-              Similarity.computeRankedTopK(newEmb, k)
-            } else {
-              Similarity.mergeRanked(
-                spark.read.parquet(rankedPath),
-                spark.read.parquet(vecsPath), newEmb, k)
-            }
-          // materialize BEFORE overwriting the table it was derived from
-          val snapped = merged.localCheckpoint()
-          snapped.write.mode("overwrite").parquet(rankedPath)
-          newEmb.write.mode("append").parquet(vecsPath)
-        }
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, stageRoot, k, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -10,11 +10,22 @@ import graft.operators.{KnnStage, Similarity}
 /** The streaming kNN ingester must build, across forced micro-batch
   * boundaries, EXACTLY the table a from-scratch full ranking builds —
   * the ingest-twin contract (band/term/cluster ingesters), here for
-  * the most expensive staged artifact. */
+  * the most expensive staged artifact — and must keep building it
+  * under foreachBatch's at-least-once delivery (a replayed batch must
+  * not double-count its vectors or poison the vec log). */
 class VectorStreamSpec extends SparkSpec {
   import spark.implicits._
 
   val sf = "/root/testdata/sf0.001"
+
+  private def rankedSet(root: String) =
+    VectorStream.ranked(spark, s"$root/stage")
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+  private def fullSet() =
+    Similarity.computeRankedTopK(spark, sf, KnnStage.StageK)
+      .as[(Long, Long, Double, Int)].collect().toSet
 
   test("stream-built ranked table ≡ from-scratch full ranking across batch boundaries") {
     val root = Files.createTempDirectory("graft-knn-ingest").toString
@@ -26,16 +37,38 @@ class VectorStreamSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 1).parquet(s"$root/drop")
     val q = VectorStream.startKnnIngest(stream, s"$root/stage", s"$root/ckpt")
     q.awaitTermination(180000)
-    val streamed = spark.read.parquet(s"$root/stage/ranked")
-      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
-      .as[(Long, Long, Double, Int)].collect().toSet
-    val full = Similarity.computeRankedTopK(spark, sf, KnnStage.StageK)
-      .as[(Long, Long, Double, Int)].collect().toSet
-    assert(streamed == full && streamed.nonEmpty)
+    assert(rankedSet(root) == fullSet() && rankedSet(root).nonEmpty)
     // the vector log holds the whole corpus exactly once
-    val vecs = spark.read.parquet(s"$root/stage/vecs").select(col("vec_id"))
+    val vecs = VectorStream.vecs(spark, s"$root/stage").select(col("vec_id"))
       .as[Long].collect().sorted
     val all = emb.select($"vec_id").as[Long].collect().sorted
     assert(vecs.toSeq == all.toSeq)
+  }
+
+  test("at-least-once replay: re-delivered batches are no-ops, a crashed attempt redoes cleanly") {
+    val root = Files.createTempDirectory("graft-knn-replay").toString
+    val emb = graft.Tables.embeddings(spark, sf)
+    val b0 = emb.filter($"vec_id" % 2 === 0)
+    val b1 = emb.filter($"vec_id" % 2 === 1)
+    VectorStream.applyBatch(b0, s"$root/stage", KnnStage.StageK, 0L)
+    // simulate a crashed first attempt of batch 1: vecs/b1 written but the
+    // batch never published (no marker, no ranked/r1) — the replay must
+    // ignore that leftover and fold from the pre-state
+    b1.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .write.parquet(s"$root/stage/vecs/b1")
+    VectorStream.applyBatch(b1, s"$root/stage", KnnStage.StageK, 1L)
+    // then the post-publish re-delivery (checkpoint commit lost): a no-op
+    VectorStream.applyBatch(b1, s"$root/stage", KnnStage.StageK, 1L)
+    VectorStream.applyBatch(b0, s"$root/stage", KnnStage.StageK, 0L)
+    assert(rankedSet(root) == fullSet())
+    // every rank slot is a DISTINCT neighbor (no duplicate (q_id, vec_id)
+    // pairs eating slots — the replay failure mode) and the vec log holds
+    // the corpus exactly once
+    val pairs = VectorStream.ranked(spark, s"$root/stage")
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+    assert(pairs.distinct.length == pairs.length)
+    val vecs = VectorStream.vecs(spark, s"$root/stage").select(col("vec_id"))
+      .as[Long].collect().sorted
+    assert(vecs.toSeq == emb.select($"vec_id").as[Long].collect().sorted.toSeq)
   }
 }
