@@ -42,11 +42,29 @@ object Bench {
       val succ = timed.collect { case (true, t) => t }
       name -> (if (succ.nonEmpty) succ.min else timed.map(_._2).sum)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // timings rounded to 0.1 ms: full-precision doubles tripled the size
+    // of the summary line and byte-limited tail capture cut its head off
+    // (BENCH_r10.json kept 59 of 235 entries)
+    def r4(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // one line per query FIRST (JSONL — any byte-capture window keeps a
+    // parseable prefix or suffix), then the one-line summary contract
+    results.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      println(s"""{"bench_query":"$k","sec":${r4(v)}}""")
+    }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val errs = errors.distinct.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(summary)
+    // belt-and-braces: the complete artifact on disk, immune to any
+    // stdout capture limit (BASELINE.md points the reader here)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), summary + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

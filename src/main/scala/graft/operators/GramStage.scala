@@ -22,10 +22,17 @@ import graft.Tables
   *  - x201 reads the rows as the DISTINCT (doc, gram) sets (cnt is
   *    carried but unused) and df = rows per gram.
   *
-  * Gram length is the engine-wide 5 (BoilerN = GtN = PjN); documents
-  * shorter than the gram carry no rows (the shared exclusion
+  * The n = 2 stage serves the BIGRAM family the same way (x49
+  * familiarity, x54 domain score, x94 fluency, x103 PMI — each was
+  * tokenizing the corpus twice per query; every occurrence-level fold
+  * becomes a cnt-weighted sum over this table, see
+  * `TextAnalysis.bigramOcc`).
+  *
+  * Gram length defaults to the engine-wide 5 (BoilerN = GtN = PjN);
+  * documents shorter than the gram carry no rows (the shared exclusion
   * contract). Staged-or-compute memoization as in [[TermStage]];
-  * staged ≡ recomputed is spec-asserted (GramStageSpec).
+  * staged ≡ recomputed is spec-asserted (GramStageSpec) at both gram
+  * lengths.
   */
 object GramStage {
 

@@ -352,37 +352,39 @@ object TextAnalysis {
     * libm rounding differences (the same discipline as tfidf's rational
     * idf).
     *
-    * Dataflow: the model side aggregates bigram counts straight off its
-    * scan (one exchange, hot bigrams collapse map-side — never a window
-    * over the bigram key); the scoring side collapses to per-(doc,
-    * bigram) tf first so the model join runs on the aggregated table,
-    * not raw occurrences, and the score folds up as the tf-weighted sum
-    * `Σ tf·cf / Σ tf`. The two sides each tokenize the corpus once —
-    * the same deliberate linear-cost tradeoff as x02's stop-list scan
-    * (Spark doesn't reuse alias-differentiated exchanges, and the
-    * alternatives are worse at scale: a window over the hot bigram key,
-    * or checkpointing a corpus-sized intermediate). The model table is
-    * bounded by vocab² — broadcast when small; a hot-bigram-skewed
-    * sort-merge join is AQE skew-join territory, noted in SkewJoin. */
-  /** (doc_id, bigram) occurrence rows — shared by x49 and x54 so the two
-    * can never diverge on tokenization or bigram construction. Uses the
-    * fused `word_ngrams` kernel (one pass; KernelPropertiesSpec proves it
-    * ≡ the sequence/transform/concat_ws HOF chain on random inputs). */
-  private def explodedBigrams(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(graft.functions.HashSignatures.word_ngrams(col("text"), 2)).as("bigram"))
-
+    * Dataflow: both sides read the STAGED per-(doc, bigram) count table
+    * ([[bigramOcc]] — the corpus tokenized ONCE per snapshot), so the
+    * model side is a partial-agg'd rollup of the aggregated table (hot
+    * bigrams collapse map-side — never a window over the bigram key)
+    * and the score folds up as the tf-weighted sum `Σ tf·cf / Σ tf`.
+    * The model table is bounded by vocab² — broadcast when small; a
+    * hot-bigram-skewed sort-merge join is AQE skew-join territory,
+    * noted in SkewJoin. */
   def bigramFamiliarity(spark: SparkSession, dir: String): DataFrame = {
-    val bigrams = explodedBigrams(spark, dir)
-    val tf = bigrams.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("tf"))
-    val freq = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("cf"))
+    val tf = bigramOcc(spark, dir)
+      .select(col("doc_id"), col("bigram"), col("cnt").as("tf"))
+    val freq = bigramOcc(spark, dir)
+      .groupBy(col("bigram")).agg(sum(col("cnt")).as("cf"))
     tf.join(freq, Seq("bigram"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_bigrams"), sum(col("tf") * col("cf")).as("sum_cf"))
       .withColumn("familiarity", col("sum_cf").cast("double") / col("n_bigrams"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_cf"), col("familiarity"))
   }
+
+  /** The per-(doc, bigram) occurrence-count table, read from the staged
+    * word-gram artifact ([[GramStage]] at n = 2) — shared by x49/x54/
+    * x94/x103 so the four can never diverge on tokenization or bigram
+    * construction, and so the corpus is tokenized ONCE per snapshot
+    * instead of twice per query (the r10 tokenize-twice tradeoff,
+    * retired the same way the 5-gram family was: staged ≡ recomputed is
+    * GramStageSpec-proven, and the fused `word_ngrams` kernel the family
+    * previously exploded is KernelPropertiesSpec-proven equal to the
+    * stage's HOF-chain derivation). Occurrence folds become cnt-weighted
+    * sums over this table. */
+  private def bigramOcc(spark: SparkSession, dir: String): DataFrame =
+    GramStage.gramOcc(spark, dir, 2)
+      .select(col("doc_id"), col("gram").as("bigram"), col("cnt"))
 
   /** Fixed-point scale for x94's conditional-probability points
     * (1 point = 10⁻⁶), shared with the oracle SQL. */
@@ -406,25 +408,23 @@ object TextAnalysis {
     * x73's documented numerator bound). Docs with fewer than two tokens
     * get (0, 0) via the left join (x63's empty-doc rule).
     *
-    * Scale shape: the occurrence frame derives twice (model build +
-    * probe side) — x49's documented tokenize-twice tradeoff (Spark does
-    * not reuse alias-differentiated exchanges; the alternatives are a
-    * window over the hot bigram key or checkpointing a corpus-sized
-    * intermediate, both worse). The model table is vocab²-bounded, its
-    * first-word rollup is derived FROM the model (no third scan), and
-    * every join is an equi-join on the bigram/word key — hot-bigram skew
-    * is AQE skew-join territory, same note as x49. */
+    * Scale shape: both sides read the STAGED per-(doc, bigram) count
+    * table ([[bigramOcc]] — tokenized once per snapshot, not twice per
+    * query). The model table is vocab²-bounded, its first-word rollup
+    * is derived FROM the model (no third scan), and every join is an
+    * equi-join on the bigram/word key — hot-bigram skew is AQE
+    * skew-join territory, same note as x49. */
   def bigramFluency(spark: SparkSession, dir: String): DataFrame = {
-    val occ = explodedBigrams(spark, dir)
-    val model = occ.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val occ = bigramOcc(spark, dir)
+    val model = occ.groupBy(col("bigram")).agg(sum(col("cnt")).as("c2"))
       .withColumn("w1", split(col("bigram"), " ", 2)(0))
     val firsts = model.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val scored = occ
       .join(model.join(firsts, Seq("w1"))
         .select(col("bigram"), col("c2"), col("c1")), Seq("bigram"))
-      .select(col("doc_id"), expr(s"(${FluencyScale}L * c2) div c1").as("q"))
+      .select(col("doc_id"), col("cnt"), expr(s"(${FluencyScale}L * c2) div c1").as("q"))
     val agg = scored.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
+      .agg(sum(col("cnt")).as("n_bigrams"), sum(col("cnt") * col("q")).as("sq"))
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -471,8 +471,8 @@ object TextAnalysis {
     val uni = TermStage.termStats(spark, dir)
       .select(col("term").as("w"), col("tf").as("c"))
     val totals = uni.agg(sum(col("c")).as("n_tokens"))
-    val bg = explodedBigrams(spark, dir)
-      .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+    val bg = bigramOcc(spark, dir)
+      .groupBy(col("bigram")).agg(sum(col("cnt")).as("c_xy"))
       .filter(col("c_xy") >= minCount)
       .select(split(col("bigram"), " ", 2)(0).as("w1"),
         split(col("bigram"), " ", 2)(1).as("w2"), col("c_xy"))
@@ -606,21 +606,22 @@ object TextAnalysis {
     * x49.
     *
     * 100 TB shape: the target model is MODEL-STATE-sized by construction
-    * (a curated domain sample, not the corpus) and broadcasts; the
-    * target branch's `doc_id < N` filter pushes into the parquet scan so
-    * building the model never re-reads the corpus; the corpus side is
-    * one explode → broadcast-join → per-doc fold, no corpus shuffle
-    * except the final doc_id aggregate. */
+    * (a curated domain sample, not the corpus) and broadcasts; both
+    * branches read the STAGED per-(doc, bigram) table ([[bigramOcc]]),
+    * the target branch's `doc_id < N` filter pushes into the staged
+    * parquet scan so building the model never re-tokenizes the corpus;
+    * the corpus side is one broadcast-join → per-doc fold, no corpus
+    * shuffle except the final doc_id aggregate. */
   def domainScore(spark: SparkSession, dir: String, targetMaxId: Long = 20): DataFrame = {
-    val bg = explodedBigrams(spark, dir)
+    val bg = bigramOcc(spark, dir)
     val target = bg.filter(col("doc_id") < targetMaxId)
-      .groupBy(col("bigram")).agg(count(lit(1)).as("tcf"))
+      .groupBy(col("bigram")).agg(sum(col("cnt")).as("tcf"))
     bg.filter(col("doc_id") >= targetMaxId)
       .join(broadcast(target), Seq("bigram"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        count(col("tcf")).as("n_hits"),
-        coalesce(sum(col("tcf")), lit(0L)).as("sum_tcf"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        coalesce(sum(when(col("tcf").isNotNull, col("cnt"))), lit(0L)).as("n_hits"),
+        coalesce(sum(col("cnt") * col("tcf")), lit(0L)).as("sum_tcf"))
       .withColumn("hit_ratio", col("n_hits").cast("double") / col("n_bigrams"))
       .select(col("doc_id"), col("n_bigrams"), col("n_hits"), col("sum_tcf"), col("hit_ratio"))
   }

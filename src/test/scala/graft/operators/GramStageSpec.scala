@@ -19,6 +19,26 @@ class GramStageSpec extends SparkSpec {
     assert(staged == fresh && staged.nonEmpty)
   }
 
+  test("n=2 stage: staged ≡ fresh, and ≡ the word_ngrams kernel explode the bigram family used before") {
+    val fresh = GramStage.computeGramOcc(spark, sf, 2)
+      .as[(Long, String, String, Long)].collect().toSet
+    val staged = GramStage.gramOcc(spark, sf, 2)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(staged == fresh && staged.nonEmpty)
+    // the consumer contract for x49/x54/x94/x103: the staged table's
+    // (doc, bigram, cnt) rows equal the aggregate of the fused-kernel
+    // explode those queries ran per-query before staging
+    val viaKernel = graft.Tables.documents(spark, sf)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.explode(
+          graft.functions.HashSignatures.word_ngrams($"text", 2)).as("bigram"))
+      .groupBy($"doc_id", $"bigram")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(staged.map(r => (r._1, r._3, r._4)) == viaKernel)
+  }
+
   test("rows are distinct (doc, gram) pairs and counts fold to corpus frequency") {
     val rows = GramStage.gramOcc(spark, sf)
       .as[(Long, String, String, Long)].collect()
