@@ -258,6 +258,7 @@ object SparkEntry {
     "x218_ring_churn"       -> ((s, d) => Sampling.ringChurn(s, d)),
     "x219_dupe_quality"     -> ((s, d) => TextAnalysis.dupeQuality(s, d)),
     "x220_table_checksums"  -> ((s, d) => Relational.tableChecksums(s, d)),
+    "x221_ann_swap"         -> ((s, d) => Similarity.annSwapFidelity(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4518,6 +4519,43 @@ object SparkEntry {
         block("events",
           "CAST(event_id AS VARCHAR)", "CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR)", "CAST(user_id AS VARCHAR)", "event_type", cents("value"), "props")
       ).mkString("", "\nUNION ALL\n", "")
+    },
+
+    // x221: ANN staged-swap fidelity — exact brute-force ranking vs the
+    // hyperplane-LSH radius-R candidate ranking (x202's scoring CTEs),
+    // per-exact-rank recall + displacement rollup.
+    "x221_ann_swap" -> {
+      import operators.AnnStage.AnnRadius
+      import operators.KnnStage.StageK
+      import operators.Similarity.LshPlanes
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm,
+        |        ${operators.Similarity.hyperplaneSigSql("v", LshPlanes)} AS sig
+        |      FROM e),
+        |exact_rk AS (
+        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rank_exact
+        |  FROM (SELECT q.vec_id AS q_id, c.vec_id,
+        |          floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+        |        FROM s q JOIN s c ON q.vec_id <> c.vec_id) t),
+        |exact_topk AS (SELECT * FROM exact_rk WHERE rank_exact <= $StageK),
+        |ann_rk AS (
+        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rank_ann
+        |  FROM (SELECT q.vec_id AS q_id, c.vec_id,
+        |          floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+        |        FROM s q JOIN s c ON q.vec_id <> c.vec_id
+        |          AND bit_count(xor(c.sig, q.sig)) <= $AnnRadius) t),
+        |ann_topk AS (SELECT * FROM ann_rk WHERE rank_ann <= $StageK)
+        |SELECT CAST(x.rank_exact AS INTEGER) AS rank_exact,
+        |       CAST(count(*) AS BIGINT) AS n_exact,
+        |       CAST(count(a.rank_ann) AS BIGINT) AS n_found,
+        |       CAST((1000000 * count(a.rank_ann)) // count(*) AS BIGINT) AS recall_ppm,
+        |       CAST(coalesce(sum(a.rank_ann - x.rank_exact), 0) AS BIGINT) AS displacement_sum
+        |FROM exact_topk x LEFT JOIN ann_topk a
+        |  ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+        |GROUP BY x.rank_exact""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

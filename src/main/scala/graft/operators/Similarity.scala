@@ -488,9 +488,10 @@ object Similarity {
     * staged top-StageK is identical to a direct top-k computation by
     * the shared ranking contract), then the tiny O(N·k) ranked frame
     * self-joins on the reversed pair, keyed on (q, v) directly. */
-  def mutualTopK(spark: SparkSession, dir: String, k: Int = MutualK): DataFrame = {
-    val ranked = KnnStage
-      .ranked(spark, dir, math.max(k, KnnStage.StageK))
+  def mutualTopK(spark: SparkSession, dir: String, k: Int = MutualK,
+                 rankedTable: (SparkSession, String, Int) => DataFrame =
+                   KnnStage.ranked(_, _, _)): DataFrame = {
+    val ranked = rankedTable(spark, dir, math.max(k, KnnStage.StageK))
       .filter(col("rank") <= k)
     ranked.as("f").join(ranked.as("r"),
         col("f.q_id") === col("r.vec_id") && col("f.vec_id") === col("r.q_id") &&
@@ -797,10 +798,12 @@ object Similarity {
     * (every vector has k neighbors when N > k); homophily is published
     * as an integer ppm ratio (the engine-wide exact-ratio rule). */
   def knnHomophily(spark: SparkSession, dir: String,
-                   k: Int = KnnStage.StageK): DataFrame = {
+                   k: Int = KnnStage.StageK,
+                   rankedTable: (SparkSession, String, Int) => DataFrame =
+                     KnnStage.ranked(_, _, _)): DataFrame = {
     val labels = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("label"))
-    val r = KnnStage.ranked(spark, dir, math.max(k, KnnStage.StageK))
+    val r = rankedTable(spark, dir, math.max(k, KnnStage.StageK))
       .filter(col("rank") <= k)
     r.join(broadcast(labels).as("ql"), col("q_id") === col("ql.id"))
       .withColumnRenamed("label", "q_label").drop("id")
@@ -825,8 +828,10 @@ object Similarity {
     * recovered by a broadcast left anti-style join from the vector
     * universe. */
   def knnHubness(spark: SparkSession, dir: String,
-                 k: Int = KnnStage.StageK): DataFrame = {
-    val indeg = KnnStage.ranked(spark, dir, math.max(k, KnnStage.StageK))
+                 k: Int = KnnStage.StageK,
+                 rankedTable: (SparkSession, String, Int) => DataFrame =
+                   KnnStage.ranked(_, _, _)): DataFrame = {
+    val indeg = rankedTable(spark, dir, math.max(k, KnnStage.StageK))
       .filter(col("rank") <= k)
       .groupBy(col("vec_id")).agg(count(lit(1)).as("in_deg"))
     Tables.embeddings(spark, dir).select(col("vec_id"))
@@ -836,5 +841,42 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"),
         min(col("vec_id")).as("min_vec_id"),
         max(col("vec_id")).as("max_vec_id"))
+  }
+
+  /** ANN staged-swap fidelity ledger (x221): the per-rank recall +
+    * displacement audit of [[AnnStage]]'s approximate neighbor table
+    * against [[KnnStage]]'s exact one — the closing artifact of the
+    * staged-swap contract ("the compute path swaps for an ANN backend
+    * and every consumer is unchanged"): the swap is real (AnnStage
+    * serves the same schema, the consumers are parameter-swappable,
+    * spec-proven identical at full probe radius) and its fidelity price
+    * is MEASURED as an oracle-checked query, not asserted (x175's
+    * discipline applied to the table swap). Per exact rank position
+    * 1..k: how many of the exact rank-r pairs the approximate table
+    * retains anywhere in its top-k (`n_found` / `recall_ppm` — recall
+    * decays with r: near neighbors share buckets more often), and the
+    * summed rank displacement of the retained pairs (0 = order
+    * preserved; the x175 `quant_rank_sum` idea at table level).
+    *
+    * 100 TB shape: both sides are staged O(N·k) parquet reads; the
+    * audit is one equi-join on (q_id, vec_id) and a k-row rollup. */
+  def annSwapFidelity(spark: SparkSession, dir: String,
+                      k: Int = KnnStage.StageK,
+                      radius: Int = AnnStage.AnnRadius): DataFrame = {
+    val exact = KnnStage.ranked(spark, dir, math.max(k, KnnStage.StageK))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank").as("rank_exact"))
+    val approx = AnnStage.ranked(spark, dir, math.max(k, KnnStage.StageK), radius)
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank").as("rank_ann"))
+    exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("rank_exact"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("rank_ann").isNotNull, 1L).otherwise(0L)).as("n_found"),
+        coalesce(sum((col("rank_ann") - col("rank_exact")).cast("long")), lit(0L))
+          .as("displacement_sum"))
+      .withColumn("recall_ppm", expr("(1000000L * n_found) div n_exact"))
+      .select(col("rank_exact"), col("n_exact"), col("n_found"),
+        col("recall_ppm"), col("displacement_sum"))
   }
 }

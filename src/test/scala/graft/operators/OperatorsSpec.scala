@@ -1439,7 +1439,8 @@ class OperatorsSpec extends SparkSpec {
     // a doc of corpus-unique bigrams must score exactly 1.0; synthetic
     // check on a planted corpus: one doc repeats a phrase, one is unique
     val dir = java.nio.file.Files.createTempDirectory("graft-bigram").toString
-    Seq((1L, "p q p q p q"), (2L, "aa bb cc dd")).toDF("doc_id", "text")
+    Seq((1L, "p q p q p q", "web"), (2L, "aa bb cc dd", "web"))
+      .toDF("doc_id", "text", "source")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val planted = TextAnalysis.bigramFamiliarity(spark, dir)
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
@@ -1471,7 +1472,8 @@ class OperatorsSpec extends SparkSpec {
     // planted corpus: repeated fluent phrasing vs one-off continuations,
     // plus a 1-word doc exercising the (0,0) left-join rule
     val dir = java.nio.file.Files.createTempDirectory("graft-fluency").toString
-    Seq((1L, "p q p q p q"), (2L, "p a p b p c"), (3L, "solo")).toDF("doc_id", "text")
+    Seq((1L, "p q p q p q", "web"), (2L, "p a p b p c", "web"), (3L, "solo", "web"))
+      .toDF("doc_id", "text", "source")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val planted = TextAnalysis.bigramFluency(spark, dir)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
@@ -1509,7 +1511,7 @@ class OperatorsSpec extends SparkSpec {
     // aa/bb always adjacent; cc/dd adjacent 5x but mostly apart
     val glued = Seq.fill(6)("aa bb").mkString(" ")
     val chance = Seq.fill(5)("cc dd cc zz dd zz").mkString(" ")
-    Seq((1L, glued), (2L, chance)).toDF("doc_id", "text")
+    Seq((1L, glued, "web"), (2L, chance, "web")).toDF("doc_id", "text", "source")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val planted = TextAnalysis.pmiBigrams(spark, dir, minCount = 5, k = 10)
       .as[(String, String, Long, Long, Long, Long)].collect()
@@ -1687,10 +1689,11 @@ class OperatorsSpec extends SparkSpec {
 
   test("domainScore: in-domain text hits 1.0, out-of-domain 0.0, model side pruned+broadcast") {
     val dir = java.nio.file.Files.createTempDirectory("graft-domain").toString
-    Seq((1L, "spark shuffles data across the cluster"),
-        (25L, "spark shuffles data across the cluster"),  // verbatim in-domain
-        (26L, "unrelated words entirely outside target"))
-      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((1L, "spark shuffles data across the cluster", "web"),
+        (25L, "spark shuffles data across the cluster", "web"),  // verbatim in-domain
+        (26L, "unrelated words entirely outside target", "web"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val r = TextAnalysis.domainScore(spark, dir)
       .as[(Long, Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
     assert(!r.contains(1L)) // target docs are not scored
