@@ -82,15 +82,31 @@ object DocumentStream {
     * (`Dedup.ingestWithBandIndex` + `appendToBandIndex`), so batch ≡
     * stream is by construction and spec-proven across a forced
     * micro-batch boundary. */
+  /** One (possibly replayed) band-ingest batch — idempotent via the
+    * [[IngestCommit]] protocol (marker skip, leftover clean, committed
+    * deltas); the ledger lives under the index root. Exposed for the
+    * replay spec. */
+  private[streaming] def applyBandBatch(batch: DataFrame, indexPath: String,
+                                        resultPath: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (IngestCommit.alreadyApplied(spark, indexPath, batchId)) return
+    IngestCommit.cleanAttempt(spark,
+      Seq(resultPath, s"$indexPath/sigs", s"$indexPath/bands"), batchId)
+    val b = batch.localCheckpoint() // classification AND the index delta
+    IngestCommit.commitDelta(
+      Dedup.ingestWithBandIndex(spark, b, indexPath), resultPath, batchId)
+    // same (n, k, bands) knobs as ingestWithBandIndex/appendToBandIndex
+    val (sigs, banded) = Dedup.bandFrames(b, 5, 32, 8)
+    IngestCommit.commitDelta(sigs, s"$indexPath/sigs", batchId)
+    IngestCommit.commitDelta(banded, s"$indexPath/bands", batchId)
+    IngestCommit.markApplied(spark, indexPath, batchId)
+  }
+
   def startBandIngest(docs: DataFrame, indexPath: String, resultPath: String,
                       checkpointDir: String): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        Dedup.ingestWithBandIndex(spark, batch, indexPath)
-          .write.mode("append").parquet(resultPath)
-        Dedup.appendToBandIndex(spark, batch, indexPath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBandBatch(batch, indexPath, resultPath, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -106,34 +122,74 @@ object DocumentStream {
     * .appendToClusterTable` + `Dedup.appendToBandIndex`), so batch ≡
     * stream by construction; the continuous-clustering handoff is
     * spec-proven at a forced micro-batch boundary. */
+  /** One (possibly replayed) cluster-ingest batch — the
+    * [[IngestCommit]] protocol across all three mutated artifacts
+    * (results, cluster table, band index); ledger under the band-index
+    * root. Exposed for the replay spec. */
+  private[streaming] def applyClusterBatch(batch: DataFrame, bandIndexPath: String,
+                                           clusterTablePath: String,
+                                           resultPath: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (IngestCommit.alreadyApplied(spark, bandIndexPath, batchId)) return
+    IngestCommit.cleanAttempt(spark,
+      Seq(resultPath, clusterTablePath,
+        s"$bandIndexPath/sigs", s"$bandIndexPath/bands"), batchId)
+    val b = batch.localCheckpoint()
+    val labels = Dedup.ingestClustersWithIndex(
+      spark, b, bandIndexPath, clusterTablePath)
+      .localCheckpoint() // one computation feeds results AND the table
+    IngestCommit.commitDelta(labels, resultPath, batchId)
+    IngestCommit.commitDelta(
+      labels.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("canonical_id")),
+      clusterTablePath, batchId)
+    val (sigs, banded) = Dedup.bandFrames(b, 5, 32, 8)
+    IngestCommit.commitDelta(sigs, s"$bandIndexPath/sigs", batchId)
+    IngestCommit.commitDelta(banded, s"$bandIndexPath/bands", batchId)
+    IngestCommit.markApplied(spark, bandIndexPath, batchId)
+  }
+
   def startClusterIngest(docs: DataFrame, bandIndexPath: String,
                          clusterTablePath: String, resultPath: String,
                          checkpointDir: String): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val labels = Dedup.ingestClustersWithIndex(
-          spark, batch, bandIndexPath, clusterTablePath)
-          .localCheckpoint() // one computation feeds results AND the table
-        labels.write.mode("append").parquet(resultPath)
-        graft.operators.ClusterStage.appendToClusterTable(spark, labels, clusterTablePath)
-        Dedup.appendToBandIndex(spark, batch, bandIndexPath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyClusterBatch(batch, bandIndexPath, clusterTablePath, resultPath, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** One (possibly replayed) paragraph-index ingest batch — the
+    * [[IngestCommit]] protocol; the digest index is a flat parquet dir,
+    * so its ledger lives inside it as `_applied/` (underscore-hidden
+    * from parquet reads). Exposed for the replay spec. */
+  private[streaming] def applyIngestBatch(batch: DataFrame, indexPath: String,
+                                          resultPath: String, boundaryMod: Int,
+                                          batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (IngestCommit.alreadyApplied(spark, indexPath, batchId)) return
+    IngestCommit.cleanAttempt(spark, Seq(resultPath, indexPath), batchId)
+    val b = batch.localCheckpoint() // classification AND the index delta
+    IngestCommit.commitDelta(
+      Dedup.incrementalIngestWithIndex(spark, b, indexPath, boundaryMod),
+      resultPath, batchId)
+    // the index delta: the batch's genuinely-new digests (the
+    // appendToParagraphIndex anti-join, against the pre-batch index)
+    import org.apache.spark.sql.functions.col
+    IngestCommit.commitDelta(
+      Dedup.cdcParagraphs(b, boundaryMod).select(col("fp")).distinct()
+        .join(spark.read.parquet(indexPath), Seq("fp"), "left_anti"),
+      indexPath, batchId)
+    IngestCommit.markApplied(spark, indexPath, batchId)
+  }
+
   def startIngest(docs: DataFrame, indexPath: String, resultPath: String,
                   checkpointDir: String,
                   boundaryMod: Int = Dedup.ParagraphBoundaryMod): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        Dedup.incrementalIngestWithIndex(spark, batch, indexPath, boundaryMod)
-          .write.mode("append").parquet(resultPath)
-        Dedup.appendToParagraphIndex(spark, batch, indexPath, boundaryMod)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIngestBatch(batch, indexPath, resultPath, boundaryMod, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -147,13 +203,33 @@ object DocumentStream {
     * of the existing tables (contrast the band/cluster ingesters,
     * which must classify against the index-as-of-now). Stream-built ≡
     * one-shot is spec-proven across a forced micro-batch boundary. */
+  /** One (possibly replayed) term-table ingest batch — the mergeable
+    * partials still never read the existing tables; [[IngestCommit]]
+    * only makes the three appends replay-safe. Exposed for the replay
+    * spec. */
+  private[streaming] def applyTermBatch(batch: DataFrame, stageRoot: String,
+                                        batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val spark = batch.sparkSession
+    if (IngestCommit.alreadyApplied(spark, stageRoot, batchId)) return
+    IngestCommit.cleanAttempt(spark,
+      Seq(s"$stageRoot/doc_tf", s"$stageRoot/term_stats", s"$stageRoot/doc_lengths"),
+      batchId)
+    val dtf = graft.operators.TermStage.docTermBatch(batch).localCheckpoint()
+    IngestCommit.commitDelta(dtf, s"$stageRoot/doc_tf", batchId)
+    IngestCommit.commitDelta(dtf.groupBy(col("term"))
+      .agg(sum(col("tf")).as("tf"), count(lit(1)).as("df")),
+      s"$stageRoot/term_stats", batchId)
+    IngestCommit.commitDelta(dtf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_tokens")),
+      s"$stageRoot/doc_lengths", batchId)
+    IngestCommit.markApplied(spark, stageRoot, batchId)
+  }
+
   def startTermIngest(docs: DataFrame, stageRoot: String,
                       checkpointDir: String): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.TermStage.appendToTermTables(
-          batch.sparkSession, batch, stageRoot)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyTermBatch(batch, stageRoot, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -69,6 +69,25 @@ class SilverSpec extends SparkSpec {
     assert(!byDate("2017-01-03")) // Event type → false
   }
 
+  test("partition pruning: a year-filtered read of the partitioned silver layout " +
+    "scans only that partition (SURVEY §4's write-time partitionBy intent)") {
+    // the silver table is written partitionBy(year, month)
+    // (RunPipeline.scala) precisely so date-scoped reads prune; prove the
+    // plan actually does it on a two-year layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    cleaned.union(cleaned.withColumn("year", lit(2016)))
+      .write.partitionBy("year", "month").parquet(s"$dir/sales_cleaned")
+    val q = spark.read.parquet(s"$dir/sales_cleaned").filter($"year" === 2017)
+    assert(q.count() == cleaned.count()) // only the 2017 partition's rows
+    val plan = q.queryExecution.executedPlan.toString
+    // the year predicate lands in PartitionFilters (directory pruning at
+    // planning time), NOT as a data filter over a full scan
+    assert("PartitionFilters: \\[[^\\]]*year[^\\]]*2017".r.findFirstIn(plan).nonEmpty,
+      s"expected a year=2017 partition filter in:\n$plan")
+    assert(!plan.contains("PushedFilters: [IsNotNull(year)"),
+      "year must prune partitions, not scan-filter rows")
+  }
+
   test("pre-existing year/month/source_file columns are dropped and re-derived (drop removes all same-named)") {
     val txWithExtras = transactions
       .withColumn("year", lit(1999)).withColumn("month", lit(12))

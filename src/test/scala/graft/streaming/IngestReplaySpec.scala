@@ -1,0 +1,158 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{ClusterStage, Dedup, TermStage}
+
+/** foreachBatch delivers at-least-once: every ingester's batch body must
+  * be idempotent under (a) a post-publish re-delivery (checkpoint commit
+  * lost after the batch fully applied) and (b) a crashed attempt that
+  * left a partial commit behind (results landed, index didn't). Each
+  * test drives the batch appliers directly through both failure modes
+  * and asserts the final artifacts equal a straight-through run — the
+  * [[IngestCommit]] protocol's contract, across all four
+  * document-stream ingesters (the vector ingester's twin spec lives in
+  * VectorStreamSpec). */
+class IngestReplaySpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def docs = graft.Tables.documents(spark, sf)
+
+  /** Two ingest halves on top of a day-1 index seed. */
+  private def splits: (DataFrame, DataFrame, DataFrame) = {
+    val cut = Dedup.IncrementalNewMinId
+    val day2 = docs.filter($"doc_id" >= cut)
+    (docs.filter($"doc_id" < cut),
+      day2.filter($"doc_id" % 2 === 0), day2.filter($"doc_id" % 2 === 1))
+  }
+
+  test("paragraph-index ingest: crashed attempt + re-delivery ≡ straight-through run") {
+    val (day1, h1, h2) = splits
+    def run(root: String, chaos: Boolean): (Set[(Long, Int, Int, Int, Int)], Set[String]) = {
+      Dedup.writeParagraphIndex(day1, s"$root/index")
+      DocumentStream.applyIngestBatch(h1, s"$root/index", s"$root/results",
+        Dedup.ParagraphBoundaryMod, 0L)
+      if (chaos) {
+        // crashed attempt of batch 1: results committed, index + marker not
+        IngestCommit.commitDelta(
+          Dedup.incrementalIngestWithIndex(spark, h2, s"$root/index"),
+          s"$root/results", 1L)
+      }
+      DocumentStream.applyIngestBatch(h2, s"$root/index", s"$root/results",
+        Dedup.ParagraphBoundaryMod, 1L)
+      if (chaos) {
+        // post-publish re-deliveries
+        DocumentStream.applyIngestBatch(h2, s"$root/index", s"$root/results",
+          Dedup.ParagraphBoundaryMod, 1L)
+        DocumentStream.applyIngestBatch(h1, s"$root/index", s"$root/results",
+          Dedup.ParagraphBoundaryMod, 0L)
+      }
+      (spark.read.parquet(s"$root/results")
+        .as[(Long, Int, Int, Int, Int)].collect().toSet,
+        spark.read.parquet(s"$root/index").select($"fp".cast("string"))
+          .as[String].collect().toSet)
+    }
+    val clean = run(Files.createTempDirectory("graft-replay-par-a").toString, chaos = false)
+    val chaotic = run(Files.createTempDirectory("graft-replay-par-b").toString, chaos = true)
+    assert(chaotic == clean && clean._1.nonEmpty)
+    // and the results hold each doc exactly once (no replay double-count)
+    assert(chaotic._1.toSeq.map(_._1).distinct.length == chaotic._1.size)
+  }
+
+  test("band-index ingest: crashed attempt + re-delivery ≡ straight-through run") {
+    val (day1, h1, h2) = splits
+    def run(root: String, chaos: Boolean): (Set[(Long, String, Long, Long, Long)], Long, Long) = {
+      Dedup.writeBandIndex(day1, s"$root/index")
+      DocumentStream.applyBandBatch(h1, s"$root/index", s"$root/results", 0L)
+      if (chaos) {
+        // crashed attempt of batch 1: results + sigs committed, bands + marker not
+        val b = h2.localCheckpoint()
+        IngestCommit.commitDelta(
+          Dedup.ingestWithBandIndex(spark, b, s"$root/index"), s"$root/results", 1L)
+        IngestCommit.commitDelta(Dedup.bandFrames(b, 5, 32, 8)._1,
+          s"$root/index/sigs", 1L)
+      }
+      DocumentStream.applyBandBatch(h2, s"$root/index", s"$root/results", 1L)
+      if (chaos) {
+        DocumentStream.applyBandBatch(h2, s"$root/index", s"$root/results", 1L)
+        DocumentStream.applyBandBatch(h1, s"$root/index", s"$root/results", 0L)
+      }
+      (spark.read.parquet(s"$root/results")
+        .as[(Long, String, Long, Long, Long)].collect().toSet,
+        spark.read.parquet(s"$root/index/sigs").count(),
+        spark.read.parquet(s"$root/index/bands").count())
+    }
+    val clean = run(Files.createTempDirectory("graft-replay-band-a").toString, chaos = false)
+    val chaotic = run(Files.createTempDirectory("graft-replay-band-b").toString, chaos = true)
+    assert(chaotic == clean && clean._1.nonEmpty)
+  }
+
+  test("cluster ingest: crashed attempt + re-delivery ≡ straight-through run") {
+    val (day1, h1, h2) = splits
+    def run(root: String, chaos: Boolean): (Set[(Long, Long, String)], Set[(Long, Long)]) = {
+      Dedup.writeBandIndex(day1, s"$root/index")
+      ClusterStage.writeClusterTable(day1, s"$root/clusters")
+      DocumentStream.applyClusterBatch(h1, s"$root/index", s"$root/clusters",
+        s"$root/results", 0L)
+      if (chaos) {
+        // crashed attempt: labels landed in results AND the cluster table,
+        // band index + marker didn't
+        val labels = Dedup.ingestClustersWithIndex(
+          spark, h2, s"$root/index", s"$root/clusters").localCheckpoint()
+        IngestCommit.commitDelta(labels, s"$root/results", 1L)
+        IngestCommit.commitDelta(labels.select($"doc_id", $"canonical_id"),
+          s"$root/clusters", 1L)
+      }
+      DocumentStream.applyClusterBatch(h2, s"$root/index", s"$root/clusters",
+        s"$root/results", 1L)
+      if (chaos) {
+        DocumentStream.applyClusterBatch(h2, s"$root/index", s"$root/clusters",
+          s"$root/results", 1L)
+        DocumentStream.applyClusterBatch(h1, s"$root/index", s"$root/clusters",
+          s"$root/results", 0L)
+      }
+      (spark.read.parquet(s"$root/results").as[(Long, Long, String)].collect().toSet,
+        spark.read.parquet(s"$root/clusters").as[(Long, Long)].collect().toSet)
+    }
+    val clean = run(Files.createTempDirectory("graft-replay-clu-a").toString, chaos = false)
+    val chaotic = run(Files.createTempDirectory("graft-replay-clu-b").toString, chaos = true)
+    assert(chaotic == clean && clean._1.nonEmpty)
+    // the cluster table labels each doc exactly once — the invariant a
+    // replayed append used to break
+    assert(chaotic._2.toSeq.map(_._1).distinct.length == chaotic._2.size)
+  }
+
+  test("term-table ingest: crashed attempt + re-delivery ≡ straight-through run") {
+    val (_, h1, h2) = splits
+    def run(root: String, chaos: Boolean): (Map[(Long, String), Long], Map[String, (Long, Long)], Map[Long, Long]) = {
+      DocumentStream.applyTermBatch(h1.select($"doc_id", $"text"), s"$root/stage", 0L)
+      if (chaos) {
+        // crashed attempt: doc_tf committed, the two rollups + marker not
+        IngestCommit.commitDelta(
+          TermStage.docTermBatch(h2.select($"doc_id", $"text")),
+          s"$root/stage/doc_tf", 1L)
+      }
+      DocumentStream.applyTermBatch(h2.select($"doc_id", $"text"), s"$root/stage", 1L)
+      if (chaos) {
+        DocumentStream.applyTermBatch(h2.select($"doc_id", $"text"), s"$root/stage", 1L)
+        DocumentStream.applyTermBatch(h1.select($"doc_id", $"text"), s"$root/stage", 0L)
+      }
+      (spark.read.parquet(s"$root/stage/doc_tf")
+        .as[(Long, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap,
+        spark.read.parquet(s"$root/stage/term_stats")
+          .groupBy($"term").agg(sum($"tf").as("tf"), sum($"df").as("df"))
+          .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap,
+        spark.read.parquet(s"$root/stage/doc_lengths")
+          .as[(Long, Long)].collect().toMap)
+    }
+    val clean = run(Files.createTempDirectory("graft-replay-term-a").toString, chaos = false)
+    val chaotic = run(Files.createTempDirectory("graft-replay-term-b").toString, chaos = true)
+    assert(chaotic == clean && clean._1.nonEmpty)
+  }
+}
