@@ -259,6 +259,12 @@ object SparkEntry {
     "x219_dupe_quality"     -> ((s, d) => TextAnalysis.dupeQuality(s, d)),
     "x220_table_checksums"  -> ((s, d) => Relational.tableChecksums(s, d)),
     "x221_ann_swap"         -> ((s, d) => Similarity.annSwapFidelity(s, d)),
+    "x222_zone_map"         -> ((s, d) => Relational.zoneMapSkipping(s, d)),
+    "x223_join_cardest"     -> ((s, d) => Relational.joinCardinalityAudit(s, d)),
+    "x224_centroid_drift"   -> ((s, d) => Similarity.centroidDrift(s, d)),
+    "x225_retrieval_eval"   -> ((s, d) => Similarity.retrievalEval(s, d)),
+    "x226_peak_concurrency" -> ((s, d) => Sessionize.peakConcurrency(s, d)),
+    "x227_quantile_sketch"  -> ((s, d) => Relational.quantileSketchAudit(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4556,6 +4562,180 @@ object SparkEntry {
         |FROM exact_topk x LEFT JOIN ann_topk a
         |  ON x.q_id = a.q_id AND x.vec_id = a.vec_id
         |GROUP BY x.rank_exact""".stripMargin
+    },
+
+    // x222: zone-map skipping audit — equi-width file/predicate buckets
+    // (integer div, x209's rule), min/max skip decision, matching counts.
+    "x222_zone_map" -> {
+      import operators.Relational.{ZoneFiles, ZonePredicates}
+      s"""WITH rows_ AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders),
+        |b AS (SELECT min(k) AS min_k, max(k) AS max_k,
+        |             min(c) AS min_c, max(c) AS max_c FROM rows_),
+        |tagged AS (SELECT ((k - min_k) * $ZoneFiles) // (max_k - min_k + 1) AS f,
+        |                  ((c - min_c) * $ZonePredicates) // (max_c - min_c + 1) AS p, c
+        |           FROM rows_, b),
+        |files AS (SELECT f, CAST(count(*) AS BIGINT) AS f_rows,
+        |                 min(c) AS f_min, max(c) AS f_max FROM tagged GROUP BY 1),
+        |preds AS (SELECT CAST(r.p AS BIGINT) AS p,
+        |                 min_c + (r.p * (max_c - min_c + 1) + ${ZonePredicates - 1}) // $ZonePredicates AS lo,
+        |                 min_c + ((r.p + 1) * (max_c - min_c + 1) + ${ZonePredicates - 1}) // $ZonePredicates - 1 AS hi
+        |          FROM (SELECT unnest(range($ZonePredicates)) AS p) r, b),
+        |grid AS (SELECT p, lo, hi, CAST(count(*) AS BIGINT) AS n_files,
+        |                CAST(sum(CASE WHEN f_max < lo OR f_min > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+        |                CAST(sum(CASE WHEN f_max < lo OR f_min > hi THEN 0 ELSE f_rows END) AS BIGINT) AS rows_scanned
+        |         FROM preds, files GROUP BY 1, 2, 3),
+        |m AS (SELECT p, CAST(count(*) AS BIGINT) AS n_matching FROM tagged GROUP BY 1)
+        |SELECT g.p, g.lo, g.hi, g.n_files, g.n_skipped, g.rows_scanned,
+        |       coalesce(m.n_matching, 0) AS n_matching
+        |FROM grid g LEFT JOIN m ON g.p = m.p""".stripMargin
+    },
+
+    // x223: histogram join-cardinality estimator — per-bucket uniformity
+    // estimate vs exact sum-of-squares, sign-split error division.
+    "x223_join_cardest" -> {
+      import operators.Relational.CardBuckets
+      s"""WITH kc AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+        |            FROM lineitem GROUP BY 1),
+        |bb AS (SELECT min(k) AS min_k, max(k) AS max_k FROM kc),
+        |h AS (SELECT ((k - min_k) * $CardBuckets) // (max_k - min_k + 1) AS b,
+        |             CAST(sum(c) AS BIGINT) AS n_rows,
+        |             CAST(count(*) AS BIGINT) AS ndv,
+        |             CAST(sum(c * c) AS BIGINT) AS exact_rows
+        |      FROM kc, bb GROUP BY 1),
+        |e AS (SELECT b, n_rows, ndv, exact_rows,
+        |             (n_rows * n_rows) // ndv AS est_rows FROM h)
+        |SELECT b, n_rows, ndv, est_rows, exact_rows,
+        |       CASE WHEN est_rows >= exact_rows
+        |            THEN (1000000 * (est_rows - exact_rows)) // exact_rows
+        |            ELSE -((1000000 * (exact_rows - est_rows)) // exact_rows)
+        |       END AS err_ppm
+        |FROM e""".stripMargin
+    },
+
+    // x224: per-batch centroid drift — x175's quantization, exact integer
+    // sums, sign-split milli-unit rescale, lag-1 L1 distance.
+    "x224_centroid_drift" -> {
+      import operators.Similarity.{DriftBatches, DriftScale, QuantLevels}
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ids AS (SELECT min(vec_id) AS min_id, max(vec_id) AS max_id FROM e),
+        |s AS (SELECT ((vec_id - min_id) * $DriftBatches) // (max_id - min_id + 1) AS batch, v,
+        |        list_aggregate(list_transform(v, x -> abs(x)), 'max') AS sc
+        |      FROM e, ids),
+        |qd AS (SELECT batch, dd.d,
+        |         CASE WHEN sc = 0 THEN 0
+        |              ELSE CAST(floor(v[dd.d + 1] / sc * $QuantLevels.0 + 0.5) AS BIGINT) END AS qv
+        |       FROM s, (SELECT unnest(range(64)) AS d) dd),
+        |cent AS (SELECT batch, d, CAST(sum(qv) AS BIGINT) AS sm,
+        |                CAST(count(*) AS BIGINT) AS n FROM qd GROUP BY 1, 2),
+        |cc AS (SELECT batch, d, n,
+        |              CASE WHEN sm >= 0 THEN (sm * $DriftScale) // n
+        |                   ELSE -(((-sm) * $DriftScale) // n) END AS c
+        |       FROM cent)
+        |SELECT cur.batch AS batch, max(cur.n) AS n_vecs,
+        |       CAST(sum(abs(cur.c - prev.c)) AS BIGINT) AS l1_drift_milli,
+        |       CAST(max(abs(cur.c - prev.c)) AS BIGINT) AS max_dim_shift_milli
+        |FROM cc cur JOIN cc prev ON cur.batch = prev.batch + 1 AND cur.d = prev.d
+        |GROUP BY 1""".stripMargin
+    },
+
+    // x225: retrieval eval — exact brute-force top-k (x221's scoring
+    // CTEs) + label joins, per-label hit@k and integer reciprocal rank.
+    "x225_retrieval_eval" -> {
+      import operators.KnnStage.StageK
+      import operators.Similarity.EvalKs
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+        |      FROM e),
+        |rk AS (
+        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rank
+        |  FROM (SELECT q.vec_id AS q_id, c.vec_id,
+        |          floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+        |        FROM s q JOIN s c ON q.vec_id <> c.vec_id) t),
+        |topk AS (SELECT * FROM rk WHERE rank <= $StageK),
+        |lab AS (SELECT vec_id AS id, label FROM embeddings),
+        |fh AS (SELECT t.q_id, ql.label AS q_label,
+        |              min(CASE WHEN nl.label = ql.label THEN t.rank END) AS first_hit
+        |       FROM topk t JOIN lab ql ON t.q_id = ql.id
+        |                   JOIN lab nl ON t.vec_id = nl.id
+        |       GROUP BY 1, 2)
+        |SELECT q_label, CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(sum(CASE WHEN first_hit <= ${EvalKs(0)} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1,
+        |       CAST(sum(CASE WHEN first_hit <= ${EvalKs(1)} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit3,
+        |       CAST(sum(CASE WHEN first_hit <= ${EvalKs(2)} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit5,
+        |       CAST(sum(coalesce(1000000 // first_hit, 0)) AS BIGINT) AS rr_ppm_sum
+        |FROM fh GROUP BY 1""".stripMargin
+    },
+
+    // x226: peak session concurrency — the x11 session CTE, boundary
+    // deltas, running-sum sweep, per-day peak + earliest attaining second.
+    "x226_peak_concurrency" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN ts_s - lag(ts_s, 1) OVER w > 1800 THEN 1
+        |                 WHEN lag(ts_s, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |sess AS (
+        |  SELECT user_id, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx,
+        |         ts_s
+        |  FROM flagged),
+        |spans AS (SELECT min(ts_s) AS s0, max(ts_s) AS s1
+        |          FROM sess GROUP BY user_id, session_idx),
+        |deltas AS (SELECT sec, CAST(sum(d) AS BIGINT) AS d FROM (
+        |             SELECT s0 AS sec, 1 AS d FROM spans
+        |             UNION ALL SELECT s1 + 1 AS sec, -1 AS d FROM spans) u
+        |           GROUP BY 1),
+        |conc AS (SELECT sec, sec // 86400 AS day,
+        |                CAST(sum(d) OVER (ORDER BY sec
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+        |         FROM deltas),
+        |peaks AS (SELECT day, max(conc) AS peak_concurrency,
+        |                 CAST(count(*) AS BIGINT) AS n_boundaries
+        |          FROM conc GROUP BY 1)
+        |SELECT p.day, p.peak_concurrency, min(c.sec) AS at_s, p.n_boundaries
+        |FROM peaks p JOIN conc c ON c.day = p.day AND c.conc = p.peak_concurrency
+        |GROUP BY 1, 2, 4""".stripMargin,
+
+    // x227: histogram-sketch quantile vs exact rank pick — equi-width
+    // cents buckets, in-bucket interpolation, absolute error ppm.
+    "x227_quantile_sketch" -> {
+      import operators.Relational.{QsBuckets, QsPcts}
+      val pctList = QsPcts.mkString("[", ", ", "]")
+      s"""WITH vals AS (SELECT CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS BIGINT) AS v,
+        |                     CAST(count(*) AS BIGINT) AS cnt
+        |              FROM orders GROUP BY 1),
+        |b AS (SELECT min(v) AS min_v, max(v) AS max_v,
+        |             CAST(sum(cnt) AS BIGINT) AS n FROM vals),
+        |hist AS (SELECT ((v - min_v) * $QsBuckets) // (max_v - min_v + 1) AS bk,
+        |                CAST(sum(cnt) AS BIGINT) AS bc
+        |         FROM vals, b GROUP BY 1),
+        |hc AS (SELECT bk, bc, CAST(sum(bc) OVER (ORDER BY bk
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |       FROM hist),
+        |ec AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ecum
+        |       FROM vals),
+        |p AS (SELECT CAST(unnest($pctList) AS BIGINT) AS pct),
+        |t AS (SELECT pct, (pct * n + 99) // 100 AS target, min_v, max_v FROM p, b),
+        |estb AS (SELECT t.pct, t.target, t.min_v, t.max_v, min(h.bk) AS bk
+        |         FROM t JOIN hc h ON h.cum >= t.target GROUP BY 1, 2, 3, 4),
+        |est AS (SELECT e.pct, e.target,
+        |          (e.min_v + (e.bk * (e.max_v - e.min_v + 1) + ${QsBuckets - 1}) // $QsBuckets)
+        |          + ((e.target - (h.cum - h.bc) - 1) *
+        |             ((e.min_v + ((e.bk + 1) * (e.max_v - e.min_v + 1) + ${QsBuckets - 1}) // $QsBuckets - 1)
+        |              - (e.min_v + (e.bk * (e.max_v - e.min_v + 1) + ${QsBuckets - 1}) // $QsBuckets) + 1)) // h.bc
+        |            AS est_cents
+        |        FROM estb e JOIN hc h ON e.bk = h.bk),
+        |ex AS (SELECT t.pct, min(ec.v) AS exact_cents
+        |       FROM t JOIN ec ON ec.ecum >= t.target GROUP BY 1)
+        |SELECT est.pct, t.target, est.est_cents, ex.exact_cents,
+        |       (1000000 * abs(est.est_cents - ex.exact_cents)) // ex.exact_cents AS err_ppm
+        |FROM est JOIN ex ON est.pct = ex.pct JOIN t ON t.pct = est.pct""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

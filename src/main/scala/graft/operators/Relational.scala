@@ -1593,4 +1593,162 @@ object Relational {
         sum(when(col("rn") >= col("lo_rank") && col("rn") <= col("hi_rank"),
           col("spend")).otherwise(0L)).as("trim_sum_cents"))
   }
+
+  /** x222 knobs — the modeled file count (the layout's row groups) and
+    * the predicate-grid resolution. Shared with the DuckDB oracle. */
+  val ZoneFiles: Int = 64
+  val ZonePredicates: Int = 16
+
+  /** Zone-map data-skipping audit (x222): how effective min/max file
+    * statistics are for custkey-range predicates under the CURRENT
+    * physical layout — the artifact a lakehouse reads before deciding an
+    * OPTIMIZE ZORDER rewrite (x209 plans the rewrite; this measures the
+    * pain it would cure). The orders fact is modeled as [[ZoneFiles]]
+    * insertion-ordered files (equi-width o_orderkey ranges — the arrival
+    * proxy), each carrying its (min, max) custkey zone map; the workload
+    * is the [[ZonePredicates]] equi-width custkey ranges that partition
+    * the key domain. Per predicate: files skipped by the zone map
+    * (file.max < lo or file.min > hi), rows actually scanned in the
+    * surviving files, and rows truly matching — scanned/matching is the
+    * read amplification the layout costs. All-integer bucket arithmetic
+    * (x209's rule), so both engines tile identically.
+    *
+    * 100 TB shape: one corpus scan projects (file, predicate-bucket) per
+    * row, the file stats are a [[ZoneFiles]]-row aggregate, the
+    * predicate×file skip grid is a model-state broadcast cross
+    * (16 × 64), and the matching counts are one partial-agg'd groupBy on
+    * the 16-value bucket key. */
+  def zoneMapSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val (nf, np) = (ZoneFiles, ZonePredicates)
+    val rows = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
+    val bounds = rows.agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+      min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+    val tagged = rows.crossJoin(broadcast(bounds))
+      .withColumn("f", expr(s"((k - min_k) * $nf) div (max_k - min_k + 1)"))
+      .withColumn("p", expr(s"((c - min_c) * $np) div (max_c - min_c + 1)"))
+      .localCheckpoint() // feeds the file stats AND the matching counts
+    val files = tagged.groupBy(col("f"))
+      .agg(count(lit(1)).as("f_rows"), min(col("c")).as("f_min"), max(col("c")).as("f_max"))
+    // predicate p covers exactly the bucket-p keys: lo is the smallest c
+    // with ((c - min_c)·np) div range = p (ceil form), hi = next lo − 1
+    val preds = spark.range(np.toLong).select(col("id").as("p"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("lo", expr(s"min_c + (p * (max_c - min_c + 1) + $np - 1) div $np"))
+      .withColumn("hi", expr(s"min_c + ((p + 1) * (max_c - min_c + 1) + $np - 1) div $np - 1"))
+      .select(col("p"), col("lo"), col("hi"))
+    val grid = preds.crossJoin(broadcast(files))
+      .withColumn("skipped",
+        (col("f_max") < col("lo") || col("f_min") > col("hi")).cast("long"))
+      .groupBy(col("p"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("skipped")).as("n_skipped"),
+        sum(when(col("skipped") === 0L, col("f_rows")).otherwise(0L)).as("rows_scanned"))
+    val matching = tagged.groupBy(col("p")).agg(count(lit(1)).as("n_matching"))
+    grid.join(matching, Seq("p"), "left")
+      .select(col("p"), col("lo"), col("hi"), col("n_files"), col("n_skipped"),
+        col("rows_scanned"), coalesce(col("n_matching"), lit(0L)).as("n_matching"))
+  }
+
+  /** x223's histogram resolution. Shared with the DuckDB oracle. */
+  val CardBuckets: Int = 32
+
+  /** Histogram join-cardinality estimator audit (x223): the CBO
+    * arithmetic every planner runs before picking a join strategy,
+    * published with its error against ground truth. The hardest planner
+    * case is the fact-fact self-equi-join (output Σ_k c(k)² — skew
+    * quadratically amplified), here lineitem ⋈ lineitem on l_partkey.
+    * Per equi-width key bucket: the histogram inputs (row count, distinct
+    * keys), the uniformity-assumption estimate `rows² div ndv`, the
+    * exact per-bucket join output Σ c(k)², and the signed error in ppm —
+    * where the estimate misses is exactly where in-bucket skew lives
+    * (x149's hot keys), which is what a planner's histogram refinement
+    * chases. All-integer; the error division is sign-split (x117's
+    * negative-div trap).
+    *
+    * 100 TB shape: one partial-agg'd groupBy to the per-key count table,
+    * one more to the [[CardBuckets]]-row histogram — the join itself is
+    * never executed; Σ c(k)² folds off the key counts. */
+  def joinCardinalityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val nb = CardBuckets
+    val keyCounts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c"))
+    val bounds = keyCounts.agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    keyCounts.crossJoin(broadcast(bounds))
+      .withColumn("b", expr(s"((k - min_k) * $nb) div (max_k - min_k + 1)"))
+      .groupBy(col("b"))
+      .agg(sum(col("c")).as("n_rows"),
+        count(lit(1)).as("ndv"),
+        sum(col("c") * col("c")).as("exact_rows"))
+      .withColumn("est_rows", expr("(n_rows * n_rows) div ndv"))
+      .withColumn("err_ppm",
+        when(col("est_rows") >= col("exact_rows"),
+          expr("(1000000L * (est_rows - exact_rows)) div exact_rows"))
+          .otherwise(-expr("(1000000L * (exact_rows - est_rows)) div exact_rows")))
+      .select(col("b"), col("n_rows"), col("ndv"), col("est_rows"),
+        col("exact_rows"), col("err_ppm"))
+  }
+
+  /** x227 knobs — histogram resolution and the audited percentiles.
+    * Shared with the DuckDB oracle. */
+  val QsBuckets: Int = 64
+  val QsPcts: Seq[Int] = Seq(50, 90, 99)
+
+  /** Histogram-sketch quantile audit (x227): the fixed-memory quantile
+    * estimate (`approxQuantile`'s role, in a deterministic engine-neutral
+    * form: a [[QsBuckets]]-bucket equi-width histogram of order-value
+    * cents with in-bucket linear interpolation) next to the EXACT
+    * rank-picked quantile and the absolute error in ppm — completing the
+    * sketch-audit family (x133 KMV, x193/x199 HLL, x41 count-min) with
+    * the quantile member. The exact side never sorts the corpus: the
+    * rank pick runs on the per-value count table through
+    * [[Sampling.exclusivePrefixSum]] (the x208 discipline — order-value
+    * cents are data-proportional, so no bounded-domain window applies).
+    *
+    * 100 TB shape: one scan → per-value counts (partial-agg'd); the
+    * histogram is a [[QsBuckets]]-row rollup of that table; the prefix
+    * sum is the recursive scale-safe one; the percentile frame is a
+    * 3-row broadcast cross. */
+  def quantileSketchAudit(spark: SparkSession, dir: String): DataFrame = {
+    val nb = QsBuckets
+    val vals = Tables.orders(spark, dir)
+      .select(cents(col("o_totalprice")).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // histogram, prefix sum, and totals all read it
+    val bounds = vals.agg(min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+      sum(col("cnt")).as("n"))
+    val hist = vals.crossJoin(broadcast(bounds))
+      .withColumn("b", expr(s"((v - min_v) * $nb) div (max_v - min_v + 1)"))
+      .groupBy(col("b")).agg(sum(col("cnt")).as("bc"))
+      .withColumn("cum", sum(col("bc")).over( // bounded: ≤ QsBuckets rows
+        Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)))
+      .localCheckpoint()
+    val offsets = Sampling.exclusivePrefixSum(vals.select(col("v"), col("cnt")))
+    val exactCum = vals.select(col("v"), col("cnt"))
+      .join(offsets.select(col("key").as("v"), col("offset")), Seq("v"))
+      .withColumn("ecum", col("offset") + col("cnt"))
+      .localCheckpoint()
+    val pcts = spark.range(1L)
+      .select(explode(array(QsPcts.map(p => lit(p.toLong)): _*)).as("pct"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("target", expr("(pct * n + 99) div 100"))
+    val est = pcts.join(hist, col("cum") >= col("target"))
+      .groupBy(col("pct"), col("target"), col("min_v"), col("max_v"))
+      .agg(min(col("b")).as("b"))
+      .join(hist, Seq("b"))
+      .withColumn("cum_before", col("cum") - col("bc"))
+      .withColumn("lo", expr(s"min_v + (b * (max_v - min_v + 1) + $nb - 1) div $nb"))
+      .withColumn("hi", expr(s"min_v + ((b + 1) * (max_v - min_v + 1) + $nb - 1) div $nb - 1"))
+      .withColumn("est_cents",
+        expr("lo + ((target - cum_before - 1) * (hi - lo + 1)) div bc"))
+    val exact = pcts.select(col("pct"), col("target"))
+      .join(exactCum, col("ecum") >= col("target"))
+      .groupBy(col("pct").as("pct_e"), col("target").as("target_e"))
+      .agg(min(col("v")).as("exact_cents"))
+    est.join(exact, col("pct") === col("pct_e"))
+      .withColumn("err_ppm",
+        expr("(1000000L * abs(est_cents - exact_cents)) div exact_cents"))
+      .select(col("pct"), col("target"), col("est_cents"), col("exact_cents"),
+        col("err_ppm"))
+  }
 }

@@ -820,4 +820,46 @@ object Sessionize {
       .crossJoin(broadcast(totals))
       .withColumn("drop_ppm", expr("(1000000L * n_dropped) div n_total"))
   }
+
+  /** Peak session concurrency per day (x226): the sweep-line census —
+    * +1 at each session start, −1 one second after its end, running sum
+    * over time = sessions concurrently open; per day, the peak and the
+    * earliest second attaining it (capacity planning's number: how many
+    * live sessions the serving tier must hold). Concurrency changes
+    * only at boundary seconds, so the sweep runs over the per-second
+    * DELTA table (one row per boundary second), and the running sum
+    * rides [[Sampling.exclusivePrefixSum]] — boundary seconds are
+    * data-proportional (the x208 rule), so no single-task window ever
+    * sees them all. Peaks are reported over the boundary seconds of
+    * each day; a day without boundaries holds no new peak by
+    * construction (concurrency is constant across it).
+    *
+    * 100 TB shape: sessions are the existing gap-sessionize aggregate;
+    * the delta table is one partial-agg'd groupBy on the second; the
+    * prefix is the recursive scale-safe one; the per-day rollup is
+    * O(days). */
+  def peakConcurrency(spark: SparkSession, dir: String,
+                      gapSeconds: Long = 1800): DataFrame = {
+    val s = sessions(spark, dir, gapSeconds)
+      .select(col("session_start_s"), col("session_end_s"))
+    val deltas = s.select(col("session_start_s").as("sec"), lit(1L).as("d"))
+      .union(s.select((col("session_end_s") + 1L).as("sec"), lit(-1L).as("d")))
+      .groupBy(col("sec")).agg(sum(col("d")).as("d"))
+      .localCheckpoint() // prefix sum + the concurrency join
+    val offsets = Sampling.exclusivePrefixSum(deltas.select(col("sec"), col("d")))
+    val conc = deltas
+      .join(offsets.select(col("key").as("sec"), col("offset")), Seq("sec"))
+      .withColumn("conc", col("offset") + col("d"))
+      .withColumn("day", expr("sec div 86400"))
+      .localCheckpoint() // per-day max + the argmax pick
+    val peaks = conc.groupBy(col("day"))
+      .agg(max(col("conc")).as("peak_concurrency"),
+        count(lit(1)).as("n_boundaries"))
+    peaks.join(conc.select(col("day"), col("conc"), col("sec")),
+        Seq("day"))
+      .filter(col("conc") === col("peak_concurrency"))
+      .groupBy(col("day"), col("peak_concurrency"), col("n_boundaries"))
+      .agg(min(col("sec")).as("at_s"))
+      .select(col("day"), col("peak_concurrency"), col("at_s"), col("n_boundaries"))
+  }
 }

@@ -843,6 +843,96 @@ object Similarity {
         max(col("vec_id")).as("max_vec_id"))
   }
 
+  /** x224 knobs: arrival-batch count (vec_id ranges — x125's arrival
+    * proxy on the vector table) and the milli-unit centroid scale.
+    * Shared with the DuckDB oracle. */
+  val DriftBatches: Int = 4
+  val DriftScale: Long = 1000L
+
+  /** Embedding centroid drift per ingest batch (x224): the model-
+    * monitoring artifact an embedding pipeline tracks across arrival
+    * batches — per batch, the int8-quantized per-dimension centroid
+    * (x175's per-vector quantization, summed exactly, scaled to
+    * integer milli-units with a sign-split floor division — x207's
+    * rescale discipline) and its L1 distance to the PREVIOUS batch's
+    * centroid. A drifting encoder, a source-mix shift, or a corrupted
+    * batch all surface as an L1 jump; the max single-dimension shift
+    * localizes it. Complements x65 (token drift) and x129 (quality
+    * drift) with the vector-space member.
+    *
+    * 100 TB shape: one corpus scan → per-(batch, dim) integer partial
+    * aggregate (4·64 rows); the drift join is O(batches·dim) on the
+    * tiny centroid table. */
+  def centroidDrift(spark: SparkSession, dir: String,
+                    batches: Int = DriftBatches): DataFrame = {
+    val levels = lit(QuantLevels.toDouble)
+    val ids = Tables.embeddings(spark, dir).agg(
+      min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+    val qd = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(ids))
+      .withColumn("batch",
+        expr(s"((vec_id - min_id) * $batches) div (max_id - min_id + 1)"))
+      .withColumn("sc",
+        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+      .withColumn("q",
+        transform(col("v"), x =>
+          when(col("sc") === lit(0.0), lit(0L))
+            .otherwise(floor(x / col("sc") * levels + lit(0.5)).cast("long"))))
+      .select(col("batch"), posexplode(col("q")).as(Seq("d", "qv")))
+    val cent = qd.groupBy(col("batch"), col("d"))
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c",
+        when(col("s") >= 0, expr(s"(s * $DriftScale) div n"))
+          .otherwise(-expr(s"((-s) * $DriftScale) div n")))
+      .localCheckpoint() // self-joined at lag 1
+    cent.as("cur")
+      .join(cent.as("prev"),
+        col("cur.batch") === col("prev.batch") + 1 && col("cur.d") === col("prev.d"))
+      .groupBy(col("cur.batch").as("batch"))
+      .agg(max(col("cur.n")).as("n_vecs"),
+        sum(abs(col("cur.c") - col("prev.c"))).as("l1_drift_milli"),
+        max(abs(col("cur.c") - col("prev.c"))).as("max_dim_shift_milli"))
+  }
+
+  /** x225's hit@k cutoffs. Shared with the DuckDB oracle. */
+  val EvalKs: Seq[Int] = Seq(1, 3, 5)
+
+  /** Retrieval quality eval panel (x225): classification-by-retrieval
+    * scoring of the embedding space against the label column — per
+    * label, hit@1/3/5 (does any same-label neighbor appear in the
+    * top-k?) and the summed integer reciprocal rank (MRR·10⁶ without
+    * the float: `10⁶ div first_hit_rank`, 0 when no hit) over the
+    * STAGED exact neighbor table ([[KnnStage]]). x191 measures slot-
+    * level homophily; this is the ranked-retrieval view (first-hit
+    * position matters) — together they are the intrinsic eval a
+    * retrieval corpus runs before fine-tuning. Swaps to [[AnnStage]]
+    * like every staged-table consumer.
+    *
+    * 100 TB shape: the staged O(N·k) table joins the broadcast O(N)
+    * label table twice, the first-hit pick is a per-query min — one
+    * partial-agg'd groupBy — and the panel is O(labels) rows. */
+  def retrievalEval(spark: SparkSession, dir: String,
+                    k: Int = KnnStage.StageK,
+                    rankedTable: (SparkSession, String, Int) => DataFrame =
+                      KnnStage.ranked(_, _, _)): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("label"))
+    val firstHit = rankedTable(spark, dir, math.max(k, KnnStage.StageK))
+      .filter(col("rank") <= k)
+      .join(broadcast(labels).as("ql"), col("q_id") === col("ql.id"))
+      .withColumnRenamed("label", "q_label").drop("id")
+      .join(broadcast(labels).as("nl"), col("vec_id") === col("nl.id"))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(min(when(col("label") === col("q_label"), col("rank"))).as("first_hit"))
+    firstHit.groupBy(col("q_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("first_hit") <= EvalKs(0), 1L).otherwise(0L)).as("n_hit1"),
+        sum(when(col("first_hit") <= EvalKs(1), 1L).otherwise(0L)).as("n_hit3"),
+        sum(when(col("first_hit") <= EvalKs(2), 1L).otherwise(0L)).as("n_hit5"),
+        sum(coalesce(expr("1000000L div first_hit"), lit(0L))).as("rr_ppm_sum"))
+  }
+
   /** ANN staged-swap fidelity ledger (x221): the per-rank recall +
     * displacement audit of [[AnnStage]]'s approximate neighbor table
     * against [[KnnStage]]'s exact one — the closing artifact of the

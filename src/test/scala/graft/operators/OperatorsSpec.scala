@@ -3670,6 +3670,165 @@ class OperatorsSpec extends SparkSpec {
     assert(sparkCanon.size == 4)
   }
 
+  test("zoneMapSkipping (x222): skip decisions match a replay; zone maps never false-skip") {
+    val rows = graft.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey").as[(Long, Long)].collect()
+    val (minK, maxK) = (rows.map(_._1).min, rows.map(_._1).max)
+    val (minC, maxC) = (rows.map(_._2).min, rows.map(_._2).max)
+    val (nf, np) = (Relational.ZoneFiles, Relational.ZonePredicates)
+    def fOf(k: Long) = (k - minK) * nf / (maxK - minK + 1)
+    def pOf(c: Long) = (c - minC) * np / (maxC - minC + 1)
+    val files = rows.groupBy(r => fOf(r._1)).map { case (f, rs) =>
+      f -> (rs.length.toLong, rs.map(_._2).min, rs.map(_._2).max) }
+    val got = Relational.zoneMapSkipping(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == np)
+    got.foreach { case (p, lo, hi, nFiles, nSkipped, scanned, matching) =>
+      assert(nFiles == files.size)
+      val skipped = files.values.count { case (_, fMin, fMax) => fMax < lo || fMin > hi }
+      val scan = files.values.collect {
+        case (n, fMin, fMax) if !(fMax < lo || fMin > hi) => n }.sum
+      assert((skipped.toLong, scan) == ((nSkipped, scanned)), s"pred $p")
+      assert(matching == rows.count(r => pOf(r._2) == p).toLong, s"pred $p")
+      // soundness: a skipped file can hold no matching row, so every
+      // matching row is inside the scanned set
+      assert(matching <= scanned, s"pred $p")
+      // the predicate range really is bucket p's key set
+      assert(rows.forall(r => (r._2 >= lo && r._2 <= hi) == (pOf(r._2) == p)), s"pred $p")
+    }
+    assert(got.map(_._7).sum == rows.length.toLong) // predicates partition the fact
+  }
+
+  test("joinCardinalityAudit (x223): per-bucket estimate/exact match a replay; " +
+    "uniformity never overestimates within a bucket (Cauchy–Schwarz)") {
+    val counts = graft.Tables.lineitem(spark, sf)
+      .groupBy($"l_partkey").count().as[(Long, Long)].collect()
+    val (minK, maxK) = (counts.map(_._1).min, counts.map(_._1).max)
+    val nb = Relational.CardBuckets
+    val want = counts.groupBy(r => (r._1 - minK) * nb / (maxK - minK + 1))
+      .map { case (b, ks) =>
+        val nRows = ks.map(_._2).sum; val ndv = ks.length.toLong
+        val exact = ks.map(c => c._2 * c._2).sum
+        val est = nRows * nRows / ndv
+        val err = if (est >= exact) 1000000L * (est - exact) / exact
+                  else -(1000000L * (exact - est) / exact)
+        b -> (nRows, ndv, est, exact, err)
+      }
+    val got = Relational.joinCardinalityAudit(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (b, nRows, ndv, est, exact, err) =>
+      assert(want(b) == ((nRows, ndv, est, exact, err)), s"bucket $b")
+      // Σc² ≥ (Σc)²/ndv: the uniformity assumption can only UNDERestimate
+      // a self-join bucket — skew is invisible to it, which is the point
+      assert(est <= exact && err <= 0, s"bucket $b")
+    }
+  }
+
+  test("centroidDrift (x224): quantized centroids and lag-1 L1 match a replay") {
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val (minId, maxId) = (emb.map(_._1).min, emb.map(_._1).max)
+    val nb = Similarity.DriftBatches
+    val cent = emb.groupBy(r => (r._1 - minId) * nb / (maxId - minId + 1))
+      .map { case (b, vs) =>
+        val qs = vs.map { case (_, v) =>
+          val d = v.map(_.toDouble)
+          val sc = d.map(math.abs).max
+          d.map(x => if (sc == 0) 0L else math.floor(x / sc * 127.0 + 0.5).toLong)
+        }
+        val n = qs.length.toLong
+        b -> (n, Array.tabulate(64) { dd =>
+          val s = qs.map(_(dd)).sum
+          if (s >= 0) s * Similarity.DriftScale / n
+          else -((-s) * Similarity.DriftScale / n)
+        })
+      }
+    val got = Similarity.centroidDrift(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == nb - 1) // batch 0 has no predecessor
+    got.foreach { case (b, n, l1, maxShift) =>
+      val (wn, cur) = cent(b); val (_, prev) = cent(b - 1)
+      val diffs = cur.zip(prev).map { case (a, p) => math.abs(a - p) }
+      assert((n, l1, maxShift) == ((wn, diffs.sum, diffs.max)), s"batch $b")
+    }
+  }
+
+  test("retrievalEval (x225): per-label panel matches a staged-table replay; hit@k nested") {
+    val k = graft.operators.KnnStage.StageK
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, String)].collect().toMap
+    val ranked = graft.operators.KnnStage.ranked(spark, sf)
+      .as[(Long, Long, Double, Int)].collect().filter(_._4 <= k)
+    val firstHit = ranked.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.filter(r => labels(r._2) == labels(q)).map(_._4).sorted.headOption
+    }
+    val want = firstHit.groupBy(p => labels(p._1)).map { case (lab, qs) =>
+      lab -> (qs.size.toLong,
+        qs.count(_._2.exists(_ <= 1)).toLong,
+        qs.count(_._2.exists(_ <= 3)).toLong,
+        qs.count(_._2.exists(_ <= 5)).toLong,
+        qs.flatMap(_._2).map(r => 1000000L / r).sum)
+    }
+    val got = Similarity.retrievalEval(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (lab, n, h1, h3, h5, rr) =>
+      assert(want(lab) == ((n, h1, h3, h5, rr)), s"label $lab")
+      assert(h1 <= h3 && h3 <= h5 && h5 <= n, s"label $lab")
+    }
+    // the panel covers every query exactly once
+    assert(got.map(_._2).sum == firstHit.size.toLong)
+  }
+
+  test("peakConcurrency (x226): sweep-line peaks match a replay; peak bounded by live sessions") {
+    val sessions = Sessionize.sessions(spark, sf)
+      .select($"session_start_s", $"session_end_s").as[(Long, Long)].collect()
+    val deltas = (sessions.map(s => s._1 -> 1L) ++ sessions.map(s => (s._2 + 1) -> -1L))
+      .groupBy(_._1).map { case (sec, ds) => sec -> ds.map(_._2).sum }.toSeq.sortBy(_._1)
+    var run = 0L
+    val conc = deltas.map { case (sec, d) => run += d; (sec, run) }
+    val want = conc.groupBy(_._1 / 86400).map { case (day, cs) =>
+      val peak = cs.map(_._2).max
+      day -> (peak, cs.filter(_._2 == peak).map(_._1).min, cs.length.toLong)
+    }
+    val got = Sessionize.peakConcurrency(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (day, peak, atS, nB) =>
+      assert(want(day) == ((peak, atS, nB)), s"day $day")
+      assert(peak >= 1, s"day $day")
+    }
+    assert(got.map(_._2).max <= sessions.length.toLong)
+  }
+
+  test("quantileSketchAudit (x227): histogram estimate and exact rank pick match a replay") {
+    val vals = graft.Tables.orders(spark, sf)
+      .select(Relational.cents($"o_totalprice")).as[Long].collect().sorted
+    val n = vals.length.toLong
+    val (minV, maxV) = (vals.min, vals.max)
+    val nb = Relational.QsBuckets
+    def bOf(v: Long) = (v - minV) * nb / (maxV - minV + 1)
+    def lo(b: Long) = minV + (b * (maxV - minV + 1) + nb - 1) / nb
+    val bc = vals.groupBy(bOf).view.mapValues(_.length.toLong).toMap
+    val got = Relational.quantileSketchAudit(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == Relational.QsPcts.length)
+    got.foreach { case (pct, target, est, exact, err) =>
+      assert(target == (pct * n + 99) / 100, s"pct $pct")
+      assert(exact == vals(target.toInt - 1), s"pct $pct") // exact rank pick
+      val b = bc.keys.toSeq.sorted
+        .find(k => bc.keys.toSeq.filter(_ <= k).map(bc).sum >= target).get
+      val cumBefore = bc.keys.toSeq.filter(_ < b).map(bc).sum
+      val width = lo(b + 1) - lo(b)
+      val wantEst = lo(b) + (target - cumBefore - 1) * width / bc(b)
+      assert(est == wantEst, s"pct $pct")
+      assert(err == 1000000L * math.abs(est - exact) / exact, s"pct $pct")
+      // the estimate can't leave its bucket
+      assert(est >= lo(b) && est < lo(b + 1), s"pct $pct")
+    }
+  }
+
   test("conformalIntervals (x204): rank-picked quantile and coverage match a replay") {
     val brandByPart = graft.Tables.part(spark, sf)
       .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
