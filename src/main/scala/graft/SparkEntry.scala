@@ -265,6 +265,9 @@ object SparkEntry {
     "x225_retrieval_eval"   -> ((s, d) => Similarity.retrievalEval(s, d)),
     "x226_peak_concurrency" -> ((s, d) => Sessionize.peakConcurrency(s, d)),
     "x227_quantile_sketch"  -> ((s, d) => Relational.quantileSketchAudit(s, d)),
+    "x228_browse_runs"      -> ((s, d) => Sessionize.browseRunCensus(s, d)),
+    "x229_stock_ledger"     -> ((s, d) => Relational.stockLedger(s, d)),
+    "x230_importance_ess"   -> ((s, d) => Sampling.importanceEss(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4737,6 +4740,80 @@ object SparkEntry {
         |       (1000000 * abs(est.est_cents - ex.exact_cents)) // ex.exact_cents AS err_ppm
         |FROM est JOIN ex ON est.pct = ex.pct JOIN t ON t.pct = est.pct""".stripMargin
     },
+
+    // x228: browse-run pattern census — gaps-and-islands runs of
+    // view/click events, outcome = the event after the run (sentinel
+    // '~end~' at stream end so max_by never aggregates a NULL value).
+    "x228_browse_runs" -> {
+      import operators.Sessionize.RunLenCap
+      s"""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |m AS (SELECT *, row_number() OVER w AS rn,
+        |             coalesce(lead(event_type, 1) OVER w, '~end~') AS next_type
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |b AS (SELECT * FROM m WHERE event_type IN ('view', 'click')),
+        |r AS (SELECT *, CASE WHEN coalesce(rn - lag(rn, 1) OVER v, 2) > 1
+        |                     THEN 1 ELSE 0 END AS run_start
+        |      FROM b WINDOW v AS (PARTITION BY user_id ORDER BY rn)),
+        |ri AS (SELECT *, CAST(sum(run_start) OVER (PARTITION BY user_id ORDER BY rn
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+        |       FROM r),
+        |runs AS (SELECT user_id, run_id, CAST(count(*) AS BIGINT) AS run_len,
+        |                max_by(next_type, rn) AS after
+        |         FROM ri GROUP BY 1, 2),
+        |o AS (SELECT user_id, run_len,
+        |             CASE WHEN after = '~end~' THEN 'open'
+        |                  WHEN after = 'purchase' THEN 'converted'
+        |                  ELSE 'abandoned' END AS outcome
+        |      FROM runs)
+        |SELECT least(run_len, $RunLenCap) AS len_bucket, outcome,
+        |       CAST(count(*) AS BIGINT) AS n_runs,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM o GROUP BY 1, 2""".stripMargin
+    },
+
+    // x229: clamped stock ledger — prefix sum + running min, the
+    // closed form of the non-associative max(0, s+f) recurrence.
+    "x229_stock_ledger" ->
+      """WITH daily AS (
+        |  SELECT l_partkey AS part,
+        |         CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400 AS day,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R'
+        |                       THEN CAST(round(l_quantity) AS BIGINT)
+        |                       ELSE -CAST(round(l_quantity) AS BIGINT) END) AS BIGINT) AS f
+        |  FROM lineitem GROUP BY 1, 2),
+        |s1 AS (SELECT part, day,
+        |              CAST(sum(f) OVER (PARTITION BY part ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+        |       FROM daily),
+        |s2 AS (SELECT part, day, s,
+        |              CAST(min(s) OVER (PARTITION BY part ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m
+        |       FROM s1),
+        |st AS (SELECT part, day, s, s - least(m, CAST(0 AS BIGINT)) AS stock FROM s2)
+        |SELECT part, CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(max_by(stock, day) AS BIGINT) AS final_stock,
+        |       CAST(-least(min(s), 0) AS BIGINT) AS clamp_loss,
+        |       CAST(max(stock) AS BIGINT) AS peak_stock
+        |FROM st GROUP BY 1""".stripMargin,
+
+    // x230: Kish ESS of the DSIR weights — x95's weight CTEs, HUGEINT
+    // moments, decimal-string rationals per the x156 convention.
+    "x230_importance_ess" ->
+      s"""WITH $dsirWeightsCtes,
+        |j AS (SELECT w.imp_per_tok AS wt, d.source
+        |      FROM w JOIN documents d USING (doc_id)),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             sum(CAST(wt AS HUGEINT)) AS sw,
+        |             sum(CAST(wt AS HUGEINT) * CAST(wt AS HUGEINT)) AS sw2
+        |      FROM j GROUP BY 1)
+        |SELECT source, n_docs,
+        |       CAST(CAST(sw AS DECIMAL(38,0)) AS VARCHAR) AS sum_w,
+        |       CAST(CAST(sw * sw AS DECIMAL(38,0)) AS VARCHAR) AS ess_num,
+        |       CAST(CAST(sw2 AS DECIMAL(38,0)) AS VARCHAR) AS ess_den
+        |FROM a""".stripMargin,
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

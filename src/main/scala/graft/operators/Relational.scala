@@ -1689,6 +1689,44 @@ object Relational {
         col("exact_rows"), col("err_ppm"))
   }
 
+  /** Clamped stock-ledger scan (x229): per part, replay the shipment
+    * ledger as a warehouse stock level that CANNOT go negative —
+    * returns (`l_returnflag = 'R'`) restock, other shipments draw down,
+    * and a draw against empty stock is lost demand, not negative
+    * inventory: `s_t = max(0, s_{t−1} + f_t)`. That recurrence is
+    * non-associative, so it looks sequential — but with only a lower
+    * clamp it has the exact closed form
+    * `s_t = S_t − min(0, min_{j≤t} S_j)` (prefix sum minus the running
+    * minimum's negative part), which turns the "inherently sequential"
+    * fold into two per-key window scans — the scan-parallelization
+    * trick every ledger/quota/rate-limiter replay at scale rests on.
+    * Closed form ≡ the sequential fold is spec-proven. Published per
+    * part: days active, final stock, total clamp loss (demand lost to
+    * empty stock), and the peak level (the warehouse-sizing number).
+    *
+    * 100 TB shape: one scan → per-(part, day) partial-agg'd net flows;
+    * both windows partition by the part key (never a global order);
+    * output is O(parts). */
+  def stockLedger(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("part"),
+        expr("unix_timestamp(l_shipdate) div 86400").as("day"),
+        when(col("l_returnflag") === "R",
+          expr("cast(round(l_quantity) as bigint)"))
+          .otherwise(-expr("cast(round(l_quantity) as bigint)")).as("q"))
+      .groupBy(col("part"), col("day")).agg(sum(col("q")).as("f"))
+    val w = Window.partitionBy(col("part")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("s", sum(col("f")).over(w))
+      .withColumn("stock", col("s") - least(min(col("s")).over(w), lit(0L)))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_days"),
+        max_by(col("stock"), col("day")).as("final_stock"),
+        (-least(min(col("s")), lit(0L))).as("clamp_loss"),
+        max(col("stock")).as("peak_stock"))
+  }
+
   /** x227 knobs — histogram resolution and the audited percentiles.
     * Shared with the DuckDB oracle. */
   val QsBuckets: Int = 64

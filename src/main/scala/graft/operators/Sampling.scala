@@ -938,6 +938,36 @@ object Sampling {
         coalesce(expr("importance_pts div n_toks"), lit(0L)).as("imp_per_tok"))
   }
 
+  /** Effective-sample-size panel for the DSIR importance weights (x230):
+    * per source, Kish's ESS = (Σw)² / Σw² over x95's per-token
+    * importance weights — the one number that says how much of the
+    * corpus the weighted resample (x100) ACTUALLY uses: ESS ≈ n means
+    * near-uniform weights (reweighting is cheap), ESS ≪ n means a few
+    * documents dominate and the resampled corpus is effectively tiny
+    * (variance blows up — cap or temper the weights before training).
+    * Published as the raw rational per the x156 convention: n_docs and
+    * the DECIMAL(38,0) moments `sum_w`, `ess_num = (Σw)²`,
+    * `ess_den = Σw²` as digit strings — never a float division, and
+    * (Σw)² at 10⁹ docs × 10⁶-point weights needs the decimal width
+    * (x152's discipline).
+    *
+    * 100 TB shape: x95's weight derivation is the corpus-sized work
+    * (one explode + broadcast-bucket join); this panel adds one
+    * partial-agg'd groupBy to O(sources) rows. */
+  def importanceEss(spark: SparkSession, dir: String): DataFrame =
+    dsirImportance(spark, dir)
+      .select(col("doc_id"), col("imp_per_tok").as("w"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w").cast("decimal(38,0)")).as("sw"),
+        sum((col("w") * col("w")).cast("decimal(38,0)")).as("sw2"))
+      .select(col("source"), col("n_docs"),
+        col("sw").cast("decimal(38,0)").cast("string").as("sum_w"),
+        (col("sw") * col("sw")).cast("decimal(38,0)").cast("string").as("ess_num"),
+        col("sw2").cast("decimal(38,0)").cast("string").as("ess_den"))
+
   /** DSIR importance RESAMPLING (x100) — the apply stage x95's weights
     * exist for: draw a target-like subcorpus by accepting each candidate
     * with probability proportional to its importance weight. Acceptance

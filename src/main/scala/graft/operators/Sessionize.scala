@@ -821,6 +821,60 @@ object Sessionize {
       .withColumn("drop_ppm", expr("(1000000L * n_dropped) div n_total"))
   }
 
+  /** x228's published run-length cap (longer runs collapse into the cap
+    * bucket). Shared with the DuckDB oracle. */
+  val RunLenCap: Int = 10
+
+  /** Browse-run pattern census (x228): the MATCH_RECOGNIZE-style
+    * variable-length pattern `(view|click)+ → outcome` that Spark has no
+    * declarative operator for — per user, every MAXIMAL run of
+    * consecutive browse events (view/click under the (ts, event_id)
+    * total order) classified by what ends it: the next event is a
+    * `purchase` (converted), some other event (abandoned), or the
+    * stream ends (open). Published as the (run-length bucket × outcome)
+    * census with distinct-user counts — the variable-length complement
+    * of x86's fixed-step funnel and x166's one-step Markov eval: "how
+    * long do users browse before buying vs giving up".
+    *
+    * Gaps-and-islands construction (x136's discipline): runs are
+    * recovered from the row-number gap inside the browse-only subset,
+    * so no self-join and no pattern automaton — two per-user windows
+    * and a groupBy. 100 TB shape: per-user windows partition by the
+    * user key (no global ordering anywhere); the census rollup is a
+    * partial-agg'd groupBy on ≤ (cap+1)·3 cells. */
+  def browseRunCensus(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    val marked = raw
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        tsSeconds(raw).as("ts_s"))
+      .withColumn("rn", row_number().over(w))
+      // stream-end sentinel instead of NULL: max_by-over-NULL-values
+      // differs between engines (DuckDB's arg_max skips NULLs)
+      .withColumn("next_type",
+        coalesce(lead(col("event_type"), 1).over(w), lit("~end~")))
+    val browse = marked
+      .filter(col("event_type") === "view" || col("event_type") === "click")
+    val bw = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val runs = browse
+      .withColumn("run_start",
+        when(coalesce(col("rn") - lag(col("rn"), 1).over(bw), lit(2L)) > 1L, 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("run_start")).over(
+        bw.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(count(lit(1)).as("run_len"),
+        max_by(col("next_type"), col("rn")).as("after"))
+      .withColumn("outcome",
+        when(col("after") === "~end~", "open")
+          .when(col("after") === "purchase", "converted")
+          .otherwise("abandoned"))
+    runs.groupBy(least(col("run_len"), lit(RunLenCap.toLong)).as("len_bucket"),
+        col("outcome"))
+      .agg(count(lit(1)).as("n_runs"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Peak session concurrency per day (x226): the sweep-line census —
     * +1 at each session start, −1 one second after its end, running sum
     * over time = sessions concurrently open; per day, the peak and the

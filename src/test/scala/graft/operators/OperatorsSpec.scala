@@ -3829,6 +3829,88 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("browseRunCensus (x228): census matches a sequential pattern-scan replay") {
+    val raw = graft.Tables.events(spark, sf)
+    val rows = raw.select($"user_id", $"event_id", $"event_type",
+        Sessionize.tsSeconds(raw))
+      .as[(Long, Long, String, Long)].collect()
+    // sequential replay: per user in (ts, event_id) order, walk maximal
+    // view/click runs and classify by the event that ends them
+    val runs = rows.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ordered = es.sortBy(e => (e._4, e._2)).map(_._3)
+      var l = 0L
+      val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+      for (i <- ordered.indices) {
+        if (ordered(i) == "view" || ordered(i) == "click") l += 1
+        else { if (l > 0) res += ((u, l,
+          if (ordered(i) == "purchase") "converted" else "abandoned")); l = 0 }
+      }
+      if (l > 0) res += ((u, l, "open"))
+      res
+    }
+    val want = runs.groupBy(r => (math.min(r._2, Sessionize.RunLenCap.toLong), r._3))
+      .map { case (k, rs) => k -> (rs.length.toLong, rs.map(_._1).distinct.length.toLong) }
+    val got = Sessionize.browseRunCensus(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (lb, oc, nr, nu) =>
+      assert(want((lb, oc)) == ((nr, nu)), s"cell ($lb, $oc)")
+    }
+    assert(got.map(_._3).sum == runs.length.toLong)
+    // all three outcomes occur on this corpus
+    assert(got.map(_._2).toSet == Set("converted", "abandoned", "open"))
+  }
+
+  test("stockLedger (x229): closed-form scan equals the sequential clamp fold") {
+    val daily = graft.Tables.lineitem(spark, sf)
+      .select($"l_partkey", expr("unix_timestamp(l_shipdate) div 86400"),
+        when($"l_returnflag" === "R", expr("cast(round(l_quantity) as bigint)"))
+          .otherwise(-expr("cast(round(l_quantity) as bigint)")))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toSeq
+      .map { case ((p, d), f) => (p, d, f) }
+    val want = daily.groupBy(_._1).map { case (p, fs) =>
+      val flows = fs.sortBy(_._2).map(_._3)
+      var s = 0L; var peak = 0L; var loss = 0L
+      var last = 0L
+      flows.foreach { f =>
+        val raw = s + f
+        if (raw < 0) { loss += -raw; s = 0L } else s = raw
+        peak = math.max(peak, s); last = s
+      }
+      p -> (flows.length.toLong, last, loss, peak)
+    }
+    val got = Relational.stockLedger(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (p, nd, fin, loss, peak) =>
+      assert(want(p) == ((nd, fin, loss, peak)), s"part $p")
+      assert(fin >= 0 && peak >= fin, s"part $p") // the clamp held
+    }
+    // the clamp actually fires somewhere (the query is not vacuously a prefix sum)
+    assert(got.exists(_._4 > 0))
+  }
+
+  test("importanceEss (x230): decimal moments match a BigInt replay; ESS ≤ n (Cauchy–Schwarz)") {
+    val w = Sampling.dsirImportance(spark, sf)
+      .select($"doc_id", $"imp_per_tok").as[(Long, Long)].collect().toMap
+    val src = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val want = w.toSeq.groupBy(p => src(p._1)).map { case (s, ws) =>
+      val vs = ws.map(p => BigInt(p._2))
+      s -> (ws.length.toLong, vs.sum, vs.sum * vs.sum, vs.map(v => v * v).sum)
+    }
+    val got = Sampling.importanceEss(spark, sf)
+      .as[(String, Long, String, String, String)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (s, n, sw, num, den) =>
+      assert(want(s) == ((n, BigInt(sw), BigInt(num), BigInt(den))), s"source $s")
+      // Kish ESS = num/den ≤ n, with equality iff weights are uniform
+      assert(BigInt(num) <= BigInt(den) * n, s"source $s")
+      assert(BigInt(den) > 0, s"source $s")
+    }
+  }
+
   test("conformalIntervals (x204): rank-picked quantile and coverage match a replay") {
     val brandByPart = graft.Tables.part(spark, sf)
       .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap

@@ -93,6 +93,41 @@ class IngestReplaySpec extends SparkSpec {
     assert(chaotic == clean && clean._1.nonEmpty)
   }
 
+  test("band ingest: a crash after ANY commit-step prefix replays to the exact state") {
+    val (day1, h1, h2) = splits
+    def state(root: String) =
+      (spark.read.parquet(s"$root/results")
+        .as[(Long, String, Long, Long, Long)].collect().toSet,
+        spark.read.parquet(s"$root/index/sigs").count(),
+        spark.read.parquet(s"$root/index/bands").count())
+    // clean reference once
+    val ref = {
+      val root = Files.createTempDirectory("graft-crash-ref").toString
+      Dedup.writeBandIndex(day1, s"$root/index")
+      DocumentStream.applyBandBatch(h1, s"$root/index", s"$root/results", 0L)
+      DocumentStream.applyBandBatch(h2, s"$root/index", s"$root/results", 1L)
+      state(root)
+    }
+    // the batch body has 4 mutation steps (results, sigs, bands, marker);
+    // simulate a crash after each proper prefix and replay
+    for (crashAfter <- 0 to 3) {
+      val root = Files.createTempDirectory(s"graft-crash-$crashAfter").toString
+      Dedup.writeBandIndex(day1, s"$root/index")
+      DocumentStream.applyBandBatch(h1, s"$root/index", s"$root/results", 0L)
+      val b = h2.localCheckpoint()
+      val steps: Seq[() => Unit] = Seq(
+        () => IngestCommit.commitDelta(
+          Dedup.ingestWithBandIndex(spark, b, s"$root/index"), s"$root/results", 1L),
+        () => IngestCommit.commitDelta(
+          Dedup.bandFrames(b, 5, 32, 8)._1, s"$root/index/sigs", 1L),
+        () => IngestCommit.commitDelta(
+          Dedup.bandFrames(b, 5, 32, 8)._2, s"$root/index/bands", 1L))
+      steps.take(crashAfter).foreach(_())
+      DocumentStream.applyBandBatch(h2, s"$root/index", s"$root/results", 1L)
+      assert(state(root) == ref, s"crash point $crashAfter")
+    }
+  }
+
   test("cluster ingest: crashed attempt + re-delivery ≡ straight-through run") {
     val (day1, h1, h2) = splits
     def run(root: String, chaos: Boolean): (Set[(Long, Long, String)], Set[(Long, Long)]) = {
