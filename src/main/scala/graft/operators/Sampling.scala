@@ -962,7 +962,10 @@ object Sampling {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("w").cast("decimal(38,0)")).as("sw"),
-        sum((col("w") * col("w")).cast("decimal(38,0)")).as("sw2"))
+        // multiply AFTER the decimal cast: w² in LongType would raise on
+        // overflow (ANSI) once weights clear ~3·10⁹ points
+        sum(col("w").cast("decimal(38,0)") * col("w").cast("decimal(38,0)"))
+          .as("sw2"))
       .select(col("source"), col("n_docs"),
         col("sw").cast("decimal(38,0)").cast("string").as("sum_w"),
         (col("sw") * col("sw")).cast("decimal(38,0)").cast("string").as("ess_num"),
