@@ -860,11 +860,15 @@ object Similarity {
     * localizes it. Complements x65 (token drift) and x129 (quality
     * drift) with the vector-space member.
     *
-    * 100 TB shape: one corpus scan → per-(batch, dim) integer partial
-    * aggregate (4·64 rows); the drift join is O(batches·dim) on the
+    * 100 TB shape: one corpus scan → per-batch `ArrayLongSum` array
+    * aggregate (x52's kernel: the corpus is never exploded to
+    * (row × dim) elements, the one shuffle carries 64-long arrays,
+    * map-side combined to O(batches·mappers) state); only the 4-row
+    * centroid result explodes. The drift join is O(batches·dim) on the
     * tiny centroid table. */
   def centroidDrift(spark: SparkSession, dir: String,
                     batches: Int = DriftBatches): DataFrame = {
+    import graft.functions.ArrayLongSum.array_long_sum
     val levels = lit(QuantLevels.toDouble)
     val ids = Tables.embeddings(spark, dir).agg(
       min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
@@ -879,9 +883,10 @@ object Similarity {
         transform(col("v"), x =>
           when(col("sc") === lit(0.0), lit(0L))
             .otherwise(floor(x / col("sc") * levels + lit(0.5)).cast("long"))))
-      .select(col("batch"), posexplode(col("q")).as(Seq("d", "qv")))
-    val cent = qd.groupBy(col("batch"), col("d"))
-      .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+      .select(col("batch"), col("q"))
+    val cent = qd.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n"), array_long_sum(col("q")).as("sums"))
+      .select(col("batch"), col("n"), posexplode(col("sums")).as(Seq("d", "s")))
       .withColumn("c",
         when(col("s") >= 0, expr(s"(s * $DriftScale) div n"))
           .otherwise(-expr(s"((-s) * $DriftScale) div n")))
