@@ -178,6 +178,22 @@ object BenchStreaming {
       } finally deleteTree(root)
     }
 
+    def runStatsIngest(): (String, Double) = {
+      val root = Files.createTempDirectory("graft-sbench-stats-ingest")
+      try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        docs.write.parquet(s"$root/drop")
+        val n = docs.count()
+        val t0 = System.nanoTime()
+        graft.streaming.DocumentStream.startStatsIngest(
+          graft.streaming.DocumentStream.readDocuments(spark, s"$root/drop", docs.schema),
+          s"$root/stage", s"$root/ckpt")
+          .awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        "stats_ingest" -> (n / sec)
+      } finally deleteTree(root)
+    }
+
     // documents-side twins: a stateful running-budget aggregate (Complete,
     // spec-sized state) and the stateless fused-kernel chunker (Append) —
     // file streams need a DIRECTORY source, so the table file is exposed
@@ -258,6 +274,7 @@ object BenchStreaming {
       runBandIngest(),
       runClusterIngest(),
       runTermIngest(),
+      runStatsIngest(),
       runKnnIngest())
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")

@@ -203,6 +203,40 @@ object DocumentStream {
     * of the existing tables (contrast the band/cluster ingesters,
     * which must classify against the index-as-of-now). Stream-built ≡
     * one-shot is spec-proven across a forced micro-batch boundary. */
+  /** One (possibly replayed) stats-table ingest batch — table-statistics
+    * maintenance at ingest ([[graft.operators.StatsStage]]): mergeable
+    * partials, no read of the existing tables, replay-safe via
+    * [[IngestCommit]]. Exposed for the replay spec. */
+  private[streaming] def applyStatsBatch(batch: DataFrame, stageRoot: String,
+                                         batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (IngestCommit.alreadyApplied(spark, stageRoot, batchId)) return
+    IngestCommit.cleanAttempt(spark,
+      Seq(s"$stageRoot/col_stats", s"$stageRoot/lang_counts"), batchId)
+    val b = batch.localCheckpoint() // feeds both partials
+    IngestCommit.commitDelta(
+      graft.operators.StatsStage.colStatsBatch(b), s"$stageRoot/col_stats", batchId)
+    IngestCommit.commitDelta(
+      graft.operators.StatsStage.langCountsBatch(b), s"$stageRoot/lang_counts", batchId)
+    IngestCommit.markApplied(spark, stageRoot, batchId)
+  }
+
+  /** Streaming table-statistics maintenance (the 25th twin): per batch,
+    * append the mergeable column-stats and language-histogram partials —
+    * the catalog upkeep a warehouse runs at ingest so the x222/x223
+    * planner family reads current stats without ever rescanning the
+    * corpus. Folded ≡ one-shot is spec-proven across forced micro-batch
+    * boundaries and under replay. */
+  def startStatsIngest(docs: DataFrame, stageRoot: String,
+                       checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyStatsBatch(batch, stageRoot, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** One (possibly replayed) term-table ingest batch — the mergeable
     * partials still never read the existing tables; [[IngestCommit]]
     * only makes the three appends replay-safe. Exposed for the replay

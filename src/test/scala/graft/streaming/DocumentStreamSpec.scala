@@ -235,6 +235,26 @@ class DocumentStreamSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming stats ingest across micro-batches ≡ one-shot StatsStage fold") {
+    val root = Files.createTempDirectory("graft-statsstream").toString
+    val docs = graft.Tables.documents(spark, sf)
+    val cut = Dedup.IncrementalNewMinId
+    docs.filter($"doc_id" < cut).write.parquet(s"$root/drop")
+    docs.filter($"doc_id" >= cut).write.mode("append").parquet(s"$root/drop")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/drop")
+    DocumentStream.startStatsIngest(stream, s"$root/stage", s"$root/ckpt")
+      .awaitTermination(120000)
+    graft.operators.StatsStage.writeStatsTables(docs, s"$root/oneshot")
+    def cs(p: String) = graft.operators.StatsStage.foldedColStats(spark, p)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    def lc(p: String) = graft.operators.StatsStage.foldedLangCounts(spark, p)
+      .as[(String, Long)].collect().toMap
+    assert(cs(s"$root/stage") == cs(s"$root/oneshot"))
+    assert(lc(s"$root/stage") == lc(s"$root/oneshot") && lc(s"$root/stage").nonEmpty)
+    assert(cs(s"$root/stage")._1 == docs.count())
+  }
+
   test("streaming term ingest across micro-batches ≡ one-shot TermStage tables") {
     val root = Files.createTempDirectory("graft-termstream").toString
     val docs = graft.Tables.documents(spark, sf).select($"doc_id", $"text")

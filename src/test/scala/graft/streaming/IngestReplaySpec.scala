@@ -163,6 +163,30 @@ class IngestReplaySpec extends SparkSpec {
     assert(chaotic._2.toSeq.map(_._1).distinct.length == chaotic._2.size)
   }
 
+  test("stats-table ingest: crashed attempt + re-delivery ≡ straight-through run") {
+    val (_, h1, h2) = splits
+    def run(root: String, chaos: Boolean): ((Long, Long, Long, Long, Long, Long, Long), Map[String, Long]) = {
+      DocumentStream.applyStatsBatch(h1, s"$root/stage", 0L)
+      if (chaos) {
+        // crashed attempt: col_stats committed, lang_counts + marker not
+        IngestCommit.commitDelta(
+          graft.operators.StatsStage.colStatsBatch(h2), s"$root/stage/col_stats", 1L)
+      }
+      DocumentStream.applyStatsBatch(h2, s"$root/stage", 1L)
+      if (chaos) {
+        DocumentStream.applyStatsBatch(h2, s"$root/stage", 1L)
+        DocumentStream.applyStatsBatch(h1, s"$root/stage", 0L)
+      }
+      (graft.operators.StatsStage.foldedColStats(spark, s"$root/stage")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head,
+        graft.operators.StatsStage.foldedLangCounts(spark, s"$root/stage")
+          .as[(String, Long)].collect().toMap)
+    }
+    val clean = run(Files.createTempDirectory("graft-replay-stats-a").toString, chaos = false)
+    val chaotic = run(Files.createTempDirectory("graft-replay-stats-b").toString, chaos = true)
+    assert(chaotic == clean && clean._2.nonEmpty)
+  }
+
   test("term-table ingest: crashed attempt + re-delivery ≡ straight-through run") {
     val (_, h1, h2) = splits
     def run(root: String, chaos: Boolean): (Map[(Long, String), Long], Map[String, (Long, Long)], Map[Long, Long]) = {
