@@ -4697,11 +4697,29 @@ object SparkEntry {
         |                CAST(sum(d) OVER (ORDER BY sec
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
         |         FROM deltas),
-        |peaks AS (SELECT day, max(conc) AS peak_concurrency,
-        |                 CAST(count(*) AS BIGINT) AS n_boundaries
-        |          FROM conc GROUP BY 1)
-        |SELECT p.day, p.peak_concurrency, min(c.sec) AS at_s, p.n_boundaries
-        |FROM peaks p JOIN conc c ON c.day = p.day AND c.conc = p.peak_concurrency
+        |da AS (SELECT day, max(conc) AS day_max,
+        |              CAST(count(*) AS BIGINT) AS n_boundaries,
+        |              max_by(conc, sec) AS close_conc
+        |       FROM conc GROUP BY 1),
+        |span AS (SELECT unnest(generate_series((SELECT min(day) FROM conc),
+        |                                       (SELECT max(day) FROM conc))) AS day),
+        |car AS (SELECT s.day, d.day_max,
+        |               CAST(coalesce(d.n_boundaries, 0) AS BIGINT) AS n_boundaries,
+        |               d.close_conc
+        |        FROM span s LEFT JOIN da d ON s.day = d.day),
+        |car2 AS (SELECT day, day_max, n_boundaries,
+        |                CAST(coalesce(last_value(close_conc IGNORE NULLS) OVER (
+        |                  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                  0) AS BIGINT) AS carry_in
+        |         FROM car),
+        |pk AS (SELECT day, CAST(greatest(coalesce(day_max, 0), carry_in) AS BIGINT)
+        |                AS peak_concurrency,
+        |              n_boundaries, carry_in FROM car2)
+        |SELECT p.day, p.peak_concurrency,
+        |       CAST(min(CASE WHEN p.carry_in >= p.peak_concurrency THEN p.day * 86400
+        |                     WHEN c.conc = p.peak_concurrency THEN c.sec END) AS BIGINT) AS at_s,
+        |       p.n_boundaries
+        |FROM pk p LEFT JOIN conc c ON c.day = p.day
         |GROUP BY 1, 2, 4""".stripMargin,
 
     // x227: histogram-sketch quantile vs exact rank pick — equi-width

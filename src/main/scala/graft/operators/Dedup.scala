@@ -272,6 +272,14 @@ object Dedup {
     * the band-index ingest family (x96) so candidate generation can
     * never diverge between the batch pair join and the incremental
     * path. */
+  /** The band-index family's shared LSH knobs (shingle n, minhash k,
+    * band count) — ONE definition so the batch operators and the
+    * streaming ingesters can never drift (every default below and the
+    * `DocumentStream` appliers read these). */
+  val BandShingleN: Int = 5
+  val BandMinhashK: Int = 32
+  val BandBands: Int = 8
+
   private[graft] def bandFrames(docsIn: DataFrame, n: Int, k: Int,
                                 bands: Int): (DataFrame, DataFrame) = {
     import graft.functions.HashSignatures.{minhash_sig, word_shingle_hashes}
@@ -406,7 +414,7 @@ object Dedup {
     * only for candidate pairs, x03's documented wide-payload bound. */
   def incrementalBandIngest(spark: SparkSession, dir: String,
                             newMinId: Long = BandIngestNewMinId,
-                            n: Int = 5, k: Int = 32, bands: Int = 8,
+                            n: Int = BandShingleN, k: Int = BandMinhashK, bands: Int = BandBands,
                             threshold: Double = BandIngestThreshold): DataFrame = {
     val all = Tables.documents(spark, dir)
     val (exSigs, exBands) = bandFrames(all.filter(col("doc_id") < newMinId), n, k, bands)
@@ -420,7 +428,7 @@ object Dedup {
     * bucket). The signature table is what verify reads; the band table
     * is what candidates join. */
   def writeBandIndex(docs: DataFrame, indexPath: String,
-                     n: Int = 5, k: Int = 32, bands: Int = 8): Unit = {
+                     n: Int = BandShingleN, k: Int = BandMinhashK, bands: Int = BandBands): Unit = {
     val (sigs, banded) = bandFrames(docs, n, k, bands)
     sigs.write.mode("overwrite").parquet(s"$indexPath/sigs")
     banded.write.mode("overwrite").parquet(s"$indexPath/bands")
@@ -432,13 +440,37 @@ object Dedup {
     * from corpus text. */
   def ingestWithBandIndex(spark: SparkSession, newBatch: DataFrame,
                           indexPath: String,
-                          n: Int = 5, k: Int = 32, bands: Int = 8,
+                          n: Int = BandShingleN, k: Int = BandMinhashK, bands: Int = BandBands,
                           threshold: Double = BandIngestThreshold): DataFrame = {
     val (bSigs, bBands) = bandFrames(newBatch, n, k, bands)
     classifyBatch(newBatch, bSigs, bBands,
       spark.read.parquet(s"$indexPath/sigs"),
       spark.read.parquet(s"$indexPath/bands"), threshold)
   }
+
+  /** [[ingestWithBandIndex]] with the batch's band frames PRECOMPUTED —
+    * the streaming applier reuses the same (sigs, bands) pair for the
+    * classification AND the index delta, so each micro-batch pays the
+    * fused tokenize+minhash pass once, not twice. */
+  private[graft] def ingestWithBandFrames(spark: SparkSession, batchIds: DataFrame,
+                                          bSigs: DataFrame, bBands: DataFrame,
+                                          indexPath: String,
+                                          threshold: Double = BandIngestThreshold): DataFrame =
+    classifyBatch(batchIds, bSigs, bBands,
+      spark.read.parquet(s"$indexPath/sigs"),
+      spark.read.parquet(s"$indexPath/bands"), threshold)
+
+  /** [[ingestClustersWithIndex]] with the batch's band frames
+    * precomputed — same single-pass contract for the cluster applier. */
+  private[graft] def ingestClustersWithFrames(spark: SparkSession, batchIds: DataFrame,
+                                              bSigs: DataFrame, bBands: DataFrame,
+                                              bandIndexPath: String,
+                                              clusterTablePath: String,
+                                              threshold: Double = BandIngestThreshold): DataFrame =
+    incrementalClusters(batchIds, bSigs, bBands,
+      spark.read.parquet(s"$bandIndexPath/sigs"),
+      spark.read.parquet(s"$bandIndexPath/bands"),
+      ClusterStage.readClusterTable(spark, clusterTablePath), threshold)
 
   /** Append a new batch's signatures + bands to the index (the
     * paragraph-index staging discipline: the delta is written to a
@@ -447,7 +479,7 @@ object Dedup {
     * existing index files are immutable. */
   def appendToBandIndex(spark: SparkSession, newBatch: DataFrame,
                         indexPath: String,
-                        n: Int = 5, k: Int = 32, bands: Int = 8): Unit = {
+                        n: Int = BandShingleN, k: Int = BandMinhashK, bands: Int = BandBands): Unit = {
     val (sigs, banded) = bandFrames(newBatch, n, k, bands)
     Seq(("sigs", sigs), ("bands", banded)).foreach { case (sub, df) =>
       val staged = s"${indexPath.stripSuffix("/")}_${sub}_delta_staging"
@@ -497,7 +529,7 @@ object Dedup {
     * existing canonical whenever one is reachable. */
   def incrementalClusterIngest(spark: SparkSession, dir: String,
                                newMinId: Long = BandIngestNewMinId,
-                               n: Int = 5, k: Int = 32, bands: Int = 8,
+                               n: Int = BandShingleN, k: Int = BandMinhashK, bands: Int = BandBands,
                                threshold: Double = BandIngestThreshold): DataFrame = {
     val all = Tables.documents(spark, dir)
     val existing = all.filter(col("doc_id") < newMinId)
@@ -513,7 +545,7 @@ object Dedup {
     * text is read for the snapshot. */
   def ingestClustersWithIndex(spark: SparkSession, newBatch: DataFrame,
                               bandIndexPath: String, clusterTablePath: String,
-                              n: Int = 5, k: Int = 32, bands: Int = 8,
+                              n: Int = BandShingleN, k: Int = BandMinhashK, bands: Int = BandBands,
                               threshold: Double = BandIngestThreshold): DataFrame = {
     val (bSigs, bBands) = bandFrames(newBatch, n, k, bands)
     incrementalClusters(newBatch, bSigs, bBands,

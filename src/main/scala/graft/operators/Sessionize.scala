@@ -884,14 +884,21 @@ object Sessionize {
     * DELTA table (one row per boundary second), and the running sum
     * rides [[Sampling.exclusivePrefixSum]] — boundary seconds are
     * data-proportional (the x208 rule), so no single-task window ever
-    * sees them all. Peaks are reported over the boundary seconds of
-    * each day; a day without boundaries holds no new peak by
-    * construction (concurrency is constant across it).
+    * sees them all. Concurrency is constant between boundaries, so a
+    * day's true peak is max(the level CARRIED IN at midnight, the
+    * boundary levels inside the day) — the carry matters: a session
+    * spanning midnight keeps the next day's floor up even if that day
+    * has no boundary of its own, and every calendar day in the span is
+    * reported (a boundary-less day inherits the carried level — that IS
+    * what the serving tier holds across it). `at_s` is the earliest
+    * second attaining the peak: midnight when the carry is (weakly) the
+    * peak, else the first boundary reaching it.
     *
     * 100 TB shape: sessions are the existing gap-sessionize aggregate;
     * the delta table is one partial-agg'd groupBy on the second; the
-    * prefix is the recursive scale-safe one; the per-day rollup is
-    * O(days). */
+    * prefix is the recursive scale-safe one; the per-day rollup and the
+    * carry window run over O(days-in-span) rows (the time-bounded-table
+    * class — days grow with the calendar, not the corpus). */
   def peakConcurrency(spark: SparkSession, dir: String,
                       gapSeconds: Long = 1800): DataFrame = {
     val s = sessions(spark, dir, gapSeconds)
@@ -905,15 +912,30 @@ object Sessionize {
       .join(offsets.select(col("key").as("sec"), col("offset")), Seq("sec"))
       .withColumn("conc", col("offset") + col("d"))
       .withColumn("day", expr("sec div 86400"))
-      .localCheckpoint() // per-day max + the argmax pick
-    val peaks = conc.groupBy(col("day"))
-      .agg(max(col("conc")).as("peak_concurrency"),
-        count(lit(1)).as("n_boundaries"))
-    peaks.join(conc.select(col("day"), col("conc"), col("sec")),
-        Seq("day"))
-      .filter(col("conc") === col("peak_concurrency"))
+      .localCheckpoint() // per-day rollup + the argmax pick
+    val dayAgg = conc.groupBy(col("day"))
+      .agg(max(col("conc")).as("day_max"),
+        count(lit(1)).as("n_boundaries"),
+        max_by(col("conc"), col("sec")).as("close_conc"))
+    val span = conc.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+    val carried = span.join(dayAgg, Seq("day"), "left")
+      .withColumn("carry_in",
+        coalesce(last(col("close_conc"), ignoreNulls = true).over(
+          Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    val peaks = carried
+      .withColumn("peak_concurrency",
+        greatest(coalesce(col("day_max"), lit(0L)), col("carry_in")))
+      .withColumn("n_boundaries", coalesce(col("n_boundaries"), lit(0L)))
+      .localCheckpoint() // joined against the boundary table for at_s
+    peaks
+      .join(conc.select(col("day"), col("conc"), col("sec")), Seq("day"), "left")
+      .withColumn("hit",
+        when(col("carry_in") >= col("peak_concurrency"), col("day") * 86400L)
+          .when(col("conc") === col("peak_concurrency"), col("sec")))
       .groupBy(col("day"), col("peak_concurrency"), col("n_boundaries"))
-      .agg(min(col("sec")).as("at_s"))
+      .agg(min(col("hit")).as("at_s"))
       .select(col("day"), col("peak_concurrency"), col("at_s"), col("n_boundaries"))
   }
 }

@@ -92,13 +92,19 @@ object DocumentStream {
     if (IngestCommit.alreadyApplied(spark, indexPath, batchId)) return
     IngestCommit.cleanAttempt(spark,
       Seq(resultPath, s"$indexPath/sigs", s"$indexPath/bands"), batchId)
-    val b = batch.localCheckpoint() // classification AND the index delta
+    val b = batch.localCheckpoint()
+    // ONE fused tokenize+minhash pass per batch: the same frames feed the
+    // classification and the index delta (knobs are Dedup's shared
+    // Band* constants — the batch path and this applier cannot drift)
+    val (sigs, banded) = Dedup.bandFrames(b,
+      Dedup.BandShingleN, Dedup.BandMinhashK, Dedup.BandBands)
+    val sigsC = sigs.localCheckpoint()
+    val bandedC = banded.localCheckpoint()
     IngestCommit.commitDelta(
-      Dedup.ingestWithBandIndex(spark, b, indexPath), resultPath, batchId)
-    // same (n, k, bands) knobs as ingestWithBandIndex/appendToBandIndex
-    val (sigs, banded) = Dedup.bandFrames(b, 5, 32, 8)
-    IngestCommit.commitDelta(sigs, s"$indexPath/sigs", batchId)
-    IngestCommit.commitDelta(banded, s"$indexPath/bands", batchId)
+      Dedup.ingestWithBandFrames(spark, b, sigsC, bandedC, indexPath),
+      resultPath, batchId)
+    IngestCommit.commitDelta(sigsC, s"$indexPath/sigs", batchId)
+    IngestCommit.commitDelta(bandedC, s"$indexPath/bands", batchId)
     IngestCommit.markApplied(spark, indexPath, batchId)
   }
 
@@ -106,6 +112,8 @@ object DocumentStream {
                       checkpointDir: String): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IngestCommit.ensureCampaign(batch.sparkSession, indexPath,
+          IngestCommit.campaignOf(checkpointDir))
         applyBandBatch(batch, indexPath, resultPath, batchId)
       }
       .option("checkpointLocation", checkpointDir)
@@ -135,17 +143,21 @@ object DocumentStream {
       Seq(resultPath, clusterTablePath,
         s"$bandIndexPath/sigs", s"$bandIndexPath/bands"), batchId)
     val b = batch.localCheckpoint()
-    val labels = Dedup.ingestClustersWithIndex(
-      spark, b, bandIndexPath, clusterTablePath)
+    // one fused tokenize+minhash pass (the applyBandBatch discipline)
+    val (sigs, banded) = Dedup.bandFrames(b,
+      Dedup.BandShingleN, Dedup.BandMinhashK, Dedup.BandBands)
+    val sigsC = sigs.localCheckpoint()
+    val bandedC = banded.localCheckpoint()
+    val labels = Dedup.ingestClustersWithFrames(
+      spark, b, sigsC, bandedC, bandIndexPath, clusterTablePath)
       .localCheckpoint() // one computation feeds results AND the table
     IngestCommit.commitDelta(labels, resultPath, batchId)
     IngestCommit.commitDelta(
       labels.select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("canonical_id")),
       clusterTablePath, batchId)
-    val (sigs, banded) = Dedup.bandFrames(b, 5, 32, 8)
-    IngestCommit.commitDelta(sigs, s"$bandIndexPath/sigs", batchId)
-    IngestCommit.commitDelta(banded, s"$bandIndexPath/bands", batchId)
+    IngestCommit.commitDelta(sigsC, s"$bandIndexPath/sigs", batchId)
+    IngestCommit.commitDelta(bandedC, s"$bandIndexPath/bands", batchId)
     IngestCommit.markApplied(spark, bandIndexPath, batchId)
   }
 
@@ -154,6 +166,8 @@ object DocumentStream {
                          checkpointDir: String): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IngestCommit.ensureCampaign(batch.sparkSession, bandIndexPath,
+          IngestCommit.campaignOf(checkpointDir))
         applyClusterBatch(batch, bandIndexPath, clusterTablePath, resultPath, batchId)
       }
       .option("checkpointLocation", checkpointDir)
@@ -189,6 +203,8 @@ object DocumentStream {
                   boundaryMod: Int = Dedup.ParagraphBoundaryMod): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IngestCommit.ensureCampaign(batch.sparkSession, indexPath,
+          IngestCommit.campaignOf(checkpointDir))
         applyIngestBatch(batch, indexPath, resultPath, boundaryMod, batchId)
       }
       .option("checkpointLocation", checkpointDir)
@@ -231,6 +247,8 @@ object DocumentStream {
                        checkpointDir: String): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IngestCommit.ensureCampaign(batch.sparkSession, stageRoot,
+          IngestCommit.campaignOf(checkpointDir))
         applyStatsBatch(batch, stageRoot, batchId)
       }
       .option("checkpointLocation", checkpointDir)
@@ -263,6 +281,8 @@ object DocumentStream {
                       checkpointDir: String): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IngestCommit.ensureCampaign(batch.sparkSession, stageRoot,
+          IngestCommit.campaignOf(checkpointDir))
         applyTermBatch(batch, stageRoot, batchId)
       }
       .option("checkpointLocation", checkpointDir)

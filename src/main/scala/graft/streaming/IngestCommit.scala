@@ -55,21 +55,59 @@ private[streaming] object IngestCommit {
           .foreach(p => fs.delete(p, true))
     }
 
+  /** Bind a stage root to ONE streaming lineage: the ledger keys on
+    * foreachBatch's batchId, which restarts from 0 under a fresh/cleared
+    * checkpoint — against an already-ingested stage root the stale
+    * markers would then silently swallow every new batch (worse than the
+    * duplicate-append bug this protocol replaced). The first batch
+    * writes the campaign id (derived from the checkpoint location);
+    * any later mismatch fails LOUDLY instead of dropping data. */
+  def ensureCampaign(spark: SparkSession, ledgerRoot: String, campaign: String): Unit = {
+    val fs = fsOf(spark, ledgerRoot)
+    val p = new Path(s"$ledgerRoot/_campaign")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val existing = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      require(existing == campaign,
+        s"stage root $ledgerRoot was ingested under a different streaming " +
+          s"checkpoint (campaign '$existing' vs '$campaign'): its batch-id " +
+          "ledger cannot disambiguate a restarted batch numbering. Resume " +
+          "with the original checkpoint, or use a fresh stage root.")
+    } else {
+      fs.mkdirs(new Path(ledgerRoot))
+      val out = fs.create(p, true)
+      try out.write(campaign.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** The campaign id for a checkpoint location. */
+  def campaignOf(checkpointDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** Commit one delta frame into `target` as deterministically-named
     * files: write to a sibling staging dir (the existing
     * readers-never-see-a-half-written-append discipline), rename each
-    * part file to `batch<id>_<i>.parquet`, drop the staging dir. */
+    * part file to `batch<id>_<i>.parquet`, drop the staging dir. A
+    * failed rename raises (a silent false return would lose the delta
+    * while the marker records the batch as applied), and an empty delta
+    * still commits one schema-bearing footer file so a later
+    * `spark.read.parquet(target)` never faces a file-less directory. */
   def commitDelta(df: DataFrame, target: String, batchId: Long): Unit = {
     val spark = df.sparkSession
     val fs = fsOf(spark, target)
     val staging = s"${target.stripSuffix("/")}_b${batchId}_staging"
     df.write.mode("overwrite").parquet(staging)
-    fs.mkdirs(new Path(target))
-    fs.listStatus(new Path(staging)).map(_.getPath)
+    def parts() = fs.listStatus(new Path(staging)).map(_.getPath)
       .filter(_.getName.startsWith("part-"))
-      .zipWithIndex.foreach { case (p, i) =>
-        fs.rename(p, new Path(target, s"batch${batchId}_$i.parquet"))
-      }
+    if (parts().isEmpty) // 0-row delta coalesced to no files: force one footer
+      df.limit(0).repartition(1).write.mode("overwrite").parquet(staging)
+    fs.mkdirs(new Path(target))
+    parts().zipWithIndex.foreach { case (p, i) =>
+      val dest = new Path(target, s"batch${batchId}_$i.parquet")
+      require(fs.rename(p, dest), s"rename $p -> $dest failed; " +
+        "aborting the batch so the replay redoes it (nothing published)")
+    }
     fs.delete(new Path(staging), true)
   }
 }

@@ -115,6 +115,10 @@ object VectorStream {
                      k: Int = KnnStage.StageK): StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId restarts from 0 under a fresh checkpoint — bind the
+        // stage to one lineage or fail loudly (IngestCommit's guard)
+        IngestCommit.ensureCampaign(batch.sparkSession, stageRoot,
+          IngestCommit.campaignOf(checkpointDir))
         applyBatch(batch, stageRoot, k, batchId)
       }
       .option("checkpointLocation", checkpointDir)

@@ -3781,25 +3781,55 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_._2).sum == firstHit.size.toLong)
   }
 
-  test("peakConcurrency (x226): sweep-line peaks match a replay; peak bounded by live sessions") {
+  test("peakConcurrency (x226): sweep-line peaks with midnight carry match a replay") {
     val sessions = Sessionize.sessions(spark, sf)
       .select($"session_start_s", $"session_end_s").as[(Long, Long)].collect()
     val deltas = (sessions.map(s => s._1 -> 1L) ++ sessions.map(s => (s._2 + 1) -> -1L))
       .groupBy(_._1).map { case (sec, ds) => sec -> ds.map(_._2).sum }.toSeq.sortBy(_._1)
     var run = 0L
     val conc = deltas.map { case (sec, d) => run += d; (sec, run) }
-    val want = conc.groupBy(_._1 / 86400).map { case (day, cs) =>
-      val peak = cs.map(_._2).max
-      day -> (peak, cs.filter(_._2 == peak).map(_._1).min, cs.length.toLong)
-    }
+    val byDay = conc.groupBy(_._1 / 86400)
+    val (d0, d1) = (byDay.keys.min, byDay.keys.max)
+    // carry-in at each midnight = level at the last boundary before it
+    var carry = 0L
+    val want = (d0 to d1).map { day =>
+      val cs = byDay.getOrElse(day, Seq.empty)
+      val dayMax = if (cs.isEmpty) 0L else cs.map(_._2).max
+      val peak = math.max(carry, dayMax)
+      val atS = if (carry >= peak) day * 86400
+                else cs.filter(_._2 == peak).map(_._1).min
+      val row = day -> (peak, atS, cs.length.toLong)
+      if (cs.nonEmpty) carry = cs.maxBy(_._1)._2
+      row
+    }.toMap
     val got = Sessionize.peakConcurrency(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
     assert(got.length == want.size && got.nonEmpty)
     got.foreach { case (day, peak, atS, nB) =>
       assert(want(day) == ((peak, atS, nB)), s"day $day")
-      assert(peak >= 1, s"day $day")
     }
     assert(got.map(_._2).max <= sessions.length.toLong)
+    // planted carry fixture: one session spanning four days (events every
+    // 25 min so the 30-min gap never breaks it) — the two middle days
+    // have NO boundaries of their own, yet the serving tier holds the
+    // session across them: their peak must be the carried level 1 at
+    // midnight, and the old boundary-only formulation reported nothing
+    val dir = java.nio.file.Files.createTempDirectory("graft-conc").toString
+    val t0 = 1600000000L - (1600000000L % 86400) + 43200 // noon, day-aligned base
+    val evs = (0 to 207).map { i =>
+      (i.toLong, new java.sql.Timestamp((t0 + i * 1500L) * 1000L), 1L, "view",
+        1.0, "{}")
+    } :+ ((999L, new java.sql.Timestamp((t0 + 3600L) * 1000L), 2L, "view", 1.0, "{}"))
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val planted = Sessionize.peakConcurrency(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val day0 = t0 / 86400
+    // middle days: no boundaries, carried peak 1 attained at midnight
+    Seq(day0 + 1, day0 + 2).foreach { d =>
+      assert(planted(d) == ((d, 1L, d * 86400, 0L)), s"carried day $d")
+    }
+    assert(planted(day0)._2 == 2L) // both sessions open on day 0
   }
 
   test("quantileSketchAudit (x227): histogram estimate and exact rank pick match a replay") {

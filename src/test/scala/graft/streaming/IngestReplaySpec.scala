@@ -75,7 +75,8 @@ class IngestReplaySpec extends SparkSpec {
         val b = h2.localCheckpoint()
         IngestCommit.commitDelta(
           Dedup.ingestWithBandIndex(spark, b, s"$root/index"), s"$root/results", 1L)
-        IngestCommit.commitDelta(Dedup.bandFrames(b, 5, 32, 8)._1,
+        IngestCommit.commitDelta(
+          Dedup.bandFrames(b, Dedup.BandShingleN, Dedup.BandMinhashK, Dedup.BandBands)._1,
           s"$root/index/sigs", 1L)
       }
       DocumentStream.applyBandBatch(h2, s"$root/index", s"$root/results", 1L)
@@ -185,6 +186,34 @@ class IngestReplaySpec extends SparkSpec {
     val clean = run(Files.createTempDirectory("graft-replay-stats-a").toString, chaos = false)
     val chaotic = run(Files.createTempDirectory("graft-replay-stats-b").toString, chaos = true)
     assert(chaotic == clean && clean._2.nonEmpty)
+  }
+
+  test("a fresh checkpoint against an ingested stage root fails loudly (no silent batch drop)") {
+    // the ledger keys on batchId, which a new checkpoint restarts from 0 —
+    // without the campaign guard the stale markers would silently swallow
+    // every new batch; with it the second query errors out explicitly
+    val root = Files.createTempDirectory("graft-campaign").toString
+    val docs = graft.Tables.documents(spark, sf).select($"doc_id", $"text")
+    docs.write.parquet(s"$root/drop")
+    DocumentStream.startTermIngest(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/drop"),
+      s"$root/stage", s"$root/ckpt1").awaitTermination(120000)
+    val before = spark.read.parquet(s"$root/stage/doc_tf").count()
+    assert(before > 0)
+    val q2 = DocumentStream.startTermIngest(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/drop"),
+      s"$root/stage", s"$root/ckpt2") // DIFFERENT checkpoint, same stage
+    val failed =
+      try { q2.awaitTermination(120000); false }
+      catch { case e: Throwable =>
+        e.toString.contains("different streaming checkpoint") ||
+          Option(e.getCause).exists(_.toString.contains("different streaming checkpoint"))
+      }
+    assert(failed, "the mismatched-campaign query must terminate with the guard error")
+    // and the stage is untouched by the failed campaign
+    assert(spark.read.parquet(s"$root/stage/doc_tf").count() == before)
   }
 
   test("term-table ingest: crashed attempt + re-delivery ≡ straight-through run") {
