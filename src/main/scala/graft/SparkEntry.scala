@@ -268,6 +268,7 @@ object SparkEntry {
     "x228_browse_runs"      -> ((s, d) => Sessionize.browseRunCensus(s, d)),
     "x229_stock_ledger"     -> ((s, d) => Relational.stockLedger(s, d)),
     "x230_importance_ess"   -> ((s, d) => Sampling.importanceEss(s, d)),
+    "x231_zorder_delta"     -> ((s, d) => Relational.zorderSkippingDelta(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4832,6 +4833,46 @@ object SparkEntry {
         |       CAST(CAST(sw * sw AS DECIMAL(38,0)) AS VARCHAR) AS ess_num,
         |       CAST(CAST(sw2 AS DECIMAL(38,0)) AS VARCHAR) AS ess_den
         |FROM a""".stripMargin,
+
+    // x231: the before/after-OPTIMIZE skipping delta — x222's zone-map
+    // audit against the current AND the Morton-tiled (3 bits/dim = 64
+    // files) layout, rows scanned per predicate on each.
+    "x231_zorder_delta" -> {
+      import operators.Relational.{ZoneFiles, ZonePredicates}
+      val bits = 3
+      val m = 1 << bits
+      val interleave = (0 until bits).map(b =>
+        s"(((bx >> $b) & 1) << ${2 * b + 1}) + (((by >> $b) & 1) << ${2 * b})")
+        .mkString(" + ")
+      def scan(fileCol: String, out: String): String =
+        s"""SELECT p.p, CAST(sum(CASE WHEN f.f_max < p.lo OR f.f_min > p.hi
+           |       THEN 0 ELSE f.f_rows END) AS BIGINT) AS $out
+           |FROM preds p, (SELECT $fileCol AS f, CAST(count(*) AS BIGINT) AS f_rows,
+           |               min(c) AS f_min, max(c) AS f_max FROM tagged GROUP BY 1) f
+           |GROUP BY 1""".stripMargin
+      s"""WITH rows_ AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |                      CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
+        |               FROM orders),
+        |b AS (SELECT min(k) AS min_k, max(k) AS max_k, min(c) AS min_c,
+        |             max(c) AS max_c, min(day) AS min_d, max(day) AS max_d FROM rows_),
+        |t0 AS (SELECT ((k - min_k) * $ZoneFiles) // (max_k - min_k + 1) AS f_cur,
+        |              ((c - min_c) * $m) // (max_c - min_c + 1) AS bx,
+        |              ((day - min_d) * $m) // (max_d - min_d + 1) AS by,
+        |              ((c - min_c) * $ZonePredicates) // (max_c - min_c + 1) AS p, c
+        |       FROM rows_, b),
+        |tagged AS (SELECT f_cur, $interleave AS f_z, p, c FROM t0),
+        |preds AS (SELECT CAST(r.p AS BIGINT) AS p,
+        |                 min_c + (r.p * (max_c - min_c + 1) + ${ZonePredicates - 1}) // $ZonePredicates AS lo,
+        |                 min_c + ((r.p + 1) * (max_c - min_c + 1) + ${ZonePredicates - 1}) // $ZonePredicates - 1 AS hi
+        |          FROM (SELECT unnest(range($ZonePredicates)) AS p) r, b),
+        |sc AS (${scan("f_cur", "scanned_current")}),
+        |sz AS (${scan("f_z", "scanned_zordered")}),
+        |mm AS (SELECT p, CAST(count(*) AS BIGINT) AS n_matching FROM tagged GROUP BY 1)
+        |SELECT sc.p, coalesce(mm.n_matching, 0) AS n_matching,
+        |       sc.scanned_current, sz.scanned_zordered,
+        |       sc.scanned_current - sz.scanned_zordered AS rows_saved
+        |FROM sc JOIN sz ON sc.p = sz.p LEFT JOIN mm ON sc.p = mm.p""".stripMargin
+    },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

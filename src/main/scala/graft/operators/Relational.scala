@@ -1650,6 +1650,62 @@ object Relational {
         col("rows_scanned"), coalesce(col("n_matching"), lit(0L)).as("n_matching"))
   }
 
+  /** Layout-rewrite skipping delta (x231): x222's zone-map audit run
+    * against BOTH file layouts — the CURRENT insertion-ordered one and
+    * the Z-ORDERED one x209 plans — so the OPTIMIZE decision reads its
+    * projected benefit as one table: per custkey-range predicate, rows
+    * scanned before vs after the rewrite. File count is identical on
+    * both sides ([[ZoneFiles]]; the z-ordered assignment is the Morton
+    * tile at 3 bits/dim = 64 tiles over (custkey, order-day), x209's
+    * interleave); only the row→file mapping changes, which is exactly
+    * what OPTIMIZE ZORDER changes. The improvement is typically large
+    * on the custkey dimension (tiles are custkey-coherent) — and the
+    * table shows it per predicate instead of asserting it.
+    *
+    * 100 TB shape: x222's — one corpus scan tags each row with both
+    * file ids and its predicate bucket, two 64-row file-stats
+    * aggregates, one broadcast 16×64 skip grid per layout. */
+  def zorderSkippingDelta(spark: SparkSession, dir: String): DataFrame = {
+    val (nf, np) = (ZoneFiles, ZonePredicates)
+    val bits = 3 // 2^(2·3) = 64 Morton tiles = ZoneFiles files
+    val rows = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+    val bounds = rows.agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+      min(col("c")).as("min_c"), max(col("c")).as("max_c"),
+      min(col("day")).as("min_d"), max(col("day")).as("max_d"))
+    val m = 1 << bits
+    val interleave = (0 until bits).map(b =>
+      s"(((bx >> $b) & 1) << ${2 * b + 1}) + (((by >> $b) & 1) << ${2 * b})")
+      .mkString(" + ")
+    val tagged = rows.crossJoin(broadcast(bounds))
+      .withColumn("f_cur", expr(s"((k - min_k) * $nf) div (max_k - min_k + 1)"))
+      .withColumn("bx", expr(s"((c - min_c) * $m) div (max_c - min_c + 1)"))
+      .withColumn("by", expr(s"((day - min_d) * $m) div (max_d - min_d + 1)"))
+      .withColumn("f_z", expr(interleave))
+      .withColumn("p", expr(s"((c - min_c) * $np) div (max_c - min_c + 1)"))
+      .localCheckpoint() // two file-stats rollups + the matching counts
+    def scanPerPred(fileCol: String, out: String): DataFrame = {
+      val files = tagged.groupBy(col(fileCol).as("f"))
+        .agg(count(lit(1)).as("f_rows"), min(col("c")).as("f_min"), max(col("c")).as("f_max"))
+      spark.range(np.toLong).select(col("id").as("p"))
+        .crossJoin(broadcast(tagged.agg(min(col("c")).as("min_c"), max(col("c")).as("max_c"))))
+        .withColumn("lo", expr(s"min_c + (p * (max_c - min_c + 1) + $np - 1) div $np"))
+        .withColumn("hi", expr(s"min_c + ((p + 1) * (max_c - min_c + 1) + $np - 1) div $np - 1"))
+        .crossJoin(broadcast(files))
+        .groupBy(col("p"))
+        .agg(sum(when(col("f_max") < col("lo") || col("f_min") > col("hi"), 0L)
+          .otherwise(col("f_rows"))).as(out))
+    }
+    val matching = tagged.groupBy(col("p")).agg(count(lit(1)).as("n_matching"))
+    scanPerPred("f_cur", "scanned_current")
+      .join(scanPerPred("f_z", "scanned_zordered"), Seq("p"))
+      .join(matching, Seq("p"), "left")
+      .select(col("p"), coalesce(col("n_matching"), lit(0L)).as("n_matching"),
+        col("scanned_current"), col("scanned_zordered"),
+        (col("scanned_current") - col("scanned_zordered")).as("rows_saved"))
+  }
+
   /** x223's histogram resolution. Shared with the DuckDB oracle. */
   val CardBuckets: Int = 32
 

@@ -3699,6 +3699,41 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_._7).sum == rows.length.toLong) // predicates partition the fact
   }
 
+  test("zorderSkippingDelta (x231): both layouts match a replay; zone maps sound on each; " +
+    "the rewrite helps on this corpus") {
+    val rows = graft.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", expr("unix_timestamp(o_orderdate) div 86400"))
+      .as[(Long, Long, Long)].collect()
+    val (minK, maxK) = (rows.map(_._1).min, rows.map(_._1).max)
+    val (minC, maxC) = (rows.map(_._2).min, rows.map(_._2).max)
+    val (minD, maxD) = (rows.map(_._3).min, rows.map(_._3).max)
+    val (nf, np, m) = (Relational.ZoneFiles, Relational.ZonePredicates, 8)
+    def morton(bx: Long, by: Long) = (0 until 3).map(b =>
+      (((bx >> b) & 1) << (2 * b + 1)) + (((by >> b) & 1) << (2 * b))).sum
+    def files(assign: ((Long, Long, Long)) => Long) =
+      rows.groupBy(assign).map { case (f, rs) =>
+        f -> (rs.length.toLong, rs.map(_._2).min, rs.map(_._2).max) }
+    val cur = files(r => (r._1 - minK) * nf / (maxK - minK + 1))
+    val zo = files(r => morton((r._2 - minC) * m / (maxC - minC + 1),
+      (r._3 - minD) * m / (maxD - minD + 1)))
+    def scanned(fs: Map[Long, (Long, Long, Long)], lo: Long, hi: Long) =
+      fs.values.collect { case (n, fMin, fMax) if !(fMax < lo || fMin > hi) => n }.sum
+    val got = Relational.zorderSkippingDelta(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == np)
+    got.foreach { case (p, matching, sc, sz, saved) =>
+      val lo = minC + (p * (maxC - minC + 1) + np - 1) / np
+      val hi = minC + ((p + 1) * (maxC - minC + 1) + np - 1) / np - 1
+      assert((scanned(cur, lo, hi), scanned(zo, lo, hi)) == ((sc, sz)), s"pred $p")
+      assert(saved == sc - sz, s"pred $p")
+      // soundness on BOTH layouts: no matching row is in a skipped file
+      assert(matching <= sc && matching <= sz, s"pred $p")
+    }
+    // the rewrite's whole point, measured not asserted: custkey-coherent
+    // tiles beat the insertion order on every custkey predicate here
+    assert(got.forall(r => r._5 > 0))
+  }
+
   test("joinCardinalityAudit (x223): per-bucket estimate/exact match a replay; " +
     "uniformity never overestimates within a bucket (Cauchy–Schwarz)") {
     val counts = graft.Tables.lineitem(spark, sf)
