@@ -4700,18 +4700,20 @@ object SparkEntry {
         |         FROM deltas),
         |da AS (SELECT day, max(conc) AS day_max,
         |              CAST(count(*) AS BIGINT) AS n_boundaries,
-        |              max_by(conc, sec) AS close_conc
+        |              max_by(conc, sec) AS close_conc,
+        |              max(CASE WHEN sec = day * 86400 THEN 1 ELSE 0 END) AS has_midnight
         |       FROM conc GROUP BY 1),
         |span AS (SELECT unnest(generate_series((SELECT min(day) FROM conc),
         |                                       (SELECT max(day) FROM conc))) AS day),
         |car AS (SELECT s.day, d.day_max,
         |               CAST(coalesce(d.n_boundaries, 0) AS BIGINT) AS n_boundaries,
-        |               d.close_conc
+        |               d.close_conc, d.has_midnight
         |        FROM span s LEFT JOIN da d ON s.day = d.day),
         |car2 AS (SELECT day, day_max, n_boundaries,
-        |                CAST(coalesce(last_value(close_conc IGNORE NULLS) OVER (
-        |                  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |                  0) AS BIGINT) AS carry_in
+        |                CAST(CASE WHEN coalesce(has_midnight, 0) = 1 THEN -1
+        |                     ELSE coalesce(last_value(close_conc IGNORE NULLS) OVER (
+        |                       ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                       0) END AS BIGINT) AS carry_in
         |         FROM car),
         |pk AS (SELECT day, CAST(greatest(coalesce(day_max, 0), carry_in) AS BIGINT)
         |                AS peak_concurrency,

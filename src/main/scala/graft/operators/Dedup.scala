@@ -280,16 +280,23 @@ object Dedup {
   val BandMinhashK: Int = 32
   val BandBands: Int = 8
 
-  private[graft] def bandFrames(docsIn: DataFrame, n: Int, k: Int,
-                                bands: Int): (DataFrame, DataFrame) = {
-    import graft.functions.HashSignatures.{minhash_sig, word_shingle_hashes}
-    val rowsPerBand = k / bands
-    // one fused pass: split → n-gram → md5-60 → distinct (array<long>);
-    // all downstream set math runs on the long hashes, never the strings
-    val docs = docsIn
+  /** The fused shingle pass alone: split → n-gram → md5-60 → distinct
+    * (array<long>) — all downstream set math runs on the long hashes,
+    * never the strings. Split out of [[bandFrames]] so a caller can
+    * materialize THIS frame once and derive the band table from the
+    * materialization (the streaming appliers' single-pass contract). */
+  private[graft] def sigFrame(docsIn: DataFrame, n: Int): DataFrame = {
+    import graft.functions.HashSignatures.word_shingle_hashes
+    docsIn
       .select(col("doc_id"), word_shingle_hashes(col("text"), n, useMd5 = true).as("hs"))
       .filter(size(col("hs")) > 0)
-    val banded = docs
+  }
+
+  /** The band table derived from a (doc_id, hs) signature frame. */
+  private[graft] def bandedFromSigs(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    import graft.functions.HashSignatures.minhash_sig
+    val rowsPerBand = k / bands
+    sigs
       .select(col("doc_id"), minhash_sig(col("hs"), k).as("sig"))
       .select(
         col("doc_id"),
@@ -299,7 +306,12 @@ object Dedup {
               h => h.cast("string")), ",")).as("bucket"))
         }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    (docs, banded)
+  }
+
+  private[graft] def bandFrames(docsIn: DataFrame, n: Int, k: Int,
+                                bands: Int): (DataFrame, DataFrame) = {
+    val docs = sigFrame(docsIn, n)
+    (docs, bandedFromSigs(docs, k, bands))
   }
 
   def minhashLsh(spark: SparkSession, dir: String, n: Int = 5, k: Int = 32,

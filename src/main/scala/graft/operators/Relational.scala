@@ -1689,7 +1689,7 @@ object Relational {
       val files = tagged.groupBy(col(fileCol).as("f"))
         .agg(count(lit(1)).as("f_rows"), min(col("c")).as("f_min"), max(col("c")).as("f_max"))
       spark.range(np.toLong).select(col("id").as("p"))
-        .crossJoin(broadcast(tagged.agg(min(col("c")).as("min_c"), max(col("c")).as("max_c"))))
+        .crossJoin(broadcast(bounds.select(col("min_c"), col("max_c"))))
         .withColumn("lo", expr(s"min_c + (p * (max_c - min_c + 1) + $np - 1) div $np"))
         .withColumn("hi", expr(s"min_c + ((p + 1) * (max_c - min_c + 1) + $np - 1) div $np - 1"))
         .crossJoin(broadcast(files))

@@ -916,14 +916,22 @@ object Sessionize {
     val dayAgg = conc.groupBy(col("day"))
       .agg(max(col("conc")).as("day_max"),
         count(lit(1)).as("n_boundaries"),
-        max_by(col("conc"), col("sec")).as("close_conc"))
+        max_by(col("conc"), col("sec")).as("close_conc"),
+        // a boundary exactly AT midnight replaces the carried level for
+        // the whole day — the carry interval [midnight, first boundary)
+        // is empty, so the pre-midnight level is never attained
+        max(when(col("sec") === col("day") * 86400L, 1L).otherwise(0L))
+          .as("has_midnight"))
     val span = conc.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(expr("sequence(d0, d1)")).as("day"))
     val carried = span.join(dayAgg, Seq("day"), "left")
       .withColumn("carry_in",
-        coalesce(last(col("close_conc"), ignoreNulls = true).over(
-          Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
+        // -1 = "no carry" (levels are never negative, so it can neither
+        // win a greatest() nor satisfy the at-midnight attainment test)
+        when(coalesce(col("has_midnight"), lit(0L)) === 1L, lit(-1L))
+          .otherwise(coalesce(last(col("close_conc"), ignoreNulls = true).over(
+            Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L))))
     val peaks = carried
       .withColumn("peak_concurrency",
         greatest(coalesce(col("day_max"), lit(0L)), col("carry_in")))

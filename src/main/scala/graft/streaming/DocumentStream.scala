@@ -93,13 +93,13 @@ object DocumentStream {
     IngestCommit.cleanAttempt(spark,
       Seq(resultPath, s"$indexPath/sigs", s"$indexPath/bands"), batchId)
     val b = batch.localCheckpoint()
-    // ONE fused tokenize+minhash pass per batch: the same frames feed the
-    // classification and the index delta (knobs are Dedup's shared
-    // Band* constants — the batch path and this applier cannot drift)
-    val (sigs, banded) = Dedup.bandFrames(b,
-      Dedup.BandShingleN, Dedup.BandMinhashK, Dedup.BandBands)
-    val sigsC = sigs.localCheckpoint()
-    val bandedC = banded.localCheckpoint()
+    // ONE fused tokenize+shingle pass per batch: the signature frame is
+    // materialized and the band table derives FROM the materialization
+    // (knobs are Dedup's shared Band* constants — the batch path and
+    // this applier cannot drift)
+    val sigsC = Dedup.sigFrame(b, Dedup.BandShingleN).localCheckpoint()
+    val bandedC = Dedup.bandedFromSigs(sigsC,
+      Dedup.BandMinhashK, Dedup.BandBands).localCheckpoint()
     IngestCommit.commitDelta(
       Dedup.ingestWithBandFrames(spark, b, sigsC, bandedC, indexPath),
       resultPath, batchId)
@@ -113,7 +113,7 @@ object DocumentStream {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         IngestCommit.ensureCampaign(batch.sparkSession, indexPath,
-          IngestCommit.campaignOf(checkpointDir))
+          IngestCommit.campaignOf(batch.sparkSession, checkpointDir))
         applyBandBatch(batch, indexPath, resultPath, batchId)
       }
       .option("checkpointLocation", checkpointDir)
@@ -143,11 +143,10 @@ object DocumentStream {
       Seq(resultPath, clusterTablePath,
         s"$bandIndexPath/sigs", s"$bandIndexPath/bands"), batchId)
     val b = batch.localCheckpoint()
-    // one fused tokenize+minhash pass (the applyBandBatch discipline)
-    val (sigs, banded) = Dedup.bandFrames(b,
-      Dedup.BandShingleN, Dedup.BandMinhashK, Dedup.BandBands)
-    val sigsC = sigs.localCheckpoint()
-    val bandedC = banded.localCheckpoint()
+    // one fused tokenize+shingle pass (the applyBandBatch discipline)
+    val sigsC = Dedup.sigFrame(b, Dedup.BandShingleN).localCheckpoint()
+    val bandedC = Dedup.bandedFromSigs(sigsC,
+      Dedup.BandMinhashK, Dedup.BandBands).localCheckpoint()
     val labels = Dedup.ingestClustersWithFrames(
       spark, b, sigsC, bandedC, bandIndexPath, clusterTablePath)
       .localCheckpoint() // one computation feeds results AND the table
@@ -167,7 +166,7 @@ object DocumentStream {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         IngestCommit.ensureCampaign(batch.sparkSession, bandIndexPath,
-          IngestCommit.campaignOf(checkpointDir))
+          IngestCommit.campaignOf(batch.sparkSession, checkpointDir))
         applyClusterBatch(batch, bandIndexPath, clusterTablePath, resultPath, batchId)
       }
       .option("checkpointLocation", checkpointDir)
@@ -204,7 +203,7 @@ object DocumentStream {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         IngestCommit.ensureCampaign(batch.sparkSession, indexPath,
-          IngestCommit.campaignOf(checkpointDir))
+          IngestCommit.campaignOf(batch.sparkSession, checkpointDir))
         applyIngestBatch(batch, indexPath, resultPath, boundaryMod, batchId)
       }
       .option("checkpointLocation", checkpointDir)
@@ -248,7 +247,7 @@ object DocumentStream {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         IngestCommit.ensureCampaign(batch.sparkSession, stageRoot,
-          IngestCommit.campaignOf(checkpointDir))
+          IngestCommit.campaignOf(batch.sparkSession, checkpointDir))
         applyStatsBatch(batch, stageRoot, batchId)
       }
       .option("checkpointLocation", checkpointDir)
@@ -282,7 +281,7 @@ object DocumentStream {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         IngestCommit.ensureCampaign(batch.sparkSession, stageRoot,
-          IngestCommit.campaignOf(checkpointDir))
+          IngestCommit.campaignOf(batch.sparkSession, checkpointDir))
         applyTermBatch(batch, stageRoot, batchId)
       }
       .option("checkpointLocation", checkpointDir)

@@ -65,25 +65,50 @@ private[streaming] object IngestCommit {
   def ensureCampaign(spark: SparkSession, ledgerRoot: String, campaign: String): Unit = {
     val fs = fsOf(spark, ledgerRoot)
     val p = new Path(s"$ledgerRoot/_campaign")
-    if (fs.exists(p)) {
+    def readExisting(): String = {
       val in = fs.open(p)
-      val existing = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    def check(existing: String): Unit =
       require(existing == campaign,
         s"stage root $ledgerRoot was ingested under a different streaming " +
           s"checkpoint (campaign '$existing' vs '$campaign'): its batch-id " +
           "ledger cannot disambiguate a restarted batch numbering. Resume " +
           "with the original checkpoint, or use a fresh stage root.")
-    } else {
+    if (fs.exists(p)) check(readExisting())
+    else {
       fs.mkdirs(new Path(ledgerRoot))
-      val out = fs.create(p, true)
-      try out.write(campaign.getBytes("UTF-8")) finally out.close()
+      // create-if-absent (overwrite = false): two streams racing onto one
+      // empty stage root resolve to a single winner — the loser lands in
+      // the catch, re-reads, and fails the campaign check before
+      // committing anything
+      try {
+        val out = fs.create(p, false)
+        try out.write(campaign.getBytes("UTF-8")) finally out.close()
+      } catch { case _: java.io.IOException => check(readExisting()) }
     }
   }
 
-  /** The campaign id for a checkpoint location. */
-  def campaignOf(checkpointDir: String): String =
+  /** The campaign id for a checkpoint location: the checkpoint's own
+    * LINEAGE id (the query id Structured Streaming persists in
+    * `<checkpoint>/metadata`, regenerated whenever the checkpoint is
+    * cleared) — so "delete the checkpoint and reprocess" gets a FRESH
+    * campaign and fails the guard instead of silently matching the old
+    * one the way a path-derived id would. Falls back to the path hash
+    * when no metadata exists (direct applier calls in specs). */
+  def campaignOf(spark: SparkSession, checkpointDir: String): String = {
+    val key = try {
+      val fs = fsOf(spark, checkpointDir)
+      val p = new Path(s"$checkpointDir/metadata")
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try checkpointDir + "\n" + new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      } else checkpointDir
+    } catch { case _: Throwable => checkpointDir }
     java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   /** Commit one delta frame into `target` as deterministically-named
     * files: write to a sibling staging dir (the existing

@@ -118,7 +118,7 @@ object VectorStream {
         // batchId restarts from 0 under a fresh checkpoint — bind the
         // stage to one lineage or fail loudly (IngestCommit's guard)
         IngestCommit.ensureCampaign(batch.sparkSession, stageRoot,
-          IngestCommit.campaignOf(checkpointDir))
+          IngestCommit.campaignOf(batch.sparkSession, checkpointDir))
         applyBatch(batch, stageRoot, k, batchId)
       }
       .option("checkpointLocation", checkpointDir)

@@ -2260,7 +2260,7 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("lshPrecision (x130): per-band counts match a driver-side replay of the banding") {
-    val (docsF, bandedF) = Dedup.bandFrames(graft.Tables.documents(spark, sf), 5, 32, 8)
+    val (docsF, bandedF) = Dedup.bandFrames(graft.Tables.documents(spark, sf), Dedup.BandShingleN, Dedup.BandMinhashK, Dedup.BandBands)
     val hs = docsF.select($"doc_id", $"hs").as[(Long, Seq[Long])].collect()
       .map { case (id, s) => id -> s.toSet }.toMap
     val banded = bandedF.select($"band", $"bucket", $"doc_id")
@@ -3825,16 +3825,19 @@ class OperatorsSpec extends SparkSpec {
     val conc = deltas.map { case (sec, d) => run += d; (sec, run) }
     val byDay = conc.groupBy(_._1 / 86400)
     val (d0, d1) = (byDay.keys.min, byDay.keys.max)
-    // carry-in at each midnight = level at the last boundary before it
-    var carry = 0L
+    // carry-in at each midnight = level at the last boundary before it;
+    // a boundary exactly AT midnight voids the carry (the pre-midnight
+    // level is never attained during the day)
+    var carryLevel = 0L
     val want = (d0 to d1).map { day =>
       val cs = byDay.getOrElse(day, Seq.empty)
+      val carry = if (cs.exists(_._1 == day * 86400)) -1L else carryLevel
       val dayMax = if (cs.isEmpty) 0L else cs.map(_._2).max
       val peak = math.max(carry, dayMax)
       val atS = if (carry >= peak) day * 86400
                 else cs.filter(_._2 == peak).map(_._1).min
       val row = day -> (peak, atS, cs.length.toLong)
-      if (cs.nonEmpty) carry = cs.maxBy(_._1)._2
+      if (cs.nonEmpty) carryLevel = cs.maxBy(_._1)._2
       row
     }.toMap
     val got = Sessionize.peakConcurrency(spark, sf)
@@ -3851,20 +3854,29 @@ class OperatorsSpec extends SparkSpec {
     // midnight, and the old boundary-only formulation reported nothing
     val dir = java.nio.file.Files.createTempDirectory("graft-conc").toString
     val t0 = 1600000000L - (1600000000L % 86400) + 43200 // noon, day-aligned base
+    val day0 = t0 / 86400
+    val m6 = (day0 + 6) * 86400 // day-6 midnight
     val evs = (0 to 207).map { i =>
       (i.toLong, new java.sql.Timestamp((t0 + i * 1500L) * 1000L), 1L, "view",
         1.0, "{}")
-    } :+ ((999L, new java.sql.Timestamp((t0 + 3600L) * 1000L), 2L, "view", 1.0, "{}"))
+    } ++ Seq(
+      (999L, new java.sql.Timestamp((t0 + 3600L) * 1000L), 2L, "view", 1.0, "{}"),
+      // user 3's session ends at the LAST second of day 5, so its −1
+      // boundary lands exactly at day-6 midnight — the carry must be
+      // voided (the pre-midnight level 1 is never attained on day 6)
+      (1000L, new java.sql.Timestamp((m6 - 1000L) * 1000L), 3L, "view", 1.0, "{}"),
+      (1001L, new java.sql.Timestamp((m6 - 1L) * 1000L), 3L, "view", 1.0, "{}"))
     evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val planted = Sessionize.peakConcurrency(spark, dir)
       .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
-    val day0 = t0 / 86400
     // middle days: no boundaries, carried peak 1 attained at midnight
     Seq(day0 + 1, day0 + 2).foreach { d =>
       assert(planted(d) == ((d, 1L, d * 86400, 0L)), s"carried day $d")
     }
     assert(planted(day0)._2 == 2L) // both sessions open on day 0
+    // the midnight-boundary day: peak 0 (NOT the stale carried 1)
+    assert(planted(day0 + 6) == ((day0 + 6, 0L, m6, 1L)), "midnight-boundary day")
   }
 
   test("quantileSketchAudit (x227): histogram estimate and exact rank pick match a replay") {

@@ -120,9 +120,9 @@ class IngestReplaySpec extends SparkSpec {
         () => IngestCommit.commitDelta(
           Dedup.ingestWithBandIndex(spark, b, s"$root/index"), s"$root/results", 1L),
         () => IngestCommit.commitDelta(
-          Dedup.bandFrames(b, 5, 32, 8)._1, s"$root/index/sigs", 1L),
+          Dedup.bandFrames(b, Dedup.BandShingleN, Dedup.BandMinhashK, Dedup.BandBands)._1, s"$root/index/sigs", 1L),
         () => IngestCommit.commitDelta(
-          Dedup.bandFrames(b, 5, 32, 8)._2, s"$root/index/bands", 1L))
+          Dedup.bandFrames(b, Dedup.BandShingleN, Dedup.BandMinhashK, Dedup.BandBands)._2, s"$root/index/bands", 1L))
       steps.take(crashAfter).foreach(_())
       DocumentStream.applyBandBatch(h2, s"$root/index", s"$root/results", 1L)
       assert(state(root) == ref, s"crash point $crashAfter")
@@ -205,14 +205,33 @@ class IngestReplaySpec extends SparkSpec {
       spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$root/drop"),
       s"$root/stage", s"$root/ckpt2") // DIFFERENT checkpoint, same stage
-    val failed =
-      try { q2.awaitTermination(120000); false }
+    def guardTripped(q: org.apache.spark.sql.streaming.StreamingQuery): Boolean =
+      try { q.awaitTermination(120000); false }
       catch { case e: Throwable =>
         e.toString.contains("different streaming checkpoint") ||
           Option(e.getCause).exists(_.toString.contains("different streaming checkpoint"))
       }
-    assert(failed, "the mismatched-campaign query must terminate with the guard error")
+    assert(guardTripped(q2), "the mismatched-campaign query must terminate with the guard error")
     // and the stage is untouched by the failed campaign
+    assert(spark.read.parquet(s"$root/stage/doc_tf").count() == before)
+    // the harder case: the ORIGINAL checkpoint path, CLEARED — the
+    // campaign id derives from the checkpoint's lineage (its metadata
+    // query id, regenerated on clear), not the path, so "delete the
+    // checkpoint and reprocess" also fails loudly instead of silently
+    // swallowing every renumbered batch
+    def deleteTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    deleteTree(java.nio.file.Paths.get(s"$root/ckpt1"))
+    val q3 = DocumentStream.startTermIngest(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/drop"),
+      s"$root/stage", s"$root/ckpt1") // SAME path, fresh lineage
+    assert(guardTripped(q3), "a cleared checkpoint must also trip the guard")
     assert(spark.read.parquet(s"$root/stage/doc_tf").count() == before)
   }
 
