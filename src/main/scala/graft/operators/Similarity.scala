@@ -593,6 +593,35 @@ object Similarity {
   /** k for [[lshRecallCurve]] (x202) — shared with the DuckDB oracle. */
   val LshCurveK: Int = 5
 
+  /** x202's radius-tagged candidate frame, pre-checkpoint — every
+    * (query, corpus vector) pair within Hamming radius `maxRadius` of
+    * the query's signature, carrying the smallest radius `d` that
+    * admits it plus one exploded row per radius in [d, maxRadius].
+    * Input `emb` must carry (vec_id, v, sig). The probe join is a
+    * PLAIN equi-join on the probed signature — [[AnnStage]]'s shape:
+    * the query side here is the whole corpus × ~37 probe masks, so a
+    * forced broadcast would ship 37N rows to every executor; unhinted,
+    * it shuffles on the signature and AQE broadcasts only when the
+    * runtime size is genuinely tiny. Plan-asserted hint-free in
+    * ScaleTechniquesSpec. */
+  private[graft] def lshCurveCandidates(emb: DataFrame, planes: Int,
+                                        maxRadius: Int): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val masks: Seq[Int] =
+      (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= maxRadius)
+    val queries = emb
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig").as("qsig"))
+      .withColumn("probe_sig",
+        explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)))
+    emb.join(queries, col("sig") === col("probe_sig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        trunc6(cosine_sim(col("qv"), col("v"))).as("cos_sim"),
+        expr("bit_count(sig ^ qsig)").as("d"))
+      .withColumn("radius", explode(expr(s"sequence(d, $maxRadius)")))
+      .withColumn("radius", col("radius").cast("long"))
+  }
+
   /** LSH recall-vs-probe-radius curve (x202): for EVERY vector as a
     * query, the top-k recall of hyperplane LSH at each Hamming probe
     * radius 0..[[LshProbeRadius]] against the exact top-k — the
@@ -614,24 +643,11 @@ object Similarity {
   def lshRecallCurve(spark: SparkSession, dir: String, k: Int = LshCurveK,
                      planes: Int = LshPlanes,
                      maxRadius: Int = LshProbeRadius): DataFrame = {
-    import graft.functions.VectorFunctions.cosine_sim
     val signs = hyperplaneSigns(planes)
-    val masks: Seq[Int] =
-      (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= maxRadius)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("sig", graft.functions.HashSignatures.hyperplane_sig(col("v"), signs))
-    val queries = emb
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig").as("qsig"))
-      .withColumn("probe_sig",
-        explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)))
-    val cand = emb.join(broadcast(queries), col("sig") === col("probe_sig"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        trunc6(cosine_sim(col("qv"), col("v"))).as("cos_sim"),
-        expr("bit_count(sig ^ qsig)").as("d"))
-      .withColumn("radius", explode(expr(s"sequence(d, $maxRadius)")))
-      .withColumn("radius", col("radius").cast("long"))
+    val cand = lshCurveCandidates(emb, planes, maxRadius)
       .localCheckpoint() // read by the candidate rollup and the rank path
     val ranked = cand.withColumn("rk", row_number().over(
         Window.partitionBy(col("q_id"), col("radius"))

@@ -5,8 +5,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
 
 /** Exactly-once-effective commit protocol for the foreachBatch
-  * ingesters ([[DocumentStream]]'s index/results appends —
-  * [[VectorStream]] carries its own versioned variant). foreachBatch
+  * ingesters — ONE protocol object with two commit styles sharing the
+  * `_applied/b<id>` marker ledger: the DELTA-FILE variant
+  * ([[commitDelta]] — deterministically-named per-batch files appended
+  * into a flat parquet dir, [[DocumentStream]]'s index/results style)
+  * and the VERSIONED-ARTIFACT variant ([[lastApplied]] +
+  * [[markApplied]] + [[gcVersions]] — each batch publishes a whole new
+  * `<prefix><id>` snapshot dir and the marker names the live one,
+  * [[VectorStream]]'s ranked-table style). foreachBatch
   * delivers at-least-once: a batch can re-run after a crash at ANY
   * point, so a plain `mode("append")` double-appends its rows (the
   * round-10 advisory's failure mode on the kNN ingester, shared by
@@ -35,6 +41,40 @@ private[streaming] object IngestCommit {
     fsOf(spark, ledgerRoot)
       .exists(new Path(s"$ledgerRoot/_applied/b$batchId"))
 
+  /** Highest fully-applied (published) batch id under
+    * `$ledgerRoot/_applied`, -1 when none — the versioned-artifact
+    * variant's read point: consumers open `<prefix><lastApplied>`.
+    * Empty batches never publish (they change no state), so their ids
+    * may be absent from an otherwise contiguous ledger. */
+  def lastApplied(spark: SparkSession, ledgerRoot: String): Long = {
+    val fs = fsOf(spark, ledgerRoot)
+    val dir = new Path(s"$ledgerRoot/_applied")
+    if (!fs.exists(dir)) -1L
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("b") => n.drop(1).toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Drop versioned snapshot dirs `<prefix><id>` under `dir` with
+    * id < `keepFrom` — the versioned-artifact variant's post-publish
+    * GC. Keeping the previous version alongside the live one is what
+    * lets a replayed batch recompute from its unchanged pre-state. */
+  def gcVersions(spark: SparkSession, dir: String, prefix: String,
+                 keepFrom: Long): Unit = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(dir)
+    if (fs.exists(p))
+      fs.listStatus(p).map(_.getPath)
+        .filter { q =>
+          val n = q.getName
+          n.startsWith(prefix) &&
+            n.drop(prefix.length).forall(_.isDigit) &&
+            n.drop(prefix.length).nonEmpty &&
+            n.drop(prefix.length).toLong < keepFrom
+        }
+        .foreach(q => fs.delete(q, true))
+  }
+
   /** Create `batchId`'s marker — the commit point, call LAST. */
   def markApplied(spark: SparkSession, ledgerRoot: String, batchId: Long): Unit = {
     val fs = fsOf(spark, ledgerRoot)
@@ -43,8 +83,10 @@ private[streaming] object IngestCommit {
   }
 
   /** Remove a crashed attempt's `batch<id>_*` files from every target
-    * dir, so the pre-batch state is restored before re-classification
-    * and re-commit. */
+    * dir — AND its sibling `<target>_b<id>_staging` dir (a terminally
+    * crashed attempt would otherwise leak one next to the live table) —
+    * so the pre-batch state is restored before re-classification and
+    * re-commit. */
   def cleanAttempt(spark: SparkSession, targets: Seq[String], batchId: Long): Unit =
     targets.foreach { t =>
       val fs = fsOf(spark, t)
@@ -53,6 +95,7 @@ private[streaming] object IngestCommit {
         fs.listStatus(dir).map(_.getPath)
           .filter(_.getName.startsWith(s"batch${batchId}_"))
           .foreach(p => fs.delete(p, true))
+      fs.delete(new Path(s"${t.stripSuffix("/")}_b${batchId}_staging"), true)
     }
 
   /** Bind a stage root to ONE streaming lineage: the ledger keys on
@@ -95,7 +138,10 @@ private[streaming] object IngestCommit {
     * cleared) — so "delete the checkpoint and reprocess" gets a FRESH
     * campaign and fails the guard instead of silently matching the old
     * one the way a path-derived id would. Falls back to the path hash
-    * when no metadata exists (direct applier calls in specs). */
+    * ONLY when no metadata exists (direct applier calls in specs, or a
+    * race with checkpoint creation) — a transient IO failure reading
+    * existing metadata PROPAGATES, so the batch retries rather than
+    * tripping the campaign guard on a healthy resume. */
   def campaignOf(spark: SparkSession, checkpointDir: String): String = {
     val key = try {
       val fs = fsOf(spark, checkpointDir)
@@ -105,7 +151,7 @@ private[streaming] object IngestCommit {
         try checkpointDir + "\n" + new String(in.readAllBytes(), "UTF-8")
         finally in.close()
       } else checkpointDir
-    } catch { case _: Throwable => checkpointDir }
+    } catch { case _: java.io.FileNotFoundException => checkpointDir }
     java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }

@@ -21,7 +21,10 @@ import graft.operators.{KnnStage, Similarity}
   * boundary (the ingest-twin contract of the band/term/cluster
   * ingesters) AND under an at-least-once batch replay.
   *
-  * Exactly-once-effective under foreachBatch's at-least-once replay:
+  * Exactly-once-effective under foreachBatch's at-least-once replay,
+  * via [[IngestCommit]]'s VERSIONED-ARTIFACT variant (one protocol
+  * object shared with the delta-file ingesters — `lastApplied` /
+  * `markApplied` / `gcVersions` on the `_applied/b<id>` ledger):
   * `foreachBatch` may re-deliver a batch after a crash, so every write
   * is VERSIONED per batchId and the merge reads only PRE-batch state —
   * a replayed batch either short-circuits (its marker exists: the
@@ -49,31 +52,31 @@ object VectorStream {
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Highest fully-applied (published) batch id, -1 when none. Empty
-    * batches never publish — they change no state, so skipping their
-    * replay is free. */
-  private def lastApplied(fs: FileSystem, stageRoot: String): Long = {
-    val dir = new Path(s"$stageRoot/_applied")
-    if (!fs.exists(dir)) -1L
-    else fs.listStatus(dir).map(_.getPath.getName)
-      .collect { case n if n.startsWith("b") => n.drop(1).toLong }
-      .foldLeft(-1L)(math.max)
-  }
-
   /** The published corpus-so-far: vec logs of every applied batch. */
   private[streaming] def vecs(spark: SparkSession, stageRoot: String): DataFrame = {
     val fs = fsOf(spark, stageRoot)
-    val upTo = lastApplied(fs, stageRoot)
+    val upTo = IngestCommit.lastApplied(spark, stageRoot)
     val parts = fs.listStatus(new Path(s"$stageRoot/vecs"))
       .map(_.getPath).filter(p => p.getName.startsWith("b") &&
         p.getName.drop(1).toLong <= upTo)
     spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
   }
 
-  /** The published ranked neighbor table (the marker-named version). */
+  /** The published ranked neighbor table (the marker-named version).
+    * Fails with an explicit error when NO batch has applied yet (fresh
+    * stage root, or every batch was empty) instead of an opaque
+    * path-not-found on `ranked/r-1`. Concurrency caveat: post-publish
+    * GC keeps only the live version and its predecessor, so a LAZY
+    * DataFrame obtained here is safe across at most ONE further
+    * publish — a consumer that must read across more should
+    * `localCheckpoint()` (or collect) before the ingester advances
+    * twice. */
   def ranked(spark: SparkSession, stageRoot: String): DataFrame = {
-    val fs = fsOf(spark, stageRoot)
-    spark.read.parquet(s"$stageRoot/ranked/r${lastApplied(fs, stageRoot)}")
+    val last = IngestCommit.lastApplied(spark, stageRoot)
+    require(last >= 0,
+      s"no applied batches under stage root $stageRoot: the ranked table " +
+        "does not exist yet (fresh stage root, or every batch so far was empty)")
+    spark.read.parquet(s"$stageRoot/ranked/r$last")
   }
 
   /** Fold one (possibly replayed) batch into the staged artifact —
@@ -83,8 +86,7 @@ object VectorStream {
   private[streaming] def applyBatch(batch: DataFrame, stageRoot: String,
                                     k: Int, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val fs = fsOf(spark, stageRoot)
-    val prev = lastApplied(fs, stageRoot)
+    val prev = IngestCommit.lastApplied(spark, stageRoot)
     if (batchId <= prev) return // replay of a fully-applied batch
     val newEmb = batch
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
@@ -101,13 +103,9 @@ object VectorStream {
     merged.localCheckpoint()
       .write.mode("overwrite").parquet(s"$stageRoot/ranked/r$batchId")
     // publish: marker creation is the commit point
-    fs.mkdirs(new Path(s"$stageRoot/_applied"))
-    fs.create(new Path(s"$stageRoot/_applied/b$batchId"), true).close()
+    IngestCommit.markApplied(spark, stageRoot, batchId)
     // GC ranked versions older than the one a replay could still need
-    fs.listStatus(new Path(s"$stageRoot/ranked")).map(_.getPath)
-      .filter(p => p.getName.startsWith("r") &&
-        p.getName.drop(1).toLong < prev)
-      .foreach(p => fs.delete(p, true))
+    IngestCommit.gcVersions(spark, s"$stageRoot/ranked", "r", prev)
   }
 
   def startKnnIngest(vectors: DataFrame, stageRoot: String,

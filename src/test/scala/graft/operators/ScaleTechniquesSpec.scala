@@ -143,4 +143,28 @@ class ScaleTechniquesSpec extends SparkSpec {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("x202's probe join carries no broadcast hint on a corpus-derived side") {
+    // The query side of the signature probe join is corpus × ~37 masks; a
+    // forced broadcast() there is a driver OOM at 100×. The join must be a
+    // plain equi-join (AnnStage's shape) — AQE may still choose to broadcast
+    // at tiny runtime sizes, which is fine; the HINT is what's forbidden.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.functions._
+    val emb = (1 to 64).map(i => (i.toLong, Array(i.toDouble, (i % 7).toDouble)))
+      .toDF("vec_id", "v")
+      .withColumn("sig", graft.functions.HashSignatures.hyperplane_sig(
+        $"v", Similarity.hyperplaneSigns(4)))
+    val cand = Similarity.lshCurveCandidates(emb, planes = 4, maxRadius = 2)
+    val probeJoins = cand.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.exists(_.references.exists(
+        _.name.contains("probe_sig"))) => j
+    }
+    assert(probeJoins.nonEmpty, "expected the signature probe join in the plan")
+    probeJoins.foreach { j =>
+      assert(j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty,
+        s"probe join must be unhinted, got ${j.hint}")
+    }
+    assert(cand.count() > 0)
+  }
 }
