@@ -269,6 +269,12 @@ object SparkEntry {
     "x229_stock_ledger"     -> ((s, d) => Relational.stockLedger(s, d)),
     "x230_importance_ess"   -> ((s, d) => Sampling.importanceEss(s, d)),
     "x231_zorder_delta"     -> ((s, d) => Relational.zorderSkippingDelta(s, d)),
+    "x232_recall_curve_sampled" -> ((s, d) => Similarity.lshRecallCurve(s, d,
+      querySampleBps = Some(Similarity.AuditSampleBps))),
+    "x233_ann_swap_sampled" -> ((s, d) => Similarity.annSwapFidelity(s, d,
+      querySampleBps = Some(Similarity.AuditSampleBps))),
+    "x234_retrieval_eval_sampled" -> ((s, d) => Similarity.retrievalEval(s, d,
+      querySampleBps = Some(Similarity.AuditSampleBps))),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4874,6 +4880,129 @@ object SparkEntry {
         |       sc.scanned_current, sz.scanned_zordered,
         |       sc.scanned_current - sz.scanned_zordered AS rows_saved
         |FROM sc JOIN sz ON sc.p = sz.p LEFT JOIN mm ON sc.p = mm.p""".stripMargin
+    },
+
+    // x232/x233/x234: the fidelity audits' bounded-cost production mode —
+    // the x202/x221/x225 pipelines restricted to x27's deterministic
+    // md5-bucket query sample (salt "qsample", AuditSampleBps/10000 kept).
+    // Per-query panels are independent across queries, so sampled ≡ full
+    // restricted to the sample; the oracles re-derive that restriction.
+    "x232_recall_curve_sampled" -> {
+      import operators.Similarity.{AuditSampleBps, LshCurveK, LshPlanes, LshProbeRadius}
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm,
+        |        ${operators.Similarity.hyperplaneSigSql("v", LshPlanes)} AS sig
+        |      FROM e),
+        |sq AS (SELECT * FROM s
+        |       WHERE ('0x' || substr(md5('qsample:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+        |             % 10000 < $AuditSampleBps),
+        |exact_scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id,
+        |    floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+        |  FROM sq q JOIN s c ON q.vec_id <> c.vec_id),
+        |exact_topk AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rank
+        |    FROM exact_scored) t WHERE rank <= $LshCurveK),
+        |cand AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id,
+        |    floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim,
+        |    bit_count(xor(c.sig, q.sig)) AS d
+        |  FROM sq q JOIN s c ON q.vec_id <> c.vec_id
+        |    AND bit_count(xor(c.sig, q.sig)) <= $LshProbeRadius),
+        |fan AS (SELECT q_id, vec_id, cos_sim,
+        |               unnest(range(d, ${LshProbeRadius + 1})) AS radius
+        |        FROM cand),
+        |ranked AS (SELECT q_id, vec_id, radius,
+        |                  row_number() OVER (PARTITION BY q_id, radius
+        |                    ORDER BY cos_sim DESC, vec_id) AS rk
+        |           FROM fan),
+        |hits AS (SELECT t.radius, CAST(count(*) AS BIGINT) AS n_hits
+        |         FROM ranked t JOIN exact_topk x
+        |           ON t.q_id = x.q_id AND t.vec_id = x.vec_id
+        |         WHERE t.rk <= $LshCurveK GROUP BY 1),
+        |cands AS (SELECT radius, CAST(count(*) AS BIGINT) AS n_candidates
+        |          FROM fan GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM sq),
+        |rr AS (SELECT unnest(range(0, ${LshProbeRadius + 1})) AS radius)
+        |SELECT rr.radius, t.n_queries,
+        |       coalesce(c.n_candidates, 0) AS n_candidates,
+        |       coalesce(h.n_hits, 0) AS n_hits,
+        |       (1000000 * coalesce(h.n_hits, 0)) // ($LshCurveK * t.n_queries)
+        |         AS recall_ppm,
+        |       coalesce(c.n_candidates, 0) // t.n_queries AS avg_candidates
+        |FROM rr LEFT JOIN cands c ON rr.radius = c.radius
+        |LEFT JOIN hits h ON rr.radius = h.radius CROSS JOIN tot t""".stripMargin
+    },
+
+    "x233_ann_swap_sampled" -> {
+      import operators.AnnStage.AnnRadius
+      import operators.KnnStage.StageK
+      import operators.Similarity.{AuditSampleBps, LshPlanes}
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm,
+        |        ${operators.Similarity.hyperplaneSigSql("v", LshPlanes)} AS sig
+        |      FROM e),
+        |sq AS (SELECT * FROM s
+        |       WHERE ('0x' || substr(md5('qsample:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+        |             % 10000 < $AuditSampleBps),
+        |exact_rk AS (
+        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rank_exact
+        |  FROM (SELECT q.vec_id AS q_id, c.vec_id,
+        |          floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+        |        FROM sq q JOIN s c ON q.vec_id <> c.vec_id) t),
+        |exact_topk AS (SELECT * FROM exact_rk WHERE rank_exact <= $StageK),
+        |ann_rk AS (
+        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rank_ann
+        |  FROM (SELECT q.vec_id AS q_id, c.vec_id,
+        |          floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+        |        FROM s q JOIN s c ON q.vec_id <> c.vec_id
+        |          AND bit_count(xor(c.sig, q.sig)) <= $AnnRadius) t),
+        |ann_topk AS (SELECT * FROM ann_rk WHERE rank_ann <= $StageK)
+        |SELECT CAST(x.rank_exact AS INTEGER) AS rank_exact,
+        |       CAST(count(*) AS BIGINT) AS n_exact,
+        |       CAST(count(a.rank_ann) AS BIGINT) AS n_found,
+        |       CAST((1000000 * count(a.rank_ann)) // count(*) AS BIGINT) AS recall_ppm,
+        |       CAST(coalesce(sum(a.rank_ann - x.rank_exact), 0) AS BIGINT) AS displacement_sum
+        |FROM exact_topk x LEFT JOIN ann_topk a
+        |  ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+        |GROUP BY x.rank_exact""".stripMargin
+    },
+
+    "x234_retrieval_eval_sampled" -> {
+      import operators.KnnStage.StageK
+      import operators.Similarity.{AuditSampleBps, EvalKs}
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+        |      FROM e),
+        |sq AS (SELECT * FROM s
+        |       WHERE ('0x' || substr(md5('qsample:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+        |             % 10000 < $AuditSampleBps),
+        |rk AS (
+        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rank
+        |  FROM (SELECT q.vec_id AS q_id, c.vec_id,
+        |          floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+        |        FROM sq q JOIN s c ON q.vec_id <> c.vec_id) t),
+        |topk AS (SELECT * FROM rk WHERE rank <= $StageK),
+        |lab AS (SELECT vec_id AS id, label FROM embeddings),
+        |fh AS (SELECT t.q_id, ql.label AS q_label,
+        |              min(CASE WHEN nl.label = ql.label THEN t.rank END) AS first_hit
+        |       FROM topk t JOIN lab ql ON t.q_id = ql.id
+        |                   JOIN lab nl ON t.vec_id = nl.id
+        |       GROUP BY 1, 2)
+        |SELECT q_label, CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(sum(CASE WHEN first_hit <= ${EvalKs(0)} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1,
+        |       CAST(sum(CASE WHEN first_hit <= ${EvalKs(1)} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit3,
+        |       CAST(sum(CASE WHEN first_hit <= ${EvalKs(2)} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit5,
+        |       CAST(sum(coalesce(1000000 // first_hit, 0)) AS BIGINT) AS rr_ppm_sum
+        |FROM fh GROUP BY 1""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

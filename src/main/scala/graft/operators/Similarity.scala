@@ -593,6 +593,27 @@ object Similarity {
   /** k for [[lshRecallCurve]] (x202) — shared with the DuckDB oracle. */
   val LshCurveK: Int = 5
 
+  /** Query-sample keep rate (basis points of 10000) for the fidelity
+    * audits' bounded-cost production mode (x232/x233/x234) — shared
+    * with the DuckDB oracle. The full audits (x202/x221/x225) run every
+    * vector as a query, which is the right gate-scale contract but
+    * unrunnable at 100×; the sampled mode keeps a deterministic
+    * md5-bucket subset (x27's split rule, salt "qsample") so audit cost
+    * is a DIAL, and sampled ≡ full restricted to the sample —
+    * spec-proven, since the per-query panels are independent across
+    * queries (restriction commutes with the rollups). */
+  val AuditSampleBps: Int = 4000
+
+  /** x27's deterministic keep predicate on a query id (salt isolates
+    * this use-site from the doc split/sample buckets). */
+  private def inQuerySample(id: Column, bps: Int): Column =
+    Sampling.hashBucket(id, "qsample") < bps
+
+  /** Restrict a frame to sampled query ids when a rate is given. */
+  private def sampleQueries(df: DataFrame, idCol: String,
+                            bps: Option[Int]): DataFrame =
+    bps.fold(df)(b => df.filter(inQuerySample(col(idCol), b)))
+
   /** x202's radius-tagged candidate frame, pre-checkpoint — every
     * (query, corpus vector) pair within Hamming radius `maxRadius` of
     * the query's signature, carrying the smallest radius `d` that
@@ -605,11 +626,12 @@ object Similarity {
     * runtime size is genuinely tiny. Plan-asserted hint-free in
     * ScaleTechniquesSpec. */
   private[graft] def lshCurveCandidates(emb: DataFrame, planes: Int,
-                                        maxRadius: Int): DataFrame = {
+                                        maxRadius: Int,
+                                        querySampleBps: Option[Int] = None): DataFrame = {
     import graft.functions.VectorFunctions.cosine_sim
     val masks: Seq[Int] =
       (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= maxRadius)
-    val queries = emb
+    val queries = sampleQueries(emb, "vec_id", querySampleBps)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig").as("qsig"))
       .withColumn("probe_sig",
         explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)))
@@ -642,12 +664,13 @@ object Similarity {
     * vector count is the documented scalar cross. */
   def lshRecallCurve(spark: SparkSession, dir: String, k: Int = LshCurveK,
                      planes: Int = LshPlanes,
-                     maxRadius: Int = LshProbeRadius): DataFrame = {
+                     maxRadius: Int = LshProbeRadius,
+                     querySampleBps: Option[Int] = None): DataFrame = {
     val signs = hyperplaneSigns(planes)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("sig", graft.functions.HashSignatures.hyperplane_sig(col("v"), signs))
-    val cand = lshCurveCandidates(emb, planes, maxRadius)
+    val cand = lshCurveCandidates(emb, planes, maxRadius, querySampleBps)
       .localCheckpoint() // read by the candidate rollup and the rank path
     val ranked = cand.withColumn("rk", row_number().over(
         Window.partitionBy(col("q_id"), col("radius"))
@@ -659,7 +682,8 @@ object Similarity {
       .groupBy(col("radius")).agg(count(lit(1)).as("n_hits"))
     val cands = cand.groupBy(col("radius"))
       .agg(count(lit(1)).as("n_candidates"))
-    val tot = emb.agg(count(lit(1)).as("n_queries"))
+    val tot = sampleQueries(emb, "vec_id", querySampleBps)
+      .agg(count(lit(1)).as("n_queries"))
     spark.range(0L, maxRadius + 1L).select(col("id").as("radius"))
       .join(broadcast(cands), Seq("radius"), "left")
       .join(broadcast(hits), Seq("radius"), "left")
@@ -936,10 +960,13 @@ object Similarity {
   def retrievalEval(spark: SparkSession, dir: String,
                     k: Int = KnnStage.StageK,
                     rankedTable: (SparkSession, String, Int) => DataFrame =
-                      KnnStage.ranked(_, _, _)): DataFrame = {
+                      KnnStage.ranked(_, _, _),
+                    querySampleBps: Option[Int] = None): DataFrame = {
     val labels = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("label"))
-    val firstHit = rankedTable(spark, dir, math.max(k, KnnStage.StageK))
+    val firstHit = sampleQueries(
+        rankedTable(spark, dir, math.max(k, KnnStage.StageK)),
+        "q_id", querySampleBps)
       .filter(col("rank") <= k)
       .join(broadcast(labels).as("ql"), col("q_id") === col("ql.id"))
       .withColumnRenamed("label", "q_label").drop("id")
@@ -973,8 +1000,11 @@ object Similarity {
     * audit is one equi-join on (q_id, vec_id) and a k-row rollup. */
   def annSwapFidelity(spark: SparkSession, dir: String,
                       k: Int = KnnStage.StageK,
-                      radius: Int = AnnStage.AnnRadius): DataFrame = {
-    val exact = KnnStage.ranked(spark, dir, math.max(k, KnnStage.StageK))
+                      radius: Int = AnnStage.AnnRadius,
+                      querySampleBps: Option[Int] = None): DataFrame = {
+    val exact = sampleQueries(
+        KnnStage.ranked(spark, dir, math.max(k, KnnStage.StageK)),
+        "q_id", querySampleBps)
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("rank").as("rank_exact"))
     val approx = AnnStage.ranked(spark, dir, math.max(k, KnnStage.StageK), radius)

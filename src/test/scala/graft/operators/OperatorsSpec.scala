@@ -3377,6 +3377,71 @@ class OperatorsSpec extends SparkSpec {
     assert(got.sortBy(_._1).map(_._4).sliding(2).forall(p => p(0) < p(1)))
   }
 
+  test("sampled fidelity audits (x232/x233/x234) ≡ full audits restricted to the query sample") {
+    // The production mode keeps an md5-bucket query subset (x27's rule,
+    // salt "qsample") and filters EARLY, on the query side of the probe /
+    // staged-table reads. These checks restrict the FULL audit LATE — at
+    // the per-query detail level, in the driver — and assert equality,
+    // proving the filter commutes with the joins and rollups.
+    val bps = Similarity.AuditSampleBps
+    def kept(id: Long): Boolean =
+      graft.functions.Md5Long.hash60(s"qsample:$id") % 10000 < bps
+    // x232: the candidate frame is the only place sampling acts; the
+    // downstream rollups are per-query-independent aggregates
+    val signs = Similarity.hyperplaneSigns(Similarity.LshPlanes)
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+      .withColumn("sig", graft.functions.HashSignatures.hyperplane_sig($"v", signs))
+    val fullCand = Similarity.lshCurveCandidates(
+        emb, Similarity.LshPlanes, Similarity.LshProbeRadius)
+      .as[(Long, Long, Double, Int, Long)].collect().toSet
+    val sampledCand = Similarity.lshCurveCandidates(
+        emb, Similarity.LshPlanes, Similarity.LshProbeRadius, Some(bps))
+      .as[(Long, Long, Double, Int, Long)].collect().toSet
+    assert(sampledCand == fullCand.filter(r => kept(r._1)))
+    assert(sampledCand.nonEmpty && sampledCand.size < fullCand.size)
+    // x233: ledger over the late-restricted exact detail
+    val k = KnnStage.StageK
+    val exact = KnnStage.ranked(spark, sf).as[(Long, Long, Double, Int)]
+      .collect().filter(r => r._4 <= k && kept(r._1))
+    val annRank = AnnStage.ranked(spark, sf).as[(Long, Long, Double, Int)]
+      .collect().filter(_._4 <= k).map(r => (r._1, r._2) -> r._4).toMap
+    val wantLedger = exact.groupBy(_._4).map { case (r, rows) =>
+      val found = rows.flatMap(p => annRank.get((p._1, p._2)))
+      r -> (rows.length.toLong, found.length.toLong,
+        1000000L * found.length / rows.length, found.map(_.toLong - r).sum)
+    }
+    val gotLedger = Similarity.annSwapFidelity(spark, sf, querySampleBps = Some(bps))
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(gotLedger.length == wantLedger.size && gotLedger.nonEmpty)
+    gotLedger.foreach { case (r, ne, nf, ppm, disp) =>
+      assert(wantLedger(r) == ((ne, nf, ppm, disp)), s"rank $r")
+    }
+    // x234: panel over the late-restricted first-hit detail
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, String)].collect().toMap
+    val ranked = KnnStage.ranked(spark, sf).as[(Long, Long, Double, Int)]
+      .collect().filter(r => r._4 <= k && kept(r._1))
+    val firstHit = ranked.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.filter(r => labels(r._2) == labels(q)).map(_._4).sorted.headOption
+    }
+    val wantPanel = firstHit.groupBy(p => labels(p._1)).map { case (lab, qs) =>
+      lab -> (qs.size.toLong,
+        qs.count(_._2.exists(_ <= 1)).toLong,
+        qs.count(_._2.exists(_ <= 3)).toLong,
+        qs.count(_._2.exists(_ <= 5)).toLong,
+        qs.flatMap(_._2).map(r => 1000000L / r).sum)
+    }
+    val gotPanel = Similarity.retrievalEval(spark, sf, querySampleBps = Some(bps))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(gotPanel.length == wantPanel.size && gotPanel.nonEmpty)
+    gotPanel.foreach { case (lab, n, h1, h3, h5, rr) =>
+      assert(wantPanel(lab) == ((n, h1, h3, h5, rr)), s"label $lab")
+    }
+    // the sample is a real restriction at this corpus size
+    assert(gotPanel.map(_._2).sum < labels.size.toLong)
+  }
+
   test("knnIngest (x203): incremental merge equals the from-scratch full ranking") {
     val full = Similarity.computeRankedTopK(spark, sf, KnnStage.StageK)
       .as[(Long, Long, Double, Int)].collect().toSet
