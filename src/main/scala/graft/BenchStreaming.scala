@@ -160,6 +160,29 @@ object BenchStreaming {
       } finally deleteTree(root)
     }
 
+    // the ANN-backed variant of the kNN ingester: per-batch cost is the
+    // signature-bucket probe join, not the O(corpus·Δ) exact merge — the
+    // rows/s delta against knn_ingest is the measured ingest-cost drop
+    def runAnnIngest(): (String, Double) = {
+      import org.apache.spark.sql.functions.col
+      val root = Files.createTempDirectory("graft-sbench-ann-ingest")
+      try {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        emb.filter(col("vec_id") % 2 === 0).write.parquet(s"$root/drop")
+        emb.filter(col("vec_id") % 2 === 1).write.mode("append")
+          .parquet(s"$root/drop")
+        val n = emb.count()
+        val t0 = System.nanoTime()
+        graft.streaming.VectorStream.startAnnIngest(
+          spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$root/drop"),
+          s"$root/stage", s"$root/ckpt")
+          .awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        "ann_ingest" -> (n / sec)
+      } finally deleteTree(root)
+    }
+
     def runTermIngest(): (String, Double) = {
       import org.apache.spark.sql.functions.col
       val root = Files.createTempDirectory("graft-sbench-term-ingest")
@@ -275,7 +298,8 @@ object BenchStreaming {
       runClusterIngest(),
       runTermIngest(),
       runStatsIngest(),
-      runKnnIngest())
+      runKnnIngest(),
+      runAnnIngest())
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
     val headline = f"${results.head._2}%.1f"

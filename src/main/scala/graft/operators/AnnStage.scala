@@ -48,12 +48,23 @@ object AnnStage {
                                              k: Int,
                                              planes: Int = Similarity.LshPlanes,
                                              radius: Int = AnnRadius): DataFrame = {
-    import graft.functions.VectorFunctions.cosine_sim
     val signs = Similarity.hyperplaneSigns(planes)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
       .withColumn("sig", graft.functions.HashSignatures.hyperplane_sig(col("v"), signs))
       .localCheckpoint() // corpus side and query side of the probe join
+    computeApproxRankedTopK(emb, k, planes, radius)
+  }
+
+  /** Frame-based overload — the unit the streaming ANN ingester
+    * bootstraps from (`streaming.VectorStream.startAnnIngest`). Input
+    * carries (vec_id, v, sig) with the signature already computed (the
+    * ingester persists sigs in its vec log so they are hashed exactly
+    * once per vector). */
+  private[graft] def computeApproxRankedTopK(emb: DataFrame, k: Int,
+                                             planes: Int,
+                                             radius: Int): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
     val masks: Seq[Int] =
       (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= radius)
     val queries = emb
@@ -68,6 +79,51 @@ object AnnStage {
         Similarity.trunc6(cosine_sim(col("qv"), col("v"))).as("cos_sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Incrementally merge an existing approximate top-k table with a new
+    * vector batch — [[Similarity.mergeRanked]]'s rule restricted to the
+    * Hamming ball, and EXACT with respect to the batch rebuild: for an
+    * existing query q, a new batch changes no old candidate's score, so
+    * q's new candidate-set top-k equals the re-rank of (q's old top-k ∪
+    * q×{batch ∩ ball(q)}); a batch query's list is its full radius-R
+    * candidate scan. Cost: ONE explode of the |W| batch by the ~37
+    * probe masks and one signature equi-join against the corpus —
+    * O(|W|·corpus/2^planes·ball) scoring instead of x203's
+    * O(|U|·|W|) exact merge; the bucketed join is the only shuffle.
+    * Each qualifying (corpus, batch) pair lands exactly once: one mask
+    * per pair satisfies sig_c = sig_w XOR m. */
+  private[graft] def mergeApproxRanked(oldRanked: DataFrame, oldEmb: DataFrame,
+                                       newEmb: DataFrame, k: Int,
+                                       planes: Int = Similarity.LshPlanes,
+                                       radius: Int = AnnRadius): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val masks: Seq[Int] =
+      (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= radius)
+    val corpus = oldEmb.union(newEmb)
+    val probes = newEmb
+      .select(col("vec_id").as("w_id"), col("v").as("wv"), col("sig").as("wsig"))
+      .withColumn("probe_sig",
+        explode(array(masks.map(m => col("wsig").bitwiseXOR(lit(m))): _*)))
+    // every (corpus, batch) pair within Hamming radius R — BOTH merge
+    // directions ride this single unhinted equi-join
+    val pairs = corpus.join(probes, col("sig") === col("probe_sig"))
+      .filter(col("vec_id") =!= col("w_id"))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("w_id"), col("wv"))
+      .localCheckpoint() // scored in both directions below
+    // batch vectors as queries: full radius-R lists over old ∪ new
+    val newLists = pairs.select(col("w_id").as("q_id"), col("c_id").as("vec_id"),
+      Similarity.trunc6(cosine_sim(col("wv"), col("cv"))).as("cos_sim"))
+    // existing queries: only their batch-side candidates are new scores
+    val deltas = pairs
+      .join(newEmb.select(col("vec_id").as("c_id")), Seq("c_id"), "left_anti")
+      .select(col("c_id").as("q_id"), col("w_id").as("vec_id"),
+        Similarity.trunc6(cosine_sim(col("cv"), col("wv"))).as("cos_sim"))
+    val oldTop = oldRanked.select(col("q_id"), col("vec_id"), col("cos_sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    oldTop.union(deltas).union(newLists)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   private lazy val stageRoot = Files.createTempDirectory("graft_ann_stage_")

@@ -1001,13 +1001,18 @@ object Similarity {
   def annSwapFidelity(spark: SparkSession, dir: String,
                       k: Int = KnnStage.StageK,
                       radius: Int = AnnStage.AnnRadius,
-                      querySampleBps: Option[Int] = None): DataFrame = {
+                      querySampleBps: Option[Int] = None,
+                      approxTable: Option[DataFrame] = None): DataFrame = {
     val exact = sampleQueries(
         KnnStage.ranked(spark, dir, math.max(k, KnnStage.StageK)),
         "q_id", querySampleBps)
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("rank").as("rank_exact"))
-    val approx = AnnStage.ranked(spark, dir, math.max(k, KnnStage.StageK), radius)
+    // approxTable lets a caller audit any table serving the ranked
+    // schema — e.g. the STREAM-BUILT ANN artifact (VectorStream
+    // .startAnnIngest) instead of the batch stage
+    val approx = approxTable
+      .getOrElse(AnnStage.ranked(spark, dir, math.max(k, KnnStage.StageK), radius))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("rank").as("rank_ann"))
     exact.join(approx, Seq("q_id", "vec_id"), "left")

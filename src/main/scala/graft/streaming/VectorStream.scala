@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-import graft.operators.{KnnStage, Similarity}
+import graft.operators.{AnnStage, KnnStage, Similarity}
 
 /** Streaming ingest of an embedding stream into the persisted exact-kNN
   * artifact — [[graft.operators.KnnStage]]'s streaming twin and x203's
@@ -118,6 +118,62 @@ object VectorStream {
         IngestCommit.ensureCampaign(batch.sparkSession, stageRoot,
           IngestCommit.campaignOf(batch.sparkSession, checkpointDir))
         applyBatch(batch, stageRoot, k, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Fold one batch into the staged APPROXIMATE neighbor table — the
+    * ANN-backed ingest path. Same protocol as [[applyBatch]]; the vec
+    * log additionally persists each vector's hyperplane signature so
+    * later batches probe-join against stored sigs instead of rehashing
+    * the corpus. The merge is [[AnnStage.mergeApproxRanked]] —
+    * candidates come from the signature-bucket equi-join, never an
+    * O(corpus·Δ) cross. */
+  private[streaming] def applyAnnBatch(batch: DataFrame, stageRoot: String,
+                                       k: Int, radius: Int,
+                                       batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val prev = IngestCommit.lastApplied(spark, stageRoot)
+    if (batchId <= prev) return // replay of a fully-applied batch
+    val signs = Similarity.hyperplaneSigns(Similarity.LshPlanes)
+    val newEmb = batch
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("sig",
+        graft.functions.HashSignatures.hyperplane_sig(col("v"), signs))
+      .localCheckpoint()
+    if (newEmb.count() == 0) return
+    newEmb.write.mode("overwrite").parquet(s"$stageRoot/vecs/b$batchId")
+    val merged =
+      if (prev < 0)
+        AnnStage.computeApproxRankedTopK(newEmb, k, Similarity.LshPlanes, radius)
+      else AnnStage.mergeApproxRanked(
+        spark.read.parquet(s"$stageRoot/ranked/r$prev"),
+        vecs(spark, stageRoot), newEmb, k, Similarity.LshPlanes, radius)
+    merged.localCheckpoint()
+      .write.mode("overwrite").parquet(s"$stageRoot/ranked/r$batchId")
+    IngestCommit.markApplied(spark, stageRoot, batchId)
+    IngestCommit.gcVersions(spark, s"$stageRoot/ranked", "r", prev)
+  }
+
+  /** The ANN-backed streaming ingest — [[startKnnIngest]]'s 100 TB
+    * form: each micro-batch probe-joins against the staged signature
+    * buckets and merges only candidate lists, so per-batch scoring is
+    * O(|batch| · corpus/2^planes · ball) instead of the exact twin's
+    * O(corpus · |batch|). The stream-built table ≡ [[AnnStage]]'s
+    * batch rebuild at the same radius (spec-proven across batch
+    * boundaries and under replay), so its fidelity against the exact
+    * stage is the SAME measured x221/x233 ledger — the stream inherits
+    * the audit, not a new approximation. */
+  def startAnnIngest(vectors: DataFrame, stageRoot: String,
+                     checkpointDir: String,
+                     k: Int = KnnStage.StageK,
+                     radius: Int = AnnStage.AnnRadius): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IngestCommit.ensureCampaign(batch.sparkSession, stageRoot,
+          IngestCommit.campaignOf(batch.sparkSession, checkpointDir))
+        applyAnnBatch(batch, stageRoot, k, radius, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -71,4 +71,41 @@ class VectorStreamSpec extends SparkSpec {
       .as[Long].collect().sorted
     assert(vecs.toSeq == emb.select($"vec_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("ranked() on a fresh stage root fails with an explicit error naming the root") {
+    val root = Files.createTempDirectory("graft-knn-empty").toString
+    val e = intercept[IllegalArgumentException] {
+      VectorStream.ranked(spark, s"$root/stage")
+    }
+    assert(e.getMessage.contains(s"$root/stage"))
+  }
+
+  test("ANN ingest: stream-built approximate table ≡ the batch AnnStage rebuild, replay-safe") {
+    import graft.operators.AnnStage
+    val root = Files.createTempDirectory("graft-ann-ingest").toString
+    val emb = graft.Tables.embeddings(spark, sf)
+    emb.filter($"vec_id" % 2 === 0).write.parquet(s"$root/drop")
+    emb.filter($"vec_id" % 2 === 1).write.mode("append").parquet(s"$root/drop")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/drop")
+    val q = VectorStream.startAnnIngest(stream, s"$root/stage", s"$root/ckpt")
+    q.awaitTermination(180000)
+    // incremental maintenance is EXACT w.r.t. the batch rebuild: the
+    // mergeRanked soundness argument restricted to the Hamming ball
+    val want = AnnStage.computeApproxRankedTopK(spark, sf, KnnStage.StageK)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rankedSet(root) == want && want.nonEmpty)
+    // a post-publish re-delivery is a no-op (the replay contract)
+    VectorStream.applyAnnBatch(emb.filter($"vec_id" % 2 === 0),
+      s"$root/stage", KnnStage.StageK, AnnStage.AnnRadius, 0L)
+    assert(rankedSet(root) == want)
+    // the x221-style fidelity ledger runs on the STREAM-BUILT table and,
+    // because stream ≡ batch stage, matches the batch-stage ledger
+    val streamLedger = Similarity.annSwapFidelity(spark, sf,
+        approxTable = Some(VectorStream.ranked(spark, s"$root/stage")))
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    val stageLedger = Similarity.annSwapFidelity(spark, sf)
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    assert(streamLedger == stageLedger && streamLedger.nonEmpty)
+  }
 }
