@@ -275,6 +275,7 @@ object SparkEntry {
       querySampleBps = Some(Similarity.AuditSampleBps))),
     "x234_retrieval_eval_sampled" -> ((s, d) => Similarity.retrievalEval(s, d,
       querySampleBps = Some(Similarity.AuditSampleBps))),
+    "x235_footer_zone_map"  -> ((s, d) => Relational.zoneMapSkippingFromFooters(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -287,6 +288,34 @@ object SparkEntry {
     * Merge table interpolated from TextAnalysis.PinnedBpeMerges; every
     * pinned merge has left ≠ right, so the set-based simultaneous rewrite
     * equals the kernel's left-to-right pass (asserted in spec). */
+  /** x222's zone-map audit oracle — shared VERBATIM with x235 (the
+    * footer-backed variant): the written layout buckets rows by the same
+    * deterministic rule, so the real footer statistics must reproduce
+    * the modeled skip grid exactly. */
+  private def zoneMapOracleSql: String = {
+    import operators.Relational.{ZoneFiles, ZonePredicates}
+    s"""WITH rows_ AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders),
+      |b AS (SELECT min(k) AS min_k, max(k) AS max_k,
+      |             min(c) AS min_c, max(c) AS max_c FROM rows_),
+      |tagged AS (SELECT ((k - min_k) * $ZoneFiles) // (max_k - min_k + 1) AS f,
+      |                  ((c - min_c) * $ZonePredicates) // (max_c - min_c + 1) AS p, c
+      |           FROM rows_, b),
+      |files AS (SELECT f, CAST(count(*) AS BIGINT) AS f_rows,
+      |                 min(c) AS f_min, max(c) AS f_max FROM tagged GROUP BY 1),
+      |preds AS (SELECT CAST(r.p AS BIGINT) AS p,
+      |                 min_c + (r.p * (max_c - min_c + 1) + ${ZonePredicates - 1}) // $ZonePredicates AS lo,
+      |                 min_c + ((r.p + 1) * (max_c - min_c + 1) + ${ZonePredicates - 1}) // $ZonePredicates - 1 AS hi
+      |          FROM (SELECT unnest(range($ZonePredicates)) AS p) r, b),
+      |grid AS (SELECT p, lo, hi, CAST(count(*) AS BIGINT) AS n_files,
+      |                CAST(sum(CASE WHEN f_max < lo OR f_min > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+      |                CAST(sum(CASE WHEN f_max < lo OR f_min > hi THEN 0 ELSE f_rows END) AS BIGINT) AS rows_scanned
+      |         FROM preds, files GROUP BY 1, 2, 3),
+      |m AS (SELECT p, CAST(count(*) AS BIGINT) AS n_matching FROM tagged GROUP BY 1)
+      |SELECT g.p, g.lo, g.hi, g.n_files, g.n_skipped, g.rows_scanned,
+      |       coalesce(m.n_matching, 0) AS n_matching
+      |FROM grid g LEFT JOIN m ON g.p = m.p""".stripMargin
+  }
+
   private def bpeTermCteSql: String = {
     val merges = operators.TextAnalysis.PinnedBpeMerges
     val aLit = merges.map(m => s"'${m._1}'").mkString("[", ",", "]")
@@ -4576,29 +4605,12 @@ object SparkEntry {
 
     // x222: zone-map skipping audit — equi-width file/predicate buckets
     // (integer div, x209's rule), min/max skip decision, matching counts.
-    "x222_zone_map" -> {
-      import operators.Relational.{ZoneFiles, ZonePredicates}
-      s"""WITH rows_ AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders),
-        |b AS (SELECT min(k) AS min_k, max(k) AS max_k,
-        |             min(c) AS min_c, max(c) AS max_c FROM rows_),
-        |tagged AS (SELECT ((k - min_k) * $ZoneFiles) // (max_k - min_k + 1) AS f,
-        |                  ((c - min_c) * $ZonePredicates) // (max_c - min_c + 1) AS p, c
-        |           FROM rows_, b),
-        |files AS (SELECT f, CAST(count(*) AS BIGINT) AS f_rows,
-        |                 min(c) AS f_min, max(c) AS f_max FROM tagged GROUP BY 1),
-        |preds AS (SELECT CAST(r.p AS BIGINT) AS p,
-        |                 min_c + (r.p * (max_c - min_c + 1) + ${ZonePredicates - 1}) // $ZonePredicates AS lo,
-        |                 min_c + ((r.p + 1) * (max_c - min_c + 1) + ${ZonePredicates - 1}) // $ZonePredicates - 1 AS hi
-        |          FROM (SELECT unnest(range($ZonePredicates)) AS p) r, b),
-        |grid AS (SELECT p, lo, hi, CAST(count(*) AS BIGINT) AS n_files,
-        |                CAST(sum(CASE WHEN f_max < lo OR f_min > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
-        |                CAST(sum(CASE WHEN f_max < lo OR f_min > hi THEN 0 ELSE f_rows END) AS BIGINT) AS rows_scanned
-        |         FROM preds, files GROUP BY 1, 2, 3),
-        |m AS (SELECT p, CAST(count(*) AS BIGINT) AS n_matching FROM tagged GROUP BY 1)
-        |SELECT g.p, g.lo, g.hi, g.n_files, g.n_skipped, g.rows_scanned,
-        |       coalesce(m.n_matching, 0) AS n_matching
-        |FROM grid g LEFT JOIN m ON g.p = m.p""".stripMargin
-    },
+    "x222_zone_map" -> zoneMapOracleSql,
+
+    // x235: the footer-backed variant — SAME oracle as x222 by design:
+    // the written layout partitions rows by the identical bucket rule,
+    // so the real footer stats must reproduce the modeled grid exactly.
+    "x235_footer_zone_map" -> zoneMapOracleSql,
 
     // x223: histogram join-cardinality estimator — per-bucket uniformity
     // estimate vs exact sum-of-squares, sign-split error division.

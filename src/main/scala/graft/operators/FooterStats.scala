@@ -1,0 +1,101 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** REAL parquet footer statistics for the planner family: x222's
+  * zone-map audit simulated its file stats with an in-plan groupBy;
+  * this stage writes the orders fact as an ACTUAL partitioned parquet
+  * layout (one directory per x222 file bucket — the same equi-width
+  * o_orderkey rule, so the layout is deterministic) and then reads the
+  * per-row-group column min/max/row-count straight out of the written
+  * footers with `ParquetFileReader` — the identical metadata a
+  * lakehouse scan planner prunes on. The skipping audit thus measures
+  * the real storage layer; that the footer-derived stats equal the
+  * modeled ones (x235 ≡ x222, same DuckDB oracle) is exactly the claim
+  * "parquet footer stats are the zone map" made checkable.
+  *
+  * 100 TB shape: footers are O(files) metadata, read DISTRIBUTED (the
+  * file list parallelizes; each task opens only footers, never data
+  * pages) — the same asymmetry scan planning itself exploits. The
+  * one-time layout write is a single repartition-by-bucket pass.
+  */
+object FooterStats {
+
+  private lazy val stageRoot = Files.createTempDirectory("graft_footer_stage_")
+
+  private val staged = scala.collection.mutable.HashMap.empty[String, String]
+
+  /** Write the orders fact once per snapshot dir as a parquet layout
+    * partitioned by x222's file bucket; return the layout root. */
+  private[graft] def layoutRoot(spark: SparkSession, dir: String): String =
+    synchronized {
+      staged.getOrElseUpdate(dir, {
+        val nf = Relational.ZoneFiles
+        val root = stageRoot.resolve(s"zone_${StagePaths.component(dir, nf)}").toString
+        val rows = Tables.orders(spark, dir)
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
+        val bounds = rows.agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        rows.crossJoin(broadcast(bounds))
+          .withColumn("f", expr(s"((k - min_k) * $nf) div (max_k - min_k + 1)"))
+          .select(col("f"), col("k"), col("c"))
+          .repartition(nf, col("f")) // ≤ one file per (task, bucket) pair
+          .write.mode("overwrite").partitionBy("f").parquet(root)
+        root
+      })
+    }
+
+  /** Per-file-bucket (f, f_rows, f_min, f_max) on column `c`, sourced
+    * from the written footers' row-group statistics — never a data
+    * read. The file list is small (bounded by the bucket count) but the
+    * footer opens still run on executors: the shape that holds when the
+    * layout is a million files. */
+  private[graft] def fileStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = layoutRoot(spark, dir)
+    val leafFiles = Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted
+    spark.createDataset(leafFiles)
+      .repartition(math.min(leafFiles.size, 32))
+      .mapPartitions { paths =>
+        val conf = new Configuration() // local-fs footers; fresh conf per task
+        paths.map { p =>
+          val f = new java.io.File(p).getParentFile.getName.stripPrefix("f=").toLong
+          val reader = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(s"file:$p"), conf))
+          try {
+            val blocks = reader.getFooter.getBlocks.asScala
+            val stats = blocks.map { b =>
+              val cChunk = b.getColumns.asScala
+                .find(_.getPath.toDotString == "c")
+                .getOrElse(sys.error(s"no column chunk 'c' in $p"))
+                .getStatistics
+              (b.getRowCount,
+                cChunk.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                cChunk.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+            }
+            (f, stats.map(_._1).sum, stats.map(_._2).min, stats.map(_._3).max)
+          } finally reader.close()
+        }
+      }
+      .toDF("f", "f_rows", "f_min", "f_max")
+      .groupBy(col("f")) // several part files may share a bucket dir
+      .agg(sum(col("f_rows")).as("f_rows"),
+        min(col("f_min")).as("f_min"), max(col("f_max")).as("f_max"))
+  }
+
+  /** Drop the memoized layouts (tests only). */
+  private[graft] def invalidate(): Unit = synchronized { staged.clear() }
+}

@@ -1618,7 +1618,20 @@ object Relational {
     * predicate×file skip grid is a model-state broadcast cross
     * (16 × 64), and the matching counts are one partial-agg'd groupBy on
     * the 16-value bucket key. */
-  def zoneMapSkipping(spark: SparkSession, dir: String): DataFrame = {
+  def zoneMapSkipping(spark: SparkSession, dir: String): DataFrame =
+    zoneMapSkipping(spark, dir, None)
+
+  /** Footer-backed variant (x235): identical audit, but the file-stats
+    * side comes from the REAL parquet footers of a written layout
+    * ([[FooterStats]]) instead of an in-plan aggregate — the storage
+    * layer measured, not modeled. Same DuckDB oracle as x222: the
+    * layout partitions rows by the same deterministic bucket rule, so
+    * footer min/max/count per bucket must equal the modeled stats. */
+  def zoneMapSkippingFromFooters(spark: SparkSession, dir: String): DataFrame =
+    zoneMapSkipping(spark, dir, Some(FooterStats.fileStats(spark, dir)))
+
+  private def zoneMapSkipping(spark: SparkSession, dir: String,
+                              fileStats: Option[DataFrame]): DataFrame = {
     val (nf, np) = (ZoneFiles, ZonePredicates)
     val rows = Tables.orders(spark, dir)
       .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
@@ -1628,8 +1641,8 @@ object Relational {
       .withColumn("f", expr(s"((k - min_k) * $nf) div (max_k - min_k + 1)"))
       .withColumn("p", expr(s"((c - min_c) * $np) div (max_c - min_c + 1)"))
       .localCheckpoint() // feeds the file stats AND the matching counts
-    val files = tagged.groupBy(col("f"))
-      .agg(count(lit(1)).as("f_rows"), min(col("c")).as("f_min"), max(col("c")).as("f_max"))
+    val files = fileStats.getOrElse(tagged.groupBy(col("f"))
+      .agg(count(lit(1)).as("f_rows"), min(col("c")).as("f_min"), max(col("c")).as("f_max")))
     // predicate p covers exactly the bucket-p keys: lo is the smallest c
     // with ((c - min_c)·np) div range = p (ceil form), hi = next lo − 1
     val preds = spark.range(np.toLong).select(col("id").as("p"))

@@ -144,6 +144,31 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("x235: real parquet footer stats reproduce the modeled zone map exactly") {
+    val sf = "/root/testdata/sf0.001"
+    // the written layout buckets rows by the same deterministic rule the
+    // in-plan model uses, so footer min/max/count per bucket must be equal
+    import org.apache.spark.sql.functions._
+    val nf = Relational.ZoneFiles
+    val rows = graft.Tables.orders(spark, sf)
+      .select($"o_orderkey".as("k"), $"o_custkey".as("c"))
+    val bounds = rows.agg(min($"k").as("min_k"), max($"k").as("max_k"))
+    val modeled = rows.crossJoin(broadcast(bounds))
+      .withColumn("f", expr(s"((k - min_k) * $nf) div (max_k - min_k + 1)"))
+      .groupBy($"f").agg(count(lit(1)).as("f_rows"),
+        min($"c").as("f_min"), max($"c").as("f_max"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val footer = FooterStats.fileStats(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(footer == modeled && footer.nonEmpty)
+    // and the full audits agree end-to-end
+    val a = Relational.zoneMapSkipping(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val b = Relational.zoneMapSkippingFromFooters(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("x202's probe join carries no broadcast hint on a corpus-derived side") {
     // The query side of the signature probe join is corpus × ~37 masks; a
     // forced broadcast() there is a driver OOM at 100×. The join must be a
