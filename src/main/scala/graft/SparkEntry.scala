@@ -276,6 +276,9 @@ object SparkEntry {
     "x234_retrieval_eval_sampled" -> ((s, d) => Similarity.retrievalEval(s, d,
       querySampleBps = Some(Similarity.AuditSampleBps))),
     "x235_footer_zone_map"  -> ((s, d) => Relational.zoneMapSkippingFromFooters(s, d)),
+    "x236_footer_zorder_delta" -> ((s, d) => Relational.zorderSkippingDeltaFromFooters(s, d)),
+    "x237_priority_sample"  -> ((s, d) => Sampling.prioritySample(s, d)),
+    "x238_matryoshka_recall" -> ((s, d) => Similarity.matryoshkaRecall(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -314,6 +317,45 @@ object SparkEntry {
       |SELECT g.p, g.lo, g.hi, g.n_files, g.n_skipped, g.rows_scanned,
       |       coalesce(m.n_matching, 0) AS n_matching
       |FROM grid g LEFT JOIN m ON g.p = m.p""".stripMargin
+  }
+
+  /** x231's before/after-OPTIMIZE oracle — shared VERBATIM with x236
+    * (the footer-backed variant), same reasoning as [[zoneMapOracleSql]]. */
+  private def zorderDeltaOracleSql: String = {
+    import operators.Relational.{ZoneFiles, ZonePredicates}
+    val bits = 3
+    val m = 1 << bits
+    val interleave = (0 until bits).map(b =>
+      s"(((bx >> $b) & 1) << ${2 * b + 1}) + (((by >> $b) & 1) << ${2 * b})")
+      .mkString(" + ")
+    def scan(fileCol: String, out: String): String =
+      s"""SELECT p.p, CAST(sum(CASE WHEN f.f_max < p.lo OR f.f_min > p.hi
+         |       THEN 0 ELSE f.f_rows END) AS BIGINT) AS $out
+         |FROM preds p, (SELECT $fileCol AS f, CAST(count(*) AS BIGINT) AS f_rows,
+         |               min(c) AS f_min, max(c) AS f_max FROM tagged GROUP BY 1) f
+         |GROUP BY 1""".stripMargin
+    s"""WITH rows_ AS (SELECT o_orderkey AS k, o_custkey AS c,
+      |                      CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
+      |               FROM orders),
+      |b AS (SELECT min(k) AS min_k, max(k) AS max_k, min(c) AS min_c,
+      |             max(c) AS max_c, min(day) AS min_d, max(day) AS max_d FROM rows_),
+      |t0 AS (SELECT ((k - min_k) * $ZoneFiles) // (max_k - min_k + 1) AS f_cur,
+      |              ((c - min_c) * $m) // (max_c - min_c + 1) AS bx,
+      |              ((day - min_d) * $m) // (max_d - min_d + 1) AS by,
+      |              ((c - min_c) * $ZonePredicates) // (max_c - min_c + 1) AS p, c
+      |       FROM rows_, b),
+      |tagged AS (SELECT f_cur, $interleave AS f_z, p, c FROM t0),
+      |preds AS (SELECT CAST(r.p AS BIGINT) AS p,
+      |                 min_c + (r.p * (max_c - min_c + 1) + ${ZonePredicates - 1}) // $ZonePredicates AS lo,
+      |                 min_c + ((r.p + 1) * (max_c - min_c + 1) + ${ZonePredicates - 1}) // $ZonePredicates - 1 AS hi
+      |          FROM (SELECT unnest(range($ZonePredicates)) AS p) r, b),
+      |sc AS (${scan("f_cur", "scanned_current")}),
+      |sz AS (${scan("f_z", "scanned_zordered")}),
+      |mm AS (SELECT p, CAST(count(*) AS BIGINT) AS n_matching FROM tagged GROUP BY 1)
+      |SELECT sc.p, coalesce(mm.n_matching, 0) AS n_matching,
+      |       sc.scanned_current, sz.scanned_zordered,
+      |       sc.scanned_current - sz.scanned_zordered AS rows_saved
+      |FROM sc JOIN sz ON sc.p = sz.p LEFT JOIN mm ON sc.p = mm.p""".stripMargin
   }
 
   private def bpeTermCteSql: String = {
@@ -4857,42 +4899,12 @@ object SparkEntry {
     // x231: the before/after-OPTIMIZE skipping delta — x222's zone-map
     // audit against the current AND the Morton-tiled (3 bits/dim = 64
     // files) layout, rows scanned per predicate on each.
-    "x231_zorder_delta" -> {
-      import operators.Relational.{ZoneFiles, ZonePredicates}
-      val bits = 3
-      val m = 1 << bits
-      val interleave = (0 until bits).map(b =>
-        s"(((bx >> $b) & 1) << ${2 * b + 1}) + (((by >> $b) & 1) << ${2 * b})")
-        .mkString(" + ")
-      def scan(fileCol: String, out: String): String =
-        s"""SELECT p.p, CAST(sum(CASE WHEN f.f_max < p.lo OR f.f_min > p.hi
-           |       THEN 0 ELSE f.f_rows END) AS BIGINT) AS $out
-           |FROM preds p, (SELECT $fileCol AS f, CAST(count(*) AS BIGINT) AS f_rows,
-           |               min(c) AS f_min, max(c) AS f_max FROM tagged GROUP BY 1) f
-           |GROUP BY 1""".stripMargin
-      s"""WITH rows_ AS (SELECT o_orderkey AS k, o_custkey AS c,
-        |                      CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
-        |               FROM orders),
-        |b AS (SELECT min(k) AS min_k, max(k) AS max_k, min(c) AS min_c,
-        |             max(c) AS max_c, min(day) AS min_d, max(day) AS max_d FROM rows_),
-        |t0 AS (SELECT ((k - min_k) * $ZoneFiles) // (max_k - min_k + 1) AS f_cur,
-        |              ((c - min_c) * $m) // (max_c - min_c + 1) AS bx,
-        |              ((day - min_d) * $m) // (max_d - min_d + 1) AS by,
-        |              ((c - min_c) * $ZonePredicates) // (max_c - min_c + 1) AS p, c
-        |       FROM rows_, b),
-        |tagged AS (SELECT f_cur, $interleave AS f_z, p, c FROM t0),
-        |preds AS (SELECT CAST(r.p AS BIGINT) AS p,
-        |                 min_c + (r.p * (max_c - min_c + 1) + ${ZonePredicates - 1}) // $ZonePredicates AS lo,
-        |                 min_c + ((r.p + 1) * (max_c - min_c + 1) + ${ZonePredicates - 1}) // $ZonePredicates - 1 AS hi
-        |          FROM (SELECT unnest(range($ZonePredicates)) AS p) r, b),
-        |sc AS (${scan("f_cur", "scanned_current")}),
-        |sz AS (${scan("f_z", "scanned_zordered")}),
-        |mm AS (SELECT p, CAST(count(*) AS BIGINT) AS n_matching FROM tagged GROUP BY 1)
-        |SELECT sc.p, coalesce(mm.n_matching, 0) AS n_matching,
-        |       sc.scanned_current, sz.scanned_zordered,
-        |       sc.scanned_current - sz.scanned_zordered AS rows_saved
-        |FROM sc JOIN sz ON sc.p = sz.p LEFT JOIN mm ON sc.p = mm.p""".stripMargin
-    },
+    "x231_zorder_delta" -> zorderDeltaOracleSql,
+
+    // x236: the footer-backed variant — SAME oracle as x231: both written
+    // layouts bucket rows by the identical deterministic rules, so the
+    // real footer stats must reproduce the modeled delta exactly.
+    "x236_footer_zorder_delta" -> zorderDeltaOracleSql,
 
     // x232/x233/x234: the fidelity audits' bounded-cost production mode —
     // the x202/x221/x225 pipelines restricted to x27's deterministic
@@ -5015,6 +5027,65 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN first_hit <= ${EvalKs(2)} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit5,
         |       CAST(sum(coalesce(1000000 // first_hit, 0)) AS BIGINT) AS rr_ppm_sum
         |FROM fh GROUP BY 1""".stripMargin
+    },
+
+    // x237: priority sampling (PPSWOR) — md5 uniforms, fixed-point
+    // priorities, top-(k+1) threshold, Horvitz–Thompson subset sums.
+    "x237_priority_sample" -> {
+      import operators.Sampling.{PrioritySampleK, PriorityLevels}
+      s"""WITH w AS (SELECT doc_id, source, n_chars AS w,
+        |             ('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |               // $PriorityLevels AS h
+        |           FROM documents),
+        |p AS (SELECT *, (w * $PriorityLevels) // (h + 1) AS prio FROM w),
+        |r AS (SELECT *, row_number() OVER (ORDER BY prio DESC, doc_id) AS rn FROM p),
+        |tau AS (SELECT coalesce(max(CASE WHEN rn = ${PrioritySampleK + 1} THEN prio END), 0) AS tau
+        |        FROM r),
+        |s AS (SELECT * FROM r WHERE rn <= $PrioritySampleK),
+        |est AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+        |               CAST(sum(greatest(w, tau)) AS BIGINT) AS est_sum
+        |        FROM s, tau GROUP BY 1),
+        |ex AS (SELECT source, CAST(sum(w) AS BIGINT) AS sum_w FROM w GROUP BY 1)
+        |SELECT ex.source, coalesce(est.n_sampled, 0) AS n_sampled, ex.sum_w,
+        |       coalesce(est.est_sum, 0) AS est_sum
+        |FROM ex LEFT JOIN est ON ex.source = est.source""".stripMargin
+    },
+
+    // x238: Matryoshka truncation recall — prefix-sliced cosine rankings
+    // per d, x221's exact CTE as the baseline, per-d ledger.
+    "x238_matryoshka_recall" -> {
+      import operators.Similarity.{LshCurveK, MatryoshkaDims}
+      val dimsList = MatryoshkaDims.mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+        |      FROM e),
+        |exact_rk AS (
+        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rank_exact
+        |  FROM (SELECT q.vec_id AS q_id, c.vec_id,
+        |          floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+        |        FROM s q JOIN s c ON q.vec_id <> c.vec_id) t),
+        |exact_topk AS (SELECT * FROM exact_rk WHERE rank_exact <= $LshCurveK),
+        |dd AS (SELECT CAST(unnest($dimsList) AS BIGINT) AS d),
+        |pre_rk AS (
+        |  SELECT q_id, vec_id, d, row_number() OVER (PARTITION BY q_id, d
+        |      ORDER BY cos_sim DESC, vec_id) AS rank_prefix
+        |  FROM (SELECT q.vec_id AS q_id, c.vec_id, dd.d,
+        |          floor(list_dot_product(q.v[1:dd.d], c.v[1:dd.d]) /
+        |            (sqrt(list_aggregate(list_transform(q.v[1:dd.d], x -> x*x), 'sum')) *
+        |             sqrt(list_aggregate(list_transform(c.v[1:dd.d], x -> x*x), 'sum')))
+        |            * 1000000) / 1000000 AS cos_sim
+        |        FROM s q JOIN s c ON q.vec_id <> c.vec_id, dd) t),
+        |pre_topk AS (SELECT * FROM pre_rk WHERE rank_prefix <= $LshCurveK)
+        |SELECT dd.d, CAST(count(*) AS BIGINT) AS n_exact,
+        |       CAST(count(p.rank_prefix) AS BIGINT) AS n_found,
+        |       CAST((1000000 * count(p.rank_prefix)) // count(*) AS BIGINT) AS recall_ppm,
+        |       CAST(coalesce(sum(p.rank_prefix - x.rank_exact), 0) AS BIGINT) AS displacement_sum
+        |FROM exact_topk x CROSS JOIN dd
+        |LEFT JOIN pre_topk p
+        |  ON x.q_id = p.q_id AND x.vec_id = p.vec_id AND dd.d = p.d
+        |GROUP BY dd.d""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

@@ -34,21 +34,42 @@ object FooterStats {
 
   private lazy val stageRoot = Files.createTempDirectory("graft_footer_stage_")
 
-  private val staged = scala.collection.mutable.HashMap.empty[String, String]
+  private val staged = scala.collection.mutable.HashMap.empty[(String, String), String]
 
-  /** Write the orders fact once per snapshot dir as a parquet layout
-    * partitioned by x222's file bucket; return the layout root. */
-  private[graft] def layoutRoot(spark: SparkSession, dir: String): String =
+  /** Write the orders fact once per (snapshot dir, layout) as a parquet
+    * layout partitioned by the layout's file bucket; return the root.
+    * `insertion` buckets by equi-width o_orderkey ranges (x222's
+    * arrival-order model); `zorder` buckets by the Morton tile over
+    * (custkey, order-day) (x231's OPTIMIZE ZORDER target, 3 bits/dim =
+    * the same [[Relational.ZoneFiles]] file count). */
+  private[graft] def layoutRoot(spark: SparkSession, dir: String,
+                                layout: String): String =
     synchronized {
-      staged.getOrElseUpdate(dir, {
+      staged.getOrElseUpdate((dir, layout), {
         val nf = Relational.ZoneFiles
-        val root = stageRoot.resolve(s"zone_${StagePaths.component(dir, nf)}").toString
+        val root = stageRoot.resolve(
+          s"zone_${StagePaths.component(dir, layout, nf)}").toString
         val rows = Tables.orders(spark, dir)
-          .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
-        val bounds = rows.agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-        rows.crossJoin(broadcast(bounds))
-          .withColumn("f", expr(s"((k - min_k) * $nf) div (max_k - min_k + 1)"))
-          .select(col("f"), col("k"), col("c"))
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+            expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+        val bounds = rows.agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          min(col("c")).as("min_c"), max(col("c")).as("max_c"),
+          min(col("day")).as("min_d"), max(col("day")).as("max_d"))
+        val tagged = layout match {
+          case "insertion" => rows.crossJoin(broadcast(bounds))
+            .withColumn("f", expr(s"((k - min_k) * $nf) div (max_k - min_k + 1)"))
+          case "zorder" =>
+            val bits = 3 // 2^(2·3) = 64 Morton tiles = ZoneFiles files
+            val m = 1 << bits
+            val interleave = (0 until bits).map(b =>
+              s"(((bx >> $b) & 1) << ${2 * b + 1}) + (((by >> $b) & 1) << ${2 * b})")
+              .mkString(" + ")
+            rows.crossJoin(broadcast(bounds))
+              .withColumn("bx", expr(s"((c - min_c) * $m) div (max_c - min_c + 1)"))
+              .withColumn("by", expr(s"((day - min_d) * $m) div (max_d - min_d + 1)"))
+              .withColumn("f", expr(interleave))
+        }
+        tagged.select(col("f"), col("k"), col("c"))
           .repartition(nf, col("f")) // ≤ one file per (task, bucket) pair
           .write.mode("overwrite").partitionBy("f").parquet(root)
         root
@@ -60,9 +81,10 @@ object FooterStats {
     * read. The file list is small (bounded by the bucket count) but the
     * footer opens still run on executors: the shape that holds when the
     * layout is a million files. */
-  private[graft] def fileStats(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def fileStats(spark: SparkSession, dir: String,
+                               layout: String = "insertion"): DataFrame = {
     import spark.implicits._
-    val root = layoutRoot(spark, dir)
+    val root = layoutRoot(spark, dir, layout)
     val leafFiles = Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("part-") &&
         p.getFileName.toString.endsWith(".parquet"))

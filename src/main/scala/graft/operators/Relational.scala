@@ -1678,7 +1678,21 @@ object Relational {
     * 100 TB shape: x222's — one corpus scan tags each row with both
     * file ids and its predicate bucket, two 64-row file-stats
     * aggregates, one broadcast 16×64 skip grid per layout. */
-  def zorderSkippingDelta(spark: SparkSession, dir: String): DataFrame = {
+  def zorderSkippingDelta(spark: SparkSession, dir: String): DataFrame =
+    zorderSkippingDelta(spark, dir, None)
+
+  /** Footer-backed variant (x236): x231's before/after-OPTIMIZE table
+    * with BOTH layouts' file stats read from the real parquet footers
+    * of written layouts ([[FooterStats]], insertion-ordered and
+    * Morton-tiled) — the OPTIMIZE decision now reads the actual storage
+    * metadata on each side. Same DuckDB oracle as x231. */
+  def zorderSkippingDeltaFromFooters(spark: SparkSession, dir: String): DataFrame =
+    zorderSkippingDelta(spark, dir, Some((
+      FooterStats.fileStats(spark, dir, "insertion"),
+      FooterStats.fileStats(spark, dir, "zorder"))))
+
+  private def zorderSkippingDelta(spark: SparkSession, dir: String,
+                                  footerStats: Option[(DataFrame, DataFrame)]): DataFrame = {
     val (nf, np) = (ZoneFiles, ZonePredicates)
     val bits = 3 // 2^(2·3) = 64 Morton tiles = ZoneFiles files
     val rows = Tables.orders(spark, dir)
@@ -1699,8 +1713,11 @@ object Relational {
       .withColumn("p", expr(s"((c - min_c) * $np) div (max_c - min_c + 1)"))
       .localCheckpoint() // two file-stats rollups + the matching counts
     def scanPerPred(fileCol: String, out: String): DataFrame = {
-      val files = tagged.groupBy(col(fileCol).as("f"))
+      val modeled = tagged.groupBy(col(fileCol).as("f"))
         .agg(count(lit(1)).as("f_rows"), min(col("c")).as("f_min"), max(col("c")).as("f_max"))
+      val files = footerStats.fold(modeled) { case (cur, z) =>
+        if (fileCol == "f_cur") cur else z
+      }
       spark.range(np.toLong).select(col("id").as("p"))
         .crossJoin(broadcast(bounds.select(col("min_c"), col("max_c"))))
         .withColumn("lo", expr(s"min_c + (p * (max_c - min_c + 1) + $np - 1) div $np"))

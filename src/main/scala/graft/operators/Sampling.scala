@@ -1229,4 +1229,52 @@ object Sampling {
         col("capped"), col("alloc"),
         expr("(1000000L * alloc) div budget").as("share_ppm"))
   }
+
+  /** x237 knobs: sample size and the uniform's fixed-point resolution
+    * (the md5-60 hash quantized to 2³⁰ levels, so the weight-unit
+    * priority (w · 2³⁰) div (h₃₀+1) never floors to zero and never
+    * overflows a Long). Shared with the oracle. */
+  val PrioritySampleK: Int = 64
+  val PriorityLevels: Long = 1L << 30
+
+  /** Priority sampling / PPSWOR (x237): the weighted without-replacement
+    * scheme with the Horvitz–Thompson-style subset-sum estimator
+    * (Duffield–Lund–Thorup). Each doc draws the deterministic md5
+    * uniform u = (h₃₀+1)/2³⁰ (x27's hash discipline, salt "prio"; h₃₀
+    * is the hash's top 30 bits) and gets the WEIGHT-UNIT priority
+    * q = (w · 2³⁰) div (h₃₀+1) ≈ w/u with w = n_chars; the sample is
+    * the top-[[PrioritySampleK]] by (q desc, doc_id), the threshold τ
+    * is the (k+1)-th priority, and every sampled doc estimates its
+    * weight as max(w, τ) — unbiased for ANY subset sum, audited here
+    * per source against the exact totals. The quantized priority rule
+    * IS the contract (the md5-threshold pattern), shared with the
+    * DuckDB oracle digit for digit.
+    *
+    * 100 TB shape: priorities are a projection off the corpus scan; the
+    * top-(k+1) is TakeOrdered (per-partition heaps, never a global
+    * sort); τ is a 1-row broadcast; the audit is one partial-agg'd
+    * groupBy. This is how one draws a weighted eval slice from a corpus
+    * without materializing per-stratum passes. */
+  def prioritySample(spark: SparkSession, dir: String,
+                     k: Int = PrioritySampleK): DataFrame = {
+    val w = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars").as("w"))
+      .withColumn("h", Dedup.md5Hash60(concat(lit("prio:"), col("doc_id").cast("string"))))
+      .withColumn("h", expr(s"h div $PriorityLevels")) // top 30 bits → [0, 2³⁰)
+      .withColumn("prio", expr(s"(w * $PriorityLevels) div (h + 1)"))
+    // top-(k+1): TakeOrdered, then ranks inside the bounded (k+1)-row frame
+    val top = w.orderBy(col("prio").desc, col("doc_id")).limit(k + 1)
+      .withColumn("rn", row_number().over( // bounded-domain window: ≤ k+1 rows
+        Window.orderBy(col("prio").desc, col("doc_id"))))
+    val tau = top.agg(coalesce(max(when(col("rn") === k + 1, col("prio"))), lit(0L)).as("tau"))
+    val est = top.filter(col("rn") <= k).crossJoin(broadcast(tau))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(greatest(col("w"), col("tau"))).as("est_sum"))
+    val exact = w.groupBy(col("source")).agg(sum(col("w")).as("sum_w"))
+    exact.join(est, Seq("source"), "left")
+      .select(col("source"), coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        col("sum_w"),
+        coalesce(col("est_sum"), lit(0L)).as("est_sum"))
+  }
 }

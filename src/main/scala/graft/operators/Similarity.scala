@@ -981,6 +981,66 @@ object Similarity {
         sum(coalesce(expr("1000000L div first_hit"), lit(0L))).as("rr_ppm_sum"))
   }
 
+  /** x238's prefix dims (Matryoshka truncation points) and k. Shared
+    * with the DuckDB oracle. */
+  val MatryoshkaDims: Seq[Int] = Seq(16, 32, 64)
+
+  /** Matryoshka dimension-truncation recall audit (x238): how much
+    * ranking fidelity survives truncating the embedding to its first d
+    * dims — the third knob axis of the fidelity board (x175 audits
+    * scalar quantization, x202 the LSH probe radius; this one the MRL
+    * prefix length a production store actually serves at). Per d ∈
+    * [[MatryoshkaDims]]: the exact top-k pairs retained anywhere in the
+    * prefix-cosine top-k (`n_found` / `recall_ppm`) and the summed rank
+    * displacement — x221's ledger along the dimension axis. The d = 64
+    * row is the full vector and must read recall 10⁶ / displacement 0
+    * (built-in sanity). Prefix cosines for ALL dims ride ONE scored
+    * pass (three trunc6 cosines per pair, then a stack), and the exact
+    * baseline is the STAGED table. `querySampleBps` gives the audit the
+    * bounded-cost production mode (x232/x233/x234's dial).
+    *
+    * 100 TB shape: the scored pass is x09's documented once-per-audit
+    * stage shape (broadcast query side × corpus scan); rankings
+    * partition by (query, d); the ledger is a 3-row rollup. */
+  def matryoshkaRecall(spark: SparkSession, dir: String, k: Int = LshCurveK,
+                       querySampleBps: Option[Int] = None): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val dims = MatryoshkaDims
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = sampleQueries(emb, "vec_id", querySampleBps)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id") +: col("vec_id") +: dims.map(d =>
+        trunc6(cosine_sim(slice(col("qv"), 1, d), slice(col("v"), 1, d)))
+          .as(s"cos_$d")): _*)
+    val stacked = scored.select(col("q_id"), col("vec_id"),
+        explode(array(dims.map(d => struct(lit(d.toLong).as("d"),
+          col(s"cos_$d").as("cos"))): _*)).as("dc"))
+      .select(col("q_id"), col("vec_id"), col("dc.d").as("d"), col("dc.cos").as("cos"))
+    val wd = Window.partitionBy(col("q_id"), col("d"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val ranked = stacked.withColumn("rk", row_number().over(wd))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("d"), col("rk").as("rank_prefix"))
+    val exact = sampleQueries(
+        KnnStage.ranked(spark, dir, math.max(k, KnnStage.StageK)),
+        "q_id", querySampleBps)
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank").as("rank_exact"))
+      .withColumn("d", explode(array(dims.map(d => lit(d.toLong)): _*)))
+    exact.join(ranked, Seq("q_id", "vec_id", "d"), "left")
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("rank_prefix").isNotNull, 1L).otherwise(0L)).as("n_found"),
+        coalesce(sum((col("rank_prefix") - col("rank_exact")).cast("long")), lit(0L))
+          .as("displacement_sum"))
+      .withColumn("recall_ppm", expr("(1000000L * n_found) div n_exact"))
+      .select(col("d"), col("n_exact"), col("n_found"), col("recall_ppm"),
+        col("displacement_sum"))
+  }
+
   /** ANN staged-swap fidelity ledger (x221): the per-rank recall +
     * displacement audit of [[AnnStage]]'s approximate neighbor table
     * against [[KnnStage]]'s exact one — the closing artifact of the

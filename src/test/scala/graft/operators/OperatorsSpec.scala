@@ -3442,6 +3442,47 @@ class OperatorsSpec extends SparkSpec {
     assert(gotPanel.map(_._2).sum < labels.size.toLong)
   }
 
+  test("matryoshkaRecall (x238): per-dim ledger matches a driver replay; d=64 is exact") {
+    val k = Similarity.LshCurveK
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", Similarity.asDouble($"embedding"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    def cos(a: Seq[Double], b: Seq[Double], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < d) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    def topk(d: Int): Map[Long, Seq[(Long, Int)]] = vecs.map { case (q, qv) =>
+      q -> vecs.filter(_._1 != q)
+        .map { case (c, cv) => (c, cos(qv, cv, d)) }
+        .sortBy { case (c, s) => (-s, c) }.take(k)
+        .zipWithIndex.map { case ((c, _), i) => (c, i + 1) }.toSeq
+    }.toMap
+    val exact = topk(64)
+    val want = Similarity.MatryoshkaDims.map { d =>
+      val pre = topk(d).map { case (q, l) => q -> l.toMap }
+      val hits = exact.toSeq.flatMap { case (q, l) =>
+        l.flatMap { case (c, re) => pre(q).get(c).map(rp => (re, rp)) }
+      }
+      val nExact = exact.values.map(_.size).sum.toLong
+      d.toLong -> (nExact, hits.length.toLong,
+        1000000L * hits.length / nExact,
+        hits.map { case (re, rp) => (rp - re).toLong }.sum)
+    }.toMap
+    val got = Similarity.matryoshkaRecall(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == Similarity.MatryoshkaDims.size)
+    got.foreach { case (d, ne, nf, ppm, disp) =>
+      assert(want(d) == ((ne, nf, ppm, disp)), s"dim $d")
+    }
+    // the full-vector row is exact by construction, and fidelity is
+    // monotone in d on this corpus (the curve is a curve)
+    val byD = got.sortBy(_._1)
+    assert(byD.last._4 == 1000000L && byD.last._5 == 0L)
+    assert(byD.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
   test("knnIngest (x203): incremental merge equals the from-scratch full ranking") {
     val full = Similarity.computeRankedTopK(spark, sf, KnnStage.StageK)
       .as[(Long, Long, Double, Int)].collect().toSet

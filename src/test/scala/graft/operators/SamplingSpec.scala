@@ -793,4 +793,37 @@ class SamplingSpec extends SparkSpec {
     val moved = got.map(_._3).sum.toDouble
     assert(moved / total < 0.3, s"churn ${moved / total}")
   }
+
+  test("prioritySample (x237): panel matches a driver-side PPSWOR replay") {
+    val k = Sampling.PrioritySampleK
+    val levels = Sampling.PriorityLevels
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"n_chars").as[(Long, String, Long)].collect()
+    val prio = docs.map { case (id, src, w) =>
+      val h = Dedup.md5Hash60Ref(s"prio:$id") / levels
+      (id, src, w, w * levels / (h + 1))
+    }.sortBy(p => (-p._4, p._1))
+    val tau = if (prio.length > k) prio(k)._4 else 0L
+    val sampled = prio.take(k)
+    val want = docs.groupBy(_._2).map { case (src, rows) =>
+      val s = sampled.filter(_._2 == src)
+      src -> (s.length.toLong, rows.map(_._3).sum,
+        s.map(p => math.max(p._3, tau)).sum)
+    }
+    val got = Sampling.prioritySample(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (src, n, sw, est) =>
+      assert(want(src) == ((n, sw, est)), s"source $src")
+    }
+    // the sample filled its budget, and the HT estimate of the GRAND
+    // total lands near the exact total (one draw — loose band; this
+    // band is what caught an earlier fixed-point design whose floored
+    // priorities degenerated the sample)
+    assert(got.map(_._2).sum == k.toLong)
+    val est = got.map(_._4).sum.toDouble
+    val exact = got.map(_._3).sum.toDouble
+    assert(est > exact * 0.5 && est < exact * 2.0,
+      s"HT grand-total estimate off: $est vs $exact")
+  }
 }
