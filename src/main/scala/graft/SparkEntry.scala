@@ -279,6 +279,7 @@ object SparkEntry {
     "x236_footer_zorder_delta" -> ((s, d) => Relational.zorderSkippingDeltaFromFooters(s, d)),
     "x237_priority_sample"  -> ((s, d) => Sampling.prioritySample(s, d)),
     "x238_matryoshka_recall" -> ((s, d) => Similarity.matryoshkaRecall(s, d)),
+    "x239_hybrid_related"   -> ((s, d) => Retrieval.hybridRelated(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -5086,6 +5087,62 @@ object SparkEntry {
         |LEFT JOIN pre_topk p
         |  ON x.q_id = p.q_id AND x.vec_id = p.vec_id AND dd.d = p.d
         |GROUP BY dd.d""".stripMargin
+    },
+
+    // x239: hybrid related-document retrieval — RRF fusion (x137's
+    // integer convention) of the exact-kNN ranking (x203's CTE) and the
+    // TF-cosine lexical ranking (x163's CTEs, symmetrized).
+    "x239_hybrid_related" -> {
+      import operators.Dedup.{TfCosMaxTermDf, TfCosShingleN, TfCosThresholdDen, TfCosThresholdNum}
+      import operators.Retrieval.{HybridK, HybridRrfK}
+      val (n2, d2) = (TfCosThresholdNum.toLong * TfCosThresholdNum,
+        TfCosThresholdDen.toLong * TfCosThresholdDen)
+      val (hi, lo) = (TfCosShingleN - 1, TfCosShingleN - 2)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nn AS (SELECT vec_id, v,
+        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm FROM e),
+        |sem AS (
+        |  SELECT q_id AS doc_id, vec_id AS rel_id,
+        |         CAST(rank AS BIGINT) AS r_sem
+        |  FROM (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |          ORDER BY cos_sim DESC, vec_id) AS rank
+        |        FROM (SELECT q.vec_id AS q_id, c.vec_id,
+        |                floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+        |              FROM nn q JOIN nn c ON q.vec_id <> c.vec_id) t0) t1
+        |  WHERE rank <= $HybridK),
+        |t AS (SELECT doc_id, unnest([array_to_string(words[i:i+$hi], ' ')
+        |             for i in range(1, len(words) - $lo)]) AS w
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1),
+        |tfc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm2 FROM tfc GROUP BY 1),
+        |stop AS (SELECT w FROM (SELECT w, count(*) AS df FROM tfc GROUP BY 1) s
+        |         WHERE df > $TfCosMaxTermDf),
+        |idx AS (SELECT doc_id, w, tf, norm2
+        |        FROM tfc ANTI JOIN stop USING (w) JOIN norms USING (doc_id)),
+        |p AS (SELECT doc_a, doc_b, dot, norm2_a, norm2_b,
+        |             CAST(dot AS DOUBLE) / sqrt(CAST(norm2_a AS DOUBLE) * norm2_b) AS cos_dbl
+        |      FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                   a.norm2 AS norm2_a, b.norm2 AS norm2_b,
+        |                   CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |            FROM idx a JOIN idx b ON a.w = b.w AND a.doc_id < b.doc_id
+        |            GROUP BY 1, 2, 3, 4) pp
+        |      WHERE CAST($d2 AS HUGEINT) * dot * dot >= CAST($n2 AS HUGEINT) * norm2_a * norm2_b),
+        |sym AS (SELECT doc_a AS doc_id, doc_b AS rel_id, cos_dbl FROM p
+        |        UNION ALL SELECT doc_b AS doc_id, doc_a AS rel_id, cos_dbl FROM p),
+        |lex AS (SELECT doc_id, rel_id, r_lex FROM (
+        |          SELECT doc_id, rel_id, CAST(row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY cos_dbl DESC, rel_id) AS BIGINT) AS r_lex FROM sym) t
+        |        WHERE r_lex <= $HybridK),
+        |f AS (SELECT doc_id, rel_id, r_sem, r_lex,
+        |             coalesce(1000000 // ($HybridRrfK + r_sem), 0) +
+        |             coalesce(1000000 // ($HybridRrfK + r_lex), 0) AS rrf_micro
+        |      FROM sem FULL OUTER JOIN lex USING (doc_id, rel_id))
+        |SELECT doc_id, rel_id,
+        |       coalesce(r_sem, -1) AS r_sem, coalesce(r_lex, -1) AS r_lex,
+        |       CAST(rrf_micro AS BIGINT) AS rrf_micro,
+        |       CAST(row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY rrf_micro DESC, rel_id) AS BIGINT) AS r_fused
+        |FROM f""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

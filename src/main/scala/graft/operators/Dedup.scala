@@ -1872,9 +1872,11 @@ object Dedup {
     * would be quadratic in its df) — so reported cosines are exact,
     * while recall is bounded by the cap exactly as x02 documents.
     *
-    * 100 TB shape: one tf aggregate (partial-combined), norms as a
-    * second keyed aggregate joined back on doc_id, the pair join
-    * keyed per TERM with fan-out ≤ C(cap, 2) per term, then ONE
+    * 100 TB shape: the tf table IS the staged gram aggregate
+    * ([[GramStage]] — computed once per corpus snapshot; r12 retired
+    * this query's private explode+groupBy of the whole text column),
+    * norms are a keyed aggregate joined back on doc_id, the pair join
+    * is keyed per TERM with fan-out ≤ C(cap, 2) per term, then ONE
     * partial-agg'd pair groupBy. No windows, no driver state. */
   def tfCosinePairs(spark: SparkSession, dir: String,
                     n: Int = TfCosShingleN,
@@ -1882,17 +1884,10 @@ object Dedup {
                     tDen: Int = TfCosThresholdDen,
                     maxTermDf: Int = TfCosMaxTermDf): DataFrame = {
     require(tNum >= 0 && tDen > 0, "threshold must be a nonneg rational")
-    val words = split(col("text"), " ")
-    // wordShingles minus the distinct: every 5-gram OCCURRENCE counts
-    val grams = filter(
-      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => when(i + n <= size(words),
-          concat_ws(" ", slice(words, i + lit(1), lit(n)))).otherwise(lit(null))),
-      x => x.isNotNull)
-    val tf = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(grams).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    // every 5-gram OCCURRENCE counts — gramOcc's cnt is exactly this tf
+    // (same tokenization, same shorter-than-n exclusion contract)
+    val tf = GramStage.gramOcc(spark, dir, n)
+      .select(col("doc_id"), col("gram").as("w"), col("cnt").as("tf"))
     val norms = tf.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("norm2"))
     val stopTerms = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))

@@ -132,4 +132,57 @@ object Retrieval {
       .select(col("query_id").cast("long").as("query_id"), col("rank"),
         col("doc_id"), col("n_terms"), col("score_pts"))
   }
+
+  /** x239 knobs: per-system depth and the RRF damping constant (x137's
+    * integer convention: `10⁶ div (kRrf + rank)`). Shared with the
+    * oracle. */
+  val HybridK: Int = 5
+  val HybridRrfK: Int = 60
+
+  /** Hybrid related-document retrieval (x239): reciprocal-rank fusion
+    * of the two staged "related items" systems a production corpus
+    * serves — the SEMANTIC neighbor list ([[KnnStage]]'s exact table;
+    * swap-parameterized like every staged-table consumer, so
+    * [[AnnStage]] drops in at 100 TB) and the LEXICAL near-dup ranking
+    * (x163's TF-cosine pair evidence, symmetrized and ranked per doc by
+    * its 3-IEEE-op `cos_dbl` — bit-identical cross-engine — ties to the
+    * smaller partner id). Per (doc, candidate): both system ranks (−1
+    * when a system did not surface the pair), the x137 integer RRF
+    * score, and the fused rank. Hybrid fusion is the standard answer to
+    * "embedding recall misses keyword matches and vice versa"; this is
+    * that operator over THIS library's own staged artifacts.
+    *
+    * 100 TB shape: both inputs are staged O(N·k)-ish tables (the gram
+    * stage bounds lexical pair fan-out by the df cap); the fusion is a
+    * full-outer join on (doc, candidate) and two bounded-partition
+    * windows (≤ 2k rows per doc). */
+  def hybridRelated(spark: SparkSession, dir: String,
+                    k: Int = HybridK, kRrf: Int = HybridRrfK,
+                    rankedTable: (SparkSession, String, Int) => DataFrame =
+                      KnnStage.ranked(_, _, _)): DataFrame = {
+    val sem = rankedTable(spark, dir, math.max(k, KnnStage.StageK))
+      .filter(col("rank") <= k)
+      .select(col("q_id").as("doc_id"), col("vec_id").as("rel_id"),
+        col("rank").cast("long").as("r_sem"))
+    val pairs = Dedup.tfCosinePairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("cos_dbl"))
+    val symm = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("rel_id"), col("cos_dbl"))
+      .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("rel_id"), col("cos_dbl")))
+    val wl = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cos_dbl").desc, col("rel_id"))
+    val lex = symm.withColumn("r_lex", row_number().over(wl).cast("long"))
+      .filter(col("r_lex") <= k)
+      .select(col("doc_id"), col("rel_id"), col("r_lex"))
+    val fused = sem.join(lex, Seq("doc_id", "rel_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000L div ($kRrf + r_sem)"), lit(0L)) +
+          coalesce(expr(s"1000000L div ($kRrf + r_lex)"), lit(0L)))
+    val wf = Window.partitionBy(col("doc_id"))
+      .orderBy(col("rrf_micro").desc, col("rel_id"))
+    fused.withColumn("r_fused", row_number().over(wf).cast("long"))
+      .select(col("doc_id"), col("rel_id"),
+        coalesce(col("r_sem"), lit(-1L)).as("r_sem"),
+        coalesce(col("r_lex"), lit(-1L)).as("r_lex"),
+        col("rrf_micro"), col("r_fused"))
+  }
 }

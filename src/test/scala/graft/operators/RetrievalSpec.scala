@@ -109,4 +109,46 @@ class RetrievalSpec extends SparkSpec {
         s"window partitioned by $refs\n$plan")
     }
   }
+
+  test("hybridRelated (x239): fusion matches a driver replay; staged-table swap holds") {
+    val k = Retrieval.HybridK
+    val kRrf = Retrieval.HybridRrfK
+    val sem = KnnStage.ranked(spark, sf).as[(Long, Long, Double, Int)]
+      .collect().filter(_._4 <= k)
+      .map(r => (r._1, r._2) -> r._4.toLong).toMap
+    val pairs = Dedup.tfCosinePairs(spark, sf)
+      .select($"doc_a", $"doc_b", $"cos_dbl").as[(Long, Long, Double)].collect()
+    val symm = pairs.map(p => (p._1, p._2, p._3)) ++ pairs.map(p => (p._2, p._1, p._3))
+    val lex = symm.groupBy(_._1).toSeq.flatMap { case (d, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+        .map { case ((_, rel, _), i) => (d, rel) -> (i + 1).toLong }
+    }.toMap
+    val keys = sem.keySet ++ lex.keySet
+    val want = keys.map { key =>
+      val (rs, rl) = (sem.get(key), lex.get(key))
+      val rrf = rs.map(r => 1000000L / (kRrf + r)).getOrElse(0L) +
+        rl.map(r => 1000000L / (kRrf + r)).getOrElse(0L)
+      key -> (rs.getOrElse(-1L), rl.getOrElse(-1L), rrf)
+    }.toMap
+    val got = Retrieval.hybridRelated(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { case (d, rel, rs, rl, rrf, _) =>
+      assert(want((d, rel)) == ((rs, rl, rrf)), s"pair ($d, $rel)")
+    }
+    // fused ranks are a permutation of 1..count per doc, and the fusion
+    // is genuinely hybrid on this corpus: some pair is surfaced by only
+    // one system on each side
+    got.groupBy(_._1).foreach { case (d, rows) =>
+      assert(rows.map(_._6).sorted.toSeq == (1 to rows.length).map(_.toLong), s"doc $d")
+    }
+    assert(got.exists(r => r._3 == -1L && r._4 > 0L))
+    assert(got.exists(r => r._4 == -1L && r._3 > 0L))
+    // the semantic side swaps to the ANN stage like every consumer: at
+    // full probe radius the output is identical
+    val swapped = Retrieval.hybridRelated(spark, sf,
+        rankedTable = (s, d, kk) => AnnStage.ranked(s, d, kk, Similarity.LshPlanes))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(swapped == got.toSet)
+  }
 }
