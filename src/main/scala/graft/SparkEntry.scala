@@ -280,6 +280,7 @@ object SparkEntry {
     "x237_priority_sample"  -> ((s, d) => Sampling.prioritySample(s, d)),
     "x238_matryoshka_recall" -> ((s, d) => Similarity.matryoshkaRecall(s, d)),
     "x239_hybrid_related"   -> ((s, d) => Retrieval.hybridRelated(s, d)),
+    "x240_compaction_plan"  -> ((s, d) => Relational.compactionPlan(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -5143,6 +5144,45 @@ object SparkEntry {
         |       CAST(row_number() OVER (PARTITION BY doc_id
         |         ORDER BY rrf_micro DESC, rel_id) AS BIGINT) AS r_fused
         |FROM f""".stripMargin
+    },
+
+    // x240: compaction-plan audit — x222's file/predicate CTEs, files
+    // coalesced into row-balanced bins by exclusive-prefix div target,
+    // the skip grid priced against both file sets.
+    "x240_compaction_plan" -> {
+      import operators.Relational.{CompactBins, ZoneFiles, ZonePredicates}
+      s"""WITH rows_ AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders),
+        |b AS (SELECT min(k) AS min_k, max(k) AS max_k,
+        |             min(c) AS min_c, max(c) AS max_c FROM rows_),
+        |tagged AS (SELECT ((k - min_k) * $ZoneFiles) // (max_k - min_k + 1) AS f, c
+        |           FROM rows_, b),
+        |files AS (SELECT f, CAST(count(*) AS BIGINT) AS f_rows,
+        |                 min(c) AS f_min, max(c) AS f_max FROM tagged GROUP BY 1),
+        |tot AS (SELECT CAST(sum(f_rows) AS BIGINT) AS total FROM files),
+        |binned AS (SELECT f, f_rows, f_min, f_max,
+        |                  coalesce(sum(f_rows) OVER (ORDER BY f
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |                    // ((total + ${CompactBins - 1}) // $CompactBins) AS bin
+        |           FROM files, tot),
+        |bins AS (SELECT bin AS f, CAST(sum(f_rows) AS BIGINT) AS f_rows,
+        |                min(f_min) AS f_min, max(f_max) AS f_max
+        |         FROM binned GROUP BY 1),
+        |preds AS (SELECT CAST(r.p AS BIGINT) AS p,
+        |                 min_c + (r.p * (max_c - min_c + 1) + ${ZonePredicates - 1}) // $ZonePredicates AS lo,
+        |                 min_c + ((r.p + 1) * (max_c - min_c + 1) + ${ZonePredicates - 1}) // $ZonePredicates - 1 AS hi
+        |          FROM (SELECT unnest(range($ZonePredicates)) AS p) r, b),
+        |gs AS (SELECT p, lo, hi,
+        |              CAST(sum(CASE WHEN f_max < lo OR f_min > hi THEN 0 ELSE 1 END) AS BIGINT) AS files_read_small,
+        |              CAST(sum(CASE WHEN f_max < lo OR f_min > hi THEN 0 ELSE f_rows END) AS BIGINT) AS rows_scanned_small
+        |       FROM preds, files GROUP BY 1, 2, 3),
+        |gc AS (SELECT p,
+        |              CAST(sum(CASE WHEN f_max < lo OR f_min > hi THEN 0 ELSE 1 END) AS BIGINT) AS files_read_compacted,
+        |              CAST(sum(CASE WHEN f_max < lo OR f_min > hi THEN 0 ELSE f_rows END) AS BIGINT) AS rows_scanned_compacted
+        |       FROM preds, bins GROUP BY 1)
+        |SELECT gs.p, gs.lo, gs.hi, gs.files_read_small, gs.rows_scanned_small,
+        |       gc.files_read_compacted, gc.rows_scanned_compacted,
+        |       gc.rows_scanned_compacted - gs.rows_scanned_small AS extra_rows_cost
+        |FROM gs JOIN gc ON gs.p = gc.p""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

@@ -1736,6 +1736,69 @@ object Relational {
         (col("scanned_current") - col("scanned_zordered")).as("rows_saved"))
   }
 
+  /** x240's bin count: small files compact into this many target bins.
+    * Shared with the DuckDB oracle. */
+  val CompactBins: Int = 8
+
+  /** Compaction planning audit (x240): the OPTIMIZE decision's OTHER
+    * half — x231 measures what a z-order rewrite buys, this measures
+    * what plain small-file compaction costs. The [[ZoneFiles]] files of
+    * the insertion layout (stats from the REAL footers, [[FooterStats]])
+    * are coalesced in file order into [[CompactBins]] row-balanced bins
+    * (bin = exclusive-prefix-rows div target — the deterministic
+    * bin-packing a compactor actually runs), and the x222 predicate
+    * grid is evaluated against BOTH file sets: per predicate, files
+    * read and rows scanned before vs after. Compaction trades footer
+    * count (open/list cost, the reason small files hurt) against
+    * zone-map precision (bigger files ⇒ wider min/max ⇒ fewer skips);
+    * this table prices that trade per predicate instead of asserting a
+    * rule of thumb.
+    *
+    * 100 TB shape: file stats are O(files) metadata; the prefix sum
+    * here rides a window over the file list, bounded by the
+    * [[ZoneFiles]] constant (at a million files it becomes
+    * `Sampling.exclusivePrefixSum` — the same swap x208 made); the
+    * grids are broadcast model-state crosses. */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val (nf, np) = (ZoneFiles, ZonePredicates)
+    val rows = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
+    val bounds = rows.agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+      min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+    val files = FooterStats.fileStats(spark, dir).localCheckpoint()
+    // bin by exclusive prefix rows: ≤ ZoneFiles rows, a bounded window
+    val wf = Window.orderBy(col("f"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = files.agg(sum(col("f_rows")).as("total"))
+    val binned = files.crossJoin(broadcast(total))
+      .withColumn("prefix", coalesce(sum(col("f_rows")).over(wf), lit(0L)))
+      .withColumn("target", expr(s"(total + ${CompactBins - 1}) div $CompactBins"))
+      .withColumn("bin", expr("prefix div target"))
+    val bins = binned.groupBy(col("bin").as("f"))
+      .agg(sum(col("f_rows")).as("f_rows"),
+        min(col("f_min")).as("f_min"), max(col("f_max")).as("f_max"))
+    val preds = spark.range(np.toLong).select(col("id").as("p"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("lo", expr(s"min_c + (p * (max_c - min_c + 1) + $np - 1) div $np"))
+      .withColumn("hi", expr(s"min_c + ((p + 1) * (max_c - min_c + 1) + $np - 1) div $np - 1"))
+      .select(col("p"), col("lo"), col("hi"))
+    def grid(fs: DataFrame, filesOut: String, rowsOut: String): DataFrame =
+      preds.crossJoin(broadcast(fs))
+        .withColumn("hit",
+          (!(col("f_max") < col("lo") || col("f_min") > col("hi"))).cast("long"))
+        .groupBy(col("p"), col("lo"), col("hi"))
+        .agg(sum(col("hit")).as(filesOut),
+          sum(when(col("hit") === 1L, col("f_rows")).otherwise(0L)).as(rowsOut))
+    grid(files, "files_read_small", "rows_scanned_small")
+      .join(grid(bins, "files_read_compacted", "rows_scanned_compacted"),
+        Seq("p", "lo", "hi"))
+      .select(col("p"), col("lo"), col("hi"),
+        col("files_read_small"), col("rows_scanned_small"),
+        col("files_read_compacted"), col("rows_scanned_compacted"),
+        (col("rows_scanned_compacted") - col("rows_scanned_small"))
+          .as("extra_rows_cost"))
+  }
+
   /** x223's histogram resolution. Shared with the DuckDB oracle. */
   val CardBuckets: Int = 32
 

@@ -169,6 +169,36 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("x240: compaction plan matches a driver replay and prices the real trade") {
+    val sf = "/root/testdata/sf0.001"
+    val k = Relational.CompactBins
+    val files = FooterStats.fileStats(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val total = files.map(_._2).sum
+    val target = (total + k - 1) / k
+    val prefixes = files.map(_._2).scanLeft(0L)(_ + _).init
+    val bins = files.zip(prefixes).groupBy { case (_, pre) => pre / target }
+      .map { case (b, fs) => (b, fs.map(_._1._2).sum,
+        fs.map(_._1._3).min, fs.map(_._1._4).max) }
+    val got = Relational.compactionPlan(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == Relational.ZonePredicates)
+    got.foreach { case (_, lo, hi, fSmall, rSmall, fComp, rComp, extra) =>
+      val wantSmall = files.filter(f => !(f._4 < lo || f._3 > hi))
+      val wantComp = bins.filter(b => !(b._4 < lo || b._3 > hi))
+      assert((fSmall, rSmall) == ((wantSmall.length.toLong, wantSmall.map(_._2).sum)))
+      assert((fComp, rComp) == ((wantComp.size.toLong, wantComp.map(_._2).sum.toLong)))
+      assert(extra == rComp - rSmall)
+      // the trade's direction: compaction never opens more files, never
+      // scans fewer rows
+      assert(fComp <= fSmall && rComp >= rSmall)
+    }
+    // bins genuinely compact (fewer files) and the cost is visible on
+    // at least one predicate of this corpus
+    assert(bins.size < files.length)
+    assert(got.exists(_._8 > 0L))
+  }
+
   test("x202's probe join carries no broadcast hint on a corpus-derived side") {
     // The query side of the signature probe join is corpus × ~37 masks; a
     // forced broadcast() there is a driver OOM at 100×. The join must be a
