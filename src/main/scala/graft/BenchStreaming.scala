@@ -137,11 +137,15 @@ object BenchStreaming {
       } finally deleteTree(root)
     }
 
-    // TermStage's streaming twin: per-batch doc-term/term-stats/doc-length
-    // appends (mergeable partials — no read of the existing tables)
-    def runKnnIngest(): (String, Double) = {
+    // the two vector-store ingest twins share ONE harness shape (drop-dir
+    // setup, even/odd two-file arrival, timing boundary) so the knn vs
+    // ann rows/s comparison — the measured cost of the exact O(corpus·Δ)
+    // merge vs the signature-bucket probe join — stays like-for-like
+    def runVectorIngest(name: String,
+                        start: (org.apache.spark.sql.DataFrame, String, String) =>
+                          org.apache.spark.sql.streaming.StreamingQuery): (String, Double) = {
       import org.apache.spark.sql.functions.col
-      val root = Files.createTempDirectory("graft-sbench-knn-ingest")
+      val root = Files.createTempDirectory(s"graft-sbench-$name")
       try {
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         // two arrival files → two incremental merges (the ingest shape)
@@ -150,38 +154,18 @@ object BenchStreaming {
           .parquet(s"$root/drop")
         val n = emb.count()
         val t0 = System.nanoTime()
-        graft.streaming.VectorStream.startKnnIngest(
-          spark.readStream.schema(emb.schema)
+        start(spark.readStream.schema(emb.schema)
             .option("maxFilesPerTrigger", 1).parquet(s"$root/drop"),
           s"$root/stage", s"$root/ckpt")
           .awaitTermination()
         val sec = (System.nanoTime() - t0) / 1e9
-        "knn_ingest" -> (n / sec)
+        name -> (n / sec)
       } finally deleteTree(root)
     }
-
-    // the ANN-backed variant of the kNN ingester: per-batch cost is the
-    // signature-bucket probe join, not the O(corpus·Δ) exact merge — the
-    // rows/s delta against knn_ingest is the measured ingest-cost drop
-    def runAnnIngest(): (String, Double) = {
-      import org.apache.spark.sql.functions.col
-      val root = Files.createTempDirectory("graft-sbench-ann-ingest")
-      try {
-        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        emb.filter(col("vec_id") % 2 === 0).write.parquet(s"$root/drop")
-        emb.filter(col("vec_id") % 2 === 1).write.mode("append")
-          .parquet(s"$root/drop")
-        val n = emb.count()
-        val t0 = System.nanoTime()
-        graft.streaming.VectorStream.startAnnIngest(
-          spark.readStream.schema(emb.schema)
-            .option("maxFilesPerTrigger", 1).parquet(s"$root/drop"),
-          s"$root/stage", s"$root/ckpt")
-          .awaitTermination()
-        val sec = (System.nanoTime() - t0) / 1e9
-        "ann_ingest" -> (n / sec)
-      } finally deleteTree(root)
-    }
+    def runKnnIngest(): (String, Double) = runVectorIngest("knn_ingest",
+      graft.streaming.VectorStream.startKnnIngest(_, _, _))
+    def runAnnIngest(): (String, Double) = runVectorIngest("ann_ingest",
+      graft.streaming.VectorStream.startAnnIngest(_, _, _))
 
     def runTermIngest(): (String, Double) = {
       import org.apache.spark.sql.functions.col

@@ -321,6 +321,132 @@ object SparkEntry {
       |FROM grid g LEFT JOIN m ON g.p = m.p""".stripMargin
   }
 
+  /** The md5 query-sample CTE of the sampled fidelity audits
+    * (x232/x233/x234) — x27's bucket rule, salt "qsample", over the
+    * signature CTE `s`. */
+  private def qsampleCteSql: String =
+    s"""sq AS (SELECT * FROM s
+      |       WHERE ('0x' || substr(md5('qsample:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+      |             % 10000 < ${operators.Similarity.AuditSampleBps}),""".stripMargin
+
+  /** x202's recall-curve oracle, shared with its sampled twin x232 —
+    * ONE builder parameterized on the query-side CTE so the full and
+    * sampled gates can never drift (the zoneMapOracleSql reasoning
+    * applied to the fidelity family). */
+  private def recallCurveOracleSql(sampled: Boolean): String = {
+    import operators.Similarity.{LshCurveK, LshPlanes, LshProbeRadius}
+    val (cte, q) = if (sampled) (qsampleCteSql + "\n", "sq") else ("", "s")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm,
+      |        ${operators.Similarity.hyperplaneSigSql("v", LshPlanes)} AS sig
+      |      FROM e),
+      |${cte}exact_scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id,
+      |    floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+      |  FROM $q q JOIN s c ON q.vec_id <> c.vec_id),
+      |exact_topk AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos_sim DESC, vec_id) AS rank
+      |    FROM exact_scored) t WHERE rank <= $LshCurveK),
+      |cand AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id,
+      |    floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim,
+      |    bit_count(xor(c.sig, q.sig)) AS d
+      |  FROM $q q JOIN s c ON q.vec_id <> c.vec_id
+      |    AND bit_count(xor(c.sig, q.sig)) <= $LshProbeRadius),
+      |fan AS (SELECT q_id, vec_id, cos_sim,
+      |               unnest(range(d, ${LshProbeRadius + 1})) AS radius
+      |        FROM cand),
+      |ranked AS (SELECT q_id, vec_id, radius,
+      |                  row_number() OVER (PARTITION BY q_id, radius
+      |                    ORDER BY cos_sim DESC, vec_id) AS rk
+      |           FROM fan),
+      |hits AS (SELECT t.radius, CAST(count(*) AS BIGINT) AS n_hits
+      |         FROM ranked t JOIN exact_topk x
+      |           ON t.q_id = x.q_id AND t.vec_id = x.vec_id
+      |         WHERE t.rk <= $LshCurveK GROUP BY 1),
+      |cands AS (SELECT radius, CAST(count(*) AS BIGINT) AS n_candidates
+      |          FROM fan GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM $q),
+      |rr AS (SELECT unnest(range(0, ${LshProbeRadius + 1})) AS radius)
+      |SELECT rr.radius, t.n_queries,
+      |       coalesce(c.n_candidates, 0) AS n_candidates,
+      |       coalesce(h.n_hits, 0) AS n_hits,
+      |       (1000000 * coalesce(h.n_hits, 0)) // ($LshCurveK * t.n_queries)
+      |         AS recall_ppm,
+      |       coalesce(c.n_candidates, 0) // t.n_queries AS avg_candidates
+      |FROM rr LEFT JOIN cands c ON rr.radius = c.radius
+      |LEFT JOIN hits h ON rr.radius = h.radius CROSS JOIN tot t""".stripMargin
+  }
+
+  /** x221's swap-fidelity oracle, shared with its sampled twin x233. */
+  private def annSwapOracleSql(sampled: Boolean): String = {
+    import operators.AnnStage.AnnRadius
+    import operators.KnnStage.StageK
+    import operators.Similarity.LshPlanes
+    val (cte, q) = if (sampled) (qsampleCteSql + "\n", "sq") else ("", "s")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm,
+      |        ${operators.Similarity.hyperplaneSigSql("v", LshPlanes)} AS sig
+      |      FROM e),
+      |${cte}exact_rk AS (
+      |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos_sim DESC, vec_id) AS rank_exact
+      |  FROM (SELECT q.vec_id AS q_id, c.vec_id,
+      |          floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+      |        FROM $q q JOIN s c ON q.vec_id <> c.vec_id) t),
+      |exact_topk AS (SELECT * FROM exact_rk WHERE rank_exact <= $StageK),
+      |ann_rk AS (
+      |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos_sim DESC, vec_id) AS rank_ann
+      |  FROM (SELECT q.vec_id AS q_id, c.vec_id,
+      |          floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+      |        FROM s q JOIN s c ON q.vec_id <> c.vec_id
+      |          AND bit_count(xor(c.sig, q.sig)) <= $AnnRadius) t),
+      |ann_topk AS (SELECT * FROM ann_rk WHERE rank_ann <= $StageK)
+      |SELECT CAST(x.rank_exact AS INTEGER) AS rank_exact,
+      |       CAST(count(*) AS BIGINT) AS n_exact,
+      |       CAST(count(a.rank_ann) AS BIGINT) AS n_found,
+      |       CAST((1000000 * count(a.rank_ann)) // count(*) AS BIGINT) AS recall_ppm,
+      |       CAST(coalesce(sum(a.rank_ann - x.rank_exact), 0) AS BIGINT) AS displacement_sum
+      |FROM exact_topk x LEFT JOIN ann_topk a
+      |  ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+      |GROUP BY x.rank_exact""".stripMargin
+  }
+
+  /** x225's retrieval-eval oracle, shared with its sampled twin x234. */
+  private def retrievalEvalOracleSql(sampled: Boolean): String = {
+    import operators.KnnStage.StageK
+    import operators.Similarity.EvalKs
+    val (cte, q) = if (sampled) (qsampleCteSql + "\n", "sq") else ("", "s")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+      |      FROM e),
+      |${cte}rk AS (
+      |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos_sim DESC, vec_id) AS rank
+      |  FROM (SELECT q.vec_id AS q_id, c.vec_id,
+      |          floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+      |        FROM $q q JOIN s c ON q.vec_id <> c.vec_id) t),
+      |topk AS (SELECT * FROM rk WHERE rank <= $StageK),
+      |lab AS (SELECT vec_id AS id, label FROM embeddings),
+      |fh AS (SELECT t.q_id, ql.label AS q_label,
+      |              min(CASE WHEN nl.label = ql.label THEN t.rank END) AS first_hit
+      |       FROM topk t JOIN lab ql ON t.q_id = ql.id
+      |                   JOIN lab nl ON t.vec_id = nl.id
+      |       GROUP BY 1, 2)
+      |SELECT q_label, CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(sum(CASE WHEN first_hit <= ${EvalKs(0)} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1,
+      |       CAST(sum(CASE WHEN first_hit <= ${EvalKs(1)} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit3,
+      |       CAST(sum(CASE WHEN first_hit <= ${EvalKs(2)} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit5,
+      |       CAST(sum(coalesce(1000000 // first_hit, 0)) AS BIGINT) AS rr_ppm_sum
+      |FROM fh GROUP BY 1""".stripMargin
+  }
+
   /** x231's before/after-OPTIMIZE oracle — shared VERBATIM with x236
     * (the footer-backed variant), same reasoning as [[zoneMapOracleSql]]. */
   private def zorderDeltaOracleSql: String = {
@@ -4091,53 +4217,9 @@ object SparkEntry {
 
     // x202: LSH recall-vs-radius curve — x10's signature CTE over ALL
     // queries, Hamming-distance fan-out to nested radii, exact top-k
-    // baseline, per-radius recall/candidate rollup.
-    "x202_lsh_recall_curve" -> {
-      import operators.Similarity.{LshCurveK, LshPlanes, LshProbeRadius}
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT vec_id, v,
-        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm,
-        |        ${operators.Similarity.hyperplaneSigSql("v", LshPlanes)} AS sig
-        |      FROM e),
-        |exact_scored AS (
-        |  SELECT q.vec_id AS q_id, c.vec_id,
-        |    floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
-        |  FROM s q JOIN s c ON q.vec_id <> c.vec_id),
-        |exact_topk AS (
-        |  SELECT q_id, vec_id FROM (
-        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY cos_sim DESC, vec_id) AS rank
-        |    FROM exact_scored) t WHERE rank <= $LshCurveK),
-        |cand AS (
-        |  SELECT q.vec_id AS q_id, c.vec_id,
-        |    floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim,
-        |    bit_count(xor(c.sig, q.sig)) AS d
-        |  FROM s q JOIN s c ON q.vec_id <> c.vec_id
-        |    AND bit_count(xor(c.sig, q.sig)) <= $LshProbeRadius),
-        |fan AS (SELECT q_id, vec_id, cos_sim,
-        |               unnest(range(d, ${LshProbeRadius + 1})) AS radius
-        |        FROM cand),
-        |ranked AS (SELECT q_id, vec_id, radius,
-        |                  row_number() OVER (PARTITION BY q_id, radius
-        |                    ORDER BY cos_sim DESC, vec_id) AS rk
-        |           FROM fan),
-        |hits AS (SELECT t.radius, CAST(count(*) AS BIGINT) AS n_hits
-        |         FROM ranked t JOIN exact_topk x
-        |           ON t.q_id = x.q_id AND t.vec_id = x.vec_id
-        |         WHERE t.rk <= $LshCurveK GROUP BY 1),
-        |cands AS (SELECT radius, CAST(count(*) AS BIGINT) AS n_candidates
-        |          FROM fan GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM e),
-        |rr AS (SELECT unnest(range(0, ${LshProbeRadius + 1})) AS radius)
-        |SELECT rr.radius, t.n_queries,
-        |       coalesce(c.n_candidates, 0) AS n_candidates,
-        |       coalesce(h.n_hits, 0) AS n_hits,
-        |       (1000000 * coalesce(h.n_hits, 0)) // ($LshCurveK * t.n_queries)
-        |         AS recall_ppm,
-        |       coalesce(c.n_candidates, 0) // t.n_queries AS avg_candidates
-        |FROM rr LEFT JOIN cands c ON rr.radius = c.radius
-        |LEFT JOIN hits h ON rr.radius = h.radius CROSS JOIN tot t""".stripMargin
-    },
+    // baseline, per-radius recall/candidate rollup. ONE builder shared
+    // with the sampled twin (x232) so the two can never drift.
+    "x202_lsh_recall_curve" -> recallCurveOracleSql(sampled = false),
 
     // x203: incremental kNN ingest — the oracle is the FROM-SCRATCH full
     // ranking (x178's CTE at the staged depth): the day-1/day-2 split is
@@ -4612,40 +4694,9 @@ object SparkEntry {
 
     // x221: ANN staged-swap fidelity — exact brute-force ranking vs the
     // hyperplane-LSH radius-R candidate ranking (x202's scoring CTEs),
-    // per-exact-rank recall + displacement rollup.
-    "x221_ann_swap" -> {
-      import operators.AnnStage.AnnRadius
-      import operators.KnnStage.StageK
-      import operators.Similarity.LshPlanes
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT vec_id, v,
-        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm,
-        |        ${operators.Similarity.hyperplaneSigSql("v", LshPlanes)} AS sig
-        |      FROM e),
-        |exact_rk AS (
-        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY cos_sim DESC, vec_id) AS rank_exact
-        |  FROM (SELECT q.vec_id AS q_id, c.vec_id,
-        |          floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
-        |        FROM s q JOIN s c ON q.vec_id <> c.vec_id) t),
-        |exact_topk AS (SELECT * FROM exact_rk WHERE rank_exact <= $StageK),
-        |ann_rk AS (
-        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY cos_sim DESC, vec_id) AS rank_ann
-        |  FROM (SELECT q.vec_id AS q_id, c.vec_id,
-        |          floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
-        |        FROM s q JOIN s c ON q.vec_id <> c.vec_id
-        |          AND bit_count(xor(c.sig, q.sig)) <= $AnnRadius) t),
-        |ann_topk AS (SELECT * FROM ann_rk WHERE rank_ann <= $StageK)
-        |SELECT CAST(x.rank_exact AS INTEGER) AS rank_exact,
-        |       CAST(count(*) AS BIGINT) AS n_exact,
-        |       CAST(count(a.rank_ann) AS BIGINT) AS n_found,
-        |       CAST((1000000 * count(a.rank_ann)) // count(*) AS BIGINT) AS recall_ppm,
-        |       CAST(coalesce(sum(a.rank_ann - x.rank_exact), 0) AS BIGINT) AS displacement_sum
-        |FROM exact_topk x LEFT JOIN ann_topk a
-        |  ON x.q_id = a.q_id AND x.vec_id = a.vec_id
-        |GROUP BY x.rank_exact""".stripMargin
-    },
+    // per-exact-rank recall + displacement rollup. Builder shared with
+    // the sampled twin (x233).
+    "x221_ann_swap" -> annSwapOracleSql(sampled = false),
 
     // x222: zone-map skipping audit — equi-width file/predicate buckets
     // (integer div, x209's rule), min/max skip decision, matching counts.
@@ -4706,33 +4757,8 @@ object SparkEntry {
 
     // x225: retrieval eval — exact brute-force top-k (x221's scoring
     // CTEs) + label joins, per-label hit@k and integer reciprocal rank.
-    "x225_retrieval_eval" -> {
-      import operators.KnnStage.StageK
-      import operators.Similarity.EvalKs
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT vec_id, v,
-        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
-        |      FROM e),
-        |rk AS (
-        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY cos_sim DESC, vec_id) AS rank
-        |  FROM (SELECT q.vec_id AS q_id, c.vec_id,
-        |          floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
-        |        FROM s q JOIN s c ON q.vec_id <> c.vec_id) t),
-        |topk AS (SELECT * FROM rk WHERE rank <= $StageK),
-        |lab AS (SELECT vec_id AS id, label FROM embeddings),
-        |fh AS (SELECT t.q_id, ql.label AS q_label,
-        |              min(CASE WHEN nl.label = ql.label THEN t.rank END) AS first_hit
-        |       FROM topk t JOIN lab ql ON t.q_id = ql.id
-        |                   JOIN lab nl ON t.vec_id = nl.id
-        |       GROUP BY 1, 2)
-        |SELECT q_label, CAST(count(*) AS BIGINT) AS n_queries,
-        |       CAST(sum(CASE WHEN first_hit <= ${EvalKs(0)} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1,
-        |       CAST(sum(CASE WHEN first_hit <= ${EvalKs(1)} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit3,
-        |       CAST(sum(CASE WHEN first_hit <= ${EvalKs(2)} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit5,
-        |       CAST(sum(coalesce(1000000 // first_hit, 0)) AS BIGINT) AS rr_ppm_sum
-        |FROM fh GROUP BY 1""".stripMargin
-    },
+    // Builder shared with the sampled twin (x234).
+    "x225_retrieval_eval" -> retrievalEvalOracleSql(sampled = false),
 
     // x226: peak session concurrency — the x11 session CTE, boundary
     // deltas, running-sum sweep, per-day peak + earliest attaining second.
@@ -4913,123 +4939,11 @@ object SparkEntry {
     // md5-bucket query sample (salt "qsample", AuditSampleBps/10000 kept).
     // Per-query panels are independent across queries, so sampled ≡ full
     // restricted to the sample; the oracles re-derive that restriction.
-    "x232_recall_curve_sampled" -> {
-      import operators.Similarity.{AuditSampleBps, LshCurveK, LshPlanes, LshProbeRadius}
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT vec_id, v,
-        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm,
-        |        ${operators.Similarity.hyperplaneSigSql("v", LshPlanes)} AS sig
-        |      FROM e),
-        |sq AS (SELECT * FROM s
-        |       WHERE ('0x' || substr(md5('qsample:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
-        |             % 10000 < $AuditSampleBps),
-        |exact_scored AS (
-        |  SELECT q.vec_id AS q_id, c.vec_id,
-        |    floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
-        |  FROM sq q JOIN s c ON q.vec_id <> c.vec_id),
-        |exact_topk AS (
-        |  SELECT q_id, vec_id FROM (
-        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY cos_sim DESC, vec_id) AS rank
-        |    FROM exact_scored) t WHERE rank <= $LshCurveK),
-        |cand AS (
-        |  SELECT q.vec_id AS q_id, c.vec_id,
-        |    floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim,
-        |    bit_count(xor(c.sig, q.sig)) AS d
-        |  FROM sq q JOIN s c ON q.vec_id <> c.vec_id
-        |    AND bit_count(xor(c.sig, q.sig)) <= $LshProbeRadius),
-        |fan AS (SELECT q_id, vec_id, cos_sim,
-        |               unnest(range(d, ${LshProbeRadius + 1})) AS radius
-        |        FROM cand),
-        |ranked AS (SELECT q_id, vec_id, radius,
-        |                  row_number() OVER (PARTITION BY q_id, radius
-        |                    ORDER BY cos_sim DESC, vec_id) AS rk
-        |           FROM fan),
-        |hits AS (SELECT t.radius, CAST(count(*) AS BIGINT) AS n_hits
-        |         FROM ranked t JOIN exact_topk x
-        |           ON t.q_id = x.q_id AND t.vec_id = x.vec_id
-        |         WHERE t.rk <= $LshCurveK GROUP BY 1),
-        |cands AS (SELECT radius, CAST(count(*) AS BIGINT) AS n_candidates
-        |          FROM fan GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM sq),
-        |rr AS (SELECT unnest(range(0, ${LshProbeRadius + 1})) AS radius)
-        |SELECT rr.radius, t.n_queries,
-        |       coalesce(c.n_candidates, 0) AS n_candidates,
-        |       coalesce(h.n_hits, 0) AS n_hits,
-        |       (1000000 * coalesce(h.n_hits, 0)) // ($LshCurveK * t.n_queries)
-        |         AS recall_ppm,
-        |       coalesce(c.n_candidates, 0) // t.n_queries AS avg_candidates
-        |FROM rr LEFT JOIN cands c ON rr.radius = c.radius
-        |LEFT JOIN hits h ON rr.radius = h.radius CROSS JOIN tot t""".stripMargin
-    },
+    "x232_recall_curve_sampled" -> recallCurveOracleSql(sampled = true),
 
-    "x233_ann_swap_sampled" -> {
-      import operators.AnnStage.AnnRadius
-      import operators.KnnStage.StageK
-      import operators.Similarity.{AuditSampleBps, LshPlanes}
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT vec_id, v,
-        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm,
-        |        ${operators.Similarity.hyperplaneSigSql("v", LshPlanes)} AS sig
-        |      FROM e),
-        |sq AS (SELECT * FROM s
-        |       WHERE ('0x' || substr(md5('qsample:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
-        |             % 10000 < $AuditSampleBps),
-        |exact_rk AS (
-        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY cos_sim DESC, vec_id) AS rank_exact
-        |  FROM (SELECT q.vec_id AS q_id, c.vec_id,
-        |          floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
-        |        FROM sq q JOIN s c ON q.vec_id <> c.vec_id) t),
-        |exact_topk AS (SELECT * FROM exact_rk WHERE rank_exact <= $StageK),
-        |ann_rk AS (
-        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY cos_sim DESC, vec_id) AS rank_ann
-        |  FROM (SELECT q.vec_id AS q_id, c.vec_id,
-        |          floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
-        |        FROM s q JOIN s c ON q.vec_id <> c.vec_id
-        |          AND bit_count(xor(c.sig, q.sig)) <= $AnnRadius) t),
-        |ann_topk AS (SELECT * FROM ann_rk WHERE rank_ann <= $StageK)
-        |SELECT CAST(x.rank_exact AS INTEGER) AS rank_exact,
-        |       CAST(count(*) AS BIGINT) AS n_exact,
-        |       CAST(count(a.rank_ann) AS BIGINT) AS n_found,
-        |       CAST((1000000 * count(a.rank_ann)) // count(*) AS BIGINT) AS recall_ppm,
-        |       CAST(coalesce(sum(a.rank_ann - x.rank_exact), 0) AS BIGINT) AS displacement_sum
-        |FROM exact_topk x LEFT JOIN ann_topk a
-        |  ON x.q_id = a.q_id AND x.vec_id = a.vec_id
-        |GROUP BY x.rank_exact""".stripMargin
-    },
+    "x233_ann_swap_sampled" -> annSwapOracleSql(sampled = true),
 
-    "x234_retrieval_eval_sampled" -> {
-      import operators.KnnStage.StageK
-      import operators.Similarity.{AuditSampleBps, EvalKs}
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT vec_id, v,
-        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
-        |      FROM e),
-        |sq AS (SELECT * FROM s
-        |       WHERE ('0x' || substr(md5('qsample:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
-        |             % 10000 < $AuditSampleBps),
-        |rk AS (
-        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY cos_sim DESC, vec_id) AS rank
-        |  FROM (SELECT q.vec_id AS q_id, c.vec_id,
-        |          floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
-        |        FROM sq q JOIN s c ON q.vec_id <> c.vec_id) t),
-        |topk AS (SELECT * FROM rk WHERE rank <= $StageK),
-        |lab AS (SELECT vec_id AS id, label FROM embeddings),
-        |fh AS (SELECT t.q_id, ql.label AS q_label,
-        |              min(CASE WHEN nl.label = ql.label THEN t.rank END) AS first_hit
-        |       FROM topk t JOIN lab ql ON t.q_id = ql.id
-        |                   JOIN lab nl ON t.vec_id = nl.id
-        |       GROUP BY 1, 2)
-        |SELECT q_label, CAST(count(*) AS BIGINT) AS n_queries,
-        |       CAST(sum(CASE WHEN first_hit <= ${EvalKs(0)} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1,
-        |       CAST(sum(CASE WHEN first_hit <= ${EvalKs(1)} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit3,
-        |       CAST(sum(CASE WHEN first_hit <= ${EvalKs(2)} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit5,
-        |       CAST(sum(coalesce(1000000 // first_hit, 0)) AS BIGINT) AS rr_ppm_sum
-        |FROM fh GROUP BY 1""".stripMargin
-    },
+    "x234_retrieval_eval_sampled" -> retrievalEvalOracleSql(sampled = true),
 
     // x237: priority sampling (PPSWOR) — md5 uniforms, fixed-point
     // priorities, top-(k+1) threshold, Horvitz–Thompson subset sums.

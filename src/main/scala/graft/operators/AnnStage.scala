@@ -56,6 +56,27 @@ object AnnStage {
     computeApproxRankedTopK(emb, k, planes, radius)
   }
 
+  /** The ONE probe-join shape of the ANN family: `probeSide` exploded
+    * by the radius-R XOR masks, PLAIN equi-join on the probed signature
+    * against `corpus` (unhinted — AQE broadcasts when tiny; the
+    * hint-free discipline ScaleTechniquesSpec pins for x202's sibling),
+    * self-pairs dropped. Returns every qualifying (corpus vec, probe
+    * vec) pair exactly once — one mask per pair satisfies
+    * sig_c = sig_p XOR m. Both frames carry (vec_id, v, sig). */
+  private def probeCandidatePairs(corpus: DataFrame, probeSide: DataFrame,
+                                  planes: Int, radius: Int): DataFrame = {
+    val masks: Seq[Int] =
+      (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= radius)
+    val probes = probeSide
+      .select(col("vec_id").as("p_id"), col("v").as("pv"), col("sig").as("psig"))
+      .withColumn("probe_sig",
+        explode(array(masks.map(m => col("psig").bitwiseXOR(lit(m))): _*)))
+    corpus.join(probes, col("sig") === col("probe_sig"))
+      .filter(col("vec_id") =!= col("p_id"))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("p_id"), col("pv"))
+  }
+
   /** Frame-based overload — the unit the streaming ANN ingester
     * bootstraps from (`streaming.VectorStream.startAnnIngest`). Input
     * carries (vec_id, v, sig) with the signature already computed (the
@@ -65,18 +86,10 @@ object AnnStage {
                                              planes: Int,
                                              radius: Int): DataFrame = {
     import graft.functions.VectorFunctions.cosine_sim
-    val masks: Seq[Int] =
-      (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= radius)
-    val queries = emb
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig").as("qsig"))
-      .withColumn("probe_sig",
-        explode(array(masks.map(m => col("qsig").bitwiseXOR(lit(m))): _*)))
-    // plain equi-join on the probed signature — the bucketed shuffle that
-    // replaces the exact stage's N² cross (AQE broadcasts it when tiny)
-    val cand = emb.join(queries, col("sig") === col("probe_sig"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        Similarity.trunc6(cosine_sim(col("qv"), col("v"))).as("cos_sim"))
+    // the whole corpus probes itself: every vector is a query
+    val cand = probeCandidatePairs(emb, emb, planes, radius)
+      .select(col("p_id").as("q_id"), col("c_id").as("vec_id"),
+        Similarity.trunc6(cosine_sim(col("pv"), col("cv"))).as("cos_sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -98,28 +111,18 @@ object AnnStage {
                                        planes: Int = Similarity.LshPlanes,
                                        radius: Int = AnnRadius): DataFrame = {
     import graft.functions.VectorFunctions.cosine_sim
-    val masks: Seq[Int] =
-      (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= radius)
-    val corpus = oldEmb.union(newEmb)
-    val probes = newEmb
-      .select(col("vec_id").as("w_id"), col("v").as("wv"), col("sig").as("wsig"))
-      .withColumn("probe_sig",
-        explode(array(masks.map(m => col("wsig").bitwiseXOR(lit(m))): _*)))
     // every (corpus, batch) pair within Hamming radius R — BOTH merge
-    // directions ride this single unhinted equi-join
-    val pairs = corpus.join(probes, col("sig") === col("probe_sig"))
-      .filter(col("vec_id") =!= col("w_id"))
-      .select(col("vec_id").as("c_id"), col("v").as("cv"),
-        col("w_id"), col("wv"))
+    // directions ride this single probe join (the shared shape)
+    val pairs = probeCandidatePairs(oldEmb.union(newEmb), newEmb, planes, radius)
       .localCheckpoint() // scored in both directions below
     // batch vectors as queries: full radius-R lists over old ∪ new
-    val newLists = pairs.select(col("w_id").as("q_id"), col("c_id").as("vec_id"),
-      Similarity.trunc6(cosine_sim(col("wv"), col("cv"))).as("cos_sim"))
+    val newLists = pairs.select(col("p_id").as("q_id"), col("c_id").as("vec_id"),
+      Similarity.trunc6(cosine_sim(col("pv"), col("cv"))).as("cos_sim"))
     // existing queries: only their batch-side candidates are new scores
     val deltas = pairs
       .join(newEmb.select(col("vec_id").as("c_id")), Seq("c_id"), "left_anti")
-      .select(col("c_id").as("q_id"), col("w_id").as("vec_id"),
-        Similarity.trunc6(cosine_sim(col("cv"), col("wv"))).as("cos_sim"))
+      .select(col("c_id").as("q_id"), col("p_id").as("vec_id"),
+        Similarity.trunc6(cosine_sim(col("cv"), col("pv"))).as("cos_sim"))
     val oldTop = oldRanked.select(col("q_id"), col("vec_id"), col("cos_sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     oldTop.union(deltas).union(newLists)

@@ -85,10 +85,13 @@ object FooterStats {
                                layout: String = "insertion"): DataFrame = {
     import spark.implicits._
     val root = layoutRoot(spark, dir, layout)
-    val leafFiles = Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("part-") &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString).toSeq.sorted
+    val walk = Files.walk(java.nio.file.Paths.get(root))
+    val leafFiles =
+      try walk.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq.sorted
+      finally walk.close()
     spark.createDataset(leafFiles)
       .repartition(math.min(leafFiles.size, 32))
       .mapPartitions { paths =>

@@ -1262,10 +1262,13 @@ object Sampling {
       .withColumn("h", Dedup.md5Hash60(concat(lit("prio:"), col("doc_id").cast("string"))))
       .withColumn("h", expr(s"h div $PriorityLevels")) // top 30 bits → [0, 2³⁰)
       .withColumn("prio", expr(s"(w * $PriorityLevels) div (h + 1)"))
-    // top-(k+1): TakeOrdered, then ranks inside the bounded (k+1)-row frame
+    // top-(k+1): TakeOrdered, then ranks inside the bounded (k+1)-row
+    // frame — MATERIALIZED so the τ branch and the estimate branch don't
+    // each re-run the corpus-wide priority scan
     val top = w.orderBy(col("prio").desc, col("doc_id")).limit(k + 1)
       .withColumn("rn", row_number().over( // bounded-domain window: ≤ k+1 rows
         Window.orderBy(col("prio").desc, col("doc_id"))))
+      .localCheckpoint()
     val tau = top.agg(coalesce(max(when(col("rn") === k + 1, col("prio"))), lit(0L)).as("tau"))
     val est = top.filter(col("rn") <= k).crossJoin(broadcast(tau))
       .groupBy(col("source"))
