@@ -281,6 +281,9 @@ object SparkEntry {
     "x238_matryoshka_recall" -> ((s, d) => Similarity.matryoshkaRecall(s, d)),
     "x239_hybrid_related"   -> ((s, d) => Retrieval.hybridRelated(s, d)),
     "x240_compaction_plan"  -> ((s, d) => Relational.compactionPlan(s, d)),
+    "x241_retrieval_eval_ann" -> ((s, d) => Similarity.retrievalEval(s, d,
+      rankedTable = (s2, d2, k) => operators.AnnStage.ranked(s2, d2, k))),
+    "x242_temperature_mixture" -> ((s, d) => Sampling.temperatureMixture(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -417,21 +420,31 @@ object SparkEntry {
       |GROUP BY x.rank_exact""".stripMargin
   }
 
-  /** x225's retrieval-eval oracle, shared with its sampled twin x234. */
-  private def retrievalEvalOracleSql(sampled: Boolean): String = {
+  /** x225's retrieval-eval oracle, shared with its sampled twin x234
+    * and its ANN-served twin x241 (`annRadius` restricts the candidate
+    * set to the radius-R Hamming ball — AnnStage's exact SQL replica,
+    * so the task-level metric degradation of the swap is itself
+    * oracle-checked). */
+  private def retrievalEvalOracleSql(sampled: Boolean,
+                                     annRadius: Option[Int] = None): String = {
     import operators.KnnStage.StageK
-    import operators.Similarity.EvalKs
+    import operators.Similarity.{EvalKs, LshPlanes}
     val (cte, q) = if (sampled) (qsampleCteSql + "\n", "sq") else ("", "s")
+    val sigCol = if (annRadius.isDefined)
+      s",\n        ${operators.Similarity.hyperplaneSigSql("v", LshPlanes)} AS sig"
+    else ""
+    val ballPred = annRadius
+      .map(r => s"\n          AND bit_count(xor(c.sig, q.sig)) <= $r").getOrElse("")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |s AS (SELECT vec_id, v,
-      |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+      |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm$sigCol
       |      FROM e),
       |${cte}rk AS (
       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
       |      ORDER BY cos_sim DESC, vec_id) AS rank
       |  FROM (SELECT q.vec_id AS q_id, c.vec_id,
       |          floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
-      |        FROM $q q JOIN s c ON q.vec_id <> c.vec_id) t),
+      |        FROM $q q JOIN s c ON q.vec_id <> c.vec_id$ballPred) t),
       |topk AS (SELECT * FROM rk WHERE rank <= $StageK),
       |lab AS (SELECT vec_id AS id, label FROM embeddings),
       |fh AS (SELECT t.q_id, ql.label AS q_label,
@@ -4944,6 +4957,36 @@ object SparkEntry {
     "x233_ann_swap_sampled" -> annSwapOracleSql(sampled = true),
 
     "x234_retrieval_eval_sampled" -> retrievalEvalOracleSql(sampled = true),
+
+    // x241: the retrieval eval SERVED BY the ANN stage — the task-level
+    // price of the swap (x221 is rank-level; this is "does hit@k/MRR
+    // actually degrade"), oracle = x225's builder over the radius-R ball.
+    "x241_retrieval_eval_ann" -> retrievalEvalOracleSql(sampled = false,
+      annRadius = Some(operators.AnnStage.AnnRadius)),
+
+    // x242: temperature-scaled mixture — exact integer floor-sqrt
+    // (double sqrt + ±1 correction, same text as the Spark side) and
+    // integer ppm shares.
+    "x242_temperature_mixture" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |w0 AS (SELECT source, n_docs,
+        |              CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS i0
+        |       FROM c),
+        |w1 AS (SELECT source, n_docs,
+        |              i0 + (CASE WHEN (i0 + 1) * (i0 + 1) <= n_docs THEN 1 ELSE 0 END) AS i1
+        |       FROM w0),
+        |w AS (SELECT source, n_docs,
+        |             i1 - (CASE WHEN i1 * i1 > n_docs THEN 1 ELSE 0 END) AS w
+        |      FROM w1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |             CAST(sum(w) AS BIGINT) AS w_total FROM w)
+        |SELECT source, n_docs, w,
+        |       (1000000 * n_docs) // n_total AS raw_share_ppm,
+        |       (1000000 * w) // w_total AS temp_share_ppm,
+        |       (1000000 * ((1000000 * w) // w_total)) // ((1000000 * n_docs) // n_total)
+        |         AS resample_ppm
+        |FROM w, t""".stripMargin,
 
     // x237: priority sampling (PPSWOR) — md5 uniforms, fixed-point
     // priorities, top-(k+1) threshold, Horvitz–Thompson subset sums.

@@ -1230,6 +1230,51 @@ object Sampling {
         expr("(1000000L * alloc) div budget").as("share_ppm"))
   }
 
+  /** Exact integer floor-sqrt as a SQL expression over BIGINT column
+    * `c` — `floor(sqrt(double))` with a ±1 correction branch, so a
+    * double rounding at huge values can never shift the result (the
+    * engine-neutral-exactness discipline; same text on both engines). */
+  private def isqrtSql(c: String): String = {
+    val i0 = s"CAST(floor(sqrt(CAST($c AS DOUBLE))) AS BIGINT)"
+    val i1 = s"($i0 + (CASE WHEN ($i0 + 1) * ($i0 + 1) <= $c THEN 1 ELSE 0 END))"
+    s"($i1 - (CASE WHEN $i1 * $i1 > $c THEN 1 ELSE 0 END))"
+  }
+
+  /** Temperature-scaled source mixture (x242): per-source sampling
+    * shares ∝ n_s^(1/T) at T = 2 — the standard multilingual/multi-
+    * source flattening rule (big sources damped toward the uniform,
+    * small ones boosted) that an LLM mixture actually trains with. The
+    * exponent is the exact integer floor-sqrt ([[isqrtSql]] — a double
+    * `sqrt` plus a ±1 correction, identical text in both engines), and
+    * every share is an integer ppm ratio, so the panel is digit-exact
+    * cross-engine. Per source: raw share, tempered share, and the
+    * per-doc up/down-sampling factor the tempered mixture implies
+    * (tempered/raw in ppm — the rate one would feed x28/x75).
+    *
+    * 100 TB shape: ONE partial-agg'd groupBy over the corpus and a
+    * 1-row totals broadcast; output is O(sources). */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixtureOf(Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs")))
+
+  /** Frame-based unit: input (source, n_docs) — exposed so the
+    * flattening property is spec-testable on a SKEWED panel (the gate
+    * corpus's sources are uniform, which only exercises the fixed
+    * point resample ≡ 10⁶). */
+  private[graft] def temperatureMixtureOf(counts0: DataFrame): DataFrame = {
+    val counts = counts0
+      .withColumn("w", expr(isqrtSql("n_docs")))
+      .localCheckpoint() // totals and shares read it
+    val totals = counts.agg(sum(col("n_docs")).as("n_total"),
+      sum(col("w")).as("w_total"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("w"),
+        expr("(1000000L * n_docs) div n_total").as("raw_share_ppm"),
+        expr("(1000000L * w) div w_total").as("temp_share_ppm"))
+      .withColumn("resample_ppm",
+        expr("(1000000L * temp_share_ppm) div raw_share_ppm"))
+  }
+
   /** x237 knobs: sample size and the uniform's fixed-point resolution
     * (the md5-60 hash quantized to 2³⁰ levels, so the weight-unit
     * priority (w · 2³⁰) div (h₃₀+1) never floors to zero and never

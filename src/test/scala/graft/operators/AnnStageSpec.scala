@@ -82,4 +82,28 @@ class AnnStageSpec extends SparkSpec {
     // (not vacuously 0 or 1 across the board)
     assert(got.map(_._3).sum > 0)
   }
+
+  test("x241: the ANN-served retrieval eval ≡ the exact eval at full probe radius") {
+    def ann(radius: Int): (org.apache.spark.sql.SparkSession, String, Int) =>
+        org.apache.spark.sql.DataFrame =
+      (s, d, k) => AnnStage.ranked(s, d, k, radius)
+    val full = Similarity.retrievalEval(spark, sf,
+        rankedTable = ann(Similarity.LshPlanes))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val exact = Similarity.retrievalEval(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(full == exact && full.nonEmpty)
+    // at the production radius the panel publishes the same schema and
+    // covers no more queries per label than exist (a query with an empty
+    // Hamming ball drops out — the honest ANN contract; hit RANKS can
+    // move either way since pruned competitors free top-k slots)
+    val prod = Similarity.retrievalEval(spark, sf, rankedTable = ann(AnnStage.AnnRadius))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val exactByLabel = exact.map(r => r._1 -> r).toMap
+    assert(prod.nonEmpty && prod.length <= exact.size)
+    prod.foreach { case (lab, n, h1, h3, h5, _) =>
+      assert(n <= exactByLabel(lab)._2, s"label $lab")
+      assert(h1 <= h3 && h3 <= h5 && h5 <= n, s"label $lab nesting")
+    }
+  }
 }

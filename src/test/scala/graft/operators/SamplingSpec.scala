@@ -826,4 +826,39 @@ class SamplingSpec extends SparkSpec {
     assert(est > exact * 0.5 && est < exact * 2.0,
       s"HT grand-total estimate off: $est vs $exact")
   }
+
+  test("temperatureMixture (x242): panel matches a replay; tempering flattens") {
+    def isqrt(n: Long): Long = {
+      val i0 = math.sqrt(n.toDouble).floor.toLong
+      val i1 = if ((i0 + 1) * (i0 + 1) <= n) i0 + 1 else i0
+      if (i1 * i1 > n) i1 - 1 else i1
+    }
+    val counts = graft.Tables.documents(spark, sf)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    val (nTot, wTot) = (counts.values.sum, counts.values.map(isqrt).sum)
+    val got = Sampling.temperatureMixture(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == counts.size && got.nonEmpty)
+    got.foreach { case (src, n, w, raw, temp, res) =>
+      assert(n == counts(src) && w == isqrt(n), s"source $src")
+      assert(raw == 1000000L * n / nTot && temp == 1000000L * w / wTot, s"source $src")
+      assert(res == 1000000L * temp / raw, s"source $src")
+    }
+    // the gate corpus's sources are UNIFORM, so tempering is a fixed
+    // point there: every resample factor reads exactly 10⁶
+    assert(got.forall(_._6 == 1000000L))
+    // the defining flattening property, on a skewed synthetic panel:
+    // spread compresses, big sources damp, small ones boost, and perfect
+    // squares hit the isqrt exactly
+    val skew = Sampling.temperatureMixtureOf(
+        Seq(("big", 10000L), ("mid", 400L), ("small", 9L))
+          .toDF("source", "n_docs"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(skew("big")._3 == 100L && skew("mid")._3 == 20L && skew("small")._3 == 3L)
+    val raws = skew.values.map(_._4)
+    val temps = skew.values.map(_._5)
+    assert(raws.max - raws.min > temps.max - temps.min)
+    assert(skew("big")._6 < 1000000L && skew("small")._6 > 1000000L)
+  }
 }
