@@ -49,9 +49,15 @@ object Bench {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // the BASELINE.md like-for-like subset: the 42 queries present in the
-    // round-1 recording (q01–q16 + x01–x26)
-    def inSubset42(name: String): Boolean = name.startsWith("q") ||
-      (name.startsWith("x") && name.drop(1).takeWhile(_.isDigit).toInt <= 26)
+    // round-1 recording — q01–q16 pinned EXPLICITLY (an open-ended
+    // startsWith("q") would silently absorb a future q17+ into the
+    // headline) and x01–x26 by digit prefix via toIntOption (an x-name
+    // without leading digits must not throw after all queries ran)
+    val q42 = (1 to 16).map(i => f"q$i%02d").toSet
+    def inSubset42(name: String): Boolean =
+      q42.exists(p => name == p || name.startsWith(p + "_")) ||
+        (name.startsWith("x") &&
+          name.drop(1).takeWhile(_.isDigit).toIntOption.exists(_ <= 26))
     val canary = results.collect { case (k, v) if k.startsWith("q") => v }.sum
     val subset42 = results.collect { case (k, v) if inSubset42(k) => v }.sum
     // compact headline line FIRST: the driver's capture keeps the head and

@@ -284,6 +284,7 @@ object SparkEntry {
     "x241_retrieval_eval_ann" -> ((s, d) => Similarity.retrievalEval(s, d,
       rankedTable = (s2, d2, k) => operators.AnnStage.ranked(s2, d2, k))),
     "x242_temperature_mixture" -> ((s, d) => Sampling.temperatureMixture(s, d)),
+    "x243_compacted_stats"  -> ((s, d) => StatsStage.compactedStatsPanel(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4981,12 +4982,16 @@ object SparkEntry {
         |      FROM w1),
         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
         |             CAST(sum(w) AS BIGINT) AS w_total FROM w)
-        |SELECT source, n_docs, w,
-        |       (1000000 * n_docs) // n_total AS raw_share_ppm,
-        |       (1000000 * w) // w_total AS temp_share_ppm,
-        |       (1000000 * ((1000000 * w) // w_total)) // ((1000000 * n_docs) // n_total)
+        |s AS (SELECT source, n_docs, w, n_total, w_total,
+        |             (1000000 * n_docs) // n_total AS raw_share_ppm,
+        |             (1000000 * w) // w_total AS temp_share_ppm
+        |      FROM w, t)
+        |SELECT source, n_docs, w, raw_share_ppm, temp_share_ppm,
+        |       CASE WHEN raw_share_ppm = 0
+        |            THEN (w * ((1000000 * n_total) // n_docs)) // w_total
+        |            ELSE (1000000 * temp_share_ppm) // raw_share_ppm END
         |         AS resample_ppm
-        |FROM w, t""".stripMargin,
+        |FROM s""".stripMargin,
 
     // x237: priority sampling (PPSWOR) — md5 uniforms, fixed-point
     // priorities, top-(k+1) threshold, Horvitz–Thompson subset sums.

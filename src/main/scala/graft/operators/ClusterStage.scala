@@ -50,7 +50,8 @@ object ClusterStage {
   /** Read a persisted cluster labeling. Column-pruned to the two-column
     * contract so downstream joins scan exactly (doc_id, canonical_id). */
   def readClusterTable(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).select(col("doc_id"), col("canonical_id"))
+    graft.streaming.IngestCommit.readStage(spark, path)
+      .select(col("doc_id"), col("canonical_id"))
 
   // Session-scoped staging root: created lazily on first stage, removed by
   // the OS tmp reaper. Artifacts are per-JVM by construction, so a stale

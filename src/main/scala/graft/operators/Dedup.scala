@@ -456,8 +456,8 @@ object Dedup {
                           threshold: Double = BandIngestThreshold): DataFrame = {
     val (bSigs, bBands) = bandFrames(newBatch, n, k, bands)
     classifyBatch(newBatch, bSigs, bBands,
-      spark.read.parquet(s"$indexPath/sigs"),
-      spark.read.parquet(s"$indexPath/bands"), threshold)
+      graft.streaming.IngestCommit.readStage(spark, s"$indexPath/sigs"),
+      graft.streaming.IngestCommit.readStage(spark, s"$indexPath/bands"), threshold)
   }
 
   /** [[ingestWithBandIndex]] with the batch's band frames PRECOMPUTED —
@@ -469,8 +469,8 @@ object Dedup {
                                           indexPath: String,
                                           threshold: Double = BandIngestThreshold): DataFrame =
     classifyBatch(batchIds, bSigs, bBands,
-      spark.read.parquet(s"$indexPath/sigs"),
-      spark.read.parquet(s"$indexPath/bands"), threshold)
+      graft.streaming.IngestCommit.readStage(spark, s"$indexPath/sigs"),
+      graft.streaming.IngestCommit.readStage(spark, s"$indexPath/bands"), threshold)
 
   /** [[ingestClustersWithIndex]] with the batch's band frames
     * precomputed — same single-pass contract for the cluster applier. */
@@ -480,8 +480,8 @@ object Dedup {
                                               clusterTablePath: String,
                                               threshold: Double = BandIngestThreshold): DataFrame =
     incrementalClusters(batchIds, bSigs, bBands,
-      spark.read.parquet(s"$bandIndexPath/sigs"),
-      spark.read.parquet(s"$bandIndexPath/bands"),
+      graft.streaming.IngestCommit.readStage(spark, s"$bandIndexPath/sigs"),
+      graft.streaming.IngestCommit.readStage(spark, s"$bandIndexPath/bands"),
       ClusterStage.readClusterTable(spark, clusterTablePath), threshold)
 
   /** Append a new batch's signatures + bands to the index (the
@@ -561,8 +561,8 @@ object Dedup {
                               threshold: Double = BandIngestThreshold): DataFrame = {
     val (bSigs, bBands) = bandFrames(newBatch, n, k, bands)
     incrementalClusters(newBatch, bSigs, bBands,
-      spark.read.parquet(s"$bandIndexPath/sigs"),
-      spark.read.parquet(s"$bandIndexPath/bands"),
+      graft.streaming.IngestCommit.readStage(spark, s"$bandIndexPath/sigs"),
+      graft.streaming.IngestCommit.readStage(spark, s"$bandIndexPath/bands"),
       ClusterStage.readClusterTable(spark, clusterTablePath), threshold)
   }
 
@@ -1064,7 +1064,7 @@ object Dedup {
                              boundaryMod: Int = ParagraphBoundaryMod): Unit = {
     val staged = indexPath.stripSuffix("/") + "_delta_staging"
     cdcParagraphs(newBatch, boundaryMod).select(col("fp")).distinct()
-      .join(spark.read.parquet(indexPath), Seq("fp"), "left_anti")
+      .join(graft.streaming.IngestCommit.readStage(spark, indexPath), Seq("fp"), "left_anti")
       .write.mode("overwrite").parquet(staged)
     spark.read.parquet(staged).write.mode("append").parquet(indexPath)
     val p = new org.apache.hadoop.fs.Path(staged)
@@ -1082,7 +1082,7 @@ object Dedup {
   def incrementalIngestWithIndex(spark: SparkSession, newBatch: DataFrame,
                                  indexPath: String,
                                  boundaryMod: Int = ParagraphBoundaryMod): DataFrame = {
-    val existing = spark.read.parquet(indexPath)
+    val existing = graft.streaming.IngestCommit.readStage(spark, indexPath)
       .select(col("fp"), lit(1).as("in_existing"))
     val pars = cdcParagraphs(newBatch, boundaryMod)
     val batchFirst = pars.groupBy(col("fp"))

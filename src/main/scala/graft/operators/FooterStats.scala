@@ -78,41 +78,63 @@ object FooterStats {
 
   /** Per-file-bucket (f, f_rows, f_min, f_max) on column `c`, sourced
     * from the written footers' row-group statistics — never a data
-    * read. The file list is small (bounded by the bucket count) but the
-    * footer opens still run on executors: the shape that holds when the
-    * layout is a million files. */
+    * read. The DRIVER lists only the partition dirs (`f=<bucket>`,
+    * O(buckets) by construction); each executor task then lists ITS
+    * buckets' part files and opens their footers — so at a
+    * million-file layout both the per-file listing and the footer
+    * opens are distributed, and the driver never walks the tree. */
   private[graft] def fileStats(spark: SparkSession, dir: String,
                                layout: String = "insertion"): DataFrame = {
     import spark.implicits._
     val root = layoutRoot(spark, dir, layout)
-    val walk = Files.walk(java.nio.file.Paths.get(root))
-    val leafFiles =
-      try walk.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("part-") &&
-          p.getFileName.toString.endsWith(".parquet"))
+    val list = Files.list(java.nio.file.Paths.get(root))
+    val bucketDirs =
+      try list.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("f=") &&
+          Files.isDirectory(p))
         .map(_.toString).toSeq.sorted
-      finally walk.close()
-    spark.createDataset(leafFiles)
-      .repartition(math.min(leafFiles.size, 32))
-      .mapPartitions { paths =>
+      finally list.close()
+    require(bucketDirs.nonEmpty,
+      s"footer layout $root produced no f=<bucket> partition dirs — " +
+        "the staged write failed or the root was cleared externally")
+    spark.createDataset(bucketDirs)
+      .repartition(math.max(1, math.min(bucketDirs.size, 32)))
+      .mapPartitions { dirs =>
         val conf = new Configuration() // local-fs footers; fresh conf per task
-        paths.map { p =>
-          val f = new java.io.File(p).getParentFile.getName.stripPrefix("f=").toLong
-          val reader = ParquetFileReader.open(
-            HadoopInputFile.fromPath(new Path(s"file:$p"), conf))
-          try {
-            val blocks = reader.getFooter.getBlocks.asScala
-            val stats = blocks.map { b =>
-              val cChunk = b.getColumns.asScala
-                .find(_.getPath.toDotString == "c")
-                .getOrElse(sys.error(s"no column chunk 'c' in $p"))
-                .getStatistics
-              (b.getRowCount,
-                cChunk.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
-                cChunk.genericGetMax.asInstanceOf[java.lang.Long].longValue())
-            }
-            (f, stats.map(_._1).sum, stats.map(_._2).min, stats.map(_._3).max)
-          } finally reader.close()
+        dirs.flatMap { d =>
+          val f = new java.io.File(d).getName.stripPrefix("f=").toLong
+          val ls = Files.list(java.nio.file.Paths.get(d))
+          val parts =
+            try ls.iterator().asScala.map(_.toString)
+              .filter(n => { val b = n.substring(n.lastIndexOf('/') + 1)
+                b.startsWith("part-") && b.endsWith(".parquet") })
+              .toSeq.sorted
+            finally ls.close()
+          parts.map { p =>
+            val reader = ParquetFileReader.open(
+              HadoopInputFile.fromPath(new Path(s"file:$p"), conf))
+            try {
+              val blocks = reader.getFooter.getBlocks.asScala
+              val stats = blocks.map { b =>
+                val cChunk = b.getColumns.asScala
+                  .find(_.getPath.toDotString == "c")
+                  .getOrElse(sys.error(s"no column chunk 'c' in $p"))
+                val pt = cChunk.getPrimitiveType.getPrimitiveTypeName
+                require(pt == org.apache.parquet.schema.PrimitiveType
+                  .PrimitiveTypeName.INT64,
+                  s"column 'c' in $p is $pt, not INT64 — footer min/max " +
+                    "cannot be read as Long")
+                val st = cChunk.getStatistics
+                require(st != null && st.hasNonNullValue,
+                  s"row group in $p carries no non-null statistics for 'c' — " +
+                    "the layout write should always produce them")
+                (b.getRowCount,
+                  st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                  st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+              }
+              (f, stats.map(_._1).sum, stats.map(_._2).min, stats.map(_._3).max)
+            } finally reader.close()
+          }
         }
       }
       .toDF("f", "f_rows", "f_min", "f_max")

@@ -1269,10 +1269,20 @@ object Sampling {
       sum(col("w")).as("w_total"))
     counts.crossJoin(broadcast(totals))
       .select(col("source"), col("n_docs"), col("w"),
+        col("n_total"), col("w_total"),
         expr("(1000000L * n_docs) div n_total").as("raw_share_ppm"),
         expr("(1000000L * w) div w_total").as("temp_share_ppm"))
+      // a source under 1 ppm of the corpus floors raw_share_ppm to 0 —
+      // exactly the sources tempering boosts — so the ratio-of-ppms form
+      // would emit NULL for them; the guard branch computes the factor
+      // straight from the counts: w·(10⁶·n_total div n)/w_total, every
+      // term ≤ 10⁶·n_total, exact in BIGINT up to ~9·10¹² total docs
+      // (same text in the DuckDB oracle)
       .withColumn("resample_ppm",
-        expr("(1000000L * temp_share_ppm) div raw_share_ppm"))
+        expr("CASE WHEN raw_share_ppm = 0 " +
+          "THEN (w * ((1000000L * n_total) div n_docs)) div w_total " +
+          "ELSE (1000000L * temp_share_ppm) div raw_share_ppm END"))
+      .drop("n_total", "w_total")
   }
 
   /** x237 knobs: sample size and the uniform's fixed-point resolution

@@ -47,7 +47,7 @@ object StatsStage {
   /** The folded corpus-level column stats: every field merges exactly
     * (min of mins, max of maxes, sums of counts/sums). */
   def foldedColStats(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(s"$root/col_stats")
+    graft.streaming.IngestCommit.readStage(spark, s"$root/col_stats")
       .agg(
         sum(col("n_rows")).as("n_rows"),
         min(col("min_doc_id")).as("min_doc_id"),
@@ -59,6 +59,72 @@ object StatsStage {
 
   /** The folded exact language histogram. */
   def foldedLangCounts(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(s"$root/lang_counts")
+    graft.streaming.IngestCommit.readStage(spark, s"$root/lang_counts")
       .groupBy(col("lang")).agg(sum(col("n_docs")).as("n_docs"))
+
+  // ── Compacted-stage gate (x243) ──────────────────────────────────────
+
+  /** Batch count and per-target compact file count for the x243 gate
+    * stage — shared with its spec. */
+  val CompactBatches: Int = 3
+  val CompactTargetFiles: Int = 2
+
+  private lazy val compactStageTmp =
+    java.nio.file.Files.createTempDirectory("graft_compacted_stats_")
+
+  private val compactedRoots =
+    scala.collection.mutable.HashMap.empty[String, String]
+
+  /** Build (once per JVM per snapshot) a stats stage root the way the
+    * streaming ingester builds one — [[CompactBatches]] deterministic
+    * micro-batches (`doc_id mod` split) committed through the
+    * [[graft.streaming.IngestCommit]] delta protocol — then COMPACT both
+    * targets with `Maintenance.compactStageRoot`'s machinery (twice: the
+    * second call performs the deferred one-generation GC, so the root
+    * ends holding ONLY the live compact files). What the x243 oracle
+    * then proves: the compacted root's folded content is digit-identical
+    * to a direct computation over the corpus — nothing lost, duplicated,
+    * or re-ordered by split → commit → compact → GC → fold. */
+  private[graft] def compactedStatsRoot(spark: SparkSession, dir: String): String =
+    synchronized {
+      compactedRoots.getOrElseUpdate(dir, {
+        import graft.streaming.IngestCommit
+        val root = compactStageTmp.resolve(
+          s"stats_${StagePaths.component(dir)}").toString
+        val docs = graft.Tables.documents(spark, dir).localCheckpoint()
+        (0 until CompactBatches).foreach { i =>
+          val b = docs.filter(pmod(col("doc_id"), lit(CompactBatches.toLong)) === i)
+          IngestCommit.commitDelta(colStatsBatch(b), s"$root/col_stats", i.toLong)
+          IngestCommit.commitDelta(langCountsBatch(b), s"$root/lang_counts", i.toLong)
+          IngestCommit.markApplied(spark, root, i.toLong)
+        }
+        Seq("col_stats", "lang_counts").foreach { t =>
+          IngestCommit.compactStageRoot(spark, root, s"$root/$t", CompactTargetFiles)
+          IngestCommit.compactStageRoot(spark, root, s"$root/$t", CompactTargetFiles)
+        }
+        root
+      })
+    }
+
+  /** Compacted-stage equivalence panel (x243): the language histogram ×
+    * corpus column stats, folded FROM THE COMPACTED STAGE ROOT — the
+    * oracle recomputes both straight from the documents table, so a
+    * hash match proves compacted ≡ direct content (the "OPTIMIZE
+    * changed no answers" gate, as an oracle-checked query rather than
+    * an assertion).
+    *
+    * 100 TB shape: the stage fold reads O(compact files) partials, never
+    * the corpus; compaction itself is one read of O(batches) delta files
+    * per target. */
+  def compactedStatsPanel(spark: SparkSession, dir: String): DataFrame = {
+    val root = compactedStatsRoot(spark, dir)
+    foldedLangCounts(spark, root)
+      .crossJoin(broadcast(foldedColStats(spark, root)
+        .select(col("n_rows"), col("min_chars"), col("max_chars"),
+          col("sum_chars"))))
+  }
+
+  /** Drop the memoized compacted roots (tests only). */
+  private[graft] def invalidateCompacted(): Unit =
+    synchronized { compactedRoots.clear() }
 }

@@ -15,6 +15,35 @@ object Quality {
 
   case class CheckResult(check: String, passed: Boolean, observed: Long)
 
+  /** A failed quality gate — carries every failed invariant so the
+    * driver's exit path (and the log line an alerting system greps)
+    * names them all, not just the first. */
+  case class QualityGateException(stage: String, failed: Seq[CheckResult])
+    extends RuntimeException(
+      s"quality gate '$stage' failed ${failed.size} invariant(s): " +
+        failed.map(f => s"${f.check} (observed=${f.observed})").mkString(", "))
+
+  /** Alert hook for the gate (the reference docx's "email alerts on
+    * failure" intent, realized on the machinery that exists in every
+    * environment): each failed invariant lands as ONE row in the
+    * etl_errors table via [[Bronze.logError]] — the same channel the
+    * ingest errors use, so an alerting system watches a single table —
+    * and the gate then throws [[QualityGateException]], which makes the
+    * driver exit nonzero (Databricks/Airflow/cron all alert on that).
+    * Passing checks log nothing and return the results for display. */
+  def gate(spark: org.apache.spark.sql.SparkSession, stage: String,
+           results: Seq[CheckResult], sourceFile: String = "",
+           errorTable: String = Setup.ErrorTable): Seq[CheckResult] = {
+    val failed = results.filterNot(_.passed)
+    if (failed.nonEmpty) {
+      val e = QualityGateException(stage, failed)
+      Bronze.logError(spark, e, stage = s"quality:$stage",
+        sourceFile = sourceFile, errorTable = errorTable)
+      throw e
+    }
+    results
+  }
+
   /** Run all checks in a single aggregate job. */
   def check(df: DataFrame, requiredColumns: Seq[String] = Nil,
             notNullColumns: Seq[String] = Nil,

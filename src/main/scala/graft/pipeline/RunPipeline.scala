@@ -70,6 +70,29 @@ object RunPipeline {
       .partitionBy("year").saveAsTable("analytics.sales_forecast_features")
     val nGold = spark.table("analytics.sales_forecast_features").count()
     println(s"[gold] sales_forecast_features=$nGold")
+
+    // quality gate (docx "email alerts on failure" intent): every failed
+    // invariant lands in etl_errors AND the run exits nonzero — the two
+    // hooks any scheduler's alerting reads. Gate the silver layer on the
+    // pytest invariants and the layers on the cross-layer monotonicity.
+    try {
+      Quality.gate(spark, "silver.sales_cleaned",
+        Quality.check(silver,
+          requiredColumns = Seq("date", "store_nbr", "transactions"),
+          notNullColumns = Seq("date", "store_nbr", "transactions"),
+          nonNegativeColumns = Seq("transactions")))
+      Quality.gate(spark, "cross_layer",
+        Quality.crossLayer(spark.table("raw.transactions"), silver,
+          spark.table("analytics.sales_forecast_features"),
+          bronzeMeasure = "transactions", goldMeasure = "weekly_transactions"))
+      println("[quality] all gates passed")
+    } catch {
+      case e: Quality.QualityGateException =>
+        // error row already logged by the gate; fail the run loudly
+        System.err.println(s"[quality] ${e.getMessage}")
+        spark.stop()
+        sys.exit(2)
+    }
     println(s"[errors] ${spark.table(Setup.ErrorTable).count()} rows in ${Setup.ErrorTable}")
     spark.stop()
   }

@@ -192,7 +192,7 @@ object DocumentStream {
     import org.apache.spark.sql.functions.col
     IngestCommit.commitDelta(
       Dedup.cdcParagraphs(b, boundaryMod).select(col("fp")).distinct()
-        .join(spark.read.parquet(indexPath), Seq("fp"), "left_anti"),
+        .join(IngestCommit.readStage(spark, indexPath), Seq("fp"), "left_anti"),
       indexPath, batchId)
     IngestCommit.markApplied(spark, indexPath, batchId)
   }

@@ -31,10 +31,149 @@ import org.apache.spark.sql.SparkSession
   *    underscore convention) is created LAST — its presence means the
   *    batch fully applied and a re-delivery is a no-op.
   */
-private[streaming] object IngestCommit {
+private[graft] object IngestCommit {
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ── Stage-root compaction ────────────────────────────────────────────
+  //
+  // commitDelta accumulates one (or more) `batch<id>_*.parquet` file per
+  // batch per target FOREVER — after 10k micro-batches every consumer
+  // read pays a 10k-file listing + footer-open cost (the x240 planner
+  // prices exactly this trade). Compaction folds the committed delta
+  // files into `compact<upTo>_<i>.parquet` files under a marker protocol
+  // that keeps every crash window and one concurrent ingester safe:
+  //
+  //  - the COMMIT POINT is the `_compacted/c<upTo>` marker (created
+  //    LAST, after every compact file is renamed in). [[readStage]]
+  //    reads compact files only for the highest COMMITTED cid, plus
+  //    batch files with id > cid — so uncommitted compact files (a
+  //    crashed attempt) are invisible, and until the marker lands every
+  //    reader still sees the uncompacted file set, unchanged.
+  //  - covered files (batch id ≤ cid, older compact generations) are
+  //    GC'd with a ONE-GENERATION LAG: the NEXT compaction deletes them.
+  //    A lazy DataFrame listed before a compaction commit therefore
+  //    stays readable across that commit; only a handle held across TWO
+  //    compactions can lose files (the `ranked()` 2-version caveat,
+  //    same contract).
+  //  - only batches recorded in the ledger (id ≤ lastApplied) are
+  //    folded: a half-committed batch's files are never touched, and a
+  //    replay's `cleanAttempt` only ever deletes files of UNcommitted
+  //    ids — disjoint from every compaction input by construction.
+  //  - single compactor assumed (a maintenance job, like OPTIMIZE); the
+  //    ingester may run concurrently.
+
+  private val BatchFileRe = "^batch(\\d+)_.*\\.parquet$".r
+  private val CompactFileRe = "^compact(\\d+)_.*\\.parquet$".r
+
+  private def batchIdOf(name: String): Option[Long] = name match {
+    case BatchFileRe(id) => Some(id.toLong)
+    case _               => None
+  }
+  private def compactIdOf(name: String): Option[Long] = name match {
+    case CompactFileRe(id) => Some(id.toLong)
+    case _                 => None
+  }
+
+  /** Highest committed compaction id for `target` (-1 when never
+    * compacted): the max `c<id>` marker under `<target>/_compacted`. */
+  def committedCompaction(spark: SparkSession, target: String): Long = {
+    val fs = fsOf(spark, target)
+    val dir = new Path(s"${target.stripSuffix("/")}/_compacted")
+    if (!fs.exists(dir)) -1L
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("c") => n.drop(1).toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Visible (non-hidden, file) entries of a stage target dir. */
+  private def visibleFiles(fs: FileSystem, target: String) =
+    fs.listStatus(new Path(target)).filter(_.isFile).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+
+  /** Compaction-aware read of a delta-file stage target: on a
+    * never-compacted dir this IS `spark.read.parquet(target)`; once a
+    * compaction has committed, it reads the live compact files plus
+    * the batch deltas newer than the compaction — never a covered or
+    * uncommitted-attempt file. Every consumer of an ingester-managed
+    * root reads through here. */
+  def readStage(spark: SparkSession, target: String): DataFrame = {
+    val cid = committedCompaction(spark, target)
+    if (cid < 0) spark.read.parquet(target)
+    else {
+      val fs = fsOf(spark, target)
+      val files = visibleFiles(fs, target).filter { p =>
+        val n = p.getName
+        compactIdOf(n).contains(cid) || batchIdOf(n).exists(_ > cid)
+      }
+      spark.read.parquet(files.map(_.toString).toIndexedSeq: _*)
+    }
+  }
+
+  /** Compact one stage target's committed delta files into `nFiles`
+    * `compact<upTo>_<i>.parquet` files, where `upTo` is the ledger's
+    * `lastApplied`. Also GCs the PREVIOUS compaction's covered files
+    * (the one-generation lag above) and any uncommitted compact
+    * attempt's leftovers. Returns the live compaction id after the
+    * call (-1 when the target has never had a committed batch).
+    * `ledgerRoot` is the root whose `_applied/` markers govern this
+    * target's batch ids (the index root for its own subdirs AND for the
+    * sibling results table — they share one ledger). Refuses loudly on
+    * a dir holding files outside the managed `batch*/compact*` naming:
+    * compacting a plain batch-appended table through this protocol
+    * would make [[readStage]] silently drop its anonymous part files.
+    */
+  def compactStageRoot(spark: SparkSession, ledgerRoot: String,
+                       target: String, nFiles: Int = 1): Long = {
+    val fs = fsOf(spark, target)
+    val tp = new Path(target)
+    if (!fs.exists(tp)) return -1L
+    val names = visibleFiles(fs, target).map(_.getName)
+    val unmanaged = names.filter(n => batchIdOf(n).isEmpty && compactIdOf(n).isEmpty)
+    require(unmanaged.isEmpty,
+      s"stage target $target holds files outside the batch*/compact* " +
+        s"naming (${unmanaged.take(3).mkString(", ")}…): not an " +
+        "IngestCommit-managed root — compacting it would drop those files " +
+        "from readStage. Use Maintenance.compacted for plain tables.")
+    val cur = committedCompaction(spark, target)
+    // GC, one generation late: files superseded by the CURRENT committed
+    // compaction (covered batches, older compact generations) and any
+    // compact files newer than it (a crashed uncommitted attempt)
+    visibleFiles(fs, target).filter { p =>
+      val n = p.getName
+      batchIdOf(n).exists(_ <= cur) || compactIdOf(n).exists(_ != cur)
+    }.foreach(p => fs.delete(p, false))
+    val upTo = lastApplied(spark, ledgerRoot)
+    if (upTo <= cur) return cur // nothing committed since the last fold
+    val inputs = visibleFiles(fs, target).filter { p =>
+      val n = p.getName
+      compactIdOf(n).contains(cur) || batchIdOf(n).exists(id => id > cur && id <= upTo)
+    }
+    if (inputs.isEmpty) return cur // ledger ahead of this target (no deltas)
+    val staging = s"${target.stripSuffix("/")}_c${upTo}_staging"
+    fs.delete(new Path(staging), true)
+    val df = spark.read.parquet(inputs.map(_.toString).toIndexedSeq: _*)
+      .coalesce(math.max(1, nFiles))
+    df.write.mode("overwrite").parquet(staging)
+    def parts() = fs.listStatus(new Path(staging)).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+    if (parts().isEmpty) // all-empty deltas: force one schema-bearing footer
+      df.limit(0).repartition(1).write.mode("overwrite").parquet(staging)
+    parts().zipWithIndex.foreach { case (p, i) =>
+      val dest = new Path(target, s"compact${upTo}_$i.parquet")
+      require(fs.rename(p, dest), s"rename $p -> $dest failed; aborting " +
+        "uncommitted (readers still see the uncompacted set)")
+    }
+    fs.delete(new Path(staging), true)
+    // commit point: the marker makes the new generation live
+    fs.mkdirs(new Path(s"${target.stripSuffix("/")}/_compacted"))
+    fs.create(new Path(s"${target.stripSuffix("/")}/_compacted/c$upTo"), true).close()
+    upTo
+  }
 
   /** True when `batchId`'s marker exists under `$ledgerRoot/_applied`. */
   def alreadyApplied(spark: SparkSession, ledgerRoot: String, batchId: Long): Boolean =

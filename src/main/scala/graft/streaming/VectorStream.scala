@@ -66,17 +66,20 @@ object VectorStream {
     * Fails with an explicit error when NO batch has applied yet (fresh
     * stage root, or every batch was empty) instead of an opaque
     * path-not-found on `ranked/r-1`. Concurrency caveat: post-publish
-    * GC keeps only the live version and its predecessor, so a LAZY
-    * DataFrame obtained here is safe across at most ONE further
-    * publish — a consumer that must read across more should
-    * `localCheckpoint()` (or collect) before the ingester advances
-    * twice. */
-  def ranked(spark: SparkSession, stageRoot: String): DataFrame = {
+    * GC keeps only the live version and its predecessor, so the default
+    * LAZY DataFrame is safe across at most ONE further publish; a
+    * consumer holding the handle while the ingester keeps advancing
+    * (e.g. a fidelity audit over a live stage) should pass
+    * `snapshot = true`, which materializes the version via
+    * `localCheckpoint()` so the handle survives any number of GCs. */
+  def ranked(spark: SparkSession, stageRoot: String,
+             snapshot: Boolean = false): DataFrame = {
     val last = IngestCommit.lastApplied(spark, stageRoot)
     require(last >= 0,
       s"no applied batches under stage root $stageRoot: the ranked table " +
         "does not exist yet (fresh stage root, or every batch so far was empty)")
-    spark.read.parquet(s"$stageRoot/ranked/r$last")
+    val df = spark.read.parquet(s"$stageRoot/ranked/r$last")
+    if (snapshot) df.localCheckpoint() else df
   }
 
   /** Fold one (possibly replayed) batch into the staged artifact —
