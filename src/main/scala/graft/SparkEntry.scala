@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{ClusterStage, Dedup, Forecast, IntervalJoin, JsonOps, LinkAnalysis, Multimodal, Relational, Retrieval, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{ClusterStage, Dedup, Forecast, IntervalJoin, JsonOps, LinkAnalysis, Multimodal, Relational, Retrieval, Sampling, Sessionize, Similarity, StatsStage, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -285,6 +285,7 @@ object SparkEntry {
       rankedTable = (s2, d2, k) => operators.AnnStage.ranked(s2, d2, k))),
     "x242_temperature_mixture" -> ((s, d) => Sampling.temperatureMixture(s, d)),
     "x243_compacted_stats"  -> ((s, d) => StatsStage.compactedStatsPanel(s, d)),
+    "x244_upsert_orders"    -> ((s, d) => graft.pipeline.Maintenance.upsertAudit(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4981,7 +4982,7 @@ object SparkEntry {
         |             i1 - (CASE WHEN i1 * i1 > n_docs THEN 1 ELSE 0 END) AS w
         |      FROM w1),
         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
-        |             CAST(sum(w) AS BIGINT) AS w_total FROM w)
+        |             CAST(sum(w) AS BIGINT) AS w_total FROM w),
         |s AS (SELECT source, n_docs, w, n_total, w_total,
         |             (1000000 * n_docs) // n_total AS raw_share_ppm,
         |             (1000000 * w) // w_total AS temp_share_ppm
@@ -5146,6 +5147,40 @@ object SparkEntry {
         |       gc.rows_scanned_compacted - gs.rows_scanned_small AS extra_rows_cost
         |FROM gs JOIN gc ON gs.p = gc.p""".stripMargin
     },
+
+    // x243: compacted-stage equivalence — the query folds the stats FROM
+    // the split→commit→compact→GC stage root; the oracle recomputes both
+    // panels straight from documents. Hash match ⇒ compaction changed no
+    // answers.
+    "x243_compacted_stats" ->
+      """WITH cs AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |                   min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |            FROM documents)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       cs.n_rows, cs.min_chars, cs.max_chars, cs.sum_chars
+        |FROM documents d, cs
+        |GROUP BY 1, 3, 4, 5, 6""".stripMargin,
+
+    // x244: MERGE/upsert audit — the oracle replays the join+union
+    // rewrite as anti-join + union (matched replaced, unmatched updates
+    // inserted, rest kept), folded per priority.
+    "x244_upsert_orders" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |                  CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |                  o_orderpriority AS prio
+        |           FROM orders),
+        |u0 AS (SELECT k, cents*2 AS cents, 'UPSERTED' AS prio
+        |       FROM o WHERE k % 10 = 3),
+        |u AS (SELECT * FROM u0
+        |      UNION ALL SELECT -k-1, cents, 'INSERTED' FROM u0),
+        |m AS (SELECT * FROM u
+        |      UNION ALL
+        |      SELECT o.* FROM o WHERE k NOT IN (SELECT k FROM u))
+        |SELECT prio, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM m GROUP BY 1""".stripMargin,
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

@@ -21,6 +21,34 @@ object Maintenance {
     updates.unionByName(target.join(updateKeys, keys, "left_anti"))
   }
 
+  /** MERGE audit panel (the x244 gate): [[upsert]] exercised on the
+    * orders table with a deterministic update/insert batch — every
+    * `k % 10 = 3` order re-priced at 2× under priority `UPSERTED`, plus
+    * a disjoint insert twin at key `-k-1` (negative keys can never
+    * collide with real ones at any scale factor) — folded to one row
+    * per priority so the oracle's anti-join+union replay is
+    * hash-comparable. Proves the join+union MERGE rewrite's three
+    * clauses at once: matched rows replaced, unmatched updates
+    * inserted, everything else kept.
+    *
+    * 100 TB shape: the anti join broadcasts only the distinct update
+    * KEYS; the update batch never forces a shuffle of the target. */
+  def upsertAudit(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderpriority").as("prio"))
+    val upd = o.filter(col("k") % 10 === 3)
+      .select(col("k"), (col("cents") * 2).as("cents"), lit("UPSERTED").as("prio"))
+    val ins = upd.select((-col("k") - 1).as("k"), col("cents"),
+      lit("INSERTED").as("prio"))
+    upsert(o, upd.unionByName(ins), Seq("k"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+  }
+
   /** OPTIMIZE analog: compact a table's many small files into `nFiles`
     * well-sized outputs (coalesce when shrinking — no shuffle; repartition
     * when rebalancing skewed inputs). */

@@ -60,35 +60,36 @@ object RunPipeline {
       // Silver expects bronze string dates (it re-parses); bronze already
       // parsed them when partitioning — make both shapes work:
       .cache()
-    silver.write.format("parquet").mode(SaveMode.Overwrite)
-      .partitionBy("year", "month").saveAsTable("processed.sales_cleaned")
-    println(s"[silver] sales_cleaned=${silver.count()}")
 
-    val features = Gold.weeklyFeatures(spark.table("processed.sales_cleaned"))
-    val predicted = Gold.forecast(features, maxIter = sys.env.getOrElse("SPARK_GRAFT_GBT_ITERS", "20").toInt)
-    predicted.write.format("parquet").mode(SaveMode.Overwrite)
-      .partitionBy("year").saveAsTable("analytics.sales_forecast_features")
-    val nGold = spark.table("analytics.sales_forecast_features").count()
-    println(s"[gold] sales_forecast_features=$nGold")
-
-    // quality gate (docx "email alerts on failure" intent): every failed
-    // invariant lands in etl_errors AND the run exits nonzero — the two
-    // hooks any scheduler's alerting reads. Gate the silver layer on the
-    // pytest invariants and the layers on the cross-layer monotonicity.
+    // quality gates (docx "email alerts on failure" intent) run on the
+    // DataFrames BEFORE each saveAsTable — a failed invariant lands in
+    // etl_errors AND the run exits nonzero WITHOUT publishing the bad
+    // table (fail-closed: downstream readers keep the previous version).
     try {
       Quality.gate(spark, "silver.sales_cleaned",
         Quality.check(silver,
           requiredColumns = Seq("date", "store_nbr", "transactions"),
           notNullColumns = Seq("date", "store_nbr", "transactions"),
           nonNegativeColumns = Seq("transactions")))
+      silver.write.format("parquet").mode(SaveMode.Overwrite)
+        .partitionBy("year", "month").saveAsTable("processed.sales_cleaned")
+      println(s"[silver] sales_cleaned=${silver.count()}")
+
+      val features = Gold.weeklyFeatures(spark.table("processed.sales_cleaned"))
+      val predicted = Gold.forecast(features,
+        maxIter = sys.env.getOrElse("SPARK_GRAFT_GBT_ITERS", "20").toInt).cache()
       Quality.gate(spark, "cross_layer",
-        Quality.crossLayer(spark.table("raw.transactions"), silver,
-          spark.table("analytics.sales_forecast_features"),
+        Quality.crossLayer(spark.table("raw.transactions"), silver, predicted,
           bronzeMeasure = "transactions", goldMeasure = "weekly_transactions"))
+      predicted.write.format("parquet").mode(SaveMode.Overwrite)
+        .partitionBy("year").saveAsTable("analytics.sales_forecast_features")
+      val nGold = spark.table("analytics.sales_forecast_features").count()
+      println(s"[gold] sales_forecast_features=$nGold")
       println("[quality] all gates passed")
     } catch {
       case e: Quality.QualityGateException =>
-        // error row already logged by the gate; fail the run loudly
+        // error row already logged by the gate; fail the run loudly,
+        // leaving the gated table unpublished
         System.err.println(s"[quality] ${e.getMessage}")
         spark.stop()
         sys.exit(2)

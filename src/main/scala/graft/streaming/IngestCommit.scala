@@ -96,17 +96,36 @@ private[graft] object IngestCommit {
       }
 
   /** Compaction-aware read of a delta-file stage target: on a
-    * never-compacted dir this IS `spark.read.parquet(target)`; once a
-    * compaction has committed, it reads the live compact files plus
-    * the batch deltas newer than the compaction — never a covered or
-    * uncommitted-attempt file. Every consumer of an ingester-managed
-    * root reads through here. */
+    * never-compacted dir it reads every visible file EXCEPT
+    * uncommitted-compaction leftovers (a first compaction that crashed
+    * after renaming files in but before writing its `_compacted/c<id>`
+    * marker must stay invisible — its rows duplicate the still-present
+    * batch files); once a compaction has committed, it reads the live
+    * compact files plus the batch deltas newer than the compaction —
+    * never a covered or uncommitted-attempt file. In that compacted
+    * state the dir is unambiguously protocol-managed, so a visible file
+    * OUTSIDE the `batchN`/`compactN` naming fails loudly (the same
+    * guard [[compactStageRoot]] applies): silently excluding it would
+    * lose appended rows without any error. Every consumer of an
+    * ingester-managed root reads through here. */
   def readStage(spark: SparkSession, target: String): DataFrame = {
     val cid = committedCompaction(spark, target)
-    if (cid < 0) spark.read.parquet(target)
-    else {
-      val fs = fsOf(spark, target)
-      val files = visibleFiles(fs, target).filter { p =>
+    val fs = fsOf(spark, target)
+    if (cid < 0) {
+      val visible = visibleFiles(fs, target)
+      val live = visible.filter(p => compactIdOf(p.getName).isEmpty)
+      if (live.length == visible.length) spark.read.parquet(target)
+      else spark.read.parquet(live.map(_.toString).toIndexedSeq: _*)
+    } else {
+      val visible = visibleFiles(fs, target)
+      val unmanaged = visible.map(_.getName)
+        .filter(n => batchIdOf(n).isEmpty && compactIdOf(n).isEmpty)
+      require(unmanaged.isEmpty,
+        s"stage target $target holds files outside the batch*/compact* " +
+          s"naming (${unmanaged.take(3).mkString(", ")}…) after a committed " +
+          "compaction: reading through the compaction protocol would " +
+          "silently drop those rows — append through commitDelta instead")
+      val files = visible.filter { p =>
         val n = p.getName
         compactIdOf(n).contains(cid) || batchIdOf(n).exists(_ > cid)
       }
@@ -123,7 +142,7 @@ private[graft] object IngestCommit {
     * `ledgerRoot` is the root whose `_applied/` markers govern this
     * target's batch ids (the index root for its own subdirs AND for the
     * sibling results table — they share one ledger). Refuses loudly on
-    * a dir holding files outside the managed `batch*/compact*` naming:
+    * a dir holding files outside the managed `batchN`/`compactN` naming:
     * compacting a plain batch-appended table through this protocol
     * would make [[readStage]] silently drop its anonymous part files.
     */
