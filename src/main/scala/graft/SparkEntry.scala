@@ -286,6 +286,10 @@ object SparkEntry {
     "x242_temperature_mixture" -> ((s, d) => Sampling.temperatureMixture(s, d)),
     "x243_compacted_stats"  -> ((s, d) => StatsStage.compactedStatsPanel(s, d)),
     "x244_upsert_orders"    -> ((s, d) => graft.pipeline.Maintenance.upsertAudit(s, d)),
+    "x245_cdc_apply"        -> ((s, d) => Relational.cdcApply(s, d)),
+    "x246_equidepth_hist"   -> ((s, d) => StatsStage.equiDepthHistogram(s, d)),
+    "x247_epoch_schedule"   -> ((s, d) => Sampling.epochSchedule(s, d)),
+    "x248_k_anonymity"      -> ((s, d) => Relational.kAnonymityAudit(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -5181,6 +5185,103 @@ object SparkEntry {
         |       CAST(sum(cents) AS BIGINT) AS sum_cents,
         |       min(k) AS min_k, max(k) AS max_k
         |FROM m GROUP BY 1""".stripMargin,
+
+    // x245: CDC last-wins apply — max_by over the unique seq replays
+    // the collapse; HAVING drops keys whose final op is a delete.
+    "x245_cdc_apply" -> {
+      import operators.Relational.{CdcDeleteAt, CdcDeleteMod, CdcKeySpace}
+      s"""WITH feed AS (
+        |  SELECT o_orderkey % $CdcKeySpace AS k, o_orderkey AS seq,
+        |         CASE WHEN o_orderkey % $CdcDeleteMod = $CdcDeleteAt
+        |              THEN 'D' ELSE 'U' END AS op,
+        |         CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |         o_orderpriority AS prio
+        |  FROM orders)
+        |SELECT k, max_by(cents, seq) AS final_cents,
+        |       max_by(prio, seq) AS final_prio,
+        |       CAST(count(*) AS BIGINT) AS n_ops,
+        |       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_deletes
+        |FROM feed GROUP BY 1
+        |HAVING max_by(op, seq) <> 'D'""".stripMargin
+    },
+
+    // x246: equi-depth histogram — the query folds per-value partials
+    // from the compacted stats stage; the oracle recomputes straight
+    // from documents (value → exclusive cumulative rank → bucket).
+    "x246_equidepth_hist" -> {
+      import operators.StatsStage.HistBuckets
+      s"""WITH vc AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+        |            FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vc),
+        |c AS (SELECT v, cnt,
+        |             coalesce(sum(cnt) OVER (ORDER BY v
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |               0) AS cum
+        |      FROM vc),
+        |b AS (SELECT ($HistBuckets * cum) // n AS bucket, v, cnt FROM c, t)
+        |SELECT bucket, min(v) AS lo_chars, max(v) AS hi_chars,
+        |       CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_values
+        |FROM b GROUP BY 1""".stripMargin
+    },
+
+    // x247: multi-epoch repetition schedule — x242's isqrt CTE for the
+    // tempered weights, proportional shares capped at MaxEpochs·supply,
+    // one surplus-redistribution round (re-capped), all floor integer.
+    "x247_epoch_schedule" -> {
+      import operators.Sampling.{EpochBudgetPct, MaxEpochs}
+      s"""WITH s AS (SELECT source,
+        |                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+        |           FROM documents GROUP BY 1),
+        |w0 AS (SELECT source, n_toks,
+        |              CAST(floor(sqrt(CAST(n_toks AS DOUBLE))) AS BIGINT) AS i0
+        |       FROM s),
+        |w1 AS (SELECT source, n_toks,
+        |              i0 + (CASE WHEN (i0 + 1) * (i0 + 1) <= n_toks THEN 1 ELSE 0 END) AS i1
+        |       FROM w0),
+        |w AS (SELECT source, n_toks,
+        |             i1 - (CASE WHEN i1 * i1 > n_toks THEN 1 ELSE 0 END) AS w
+        |      FROM w1),
+        |t AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total,
+        |             CAST(sum(w) AS BIGINT) AS w_total FROM w),
+        |sh AS (SELECT source, n_toks, w,
+        |              ($EpochBudgetPct * total) // 100 AS budget,
+        |              $MaxEpochs * n_toks AS cap,
+        |              ((($EpochBudgetPct * total) // 100) * w) // w_total AS share
+        |       FROM w, t),
+        |a1 AS (SELECT sh.*, least(share, cap) AS a1,
+        |              CASE WHEN share >= cap THEN 1 ELSE 0 END AS capped
+        |       FROM sh),
+        |r2 AS (SELECT CAST(max(budget) - sum(a1) AS BIGINT) AS surplus,
+        |              CAST(COALESCE(sum(CASE WHEN capped = 0 THEN w END), 0)
+        |                AS BIGINT) AS uw
+        |       FROM a1),
+        |f AS (SELECT a1.*,
+        |             CASE WHEN capped = 0 AND uw > 0
+        |                  THEN (surplus * w) // uw ELSE 0 END AS bonus
+        |      FROM a1, r2)
+        |SELECT source, n_toks, w, share, CAST(capped AS BIGINT) AS capped,
+        |       CAST(least(a1 + bonus, cap) AS BIGINT) AS alloc,
+        |       CAST((1000000 * least(a1 + bonus, cap)) // n_toks AS BIGINT)
+        |         AS epochs_ppm
+        |FROM f""".stripMargin
+    },
+
+    // x248: k-anonymity census — two-level group-by, QI = priority ×
+    // status × order week (x132's day arithmetic // 7).
+    "x248_k_anonymity" -> {
+      import operators.Relational.KAnonThreshold
+      s"""WITH g AS (SELECT o_orderpriority, o_orderstatus,
+        |                  (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) // 7 AS wk,
+        |                  CAST(count(*) AS BIGINT) AS class_size
+        |           FROM orders GROUP BY 1, 2, 3)
+        |SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |       CAST(CASE WHEN class_size < $KAnonThreshold THEN 1 ELSE 0 END
+        |         AS BIGINT) AS at_risk
+        |FROM g GROUP BY 1""".stripMargin
+    },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

@@ -1938,4 +1938,85 @@ object Relational {
       .select(col("pct"), col("target"), col("est_cents"), col("exact_cents"),
         col("err_ppm"))
   }
+
+  /** x248's anonymity threshold: a quasi-identifier group smaller than
+    * this re-identifies its members (the k in k-anonymity). */
+  val KAnonThreshold: Int = 10
+
+  /** k-anonymity audit (x248) — the data-governance complement of the
+    * x23 PII scrub: rows sharing a QUASI-IDENTIFIER tuple (order
+    * priority × status × order week — attributes innocuous alone,
+    * identifying in combination) form equivalence classes, and any
+    * class smaller than [[KAnonThreshold]] is a re-identification risk
+    * a release gate must suppress or generalize. Output is the
+    * class-size census (one row per observed class size: how many
+    * classes, how many rows, at risk or not) — the anonymity profile a
+    * privacy review reads before shipping a training extract.
+    *
+    * 100 TB shape: two partial-agg'd groupBys — corpus → O(QI classes)
+    * → O(distinct sizes). The QI class count is bounded by the
+    * attribute domain (priorities × statuses × weeks), not the corpus,
+    * and nothing ever sorts or windows the fact table. */
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityOf(Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        expr("unix_timestamp(o_orderdate) div 86400 div 7").as("wk")))
+
+  /** Frame-based unit: input = the projected quasi-identifier columns
+    * (any number, any names) — exposed so the census is spec-testable
+    * on a planted class layout. */
+  private[graft] def kAnonymityOf(qi: DataFrame): DataFrame =
+    qi.groupBy(qi.columns.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"))
+      .withColumn("at_risk",
+        (col("class_size") < KAnonThreshold).cast("long"))
+
+  /** x245's synthetic change-feed knobs, shared with the oracle SQL:
+    * keys fold into a [[CdcKeySpace]]-sized space (so every key sees
+    * many ops at any scale factor) and an op is a delete when its
+    * orderkey ≡ [[CdcDeleteAt]] (mod [[CdcDeleteMod]]) — scattered by
+    * the op's own identity, NOT its generation, so the feed's final op
+    * per key is a genuine mix of U and D at every scale factor. */
+  val CdcKeySpace: Int = 3000
+  val CdcDeleteMod: Int = 7
+  val CdcDeleteAt: Int = 3
+
+  /** CDC last-wins apply with deletes (x245) — the change-data-feed
+    * primitive a lakehouse MERGE consumes (x244's [[graft.pipeline
+    * .Maintenance.upsert]] handles upserts; this adds the D op and the
+    * sequence ordering): a keyed op stream `(k, seq, op ∈ {U, D},
+    * payload)` collapses to final state — per key, the op with the
+    * highest `seq` wins; a final D removes the key entirely. The feed
+    * is synthesized deterministically from orders (key = orderkey mod
+    * [[CdcKeySpace]], seq = orderkey — unique, so last-wins is total;
+    * deletes scattered by orderkey mod [[CdcDeleteMod]]), and the
+    * output carries per-key op/delete counts so the oracle audits the
+    * whole feed, not just survivors.
+    *
+    * 100 TB shape: ONE partial-agg'd groupBy(k) — `max_by(_, seq)`
+    * combines map-side, so the shuffle carries one row per key per
+    * task, never the feed. No window, no sort, no self-join; the
+    * delete filter runs on the collapsed frame. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val feed = Tables.orders(spark, dir).select(
+      (col("o_orderkey") % CdcKeySpace).as("k"),
+      col("o_orderkey").as("seq"),
+      when(col("o_orderkey") % CdcDeleteMod === CdcDeleteAt, "D")
+        .otherwise("U").as("op"),
+      cents(col("o_totalprice")).as("cents"),
+      col("o_orderpriority").as("prio"))
+    feed.groupBy(col("k"))
+      .agg(
+        max_by(col("op"), col("seq")).as("final_op"),
+        max_by(col("cents"), col("seq")).as("final_cents"),
+        max_by(col("prio"), col("seq")).as("final_prio"),
+        count(lit(1)).as("n_ops"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"))
+      .filter(col("final_op") =!= "D")
+      .select(col("k"), col("final_cents"), col("final_prio"),
+        col("n_ops"), col("n_deletes"))
+  }
 }

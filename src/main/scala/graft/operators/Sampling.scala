@@ -1230,6 +1230,64 @@ object Sampling {
         expr("(1000000L * alloc) div budget").as("share_ppm"))
   }
 
+  /** x247 knobs, shared with the oracle: budget = [[EpochBudgetPct]]%
+    * of the corpus's total tokens (200% forces repetition somewhere),
+    * and no source may repeat more than [[MaxEpochs]] times (the
+    * repeated-data degradation cap from the data-constrained-scaling
+    * literature — past ~4 epochs repeated tokens stop helping). */
+  val EpochBudgetPct: Int = 200
+  val MaxEpochs: Int = 4
+
+  /** Multi-epoch repetition schedule under a token budget (x247) — the
+    * planning op a data-constrained pretraining run starts from, and
+    * the complement of [[waterfillMixture]]: waterfill allocates a
+    * budget SMALLER than the corpus (alloc ≤ supply, cap = 1 epoch);
+    * this allocates a budget LARGER (here [[EpochBudgetPct]]% of total
+    * tokens), so sources must REPEAT — weighted by x242's tempered
+    * (T=2, integer floor-sqrt) weights so small sources boost first,
+    * but never past [[MaxEpochs]] epochs. Single redistribution round:
+    * proportional-to-weight shares, cap at MaxEpochs·supply, then the
+    * surplus the capped sources couldn't absorb is re-split across the
+    * uncapped by the same weights (re-capped; any residual after the
+    * second cap stays unallocated — documented, exact). Every quantity
+    * is integer floor arithmetic, digit-identical in the oracle.
+    *
+    * 100 TB shape: one corpus scan for the per-source token totals;
+    * every subsequent step lives on the O(sources) frame (two
+    * broadcast-totals crosses, no window, no second scan). */
+  def epochSchedule(spark: SparkSession, dir: String): DataFrame =
+    epochScheduleOf(Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_toks")))
+
+  /** Frame-based unit: input (source, n_toks) — exposed so the cap and
+    * redistribution behavior is spec-testable on a SKEWED panel (the
+    * gate corpus's sources are uniform, so nothing caps there). */
+  private[graft] def epochScheduleOf(supply0: DataFrame): DataFrame = {
+    val supply = supply0
+      .withColumn("w", expr(isqrtSql("n_toks")))
+      .localCheckpoint() // tiny; read by totals, shares, and the rollup
+    val totals = supply.agg(sum(col("n_toks")).as("total"), sum(col("w")).as("w_total"))
+    val shared = supply.crossJoin(broadcast(totals))
+      .withColumn("budget", expr(s"($EpochBudgetPct * total) div 100"))
+      .withColumn("cap", expr(s"${MaxEpochs}L * n_toks"))
+      .withColumn("share", expr("(budget * w) div w_total"))
+      .withColumn("a1", least(col("share"), col("cap")))
+      .withColumn("capped", (col("share") >= col("cap")).cast("int"))
+      .localCheckpoint() // read by the surplus rollup and the final select
+    val round2 = shared.agg(
+      (max(col("budget")) - sum(col("a1"))).as("surplus"),
+      coalesce(sum(when(col("capped") === 0, col("w"))), lit(0L)).as("uw"))
+    shared.crossJoin(broadcast(round2))
+      .withColumn("bonus",
+        when(col("capped") === 0 && col("uw") > 0,
+          expr("(surplus * w) div uw")).otherwise(lit(0L)))
+      .withColumn("alloc", least(col("a1") + col("bonus"), col("cap")))
+      .select(col("source"), col("n_toks"), col("w"), col("share"),
+        col("capped").cast("long").as("capped"), col("alloc"),
+        expr("(1000000L * alloc) div n_toks").as("epochs_ppm"))
+  }
+
   /** Exact integer floor-sqrt as a SQL expression over BIGINT column
     * `c` — `floor(sqrt(double))` with a ±1 correction branch, so a
     * double rounding at huge values can never shift the result (the

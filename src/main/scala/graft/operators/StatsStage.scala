@@ -38,10 +38,18 @@ object StatsStage {
   def langCountsBatch(docs: DataFrame): DataFrame =
     docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
 
+  /** One batch's (n_chars value, row count) partials — the mergeable
+    * input of the equi-depth histogram ([[equiDepthHistogram]]): exact
+    * per-value counts merge by sum, so the folded histogram equals a
+    * one-shot computation no matter how ingestion batched the rows. */
+  def valueCountsBatch(docs: DataFrame): DataFrame =
+    docs.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("cnt"))
+
   /** Seed a stats stage from a corpus (the one-shot / day-1 path). */
   def writeStatsTables(docs: DataFrame, root: String): Unit = {
     colStatsBatch(docs).write.mode("overwrite").parquet(s"$root/col_stats")
     langCountsBatch(docs).write.mode("overwrite").parquet(s"$root/lang_counts")
+    valueCountsBatch(docs).write.mode("overwrite").parquet(s"$root/value_counts")
   }
 
   /** The folded corpus-level column stats: every field merges exactly
@@ -61,6 +69,11 @@ object StatsStage {
   def foldedLangCounts(spark: SparkSession, root: String): DataFrame =
     graft.streaming.IngestCommit.readStage(spark, s"$root/lang_counts")
       .groupBy(col("lang")).agg(sum(col("n_docs")).as("n_docs"))
+
+  /** The folded exact per-value counts of `n_chars`. */
+  def foldedValueCounts(spark: SparkSession, root: String): DataFrame =
+    graft.streaming.IngestCommit.readStage(spark, s"$root/value_counts")
+      .groupBy(col("v")).agg(sum(col("cnt")).as("cnt"))
 
   // ── Compacted-stage gate (x243) ──────────────────────────────────────
 
@@ -96,9 +109,10 @@ object StatsStage {
           val b = docs.filter(pmod(col("doc_id"), lit(CompactBatches.toLong)) === i)
           IngestCommit.commitDelta(colStatsBatch(b), s"$root/col_stats", i.toLong)
           IngestCommit.commitDelta(langCountsBatch(b), s"$root/lang_counts", i.toLong)
+          IngestCommit.commitDelta(valueCountsBatch(b), s"$root/value_counts", i.toLong)
           IngestCommit.markApplied(spark, root, i.toLong)
         }
-        Seq("col_stats", "lang_counts").foreach { t =>
+        Seq("col_stats", "lang_counts", "value_counts").foreach { t =>
           IngestCommit.compactStageRoot(spark, root, s"$root/$t", CompactTargetFiles)
           IngestCommit.compactStageRoot(spark, root, s"$root/$t", CompactTargetFiles)
         }
@@ -122,6 +136,40 @@ object StatsStage {
       .crossJoin(broadcast(foldedColStats(spark, root)
         .select(col("n_rows"), col("min_chars"), col("max_chars"),
           col("sum_chars"))))
+  }
+
+  /** Equi-depth histogram bucket count (x246), shared with the oracle. */
+  val HistBuckets: Int = 8
+
+  /** Catalog-grade equi-depth histogram of `n_chars` (x246), folded FROM
+    * THE COMPACTED STAGE's per-value count partials ([[valueCountsBatch]]
+    * → [[foldedValueCounts]]) — the selectivity-estimation artifact a
+    * planner's `estimatedRows(pred)` reads, maintained the same way the
+    * x243 stats are: mergeable partials at ingest, never a corpus
+    * rescan. Each distinct VALUE lands in the bucket of its exclusive
+    * cumulative rank (`bucket = (B · cum_before) div n`), so buckets
+    * hold ≈ n/B rows except where one heavy value overflows its bucket —
+    * the standard warehouse equi-depth rule, integer-exact on both
+    * engines. The oracle recomputes straight from documents, so a hash
+    * match proves split → commit → compact → fold → histogram changed
+    * nothing.
+    *
+    * 100 TB shape: the fold reads O(compact files) partials sized by the
+    * VALUE DOMAIN, not the corpus; the prefix sum is the recursive
+    * scale-safe one ([[Sampling.exclusivePrefixSum]] — value domains are
+    * data-proportional, never a single-partition window); the bucket
+    * rollup is ≤ [[HistBuckets]] rows. */
+  def equiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val root = compactedStatsRoot(spark, dir)
+    val vc = foldedValueCounts(spark, root).localCheckpoint()
+    val total = vc.agg(sum(col("cnt")).as("n"))
+    val offsets = Sampling.exclusivePrefixSum(vc.select(col("v"), col("cnt")))
+    vc.join(offsets.select(col("key").as("v"), col("offset")), Seq("v"))
+      .crossJoin(broadcast(total))
+      .withColumn("bucket", expr(s"($HistBuckets * offset) div n"))
+      .groupBy(col("bucket"))
+      .agg(min(col("v")).as("lo_chars"), max(col("v")).as("hi_chars"),
+        sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_values"))
   }
 
   /** Drop the memoized compacted roots (tests only). */

@@ -227,12 +227,15 @@ object DocumentStream {
     val spark = batch.sparkSession
     if (IngestCommit.alreadyApplied(spark, stageRoot, batchId)) return
     IngestCommit.cleanAttempt(spark,
-      Seq(s"$stageRoot/col_stats", s"$stageRoot/lang_counts"), batchId)
-    val b = batch.localCheckpoint() // feeds both partials
+      Seq(s"$stageRoot/col_stats", s"$stageRoot/lang_counts",
+        s"$stageRoot/value_counts"), batchId)
+    val b = batch.localCheckpoint() // feeds all three partials
     IngestCommit.commitDelta(
       graft.operators.StatsStage.colStatsBatch(b), s"$stageRoot/col_stats", batchId)
     IngestCommit.commitDelta(
       graft.operators.StatsStage.langCountsBatch(b), s"$stageRoot/lang_counts", batchId)
+    IngestCommit.commitDelta(
+      graft.operators.StatsStage.valueCountsBatch(b), s"$stageRoot/value_counts", batchId)
     IngestCommit.markApplied(spark, stageRoot, batchId)
   }
 

@@ -4127,4 +4127,52 @@ class OperatorsSpec extends SparkSpec {
       assert(cov >= pct * 10000L, s"brand $b coverage")
     }
   }
+  test("cdcApply (x245): last-wins collapse equals a sequential replay of the feed") {
+    val ks = Relational.CdcKeySpace.toLong
+    val feed = graft.Tables.orders(spark, sf)
+      .select($"o_orderkey", round($"o_totalprice" * 100).cast("long"),
+        $"o_orderpriority")
+      .as[(Long, Long, String)].collect()
+      .map { case (okey, cents, prio) =>
+        (okey % ks, okey,
+          if (okey % Relational.CdcDeleteMod == Relational.CdcDeleteAt) "D" else "U",
+          cents, prio)
+      }
+    // sequential replay: apply ops strictly in seq order per key
+    val state = scala.collection.mutable.Map.empty[Long, (Long, String)]
+    val nOps = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val nDel = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    feed.sortBy(_._2).foreach { case (k, _, op, cents, prio) =>
+      nOps(k) += 1
+      if (op == "D") { nDel(k) += 1; state.remove(k) }
+      else state(k) = (cents, prio)
+    }
+    val want = state.toMap.map { case (k, (c, p)) => k -> (c, p, nOps(k), nDel(k)) }
+    val got = Relational.cdcApply(spark, sf)
+      .as[(Long, Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got == want && got.nonEmpty)
+    // deletes actually fire: some keys are absent from the final state
+    // (at this tiny sf most keys see one op, so a deleted key stays dead)
+    assert(want.size < feed.map(_._1).distinct.length)
+    assert(feed.exists(_._3 == "D"))
+  }
+
+  test("kAnonymityAudit (x248): census exact on a planted class layout; corpus rows conserve") {
+    // planted: two classes of 3 (at risk), one class of 12 (safe)
+    val qi = (Seq.fill(3)(("a", 1L)) ++ Seq.fill(3)(("b", 1L)) ++
+      Seq.fill(12)(("c", 2L))).toDF("q1", "q2")
+    val census = Relational.kAnonymityOf(qi)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(census == Map(3L -> ((2L, 6L, 1L)), 12L -> ((1L, 12L, 0L))))
+    // corpus: every order lands in exactly one class
+    val corpus = Relational.kAnonymityAudit(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(corpus.map(_._3).sum == graft.Tables.orders(spark, sf).count())
+    corpus.foreach { r =>
+      assert(r._1 * r._2 == r._3) // size x classes = rows
+      assert(r._4 == (if (r._1 < Relational.KAnonThreshold) 1L else 0L))
+    }
+  }
 }

@@ -861,4 +861,34 @@ class SamplingSpec extends SparkSpec {
     assert(raws.max - raws.min > temps.max - temps.min)
     assert(skew("big")._6 < 1000000L && skew("small")._6 > 1000000L)
   }
+
+  test("epochSchedule (x247): caps bind on a skewed panel, surplus flows to the uncapped, hand-replay exact") {
+    // cols: source, n_toks, w, share, capped, alloc, epochs_ppm
+    val got = Sampling.epochScheduleOf(
+        Seq(("big", 1000000L), ("mid", 10000L), ("tiny", 100L))
+          .toDF("source", "n_toks"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // perfect squares → exact isqrt weights; every division lands exact:
+    // total 1010100, budget 2020200, w_total 1110; tempered shares 18200 /
+    // 182000 / 1820000; tiny and mid cap at 4 epochs (400 / 40000); the
+    // 159800 surplus flows entirely to big (the only uncapped source)
+    assert(got("tiny") == (("tiny", 100L, 10L, 18200L, 1L, 400L, 4000000L)))
+    assert(got("mid") == (("mid", 10000L, 100L, 182000L, 1L, 40000L, 4000000L)))
+    assert(got("big") == (("big", 1000000L, 1000L, 1820000L, 0L, 1979800L, 1979800L)))
+    // conservation: this panel's uncapped side absorbs the whole surplus
+    assert(got.values.map(_._6).sum == 2020200L)
+
+    // corpus run: the schedule invariants hold (uniform sources → nothing
+    // caps, every source trains ≈ EpochBudgetPct/100 epochs)
+    val corpus = Sampling.epochSchedule(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r._6 <= Sampling.MaxEpochs * r._2, s"${r._1} over cap")
+      assert(r._7 <= Sampling.MaxEpochs * 1000000L, s"${r._1} epochs_ppm")
+    }
+    val budget = Sampling.EpochBudgetPct.toLong * corpus.map(_._2).sum / 100L
+    assert(corpus.map(_._6).sum <= budget)
+  }
 }

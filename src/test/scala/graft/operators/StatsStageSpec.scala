@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The stats-stage artifacts fed through the compaction protocol: the
+  * equi-depth histogram (x246) folded from the compacted per-value
+  * partials must equal a direct hand computation over the corpus, and
+  * carry the equi-depth invariants. */
+class StatsStageSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("equiDepthHistogram (x246): compacted-stage fold ≡ direct hand replay; invariants") {
+    val got = StatsStage.equiDepthHistogram(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+
+    // direct replay: per-value counts → exclusive cumulative rank → bucket
+    val vc = graft.Tables.documents(spark, sf)
+      .groupBy($"n_chars").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val n = vc.map(_._2).sum
+    val b = StatsStage.HistBuckets.toLong
+    var cum = 0L
+    val want = vc.map { case (v, cnt) =>
+      val bucket = b * cum / n
+      cum += cnt
+      (bucket, v, cnt)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (bucket, vs) =>
+      (bucket, vs.map(_._2).min, vs.map(_._2).max,
+        vs.map(_._3).sum, vs.length.toLong)
+    }
+    assert(got.toSeq == want && got.nonEmpty)
+
+    // equi-depth invariants: all rows accounted for; bucket VALUE ranges
+    // disjoint and ordered; no bucket overflows its fair share by more
+    // than one value's worth (the boundary value that straddles it)
+    assert(got.map(_._4).sum == n)
+    got.sliding(2).foreach {
+      case Array(a, c) => assert(a._3 < c._2, s"overlap: $a / $c")
+      case _           =>
+    }
+    val maxCnt = vc.map(_._2).max
+    got.foreach { r =>
+      assert(r._4 <= n / b + 1 + maxCnt, s"bucket ${r._1} too deep: $r")
+    }
+  }
+}

@@ -250,8 +250,11 @@ class DocumentStreamSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
     def lc(p: String) = graft.operators.StatsStage.foldedLangCounts(spark, p)
       .as[(String, Long)].collect().toMap
+    def vc(p: String) = graft.operators.StatsStage.foldedValueCounts(spark, p)
+      .as[(Long, Long)].collect().toMap
     assert(cs(s"$root/stage") == cs(s"$root/oneshot"))
     assert(lc(s"$root/stage") == lc(s"$root/oneshot") && lc(s"$root/stage").nonEmpty)
+    assert(vc(s"$root/stage") == vc(s"$root/oneshot") && vc(s"$root/stage").nonEmpty)
     assert(cs(s"$root/stage")._1 == docs.count())
   }
 
