@@ -252,6 +252,16 @@ object BenchStreaming {
         ev => EventStream.clickPurchaseAttribution(ev, ev)),
       run("sampled_stream", ev => EventStream.sampledStream(ev, thresholds)),
       run("transitions_stream", ev => EventStream.transitions(ev).toDF()),
+      // last-wins CDC apply: keyed op feed derived from the event stream
+      // (k = user, seq = event id, ~1/7 deletes), Update-mode state
+      run("cdc_apply_stream", { ev =>
+        import org.apache.spark.sql.functions.{col, round, when}
+        EventStream.cdcApply(ev.select(
+          col("user_id").as("k"), col("event_id").as("seq"),
+          when(col("event_id") % 7 === 3, "D").otherwise("U").as("op"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("event_type").as("prio"))).toDF()
+      }, "update"),
       run("tier_promotions_stream", ev => EventStream.tierPromotions(ev).toDF()),
       run("reorders_stream", ev => EventStream.reorders(ev).toDF()),
       run("conversions_stream", ev => EventStream.conversions(ev).toDF()),

@@ -290,6 +290,8 @@ object SparkEntry {
     "x246_equidepth_hist"   -> ((s, d) => StatsStage.equiDepthHistogram(s, d)),
     "x247_epoch_schedule"   -> ((s, d) => Sampling.epochSchedule(s, d)),
     "x248_k_anonymity"      -> ((s, d) => Relational.kAnonymityAudit(s, d)),
+    "x249_bucketed_join"    -> ((s, d) => operators.BucketedStage.bucketedJoin(s, d)),
+    "x250_bucket_lookup"    -> ((s, d) => operators.BucketedStage.bucketLookup(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -5281,6 +5283,31 @@ object SparkEntry {
         |       CAST(CASE WHEN class_size < $KAnonThreshold THEN 1 ELSE 0 END
         |         AS BIGINT) AS at_risk
         |FROM g GROUP BY 1""".stripMargin
+    },
+
+    // x249: bucketed co-located join — the oracle replays the join on
+    // the plain parquet tables; a hash match proves the clustered
+    // layout (bucketBy 16 + sortBy, one file per bucket) changed no
+    // answers. The no-shuffle property is plan-asserted in the spec.
+    "x249_bucketed_join" ->
+      """SELECT o.o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT))
+        |         AS BIGINT) AS rev_cents
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // x250: bucket-pruned point lookup — the oracle's plain IN-list
+    // join proves the pruned bucket read misses nothing.
+    "x250_bucket_lookup" -> {
+      val keys = operators.BucketedStage.LookupKeys.mkString(", ")
+      s"""SELECT o.o_orderkey, o.o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT))
+        |         AS BIGINT) AS rev_cents
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN ($keys) AND l.l_orderkey IN ($keys)
+        |GROUP BY 1, 2""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

@@ -2000,14 +2000,19 @@ object Relational {
     * combines map-side, so the shuffle carries one row per key per
     * task, never the feed. No window, no sort, no self-join; the
     * delete filter runs on the collapsed frame. */
-  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
-    val feed = Tables.orders(spark, dir).select(
+  def cdcApply(spark: SparkSession, dir: String): DataFrame =
+    cdcApplyOf(Tables.orders(spark, dir).select(
       (col("o_orderkey") % CdcKeySpace).as("k"),
       col("o_orderkey").as("seq"),
       when(col("o_orderkey") % CdcDeleteMod === CdcDeleteAt, "D")
         .otherwise("U").as("op"),
       cents(col("o_totalprice")).as("cents"),
-      col("o_orderpriority").as("prio"))
+      col("o_orderpriority").as("prio")))
+
+  /** Frame-based unit: input (k, seq, op, cents, prio) — exposed so the
+    * streaming twin's stateful collapse is provable equal to this batch
+    * collapse on the SAME feed. */
+  private[graft] def cdcApplyOf(feed: DataFrame): DataFrame =
     feed.groupBy(col("k"))
       .agg(
         max_by(col("op"), col("seq")).as("final_op"),
@@ -2018,5 +2023,4 @@ object Relational {
       .filter(col("final_op") =!= "D")
       .select(col("k"), col("final_cents"), col("final_prio"),
         col("n_ops"), col("n_deletes"))
-  }
 }

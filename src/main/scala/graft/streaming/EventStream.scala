@@ -489,4 +489,49 @@ object EventStream {
           out.iterator
       }
   }
+
+  // —— stateful CDC last-wins apply via flatMapGroupsWithState ——
+
+  case class CdcOp(k: Long, seq: Long, op: String, cents: Long, prio: String)
+  case class CdcState(seq: Long, op: String, cents: Long, prio: String,
+                      nOps: Long, nDel: Long)
+  case class CdcOut(k: Long, final_op: String, final_cents: Long,
+                    final_prio: String, n_ops: Long, n_deletes: Long)
+
+  /** Streaming CDC apply (the 27th twin; `Relational.cdcApply`'s / the
+    * x245 gate's stateful twin): a keyed op feed `(k, seq, op ∈ {U, D},
+    * payload)` collapses continuously — each trigger, every touched key
+    * emits its current last-wins state (Update mode: the row REPLACES
+    * the key's previous emission downstream, the CDC-consumer
+    * contract). The max-seq rule makes the state ORDER-INDEPENDENT, so
+    * late or re-delivered ops converge to the batch collapse — the
+    * stream-built final state is spec-proven equal to `cdcApplyOf` on
+    * the same feed across micro-batch boundaries. A key whose current
+    * winner is a delete still emits (with `final_op = "D"`) so the
+    * consumer can retract it; per-key state is one tuple, bounded by
+    * the LIVE key space, never the feed. */
+  def cdcApply(feed: DataFrame): Dataset[CdcOut] = {
+    val spark = feed.sparkSession
+    import spark.implicits._
+    feed.select(col("k"), col("seq"), col("op"), col("cents"), col("prio"))
+      .as[CdcOp]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[CdcState, CdcOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[CdcOp], state: GroupState[CdcState]) =>
+          var st = state.getOption
+            .getOrElse(CdcState(Long.MinValue, "", 0L, "", 0L, 0L))
+          for (r <- rows) {
+            val wins = r.seq > st.seq
+            st = CdcState(
+              if (wins) r.seq else st.seq,
+              if (wins) r.op else st.op,
+              if (wins) r.cents else st.cents,
+              if (wins) r.prio else st.prio,
+              st.nOps + 1, st.nDel + (if (r.op == "D") 1L else 0L))
+          }
+          state.update(st)
+          Iterator.single(CdcOut(k, st.op, st.cents, st.prio, st.nOps, st.nDel))
+      }
+  }
 }

@@ -492,4 +492,52 @@ class EventStreamSpec extends SparkSpec {
     val got = spark.table("conv_tie").as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, t0, t0, 0L)))
   }
+
+  test("stateful streaming CDC apply ≡ batch x245 collapse, under OUT-OF-ORDER arrival") {
+    import graft.operators.Relational
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcstream").toString
+    // spec-local keyspace of 200 (the gate's 3000 exceeds this sf's max
+    // orderkey, which would leave every key with one op): ~7 ops/key
+    val ks = 200L
+    val feed = graft.Tables.orders(spark, sf).select(
+      ($"o_orderkey" % ks).as("k"),
+      $"o_orderkey".as("seq"),
+      when($"o_orderkey" % Relational.CdcDeleteMod === Relational.CdcDeleteAt, "D")
+        .otherwise("U").as("op"),
+      round($"o_totalprice" * 100).cast("long").as("cents"),
+      $"o_orderpriority".as("prio"))
+    // split by GENERATION parity: each key's ops alternate between the
+    // two micro-batches, so ops arrive out of order per key — the
+    // max-seq collapse is order-independent, so the stream must still
+    // converge to the batch state (a property the in-order twins never
+    // claim)
+    feed.filter(($"seq" / ks).cast("long") % 2 === 0).write.parquet(s"$root/drop")
+    feed.filter(($"seq" / ks).cast("long") % 2 === 1)
+      .write.mode("append").parquet(s"$root/drop")
+    val stream = spark.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/drop")
+    val q = EventStream.cdcApply(stream).toDF()
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("update")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // the key's LAST emission (max n_ops — it only grows) is its final
+    // state; a final D is the downstream retraction
+    val streamed = spark.table("cdc_stream")
+      .groupBy($"k").agg(max_by(struct($"final_op", $"final_cents",
+        $"final_prio", $"n_ops", $"n_deletes"), $"n_ops").as("s"))
+      .select($"k", $"s.*")
+      .filter($"final_op" =!= "D")
+      .select($"k", $"final_cents", $"final_prio", $"n_ops", $"n_deletes")
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    val batch = Relational.cdcApplyOf(feed)
+      .as[(Long, Long, String, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // the generation split really interleaved: keys got ops in both drops
+    val both = feed.filter(($"seq" / ks).cast("long") % 2 === 0).select($"k").distinct()
+      .intersect(feed.filter(($"seq" / ks).cast("long") % 2 === 1).select($"k").distinct())
+      .count()
+    assert(both > 0, "fixture must force cross-batch out-of-order state")
+  }
 }
