@@ -292,6 +292,9 @@ object SparkEntry {
     "x248_k_anonymity"      -> ((s, d) => Relational.kAnonymityAudit(s, d)),
     "x249_bucketed_join"    -> ((s, d) => operators.BucketedStage.bucketedJoin(s, d)),
     "x250_bucket_lookup"    -> ((s, d) => operators.BucketedStage.bucketLookup(s, d)),
+    "x251_selectivity"      -> ((s, d) => StatsStage.selectivityAudit(s, d)),
+    "x252_schema_evolution" -> ((s, d) => operators.SchemaStage.schemaEvolutionRead(s, d)),
+    "x253_pit_tier_join"    -> ((s, d) => Relational.pitTierJoin(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -5308,6 +5311,87 @@ object SparkEntry {
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |WHERE o.o_orderkey IN ($keys) AND l.l_orderkey IN ($keys)
         |GROUP BY 1, 2""".stripMargin
+    },
+
+    // x251: selectivity audit — x246's histogram CTEs + equal-width
+    // predicate grid; estimate via uniform-within-bucket interpolation,
+    // actual via the per-value counts, both exact floor integers.
+    "x251_selectivity" -> {
+      import operators.StatsStage.{HistBuckets, SelPredicates}
+      s"""WITH vc AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+        |            FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vc),
+        |c AS (SELECT v, cnt,
+        |             coalesce(sum(cnt) OVER (ORDER BY v
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |               0) AS cum
+        |      FROM vc),
+        |bk AS (SELECT ($HistBuckets * cum) // n AS bucket, v, cnt FROM c, t),
+        |h AS (SELECT bucket, min(v) AS lo_chars, max(v) AS hi_chars,
+        |             CAST(sum(cnt) AS BIGINT) AS n_rows
+        |      FROM bk GROUP BY 1),
+        |b AS (SELECT min(lo_chars) AS min_v, max(hi_chars) AS max_v FROM h),
+        |preds AS (SELECT CAST(r.p AS BIGINT) AS pid,
+        |                 min_v + (r.p * (max_v - min_v + 1)) // $SelPredicates AS lo,
+        |                 min_v + ((r.p + 1) * (max_v - min_v + 1)) // $SelPredicates - 1 AS hi
+        |          FROM (SELECT unnest(range($SelPredicates)) AS p) r, b),
+        |est AS (SELECT pid, lo, hi,
+        |               CAST(sum((n_rows * (least(hi, hi_chars) - greatest(lo, lo_chars) + 1))
+        |                 // (hi_chars - lo_chars + 1)) AS BIGINT) AS est_rows
+        |        FROM preds JOIN h ON hi_chars >= lo AND lo_chars <= hi
+        |        GROUP BY 1, 2, 3),
+        |act AS (SELECT pid, CAST(sum(cnt) AS BIGINT) AS actual_rows
+        |        FROM preds JOIN vc ON v >= lo AND v <= hi GROUP BY 1)
+        |SELECT e.pid, e.lo, e.hi, e.est_rows,
+        |       CAST(coalesce(a.actual_rows, 0) AS BIGINT) AS actual_rows,
+        |       CAST((1000000 * abs(e.est_rows - coalesce(a.actual_rows, 0)))
+        |         // (CASE WHEN coalesce(a.actual_rows, 0) > 0
+        |                  THEN a.actual_rows ELSE 1 END) AS BIGINT) AS err_ppm
+        |FROM est e LEFT JOIN act a ON e.pid = a.pid""".stripMargin
+    },
+
+    // x252: schema-evolution read — the oracle replays the generation
+    // rule (even keys never had prio) straight from orders.
+    "x252_schema_evolution" ->
+      """WITH m AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |         CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS prio
+        |  FROM orders)
+        |SELECT coalesce(prio, '<pre-evolution>') AS prio,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM m GROUP BY 1""".stripMargin,
+
+    // x253: point-in-time SCD2 join — x138's interval CTEs + the as-of
+    // range condition; census per tier.
+    "x253_pit_tier_join" -> {
+      import operators.Relational.{TierGoldAt, TierSilverAt}
+      def t(e: String) =
+        s"CASE WHEN $e < $TierSilverAt THEN 'bronze' WHEN $e < $TierGoldAt THEN 'silver' ELSE 'gold' END"
+      s"""WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
+        |  FROM orders),
+        |rk AS (SELECT o_custkey, day,
+        |              row_number() OVER (PARTITION BY o_custkey
+        |                ORDER BY day, o_orderkey) AS rn
+        |       FROM o),
+        |ep AS (SELECT o_custkey, rn, day AS valid_from_day,
+        |              ${t("rn")} AS tier
+        |       FROM rk
+        |       WHERE rn = 1 OR ${t("rn")} <> ${t("(rn - 1)")}),
+        |iv AS (SELECT o_custkey, tier, valid_from_day,
+        |              lead(valid_from_day) OVER (PARTITION BY o_custkey
+        |                ORDER BY rn) AS valid_to_day
+        |       FROM ep)
+        |SELECT iv.tier, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+        |FROM o JOIN iv ON o.o_custkey = iv.o_custkey
+        |  AND o.day >= iv.valid_from_day
+        |  AND (iv.valid_to_day IS NULL OR o.day < iv.valid_to_day)
+        |GROUP BY 1""".stripMargin
     },
 
     // x132: loyalty-tier transition matrix — point-in-time tier via

@@ -1939,6 +1939,32 @@ object Relational {
         col("err_ppm"))
   }
 
+  /** Point-in-time dimension join (x253) — what the x138 SCD2 table is
+    * FOR: each order joins the ONE tier interval covering its order day
+    * (`valid_from ≤ day < valid_to`, open-ended current interval), i.e.
+    * "the customer's tier as of end of that day" — the as-of semantics
+    * every fact-to-SCD2 enrichment runs. Same-day promotions leave
+    * zero-length intervals, which by construction cover no day, so the
+    * match is exactly 1:1 (spec-asserted: joined rows = orders rows).
+    * Census per tier so the oracle is a stable panel.
+    *
+    * 100 TB shape: an EQUI join on custkey (the interval table is
+    * O(customers × ≤4 episodes), broadcastable or co-partitioned) with
+    * the day-range as a residual filter — never an inequality-only
+    * join. */
+  def pitTierJoin(spark: SparkSession, dir: String): DataFrame = {
+    val iv = tierIntervals(spark, dir)
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey").as("ck"), col("o_orderkey"),
+      expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+    o.join(iv, col("ck") === col("o_custkey") &&
+        col("day") >= col("valid_from_day") &&
+        (col("valid_to_day").isNull || col("day") < col("valid_to_day")))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("ck")).as("n_customers"))
+  }
+
   /** x248's anonymity threshold: a quasi-identifier group smaller than
     * this re-identifies its members (the k in k-anonymity). */
   val KAnonThreshold: Int = 10

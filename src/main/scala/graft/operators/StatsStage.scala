@@ -172,6 +172,56 @@ object StatsStage {
         sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_values"))
   }
 
+  /** x251's predicate-grid size, shared with the oracle. */
+  val SelPredicates: Int = 8
+
+  /** Selectivity-estimation audit (x251) — what the x246 histogram is
+    * FOR: a grid of [[SelPredicates]] equal-WIDTH range predicates over
+    * the `n_chars` domain (deliberately misaligned with the equi-DEPTH
+    * bucket boundaries, so boundary buckets really interpolate) is
+    * priced twice — estimated rows from the histogram (full buckets
+    * inside the range + uniform-within-bucket interpolation at the
+    * boundaries, the standard warehouse rule, in exact floor integers)
+    * and actual rows from the folded per-value counts. `err_ppm` is the
+    * estimator's audited error — the number a cost-based optimizer's
+    * cardinality model is graded on.
+    *
+    * 100 TB shape: both sides read staged artifacts sized by the value
+    * DOMAIN (the [[HistBuckets]]-row histogram; the per-value counts) —
+    * the corpus is never rescanned. The predicate × bucket and
+    * predicate × value joins are broadcast-tiny inequality joins. */
+  def selectivityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val p = SelPredicates
+    val hist = equiDepthHistogram(spark, dir).localCheckpoint()
+    val bounds = hist.agg(min(col("lo_chars")).as("min_v"),
+      max(col("hi_chars")).as("max_v"))
+    val preds = spark.range(p.toLong).select(col("id").as("pid"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("lo", expr(s"min_v + (pid * (max_v - min_v + 1)) div $p"))
+      .withColumn("hi", expr(s"min_v + ((pid + 1) * (max_v - min_v + 1)) div $p - 1"))
+      .select(col("pid"), col("lo"), col("hi"))
+      .localCheckpoint() // read by the estimate and the exact side
+    val est = preds.join(hist,
+        col("hi_chars") >= col("lo") && col("lo_chars") <= col("hi"))
+      .withColumn("olo", greatest(col("lo"), col("lo_chars")))
+      .withColumn("ohi", least(col("hi"), col("hi_chars")))
+      .withColumn("part",
+        expr("(n_rows * (ohi - olo + 1)) div (hi_chars - lo_chars + 1)"))
+      .groupBy(col("pid"), col("lo"), col("hi"))
+      .agg(sum(col("part")).as("est_rows"))
+    val vc = foldedValueCounts(spark, compactedStatsRoot(spark, dir))
+    val actual = preds.join(vc, col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy(col("pid").as("pid_a"))
+      .agg(sum(col("cnt")).as("actual_rows"))
+    est.join(actual, col("pid") === col("pid_a"), "left")
+      .withColumn("actual_rows", coalesce(col("actual_rows"), lit(0L)))
+      .select(col("pid"), col("lo"), col("hi"), col("est_rows"),
+        col("actual_rows"),
+        expr("(1000000L * abs(est_rows - actual_rows)) div " +
+          "(CASE WHEN actual_rows > 0 THEN actual_rows ELSE 1 END)")
+          .as("err_ppm"))
+  }
+
   /** Drop the memoized compacted roots (tests only). */
   private[graft] def invalidateCompacted(): Unit =
     synchronized { compactedRoots.clear() }

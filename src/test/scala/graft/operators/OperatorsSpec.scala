@@ -4175,4 +4175,49 @@ class OperatorsSpec extends SparkSpec {
       assert(r._4 == (if (r._1 < Relational.KAnonThreshold) 1L else 0L))
     }
   }
+
+  test("schemaEvolutionRead (x252): merged read unifies schemas, loses nothing") {
+    val dir = SchemaStage.evolvedDir(spark, sf)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("k", "cents", "prio"))
+    assert(merged.count() == graft.Tables.orders(spark, sf).count())
+    // old-generation rows (even keys) surface with NULL prio, new with values
+    assert(merged.filter($"k" % 2 === 0).filter($"prio".isNotNull).count() == 0)
+    assert(merged.filter($"k" % 2 === 1).filter($"prio".isNull).count() == 0)
+    // WITHOUT mergeSchema the footer-picked schema may drop prio — the
+    // audited read is the mergeSchema one (behavior documented, not assumed)
+  }
+
+  test("pitTierJoin (x253): exactly one interval covers every order; census ≡ hand replay") {
+    // 1:1 as-of match — the zero-length same-day intervals cover nothing
+    val iv = Relational.tierIntervals(spark, sf)
+    val o = graft.Tables.orders(spark, sf).select(
+      $"o_custkey".as("ck"), $"o_orderkey",
+      expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+    val joined = o.join(iv, $"ck" === $"o_custkey" &&
+      $"day" >= $"valid_from_day" &&
+      ($"valid_to_day".isNull || $"day" < $"valid_to_day"))
+    assert(joined.count() == o.count())
+
+    // hand replay: end-of-day tier per order (tier after the last order
+    // of that customer-day)
+    def tierOf(n: Long) =
+      if (n < Relational.TierSilverAt) "bronze"
+      else if (n < Relational.TierGoldAt) "silver" else "gold"
+    val seqs = o.as[(Long, Long, Long)].collect().toSeq
+      .groupBy(_._1).toSeq.flatMap { case (ck, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._2))
+        val lastN = sorted.groupBy(_._3).map { case (d, rs) =>
+          d -> (sorted.indexWhere(_ == rs.maxBy(_._2)) + 1).toLong
+        }
+        sorted.map { case (_, _, d) => (ck, tierOf(lastN(d))) }
+      }
+    val want = seqs.groupBy(_._2).map { case (t, rs) =>
+      t -> (rs.size.toLong, rs.map(_._1).distinct.size.toLong)
+    }
+    val got = Relational.pitTierJoin(spark, sf)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == want && got.nonEmpty)
+  }
 }

@@ -47,4 +47,32 @@ class StatsStageSpec extends SparkSpec {
       assert(r._4 <= n / b + 1 + maxCnt, s"bucket ${r._1} too deep: $r")
     }
   }
+
+  test("selectivityAudit (x251): estimate matches a hand interpolation; grid covers exactly") {
+    val got = StatsStage.selectivityAudit(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == StatsStage.SelPredicates)
+
+    val hist = StatsStage.equiDepthHistogram(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val vc = graft.Tables.documents(spark, sf)
+      .groupBy($"n_chars").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect()
+    val (minV, maxV) = (hist.map(_._2).min, hist.map(_._3).max)
+    val p = StatsStage.SelPredicates.toLong
+    got.foreach { case (pid, lo, hi, est, actual, errPpm) =>
+      assert(lo == minV + (pid * (maxV - minV + 1)) / p)
+      assert(hi == minV + ((pid + 1) * (maxV - minV + 1)) / p - 1)
+      val wantEst = hist.collect {
+        case (_, blo, bhi, rows, _) if bhi >= lo && blo <= hi =>
+          rows * (math.min(hi, bhi) - math.max(lo, blo) + 1) / (bhi - blo + 1)
+      }.sum
+      val wantActual = vc.collect { case (v, cnt) if v >= lo && v <= hi => cnt }.sum
+      assert(est == wantEst, s"pred $pid estimate")
+      assert(actual == wantActual, s"pred $pid actual")
+      assert(errPpm == 1000000L * math.abs(est - actual) / math.max(actual, 1L))
+    }
+    // the equal-width grid covers the domain disjointly: actuals sum to n
+    assert(got.map(_._5).sum == vc.map(_._2).sum)
+  }
 }
