@@ -150,6 +150,43 @@ class IngestCompactionSpec extends SparkSpec {
     assert(e.getMessage.contains("outside the batch*/compact*"))
   }
 
+  test("real consumer: compacting the ingest results root changes no answers; mixed index refused") {
+    import graft.operators.Dedup
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val cut = Dedup.IncrementalNewMinId
+    val day2 = docs.filter($"doc_id" >= cut)
+    val (day1, h1, h2) = (docs.filter($"doc_id" < cut),
+      day2.filter($"doc_id" % 2 === 0), day2.filter($"doc_id" % 2 === 1))
+    val root = Files.createTempDirectory("graft-compact-consumer").toString
+    Dedup.writeParagraphIndex(day1, s"$root/index")
+    DocumentStream.applyIngestBatch(h1, s"$root/index", s"$root/results",
+      Dedup.ParagraphBoundaryMod, 0L)
+    DocumentStream.applyIngestBatch(h2, s"$root/index", s"$root/results",
+      Dedup.ParagraphBoundaryMod, 1L)
+    def results() = IngestCommit.readStage(spark, s"$root/results")
+      .as[(Long, Int, Int, Int, Int)].collect().toSet
+    val before = results()
+    assert(before.nonEmpty)
+    // the results root is pure-protocol (batchN files only) → compactable;
+    // the ledger lives in the index root (shared batch numbering)
+    val ids = graft.pipeline.Maintenance.compactStageRoot(
+      spark, s"$root/index", Seq(s"$root/results"), nFiles = 2)
+    graft.pipeline.Maintenance.compactStageRoot(
+      spark, s"$root/index", Seq(s"$root/results"), nFiles = 2) // deferred GC
+    assert(ids == Seq(1L))
+    assert(results() == before)
+    assert(names(s"$root/results").forall(_.startsWith("compact1_")))
+    // the index root mixes the plain day-1 seed with batchN deltas — the
+    // protocol REFUSES to compact it (folding would make readStage drop
+    // the anonymous seed files)
+    val e = intercept[IllegalArgumentException](
+      IngestCommit.compactStageRoot(spark, s"$root/index", s"$root/index"))
+    assert(e.getMessage.contains("outside the batch*/compact*"))
+    // and the consumer read path on the mixed root is unaffected
+    assert(IngestCommit.readStage(spark, s"$root/index").count() > 0)
+  }
+
   test("compactStageRoot refuses a plain (non-protocol) parquet dir") {
     val root = freshRoot()
     Seq((1L, "a"), (2L, "b")).toDF("id", "tag").write.parquet(s"$root/plain")
