@@ -256,9 +256,11 @@ object BenchStreaming {
       // (k = user, seq = event id, ~1/7 deletes), Update-mode state
       run("cdc_apply_stream", { ev =>
         import org.apache.spark.sql.functions.{col, round, when}
+        import graft.operators.Relational.{CdcDeleteAt, CdcDeleteMod}
         EventStream.cdcApply(ev.select(
           col("user_id").as("k"), col("event_id").as("seq"),
-          when(col("event_id") % 7 === 3, "D").otherwise("U").as("op"),
+          when(col("event_id") % CdcDeleteMod === CdcDeleteAt, "D")
+            .otherwise("U").as("op"),
           round(col("value") * 100).cast("long").as("cents"),
           col("event_type").as("prio"))).toDF()
       }, "update"),

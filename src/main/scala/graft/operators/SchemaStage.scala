@@ -38,8 +38,10 @@ object SchemaStage {
           col("o_orderkey").as("k"),
           Relational.cents(col("o_totalprice")).as("cents"),
           col("o_orderpriority").as("prio"))
+        // overwrite: a retry after a failure between the two generation
+        // writes must rebuild cleanly, not die on "path already exists"
         o.filter(col("k") % 2 === 0).select(col("k"), col("cents"))
-          .write.parquet(p)
+          .write.mode("overwrite").parquet(p)
         o.filter(col("k") % 2 === 1)
           .write.mode("append").parquet(p)
         p

@@ -37,7 +37,7 @@ object Maintenance {
     import org.apache.spark.sql.functions._
     val o = graft.Tables.orders(spark, dir).select(
       col("o_orderkey").as("k"),
-      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      graft.operators.Relational.cents(col("o_totalprice")).as("cents"),
       col("o_orderpriority").as("prio"))
     val upd = o.filter(col("k") % 10 === 3)
       .select(col("k"), (col("cents") * 2).as("cents"), lit("UPSERTED").as("prio"))

@@ -61,26 +61,28 @@ object RunPipeline {
       // parsed them when partitioning — make both shapes work:
       .cache()
 
-    // quality gates (docx "email alerts on failure" intent) run on the
-    // DataFrames BEFORE each saveAsTable — a failed invariant lands in
-    // etl_errors AND the run exits nonzero WITHOUT publishing the bad
-    // table (fail-closed: downstream readers keep the previous version).
+    // quality gates (docx "email alerts on failure" intent): BOTH gates
+    // run on the DataFrames before ANY saveAsTable — gold is computed
+    // from the silver frame, not the published table, so a failed
+    // invariant (silver's own OR the cross-layer conservation) lands in
+    // etl_errors, exits nonzero, and publishes NOTHING: downstream
+    // readers of both layers keep the previous versions.
     try {
       Quality.gate(spark, "silver.sales_cleaned",
         Quality.check(silver,
           requiredColumns = Seq("date", "store_nbr", "transactions"),
           notNullColumns = Seq("date", "store_nbr", "transactions"),
           nonNegativeColumns = Seq("transactions")))
-      silver.write.format("parquet").mode(SaveMode.Overwrite)
-        .partitionBy("year", "month").saveAsTable("processed.sales_cleaned")
-      println(s"[silver] sales_cleaned=${silver.count()}")
-
-      val features = Gold.weeklyFeatures(spark.table("processed.sales_cleaned"))
+      val features = Gold.weeklyFeatures(silver)
       val predicted = Gold.forecast(features,
         maxIter = sys.env.getOrElse("SPARK_GRAFT_GBT_ITERS", "20").toInt).cache()
       Quality.gate(spark, "cross_layer",
         Quality.crossLayer(spark.table("raw.transactions"), silver, predicted,
           bronzeMeasure = "transactions", goldMeasure = "weekly_transactions"))
+
+      silver.write.format("parquet").mode(SaveMode.Overwrite)
+        .partitionBy("year", "month").saveAsTable("processed.sales_cleaned")
+      println(s"[silver] sales_cleaned=${silver.count()}")
       predicted.write.format("parquet").mode(SaveMode.Overwrite)
         .partitionBy("year").saveAsTable("analytics.sales_forecast_features")
       val nGold = spark.table("analytics.sales_forecast_features").count()

@@ -508,8 +508,12 @@ object EventStream {
     * stream-built final state is spec-proven equal to `cdcApplyOf` on
     * the same feed across micro-batch boundaries. A key whose current
     * winner is a delete still emits (with `final_op = "D"`) so the
-    * consumer can retract it; per-key state is one tuple, bounded by
-    * the LIVE key space, never the feed. */
+    * consumer can retract it — and its TOMBSTONE state is kept, because
+    * dropping it would let a late pre-delete op resurrect the key.
+    * Per-key state is one tuple, so memory is O(keys ever seen), not
+    * O(feed); a production deployment with key churn bounds the
+    * tombstones with a state timeout sized to the feed's max lateness
+    * (the standard CDC retention contract). */
   def cdcApply(feed: DataFrame): Dataset[CdcOut] = {
     val spark = feed.sparkSession
     import spark.implicits._

@@ -521,7 +521,8 @@ class EventStreamSpec extends SparkSpec {
       .outputMode("update")
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain in time — " +
+      "the memory table would be partial")
     // the key's LAST emission (max n_ops — it only grows) is its final
     // state; a final D is the downstream retraction
     val streamed = spark.table("cdc_stream")
