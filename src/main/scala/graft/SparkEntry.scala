@@ -295,6 +295,7 @@ object SparkEntry {
     "x251_selectivity"      -> ((s, d) => StatsStage.selectivityAudit(s, d)),
     "x252_schema_evolution" -> ((s, d) => operators.SchemaStage.schemaEvolutionRead(s, d)),
     "x253_pit_tier_join"    -> ((s, d) => Relational.pitTierJoin(s, d)),
+    "x254_salted_join"      -> ((s, d) => operators.SkewJoin.saltedJoinAudit(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -5393,6 +5394,17 @@ object SparkEntry {
         |  AND (iv.valid_to_day IS NULL OR o.day < iv.valid_to_day)
         |GROUP BY 1""".stripMargin
     },
+
+    // x254: salted-join equivalence — the oracle is the PLAIN join, so
+    // a hash match proves the salt-and-replicate rewrite is lossless.
+    "x254_salted_join" ->
+      """SELECT o.o_orderpriority AS prio,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT))
+        |         AS BIGINT) AS rev_cents,
+        |       CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     // x132: loyalty-tier transition matrix — point-in-time tier via
     // row_number over (day, orderkey), thresholds shared constants.

@@ -28,4 +28,31 @@ object SkewJoin {
       explode(array((0 until salts).map(lit): _*)))
     saltedFact.join(replicatedBuild, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** x254's salt fan-out, shared with the spec. */
+  val AuditSalts: Int = 8
+
+  /** Salted-join equivalence audit (x254): the real lineitem⋈orders
+    * revenue rollup routed through [[saltedEquiJoin]] — the oracle is
+    * the PLAIN SQL join, so a hash match proves the salt-and-replicate
+    * rewrite (each fact row salted by its own content, the build side
+    * replicated [[AuditSalts]]×, join on (key, salt)) changes no
+    * answers on real data, not just the toy spec fixture. The
+    * `n_orders` distinct count rides through the rewrite too (each
+    * order key appears under several salts — dedup must still work).
+    *
+    * 100 TB shape: this is the manual fallback for a hot-key shuffle
+    * join AQE can't split; cost = build×salts replication, paid only
+    * when |build| ≪ |fact|/salts. */
+  def saltedJoinAudit(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val fact = graft.Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("k"),
+      Relational.cents(col("l_extendedprice")).as("cents"))
+    val dim = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_orderpriority").as("prio"))
+    saltedEquiJoin(fact, dim, "k", salts = AuditSalts)
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("rev_cents"),
+        countDistinct(col("k")).as("n_orders"))
+  }
 }
