@@ -112,6 +112,21 @@ class IngestCompactionSpec extends SparkSpec {
     assert(rows(s"$root/t") == expect2)
   }
 
+  test("crash during the staging write leaves readers untouched; retry cleans and commits") {
+    val root = freshRoot()
+    val expect = seed(root, 2)
+    // crash window: the staging dir exists (partially written), nothing
+    // renamed into the target yet — staging is a SIBLING dir, invisible
+    // to every read of the target
+    val staging = s"$root/t_c1_staging"
+    Seq((777L, "junk")).toDF("id", "tag").write.parquet(staging)
+    assert(rows(s"$root/t") == expect)
+    // the retry deletes the stale staging dir and commits cleanly
+    assert(IngestCommit.compactStageRoot(spark, root, s"$root/t") == 1L)
+    assert(rows(s"$root/t") == expect)
+    assert(!fs(root).exists(new Path(staging)))
+  }
+
   test("a reader's file list taken before a compaction commit survives it") {
     val root = freshRoot()
     val expect = seed(root, 2)
