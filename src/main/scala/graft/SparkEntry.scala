@@ -296,6 +296,7 @@ object SparkEntry {
     "x252_schema_evolution" -> ((s, d) => operators.SchemaStage.schemaEvolutionRead(s, d)),
     "x253_pit_tier_join"    -> ((s, d) => Relational.pitTierJoin(s, d)),
     "x254_salted_join"      -> ((s, d) => operators.SkewJoin.saltedJoinAudit(s, d)),
+    "x255_edit_distance"    -> ((s, d) => Dedup.editDistanceDedup(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1093,6 +1094,28 @@ object SparkEntry {
         |FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.3""".stripMargin,
 
     "x03_minhash_lsh" -> minhashOracleSql,
+
+    // x255: bounded edit-distance verify over x03's candidate CTEs —
+    // DuckDB computes the FULL distance and applies the same cutoff
+    // CASE, so both the distances and the -1 rejection band must match.
+    "x255_edit_distance" -> {
+      import operators.Dedup.{LevBandWidth, LevThreshold}
+      s"""$minhashCtePrefix,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |dist AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         CASE WHEN levenshtein(x.text, y.text) > $LevThreshold THEN -1
+         |              ELSE levenshtein(x.text, y.text) END AS d
+         |  FROM cand c JOIN documents x ON c.doc_a = x.doc_id
+         |              JOIN documents y ON c.doc_b = y.doc_id)
+         |SELECT CASE WHEN d < 0 THEN -1 ELSE d // $LevBandWidth END AS dist_band,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(min(d) AS BIGINT) AS min_d, CAST(max(d) AS BIGINT) AS max_d
+         |FROM dist GROUP BY 1""".stripMargin
+    },
     "x96_band_ingest" -> bandIngestOracleSql,
     "x98_cluster_ingest" -> clusterIngestOracleSql,
 

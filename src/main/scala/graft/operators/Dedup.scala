@@ -314,6 +314,48 @@ object Dedup {
     (docs, bandedFromSigs(docs, k, bands))
   }
 
+  /** x255 knobs, shared with the oracle: candidate pairs whose bounded
+    * edit distance exceeds [[LevThreshold]] are rejected (-1); verified
+    * distances fold into [[LevBandWidth]]-wide census bands. */
+  val LevThreshold: Int = 6
+  val LevBandWidth: Int = 2
+
+  /** Bounded edit-distance verification of the LSH candidates (x255) —
+    * the second-stage verifier a production dedup runs when shingle
+    * Jaccard is too coarse (near-identical docs with small in-place
+    * edits): x03's banded candidate pairs re-verified with
+    * `levenshtein(a, b, threshold)` — Spark's BANDED implementation
+    * stops at [[LevThreshold]] (O(threshold · len) per pair, returning
+    * -1 past it) instead of filling the full O(len²) matrix, which is
+    * the only affordable form at corpus scale. Output is the census of
+    * pairs per [[LevBandWidth]]-wide distance band (rejected = band
+    * -1), so the oracle (full DuckDB levenshtein + the same CASE)
+    * audits both the distances and the cutoff.
+    *
+    * 100 TB shape: the candidate set is the banded-LSH one (never
+    * all-pairs); texts join onto it by doc id; the per-pair kernel is
+    * bounded by the threshold, not the document length product. */
+  def editDistanceDedup(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.documents(spark, dir)
+    val (_, banded) = bandFrames(raw, 5, 32, 8)
+    val bandA = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val bandB = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val candidates = bandA.join(bandB, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val ta = raw.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = raw.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    candidates.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+      .withColumn("d", levenshtein(col("text_a"), col("text_b"), LevThreshold))
+      .withColumn("dist_band",
+        when(col("d") < 0, lit(-1L)).otherwise(expr(s"d div $LevBandWidth")))
+      .groupBy(col("dist_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("d")).cast("long").as("min_d"),
+        max(col("d")).cast("long").as("max_d"))
+  }
+
   def minhashLsh(spark: SparkSession, dir: String, n: Int = 5, k: Int = 32,
                  bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val (docs, banded) = bandFrames(Tables.documents(spark, dir), n, k, bands)

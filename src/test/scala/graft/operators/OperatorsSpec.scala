@@ -4220,4 +4220,39 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r._1 -> (r._2, r._3)).toMap
     assert(got == want && got.nonEmpty)
   }
+
+  test("editDistanceDedup (x255): census equals a DP-levenshtein hand replay of the candidates") {
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    val raw = graft.Tables.documents(spark, sf)
+    val (_, banded) = Dedup.bandFrames(raw, 5, 32, 8)
+    val cands = banded.select($"band", $"bucket".cast("string"), $"doc_id")
+      .as[(Long, String, Long)]
+      .collect().toSeq.groupBy(r => (r._1, r._2)).values.toSeq
+      .flatMap(g => for (a <- g; b <- g if a._3 < b._3) yield (a._3, b._3))
+      .distinct
+    val texts = raw.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val want = cands.map { case (a, b) =>
+        val d = lev(texts(a), texts(b))
+        if (d > Dedup.LevThreshold) -1L else d.toLong
+      }
+      .groupBy(d => if (d < 0) -1L else d / Dedup.LevBandWidth)
+      .map { case (band, ds) =>
+        band -> ((ds.size.toLong, ds.min, ds.max))
+      }
+    val got = Dedup.editDistanceDedup(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == want && got.nonEmpty)
+  }
 }
