@@ -297,6 +297,8 @@ object SparkEntry {
     "x253_pit_tier_join"    -> ((s, d) => Relational.pitTierJoin(s, d)),
     "x254_salted_join"      -> ((s, d) => operators.SkewJoin.saltedJoinAudit(s, d)),
     "x255_edit_distance"    -> ((s, d) => Dedup.editDistanceDedup(s, d)),
+    "x256_quality_sweep"    -> ((s, d) => TextAnalysis.qualityRetentionSweep(s, d)),
+    "x257_containment"      -> ((s, d) => Dedup.containmentScores(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1487,6 +1489,32 @@ object SparkEntry {
         |FROM sh c JOIN sh b ON c.sh = b.sh AND b.doc_id < 20 AND c.doc_id >= 20
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
 
+    // x257: containment strength — x31's distinct-shingle CTE, ratio
+    // per (eval, train) pair, worst-offender fold per eval doc.
+    "x257_containment" -> {
+      import operators.Dedup.ContainMinPpm
+      s"""WITH sh AS (
+        |  SELECT doc_id, unnest(shingles) AS sh FROM (
+        |    SELECT doc_id, list_distinct([array_to_string(words[i:i+4], ' ')
+        |                                  for i in range(1, len(words) - 3)]) AS shingles
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1) t2),
+        |bs AS (SELECT doc_id AS bench_id, CAST(count(*) AS BIGINT) AS n_bench_sh
+        |       FROM sh WHERE doc_id < 20 GROUP BY 1),
+        |p AS (SELECT b.doc_id AS bench_id, c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM sh c JOIN sh b ON c.sh = b.sh AND b.doc_id < 20 AND c.doc_id >= 20
+        |      GROUP BY 1, 2),
+        |pp AS (SELECT p.bench_id, p.doc_id,
+        |              (1000000 * n_shared) // n_bench_sh AS ppm
+        |       FROM p JOIN bs USING (bench_id)),
+        |mx AS (SELECT bench_id, max(ppm) AS max_ppm FROM pp GROUP BY 1)
+        |SELECT pp.bench_id, bs.n_bench_sh,
+        |       CAST(sum(CASE WHEN ppm >= $ContainMinPpm THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |       CAST(max(ppm) AS BIGINT) AS max_ppm,
+        |       min(CASE WHEN ppm = mx.max_ppm THEN pp.doc_id END) AS worst_doc
+        |FROM pp JOIN bs USING (bench_id) JOIN mx USING (bench_id)
+        |GROUP BY 1, 2""".stripMargin
+    },
+
     "x32_interval_join" ->
       """WITH ev AS (
         |  SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
@@ -2057,6 +2085,27 @@ object SparkEntry {
     // x56: algorithm oracle — the quantized x05 score, the bottom-k
     // sample (min-per-hash convention), the nine decile-edge picks, and
     // the edge-count assignment, replicated end-to-end.
+    // x256: quality-threshold retention sweep — x56's exact score_q
+    // expression, conditional sums per (source × threshold).
+    "x256_quality_sweep" -> {
+      val thrs = operators.TextAnalysis.SweepThresholds.mkString(", ")
+      s"""WITH base AS (
+        |  SELECT source,
+        |    CAST(floor(least(1.0, len(string_split(text, ' ')) / 100.0) *
+        |         (1 - CAST(len(list_filter(string_split(text, ' '), w -> len(w) = 1)) AS DOUBLE)
+        |              / len(string_split(text, ' '))) * ${operators.TextAnalysis.CalibQuantScale}) AS BIGINT) AS score_q,
+        |    n_chars
+        |  FROM documents),
+        |t AS (SELECT unnest([$thrs]) AS thr)
+        |SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs, CAST(t.thr AS BIGINT) AS thr,
+        |       CAST(sum(CASE WHEN score_q >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN score_q >= thr THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+        |       (1000000 * CAST(sum(CASE WHEN score_q >= thr THEN 1 ELSE 0 END) AS BIGINT))
+        |         // CAST(count(*) AS BIGINT) AS retention_ppm
+        |FROM base b, t
+        |GROUP BY 1, 3""".stripMargin
+    },
+
     "x56_score_deciles" ->
       s"""$scoreDecileCtes
         |SELECT doc_id, source, score_q, decile FROM dec""".stripMargin,

@@ -918,6 +918,52 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** x257's flagging bar: a train doc containing ≥ this fraction (ppm)
+    * of an eval doc's distinct shingles is a contamination hit. */
+  val ContainMinPpm: Long = 100000L
+
+  /** Eval-containment strength (x257) — x31 refined the way the
+    * dedup literature actually scores contamination: per (eval doc,
+    * train doc) pair, the CONTAINMENT fraction |shared distinct
+    * shingles| / |eval doc's distinct shingles| (directional — how much
+    * of the BENCHMARK is inside the train doc, which is what leaks),
+    * folded per eval doc to the release-review panel: shingle count,
+    * how many train docs exceed [[ContainMinPpm]], the worst
+    * containment seen, and the worst offender's id (min id at the max,
+    * deterministic). x31 counts shared occurrences past a fixed bar;
+    * this measures the severity spectrum the auditor actually reads.
+    *
+    * 100 TB shape: identical to x31 — the benchmark side is broadcast
+    * (eval suites are small by definition), shingles are per-doc
+    * DISTINCT before the join so a repeated phrase can't inflate
+    * containment, and the corpus never shuffles. */
+  def containmentScores(spark: SparkSession, dir: String, n: Int = 5,
+                        benchMaxId: Long = 20): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.HashSignatures.word_shingles(col("text"), n)).as("sh"))
+      .distinct()
+    val bench = sh.filter(col("doc_id") < benchMaxId)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    val benchSizes = bench.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_bench_sh"))
+    val pairs = sh.filter(col("doc_id") >= benchMaxId)
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy(col("bench_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(benchSizes), Seq("bench_id"))
+      .withColumn("ppm", expr("(1000000L * n_shared) div n_bench_sh"))
+    // per-bench max first (a window over the tiny pair frame), then the
+    // one-row-per-eval-doc fold picks the deterministic worst offender
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bench_id"))
+    pairs.withColumn("best", max(col("ppm")).over(w))
+      .groupBy(col("bench_id"))
+      .agg(max(col("n_bench_sh")).as("n_bench_sh"),
+        sum(when(col("ppm") >= ContainMinPpm, 1L).otherwise(0L)).as("n_flagged"),
+        max(col("ppm")).as("max_ppm"),
+        min(when(col("ppm") === col("best"), col("doc_id"))).as("worst_doc"))
+  }
+
   /** Paragraph-level exact dedup (x39) — the C4/RefinedWeb-style
     * intra-corpus boilerplate killer: split every document into paragraphs,
     * drop each paragraph that already occurred anywhere earlier in the

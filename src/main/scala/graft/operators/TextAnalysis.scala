@@ -636,6 +636,41 @@ object TextAnalysis {
       (lit(1.0) - size(filter(ws, w => length(w) === 1)) / size(ws))
   }
 
+  /** x256's quality-score cutoffs (quantized units, [[CalibQuantScale]]
+    * = 1.0), shared with the oracle: the corpus's scores span roughly
+    * 0.08–0.98, so this grid brackets the real pruning decisions. */
+  val SweepThresholds: Seq[Long] = Seq(200000L, 400000L, 600000L, 800000L)
+
+  /** Quality-threshold retention sweep (x256) — the pruning-decision
+    * panel a pretraining data plan is built from: for every candidate
+    * cutoff in [[SweepThresholds]], how many documents and characters
+    * each source would RETAIN (docs kept, chars kept, retention ppm).
+    * x56 calibrates scores within a source; this prices the global
+    * cutoff itself — the "how much data does each quality bar cost us,
+    * and whom does it hit" table. Scores are x56's exact quantized
+    * [[qualityScoreExpr]], so the sweep can't diverge from the scored
+    * definition.
+    *
+    * 100 TB shape: ONE corpus scan with 2·|thresholds| conditional
+    * aggregates (partial-agg'd, map-side combined), then a stack() of
+    * the O(sources)-row wide frame to long form — the threshold grid
+    * never multiplies the corpus. */
+  def qualityRetentionSweep(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("source"),
+      floor(qualityScoreExpr(col("text")) * lit(CalibQuantScale.toDouble))
+        .cast("long").as("score_q"),
+      col("n_chars"))
+    val condAggs = SweepThresholds.flatMap(t => Seq(
+      sum(when(col("score_q") >= t, 1L).otherwise(0L)).as(s"k$t"),
+      sum(when(col("score_q") >= t, col("n_chars")).otherwise(0L)).as(s"c$t")))
+    val wide = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), condAggs: _*)
+    val stacked = SweepThresholds.map(t => s"${t}L, k$t, c$t").mkString(", ")
+    wide.select(col("source"), col("n_docs"),
+        expr(s"stack(${SweepThresholds.size}, $stacked) AS (thr, n_kept, chars_kept)"))
+      .withColumn("retention_ppm", expr("(1000000L * n_kept) div n_docs"))
+  }
+
   /** Per-source score calibration (x56): map each document's quality
     * score to its SOURCE-RELATIVE decile, so a downstream "keep the top
     * 30%" prune is comparable across sources with different score

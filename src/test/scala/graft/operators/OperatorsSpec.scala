@@ -4255,4 +4255,69 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(got == want && got.nonEmpty)
   }
+
+  test("qualityRetentionSweep (x256): monotone retention; totals replay by hand") {
+    val got = TextAnalysis.qualityRetentionSweep(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._3) -> (r._2, r._4, r._5, r._6)).toMap
+    assert(got.nonEmpty)
+    val bySource = got.groupBy(_._1._1)
+    bySource.foreach { case (src, rows) =>
+      val sorted = rows.toSeq.sortBy(_._1._2)
+      // retention non-increasing as the bar rises; kept <= total
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2._2 >= b._2._2, s"$src not monotone")
+        case _         =>
+      }
+      sorted.foreach { case ((_, _), (nDocs, nKept, _, ppm)) =>
+        assert(nKept <= nDocs)
+        assert(ppm == 1000000L * nKept / nDocs)
+      }
+    }
+    // hand replay of one threshold from the scored corpus
+    val thr = TextAnalysis.SweepThresholds.head
+    val scored = graft.Tables.documents(spark, sf).select($"source",
+        floor(least(lit(1.0), size(split($"text", " ")) / lit(100.0)) *
+          (lit(1.0) - size(filter(split($"text", " "), w => length(w) === 1))
+            / size(split($"text", " "))) * lit(1000000.0)).cast("long").as("s"),
+        $"n_chars")
+      .as[(String, Long, Long)].collect().toSeq
+    scored.groupBy(_._1).foreach { case (src, rows) =>
+      val kept = rows.filter(_._2 >= thr)
+      val (nDocs, nKept, chars, ppm) = got((src, thr))
+      assert(nDocs == rows.size.toLong && nKept == kept.size.toLong, src)
+      assert(chars == kept.map(_._3).sum, src)
+      assert(ppm == 1000000L * nKept / nDocs, src)
+    }
+  }
+
+  test("containmentScores (x257): panel equals a hand replay over distinct shingles") {
+    val n = 5
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < n) Set.empty
+      else (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" ")).toSet
+    }
+    val benchMax = 20L
+    val bench = docs.filter(_._1 < benchMax).map { case (id, t) => id -> shingles(t) }
+    val train = docs.filter(_._1 >= benchMax).map { case (id, t) => id -> shingles(t) }
+    val want = bench.flatMap { case (bid, bsh) =>
+      val pairs = train.map { case (tid, tsh) =>
+          tid -> 1000000L * (bsh & tsh).size / bsh.size
+        }.filter(_._2 > 0)
+      if (pairs.isEmpty) None
+      else {
+        val maxPpm = pairs.map(_._2).max
+        Some(bid -> ((bsh.size.toLong,
+          pairs.count(_._2 >= Dedup.ContainMinPpm).toLong,
+          maxPpm, pairs.filter(_._2 == maxPpm).map(_._1).min)))
+      }
+    }.toMap
+    val got = Dedup.containmentScores(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == want && got.nonEmpty)
+  }
 }
