@@ -252,6 +252,8 @@ object BenchStreaming {
         ev => EventStream.clickPurchaseAttribution(ev, ev)),
       run("sampled_stream", ev => EventStream.sampledStream(ev, thresholds)),
       run("transitions_stream", ev => EventStream.transitions(ev).toDF()),
+      // O(1)-state-per-key gap debounce (x258's stateful twin)
+      run("debounce_stream", ev => EventStream.debounce(ev).toDF()),
       // last-wins CDC apply: keyed op feed derived from the event stream
       // (k = user, seq = event id, ~1/7 deletes), Update-mode state
       run("cdc_apply_stream", { ev =>

@@ -299,6 +299,8 @@ object SparkEntry {
     "x255_edit_distance"    -> ((s, d) => Dedup.editDistanceDedup(s, d)),
     "x256_quality_sweep"    -> ((s, d) => TextAnalysis.qualityRetentionSweep(s, d)),
     "x257_containment"      -> ((s, d) => Dedup.containmentScores(s, d)),
+    "x258_event_debounce"   -> ((s, d) => Sessionize.eventDebounce(s, d)),
+    "x259_format_roundtrip" -> ((s, d) => operators.FormatStage.roundTrip(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -6200,5 +6202,48 @@ object SparkEntry {
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count,
         |       CAST(count(DISTINCT w) AS BIGINT) AS n_words
         |FROM p GROUP BY 1""".stripMargin,
+
+    // x258: telemetry debounce census — kept iff first-of-key or gap from
+    // the PREVIOUS event (kept or not) ≥ the shared constant; one lag
+    // window on the (user, type) key, replicated verbatim.
+    "x258_event_debounce" -> {
+      val gap = operators.Sessionize.DebounceGapSeconds
+      s"""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |         CAST(round(value*100) AS BIGINT) AS value_cents
+        |  FROM events),
+        |f AS (
+        |  SELECT *, (lag(ts_s, 1) OVER w IS NULL
+        |             OR ts_s - lag(ts_s, 1) OVER w >= $gap) AS kept
+        |  FROM ev WINDOW w AS (PARTITION BY user_id, event_type
+        |                       ORDER BY ts_s, event_id))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN kept THEN value_cents ELSE 0 END) AS BIGINT)
+        |         AS kept_value_cents,
+        |       CAST(count(DISTINCT CASE WHEN kept THEN user_id END) AS BIGINT)
+        |         AS n_kept_users
+        |FROM f GROUP BY 1""".stripMargin
+    },
+
+    // x259: multi-format round-trip fidelity — the oracle computes the
+    // panel ONCE from the raw table and cross-joins the format list, so
+    // a hash match proves all four staged sink→source pairs round-trip
+    // the exact-typed projection losslessly.
+    "x259_format_roundtrip" -> {
+      val fmts = operators.FormatStage.Formats
+        .map(f => s"('$f')").mkString(", ")
+      s"""WITH panel AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |           AS sum_value_cents,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |         CAST(min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS min_ts_s,
+        |         CAST(max(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS max_ts_s
+        |  FROM events GROUP BY 1)
+        |SELECT f.format, p.* FROM panel p
+        |CROSS JOIN (VALUES $fmts) AS f(format)""".stripMargin
+    },
   )
 }

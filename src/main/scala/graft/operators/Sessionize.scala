@@ -946,4 +946,56 @@ object Sessionize {
       .agg(min(col("hit")).as("at_s"))
       .select(col("day"), col("peak_concurrency"), col("at_s"), col("n_boundaries"))
   }
+
+  /** Debounce gap in seconds for [[eventDebounce]] (x258): an event of the
+    * same (user, type) key arriving within this many seconds of the
+    * PREVIOUS event of that key is treated as an instrumentation repeat
+    * and dropped. One hour — the synthetic event stream's per-key
+    * inter-arrival 5th percentile is ≈ 2.5 h at every scale factor, so
+    * this fires on the genuine burst tail (≈ 1.5% of arrivals) without
+    * collapsing normal traffic. */
+  val DebounceGapSeconds: Long = 3600L
+
+  /** Per-event debounce flags — the row-level kernel under x258, shared
+    * with the streaming twin's spec so batch and stream can never
+    * disagree on what "kept" means. An event is kept iff it is the first
+    * of its (user_id, event_type) key or arrived ≥ `gapSeconds` after the
+    * previous event of that key (previous EVENT, not previous kept one:
+    * a burst longer than the gap stays collapsed to its first row until
+    * a real pause — the classic trailing-debounce, one `lag` window, no
+    * running state). Order is totalized by (ts_s, event_id). */
+  private[graft] def debouncedEvents(spark: SparkSession, dir: String,
+                                     gapSeconds: Long): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    val byKey = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_s"), col("event_id"))
+    raw
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        tsSeconds(raw).as("ts_s"),
+        Relational.cents(col("value")).as("value_cents"))
+      .withColumn("prev_ts", lag(col("ts_s"), 1).over(byKey))
+      .withColumn("kept",
+        col("prev_ts").isNull || col("ts_s") - col("prev_ts") >= gapSeconds)
+  }
+
+  /** Telemetry debounce census (x258): per event type, how many raw
+    * events the stream carried vs how many survive gap-debouncing on the
+    * (user, type) key — the dedup a telemetry pipeline applies to
+    * double-fired client events before anything downstream counts them —
+    * plus the kept rows' value mass and reach.
+    *
+    * 100 TB shape: one shuffle on the (user_id, event_type) window key
+    * (the per-key history must colocate to be sequenced at all — the
+    * same exchange every sessionize-family operator pays), then a
+    * map-side-combined rollup to O(event_types) rows. No state beyond
+    * the one-row `lag` frame. */
+  def eventDebounce(spark: SparkSession, dir: String,
+                    gapSeconds: Long = DebounceGapSeconds): DataFrame =
+    debouncedEvents(spark, dir, gapSeconds)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("value_cents")).otherwise(0L))
+          .as("kept_value_cents"),
+        countDistinct(when(col("kept"), col("user_id"))).as("n_kept_users"))
 }

@@ -198,6 +198,46 @@ object EventStream {
       }
   }
 
+  // —— stateful debounce dedup via flatMapGroupsWithState ——
+
+  case class DebounceState(ts_s: Long)
+  case class DebounceOut(event_id: Long, user_id: Long, event_type: String,
+                         ts_s: Long, kept: Boolean)
+
+  /** Streaming twin of x258's telemetry debounce
+    * ([[graft.operators.Sessionize.eventDebounce]]): per (user, type)
+    * key, `GroupState` carries only the LAST event time — O(1) state per
+    * key — so a repeat whose predecessor landed in the previous
+    * micro-batch is still recognized as inside the gap (the boundary
+    * case a stateless per-batch lag would mis-keep). Each micro-batch's
+    * rows sort by the (ts_s, event_id) total key before flagging (x258's
+    * ordering convention); same per-key in-order-arrival contract across
+    * micro-batches as every last-value-state twin here. Emits EVERY
+    * event with its kept flag (append mode) so downstream can both
+    * forward the survivors and count the drops. */
+  def debounce(events: DataFrame,
+               gapSeconds: Long = graft.operators.Sessionize.DebounceGapSeconds)
+      : Dataset[DebounceOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"), col("ts_s"), col("event_type"))
+      .as[TEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebounceState, DebounceOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[TEvent], state: GroupState[DebounceState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_s, e.event_id))
+          var prev: Option[Long] = state.getOption.map(_.ts_s)
+          val out = sorted.map { e =>
+            val kept = prev.forall(p => e.ts_s - p >= gapSeconds)
+            prev = Some(e.ts_s)
+            DebounceOut(e.event_id, key._1, key._2, e.ts_s, kept)
+          }
+          prev.foreach(p => state.update(DebounceState(p)))
+          out.iterator
+      }
+  }
+
   // —— stateful EWMA popularity via flatMapGroupsWithState ——
 
   case class EwmaState(counts: Map[Long, Long])

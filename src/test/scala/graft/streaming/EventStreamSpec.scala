@@ -194,6 +194,39 @@ class EventStreamSpec extends SparkSpec {
     assert(usersBothSides > 0, "fixture must force cross-batch state handoff")
   }
 
+  test("stateful streaming debounce ≡ batch x258 across a micro-batch boundary") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dbstream").toString
+    val raw = graft.Tables.events(spark, sf)
+    val ev = raw.select($"event_id", $"user_id", $"event_type",
+      Sessionize.tsSeconds(raw).as("ts_s"))
+    // time-split drops: per-key arrival stays in order across batches
+    val cut = ev.stat.approxQuantile("ts_s", Array(0.5), 0.0).head.toLong
+    ev.filter($"ts_s" <= cut).write.parquet(s"$root/drop")
+    ev.filter($"ts_s" > cut).write.mode("append").parquet(s"$root/drop")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/drop")
+    val q = EventStream.debounce(stream).toDF()
+      .writeStream.format("memory").queryName("db_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("db_stream")
+      .select($"event_id", $"kept").as[(Long, Boolean)].collect().toMap
+    val batch = Sessionize
+      .debouncedEvents(spark, sf, Sessionize.DebounceGapSeconds)
+      .select($"event_id", $"kept").as[(Long, Boolean)].collect().toMap
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.values.exists(identity) && streamed.values.exists(!_))
+    // a (user, type) key crossing the boundary proves the state handoff:
+    // without carried state its first post-cut event would be mis-kept
+    val keysBothSides = ev.filter($"ts_s" <= cut)
+      .select($"user_id", $"event_type").distinct()
+      .intersect(ev.filter($"ts_s" > cut)
+        .select($"user_id", $"event_type").distinct()).count()
+    assert(keysBothSides > 0, "fixture must force cross-batch state handoff")
+  }
+
   test("stateful streaming lastTouch ≡ batch x112 across a micro-batch boundary") {
     val root = java.nio.file.Files.createTempDirectory("graft-ltstream").toString
     val raw = graft.Tables.events(spark, sf)
