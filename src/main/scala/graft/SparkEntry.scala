@@ -301,6 +301,11 @@ object SparkEntry {
     "x257_containment"      -> ((s, d) => Dedup.containmentScores(s, d)),
     "x258_event_debounce"   -> ((s, d) => Sessionize.eventDebounce(s, d)),
     "x259_format_roundtrip" -> ((s, d) => operators.FormatStage.roundTrip(s, d)),
+    "x260_rank_agreement"   -> ((s, d) => Retrieval.rankAgreement(s, d)),
+    "x261_partition_pruned" -> ((s, d) => operators.PartitionedStage.prunedRead(s, d)),
+    "x262_kneser_ney"       -> ((s, d) => TextAnalysis.kneserNeyBigrams(s, d)),
+    "x263_embedding_coverage" -> ((s, d) => Similarity.embeddingCoverage(s, d)),
+    "x264_kn_fluency"       -> ((s, d) => TextAnalysis.knFluency(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -936,6 +941,55 @@ object SparkEntry {
     *    on the (deterministically pinned) KMeans cells — on a NEW corpus
     *    the gate can fail without a correctness bug. The evaluation
     *    corpora contain no near-boundary queries. */
+  /** The x239/x260 shared CTE prefix: both retrieval systems' top-k
+    * lists — `sem` (exact cosine ranking over embeddings, the KnnStage
+    * contract) and `lex` (x163's TF-cosine pairs symmetrized and
+    * ranked) — built from the same engine-neutral constants as the
+    * Spark side so the two oracles can never disagree on the rankings
+    * they measure. */
+  private def hybridRankingCtes: String = {
+    import operators.Dedup.{TfCosMaxTermDf, TfCosShingleN, TfCosThresholdDen, TfCosThresholdNum}
+    import operators.Retrieval.HybridK
+    val (n2, d2) = (TfCosThresholdNum.toLong * TfCosThresholdNum,
+      TfCosThresholdDen.toLong * TfCosThresholdDen)
+    val (hi, lo) = (TfCosShingleN - 1, TfCosShingleN - 2)
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |nn AS (SELECT vec_id, v,
+      |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm FROM e),
+      |sem AS (
+      |  SELECT q_id AS doc_id, vec_id AS rel_id,
+      |         CAST(rank AS BIGINT) AS r_sem
+      |  FROM (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+      |          ORDER BY cos_sim DESC, vec_id) AS rank
+      |        FROM (SELECT q.vec_id AS q_id, c.vec_id,
+      |                floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+      |              FROM nn q JOIN nn c ON q.vec_id <> c.vec_id) t0) t1
+      |  WHERE rank <= $HybridK),
+      |t AS (SELECT doc_id, unnest([array_to_string(words[i:i+$hi], ' ')
+      |             for i in range(1, len(words) - $lo)]) AS w
+      |       FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1),
+      |tfc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+      |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm2 FROM tfc GROUP BY 1),
+      |stop AS (SELECT w FROM (SELECT w, count(*) AS df FROM tfc GROUP BY 1) s
+      |         WHERE df > $TfCosMaxTermDf),
+      |idx AS (SELECT doc_id, w, tf, norm2
+      |        FROM tfc ANTI JOIN stop USING (w) JOIN norms USING (doc_id)),
+      |p AS (SELECT doc_a, doc_b, dot, norm2_a, norm2_b,
+      |             CAST(dot AS DOUBLE) / sqrt(CAST(norm2_a AS DOUBLE) * norm2_b) AS cos_dbl
+      |      FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                   a.norm2 AS norm2_a, b.norm2 AS norm2_b,
+      |                   CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+      |            FROM idx a JOIN idx b ON a.w = b.w AND a.doc_id < b.doc_id
+      |            GROUP BY 1, 2, 3, 4) pp
+      |      WHERE CAST($d2 AS HUGEINT) * dot * dot >= CAST($n2 AS HUGEINT) * norm2_a * norm2_b),
+      |sym AS (SELECT doc_a AS doc_id, doc_b AS rel_id, cos_dbl FROM p
+      |        UNION ALL SELECT doc_b AS doc_id, doc_a AS rel_id, cos_dbl FROM p),
+      |lex AS (SELECT doc_id, rel_id, r_lex FROM (
+      |          SELECT doc_id, rel_id, CAST(row_number() OVER (PARTITION BY doc_id
+      |            ORDER BY cos_dbl DESC, rel_id) AS BIGINT) AS r_lex FROM sym) t
+      |        WHERE r_lex <= $HybridK)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "x04_simhash_pairs" -> simhashOracleSql,
     "q01_pruned_scan" ->
@@ -5141,46 +5195,8 @@ object SparkEntry {
     // integer convention) of the exact-kNN ranking (x203's CTE) and the
     // TF-cosine lexical ranking (x163's CTEs, symmetrized).
     "x239_hybrid_related" -> {
-      import operators.Dedup.{TfCosMaxTermDf, TfCosShingleN, TfCosThresholdDen, TfCosThresholdNum}
       import operators.Retrieval.{HybridK, HybridRrfK}
-      val (n2, d2) = (TfCosThresholdNum.toLong * TfCosThresholdNum,
-        TfCosThresholdDen.toLong * TfCosThresholdDen)
-      val (hi, lo) = (TfCosShingleN - 1, TfCosShingleN - 2)
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |nn AS (SELECT vec_id, v,
-        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm FROM e),
-        |sem AS (
-        |  SELECT q_id AS doc_id, vec_id AS rel_id,
-        |         CAST(rank AS BIGINT) AS r_sem
-        |  FROM (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-        |          ORDER BY cos_sim DESC, vec_id) AS rank
-        |        FROM (SELECT q.vec_id AS q_id, c.vec_id,
-        |                floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
-        |              FROM nn q JOIN nn c ON q.vec_id <> c.vec_id) t0) t1
-        |  WHERE rank <= $HybridK),
-        |t AS (SELECT doc_id, unnest([array_to_string(words[i:i+$hi], ' ')
-        |             for i in range(1, len(words) - $lo)]) AS w
-        |       FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1),
-        |tfc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
-        |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm2 FROM tfc GROUP BY 1),
-        |stop AS (SELECT w FROM (SELECT w, count(*) AS df FROM tfc GROUP BY 1) s
-        |         WHERE df > $TfCosMaxTermDf),
-        |idx AS (SELECT doc_id, w, tf, norm2
-        |        FROM tfc ANTI JOIN stop USING (w) JOIN norms USING (doc_id)),
-        |p AS (SELECT doc_a, doc_b, dot, norm2_a, norm2_b,
-        |             CAST(dot AS DOUBLE) / sqrt(CAST(norm2_a AS DOUBLE) * norm2_b) AS cos_dbl
-        |      FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |                   a.norm2 AS norm2_a, b.norm2 AS norm2_b,
-        |                   CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
-        |            FROM idx a JOIN idx b ON a.w = b.w AND a.doc_id < b.doc_id
-        |            GROUP BY 1, 2, 3, 4) pp
-        |      WHERE CAST($d2 AS HUGEINT) * dot * dot >= CAST($n2 AS HUGEINT) * norm2_a * norm2_b),
-        |sym AS (SELECT doc_a AS doc_id, doc_b AS rel_id, cos_dbl FROM p
-        |        UNION ALL SELECT doc_b AS doc_id, doc_a AS rel_id, cos_dbl FROM p),
-        |lex AS (SELECT doc_id, rel_id, r_lex FROM (
-        |          SELECT doc_id, rel_id, CAST(row_number() OVER (PARTITION BY doc_id
-        |            ORDER BY cos_dbl DESC, rel_id) AS BIGINT) AS r_lex FROM sym) t
-        |        WHERE r_lex <= $HybridK),
+      s"""WITH $hybridRankingCtes,
         |f AS (SELECT doc_id, rel_id, r_sem, r_lex,
         |             coalesce(1000000 // ($HybridRrfK + r_sem), 0) +
         |             coalesce(1000000 // ($HybridRrfK + r_lex), 0) AS rrf_micro
@@ -6244,6 +6260,127 @@ object SparkEntry {
         |  FROM events GROUP BY 1)
         |SELECT f.format, p.* FROM panel p
         |CROSS JOIN (VALUES $fmts) AS f(format)""".stripMargin
+    },
+
+    // x260: rank-biased overlap between the two x239 systems — same
+    // ranking CTEs as x239's oracle, then the per-item telescoped RBO
+    // weights (exact integers from Retrieval.rboWeights, shared).
+    "x260_rank_agreement" -> {
+      val (w, den) = operators.Retrieval.rboWeights(operators.Retrieval.HybridK)
+      val cases = w.zipWithIndex
+        .map { case (wm, i) => s"WHEN ${i + 1} THEN $wm" }.mkString(" ")
+      s"""WITH $hybridRankingCtes,
+        |j AS (SELECT doc_id,
+        |             CASE greatest(r_sem, r_lex) $cases END AS w_pts
+        |      FROM sem JOIN lex USING (doc_id, rel_id)),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_common,
+        |             CAST(sum(w_pts) AS BIGINT) AS rbo_num_pts
+        |      FROM j GROUP BY 1),
+        |base AS (SELECT DISTINCT doc_id FROM sem)
+        |SELECT base.doc_id,
+        |       CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+        |       CAST(coalesce(rbo_num_pts, 0) AS BIGINT) AS rbo_num_pts,
+        |       CAST(coalesce(rbo_num_pts, 0) * 1000000 // $den AS BIGINT)
+        |         AS rbo_micro
+        |FROM base LEFT JOIN a USING (doc_id)""".stripMargin
+    },
+
+    // x261: partition-pruned daily read — the oracle recomputes the
+    // probe day's panel from the raw table with the same min+offset
+    // literal rule, so a hash match proves the pruned layout read is
+    // lossless for that day.
+    "x261_partition_pruned" -> {
+      val off = operators.PartitionedStage.PruneDayOffset
+      s"""WITH ev AS (
+        |  SELECT event_type, user_id,
+        |         CAST(round(value*100) AS BIGINT) AS value_cents,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |d AS (SELECT min(day) + $off AS probe_day FROM ev)
+        |SELECT d.probe_day, ev.event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(value_cents) AS BIGINT) AS sum_value_cents,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM ev JOIN d ON ev.day = d.probe_day
+        |GROUP BY 1, 2""".stripMargin
+    },
+
+    // x262: interpolated Kneser–Ney bigram model — same bigram
+    // derivation as x94's oracle, continuation/context counts from the
+    // model table, the exact rational over the common denominator, and
+    // the one-IEEE-division double.
+    "x262_kneser_ney" -> {
+      import operators.TextAnalysis.{KnDiscountDen, KnDiscountNum, KnMinCount}
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram
+        |       FROM tok, unnest(range(1, len(ws))) AS t(i)),
+        |model AS (SELECT string_split(bigram, ' ')[1] AS w1,
+        |                 string_split(bigram, ' ')[2] AS w2,
+        |                 CAST(count(*) AS BIGINT) AS a
+        |          FROM bg GROUP BY bigram),
+        |ctx AS (SELECT w1, CAST(sum(a) AS BIGINT) AS cu,
+        |               CAST(count(*) AS BIGINT) AS n1u FROM model GROUP BY 1),
+        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS nw FROM model GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM model)
+        |SELECT w1, w2, a, cu, n1u, nw, nn,
+        |       CAST(($KnDiscountDen*a - $KnDiscountNum)*nn
+        |            + $KnDiscountNum*n1u*nw AS BIGINT) AS p_num,
+        |       CAST($KnDiscountDen*cu*nn AS BIGINT) AS p_den,
+        |       CAST(($KnDiscountDen*a - $KnDiscountNum)*nn
+        |            + $KnDiscountNum*n1u*nw AS DOUBLE)
+        |         / CAST($KnDiscountDen*cu*nn AS DOUBLE) AS kn_dbl
+        |FROM model JOIN ctx USING (w1) JOIN cont USING (w2), tot
+        |WHERE a >= $KnMinCount""".stripMargin
+    },
+
+    // x263: docs↔embeddings coverage — per-source missing-embedding
+    // counts plus the two global orphan rows, all plain anti-joins.
+    "x263_embedding_coverage" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+        |e AS (SELECT vec_id FROM embeddings),
+        |miss AS (SELECT source, CAST(count(*) AS BIGINT) AS n_orphans
+        |         FROM d ANTI JOIN e ON d.doc_id = e.vec_id GROUP BY 1),
+        |per AS (SELECT 'doc_no_embedding:' || d.source AS relation,
+        |               CAST(count(*) AS BIGINT) AS n_rows,
+        |               CAST(coalesce(any_value(m.n_orphans), 0) AS BIGINT) AS n_orphans
+        |        FROM d LEFT JOIN miss m ON d.source = m.source
+        |        GROUP BY d.source),
+        |g1 AS (SELECT 'doc_no_embedding' AS relation,
+        |              (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_rows,
+        |              (SELECT CAST(count(*) AS BIGINT)
+        |               FROM d ANTI JOIN e ON d.doc_id = e.vec_id) AS n_orphans),
+        |g2 AS (SELECT 'embedding_no_doc' AS relation,
+        |              (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_rows,
+        |              (SELECT CAST(count(*) AS BIGINT)
+        |               FROM e ANTI JOIN d ON e.vec_id = d.doc_id) AS n_orphans)
+        |SELECT * FROM per UNION ALL SELECT * FROM g1 UNION ALL SELECT * FROM g2""".stripMargin,
+
+    // x264: x94's per-doc fluency under the x262 KN model (minCount 1)
+    // — per-bigram integer ppm points, then the integer fold.
+    "x264_kn_fluency" -> {
+      import operators.TextAnalysis.{KnDiscountDen, KnDiscountNum}
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+        |       FROM tok, unnest(range(1, len(ws))) AS t(i)),
+        |model AS (SELECT bigram, string_split(bigram, ' ')[1] AS w1,
+        |                 string_split(bigram, ' ')[2] AS w2,
+        |                 CAST(count(*) AS BIGINT) AS a
+        |          FROM bg GROUP BY bigram),
+        |ctx AS (SELECT w1, CAST(sum(a) AS BIGINT) AS cu,
+        |               CAST(count(*) AS BIGINT) AS n1u FROM model GROUP BY 1),
+        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS nw FROM model GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM model),
+        |ppm AS (SELECT bigram,
+        |          (1000000 * (($KnDiscountDen*a - $KnDiscountNum)*nn
+        |                      + $KnDiscountNum*n1u*nw))
+        |            // ($KnDiscountDen*cu*nn) AS kn_ppm
+        |        FROM model JOIN ctx USING (w1) JOIN cont USING (w2), tot),
+        |agg AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |               CAST(sum(p.kn_ppm) AS BIGINT) AS sp
+        |        FROM bg b JOIN ppm p USING (bigram) GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(COALESCE(a.sp // a.n_bigrams, 0) AS BIGINT) AS kn_fluency_ppm
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
     },
   )
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Hive-style partition pruning on a REAL partitioned layout (x261):
+  * the events fact is staged once per snapshot as a `day=<epoch-day>`
+  * directory tree (the layout every date-partitioned lake table uses;
+  * the reference's silver sink partitions by store_nbr the same way —
+  * notebooks/silver_processing.py.py:78), and the gate query reads ONE
+  * pinned day back through the ordinary parquet source with a literal
+  * partition filter. Catalyst turns that into `PartitionFilters` on the
+  * scan, so only the probe day's directory is ever listed or opened —
+  * the spec asserts exactly that on the physical plan (1 of ~30
+  * partition dirs selected, every scanned file under `day=<probe>`).
+  * x250 proves the BUCKET-pruned flavor of this; x261 proves the
+  * directory-partition flavor, which is the one that carries 100 TB
+  * fact tables (time-partitioned ingest + per-day reads ⇒ each daily
+  * job touches 1/Nth of the data regardless of total history).
+  *
+  * The probe day is `min(day) + PruneDayOffset` — computed by a tiny
+  * scalar aggregate first, then baked into the filter as a LITERAL
+  * (the "resolve yesterday, then prune statically" pattern a daily
+  * incremental job uses; a correlated subquery would prune too, but
+  * only at runtime via dynamic pruning).
+  *
+  * 100 TB shape: the staged write is one shuffle by day (≤ one file
+  * per (task, day)); the read scans O(1 day) of data — the point.
+  */
+object PartitionedStage {
+
+  /** Probe day = min event day + this offset (shared with the oracle). */
+  val PruneDayOffset: Long = 3L
+
+  private lazy val stageRoot = Files.createTempDirectory("graft_part_stage_")
+
+  private val staged = scala.collection.mutable.HashMap.empty[String, String]
+
+  private def canonical(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(spark, dir)
+    raw.select(col("event_id"), col("user_id"), col("event_type"),
+      Relational.cents(col("value")).as("value_cents"),
+      Sessionize.tsSeconds(raw).as("ts_s"))
+      .withColumn("day", expr("ts_s div 86400")).drop("ts_s")
+  }
+
+  /** Write the day-partitioned layout once per snapshot dir; return its
+    * root. `repartition(day)` first so each day lands in at most one
+    * file per task — O(days) directories, not O(tasks × days) files. */
+  private[graft] def layoutRoot(spark: SparkSession, dir: String): String =
+    synchronized {
+      staged.getOrElseUpdate(dir, {
+        val root = stageRoot.resolve(
+          s"day_${StagePaths.component(dir)}").toString
+        canonical(spark, dir)
+          .repartition(col("day"))
+          .write.mode("overwrite").partitionBy("day").parquet(root)
+        root
+      })
+    }
+
+  /** The pruned scan itself, exposed for the spec's plan assertions. */
+  private[graft] def prunedScan(spark: SparkSession, dir: String)
+      : (DataFrame, Long) = {
+    val root = layoutRoot(spark, dir)
+    val probeDay = canonical(spark, dir)
+      .agg(min(col("day"))).head().getLong(0) + PruneDayOffset
+    (spark.read.parquet(root).filter(col("day") === probeDay), probeDay)
+  }
+
+  /** The x261 gate query: the probe day's per-type panel, read through
+    * the partition-pruned scan. */
+  def prunedRead(spark: SparkSession, dir: String): DataFrame = {
+    val (scan, probeDay) = prunedScan(spark, dir)
+    scan.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_cents")).as("sum_value_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("probe_day", lit(probeDay))
+      .select(col("probe_day"), col("event_type"), col("n_events"),
+        col("sum_value_cents"), col("n_users"))
+  }
+
+  /** Drop the memoized layouts (tests only). */
+  private[graft] def invalidate(): Unit = synchronized { staged.clear() }
+}

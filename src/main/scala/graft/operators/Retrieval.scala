@@ -156,23 +156,39 @@ object Retrieval {
     * stage bounds lexical pair fan-out by the df cap); the fusion is a
     * full-outer join on (doc, candidate) and two bounded-partition
     * windows (≤ 2k rows per doc). */
-  def hybridRelated(spark: SparkSession, dir: String,
-                    k: Int = HybridK, kRrf: Int = HybridRrfK,
-                    rankedTable: (SparkSession, String, Int) => DataFrame =
-                      KnnStage.ranked(_, _, _)): DataFrame = {
-    val sem = rankedTable(spark, dir, math.max(k, KnnStage.StageK))
+  /** The SEMANTIC top-k list per doc (x239's first system), from the
+    * staged exact-kNN table (swap-parameterized so [[AnnStage]] drops in
+    * at 100 TB). Shared by [[hybridRelated]] and [[rankAgreement]]. */
+  private def semRanked(spark: SparkSession, dir: String, k: Int,
+                        rankedTable: (SparkSession, String, Int) => DataFrame)
+      : DataFrame =
+    rankedTable(spark, dir, math.max(k, KnnStage.StageK))
       .filter(col("rank") <= k)
       .select(col("q_id").as("doc_id"), col("vec_id").as("rel_id"),
         col("rank").cast("long").as("r_sem"))
+
+  /** The LEXICAL top-k list per doc (x239's second system): x163's
+    * TF-cosine pair evidence symmetrized and ranked by `cos_dbl`, ties
+    * to the smaller partner id. Shared by [[hybridRelated]] and
+    * [[rankAgreement]]. */
+  private def lexRanked(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val pairs = Dedup.tfCosinePairs(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("cos_dbl"))
     val symm = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("rel_id"), col("cos_dbl"))
       .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("rel_id"), col("cos_dbl")))
     val wl = Window.partitionBy(col("doc_id"))
       .orderBy(col("cos_dbl").desc, col("rel_id"))
-    val lex = symm.withColumn("r_lex", row_number().over(wl).cast("long"))
+    symm.withColumn("r_lex", row_number().over(wl).cast("long"))
       .filter(col("r_lex") <= k)
       .select(col("doc_id"), col("rel_id"), col("r_lex"))
+  }
+
+  def hybridRelated(spark: SparkSession, dir: String,
+                    k: Int = HybridK, kRrf: Int = HybridRrfK,
+                    rankedTable: (SparkSession, String, Int) => DataFrame =
+                      KnnStage.ranked(_, _, _)): DataFrame = {
+    val sem = semRanked(spark, dir, k, rankedTable)
+    val lex = lexRanked(spark, dir, k)
     val fused = sem.join(lex, Seq("doc_id", "rel_id"), "full_outer")
       .withColumn("rrf_micro",
         coalesce(expr(s"1000000L div ($kRrf + r_sem)"), lit(0L)) +
@@ -184,5 +200,54 @@ object Retrieval {
         coalesce(col("r_sem"), lit(-1L)).as("r_sem"),
         coalesce(col("r_lex"), lit(-1L)).as("r_lex"),
         col("rrf_micro"), col("r_fused"))
+  }
+
+  /** Truncated rank-biased-overlap weights at persistence p = 1/2,
+    * exact-integer form: returns `(w(1..k), den)` with
+    * `w(m) = Σ_{d=m..k} 2^(k−d)·(L/d)` and `den = 2^k·L`, `L = lcm(1..k)`,
+    * so `RBO@k(A,B) = Σ_{items in A∩B} w(max(r_A, r_B)) / den` — the
+    * per-item telescoping of Webber et al.'s `(1−p)·Σ p^(d−1)·|A_d∩B_d|/d`
+    * (an item contributes to every prefix depth ≥ the later of its two
+    * ranks). All-integer, so both engines agree bit-for-bit; shared with
+    * the x260 oracle. */
+  private[graft] def rboWeights(k: Int): (Seq[Long], Long) = {
+    require(k >= 1 && k <= 20, "need 1 <= k <= 20 (weights must fit Long)")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = (1 to k).foldLeft(1L)((l, d) => l / gcd(l, d) * d)
+    val terms = (1 to k).map(d => (1L << (k - d)) * (lcm / d))
+    ((1 to k).map(m => terms.drop(m - 1).sum), (1L << k) * lcm)
+  }
+
+  /** Ranked-list agreement between the two retrieval systems (x260):
+    * per query doc, the truncated rank-biased overlap @k (p = 1/2)
+    * between its semantic top-k and its lexical top-k — THE standard
+    * top-weighted measure of "do my two related-item systems agree",
+    * the diagnostic read before fusing them (x239) or retiring one.
+    * Exact integers throughout ([[rboWeights]]); `rbo_micro` is the
+    * floor-scaled ratio, 968750 = identical lists (1 − p^k), 0 =
+    * disjoint.
+    *
+    * 100 TB shape: both inputs are the same staged O(N·k) tables x239
+    * fuses; the overlap is one equi-join on (doc, candidate) + an
+    * O(k)-wide per-doc rollup — no new corpus-scale work. */
+  def rankAgreement(spark: SparkSession, dir: String, k: Int = HybridK,
+                    rankedTable: (SparkSession, String, Int) => DataFrame =
+                      KnnStage.ranked(_, _, _)): DataFrame = {
+    val (w, den) = rboWeights(k)
+    val joint = semRanked(spark, dir, k, rankedTable)
+      .join(lexRanked(spark, dir, k), Seq("doc_id", "rel_id"))
+      .select(col("doc_id"),
+        element_at(array(w.map(lit(_)): _*),
+          greatest(col("r_sem"), col("r_lex")).cast("int")).as("w_pts"))
+    val agg = joint.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w_pts")).as("rbo_num_pts"))
+    // every doc with a semantic list appears, 0-overlap docs included
+    semRanked(spark, dir, k, rankedTable).select(col("doc_id")).distinct()
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("rbo_num_pts"), lit(0L)).as("rbo_num_pts"))
+      .withColumn("rbo_micro", expr(s"rbo_num_pts * 1000000L div $den"))
   }
 }

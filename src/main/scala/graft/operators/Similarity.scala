@@ -1085,4 +1085,39 @@ object Similarity {
       .select(col("rank_exact"), col("n_exact"), col("n_found"),
         col("recall_ppm"), col("displacement_sum"))
   }
+
+  /** Multimodal-join integrity panel (x263): coverage between the text
+    * corpus and its embedding table (the doc_id ≡ vec_id contract every
+    * retrieval/dedup consumer here relies on) — per source, how many
+    * documents lack an embedding (the backfill queue an embedding
+    * pipeline drains), plus the two global orphan rows. x139 audits the
+    * star schema's FK surface; this is the same constraint class for
+    * the LLM-side tables, where a silent coverage gap skews every
+    * downstream ANN/SemDeDup/retrieval result.
+    *
+    * 100 TB shape: per-relationship left-anti joins on the id key (AQE
+    * broadcasts the smaller side) + map-side-combined rollups; no row
+    * carries more than (id, source). */
+  def embeddingCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"))
+    val missingBySource = docs
+      .join(emb, docs("doc_id") === emb("vec_id"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_orphans"))
+    val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("n_rows"))
+      .join(missingBySource, Seq("source"), "left")
+      .select(concat(lit("doc_no_embedding:"), col("source")).as("relation"),
+        col("n_rows"), coalesce(col("n_orphans"), lit(0L)).as("n_orphans"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(emb.agg(count(lit(1)).as("n_emb"))) // two 1-row scalars
+    val docsNoEmb = docs.join(emb, docs("doc_id") === emb("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans")).crossJoin(totals)
+      .select(lit("doc_no_embedding").as("relation"),
+        col("n_docs").as("n_rows"), col("n_orphans"))
+    val embNoDoc = emb.join(docs, emb("vec_id") === docs("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans")).crossJoin(totals)
+      .select(lit("embedding_no_doc").as("relation"),
+        col("n_emb").as("n_rows"), col("n_orphans"))
+    perSource.unionByName(docsNoEmb).unionByName(embNoDoc)
+  }
 }

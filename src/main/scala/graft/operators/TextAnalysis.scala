@@ -1787,4 +1787,94 @@ object TextAnalysis {
           .as("gt_smoothed_r"),
         col("total_grams"), col("distinct_grams"))
   }
+
+  /** x262 knobs: the published-bigram count floor (rare bigrams carry
+    * no usable signal — x103's convention) and the absolute-discount
+    * rational d = [[KnDiscountNum]]/[[KnDiscountDen]] = 3/4, the
+    * classic Kneser–Ney constant. Shared with the oracle. */
+  val KnMinCount: Long = PmiMinCount
+  val KnDiscountNum: Long = 3L
+  val KnDiscountDen: Long = 4L
+
+  /** Interpolated Kneser–Ney bigram model (x262): for every corpus
+    * bigram with count ≥ `minCount`, the smoothed conditional
+    * probability
+    * `P(w2|w1) = (c(w1w2) − d)/c(w1·) + d·N1+(w1,·)/c(w1·) · N1+(·,w2)/N1+(·,·)`
+    * — THE standard LM smoothing (continuation counts, not raw
+    * frequency, for the backoff mass), published as the exact rational
+    * `p_num/p_den` over the common denominator `den·c(w1·)·N1+(·,·)`
+    * plus its one-IEEE-division double. x94 scores with the unsmoothed
+    * MLE `c2/c1`; this is the properly-smoothed model a CCNet/KenLM-
+    * style quality filter actually trains. (For a SEEN bigram
+    * `c − d > 0` always since d < 1, so the max(·,0) clamp of the
+    * textbook form never binds on published rows.)
+    *
+    * 100 TB shape: everything folds from the STAGED per-(doc, bigram)
+    * table ([[bigramOcc]] — corpus tokenized once per snapshot): the
+    * model is one partial-agg'd rollup (vocab²-bounded), the context/
+    * continuation tables are rollups OF the model, and the output is
+    * two equi-joins on the word keys plus the 1-row total broadcast.
+    * Hot-word skew on the w1/w2 joins is AQE skew-join territory, same
+    * note as x49/x94. */
+  def kneserNeyBigrams(spark: SparkSession, dir: String,
+                       minCount: Long = KnMinCount): DataFrame = {
+    val model = bigramOcc(spark, dir)
+      .groupBy(col("bigram")).agg(sum(col("cnt")).as("a"))
+      .select(split(col("bigram"), " ", 2)(0).as("w1"),
+        split(col("bigram"), " ", 2)(1).as("w2"), col("a"))
+      .localCheckpoint() // four readers: contexts, continuations, total, output
+    val contexts = model.groupBy(col("w1"))
+      .agg(sum(col("a")).as("cu"), count(lit(1)).as("n1u"))
+    val conts = model.groupBy(col("w2")).agg(count(lit(1)).as("nw"))
+    val total = model.agg(count(lit(1)).as("nn"))
+    val (dn, dd) = (KnDiscountNum, KnDiscountDen)
+    // p_num/p_den must stay exactly representable for the one-IEEE-op
+    // double (both < 2^53) — x73's guard discipline
+    val guard = (col("p_num") >= lit(1L << 53)) || (col("p_den") >= lit(1L << 53))
+    model.filter(col("a") >= minCount)
+      .join(contexts, Seq("w1")).join(conts, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("p_num",
+        (lit(dd) * col("a") - lit(dn)) * col("nn") +
+          lit(dn) * col("n1u") * col("nw"))
+      .withColumn("p_den", lit(dd) * col("cu") * col("nn"))
+      .withColumn("kn_dbl",
+        when(guard, raise_error(lit("KN rational exceeds 2^53: quantize " +
+          "the continuation counts (Scaladoc) before the double publish")))
+          .otherwise(col("p_num").cast("double") / col("p_den").cast("double")))
+      .select(col("w1"), col("w2"), col("a"), col("cu"), col("n1u"),
+        col("nw"), col("nn"), col("p_num"), col("p_den"), col("kn_dbl"))
+  }
+
+  /** Smoothed per-document fluency (x264): x94's score with the
+    * [[kneserNeyBigrams]] model in place of the raw MLE — per document,
+    * the tf-weighted mean of the SMOOTHED conditional bigram
+    * probability, in fixed-point ppm (`(10⁶·p_num) div p_den` per
+    * bigram, then the integer fold — FP sums would be addition-order-
+    * dependent cross-engine; integer points are the x94 discipline).
+    * The smoothed scorer no longer zeroes a document for one rare
+    * continuation — the reason LM quality filters smooth at all.
+    * Empty/one-word docs get (0, 0), x94's rule.
+    *
+    * 100 TB shape: the model side is x262's (all rollups of the staged
+    * bigram table, minCount = 1 so every seen bigram scores); the doc
+    * side re-reads the same stage and equi-joins on the bigram key —
+    * same shuffle shape as x94, hot-bigram skew same AQE note. */
+  def knFluency(spark: SparkSession, dir: String): DataFrame = {
+    val model = kneserNeyBigrams(spark, dir, minCount = 1L)
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        when(col("p_num") > lit(Long.MaxValue / 1000000L),
+          raise_error(lit("KN ppm numerator would exceed Long: quantize " +
+            "p_num/p_den first (x73's guard discipline)")))
+          .otherwise(expr("(1000000L * p_num) div p_den")).as("kn_ppm"))
+    val scored = bigramOcc(spark, dir).join(model, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("kn_ppm")).as("sp"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("sp div n_bigrams"), lit(0L)).as("kn_fluency_ppm"))
+  }
 }

@@ -151,4 +151,49 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(swapped == got.toSet)
   }
+
+  test("rboWeights: hand-computed k=5 values; telescoping sums to the prefix form") {
+    val (w, den) = Retrieval.rboWeights(5)
+    // L = lcm(1..5) = 60, den = 2^5·60; term(d) = 2^(5-d)·60/d =
+    // 960, 240, 80, 30, 12; w(m) = suffix sums
+    assert(w == Seq(1322L, 362L, 122L, 42L, 12L) && den == 1920L)
+    // identical lists: the item at rank m contributes w(m), so the
+    // ceiling is w.sum = 1860 and rbo = 1860/1920 = 1 − p^k = 31/32
+    assert(w.sum == 1860L && w.sum * 32 == den * 31)
+    assert(w.sum * 1000000L / den == 968750L)
+  }
+
+  test("rankAgreement (x260): equals a first-principles prefix-overlap replay") {
+    val k = Retrieval.HybridK
+    val (w, den) = Retrieval.rboWeights(k)
+    // reconstruct both systems' lists from x239's audited output (its
+    // r_sem/r_lex columns carry the ranks; −1 = not surfaced)
+    val fused = Retrieval.hybridRelated(spark, sf)
+      .select($"doc_id", $"rel_id", $"r_sem", $"r_lex")
+      .as[(Long, Long, Long, Long)].collect()
+    val semL = fused.filter(_._3 > 0).groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val lexL = fused.filter(_._4 > 0).groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    // the DEFINITION: RBO@k·den = Σ_d 2^(k−d)·(L/d)·|A[:d] ∩ B[:d]|
+    val term = (1 to k).map(d => (1L << (k - d)) * (den / (1L << k) / d))
+    def replay(a: Seq[Long], b: Seq[Long]): (Long, Long) = {
+      val overlaps = (1 to k).map(d =>
+        a.take(d).toSet.intersect(b.take(d).toSet).size.toLong)
+      (a.toSet.intersect(b.toSet).size.toLong,
+        (1 to k).map(d => term(d - 1) * overlaps(d - 1)).sum)
+    }
+    val got = Retrieval.rankAgreement(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.map(_._1).toSet == semL.keySet)
+    got.foreach { case (doc, nCommon, num, micro) =>
+      val (wantN, wantNum) =
+        replay(semL(doc), lexL.getOrElse(doc, Seq.empty))
+      assert((nCommon, num) == ((wantN, wantNum)), s"doc $doc")
+      assert(micro == num * 1000000L / den)
+      assert(num >= 0L && num <= w.sum)
+    }
+    // the corpus exercises agreement AND disagreement
+    assert(got.exists(_._2 > 0) && got.exists(_._2 == 0))
+  }
 }
