@@ -250,6 +250,9 @@ object BenchStreaming {
       // watermarked stream-stream interval self-join (bounded buffer state)
       run("click_purchase_stream",
         ev => EventStream.clickPurchaseAttribution(ev, ev)),
+      // LEFT OUTER mode: null rows flush as the watermark closes windows
+      run("click_purchase_outer",
+        ev => EventStream.clickPurchaseOuter(ev, ev)),
       run("sampled_stream", ev => EventStream.sampledStream(ev, thresholds)),
       run("transitions_stream", ev => EventStream.transitions(ev).toDF()),
       // O(1)-state-per-key gap debounce (x258's stateful twin)

@@ -306,6 +306,7 @@ object SparkEntry {
     "x262_kneser_ney"       -> ((s, d) => TextAnalysis.kneserNeyBigrams(s, d)),
     "x263_embedding_coverage" -> ((s, d) => Similarity.embeddingCoverage(s, d)),
     "x264_kn_fluency"       -> ((s, d) => TextAnalysis.knFluency(s, d)),
+    "x265_kn_trigram"       -> ((s, d) => TextAnalysis.kneserNeyTrigrams(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -6381,6 +6382,40 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
         |       CAST(COALESCE(a.sp // a.n_bigrams, 0) AS BIGINT) AS kn_fluency_ppm
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+    },
+
+    // x265: interpolated KN trigram chain — continuation counts at the
+    // middle level (distinct left-contexts of each suffix bigram), the
+    // x262 bottom level, the exact rational over the common denominator.
+    "x265_kn_trigram" -> {
+      import operators.TextAnalysis.{KnDiscountDen, KnDiscountNum, KnMinCount}
+      val (dn, dd) = (KnDiscountNum, KnDiscountDen)
+      s"""WITH tok AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |tg AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |       FROM tok, unnest(range(1, len(ws) - 1)) AS t(i)),
+        |tri AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+        |               string_split(g, ' ')[3] AS w3, CAST(count(*) AS BIGINT) AS c3
+        |        FROM tg GROUP BY g),
+        |ctx AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12,
+        |               CAST(count(*) AS BIGINT) AS n1u12 FROM tri GROUP BY 1, 2),
+        |a2 AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS a2p FROM tri GROUP BY 1, 2),
+        |mid AS (SELECT w2, CAST(sum(a2p) AS BIGINT) AS cu2p,
+        |               CAST(count(*) AS BIGINT) AS n1u2p FROM a2 GROUP BY 1),
+        |bg AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] AS bigram
+        |       FROM tok, unnest(range(1, len(ws))) AS t(i)),
+        |bt AS (SELECT string_split(bigram, ' ')[2] AS w3 FROM bg),
+        |nwt AS (SELECT w3, CAST(count(*) AS BIGINT) AS nw FROM bt GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM bt)
+        |SELECT w1, w2, w3, c3, c12, n1u12, a2p, cu2p, n1u2p, nw, nn,
+        |       CAST(($dd*c3 - $dn)*$dd*cu2p*nn
+        |            + $dn*n1u12*(($dd*a2p - $dn)*nn + $dn*n1u2p*nw) AS BIGINT) AS p_num,
+        |       CAST($dd*$dd*c12*cu2p*nn AS BIGINT) AS p_den,
+        |       CAST(($dd*c3 - $dn)*$dd*cu2p*nn
+        |            + $dn*n1u12*(($dd*a2p - $dn)*nn + $dn*n1u2p*nw) AS DOUBLE)
+        |         / CAST($dd*$dd*c12*cu2p*nn AS DOUBLE) AS kn_dbl
+        |FROM tri JOIN ctx USING (w1, w2) JOIN a2 USING (w2, w3)
+        |  JOIN mid USING (w2) JOIN nwt USING (w3), tot
+        |WHERE c3 >= $KnMinCount""".stripMargin
     },
   )
 }

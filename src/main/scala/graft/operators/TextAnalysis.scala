@@ -1846,6 +1846,68 @@ object TextAnalysis {
         col("nw"), col("nn"), col("p_num"), col("p_den"), col("kn_dbl"))
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM model (x265): the full textbook
+    * recursion on top of x262 —
+    * `P(w3|w1w2) = (c(w1w2w3) − d)/c(w1w2·) + d·N1+(w1w2,·)/c(w1w2·) · P'(w3|w2)`
+    * where the MIDDLE level uses CONTINUATION counts, not raw counts
+    * (`a2' = N1+(·w2w3)` distinct left-contexts of the bigram — the
+    * Kneser–Ney insight applied at every backoff level), and the bottom
+    * level is x262's unigram-continuation `N1+(·w3)/N1+(··)` over
+    * bigram types. Published as the exact rational over the common
+    * denominator `d⁴·c(w1w2·)·N1+(·w2·)·N1+(··)` plus the one-IEEE-
+    * division double — the 3-gram LM a KenLM-style quality scorer
+    * estimates, as a distributed plan.
+    *
+    * 100 TB shape: trigram and bigram model tables both fold from
+    * STAGED per-doc gram tables ([[GramStage]] n = 3 / n = 2, corpus
+    * tokenized once per snapshot per n); every derived table (context
+    * totals, continuation counts) is a rollup OF the model tables
+    * (vocab³-bounded), and the output is equi-joins on word keys plus
+    * the 1-row bigram-type total broadcast. */
+  def kneserNeyTrigrams(spark: SparkSession, dir: String,
+                        minCount: Long = KnMinCount): DataFrame = {
+    val tri = GramStage.gramOcc(spark, dir, 3)
+      .groupBy(col("gram")).agg(sum(col("cnt")).as("c3"))
+      .select(split(col("gram"), " ", 3)(0).as("w1"),
+        split(col("gram"), " ", 3)(1).as("w2"),
+        split(col("gram"), " ", 3)(2).as("w3"), col("c3"))
+      .localCheckpoint() // four readers: contexts, both continuation rollups, output
+    val ctx12 = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("c12"), count(lit(1)).as("n1u12"))
+    // middle level: per (w2, w3) the distinct-left-context count is the
+    // trigram-TYPE count (tri is one row per type already)
+    val a2p = tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("a2p"))
+      .localCheckpoint() // read by mid rollup AND the output join
+    val mid = a2p.groupBy(col("w2"))
+      .agg(sum(col("a2p")).as("cu2p"), count(lit(1)).as("n1u2p"))
+    // bottom level: x262's continuation table over bigram TYPES
+    val biTypes = bigramOcc(spark, dir).select(col("bigram")).distinct()
+      .select(split(col("bigram"), " ", 2)(1).as("w3"))
+    val nwT = biTypes.groupBy(col("w3")).agg(count(lit(1)).as("nw"))
+    val totBi = biTypes.agg(count(lit(1)).as("nn"))
+    val (dn, dd) = (KnDiscountNum, KnDiscountDen)
+    val guard = (col("p_num") >= lit(1L << 53)) || (col("p_den") >= lit(1L << 53))
+    tri.filter(col("c3") >= minCount)
+      .join(ctx12, Seq("w1", "w2")).join(a2p, Seq("w2", "w3"))
+      .join(mid, Seq("w2")).join(nwT, Seq("w3"))
+      .crossJoin(broadcast(totBi))
+      .withColumn("p_num",
+        (lit(dd) * col("c3") - lit(dn)) * lit(dd) * col("cu2p") * col("nn") +
+          lit(dn) * col("n1u12") *
+            ((lit(dd) * col("a2p") - lit(dn)) * col("nn") +
+              lit(dn) * col("n1u2p") * col("nw")))
+      .withColumn("p_den",
+        lit(dd) * lit(dd) * col("c12") * col("cu2p") * col("nn"))
+      .withColumn("kn_dbl",
+        when(guard, raise_error(lit("KN trigram rational exceeds 2^53: " +
+          "quantize the continuation counts (Scaladoc)")))
+          .otherwise(col("p_num").cast("double") / col("p_den").cast("double")))
+      .select(col("w1"), col("w2"), col("w3"), col("c3"), col("c12"),
+        col("n1u12"), col("a2p"), col("cu2p"), col("n1u2p"), col("nw"),
+        col("nn"), col("p_num"), col("p_den"), col("kn_dbl"))
+  }
+
   /** Smoothed per-document fluency (x264): x94's score with the
     * [[kneserNeyBigrams]] model in place of the raw MLE — per document,
     * the tf-weighted mean of the SMOOTHED conditional bigram

@@ -160,6 +160,37 @@ object EventStream {
         unix_timestamp(col("purchase_ts")).as("purchase_ts_s"))
   }
 
+  /** LEFT OUTER watermarked stream-stream join — the 29th twin and the
+    * semantically harder mode of [[clickPurchaseAttribution]]: every
+    * click emits, matched rows as they pair, UNMATCHED clicks only once
+    * the purchase-side watermark has passed the click's join window (the
+    * null can't be emitted earlier — a matching purchase might still
+    * arrive; this delayed null emission IS the outer-join state-timeout
+    * semantics, and the bounded buffer is identical to the inner mode).
+    * The unmatched rows are the abandonment feed — the "clicked, never
+    * purchased within the hour" stream a re-engagement pipeline consumes.
+    * Same per-column output as the inner twin with purchase columns
+    * nullable; `converted` flags the mode for downstream splits. */
+  def clickPurchaseOuter(clicks: DataFrame, purchases: DataFrame,
+                         windowSeconds: Long = 3600): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_t").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts_t").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $windowSeconds seconds"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        unix_timestamp(col("click_ts")).as("click_ts_s"),
+        unix_timestamp(col("purchase_ts")).as("purchase_ts_s"),
+        col("purchase_id").isNotNull.as("converted"))
+  }
+
   // —— stateful transition extraction via flatMapGroupsWithState ——
 
   case class TEvent(user_id: Long, event_id: Long, ts_s: Long, event_type: String)

@@ -64,6 +64,54 @@ class KneserNeySpec extends SparkSpec {
     assert(mass.exists { case (_, numSum, den, _, _) => numSum < den })
   }
 
+  test("kneserNeyTrigrams (x265) equals a driver-side replay; per-context mass < 1") {
+    val texts = graft.Tables.documents(spark, sf)
+      .select($"text").as[String].collect()
+    val tris = texts.flatMap { t =>
+      val ws = t.split(" ", -1)
+      if (ws.length < 3) Seq.empty
+      else (0 to ws.length - 3).map(i => (ws(i), ws(i + 1), ws(i + 2)))
+    }
+    val c3 = tris.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c12 = c3.groupBy(k => (k._1._1, k._1._2)).view.mapValues(_.values.sum).toMap
+    val n1u12 = c3.groupBy(k => (k._1._1, k._1._2)).view.mapValues(_.size.toLong).toMap
+    val a2p = c3.keySet.groupBy(k => (k._2, k._3)).view.mapValues(_.size.toLong).toMap
+    val cu2p = a2p.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1u2p = a2p.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val bigs = texts.flatMap { t =>
+      val ws = t.split(" ", -1); ws.dropRight(1).zip(ws.drop(1))
+    }.toSet
+    val nw = bigs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nn = bigs.size.toLong
+    val got = TextAnalysis.kneserNeyTrigrams(spark, sf)
+      .as[(String, String, String, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long, Long, Double)].collect()
+    val wantKeys = c3.filter(_._2 >= TextAnalysis.KnMinCount).keySet
+    assert(got.nonEmpty && got.length == wantKeys.size)
+    got.foreach { case (w1, w2, w3, a, b12, n12, a2, cu2, n2, nwv, nnv, num, den, dbl) =>
+      val key = (w1, w2, w3)
+      val wantNum = (4 * a - 3) * 4 * cu2p((w2)) * nn +
+        3 * n1u12((w1, w2)) * ((4 * a2p((w2, w3)) - 3) * nn +
+          3 * n1u2p(w2) * nw(w3))
+      val wantDen = 16 * c12((w1, w2)) * cu2p(w2) * nn
+      assert((a, b12, n12, a2, cu2, n2, nwv, nnv) ==
+        ((c3(key), c12((w1, w2)), n1u12((w1, w2)), a2p((w2, w3)),
+          cu2p(w2), n1u2p(w2), nw(w3), nn)), s"$key counts")
+      assert((num, den) == ((wantNum, wantDen)), s"$key rational")
+      assert(dbl == num.toDouble / den.toDouble)
+      assert(num > 0 && num < den, s"$key out of (0,1)")
+    }
+    // per-(w1,w2) seen-continuation mass stays below 1 (minCount = 1
+    // so the fold covers every seen trigram of the context)
+    val mass = TextAnalysis.kneserNeyTrigrams(spark, sf, minCount = 1L)
+      .groupBy($"w1", $"w2")
+      .agg(sum($"p_num").as("s"), first($"p_den").as("d"))
+      .as[(String, String, Long, Long)].collect()
+    assert(mass.nonEmpty)
+    mass.foreach { case (w1, w2, s, d) => assert(s <= d, s"($w1, $w2)") }
+    assert(mass.exists { case (_, _, s, d) => s < d })
+  }
+
   test("knFluency (x264) equals a driver-side replay and orders like a smoothed x94") {
     val model = replay(1L).map { case ((w1, w2), (_, _, _, _, _, num, den)) =>
       s"$w1 $w2" -> 1000000L * num / den

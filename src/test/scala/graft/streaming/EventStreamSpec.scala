@@ -133,6 +133,62 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER join: matches ≡ inner join; nulls are exactly the watermark-closed unmatched clicks") {
+    val root = java.nio.file.Files.createTempDirectory("graft-outstream").toString
+    val raw = graft.Tables.events(spark, sf)
+    val evT = raw.select($"event_id", $"user_id", $"event_type",
+      timestamp_seconds(Sessionize.tsSeconds(raw)).as("ts_t"))
+    // time-split drops so the watermark ADVANCES mid-stream and flushes
+    // the early unmatched clicks' null rows before the feed ends
+    val cut = raw.select(Sessionize.tsSeconds(raw).as("s"))
+      .stat.approxQuantile("s", Array(0.5), 0.0).head.toLong
+    evT.filter(unix_timestamp($"ts_t") <= cut).write.parquet(s"$root/drop")
+    evT.filter(unix_timestamp($"ts_t") > cut).write.mode("append").parquet(s"$root/drop")
+    def feed() = spark.readStream.schema(evT.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/drop")
+    val q = EventStream.clickPurchaseOuter(feed(), feed())
+      .writeStream.format("memory").queryName("outer_attrib")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("outer_attrib")
+      .as[(Long, Long, Option[Long], Long, Option[Long], Boolean)].collect()
+    // 1) the matched rows are exactly the inner join's output
+    val ev = raw.select($"event_id", $"user_id", $"event_type",
+      Sessionize.tsSeconds(raw).as("ts_s"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts_s".as("click_ts_s"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+        $"ts_s".as("purchase_ts_s"))
+    val inner = clicks.join(purchases,
+      $"user_id" === $"p_user" && $"purchase_ts_s" >= $"click_ts_s" &&
+        $"purchase_ts_s" <= $"click_ts_s" + 3600)
+      .select($"click_id", $"user_id", $"purchase_id", $"click_ts_s", $"purchase_ts_s")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed.filter(_._6)
+      .map(r => (r._1, r._2, r._3.get, r._4, r._5.get)).toSet == inner)
+    // 2) every null row is a genuinely unmatched click, emitted at most once
+    val unmatchedBatch = clicks.as[(Long, Long, Long)].collect()
+      .filter(c => !inner.exists(_._1 == c._1)).map(c => c._1 -> c._3).toMap
+    val nulls = streamed.filter(!_._6)
+    assert(nulls.map(_._1).distinct.length == nulls.length)
+    nulls.foreach { r => assert(unmatchedBatch.contains(r._1), s"click ${r._1}") }
+    // 3) completeness up to a SOUND watermark bound: after batch 1
+    // (events ≤ cut) the watermark is cut − 2 h, so batch 2 must evict —
+    // and null-emit — every unmatched click whose 1 h window closed
+    // strictly before it. (The FINAL watermark lags one batch, so the
+    // tail zone near max event time is legitimately still buffered at
+    // termination — asserting against it would encode a race.)
+    val horizon = cut - 7200 - 3600 - 1
+    val mustEmit = unmatchedBatch.filter(_._2 < horizon).keySet
+    val emitted = nulls.map(_._1).toSet
+    assert(mustEmit.subsetOf(emitted),
+      s"${(mustEmit -- emitted).size} watermark-closed nulls never emitted")
+    assert(nulls.nonEmpty && inner.nonEmpty, "fixture must exercise both arms")
+  }
+
   test("kmv sketch aggregates incrementally under streaming state, equal to batch") {
     // the custom TypedImperativeAggregate must serialize/merge correctly
     // through the streaming state store — complete-mode windowed sketch
