@@ -307,6 +307,8 @@ object SparkEntry {
     "x263_embedding_coverage" -> ((s, d) => Similarity.embeddingCoverage(s, d)),
     "x264_kn_fluency"       -> ((s, d) => TextAnalysis.knFluency(s, d)),
     "x265_kn_trigram"       -> ((s, d) => TextAnalysis.kneserNeyTrigrams(s, d)),
+    "x266_full_sync"        -> ((s, d) => graft.pipeline.Maintenance.fullSyncAudit(s, d)),
+    "x267_retention_sweep"  -> ((s, d) => operators.PartitionedStage.retentionSweep(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -6416,6 +6418,54 @@ object SparkEntry {
         |FROM tri JOIN ctx USING (w1, w2) JOIN a2 USING (w2, w3)
         |  JOIN mid USING (w2) JOIN nwt USING (w3), tot
         |WHERE c3 >= $KnMinCount""".stripMargin
+    },
+
+    // x266: full-sync MERGE classification — the deterministic
+    // next-snapshot source (k%10=7 deleted, k%10=3 re-priced 2×,
+    // k%10=5 mirrored at -k-1), classified by a full-outer replay.
+    "x266_full_sync" ->
+      """WITH t AS (SELECT o_orderkey AS k,
+        |                  CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |           FROM orders),
+        |s AS (SELECT k, CASE WHEN k % 10 = 3 THEN cents * 2 ELSE cents END AS cents
+        |      FROM t WHERE k % 10 <> 7
+        |      UNION ALL
+        |      SELECT -k - 1 AS k, cents FROM t WHERE k % 10 = 5),
+        |j AS (SELECT coalesce(t.k, s.k) AS k,
+        |             CASE WHEN t.k IS NULL THEN 'inserted'
+        |                  WHEN s.k IS NULL THEN 'deleted'
+        |                  WHEN t.cents <> s.cents THEN 'updated'
+        |                  ELSE 'unchanged' END AS action,
+        |             coalesce(s.cents, t.cents) AS cents
+        |      FROM t FULL OUTER JOIN s ON t.k = s.k)
+        |SELECT action, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+        |FROM j GROUP BY 1""".stripMargin,
+
+    // x267: TTL retention panel — same max−window cutoff rule on the
+    // raw table; the engine side reads it off the day-partitioned
+    // layout via range partition pruning.
+    "x267_retention_sweep" -> {
+      val w = operators.PartitionedStage.RetentionDays
+      s"""WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(round(value*100) AS BIGINT) AS value_cents,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |b AS (SELECT max(day) - $w + 1 AS cutoff,
+        |             count(DISTINCT day) AS n_days FROM ev),
+        |k AS (SELECT count(DISTINCT day) AS n_kept_days
+        |      FROM ev, b WHERE ev.day >= b.cutoff)
+        |SELECT ev.event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(value_cents) AS BIGINT) AS kept_value_cents,
+        |       CAST(min(day) AS BIGINT) AS min_kept_day,
+        |       CAST(any_value(b.cutoff) AS BIGINT) AS cutoff_day,
+        |       CAST(any_value(b.n_days) - any_value(k.n_kept_days) AS BIGINT)
+        |         AS n_days_dropped,
+        |       CAST(any_value(k.n_kept_days) AS BIGINT) AS n_days_kept
+        |FROM ev, b, k WHERE ev.day >= b.cutoff
+        |GROUP BY 1""".stripMargin
     },
   )
 }

@@ -85,6 +85,61 @@ object PartitionedStage {
         col("sum_value_cents"), col("n_users"))
   }
 
+  /** Retention window in days for [[retentionSweep]] (x267): events in
+    * day partitions older than `max(day) − RetentionDays + 1` are
+    * swept. 14 over the synthetic 30-day span ⇒ roughly half the
+    * history drops at every scale factor. */
+  val RetentionDays: Long = 14L
+
+  /** TTL retention sweep (x267), executed THE 100 TB WAY: on the
+    * day-partitioned layout, retention is dropping whole `day=<d>`
+    * directories — a metadata delete, never a rewrite of surviving
+    * rows — and the keep-side read is a RANGE partition filter
+    * (`day ≥ cutoff`), so the scan lists only surviving partitions
+    * (plan-asserted in the spec, x261's discipline). The published
+    * panel is what a retention job logs: per event type the kept
+    * rows/value mass plus the sweep's global shape (days dropped vs
+    * kept) — and the drop LIST is derivable as the day dirs below the
+    * cutoff. The oracle recomputes the same panel from the raw table
+    * with the same max−window cutoff rule.
+    *
+    * 100 TB shape: one scalar agg for the cutoff, one pruned scan of
+    * the surviving O(RetentionDays) partitions; the sweep itself is
+    * O(dropped dirs) filesystem metadata. */
+  def retentionSweep(spark: SparkSession, dir: String,
+                     retentionDays: Long = RetentionDays): DataFrame = {
+    val root = layoutRoot(spark, dir)
+    val days = canonical(spark, dir).agg(
+      max(col("day")).as("max_day"),
+      countDistinct(col("day")).as("n_days")).head()
+    val (maxDay, nDays) = (days.getLong(0), days.getLong(1))
+    val cutoff = maxDay - retentionDays + 1
+    val keptDays = canonical(spark, dir).filter(col("day") >= cutoff)
+      .agg(countDistinct(col("day"))).head().getLong(0)
+    spark.read.parquet(root).filter(col("day") >= cutoff)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("value_cents")).as("kept_value_cents"),
+        // the partition column type-infers as INT; pin the panel to BIGINT
+        min(col("day")).cast("long").as("min_kept_day"))
+      .withColumn("cutoff_day", lit(cutoff))
+      .withColumn("n_days_dropped", lit(nDays - keptDays))
+      .withColumn("n_days_kept", lit(keptDays))
+      .select(col("event_type"), col("n_kept"), col("kept_value_cents"),
+        col("min_kept_day"), col("cutoff_day"), col("n_days_dropped"),
+        col("n_days_kept"))
+  }
+
+  /** The keep-side pruned scan alone (spec plan assertions). */
+  private[graft] def retentionScan(spark: SparkSession, dir: String,
+                                   retentionDays: Long = RetentionDays)
+      : (DataFrame, Long) = {
+    val root = layoutRoot(spark, dir)
+    val maxDay = canonical(spark, dir).agg(max(col("day"))).head().getLong(0)
+    val cutoff = maxDay - retentionDays + 1
+    (spark.read.parquet(root).filter(col("day") >= cutoff), cutoff)
+  }
+
   /** Drop the memoized layouts (tests only). */
   private[graft] def invalidate(): Unit = synchronized { staged.clear() }
 }

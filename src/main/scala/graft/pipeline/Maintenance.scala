@@ -49,6 +49,65 @@ object Maintenance {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
   }
 
+  /** Full-sync MERGE (the WHEN-NOT-MATCHED-BY-SOURCE-DELETE mode x244's
+    * upsert does not cover): bring `target` to exactly `source`, but
+    * THROUGH the key-classified join — each key labeled `updated` /
+    * `unchanged` (in both; value differs / equal), `inserted` (source
+    * only), `deleted` (target only, dropped from the result). The
+    * classification IS the operator's value: a blind overwrite produces
+    * the same table but no audit trail, and the change-volume panel is
+    * what gates a suspicious sync (a 90%-deletes day is an upstream
+    * bug, not a sync).
+    *
+    * Returns the labeled per-key frame (result table = every row with
+    * action ≠ 'deleted'). 100 TB shape: one full-outer shuffle join on
+    * the key — the minimum any diff pays — with map-side-combined
+    * rollups downstream. */
+  def fullSyncClassified(target: DataFrame, source: DataFrame,
+                         keys: Seq[String], valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = target.select((keys ++ valueCols).map(col): _*)
+      .withColumn("_in_t", lit(1))
+    val s0 = source.select((keys ++ valueCols).map(col): _*)
+    val s = s0.columns.foldLeft(s0)((d, c) =>
+      if (keys.contains(c)) d else d.withColumnRenamed(c, s"_s_$c"))
+      .withColumn("_in_s", lit(1))
+    val changed = valueCols.map(c => col(c) =!= col(s"_s_$c"))
+      .reduce(_ || _)
+    val joined = t.join(s, keys, "full_outer")
+    val action = when(col("_in_t").isNull, "inserted")
+      .when(col("_in_s").isNull, "deleted")
+      .when(changed, "updated")
+      .otherwise("unchanged")
+    // the synced value: source wins wherever source has the key
+    val out = valueCols.foldLeft(joined.withColumn("action", action)) {
+      (d, c) => d.withColumn(c, coalesce(col(s"_s_$c"), col(c)))
+    }
+    out.select((keys.map(col) :+ col("action")) ++ valueCols.map(col): _*)
+  }
+
+  /** The x266 gate panel: [[fullSyncClassified]] on orders against a
+    * deterministic next-snapshot source — `k % 10 = 7` rows dropped,
+    * `k % 10 = 3` re-priced 2×, inserts at `-k-1` for `k % 10 = 5` —
+    * folded per action with the synced slice's checksum. The result
+    * table (actions ≠ deleted) is provably ≡ the source snapshot. */
+  def fullSyncAudit(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      graft.operators.Relational.cents(col("o_totalprice")).as("cents"))
+    val src = o.filter(col("k") % 10 =!= 7)
+      .select(col("k"),
+        when(col("k") % 10 === 3, col("cents") * 2).otherwise(col("cents"))
+          .as("cents"))
+      .unionByName(o.filter(col("k") % 10 === 5)
+        .select((-col("k") - 1).as("k"), col("cents")))
+    fullSyncClassified(o, src, Seq("k"), Seq("cents"))
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+  }
+
   /** OPTIMIZE analog: compact a table's many small files into `nFiles`
     * well-sized outputs (coalesce when shrinking — no shuffle; repartition
     * when rebalancing skewed inputs). */

@@ -37,6 +37,50 @@ class PartitionedStageSpec extends SparkSpec {
     assert(nDays > 10, s"layout produced only $nDays day dirs")
   }
 
+  test("retentionScan (x267) range-prunes to exactly the surviving day partitions") {
+    val (scan, cutoff) = PartitionedStage.retentionScan(spark, sf)
+    val raw = graft.Tables.events(spark, sf)
+    val keptDays = raw.select(Sessionize.tsSeconds(raw).as("s"))
+      .withColumn("day", expr("s div 86400"))
+      .filter($"day" >= cutoff).select($"day").distinct().count()
+    val scans = scan.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty, "cutoff must prune partitions")
+      assert(f.selectedPartitions.partitionCount == keptDays,
+        s"selected ${f.selectedPartitions.partitionCount}, want $keptDays")
+    }
+    // the sweep genuinely drops history at this window
+    val allDays = raw.select(Sessionize.tsSeconds(raw).as("s"))
+      .withColumn("day", expr("s div 86400")).select($"day").distinct().count()
+    assert(keptDays < allDays && keptDays > 0)
+  }
+
+  test("retentionSweep panel equals the raw-table recompute") {
+    val got = PartitionedStage.retentionSweep(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val raw = graft.Tables.events(spark, sf)
+    val ev = raw.select($"event_type",
+        Relational.cents($"value").as("value_cents"),
+        Sessionize.tsSeconds(raw).as("ts_s"))
+      .withColumn("day", expr("ts_s div 86400"))
+    val maxDay = ev.agg(max($"day")).head().getLong(0)
+    val cutoff = maxDay - PartitionedStage.RetentionDays + 1
+    val nDays = ev.select($"day").distinct().count()
+    val keptDays = ev.filter($"day" >= cutoff).select($"day").distinct().count()
+    val want = ev.filter($"day" >= cutoff)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_kept"), sum($"value_cents").as("kept_value_cents"),
+        min($"day").as("min_kept_day"))
+      .select($"event_type", $"n_kept", $"kept_value_cents", $"min_kept_day",
+        lit(cutoff).as("cutoff_day"), lit(nDays - keptDays).as("n_days_dropped"),
+        lit(keptDays).as("n_days_kept"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("prunedRead equals the direct filter on the raw table") {
     val got = PartitionedStage.prunedRead(spark, sf)
       .as[(Long, String, Long, Long, Long)].collect().toSet

@@ -283,6 +283,33 @@ class EventStreamSpec extends SparkSpec {
     assert(keysBothSides > 0, "fixture must force cross-batch state handoff")
   }
 
+  test("stateful twin under the RocksDB state store provider ≡ the batch operator") {
+    // the 100 TB state backend: swap the HDFS-backed in-memory provider
+    // for RocksDB (bounded heap at billions of keys) and prove the
+    // stateful twin's output is identical — the state-store contract,
+    // not the provider, carries the semantics
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = runStream(
+        EventStream.debounce(EventStream.readEvents(spark, sf)).toDF()
+          .select($"event_id", $"kept"), "debounce_rocks")
+        .as[(Long, Boolean)].collect().toMap
+      val batch = Sessionize
+        .debouncedEvents(spark, sf, Sessionize.DebounceGapSeconds)
+        .select($"event_id", $"kept").as[(Long, Boolean)].collect().toMap
+      assert(streamed == batch && streamed.nonEmpty)
+      assert(streamed.values.exists(identity) && streamed.values.exists(!_))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stateful streaming lastTouch ≡ batch x112 across a micro-batch boundary") {
     val root = java.nio.file.Files.createTempDirectory("graft-ltstream").toString
     val raw = graft.Tables.events(spark, sf)
