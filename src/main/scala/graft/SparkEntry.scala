@@ -309,6 +309,8 @@ object SparkEntry {
     "x265_kn_trigram"       -> ((s, d) => TextAnalysis.kneserNeyTrigrams(s, d)),
     "x266_full_sync"        -> ((s, d) => graft.pipeline.Maintenance.fullSyncAudit(s, d)),
     "x267_retention_sweep"  -> ((s, d) => operators.PartitionedStage.retentionSweep(s, d)),
+    "x268_global_ranking"   -> ((s, d) => operators.GlobalSort.rankedDocuments(s, d)),
+    "x269_normalized_dedup" -> ((s, d) => Dedup.normalizedDedup(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -6466,6 +6468,36 @@ object SparkEntry {
         |       CAST(any_value(k.n_kept_days) AS BIGINT) AS n_days_kept
         |FROM ev, b, k WHERE ev.day >= b.cutoff
         |GROUP BY 1""".stripMargin
+    },
+
+    // x268: dense global ranking — the oracle is the plain total-order
+    // window; a hash match proves the range-partitioned offset plan is
+    // bit-identical to the single-partition semantics it replaces.
+    "x268_global_ranking" ->
+      """SELECT doc_id, n_chars,
+        |       CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+        |         AS BIGINT) AS global_rank
+        |FROM documents""".stripMargin,
+
+    // x269: normalization-aware exact dedup — the same mutated-twin
+    // injection (UPPER + doubled spaces on every 3rd doc), raw vs
+    // casefold/whitespace-collapsed digests.
+    "x269_normalized_dedup" -> {
+      import operators.Dedup.{NormTwinIdOffset, NormTwinMod}
+      s"""WITH base AS (SELECT doc_id, source, text FROM documents),
+        |twins AS (SELECT doc_id + $NormTwinIdOffset AS doc_id, source,
+        |                 upper(replace(text, ' ', '  ')) AS text
+        |          FROM base WHERE doc_id % $NormTwinMod = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+        |h AS (SELECT source, md5(text) AS raw_md5,
+        |             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_md5
+        |      FROM u)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT raw_md5) AS BIGINT) AS n_raw_groups,
+        |       CAST(count(DISTINCT norm_md5) AS BIGINT) AS n_norm_groups,
+        |       CAST(count(DISTINCT raw_md5) - count(DISTINCT norm_md5) AS BIGINT)
+        |         AS extra_collapsed
+        |FROM h GROUP BY 1""".stripMargin
     },
   )
 }

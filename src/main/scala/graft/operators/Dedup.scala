@@ -98,6 +98,51 @@ object Dedup {
       .groupBy(md5(col("text")).as("content_md5"))
       .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("dup_count"))
 
+  /** The x269 canonical text form: ASCII case-fold + whitespace
+    * collapse + trim — the C4-style normalization an exact-dedup pass
+    * applies before hashing, restricted to transforms both engines
+    * compute identically (no Unicode NFC — locale-sensitive). Shared
+    * digit-for-digit with the oracle. */
+  private[graft] def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Offset for x269's mutated-twin doc ids (collision-free at any
+    * scale factor) and the twin selector (every third doc). Shared
+    * with the oracle. */
+  val NormTwinIdOffset: Long = 1000000000L
+  val NormTwinMod: Long = 3L
+
+  /** Normalization-aware exact dedup (x269): per source, how many MORE
+    * duplicate groups collapse when documents are hashed on their
+    * [[normalized]] form instead of raw bytes — the measured value of
+    * the canonicalize-before-hash step every exact-dedup pipeline
+    * debates. The synthetic corpus is already canonical (lowercase,
+    * single-spaced), so the query FIRST injects the mess a real crawl
+    * carries: every `doc_id % NormTwinMod = 0` document gets a mutated
+    * twin (UPPER-cased, spaces doubled — byte-distinct, normalization-
+    * identical; a deterministic rule both engines replay). Raw hashing
+    * sees the twin as new content; normalized hashing collapses it —
+    * so `extra_collapsed` equals the twin count per source exactly,
+    * and the operator's value is measured, not asserted.
+    *
+    * 100 TB shape: the twin union is a second projection of the same
+    * scan; digests are map-side (no text ships past its hash); one
+    * partial-agg'd rollup per source. */
+  def normalizedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text"))
+    val twins = docs.filter(col("doc_id") % NormTwinMod === 0)
+      .select((col("doc_id") + NormTwinIdOffset).as("doc_id"), col("source"),
+        upper(regexp_replace(col("text"), " ", "  ")).as("text"))
+    docs.unionByName(twins)
+      .select(col("source"), md5(col("text")).as("raw_md5"),
+        md5(normalized(col("text"))).as("norm_md5"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_md5")).as("n_raw_groups"),
+        countDistinct(col("norm_md5")).as("n_norm_groups"))
+      .withColumn("extra_collapsed", col("n_raw_groups") - col("n_norm_groups"))
+  }
+
   /** Directional copy-flow between sources (x114): for every duplicated
     * PARAGRAPH (x39's CDC unit and digest — the corpus's whole-document
     * md5 groups are all singletons, but paragraphs genuinely recur),

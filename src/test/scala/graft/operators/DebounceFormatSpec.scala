@@ -53,6 +53,23 @@ class DebounceFormatSpec extends SparkSpec {
     }
   }
 
+  test("x269 normalized dedup collapses exactly the mutated twins") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val got = Dedup.normalizedDedup(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    docs.groupBy(_._2).foreach { case (src, rows) =>
+      val twins = rows.count(_._1 % Dedup.NormTwinMod == 0).toLong
+      val (_, nDocs, nRaw, nNorm, extra) = got(src)
+      assert(nDocs == rows.length + twins, src)
+      // raw hashing sees every twin as new content (corpus has no raw
+      // dups); normalization folds each twin back onto its original
+      assert(nRaw == rows.length + twins, src)
+      assert(nNorm == rows.length.toLong, src)
+      assert(extra == twins && twins > 0, src)
+    }
+  }
+
   test("x259 all four format panels are identical and equal the direct aggregate") {
     val rt = FormatStage.roundTrip(spark, sf)
     val perFormat = FormatStage.Formats.map { f =>
