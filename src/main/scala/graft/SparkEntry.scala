@@ -311,6 +311,7 @@ object SparkEntry {
     "x267_retention_sweep"  -> ((s, d) => operators.PartitionedStage.retentionSweep(s, d)),
     "x268_global_ranking"   -> ((s, d) => operators.GlobalSort.rankedDocuments(s, d)),
     "x269_normalized_dedup" -> ((s, d) => Dedup.normalizedDedup(s, d)),
+    "x270_filter_kappa"     -> ((s, d) => TextAnalysis.filterKappa(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -6498,6 +6499,42 @@ object SparkEntry {
         |       CAST(count(DISTINCT raw_md5) - count(DISTINCT norm_md5) AS BIGINT)
         |         AS extra_collapsed
         |FROM h GROUP BY 1""".stripMargin
+    },
+
+    // x270: Cohen's kappa between the x67 repetition gate and the x40
+    // quality label — both decision rules replicated from their own
+    // oracles' CTEs, then the exact chance-corrected rational.
+    "x270_filter_kappa" -> {
+      import operators.TextAnalysis.{RepMaxDup2gramPct, RepMaxDupWordPct, RepMaxTopWordPct}
+      s"""$repetitionMetricsCteSql,
+        |a AS (SELECT d.doc_id, d.source,
+        |        CASE WHEN (m.n_words - m.n_distinct) * 100 <= m.n_words * $RepMaxDupWordPct
+        |              AND m.max_tf * 100 <= m.n_words * $RepMaxTopWordPct
+        |              AND m.n_dup_2grams * 100 <= m.n_2grams * $RepMaxDup2gramPct
+        |             THEN 1 ELSE 0 END AS a
+        |      FROM documents d JOIN m USING (doc_id)),
+        |b AS (SELECT doc_id,
+        |        CAST(least(1.0, len(string_split(text, ' ')) / 100.0) *
+        |             (1.0 - len(list_filter(string_split(text, ' '), w -> length(w) = 1))
+        |                    / len(string_split(text, ' '))) >= 0.5 AS INTEGER) AS b
+        |      FROM documents),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(a*b) AS BIGINT) AS n11,
+        |             CAST(sum(a*(1-b)) AS BIGINT) AS n10,
+        |             CAST(sum((1-a)*b) AS BIGINT) AS n01,
+        |             CAST(sum((1-a)*(1-b)) AS BIGINT) AS n00
+        |      FROM a JOIN b USING (doc_id) GROUP BY 1)
+        |SELECT source, n, n11, n10, n01, n00,
+        |       CAST(n*(n11+n00) - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))
+        |         AS BIGINT) AS kappa_num,
+        |       CAST(n*n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))
+        |         AS BIGINT) AS kappa_den,
+        |       CASE WHEN n*n = (n11+n10)*(n11+n01) + (n01+n00)*(n10+n00) THEN NULL
+        |            ELSE CAST(n*(n11+n00) - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))
+        |                   AS DOUBLE)
+        |               / CAST(n*n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))
+        |                   AS DOUBLE) END AS kappa_dbl
+        |FROM c""".stripMargin
     },
   )
 }

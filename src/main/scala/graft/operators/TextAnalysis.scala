@@ -1908,6 +1908,50 @@ object TextAnalysis {
         col("nn"), col("p_num"), col("p_den"), col("kn_dbl"))
   }
 
+  /** Inter-filter agreement (x270): Cohen's kappa between the engine's
+    * two independent keep/drop quality filters — x67's repetition gate
+    * ([[repetitionKeep]]) and x40's heuristic quality label
+    * ([[qualityFeatures]]) — per source, as the exact integer rational
+    * `κ = (N·(n11+n00) − Σ marginal products) / (N² − Σ marginal
+    * products)` plus its one-IEEE-division double (NULL when the
+    * marginals are degenerate and κ is undefined). Raw percent
+    * agreement overstates consensus when both filters keep almost
+    * everything; kappa is the chance-corrected number a pipeline reads
+    * before treating two filters as redundant (retire one) vs
+    * complementary (keep both).
+    *
+    * 100 TB shape: both decisions are projections of one corpus scan
+    * (the x40 side re-reads the shared feature derivation so the
+    * definitions cannot drift), one equi-join on doc_id, one partial-
+    * agg'd rollup to O(sources). */
+  def filterKappa(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      repetitionKeep(col("text")).cast("long").as("a"))
+    val b = qualityFeatures(spark, dir)
+      .select(col("doc_id"), col("label").cast("long").as("b"))
+    val c = a.join(b, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+    // N² must stay exactly representable for the one-IEEE-op double
+    val pe = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n01") + col("n00")) * (col("n10") + col("n00"))
+    c.withColumn("kappa_num",
+        when(col("n") >= lit(94906265L), // floor(sqrt(2^53))
+          raise_error(lit("kappa N² would exceed 2^53: sample per source " +
+            "before the rational publish")))
+          .otherwise(col("n") * (col("n11") + col("n00")) - pe))
+      .withColumn("kappa_den", col("n") * col("n") - pe)
+      .withColumn("kappa_dbl",
+        when(col("kappa_den") === 0L, lit(null).cast("double"))
+          .otherwise(col("kappa_num").cast("double") / col("kappa_den").cast("double")))
+      .select(col("source"), col("n"), col("n11"), col("n10"), col("n01"),
+        col("n00"), col("kappa_num"), col("kappa_den"), col("kappa_dbl"))
+  }
+
   /** Smoothed per-document fluency (x264): x94's score with the
     * [[kneserNeyBigrams]] model in place of the raw MLE — per document,
     * the tf-weighted mean of the SMOOTHED conditional bigram

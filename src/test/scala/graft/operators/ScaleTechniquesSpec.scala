@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions.{count, lit, sum}
 
 import graft.SparkSpec
 
@@ -21,6 +22,47 @@ class ScaleTechniquesSpec extends SparkSpec {
     val salted = SkewJoin.saltedEquiJoin(fact, dim, "k", salts = 8)
       .select($"k", $"payload", $"name").as[(Long, String, String)].collect().sorted.toSeq
     assert(salted == plain)
+  }
+
+  test("AQE splits the skewed partition of a sort-merge join (the Scaladocs' skew-join note, demonstrated)") {
+    // one hot key carries ~99% of the fact side; with broadcast off the
+    // SMJ would stall on that one partition — AQE's skew handler must
+    // split it (AQEShuffleRead ... skewed in the final plan) and the
+    // result must equal the arithmetic expectation
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try {
+      val hot = 200000L
+      val fact = spark.range(hot).select(lit(1L).as("k"), $"id".as("v"))
+        .unionByName(spark.range(2, 100).select($"id".as("k"), $"id".as("v")))
+      val dim = spark.range(1, 100).select($"id".as("k"), ($"id" * 10).as("w"))
+      val joined = fact.join(dim, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum($"v" + $"w").as("s"))
+      val row = joined.collect().head // collect(), not head(): head's
+      //  executeTake path leaves the AQE plan unfinalized for inspection
+      // expected: hot key contributes hot rows of (v + 10), tail keys one each
+      val expN = hot + 98L
+      val expS = (0L until hot).map(_ + 10L).sum +
+        (2L until 100L).map(k => k + 10L * k).sum
+      assert(row.getLong(0) == expN && row.getLong(1) == expS)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("SortMergeJoin(skew=true)") &&
+        finalPlan.contains("AQEShuffleRead coalesced and skewed"),
+        s"AQE did not mark any skewed split:\n$finalPlan")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
   }
 
   test("bucketed tables join without a shuffle exchange") {
