@@ -63,12 +63,27 @@ object PartitionedStage {
       })
     }
 
+  private val dayMemo = scala.collection.mutable.HashMap.empty[String, Seq[Long]]
+
+  /** The distinct-day inventory — ONE scalar-sized scan per snapshot
+    * (memoized; ≤ O(days) rows collected), from which every consumer
+    * derives its min/max/count/cutoff without re-scanning the fact
+    * (review finding r14: the per-call scalar aggs were each a full
+    * corpus pass). */
+  private def dayInventory(spark: SparkSession, dir: String): Seq[Long] =
+    synchronized {
+      dayMemo.getOrElseUpdate(dir, {
+        import spark.implicits._
+        canonical(spark, dir).select(col("day")).distinct()
+          .as[Long].collect().sorted.toSeq
+      })
+    }
+
   /** The pruned scan itself, exposed for the spec's plan assertions. */
   private[graft] def prunedScan(spark: SparkSession, dir: String)
       : (DataFrame, Long) = {
     val root = layoutRoot(spark, dir)
-    val probeDay = canonical(spark, dir)
-      .agg(min(col("day"))).head().getLong(0) + PruneDayOffset
+    val probeDay = dayInventory(spark, dir).min + PruneDayOffset
     (spark.read.parquet(root).filter(col("day") === probeDay), probeDay)
   }
 
@@ -109,13 +124,9 @@ object PartitionedStage {
   def retentionSweep(spark: SparkSession, dir: String,
                      retentionDays: Long = RetentionDays): DataFrame = {
     val root = layoutRoot(spark, dir)
-    val days = canonical(spark, dir).agg(
-      max(col("day")).as("max_day"),
-      countDistinct(col("day")).as("n_days")).head()
-    val (maxDay, nDays) = (days.getLong(0), days.getLong(1))
-    val cutoff = maxDay - retentionDays + 1
-    val keptDays = canonical(spark, dir).filter(col("day") >= cutoff)
-      .agg(countDistinct(col("day"))).head().getLong(0)
+    val days = dayInventory(spark, dir)
+    val cutoff = days.max - retentionDays + 1
+    val (nDays, keptDays) = (days.size.toLong, days.count(_ >= cutoff).toLong)
     spark.read.parquet(root).filter(col("day") >= cutoff)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_kept"),
@@ -135,11 +146,11 @@ object PartitionedStage {
                                    retentionDays: Long = RetentionDays)
       : (DataFrame, Long) = {
     val root = layoutRoot(spark, dir)
-    val maxDay = canonical(spark, dir).agg(max(col("day"))).head().getLong(0)
-    val cutoff = maxDay - retentionDays + 1
+    val cutoff = dayInventory(spark, dir).max - retentionDays + 1
     (spark.read.parquet(root).filter(col("day") >= cutoff), cutoff)
   }
 
   /** Drop the memoized layouts (tests only). */
-  private[graft] def invalidate(): Unit = synchronized { staged.clear() }
+  private[graft] def invalidate(): Unit =
+    synchronized { staged.clear(); dayMemo.clear() }
 }

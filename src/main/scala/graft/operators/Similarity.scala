@@ -1110,8 +1110,11 @@ object Similarity {
         col("n_rows"), coalesce(col("n_orphans"), lit(0L)).as("n_orphans"))
     val totals = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(emb.agg(count(lit(1)).as("n_emb"))) // two 1-row scalars
-    val docsNoEmb = docs.join(emb, docs("doc_id") === emb("vec_id"), "left_anti")
-      .agg(count(lit(1)).as("n_orphans")).crossJoin(totals)
+    // the global doc-side orphan count is the SUM of the per-source
+    // counts — no second corpus-scale anti-join (review finding r14)
+    val docsNoEmb = missingBySource
+      .agg(coalesce(sum(col("n_orphans")), lit(0L)).as("n_orphans"))
+      .crossJoin(totals)
       .select(lit("doc_no_embedding").as("relation"),
         col("n_docs").as("n_rows"), col("n_orphans"))
     val embNoDoc = emb.join(docs, emb("vec_id") === docs("doc_id"), "left_anti")

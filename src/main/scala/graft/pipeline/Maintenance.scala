@@ -72,16 +72,21 @@ object Maintenance {
     val s = s0.columns.foldLeft(s0)((d, c) =>
       if (keys.contains(c)) d else d.withColumnRenamed(c, s"_s_$c"))
       .withColumn("_in_s", lit(1))
-    val changed = valueCols.map(c => col(c) =!= col(s"_s_$c"))
+    // null-SAFE inequality: a NULL↔value change is an update, not
+    // 'unchanged' (=!= returns NULL there and the when() falls through)
+    val changed = valueCols.map(c => !(col(c) <=> col(s"_s_$c")))
       .reduce(_ || _)
     val joined = t.join(s, keys, "full_outer")
     val action = when(col("_in_t").isNull, "inserted")
       .when(col("_in_s").isNull, "deleted")
       .when(changed, "updated")
       .otherwise("unchanged")
-    // the synced value: source wins wherever source has the key
+    // the synced value: source wins wherever source HAS THE KEY — keyed
+    // on row presence (_in_s), not value coalesce, so a genuinely NULL
+    // source value replaces the target instead of resurrecting it
     val out = valueCols.foldLeft(joined.withColumn("action", action)) {
-      (d, c) => d.withColumn(c, coalesce(col(s"_s_$c"), col(c)))
+      (d, c) => d.withColumn(c,
+        when(col("_in_s").isNotNull, col(s"_s_$c")).otherwise(col(c)))
     }
     out.select((keys.map(col) :+ col("action")) ++ valueCols.map(col): _*)
   }

@@ -33,6 +33,20 @@ class MaintenanceSpec extends SparkSpec {
     assert(synced == Set((2L, 20L), (3L, 31L), (4L, 40L)))
   }
 
+  test("fullSyncClassified is null-safe: NULL↔value changes classify as updated") {
+    val target = Seq((1L, Some(10L)), (2L, None), (3L, None))
+      .toDF("k", "cents")
+    val source = Seq((1L, None: Option[Long]), (2L, Some(5L)), (3L, None))
+      .toDF("k", "cents")
+    val out = Maintenance.fullSyncClassified(target, source, Seq("k"), Seq("cents"))
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    // 1: value→NULL is an update (=!= would say 'unchanged' and silently
+    //    keep the stale value visible as changed data); 2: NULL→value is
+    //    an update; 3: NULL ≡ NULL is unchanged
+    assert(out == Seq((1L, "updated", None), (2L, "updated", Some(5L)),
+      (3L, "unchanged", None)))
+  }
+
   test("fullSyncAudit (x266): result ≡ source snapshot; every action class nonempty") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
