@@ -312,6 +312,7 @@ object SparkEntry {
     "x268_global_ranking"   -> ((s, d) => operators.GlobalSort.rankedDocuments(s, d)),
     "x269_normalized_dedup" -> ((s, d) => Dedup.normalizedDedup(s, d)),
     "x270_filter_kappa"     -> ((s, d) => TextAnalysis.filterKappa(s, d)),
+    "x271_coalesced_join"   -> ((s, d) => operators.BucketedStage.coalescedJoin(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -4771,7 +4772,8 @@ object SparkEntry {
         |                        THEN dd.node END) AS old_node,
         |               min(CASE WHEN dd.dist = a.nd THEN dd.node END) AS new_node
         |        FROM a JOIN d dd USING (doc_id) GROUP BY 1)
-        |SELECT old_node AS node, CAST(count(*) AS BIGINT) AS n_keys,
+        |SELECT CAST(old_node AS BIGINT) AS node,
+        |       CAST(count(*) AS BIGINT) AS n_keys,
         |       CAST(sum(CASE WHEN old_node <> new_node THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_moved,
         |       (1000000 * CAST(sum(CASE WHEN old_node <> new_node THEN 1 ELSE 0 END) AS BIGINT))
@@ -5321,7 +5323,8 @@ object SparkEntry {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |               0) AS cum
         |      FROM vc),
-        |b AS (SELECT ($HistBuckets * cum) // n AS bucket, v, cnt FROM c, t)
+        |b AS (SELECT CAST(($HistBuckets * cum) // n AS BIGINT) AS bucket,
+        |             v, cnt FROM c, t)
         |SELECT bucket, min(v) AS lo_chars, max(v) AS hi_chars,
         |       CAST(sum(cnt) AS BIGINT) AS n_rows,
         |       CAST(count(*) AS BIGINT) AS n_values
@@ -6437,9 +6440,10 @@ object SparkEntry {
         |j AS (SELECT coalesce(t.k, s.k) AS k,
         |             CASE WHEN t.k IS NULL THEN 'inserted'
         |                  WHEN s.k IS NULL THEN 'deleted'
-        |                  WHEN t.cents <> s.cents THEN 'updated'
+        |                  WHEN t.cents IS DISTINCT FROM s.cents THEN 'updated'
         |                  ELSE 'unchanged' END AS action,
-        |             coalesce(s.cents, t.cents) AS cents
+        |             CASE WHEN s.k IS NOT NULL THEN s.cents ELSE t.cents END
+        |               AS cents
         |      FROM t FULL OUTER JOIN s ON t.k = s.k)
         |SELECT action, CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(cents) AS BIGINT) AS sum_cents,
@@ -6536,5 +6540,18 @@ object SparkEntry {
         |                   AS DOUBLE) END AS kappa_dbl
         |FROM c""".stripMargin
     },
+
+    // x271: coalescing-bucket SMB join — the 16-bucket orders table
+    // joined to the 8-bucket lineitem table with the coalesced-bucket
+    // read (no shuffle on either side, spec plan-asserted); the oracle
+    // replays the join + rollup on the plain parquet tables.
+    "x271_coalesced_join" ->
+      """SELECT o.o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT))
+        |         AS BIGINT) AS rev_cents,
+        |       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -35,7 +35,17 @@ object BucketedStage {
     * projections as external bucketed tables; returns the catalog
     * names. One file per bucket (`repartition` on the bucket key before
     * write) so the in-bucket `sortBy` order is total and the SMJ can
-    * skip sorting. */
+    * skip sorting.
+    *
+    * Compaction exemption: an overwrite snapshot whose file count is
+    * pinned at ≤ [[BucketCount]] per table by the pre-write
+    * `repartition(BucketCount, key)` (one task per bucket → one file
+    * per bucket; Spark would REJECT a multi-file bucket's sort
+    * metadata anyway). Listing is O(BucketCount) forever, so there is
+    * nothing for `IngestCommit.compactStageRoot` to bound — and
+    * compacting a bucketed layout through the generic ledger would
+    * DESTROY the bucket↔file mapping the shuffle-free join depends on
+    * (invariant spec-asserted in StageLayoutSpec). */
   private[graft] def bucketedTables(spark: SparkSession, dir: String): (String, String) =
     synchronized {
       memo.getOrElseUpdate(dir, {
@@ -73,6 +83,68 @@ object BucketedStage {
   private[graft] def joinOnly(spark: SparkSession, dir: String): DataFrame = {
     val (ot, lt) = bucketedTables(spark, dir)
     spark.table(ot).join(spark.table(lt), col("o_orderkey") === col("l_orderkey"))
+  }
+
+  /** Bucket count of the SECOND lineitem layout (x271) — deliberately
+    * half of [[BucketCount]] so the two fact tables' bucket counts
+    * DIFFER and the join can only stay shuffle-free through Spark's
+    * coalesced-bucket read. */
+  val HalfBucketCount: Int = 8
+
+  private val memoHalf = scala.collection.mutable.HashMap.empty[String, String]
+
+  /** The 8-bucket lineitem layout for the mixed-bucket-count join. Same
+    * overwrite-snapshot compaction exemption as [[bucketedTables]]:
+    * ≤ [[HalfBucketCount]] files, pinned by the pre-write repartition. */
+  private[graft] def bucketedLineitemHalf(spark: SparkSession, dir: String): String =
+    synchronized {
+      memoHalf.getOrElseUpdate(dir, {
+        val id = StagePaths.component("bucketed_half", dir, HalfBucketCount)
+        val lt = s"graft_bkt_li_half_$id"
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"),
+            Relational.cents(col("l_extendedprice")).as("l_cents"))
+          .repartition(HalfBucketCount, col("l_orderkey"))
+          .write.bucketBy(HalfBucketCount, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$stageTmp/lineitem_half_$id")
+          .mode("overwrite").saveAsTable(lt)
+        lt
+      })
+    }
+
+  /** Coalescing-bucket SMB join (x271): the 16-bucket orders table
+    * joined to the 8-BUCKET lineitem table. In a real warehouse, fact
+    * tables get bucketed at different times with different counts
+    * (history at 1024, a newer feed at 256); re-bucketing 100 TB to
+    * reconcile them is exactly the shuffle bucketing exists to avoid.
+    * With `spark.sql.bucketing.coalesceBucketsInJoin.enabled` (set in
+    * the engine's session builders), Spark COALESCES the finer side's
+    * read — each of the 8 coarse buckets reads its 2 sibling files from
+    * the 16-bucket layout — so NEITHER side shuffles; the coarser side's
+    * in-bucket sort survives and only the coalesced side re-sorts
+    * in-partition. The spec asserts all three plan facts (zero
+    * exchanges, the `coalesced` scan annotation, the divisible-count
+    * contract); the oracle replays the join on the plain tables.
+    *
+    * 100 TB shape: join cost is O(bucket pair) per task with no
+    * redistribution of either fact; the alternative plans either
+    * shuffle the 100 TB finer table or rewrite it at 8 buckets. */
+  def coalescedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (ot, _) = bucketedTables(spark, dir)
+    val lt = bucketedLineitemHalf(spark, dir)
+    spark.table(ot)
+      .join(spark.table(lt), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_cents")).as("rev_cents"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+  }
+
+  /** The join-only frame of [[coalescedJoin]] — what the spec
+    * plan-asserts. */
+  private[graft] def coalescedJoinOnly(spark: SparkSession, dir: String): DataFrame = {
+    val (ot, _) = bucketedTables(spark, dir)
+    spark.table(ot).join(spark.table(bucketedLineitemHalf(spark, dir)),
+      col("o_orderkey") === col("l_orderkey"))
   }
 
   /** x250's literal probe keys (the testdata's orderkeys are dense from

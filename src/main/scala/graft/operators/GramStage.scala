@@ -56,7 +56,18 @@ object GramStage {
 
   private val staged = scala.collection.mutable.HashMap.empty[(String, Int), String]
 
-  private def rootFor(spark: SparkSession, dir: String, n: Int): String =
+  /** Compaction exemption (documented per the stage-maintenance
+    * protocol): this root is an OVERWRITE SNAPSHOT, not an
+    * append-maintained ledger — every rebuild replaces the whole
+    * directory via `mode("overwrite")`, and the file count is bounded
+    * by construction at ≤ `spark.sql.shuffle.partitions` (the write is
+    * fed by the groupBy shuffle). `IngestCommit.compactStageRoot`
+    * exists to bound roots that GROW with every micro-batch; a
+    * snapshot's listing cost is already O(shuffle partitions) forever,
+    * so routing it through the ledger would add commit bookkeeping
+    * without removing a single list call (invariant spec-asserted in
+    * StageLayoutSpec). */
+  private[graft] def rootFor(spark: SparkSession, dir: String, n: Int): String =
     synchronized {
       staged.getOrElseUpdate((dir, n), {
         val root = stageRoot.resolve(

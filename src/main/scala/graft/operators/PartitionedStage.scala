@@ -50,7 +50,15 @@ object PartitionedStage {
 
   /** Write the day-partitioned layout once per snapshot dir; return its
     * root. `repartition(day)` first so each day lands in at most one
-    * file per task — O(days) directories, not O(tasks × days) files. */
+    * file per task — O(days) directories, not O(tasks × days) files.
+    *
+    * Compaction exemption: an overwrite snapshot, not an append ledger —
+    * the `repartition(col("day"))` hash-routes every row of a day to ONE
+    * task, so each `day=<d>` directory holds exactly one data file and
+    * the whole root lists O(days) files forever. The day-partition reads
+    * (x261/x267) prune to O(1)–O(window) of those directories, so there
+    * is no growing listing for `IngestCommit.compactStageRoot` to bound
+    * (invariant spec-asserted in StageLayoutSpec). */
   private[graft] def layoutRoot(spark: SparkSession, dir: String): String =
     synchronized {
       staged.getOrElseUpdate(dir, {

@@ -211,7 +211,13 @@ object Retrieval {
     * ranks). All-integer, so both engines agree bit-for-bit; shared with
     * the x260 oracle. */
   private[graft] def rboWeights(k: Int): (Seq[Long], Long) = {
-    require(k >= 1 && k <= 20, "need 1 <= k <= 20 (weights must fit Long)")
+    // k ≤ 16: not just "weights fit Long" — rankAgreement later scales
+    // the numerator (≤ lcm(1..k)·(2^k−1)) by 1,000,000, which crosses
+    // 2^63 between k=18 (3.2e18 ✓) and k=19 (1.2e20 ✗); Spark's multiply
+    // would wrap silently where DuckDB errors loudly, so stop at 16 for
+    // ~200× headroom rather than ride the edge.
+    require(k >= 1 && k <= 16,
+      "need 1 <= k <= 16 (micro-scaled RBO numerator must fit Long)")
     @annotation.tailrec
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val lcm = (1 to k).foldLeft(1L)((l, d) => l / gcd(l, d) * d)

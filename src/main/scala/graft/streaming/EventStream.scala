@@ -245,29 +245,75 @@ object EventStream {
     * ordering convention); same per-key in-order-arrival contract across
     * micro-batches as every last-value-state twin here. Emits EVERY
     * event with its kept flag (append mode) so downstream can both
-    * forward the survivors and count the drops. */
+    * forward the survivors and count the drops.
+    *
+    * State is BOUNDED, not just O(1) per key: the stream carries an
+    * event-time watermark delayed by [[DebounceTtlGapMultiples]]·gap,
+    * and each update arms an EventTimeTimeout at the same TTL past the
+    * key's last event, so a key idle that long (in event time) is
+    * evicted rather than held forever — state grows with ACTIVE key
+    * cardinality, not lifetime key cardinality. The semantic cost is
+    * nil under the documented in-order contract: a key is only evicted
+    * once its last event is ≥ 8 gaps behind the stream's frontier, and
+    * any later event for it would clear the gap check (be kept) whether
+    * or not the predecessor was remembered. Beyond-contract stragglers
+    * (> TTL behind the frontier) are DROPPED by the watermark's late
+    * filter before they reach the state — fail-closed: an event that
+    * could only be mis-flagged is never flagged at all (spec-pinned,
+    * with eviction itself proven from the state-operator metrics).
+    * Event-time (not
+    * processing-time) TTL deliberately: wall-clock timers would keep an
+    * AvailableNow replay alive until they fire — a drained bounded run
+    * must terminate when its DATA is done, and replays of historical
+    * logs must evict on log time, not ingest time. */
   def debounce(events: DataFrame,
                gapSeconds: Long = graft.operators.Sessionize.DebounceGapSeconds)
       : Dataset[DebounceOut] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val ttlSeconds = gapSeconds * DebounceTtlGapMultiples
     events.select(col("user_id"), col("event_id"), col("ts_s"), col("event_type"))
+      .withColumn("ts_event", col("ts_s").cast("timestamp"))
+      // delay = TTL: no event inside its own eviction horizon is ever
+      // classed late, so the watermark exists ONLY to drive eviction.
+      // ts_event must stay in the frame — the unsupported-operation
+      // checker looks for the watermark-tagged column in the stateful
+      // operator's input (the TEvent deserializer just ignores it)
+      .withWatermark("ts_event", s"$ttlSeconds seconds")
       .as[TEvent]
       .groupByKey(e => (e.user_id, e.event_type))
       .flatMapGroupsWithState[DebounceState, DebounceOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: (Long, String), rows: Iterator[TEvent], state: GroupState[DebounceState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts_s, e.event_id))
-          var prev: Option[Long] = state.getOption.map(_.ts_s)
-          val out = sorted.map { e =>
-            val kept = prev.forall(p => e.ts_s - p >= gapSeconds)
-            prev = Some(e.ts_s)
-            DebounceOut(e.event_id, key._1, key._2, e.ts_s, kept)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts_s, e.event_id))
+            var prev: Option[Long] = state.getOption.map(_.ts_s)
+            val out = sorted.map { e =>
+              val kept = prev.forall(p => e.ts_s - p >= gapSeconds)
+              prev = Some(e.ts_s)
+              DebounceOut(e.event_id, key._1, key._2, e.ts_s, kept)
+            }
+            prev.foreach { p =>
+              state.update(DebounceState(p))
+              // ≥ watermark+1 guard: an unordered historical file can
+              // carry a key whose TTL horizon the global watermark has
+              // already passed — arm the earliest LEGAL timer instead
+              // of throwing
+              state.setTimeoutTimestamp(math.max(
+                (p + ttlSeconds) * 1000L, state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
           }
-          prev.foreach(p => state.update(DebounceState(p)))
-          out.iterator
       }
   }
+
+  /** Idle-key TTL for [[debounce]], in gap multiples of EVENT time: a
+    * (user, type) key whose last event is this many gaps behind the
+    * watermark frontier is evicted from the state store. */
+  val DebounceTtlGapMultiples: Long = 8L
 
   // —— stateful EWMA popularity via flatMapGroupsWithState ——
 

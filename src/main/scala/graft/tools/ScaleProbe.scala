@@ -37,6 +37,20 @@ object ScaleProbe {
         .drop("w", "rot")
     }.reduce(_ unionByName _)
 
+  /** Orders/lineitem replication for the r15 probe targets (x249
+    * bucketed join, x254 salted join): copy c shifts BOTH sides' order
+    * key by c·span, so FK integrity and the per-copy key-frequency
+    * shape (the skew profile) are preserved — joins grow linearly in
+    * rows with constant fan-in per key, the honest scale-up of a fact
+    * table whose hot keys grow WITH the corpus rather than into one
+    * planet-sized key. */
+  private[tools] def scaledByKey(base: DataFrame, keyCol: String,
+                                 copies: Int, idSpan: Long): DataFrame =
+    (0 until copies).map { c =>
+      if (c == 0) base
+      else base.withColumn(keyCol, col(keyCol) + lit(c * idSpan))
+    }.reduce(_ unionByName _)
+
   private[tools] def scaledEmbeddings(base: DataFrame, copies: Int,
                                       idSpan: Long): DataFrame =
     (0 until copies).map { c =>
@@ -61,6 +75,7 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -78,6 +93,18 @@ object ScaleProbe {
         scaledEmbeddings(emb, copies, vspan)
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         println(s"GENERATED $dir")
+      }
+      // orders/lineitem landed in r15 — generate them independently so a
+      // probe dir built by an earlier round backfills rather than skips
+      if (!new java.io.File(s"$dir/orders.parquet").exists()) {
+        val ord = spark.read.parquet(s"$src/orders.parquet")
+        val ospan = ord.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+        scaledByKey(ord, "o_orderkey", copies, ospan)
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        scaledByKey(spark.read.parquet(s"$src/lineitem.parquet"),
+          "l_orderkey", copies, ospan)
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        println(s"GENERATED $dir orders+lineitem")
       }
     }
 

@@ -53,6 +53,39 @@ class BucketedStageSpec extends SparkSpec {
       s"bucketed groupBy must not shuffle:\n$plan")
   }
 
+  test("coalescedJoin (x271): mixed bucket counts ≡ plain parquet join") {
+    val got = BucketedStage.coalescedJoin(spark, sf)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    val want = graft.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_orderpriority")
+      .join(graft.Tables.lineitem(spark, sf)
+        .select($"l_orderkey", Relational.cents($"l_extendedprice").as("c")),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"c").as("s"),
+        countDistinct($"o_orderkey").as("no"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
+  test("coalesced-bucket join: 16⋈8 buckets, NO shuffle, coalesced scan annotation") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = BucketedStage.coalescedJoinOnly(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // the whole point: NEITHER fact shuffles despite the differing
+      // bucket counts — the finer (16-bucket) side's read coalesces to 8
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"coalesced-bucket join must not shuffle:\n$plan")
+      assert(plan.toLowerCase.contains("coalesced"),
+        s"expected the coalesced-bucket scan annotation:\n$plan")
+      // the divisible-count contract the rule requires
+      assert(BucketedStage.BucketCount % BucketedStage.HalfBucketCount == 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketLookup (x250): IN-list probe prunes buckets and misses nothing") {
     val keys = BucketedStage.LookupKeys
     val got = BucketedStage.bucketLookup(spark, sf)

@@ -657,4 +657,108 @@ class EventStreamSpec extends SparkSpec {
       .count()
     assert(both > 0, "fixture must force cross-batch out-of-order state")
   }
+
+  test("debounce TTL: an idle key is evicted in event time and the bounded run terminates") {
+    // planted 4-file replay, maxFilesPerTrigger=1 (one file per batch):
+    //   f1: key (u1, click) at ts=1000            → state armed, TTL at 1000+8·gap
+    //   f2: (u2, click) at ts far past the horizon → watermark passes u1's timer
+    //   f3: more u2 data, NO u1 data               → u1's timeout fires, state evicted
+    //   f4: (u1, click) at ts=1200 — WITHIN the gap of f1's event and
+    //       out-of-order beyond the TTL (outside the documented contract)
+    // The beyond-contract straggler f4 must be DROPPED by the
+    // watermark's late filter (fail-closed: never mis-flagged), and
+    // eviction itself shows up in the state-operator metrics
+    // (numRowsRemoved fires when u1's timer passes, and the final
+    // state holds fewer rows than the keys ever seen). The whole
+    // replay draining under AvailableNow is itself the regression
+    // test for wall-clock timers (a ProcessingTimeTimeout here never
+    // terminates).
+    val gap = Sessionize.DebounceGapSeconds
+    val ttl = gap * EventStream.DebounceTtlGapMultiples
+    val far = 1000L + 2 * ttl + 2 * gap
+    val root = java.nio.file.Files.createTempDirectory("graft-dbttl").toString
+    def drop(rows: Seq[(Long, Long, String, Long)]): Unit =
+      rows.toDF("event_id", "user_id", "event_type", "ts_s")
+        .coalesce(1).write.mode("append").parquet(s"$root/drop")
+    drop(Seq((1L, 1L, "click", 1000L)))
+    drop(Seq((2L, 2L, "click", far)))
+    drop(Seq((3L, 2L, "click", far + gap)))
+    drop(Seq((4L, 1L, "click", 1200L)))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$root/drop").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/drop")
+    val q = EventStream.debounce(stream).toDF()
+      .writeStream.format("memory").queryName("db_ttl")
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000),
+      "bounded replay must terminate — event-time timers, not wall-clock")
+    val got = spark.table("db_ttl")
+      .select($"event_id", $"kept").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true),
+      s"the beyond-TTL straggler must be late-filtered, not mis-flagged: $got")
+    val removed = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsRemoved).sum
+    assert(removed >= 1, "the idle key's state must actually be evicted")
+    val finalRows = q.recentProgress.reverse
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .headOption.map(_.numRowsTotal)
+    assert(finalRows.exists(_ < 2),
+      s"final state must hold fewer rows than keys ever seen: $finalRows")
+  }
+
+  test("cdcApply under the RocksDB state store provider ≡ batch collapse (r14 verdict task 6)") {
+    // the LARGEST-state twin (one tuple per key ever seen, tombstones
+    // kept) under the 100 TB state backend: same out-of-order two-batch
+    // replay as the in-memory test, provider swapped to RocksDB — the
+    // state-store contract, not the provider, carries the semantics.
+    // (The other "large-state" candidate, cluster ingest, is foreachBatch:
+    // its cross-batch state is the exactly-once artifact ledger on disk,
+    // not a state store, so the provider swap is a structural no-op
+    // there — see DocumentStreamSpec's provider-swap run.)
+    import graft.operators.Relational
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-cdcrocks").toString
+      val ks = 200L
+      val feed = graft.Tables.orders(spark, sf).select(
+        ($"o_orderkey" % ks).as("k"),
+        $"o_orderkey".as("seq"),
+        when($"o_orderkey" % Relational.CdcDeleteMod === Relational.CdcDeleteAt, "D")
+          .otherwise("U").as("op"),
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        $"o_orderpriority".as("prio"))
+      feed.filter(($"seq" / ks).cast("long") % 2 === 0).write.parquet(s"$root/drop")
+      feed.filter(($"seq" / ks).cast("long") % 2 === 1)
+        .write.mode("append").parquet(s"$root/drop")
+      val stream = spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/drop")
+      val q = EventStream.cdcApply(stream).toDF()
+        .writeStream.format("memory").queryName("cdc_rocks")
+        .outputMode("update")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "stream did not drain in time")
+      val streamed = spark.table("cdc_rocks")
+        .groupBy($"k").agg(max_by(struct($"final_op", $"final_cents",
+          $"final_prio", $"n_ops", $"n_deletes"), $"n_ops").as("s"))
+        .select($"k", $"s.*")
+        .filter($"final_op" =!= "D")
+        .select($"k", $"final_cents", $"final_prio", $"n_ops", $"n_deletes")
+        .as[(Long, Long, String, Long, Long)].collect().toSet
+      val batch = Relational.cdcApplyOf(feed)
+        .as[(Long, Long, String, Long, Long)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
 }

@@ -59,6 +59,25 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
             n_bad += 1
             continue
+        # Type-strict gate (r14 verdict task 2): the driver's hasher is
+        # type-sensitive, so an oracle whose DuckDB result widens a column
+        # (uncast windowed sum() → HUGEINT/INT128, DECIMAL scale drift)
+        # fails the driver while identical VALUES pass here. Compare the
+        # DuckDB-side result types against the Spark parquet dump's types
+        # per column name and fail loudly on any mismatch.
+        spark_types = dict(zip(spark_cols, map(str, spark_rel.types)))
+        duck_types = dict(zip(duck_cols, map(str, duck_rel.types)))
+        type_bad = [
+            (c, spark_types[c], duck_types[c])
+            for c in sorted(spark_types)
+            if spark_types[c] != duck_types[c]
+        ]
+        if type_bad:
+            n_bad += 1
+            print(f"TYPEFAIL {name}: " + "; ".join(
+                f"{c}: spark={s} duck={d}" for c, s, d in type_bad),
+                flush=True)
+            continue
         a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
         if a == b:
             print(f"OK   {name}: {len(a)} rows", flush=True)
