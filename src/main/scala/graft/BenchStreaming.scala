@@ -304,7 +304,19 @@ object BenchStreaming {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
     val headline = f"${results.head._2}%.1f"
-    println(s"""{"metric":"streaming_rows_per_sec","value":$headline,"unit":"rows/sec","rows":$nEvents,"queries":$qs,"sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"streaming_rows_per_sec","value":$headline,"unit":"rows/sec","rows":$nEvents,"queries":$qs,"sf":"$sfDir"}"""
+    println(summary)
+    // truncation-proof on-disk artifact, the BENCH_LOCAL.json convention:
+    // any byte-limited stdout capture (a tail window, a cut filter) can
+    // lose the one long summary line, and a lost panel costs a 30-minute
+    // solo re-run
+    val localPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_RESULTS_DIR", "."), "STREAM_LOCAL.json")
+    try java.nio.file.Files.writeString(localPath, summary + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"WARN: could not persist $localPath: $e")
+    }
     spark.stop()
   }
 }
