@@ -61,12 +61,18 @@ object Bench {
           name.drop(1).takeWhile(_.isDigit).toIntOption.exists(_ <= 26))
     val canary = results.collect { case (k, v) if k.startsWith("q") => v }.sum
     val subset42 = results.collect { case (k, v) if inSubset42(k) => v }.sum
-    // compact headline line FIRST: the driver's capture keeps the head and
-    // truncates the tail (BENCH_r11.json cut mid-JSON), so the numbers the
-    // judge reads must precede the per-query bulk
-    println(s"""{"metric":"headline","total_sec":${r4(total)},"canary_q_sec":${
-      r4(canary)},"subset42_sec":${r4(subset42)},"n_queries":${results.size
-      },"n_errors":${errors.distinct.size},"runs":$runs,"sf":"$sfDir"}""")
+    // ONE compact record, printed FIRST (the driver's head capture —
+    // BENCH_r11.json cut mid-JSON) and again LAST (the driver's 2000-byte
+    // TAIL capture — r12/r14 recorded "parsed": null from a mid-line
+    // fragment of the long summary). Built once so the two windows can
+    // never disagree about the same run; metric stays "total" for the
+    // contract's key shape, per-query bulk lives in the JSONL lines and
+    // BENCH_LOCAL.json.
+    def compact(): String =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,"n_queries":${
+        results.size},"n_errors":${errors.distinct.size},"canary_q_sec":${r4(canary)
+        },"subset42_sec":${r4(subset42)},"sf":"$sfDir"}"""
+    println(compact())
     // one line per query next (JSONL — any byte-capture window keeps a
     // parseable prefix), then the one-line full-summary contract
     results.toSeq.sortBy(_._1).foreach { case (k, v) =>
@@ -89,16 +95,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"WARN: could not persist $localPath: $e")
     }
-    // …and a SHORT contract-shaped line LAST: the driver keeps a 2000-byte
-    // stdout tail, and the full summary line alone overflows it (r12/r14
-    // both recorded "parsed": null from a mid-line fragment). This final
-    // line keeps the contract's metric/value/unit keys but drops the
-    // per-query bulk, so any tail window ends with one complete,
-    // parseable record (per-query detail lives in the JSONL lines above
-    // and in BENCH_LOCAL.json).
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs":$runs,"n_queries":${
-      results.size},"n_errors":${errors.distinct.size},"canary_q_sec":${r4(canary)
-      },"subset42_sec":${r4(subset42)},"sf":"$sfDir"}""")
+    println(compact()) // the tail-window copy — see the comment above
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

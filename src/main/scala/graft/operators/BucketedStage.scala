@@ -57,16 +57,24 @@ object BucketedStage {
           .write.bucketBy(BucketCount, "o_orderkey").sortBy("o_orderkey")
           .option("path", s"$stageTmp/orders_$id")
           .mode("overwrite").saveAsTable(ot)
-        Tables.lineitem(spark, dir)
-          .select(col("l_orderkey"),
-            Relational.cents(col("l_extendedprice")).as("l_cents"))
-          .repartition(BucketCount, col("l_orderkey"))
-          .write.bucketBy(BucketCount, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$stageTmp/lineitem_$id")
-          .mode("overwrite").saveAsTable(lt)
+        stageLineitem(spark, dir, BucketCount, lt, s"$stageTmp/lineitem_$id")
         (ot, lt)
       })
     }
+
+  /** The ONE lineitem staging recipe (projection + cents + bucketed
+    * write), parameterized by bucket count — x249's 16-bucket layout
+    * and x271's 8-bucket layout must stay shape-identical or the two
+    * gate queries silently read differently-shaped staged tables. */
+  private def stageLineitem(spark: SparkSession, dir: String,
+                            buckets: Int, table: String, path: String): Unit =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        Relational.cents(col("l_extendedprice")).as("l_cents"))
+      .repartition(buckets, col("l_orderkey"))
+      .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", path)
+      .mode("overwrite").saveAsTable(table)
 
   /** The bucketed fact⋈fact join (x249): revenue per order priority off
     * the clustered layouts — the oracle replays it on the plain parquet
@@ -101,13 +109,8 @@ object BucketedStage {
       memoHalf.getOrElseUpdate(dir, {
         val id = StagePaths.component("bucketed_half", dir, HalfBucketCount)
         val lt = s"graft_bkt_li_half_$id"
-        Tables.lineitem(spark, dir)
-          .select(col("l_orderkey"),
-            Relational.cents(col("l_extendedprice")).as("l_cents"))
-          .repartition(HalfBucketCount, col("l_orderkey"))
-          .write.bucketBy(HalfBucketCount, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$stageTmp/lineitem_half_$id")
-          .mode("overwrite").saveAsTable(lt)
+        stageLineitem(spark, dir, HalfBucketCount, lt,
+          s"$stageTmp/lineitem_half_$id")
         lt
       })
     }

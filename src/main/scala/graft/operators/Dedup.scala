@@ -380,8 +380,12 @@ object Dedup {
     * 100 TB shape: the candidate set is the banded-LSH one (never
     * all-pairs); texts join onto it by doc id; the per-pair kernel is
     * bounded by the threshold, not the document length product. */
-  def editDistanceDedup(spark: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.documents(spark, dir)
+  /** x255's candidate-pair frame — x03's banded LSH candidates (the
+    * same 5/32/8 knobs as `minhashLsh`'s defaults and its oracle's
+    * literals) joined to both texts. Shared with `tools.LevProfile` so
+    * the kernel profile always prices the exact frame the query
+    * verifies. */
+  private[graft] def editCandidatePairs(raw: DataFrame): DataFrame = {
     val (_, banded) = bandFrames(raw, 5, 32, 8)
     val bandA = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val bandB = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
@@ -392,6 +396,10 @@ object Dedup {
     val ta = raw.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = raw.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
     candidates.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+  }
+
+  def editDistanceDedup(spark: SparkSession, dir: String): DataFrame = {
+    editCandidatePairs(Tables.documents(spark, dir))
       .withColumn("d", levenshtein(col("text_a"), col("text_b"), LevThreshold))
       .withColumn("dist_band",
         when(col("d") < 0, lit(-1L)).otherwise(expr(s"d div $LevBandWidth")))

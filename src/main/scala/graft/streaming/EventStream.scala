@@ -254,7 +254,9 @@ object EventStream {
     * evicted rather than held forever — state grows with ACTIVE key
     * cardinality, not lifetime key cardinality. The semantic cost is
     * nil under the documented in-order contract: a key is only evicted
-    * once its last event is ≥ 8 gaps behind the stream's frontier, and
+    * once the WATERMARK (frontier − TTL) passes its last event + TTL —
+    * i.e. its last event is ~2·TTL ≈ 16 gaps behind the data
+    * frontier — and
     * any later event for it would clear the gap check (be kept) whether
     * or not the predecessor was remembered. Beyond-contract stragglers
     * (> TTL behind the frontier) are DROPPED by the watermark's late

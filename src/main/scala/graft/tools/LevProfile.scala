@@ -37,17 +37,11 @@ object LevProfile {
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.Dedup
 
-    val raw = graft.Tables.documents(spark, dir)
-    val (_, banded) = Dedup.bandFrames(raw, 5, 32, 8)
-    val bandA = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val bandB = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    val candidates = bandA.join(bandB, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    val ta = raw.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
-    val tb = raw.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-    val pairs = candidates.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+    // THE query's candidate frame (shared helper — if x255's candidate
+    // generation changes, this profile re-prices the new frame, not a
+    // stale copy), localCheckpointed so upstream cost is excluded
+    val pairs = Dedup
+      .editCandidatePairs(graft.Tables.documents(spark, dir))
       .localCheckpoint()
     val n = pairs.count()
     println(s"LEVPROFILE pairs=$n dir=$dir")

@@ -95,8 +95,11 @@ object ScaleProbe {
         println(s"GENERATED $dir")
       }
       // orders/lineitem landed in r15 — generate them independently so a
-      // probe dir built by an earlier round backfills rather than skips
-      if (!new java.io.File(s"$dir/orders.parquet").exists()) {
+      // probe dir built by an earlier round backfills rather than skips.
+      // Guard on the LAST artifact written: a crash between the two
+      // writes then re-runs the whole pair instead of leaving the dir
+      // permanently half-built
+      if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
         val ord = spark.read.parquet(s"$src/orders.parquet")
         val ospan = ord.agg(max(col("o_orderkey"))).head().getLong(0) + 1
         scaledByKey(ord, "o_orderkey", copies, ospan)

@@ -179,10 +179,11 @@ class DocumentStreamSpec extends SparkSpec {
         spark, day2, s"$root/band_index", s"$root/clusters")
         .as[(Long, Long, String)].collect().toSet
       day2.write.parquet(s"$root/drop")
-      DocumentStream.startClusterIngest(
+      assert(DocumentStream.startClusterIngest(
         DocumentStream.readDocuments(spark, s"$root/drop", docs.schema),
         s"$root/band_index", s"$root/clusters", s"$root/results", s"$root/ckpt")
-        .awaitTermination(120000)
+        .awaitTermination(120000),
+        "stream did not drain in time — the results dir would be partial")
       val streamed = spark.read.parquet(s"$root/results")
         .as[(Long, Long, String)].collect().toSet
       assert(streamed == batchRef && streamed.nonEmpty)

@@ -47,10 +47,8 @@ def main(sf_dir, out_dir):
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             spark_cols = spark_rel.columns
-            spark_rows = spark_rel.fetchall()
             duck_rel = con.sql(sql)
             duck_cols = duck_rel.columns
-            duck_rows = duck_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_bad += 1
@@ -59,12 +57,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
             n_bad += 1
             continue
-        # Type-strict gate (r14 verdict task 2): the driver's hasher is
-        # type-sensitive, so an oracle whose DuckDB result widens a column
-        # (uncast windowed sum() → HUGEINT/INT128, DECIMAL scale drift)
-        # fails the driver while identical VALUES pass here. Compare the
-        # DuckDB-side result types against the Spark parquet dump's types
-        # per column name and fail loudly on any mismatch.
+        # Type-strict gate (r14 verdict task 2), BEFORE any fetch: the
+        # driver's hasher is type-sensitive, so an oracle whose DuckDB
+        # result widens a column (uncast windowed sum() → HUGEINT/INT128,
+        # DECIMAL scale drift) fails the driver while identical VALUES
+        # pass here. Relation .types is metadata — rejecting on it keeps
+        # a type-drifted banded-SQL oracle from paying two full
+        # materializations it would then discard.
         spark_types = dict(zip(spark_cols, map(str, spark_rel.types)))
         duck_types = dict(zip(duck_cols, map(str, duck_rel.types)))
         type_bad = [
@@ -77,6 +76,13 @@ def main(sf_dir, out_dir):
             print(f"TYPEFAIL {name}: " + "; ".join(
                 f"{c}: spark={s} duck={d}" for c, s, d in type_bad),
                 flush=True)
+            continue
+        try:
+            spark_rows = spark_rel.fetchall()
+            duck_rows = duck_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_bad += 1
             continue
         a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
         if a == b:
