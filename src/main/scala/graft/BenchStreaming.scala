@@ -166,6 +166,17 @@ object BenchStreaming {
       graft.streaming.VectorStream.startKnnIngest(_, _, _))
     def runAnnIngest(): (String, Double) = runVectorIngest("ann_ingest",
       graft.streaming.VectorStream.startAnnIngest(_, _, _))
+    // IVF-PQ index maintenance: codebooks are FROZEN model state fitted
+    // offline, so they train BEFORE the timed window — the row prices the
+    // append-only encode path (vs knn/ann's merge-entangled folds)
+    def runPqIngest(): (String, Double) = {
+      import graft.operators.ProductQuant
+      val pcb = ProductQuant.trainCodebook(spark, sfDir)
+      val ccb = ProductQuant.trainCodebook(spark, sfDir,
+        1, ProductQuant.PqSubspaces * ProductQuant.PqSubDim, ProductQuant.IvfPqCells)
+      runVectorIngest("pq_ingest",
+        graft.streaming.VectorStream.startPqIngest(_, _, _, pcb, ccb))
+    }
 
     def runTermIngest(): (String, Double) = {
       import org.apache.spark.sql.functions.col
@@ -300,7 +311,8 @@ object BenchStreaming {
       runTermIngest(),
       runStatsIngest(),
       runKnnIngest(),
-      runAnnIngest())
+      runAnnIngest(),
+      runPqIngest())
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
     val headline = f"${results.head._2}%.1f"

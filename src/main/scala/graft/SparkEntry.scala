@@ -313,6 +313,9 @@ object SparkEntry {
     "x269_normalized_dedup" -> ((s, d) => Dedup.normalizedDedup(s, d)),
     "x270_filter_kappa"     -> ((s, d) => TextAnalysis.filterKappa(s, d)),
     "x271_coalesced_join"   -> ((s, d) => operators.BucketedStage.coalescedJoin(s, d)),
+    "x272_pq_adc"           -> ((s, d) => operators.ProductQuant.pqAdcTopK(s, d)),
+    "x273_pq_distortion"    -> ((s, d) => operators.ProductQuant.pqDistortion(s, d)),
+    "x274_ivf_pq"           -> ((s, d) => operators.ProductQuant.ivfPqTopK(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -6553,5 +6556,14 @@ object SparkEntry {
         |       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |GROUP BY 1""".stripMargin,
+
+    // x272/x273: algorithm oracles (the x10/x13 pattern) — the SQL replays
+    // the integer-exact PQ pipeline (quantize → deterministic Lloyd →
+    // encode → ADC) from the same constants the operator uses; generated
+    // in ProductQuant so the Lloyd-iteration CTE chain and the operator's
+    // loop can only move together.
+    "x272_pq_adc"        -> operators.ProductQuant.adcOracleSql,
+    "x273_pq_distortion" -> operators.ProductQuant.distortionOracleSql,
+    "x274_ivf_pq"        -> operators.ProductQuant.ivfPqOracleSql,
   )
 }

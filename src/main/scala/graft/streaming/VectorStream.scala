@@ -181,4 +181,60 @@ object VectorStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Fold one (possibly replayed) batch into the staged IVF-PQ index
+    * (x274's stored form). Encoding against FROZEN codebooks is
+    * per-vector pure, so — unlike the kNN/ANN twins, whose neighbor
+    * lists entangle every batch with the corpus-so-far — this ingest is
+    * APPEND-ONLY: per-batch cost is O(|batch| · M·K) code assignments,
+    * no merge against prior state, no version chain to GC. Same
+    * exactly-once protocol: per-batch dir overwrite, marker last. */
+  private[streaming] def applyPqBatch(batch: DataFrame, stageRoot: String,
+                                      pcb: graft.operators.ProductQuant.Codebook,
+                                      ccb: graft.operators.ProductQuant.Codebook,
+                                      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val prev = IngestCommit.lastApplied(spark, stageRoot)
+    if (batchId <= prev) return // replay of a fully-applied batch
+    val idx = graft.operators.ProductQuant
+      .indexFrame(batch.select(col("vec_id"), col("embedding")), pcb, ccb)
+      .localCheckpoint()
+    if (idx.count() == 0) return
+    idx.write.mode("overwrite").parquet(s"$stageRoot/codes/b$batchId")
+    IngestCommit.markApplied(spark, stageRoot, batchId)
+  }
+
+  /** The published IVF-PQ index: (vec_id, cell, m, code) over every
+    * applied batch — the table x274 queries. At 100 TB each batch dir is
+    * written partitioned by cell and the stage root goes through the
+    * compaction protocol like the other append-maintained roots. */
+  def pqIndex(spark: SparkSession, stageRoot: String): DataFrame = {
+    val fs = fsOf(spark, stageRoot)
+    val upTo = IngestCommit.lastApplied(spark, stageRoot)
+    require(upTo >= 0,
+      s"no applied batches under stage root $stageRoot: the PQ index " +
+        "does not exist yet (fresh stage root, or every batch so far was empty)")
+    val parts = fs.listStatus(new Path(s"$stageRoot/codes"))
+      .map(_.getPath).filter(p => p.getName.startsWith("b") &&
+        p.getName.drop(1).toLong <= upTo)
+    spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+  }
+
+  /** Streaming maintenance of the IVF-PQ index — the 100 TB ingest shape
+    * for the PQ family: codebooks are FROZEN model state (retrained
+    * offline like any model refresh; a retrain is a new stage root), so
+    * arriving vectors just encode and append. */
+  def startPqIngest(vectors: DataFrame, stageRoot: String,
+                    checkpointDir: String,
+                    pcb: graft.operators.ProductQuant.Codebook,
+                    ccb: graft.operators.ProductQuant.Codebook): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IngestCommit.ensureCampaign(batch.sparkSession, stageRoot,
+          IngestCommit.campaignOf(batch.sparkSession, checkpointDir))
+        applyPqBatch(batch, stageRoot, pcb, ccb, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

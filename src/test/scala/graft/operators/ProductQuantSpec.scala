@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** PQ codebook training / encoding / ADC (x272) and the distortion
+  * ledger (x273). The oracle gate replays the whole integer pipeline in
+  * DuckDB; these specs pin the engine-side invariants the SQL replay
+  * can't see — determinism across runs, a driver-side ADC recompute from
+  * the fitted codebook, and the ledger's ordering invariant. */
+class ProductQuantSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("trainCodebook: deterministic, full M×K grid, SubDim-wide centroids") {
+    val cb1 = ProductQuant.trainCodebookUncached(spark, sf)
+    val cb2 = ProductQuant.trainCodebookUncached(spark, sf)
+    assert(cb1 == cb2, "integer Lloyd must be run-to-run deterministic")
+    assert(ProductQuant.trainCodebook(spark, sf) == cb1,
+      "memoized codebook must equal a fresh fit")
+    assert(cb1.size == ProductQuant.PqSubspaces * ProductQuant.PqCodes)
+    assert(cb1.map(c => (c._1, c._2)).toSet ==
+      (for (m <- 0 until ProductQuant.PqSubspaces;
+            c <- 0 until ProductQuant.PqCodes) yield (m, c)).toSet)
+    assert(cb1.forall(_._3.length == ProductQuant.PqSubDim))
+    // Lloyd moved the centroids off their init (vector c's m-th slice) —
+    // a frozen codebook would make the ADC gate vacuous
+    val sub0 = ProductQuant.encode(spark, sf, cb1)
+    assert(sub0.count() > 0)
+  }
+
+  test("encode: M codes per vector, all in [0, K)") {
+    val cb = ProductQuant.trainCodebook(spark, sf)
+    val enc = ProductQuant.encode(spark, sf, cb)
+    import spark.implicits._
+    val rows = enc.as[(Long, Int, Int)].collect()
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(rows.length == n * ProductQuant.PqSubspaces)
+    assert(rows.forall { case (_, _, c) => c >= 0 && c < ProductQuant.PqCodes })
+    assert(rows.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq ==
+      (0 until ProductQuant.PqSubspaces)))
+  }
+
+  test("pqAdcTopK (x272): k rows per query, and ADC distances recompute " +
+    "from the codebook") {
+    import spark.implicits._
+    val k = ProductQuant.PqTopK
+    val got = ProductQuant.pqAdcTopK(spark, sf)
+      .as[(Long, Long, Long, Int)].collect()
+    val qs = got.map(_._1).distinct
+    assert(qs.length == ProductQuant.PqQHi)
+    qs.foreach { q =>
+      val mine = got.filter(_._1 == q).sortBy(_._4)
+      assert(mine.map(_._4).toSeq == (1 to k), s"ranks for q=$q")
+      assert(mine.map(_._3).toSeq == mine.map(_._3).sorted.toSeq,
+        s"adc_dist must be nondecreasing in rank for q=$q")
+    }
+    // independent driver-side recompute: quantize + encode + LUT by hand
+    val cb = ProductQuant.trainCodebook(spark, sf)
+      .map(c => ((c._1, c._2), c._3.toArray)).toMap
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        s"transform(embedding, x -> cast(round(cast(x as double) * ${ProductQuant.PqScale}) as long)) as qv")
+      .as[(Long, Seq[Long])].collect().toMap
+    def sub(v: Seq[Long], m: Int): Array[Long] =
+      v.slice(m * ProductQuant.PqSubDim, (m + 1) * ProductQuant.PqSubDim).toArray
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def code(v: Seq[Long], m: Int): Int =
+      (0 until ProductQuant.PqCodes)
+        .map(c => (d2(sub(v, m), cb((m, c))), c)).min._2
+    got.foreach { case (q, v, adc, _) =>
+      val expect = (0 until ProductQuant.PqSubspaces)
+        .map(m => d2(sub(vecs(q), m), cb((m, code(vecs(v), m))))).sum
+      assert(adc == expect, s"ADC mismatch for (q=$q, vec=$v)")
+    }
+  }
+
+  test("ivfPqTopK (x274): k rows per query; probing only loses, never " +
+    "changes, ADC distances") {
+    import spark.implicits._
+    val k = ProductQuant.PqTopK
+    val ivf = ProductQuant.ivfPqTopK(spark, sf)
+      .as[(Long, Long, Long, Int)].collect()
+    val full = ProductQuant.pqAdcTopK(spark, sf)
+      .as[(Long, Long, Long, Int)].collect()
+    val qs = ivf.map(_._1).distinct
+    assert(qs.length == ProductQuant.PqQHi)
+    qs.foreach { q =>
+      val mine = ivf.filter(_._1 == q).sortBy(_._4)
+      assert(mine.map(_._4).toSeq == (1 to k), s"ranks for q=$q")
+      // the probed candidate set is a subset of the corpus, so at every
+      // rank the restricted top-k distance is ≥ the full scan's
+      val fq = full.filter(_._1 == q).sortBy(_._4)
+      mine.zip(fq).foreach { case ((_, _, d, r), (_, _, fd, _)) =>
+        assert(d >= fd, s"q=$q rank=$r: pruned $d < full $fd")
+      }
+    }
+    // same codebook ⇒ a pair surviving both scans carries the SAME ADC
+    val fullMap = full.map(t => ((t._1, t._2), t._3)).toMap
+    val common = ivf.flatMap(t => fullMap.get((t._1, t._2)).map(fd => (t._3, fd)))
+    assert(common.nonEmpty, "probe set shares nothing with the full top-k")
+    common.foreach { case (d, fd) => assert(d == fd, "ADC must be scan-invariant") }
+  }
+
+  test("pqDistortion (x273): one row per query, overlap ≤ k, " +
+    "pq_sum_d2 ≥ exact_sum_d2") {
+    import spark.implicits._
+    val rows = ProductQuant.pqDistortion(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == ProductQuant.PqQHi)
+    rows.foreach { case (q, overlap, exactSum, pqSum) =>
+      assert(overlap >= 0 && overlap <= ProductQuant.PqTopK, s"q=$q")
+      assert(pqSum >= exactSum,
+        s"q=$q: the exact top-k minimizes true d2 — pq=$pqSum < exact=$exactSum")
+    }
+    // the ledger prices a real approximation, but must not be degenerate:
+    // across the query panel the ADC picks recover at least one true neighbor
+    assert(rows.map(_._2).sum > 0, "zero total overlap — ADC is broken, not lossy")
+  }
+}

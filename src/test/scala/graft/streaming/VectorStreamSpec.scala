@@ -108,4 +108,38 @@ class VectorStreamSpec extends SparkSpec {
       .as[(Int, Long, Long, Long, Long)].collect().toSet
     assert(streamLedger == stageLedger && streamLedger.nonEmpty)
   }
+
+  test("PQ index ingest: stream-built index ≡ the batch encode (append-only), replay-safe") {
+    import graft.operators.ProductQuant
+    val root = Files.createTempDirectory("graft-pq-ingest").toString
+    val emb = graft.Tables.embeddings(spark, sf)
+    val pcb = ProductQuant.trainCodebook(spark, sf)
+    val ccb = ProductQuant.trainCodebook(spark, sf,
+      1, ProductQuant.PqSubspaces * ProductQuant.PqSubDim, ProductQuant.IvfPqCells)
+    emb.filter($"vec_id" % 2 === 0).write.parquet(s"$root/drop")
+    emb.filter($"vec_id" % 2 === 1).write.mode("append").parquet(s"$root/drop")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/drop")
+    val q = VectorStream.startPqIngest(stream, s"$root/stage", s"$root/ckpt", pcb, ccb)
+    assert(q.awaitTermination(180000))
+    def idxSet() = VectorStream.pqIndex(spark, s"$root/stage")
+      .select($"vec_id", $"cell", $"m", $"code")
+      .as[(Long, Int, Int, Int)].collect().toSet
+    val want = ProductQuant.indexFrame(emb, pcb, ccb)
+      .select($"vec_id", $"cell", $"m", $"code")
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(idxSet() == want && want.nonEmpty)
+    // a post-publish re-delivery is a no-op; a crashed half-written
+    // attempt of a NEW batch overwrites its own dir and publishes cleanly
+    VectorStream.applyPqBatch(emb.filter($"vec_id" % 2 === 0),
+      s"$root/stage", pcb, ccb, 0L)
+    assert(idxSet() == want)
+    val extra = emb.filter($"vec_id" < 0) // empty: no marker, no dir
+    VectorStream.applyPqBatch(extra, s"$root/stage", pcb, ccb, 7L)
+    assert(idxSet() == want)
+    // every vector appears exactly once per subspace (no replay double-count)
+    val counts = VectorStream.pqIndex(spark, s"$root/stage")
+      .groupBy($"vec_id").count().as[(Long, Long)].collect()
+    assert(counts.forall(_._2 == ProductQuant.PqSubspaces))
+  }
 }
