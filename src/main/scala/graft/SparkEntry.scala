@@ -316,6 +316,7 @@ object SparkEntry {
     "x272_pq_adc"           -> ((s, d) => operators.ProductQuant.pqAdcTopK(s, d)),
     "x273_pq_distortion"    -> ((s, d) => operators.ProductQuant.pqDistortion(s, d)),
     "x274_ivf_pq"           -> ((s, d) => operators.ProductQuant.ivfPqTopK(s, d)),
+    "x275_time_travel"      -> ((s, d) => operators.StatsStage.timeTravelPanel(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -6565,5 +6566,17 @@ object SparkEntry {
     "x272_pq_adc"        -> operators.ProductQuant.adcOracleSql,
     "x273_pq_distortion" -> operators.ProductQuant.distortionOracleSql,
     "x274_ivf_pq"        -> operators.ProductQuant.ivfPqOracleSql,
+
+    // x275: AS OF reads over the delta-file ledger — generation g holds
+    // exactly the docs with doc_id mod TravelBatches ≤ g, so every
+    // recoverable snapshot recomputes from the base table.
+    "x275_time_travel" -> {
+      import operators.StatsStage.{TravelBatches, TravelCompactAt}
+      s"""WITH g AS (SELECT unnest(range($TravelCompactAt, $TravelBatches)) AS as_of),
+        |d AS (SELECT doc_id % $TravelBatches AS b, lang FROM documents)
+        |SELECT g.as_of, d.lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM g JOIN d ON d.b <= g.as_of
+        |GROUP BY 1, 2""".stripMargin
+    },
   )
 }

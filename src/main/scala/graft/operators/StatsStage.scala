@@ -138,6 +138,60 @@ object StatsStage {
           col("sum_chars"))))
   }
 
+  // ── Time-travel gate (x275) ──────────────────────────────────────────
+
+  /** Batch count and mid-stream compaction point for the x275 stage —
+    * shared with its spec and the oracle. The root is deliberately left
+    * PARTIALLY compacted (fold after batch [[TravelCompactAt]], deltas
+    * 2..3 still loose) so AS OF reads exercise the mixed
+    * compact-plus-delta path, and so the retention-horizon refusal
+    * (AS OF 0 < c1) is real, not hypothetical. */
+  val TravelBatches: Int = 4
+  val TravelCompactAt: Int = 1
+
+  private val travelRoots =
+    scala.collection.mutable.HashMap.empty[String, String]
+
+  /** Build (once per JVM per snapshot) a lang-counts stage with
+    * [[TravelBatches]] committed generations and one mid-stream
+    * compaction — the x275 harness. */
+  private[graft] def timeTravelRoot(spark: SparkSession, dir: String): String =
+    synchronized {
+      travelRoots.getOrElseUpdate(dir, {
+        import graft.streaming.IngestCommit
+        val root = compactStageTmp.resolve(
+          s"travel_${StagePaths.component(dir)}").toString
+        val docs = graft.Tables.documents(spark, dir).localCheckpoint()
+        (0 until TravelBatches).foreach { i =>
+          val b = docs.filter(pmod(col("doc_id"), lit(TravelBatches.toLong)) === i)
+          IngestCommit.commitDelta(langCountsBatch(b), s"$root/lang_counts", i.toLong)
+          IngestCommit.markApplied(spark, root, i.toLong)
+          if (i == TravelCompactAt)
+            IngestCommit.compactStageRoot(spark, root, s"$root/lang_counts", 1)
+        }
+        root
+      })
+    }
+
+  /** Time-travel panel (x275): the language histogram AS OF every
+    * recoverable generation (the compaction point onward). Generation g
+    * contains exactly the docs with `doc_id mod TravelBatches ≤ g`, so
+    * the oracle recomputes each snapshot straight from the documents
+    * table — a hash match proves the AS OF file-set arithmetic (compact
+    * files for the horizon + id-bounded deltas above it) reconstructs
+    * every historical snapshot digit-exactly. 100 TB shape: an AS OF
+    * read lists one directory and opens O(compact files + deltas ≤ g)
+    * footers — same cost as the live read; no snapshot copies exist. */
+  def timeTravelPanel(spark: SparkSession, dir: String): DataFrame = {
+    val root = timeTravelRoot(spark, dir)
+    (TravelCompactAt until TravelBatches).map { g =>
+      graft.streaming.IngestCommit
+        .readStageAsOf(spark, s"$root/lang_counts", g.toLong)
+        .groupBy(col("lang")).agg(sum(col("n_docs")).as("n_docs"))
+        .withColumn("as_of", lit(g.toLong))
+    }.reduce(_ unionByName _)
+  }
+
   /** Equi-depth histogram bucket count (x246), shared with the oracle. */
   val HistBuckets: Int = 8
 

@@ -133,6 +133,45 @@ private[graft] object IngestCommit {
     }
   }
 
+  /** Time-travel read: the stage target AS OF batch generation `asOf` —
+    * the delta-file ledger already IS a version chain (each
+    * `batch<id>_*` file is one committed generation's delta), so a
+    * snapshot read is just the id-bounded subset of [[readStage]]'s
+    * file set. Compaction is the RETENTION HORIZON: a committed
+    * compaction folds every batch ≤ cid into undifferentiated compact
+    * files, so generations below cid are unrecoverable and the read
+    * REFUSES them loudly (the same contract as VACUUM bounding Delta
+    * time travel — the one-generation GC lag sometimes leaves covered
+    * batch files on disk, but that is an implementation accident, not a
+    * promise, so the refusal keys on cid deterministically). An `asOf`
+    * beyond the newest committed batch reads everything — AS OF a
+    * future generation is the live table. Unlike [[readStage]] on a
+    * never-compacted dir, files outside the managed naming always fail
+    * loudly here: an anonymous file carries no generation, so any
+    * answer that included (or silently dropped) it would be wrong. */
+  def readStageAsOf(spark: SparkSession, target: String, asOf: Long): DataFrame = {
+    val cid = committedCompaction(spark, target)
+    require(asOf >= cid,
+      s"generation $asOf of stage target $target predates the committed " +
+        s"compaction c$cid: its deltas were folded (and are GC'd one " +
+        "generation later) — compaction is the time-travel retention horizon")
+    val fs = fsOf(spark, target)
+    val visible = visibleFiles(fs, target)
+    val unmanaged = visible.map(_.getName)
+      .filter(n => batchIdOf(n).isEmpty && compactIdOf(n).isEmpty)
+    require(unmanaged.isEmpty,
+      s"stage target $target holds files outside the batch*/compact* " +
+        s"naming (${unmanaged.take(3).mkString(", ")}…): they carry no " +
+        "generation, so an AS OF read cannot classify them")
+    val files = visible.filter { p =>
+      val n = p.getName
+      compactIdOf(n).contains(cid) || batchIdOf(n).exists(id => id > cid && id <= asOf)
+    }
+    require(files.nonEmpty,
+      s"no committed files at or before generation $asOf under $target")
+    spark.read.parquet(files.map(_.toString).toIndexedSeq: _*)
+  }
+
   /** Compact one stage target's committed delta files into `nFiles`
     * `compact<upTo>_<i>.parquet` files, where `upTo` is the ledger's
     * `lastApplied`. Also GCs the PREVIOUS compaction's covered files

@@ -75,4 +75,55 @@ class StatsStageSpec extends SparkSpec {
     // the equal-width grid covers the domain disjointly: actuals sum to n
     assert(got.map(_._5).sum == vc.map(_._2).sum)
   }
+
+  test("readStageAsOf (x275): snapshots reconstruct, the live read is AS OF " +
+    "latest, and the compaction horizon refuses") {
+    import graft.streaming.IngestCommit
+    val root = StatsStage.timeTravelRoot(spark, sf)
+    val target = s"$root/lang_counts"
+    val docs = graft.Tables.documents(spark, sf)
+    def directAt(g: Int) = docs
+      .filter(pmod($"doc_id", lit(StatsStage.TravelBatches.toLong)) <= g)
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .as[(String, Long)].collect().toSet
+    def asOfSet(g: Long) = IngestCommit.readStageAsOf(spark, target, g)
+      .groupBy($"lang").agg(sum($"n_docs").as("n_docs"))
+      .as[(String, Long)].collect().toSet
+    // every recoverable generation reconstructs digit-exactly
+    (StatsStage.TravelCompactAt until StatsStage.TravelBatches).foreach { g =>
+      assert(asOfSet(g.toLong) == directAt(g), s"generation $g")
+    }
+    // AS OF latest ≡ the live compaction-aware read
+    val live = IngestCommit.readStage(spark, target)
+      .groupBy($"lang").agg(sum($"n_docs").as("n_docs"))
+      .as[(String, Long)].collect().toSet
+    assert(asOfSet(StatsStage.TravelBatches - 1L) == live)
+    // AS OF a future generation is also the live table
+    assert(asOfSet(1000L) == live)
+    // generations behind the committed compaction are unrecoverable —
+    // refuse loudly, naming the horizon
+    val e = intercept[IllegalArgumentException] { asOfSet(0L) }
+    assert(e.getMessage.contains("c" + StatsStage.TravelCompactAt) &&
+      e.getMessage.contains("retention horizon"))
+  }
+
+  test("readStageAsOf refuses unmanaged files (no generation to classify)") {
+    import graft.streaming.IngestCommit
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asof-unmanaged")
+    val target = s"$tmp/t"
+    val one = spark.range(3).toDF("v")
+    IngestCommit.commitDelta(one, target, 0L)
+    assert(IngestCommit.readStageAsOf(spark, target, 0L).count() == 3)
+    // a stray anonymous file makes every AS OF answer unclassifiable
+    one.coalesce(1).write.parquet(s"$tmp/stray")
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/stray"))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    fs.rename(part, new org.apache.hadoop.fs.Path(target, "stray.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      IngestCommit.readStageAsOf(spark, target, 0L)
+    }
+    assert(e.getMessage.contains("stray.parquet"))
+  }
 }
