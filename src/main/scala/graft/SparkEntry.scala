@@ -317,6 +317,7 @@ object SparkEntry {
     "x273_pq_distortion"    -> ((s, d) => operators.ProductQuant.pqDistortion(s, d)),
     "x274_ivf_pq"           -> ((s, d) => operators.ProductQuant.ivfPqTopK(s, d)),
     "x275_time_travel"      -> ((s, d) => operators.StatsStage.timeTravelPanel(s, d)),
+    "x276_pq_adc_agg"       -> ((s, d) => operators.ProductQuant.pqAdcTopKAgg(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -6578,5 +6579,9 @@ object SparkEntry {
         |FROM g JOIN d ON d.b <= g.as_of
         |GROUP BY 1, 2""".stripMargin
     },
+
+    // x276: the bounded top-k AGGREGATE form of x272 — bit-identical
+    // contract, so the oracle IS x272's.
+    "x276_pq_adc_agg" -> operators.ProductQuant.adcOracleSql,
   )
 }

@@ -180,8 +180,8 @@ object ProductQuant {
     * codes, never touching a corpus vector — then the M partials per
     * candidate collapse in a map-side-combining sum before the per-query
     * top-k window. Output: (q_id, vec_id, adc_dist, rank). */
-  def pqAdcTopK(spark: SparkSession, dir: String, qHi: Int = PqQHi,
-                k: Int = PqTopK): DataFrame = {
+  /** The (q_id, vec_id, adc_dist) candidate frame x272/x276 rank. */
+  private def adcScores(spark: SparkSession, dir: String, qHi: Int): DataFrame = {
     val cb = trainCodebook(spark, dir)
     val enc = encode(spark, dir, cb)
     val lut = subvectors(quantized(spark, dir))
@@ -189,13 +189,40 @@ object ProductQuant {
       .withColumnRenamed("vec_id", "q_id")
       .join(broadcast(cbToDf(spark, cb)), Seq("m"))
       .select(col("q_id"), col("m"), col("code"), d2(col("sv"), col("cv")).as("pd2"))
-    val adc = enc.join(broadcast(lut), Seq("m", "code"))
+    enc.join(broadcast(lut), Seq("m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("pd2")).as("adc_dist"))
+  }
+
+  def pqAdcTopK(spark: SparkSession, dir: String, qHi: Int = PqQHi,
+                k: Int = PqTopK): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
-    adc.withColumn("rank", row_number().over(w).cast("int"))
+    adcScores(spark, dir, qHi)
+      .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
+  }
+
+  /** x276: x272's ranking re-expressed through the bounded top-k
+    * AGGREGATE ([[graft.functions.TopKLongPairs]]) instead of the rank
+    * window — bit-identical output (same (adc_dist, vec_id) total order,
+    * spec-asserted), different physical shape: the window must shuffle
+    * and SORT the full N·Q candidate frame a second time, while the
+    * aggregate partial-combines map-side so its shuffle carries at most
+    * O(mappers · Q · 2k) pairs and no sort. The plan swaps `Window` for
+    * an ObjectHashAggregate pair — the 100× knob for every per-group
+    * top-k in the engine, landed here first because the ADC scan is the
+    * hottest candidate generator. */
+  def pqAdcTopKAgg(spark: SparkSession, dir: String, qHi: Int = PqQHi,
+                   k: Int = PqTopK): DataFrame = {
+    import graft.functions.TopKLongPairs.top_k_long_pairs
+    adcScores(spark, dir, qHi)
+      .groupBy(col("q_id"))
+      .agg(top_k_long_pairs(col("adc_dist"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("vec_id"),
+        col("col.sk").as("adc_dist"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** x273: the PQ fidelity ledger (the x175/x187/x221 pattern — price the

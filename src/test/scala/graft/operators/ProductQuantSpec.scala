@@ -102,6 +102,46 @@ class ProductQuantSpec extends SparkSpec {
     common.foreach { case (d, fd) => assert(d == fd, "ADC must be scan-invariant") }
   }
 
+  test("pqAdcTopKAgg (x276): bit-identical to the window form, no Window " +
+    "in the plan") {
+    import spark.implicits._
+    val agg = ProductQuant.pqAdcTopKAgg(spark, sf)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val win = ProductQuant.pqAdcTopK(spark, sf)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(agg == win && agg.nonEmpty)
+    // the point of the aggregate: the second full candidate shuffle+sort
+    // (the rank window) is gone, replaced by a partial-combining pair
+    val plan = ProductQuant.pqAdcTopKAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"agg form must not plan a Window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected the TypedImperativeAggregate pair:\n$plan")
+    assert(ProductQuant.pqAdcTopK(spark, sf)
+      .queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("TopKLongPairs: bounded state, deterministic under any grouping") {
+    import graft.functions.TopKLongPairs.top_k_long_pairs
+    import spark.implicits._
+    // 1000 pairs with duplicate sort keys — ties must break on id; the
+    // 2k-bounded buffer compacts many times at k=3
+    val df = spark.range(1000).select(
+      ($"id" % 7).as("g"),
+      ($"id" % 13).cast("long").as("sk"),
+      $"id".as("i"))
+    def run(parts: Int) = df.repartition(parts)
+      .groupBy($"g").agg(top_k_long_pairs($"sk", $"i", 3).as("t"))
+      .select($"g", $"t").as[(Long, Seq[(Long, Long)])].collect()
+      .map { case (g, t) => (g, t.toList) }.toMap
+    val got = run(13)
+    assert(got == run(1) && got == run(32))
+    // hand replay for one group
+    val want = (0L until 1000L).filter(_ % 7 == 2)
+      .map(i => (i % 13, i)).sorted.take(3).toList
+    assert(got(2L) == want)
+  }
+
   test("pqDistortion (x273): one row per query, overlap ≤ k, " +
     "pq_sum_d2 ≥ exact_sum_d2") {
     import spark.implicits._
