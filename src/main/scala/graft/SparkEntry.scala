@@ -318,6 +318,7 @@ object SparkEntry {
     "x274_ivf_pq"           -> ((s, d) => operators.ProductQuant.ivfPqTopK(s, d)),
     "x275_time_travel"      -> ((s, d) => operators.StatsStage.timeTravelPanel(s, d)),
     "x276_pq_adc_agg"       -> ((s, d) => operators.ProductQuant.pqAdcTopKAgg(s, d)),
+    "x277_bloom_skipping"   -> ((s, d) => Relational.bloomSkipping(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -6583,5 +6584,45 @@ object SparkEntry {
     // x276: the bounded top-k AGGREGATE form of x272 — bit-identical
     // contract, so the oracle IS x272's.
     "x276_pq_adc_agg" -> operators.ProductQuant.adcOracleSql,
+
+    // x277: algorithm oracle — per-file Bloom bitmaps (md5-60 positions,
+    // 63-bit words) rebuilt in SQL, probed by the same key ladder.
+    "x277_bloom_skipping" -> {
+      import operators.Relational.{ZoneFiles, BloomWords, BloomHashes, BloomProbes}
+      val bits = BloomWords * 63
+      s"""WITH rows_ AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders),
+        |b AS (SELECT min(k) AS min_k, max(k) AS max_k,
+        |             min(c) AS min_c, max(c) AS max_c FROM rows_),
+        |tagged AS (SELECT ((k - min_k) * $ZoneFiles) // (max_k - min_k + 1) AS f, c
+        |           FROM rows_, b),
+        |pos AS (SELECT DISTINCT f, c, i,
+        |          ('0x' || substr(md5(c::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % $bits AS p
+        |        FROM tagged, (SELECT unnest(range(0, $BloomHashes)) AS i) hs),
+        |words AS (SELECT f, p // 63 AS w,
+        |            bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS word
+        |          FROM pos GROUP BY 1, 2),
+        |fl AS (SELECT DISTINCT f FROM tagged),
+        |probes AS (SELECT pid, min_c + pid * ((max_c - min_c) // 12) AS key
+        |           FROM (SELECT unnest(range(0, $BloomProbes)) AS pid) ps, b),
+        |ppos AS (SELECT pid, key, i,
+        |           ('0x' || substr(md5(key::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % $bits AS p
+        |         FROM probes, (SELECT unnest(range(0, $BloomHashes)) AS i) hs),
+        |tests AS (SELECT pp.pid, pp.key, fl.f,
+        |            CASE WHEN wo.word IS NOT NULL
+        |                 AND (wo.word & (1::BIGINT << CAST(pp.p % 63 AS INT))) <> 0
+        |                 THEN 1 ELSE 0 END AS bit_set
+        |          FROM ppos pp CROSS JOIN fl
+        |          LEFT JOIN words wo ON wo.f = fl.f AND wo.w = pp.p // 63),
+        |hits AS (SELECT pid, key, f, CAST(min(bit_set) AS BIGINT) AS hit
+        |         FROM tests GROUP BY 1, 2, 3),
+        |actual AS (SELECT p.pid, t.f, count(*) AS n
+        |           FROM probes p JOIN tagged t ON t.c = p.key GROUP BY 1, 2)
+        |SELECT h.pid, CAST(h.key AS BIGINT) AS probe_key,
+        |       CAST(sum(h.hit) AS BIGINT) AS n_files_hit,
+        |       CAST(count(a.f) AS BIGINT) AS n_files_actual,
+        |       CAST(sum(h.hit) - count(a.f) AS BIGINT) AS n_false_pos
+        |FROM hits h LEFT JOIN actual a ON a.pid = h.pid AND a.f = h.f
+        |GROUP BY 1, 2""".stripMargin
+    },
   )
 }

@@ -1663,6 +1663,78 @@ object Relational {
         col("rows_scanned"), coalesce(col("n_matching"), lit(0L)).as("n_matching"))
   }
 
+  /** x277 knobs — words per file bitmap (63 usable bits each: DuckDB's
+    * BIGINT `<<` raises on a 63-bit shift, so both engines use bit =
+    * pos mod 63), md5-60 hash count, probe count. Shared with the
+    * oracle. */
+  val BloomWords: Int = 64
+  val BloomHashes: Int = 2
+  val BloomProbes: Int = 16
+
+  /** Bloom-filter file-skipping audit (x277): the EQUALITY-predicate
+    * complement to x222's min/max zone maps — range stats can't skip a
+    * point lookup whose key falls inside nearly every file's [min, max]
+    * span, which is exactly the insertion-ordered layout's pathology
+    * x231 measures. Each modeled file ([[ZoneFiles]], x222's assignment
+    * rule) carries a [[BloomWords]]·63-bit Bloom bitmap over its custkeys
+    * ([[BloomHashes]] md5-60 positions per key — the engine-neutral hash
+    * family the LSH oracles already use); a probe key scans a file only
+    * if ALL its bits are set. Per probe: files the bloom admits, files
+    * truly containing the key, and the difference — the FALSE-POSITIVE
+    * read amplification the sketch costs at this fill ratio (measured,
+    * not modeled from the fill formula). Probes are a deterministic
+    * equi-spaced ladder that overshoots max_c, so absent keys (the
+    * point-lookup skipping win) are exercised alongside present ones.
+    *
+    * 100 TB shape: the bitmap table is O(files · words) catalog state
+    * built by one map-side-combining `bit_or` over the scan (it lives in
+    * the footer/catalog like the zone maps); a probe touches
+    * O(files · hashes) bitmap WORDS — never the data — and the crosses
+    * here are all model-state-sized (probe ladder × 64 file ids). */
+  def bloomSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val (nf, h, np) = (ZoneFiles, BloomHashes, BloomProbes)
+    val bits = BloomWords * 63
+    val rows = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
+    val bounds = rows.agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+      min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+    val tagged = rows.crossJoin(broadcast(bounds))
+      .withColumn("f", expr(s"((k - min_k) * $nf) div (max_k - min_k + 1)"))
+      .select(col("f"), col("c"))
+      .localCheckpoint() // feeds the bitmaps, the file list, and the truth
+    def posOf(key: String): Column = expr(
+      s"cast(conv(substr(md5(concat(cast($key as string), ':', cast(i as string))), 1, 15), 16, 10) as bigint) % $bits")
+    val hashes = (0 until h).map(lit(_))
+    val pos = tagged.distinct()
+      .select(col("f"), col("c"), explode(array(hashes: _*)).as("i"))
+      .withColumn("p", posOf("c"))
+    val words = pos
+      .groupBy(col("f"), expr("p div 63").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(p % 63 as int)))").as("word"))
+    val fl = tagged.select(col("f")).distinct()
+    val probes = spark.range(np.toLong).select(col("id").as("pid"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("key", expr("min_c + pid * ((max_c - min_c) div 12)"))
+      .select(col("pid"), col("key"))
+    val ppos = probes.select(col("pid"), col("key"), explode(array(hashes: _*)).as("i"))
+      .withColumn("p", posOf("key"))
+    val wt = words.withColumnRenamed("f", "wf")
+    val tests = ppos.crossJoin(broadcast(fl))
+      .join(broadcast(wt), col("f") === col("wf") && expr("p div 63") === col("w"), "left")
+      .withColumn("bit_set", when(col("word").isNotNull &&
+        expr("word & shiftleft(1L, cast(p % 63 as int))") =!= 0L, 1L).otherwise(0L))
+    val hits = tests.groupBy(col("pid"), col("key"), col("f"))
+      .agg(min(col("bit_set")).as("hit"))
+    val actual = probes.join(tagged, col("c") === col("key"))
+      .groupBy(col("pid"), col("f")).agg(count(lit(1)).as("n"))
+    hits.join(actual, Seq("pid", "f"), "left")
+      .withColumnRenamed("key", "probe_key")
+      .groupBy(col("pid"), col("probe_key"))
+      .agg(sum(col("hit")).as("n_files_hit"),
+        count(col("n")).as("n_files_actual"),
+        (sum(col("hit")) - count(col("n"))).as("n_false_pos"))
+  }
+
   /** Layout-rewrite skipping delta (x231): x222's zone-map audit run
     * against BOTH file layouts — the CURRENT insertion-ordered one and
     * the Z-ORDERED one x209 plans — so the OPTIMIZE decision reads its

@@ -3805,6 +3805,39 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_._7).sum == rows.length.toLong) // predicates partition the fact
   }
 
+  test("bloomSkipping (x277): bitmap replay matches; blooms never false-negative") {
+    val rows = graft.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey").as[(Long, Long)].collect()
+    val (minK, maxK) = (rows.map(_._1).min, rows.map(_._1).max)
+    val (minC, maxC) = (rows.map(_._2).min, rows.map(_._2).max)
+    val nf = Relational.ZoneFiles
+    val bits = Relational.BloomWords * 63
+    def md5pos(key: Long, i: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key:$i".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16) % bits
+    }
+    def posSet(key: Long) = (0 until Relational.BloomHashes).map(md5pos(key, _)).toSet
+    val fileKeys = rows.groupBy(r => (r._1 - minK) * nf / (maxK - minK + 1))
+      .map { case (f, rs) => f -> rs.map(_._2).toSet }
+    val filePos = fileKeys.map { case (f, ks) => f -> ks.flatMap(posSet) }
+    val got = Relational.bloomSkipping(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == Relational.BloomProbes)
+    got.foreach { case (pid, key, nHit, nActual, nFp) =>
+      assert(key == minC + pid * ((maxC - minC) / 12), s"probe $pid")
+      val hit = fileKeys.keys.count(f => posSet(key).subsetOf(filePos(f)))
+      val actual = fileKeys.count { case (_, ks) => ks.contains(key) }
+      assert((nHit, nActual, nFp) == ((hit.toLong, actual.toLong, (hit - actual).toLong)),
+        s"probe $pid key=$key")
+      // the bloom contract: a file holding the key is always admitted
+      assert(nActual <= nHit && nFp >= 0, s"probe $pid")
+    }
+    // the ladder overshoots max_c, so absent-key skipping is exercised
+    assert(got.exists(_._4 == 0L))
+    assert(got.exists(_._4 > 0L))
+  }
+
   test("zorderSkippingDelta (x231): both layouts match a replay; zone maps sound on each; " +
     "the rewrite helps on this corpus") {
     val rows = graft.Tables.orders(spark, sf)
