@@ -319,6 +319,7 @@ object SparkEntry {
     "x275_time_travel"      -> ((s, d) => operators.StatsStage.timeTravelPanel(s, d)),
     "x276_pq_adc_agg"       -> ((s, d) => operators.ProductQuant.pqAdcTopKAgg(s, d)),
     "x277_bloom_skipping"   -> ((s, d) => Relational.bloomSkipping(s, d)),
+    "x278_hilbert_delta"    -> ((s, d) => Relational.hilbertSkippingDelta(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -532,6 +533,57 @@ object SparkEntry {
       |       sc.scanned_current, sz.scanned_zordered,
       |       sc.scanned_current - sz.scanned_zordered AS rows_saved
       |FROM sc JOIN sz ON sc.p = sz.p LEFT JOIN mm ON sc.p = mm.p""".stripMargin
+  }
+
+  /** x278's oracle — x231's shape under 2-D rectangle predicates, with
+    * the Hilbert side built from the SAME xy2d steps the engine unrolls
+    * (`Relational.hilbertSteps`, `//` division token). */
+  private def hilbertDeltaOracleSql: String = {
+    import operators.Relational.{ZoneFiles, RectPreds}
+    val bits = 3
+    val m = 1 << bits
+    val np = RectPreds
+    val interleave = (0 until bits).map(b =>
+      s"(((bx >> $b) & 1) << ${2 * b + 1}) + (((by >> $b) & 1) << ${2 * b})")
+      .mkString(" + ")
+    val chain = operators.Relational.hilbertChainSql(
+      "SELECT c, day, f_z, p, bx AS hx, by AS hy, CAST(0 AS BIGINT) AS hd FROM t1", m)
+    def scan(fileCol: String, out: String): String =
+      s"""SELECT p.p, CAST(sum(CASE WHEN f.c_max < p.lo_c OR f.c_min > p.hi_c
+         |       OR f.d_max < p.lo_d OR f.d_min > p.hi_d
+         |       THEN 0 ELSE f.f_rows END) AS BIGINT) AS $out
+         |FROM preds p, (SELECT $fileCol AS f, CAST(count(*) AS BIGINT) AS f_rows,
+         |               min(c) AS c_min, max(c) AS c_max,
+         |               min(day) AS d_min, max(day) AS d_max
+         |               FROM tagged GROUP BY 1) f
+         |GROUP BY 1""".stripMargin
+    s"""WITH rows_ AS (SELECT o_custkey AS c,
+      |                      CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
+      |               FROM orders),
+      |b AS (SELECT min(c) AS min_c, max(c) AS max_c,
+      |             min(day) AS min_d, max(day) AS max_d FROM rows_),
+      |t0 AS (SELECT c, day,
+      |              ((c - min_c) * $m) // (max_c - min_c + 1) AS bx,
+      |              ((day - min_d) * $m) // (max_d - min_d + 1) AS by,
+      |              (((c - min_c) * $np) // (max_c - min_c + 1)) * $np
+      |                + ((day - min_d) * $np) // (max_d - min_d + 1) AS p
+      |       FROM rows_, b),
+      |t1 AS (SELECT *, $interleave AS f_z FROM t0),
+      |tagged AS (SELECT c, day, p, f_z, hd AS f_h
+      |           FROM ($chain)),
+      |preds AS (SELECT CAST(r.p AS BIGINT) AS p,
+      |            min_c + ((r.p // $np) * (max_c - min_c + 1) + ${np - 1}) // $np AS lo_c,
+      |            min_c + ((r.p // $np + 1) * (max_c - min_c + 1) + ${np - 1}) // $np - 1 AS hi_c,
+      |            min_d + ((r.p % $np) * (max_d - min_d + 1) + ${np - 1}) // $np AS lo_d,
+      |            min_d + ((r.p % $np + 1) * (max_d - min_d + 1) + ${np - 1}) // $np - 1 AS hi_d
+      |          FROM (SELECT unnest(range(${np * np})) AS p) r, b),
+      |sz AS (${scan("f_z", "scanned_zordered")}),
+      |sh AS (${scan("f_h", "scanned_hilbert")}),
+      |mm AS (SELECT p, CAST(count(*) AS BIGINT) AS n_matching FROM tagged GROUP BY 1)
+      |SELECT sz.p, coalesce(mm.n_matching, 0) AS n_matching,
+      |       sz.scanned_zordered, sh.scanned_hilbert,
+      |       sz.scanned_zordered - sh.scanned_hilbert AS rows_saved
+      |FROM sz JOIN sh ON sz.p = sh.p LEFT JOIN mm ON sz.p = mm.p""".stripMargin
   }
 
   private def bpeTermCteSql: String = {
@@ -6624,5 +6676,9 @@ object SparkEntry {
         |FROM hits h LEFT JOIN actual a ON a.pid = h.pid AND a.f = h.f
         |GROUP BY 1, 2""".stripMargin
     },
+
+    // x278: Morton vs Hilbert under 2-D rectangle predicates — the xy2d
+    // unroll shared verbatim with the engine via Relational.hilbertSteps.
+    "x278_hilbert_delta" -> hilbertDeltaOracleSql,
   )
 }

@@ -1808,6 +1808,114 @@ object Relational {
         (col("scanned_current") - col("scanned_zordered")).as("rows_saved"))
   }
 
+  /** x278: rectangle predicates per dimension (4×4 = 16 2-D boxes over
+    * (custkey, order-day)). Shared with the DuckDB oracle. */
+  val RectPreds: Int = 4
+
+  /** Curve-choice skipping delta (x278): Morton vs HILBERT tiling under
+    * 2-D RECTANGLE predicates — the audit that actually separates the
+    * curves. x231's 1-D custkey ranges can't: both curves make tiles
+    * custkey-coherent. A 2-D box query is where Hilbert's locality
+    * (consecutive cells are always grid NEIGHBORS — spec-proven, the
+    * property Morton's bit-interleave lacks at quadrant seams) turns
+    * into fewer files whose (c, day) bounding boxes straddle the box.
+    * Same machinery as x231 otherwise: one corpus scan tags each row
+    * with both file ids and its rectangle id, two 64-row file-stats
+    * rollups (min/max on BOTH dimensions), one broadcast 16×64 skip
+    * grid per layout.
+    *
+    * The Hilbert index is the classic xy2d recurrence unrolled for 3
+    * bits/dim — integer CASEs only ((3·rx) xor ry rewritten as
+    * `rx=0 ? ry : 3−ry`, so no engine-specific xor), identical text on
+    * both sides via [[hilbertSteps]]. */
+  def hilbertSkippingDelta(spark: SparkSession, dir: String): DataFrame = {
+    val nf = ZoneFiles
+    val np = RectPreds
+    val bits = 3
+    val m = 1 << bits
+    val rows = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+    val bounds = rows.agg(min(col("c")).as("min_c"), max(col("c")).as("max_c"),
+      min(col("day")).as("min_d"), max(col("day")).as("max_d"))
+    val interleave = (0 until bits).map(b =>
+      s"(((bx >> $b) & 1) << ${2 * b + 1}) + (((by >> $b) & 1) << ${2 * b})")
+      .mkString(" + ")
+    var tagged = rows.crossJoin(broadcast(bounds))
+      .withColumn("bx", expr(s"((c - min_c) * $m) div (max_c - min_c + 1)"))
+      .withColumn("by", expr(s"((day - min_d) * $m) div (max_d - min_d + 1)"))
+      .withColumn("f_z", expr(interleave))
+      .withColumn("pc", expr(s"((c - min_c) * $np) div (max_c - min_c + 1)"))
+      .withColumn("pd", expr(s"((day - min_d) * $np) div (max_d - min_d + 1)"))
+      .withColumn("p", expr(s"pc * $np + pd"))
+      .withColumn("hx", col("bx")).withColumn("hy", col("by"))
+      .withColumn("hd", lit(0L))
+    hilbertSteps(m, "div").foreach { case (name, sql) =>
+      tagged = tagged.withColumn(name, expr(sql))
+    }
+    val t = tagged.withColumnRenamed("hd", "f_h")
+      .select(col("c"), col("day"), col("p"), col("f_z"), col("f_h"))
+      .localCheckpoint() // two file-stats rollups + the matching counts
+    def scanPerPred(fileCol: String, out: String): DataFrame = {
+      val files = t.groupBy(col(fileCol).as("f"))
+        .agg(count(lit(1)).as("f_rows"),
+          min(col("c")).as("c_min"), max(col("c")).as("c_max"),
+          min(col("day")).as("d_min"), max(col("day")).as("d_max"))
+      spark.range((np * np).toLong).select(col("id").as("p"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("pc", expr(s"p div $np")).withColumn("pd", expr(s"p % $np"))
+        .withColumn("lo_c", expr(s"min_c + (pc * (max_c - min_c + 1) + $np - 1) div $np"))
+        .withColumn("hi_c", expr(s"min_c + ((pc + 1) * (max_c - min_c + 1) + $np - 1) div $np - 1"))
+        .withColumn("lo_d", expr(s"min_d + (pd * (max_d - min_d + 1) + $np - 1) div $np"))
+        .withColumn("hi_d", expr(s"min_d + ((pd + 1) * (max_d - min_d + 1) + $np - 1) div $np - 1"))
+        .crossJoin(broadcast(files))
+        .groupBy(col("p"))
+        .agg(sum(when(col("c_max") < col("lo_c") || col("c_min") > col("hi_c") ||
+          col("d_max") < col("lo_d") || col("d_min") > col("hi_d"), 0L)
+          .otherwise(col("f_rows"))).as(out))
+    }
+    val matching = t.groupBy(col("p")).agg(count(lit(1)).as("n_matching"))
+    scanPerPred("f_z", "scanned_zordered")
+      .join(scanPerPred("f_h", "scanned_hilbert"), Seq("p"))
+      .join(matching, Seq("p"), "left")
+      .select(col("p"), coalesce(col("n_matching"), lit(0L)).as("n_matching"),
+        col("scanned_zordered"), col("scanned_hilbert"),
+        (col("scanned_zordered") - col("scanned_hilbert")).as("rows_saved"))
+  }
+
+  /** The xy2d unroll as (column, SQL) assignment steps over working
+    * columns (hx, hy, hd) seeded with (bx, by, 0) — identical text on
+    * both engines apart from the integer-division token (`div` vs `//`).
+    * Reflection uses n−1 (the classic rot), rotation swaps via the nx
+    * temporary so hy still reads the PRE-swap hx. */
+  private[graft] def hilbertSteps(n: Int, divOp: String): Seq[(String, String)] = {
+    val steps = Iterator.iterate(n / 2)(_ / 2).takeWhile(_ > 0).toSeq
+    steps.flatMap { s =>
+      Seq(
+        "rx" -> s"(hx $divOp $s) % 2",
+        "ry" -> s"(hy $divOp $s) % 2",
+        "hd" -> s"hd + ${s.toLong * s} * (CASE WHEN rx = 0 THEN ry ELSE 3 - ry END)",
+        "nx" -> s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - hy ELSE hy END) ELSE hx END",
+        "hy" -> s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - hx ELSE hx END) ELSE hy END",
+        "hx" -> "nx")
+    }
+  }
+
+  /** The same steps as nested DuckDB subqueries over `inner` (which must
+    * expose hx, hy, hd) — `SELECT * REPLACE` for reassignments, plain
+    * projection when a working column first appears. */
+  private[graft] def hilbertChainSql(inner: String, n: Int): String = {
+    val existing = scala.collection.mutable.Set("hx", "hy", "hd")
+    hilbertSteps(n, "//").foldLeft(inner) { case (acc, (name, sql)) =>
+      if (existing.contains(name))
+        s"SELECT * REPLACE (($sql) AS $name) FROM ($acc)"
+      else {
+        existing += name
+        s"SELECT *, ($sql) AS $name FROM ($acc)"
+      }
+    }
+  }
+
   /** x240's bin count: small files compact into this many target bins.
     * Shared with the DuckDB oracle. */
   val CompactBins: Int = 8

@@ -3838,6 +3838,56 @@ class OperatorsSpec extends SparkSpec {
     assert(got.exists(_._4 > 0L))
   }
 
+  test("hilbertSkippingDelta (x278): xy2d replay + bijection + ADJACENCY " +
+    "(the property Morton lacks); audit sound on both layouts") {
+    // the reference algorithm, straight off the classic xy2d
+    def xy2d(n: Int, x0: Int, y0: Int): Long = {
+      var x = x0; var y = y0; var d = 0L; var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    // drive the SHARED step list (the text both engines execute)
+    var df = spark.range(64).selectExpr("id div 8 AS x", "id % 8 AS y",
+      "id div 8 AS hx", "id % 8 AS hy", "CAST(0 AS BIGINT) AS hd")
+    Relational.hilbertSteps(8, "div").foreach { case (n2, s2) =>
+      df = df.withColumn(n2, expr(s2))
+    }
+    val dmap = df.select($"x", $"y", $"hd").as[(Long, Long, Long)].collect()
+    dmap.foreach { case (x, y, d) => assert(d == xy2d(8, x.toInt, y.toInt), s"($x,$y)") }
+    assert(dmap.map(_._3).toSet == (0L until 64L).toSet) // bijection on the grid
+    val byD = dmap.map(t => t._3 -> ((t._1, t._2))).toMap
+    (0L until 63L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert((x1 - x2).abs + (y1 - y2).abs == 1, s"hilbert seam at d=$d")
+    }
+    // the contrast the audit prices: Morton consecutive cells DO jump
+    def morton(x: Long, y: Long) = (0 until 3).map(b =>
+      (((x >> b) & 1) << (2 * b + 1)) + (((y >> b) & 1) << (2 * b))).sum
+    val byZ = (for (x <- 0L until 8L; y <- 0L until 8L) yield morton(x, y) -> ((x, y))).toMap
+    assert((0L until 63L).exists { z =>
+      val (x1, y1) = byZ(z); val (x2, y2) = byZ(z + 1)
+      (x1 - x2).abs + (y1 - y2).abs > 1
+    })
+    // the audit itself: every rectangle's matches are inside both scans
+    val got = Relational.hilbertSkippingDelta(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == Relational.RectPreds * Relational.RectPreds)
+    got.foreach { case (p, mch, sz, sh, saved) =>
+      assert(mch <= sz && mch <= sh, s"p=$p")
+      assert(saved == sz - sh, s"p=$p")
+    }
+    assert(got.map(_._2).sum == graft.Tables.orders(spark, sf).count())
+  }
+
   test("zorderSkippingDelta (x231): both layouts match a replay; zone maps sound on each; " +
     "the rewrite helps on this corpus") {
     val rows = graft.Tables.orders(spark, sf)
