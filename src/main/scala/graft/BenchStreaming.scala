@@ -178,6 +178,33 @@ object BenchStreaming {
         graft.streaming.VectorStream.startPqIngest(_, _, _, pcb, ccb))
     }
 
+    // bloom bitmaps: the MERGE-FOLD ingest point (bit_or of catalog-sized
+    // state per batch); layout bounds are frozen config, fetched pre-timer
+    def runBloomIngest(): (String, Double) = {
+      import org.apache.spark.sql.functions.{col, max, min}
+      val root = Files.createTempDirectory("graft-sbench-bloom-ingest")
+      try {
+        val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val (minK, maxK) = {
+          val r = orders.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        orders.filter(col("o_orderkey") % 2 === 0).write.parquet(s"$root/drop")
+        orders.filter(col("o_orderkey") % 2 === 1).write.mode("append")
+          .parquet(s"$root/drop")
+        val n = orders.count()
+        val t0 = System.nanoTime()
+        graft.streaming.BloomStream.startBloomIngest(
+          spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$root/drop"),
+          s"$root/stage", s"$root/ckpt", minK, maxK)
+          .awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        "bloom_ingest" -> (n / sec)
+      } finally deleteTree(root)
+    }
+
     def runTermIngest(): (String, Double) = {
       import org.apache.spark.sql.functions.col
       val root = Files.createTempDirectory("graft-sbench-term-ingest")
@@ -312,7 +339,8 @@ object BenchStreaming {
       runStatsIngest(),
       runKnnIngest(),
       runAnnIngest(),
-      runPqIngest())
+      runPqIngest(),
+      runBloomIngest())
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
     val headline = f"${results.head._2}%.1f"

@@ -1691,8 +1691,34 @@ object Relational {
     * the footer/catalog like the zone maps); a probe touches
     * O(files · hashes) bitmap WORDS — never the data — and the crosses
     * here are all model-state-sized (probe ladder × 64 file ids). */
+  /** One md5-60 bloom position for hash index column `i` (shared by the
+    * audit and the streaming bitmap ingester). */
+  private def bloomPos(key: String): Column = expr(
+    s"cast(conv(substr(md5(concat(cast($key as string), ':', cast(i as string))), 1, 15), 16, 10) as bigint) % ${BloomWords * 63}")
+
+  /** The (f, w, word) bitmap table for a (f, c) frame — one map-side-
+    * combining `bit_or` fold; MERGEABLE: bitmaps of row subsets bit_or
+    * into the full table's bitmaps, which is what the streaming ingester
+    * ([[graft.streaming.BloomStream]]) exploits. */
+  private[graft] def bloomWordsFrame(tagged: DataFrame): DataFrame = {
+    val hashes = (0 until BloomHashes).map(lit(_))
+    tagged.select(col("f"), col("c")).distinct()
+      .select(col("f"), col("c"), explode(array(hashes: _*)).as("i"))
+      .withColumn("p", bloomPos("c"))
+      .groupBy(col("f"), expr("p div 63").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(p % 63 as int)))").as("word"))
+  }
+
+  /** x277's file assignment with FROZEN layout bounds — the streaming
+    * form (a stream can't know the corpus max; the layout declares it,
+    * like any partitioning spec). */
+  private[graft] def bloomTagged(rows: DataFrame, minK: Long, maxK: Long): DataFrame =
+    rows.select(
+      expr(s"((k - ${minK}L) * $ZoneFiles) div (${maxK}L - ${minK}L + 1)").as("f"),
+      col("c"))
+
   def bloomSkipping(spark: SparkSession, dir: String): DataFrame = {
-    val (nf, h, np) = (ZoneFiles, BloomHashes, BloomProbes)
+    val (nf, np) = (ZoneFiles, BloomProbes)
     val bits = BloomWords * 63
     val rows = Tables.orders(spark, dir)
       .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
@@ -1702,15 +1728,9 @@ object Relational {
       .withColumn("f", expr(s"((k - min_k) * $nf) div (max_k - min_k + 1)"))
       .select(col("f"), col("c"))
       .localCheckpoint() // feeds the bitmaps, the file list, and the truth
-    def posOf(key: String): Column = expr(
-      s"cast(conv(substr(md5(concat(cast($key as string), ':', cast(i as string))), 1, 15), 16, 10) as bigint) % $bits")
-    val hashes = (0 until h).map(lit(_))
-    val pos = tagged.distinct()
-      .select(col("f"), col("c"), explode(array(hashes: _*)).as("i"))
-      .withColumn("p", posOf("c"))
-    val words = pos
-      .groupBy(col("f"), expr("p div 63").as("w"))
-      .agg(expr("bit_or(shiftleft(1L, cast(p % 63 as int)))").as("word"))
+    def posOf(key: String): Column = bloomPos(key)
+    val hashes = (0 until BloomHashes).map(lit(_))
+    val words = bloomWordsFrame(tagged)
     val fl = tagged.select(col("f")).distinct()
     val probes = spark.range(np.toLong).select(col("id").as("pid"))
       .crossJoin(broadcast(bounds))
