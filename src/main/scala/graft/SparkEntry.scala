@@ -539,7 +539,7 @@ object SparkEntry {
     * the Hilbert side built from the SAME xy2d steps the engine unrolls
     * (`Relational.hilbertSteps`, `//` division token). */
   private def hilbertDeltaOracleSql: String = {
-    import operators.Relational.{ZoneFiles, RectPreds}
+    import operators.Relational.RectPreds
     val bits = 3
     val m = 1 << bits
     val np = RectPreds
@@ -6654,7 +6654,7 @@ object SparkEntry {
         |            bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS word
         |          FROM pos GROUP BY 1, 2),
         |fl AS (SELECT DISTINCT f FROM tagged),
-        |probes AS (SELECT pid, min_c + pid * ((max_c - min_c) // 12) AS key
+        |probes AS (SELECT pid, min_c + pid * ((max_c - min_c) // ${operators.Relational.BloomProbeStepDenom}) AS key
         |           FROM (SELECT unnest(range(0, $BloomProbes)) AS pid) ps, b),
         |ppos AS (SELECT pid, key, i,
         |           ('0x' || substr(md5(key::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % $bits AS p

@@ -1665,11 +1665,14 @@ object Relational {
 
   /** x277 knobs — words per file bitmap (63 usable bits each: DuckDB's
     * BIGINT `<<` raises on a 63-bit shift, so both engines use bit =
-    * pos mod 63), md5-60 hash count, probe count. Shared with the
-    * oracle. */
+    * pos mod 63), md5-60 hash count, probe count, and the ladder-step
+    * denominator (probe key = min_c + pid·(range div DENOM); with
+    * BloomProbes > DENOM the ladder overshoots max_c so absent keys are
+    * exercised — the spec asserts that). All shared with the oracle. */
   val BloomWords: Int = 64
   val BloomHashes: Int = 2
   val BloomProbes: Int = 16
+  val BloomProbeStepDenom: Int = 12
 
   /** Bloom-filter file-skipping audit (x277): the EQUALITY-predicate
     * complement to x222's min/max zone maps — range stats can't skip a
@@ -1711,15 +1714,20 @@ object Relational {
 
   /** x277's file assignment with FROZEN layout bounds — the streaming
     * form (a stream can't know the corpus max; the layout declares it,
-    * like any partitioning spec). */
+    * like any partitioning spec). A key OUTSIDE the declared bounds
+    * fails LOUDLY: silently filing it under a phantom file id would
+    * publish its bits where no planner probes (files 0..N-1), turning
+    * the bloom's no-false-negative contract into a silent lie. */
   private[graft] def bloomTagged(rows: DataFrame, minK: Long, maxK: Long): DataFrame =
     rows.select(
-      expr(s"((k - ${minK}L) * $ZoneFiles) div (${maxK}L - ${minK}L + 1)").as("f"),
+      expr(s"CASE WHEN k < ${minK}L OR k > ${maxK}L THEN " +
+        s"raise_error(concat('bloom layout bounds violated: key ', " +
+        s"cast(k as string), ' outside [$minK, $maxK]')) " +
+        s"ELSE ((k - ${minK}L) * $ZoneFiles) div (${maxK}L - ${minK}L + 1) END").as("f"),
       col("c"))
 
   def bloomSkipping(spark: SparkSession, dir: String): DataFrame = {
     val (nf, np) = (ZoneFiles, BloomProbes)
-    val bits = BloomWords * 63
     val rows = Tables.orders(spark, dir)
       .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
     val bounds = rows.agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
@@ -1728,16 +1736,15 @@ object Relational {
       .withColumn("f", expr(s"((k - min_k) * $nf) div (max_k - min_k + 1)"))
       .select(col("f"), col("c"))
       .localCheckpoint() // feeds the bitmaps, the file list, and the truth
-    def posOf(key: String): Column = bloomPos(key)
     val hashes = (0 until BloomHashes).map(lit(_))
     val words = bloomWordsFrame(tagged)
     val fl = tagged.select(col("f")).distinct()
     val probes = spark.range(np.toLong).select(col("id").as("pid"))
       .crossJoin(broadcast(bounds))
-      .withColumn("key", expr("min_c + pid * ((max_c - min_c) div 12)"))
+      .withColumn("key", expr(s"min_c + pid * ((max_c - min_c) div $BloomProbeStepDenom)"))
       .select(col("pid"), col("key"))
     val ppos = probes.select(col("pid"), col("key"), explode(array(hashes: _*)).as("i"))
-      .withColumn("p", posOf("key"))
+      .withColumn("p", bloomPos("key"))
     val wt = words.withColumnRenamed("f", "wf")
     val tests = ppos.crossJoin(broadcast(fl))
       .join(broadcast(wt), col("f") === col("wf") && expr("p div 63") === col("w"), "left")
@@ -1849,7 +1856,6 @@ object Relational {
     * `rx=0 ? ry : 3−ry`, so no engine-specific xor), identical text on
     * both sides via [[hilbertSteps]]. */
   def hilbertSkippingDelta(spark: SparkSession, dir: String): DataFrame = {
-    val nf = ZoneFiles
     val np = RectPreds
     val bits = 3
     val m = 1 << bits

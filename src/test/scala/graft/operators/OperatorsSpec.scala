@@ -3825,7 +3825,8 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(got.length == Relational.BloomProbes)
     got.foreach { case (pid, key, nHit, nActual, nFp) =>
-      assert(key == minC + pid * ((maxC - minC) / 12), s"probe $pid")
+      assert(key == minC + pid * ((maxC - minC) / Relational.BloomProbeStepDenom),
+        s"probe $pid")
       val hit = fileKeys.keys.count(f => posSet(key).subsetOf(filePos(f)))
       val actual = fileKeys.count { case (_, ks) => ks.contains(key) }
       assert((nHit, nActual, nFp) == ((hit.toLong, actual.toLong, (hit - actual).toLong)),

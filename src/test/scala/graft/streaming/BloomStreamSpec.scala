@@ -50,6 +50,22 @@ class BloomStreamSpec extends SparkSpec {
     assert(wordSet(root) == want)
   }
 
+  test("a key outside the frozen layout bounds fails LOUDLY (no phantom file ids)") {
+    val root = Files.createTempDirectory("graft-bloom-oob").toString
+    val orders = graft.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey")
+    val maxK = orders.agg(org.apache.spark.sql.functions.max($"o_orderkey"))
+      .as[Long].head()
+    // declare bounds SMALLER than the data: the overflow key must raise,
+    // not publish its bits under file id >= ZoneFiles where no planner probes
+    val e = intercept[Exception] {
+      BloomStream.applyBloomBatch(orders, s"$root/stage", 1L, maxK - 1, 0L)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("bloom layout bounds violated")), e.toString)
+  }
+
   test("bloomWords on a fresh stage root fails naming the root") {
     val root = Files.createTempDirectory("graft-bloom-empty").toString
     val e = intercept[IllegalArgumentException] {
