@@ -320,6 +320,7 @@ object SparkEntry {
     "x276_pq_adc_agg"       -> ((s, d) => operators.ProductQuant.pqAdcTopKAgg(s, d)),
     "x277_bloom_skipping"   -> ((s, d) => Relational.bloomSkipping(s, d)),
     "x278_hilbert_delta"    -> ((s, d) => Relational.hilbertSkippingDelta(s, d)),
+    "x279_pq_rerank"        -> ((s, d) => operators.ProductQuant.pqRerankTopK(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -6680,5 +6681,8 @@ object SparkEntry {
     // x278: Morton vs Hilbert under 2-D rectangle predicates — the xy2d
     // unroll shared verbatim with the engine via Relational.hilbertSteps.
     "x278_hilbert_delta" -> hilbertDeltaOracleSql,
+
+    // x279: ADC pool → exact rerank (the PQ serving pattern).
+    "x279_pq_rerank" -> operators.ProductQuant.rerankOracleSql,
   )
 }

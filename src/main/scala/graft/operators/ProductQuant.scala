@@ -225,6 +225,44 @@ object ProductQuant {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Candidate-pool multiplier for [[pqRerankTopK]] (x279) — the pool is
+    * `PqRerankFactor · k` ADC survivors per query. Shared with the
+    * oracle. */
+  val PqRerankFactor: Int = 4
+
+  /** x279: ADC + exact re-rank — the standard PQ serving pattern (and
+    * the x60→x18 rerank composition applied to codes): the ADC scan
+    * nominates a `PqRerankFactor·k` pool per query using ONLY the
+    * 4-byte codes, then just the pool members' raw (quantized) vectors
+    * are re-read through a broadcast equi-join and exact-ranked. This is
+    * what closes x273's measured distortion in production: ADC ordering
+    * errors INSIDE the pool are fully repaired (the output is the exact
+    * integer-L2 order over the pool), so the only remaining loss is pool
+    * coverage — turnable by one knob. Scale shape: the second pass scans
+    * the corpus once filtered by a broadcast Q·pool pick list (no second
+    * cross, x273's plumbing), so reranking costs one narrow scan
+    * regardless of k. Output: (q_id, vec_id, exact_d2, rank). */
+  def pqRerankTopK(spark: SparkSession, dir: String, qHi: Int = PqQHi,
+                   k: Int = PqTopK, poolFactor: Int = PqRerankFactor): DataFrame = {
+    import graft.functions.TopKLongPairs.top_k_long_pairs
+    val pool = adcScores(spark, dir, qHi)
+      .groupBy(col("q_id"))
+      .agg(top_k_long_pairs(col("adc_dist"), col("vec_id"), k * poolFactor).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("vec_id"))
+    val e = quantized(spark, dir)
+    val queries = e.filter(col("vec_id") < qHi)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"))
+    e.join(broadcast(pool), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), d2(col("qqv"), col("qv")).as("exact_d2"), col("vec_id"))
+      .groupBy(col("q_id"))
+      .agg(top_k_long_pairs(col("exact_d2"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("vec_id"),
+        col("col.sk").as("exact_d2"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** x273: the PQ fidelity ledger (the x175/x187/x221 pattern — price the
     * compression, don't assert it). Per query: how many of the ADC top-k
     * are in the EXACT integer-L2 top-k, and the true-distance sums of both
@@ -424,6 +462,19 @@ object ProductQuant {
        |JOIN (SELECT q_id, rank, true_d2 FROM ex WHERE rank <= $PqTopK) xt
        |  ON xt.q_id = p.q_id AND xt.rank = p.rank
        |GROUP BY 1""".stripMargin
+
+  /** x279's oracle: the PQ chain's ranked ADC candidates, pool-bounded,
+    * exact-reranked on the quantized vectors. */
+  def rerankOracleSql: String =
+    s"""$pqChainSql,
+       |pool AS (SELECT q_id, vec_id FROM pq WHERE rank <= ${PqTopK * PqRerankFactor}),
+       |rer AS (SELECT p.q_id, p.vec_id, ${d2Sql("q.qv", "e2.qv")} AS exact_d2
+       |  FROM pool p JOIN e e2 ON e2.vec_id = p.vec_id
+       |  JOIN e q ON q.vec_id = p.q_id)
+       |SELECT q_id, vec_id, exact_d2, CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT q_id, vec_id, exact_d2,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY exact_d2, vec_id) AS rank
+       |      FROM rer) WHERE rank <= $PqTopK""".stripMargin
 
   /** x274's oracle: the PQ chain plus the coarse full-dimension Lloyd
     * chain, cell assignment, probe selection, and the cell-restricted

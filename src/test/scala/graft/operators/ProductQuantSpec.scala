@@ -142,6 +142,40 @@ class ProductQuantSpec extends SparkSpec {
     assert(got(2L) == want)
   }
 
+  test("pqRerankTopK (x279): exact order inside the pool; recall ≥ raw ADC") {
+    import spark.implicits._
+    val k = ProductQuant.PqTopK
+    val rer = ProductQuant.pqRerankTopK(spark, sf)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(rer.map(_._1).distinct.length == ProductQuant.PqQHi)
+    // exact integer-L2 ground truth per query
+    val scale = ProductQuant.PqScale
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        s"transform(embedding, x -> cast(round(cast(x as double) * $scale) as long)) as qv")
+      .as[(Long, Seq[Long])].collect().toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def exactTop(q: Long): Seq[Long] = vecs.keys.filter(_ != q).toSeq
+      .map(v => (d2(vecs(q), vecs(v)), v)).sorted.take(k).map(_._2)
+    // (a) every reported exact_d2 is the true distance, ranks follow it
+    rer.foreach { case (q, v, d, _) => assert(d == d2(vecs(q), vecs(v)), s"($q,$v)") }
+    rer.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(r => (r._3, r._2)).toSeq ==
+        sorted.map(r => (r._3, r._2)).sorted.toSeq, s"q=$q")
+    }
+    // (b) the rerank's recall against exact top-k is ≥ raw ADC's per query
+    val adc = ProductQuant.pqAdcTopK(spark, sf)
+      .as[(Long, Long, Long, Int)].collect()
+    rer.map(_._1).distinct.foreach { q =>
+      val truth = exactTop(q).toSet
+      val rRec = rer.filter(_._1 == q).count(r => truth(r._2))
+      val aRec = adc.filter(_._1 == q).count(r => truth(r._2))
+      assert(rRec >= aRec, s"q=$q: rerank $rRec < adc $aRec")
+    }
+  }
+
   test("pqDistortion (x273): one row per query, overlap ≤ k, " +
     "pq_sum_d2 ≥ exact_sum_d2") {
     import spark.implicits._
