@@ -321,6 +321,7 @@ object SparkEntry {
     "x277_bloom_skipping"   -> ((s, d) => Relational.bloomSkipping(s, d)),
     "x278_hilbert_delta"    -> ((s, d) => Relational.hilbertSkippingDelta(s, d)),
     "x279_pq_rerank"        -> ((s, d) => operators.ProductQuant.pqRerankTopK(s, d)),
+    "x280_bloom_lookup"     -> ((s, d) => Relational.bloomServedLookup(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -534,6 +535,43 @@ object SparkEntry {
       |       sc.scanned_current, sz.scanned_zordered,
       |       sc.scanned_current - sz.scanned_zordered AS rows_saved
       |FROM sc JOIN sz ON sc.p = sz.p LEFT JOIN mm ON sc.p = mm.p""".stripMargin
+  }
+
+  /** Shared x277/x280 CTE prefix: value-tagged file rows, per-file Bloom
+    * bitmaps (md5-60 positions, 63-bit words), the probe ladder, and the
+    * per-(probe, file) admissions — interpolated from the SAME constants
+    * `Relational.bloomProbeFrames` uses, and shared so the audit and the
+    * served-lookup gate can't drift. */
+  private def bloomCtesSql: String = {
+    import operators.Relational.{ZoneFiles, BloomWords, BloomHashes, BloomProbes, BloomProbeStepDenom}
+    val bits = BloomWords * 63
+    s"""WITH rows_ AS (SELECT o_orderkey AS k, o_custkey AS c,
+      |                      CAST(round(o_totalprice*100) AS BIGINT) AS cents
+      |               FROM orders),
+      |b AS (SELECT min(k) AS min_k, max(k) AS max_k,
+      |             min(c) AS min_c, max(c) AS max_c FROM rows_),
+      |tagged AS (SELECT ((k - min_k) * $ZoneFiles) // (max_k - min_k + 1) AS f, c, cents
+      |           FROM rows_, b),
+      |pos AS (SELECT DISTINCT f, c, i,
+      |          ('0x' || substr(md5(c::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % $bits AS p
+      |        FROM tagged, (SELECT unnest(range(0, $BloomHashes)) AS i) hs),
+      |words AS (SELECT f, p // 63 AS w,
+      |            bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS word
+      |          FROM pos GROUP BY 1, 2),
+      |fl AS (SELECT DISTINCT f FROM tagged),
+      |probes AS (SELECT pid, min_c + pid * ((max_c - min_c) // $BloomProbeStepDenom) AS key
+      |           FROM (SELECT unnest(range(0, $BloomProbes)) AS pid) ps, b),
+      |ppos AS (SELECT pid, key, i,
+      |           ('0x' || substr(md5(key::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % $bits AS p
+      |         FROM probes, (SELECT unnest(range(0, $BloomHashes)) AS i) hs),
+      |tests AS (SELECT pp.pid, pp.key, fl.f,
+      |            CASE WHEN wo.word IS NOT NULL
+      |                 AND (wo.word & (1::BIGINT << CAST(pp.p % 63 AS INT))) <> 0
+      |                 THEN 1 ELSE 0 END AS bit_set
+      |          FROM ppos pp CROSS JOIN fl
+      |          LEFT JOIN words wo ON wo.f = fl.f AND wo.w = pp.p // 63),
+      |hits AS (SELECT pid, key, f, CAST(min(bit_set) AS BIGINT) AS hit
+      |         FROM tests GROUP BY 1, 2, 3)""".stripMargin
   }
 
   /** x278's oracle — x231's shape under 2-D rectangle predicates, with
@@ -6640,34 +6678,8 @@ object SparkEntry {
 
     // x277: algorithm oracle — per-file Bloom bitmaps (md5-60 positions,
     // 63-bit words) rebuilt in SQL, probed by the same key ladder.
-    "x277_bloom_skipping" -> {
-      import operators.Relational.{ZoneFiles, BloomWords, BloomHashes, BloomProbes}
-      val bits = BloomWords * 63
-      s"""WITH rows_ AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders),
-        |b AS (SELECT min(k) AS min_k, max(k) AS max_k,
-        |             min(c) AS min_c, max(c) AS max_c FROM rows_),
-        |tagged AS (SELECT ((k - min_k) * $ZoneFiles) // (max_k - min_k + 1) AS f, c
-        |           FROM rows_, b),
-        |pos AS (SELECT DISTINCT f, c, i,
-        |          ('0x' || substr(md5(c::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % $bits AS p
-        |        FROM tagged, (SELECT unnest(range(0, $BloomHashes)) AS i) hs),
-        |words AS (SELECT f, p // 63 AS w,
-        |            bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS word
-        |          FROM pos GROUP BY 1, 2),
-        |fl AS (SELECT DISTINCT f FROM tagged),
-        |probes AS (SELECT pid, min_c + pid * ((max_c - min_c) // ${operators.Relational.BloomProbeStepDenom}) AS key
-        |           FROM (SELECT unnest(range(0, $BloomProbes)) AS pid) ps, b),
-        |ppos AS (SELECT pid, key, i,
-        |           ('0x' || substr(md5(key::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % $bits AS p
-        |         FROM probes, (SELECT unnest(range(0, $BloomHashes)) AS i) hs),
-        |tests AS (SELECT pp.pid, pp.key, fl.f,
-        |            CASE WHEN wo.word IS NOT NULL
-        |                 AND (wo.word & (1::BIGINT << CAST(pp.p % 63 AS INT))) <> 0
-        |                 THEN 1 ELSE 0 END AS bit_set
-        |          FROM ppos pp CROSS JOIN fl
-        |          LEFT JOIN words wo ON wo.f = fl.f AND wo.w = pp.p // 63),
-        |hits AS (SELECT pid, key, f, CAST(min(bit_set) AS BIGINT) AS hit
-        |         FROM tests GROUP BY 1, 2, 3),
+    "x277_bloom_skipping" ->
+      s"""$bloomCtesSql,
         |actual AS (SELECT p.pid, t.f, count(*) AS n
         |           FROM probes p JOIN tagged t ON t.c = p.key GROUP BY 1, 2)
         |SELECT h.pid, CAST(h.key AS BIGINT) AS probe_key,
@@ -6675,8 +6687,21 @@ object SparkEntry {
         |       CAST(count(a.f) AS BIGINT) AS n_files_actual,
         |       CAST(sum(h.hit) - count(a.f) AS BIGINT) AS n_false_pos
         |FROM hits h LEFT JOIN actual a ON a.pid = h.pid AND a.f = h.f
-        |GROUP BY 1, 2""".stripMargin
-    },
+        |GROUP BY 1, 2""".stripMargin,
+
+    // x280: the bloom-SERVED lookup — the oracle answers by DIRECT key
+    // lookup with no bloom anywhere, so a hash match proves the pruned
+    // path loses nothing (plus the scan-cost column's algorithm replica).
+    "x280_bloom_lookup" ->
+      s"""$bloomCtesSql,
+        |adm AS (SELECT pid, key, CAST(sum(hit) AS BIGINT) AS n_files_scanned
+        |        FROM hits GROUP BY 1, 2),
+        |d AS (SELECT p.pid, CAST(count(t.c) AS BIGINT) AS n_rows,
+        |             CAST(coalesce(sum(t.cents), 0) AS BIGINT) AS sum_cents
+        |      FROM probes p LEFT JOIN tagged t ON t.c = p.key GROUP BY 1)
+        |SELECT a.pid, CAST(a.key AS BIGINT) AS probe_key, a.n_files_scanned,
+        |       d.n_rows, d.sum_cents
+        |FROM adm a JOIN d ON d.pid = a.pid""".stripMargin,
 
     // x278: Morton vs Hilbert under 2-D rectangle predicates — the xy2d
     // unroll shared verbatim with the engine via Relational.hilbertSteps.

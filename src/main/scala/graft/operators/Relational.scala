@@ -1726,15 +1726,18 @@ object Relational {
         s"ELSE ((k - ${minK}L) * $ZoneFiles) div (${maxK}L - ${minK}L + 1) END").as("f"),
       col("c"))
 
-  def bloomSkipping(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared x277/x280 assembly: value-tagged file rows, the probe
+    * ladder, and the per-(probe, file) bloom admissions. */
+  private def bloomProbeFrames(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val (nf, np) = (ZoneFiles, BloomProbes)
     val rows = Tables.orders(spark, dir)
-      .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        cents(col("o_totalprice")).as("cents"))
     val bounds = rows.agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
       min(col("c")).as("min_c"), max(col("c")).as("max_c"))
     val tagged = rows.crossJoin(broadcast(bounds))
       .withColumn("f", expr(s"((k - min_k) * $nf) div (max_k - min_k + 1)"))
-      .select(col("f"), col("c"))
+      .select(col("f"), col("c"), col("cents"))
       .localCheckpoint() // feeds the bitmaps, the file list, and the truth
     val hashes = (0 until BloomHashes).map(lit(_))
     val words = bloomWordsFrame(tagged)
@@ -1752,6 +1755,11 @@ object Relational {
         expr("word & shiftleft(1L, cast(p % 63 as int))") =!= 0L, 1L).otherwise(0L))
     val hits = tests.groupBy(col("pid"), col("key"), col("f"))
       .agg(min(col("bit_set")).as("hit"))
+    (tagged, probes, hits)
+  }
+
+  def bloomSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val (tagged, probes, hits) = bloomProbeFrames(spark, dir)
     val actual = probes.join(tagged, col("c") === col("key"))
       .groupBy(col("pid"), col("f")).agg(count(lit(1)).as("n"))
     hits.join(actual, Seq("pid", "f"), "left")
@@ -1760,6 +1768,32 @@ object Relational {
       .agg(sum(col("hit")).as("n_files_hit"),
         count(col("n")).as("n_files_actual"),
         (sum(col("hit")) - count(col("n"))).as("n_false_pos"))
+  }
+
+  /** x280: the bitmaps SERVING a point-lookup join, not just auditing
+    * one — the scan is restricted to the bloom-ADMITTED (probe, file)
+    * pairs (a broadcast semi-filter, never touching skipped files) and
+    * the per-probe row count / cents sum are computed through that
+    * pruned path. The ORACLE computes the same answers by DIRECT key
+    * lookup with no bloom anywhere, so the hash match turns the
+    * no-false-negative contract into an oracle-checked END-TO-END
+    * property of the served values (x250's bucket-lookup gate, for the
+    * sketch). `n_files_scanned` (= x277's n_files_hit) records the price
+    * paid. */
+  def bloomServedLookup(spark: SparkSession, dir: String): DataFrame = {
+    val (tagged, probes, hits) = bloomProbeFrames(spark, dir)
+    val admitted = hits.filter(col("hit") === 1L)
+      .select(col("pid"), col("key"), col("f"))
+    val served = tagged.join(broadcast(admitted), Seq("f"))
+      .filter(col("c") === col("key"))
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+    val scanned = hits.groupBy(col("pid"), col("key"))
+      .agg(sum(col("hit")).as("n_files_scanned"))
+    scanned.join(served, Seq("pid"), "left")
+      .select(col("pid"), col("key").as("probe_key"), col("n_files_scanned"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
   }
 
   /** Layout-rewrite skipping delta (x231): x222's zone-map audit run

@@ -3839,6 +3839,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got.exists(_._4 > 0L))
   }
 
+  test("bloomServedLookup (x280): served values ≡ direct lookup; pruning is real") {
+    val orders = graft.Tables.orders(spark, sf)
+      .select($"o_custkey", Relational.cents($"o_totalprice").as("cents"))
+      .as[(Long, Long)].collect()
+    val audit = Relational.bloomSkipping(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val got = Relational.bloomServedLookup(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == Relational.BloomProbes)
+    got.foreach { case (pid, key, scanned, nRows, sumCents) =>
+      val direct = orders.filter(_._1 == key)
+      // end-to-end no-false-negative: the pruned path answers exactly
+      assert((nRows, sumCents) == ((direct.length.toLong, direct.map(_._2).sum)),
+        s"probe $pid key=$key")
+      // the scan-cost column is x277's admission count
+      assert(scanned == audit(pid)._3, s"probe $pid")
+    }
+    // pruning is real: some probe scans strictly fewer than all files
+    val nFiles = Relational.ZoneFiles.toLong
+    assert(got.exists(_._3 < nFiles))
+  }
+
   test("hilbertSkippingDelta (x278): xy2d replay + bijection + ADJACENCY " +
     "(the property Morton lacks); audit sound on both layouts") {
     // the reference algorithm, straight off the classic xy2d
