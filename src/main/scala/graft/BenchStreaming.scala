@@ -137,24 +137,25 @@ object BenchStreaming {
       } finally deleteTree(root)
     }
 
-    // the two vector-store ingest twins share ONE harness shape (drop-dir
-    // setup, even/odd two-file arrival, timing boundary) so the knn vs
-    // ann rows/s comparison — the measured cost of the exact O(corpus·Δ)
-    // merge vs the signature-bucket probe join — stays like-for-like
-    def runVectorIngest(name: String,
-                        start: (org.apache.spark.sql.DataFrame, String, String) =>
-                          org.apache.spark.sql.streaming.StreamingQuery): (String, Double) = {
+    // ONE drop-dir harness for every incremental-ingest twin (vector AND
+    // bloom rows — r15 advisory): even/odd two-file arrival on `splitKey`,
+    // maxFilesPerTrigger=1 (two incremental merges, the ingest shape),
+    // timer strictly around the AvailableNow run. Parameterized by the
+    // source frame and the started query so a new row can't drift from
+    // the shared measurement discipline; anything frozen pre-timer (model
+    // state, layout bounds) is computed by the CALLER before this runs.
+    def runDropIngest(name: String, source: DataFrame, splitKey: String,
+                      start: (DataFrame, String, String) =>
+                        org.apache.spark.sql.streaming.StreamingQuery): (String, Double) = {
       import org.apache.spark.sql.functions.col
       val root = Files.createTempDirectory(s"graft-sbench-$name")
       try {
-        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        // two arrival files → two incremental merges (the ingest shape)
-        emb.filter(col("vec_id") % 2 === 0).write.parquet(s"$root/drop")
-        emb.filter(col("vec_id") % 2 === 1).write.mode("append")
+        source.filter(col(splitKey) % 2 === 0).write.parquet(s"$root/drop")
+        source.filter(col(splitKey) % 2 === 1).write.mode("append")
           .parquet(s"$root/drop")
-        val n = emb.count()
+        val n = source.count()
         val t0 = System.nanoTime()
-        start(spark.readStream.schema(emb.schema)
+        start(spark.readStream.schema(source.schema)
             .option("maxFilesPerTrigger", 1).parquet(s"$root/drop"),
           s"$root/stage", s"$root/ckpt")
           .awaitTermination()
@@ -162,6 +163,11 @@ object BenchStreaming {
         name -> (n / sec)
       } finally deleteTree(root)
     }
+    def runVectorIngest(name: String,
+                        start: (org.apache.spark.sql.DataFrame, String, String) =>
+                          org.apache.spark.sql.streaming.StreamingQuery): (String, Double) =
+      runDropIngest(name, spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        "vec_id", start)
     def runKnnIngest(): (String, Double) = runVectorIngest("knn_ingest",
       graft.streaming.VectorStream.startKnnIngest(_, _, _))
     def runAnnIngest(): (String, Double) = runVectorIngest("ann_ingest",
@@ -182,27 +188,14 @@ object BenchStreaming {
     // state per batch); layout bounds are frozen config, fetched pre-timer
     def runBloomIngest(): (String, Double) = {
       import org.apache.spark.sql.functions.{col, max, min}
-      val root = Files.createTempDirectory("graft-sbench-bloom-ingest")
-      try {
-        val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-          .select(col("o_orderkey"), col("o_custkey"))
-        val (minK, maxK) = {
-          val r = orders.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
-          (r.getLong(0), r.getLong(1))
-        }
-        orders.filter(col("o_orderkey") % 2 === 0).write.parquet(s"$root/drop")
-        orders.filter(col("o_orderkey") % 2 === 1).write.mode("append")
-          .parquet(s"$root/drop")
-        val n = orders.count()
-        val t0 = System.nanoTime()
-        graft.streaming.BloomStream.startBloomIngest(
-          spark.readStream.schema(orders.schema)
-            .option("maxFilesPerTrigger", 1).parquet(s"$root/drop"),
-          s"$root/stage", s"$root/ckpt", minK, maxK)
-          .awaitTermination()
-        val sec = (System.nanoTime() - t0) / 1e9
-        "bloom_ingest" -> (n / sec)
-      } finally deleteTree(root)
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val (minK, maxK) = {
+        val r = orders.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      runDropIngest("bloom_ingest", orders, "o_orderkey",
+        graft.streaming.BloomStream.startBloomIngest(_, _, _, minK, maxK))
     }
 
     def runTermIngest(): (String, Double) = {

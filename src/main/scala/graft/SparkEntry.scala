@@ -2862,8 +2862,10 @@ object SparkEntry {
         |  ON p.p_size = f.f_size AND p.price_cents = f.min_price_cents""".stripMargin,
 
     // x135: mean-shift split — prefix sums over the daily frame, totals
-    // CTE crossed in, cross-multiplied integer score, single-IEEE
-    // divisions for means and the ranking score, earliest-day tiebreak.
+    // CTE crossed in, cross-multiplied integer score in HUGEINT (the
+    // engine uses DECIMAL(38,0): the r16 sf1 gate caught the BIGINT form
+    // wrapping), single-IEEE divisions for means and the ranking score,
+    // earliest-day tiebreak.
     "x135_mean_shift" ->
       """WITH daily AS (
         |  SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
@@ -2882,8 +2884,8 @@ object SparkEntry {
         |              rev_total - rev_before_cents AS rev_after_cents
         |       FROM cum, tot),
         |s2 AS (SELECT *,
-        |              abs(rev_before_cents * n_after - rev_after_cents * n_before) AS score_num,
-        |              CAST(abs(rev_before_cents * n_after - rev_after_cents * n_before) AS DOUBLE)
+        |              CAST(abs(CAST(rev_before_cents AS HUGEINT) * n_after
+        |                       - CAST(rev_after_cents AS HUGEINT) * n_before) AS DOUBLE)
         |                / CAST(n_before * n_after AS DOUBLE) AS shift_dbl
         |       FROM sc WHERE n_after > 0)
         |SELECT day AS split_day, n_before, n_after, rev_before_cents, rev_after_cents,

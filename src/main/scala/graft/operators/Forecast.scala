@@ -197,11 +197,13 @@ object Forecast {
     * happens ONCE per row for ranking/display — a single IEEE op on
     * exactly-replicated longs, identical in both engines (the repo's
     * avg discipline). Tie on the score breaks to the earliest day. The
-    * integer score fits a Long while total_revenue_cents × n_days
-    * < 2⁶³ (≈ $4×10¹¹ over a 2400-day calendar); past that, quantize
-    * revenue to whole dollars before scoring — the bound is revenue ×
-    * CALENDAR days, not row count, so it grows only with the business,
-    * not the corpus.
+    * cross-multiplied score is computed in DECIMAL(38,0) (Spark) /
+    * HUGEINT (oracle) — the r16 sf1 gate caught the Long form wrapping
+    * at total_revenue_cents × n_orders ≳ 2⁶³ (≈ $2×10¹¹ × 1.5M orders),
+    * and 128-bit intermediates push the bound past any realizable
+    * revenue while the PUBLISHED columns keep their BIGINT/DOUBLE types
+    * (both engines' int→double conversions are correctly rounded, so
+    * shift_dbl stays bit-identical).
     *
     * 100 TB shape: the corpus-sized work is ONE partial-agg'd
     * groupBy(day) onto the calendar-bounded daily frame
@@ -228,8 +230,9 @@ object Forecast {
       .withColumn("n_after", col("n_total") - col("n_before"))
       .withColumn("rev_after_cents", col("rev_total") - col("rev_before_cents"))
       .filter(col("n_after") > 0)
-      .withColumn("score_num", abs(col("rev_before_cents") * col("n_after") -
-        col("rev_after_cents") * col("n_before")))
+      .withColumn("score_num",
+        abs(col("rev_before_cents").cast("decimal(38,0)") * col("n_after") -
+          col("rev_after_cents").cast("decimal(38,0)") * col("n_before")))
       .withColumn("shift_dbl", col("score_num").cast("double") /
         (col("n_before") * col("n_after")).cast("double"))
       .orderBy(col("shift_dbl").desc, col("day"))

@@ -123,14 +123,15 @@ object ProductQuant {
     * share one fit per geometry, the same once-per-JVM contract as the
     * staged snapshot dirs. */
   private val cbCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, Int, Int), Seq[(Int, Int, Seq[Long])]]
+    .empty[(String, Int, Int, Int, Int), Seq[(Int, Int, Seq[Long])]]
 
   private[graft] def trainCodebook(spark: SparkSession, dir: String,
                                    subspaces: Int = PqSubspaces,
                                    subDim: Int = PqSubDim,
-                                   codes: Int = PqCodes): Seq[(Int, Int, Seq[Long])] =
-    cbCache.getOrElseUpdate((dir, subspaces, subDim, codes),
-      trainCodebookUncached(spark, dir, subspaces, subDim, codes))
+                                   codes: Int = PqCodes,
+                                   iters: Int = PqIters): Seq[(Int, Int, Seq[Long])] =
+    cbCache.getOrElseUpdate((dir, subspaces, subDim, codes, iters),
+      trainCodebookUncached(spark, dir, subspaces, subDim, codes, iters))
 
   /** Deterministic integer Lloyd: init centroid (m, c) = vector c's m-th
     * subvector, then `PqIters` rounds of assign → elementwise
@@ -142,14 +143,32 @@ object ProductQuant {
   private[graft] def trainCodebookUncached(spark: SparkSession, dir: String,
                                            subspaces: Int = PqSubspaces,
                                            subDim: Int = PqSubDim,
-                                           codes: Int = PqCodes): Seq[(Int, Int, Seq[Long])] = {
+                                           codes: Int = PqCodes,
+                                           iters: Int = PqIters,
+                                           persist: Boolean = true): Seq[(Int, Int, Seq[Long])] = {
     import graft.functions.ArrayLongSum.array_long_sum
-    val sub = subvectors(quantized(spark, dir), subspaces, subDim)
+    // localCheckpoint: the training frame is re-read iters+1 times
+    // (init + one assign per iteration); materializing it once cuts the
+    // repeated parquet-scan+explode out of every Lloyd round (r15 verdict
+    // task 2) without touching the integer-exact values the oracle
+    // replays. `persist = false` is graft.tools.PqGeometry's before/after
+    // hook — it exists to PRICE the checkpoint, not to be used.
+    val subRaw = subvectors(quantized(spark, dir), subspaces, subDim)
+    val sub = if (persist) subRaw.localCheckpoint() else subRaw
     var cb: Seq[(Int, Int, Seq[Long])] = sub.filter(col("vec_id") < codes)
       .collect()
       .map(r => (r.getInt(1), r.getLong(0).toInt, r.getSeq[Long](2)))
       .sortBy(t => (t._1, t._2))
-    for (_ <- 1 to PqIters) {
+    // Geometry invariant at FIT time, not just in the spec (r15 advisory):
+    // seeding reads vectors with vec_id < codes, so a sparse/reindexed
+    // corpus missing any id in [0, codes) would silently ship an
+    // undersized codebook — engine and oracle would degrade identically,
+    // making the gate blind to it. Fail loudly instead.
+    require(cb.size == subspaces * codes,
+      s"PQ codebook init found ${cb.size} (m, code) seed rows, expected " +
+        s"$subspaces×$codes: the corpus at $dir is missing vec_ids in " +
+        s"[0, $codes) — seed ids must be dense for the deterministic init")
+    for (_ <- 1 to iters) {
       val sums = assign(sub, cbToDf(spark, cb))
         .groupBy(col("m"), col("code"))
         .agg(array_long_sum(col("sv")).as("sums"), count(lit(1)).as("n"))
@@ -197,6 +216,9 @@ object ProductQuant {
 
   def pqAdcTopK(spark: SparkSession, dir: String, qHi: Int = PqQHi,
                 k: Int = PqTopK): DataFrame = {
+    // KEPT as a rank window on purpose: x272 is the documented window-form
+    // baseline of the x272/x276 pair (the measured before/after of the
+    // aggregate swap); every shipping ANN ranking now uses the aggregate.
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
     adcScores(spark, dir, qHi)
       .withColumn("rank", row_number().over(w).cast("int"))
@@ -280,13 +302,18 @@ object ProductQuant {
     // the Q·k-row result is consumed twice downstream without re-expanding
     // the cross (the x116/x224 pattern) — without the cut the ledger's
     // three joins would each replay the corpus×queries scan.
-    val exact = e.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), d2(col("qqv"), col("qv")).as("true_d2"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("true_d2"), col("vec_id"))))
-      .filter(col("rank") <= k)
-      .localCheckpoint()
+    val exact = {
+      import graft.functions.TopKLongPairs.top_k_long_pairs
+      e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), d2(col("qqv"), col("qv")).as("true_d2"))
+        .groupBy(col("q_id"))
+        .agg(top_k_long_pairs(col("true_d2"), col("vec_id"), k).as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col.id").as("vec_id"),
+          col("col.sk").as("true_d2"), (col("pos") + 1).cast("int").as("rank"))
+        .localCheckpoint()
+    }
     // true distances of the PQ picks: the Q·k pick list is broadcast back
     // against the corpus scan (equi-join on vec_id — no second cross) and
     // scored against the broadcast query vectors.
@@ -396,23 +423,33 @@ object ProductQuant {
     * cell, m, code). Per-vector PURE given the frozen codebooks — which
     * is why the streaming ingest of this index is append-only
     * ([[graft.streaming.VectorStream.startPqIngest]]). */
+  /** (subspaces, subDim) read off a fitted codebook — geometry travels
+    * WITH the model state, so every consumer (batch topK, the streaming
+    * encoder) prices any geometry without a parallel constant set. */
+  private[graft] def geometryOf(cb: Codebook): (Int, Int) =
+    (cb.map(_._1).max + 1, cb.head._3.length)
+
   private[graft] def indexFrame(emb: DataFrame, pcb: Codebook,
                                 ccb: Codebook): DataFrame = {
     val spark = emb.sparkSession
+    val (m, sd) = geometryOf(pcb)
+    val cellDim = ccb.head._3.length
     val q = quantizeFrame(emb)
-    val cells = assign(subvectors(q, 1, PqSubspaces * PqSubDim), cbToDf(spark, ccb))
+    val cells = assign(subvectors(q, 1, cellDim), cbToDf(spark, ccb))
       .select(col("vec_id"), col("code").as("cell"))
-    assign(subvectors(q), cbToDf(spark, pcb))
+    assign(subvectors(q, m, sd), cbToDf(spark, pcb))
       .select(col("vec_id"), col("m"), col("code"))
       .join(cells, Seq("vec_id"))
   }
 
   def ivfPqTopK(spark: SparkSession, dir: String, qHi: Int = PqQHi,
                 k: Int = PqTopK, nCells: Int = IvfPqCells,
-                nProbe: Int = IvfPqProbe): DataFrame = {
-    val dim = PqSubspaces * PqSubDim
-    val pcb = trainCodebook(spark, dir)
-    val ccb = trainCodebook(spark, dir, 1, dim, nCells)
+                nProbe: Int = IvfPqProbe, window: Boolean = false,
+                subspaces: Int = PqSubspaces, subDim: Int = PqSubDim,
+                codes: Int = PqCodes, iters: Int = PqIters): DataFrame = {
+    val dim = subspaces * subDim
+    val pcb = trainCodebook(spark, dir, subspaces, subDim, codes, iters)
+    val ccb = trainCodebook(spark, dir, 1, dim, nCells, iters)
     val e = quantized(spark, dir)
     val full = subvectors(e, 1, dim)
     val index = indexFrame(Tables.embeddings(spark, dir), pcb, ccb)
@@ -423,7 +460,7 @@ object ProductQuant {
         Window.partitionBy(col("vec_id")).orderBy(col("cd2"), col("code"))))
       .filter(col("p_rank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("code").as("cell"))
-    val lut = subvectors(e).filter(col("vec_id") < qHi)
+    val lut = subvectors(e, subspaces, subDim).filter(col("vec_id") < qHi)
       .withColumnRenamed("vec_id", "q_id")
       .join(broadcast(cbToDf(spark, pcb)), Seq("m"))
       .select(col("q_id"), col("m"), col("code"), d2(col("sv"), col("cv")).as("pd2"))
@@ -432,9 +469,24 @@ object ProductQuant {
       .join(broadcast(lut), Seq("q_id", "m", "code"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("pd2")).as("adc_dist"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
-    adc.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
+    // final ranking through the bounded top-k AGGREGATE (x276's form, r15
+    // verdict task 3): the probed-candidate frame grows with the corpus,
+    // so no second full shuffle+sort — the probe window above is bounded
+    // by nCells and stays. `window = true` keeps the rank-window twin for
+    // the bit-identity spec.
+    if (window) {
+      val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+      adc.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= k)
+    } else {
+      import graft.functions.TopKLongPairs.top_k_long_pairs
+      adc.groupBy(col("q_id"))
+        .agg(top_k_long_pairs(col("adc_dist"), col("vec_id"), k).as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col.id").as("vec_id"),
+          col("col.sk").as("adc_dist"),
+          (col("pos") + 1).cast("int").as("rank"))
+    }
   }
 
   /** x272's oracle. */

@@ -50,6 +50,48 @@ object Similarity {
     * a composition of exact IEEE ops, so it is bit-identical cross-engine. */
   def trunc6(c: Column): Column = floor(c * lit(1000000.0)) / lit(1000000.0)
 
+  /** Per-query top-k by (trunc6 cosine DESC, vec_id ASC) — x276's
+    * bounded-aggregate form ([[graft.functions.TopKLongPairs]]) applied to
+    * the shipping ANN rankings (r15 verdict task 3). The trunc6 grid makes
+    * the double ordering INTEGER-exact: `floor(cos·10⁶)` (a bigint in-plan)
+    * is trunc6's own integer, so ranking on `sk = −floor(cos·10⁶)`
+    * ascending IS the truncated-cosine-descending order, and the emitted
+    * `cos_sim = (−sk)/10⁶` is the same correctly-rounded double trunc6
+    * produces — output bit-identical to the window form (spec-asserted per
+    * converted site; precondition: no NaN cosines, which the corpora
+    * satisfy — x93's zero-norm audit is the gate). Input: (q_id, vec_id,
+    * cos_raw) with cos_raw UNtruncated (`onGrid = false`) or already ON
+    * the trunc6 grid (`onGrid = true`, key via round — re-flooring a
+    * rounded grid double could step down one ulp). `window = true` keeps
+    * the rank-window twin for the bit-identity specs.
+    *
+    * Why: the window form — even bounded by WindowGroupLimit — locally
+    * SORTS the full candidate frame on every mapper and re-shuffles it;
+    * the aggregate keeps ≤2k pairs per (query × mapper), combines
+    * map-side, and ships O(mappers·Q·2k) pairs, no sort. At 1000
+    * executors that is the difference between sorting the corpus×Q frame
+    * and shuffling a constant per task. */
+  private[graft] def topKByCosine(scored: DataFrame, k: Int,
+                                  onGrid: Boolean = false,
+                                  window: Boolean = false): DataFrame =
+    if (window) {
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+      scored.select(col("q_id"), col("vec_id"),
+          (if (onGrid) col("cos_raw") else trunc6(col("cos_raw"))).as("cos_sim"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    } else {
+      import graft.functions.TopKLongPairs.top_k_long_pairs
+      val key = if (onGrid) round(col("cos_raw") * lit(1000000.0)).cast("long")
+        else floor(col("cos_raw") * lit(1000000.0))
+      scored.select(col("q_id"), (-key).as("sk"), col("vec_id"))
+        .groupBy(col("q_id"))
+        .agg(top_k_long_pairs(col("sk"), col("vec_id"), k).as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col.id").as("vec_id"),
+          ((-col("col.sk")).cast("double") / lit(1000000.0)).as("cos_sim"),
+          (col("pos") + 1).as("rank"))
+    }
+
   /** Deterministic ±1 hyperplane matrix: component (p, d) is a driver-side
     * MurmurHash3 of the indices — reproducible with no RNG state, identical
     * every build, and therefore bakeable into both the Spark plan and the
@@ -86,7 +128,7 @@ object Similarity {
     * loop per pair, bit-identical to the HOF form (see
     * CosineSimilaritySpec) but without a lambda call per element. */
   def bruteForceTopK(spark: SparkSession, dir: String, qLo: Int = 0, qHi: Int = 10,
-                     k: Int = 5): DataFrame = {
+                     k: Int = 5, window: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions.cosine_sim
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -95,9 +137,8 @@ object Similarity {
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        trunc6(cosine_sim(col("qv"), col("v"))).as("cos_sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        cosine_sim(col("qv"), col("v")).as("cos_raw"))
+    topKByCosine(scored, k, window = window)
   }
 
   /** Embedding-table audit (x93): per label, the vector-quality gate a
@@ -143,6 +184,10 @@ object Similarity {
       .select(col("q_id"), col("q_label"), col("vec_id"),
         col("label").as("neg_label"),
         trunc6(cosine_sim(col("qv"), col("v"))).as("cos_sim"))
+    // window KEPT (r16 sweep): the output carries label columns the
+    // (sk, id)-pair aggregate can't — recovering them would cost a second
+    // corpus join, while WindowGroupLimit already bounds this window's
+    // shuffle to ≤k rows per (query × mapper)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -165,7 +210,7 @@ object Similarity {
     * ~37/256 of it instead of all of it. */
   def lshTopK(spark: SparkSession, dir: String, qLo: Int = 10, qHi: Int = 20,
               k: Int = 5, planes: Int = LshPlanes,
-              probeRadius: Int = LshProbeRadius): DataFrame = {
+              probeRadius: Int = LshProbeRadius, window: Boolean = false): DataFrame = {
     val signs = hyperplaneSigns(planes)
     // all XOR masks within Hamming `probeRadius` of 0 — plan-time constant
     val masks: Seq[Int] =
@@ -183,9 +228,8 @@ object Similarity {
     val scored = emb.join(broadcast(queries), col("sig") === col("probe_sig"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        trunc6(graft.functions.VectorFunctions.cosine_sim(col("qv"), col("v"))).as("cos_sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        graft.functions.VectorFunctions.cosine_sim(col("qv"), col("v")).as("cos_raw"))
+    topKByCosine(scored, k, window = window)
   }
 
   /** IVF (inverted-file) ANN: MLlib KMeans partitions the corpus into
@@ -220,7 +264,8 @@ object Similarity {
     df.repartition(8, col("vec_id")).sortWithinPartitions(col("vec_id"))
 
   def ivfTopK(spark: SparkSession, dir: String, qLo: Int = IvfQLo, qHi: Int = IvfQHi,
-              k: Int = 5, nCentroids: Int = 16, nProbe: Int = 14): DataFrame = {
+              k: Int = 5, nCentroids: Int = 16, nProbe: Int = 14,
+              window: Boolean = false): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import graft.functions.VectorFunctions.cosine_sim
@@ -258,11 +303,13 @@ object Similarity {
 
     val scored = assigned.join(broadcast(queries), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), trunc6(cosine_sim(col("qv"), col("v"))).as("cos_sim"))
+      .select(col("q_id"), col("vec_id"), cosine_sim(col("qv"), col("v")).as("cos_raw"))
     // no pair dedup needed: a vector lives in exactly one cell and the
-    // (q_id, cluster) probe rows are distinct
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // (q_id, cluster) probe rows are distinct. The p_rank probe window
+    // above stays a window ON PURPOSE: its frame is queries × nCentroids
+    // (bounded by the cell count, not the corpus) — the aggregate buys
+    // nothing there.
+    topKByCosine(scored, k, window = window)
   }
 
   /** IVF over JL-projected vectors (the x60 → x18 composition): the
@@ -327,7 +374,11 @@ object Similarity {
       .filter(col("p_rank") <= nProbe)
       .select(col("q_id"), col("qpv"), col("cluster"))
 
-    // candidate ranking in projected space: top k·rerankFactor per query
+    // candidate ranking in projected space: top k·rerankFactor per query.
+    // Window KEPT (r16 sweep): p_sim is the RAW projected cosine, not on
+    // the trunc6 grid — forcing it onto an integer grid for the pair
+    // aggregate would create ties the shipped semantics don't have; the
+    // final rerank below operates on the bounded k·rerankFactor pool
     val cw = Window.partitionBy(col("q_id")).orderBy(col("p_sim").desc, col("vec_id"))
     val survivors = assigned.join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -548,6 +599,10 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         trunc6(cosine_sim(col("qv"), col("v"))).as("cos_exact"),
         trunc6(cosine_sim(col("qq"), col("q"))).as("cos_quant"))
+    // windows KEPT (r16 sweep): the ledger consumes FULL ranks (the
+    // quant_rank_sum term reads rank_quant values up to corpus size), so
+    // a bounded top-k aggregate cannot express this — full ranking is the
+    // semantics, not an implementation choice
     val we = Window.partitionBy(col("q_id")).orderBy(col("cos_exact").desc, col("vec_id"))
     val wq = Window.partitionBy(col("q_id")).orderBy(col("cos_quant").desc, col("vec_id"))
     scored
@@ -567,11 +622,13 @@ object Similarity {
   /** The exact all-pairs ranked top-k — [[KnnStage]]'s compute path.
     * x09's scoring contract (trunc6 cosine, ties to smaller vec_id)
     * over EVERY ordered pair: one corpus scan crossed against the
-    * broadcast vector table, per-vector top-k via WindowGroupLimit
-    * (rank ≤ k prunes map-side). This is the O(N²) step the stage pays
-    * once per snapshot; at 100 TB an ANN index build replaces it (the
-    * x09↔x18 relationship) and exports the same (q_id, vec_id,
-    * cos_sim, rank) table. */
+    * broadcast vector table, per-vector top-k via the bounded
+    * [[topKByCosine]] aggregate — on the engine's LARGEST candidate
+    * frame (N² pairs) the swap matters most: no mapper-local sort of
+    * the pair frame, O(mappers·N·2k) pairs shuffled. This is the O(N²)
+    * step the stage pays once per snapshot; at 100 TB an ANN index
+    * build replaces it (the x09↔x18 relationship) and exports the same
+    * (q_id, vec_id, cos_sim, rank) table. */
   private[graft] def computeRankedTopK(spark: SparkSession, dir: String,
                                        k: Int): DataFrame =
     computeRankedTopK(Tables.embeddings(spark, dir)
@@ -579,15 +636,15 @@ object Similarity {
 
   /** Frame-based overload — the unit the streaming kNN ingester
     * bootstraps from (`streaming.VectorStream`). Input: (vec_id, v). */
-  private[graft] def computeRankedTopK(emb: DataFrame, k: Int): DataFrame = {
+  private[graft] def computeRankedTopK(emb: DataFrame, k: Int,
+                                       window: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions.cosine_sim
     val side = emb.select(col("vec_id").as("q_id"), col("v").as("qv"))
     val scored = emb.crossJoin(broadcast(side))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        trunc6(cosine_sim(col("qv"), col("v"))).as("cos_sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        cosine_sim(col("qv"), col("v")).as("cos_raw"))
+    topKByCosine(scored, k, window = window)
   }
 
   /** k for [[lshRecallCurve]] (x202) — shared with the DuckDB oracle. */
@@ -672,6 +729,9 @@ object Similarity {
       .withColumn("sig", graft.functions.HashSignatures.hyperplane_sig(col("v"), signs))
     val cand = lshCurveCandidates(emb, planes, maxRadius, querySampleBps)
       .localCheckpoint() // read by the candidate rollup and the rank path
+    // window KEPT (r16 sweep): the frame partitions by the COMPOSITE
+    // (q_id, radius) key and is cut by localCheckpoint to one audit-sized
+    // candidate table read twice; WindowGroupLimit bounds the rank pass
     val ranked = cand.withColumn("rk", row_number().over(
         Window.partitionBy(col("q_id"), col("radius"))
           .orderBy(col("cos_sim").desc, col("vec_id"))))
@@ -724,10 +784,12 @@ object Similarity {
         broadcast(newEmb.select(col("vec_id").as("w_id"), col("v").as("wv"))))
       .select(col("vec_id").as("q_id"), col("w_id").as("vec_id"),
         trunc6(cosine_sim(col("v"), col("wv"))).as("cos_sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    oldRanked.select(col("q_id"), col("vec_id"), col("cos_sim"))
+    // every input here is ALREADY on the trunc6 grid (the stored artifact
+    // and two freshly-truncated score frames), so the merge re-rank keys
+    // on round(cos·10⁶) — the onGrid contract of [[topKByCosine]]
+    topKByCosine(oldRanked.select(col("q_id"), col("vec_id"), col("cos_sim"))
       .union(oldVsNew).union(newLists)
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .withColumnRenamed("cos_sim", "cos_raw"), k, onGrid = true)
   }
 
   /** Incremental exact-kNN ingest (x203): split the corpus into the
@@ -746,17 +808,9 @@ object Similarity {
     val isNew = pmod(col("vec_id"), lit(KnnIngestMod.toLong)) === (KnnIngestMod - 1)
     val oldEmb = emb.filter(!isNew).localCheckpoint()
     val newEmb = emb.filter(isNew).localCheckpoint()
-    val day1 = {
-      val side = oldEmb.select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val scored = oldEmb.crossJoin(broadcast(side))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          trunc6(graft.functions.VectorFunctions.cosine_sim(col("qv"), col("v")))
-            .as("cos_sim"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-        .localCheckpoint() // yesterday's artifact, already paid
-    }
+    // yesterday's artifact, already paid — the same all-pairs unit
+    // KnnStage computes, checkpointed as the merge's base table
+    val day1 = computeRankedTopK(oldEmb, k).localCheckpoint()
     mergeRanked(day1, oldEmb, newEmb, k)
   }
 
@@ -1019,6 +1073,8 @@ object Similarity {
         explode(array(dims.map(d => struct(lit(d.toLong).as("d"),
           col(s"cos_$d").as("cos"))): _*)).as("dc"))
       .select(col("q_id"), col("vec_id"), col("dc.d").as("d"), col("dc.cos").as("cos"))
+    // window KEPT (r16 sweep): composite (q_id, d) partition key over the
+    // audit's stacked frame; WindowGroupLimit bounds the rank pass
     val wd = Window.partitionBy(col("q_id"), col("d"))
       .orderBy(col("cos").desc, col("vec_id"))
     val ranked = stacked.withColumn("rk", row_number().over(wd))

@@ -95,6 +95,20 @@ private[graft] object IngestCommit {
         !n.startsWith("_") && !n.startsWith(".")
       }
 
+  /** ONE definition of the unmanaged-file refusal shared by
+    * [[readStage]], [[readStageAsOf]] and [[compactStageRoot]] (r15
+    * advisory: the three verbatim copies could drift if the
+    * `batchN`/`compactN` naming ever changes). `why` is the call-site
+    * tail explaining what would go wrong there. */
+  private def requireManaged(target: String, visible: Array[Path],
+                             why: String): Unit = {
+    val unmanaged = visible.map(_.getName)
+      .filter(n => batchIdOf(n).isEmpty && compactIdOf(n).isEmpty)
+    require(unmanaged.isEmpty,
+      s"stage target $target holds files outside the batch*/compact* " +
+        s"naming (${unmanaged.take(3).mkString(", ")}…)$why")
+  }
+
   /** Compaction-aware read of a delta-file stage target: on a
     * never-compacted dir it reads every visible file EXCEPT
     * uncommitted-compaction leftovers (a first compaction that crashed
@@ -118,13 +132,9 @@ private[graft] object IngestCommit {
       else spark.read.parquet(live.map(_.toString).toIndexedSeq: _*)
     } else {
       val visible = visibleFiles(fs, target)
-      val unmanaged = visible.map(_.getName)
-        .filter(n => batchIdOf(n).isEmpty && compactIdOf(n).isEmpty)
-      require(unmanaged.isEmpty,
-        s"stage target $target holds files outside the batch*/compact* " +
-          s"naming (${unmanaged.take(3).mkString(", ")}…) after a committed " +
-          "compaction: reading through the compaction protocol would " +
-          "silently drop those rows — append through commitDelta instead")
+      requireManaged(target, visible, " after a committed " +
+        "compaction: reading through the compaction protocol would " +
+        "silently drop those rows — append through commitDelta instead")
       val files = visible.filter { p =>
         val n = p.getName
         compactIdOf(n).contains(cid) || batchIdOf(n).exists(_ > cid)
@@ -157,12 +167,8 @@ private[graft] object IngestCommit {
         "generation later) — compaction is the time-travel retention horizon")
     val fs = fsOf(spark, target)
     val visible = visibleFiles(fs, target)
-    val unmanaged = visible.map(_.getName)
-      .filter(n => batchIdOf(n).isEmpty && compactIdOf(n).isEmpty)
-    require(unmanaged.isEmpty,
-      s"stage target $target holds files outside the batch*/compact* " +
-        s"naming (${unmanaged.take(3).mkString(", ")}…): they carry no " +
-        "generation, so an AS OF read cannot classify them")
+    requireManaged(target, visible, ": they carry no " +
+      "generation, so an AS OF read cannot classify them")
     val files = visible.filter { p =>
       val n = p.getName
       compactIdOf(n).contains(cid) || batchIdOf(n).exists(id => id > cid && id <= asOf)
@@ -190,13 +196,9 @@ private[graft] object IngestCommit {
     val fs = fsOf(spark, target)
     val tp = new Path(target)
     if (!fs.exists(tp)) return -1L
-    val names = visibleFiles(fs, target).map(_.getName)
-    val unmanaged = names.filter(n => batchIdOf(n).isEmpty && compactIdOf(n).isEmpty)
-    require(unmanaged.isEmpty,
-      s"stage target $target holds files outside the batch*/compact* " +
-        s"naming (${unmanaged.take(3).mkString(", ")}…): not an " +
-        "IngestCommit-managed root — compacting it would drop those files " +
-        "from readStage. Use Maintenance.compacted for plain tables.")
+    requireManaged(target, visibleFiles(fs, target), ": not an " +
+      "IngestCommit-managed root — compacting it would drop those files " +
+      "from readStage. Use Maintenance.compacted for plain tables.")
     val cur = committedCompaction(spark, target)
     // GC, one generation late: files superseded by the CURRENT committed
     // compaction (covered batches, older compact generations) and any

@@ -52,14 +52,38 @@ object VectorStream {
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private val BatchDirRe = "^b(\\d+)$".r
+
+  /** The applied (`b<id>`, id ≤ upTo) batch dirs under
+    * `<stageRoot>/<sub>` — ONE parser for [[vecs]] and [[pqIndex]]. A
+    * non-hidden entry outside the `b<digits>` naming (a backup/ dir, a
+    * stray file) refuses LOUDLY by name instead of crashing with a bare
+    * NumberFormatException mid-`toLong` (r15 advisory) — the same
+    * unmanaged-entry contract as [[IngestCommit.readStage]]. */
+  private def appliedBatchDirs(fs: FileSystem, stageRoot: String,
+                               sub: String, upTo: Long): Seq[String] = {
+    val entries = fs.listStatus(new Path(s"$stageRoot/$sub")).map(_.getPath)
+      .filterNot { p =>
+        val n = p.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+    val unmanaged = entries.map(_.getName)
+      .filterNot(n => BatchDirRe.matches(n))
+    require(unmanaged.isEmpty,
+      s"stage dir $stageRoot/$sub holds entries outside the b<id> batch " +
+        s"naming (${unmanaged.take(3).mkString(", ")}…): not managed by " +
+        "this ingester — reading through it would misclassify them")
+    entries.collect {
+      case p if BatchDirRe.findFirstMatchIn(p.getName)
+        .exists(_.group(1).toLong <= upTo) => p.toString
+    }.toIndexedSeq
+  }
+
   /** The published corpus-so-far: vec logs of every applied batch. */
   private[streaming] def vecs(spark: SparkSession, stageRoot: String): DataFrame = {
     val fs = fsOf(spark, stageRoot)
     val upTo = IngestCommit.lastApplied(spark, stageRoot)
-    val parts = fs.listStatus(new Path(s"$stageRoot/vecs"))
-      .map(_.getPath).filter(p => p.getName.startsWith("b") &&
-        p.getName.drop(1).toLong <= upTo)
-    spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+    spark.read.parquet(appliedBatchDirs(fs, stageRoot, "vecs", upTo): _*)
   }
 
   /** The published ranked neighbor table (the marker-named version).
@@ -214,10 +238,7 @@ object VectorStream {
     require(upTo >= 0,
       s"no applied batches under stage root $stageRoot: the PQ index " +
         "does not exist yet (fresh stage root, or every batch so far was empty)")
-    val parts = fs.listStatus(new Path(s"$stageRoot/codes"))
-      .map(_.getPath).filter(p => p.getName.startsWith("b") &&
-        p.getName.drop(1).toLong <= upTo)
-    spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+    spark.read.parquet(appliedBatchDirs(fs, stageRoot, "codes", upTo): _*)
   }
 
   /** Streaming maintenance of the IVF-PQ index — the 100 TB ingest shape

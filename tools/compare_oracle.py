@@ -6,7 +6,9 @@ columns sorted by name and rows sorted by value. Dev tool only — the shipped
 library is pure Scala/Spark."""
 import decimal
 import json
+import os
 import sys
+import threading
 
 import duckdb
 
@@ -36,13 +38,34 @@ def canon(rows, cols):
     return out
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, timeout_sec=None):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # Spark-written tables (the ScaleData sf1 dirs) are parquet
+        # DIRECTORIES; the driver's testdata is single files — glob when
+        # it's a dir so the same gate runs against either layout
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    # Optional per-query budget (the sf1 gate): a watchdog interrupts the
+    # running DuckDB query after timeout_sec, recording TIMEOUT instead of
+    # hanging the whole gate on one quadratic oracle — the empirical skip
+    # list the round-16 verdict asks to name.
+    def with_timeout(fn):
+        if not timeout_sec:
+            return fn()
+        timer = threading.Timer(timeout_sec, con.interrupt)
+        timer.start()
+        try:
+            return fn()
+        finally:
+            timer.cancel()
+
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    timeouts = []
     for name, sql in sorted(oracle.items()):
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -79,9 +102,18 @@ def main(sf_dir, out_dir):
             continue
         try:
             spark_rows = spark_rel.fetchall()
-            duck_rows = duck_rel.fetchall()
+            duck_rows = with_timeout(duck_rel.fetchall)
+        except duckdb.InterruptException:
+            timeouts.append(name)
+            print(f"TIMEOUT {name}: oracle exceeded {timeout_sec}s", flush=True)
+            continue
         except Exception as e:
-            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            msg = f"{type(e).__name__}: {e}"
+            if timeout_sec and "INTERRUPT" in msg.upper():
+                timeouts.append(name)
+                print(f"TIMEOUT {name}: oracle exceeded {timeout_sec}s", flush=True)
+                continue
+            print(f"FAIL {name}: {msg}")
             n_bad += 1
             continue
         a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
@@ -108,9 +140,12 @@ def main(sf_dir, out_dir):
                     print(f"     x18 measured recall: {rec} → {kind}")
                 except Exception:
                     print("     x18_recall.json unavailable")
-    print(f"== {n_ok} ok, {n_bad} bad ==")
+    if timeouts:
+        print(f"== skip list (oracle > {timeout_sec}s): {','.join(timeouts)} ==")
+    print(f"== {n_ok} ok, {n_bad} bad, {len(timeouts)} timeout ==")
     return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  float(sys.argv[3]) if len(sys.argv) > 3 else None))
