@@ -2862,9 +2862,10 @@ object SparkEntry {
         |  ON p.p_size = f.f_size AND p.price_cents = f.min_price_cents""".stripMargin,
 
     // x135: mean-shift split — prefix sums over the daily frame, totals
-    // CTE crossed in, cross-multiplied integer score in HUGEINT (the
-    // engine uses DECIMAL(38,0): the r16 sf1 gate caught the BIGINT form
-    // wrapping), single-IEEE divisions for means and the ranking score,
+    // CTE crossed in. The ranking score is the |mean gap| computed as
+    // two exact-operand IEEE divisions (r16: the cross-multiplied BIGINT
+    // form wrapped at sf1, and the HUGEINT widening was rejected because
+    // DuckDB's HUGEINT→DOUBLE cast is not correctly rounded above 2^64);
     // earliest-day tiebreak.
     "x135_mean_shift" ->
       """WITH daily AS (
@@ -2884,9 +2885,8 @@ object SparkEntry {
         |              rev_total - rev_before_cents AS rev_after_cents
         |       FROM cum, tot),
         |s2 AS (SELECT *,
-        |              CAST(abs(CAST(rev_before_cents AS HUGEINT) * n_after
-        |                       - CAST(rev_after_cents AS HUGEINT) * n_before) AS DOUBLE)
-        |                / CAST(n_before * n_after AS DOUBLE) AS shift_dbl
+        |              abs(CAST(rev_before_cents AS DOUBLE) / CAST(n_before AS DOUBLE)
+        |                  - CAST(rev_after_cents AS DOUBLE) / CAST(n_after AS DOUBLE)) AS shift_dbl
         |       FROM sc WHERE n_after > 0)
         |SELECT day AS split_day, n_before, n_after, rev_before_cents, rev_after_cents,
         |       CAST(rev_before_cents AS DOUBLE) / CAST(n_before AS DOUBLE) AS mean_before_dbl,

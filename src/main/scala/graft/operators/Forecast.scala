@@ -196,14 +196,22 @@ object Forecast {
     * integer |Σ_b·n_a − Σ_a·n_b| (no division), and the division only
     * happens ONCE per row for ranking/display — a single IEEE op on
     * exactly-replicated longs, identical in both engines (the repo's
-    * avg discipline). Tie on the score breaks to the earliest day. The
-    * cross-multiplied score is computed in DECIMAL(38,0) (Spark) /
-    * HUGEINT (oracle) — the r16 sf1 gate caught the Long form wrapping
-    * at total_revenue_cents × n_orders ≳ 2⁶³ (≈ $2×10¹¹ × 1.5M orders),
-    * and 128-bit intermediates push the bound past any realizable
-    * revenue while the PUBLISHED columns keep their BIGINT/DOUBLE types
-    * (both engines' int→double conversions are correctly rounded, so
-    * shift_dbl stays bit-identical).
+    * avg discipline). Tie on the score breaks to the earliest day.
+    *
+    * Scoring arithmetic (r16): the ranking score IS the absolute mean
+    * gap — |Σ_b·n_a − Σ_a·n_b| / (n_b·n_a) ≡ |Σ_b/n_b − Σ_a/n_a| — so
+    * it is computed as the right-hand side: two divisions on EXACT
+    * operands (rev sums < 2⁵³ cents, counts < 2³¹ — both exactly
+    * representable), one subtraction, one abs, all individually
+    * correctly-rounded IEEE ops on identical inputs in both engines →
+    * bit-identical, and overflow-free at ANY corpus scale. The r16 sf1
+    * gate first caught the cross-multiplied BIGINT form wrapping at
+    * revenue × orders ≳ 2⁶³; the interim DECIMAL(38,0)/HUGEINT widening
+    * was then itself rejected by review measurement: DuckDB's
+    * HUGEINT→DOUBLE cast is NOT correctly rounded above 2⁶⁴ (1-ulp
+    * drift on ~1.75% of values), so any path that materializes the
+    * 128-bit product and casts it down is a latent cross-engine
+    * mismatch — the mean-gap form never leaves 53-bit-exact territory.
     *
     * 100 TB shape: the corpus-sized work is ONE partial-agg'd
     * groupBy(day) onto the calendar-bounded daily frame
@@ -230,11 +238,9 @@ object Forecast {
       .withColumn("n_after", col("n_total") - col("n_before"))
       .withColumn("rev_after_cents", col("rev_total") - col("rev_before_cents"))
       .filter(col("n_after") > 0)
-      .withColumn("score_num",
-        abs(col("rev_before_cents").cast("decimal(38,0)") * col("n_after") -
-          col("rev_after_cents").cast("decimal(38,0)") * col("n_before")))
-      .withColumn("shift_dbl", col("score_num").cast("double") /
-        (col("n_before") * col("n_after")).cast("double"))
+      .withColumn("shift_dbl",
+        abs(col("rev_before_cents").cast("double") / col("n_before").cast("double") -
+          col("rev_after_cents").cast("double") / col("n_after").cast("double")))
       .orderBy(col("shift_dbl").desc, col("day"))
       .limit(1)
       .select(col("day").as("split_day"),

@@ -293,6 +293,27 @@ object ProductQuant {
     * payloads (re-ranking survivors against raw vectors closes it). The
     * exact side is a broadcast-tiny-query cross against the corpus — the
     * same documented exact-baseline BNLJ as x09. */
+  /** Exact integer-L2 top-k per query (q_id < qHi) over the quantized
+    * corpus — the truth set shared by x273's ledger and the PqGeometry
+    * frontier (r16 review: ONE definition, so the pricing tool can never
+    * drift from the shipped exact ranking it claims to measure against).
+    * Output: (q_id, vec_id, true_d2, rank). */
+  private[graft] def exactIntTopK(spark: SparkSession, dir: String,
+                                  qHi: Int = PqQHi, k: Int = PqTopK): DataFrame = {
+    import graft.functions.TopKLongPairs.top_k_long_pairs
+    val e = quantized(spark, dir)
+    val queries = e.filter(col("vec_id") < qHi)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"))
+    e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), d2(col("qqv"), col("qv")).as("true_d2"))
+      .groupBy(col("q_id"))
+      .agg(top_k_long_pairs(col("true_d2"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("vec_id"),
+        col("col.sk").as("true_d2"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   def pqDistortion(spark: SparkSession, dir: String, qHi: Int = PqQHi,
                    k: Int = PqTopK): DataFrame = {
     val e = quantized(spark, dir)
@@ -302,18 +323,7 @@ object ProductQuant {
     // the Q·k-row result is consumed twice downstream without re-expanding
     // the cross (the x116/x224 pattern) — without the cut the ledger's
     // three joins would each replay the corpus×queries scan.
-    val exact = {
-      import graft.functions.TopKLongPairs.top_k_long_pairs
-      e.crossJoin(broadcast(queries))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), d2(col("qqv"), col("qv")).as("true_d2"))
-        .groupBy(col("q_id"))
-        .agg(top_k_long_pairs(col("true_d2"), col("vec_id"), k).as("top"))
-        .select(col("q_id"), posexplode(col("top")))
-        .select(col("q_id"), col("col.id").as("vec_id"),
-          col("col.sk").as("true_d2"), (col("pos") + 1).cast("int").as("rank"))
-        .localCheckpoint()
-    }
+    val exact = exactIntTopK(spark, dir, qHi, k).localCheckpoint()
     // true distances of the PQ picks: the Q·k pick list is broadcast back
     // against the corpus scan (equi-join on vec_id — no second cross) and
     // scored against the broadcast query vectors.

@@ -56,9 +56,12 @@ object ScaleData {
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
 
-    // last artifact written guards completeness: a crash mid-build re-runs
-    // the whole set instead of leaving a half-built dir (ScaleProbe rule)
-    if (new java.io.File(s"$outDir/embeddings.parquet").exists()) {
+    // last artifact written guards completeness — and the guard keys on
+    // the writer's _SUCCESS marker, not directory existence: Spark
+    // creates the output dir at write START, so a crash mid-write leaves
+    // a partial dir that a bare exists() check would treat as done and
+    // silently gate against a truncated corpus (r16 review finding)
+    if (new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS").exists()) {
       println(s"EXISTS $outDir — skipping generation")
       return
     }
