@@ -60,8 +60,14 @@ object ScaleData {
     // the writer's _SUCCESS marker, not directory existence: Spark
     // creates the output dir at write START, so a crash mid-write leaves
     // a partial dir that a bare exists() check would treat as done and
-    // silently gate against a truncated corpus (r16 review finding)
-    if (new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS").exists()) {
+    // silently gate against a truncated corpus (r16 review finding).
+    // Resolved through outDir's Hadoop FileSystem (r16 advisory): a
+    // java.io.File check only sees local paths, so an hdfs://-or-s3a://
+    // outDir would silently regenerate the corpus every run.
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$outDir/embeddings.parquet/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
       println(s"EXISTS $outDir — skipping generation")
       return
     }

@@ -38,29 +38,47 @@ def canon(rows, cols):
     return out
 
 
-def main(sf_dir, out_dir, timeout_sec=None):
-    con = duckdb.connect()
-    for t in TABLES:
-        # Spark-written tables (the ScaleData sf1 dirs) are parquet
-        # DIRECTORIES; the driver's testdata is single files — glob when
-        # it's a dir so the same gate runs against either layout
-        path = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(path):
-            path = f"{path}/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+def main(sf_dir, out_dir, timeout_sec=None, expected_skips=()):
+    def connect():
+        c = duckdb.connect()
+        for t in TABLES:
+            # Spark-written tables (the ScaleData sf1 dirs) are parquet
+            # DIRECTORIES; the driver's testdata is single files — glob
+            # when it's a dir so the same gate runs against either layout
+            path = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(path):
+                path = f"{path}/*.parquet"
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        return c
+
+    con = connect()
 
     # Optional per-query budget (the sf1 gate): a watchdog interrupts the
     # running DuckDB query after timeout_sec, recording TIMEOUT instead of
     # hanging the whole gate on one quadratic oracle — the empirical skip
-    # list the round-16 verdict asks to name.
-    def with_timeout(fn):
+    # list the round-16 verdict asks to name. The callback only interrupts
+    # while this query is still marked running (r16 advisory: a timer that
+    # fires in the fetchall→cancel window would otherwise interrupt an
+    # idle connection and misfire on the NEXT query), and a fired watchdog
+    # poisons the connection state enough that we reconnect after each
+    # recorded timeout.
+    lock = threading.Lock()
+
+    def with_timeout(fn, state):
         if not timeout_sec:
             return fn()
-        timer = threading.Timer(timeout_sec, con.interrupt)
+        def interrupt():
+            with lock:
+                if state["running"]:
+                    state["fired"] = True
+                    con.interrupt()
+        timer = threading.Timer(timeout_sec, interrupt)
         timer.start()
         try:
             return fn()
         finally:
+            with lock:
+                state["running"] = False
             timer.cancel()
 
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -100,22 +118,31 @@ def main(sf_dir, out_dir, timeout_sec=None):
                 f"{c}: spark={s} duck={d}" for c, s, d in type_bad),
                 flush=True)
             continue
+        state = {"running": True, "fired": False}
         try:
             spark_rows = spark_rel.fetchall()
-            duck_rows = with_timeout(duck_rel.fetchall)
+            duck_rows = with_timeout(duck_rel.fetchall, state)
         except duckdb.InterruptException:
             timeouts.append(name)
             print(f"TIMEOUT {name}: oracle exceeded {timeout_sec}s", flush=True)
+            con = connect()
             continue
         except Exception as e:
             msg = f"{type(e).__name__}: {e}"
             if timeout_sec and "INTERRUPT" in msg.upper():
                 timeouts.append(name)
                 print(f"TIMEOUT {name}: oracle exceeded {timeout_sec}s", flush=True)
+                con = connect()
                 continue
             print(f"FAIL {name}: {msg}")
             n_bad += 1
             continue
+        if state["fired"]:
+            # The watchdog fired but the fetch returned anyway (the
+            # interrupt landed in the completion window) — the stale
+            # interrupt flag could poison the NEXT statement, so drop the
+            # connection; this query's rows are complete and compare below.
+            con = connect()
         a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
         if a == b:
             print(f"OK   {name}: {len(a)} rows", flush=True)
@@ -142,10 +169,20 @@ def main(sf_dir, out_dir, timeout_sec=None):
                     print("     x18_recall.json unavailable")
     if timeouts:
         print(f"== skip list (oracle > {timeout_sec}s): {','.join(timeouts)} ==")
-    print(f"== {n_ok} ok, {n_bad} bad, {len(timeouts)} timeout ==")
-    return 1 if n_bad else 0
+    # Timeouts outside the pinned expected-skip list fail the gate (r16
+    # advisory): a previously-green oracle that regresses into a hang must
+    # not exit 0 on the strength of a skip line nobody reads.
+    unexpected = [t for t in timeouts if t not in set(expected_skips)]
+    if unexpected:
+        print(f"== UNEXPECTED timeouts (not in expected-skip list): "
+              f"{','.join(unexpected)} ==")
+    print(f"== {n_ok} ok, {n_bad} bad, {len(timeouts)} timeout "
+          f"({len(unexpected)} unexpected) ==")
+    return 1 if n_bad or unexpected else 0
 
 
 if __name__ == "__main__":
+    # argv: SF_DIR OUT_DIR [TIMEOUT_SEC [EXPECTED_SKIPS_CSV]]
     sys.exit(main(sys.argv[1], sys.argv[2],
-                  float(sys.argv[3]) if len(sys.argv) > 3 else None))
+                  float(sys.argv[3]) if len(sys.argv) > 3 else None,
+                  sys.argv[4].split(",") if len(sys.argv) > 4 else ()))
