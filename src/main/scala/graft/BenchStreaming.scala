@@ -15,14 +15,26 @@ object BenchStreaming {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // r17 (r16 residual): PRICE the 100 TB state backend, don't just
+    // prove it bit-identical (RocksDbPanelSpec) —
+    // SPARK_GRAFT_STATE_PROVIDER=rocksdb swaps every stateful twin onto
+    // RocksDBStateStoreProvider and the panel lands in
+    // STREAM_ROCKSDB.json, so the two provider boards coexist and the
+    // swap's rows/s surcharge is a recorded number.
+    val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER", "default")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "false") // AQE is batch-only; keep plans comparable
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (provider match {
+      case "rocksdb" => builder.config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case _ => builder
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.streaming.EventStream
 
@@ -338,14 +350,15 @@ object BenchStreaming {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
     val headline = f"${results.head._2}%.1f"
     val summary =
-      s"""{"metric":"streaming_rows_per_sec","value":$headline,"unit":"rows/sec","rows":$nEvents,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"streaming_rows_per_sec","value":$headline,"unit":"rows/sec","rows":$nEvents,"state_provider":"$provider","queries":$qs,"sf":"$sfDir"}"""
     println(summary)
     // truncation-proof on-disk artifact, the BENCH_LOCAL.json convention:
     // any byte-limited stdout capture (a tail window, a cut filter) can
     // lose the one long summary line, and a lost panel costs a 30-minute
     // solo re-run
     val localPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_RESULTS_DIR", "."), "STREAM_LOCAL.json")
+      sys.env.getOrElse("SPARK_GRAFT_RESULTS_DIR", "."),
+      if (provider == "rocksdb") "STREAM_ROCKSDB.json" else "STREAM_LOCAL.json")
     try java.nio.file.Files.writeString(localPath, summary + "\n")
     catch { case e: Throwable =>
       System.err.println(s"WARN: could not persist $localPath: $e")

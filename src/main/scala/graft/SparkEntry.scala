@@ -322,6 +322,10 @@ object SparkEntry {
     "x278_hilbert_delta"    -> ((s, d) => Relational.hilbertSkippingDelta(s, d)),
     "x279_pq_rerank"        -> ((s, d) => operators.ProductQuant.pqRerankTopK(s, d)),
     "x280_bloom_lookup"     -> ((s, d) => Relational.bloomServedLookup(s, d)),
+    "x281_er_clusters_sampled" -> ((s, d) => Dedup.erClustersSampled(s, d)),
+    "x282_matryoshka_sampled" -> ((s, d) => Similarity.matryoshkaRecall(s, d,
+      querySampleBps = Some(Similarity.MatryoshkaSampleBps))),
+    "x283_pq_prod_adc"      -> ((s, d) => operators.ProductQuant.pqProdAdcTopK(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -363,12 +367,13 @@ object SparkEntry {
   }
 
   /** The md5 query-sample CTE of the sampled fidelity audits
-    * (x232/x233/x234) — x27's bucket rule, salt "qsample", over the
-    * signature CTE `s`. */
-  private def qsampleCteSql: String =
+    * (x232/x233/x234, and x282 at its own dial) — x27's bucket rule,
+    * salt "qsample", over the signature CTE `s`. */
+  private def qsampleCteSql(
+      bps: Int = operators.Similarity.AuditSampleBps): String =
     s"""sq AS (SELECT * FROM s
       |       WHERE ('0x' || substr(md5('qsample:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
-      |             % 10000 < ${operators.Similarity.AuditSampleBps}),""".stripMargin
+      |             % 10000 < $bps),""".stripMargin
 
   /** x202's recall-curve oracle, shared with its sampled twin x232 —
     * ONE builder parameterized on the query-side CTE so the full and
@@ -376,7 +381,7 @@ object SparkEntry {
     * applied to the fidelity family). */
   private def recallCurveOracleSql(sampled: Boolean): String = {
     import operators.Similarity.{LshCurveK, LshPlanes, LshProbeRadius}
-    val (cte, q) = if (sampled) (qsampleCteSql + "\n", "sq") else ("", "s")
+    val (cte, q) = if (sampled) (qsampleCteSql() + "\n", "sq") else ("", "s")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |s AS (SELECT vec_id, v,
       |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm,
@@ -427,7 +432,7 @@ object SparkEntry {
     import operators.AnnStage.AnnRadius
     import operators.KnnStage.StageK
     import operators.Similarity.LshPlanes
-    val (cte, q) = if (sampled) (qsampleCteSql + "\n", "sq") else ("", "s")
+    val (cte, q) = if (sampled) (qsampleCteSql() + "\n", "sq") else ("", "s")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |s AS (SELECT vec_id, v,
       |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm,
@@ -467,7 +472,7 @@ object SparkEntry {
                                      annRadius: Option[Int] = None): String = {
     import operators.KnnStage.StageK
     import operators.Similarity.{EvalKs, LshPlanes}
-    val (cte, q) = if (sampled) (qsampleCteSql + "\n", "sq") else ("", "s")
+    val (cte, q) = if (sampled) (qsampleCteSql() + "\n", "sq") else ("", "s")
     val sigCol = if (annRadius.isDefined)
       s",\n        ${operators.Similarity.hyperplaneSigSql("v", LshPlanes)} AS sig"
     else ""
@@ -496,6 +501,89 @@ object SparkEntry {
       |       CAST(sum(CASE WHEN first_hit <= ${EvalKs(2)} THEN 1 ELSE 0 END) AS BIGINT) AS n_hit5,
       |       CAST(sum(coalesce(1000000 // first_hit, 0)) AS BIGINT) AS rr_ppm_sum
       |FROM fh GROUP BY 1""".stripMargin
+  }
+
+  /** x181's ER-cluster oracle, shared with its sampled-universe twin
+    * x281 (the r16 skip-list closure) — ONE builder parameterized on
+    * the part universe. The sampled universe CTE is MATERIALIZED: the
+    * recursive closure references it three times (pairs, seed,
+    * implicit singleton restore), and the md5 filter must evaluate
+    * once, not per reference. */
+  private def erClustersOracleSql(sampled: Boolean): String = {
+    import operators.Dedup.{ErSampleBps, FuzzyMaxDistance}
+    val universe =
+      if (sampled)
+        s"""u AS MATERIALIZED (
+           |  SELECT * FROM part
+           |  WHERE ('0x' || substr(md5('psample:' || CAST(p_partkey AS VARCHAR)), 1, 15))::BIGINT
+           |        % 10000 < $ErSampleBps),
+           |""".stripMargin
+      else "u AS (SELECT * FROM part),\n"
+    s"""WITH RECURSIVE $universe
+      |pairs AS (
+      |  SELECT a.p_partkey AS ka, b.p_partkey AS kb
+      |  FROM u a JOIN u b
+      |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |  WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDistance),
+      |edges AS (SELECT ka AS src, kb AS dst FROM pairs
+      |          UNION ALL SELECT kb, ka FROM pairs),
+      |reach(node, label) AS (
+      |  SELECT p_partkey, p_partkey FROM u
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+      |canon AS (SELECT node AS p_partkey, MIN(label) AS canonical_key
+      |          FROM reach GROUP BY 1),
+      |sz AS (SELECT canonical_key, CAST(count(*) AS BIGINT) AS cluster_size
+      |       FROM canon GROUP BY 1)
+      |SELECT c.p_partkey, c.canonical_key, s.cluster_size,
+      |       CAST(CASE WHEN c.p_partkey = c.canonical_key THEN 1 ELSE 0 END
+      |            AS INTEGER) AS is_canonical
+      |FROM canon c JOIN sz s USING (canonical_key)""".stripMargin
+  }
+
+  /** x238's per-dim truncation-recall oracle, shared with its sampled
+    * twin x282 (the r16 skip-list closure) — ONE builder parameterized
+    * on the query-side CTE, the recallCurveOracleSql reasoning. The
+    * sampled twin runs at [[operators.Similarity.MatryoshkaSampleBps]]
+    * (10%): x238's scored cross carries |MatryoshkaDims| prefix cosines
+    * per pair, so the 40% audit dial would still blow the sf1 replay
+    * budget. */
+  private def matryoshkaOracleSql(sampled: Boolean): String = {
+    import operators.Similarity.{LshCurveK, MatryoshkaDims, MatryoshkaSampleBps}
+    val dimsList = MatryoshkaDims.mkString("[", ", ", "]")
+    val (cte, q) =
+      if (sampled) (qsampleCteSql(MatryoshkaSampleBps) + "\n", "sq")
+      else ("", "s")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
+      |      FROM e),
+      |${cte}exact_rk AS (
+      |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos_sim DESC, vec_id) AS rank_exact
+      |  FROM (SELECT q.vec_id AS q_id, c.vec_id,
+      |          floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+      |        FROM $q q JOIN s c ON q.vec_id <> c.vec_id) t),
+      |exact_topk AS (SELECT * FROM exact_rk WHERE rank_exact <= $LshCurveK),
+      |dd AS (SELECT CAST(unnest($dimsList) AS BIGINT) AS d),
+      |pre_rk AS (
+      |  SELECT q_id, vec_id, d, row_number() OVER (PARTITION BY q_id, d
+      |      ORDER BY cos_sim DESC, vec_id) AS rank_prefix
+      |  FROM (SELECT q.vec_id AS q_id, c.vec_id, dd.d,
+      |          floor(list_dot_product(q.v[1:dd.d], c.v[1:dd.d]) /
+      |            (sqrt(list_aggregate(list_transform(q.v[1:dd.d], x -> x*x), 'sum')) *
+      |             sqrt(list_aggregate(list_transform(c.v[1:dd.d], x -> x*x), 'sum')))
+      |            * 1000000) / 1000000 AS cos_sim
+      |        FROM $q q JOIN s c ON q.vec_id <> c.vec_id, dd) t),
+      |pre_topk AS (SELECT * FROM pre_rk WHERE rank_prefix <= $LshCurveK)
+      |SELECT dd.d, CAST(count(*) AS BIGINT) AS n_exact,
+      |       CAST(count(p.rank_prefix) AS BIGINT) AS n_found,
+      |       CAST((1000000 * count(p.rank_prefix)) // count(*) AS BIGINT) AS recall_ppm,
+      |       CAST(coalesce(sum(p.rank_prefix - x.rank_exact), 0) AS BIGINT) AS displacement_sum
+      |FROM exact_topk x CROSS JOIN dd
+      |LEFT JOIN pre_topk p
+      |  ON x.q_id = p.q_id AND x.vec_id = p.vec_id AND dd.d = p.d
+      |GROUP BY dd.d""".stripMargin
   }
 
   /** x231's before/after-OPTIMIZE oracle — shared VERBATIM with x236
@@ -1284,18 +1372,23 @@ object SparkEntry {
     // x99: HITS unrolled to HitsIters=2 full rounds. Each normalization
     // replicates the operator's overflow-free integer scale
     // `score // greatest(1, max // Unit)` — same truncation, bit-exact.
+    // MATERIALIZED hints (r17): `e` is referenced 5× and each score CTE
+    // 2× (the max subquery); DuckDB inlines CTEs by default, so the sf1
+    // replay recomputed the orders⋈lineitem DISTINCT tree ~2^rounds times
+    // and spilled >80 GB. Hint-only change — measured 93 s → 2.7 s at
+    // sf1, identical rows; this removed x99 from the sf1 skip list.
     "x99_hits" -> {
       val u = operators.LinkAnalysis.HitsUnit
-      s"""WITH e AS (SELECT DISTINCT o_custkey AS hub, l_suppkey AS auth
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS hub, l_suppkey AS auth
         |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         |h0 AS (SELECT DISTINCT hub, CAST($u AS BIGINT) AS h FROM e),
-        |a1r AS (SELECT auth, CAST(sum(h) AS BIGINT) AS a FROM e JOIN h0 USING (hub) GROUP BY 1),
-        |a1 AS (SELECT auth, a // greatest(1, (SELECT max(a) FROM a1r) // $u) AS a FROM a1r),
-        |h1r AS (SELECT hub, CAST(sum(a) AS BIGINT) AS h FROM e JOIN a1 USING (auth) GROUP BY 1),
-        |h1 AS (SELECT hub, h // greatest(1, (SELECT max(h) FROM h1r) // $u) AS h FROM h1r),
-        |a2r AS (SELECT auth, CAST(sum(h) AS BIGINT) AS a FROM e JOIN h1 USING (hub) GROUP BY 1),
-        |a2 AS (SELECT auth, a // greatest(1, (SELECT max(a) FROM a2r) // $u) AS a FROM a2r),
-        |h2r AS (SELECT hub, CAST(sum(a) AS BIGINT) AS h FROM e JOIN a2 USING (auth) GROUP BY 1),
+        |a1r AS MATERIALIZED (SELECT auth, CAST(sum(h) AS BIGINT) AS a FROM e JOIN h0 USING (hub) GROUP BY 1),
+        |a1 AS MATERIALIZED (SELECT auth, a // greatest(1, (SELECT max(a) FROM a1r) // $u) AS a FROM a1r),
+        |h1r AS MATERIALIZED (SELECT hub, CAST(sum(a) AS BIGINT) AS h FROM e JOIN a1 USING (auth) GROUP BY 1),
+        |h1 AS MATERIALIZED (SELECT hub, h // greatest(1, (SELECT max(h) FROM h1r) // $u) AS h FROM h1r),
+        |a2r AS MATERIALIZED (SELECT auth, CAST(sum(h) AS BIGINT) AS a FROM e JOIN h1 USING (hub) GROUP BY 1),
+        |a2 AS MATERIALIZED (SELECT auth, a // greatest(1, (SELECT max(a) FROM a2r) // $u) AS a FROM a2r),
+        |h2r AS MATERIALIZED (SELECT hub, CAST(sum(a) AS BIGINT) AS h FROM e JOIN a2 USING (auth) GROUP BY 1),
         |h2 AS (SELECT hub, h // greatest(1, (SELECT max(h) FROM h2r) // $u) AS h FROM h2r)
         |SELECT 'customer' AS node_type, CAST(hub AS BIGINT) AS node_key, h AS pts FROM h2
         |UNION ALL
@@ -3853,29 +3946,15 @@ object SparkEntry {
 
     // x181: ER clusters — x128's fuzzy pairs closed transitively via a
     // recursive min-label CTE (the x17 closure pattern), singletons
-    // restored by the part-table seed.
-    "x181_er_clusters" -> {
-      import operators.Dedup.FuzzyMaxDistance
-      s"""WITH RECURSIVE pairs AS (
-        |  SELECT a.p_partkey AS ka, b.p_partkey AS kb
-        |  FROM part a JOIN part b
-        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-        |  WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDistance),
-        |edges AS (SELECT ka AS src, kb AS dst FROM pairs
-        |          UNION ALL SELECT kb, ka FROM pairs),
-        |reach(node, label) AS (
-        |  SELECT p_partkey, p_partkey FROM part
-        |  UNION
-        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
-        |canon AS (SELECT node AS p_partkey, MIN(label) AS canonical_key
-        |          FROM reach GROUP BY 1),
-        |sz AS (SELECT canonical_key, CAST(count(*) AS BIGINT) AS cluster_size
-        |       FROM canon GROUP BY 1)
-        |SELECT c.p_partkey, c.canonical_key, s.cluster_size,
-        |       CAST(CASE WHEN c.p_partkey = c.canonical_key THEN 1 ELSE 0 END
-        |            AS INTEGER) AS is_canonical
-        |FROM canon c JOIN sz s USING (canonical_key)""".stripMargin
-    },
+    // restored by the part-table seed. ONE builder with its
+    // sampled-universe twin (x281) so the two can never drift.
+    "x181_er_clusters" -> erClustersOracleSql(sampled = false),
+    // x281: x181's bounded-cost production mode — the r16 skip-list
+    // closure: the recursive closure replay is quadratic in cluster
+    // size (each cluster materializes size² (node, label) rows), which
+    // outgrows any replay budget at sf1 density; the 10% md5 part
+    // bucket reproduces sf0.1's green replay cost at 10× the corpus.
+    "x281_er_clusters_sampled" -> erClustersOracleSql(sampled = true),
 
     // x182: fixed-size chunk-store dedup — 32-byte offset chunks of the
     // UTF-8 byte stream, ownership = min asset id per content (x39's
@@ -4331,18 +4410,23 @@ object SparkEntry {
 
     // x198: 3-truss of the mutual-kNN graph — x178's exact ranked CTE at
     // the staged depth, reciprocal edges, pinned peel rounds unrolled.
+    // MATERIALIZED hints (r17): `topk` feeds r0 TWICE and each round's
+    // r/s/sym CTEs are multiply referenced, so the inlined sf1 replay
+    // recomputed the corpus² ranked window per reference and spilled
+    // >60 GB. Hint-only — measured 56 s at sf1 (StageK=10 stress shape),
+    // no spill; this removed x198 from the sf1 skip list.
     "x198_knn_truss" -> {
       import operators.KnnStage.StageK
       import operators.LinkAnalysis.{KnnTrussK, KnnTrussRounds}
       val minSup = KnnTrussK - 2
       val rounds = (1 to KnnTrussRounds).map { i =>
         val prev = s"r${i - 1}"
-        s"""sym$i AS (SELECT a, b FROM $prev UNION ALL SELECT b, a FROM $prev),
-           |s$i AS (SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS support
+        s"""sym$i AS MATERIALIZED (SELECT a, b FROM $prev UNION ALL SELECT b, a FROM $prev),
+           |s$i AS MATERIALIZED (SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS support
            |        FROM $prev e JOIN sym$i n1 ON e.a = n1.a
            |        JOIN sym$i n2 ON e.b = n2.a AND n1.b = n2.b
            |        GROUP BY 1, 2),
-           |r$i AS (SELECT a, b FROM s$i WHERE support >= $minSup)""".stripMargin
+           |r$i AS MATERIALIZED (SELECT a, b FROM s$i WHERE support >= $minSup)""".stripMargin
       }.mkString(",\n")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
@@ -4356,8 +4440,8 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY q_id
         |           ORDER BY cos_sim DESC, vec_id) AS rank
         |  FROM scored),
-        |topk AS (SELECT q_id, vec_id FROM ranked WHERE rank <= $StageK),
-        |r0 AS (SELECT f.q_id AS a, f.vec_id AS b
+        |topk AS MATERIALIZED (SELECT q_id, vec_id FROM ranked WHERE rank <= $StageK),
+        |r0 AS MATERIALIZED (SELECT f.q_id AS a, f.vec_id AS b
         |       FROM topk f JOIN topk r
         |         ON f.q_id = r.vec_id AND f.vec_id = r.q_id
         |       WHERE f.q_id < f.vec_id),
@@ -5262,41 +5346,16 @@ object SparkEntry {
     },
 
     // x238: Matryoshka truncation recall — prefix-sliced cosine rankings
-    // per d, x221's exact CTE as the baseline, per-d ledger.
-    "x238_matryoshka_recall" -> {
-      import operators.Similarity.{LshCurveK, MatryoshkaDims}
-      val dimsList = MatryoshkaDims.mkString("[", ", ", "]")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT vec_id, v,
-        |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm
-        |      FROM e),
-        |exact_rk AS (
-        |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY cos_sim DESC, vec_id) AS rank_exact
-        |  FROM (SELECT q.vec_id AS q_id, c.vec_id,
-        |          floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
-        |        FROM s q JOIN s c ON q.vec_id <> c.vec_id) t),
-        |exact_topk AS (SELECT * FROM exact_rk WHERE rank_exact <= $LshCurveK),
-        |dd AS (SELECT CAST(unnest($dimsList) AS BIGINT) AS d),
-        |pre_rk AS (
-        |  SELECT q_id, vec_id, d, row_number() OVER (PARTITION BY q_id, d
-        |      ORDER BY cos_sim DESC, vec_id) AS rank_prefix
-        |  FROM (SELECT q.vec_id AS q_id, c.vec_id, dd.d,
-        |          floor(list_dot_product(q.v[1:dd.d], c.v[1:dd.d]) /
-        |            (sqrt(list_aggregate(list_transform(q.v[1:dd.d], x -> x*x), 'sum')) *
-        |             sqrt(list_aggregate(list_transform(c.v[1:dd.d], x -> x*x), 'sum')))
-        |            * 1000000) / 1000000 AS cos_sim
-        |        FROM s q JOIN s c ON q.vec_id <> c.vec_id, dd) t),
-        |pre_topk AS (SELECT * FROM pre_rk WHERE rank_prefix <= $LshCurveK)
-        |SELECT dd.d, CAST(count(*) AS BIGINT) AS n_exact,
-        |       CAST(count(p.rank_prefix) AS BIGINT) AS n_found,
-        |       CAST((1000000 * count(p.rank_prefix)) // count(*) AS BIGINT) AS recall_ppm,
-        |       CAST(coalesce(sum(p.rank_prefix - x.rank_exact), 0) AS BIGINT) AS displacement_sum
-        |FROM exact_topk x CROSS JOIN dd
-        |LEFT JOIN pre_topk p
-        |  ON x.q_id = p.q_id AND x.vec_id = p.vec_id AND dd.d = p.d
-        |GROUP BY dd.d""".stripMargin
-    },
+    // per d, x221's exact CTE as the baseline, per-d ledger. ONE builder
+    // with its sampled twin (x282) so the two gates can never drift.
+    "x238_matryoshka_recall" -> matryoshkaOracleSql(sampled = false),
+    // x282: x238's bounded-cost production mode — the r16 skip-list
+    // closure: x238's corpus-as-queries cross is the one shape whose
+    // DuckDB replay cannot run at sf1 (≈10⁹-row intermediate), so the
+    // sampled twin (10% md5 query bucket, restriction commutes with the
+    // per-query rollups — spec-proven) carries the oracle evidence at
+    // 10× scale.
+    "x282_matryoshka_sampled" -> matryoshkaOracleSql(sampled = true),
 
     // x239: hybrid related-document retrieval — RRF fusion (x137's
     // integer convention) of the exact-kNN ranking (x203's CTE) and the
@@ -6711,5 +6770,11 @@ object SparkEntry {
 
     // x279: ADC pool → exact rerank (the PQ serving pattern).
     "x279_pq_rerank" -> operators.ProductQuant.rerankOracleSql,
+
+    // x283: the ADC chain at PRODUCTION geometry (M=8, K=64) — the
+    // integer-Lloyd replay parameterized, nothing else moves (r16
+    // verdict task 3: the frontier RECALL.md quotes is now
+    // hash-verified, not tool-printed).
+    "x283_pq_prod_adc" -> operators.ProductQuant.prodAdcOracleSql,
   )
 }

@@ -1804,8 +1804,15 @@ object Dedup {
   /** The compute path behind the stage (staged ≡ recomputed is
     * spec-asserted in ErStageSpec). */
   private[graft] def computeFuzzyNamePairs(spark: SparkSession, dir: String,
+                     maxDistance: Int = FuzzyMaxDistance): DataFrame =
+    fuzzyPairsOf(Tables.part(spark, dir), maxDistance)
+
+  /** The same blocked fuzzy join over an arbitrary part frame — shared
+    * by the full path above and the sampled-universe path (x281), so
+    * the two can never drift on the blocking rule. */
+  private[graft] def fuzzyPairsOf(part: DataFrame,
                      maxDistance: Int = FuzzyMaxDistance): DataFrame = {
-    val p = Tables.part(spark, dir)
+    val p = part
       .select(col("p_partkey"), col("p_brand"), col("p_name"),
         length(col("p_name")).as("len"))
     val probe = p.select(col("p_partkey").as("key_a"), col("p_brand"),
@@ -1979,6 +1986,51 @@ object Dedup {
         col("component").as("canonical_key")), Seq("p_partkey"), "left")
       .select(col("p_partkey"),
         coalesce(col("canonical_key"), col("p_partkey")).as("canonical_key"))
+  }
+
+  /** Keep rate (basis points of 10000) for the SAMPLED ER audit (x281)
+    * — x27's md5-bucket rule, salt "psample" (isolated from the doc and
+    * query sample salts). Shared with the oracle SQL. 10% reproduces at
+    * sf1 exactly the oracle cost the full x181 replay pays at sf0.1
+    * (where it is green): brand-blocked pair count scales with density²
+    * and the recursive closure with cluster size², so the sampled
+    * universe is the dial that keeps both inside the replay budget. */
+  val ErSampleBps: Int = 1000
+
+  /** Sampled-universe ER clusters (x281): [[erClusters]]'s exact
+    * pipeline — blocked fuzzy pairs, transitive closure, singleton
+    * restore, size rollup, survivor flag — over the deterministic
+    * md5-bucket part subset. This is x181's bounded-cost production
+    * sibling (the x232/x233/x234 pattern applied to ER): the closure's
+    * DuckDB replay is quadratic in cluster size, which grows with
+    * corpus density, so the FULL replay stops being tractable past
+    * bench scale while the engine itself stays linear-in-edges; the
+    * sampled universe carries oracle-grade evidence for the whole
+    * pipeline at 10× scale. Semantics note: ER over a sampled universe
+    * is NOT the restriction of full-universe ER (transitive paths may
+    * pass through unsampled parts) — both engines compute the same
+    * restricted problem, which is the point: an audit partition, not an
+    * estimator. 100 TB shape: identical to x181's (the sample filter
+    * pushes into the part scan; everything downstream only shrinks). */
+  def erClustersSampled(spark: SparkSession, dir: String,
+                        maxDistance: Int = FuzzyMaxDistance,
+                        bps: Int = ErSampleBps): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(Sampling.hashBucket(col("p_partkey"), "psample") < bps)
+    val pairs = fuzzyPairsOf(parts, maxDistance)
+      .select(col("key_a").as("u"), col("key_b").as("v"))
+    val comp = ConnectedComponents.components(pairs)
+    val canon = parts.select(col("p_partkey"))
+      .join(comp.select(col("node").as("p_partkey"),
+        col("component").as("canonical_key")), Seq("p_partkey"), "left")
+      .select(col("p_partkey"),
+        coalesce(col("canonical_key"), col("p_partkey")).as("canonical_key"))
+      .localCheckpoint() // two consumers: the size rollup + the final join
+    val sizes = canon.groupBy(col("canonical_key"))
+      .agg(count(lit(1)).as("cluster_size"))
+    canon.join(sizes, Seq("canonical_key"))
+      .select(col("p_partkey"), col("canonical_key"), col("cluster_size"),
+        (col("p_partkey") === col("canonical_key")).cast("int").as("is_canonical"))
   }
 
   /** x163 knobs: the term width (word 5-grams WITH multiplicity — the

@@ -68,6 +68,19 @@ object ProductQuant {
   val PqQHi: Int = 8
   val PqTopK: Int = 5
 
+  /** PRODUCTION PQ geometry (x283, r16 verdict task 3): M=8 one-byte-
+    * class subspaces of width 8, K=64 codes — the shape `tools/
+    * PqGeometry` prices off-gate, now oracle-checked: the integer-Lloyd
+    * CTE chain replays ANY geometry, so the gate hashes the production-
+    * shaped codebook end to end (train → encode → ADC → rank) instead
+    * of trusting the toy-geometry pass to generalize. K=64 (not 256)
+    * keeps the oracle's N·M·K assignment CTEs inside the sf1 replay
+    * budget while exceeding the K≥64 bar the frontier quotes; nothing
+    * in the dataflow depends on K. */
+  val PqProdSubspaces: Int = 8
+  val PqProdSubDim: Int = 8
+  val PqProdCodes: Int = 64
+
   /** Integer squared-L2 between two `array<bigint>` columns — codegen'd
     * fold, no UDF. */
   private def d2(a: Column, b: Column): Column =
@@ -187,11 +200,15 @@ object ProductQuant {
   }
 
   /** (vec_id, m, code): the corpus encoded against the final codebook —
-    * the 4-bytes-per-vector representation a 100 TB index stores. */
+    * the M-bytes-per-vector representation a 100 TB index stores.
+    * Geometry is read off the codebook ([[geometryOf]]) so any fitted
+    * shape encodes with the same call. */
   private[graft] def encode(spark: SparkSession, dir: String,
-                            cb: Seq[(Int, Int, Seq[Long])]): DataFrame =
-    assign(subvectors(quantized(spark, dir)), cbToDf(spark, cb))
+                            cb: Seq[(Int, Int, Seq[Long])]): DataFrame = {
+    val (m, sd) = geometryOf(cb)
+    assign(subvectors(quantized(spark, dir), m, sd), cbToDf(spark, cb))
       .select(col("vec_id"), col("m"), col("code"))
+  }
 
   /** x272: ADC top-k. Per query the M·K partial-distance lookup table is
     * computed in-plan (query subvectors × broadcast codebook) and
@@ -199,11 +216,15 @@ object ProductQuant {
     * codes, never touching a corpus vector — then the M partials per
     * candidate collapse in a map-side-combining sum before the per-query
     * top-k window. Output: (q_id, vec_id, adc_dist, rank). */
-  /** The (q_id, vec_id, adc_dist) candidate frame x272/x276 rank. */
-  private def adcScores(spark: SparkSession, dir: String, qHi: Int): DataFrame = {
-    val cb = trainCodebook(spark, dir)
+  /** The (q_id, vec_id, adc_dist) candidate frame x272/x276/x283 rank —
+    * parameterized on geometry (r17); defaults are the gate shape. */
+  private def adcScores(spark: SparkSession, dir: String, qHi: Int,
+                        subspaces: Int = PqSubspaces,
+                        subDim: Int = PqSubDim,
+                        codes: Int = PqCodes): DataFrame = {
+    val cb = trainCodebook(spark, dir, subspaces, subDim, codes)
     val enc = encode(spark, dir, cb)
-    val lut = subvectors(quantized(spark, dir))
+    val lut = subvectors(quantized(spark, dir), subspaces, subDim)
       .filter(col("vec_id") < qHi)
       .withColumnRenamed("vec_id", "q_id")
       .join(broadcast(cbToDf(spark, cb)), Seq("m"))
@@ -239,6 +260,26 @@ object ProductQuant {
                    k: Int = PqTopK): DataFrame = {
     import graft.functions.TopKLongPairs.top_k_long_pairs
     adcScores(spark, dir, qHi)
+      .groupBy(col("q_id"))
+      .agg(top_k_long_pairs(col("adc_dist"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("vec_id"),
+        col("col.sk").as("adc_dist"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** x283: the ADC ranking at PRODUCTION geometry (M=8, K=64), through
+    * the bounded top-k aggregate (every shipping ANN ranking's form).
+    * Same dataflow as x272/x276 — only the codebook shape moves, which
+    * is the point: the gate now hash-verifies the production-shaped
+    * train → encode → ADC chain instead of extrapolating from the toy
+    * geometry, so the RECALL.md frontier rows quote an oracle-checked
+    * codebook. 100 TB shape: identical to x276's (broadcast M·K LUT is
+    * 8·64 = 512 rows/query here — still trivially broadcastable). */
+  def pqProdAdcTopK(spark: SparkSession, dir: String, qHi: Int = PqQHi,
+                    k: Int = PqTopK): DataFrame = {
+    import graft.functions.TopKLongPairs.top_k_long_pairs
+    adcScores(spark, dir, qHi, PqProdSubspaces, PqProdSubDim, PqProdCodes)
       .groupBy(col("q_id"))
       .agg(top_k_long_pairs(col("adc_dist"), col("vec_id"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")))
@@ -373,23 +414,29 @@ object ProductQuant {
        |  FROM $prev c LEFT JOIN ${tag}u$t u USING (m, code))""".stripMargin
 
   /** Full Lloyd chain from init `${tag}cb0` to `${tag}cb$PqIters`. */
-  private def lloydChainSql(src: String, tag: String): String =
+  private def lloydChainSql(src: String, tag: String,
+                            subDim: Int = PqSubDim): String =
     (1 to PqIters)
       .map(t => lloydIterSql(src, tag,
         if (t == 1) s"${tag}cb0" else s"${tag}cb${t - 1}", s"${tag}cb$t", t,
-        if (tag.isEmpty) PqSubDim else PqSubspaces * PqSubDim))
+        subDim))
       .mkString(",\n")
 
   /** Shared CTE prefix: quantize → PQ Lloyd chain → `enc` (corpus codes)
-    * and `lut` (per-query partial distances). */
-  private def encLutSql: String = {
+    * and `lut` (per-query partial distances). Parameterized on geometry
+    * (r17): the production gate (x283) replays the SAME chain at
+    * (M=8, K=64) — defaults are the gate geometry, so x272–x274/x279
+    * stay byte-identical. */
+  private def encLutSql(subspaces: Int = PqSubspaces,
+                        subDim: Int = PqSubDim,
+                        codes: Int = PqCodes): String = {
     val cbF = s"cb$PqIters"
     s"""WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
        |    x -> CAST(round(x*$PqScale) AS BIGINT)) AS qv FROM embeddings),
-       |sub AS (SELECT vec_id, m, list_slice(qv, m*$PqSubDim+1, m*$PqSubDim+$PqSubDim) AS sv
-       |  FROM e, (SELECT unnest(range(0, $PqSubspaces)) AS m) ms),
-       |cb0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < $PqCodes),
-       |${lloydChainSql("sub", "")},
+       |sub AS (SELECT vec_id, m, list_slice(qv, m*$subDim+1, m*$subDim+$subDim) AS sv
+       |  FROM e, (SELECT unnest(range(0, $subspaces)) AS m) ms),
+       |cb0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < $codes),
+       |${lloydChainSql("sub", "", subDim)},
        |a_enc AS (SELECT s.vec_id, s.m, c.code,
        |  row_number() OVER (PARTITION BY s.vec_id, s.m
        |    ORDER BY ${d2Sql("s.sv", "c.cv")}, c.code) AS rn
@@ -400,8 +447,10 @@ object ProductQuant {
   }
 
   /** CTE prefix ending at `pq` (the full-corpus ranked ADC candidates). */
-  private def pqChainSql: String =
-    s"""$encLutSql,
+  private def pqChainSql(subspaces: Int = PqSubspaces,
+                         subDim: Int = PqSubDim,
+                         codes: Int = PqCodes): String =
+    s"""${encLutSql(subspaces, subDim, codes)},
        |adc AS (SELECT l.q_id, e.vec_id, CAST(sum(l.pd2) AS BIGINT) AS adc_dist
        |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
        |  WHERE e.vec_id <> l.q_id GROUP BY 1, 2),
@@ -501,13 +550,20 @@ object ProductQuant {
 
   /** x272's oracle. */
   def adcOracleSql: String =
-    s"""$pqChainSql
+    s"""${pqChainSql()}
+       |SELECT q_id, vec_id, adc_dist, CAST(rank AS INTEGER) AS rank
+       |FROM pq WHERE rank <= $PqTopK""".stripMargin
+
+  /** x283's oracle: the SAME chain at production geometry — the builder
+    * parameterization IS the gate (nothing else moves). */
+  def prodAdcOracleSql: String =
+    s"""${pqChainSql(PqProdSubspaces, PqProdSubDim, PqProdCodes)}
        |SELECT q_id, vec_id, adc_dist, CAST(rank AS INTEGER) AS rank
        |FROM pq WHERE rank <= $PqTopK""".stripMargin
 
   /** x273's oracle. */
   def distortionOracleSql: String =
-    s"""$pqChainSql,
+    s"""${pqChainSql()},
        |tru AS (SELECT q.vec_id AS q_id, e2.vec_id, ${d2Sql("q.qv", "e2.qv")} AS true_d2
        |  FROM e q JOIN e e2 ON e2.vec_id <> q.vec_id WHERE q.vec_id < $PqQHi),
        |ex AS (SELECT q_id, vec_id, true_d2,
@@ -528,7 +584,7 @@ object ProductQuant {
   /** x279's oracle: the PQ chain's ranked ADC candidates, pool-bounded,
     * exact-reranked on the quantized vectors. */
   def rerankOracleSql: String =
-    s"""$pqChainSql,
+    s"""${pqChainSql()},
        |pool AS (SELECT q_id, vec_id FROM pq WHERE rank <= ${PqTopK * PqRerankFactor}),
        |rer AS (SELECT p.q_id, p.vec_id, ${d2Sql("q.qv", "e2.qv")} AS exact_d2
        |  FROM pool p JOIN e e2 ON e2.vec_id = p.vec_id
@@ -543,10 +599,10 @@ object ProductQuant {
     * ADC. */
   def ivfPqOracleSql: String = {
     val ccbF = s"ccb$PqIters"
-    s"""$encLutSql,
+    s"""${encLutSql()},
        |csub AS (SELECT vec_id, 0 AS m, qv AS sv FROM e),
        |ccb0 AS (SELECT m, vec_id AS code, sv AS cv FROM csub WHERE vec_id < $IvfPqCells),
-       |${lloydChainSql("csub", "c")},
+       |${lloydChainSql("csub", "c", PqSubspaces * PqSubDim)},
        |ca_enc AS (SELECT s.vec_id, c.code,
        |  row_number() OVER (PARTITION BY s.vec_id, s.m
        |    ORDER BY ${d2Sql("s.sv", "c.cv")}, c.code) AS rn

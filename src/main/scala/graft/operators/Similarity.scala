@@ -661,6 +661,15 @@ object Similarity {
     * queries (restriction commutes with the rollups). */
   val AuditSampleBps: Int = 4000
 
+  /** Keep rate for the SAMPLED Matryoshka audit (x282) — smaller than
+    * [[AuditSampleBps]] because x238's scored pass carries
+    * |MatryoshkaDims| prefix cosines per (query, candidate) pair, so at
+    * the same rate its oracle replay costs ~4× x233's; 10% keeps the
+    * sf1 replay inside the same budget the other sampled audits meet
+    * (the r16 skip-list closure). Same salt, same rule — only the
+    * dial differs. */
+  val MatryoshkaSampleBps: Int = 1000
+
   /** x27's deterministic keep predicate on a query id (salt isolates
     * this use-site from the doc split/sample buckets). */
   private def inQuerySample(id: Column, bps: Int): Column =

@@ -2117,6 +2117,46 @@ class OperatorsSpec extends SparkSpec {
     assert(sizes.values.exists(_ > 2) || edges.isEmpty || sizes.values.max == 2)
   }
 
+  test("erClustersSampled (x281): x181's pipeline over the md5 part bucket; " +
+    "a real restriction; matches a driver union-find on the sampled universe") {
+    def kept(p: Long): Boolean =
+      graft.functions.Md5Long.hash60(s"psample:$p") % 10000 < Dedup.ErSampleBps
+    val allParts = graft.Tables.part(spark, sf)
+      .select($"p_partkey").as[Long].collect()
+    val parts = allParts.filter(kept)
+    assert(parts.nonEmpty && parts.length < allParts.length,
+      "the sample must be a real nonempty restriction at this corpus size")
+    // driver replay: blocked fuzzy pairs WITHIN the sampled universe
+    // (pairs touching an unsampled part must not exist), then union-find
+    val edges = Dedup.fuzzyPairsOf(
+        graft.Tables.part(spark, sf).filter(
+          graft.operators.Sampling.hashBucket($"p_partkey", "psample")
+            < Dedup.ErSampleBps))
+      .select($"key_a", $"key_b").as[(Long, Long)].collect()
+    assert(edges.forall { case (a, b) => kept(a) && kept(b) })
+    val parent = scala.collection.mutable.Map(parts.map(p => p -> p): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val canon = parts.map(p => p -> find(p)).toMap
+    val sizes = canon.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Dedup.erClustersSampled(spark, sf)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(got.length == parts.length)
+    got.foreach { case (p, ck, sz, isCanon) =>
+      assert(kept(p), s"part $p leaked past the sample")
+      assert(ck == canon(p), s"part $p canonical")
+      assert(sz == sizes(canon(p)), s"part $p size")
+      assert(isCanon == (if (p == ck) 1 else 0), s"part $p flag")
+    }
+  }
+
   test("sortedNeighborhoodPairs (x183): ranks, window pairs and distances match a driver replay") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
@@ -3481,6 +3521,53 @@ class OperatorsSpec extends SparkSpec {
     val byD = got.sortBy(_._1)
     assert(byD.last._4 == 1000000L && byD.last._5 == 0L)
     assert(byD.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("matryoshkaRecall sampled (x282) ≡ full audit restricted to the query sample") {
+    // x232/x233/x234's proof applied to the dimension axis: the sampled
+    // mode filters EARLY (query side of the scored cross and the staged
+    // exact read); this replay restricts the FULL per-query detail LATE,
+    // in the driver, and asserts the per-d rollups agree — the rollup is
+    // per-query-independent, so restriction commutes.
+    val bps = Similarity.MatryoshkaSampleBps
+    def kept(id: Long): Boolean =
+      graft.functions.Md5Long.hash60(s"qsample:$id") % 10000 < bps
+    val k = Similarity.LshCurveK
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", Similarity.asDouble($"embedding"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(vecs.exists(v => kept(v._1)) && vecs.exists(v => !kept(v._1)),
+      "the 10% dial must be a real nonempty restriction at this corpus size")
+    def cos(a: Seq[Double], b: Seq[Double], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < d) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    // FULL detail (all queries), restricted late to the kept bucket
+    def topk(d: Int): Map[Long, Seq[(Long, Int)]] = vecs.map { case (q, qv) =>
+      q -> vecs.filter(_._1 != q)
+        .map { case (c, cv) => (c, cos(qv, cv, d)) }
+        .sortBy { case (c, s) => (-s, c) }.take(k)
+        .zipWithIndex.map { case ((c, _), i) => (c, i + 1) }.toSeq
+    }.toMap
+    val exact = topk(64).filter(p => kept(p._1))
+    val want = Similarity.MatryoshkaDims.map { d =>
+      val pre = topk(d).map { case (q, l) => q -> l.toMap }
+      val hits = exact.toSeq.flatMap { case (q, l) =>
+        l.flatMap { case (c, re) => pre(q).get(c).map(rp => (re, rp)) }
+      }
+      val nExact = exact.values.map(_.size).sum.toLong
+      d.toLong -> (nExact, hits.length.toLong,
+        1000000L * hits.length / nExact,
+        hits.map { case (re, rp) => (rp - re).toLong }.sum)
+    }.toMap
+    val got = Similarity.matryoshkaRecall(spark, sf, querySampleBps = Some(bps))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == Similarity.MatryoshkaDims.size)
+    got.foreach { case (d, ne, nf, ppm, disp) =>
+      assert(want(d) == ((ne, nf, ppm, disp)), s"dim $d")
+    }
   }
 
   test("knnIngest (x203): incremental merge equals the from-scratch full ranking") {

@@ -121,6 +121,57 @@ class ProductQuantSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("pqProdAdcTopK (x283): production geometry M=8/K=64 — full grid, " +
+    "ADC recomputes from the prod codebook, Window-free plan") {
+    import spark.implicits._
+    import ProductQuant.{PqProdCodes, PqProdSubDim, PqProdSubspaces}
+    // geometry invariant at the production shape: the fit really is
+    // 8×64 centroids of width 8 (M·subDim = the embedding dim)
+    val cbRows = ProductQuant.trainCodebook(spark, sf,
+      PqProdSubspaces, PqProdSubDim, PqProdCodes)
+    assert(cbRows.size == PqProdSubspaces * PqProdCodes)
+    assert(cbRows.forall(_._3.length == PqProdSubDim))
+    val k = ProductQuant.PqTopK
+    val got = ProductQuant.pqProdAdcTopK(spark, sf)
+      .as[(Long, Long, Long, Int)].collect()
+    val qs = got.map(_._1).distinct
+    assert(qs.length == ProductQuant.PqQHi)
+    qs.foreach { q =>
+      val mine = got.filter(_._1 == q).sortBy(_._4)
+      assert(mine.map(_._4).toSeq == (1 to k), s"ranks for q=$q")
+      assert(mine.map(_._3).toSeq == mine.map(_._3).sorted.toSeq,
+        s"adc_dist must be nondecreasing in rank for q=$q")
+    }
+    // independent driver-side recompute at the PRODUCTION shape — the
+    // x272 replay with only the geometry constants swapped
+    val cb = cbRows.map(c => ((c._1, c._2), c._3.toArray)).toMap
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        s"transform(embedding, x -> cast(round(cast(x as double) * ${ProductQuant.PqScale}) as long)) as qv")
+      .as[(Long, Seq[Long])].collect().toMap
+    def sub(v: Seq[Long], m: Int): Array[Long] =
+      v.slice(m * PqProdSubDim, (m + 1) * PqProdSubDim).toArray
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def code(v: Seq[Long], m: Int): Int =
+      (0 until PqProdCodes)
+        .map(c => (d2(sub(v, m), cb((m, c))), c)).min._2
+    got.foreach { case (q, v, adc, _) =>
+      val expect = (0 until PqProdSubspaces)
+        .map(m => d2(sub(vecs(q), m), cb((m, code(vecs(v), m))))).sum
+      assert(adc == expect, s"prod ADC mismatch for (q=$q, vec=$v)")
+    }
+    // the shipping form: bounded aggregate, never a rank window
+    val plan = ProductQuant.pqProdAdcTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"x283 must not plan a Window:\n$plan")
+    // production geometry separates from the toy one on this corpus:
+    // at least one (q, vec) pick or distance differs from x276's board
+    val toy = ProductQuant.pqAdcTopKAgg(spark, sf)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got.toSet != toy, "prod geometry must not alias the gate geometry")
+  }
+
   test("TopKLongPairs: bounded state, deterministic under any grouping") {
     import graft.functions.TopKLongPairs.top_k_long_pairs
     import spark.implicits._
