@@ -326,6 +326,10 @@ object SparkEntry {
     "x282_matryoshka_sampled" -> ((s, d) => Similarity.matryoshkaRecall(s, d,
       querySampleBps = Some(Similarity.MatryoshkaSampleBps))),
     "x283_pq_prod_adc"      -> ((s, d) => operators.ProductQuant.pqProdAdcTopK(s, d)),
+    "x284_ivf_pq_prod"      -> ((s, d) => operators.ProductQuant.ivfPqTopK(s, d,
+      subspaces = operators.ProductQuant.PqProdSubspaces,
+      subDim = operators.ProductQuant.PqProdSubDim,
+      codes = operators.ProductQuant.PqProdCodes)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -6719,7 +6723,7 @@ object SparkEntry {
     // loop can only move together.
     "x272_pq_adc"        -> operators.ProductQuant.adcOracleSql,
     "x273_pq_distortion" -> operators.ProductQuant.distortionOracleSql,
-    "x274_ivf_pq"        -> operators.ProductQuant.ivfPqOracleSql,
+    "x274_ivf_pq"        -> operators.ProductQuant.ivfPqOracleSql(),
 
     // x275: AS OF reads over the delta-file ledger — generation g holds
     // exactly the docs with doc_id mod TravelBatches ≤ g, so every
@@ -6776,5 +6780,13 @@ object SparkEntry {
     // verdict task 3: the frontier RECALL.md quotes is now
     // hash-verified, not tool-printed).
     "x283_pq_prod_adc" -> operators.ProductQuant.prodAdcOracleSql,
+
+    // x284: the composed IVF-PQ index at PRODUCTION geometry — x274's
+    // oracle with only the PQ chain's shape moved (the coarse quantizer
+    // is full-dimension in both geometries).
+    "x284_ivf_pq_prod" -> operators.ProductQuant.ivfPqOracleSql(
+      operators.ProductQuant.PqProdSubspaces,
+      operators.ProductQuant.PqProdSubDim,
+      operators.ProductQuant.PqProdCodes),
   )
 }

@@ -596,10 +596,14 @@ object ProductQuant {
 
   /** x274's oracle: the PQ chain plus the coarse full-dimension Lloyd
     * chain, cell assignment, probe selection, and the cell-restricted
-    * ADC. */
-  def ivfPqOracleSql: String = {
+    * ADC. Parameterized on PQ geometry (r17): x284 replays the SAME
+    * composition at the production shape (the coarse quantizer is
+    * full-dimension in both, so only the PQ chain moves). */
+  def ivfPqOracleSql(subspaces: Int = PqSubspaces,
+                     subDim: Int = PqSubDim,
+                     codes: Int = PqCodes): String = {
     val ccbF = s"ccb$PqIters"
-    s"""${encLutSql()},
+    s"""${encLutSql(subspaces, subDim, codes)},
        |csub AS (SELECT vec_id, 0 AS m, qv AS sv FROM e),
        |ccb0 AS (SELECT m, vec_id AS code, sv AS cv FROM csub WHERE vec_id < $IvfPqCells),
        |${lloydChainSql("csub", "c", PqSubspaces * PqSubDim)},

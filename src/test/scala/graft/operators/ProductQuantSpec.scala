@@ -172,6 +172,34 @@ class ProductQuantSpec extends SparkSpec {
     assert(got.toSet != toy, "prod geometry must not alias the gate geometry")
   }
 
+  test("ivfPqTopK at production geometry (x284): k rows per query; probing " +
+    "only loses, never changes, prod-ADC distances") {
+    import spark.implicits._
+    import ProductQuant.{PqProdCodes, PqProdSubDim, PqProdSubspaces}
+    val k = ProductQuant.PqTopK
+    val ivf = ProductQuant.ivfPqTopK(spark, sf,
+        subspaces = PqProdSubspaces, subDim = PqProdSubDim, codes = PqProdCodes)
+      .as[(Long, Long, Long, Int)].collect()
+    val full = ProductQuant.pqProdAdcTopK(spark, sf)
+      .as[(Long, Long, Long, Int)].collect()
+    val qs = ivf.map(_._1).distinct
+    assert(qs.length == ProductQuant.PqQHi)
+    qs.foreach { q =>
+      val mine = ivf.filter(_._1 == q).sortBy(_._4)
+      assert(mine.map(_._4).toSeq == (1 to k), s"ranks for q=$q")
+      // restricted candidate set ⇒ per-rank distance ≥ the full scan's
+      val fq = full.filter(_._1 == q).sortBy(_._4)
+      mine.zip(fq).foreach { case ((_, _, d, r), (_, _, fd, _)) =>
+        assert(d >= fd, s"q=$q rank=$r: pruned $d < full $fd")
+      }
+    }
+    // same prod codebook ⇒ a pair surviving both scans carries the SAME ADC
+    val fullMap = full.map(t => ((t._1, t._2), t._3)).toMap
+    val common = ivf.flatMap(t => fullMap.get((t._1, t._2)).map(fd => (t._3, fd)))
+    assert(common.nonEmpty, "probe set shares nothing with the full top-k")
+    common.foreach { case (d, fd) => assert(d == fd, "ADC must be scan-invariant") }
+  }
+
   test("TopKLongPairs: bounded state, deterministic under any grouping") {
     import graft.functions.TopKLongPairs.top_k_long_pairs
     import spark.implicits._
