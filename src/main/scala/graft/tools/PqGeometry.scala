@@ -56,6 +56,7 @@ object PqGeometry {
       .select(col("q_id"), col("vec_id")).localCheckpoint()
     val nExact = exact.count()
     for ((label, m, sd, codes) <- Seq(("gate_m4_k8", 4, 16, 8),
+                                      ("gated_prod_m8_k64", 8, 8, 64), // x283/x284's oracle-checked shape
                                       ("prod_m8_k256", 8, 8, 256));
          nProbe <- Seq(1, 2, 4)) {
       // fit outside the timer (frozen model state, the x272 contract)
