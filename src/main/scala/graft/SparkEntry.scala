@@ -1143,6 +1143,10 @@ object SparkEntry {
     * ranked) — built from the same engine-neutral constants as the
     * Spark side so the two oracles can never disagree on the rankings
     * they measure. */
+  /** Shared by x239/x260. MATERIALIZED hints (r17): nn/sem/tfc/idx/p/lex
+    * are each multiply-referenced — DuckDB inlines by default, so the sf1
+    * replay recomputed the 5-gram explode 4× and the pair join twice
+    * (x260 read 144 s; hint-only, row-identical, re-gated both scales). */
   private def hybridRankingCtes: String = {
     import operators.Dedup.{TfCosMaxTermDf, TfCosShingleN, TfCosThresholdDen, TfCosThresholdNum}
     import operators.Retrieval.HybridK
@@ -1150,9 +1154,9 @@ object SparkEntry {
       TfCosThresholdDen.toLong * TfCosThresholdDen)
     val (hi, lo) = (TfCosShingleN - 1, TfCosShingleN - 2)
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |nn AS (SELECT vec_id, v,
+      |nn AS MATERIALIZED (SELECT vec_id, v,
       |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm FROM e),
-      |sem AS (
+      |sem AS MATERIALIZED (
       |  SELECT q_id AS doc_id, vec_id AS rel_id,
       |         CAST(rank AS BIGINT) AS r_sem
       |  FROM (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
@@ -1164,13 +1168,13 @@ object SparkEntry {
       |t AS (SELECT doc_id, unnest([array_to_string(words[i:i+$hi], ' ')
       |             for i in range(1, len(words) - $lo)]) AS w
       |       FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1),
-      |tfc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+      |tfc AS MATERIALIZED (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
       |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm2 FROM tfc GROUP BY 1),
       |stop AS (SELECT w FROM (SELECT w, count(*) AS df FROM tfc GROUP BY 1) s
       |         WHERE df > $TfCosMaxTermDf),
-      |idx AS (SELECT doc_id, w, tf, norm2
+      |idx AS MATERIALIZED (SELECT doc_id, w, tf, norm2
       |        FROM tfc ANTI JOIN stop USING (w) JOIN norms USING (doc_id)),
-      |p AS (SELECT doc_a, doc_b, dot, norm2_a, norm2_b,
+      |p AS MATERIALIZED (SELECT doc_a, doc_b, dot, norm2_a, norm2_b,
       |             CAST(dot AS DOUBLE) / sqrt(CAST(norm2_a AS DOUBLE) * norm2_b) AS cos_dbl
       |      FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |                   a.norm2 AS norm2_a, b.norm2 AS norm2_b,
@@ -1180,7 +1184,7 @@ object SparkEntry {
       |      WHERE CAST($d2 AS HUGEINT) * dot * dot >= CAST($n2 AS HUGEINT) * norm2_a * norm2_b),
       |sym AS (SELECT doc_a AS doc_id, doc_b AS rel_id, cos_dbl FROM p
       |        UNION ALL SELECT doc_b AS doc_id, doc_a AS rel_id, cos_dbl FROM p),
-      |lex AS (SELECT doc_id, rel_id, r_lex FROM (
+      |lex AS MATERIALIZED (SELECT doc_id, rel_id, r_lex FROM (
       |          SELECT doc_id, rel_id, CAST(row_number() OVER (PARTITION BY doc_id
       |            ORDER BY cos_dbl DESC, rel_id) AS BIGINT) AS r_lex FROM sym) t
       |        WHERE r_lex <= $HybridK)""".stripMargin
@@ -3552,11 +3556,11 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, unnest([array_to_string(words[i:i+$hi], ' ')
         |             for i in range(1, len(words) - $lo)]) AS w
         |       FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t1),
-        |tfc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |tfc AS MATERIALIZED (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
         |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm2 FROM tfc GROUP BY 1),
         |stop AS (SELECT w FROM (SELECT w, count(*) AS df FROM tfc GROUP BY 1) s
         |         WHERE df > $TfCosMaxTermDf),
-        |idx AS (SELECT doc_id, w, tf, norm2
+        |idx AS MATERIALIZED (SELECT doc_id, w, tf, norm2
         |        FROM tfc ANTI JOIN stop USING (w) JOIN norms USING (doc_id)),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |             a.norm2 AS norm2_a, b.norm2 AS norm2_b,
