@@ -21,7 +21,20 @@ object BenchStreaming {
     // RocksDBStateStoreProvider and the panel lands in
     // STREAM_ROCKSDB.json, so the two provider boards coexist and the
     // swap's rows/s surcharge is a recorded number.
-    val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER", "default")
+    // Validate the env value (r17 advisory): any spelling other than the
+    // two recognized providers would silently fall through to the default
+    // store while the artifact records the typo verbatim — a "RocksDB" run
+    // would overwrite the default board mislabeled as a rocksdb one. Fail
+    // fast instead; `provider` below is the validated, normalized name.
+    val provider = sys.env.get("SPARK_GRAFT_STATE_PROVIDER")
+      .map(_.trim.toLowerCase) match {
+      case None | Some("") | Some("default") => "default"
+      case Some("rocksdb")                   => "rocksdb"
+      case Some(other) => sys.error(
+        s"SPARK_GRAFT_STATE_PROVIDER=$other is not a recognized state " +
+          "provider (expected 'default' or 'rocksdb') — refusing to run " +
+          "so a mislabeled panel never overwrites a provider board")
+    }
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

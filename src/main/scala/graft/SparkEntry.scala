@@ -330,6 +330,12 @@ object SparkEntry {
       subspaces = operators.ProductQuant.PqProdSubspaces,
       subDim = operators.ProductQuant.PqProdSubDim,
       codes = operators.ProductQuant.PqProdCodes)),
+    "x285_pq_adc_k256"      -> ((s, d) => operators.ProductQuant.pqProdAdcTopK(s, d,
+      codes = operators.ProductQuant.PqFullCodes)),
+    "x286_ivf_pq_k256"      -> ((s, d) => operators.ProductQuant.ivfPqTopK(s, d,
+      subspaces = operators.ProductQuant.PqProdSubspaces,
+      subDim = operators.ProductQuant.PqProdSubDim,
+      codes = operators.ProductQuant.PqFullCodes)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1586,17 +1592,25 @@ object SparkEntry {
         |  CAST(MAX(n_chars % 48 + 1) AS INTEGER) AS max_height
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // x16: row/window form (r17 verdict task 2) — the original per-doc
+    // list-comprehension form built a 32-char-hash list per document and
+    // re-sliced it per window position (interpreted list ops ×50M at sf1:
+    // 373 s solo, outside the repeatable 120 s watchdog). Unnesting grams
+    // to rows and taking the w=4 window min as a frame aggregate is
+    // row-identical (verified at sf0.01/sf0.1) and ~20× faster (~5 s at
+    // sf1), so x16 sits back inside the pinned sf1 gate. `i >= 4` keeps
+    // exactly the full windows, which also subsumes the old
+    // `len(grams) >= 4` doc filter.
     "x16_winnowing_fp" ->
       """WITH g AS (
-        |  SELECT doc_id,
-        |         [md5(substr(text, i, 8)) for i in range(1, length(text) - 8 + 2)] AS grams
-        |  FROM documents),
+        |  SELECT doc_id, i, md5(substr(text, CAST(i AS INTEGER), 8)) AS h
+        |  FROM documents, unnest(range(1, length(text) - 8 + 2)) AS t(i)),
         |w AS (
-        |  SELECT doc_id,
-        |         list_distinct([list_aggregate(grams[j:j+3], 'min')
-        |                        for j in range(1, len(grams) - 4 + 2)]) AS fps
-        |  FROM g WHERE len(grams) >= 4)
-        |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
+        |  SELECT doc_id, i,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM g)
+        |SELECT DISTINCT doc_id, fp FROM w WHERE i >= 4""".stripMargin,
 
     // x17's oracle recomputes the same near-dup graph and takes connected
     // components via a recursive CTE.
@@ -6783,7 +6797,7 @@ object SparkEntry {
     // integer-Lloyd replay parameterized, nothing else moves (r16
     // verdict task 3: the frontier RECALL.md quotes is now
     // hash-verified, not tool-printed).
-    "x283_pq_prod_adc" -> operators.ProductQuant.prodAdcOracleSql,
+    "x283_pq_prod_adc" -> operators.ProductQuant.prodAdcOracleSql(),
 
     // x284: the composed IVF-PQ index at PRODUCTION geometry — x274's
     // oracle with only the PQ chain's shape moved (the coarse quantizer
@@ -6792,5 +6806,16 @@ object SparkEntry {
       operators.ProductQuant.PqProdSubspaces,
       operators.ProductQuant.PqProdSubDim,
       operators.ProductQuant.PqProdCodes),
+
+    // x285/x286: the FULL production K=256 (one-byte codes) — the shape
+    // RECALL.md's deployment frontier actually quotes, now hash-verified
+    // end to end (r17 verdict task 1). Same parameterized builders and
+    // CTE chains as x283/x284; only `codes` moves.
+    "x285_pq_adc_k256" -> operators.ProductQuant.prodAdcOracleSql(
+      operators.ProductQuant.PqFullCodes),
+    "x286_ivf_pq_k256" -> operators.ProductQuant.ivfPqOracleSql(
+      operators.ProductQuant.PqProdSubspaces,
+      operators.ProductQuant.PqProdSubDim,
+      operators.ProductQuant.PqFullCodes),
   )
 }

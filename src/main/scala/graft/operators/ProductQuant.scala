@@ -73,13 +73,23 @@ object ProductQuant {
     * PqGeometry` prices off-gate, now oracle-checked: the integer-Lloyd
     * CTE chain replays ANY geometry, so the gate hashes the production-
     * shaped codebook end to end (train → encode → ADC → rank) instead
-    * of trusting the toy-geometry pass to generalize. K=64 (not 256)
-    * keeps the oracle's N·M·K assignment CTEs inside the sf1 replay
-    * budget while exceeding the K≥64 bar the frontier quotes; nothing
-    * in the dataflow depends on K. */
+    * of trusting the toy-geometry pass to generalize. K=64 was chosen
+    * in r17 to bound the oracle's N·M·K assignment CTEs; r18 measured
+    * that fear away and gates the full K=256 too (x285/x286,
+    * [[PqFullCodes]]) — both shapes stay gated so the K-ladder itself
+    * is oracle-covered. Nothing in the dataflow depends on K. */
   val PqProdSubspaces: Int = 8
   val PqProdSubDim: Int = 8
   val PqProdCodes: Int = 64
+
+  /** FULL production K (x285/x286, r17 verdict task 1): one-byte codes,
+    * K=256 — the exact shape RECALL.md's deployment frontier quotes. r17
+    * gated K=64 out of caution about the oracle's N·M·K assignment CTEs
+    * at sf1; measured, the corpus is small enough (20k vectors at sf1 →
+    * 41M assignment rows per Lloyd round) that DuckDB replays the full
+    * geometry inside the watchdog, so the frontier row is now
+    * hash-verified end to end, not tool-printed. */
+  val PqFullCodes: Int = 256
 
   /** Integer squared-L2 between two `array<bigint>` columns — codegen'd
     * fold, no UDF. */
@@ -268,18 +278,20 @@ object ProductQuant {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
-  /** x283: the ADC ranking at PRODUCTION geometry (M=8, K=64), through
-    * the bounded top-k aggregate (every shipping ANN ranking's form).
-    * Same dataflow as x272/x276 — only the codebook shape moves, which
-    * is the point: the gate now hash-verifies the production-shaped
+  /** x283: the ADC ranking at PRODUCTION geometry (M=8, K=64 default),
+    * through the bounded top-k aggregate (every shipping ANN ranking's
+    * form). Same dataflow as x272/x276 — only the codebook shape moves,
+    * which is the point: the gate hash-verifies the production-shaped
     * train → encode → ADC chain instead of extrapolating from the toy
     * geometry, so the RECALL.md frontier rows quote an oracle-checked
-    * codebook. 100 TB shape: identical to x276's (broadcast M·K LUT is
-    * 8·64 = 512 rows/query here — still trivially broadcastable). */
+    * codebook. x285 runs the SAME builder at the FULL production K=256
+    * (`PqFullCodes`) — the frontier's deployment row. 100 TB shape:
+    * identical to x276's (broadcast M·K LUT is 512–2048 rows/query —
+    * still trivially broadcastable). */
   def pqProdAdcTopK(spark: SparkSession, dir: String, qHi: Int = PqQHi,
-                    k: Int = PqTopK): DataFrame = {
+                    k: Int = PqTopK, codes: Int = PqProdCodes): DataFrame = {
     import graft.functions.TopKLongPairs.top_k_long_pairs
-    adcScores(spark, dir, qHi, PqProdSubspaces, PqProdSubDim, PqProdCodes)
+    adcScores(spark, dir, qHi, PqProdSubspaces, PqProdSubDim, codes)
       .groupBy(col("q_id"))
       .agg(top_k_long_pairs(col("adc_dist"), col("vec_id"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")))
@@ -555,9 +567,10 @@ object ProductQuant {
        |FROM pq WHERE rank <= $PqTopK""".stripMargin
 
   /** x283's oracle: the SAME chain at production geometry — the builder
-    * parameterization IS the gate (nothing else moves). */
-  def prodAdcOracleSql: String =
-    s"""${pqChainSql(PqProdSubspaces, PqProdSubDim, PqProdCodes)}
+    * parameterization IS the gate (nothing else moves). x285 passes
+    * `codes = PqFullCodes` for the full K=256 deployment shape. */
+  def prodAdcOracleSql(codes: Int = PqProdCodes): String =
+    s"""${pqChainSql(PqProdSubspaces, PqProdSubDim, codes)}
        |SELECT q_id, vec_id, adc_dist, CAST(rank AS INTEGER) AS rank
        |FROM pq WHERE rank <= $PqTopK""".stripMargin
 
@@ -606,7 +619,7 @@ object ProductQuant {
     s"""${encLutSql(subspaces, subDim, codes)},
        |csub AS (SELECT vec_id, 0 AS m, qv AS sv FROM e),
        |ccb0 AS (SELECT m, vec_id AS code, sv AS cv FROM csub WHERE vec_id < $IvfPqCells),
-       |${lloydChainSql("csub", "c", PqSubspaces * PqSubDim)},
+       |${lloydChainSql("csub", "c", subspaces * subDim)},
        |ca_enc AS (SELECT s.vec_id, c.code,
        |  row_number() OVER (PARTITION BY s.vec_id, s.m
        |    ORDER BY ${d2Sql("s.sv", "c.cv")}, c.code) AS rn

@@ -576,12 +576,15 @@ object Similarity {
     * Exactness: quantized components are integers ≤ 127, so Σq², q·q
     * dot products (≤ 64·127² ≪ 2⁵³) are order-independent exact doubles;
     * the quantized cosine is then the same 3-IEEE-op expression in both
-    * engines, trunc6'd like the float side. One broadcast of the
-    * O(queries) side against the corpus scan, two same-key window
-    * passes on the scored frame — the x09 plan shape with a second
-    * sort. */
+    * engines, trunc6'd like the float side. Plan (r18, verdict task 6):
+    * three linear broadcast-join passes over the scored frame — both
+    * top-k sets via ONE bounded-aggregate groupBy, then the k·Q exact
+    * picks rejoined for their quant cosines and their quant-order
+    * predecessors counted — no per-query full-rank window, so no task
+    * ever sorts the corpus (the former single-task-sort-per-query shape
+    * survives only as the `window = true` bit-identity twin). */
   def quantizedRecall(spark: SparkSession, dir: String, qLo: Int = 0, qHi: Int = 10,
-                      k: Int = 5): DataFrame = {
+                      k: Int = 5, window: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions.cosine_sim
     val levels = lit(QuantLevels.toDouble)
     val emb = Tables.embeddings(spark, dir)
@@ -599,24 +602,74 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         trunc6(cosine_sim(col("qv"), col("v"))).as("cos_exact"),
         trunc6(cosine_sim(col("qq"), col("q"))).as("cos_quant"))
-    // windows KEPT (r16 sweep): the ledger consumes FULL ranks (the
-    // quant_rank_sum term reads rank_quant values up to corpus size), so
-    // a bounded top-k aggregate cannot express this — full ranking is the
-    // semantics, not an implementation choice
-    val we = Window.partitionBy(col("q_id")).orderBy(col("cos_exact").desc, col("vec_id"))
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("cos_quant").desc, col("vec_id"))
-    scored
-      .withColumn("rank_exact", row_number().over(we))
-      .withColumn("rank_quant", row_number().over(wq))
-      .groupBy(col("q_id"))
-      .agg(
-        sum(when(col("rank_exact") <= k && col("rank_quant") <= k, 1L).otherwise(0L))
-          .as("n_hits"),
-        sum(when(col("rank_exact") <= k, col("rank_quant")).otherwise(0L))
-          .as("quant_rank_sum"))
-      .select(col("q_id"), lit(k).as("k"), col("n_hits"),
-        (col("n_hits").cast("double") / lit(k.toDouble)).as("recall"),
-        col("quant_rank_sum"))
+    if (window) {
+      // the r16-era full-rank twin, kept ONLY for the bit-identity spec:
+      // each q_id task sorts the whole corpus — at 100× that is a
+      // single-task corpus sort per query, which is why it no longer ships
+      val we = Window.partitionBy(col("q_id")).orderBy(col("cos_exact").desc, col("vec_id"))
+      val wq = Window.partitionBy(col("q_id")).orderBy(col("cos_quant").desc, col("vec_id"))
+      scored
+        .withColumn("rank_exact", row_number().over(we))
+        .withColumn("rank_quant", row_number().over(wq))
+        .groupBy(col("q_id"))
+        .agg(
+          sum(when(col("rank_exact") <= k && col("rank_quant") <= k, 1L).otherwise(0L))
+            .as("n_hits"),
+          sum(when(col("rank_exact") <= k, col("rank_quant")).otherwise(0L))
+            .as("quant_rank_sum"))
+        .select(col("q_id"), lit(k).as("k"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(k.toDouble)).as("recall"),
+          col("quant_rank_sum"))
+    } else {
+      // Shipping form (r17 verdict task 6): the r16 sweep kept full-rank
+      // windows because quant_rank_sum reads rank_quant values up to
+      // corpus size — but only for the k EXACT-top picks per query, and a
+      // rank is just 1 + its predecessor count under the same total order
+      // ((cos_quant desc, vec_id), the window's ORDER BY). So: both
+      // top-k sets in ONE bounded-aggregate pass (n_hits = k-set
+      // overlap), then the k·Q picks broadcast back against the scored
+      // scan and their quant predecessors COUNTED — three linear
+      // broadcast-join scans, partial-combining aggregates, and no task
+      // ever sorts more than it maps. Bit-identical to the window twin
+      // (spec-asserted; the oracle is unchanged and hash-gates both).
+      import graft.functions.TopKLongPairs.top_k_long_pairs
+      def gridKey(c: Column): Column = -round(c * lit(1000000.0)).cast("long")
+      // scan 1: exact AND quant top-k in one groupBy (the onGrid round
+      // contract of [[topKByCosine]] — trunc6 values recover their grid
+      // integer exactly, so the long key preserves the double order)
+      val tops = scored.groupBy(col("q_id"))
+        .agg(
+          top_k_long_pairs(gridKey(col("cos_exact")), col("vec_id"), k).as("te"),
+          top_k_long_pairs(gridKey(col("cos_quant")), col("vec_id"), k).as("tq"))
+        .localCheckpoint() // Q rows of 2k pairs — bounded model-state size
+      // n_hits is pure per-row array arithmetic on the Q-row tops frame —
+      // both k-sets are already in hand, so the overlap never joins
+      val nHits = tops.select(col("q_id").as("pq_id"),
+        size(array_intersect(col("te.id"), col("tq.id"))).cast("long").as("n_hits"))
+      val exPicks = tops.select(col("q_id").as("pq_id"),
+        explode(col("te.id")).as("pick_id"))
+      // scan 2: the picks' own quant cosines (k·Q rows survive the join)
+      val pickCq = scored
+        .select(col("q_id").as("pq_id"), col("vec_id").as("pick_id"),
+          col("cos_quant").as("pick_cq"))
+        .join(broadcast(exPicks), Seq("pq_id", "pick_id"))
+      // scan 3: predecessor count per pick under (cos_quant desc, vec_id)
+      // — rank_quant of pick p is 1 + |{u : cq_u > cq_p ∨ (cq_u = cq_p ∧
+      // u < p)}|, the row_number definition without the sort
+      val pred = scored.join(broadcast(pickCq), col("q_id") === col("pq_id"))
+        .filter(col("cos_quant") > col("pick_cq") ||
+          (col("cos_quant") === col("pick_cq") && col("vec_id") < col("pick_id")))
+        .groupBy(col("pq_id"), col("pick_id"))
+        .agg(count(lit(1)).as("n_before"))
+      val quantRankSum = pickCq.select(col("pq_id"), col("pick_id"))
+        .join(pred, Seq("pq_id", "pick_id"), "left")
+        .groupBy(col("pq_id"))
+        .agg(sum(coalesce(col("n_before"), lit(0L)) + lit(1L)).as("quant_rank_sum"))
+      nHits.join(quantRankSum, Seq("pq_id"))
+        .select(col("pq_id").as("q_id"), lit(k).as("k"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(k.toDouble)).as("recall"),
+          col("quant_rank_sum"))
+    }
   }
 
   /** The exact all-pairs ranked top-k — [[KnnStage]]'s compute path.

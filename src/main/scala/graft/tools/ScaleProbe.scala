@@ -80,7 +80,10 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val scales = Seq("sf0.3" -> 3, "sf1" -> 10)
+    // sf3 (r17 verdict task 7): one more decade-ish step (×30) so the
+    // "documented-linear" banded families carry a measured two-decade
+    // exponent sf0.1→sf3, not an extrapolated one
+    val scales = Seq("sf0.3" -> 3, "sf1" -> 10, "sf3" -> 30)
     scales.foreach { case (name, copies) =>
       val dir = s"$outRoot/$name"
       if (!new java.io.File(s"$dir/documents.parquet").exists()) {

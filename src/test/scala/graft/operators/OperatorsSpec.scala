@@ -145,6 +145,20 @@ class OperatorsSpec extends SparkSpec {
     assert(meanRecall >= 0.6, s"mean recall $meanRecall")
   }
 
+  test("quantizedRecall shipping form (x175, r18): bit-identical to the " +
+    "full-rank window twin, and plans no Window") {
+    val agg = Similarity.quantizedRecall(spark, sf)
+      .as[(Long, Int, Long, Double, Long)].collect().toSet
+    val win = Similarity.quantizedRecall(spark, sf, window = true)
+      .as[(Long, Int, Long, Double, Long)].collect().toSet
+    assert(agg == win, "aggregate form diverged from the window twin")
+    val plan = Similarity.quantizedRecall(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"x175 must not plan a Window:\n$plan")
+    assert(Similarity.quantizedRecall(spark, sf, window = true)
+      .queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("decayAttribution (x188): halving credits match an exhaustive driver replay") {
     val ev = graft.Tables.events(spark, sf)
     val rows = ev.select($"user_id", $"event_id", $"event_type",

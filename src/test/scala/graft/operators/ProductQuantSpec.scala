@@ -172,6 +172,78 @@ class ProductQuantSpec extends SparkSpec {
     assert(got.toSet != toy, "prod geometry must not alias the gate geometry")
   }
 
+  test("pqProdAdcTopK at FULL production K=256 (x285): full 8×256 grid, " +
+    "ADC recomputes from the K=256 codebook, separates from K=64") {
+    import spark.implicits._
+    import ProductQuant.{PqFullCodes, PqProdSubDim, PqProdSubspaces}
+    val cbRows = ProductQuant.trainCodebook(spark, sf,
+      PqProdSubspaces, PqProdSubDim, PqFullCodes)
+    assert(cbRows.size == PqProdSubspaces * PqFullCodes)
+    assert(cbRows.forall(_._3.length == PqProdSubDim))
+    val k = ProductQuant.PqTopK
+    val got = ProductQuant.pqProdAdcTopK(spark, sf, codes = PqFullCodes)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(got.map(_._1).distinct.length == ProductQuant.PqQHi)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val mine = rows.sortBy(_._4)
+      assert(mine.map(_._4).toSeq == (1 to k), s"ranks for q=$q")
+      assert(mine.map(_._3).toSeq == mine.map(_._3).sorted.toSeq,
+        s"adc_dist must be nondecreasing in rank for q=$q")
+    }
+    // independent driver-side recompute at K=256 — the x283 replay with
+    // only the code count moved
+    val cb = cbRows.map(c => ((c._1, c._2), c._3.toArray)).toMap
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        s"transform(embedding, x -> cast(round(cast(x as double) * ${ProductQuant.PqScale}) as long)) as qv")
+      .as[(Long, Seq[Long])].collect().toMap
+    def sub(v: Seq[Long], m: Int): Array[Long] =
+      v.slice(m * PqProdSubDim, (m + 1) * PqProdSubDim).toArray
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def code(v: Seq[Long], m: Int): Int =
+      (0 until PqFullCodes)
+        .map(c => (d2(sub(v, m), cb((m, c))), c)).min._2
+    got.foreach { case (q, v, adc, _) =>
+      val expect = (0 until PqProdSubspaces)
+        .map(m => d2(sub(vecs(q), m), cb((m, code(vecs(v), m))))).sum
+      assert(adc == expect, s"K=256 ADC mismatch for (q=$q, vec=$v)")
+    }
+    // the shipping form stays Window-free, and K=256 must genuinely
+    // refine the quantization vs the gated K=64 board on this corpus
+    val plan = ProductQuant.pqProdAdcTopK(spark, sf, codes = PqFullCodes)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"x285 must not plan a Window:\n$plan")
+    val k64 = ProductQuant.pqProdAdcTopK(spark, sf)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got.toSet != k64, "K=256 must not alias the K=64 geometry")
+  }
+
+  test("ivfPqTopK at FULL production K=256 (x286): probing only loses, " +
+    "never changes, K=256 ADC distances") {
+    import spark.implicits._
+    import ProductQuant.{PqFullCodes, PqProdSubDim, PqProdSubspaces}
+    val k = ProductQuant.PqTopK
+    val ivf = ProductQuant.ivfPqTopK(spark, sf,
+        subspaces = PqProdSubspaces, subDim = PqProdSubDim, codes = PqFullCodes)
+      .as[(Long, Long, Long, Int)].collect()
+    val full = ProductQuant.pqProdAdcTopK(spark, sf, codes = PqFullCodes)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(ivf.map(_._1).distinct.length == ProductQuant.PqQHi)
+    ivf.groupBy(_._1).foreach { case (q, rows) =>
+      val mine = rows.sortBy(_._4)
+      assert(mine.map(_._4).toSeq == (1 to k), s"ranks for q=$q")
+      val fq = full.filter(_._1 == q).sortBy(_._4)
+      mine.zip(fq).foreach { case ((_, _, d, r), (_, _, fd, _)) =>
+        assert(d >= fd, s"q=$q rank=$r: pruned $d < full $fd")
+      }
+    }
+    val fullMap = full.map(t => ((t._1, t._2), t._3)).toMap
+    val common = ivf.flatMap(t => fullMap.get((t._1, t._2)).map(fd => (t._3, fd)))
+    assert(common.nonEmpty, "probe set shares nothing with the full top-k")
+    common.foreach { case (d, fd) => assert(d == fd, "ADC must be scan-invariant") }
+  }
+
   test("ivfPqTopK at production geometry (x284): k rows per query; probing " +
     "only loses, never changes, prod-ADC distances") {
     import spark.implicits._
