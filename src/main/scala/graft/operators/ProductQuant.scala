@@ -408,18 +408,26 @@ object ProductQuant {
       s" + list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))" +
       s" - 2*list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) AS BIGINT)"
 
-  /** One Lloyd iteration as CTEs: assignment window, per-dim sums (the
-    * oracle's stand-in for `array_long_sum`), floorDiv rebuild, empty-code
-    * carry-forward. `src` is the subvector CTE, `tag` namespaces the
-    * intermediate CTEs so the PQ and coarse chains can coexist. */
+  /** One Lloyd iteration as CTEs: packed-argmin assignment, per-dim sums
+    * (the oracle's stand-in for `array_long_sum`), floorDiv rebuild,
+    * empty-code carry-forward. `src` is the subvector CTE, `tag`
+    * namespaces the intermediate CTEs so the PQ and coarse chains can
+    * coexist.
+    *
+    * Assignment is `min(d2·65536 + code) % 65536` — the argmin of
+    * (d2, code) as ONE BIGINT aggregate, not a per-(vec, m) row_number
+    * window (r18: at K=256/sf1 the window form sorted a 41M-row
+    * candidate frame per Lloyd pass — 171 s; the hash-aggregate form is
+    * 4 s, row-identical since codes < 65536 and the packed value stays
+    * < 2⁶³: d2 ≤ dim·(2·PqScale·max|x|)² ≈ 7.2e9, ×65536 ≈ 4.7e14). */
   private def lloydIterSql(src: String, tag: String, prev: String, cur: String,
                            t: Int, subDim: Int): String =
-    s"""${tag}a$t AS (SELECT s.vec_id, s.m, c.code, s.sv,
-       |  row_number() OVER (PARTITION BY s.vec_id, s.m
-       |    ORDER BY ${d2Sql("s.sv", "c.cv")}, c.code) AS rn
-       |  FROM $src s JOIN $prev c ON s.m = c.m),
-       |${tag}g$t AS (SELECT m, code, i, sum(sv[i]) AS s, count(*) AS n
-       |  FROM ${tag}a$t, unnest(range(1, $subDim + 1)) AS t(i) WHERE rn = 1 GROUP BY 1,2,3),
+    s"""${tag}a$t AS (SELECT s.vec_id, s.m,
+       |  min(${d2Sql("s.sv", "c.cv")}*65536 + c.code) % 65536 AS code
+       |  FROM $src s JOIN $prev c ON s.m = c.m GROUP BY 1, 2),
+       |${tag}g$t AS (SELECT a.m, a.code, i, sum(s.sv[i]) AS s, count(*) AS n
+       |  FROM ${tag}a$t a JOIN $src s ON s.vec_id = a.vec_id AND s.m = a.m,
+       |       unnest(range(1, $subDim + 1)) AS t(i) GROUP BY 1,2,3),
        |${tag}u$t AS (SELECT m, code, list((s - ((s % n + n) % n)) // n ORDER BY i) AS cv
        |  FROM ${tag}g$t GROUP BY 1,2),
        |$cur AS (SELECT c.m, c.code, coalesce(u.cv, c.cv) AS cv
@@ -449,11 +457,9 @@ object ProductQuant {
        |  FROM e, (SELECT unnest(range(0, $subspaces)) AS m) ms),
        |cb0 AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < $codes),
        |${lloydChainSql("sub", "", subDim)},
-       |a_enc AS (SELECT s.vec_id, s.m, c.code,
-       |  row_number() OVER (PARTITION BY s.vec_id, s.m
-       |    ORDER BY ${d2Sql("s.sv", "c.cv")}, c.code) AS rn
-       |  FROM sub s JOIN $cbF c ON s.m = c.m),
-       |enc AS (SELECT vec_id, m, code FROM a_enc WHERE rn = 1),
+       |enc AS (SELECT s.vec_id, s.m,
+       |  min(${d2Sql("s.sv", "c.cv")}*65536 + c.code) % 65536 AS code
+       |  FROM sub s JOIN $cbF c ON s.m = c.m GROUP BY 1, 2),
        |lut AS (SELECT q.vec_id AS q_id, c.m, c.code, ${d2Sql("q.sv", "c.cv")} AS pd2
        |  FROM sub q JOIN $cbF c ON q.m = c.m WHERE q.vec_id < $PqQHi)""".stripMargin
   }
@@ -620,11 +626,9 @@ object ProductQuant {
        |csub AS (SELECT vec_id, 0 AS m, qv AS sv FROM e),
        |ccb0 AS (SELECT m, vec_id AS code, sv AS cv FROM csub WHERE vec_id < $IvfPqCells),
        |${lloydChainSql("csub", "c", subspaces * subDim)},
-       |ca_enc AS (SELECT s.vec_id, c.code,
-       |  row_number() OVER (PARTITION BY s.vec_id, s.m
-       |    ORDER BY ${d2Sql("s.sv", "c.cv")}, c.code) AS rn
-       |  FROM csub s JOIN $ccbF c ON s.m = c.m),
-       |cells AS (SELECT vec_id, code AS cell FROM ca_enc WHERE rn = 1),
+       |cells AS (SELECT s.vec_id,
+       |  min(${d2Sql("s.sv", "c.cv")}*65536 + c.code) % 65536 AS cell
+       |  FROM csub s JOIN $ccbF c ON s.m = c.m GROUP BY 1),
        |pr AS (SELECT s.vec_id, c.code,
        |  row_number() OVER (PARTITION BY s.vec_id
        |    ORDER BY ${d2Sql("s.sv", "c.cv")}, c.code) AS p_rank
