@@ -336,6 +336,9 @@ object SparkEntry {
       subspaces = operators.ProductQuant.PqProdSubspaces,
       subDim = operators.ProductQuant.PqProdSubDim,
       codes = operators.ProductQuant.PqFullCodes)),
+    "x287_source_duels"     -> ((s, d) => operators.Preference.sourceDuels(s, d)),
+    "x288_bt_strengths"     -> ((s, d) => operators.Preference.btStrengths(s, d)),
+    "x289_bt_concordance"   -> ((s, d) => operators.Preference.btWinrateConcordance(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -6817,5 +6820,14 @@ object SparkEntry {
       operators.ProductQuant.PqProdSubspaces,
       operators.ProductQuant.PqProdSubDim,
       operators.ProductQuant.PqFullCodes),
+
+    // x287–x289: preference-data aggregation (the RLHF side of the
+    // pipeline) — deterministic document duels rolled up to the win-rate
+    // matrix, the integer-exact Bradley–Terry MM fit, and the
+    // BT-vs-winrate Kendall concordance census. Oracles replay the full
+    // floor-div MM chain (x77's unrolled-iteration pattern).
+    "x287_source_duels" -> operators.Preference.sourceDuelsOracleSql,
+    "x288_bt_strengths" -> operators.Preference.btOracleSql(),
+    "x289_bt_concordance" -> operators.Preference.concordanceOracleSql(),
   )
 }
