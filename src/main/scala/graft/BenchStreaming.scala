@@ -257,6 +257,22 @@ object BenchStreaming {
       } finally deleteTree(root)
     }
 
+    def runDuelIngest(): (String, Double) = {
+      val root = Files.createTempDirectory("graft-sbench-duel-ingest")
+      try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        docs.write.parquet(s"$root/drop")
+        val n = docs.count()
+        val t0 = System.nanoTime()
+        graft.streaming.DocumentStream.startDuelIngest(
+          graft.streaming.DocumentStream.readDocuments(spark, s"$root/drop", docs.schema),
+          s"$root/stage", s"$root/ckpt")
+          .awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        "duel_ingest" -> (n / sec)
+      } finally deleteTree(root)
+    }
+
     // documents-side twins: a stateful running-budget aggregate (Complete,
     // spec-sized state) and the stateless fused-kernel chunker (Append) —
     // file streams need a DIRECTORY source, so the table file is exposed
@@ -355,6 +371,7 @@ object BenchStreaming {
       runClusterIngest(),
       runTermIngest(),
       runStatsIngest(),
+      runDuelIngest(),
       runKnnIngest(),
       runAnnIngest(),
       runPqIngest(),

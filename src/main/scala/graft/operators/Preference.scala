@@ -71,21 +71,25 @@ object Preference {
   val BtClampLo: Long = 1000L       // BtUnit / 1000
   val BtClampHi: Long = 1000000000L // BtUnit * 1000
 
-  /** One row per duel: (winner_source, loser_source). Deterministic
-    * consecutive-id pairing, cross-source only (same-source duels carry
-    * no signal for a source-level fit). */
-  def duels(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("n_chars"),
-        md5(col("text")).as("h"))
-    val a = d.where(col("doc_id") % 2 === 0)
+  /** Challenger side of the duel join: even docs keyed by their rotated
+    * rival id. Split out (with [[rivalFrame]]/[[duelsFromFrames]]) so
+    * the streaming duel ingester can run the SAME join incrementally
+    * (new⋈staged + staged⋈new + new⋈new). */
+  def challengerFrame(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 2 === 0)
       .select(expr("doc_id + 1L + (doc_id div 20) % 19").as("rival_id"),
         col("source").as("src_a"), col("n_chars").as("len_a"),
-        col("h").as("h_a"))
-    val b = d.select(col("doc_id").as("rival_id"),
-      col("source").as("src_b"), col("n_chars").as("len_b"),
-      col("h").as("h_b"))
-    a.join(b, Seq("rival_id"))
+        md5(col("text")).as("h_a"))
+
+  /** Rival side: every doc keyed by its own id (any doc can be
+    * challenged). */
+  def rivalFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("rival_id"), col("source").as("src_b"),
+      col("n_chars").as("len_b"), md5(col("text")).as("h_b"))
+
+  /** The duel join + winner pick over prepared sides. */
+  def duelsFromFrames(ch: DataFrame, rv: DataFrame): DataFrame =
+    ch.join(rv, Seq("rival_id"))
       .where(col("src_a") =!= col("src_b"))
       .select(
         when(col("len_a") > col("len_b") ||
@@ -94,23 +98,40 @@ object Preference {
         when(col("len_a") > col("len_b") ||
           (col("len_a") === col("len_b") && col("h_a") > col("h_b")),
           col("src_b")).otherwise(col("src_a")).as("loser"))
+
+  /** One row per duel: (winner_source, loser_source). Deterministic
+    * block-rotated pairing, cross-source only (same-source duels carry
+    * no signal for a source-level fit). */
+  def duels(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    duelsFromFrames(challengerFrame(d), rivalFrame(d))
   }
+
+  /** Mergeable win-matrix partial over a duel slice: per unordered
+    * source pair, (duels, wins_lo) — pure sums, so batch partials fold
+    * to the corpus census (the streaming ingester's append unit). */
+  def duelCensusBatch(d: DataFrame): DataFrame =
+    d.select(
+      least(col("winner"), col("loser")).as("source_lo"),
+      greatest(col("winner"), col("loser")).as("source_hi"),
+      when(col("winner") < col("loser"), 1L).otherwise(0L).as("lo_win"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("duels"), sum(col("lo_win")).as("wins_lo"))
+
+  /** Fold census partials and derive the published ratios. */
+  def foldedSourceDuels(census: DataFrame): DataFrame =
+    census.groupBy(col("source_lo"), col("source_hi"))
+      .agg(sum(col("duels")).as("duels"), sum(col("wins_lo")).as("wins_lo"))
+      .select(col("source_lo"), col("source_hi"), col("duels"),
+        col("wins_lo"), (col("duels") - col("wins_lo")).as("wins_hi"),
+        expr(s"wins_lo * $BtUnit div duels").as("winrate_lo_micro"))
 
   /** x287: the unordered win-rate matrix — per source pair {lo < hi}
     * (string order): duel count, wins on each side, and the lo side's
     * win rate in micro-units. The panel a preference corpus is eyeballed
     * with before any model fit. */
   def sourceDuels(spark: SparkSession, dir: String): DataFrame =
-    duels(spark, dir)
-      .select(
-        least(col("winner"), col("loser")).as("source_lo"),
-        greatest(col("winner"), col("loser")).as("source_hi"),
-        when(col("winner") < col("loser"), 1L).otherwise(0L).as("lo_win"))
-      .groupBy(col("source_lo"), col("source_hi"))
-      .agg(count(lit(1)).as("duels"), sum(col("lo_win")).as("wins_lo"))
-      .select(col("source_lo"), col("source_hi"), col("duels"),
-        col("wins_lo"), (col("duels") - col("wins_lo")).as("wins_hi"),
-        expr(s"wins_lo * $BtUnit div duels").as("winrate_lo_micro"))
+    foldedSourceDuels(duelCensusBatch(duels(spark, dir)))
 
   /** Per-source duel stats: (source, games, wins) — the W_i / N_i of the
     * MM update, one partial-agg'd shuffle over the duel stream. */

@@ -290,4 +290,62 @@ object DocumentStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** One (possibly replayed) duel-ingest batch (x287's twin). A duel
+    * joins TWO documents, so a batch boundary can split a pair — the
+    * apply step stages both duel sides and emits exactly the duels the
+    * batch completes: new challengers ⋈ staged rivals, staged
+    * challengers ⋈ new rivals, and new ⋈ new. Because new/staged
+    * partition each side, every (challenger, rival) pair is emitted by
+    * exactly ONE batch — streamed duels ≡ the batch operator over the
+    * union of all batches, by construction (and spec-proven across a
+    * forced boundary and under replay). Alongside the duel rows it
+    * appends the mergeable win-matrix census partial
+    * ([[graft.operators.Preference.duelCensusBatch]]); consumers fold
+    * with [[graft.operators.Preference.foldedSourceDuels]] — x287's
+    * published matrix without ever rescanning the corpus, and the input
+    * a periodic BT refit (x288's batch fit on the folded matrix) reads.
+    * First batch needs no seeding writer: the staged sides read through
+    * [[IngestCommit.readStageOr]] as typed empty frames. */
+  private[streaming] def applyDuelBatch(batch: DataFrame, stageRoot: String,
+                                        batchId: Long): Unit = {
+    import graft.operators.Preference
+    val spark = batch.sparkSession
+    if (IngestCommit.alreadyApplied(spark, stageRoot, batchId)) return
+    IngestCommit.cleanAttempt(spark,
+      Seq(s"$stageRoot/challengers", s"$stageRoot/rivals",
+        s"$stageRoot/duels", s"$stageRoot/win_matrix"), batchId)
+    val b = batch.localCheckpoint()
+    // one md5 pass per side, shared by the three incremental joins
+    val newC = Preference.challengerFrame(b).localCheckpoint()
+    val newR = Preference.rivalFrame(b).localCheckpoint()
+    val oldC = IngestCommit.readStageOr(spark, s"$stageRoot/challengers", newC)
+    val oldR = IngestCommit.readStageOr(spark, s"$stageRoot/rivals", newR)
+    val duels = Preference.duelsFromFrames(newC, oldR)
+      .unionAll(Preference.duelsFromFrames(oldC, newR))
+      .unionAll(Preference.duelsFromFrames(newC, newR))
+      .localCheckpoint() // feeds the duel log AND the census partial
+    IngestCommit.commitDelta(duels, s"$stageRoot/duels", batchId)
+    IngestCommit.commitDelta(Preference.duelCensusBatch(duels),
+      s"$stageRoot/win_matrix", batchId)
+    IngestCommit.commitDelta(newC, s"$stageRoot/challengers", batchId)
+    IngestCommit.commitDelta(newR, s"$stageRoot/rivals", batchId)
+    IngestCommit.markApplied(spark, stageRoot, batchId)
+  }
+
+  /** Streaming preference-duel ingest (the 32nd twin — x287's): each
+    * micro-batch completes the duels it can against the staged sides,
+    * appends duel rows + the mergeable win-matrix partial, then stages
+    * its own documents for later batches. */
+  def startDuelIngest(docs: DataFrame, stageRoot: String,
+                      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IngestCommit.ensureCampaign(batch.sparkSession, stageRoot,
+          IngestCommit.campaignOf(batch.sparkSession, checkpointDir))
+        applyDuelBatch(batch, stageRoot, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -122,6 +122,19 @@ private[graft] object IngestCommit {
     * guard [[compactStageRoot]] applies): silently excluding it would
     * lose appended rows without any error. Every consumer of an
     * ingester-managed root reads through here. */
+  /** [[readStage]] with a first-batch fallback: a stage target that does
+    * not exist yet (no dir, or no visible data files) reads as an EMPTY
+    * frame with `like`'s schema — so a self-starting ingester whose
+    * apply step READS its own stage (the duel ingester's staged sides)
+    * needs no seeding writer before the first micro-batch. */
+  def readStageOr(spark: SparkSession, target: String,
+                  like: DataFrame): DataFrame = {
+    val fs = fsOf(spark, target)
+    val p = new Path(target)
+    if (!fs.exists(p) || visibleFiles(fs, target).isEmpty) like.limit(0)
+    else readStage(spark, target)
+  }
+
   def readStage(spark: SparkSession, target: String): DataFrame = {
     val cid = committedCompaction(spark, target)
     val fs = fsOf(spark, target)

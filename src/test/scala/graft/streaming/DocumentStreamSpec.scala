@@ -15,6 +15,40 @@ class DocumentStreamSpec extends SparkSpec {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("streaming duel ingest across micro-batches ≡ batch x287 duels, " +
+    "census fold, and BT refit — pairs split by the boundary included") {
+    val root = Files.createTempDirectory("graft-duelstream").toString
+    val docs = graft.Tables.documents(spark, sf)
+    val cut = Dedup.IncrementalNewMinId
+    // the cut splits challenger/rival pairs across micro-batches — the
+    // staged-sides join must complete them
+    docs.filter($"doc_id" < cut).write.parquet(s"$root/drop")
+    docs.filter($"doc_id" >= cut).write.mode("append").parquet(s"$root/drop")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/drop")
+    DocumentStream.startDuelIngest(stream, s"$root/stage", s"$root/ckpt")
+      .awaitTermination(120000)
+    import graft.operators.Preference
+    val streamedDuels = IngestCommit.readStage(spark, s"$root/stage/duels")
+      .as[(String, String)].collect().toSeq.sorted
+    val batchDuels = Preference.duels(spark, sf)
+      .as[(String, String)].collect().toSeq.sorted
+    assert(streamedDuels == batchDuels && streamedDuels.nonEmpty)
+    val folded = Preference.foldedSourceDuels(
+      IngestCommit.readStage(spark, s"$root/stage/win_matrix"))
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    val batchMatrix = Preference.sourceDuels(spark, sf)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(folded == batchMatrix)
+    // a BT refit on the streamed duel log ≡ the batch fit
+    val refit = Preference.btStrengths(
+      IngestCommit.readStage(spark, s"$root/stage/duels"), Preference.BtIters)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val batchFit = Preference.btStrengths(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(refit == batchFit)
+  }
+
   test("streaming index ingest ≡ batch classification row-for-row; the loop feeds day 3") {
     val root = Files.createTempDirectory("graft-docstream").toString
     val indexPath = s"$root/index"

@@ -65,6 +65,39 @@ class IngestReplaySpec extends SparkSpec {
     assert(chaotic._1.toSeq.map(_._1).distinct.length == chaotic._1.size)
   }
 
+  test("duel ingest: crashed attempt + re-delivery ≡ straight-through run") {
+    import graft.operators.Preference
+    val (day1, h1, h2) = splits
+    def run(root: String, chaos: Boolean): (Seq[(String, String)],
+      Set[(String, String, Long, Long, Long, Long)]) = {
+      DocumentStream.applyDuelBatch(day1, s"$root/stage", 0L)
+      DocumentStream.applyDuelBatch(h1, s"$root/stage", 1L)
+      if (chaos) {
+        // crashed attempt of batch 2: duel rows + challengers committed,
+        // win matrix + rivals + marker not
+        val b = h2.localCheckpoint()
+        val newC = Preference.challengerFrame(b).localCheckpoint()
+        val oldR = IngestCommit.readStage(spark, s"$root/stage/rivals")
+        IngestCommit.commitDelta(
+          Preference.duelsFromFrames(newC, oldR), s"$root/stage/duels", 2L)
+        IngestCommit.commitDelta(newC, s"$root/stage/challengers", 2L)
+      }
+      DocumentStream.applyDuelBatch(h2, s"$root/stage", 2L)
+      if (chaos) { // post-publish re-deliveries
+        DocumentStream.applyDuelBatch(h2, s"$root/stage", 2L)
+        DocumentStream.applyDuelBatch(h1, s"$root/stage", 1L)
+      }
+      (IngestCommit.readStage(spark, s"$root/stage/duels")
+        .as[(String, String)].collect().toSeq.sorted,
+        Preference.foldedSourceDuels(
+          IngestCommit.readStage(spark, s"$root/stage/win_matrix"))
+          .as[(String, String, Long, Long, Long, Long)].collect().toSet)
+    }
+    val clean = run(Files.createTempDirectory("graft-replay-duel-a").toString, chaos = false)
+    val chaotic = run(Files.createTempDirectory("graft-replay-duel-b").toString, chaos = true)
+    assert(chaotic == clean && clean._1.nonEmpty)
+  }
+
   test("band-index ingest: crashed attempt + re-delivery ≡ straight-through run") {
     val (day1, h1, h2) = splits
     def run(root: String, chaos: Boolean): (Set[(Long, String, Long, Long, Long)], Long, Long) = {
