@@ -339,6 +339,8 @@ object SparkEntry {
     "x287_source_duels"     -> ((s, d) => operators.Preference.sourceDuels(s, d)),
     "x288_bt_strengths"     -> ((s, d) => operators.Preference.btStrengths(s, d)),
     "x289_bt_concordance"   -> ((s, d) => operators.Preference.btWinrateConcordance(s, d)),
+    "x290_lpa_communities"  -> ((s, d) => LinkAnalysis.lpaCommunities(s, d)),
+    "x291_lpa_census"       -> ((s, d) => LinkAnalysis.lpaCommunityCensus(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1197,6 +1199,33 @@ object SparkEntry {
       |          SELECT doc_id, rel_id, CAST(row_number() OVER (PARTITION BY doc_id
       |            ORDER BY cos_dbl DESC, rel_id) AS BIGINT) AS r_lex FROM sym) t
       |        WHERE r_lex <= $HybridK)""".stripMargin
+  }
+
+  /** x290/x291 shared LPA replay: the x180 co-purchase edge derivation,
+    * then `iters` synchronous label rounds — support sum per (node,
+    * neighbor label), argmax by (support desc, label asc) packed into
+    * one BIGINT aggregate. MATERIALIZED throughout (each lN feeds the
+    * next round; e/e0/fit are multiply-referenced). */
+  private def lpaChainSql(iters: Int): String = {
+    val cap = operators.LinkAnalysis.LpaLabelCap
+    val rounds = (1 to iters).map { i =>
+      val prev = s"l${i - 1}"
+      s"""l$i AS MATERIALIZED (
+         |  SELECT dst AS node,
+         |    CAST($cap - 1 - (max(sc * $cap + ($cap - 1 - label)) % $cap)
+         |      AS BIGINT) AS label
+         |  FROM (SELECT e.dst, l.label, CAST(sum(e.w) AS BIGINT) AS sc
+         |        FROM e JOIN $prev l ON l.node = e.src GROUP BY 1, 2)
+         |  GROUP BY dst)""".stripMargin
+    }.mkString(",\n")
+    s"""op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS w
+       |      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+       |      GROUP BY 1, 2 HAVING count(*) >= ${operators.LinkAnalysis.TriMinSupport}),
+       |e AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM e0
+       |                   UNION ALL SELECT b, a, w FROM e0),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS label FROM e),
+       |$rounds""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -6829,5 +6858,40 @@ object SparkEntry {
     "x287_source_duels" -> operators.Preference.sourceDuelsOracleSql,
     "x288_bt_strengths" -> operators.Preference.btOracleSql(),
     "x289_bt_concordance" -> operators.Preference.concordanceOracleSql(),
+
+    // x290/x291: synchronous LPA communities on the co-purchase graph —
+    // three unrolled rounds (x77's pattern), each round a (node, label)
+    // support sum + the packed ARGMAX `max(sc·CAP + (CAP−1−label)) % CAP`
+    // (the PQ packed-argmin trick pointed the other way), then the
+    // per-community internal/boundary support census.
+    "x290_lpa_communities" ->
+      s"""WITH ${lpaChainSql(operators.LinkAnalysis.LpaIters)}
+         |SELECT node AS part_key, label AS community
+         |FROM l${operators.LinkAnalysis.LpaIters}""".stripMargin,
+    "x291_lpa_census" -> {
+      val last = s"l${operators.LinkAnalysis.LpaIters}"
+      s"""WITH ${lpaChainSql(operators.LinkAnalysis.LpaIters)},
+         |fit AS MATERIALIZED (SELECT node, label FROM $last),
+         |pc AS MATERIALIZED (
+         |  SELECT e0.w, fa.label AS ca, fb.label AS cb
+         |  FROM e0 JOIN fit fa ON fa.node = e0.a
+         |          JOIN fit fb ON fb.node = e0.b),
+         |nodes AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+         |          FROM fit GROUP BY 1),
+         |internal AS (SELECT ca AS community, CAST(sum(w) AS BIGINT) AS internal_w
+         |             FROM pc WHERE ca = cb GROUP BY 1),
+         |boundary AS (SELECT community, CAST(sum(w) AS BIGINT) AS boundary_w
+         |             FROM (SELECT ca AS community, w FROM pc WHERE ca <> cb
+         |                   UNION ALL SELECT cb, w FROM pc WHERE ca <> cb)
+         |             GROUP BY 1)
+         |SELECT n.community, n.n_nodes,
+         |  CAST(COALESCE(i.internal_w, 0) AS BIGINT) AS internal_w,
+         |  CAST(COALESCE(b.boundary_w, 0) AS BIGINT) AS boundary_w,
+         |  CAST(COALESCE(i.internal_w, 0) * 1000000
+         |       // GREATEST(COALESCE(i.internal_w, 0) + COALESCE(b.boundary_w, 0), 1)
+         |       AS BIGINT) AS internal_share_micro
+         |FROM nodes n LEFT JOIN internal i USING (community)
+         |             LEFT JOIN boundary b USING (community)""".stripMargin
+    },
   )
 }

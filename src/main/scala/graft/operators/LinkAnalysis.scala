@@ -839,4 +839,106 @@ object LinkAnalysis {
       .select(col("a"), col("b"), col("support"),
         col("label_a"), col("label_b"))
   }
+
+  /** LPA iteration count and the packed-argmax label cap — pinned query
+    * contract, shared with the oracle. Labels (part keys) must stay
+    * below the cap so `score·CAP + (CAP−1−label)` packs the argmax of
+    * (score desc, label asc) into ONE BIGINT hash aggregate — the PQ
+    * oracle's packed-argmin trick pointed the other way. */
+  val LpaIters: Int = 3
+  val LpaLabelCap: Long = 1L << 24
+
+  /** Synchronous label-propagation communities (x290) over the staged
+    * support-pruned co-purchase graph: every node starts as its own
+    * label; each round it adopts the label with the greatest TOTAL
+    * co-purchase support among its neighbors (ties to the smaller
+    * label). Where connected components (x17) answer "what is
+    * reachable", LPA answers "where is the support mass" — a bridge
+    * edge joins two components but moves no label against the heavier
+    * side, so LPA yields the topic/community granularity a curation
+    * pipeline samples across (the source-community diversity knob),
+    * not the reachability closure dedup uses.
+    *
+    * Determinism: each round is (neighbor-label support sum) → packed
+    * integer argmax — no floats, no arbitrary tie-break — so [[LpaIters]]
+    * synchronous rounds are bit-identical cross-engine; the oracle
+    * unrolls the same three rounds (x77's pattern) with the same
+    * `max(sc·CAP + (CAP−1−label))` aggregate. Bounds, documented not
+    * assumed: labels < 2²⁴ (raise_error guard — a larger key universe
+    * needs a bigger cap, same discipline as filterKappa's N² guard) and
+    * per-node incident support < 2⁶³/2²⁴ ≈ 5.5·10¹⁷, far beyond any
+    * order count that fits the support table.
+    *
+    * 100 TB shape: per round ONE keyed equi-join of the persisted
+    * symmetric edge list against the O(nodes) label table plus two
+    * partial-agg'd shuffles ((node, label) sums, then the packed argmax
+    * per node) — the canonical distributed LPA step, O(E) per round,
+    * label table `localCheckpoint`ed per round (the x99 recompute
+    * trap). */
+  def lpaCommunities(spark: SparkSession, dir: String,
+                     iters: Int = LpaIters): DataFrame = {
+    require(iters >= 1, "need iters >= 1")
+    val pairs = GraphStage.copurchasePairs(spark, dir)
+    val e = pairs.select(col("a").as("src"), col("b").as("dst"),
+      col("support").as("w"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst"),
+        col("support").as("w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      var labels = e.select(col("src").as("node")).distinct()
+        .select(col("node"),
+          when(col("node") >= LpaLabelCap,
+            raise_error(lit(s"LPA label cap $LpaLabelCap exceeded: raise " +
+              "LpaLabelCap (packed argmax headroom shrinks with it)")))
+            .otherwise(col("node")).as("label"))
+      for (_ <- 1 to iters) {
+        labels = e
+          .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+          .groupBy(col("dst"), col("label")).agg(sum(col("w")).as("sc"))
+          .groupBy(col("dst"))
+          .agg(max(expr(
+            s"sc * ${LpaLabelCap}L + (${LpaLabelCap}L - 1 - label)"))
+            .as("packed"))
+          .select(col("dst").as("node"),
+            expr(s"${LpaLabelCap}L - 1 - (packed % ${LpaLabelCap}L)")
+              .as("label"))
+          .localCheckpoint()
+      }
+      labels.select(col("node").as("part_key"), col("label").as("community"))
+    } finally e.unpersist()
+  }
+
+  /** Community census over the LPA fit (x291): per community — node
+    * count, internal support (both endpoints inside), boundary support
+    * (exactly one endpoint inside), and the internal share in
+    * micro-units (the integer cousin of a per-community modularity
+    * read: share → 1 means the community's co-purchase mass stays
+    * inside it). One pass over the pair table joined to the O(nodes)
+    * fit; every aggregate a pure integer sum. */
+  def lpaCommunityCensus(spark: SparkSession, dir: String,
+                         iters: Int = LpaIters): DataFrame = {
+    val fit = lpaCommunities(spark, dir, iters)
+    val pairs = GraphStage.copurchasePairs(spark, dir)
+      .join(fit.select(col("part_key").as("a"), col("community").as("ca")),
+        Seq("a"))
+      .join(fit.select(col("part_key").as("b"), col("community").as("cb")),
+        Seq("b"))
+    val nodes = fit.groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val internal = pairs.where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(sum(col("support")).as("internal_w"))
+    val boundary = pairs.where(col("ca") =!= col("cb"))
+      .select(col("ca").as("community"), col("support"))
+      .union(pairs.where(col("ca") =!= col("cb"))
+        .select(col("cb").as("community"), col("support")))
+      .groupBy(col("community")).agg(sum(col("support")).as("boundary_w"))
+    nodes.join(internal, Seq("community"), "left")
+      .join(boundary, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("internal_w"), lit(0L)).as("internal_w"),
+        coalesce(col("boundary_w"), lit(0L)).as("boundary_w"))
+      .withColumn("internal_share_micro",
+        expr("internal_w * 1000000L div greatest(internal_w + boundary_w, 1L)"))
+  }
 }

@@ -516,4 +516,72 @@ class LinkAnalysisSpec extends SparkSpec {
       assert(lastSup((a, b)) == s && labels(a) == la && labels(b) == lb, s"edge ($a,$b)")
     }
   }
+
+  test("lpaCommunities (x290): exact match with a driver-side integer replica") {
+    val pairs = graft.operators.GraphStage.copurchasePairs(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val sym = pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val cap = LinkAnalysis.LpaLabelCap
+    var labels = sym.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to LinkAnalysis.LpaIters) {
+      labels = sym.groupBy(_._2).view.mapValues { in =>
+        val scores = in.groupBy(e => labels(e._1)).view
+          .mapValues(_.map(_._3).sum).toMap
+        // packed argmax: (score desc, label asc)
+        val packed = scores.map { case (l, s) => s * cap + (cap - 1 - l) }.max
+        cap - 1 - packed % cap
+      }.toMap
+    }
+    val got = LinkAnalysis.lpaCommunities(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(got.length == labels.size && got.nonEmpty)
+    got.foreach { case (n, c) => assert(c == labels(n), s"node $n") }
+    // communities are coarser than self-labels but finer than one blob
+    val nComm = got.map(_._2).distinct.length
+    assert(nComm > 1 && nComm < got.length)
+  }
+
+  test("lpaCommunityCensus (x291): census consistent with the fit and the pair table") {
+    val fit = LinkAnalysis.lpaCommunities(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val pairs = graft.operators.GraphStage.copurchasePairs(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val internal = pairs.filter { case (a, b, _) => fit(a) == fit(b) }
+      .groupBy { case (a, _, _) => fit(a) }.view.mapValues(_.map(_._3).sum).toMap
+    val boundary = pairs.filter { case (a, b, _) => fit(a) != fit(b) }
+      .flatMap { case (a, b, w) => Seq(fit(a) -> w, fit(b) -> w) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val sizes = fit.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = LinkAnalysis.lpaCommunityCensus(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == sizes.size && got.nonEmpty)
+    got.foreach { case (c, n, iw, bw, share) =>
+      assert(n == sizes(c) && iw == internal.getOrElse(c, 0L) &&
+        bw == boundary.getOrElse(c, 0L), s"community $c")
+      assert(share == iw * 1000000L / math.max(iw + bw, 1L))
+    }
+    // the census really separates cores from bridges at this SF
+    assert(got.exists(_._5 == 1000000L) || got.exists(_._5 < 1000000L))
+  }
+
+  test("LPA differs from connected components: a weak bridge does not merge " +
+    "two support-heavy communities") {
+    // two triangles (support 10) joined by one weak bridge (support 1):
+    // CC would produce ONE component; LPA keeps two label camps
+    val tri = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 10L),
+      (11L, 12L, 10L), (12L, 13L, 10L), (11L, 13L, 10L), (3L, 11L, 1L))
+    val sym = tri.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val cap = LinkAnalysis.LpaLabelCap
+    var labels = sym.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to LinkAnalysis.LpaIters) {
+      labels = sym.groupBy(_._2).view.mapValues { in =>
+        val scores = in.groupBy(e => labels(e._1)).view
+          .mapValues(_.map(_._3).sum).toMap
+        val packed = scores.map { case (l, s) => s * cap + (cap - 1 - l) }.max
+        cap - 1 - packed % cap
+      }.toMap
+    }
+    assert(labels.values.toSet.size == 2)
+    assert(Set(1L, 2L, 3L).map(labels) != Set(11L, 12L, 13L).map(labels))
+  }
 }
