@@ -341,6 +341,8 @@ object SparkEntry {
     "x289_bt_concordance"   -> ((s, d) => operators.Preference.btWinrateConcordance(s, d)),
     "x290_lpa_communities"  -> ((s, d) => LinkAnalysis.lpaCommunities(s, d)),
     "x291_lpa_census"       -> ((s, d) => LinkAnalysis.lpaCommunityCensus(s, d)),
+    "x292_semantic_lpa"     -> ((s, d) => LinkAnalysis.semanticLpa(s, d)),
+    "x293_semantic_purity"  -> ((s, d) => LinkAnalysis.semanticLpaPurity(s, d)),
   )
 
   /** x17's recursive-CTE cluster computation (shingle → capped
@@ -1206,7 +1208,10 @@ object SparkEntry {
     * neighbor label), argmax by (support desc, label asc) packed into
     * one BIGINT aggregate. MATERIALIZED throughout (each lN feeds the
     * next round; e/e0/fit are multiply-referenced). */
-  private def lpaChainSql(iters: Int): String = {
+  /** The propagation rounds alone (expects a CTE `e(src, dst, w)`):
+    * l0 self-labels, each lN is the packed support-argmax — shared by
+    * the co-purchase (x290/x291) and semantic-kNN (x292/x293) chains. */
+  private def lpaRoundsSql(iters: Int): String = {
     val cap = operators.LinkAnalysis.LpaLabelCap
     val rounds = (1 to iters).map { i =>
       val prev = s"l${i - 1}"
@@ -1218,14 +1223,45 @@ object SparkEntry {
          |        FROM e JOIN $prev l ON l.node = e.src GROUP BY 1, 2)
          |  GROUP BY dst)""".stripMargin
     }.mkString(",\n")
+    s"""l0 AS MATERIALIZED (SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS label FROM e),
+       |$rounds""".stripMargin
+  }
+
+  private def lpaChainSql(iters: Int): String =
     s"""op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
        |e0 AS MATERIALIZED (SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS w
        |      FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
        |      GROUP BY 1, 2 HAVING count(*) >= ${operators.LinkAnalysis.TriMinSupport}),
        |e AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM e0
        |                   UNION ALL SELECT b, a, w FROM e0),
-       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS label FROM e),
-       |$rounds""".stripMargin
+       |${lpaRoundsSql(iters)}""".stripMargin
+
+  /** x292/x293 shared chain: the x198 staged-kNN derivation (same exact
+    * trunc6-cosine ranking contract), mutual pairs weighted by rank
+    * affinity StageK+1−max(rank, rank'), then the shared LPA rounds. */
+  private def semanticLpaChainSql(iters: Int): String = {
+    val k = operators.KnnStage.StageK
+    s"""ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |        sqrt(list_aggregate(list_transform(v, x -> x*x), 'sum')) AS nrm FROM ev),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id,
+       |    floor(list_dot_product(q.v, c.v) / (q.nrm * c.nrm) * 1000000) / 1000000 AS cos_sim
+       |  FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM scored),
+       |topk AS MATERIALIZED (SELECT q_id, vec_id, rank FROM ranked WHERE rank <= $k),
+       |e0 AS MATERIALIZED (SELECT f.q_id AS a, f.vec_id AS b,
+       |       CAST(${k + 1} - greatest(f.rank, r.rank) AS BIGINT) AS w
+       |       FROM topk f JOIN topk r
+       |         ON f.q_id = r.vec_id AND f.vec_id = r.q_id
+       |       WHERE f.q_id < f.vec_id),
+       |e AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM e0
+       |                   UNION ALL SELECT b, a, w FROM e0),
+       |${lpaRoundsSql(iters)}""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -6892,6 +6928,38 @@ object SparkEntry {
          |       AS BIGINT) AS internal_share_micro
          |FROM nodes n LEFT JOIN internal i USING (community)
          |             LEFT JOIN boundary b USING (community)""".stripMargin
+    },
+
+    // x292/x293: the same propagation on the mutual-kNN embedding graph
+    // (document-level semantic communities), plus the purity census —
+    // majority true label per community via the packed argmax again.
+    "x292_semantic_lpa" -> {
+      val last = s"l${operators.LinkAnalysis.LpaIters}"
+      s"""WITH ${semanticLpaChainSql(operators.LinkAnalysis.LpaIters)}
+         |SELECT l.node AS vec_id, emb.label AS true_label,
+         |       l.label AS community
+         |FROM $last l JOIN embeddings emb ON emb.vec_id = l.node""".stripMargin
+    },
+    "x293_semantic_purity" -> {
+      val cap = operators.LinkAnalysis.LpaLabelCap
+      val last = s"l${operators.LinkAnalysis.LpaIters}"
+      s"""WITH ${semanticLpaChainSql(operators.LinkAnalysis.LpaIters)},
+         |fit AS MATERIALIZED (
+         |  SELECT l.label AS community, emb.label AS true_label
+         |  FROM $last l JOIN embeddings emb ON emb.vec_id = l.node),
+         |counts AS (
+         |  SELECT community, true_label, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM fit GROUP BY 1, 2)
+         |SELECT community,
+         |  CAST(sum(cnt) AS BIGINT) AS n_vecs,
+         |  CAST(count(*) AS BIGINT) AS distinct_labels,
+         |  CAST($cap - 1 - (max(cnt * $cap + ($cap - 1 - true_label)) % $cap)
+         |    AS BIGINT) AS majority_label,
+         |  CAST(max(cnt * $cap + ($cap - 1 - true_label)) // $cap AS BIGINT)
+         |    AS majority_n,
+         |  CAST((max(cnt * $cap + ($cap - 1 - true_label)) // $cap) * 1000000
+         |       // sum(cnt) AS BIGINT) AS purity_micro
+         |FROM counts GROUP BY 1""".stripMargin
     },
   )
 }

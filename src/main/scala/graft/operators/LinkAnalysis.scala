@@ -875,10 +875,12 @@ object LinkAnalysis {
     * per node) — the canonical distributed LPA step, O(E) per round,
     * label table `localCheckpoint`ed per round (the x99 recompute
     * trap). */
-  def lpaCommunities(spark: SparkSession, dir: String,
-                     iters: Int = LpaIters): DataFrame = {
+  /** The LPA core over an unordered weighted pair table (a, b, support)
+    * — shared by the co-purchase (x290) and semantic-kNN (x292)
+    * entries: symmetrize, self-label, run `iters` synchronous
+    * support-argmax rounds. Returns (node, label). */
+  private[graft] def lpaOverPairs(pairs: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "need iters >= 1")
-    val pairs = GraphStage.copurchasePairs(spark, dir)
     val e = pairs.select(col("a").as("src"), col("b").as("dst"),
       col("support").as("w"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst"),
@@ -904,9 +906,14 @@ object LinkAnalysis {
               .as("label"))
           .localCheckpoint()
       }
-      labels.select(col("node").as("part_key"), col("label").as("community"))
+      labels
     } finally e.unpersist()
   }
+
+  def lpaCommunities(spark: SparkSession, dir: String,
+                     iters: Int = LpaIters): DataFrame =
+    lpaOverPairs(GraphStage.copurchasePairs(spark, dir), iters)
+      .select(col("node").as("part_key"), col("label").as("community"))
 
   /** Community census over the LPA fit (x291): per community — node
     * count, internal support (both endpoints inside), boundary support
@@ -940,5 +947,60 @@ object LinkAnalysis {
         coalesce(col("boundary_w"), lit(0L)).as("boundary_w"))
       .withColumn("internal_share_micro",
         expr("internal_w * 1000000L div greatest(internal_w + boundary_w, 1L)"))
+  }
+
+  /** Semantic LPA (x292): the x290 propagation on the STAGED mutual-kNN
+    * embedding graph — document-level semantic communities, the
+    * granularity a SemDeDup-style curation samples across. Edge weight
+    * is the integer rank affinity `StageK + 1 − max(rank_uv, rank_vu)`
+    * (closer reciprocal neighbors vote stronger): rank-derived rather
+    * than cosine-derived so every weight is a positive BIGINT — a raw
+    * trunc6 cosine can be ≤ 0, and a negative score would break the
+    * packed argmax's `% CAP` label recovery (C-style remainder signs
+    * differ from floored ones on negatives; the pack is only monotonic
+    * for non-negative scores). Output carries the embedding's true
+    * label so community/label alignment is visible (x198's discipline);
+    * x293 censuses it.
+    *
+    * 100 TB shape: reads the O(N·k) staged neighbor table (the N²
+    * scoring paid once per snapshot — KnnStage's contract, with the ANN
+    * stage as the documented drop-in), then [[lpaOverPairs]]'s O(E)
+    * rounds on a degree-≤-k graph. */
+  def semanticLpa(spark: SparkSession, dir: String,
+                  iters: Int = LpaIters): DataFrame = {
+    val k = KnnStage.StageK
+    val pairs = Similarity.mutualTopK(spark, dir, k)
+      .select(col("u").as("a"), col("v").as("b"),
+        expr(s"${k + 1}L - greatest(rank_uv, rank_vu)").as("support"))
+    lpaOverPairs(pairs, iters)
+      .select(col("node"), col("label").as("community"))
+      .join(broadcast(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").as("true_label"))),
+        col("node") === col("vec_id"))
+      .select(col("vec_id"), col("true_label"), col("community"))
+  }
+
+  /** Semantic-community purity census (x293): per LPA community — vector
+    * count, distinct true labels, the MAJORITY true label (the packed
+    * argmax a third time: labels < 2²⁴ by the embeddings schema), its
+    * count, and integer purity. The "did unsupervised propagation
+    * recover the label structure" read, with every aggregate exact. */
+  def semanticLpaPurity(spark: SparkSession, dir: String,
+                        iters: Int = LpaIters): DataFrame = {
+    val fit = semanticLpa(spark, dir, iters)
+    val counts = fit.groupBy(col("community"), col("true_label"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("community"))
+      .agg(sum(col("cnt")).as("n_vecs"),
+        count(lit(1)).as("distinct_labels"),
+        max(expr(
+          s"cnt * ${LpaLabelCap}L + (${LpaLabelCap}L - 1 - true_label)"))
+          .as("packed"))
+      .select(col("community"), col("n_vecs"), col("distinct_labels"),
+        expr(s"${LpaLabelCap}L - 1 - (packed % ${LpaLabelCap}L)")
+          .as("majority_label"),
+        expr(s"packed div ${LpaLabelCap}L").as("majority_n"))
+      .withColumn("purity_micro",
+        expr("majority_n * 1000000L div n_vecs"))
   }
 }

@@ -584,4 +584,53 @@ class LinkAnalysisSpec extends SparkSpec {
     assert(labels.values.toSet.size == 2)
     assert(Set(1L, 2L, 3L).map(labels) != Set(11L, 12L, 13L).map(labels))
   }
+
+  test("semanticLpa (x292): exact match with the driver replica on the mutual-kNN graph") {
+    val k = graft.operators.KnnStage.StageK
+    val pairs = Similarity.mutualTopK(spark, sf, k)
+      .select($"u", $"v",
+        org.apache.spark.sql.functions.expr(s"${k + 1}L - greatest(rank_uv, rank_vu)"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val sym = pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val cap = LinkAnalysis.LpaLabelCap
+    var labels = sym.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to LinkAnalysis.LpaIters) {
+      labels = sym.groupBy(_._2).view.mapValues { in =>
+        val scores = in.groupBy(e => labels(e._1)).view
+          .mapValues(_.map(_._3).sum).toMap
+        val packed = scores.map { case (l, s) => s * cap + (cap - 1 - l) }.max
+        cap - 1 - packed % cap
+      }.toMap
+    }
+    val trueLabels = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val got = LinkAnalysis.semanticLpa(spark, sf)
+      .as[(Long, Int, Long)].collect()
+    assert(got.length == labels.size && got.nonEmpty)
+    got.foreach { case (v, tl, c) =>
+      assert(c == labels(v) && tl == trueLabels(v), s"vec $v")
+    }
+  }
+
+  test("semanticLpaPurity (x293): census consistent with the x292 fit; " +
+    "propagation beats the random-label purity floor") {
+    val fit = LinkAnalysis.semanticLpa(spark, sf)
+      .as[(Long, Int, Long)].collect().toSeq
+    val byComm = fit.groupBy(_._3)
+    val got = LinkAnalysis.semanticLpaPurity(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == byComm.size && got.nonEmpty)
+    got.foreach { case (c, n, dl, ml, mn, pur) =>
+      val members = byComm(c)
+      assert(n == members.size)
+      val hist = members.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      assert(dl == hist.size)
+      val (wantLabel, wantN) = hist.toSeq.maxBy { case (l, cnt) => (cnt, -l) }
+      assert(ml == wantLabel && mn == wantN, s"community $c majority")
+      assert(pur == wantN * 1000000L / n)
+    }
+    // weighted majority purity must beat the 10-label uniform floor
+    val overall = got.map(r => r._5).sum * 1000000L / got.map(r => r._2).sum
+    assert(overall > 100000L, s"overall purity $overall")
+  }
 }
