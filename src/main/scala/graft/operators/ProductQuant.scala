@@ -91,10 +91,19 @@ object ProductQuant {
     * hash-verified end to end, not tool-printed. */
   val PqFullCodes: Int = 256
 
-  /** Integer squared-L2 between two `array<bigint>` columns — codegen'd
-    * fold, no UDF. */
-  private def d2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+  /** Integer squared-L2 between two `array<bigint>` columns of a known
+    * static width — UNROLLED into a flat `Σ (a[i]-b[i])²` expression
+    * tree (r18): the `aggregate(zip_with(...))` higher-order form is a
+    * CodegenFallback expression, evaluated per row with interpreted
+    * lambda binding and a materialized intermediate array, which made
+    * the N·M·K assignment frames (4M rows at sf0.1 for K=256) the
+    * hottest interpreted loop in the engine. The unrolled form is plain
+    * codegen arithmetic; integer adds are associative so the fold order
+    * (seeded left fold, same as the HOF) is value-identical. */
+  private def d2(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map { i =>
+      val d = a.getItem(i) - b.getItem(i); d * d
+    }.foldLeft(lit(0L): Column)(_ + _)
 
   /** A fitted codebook: (subspace, code, centroid) rows — driver-side
     * model state. */
@@ -125,16 +134,25 @@ object ProductQuant {
 
   /** One Lloyd assignment: for each (vec, m) the nearest centroid of `cb`,
     * lowest code on ties. One broadcast-hash join against the M·K-row
-    * codebook + one map-side-combining aggregate — `min(struct(d2, code,
-    * sv))` is deterministic under any partitioning, and (d2, code) is
-    * already unique per (vec, m) so the carried sv never decides order. */
-  private def assign(sub: DataFrame, cbDf: DataFrame): DataFrame =
+    * codebook + one map-side-combining aggregate. The argmin is PACKED
+    * into a single long `min(d2·65536 + code)` (r18) — the same form the
+    * DuckDB oracle has always used: the previous `min(struct(d2, code,
+    * sv))` buffer is not a mutable fixed-width type, so the planner fell
+    * to a SortAggregate pair that sorted the N·M·K candidate frame twice;
+    * the packed long min is a plain HashAggregate with map-side partials.
+    * Value-identical: codes < 65536 and d2 ≤ dim·(2·PqScale·max|x|)² ≈
+    * 7.2e9, so packed < 4.8e14 < 2⁶³ and the lexicographic (d2, code)
+    * order is exactly the packed order. `sv` is carried as a GROUPING key
+    * (it is functionally dependent on (vec_id, m) — one subvector per
+    * group — so the groups are unchanged). */
+  private def assign(sub: DataFrame, cbDf: DataFrame, subDim: Int): DataFrame =
     sub.join(broadcast(cbDf), Seq("m"))
-      .withColumn("dist", d2(col("sv"), col("cv")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("dist"), col("code"), col("sv"))).as("best"))
+      .select(col("vec_id"), col("m"), col("sv"),
+        (d2(col("sv"), col("cv"), subDim) * 65536L + col("code")).as("packed"))
+      .groupBy(col("vec_id"), col("m"), col("sv"))
+      .agg(min(col("packed")).as("packed"))
       .select(col("vec_id"), col("m"),
-        col("best.code").as("code"), col("best.sv").as("sv"))
+        (col("packed") % 65536L).cast("int").as("code"), col("sv"))
 
   private def cbToDf(spark: SparkSession, cb: Seq[(Int, Int, Seq[Long])]): DataFrame = {
     import spark.implicits._
@@ -192,7 +210,7 @@ object ProductQuant {
         s"$subspaces×$codes: the corpus at $dir is missing vec_ids in " +
         s"[0, $codes) — seed ids must be dense for the deterministic init")
     for (_ <- 1 to iters) {
-      val sums = assign(sub, cbToDf(spark, cb))
+      val sums = assign(sub, cbToDf(spark, cb), subDim)
         .groupBy(col("m"), col("code"))
         .agg(array_long_sum(col("sv")).as("sums"), count(lit(1)).as("n"))
         .collect()
@@ -216,7 +234,7 @@ object ProductQuant {
   private[graft] def encode(spark: SparkSession, dir: String,
                             cb: Seq[(Int, Int, Seq[Long])]): DataFrame = {
     val (m, sd) = geometryOf(cb)
-    assign(subvectors(quantized(spark, dir), m, sd), cbToDf(spark, cb))
+    assign(subvectors(quantized(spark, dir), m, sd), cbToDf(spark, cb), sd)
       .select(col("vec_id"), col("m"), col("code"))
   }
 
@@ -238,7 +256,7 @@ object ProductQuant {
       .filter(col("vec_id") < qHi)
       .withColumnRenamed("vec_id", "q_id")
       .join(broadcast(cbToDf(spark, cb)), Seq("m"))
-      .select(col("q_id"), col("m"), col("code"), d2(col("sv"), col("cv")).as("pd2"))
+      .select(col("q_id"), col("m"), col("code"), d2(col("sv"), col("cv"), subDim).as("pd2"))
     enc.join(broadcast(lut), Seq("m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
@@ -329,7 +347,7 @@ object ProductQuant {
       .select(col("vec_id").as("q_id"), col("qv").as("qqv"))
     e.join(broadcast(pool), Seq("vec_id"))
       .join(broadcast(queries), Seq("q_id"))
-      .select(col("q_id"), d2(col("qqv"), col("qv")).as("exact_d2"), col("vec_id"))
+      .select(col("q_id"), d2(col("qqv"), col("qv"), PqSubspaces * PqSubDim).as("exact_d2"), col("vec_id"))
       .groupBy(col("q_id"))
       .agg(top_k_long_pairs(col("exact_d2"), col("vec_id"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")))
@@ -359,7 +377,7 @@ object ProductQuant {
       .select(col("vec_id").as("q_id"), col("qv").as("qqv"))
     e.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), d2(col("qqv"), col("qv")).as("true_d2"))
+      .select(col("q_id"), col("vec_id"), d2(col("qqv"), col("qv"), PqSubspaces * PqSubDim).as("true_d2"))
       .groupBy(col("q_id"))
       .agg(top_k_long_pairs(col("true_d2"), col("vec_id"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")))
@@ -385,7 +403,7 @@ object ProductQuant {
         Seq("vec_id"))
       .join(broadcast(queries), Seq("q_id"))
       .select(col("q_id"), col("vec_id"), col("rank"),
-        d2(col("qqv"), col("qv")).as("true_d2"))
+        d2(col("qqv"), col("qv"), PqSubspaces * PqSubDim).as("true_d2"))
     val overlap = pqTrue.join(
         exact.select(col("q_id"), col("vec_id"), lit(1).as("hit")),
         Seq("q_id", "vec_id"), "left")
@@ -512,9 +530,9 @@ object ProductQuant {
     val (m, sd) = geometryOf(pcb)
     val cellDim = ccb.head._3.length
     val q = quantizeFrame(emb)
-    val cells = assign(subvectors(q, 1, cellDim), cbToDf(spark, ccb))
+    val cells = assign(subvectors(q, 1, cellDim), cbToDf(spark, ccb), cellDim)
       .select(col("vec_id"), col("code").as("cell"))
-    assign(subvectors(q, m, sd), cbToDf(spark, pcb))
+    assign(subvectors(q, m, sd), cbToDf(spark, pcb), sd)
       .select(col("vec_id"), col("m"), col("code"))
       .join(cells, Seq("vec_id"))
   }
@@ -532,7 +550,7 @@ object ProductQuant {
     val index = indexFrame(Tables.embeddings(spark, dir), pcb, ccb)
     val probes = full.filter(col("vec_id") < qHi)
       .join(broadcast(cbToDf(spark, ccb)), Seq("m"))
-      .withColumn("cd2", d2(col("sv"), col("cv")))
+      .withColumn("cd2", d2(col("sv"), col("cv"), dim))
       .withColumn("p_rank", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cd2"), col("code"))))
       .filter(col("p_rank") <= nProbe)
@@ -540,7 +558,7 @@ object ProductQuant {
     val lut = subvectors(e, subspaces, subDim).filter(col("vec_id") < qHi)
       .withColumnRenamed("vec_id", "q_id")
       .join(broadcast(cbToDf(spark, pcb)), Seq("m"))
-      .select(col("q_id"), col("m"), col("code"), d2(col("sv"), col("cv")).as("pd2"))
+      .select(col("q_id"), col("m"), col("code"), d2(col("sv"), col("cv"), subDim).as("pd2"))
     val adc = index.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(lut), Seq("q_id", "m", "code"))
