@@ -145,8 +145,13 @@ object Preference {
     * overload — callers with their own judgment stream skip the
     * document derivation). Output: one row per source with ≥ 1 duel:
     * (source, games, wins, winrate_micro, strength_micro). */
-  def btStrengths(d: DataFrame, iters: Int): DataFrame = {
+  def btStrengths(d0: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "need iters >= 1")
+    // materialize the duel stream once (r18): `sourceStats` and the pair
+    // counts below each union two scans of it, so the uncut lineage
+    // replayed the documents self-join (+ md5 of every text) four times
+    // in one plan. One localCheckpoint = one duel computation.
+    val d = d0.localCheckpoint()
     val stats = sourceStats(d)
     // perspective pair rates: (i, j, r_ij = n_ij·U div N_i)
     val n = d.select(col("winner").as("i"), col("loser").as("j"))
