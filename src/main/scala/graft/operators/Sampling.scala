@@ -460,6 +460,11 @@ object Sampling {
         size(split(col("text"), " ")).as("ws_toks"))
       .join(keepDedup, Seq("doc_id"), "left_semi")
       .join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      // materialized once (r18): sourceCapSample reads its input twice
+      // (KMV thresholds, then the acceptance filter), which would replay
+      // the whole survivor assembly — repetition filter + dedup semi-join
+      // + decontamination anti-join — a second time in the same plan
+      .localCheckpoint()
     sourceCapSample(survivors, cap)
       .withColumn("split", splitLabel(hashBucket(col("doc_id"), "split", 100)))
       .groupBy(col("source"), col("split"))
@@ -997,9 +1002,13 @@ object Sampling {
       .select(col("doc_id"), col("n_toks"), col("imp_per_tok"))
   }
 
-  /** x100 entry: weight with x95's scorer, then resample. */
+  /** x100 entry: weight with x95's scorer, then resample. The weights
+    * are materialized once (r18): `dsirResample` reads its input twice
+    * (the max-weight scalar and the acceptance scan), so the uncut
+    * lineage replayed x95's corpus-sized explode + bucket join twice
+    * in one plan. */
   def dsirResample(spark: SparkSession, dir: String): DataFrame =
-    dsirResample(dsirImportance(spark, dir))
+    dsirResample(dsirImportance(spark, dir).localCheckpoint())
 
   /** x157's global token budget, shared with the oracle SQL. */
   val ApportionBudget: Long = 1000000L

@@ -26,7 +26,8 @@ object PlanAudit {
         val s = fn(spark, sfDir).queryExecution.explainString(FormattedMode)
         println(s.linesIterator.filter(l =>
           l.contains("Scan parquet") || l.contains("Join") || l.contains("ReadSchema") ||
-          l.contains("PushedFilters") || l.contains("Exchange") || l.contains("Cartesian"))
+          l.contains("PushedFilters") || l.contains("Exchange") || l.contains("Cartesian") ||
+          l.contains("SortAggregate"))
           .mkString("\n"))
       }
     spark.stop()
