@@ -898,17 +898,24 @@ object Similarity {
     * cross-engine determinism — the x175 tradeoff applied to the
     * ITERATION state instead of the data.
     *
-    * 100 TB shape: each round is one broadcast of the 64-row v onto
-    * the corpus scan (per-row dot), one partial-agg'd groupBy on
-    * vec_id, one on the 64-dim key; the per-round state is
-    * localCheckpointed (x99's recompute trap). At 10⁹ rows the BIGINT
-    * bound needs the per-dimension sum promoted to DECIMAL internally
-    * (the x152 discipline) or a pre-scaled dot — documented, not
-    * needed at gate scale. The 1-row max is the documented scalar
-    * cross. */
+    * 100 TB shape (r18 rewrite): the 64-long iteration vector is
+    * BOUNDED MODEL STATE (the codebook-collect class), so each round is
+    * ONE ungrouped 64-column partial aggregate over the corpus — the
+    * per-row dot against the 64 in-plan literals fuses into the scan
+    * projection, Qᵀ(Qv) partial-combines map-side, and exactly 64 longs
+    * cross to the driver per round. No corpus shuffle at any scale
+    * (the previous form shuffled the exploded (vec, d) table through a
+    * groupBy(vec_id) + a join every round). The rescale runs on the
+    * driver with the same positive-only floor-division split; integer
+    * sums are associative, so the result is bit-identical to the
+    * distributed form (spec: exact driver replay). At 10⁹ rows the
+    * BIGINT bound needs the per-dimension sum promoted to DECIMAL
+    * internally (the x152 discipline) or a pre-scaled dot — documented,
+    * not needed at gate scale. */
   def powerIteration(spark: SparkSession, dir: String, iters: Int = PiIters,
                      scale: Long = PiScale): DataFrame = {
     val levels = lit(QuantLevels.toDouble)
+    val dim = 64
     val qd = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("sc",
@@ -920,27 +927,28 @@ object Similarity {
         transform(col("v"), x =>
           when(col("sc") === lit(0.0), lit(0L))
             .otherwise(floor(x / col("sc") * levels + lit(0.5)).cast("long"))))
-      .select(col("vec_id"), posexplode(col("q")).as(Seq("d", "qv")))
-      .localCheckpoint() // read twice per iteration, every iteration
-    var v: DataFrame = spark.range(64L)
-      .select(col("id").cast("int").as("d"),
-        when(col("id") === 0L, lit(scale)).otherwise(lit(0L)).as("v"))
+      .select(col("q"))
+      .localCheckpoint() // read once per iteration, every iteration
+    var v: Array[Long] = Array.tabulate(dim)(d => if (d == 0) scale else 0L)
     for (_ <- 1 to iters) {
-      val dot = qd.join(broadcast(v), Seq("d"))
-        .groupBy(col("vec_id")).agg(sum(col("qv") * col("v")).as("dot"))
-      val raw = qd.join(dot, Seq("vec_id"))
-        .groupBy(col("d")).agg(sum(col("qv") * col("dot")).as("raw"))
-      val m = raw.agg(max(abs(col("raw"))).as("m"))
+      val dot = (0 until dim).map(d => col("q").getItem(d) * lit(v(d)))
+        .foldLeft(lit(0L): Column)(_ + _)
+      val sums = (0 until dim).map(d =>
+        sum(col("q").getItem(d) * col("dot")).as(s"r$d"))
+      val row = qd.select(col("q"), dot.as("dot"))
+        .agg(sums.head, sums.tail: _*).head()
+      val raw = Array.tabulate(dim)(row.getLong)
+      val m = raw.map(math.abs).max
       // m=0 means Qv collapsed to the zero vector (degenerate corpus):
       // hold v at zero rather than divide by zero — same CASE in the oracle
-      v = raw.crossJoin(broadcast(m))
-        .select(col("d"),
-          when(col("m") === 0L, lit(0L))
-            .when(col("raw") >= 0, expr(s"(raw * $scale) div m"))
-            .otherwise(-expr(s"((-raw) * $scale) div m")).as("v"))
-        .localCheckpoint()
+      v = raw.map(r =>
+        if (m == 0L) 0L
+        else if (r >= 0L) r * scale / m
+        else -((-r) * scale / m))
     }
-    v.select(col("d").as("dim"), col("v").as("v_scaled"))
+    import spark.implicits._
+    v.toSeq.zipWithIndex.map { case (x, d) => (d, x) }
+      .toDF("dim", "v_scaled")
   }
 
   /** kNN label homophily (x191): per label, how often a vector's exact
