@@ -145,14 +145,29 @@ object ProductQuant {
     * order is exactly the packed order. `sv` is carried as a GROUPING key
     * (it is functionally dependent on (vec_id, m) — one subvector per
     * group — so the groups are unchanged). */
-  private def assign(sub: DataFrame, cbDf: DataFrame, subDim: Int): DataFrame =
-    sub.join(broadcast(cbDf), Seq("m"))
+  private def assign(sub: DataFrame, cbDf: DataFrame, subDim: Int): DataFrame = {
+    // argmin shortcut (r18): d2(s,c) = |s|² + (|c|² − 2·s·c) and |s|² is
+    // constant within each (vec, m) group, so ranking by the score
+    // |c|² − 2·s·c picks the SAME code with the SAME tie-break — integer
+    // arithmetic, no rounding, so the order is exactly preserved while
+    // the per-candidate work drops from sub+mul+add per dim to mul+add
+    // (|c|² is precomputed once per codebook row). The score can be
+    // negative, which packed min still orders correctly (score·65536 +
+    // code is monotonic in (score, code)); pmod recovers the code.
+    val cn2 = (0 until subDim).map { i =>
+      val c = col("cv").getItem(i); c * c
+    }.foldLeft(lit(0L): Column)(_ + _)
+    val dot = (0 until subDim).map(i =>
+      col("sv").getItem(i) * col("cv").getItem(i))
+      .foldLeft(lit(0L): Column)(_ + _)
+    sub.join(broadcast(cbDf.withColumn("cn2", cn2)), Seq("m"))
       .select(col("vec_id"), col("m"), col("sv"),
-        (d2(col("sv"), col("cv"), subDim) * 65536L + col("code")).as("packed"))
+        ((col("cn2") - dot * 2L) * 65536L + col("code")).as("packed"))
       .groupBy(col("vec_id"), col("m"), col("sv"))
       .agg(min(col("packed")).as("packed"))
       .select(col("vec_id"), col("m"),
-        (col("packed") % 65536L).cast("int").as("code"), col("sv"))
+        pmod(col("packed"), lit(65536L)).cast("int").as("code"), col("sv"))
+  }
 
   private def cbToDf(spark: SparkSession, cb: Seq[(Int, Int, Seq[Long])]): DataFrame = {
     import spark.implicits._
